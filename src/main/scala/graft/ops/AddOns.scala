@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+
+/** Table utilities — capability parity with the reference's `AddOns` mixin
+  * (kafi/addons.py:19-219) plus the watermark/lag admin reads
+  * (kafi/storage.py:245-255, kafi/fs/fs_admin.py:156-183).
+  *
+  * All operators are single-pass aggregations; none sorts globally and none
+  * materializes on the driver.
+  */
+object AddOns {
+
+  /** compact — per-key last-value-wins, null value = tombstone delete
+    * (kafi/addons.py:19-41).
+    *
+    * Implemented as `max_by(struct(*), offset)` — ONE hash aggregation with
+    * map-side partial combine, not a window sort: at 100 TB this shuffles
+    * each key once and never sorts. (A row_number()-over-window formulation
+    * would sort every partition — deliberately avoided.)
+    */
+  def compact(env: DataFrame): DataFrame = {
+    val cols = env.columns.map(col).toSeq
+    env
+      .groupBy("key")
+      .agg(expr(s"max_by(struct(${env.columns.mkString(", ")}), offset)").as("__last"))
+      .select(col("__last.*"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** compact_to (kafi/addons.py:43-53) — compact + sink write, one plan. */
+  def compactTo(env: DataFrame, write: DataFrame => Unit): Unit = write(compact(env))
+
+  /** collect_value_set — distinct set of value payloads
+    * (kafi/addons.py:210-219). Map-side partial distinct then exchange —
+    * the canonical two-phase distinct. */
+  def collectValueSet(env: DataFrame): DataFrame =
+    env.filter(col("value").isNotNull).select("value").distinct()
+
+  /** repeat — re-produce the last n messages per partition with fresh offsets
+    * past the high watermark (kafi/addons.py:57-65). */
+  def repeat(env: DataFrame, nPerPartition: Int): DataFrame = {
+    val hw = env.groupBy("partition").agg(max("offset").as("__hw"))
+    env.join(broadcast(hw), Seq("partition"))
+      .filter(col("offset") > col("__hw") - nPerPartition)
+      .withColumn("offset", col("offset") + nPerPartition)
+      .drop("__hw")
+  }
+
+  /** message_size / message_size_stats — byte-size stats over key+value
+    * (kafi/addons.py:158-207). One aggregation pass. */
+  def messageSizeStats(env: DataFrame): DataFrame = {
+    val sz = coalesce(length(col("key")), lit(0)) + coalesce(length(col("value")), lit(0))
+    env
+      .withColumn("__size", sz)
+      .agg(
+        count(lit(1)).as("messages"),
+        sum(col("__size")).cast("long").as("total_bytes"),
+        (sum(col("__size")).cast("double") / count(lit(1))).as("avg_bytes"),
+        min(col("__size")).cast("long").as("min_bytes"),
+        max(col("__size")).cast("long").as("max_bytes"))
+  }
+
+  /** offsets_diff — message counts between two timestamps per partition
+    * (kafi/addons.py:133-154). The timestamp range predicate is pushed to the
+    * scan (row-group pruning on a time-partitioned layout). */
+  def offsetsDiff(env: DataFrame, fromMs: Long, untilMs: Long): DataFrame =
+    env
+      .filter(Envelope.tsMs(col("timestamp")) >= fromMs &&
+        Envelope.tsMs(col("timestamp")) < untilMs)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_messages"))
+
+  /** watermarks — (low, high) offset per partition
+    * (kafi/fs/fs_admin.py:156-183, cluster_admin.py:276-290). */
+  def watermarks(env: DataFrame): DataFrame =
+    env.groupBy("partition")
+      .agg(min("offset").cast("long").as("low"),
+        (max("offset") + 1).cast("long").as("high"))
+
+  /** lags — high watermark minus committed offset per partition
+    * (kafi/storage.py:245-255). `committed` is a (partition, offset) frame,
+    * e.g. from FileStorage group state; broadcast — it is |partitions| rows. */
+  def lags(env: DataFrame, committed: DataFrame): DataFrame =
+    watermarks(env)
+      .join(broadcast(committed), Seq("partition"), "left")
+      .withColumn("lag", col("high") - coalesce(col("committed"), col("low")))
+      .select("partition", "high", "committed", "lag")
+}
