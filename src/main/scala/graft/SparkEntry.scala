@@ -34,12 +34,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.BatchQueries.queries ++
       graft.queries.ZSetQueries.queries ++
-      graft.queries.WindowQueries.queries
+      graft.queries.WindowQueries.queries ++
+      graft.queries.SerdeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.BatchQueries.oracles ++
       graft.queries.ZSetQueries.oracles ++
-      graft.queries.WindowQueries.oracles
+      graft.queries.WindowQueries.oracles ++
+      graft.queries.SerdeQueries.oracles
 }

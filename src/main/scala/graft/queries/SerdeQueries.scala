@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import graft.model.Envelope
+import graft.ops.{Files, Flatten}
+import graft.serde.{Chunker, Serde}
+
+/** Correctness wiring for serde / chunking / file bridges / explode_normalize. */
+object SerdeQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON payload decode over the envelope (deserializer.py:45-57)
+    "q_serde_json" -> ((s, dir) =>
+      Envelope.fromEvents(s, dir)
+        .withColumn("k", Serde.jsonDecode(col("value"), StructType(Seq(StructField("k", IntegerType)))).getField("k").cast("long"))
+        .select("event_id", "k")
+        .orderBy("event_id")),
+
+    // Confluent wire-format roundtrip: wrap → schema-id extract + body decode
+    "q_serde_confluent" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val framed = docs.withColumn("__bin",
+        Serde.confluentWrap(Serde.utf8Encode(col("text")), col("doc_id") % 100))
+      framed.select(
+        col("doc_id"),
+        Serde.confluentSchemaId(col("__bin")).as("schema_id"),
+        Serde.utf8Decode(Serde.confluentBody(col("__bin"))).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // base64 roundtrip (helpers.py:188-215)
+    "q_serde_base64" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          Serde.utf8Decode(Serde.b64Decode(Serde.b64Encode(Serde.utf8Encode(col("text"))))).as("text"))
+        .orderBy("doc_id")),
+
+    // chunk counts (chunker.py:25-63)
+    "q_chunk" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").as("value"))
+      Chunker.chunk(docs, 64, Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), max("chunk_total").cast("long").as("chunk_total"))
+        .orderBy("doc_id")
+    }),
+
+    // chunk → dechunk roundtrip (dechunker.py:15-75): identity
+    "q_chunk_roundtrip" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").as("value"))
+      Chunker.dechunk(Chunker.chunk(docs, 64, Seq("doc_id")))
+        .select(col("doc_id"), col("value").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // csv bridge roundtrip (files.py:15-85)
+    "q_file_csv_roundtrip" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val path = "/tmp/graft_files/nation_csv"
+      Files.topicToFile(nation, path, "csv")
+      Files.fileToTopic(s, path, "csv",
+        StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+        .orderBy("n_nationkey")
+    }),
+
+    // json bridge roundtrip
+    "q_file_json_roundtrip" -> ((s, dir) => {
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val path = "/tmp/graft_files/region_json"
+      Files.topicToFile(region, path, "json")
+      Files.fileToTopic(s, path, "json",
+        StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType))))
+        .orderBy("r_regionkey")
+    }),
+
+    // recursive flattener (helpers.py:283-303)
+    "q_explode_normalize" -> ((s, dir) => {
+      val ev = Envelope.readEvents(s, dir).withColumnRenamed("value", "amount")
+      val nested = ev.select(
+        col("event_id"),
+        struct(col("user_id").as("id"), col("user_id").cast("string").as("name")).as("user"),
+        array(
+          struct(lit("amount").as("mname"), col("amount").as("mval")),
+          struct(lit("half").as("mname"), (col("amount") / 2).as("mval"))).as("metrics"))
+      Flatten.explodeNormalize(nested)
+        .orderBy("event_id", "metrics_mname")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_serde_json" ->
+      """SELECT event_id,
+        |CASE WHEN event_type = 'click' THEN NULL
+        |     ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_serde_confluent" ->
+      """SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS schema_id, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_serde_base64" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q_chunk" ->
+      """SELECT doc_id,
+        |CAST(greatest(1, (length(text) + 63) // 64) AS BIGINT) AS n_chunks,
+        |CAST(greatest(1, (length(text) + 63) // 64) AS BIGINT) AS chunk_total
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q_file_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "q_file_json_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_explode_normalize" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id AS user_id, CAST(user_id AS VARCHAR) AS user_name,
+        |         'amount' AS metrics_mname, value AS metrics_mval FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, CAST(user_id AS VARCHAR), 'half', value / 2 FROM events
+        |) ORDER BY event_id, metrics_mname""".stripMargin)
+}

@@ -1,0 +1,56 @@
+package graft.serde
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chunking of oversized message values (kafi/chunker.py:25-63) and
+  * reassembly (kafi/dechunker.py:15-75), as plain DataFrame ops:
+  *
+  *  - chunk: `posexplode(transform(sequence(...)))` — 1→N fanout inside
+  *    codegen, chunk metadata as columns (the reference carries it in
+  *    headers + key suffixes, helpers.py:356-376);
+  *  - dechunk: groupBy(chunk_id) + array_sort(collect_list) + re-concat —
+  *    one shuffle keyed by chunk id, map-side partial collection.
+  *
+  * Scale note: dechunk's only shuffle is by chunk_id; group size is bounded
+  * by the original message size / chunk size, so no skew beyond the data's
+  * own largest message.
+  */
+object Chunker {
+
+  /** Split `value` into `chunkChars`-sized chunk messages. Every message
+    * becomes ≥1 chunk; sub-threshold and null (tombstone) values are a
+    * single chunk. Adds: chunk_id (stable per source message), chunk_seq,
+    * chunk_total; `value` becomes the chunk payload. */
+  def chunk(env: DataFrame, chunkChars: Int, idCols: Seq[String]): DataFrame = {
+    val n = chunkChars
+    val pieces = expr(
+      s"""CASE WHEN value IS NULL OR length(value) <= $n THEN array(value)
+         |ELSE transform(sequence(0, (length(value) - 1) div $n),
+         |               i -> substring(value, i * $n + 1, $n)) END""".stripMargin)
+    env
+      .withColumn("chunk_id", concat_ws("-", idCols.map(col): _*))
+      .withColumn("__pieces", pieces)
+      .withColumn("chunk_total", size(col("__pieces")))
+      .select(col("*"), posexplode(col("__pieces")).as(Seq("chunk_seq", "__piece")))
+      .withColumn("value", col("__piece"))
+      .drop("__pieces", "__piece")
+  }
+
+  /** Reassemble chunked messages: group by chunk_id, order chunks by
+    * chunk_seq, concatenate payloads; all non-value columns are taken from
+    * the first chunk. */
+  def dechunk(chunked: DataFrame): DataFrame = {
+    val carry = chunked.columns.filterNot(
+      Set("value", "chunk_id", "chunk_seq", "chunk_total", "__piece"))
+    val firsts = carry.map(c => expr(s"min_by($c, chunk_seq)").as(c))
+    chunked
+      .groupBy("chunk_id")
+      .agg(
+        expr("""array_join(transform(array_sort(collect_list(struct(chunk_seq, value))),
+               |          x -> x.value), '')""".stripMargin).as("__joined"),
+        (firsts :+ expr("min_by(value is null, chunk_seq)").as("__wasnull")): _*)
+      .withColumn("value", when(col("__wasnull"), lit(null)).otherwise(col("__joined")))
+      .drop("__joined", "__wasnull", "chunk_id")
+  }
+}

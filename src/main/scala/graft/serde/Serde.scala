@@ -1,0 +1,60 @@
+package graft.serde
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Payload serde — capability parity with kafi/deserializer.py:27-123 and
+  * kafi/serializer.py:63-123, as pure Column expressions (everything stays
+  * inside whole-stage codegen; no UDFs).
+  *
+  * Payload types (SURVEY §1.2): bytes ↔ BinaryType, str ↔ StringType,
+  * json ↔ from_json/to_json, avro/protobuf ↔ spark-avro / spark-protobuf
+  * (their Confluent 5-byte wire prefix handled here; the schema-registry
+  * HTTP client is an admin-plane concern outside the data path).
+  */
+object Serde {
+
+  // ---- str/bytes (deserializer.py:36-43) ----
+
+  def utf8Encode(c: Column): Column = encode(c, "UTF-8")
+  def utf8Decode(c: Column): Column = decode(c, "UTF-8")
+
+  // ---- json (deserializer.py:45-57) ----
+
+  /** Decode a JSON string payload against a declared schema. */
+  def jsonDecode(c: Column, schema: DataType): Column = from_json(c, schema)
+
+  /** Schema-less single-path extraction (the dynamic-dict analogue). */
+  def jsonGet(c: Column, path: String): Column = get_json_object(c, path)
+
+  def jsonEncode(c: Column): Column = to_json(c)
+
+  // ---- Confluent wire format (deserializer.py:104-123, serializer.py:63-87):
+  //      magic byte 0x00 + 4-byte big-endian schema id + body ----
+
+  /** Wrap a binary payload with the Confluent wire prefix. The 4-byte id is
+    * built with hex/lpad/unhex — all codegen'd built-ins. */
+  def confluentWrap(payload: Column, schemaId: Column): Column =
+    concat(
+      unhex(lit("00")),
+      unhex(lpad(hex(schemaId.cast("int")), 8, "0")),
+      payload)
+
+  /** Schema id from a Confluent-framed payload (deserializer.py:118). */
+  def confluentSchemaId(c: Column): Column =
+    conv(hex(substring(c, 2, 4)), 16, 10).cast("int")
+
+  /** Body (bytes 6..) of a Confluent-framed payload. */
+  def confluentBody(c: Column): Column = substring(c, 6, Int.MaxValue)
+
+  // ---- base64 (helpers.py:188-215) ----
+
+  def b64Encode(c: Column): Column = base64(c)
+  def b64Decode(c: Column): Column = unbase64(c)
+
+  // ---- millis (helpers.py:30-39) ----
+
+  def toMillis(ts: Column): Column = unix_millis(ts.cast("timestamp"))
+  def fromMillis(ms: Column): Column = timestamp_millis(ms)
+}
