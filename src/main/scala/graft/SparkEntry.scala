@@ -35,7 +35,8 @@ object SparkEntry {
     graft.queries.BatchQueries.queries ++
       graft.queries.ZSetQueries.queries ++
       graft.queries.WindowQueries.queries ++
-      graft.queries.SerdeQueries.queries
+      graft.queries.SerdeQueries.queries ++
+      graft.queries.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     graft.queries.BatchQueries.oracles ++
       graft.queries.ZSetQueries.oracles ++
       graft.queries.WindowQueries.oracles ++
-      graft.queries.SerdeQueries.oracles
+      graft.queries.SerdeQueries.oracles ++
+      graft.queries.LlmQueries.oracles
 }

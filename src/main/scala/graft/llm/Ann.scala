@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - Brute-force cosine top-k: the exactness baseline — broadcast the query
+  *    set, one pass over the corpus, per-query top-k via window rank. Scales
+  *    linearly in |corpus| × |queries|; right when queries are few.
+  *  - LSH-bucketed ANN (the scale path): 16 random-hyperplane bits, banded
+  *    4×4; probe rows join candidates on any shared band — shuffle keyed by
+  *    (band, bucket), never a crossJoin of the corpus with itself.
+  *
+  * The signature/norm kernel is a typed mapPartitions (JIT'd primitive
+  * loops) because Spark higher-order Column functions are CodegenFallback —
+  * interpreted per element (see Dedup.minhashSignature scaladoc; measured).
+  * Pairwise cosine on candidate/broadcast joins stays as an `aggregate`
+  * expression: the pair count is small by construction there.
+  * Hyperplanes are pseudo-random signs from a splitmix64 of (plane, dim) —
+  * reproducible with no RNG state.
+  */
+object Ann {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  /** L2 norm column `__norm` appended (expression form — used where the
+    * typed kernel's fixed output shape doesn't fit). */
+  def withNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__norm", sqrt(expr(
+      s"""aggregate(transform($embCol, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)))
+
+  /** Typed kernel: (id, embedding) → (id, embedding, __norm, __sig) where
+    * __sig is the `bits`-bit hyperplane signature (bit p = sign of
+    * ⟨emb, h_p⟩, h_p[i] = ±1 from splitmix64(p, i)). */
+  def withNormSig(df: DataFrame, idCol: String, embCol: String, bits: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          var nsq = 0.0
+          var i = 0
+          while (i < emb.length) { nsq += emb(i).toDouble * emb(i); i += 1 }
+          var sig = 0
+          var p = 0
+          while (p < bits) {
+            var d = 0.0
+            var j = 0
+            while (j < emb.length) {
+              d += Hashing.planeSign(p, j) * emb(j).toDouble
+              j += 1
+            }
+            if (d > 0) sig |= (1 << p)
+            p += 1
+          }
+          (id, emb, math.sqrt(nsq), sig)
+        }
+      }
+      .toDF(idCol, embCol, "__norm", "__sig")
+  }
+
+  /** Brute-force cosine top-k: queries broadcast against the corpus scan. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    val c = withNorm(corpus, embCol)
+      .select(col(idCol).as("nn_id"), col(embCol).as("__e_c"), col("__norm").as("__n_c"))
+    val q = withNorm(queries, embCol)
+      .select(col(idCol).as("q_id"), col(embCol).as("__e_q"), col("__norm").as("__n_q"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("nn_id"))
+      .withColumn("cosine", dot("__e_q", "__e_c") / (col("__n_q") * col("__n_c")))
+    sims
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("nn_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "nn_id", "rank", "cosine")
+  }
+
+  /** Band the 16-bit signature into four 4-bit buckets (multi-probe: a pair
+    * agreeing on any 4-bit band becomes a candidate). */
+  def bandBuckets(withSig: DataFrame, idCol: String): DataFrame =
+    withSig.select(
+      col("*"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, (shiftright(__sig, b * 4) & 15) AS bh))"))
+        .as("__bk"))
+      .withColumn("band", col("__bk.band"))
+      .withColumn("bh", col("__bk.bh"))
+      .drop("__bk")
+
+  /** LSH ANN: per-query top-k among LSH band candidates. Same output shape
+    * as bruteForceTopK; recall < 1 by construction, measured in the test
+    * suite against the brute-force baseline. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    val c = bandBuckets(withNormSig(corpus, idCol, embCol), idCol)
+      .select(col("band"), col("bh"), col(idCol).as("nn_id"),
+        col(embCol).as("__e_c"), col("__norm").as("__n_c"))
+    val q = bandBuckets(withNormSig(queries, idCol, embCol), idCol)
+      .select(col("band"), col("bh"), col(idCol).as("q_id"),
+        col(embCol).as("__e_q"), col("__norm").as("__n_q"))
+    val cand = c.join(broadcast(q), Seq("band", "bh"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .dropDuplicates("q_id", "nn_id")
+    cand
+      .withColumn("cosine", dot("__e_q", "__e_c") / (col("__n_q") * col("__n_c")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("nn_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "nn_id", "rank", "cosine")
+  }
+}

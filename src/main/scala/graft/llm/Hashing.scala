@@ -1,0 +1,35 @@
+package graft.llm
+
+/** Deterministic 64-bit hashing for signature kernels (no RNG state, no
+  * seeds outside the arguments — signatures are reproducible across runs
+  * and cluster sizes). */
+object Hashing {
+
+  /** splitmix64 finalizer — fast, well-mixed. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-16 code units. */
+  def hashString(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** The j-th hash family member applied to a pre-hashed value. */
+  def mix(h: Long, j: Int): Long =
+    splitmix64(h ^ (j.toLong * 0x9E3779B97F4A7C15L))
+
+  /** Deterministic ±1 hyperplane component for (plane, dim). */
+  def planeSign(plane: Int, dim: Int): Int =
+    if ((splitmix64(plane.toLong * 0x2545F4914F6CDD1DL + dim) & 1L) == 1L) 1 else -1
+}

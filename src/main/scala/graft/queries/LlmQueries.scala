@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Dedup, Multimodal, Stopwords, TextAnalysis}
+
+/** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
+  * analysis / multimodal). SQL-expressible ops carry DuckDB oracles; the
+  * LSH-based ones are registered rows-only (their accuracy is asserted
+  * against brute-force baselines in the ScalaTest suite instead).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select("keep_id", "n_copies").orderBy("keep_id")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b", "est_jaccard").orderBy("id_a", "id_b")),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b")),
+
+    // threshold 0.3: the driver embeddings are near-random (max pairwise
+    // cosine ≈ 0.4), so a production-style 0.9 near-dup cut is legitimately
+    // empty; 0.3 exercises the LSH+verify path with non-empty output
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    "q_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws"),
+        TextAnalysis.bpeTokenCount("text").cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), col("text"))
+        .select("doc_id", "n_chars", "n_words", "avg_word_len", "stopword_ratio", "alpha_ratio")
+        .orderBy("doc_id")),
+
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), col("text"))
+        .select("doc_id", "lang", "lang_pred", "lang_score")
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprintDocs(docs(s, dir), "text")
+        .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
+          array_min(col("fingerprints")).as("min_fp"))
+        .orderBy("doc_id")),
+
+    "q_multimodal_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"), lit("text/plain").as("mime"))
+        .as[Multimodal.Media]
+      Multimodal.decodeMeta(media).toDF()
+        .select("doc_id", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    }),
+
+    "q_multimodal_frames" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"), lit("text/plain").as("mime"))
+        .as[Multimodal.Media]
+      Multimodal.sampleFrames(Multimodal.decodeMeta(media).toDF())
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("byte_offset"))
+        .orderBy("doc_id", "frame_idx")
+    }))
+
+  private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        | p AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM q, c WHERE q_id != nn_id),
+        | r AS (SELECT q_id, nn_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM p)
+        |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |CAST(length(text) AS BIGINT) AS n_chars,
+         |CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         |CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(str_split(text, ' ')) AS avg_word_len,
+         |CAST(len(list_filter(str_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE)
+         |  / len(str_split(text, ' ')) AS stopword_ratio,
+         |CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |  / greatest(length(text), 1) AS alpha_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |CAST(1 + length(text) % 640 AS INTEGER) AS width,
+        |CAST(1 + length(text) % 480 AS INTEGER) AS height,
+        |CAST(1 + length(text) % 16 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH meta AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |                     1 + length(text) % 16 AS nf FROM documents)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+        |       CAST(u.i * (len // nf) AS BIGINT) AS byte_offset
+        |FROM meta, unnest(generate_series(0, nf - 1)) AS u(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Dedup, TextAnalysis}
+
+/** Accuracy/recall checks for the LSH-based LLM ops that have no SQL oracle:
+  * planted exact duplicates MUST be found (their signatures are identical by
+  * construction), and LSH candidate generation must stay far below
+  * all-pairs.
+  */
+class LlmSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** 10 planted clones: doc i copied to id 10000+i. */
+  private lazy val withClones = docs.select("doc_id", "text").unionByName(
+    docs.filter(col("doc_id") < 10).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+
+  test("exact dedup finds planted clones") {
+    val res = Dedup.exact(withClones, "doc_id", "text")
+      .filter(col("n_copies") > 1)
+    assert(res.count() == 10)
+    assert(res.agg(max("keep_id")).head.getLong(0) < 10) // representative = original
+  }
+
+  test("minhash LSH finds planted clones with est_jaccard 1.0") {
+    val pairs = Dedup.minhashPairs(withClones, "doc_id", "text", threshold = 0.9)
+      .filter(col("id_b") >= 10000 && col("id_a") === col("id_b") - 10000)
+    assert(pairs.count() == 10)
+    assert(pairs.filter(col("est_jaccard") === 1.0).count() == 10)
+  }
+
+  test("ngram jaccard verification reports 1.0 for clones") {
+    val pairs = Dedup.ngramJaccardPairs(withClones, "doc_id", "text", threshold = 0.99)
+      .filter(col("id_b") >= 10000)
+    assert(pairs.count() >= 10)
+  }
+
+  test("simhash finds planted clones at hamming 0") {
+    val pairs = Dedup.simhashPairs(withClones, "doc_id", "text", maxHamming = 0)
+    assert(pairs.filter(col("id_b") >= 10000 && col("id_a") === col("id_b") - 10000).count() == 10)
+  }
+
+  test("embedding LSH finds planted clone vectors at cosine ~1") {
+    val withCloneVecs = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") < 10).select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pairs = Dedup.embeddingPairs(withCloneVecs, "vec_id", "embedding", threshold = 0.999)
+      .filter(col("id_b") >= 10000 && col("id_a") === col("id_b") - 10000)
+    assert(pairs.count() == 10)
+  }
+
+  test("LSH ANN ranks a planted clone as nearest neighbor") {
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(clones)
+    val res = Ann.lshTopK(corpus, clones, "vec_id", "embedding", k = 1)
+    val hits = res.filter(col("rank") === 1 && col("nn_id") === col("q_id") - 10000).count()
+    assert(hits == 5) // identical signature → same buckets → cosine 1 wins
+  }
+
+  test("LSH ANN candidate set is far below all-pairs") {
+    val q = emb.filter(col("vec_id") < 10)
+    val cands = Ann.bandBuckets(Ann.withNormSig(emb, "vec_id", "embedding"), "vec_id")
+      .select(col("band"), col("bh"), col("vec_id"))
+    val n = emb.count()
+    val candPairs = cands.join(
+      Ann.bandBuckets(Ann.withNormSig(q, "vec_id", "embedding"), "vec_id")
+        .select(col("band"), col("bh"), col("vec_id").as("q_id")),
+      Seq("band", "bh"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").distinct().count()
+    assert(candPairs < 10 * n / 2, s"candidates $candPairs not selective vs all-pairs ${10 * n}")
+  }
+
+  test("brute-force ANN recall of LSH >= measured floor") {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("q_id", "nn_id")
+    val lsh = Ann.lshTopK(emb, q, "vec_id", "embedding", 10)
+      .select("q_id", "nn_id")
+    val overlap = brute.intersect(lsh).count().toDouble / brute.count()
+    assert(overlap >= 0.15, s"recall@10 $overlap") // random embeddings: band-collision baseline
+  }
+
+  test("fingerprints: clones share all fingerprints, distinct docs don't") {
+    val fp = TextAnalysis.fingerprintDocs(withClones, "text")
+      .select(col("doc_id"), col("fingerprints"))
+    val a = fp.filter(col("doc_id") === 0).head.getSeq[Long](1).toSet
+    val clone = fp.filter(col("doc_id") === 10000).head.getSeq[Long](1).toSet
+    val other = fp.filter(col("doc_id") === 5).head.getSeq[Long](1).toSet
+    assert(a == clone)
+    assert(a != other)
+  }
+
+  test("langId is deterministic and scores en text as en") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on the mat and it was good"),
+      (2L, "el gato se sentó en la alfombra y no era un problema")).toDF("doc_id", "text")
+    val res = TextAnalysis.langId(df, col("text")).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res(1L) == "en")
+    assert(res(2L) == "es")
+  }
+}

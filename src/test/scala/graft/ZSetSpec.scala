@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streams.{Debezium, TNode, ZSet}
+
+/** Z-set algebra laws (the invariants the reference's DBSP circuit
+  * guarantees, asserted over the batch implementation). */
+class ZSetSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def zs(rows: (String, Long)*): DataFrame =
+    rows.toDF("k", ZSet.W)
+
+  private def records(df: DataFrame): Set[(String, Long)] =
+    df.select("k", ZSet.W).as[(String, Long)].collect().toSet
+
+  test("distinct: weight>0 -> 1, retractions suppress") {
+    val z = zs("a" -> 2L, "b" -> 1L, "b" -> -1L, "c" -> -3L)
+    assert(records(ZSet.distinct(z)) == Set("a" -> 1L))
+  }
+
+  test("distinct is idempotent") {
+    val z = zs("a" -> 5L, "b" -> 1L)
+    assert(records(ZSet.distinct(ZSet.distinct(z))) == records(ZSet.distinct(z)))
+  }
+
+  test("merge adds weights; union applies distinct") {
+    val a = zs("x" -> 1L, "y" -> 2L)
+    val b = zs("x" -> 3L, "z" -> -1L)
+    assert(records(ZSet.merge(a, b)) == Set("x" -> 4L, "y" -> 2L, "z" -> -1L))
+    assert(records(ZSet.union(a, b)) == Set("x" -> 1L, "y" -> 1L))
+  }
+
+  test("minus(a, a) is empty; intersect projects left presence") {
+    val a = zs("x" -> 1L, "y" -> 2L)
+    assert(ZSet.minus(a, a).count() == 0)
+    val b = zs("y" -> 7L, "z" -> 1L)
+    assert(records(ZSet.intersect(a, b)) == Set("y" -> 1L))
+  }
+
+  test("join multiplies weights (bilinear)") {
+    val a = Seq(("k1", 2L)).toDF("ka", ZSet.W)
+    val b = Seq(("k1", 3L), ("k1", -1L)).toDF("kb", ZSet.W)
+    val j = ZSet.consolidate(
+      ZSet.map(ZSet.join(a, b, col("ka") === col("kb")))(col("ka")))
+    assert(j.select(ZSet.W).as[Long].collect().toSeq == Seq(4L)) // 2*3 + 2*(-1)
+  }
+
+  test("neg . neg = identity under consolidation") {
+    val a = zs("x" -> 2L, "y" -> -1L)
+    assert(records(ZSet.consolidate(ZSet.neg(ZSet.neg(a)))) == records(ZSet.consolidate(a)))
+  }
+
+  test("debezium roundtrip: zset -> cdc -> zset") {
+    val z = ZSet.consolidate(zs("a" -> 2L, "b" -> -1L))
+    val cdc = Debezium.toDebezium(z)
+    val back = cdc.select(
+      struct(col("k")).as("rec"),
+      when(col("op") === "c", col("multiplicity")).otherwise(-col("multiplicity")).as(ZSet.W))
+      .select(col("rec.k").as("k"), col(ZSet.W))
+    assert(records(ZSet.consolidate(back)) == records(z))
+  }
+
+  test("topology DSL: memoized build + mermaid rendering") {
+    val src = TNode.source("s", zs("a" -> 1L, "a" -> 1L, "b" -> 1L))
+    val top = src.distinct.groupByCount(Seq("k"), "n")
+    val out = top.df.select("k", "n").as[(String, Long)].collect().toSet
+    assert(out == Set("a" -> 1L, "b" -> 1L))
+    assert(top.mermaid.contains("graph TD"))
+    assert(top.topology.startsWith("group_by_count"))
+    top.reset()
+    assert(top.df.count() == 2)
+  }
+}
