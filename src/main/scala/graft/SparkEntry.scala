@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.ZSetQueries.queries ++
       graft.queries.WindowQueries.queries ++
       graft.queries.SerdeQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.StorageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.ZSetQueries.oracles ++
       graft.queries.WindowQueries.oracles ++
       graft.queries.SerdeQueries.oracles ++
-      graft.queries.LlmQueries.oracles
+      graft.queries.LlmQueries.oracles ++
+      graft.queries.StorageQueries.oracles
 }

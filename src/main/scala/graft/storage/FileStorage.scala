@@ -1,0 +1,234 @@
+package graft.storage
+
+import java.nio.file.{Files => JFiles, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Envelope
+
+/** File-backed storage: a topic is a parquet table with the envelope columns
+  * — the reference's miniature Kafka-log-on-files (fs/fs_producer.py:53-70,
+  * fs_admin.py:206-261) re-expressed as what it actually is: a partitioned
+  * columnar table with (partition, offset, timestamp) columns.
+  *
+  * The reference encodes offsets/timestamps in batch-file NAMES and binary-
+  * searches them; here the same pruning falls out of parquet row-group
+  * statistics — an offset/ts predicate reaches the scan as a PushedFilter,
+  * so a seek reads only the row groups that overlap the range. `root` can be
+  * any Hadoop FS URI (file://, s3a://, abfss://) — SURVEY §2.1's backend
+  * uniformity comes from the connector, not from this class.
+  *
+  * Layout: `<root>/topics/<name>/data/` (parquet) + `meta.json`
+  * (partition count, fs_admin.py:349-369); `<root>/groups/<g>/<topic>.json`
+  * (committed offsets, fs_admin.py:371-415).
+  *
+  * Scale notes: offset assignment on produce is a row_number window keyed by
+  * `partition` — per-partition sequencing is the log's own semantics (Kafka
+  * brokers serialize the same way); everything else is append-only parquet
+  * with no global coordination.
+  */
+class FileStorage(spark: SparkSession, root: String) extends Storage {
+
+  private def topicDir(t: String) = s"$root/topics/$t"
+  private def dataDir(t: String) = s"${topicDir(t)}/data"
+  private def metaPath(t: String) = Paths.get(s"${topicDir(t)}/meta.json")
+  private def groupPath(g: String, t: String) = Paths.get(s"$root/groups/$g/$t.json")
+
+  override def createTopic(topic: String, partitions: Int = 1): Unit = {
+    require(!exists(topic), s"topic exists: $topic")
+    JFiles.createDirectories(Paths.get(dataDir(topic)))
+    JFiles.writeString(metaPath(topic), s"""{"partitions": $partitions}""")
+  }
+
+  override def deleteTopic(topic: String): Unit = {
+    val dir = Paths.get(topicDir(topic))
+    if (JFiles.exists(dir))
+      JFiles.walk(dir).iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+  }
+
+  override def exists(topic: String): Boolean = JFiles.exists(metaPath(topic))
+
+  override def listTopics(pattern: String = "*"): Seq[String] = {
+    val base = Paths.get(s"$root/topics")
+    if (!JFiles.exists(base)) return Nil
+    val re = ("^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$").r
+    JFiles.list(base).iterator().asScala.map(_.getFileName.toString)
+      .filter(n => re.matches(n)).toSeq.sorted
+  }
+
+  override def partitions(topic: String): Int = {
+    val s = JFiles.readString(metaPath(topic))
+    """"partitions":\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+  }
+
+  /** recreate/retouch (kafi/addons.py:69-108): delete + create preserving
+    * the partition count. */
+  def recreate(topic: String): Unit = {
+    val p = partitions(topic)
+    deleteTopic(topic)
+    createTopic(topic, p)
+  }
+
+  private def emptyLog(topic: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
+
+  override def read(topic: String): DataFrame = {
+    require(exists(topic), s"no such topic: $topic")
+    val d = Paths.get(dataDir(topic))
+    val hasData = JFiles.list(d).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    if (!hasData) emptyLog(topic)
+    else spark.read.schema(Envelope.schema).parquet(dataDir(topic))
+  }
+
+  override def produce(topic: String, df: DataFrame): Unit = {
+    require(exists(topic), s"no such topic: $topic")
+    val p = partitions(topic)
+    val withKey = if (df.columns.contains("key")) df else df.withColumn("key", lit(null).cast("string"))
+    // hash-of-key partitioner (kafi/helpers.py:338-352); explicit partition wins
+    val withPart =
+      if (withKey.columns.contains("partition")) withKey
+      else withKey.withColumn("partition", pmod(hash(col("key")), lit(p)).cast("int"))
+    val withTs =
+      if (withPart.columns.contains("timestamp")) withPart
+      else withPart.withColumn("timestamp", current_timestamp()) // CURRENT_TIME (fs_producer.py:36-37)
+    val hw = watermarks(topic).select(col("partition"), col("high"))
+    val assigned = withTs
+      .join(broadcast(hw), Seq("partition"), "left")
+      // deterministic when timestamps are unique within a partition;
+      // monotonically_increasing_id breaks ties by arrival order
+      .withColumn("offset",
+        (row_number().over(Window.partitionBy("partition")
+          .orderBy(col("timestamp"), monotonically_increasing_id())) - 1
+          + coalesce(col("high"), lit(0L))).cast("long"))
+      .drop("high")
+      .withColumn("topic", lit(topic))
+      .withColumn("timestampType", lit(1))
+      .withColumn("headers",
+        if (withTs.columns.contains("headers")) col("headers") else lit(null).cast(Envelope.headersType))
+      .select(Envelope.columnNames.map(col): _*)
+    assigned.write.mode("append").parquet(dataDir(topic))
+  }
+
+  override def watermarks(topic: String): DataFrame =
+    read(topic).groupBy("partition")
+      .agg(min("offset").cast("long").as("low"), (max("offset") + 1).cast("long").as("high"))
+
+  // ---- offset / timestamp seeks (fs_admin.py:206-261) ----
+
+  /** Messages with offset in [from, until) per partition — the predicate is
+    * pushed to the parquet scan (row-group pruning). */
+  def readRange(topic: String, fromOffset: Long, untilOffset: Long): DataFrame =
+    read(topic).filter(col("offset") >= fromOffset && col("offset") < untilOffset)
+
+  /** offsets_for_times: first offset with timestamp >= ts per partition
+    * (cluster_admin.py:210-238). */
+  def offsetsForTimes(topic: String, tsMs: Long): DataFrame =
+    read(topic)
+      .filter(Envelope.tsMs(col("timestamp")) >= tsMs)
+      .groupBy("partition")
+      .agg(min("offset").cast("long").as("offset"))
+
+  /** last-n fair share per partition (storage_consumer.py:212-231). */
+  def readLastN(topic: String, nPerPartition: Int): DataFrame =
+    graft.ops.Shell.tail(read(topic), nPerPartition)
+
+  // ---- groups (fs_admin.py:371-415) ----
+
+  override def commit(group: String, topic: String, offsets: Map[Int, Long]): Unit = {
+    JFiles.createDirectories(groupPath(group, topic).getParent)
+    val body = offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
+    JFiles.writeString(groupPath(group, topic), body)
+  }
+
+  override def committed(group: String, topic: String): Map[Int, Long] = {
+    val p = groupPath(group, topic)
+    if (!JFiles.exists(p)) Map.empty
+    else """"(\d+)":\s*(\d+)""".r.findAllMatchIn(JFiles.readString(p))
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+  }
+
+  /** cp_group_offsets (kafi/addons.py:112-129). */
+  def cpGroupOffsets(group: String, topic: String, target: FileStorage): Unit =
+    target.commit(group, topic, committed(group, topic))
+
+  /** lags (kafi/storage.py:245-255): high watermark − committed. */
+  def lags(group: String, topic: String): DataFrame = {
+    val cm = committed(group, topic).toSeq
+    val cmDf =
+      if (cm.isEmpty)
+        spark.createDataFrame(Seq.empty[(Int, Long)]).toDF("partition", "committed")
+      else {
+        val s2 = spark
+        import s2.implicits._
+        cm.toDF("partition", "committed")
+      }
+    graft.ops.AddOns.lags(read(topic), cmDf)
+  }
+
+  /** delete_records up to the given offset per partition
+    * (cluster_admin.py:292-315): compaction-style rewrite. */
+  def deleteRecords(topic: String, upToOffset: Long): Unit = {
+    val keep = read(topic).filter(col("offset") >= upToOffset)
+    val tmp = s"${topicDir(topic)}/data_tmp"
+    keep.write.mode("overwrite").parquet(tmp)
+    val dataP = Paths.get(dataDir(topic))
+    JFiles.walk(dataP).iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+    JFiles.move(Paths.get(tmp), dataP)
+  }
+}
+
+/** Kafka-backed storage: the same surface over Spark's Kafka source/sink.
+  * Wiring only — this container has no Kafka connector jar or broker, so
+  * the class is compile-checked via string-based format options and the
+  * admin plane documents its AdminClient mapping (SURVEY §2.4: Spark has no
+  * admin surface; a deployment adds spark-sql-kafka + kafka-clients and the
+  * marked methods below become AdminClient one-liners).
+  */
+class KafkaStorage(spark: SparkSession, bootstrap: String) {
+
+  /** Batch read with offset-range seek — Spark pushes these straight to the
+    * consumer; ts-seek via startingOffsetsByTimestamp. */
+  def read(topic: String, startingOffsets: String = "earliest", endingOffsets: String = "latest"): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("endingOffsets", endingOffsets)
+      .option("includeHeaders", "true")
+      .load()
+
+  def readStream(topic: String, startingOffsets: String = "latest", maxOffsetsPerTrigger: Long = 10000): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .option("includeHeaders", "true")
+      .load()
+
+  /** Producer: df needs key/value (binary or string) + optional partition/
+    * headers (cluster_producer.py:53-77 passthrough semantics). */
+  def write(topic: String, df: DataFrame): Unit =
+    df.write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("includeHeaders", "true")
+      .save()
+
+  // Admin surface → org.apache.kafka.clients.admin.AdminClient:
+  //   create/delete topics, partitions get/set, watermarks (listOffsets),
+  //   groups (listConsumerGroupOffsets/alterConsumerGroupOffsets), configs,
+  //   ACLs, delete_records — all direct AdminClient calls; not compilable
+  //   here without kafka-clients on the classpath.
+  def admin: Nothing =
+    throw new UnsupportedOperationException(
+      "AdminClient wrapper requires kafka-clients on the classpath (not shipped in this container)")
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+import graft.ops.{AddOns, Shell}
+import graft.storage.FileStorage
+
+/** Contract suite for the storage layer (the SURVEY §5 per-backend pattern:
+  * the same body would run against a KafkaStorage with a broker present —
+  * the trait boundary is graft.storage.Storage). */
+class StorageSpec extends SparkSpec {
+
+  private def freshStorage(): FileStorage =
+    new FileStorage(spark, Files.createTempDirectory("graft_fs").toString)
+
+  import spark.implicits._
+
+  private def sampleBatch(n: Int) = {
+    (0 until n).map(i =>
+      (s"k${i % 7}", s"v$i", new java.sql.Timestamp(1700000000000L + i * 1000L)))
+      .toDF("key", "value", "timestamp")
+  }
+
+  test("admin: create / exists / partitions / glob list / delete / recreate") {
+    val fs = freshStorage()
+    fs.createTopic("snacks", 3)
+    fs.createTopic("drinks", 2)
+    assert(fs.exists("snacks") && !fs.exists("nope"))
+    assert(fs.partitions("snacks") == 3)
+    assert(fs.listTopics("*") == Seq("drinks", "snacks"))
+    assert(fs.listTopics("sn*") == Seq("snacks"))
+    fs.recreate("snacks")
+    assert(fs.partitions("snacks") == 3 && fs.read("snacks").count() == 0)
+    fs.deleteTopic("drinks")
+    assert(!fs.exists("drinks"))
+  }
+
+  test("produce: hash partitioner, dense offsets, watermarks, append continues") {
+    val fs = freshStorage()
+    fs.createTopic("t", 4)
+    fs.produce("t", sampleBatch(40))
+    val log = fs.read("t")
+    assert(log.count() == 40)
+    // every key lands in exactly one partition (partitioner is a key function)
+    assert(log.groupBy("key").agg(countDistinct("partition").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // offsets dense from 0 per partition
+    val wm = fs.watermarks("t").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(wm.forall(_._2 == 0L))
+    assert(wm.map(_._3).sum == 40L)
+    // append continues past the high watermark
+    fs.produce("t", sampleBatch(40))
+    val wm2 = fs.watermarks("t").collect().map(r => r.getLong(2)).sum
+    assert(wm2 == 80L)
+    val dense = fs.read("t").groupBy("partition")
+      .agg(count(lit(1)).as("n"), (max("offset") - min("offset") + 1).as("span"))
+      .filter(col("n") =!= col("span")).count()
+    assert(dense == 0, "offsets must be dense per partition")
+  }
+
+  test("offset-range read pushes the predicate into the parquet scan") {
+    val fs = freshStorage()
+    fs.createTopic("t", 2)
+    fs.produce("t", sampleBatch(20))
+    val ranged = fs.readRange("t", 2, 5)
+    assert(ranged.agg(min("offset"), max("offset")).head() ==
+      org.apache.spark.sql.Row(2L, 4L))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(offset"),
+      s"offset predicate not pushed:\n$plan")
+  }
+
+  test("timestamp seek and last-n fair share") {
+    val fs = freshStorage()
+    fs.createTopic("t", 2)
+    fs.produce("t", sampleBatch(20))
+    val oft = fs.offsetsForTimes("t", 1700000010000L) // first 10 records excluded
+    assert(oft.count() > 0)
+    // every returned offset's record has ts >= seek point
+    val joined = fs.read("t").join(oft.withColumnRenamed("offset", "o"), "partition")
+      .filter(col("offset") === col("o"))
+    assert(joined.filter(Envelope.tsMs(col("timestamp")) < 1700000010000L).count() == 0)
+    val lastn = fs.readLastN("t", 3)
+    assert(lastn.groupBy("partition").count().filter(col("count") > 3).count() == 0)
+  }
+
+  test("groups: commit / committed / lags / consume-from-committed") {
+    val fs = freshStorage()
+    fs.createTopic("t", 2)
+    fs.produce("t", sampleBatch(20))
+    assert(fs.committed("g1", "t").isEmpty)
+    fs.commit("g1", "t", Map(0 -> 3L, 1 -> 5L))
+    assert(fs.committed("g1", "t") == Map(0 -> 3L, 1 -> 5L))
+    val lag = fs.lags("g1", "t").agg(sum("lag")).head().getLong(0)
+    assert(lag == 20L - 3L - 5L)
+    val fs2 = freshStorage()
+    fs2.createTopic("t", 2)
+    fs.cpGroupOffsets("g1", "t", fs2)
+    assert(fs2.committed("g1", "t") == Map(0 -> 3L, 1 -> 5L))
+  }
+
+  test("cp: topic copy via one read->write plan") {
+    val fs = freshStorage()
+    fs.createTopic("a", 2)
+    fs.createTopic("b", 2)
+    fs.produce("a", sampleBatch(12))
+    fs.produce("b", Shell.cp(fs.read("a"), df => df.withColumn("value", upper(col("value")))))
+    assert(fs.read("b").count() == 12)
+    assert(fs.read("b").filter(col("value").rlike("^V")).count() == 12)
+  }
+
+  test("compact over a storage topic honors tombstones") {
+    val fs = freshStorage()
+    fs.createTopic("t", 2)
+    val batch = Seq(
+      ("k1", "v1", ts(1)), ("k1", "v2", ts(2)),
+      ("k2", "v3", ts(3)), ("k2", null, ts(4)),
+      ("k3", null, ts(5)), ("k3", "v4", ts(6)))
+      .toDF("key", "value", "timestamp")
+    fs.produce("t", batch)
+    val compacted = AddOns.compact(fs.read("t"))
+      .select("key", "value").as[(String, String)].collect().toSet
+    assert(compacted == Set(("k1", "v2"), ("k3", "v4"))) // k2 deleted by tombstone
+  }
+
+  test("deleteRecords truncates the log prefix") {
+    val fs = freshStorage()
+    fs.createTopic("t", 1)
+    fs.produce("t", sampleBatch(10).withColumn("partition", lit(0)))
+    fs.deleteRecords("t", 4L)
+    assert(fs.read("t").agg(min("offset")).head().getLong(0) == 4L)
+    assert(fs.read("t").count() == 6)
+  }
+
+  private def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+}
