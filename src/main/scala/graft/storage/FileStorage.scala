@@ -116,6 +116,14 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     assigned.write.mode("append").parquet(dataDir(topic))
   }
 
+  /** Streaming read of the topic log (streams source,
+    * topologynode.py:977-989): each appended batch file becomes a
+    * micro-batch; pairs with Runner.demux for multi-sink topologies. */
+  def readStream(topic: String): DataFrame = {
+    require(exists(topic), s"no such topic: $topic")
+    spark.readStream.schema(Envelope.schema).parquet(dataDir(topic))
+  }
+
   override def watermarks(topic: String): DataFrame =
     read(topic).groupBy("partition")
       .agg(min("offset").cast("long").as("low"), (max("offset") + 1).cast("long").as("high"))

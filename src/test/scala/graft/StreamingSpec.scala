@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{RetractionDistinct, Runner}
+
+/** Structured-Streaming tier of the contract suite (the reference's
+  * three-tier streams testing, SURVEY §5 item 3): the same topologies run
+  * as micro-batch streams; push = MemoryStream.addData, latest =
+  * processAllAvailable (topologynode.py:1061-1129).
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ckpt() = Files.createTempDirectory("graft_ckpt").toString
+
+  test("streaming wordcount in update mode emits only changed groups") {
+    val in = MemoryStream[String](spark)
+    val counts = in.toDF().select(explode(split(col("value"), " ")).as("word"))
+      .groupBy("word").count()
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("wc_out").start()
+    try {
+      in.addData("a b a")
+      q.processAllAvailable()
+      val step1 = spark.table("wc_out").as[(String, Long)].collect().toSet
+      assert(step1 == Set("a" -> 2L, "b" -> 1L))
+      in.addData("b c")
+      q.processAllAvailable()
+      // update mode: second batch appends ONLY the changed groups
+      val step2 = spark.table("wc_out").as[(String, Long)].collect().toSet
+      assert(step2 == Set("a" -> 2L, "b" -> 1L, "b" -> 2L, "c" -> 1L))
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window finalizes exactly once (append mode)") {
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val agg = Runner.windowedAgg(
+      in.toDF().toDF("ts", "k"), "ts", sizeMs = 60000, delayMs = 0,
+      keys = Seq(col("k")))(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("win_out").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L / 60000 * 60000 + min * 60000L)
+      in.addData((ts(0), "x"), (ts(0), "x"))
+      q.processAllAvailable()
+      // window not closed yet: watermark has not passed its end
+      assert(spark.table("win_out").count() == 0)
+      in.addData((ts(2), "x")) // advances watermark past window 0's end
+      q.processAllAvailable()
+      val rows = spark.table("win_out").select("k", "n").as[(String, Long)].collect().toSet
+      assert(rows == Set("x" -> 2L))
+    } finally q.stop()
+  }
+
+  test("retraction distinct emits +1 on appearance, -1 when retracted out") {
+    val in = MemoryStream[RetractionDistinct.Delta](spark)
+    val out = RetractionDistinct(in.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rd_out").start()
+    try {
+      in.addData(RetractionDistinct.Delta("r1", 1), RetractionDistinct.Delta("r1", 1),
+        RetractionDistinct.Delta("r2", 1))
+      q.processAllAvailable()
+      assert(spark.table("rd_out").as[RetractionDistinct.Delta].collect().toSet ==
+        Set(RetractionDistinct.Delta("r1", 1), RetractionDistinct.Delta("r2", 1)))
+      // retract r1 twice -> presence flips off -> emit -1; r2 stays (no emit)
+      in.addData(RetractionDistinct.Delta("r1", -2), RetractionDistinct.Delta("r2", 1))
+      q.processAllAvailable()
+      val all = spark.table("rd_out").as[RetractionDistinct.Delta].collect().toSeq
+      assert(all.count(d => d.record == "r1" && d.weight == -1) == 1)
+      assert(all.count(_.record == "r2") == 1)
+    } finally q.stop()
+  }
+
+  test("multi-sink demux routes one pass to N sinks") {
+    val in = MemoryStream[Int](spark)
+    val evens = collection.mutable.ArrayBuffer[Int]()
+    val odds = collection.mutable.ArrayBuffer[Int]()
+    val q = Runner.demux(
+      in.toDF(),
+      Seq(
+        ("evens", col("value") % 2 === 0,
+          (d: org.apache.spark.sql.DataFrame) => evens.synchronized {
+            evens ++= d.select("value").as[Int](spark.implicits.newIntEncoder).collect()
+          }),
+        ("odds", col("value") % 2 =!= 0,
+          (d: org.apache.spark.sql.DataFrame) => odds.synchronized {
+            odds ++= d.select("value").as[Int](spark.implicits.newIntEncoder).collect()
+          })),
+      ckpt(), org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      in.addData(1, 2, 3, 4, 5)
+      q.awaitTermination(60000)
+      assert(evens.sorted == Seq(2, 4))
+      assert(odds.sorted == Seq(1, 3, 5))
+    } finally q.stop()
+  }
+
+  test("file-storage topic as a streaming source (push -> latest)") {
+    val fs = new graft.storage.FileStorage(spark, Files.createTempDirectory("graft_fs_stream").toString)
+    fs.createTopic("t", 2)
+    fs.produce("t", Seq(("a", "v1"), ("b", "v2")).toDF("key", "value")
+      .withColumn("timestamp", lit(new java.sql.Timestamp(1700000000000L))))
+    val counts = fs.readStream("t").groupBy("partition").count()
+    val q = counts.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("fs_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fs_stream_out").agg(sum("count")).head.getLong(0) == 2L)
+      fs.produce("t", Seq(("c", "v3")).toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(1700000001000L))))
+      q.processAllAvailable()
+      assert(spark.table("fs_stream_out").agg(sum("count")).head.getLong(0) == 3L)
+    } finally q.stop()
+  }
+
+  test("streaming jamie: running balance via update-mode aggregation") {
+    val in = MemoryStream[(Long, Double)](spark)
+    val agg = Runner.runningAgg(
+      in.toDF().toDF("user_id", "amt"), Seq(col("user_id")))(
+      sum(col("amt").cast("decimal(18,2)")).as("balance"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("jamie_out").start()
+    try {
+      in.addData((1L, 10.0), (1L, -4.0), (2L, 7.0))
+      q.processAllAvailable()
+      in.addData((1L, 1.0))
+      q.processAllAvailable()
+      // last emitted row per user = current balance
+      val last = spark.table("jamie_out")
+        .groupBy("user_id").agg(expr("last(balance)").as("balance"))
+      val m = last.collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+      assert(m(1L) == 7.0 && m(2L) == 7.0)
+    } finally q.stop()
+  }
+}
