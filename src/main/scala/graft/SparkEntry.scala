@@ -18,16 +18,17 @@ object SparkEntry {
     * (last-per-key + tombstones) → broadcast join to customer dim →
     * per-user aggregate.
     */
+  /** read → decode → compact → broadcast join → windowed agg. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val env = Envelope.fromEvents(spark, dir)
     val decoded = env.withColumn("k", get_json_object(col("value"), "$.k").cast("long"))
     val compacted = AddOns.compact(decoded)
     val customer = spark.read.parquet(s"$dir/customer.parquet")
-    compacted
-      .join(broadcast(customer), col("user_id") + 1 === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+    graft.streams.Windows.tumbling(
+      compacted.join(broadcast(customer), col("user_id") + 1 === col("c_custkey")),
+      col("timestamp"), 7L * 86400000L, Seq(col("c_mktsegment")))(
+      count(lit(1)).as("n"), sum("k").as("sum_k"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -37,7 +38,8 @@ object SparkEntry {
       graft.queries.WindowQueries.queries ++
       graft.queries.SerdeQueries.queries ++
       graft.queries.LlmQueries.queries ++
-      graft.queries.StorageQueries.queries
+      graft.queries.StorageQueries.queries ++
+      graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -47,5 +49,6 @@ object SparkEntry {
       graft.queries.WindowQueries.oracles ++
       graft.queries.SerdeQueries.oracles ++
       graft.queries.LlmQueries.oracles ++
-      graft.queries.StorageQueries.oracles
+      graft.queries.StorageQueries.oracles ++
+      graft.queries.TpchQueries.oracles
 }

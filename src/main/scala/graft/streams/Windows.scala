@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** expire_tumbling/hopping/cumulative/sliding/session
+    * (topologynode.py:825-859): the state-retention horizon per window
+    * type = max window extent + allowed lateness. Feed the result to
+    * `withWatermark` (streaming) or Linear.expire (batch). */
+  def expiryDelayMs(windowExtentMs: Long, allowedLatenessMs: Long): Long =
+    windowExtentMs + allowedLatenessMs
+
   /** window_tumbling (topologynode.py:888-898). */
   def tumbling(df: DataFrame, ts: Column, sizeMs: Long, keys: Seq[Column])(aggs: Column*): DataFrame =
     df.groupBy(window(ts, s"$sizeMs milliseconds") +: keys: _*)

@@ -74,6 +74,14 @@ object ZSet {
     da.join(db, cond, "left_semi")
   }
 
+  /** from_value — project message → value payload (topologynode.py:185-189). */
+  def fromValue(df: DataFrame): DataFrame = df.select(col("value"), col(W))
+
+  /** to_value — wrap a value back into a message envelope shape
+    * (topologynode.py:191-195). */
+  def toValue(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.select(struct(col(valueCol).as("value")).as("message"), col(W))
+
   /** map — 1→1 projection, weight-preserving (topologynode.py:120-155). */
   def map(df: DataFrame)(cols: Column*): DataFrame =
     df.select(cols :+ col(W): _*)
