@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import graft.model.Envelope
 import graft.ops.{Files, Flatten}
-import graft.serde.{Chunker, Serde}
+import graft.serde.{AvroSerde, Chunker, Serde}
 
 /** Correctness wiring for serde / chunking / file bridges / explode_normalize. */
 object SerdeQueries {
@@ -36,6 +36,23 @@ object SerdeQueries {
         .select(col("doc_id"),
           Serde.utf8Decode(Serde.b64Decode(Serde.b64Encode(Serde.utf8Encode(col("text"))))).as("text"))
         .orderBy("doc_id")),
+
+    // Avro roundtrip: json -> binary avro -> Confluent frame -> strip ->
+    // decode -> extract (deserializer.py:59-77 + :104-123)
+    "q_serde_avro_roundtrip" -> ((s, dir) => {
+      val schema =
+        """{"type":"record","name":"Doc","fields":[
+          |{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val json = docs.select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("text"))).as("j"))
+      val avro = AvroSerde.encodeFromJson(json, "doc_id", "j", schema)
+      val framed = avro.select(col("doc_id"),
+        Serde.confluentWrap(col("avro"), lit(7)).as("bin"))
+      AvroSerde.decodeToJson(framed, "doc_id", "bin", schema, stripConfluent = true)
+        .select(col("doc_id"), get_json_object(col("json"), "$.text").as("text"))
+        .orderBy("doc_id")
+    }),
 
     // chunk counts (chunker.py:25-63)
     "q_chunk" -> ((s, dir) => {
@@ -106,6 +123,9 @@ object SerdeQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_serde_base64" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q_serde_avro_roundtrip" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
 
     "q_chunk" ->
