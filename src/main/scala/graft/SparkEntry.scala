@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.SerdeQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.StorageQueries.queries ++
-      graft.queries.TpchQueries.queries
+      graft.queries.TpchQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.SerdeQueries.oracles ++
       graft.queries.LlmQueries.oracles ++
       graft.queries.StorageQueries.oracles ++
-      graft.queries.TpchQueries.oracles
+      graft.queries.TpchQueries.oracles ++
+      graft.queries.ScaleQueries.oracles
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Exprs
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
@@ -66,15 +67,15 @@ object Ann {
       .toDF(idCol, embCol, "__norm", "__sig")
   }
 
-  /** Brute-force cosine top-k: queries broadcast against the corpus scan. */
+  /** Brute-force cosine top-k: queries broadcast against the corpus scan.
+    * The pair cosine is the native codegen'd CosineSimilarity expression —
+    * it stays fused inside the join's generated stage. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       k: Int): DataFrame = {
-    val c = withNorm(corpus, embCol)
-      .select(col(idCol).as("nn_id"), col(embCol).as("__e_c"), col("__norm").as("__n_c"))
-    val q = withNorm(queries, embCol)
-      .select(col(idCol).as("q_id"), col(embCol).as("__e_q"), col("__norm").as("__n_q"))
+    val c = corpus.select(col(idCol).as("nn_id"), col(embCol).as("__e_c"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__e_q"))
     val sims = c.join(broadcast(q), col("q_id") =!= col("nn_id"))
-      .withColumn("cosine", dot("__e_q", "__e_c") / (col("__n_q") * col("__n_c")))
+      .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c")))
     sims
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
@@ -101,16 +102,14 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       k: Int): DataFrame = {
     val c = bandBuckets(withNormSig(corpus, idCol, embCol), idCol)
-      .select(col("band"), col("bh"), col(idCol).as("nn_id"),
-        col(embCol).as("__e_c"), col("__norm").as("__n_c"))
+      .select(col("band"), col("bh"), col(idCol).as("nn_id"), col(embCol).as("__e_c"))
     val q = bandBuckets(withNormSig(queries, idCol, embCol), idCol)
-      .select(col("band"), col("bh"), col(idCol).as("q_id"),
-        col(embCol).as("__e_q"), col("__norm").as("__n_q"))
+      .select(col("band"), col("bh"), col(idCol).as("q_id"), col(embCol).as("__e_q"))
     val cand = c.join(broadcast(q), Seq("band", "bh"))
       .filter(col("q_id") =!= col("nn_id"))
       .dropDuplicates("q_id", "nn_id")
     cand
-      .withColumn("cosine", dot("__e_q", "__e_c") / (col("__n_q") * col("__n_c")))
+      .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("cosine").desc, col("nn_id"))))

@@ -245,11 +245,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val e = Ann.withNormSig(df, idCol, embCol)
+    val e = df.select(col(idCol), col(embCol))
     ids
-      .join(e.select(col(idCol).as("id_a"), col(embCol).as("__e_a"), col("__norm").as("__n_a")), Seq("id_a"))
-      .join(e.select(col(idCol).as("id_b"), col(embCol).as("__e_b"), col("__norm").as("__n_b")), Seq("id_b"))
-      .withColumn("cosine", Ann.dot("__e_a", "__e_b") / (col("__n_a") * col("__n_b")))
+      .join(e.select(col(idCol).as("id_a"), col(embCol).as("__e_a")), Seq("id_a"))
+      .join(e.select(col(idCol).as("id_b"), col(embCol).as("__e_b")), Seq("id_b"))
+      .withColumn("cosine", graft.functions.Exprs.cosine(col("__e_a"), col("__e_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+import graft.ops.Skew
+import graft.streams.ZSet
+
+/** Scale-technique queries: salting equivalence, Z-set record expansion,
+  * and the Q6-style single-scan predicate aggregate. */
+object ScaleQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // salted two-phase aggregation == plain groupBy (the oracle IS the
+    // unsalted form, so the gate proves the equivalence)
+    "q_salted_sum" -> ((s, dir) =>
+      Skew.saltedSum(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag"), dec("l_quantity"), "sum_qty")
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .orderBy("l_returnflag")),
+
+    // to_records: positive weights replicate, negatives drop
+    "q_zs_to_records" -> ((s, dir) => {
+      val ev = Envelope.readEvents(s, dir)
+      val zs = ZSet.fromWeighted(
+        ev.select("user_id", "event_type"),
+        when(col("event_type") === "error", -1L).otherwise(1L))
+      ZSet.toRecords(ZSet.consolidate(zs)).orderBy("user_id", "event_type")
+    }),
+
+    // Q6-style: one scan, pushed conjunctive predicate, scalar aggregate
+    "q6_revenue" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))))
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_sum" ->
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zs_to_records" ->
+      """SELECT g.user_id, g.event_type
+        |FROM (SELECT user_id, event_type, sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS w
+        |      FROM events GROUP BY 1, 2 HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0) g,
+        |     unnest(generate_series(1, CAST(g.w AS BIGINT))) AS u(i)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+}

@@ -131,4 +131,12 @@ object ZSet {
   /** global agg/sum/max/min/count — group-by-constant-key variants
     * (topologynode.py:515-543). */
   def globalAgg(df: DataFrame)(aggs: Column*): DataFrame = df.groupBy().agg(aggs.head, aggs.tail: _*)
+
+  /** to_records — positive-weight records replicated weight times
+    * (topologynode.py:1138-1146); negative weights drop. The multiset →
+    * plain-rows adapter. */
+  def toRecords(df: DataFrame): DataFrame =
+    df.filter(col(W) > 0)
+      .withColumn("__i", explode(sequence(lit(1L), col(W))))
+      .drop(W, "__i")
 }

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column ⇄ Expression converters — the
+  * supported way for an extension library to wrap a custom Catalyst
+  * expression as a user-facing Column (Spark 4's classic API keeps these
+  * package-private behind the Spark Connect split). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

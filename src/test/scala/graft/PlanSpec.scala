@@ -38,6 +38,22 @@ class PlanSpec extends SparkSpec {
     assert(q1.contains("PushedFilters") && q1.contains("l_shipdate"), "date filter not pushed")
   }
 
+  test("native cosine expression runs inside codegen in the ANN join stage") {
+    val df = SparkEntry.queries("q_ann_brute")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_similarity"), "native expression missing from plan")
+    // the project computing the cosine must carry the codegen marker
+    val projLine = plan.linesIterator.find(_.contains("cosine_similarity")).get
+    assert(projLine.contains("*("), s"cosine fell out of codegen: $projLine")
+  }
+
+  test("salted aggregation keeps two-phase shape (partial then final)") {
+    val plan = SparkEntry.queries("q_salted_sum")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, s"expected salted double agg:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q1)") {
     // AQE finalizes the plan only at execution; codegen'd operators then
     // carry the "*(n)" prefix
