@@ -96,6 +96,22 @@ object Envelope {
       .withColumn("headers", lit(null).cast(headersType))
   }
 
+  /** Adapt Spark's Kafka-source output (key/value binary, topic, partition,
+    * offset, timestamp, timestampType, headers) to the canonical envelope:
+    * a projection + UTF-8 decode — the schemas are aligned by design, so a
+    * Kafka-backed deployment feeds every operator here unchanged. */
+  def fromKafkaSource(df: DataFrame): DataFrame =
+    df.select(
+      decode(col("key"), "UTF-8").as("key"),
+      decode(col("value"), "UTF-8").as("value"),
+      col("topic"),
+      col("partition"),
+      col("offset"),
+      col("timestamp"),
+      col("timestampType"),
+      (if (df.columns.contains("headers")) col("headers")
+       else lit(null).cast(headersType)).as("headers"))
+
   /** Millisecond view of a timestamp column (the reference's native
     * timestamp unit, kafi/helpers.py:30-39). Accepts NTZ timestamps too
     * (session timezone is pinned to UTC, so the cast is an identity). */

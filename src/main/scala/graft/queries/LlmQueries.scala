@@ -138,6 +138,25 @@ object LlmQueries {
          |  / greatest(length(text), 1) AS alpha_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // argmax fold: winner = first language in lexicon order reaching the
+    // max score (the Scala fold replaces only on strictly-greater)
+    "q_text_langid" -> {
+      val scores = Stopwords.lexicons.map { case (lang, words) =>
+        lang -> s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}]))"
+      }
+      val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+      val m = s"greatest(${scores.map(s => "s_" + s._1).mkString(", ")})"
+      val pick = scores.map { case (l, _) => s"WHEN s_$l = __m THEN '$l'" }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $scoreCols
+         |  FROM (SELECT doc_id, lang,
+         |        list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+         |        FROM documents)),
+         | s AS (SELECT *, $m AS __m FROM t)
+         |SELECT doc_id, lang, CASE $pick END AS lang_pred, CAST(__m AS INTEGER) AS lang_score
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
         |CAST(1 + length(text) % 640 AS INTEGER) AS width,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+import graft.ops.{AddOns, Functional, Shell, Skew}
+
+/** Edge cases for the batch operator surface (boundaries the oracle queries
+  * don't reach). */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val env = Envelope.fromEvents(spark, sfDir)
+
+  test("head/tail with n larger than any partition return the whole log") {
+    val total = env.count()
+    assert(Shell.head(env, 1000000).count() == total)
+    assert(Shell.tail(env, 1000000).count() == total)
+  }
+
+  test("grep with no match is empty; match cap via limit composes") {
+    assert(Shell.grep(env, "zzz_never_matches").count() == 0)
+    assert(Shell.grep(env, "\\{").limit(5).count() == 5)
+  }
+
+  test("wc on an all-tombstone log counts zero words and key-only bytes") {
+    val tombs = env.withColumn("value", lit(null).cast("string"))
+    val row = Shell.wc(tombs).head
+    assert(row.getLong(1) == 0L) // words
+    assert(row.getLong(2) > 0L)  // key bytes remain
+  }
+
+  test("distributed foldl equals the sequential fold") {
+    val ds = spark.range(1, 1001).as[Long]
+    val distributed = Functional.foldl(ds)(0L)(_ + _, _ + _)
+    assert(distributed == (1L to 1000L).foldLeft(0L)(_ + _))
+  }
+
+  test("compact of an empty log is empty; of a single key keeps the last") {
+    assert(AddOns.compact(env.limit(0)).count() == 0)
+    val one = Seq(("k", "v1", 0, 0L), ("k", "v2", 0, 1L))
+      .toDF("key", "value", "partition", "offset")
+      .withColumn("timestamp", lit(new java.sql.Timestamp(0)))
+    val res = AddOns.compact(one).select("value").as[String].collect()
+    assert(res.toSeq == Seq("v2"))
+  }
+
+  test("salted aggregation equals plain aggregation on skewed data") {
+    // 90% of rows on one key — the case salting exists for
+    val skewed = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, "hot").otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("v"))
+    val plain = skewed.groupBy("k").agg(sum("v").as("s"))
+      .as[(String, Long)].collect().toSet
+    val salted = Skew.saltedSum(skewed, Seq("k"), col("v"), "s", 8)
+      .as[(String, Long)].collect().toSet
+    assert(plain == salted)
+  }
+
+  test("kafka-source adapter yields the canonical envelope schema") {
+    val kafkaShaped = env.select(
+      encode(col("key"), "UTF-8").as("key"),
+      encode(col("value"), "UTF-8").as("value"),
+      col("topic"), col("partition"), col("offset"),
+      col("timestamp"), col("timestampType"))
+    val adapted = Envelope.fromKafkaSource(kafkaShaped)
+    assert(adapted.schema.fieldNames.toSeq == Envelope.columnNames)
+    assert(adapted.select("value").except(env.select("value")).count() == 0)
+  }
+}
