@@ -117,6 +117,19 @@ object Dedup {
     buckets.join(sizes, Seq("band", "bh")).drop("__bn")
   }
 
+  /** Bucket-size distribution of the MinHash LSH bands — the skew
+    * observability hook (max/avg bucket size, bucket count). */
+  def minhashBucketStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = minhashSignature(df, idCol, textCol, k, numHashes).select(col(idCol), col("__sig"))
+    bucketIds(sigs, idCol, bands, numHashes / bands)
+      .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .groupBy().agg(
+        max("n").cast("long").as("max_bucket"),
+        avg("n").as("avg_bucket"),
+        count(lit(1)).cast("long").as("n_buckets"))
+  }
+
   /** Deduplicated candidate pair ids from banded buckets. Only (id, band,
     * bh) ever moves through a shuffle here. */
   def candidatePairIds(df: DataFrame, idCol: String, textCol: String,

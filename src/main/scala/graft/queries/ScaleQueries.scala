@@ -12,6 +12,16 @@ object ScaleQueries {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** One ANSI SQL text that runs verbatim on BOTH engines — the engine's
+    * `spark.sql(...)` surface demonstrated with the oracle being the same
+    * string (SURVEY §2.7: the reference has no SQL; Spark gives it free). */
+  val PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // salted two-phase aggregation == plain groupBy (the oracle IS the
     // unsalted form, so the gate proves the equivalence)
@@ -31,6 +41,17 @@ object ScaleQueries {
       ZSet.toRecords(ZSet.consolidate(zs)).orderBy("user_id", "event_type")
     }),
 
+    // spark.sql(...) surface: the oracle is the SAME SQL text
+    "q_sql_pricing" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s.sql(PricingSql)
+    }),
+
+    // LSH bucket-size observability (rows-only; distribution, not content)
+    "q_dedup_bucket_stats" -> ((s, dir) =>
+      graft.llm.Dedup.minhashBucketStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // Q6-style: one scan, pushed conjunctive predicate, scalar aggregate
     "q6_revenue" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -42,6 +63,8 @@ object ScaleQueries {
           count(lit(1)).as("n"))))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_pricing" -> PricingSql,
+
     "q_salted_sum" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -63,6 +63,23 @@ class ZSetSpec extends SparkSpec {
     assert(records(ZSet.consolidate(back)) == records(z))
   }
 
+  test("bilinear join delta equals full recomputation (incremental IVM)") {
+    // integrated states
+    val a = Seq(("x", 1L), ("y", 2L)).toDF("ka", ZSet.W)
+    val b = Seq(("x", 1L), ("z", 1L)).toDF("kb", ZSet.W)
+    // step deltas: insert + retraction on both sides
+    val da = Seq(("x", 1L), ("y", -1L), ("z", 3L)).toDF("ka", ZSet.W)
+    val db = Seq(("x", -1L), ("y", 2L)).toDF("kb", ZSet.W)
+    val cond = col("ka") === col("kb")
+    def norm(df: DataFrame) =
+      ZSet.consolidate(df).select("ka", "kb", ZSet.W).as[(String, String, Long)].collect().toSet
+    val full =
+      norm(ZSet.join(ZSet.merge(a, da), ZSet.merge(b, db), cond))
+    val incremental =
+      norm(ZSet.merge(ZSet.join(a, b, cond), ZSet.joinDelta(a, da, b, db, cond)))
+    assert(full == incremental)
+  }
+
   test("topology DSL: memoized build + mermaid rendering") {
     val src = TNode.source("s", zs("a" -> 1L, "a" -> 1L, "b" -> 1L))
     val top = src.distinct.groupByCount(Seq("k"), "n")
