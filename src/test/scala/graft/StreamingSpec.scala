@@ -100,6 +100,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark bounds window state (the reference's state-plateau oracle)") {
+    // test/streams/test_base.py:132-139 asserts pickled state size plateaus
+    // under expiry; here: stateOperators.numRowsTotal must not grow once the
+    // watermark continually closes old windows
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val agg = Runner.windowedAgg(
+      in.toDF().toDF("ts", "k"), "ts", sizeMs = 60000, delayMs = 0,
+      keys = Seq(col("k")))(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("bounded_out").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L / 60000 * 60000 + min * 60000L)
+      val sizes = (0 until 8).map { step =>
+        in.addData((ts(step * 2), "x"), (ts(step * 2), "y"))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      // steady state: the last sizes must not exceed the early plateau
+      assert(sizes.takeRight(3).max <= sizes.take(4).max + 2,
+        s"state grew without bound: ${sizes.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("file-storage topic as a streaming source (push -> latest)") {
     val fs = new graft.storage.FileStorage(spark, Files.createTempDirectory("graft_fs_stream").toString)
     fs.createTopic("t", 2)
