@@ -130,13 +130,11 @@ object Dedup {
         count(lit(1)).cast("long").as("n_buckets"))
   }
 
-  /** Deduplicated candidate pair ids from banded buckets. Only (id, band,
-    * bh) ever moves through a shuffle here. */
-  def candidatePairIds(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 500): DataFrame = {
-    val sigs = minhashSignature(df, idCol, textCol, k, numHashes)
-      .select(col(idCol), col("__sig"))
-    val buckets = capBuckets(bucketIds(sigs, idCol, bands, numHashes / bands), maxBucket)
+  /** Pair ids from a precomputed signature table. Only (id, band, bh) ever
+    * moves through a shuffle here. */
+  private def pairIdsFromSigs(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val buckets = capBuckets(bucketIds(sigs, idCol, bands, rowsPerBand), maxBucket)
     buckets.select(col("band"), col("bh"), col(idCol).as("id_a"))
       .join(buckets.select(col("band"), col("bh"), col(idCol).as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -144,14 +142,24 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Deduplicated candidate pair ids from banded buckets. */
+  def candidatePairIds(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 500): DataFrame =
+    pairIdsFromSigs(
+      minhashSignature(df, idCol, textCol, k, numHashes).select(col(idCol), col("__sig")),
+      idCol, bands, numHashes / bands, maxBucket)
+
   /** MinHash near-dup pairs: banded candidates + estimated Jaccard
     * (fraction of equal signature slots) ≥ threshold. Signatures join back
     * onto the deduped pair ids. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 500): DataFrame = {
-    val ids = candidatePairIds(df, idCol, textCol, k, numHashes, bands, maxBucket)
+    // the signature kernel is the dominant map cost — compute ONCE, cache,
+    // and feed both the bucketing path and the verification join-back
+    // (block-manager cache, evicted LRU; ~50 B/row for (id, sig))
     val sig = minhashSignature(df, idCol, textCol, k, numHashes)
-      .select(col(idCol), col("__sig"))
+      .select(col(idCol), col("__sig")).persist()
+    val ids = pairIdsFromSigs(sig, idCol, bands, numHashes / bands, maxBucket)
     ids
       .join(sig.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
       .join(sig.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
@@ -166,9 +174,10 @@ object Dedup {
   /** Exact shingle-hash-set Jaccard over LSH candidates (never all pairs). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 3, maxBucket: Int = 500): DataFrame = {
-    val ids = candidatePairIds(df, idCol, textCol, k, maxBucket = maxBucket)
-    val sh = minhashSignature(df, idCol, textCol, k)
-      .select(col(idCol), col("__shh"))
+    // one signature pass feeds banding (__sig) and verification (__shh)
+    val sigs = minhashSignature(df, idCol, textCol, k).persist()
+    val ids = pairIdsFromSigs(sigs.select(col(idCol), col("__sig")), idCol, 16, 4, maxBucket)
+    val sh = sigs.select(col(idCol), col("__shh"))
     ids
       .join(sh.select(col(idCol).as("id_a"), col("__shh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__shh").as("__sh_b")), Seq("id_b"))

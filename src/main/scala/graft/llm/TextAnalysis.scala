@@ -62,16 +62,14 @@ object TextAnalysis {
   /** Document fingerprinting: winnowing over rolling word-shingle hashes
     * (Schleimer et al., SIGMOD'03): k-gram hashes → min per sliding window
     * of w → distinct fingerprint set. Shared fingerprints ⇒ shared content
-    * runs; used for plagiarism-style containment detection. */
-  def fingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val sql =
-      s"""array_distinct(
-         |  CASE WHEN size(__fp_h) <= $w THEN array(array_min(__fp_h))
-         |  ELSE transform(sequence(0, size(__fp_h) - $w), j -> array_min(slice(__fp_h, j + 1, $w)))
-         |  END)""".stripMargin
-    // __fp_h must be materialized by the caller via withColumn; helper below
-    expr(sql)
-  }
+    * runs; used for plagiarism-style containment detection.
+    * `hashes` is the k-gram hash array column (see [[kgramHashes]]). */
+  def fingerprints(hashes: Column, w: Int = 4): Column =
+    array_distinct(
+      when(size(hashes) <= w, array(array_min(hashes)))
+        .otherwise(transform(
+          sequence(lit(0), size(hashes) - w),
+          j => array_min(slice(hashes, j + 1, lit(w))))))
 
   /** Rolling k-gram hashes of the word stream (the __fp_h input of
     * [[fingerprints]]); `textCol` is a column name. */
@@ -83,7 +81,7 @@ object TextAnalysis {
   /** Full fingerprint pipeline over a DataFrame. */
   def fingerprintDocs(df: DataFrame, textCol: String, k: Int = 3, w: Int = 4): DataFrame =
     df.withColumn("__fp_h", kgramHashes(textCol, k))
-      .withColumn("fingerprints", fingerprints(col(textCol), k, w))
+      .withColumn("fingerprints", fingerprints(col("__fp_h"), w))
       .drop("__fp_h")
 }
 

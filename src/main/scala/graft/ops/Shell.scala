@@ -19,10 +19,18 @@ object Shell {
 
   /** head — first `nPerPartition` messages of each partition; the fair-share
     * deterministic analogue of "consume n from the start"
-    * (kafi/shell.py:18-24). The offset predicate is pushed into the scan.
+    * (kafi/shell.py:18-24). Resolved against the LOW watermark (a truncated
+    * log does not start at offset 0 — cluster_admin.py:292-315
+    * delete_records moves it), mirroring how tail resolves against the high
+    * watermark; the broadcast side is |partitions| rows.
     */
-  def head(env: DataFrame, nPerPartition: Int): DataFrame =
-    env.filter(col("offset") < nPerPartition).orderBy("partition", "offset")
+  def head(env: DataFrame, nPerPartition: Int): DataFrame = {
+    val lw = env.groupBy("partition").agg(min("offset").as("__lw"))
+    env.join(broadcast(lw), Seq("partition"))
+      .filter(col("offset") < col("__lw") + nPerPartition)
+      .drop("__lw")
+      .orderBy("partition", "offset")
+  }
 
   /** tail — last n per partition: negative-offset resolution against the high
     * watermarks (kafi/shell.py:26-34, kafi/storage_consumer.py:199-231).

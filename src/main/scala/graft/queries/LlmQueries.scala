@@ -158,15 +158,15 @@ object LlmQueries {
     },
 
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
-        |CAST(1 + length(text) % 640 AS INTEGER) AS width,
-        |CAST(1 + length(text) % 480 AS INTEGER) AS height,
-        |CAST(1 + length(text) % 16 AS INTEGER) AS n_frames
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS height,
+        |CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
-      """WITH meta AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-        |                     1 + length(text) % 16 AS nf FROM documents)
+      """WITH meta AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |                     1 + octet_length(encode(text)) % 16 AS nf FROM documents)
         |SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
         |       CAST(u.i * (len // nf) AS BIGINT) AS byte_offset
         |FROM meta, unnest(generate_series(0, nf - 1)) AS u(i)

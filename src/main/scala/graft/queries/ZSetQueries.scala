@@ -262,12 +262,12 @@ object ZSetQueries {
 
     "q_differentiate" ->
       """SELECT event_id, user_id,
-        |value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 0) AS delta
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_delay" ->
       """SELECT event_id, user_id,
-        |lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_amount
+        |coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 0) AS prev_amount
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_expire" ->

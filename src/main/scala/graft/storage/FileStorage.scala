@@ -41,10 +41,13 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     JFiles.writeString(metaPath(topic), s"""{"partitions": $partitions}""")
   }
 
+  private def usingStream[A](s: java.util.stream.Stream[java.nio.file.Path])(f: Iterator[java.nio.file.Path] => A): A =
+    try f(s.iterator().asScala) finally s.close()
+
   override def deleteTopic(topic: String): Unit = {
     val dir = Paths.get(topicDir(topic))
     if (JFiles.exists(dir))
-      JFiles.walk(dir).iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+      usingStream(JFiles.walk(dir))(_.toSeq.reverse.foreach(JFiles.delete))
   }
 
   override def exists(topic: String): Boolean = JFiles.exists(metaPath(topic))
@@ -52,14 +55,9 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
   override def listTopics(pattern: String = "*"): Seq[String] = {
     val base = Paths.get(s"$root/topics")
     if (!JFiles.exists(base)) return Nil
-    val re = ("^" + pattern.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
-      case c => c.toString
-    } + "$").r
-    JFiles.list(base).iterator().asScala.map(_.getFileName.toString)
-      .filter(n => re.matches(n)).toSeq.sorted
+    val re = graft.functions.Helpers.globToRegex(pattern).r
+    usingStream(JFiles.list(base))(
+      _.map(_.getFileName.toString).filter(n => re.matches(n)).toSeq.sorted)
   }
 
   override def partitions(topic: String): Int = {
@@ -82,7 +80,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
   override def read(topic: String): DataFrame = {
     require(exists(topic), s"no such topic: $topic")
     val d = Paths.get(dataDir(topic))
-    val hasData = JFiles.list(d).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    val hasData = usingStream(JFiles.list(d))(_.exists(_.getFileName.toString.endsWith(".parquet")))
     if (!hasData) emptyLog(topic)
     else spark.read.schema(Envelope.schema).parquet(dataDir(topic))
   }
@@ -101,11 +99,13 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     val hw = watermarks(topic).select(col("partition"), col("high"))
     val assigned = withTs
       .join(broadcast(hw), Seq("partition"), "left")
-      // deterministic when timestamps are unique within a partition;
-      // monotonically_increasing_id breaks ties by arrival order
+      // content-deterministic ordering: (timestamp, key, value) — the same
+      // input always yields the same offsets regardless of task scheduling;
+      // monotonically_increasing_id only breaks ties between IDENTICAL
+      // rows, where any assignment is equivalent
       .withColumn("offset",
         (row_number().over(Window.partitionBy("partition")
-          .orderBy(col("timestamp"), monotonically_increasing_id())) - 1
+          .orderBy(col("timestamp"), col("key"), col("value"), monotonically_increasing_id())) - 1
           + coalesce(col("high"), lit(0L))).cast("long"))
       .drop("high")
       .withColumn("topic", lit(topic))
@@ -188,7 +188,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     val tmp = s"${topicDir(topic)}/data_tmp"
     keep.write.mode("overwrite").parquet(tmp)
     val dataP = Paths.get(dataDir(topic))
-    JFiles.walk(dataP).iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+    usingStream(JFiles.walk(dataP))(_.toSeq.reverse.foreach(JFiles.delete))
     JFiles.move(Paths.get(tmp), dataP)
   }
 }

@@ -27,15 +27,22 @@ object Linear {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
   /** _differentiate — state → delta: value minus previous value
-    * (topologynode.py:80-95). */
-  def differentiate(df: DataFrame, keys: Seq[String], order: Column, value: Column, as: String): DataFrame =
+    * (topologynode.py:80-95). DBSP semantics: the z⁻¹ initial state is the
+    * group zero, so the FIRST row's delta is its value (not null) —
+    * differentiate ∘ integrate round-trips to the input. */
+  def differentiate(df: DataFrame, keys: Seq[String], order: Column, value: Column, as: String,
+      zero: Column = lit(0)): DataFrame =
     df.withColumn(as,
-      value - lag(value, 1).over(Window.partitionBy(keys.map(col): _*).orderBy(order)))
+      value - coalesce(
+        lag(value, 1).over(Window.partitionBy(keys.map(col): _*).orderBy(order)), zero))
 
-  /** _delay (z⁻¹) — previous step's value (topologynode.py:97-112). */
-  def delay(df: DataFrame, keys: Seq[String], order: Column, value: Column, as: String): DataFrame =
+  /** _delay (z⁻¹) — previous step's value, group zero on the first step
+    * (topologynode.py:97-112). */
+  def delay(df: DataFrame, keys: Seq[String], order: Column, value: Column, as: String,
+      zero: Column = lit(0)): DataFrame =
     df.withColumn(as,
-      lag(value, 1).over(Window.partitionBy(keys.map(col): _*).orderBy(order)))
+      coalesce(
+        lag(value, 1).over(Window.partitionBy(keys.map(col): _*).orderBy(order)), zero))
 
   /** expire — watermark-based state expiry (topologynode.py:573-648): drop
     * records whose timestamp is older than max(event time) − delay. The

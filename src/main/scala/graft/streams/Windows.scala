@@ -50,6 +50,11 @@ object Windows {
     * windows inside a period — each record is assigned every window end
     * from its own bucket to the period end, via explode(sequence(...)). */
   def cumulative(df: DataFrame, tsMs: Column, periodMs: Long, advanceMs: Long, keys: Seq[Column])(aggs: Column*): DataFrame = {
+    // Flink CUMULATE requires max_size to be an integral multiple of step;
+    // without this, a record in the trailing partial slot would get
+    // firstEnd > period end and sequence() would throw mid-scan
+    require(periodMs % advanceMs == 0,
+      s"periodMs ($periodMs) must be a multiple of advanceMs ($advanceMs)")
     // exact integer arithmetic (t - t % n), never double division
     val t = tsMs.cast("long")
     val pStart = t - pmod(t, lit(periodMs))

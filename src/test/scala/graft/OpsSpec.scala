@@ -57,6 +57,37 @@ class OpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("head resolves against the low watermark after log truncation") {
+    val fs = new graft.storage.FileStorage(spark,
+      java.nio.file.Files.createTempDirectory("graft_head").toString)
+    fs.createTopic("t", 1)
+    fs.produce("t", (0 until 10).map(i => ("k", s"v$i",
+      new java.sql.Timestamp(1700000000000L + i * 1000))).toDF("key", "value", "timestamp")
+      .withColumn("partition", lit(0)))
+    fs.deleteRecords("t", 6L)
+    val h = Shell.head(fs.read("t"), 2).select("offset").as[Long].collect().sorted
+    assert(h.toSeq == Seq(6L, 7L), s"head after truncation returned ${h.mkString(",")}")
+  }
+
+  test("differentiate . integrate round-trips (zero-init z^-1 semantics)") {
+    val df = Seq((1L, "a", 5.0), (2L, "a", 3.0), (3L, "b", 7.0))
+      .toDF("seq", "k", "v")
+    val roundtrip = graft.streams.Linear.differentiate(
+      graft.streams.Linear.integrate(df, Seq("k"), col("seq"), col("v"), "run"),
+      Seq("k"), col("seq"), col("run"), "back")
+      .select("seq", "back").as[(Long, Double)].collect().toMap
+    assert(roundtrip == Map(1L -> 5.0, 2L -> 3.0, 3L -> 7.0))
+  }
+
+  test("cumulative window rejects a period not divisible by advance") {
+    val e = intercept[IllegalArgumentException] {
+      graft.streams.Windows.cumulative(
+        env, Envelope.tsMs(col("ts")), periodMs = 7L * 86400000L,
+        advanceMs = 2L * 86400000L, Seq(col("event_type")))(count(lit(1)).as("n"))
+    }
+    assert(e.getMessage.contains("multiple"))
+  }
+
   test("kafka-source adapter yields the canonical envelope schema") {
     val kafkaShaped = env.select(
       encode(col("key"), "UTF-8").as("key"),
