@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Exprs
+
+/** IVF (inverted-file) ANN — the coarse-quantizer scale path, complementing
+  * the hyperplane-LSH variant in [[Ann]]:
+  *
+  *  1. train: k centroids by Lloyd iterations over the corpus — each
+  *     iteration is ONE broadcast-join assignment pass + ONE groupBy
+  *     average (no driver-side k-means); initial centroids are a
+  *     deterministic hash-spread sample, not RNG;
+  *  2. index: every vector assigned to its nearest centroid (list id) —
+  *     at rest this is a `partitionBy(list_id)` layout, so a probe reads
+  *     only nprobe/k of the corpus;
+  *  3. search: queries pick their `nprobe` nearest centroids (centroid
+  *     table is k rows — broadcast), then join candidates on list id and
+  *     cosine-verify top-k.
+  *
+  * Shuffle profile: training shuffles (vector, assignment) by list id per
+  * iteration; search joins on list id with the query side broadcast. The
+  * corpus is never self-joined. Recall grows with nprobe; measured against
+  * the brute-force baseline in LlmSpec.
+  */
+object Ivf {
+
+  /** element-wise mean of float vectors per group (typed kernel-free:
+    * posexplode + groupBy(dim) stays columnar and shuffles (id, dim, v)). */
+  private def meanVectors(assigned: DataFrame, dim: Int): DataFrame =
+    assigned
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("list_id", "dim")
+      .agg(avg("v").as("mv"))
+      .groupBy("list_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), x -> CAST(x.mv AS FLOAT))").as("centroid"))
+
+  /** Nearest-centroid assignment: broadcast the k-row centroid table. */
+  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", Exprs.cosine(col("embedding"), col("centroid")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("__sim").desc, col("list_id"))))
+      .filter(col("__rk") === 1)
+      .drop("__sim", "__rk", "centroid")
+
+  /** Train k centroids with `iters` Lloyd iterations. `df` needs
+    * (vec_id: long, embedding: array<float>). */
+  def train(df: DataFrame, k: Int, dim: Int, iters: Int = 3): DataFrame = {
+    // deterministic seed: the k hash-smallest vectors — a TakeOrdered (top-k
+    // per partition + k-way merge), never a global sort; the row_number
+    // window then runs over only k rows
+    val sample = df.withColumn("__h", xxhash64(col("vec_id"))).orderBy("__h").limit(k)
+    var centroids: DataFrame = sample.select(
+      (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1).as("list_id"),
+      col("embedding").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val next = meanVectors(
+        assign(df.select("vec_id", "embedding"), centroids)
+          .select("list_id", "embedding"), dim)
+      // materialize the (tiny, k-row) centroid table per iteration so each
+      // Lloyd step is a single pass over the corpus, not a growing plan
+      val rows = java.util.Arrays.asList(next.collect(): _*)
+      centroids = next.sparkSession.createDataFrame(rows, next.schema)
+      i += 1
+    }
+    centroids
+  }
+
+  /** Index: (vec_id, embedding, list_id). Write with partitionBy("list_id")
+    * for probe-local reads at rest. */
+  def index(df: DataFrame, centroids: DataFrame): DataFrame =
+    assign(df.select("vec_id", "embedding"), centroids)
+
+  /** Search: top-k by cosine among the nprobe nearest lists per query. */
+  def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val qLists = queries.select(col("vec_id").as("q_id"), col("embedding").as("__e_q"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", Exprs.cosine(col("__e_q"), col("centroid")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("__sim").desc, col("list_id"))))
+      .filter(col("__rk") <= nprobe)
+      .select("q_id", "__e_q", "list_id")
+    indexed.select(col("list_id"), col("vec_id").as("nn_id"), col("embedding").as("__e_c"))
+      .join(broadcast(qLists), Seq("list_id"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("nn_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "nn_id", "rank", "cosine")
+  }
+}

@@ -55,6 +55,18 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // rows-only: IVF coarse-quantizer ANN (recall asserted vs brute force
+    // in LlmSpec)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val centroids = graft.llm.Ivf.train(e, k = 16, dim = 64, iters = 2)
+      graft.llm.Ivf.search(
+        graft.llm.Ivf.index(e, centroids), centroids,
+        e.filter(col("vec_id") < 10), k = 10, nprobe = 4)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),

@@ -83,6 +83,26 @@ class LlmSpec extends SparkSpec {
     assert(overlap >= 0.15, s"recall@10 $overlap") // random embeddings: band-collision baseline
   }
 
+  test("IVF ANN: planted clone is rank-1; recall beats a random baseline") {
+    import graft.llm.Ivf
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    val centroids = Ivf.train(corpus, k = 8, dim = 64, iters = 2)
+    assert(centroids.count() == 8)
+    val indexed = Ivf.index(corpus, centroids)
+    // clone and original share the embedding -> same list -> always found
+    val res = Ivf.search(indexed, centroids, clones, k = 1, nprobe = 2)
+    assert(res.filter(col("rank") === 1 && col("nn_id") === col("q_id") - 10000).count() == 5)
+    // recall@10 vs brute force with nprobe=4 of 8 lists
+    val q = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val brute = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 10).select("q_id", "nn_id")
+    val ivf = Ivf.search(Ivf.index(emb.select("vec_id", "embedding"), centroids), centroids, q, 10, nprobe = 4)
+      .select("q_id", "nn_id")
+    val recall = brute.intersect(ivf).count().toDouble / brute.count()
+    assert(recall >= 0.3, s"ivf recall@10 $recall")
+  }
+
   test("fingerprints: clones share all fingerprints, distinct docs don't") {
     val fp = TextAnalysis.fingerprintDocs(withClones, "text")
       .select(col("doc_id"), col("fingerprints"))

@@ -12,8 +12,10 @@ class PlanSpec extends SparkSpec {
   //  - q_ann_brute: brute-force baseline (broadcast NLJ against 10 queries)
   //  - q_trigger / q_expire: watermark = ONE-row aggregate broadcast onto the
   //    stream (Linear.expire/trigger) — a 1-row build side at any scale
+  //  - q_ann_ivf: centroid assignment = k-row (k=16) centroid table broadcast
+  //    against the corpus scan — the IVF coarse quantizer's intended shape
   private val intendedNestedLoop =
-    Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire")
+    Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
