@@ -141,6 +141,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental theta join: step deltas sum to the full join (with retractions)") {
+    import graft.streams.ZSet
+    val stateDir = Files.createTempDirectory("graft_ij").toString
+    val schemaA = Seq(("x", 1L)).toDF("ka", ZSet.W).schema
+    val schemaB = Seq(("x", 1L)).toDF("kb", ZSet.W).schema
+    // theta condition: ka <= kb (genuinely non-equi, unsupported by SS joins)
+    val ij = new graft.streaming.IncrementalJoin(spark, stateDir, schemaA, schemaB,
+      col("ka") <= col("kb"))
+    val out1 = ij.step(
+      Seq(("a", 1L), ("b", 1L)).toDF("ka", ZSet.W),
+      Seq(("b", 1L)).toDF("kb", ZSet.W)).collect()
+    // step 2 includes a retraction of ("b", left side)
+    val out2 = ij.step(
+      Seq(("b", -1L)).toDF("ka", ZSet.W),
+      Seq(("c", 2L)).toDF("kb", ZSet.W)).collect()
+    val integrated = ZSet.consolidate(
+      (out1 ++ out2).map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.toDF("ka", "kb", ZSet.W))
+      .as[(String, String, Long)].collect().toSet
+    // full recomputation: A = {a:1}, B = {b:1, c:2}; a<=b, a<=c
+    assert(integrated == Set(("a", "b", 1L), ("a", "c", 2L)))
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
