@@ -153,12 +153,17 @@ object Dedup {
     * (fraction of equal signature slots) ≥ threshold. Signatures join back
     * onto the deduped pair ids. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      k: Int = 3, numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 500): DataFrame = {
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 500,
+      cacheSignatures: Boolean = true): DataFrame = {
     // the signature kernel is the dominant map cost — compute ONCE, cache,
-    // and feed both the bucketing path and the verification join-back
-    // (block-manager cache, evicted LRU; ~50 B/row for (id, sig))
-    val sig = minhashSignature(df, idCol, textCol, k, numHashes)
-      .select(col(idCol), col("__sig")).persist()
+    // and feed both the bucketing path and the verification join-back.
+    // NOTE: the cache entry lives until session end (CacheManager holds
+    // it); long-lived services calling this repeatedly should pass
+    // cacheSignatures=false (recompute) or manage the signature table
+    // themselves via minhashSignature + pairIdsFromSigs.
+    val sigBase = minhashSignature(df, idCol, textCol, k, numHashes)
+      .select(col(idCol), col("__sig"))
+    val sig = if (cacheSignatures) sigBase.persist() else sigBase
     val ids = pairIdsFromSigs(sig, idCol, bands, numHashes / bands, maxBucket)
     ids
       .join(sig.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
@@ -173,10 +178,14 @@ object Dedup {
 
   /** Exact shingle-hash-set Jaccard over LSH candidates (never all pairs). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      k: Int = 3, maxBucket: Int = 500): DataFrame = {
-    // one signature pass feeds banding (__sig) and verification (__shh)
-    val sigs = minhashSignature(df, idCol, textCol, k).persist()
-    val ids = pairIdsFromSigs(sigs.select(col(idCol), col("__sig")), idCol, 16, 4, maxBucket)
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 500,
+      cacheSignatures: Boolean = true): DataFrame = {
+    // one signature pass feeds banding (__sig) and verification (__shh);
+    // see minhashPairs for the cache-lifetime caveat
+    val sigBase = minhashSignature(df, idCol, textCol, k, numHashes)
+    val sigs = if (cacheSignatures) sigBase.persist() else sigBase
+    val ids = pairIdsFromSigs(sigs.select(col(idCol), col("__sig")), idCol,
+      bands, numHashes / bands, maxBucket)
     val sh = sigs.select(col(idCol), col("__shh"))
     ids
       .join(sh.select(col(idCol).as("id_a"), col("__shh").as("__sh_a")), Seq("id_a"))

@@ -27,7 +27,7 @@ object Ivf {
 
   /** element-wise mean of float vectors per group (typed kernel-free:
     * posexplode + groupBy(dim) stays columnar and shuffles (id, dim, v)). */
-  private def meanVectors(assigned: DataFrame, dim: Int): DataFrame =
+  private def meanVectors(assigned: DataFrame): DataFrame =
     assigned
       .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("list_id", "dim")
@@ -48,7 +48,7 @@ object Ivf {
 
   /** Train k centroids with `iters` Lloyd iterations. `df` needs
     * (vec_id: long, embedding: array<float>). */
-  def train(df: DataFrame, k: Int, dim: Int, iters: Int = 3): DataFrame = {
+  def train(df: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     // deterministic seed: the k hash-smallest vectors — a TakeOrdered (top-k
     // per partition + k-way merge), never a global sort; the row_number
     // window then runs over only k rows
@@ -61,11 +61,16 @@ object Ivf {
     while (i < iters) {
       val next = meanVectors(
         assign(df.select("vec_id", "embedding"), centroids)
-          .select("list_id", "embedding"), dim)
+          .select("list_id", "embedding"))
+      // standard Lloyd empty-cluster handling: a list that won no points
+      // keeps its previous centroid instead of silently vanishing
+      val reseeded = centroids.select(col("list_id"), col("centroid").as("__prev"))
+        .join(next, Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("centroid"), col("__prev")).as("centroid"))
       // materialize the (tiny, k-row) centroid table per iteration so each
       // Lloyd step is a single pass over the corpus, not a growing plan
-      val rows = java.util.Arrays.asList(next.collect(): _*)
-      centroids = next.sparkSession.createDataFrame(rows, next.schema)
+      val rows = java.util.Arrays.asList(reseeded.collect(): _*)
+      centroids = reseeded.sparkSession.createDataFrame(rows, reseeded.schema)
       i += 1
     }
     centroids

@@ -123,7 +123,9 @@ object BatchQueries {
       s"""$envCte SELECT partition, "offset", key, value, ts_ms FROM env ORDER BY partition, "offset"""",
 
     "q_head" ->
-      s"""$envCte SELECT partition, "offset", key, value, ts_ms FROM env WHERE "offset" < 12 ORDER BY partition, "offset"""",
+      s"""$envCte SELECT partition, "offset", key, value, ts_ms FROM env
+         |WHERE "offset" < (SELECT min(e2."offset") FROM env e2 WHERE e2.partition = env.partition) + 12
+         |ORDER BY partition, "offset"""".stripMargin,
 
     "q_tail" ->
       s"""$envCte SELECT partition, "offset", key, value, ts_ms FROM env

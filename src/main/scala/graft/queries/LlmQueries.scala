@@ -59,7 +59,7 @@ object LlmQueries {
     // in LlmSpec)
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
-      val centroids = graft.llm.Ivf.train(e, k = 16, dim = 64, iters = 2)
+      val centroids = graft.llm.Ivf.train(e, k = 16, iters = 2)
       graft.llm.Ivf.search(
         graft.llm.Ivf.index(e, centroids), centroids,
         e.filter(col("vec_id") < 10), k = 10, nprobe = 4)

@@ -127,7 +127,7 @@ object ZSetQueries {
     "q_delay" -> ((s, dir) =>
       Linear.delay(
         Envelope.readEvents(s, dir).withColumnRenamed("value", "amount"),
-        Seq("user_id"), col("event_id"), col("amount"), "prev_amount")
+        Seq("user_id"), col("event_id"), col("amount"), "prev_amount", zero = lit(0.0))
         .select("event_id", "user_id", "prev_amount")
         .orderBy("event_id")),
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files => JFiles, Paths}
+import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.streams.ZSet
@@ -13,16 +14,15 @@ import graft.streams.ZSet
   *   per micro-batch:  Δout = ΔA ⋈ B  +  A ⋈ ΔB  +  ΔA ⋈ ΔB
   *   then:             A += ΔA ;  B += ΔB
   *
-  * State lives as parquet Z-set tables (consolidated each step — the
-  * analogue of `evaluator.compact()` in the reference's `latest`,
-  * topologynode.py:1110-1129). Each step's cost is O(|Δ| · matched), never
-  * a recomputation of A ⋈ B; retractions flow through the weights
-  * unchanged.
-  *
-  * Restart note: state tables persist across restarts; pairing this with a
-  * checkpointed foreachBatch stream gives effectively-once delta emission
-  * (state writes are idempotent per batch id if the caller keys outputs by
-  * batch).
+  * State is VERSIONED: each step writes both sides into a fresh
+  * `v<n>/` directory and then atomically swaps a pointer file. A crash at
+  * any instant leaves the pointer on the previous complete version, so a
+  * foreachBatch replay of the same deltas recomputes v<n> from unchanged
+  * v<n-1> state — idempotent, never a half-applied A-without-B step. The
+  * per-step consolidate is the analogue of `evaluator.compact()` in the
+  * reference's `latest` (topologynode.py:1110-1129). Each step's cost is
+  * O(|Δ| · matched), never a recomputation of A ⋈ B; retractions flow
+  * through the weights unchanged.
   */
 class IncrementalJoin(
     spark: SparkSession,
@@ -31,43 +31,47 @@ class IncrementalJoin(
     schemaB: StructType,
     cond: Column) {
 
-  private def statePath(side: String) = s"$stateDir/$side"
+  private val pointer = Paths.get(s"$stateDir/CURRENT")
 
-  private def readState(side: String, schema: StructType): DataFrame = {
-    val p = Paths.get(statePath(side))
-    if (JFiles.exists(p)) spark.read.schema(schema).parquet(statePath(side))
+  private def currentVersion: Long =
+    if (JFiles.exists(pointer)) JFiles.readString(pointer).trim.toLong else 0L
+
+  private def versionDir(v: Long) = s"$stateDir/v$v"
+
+  private def readState(v: Long, side: String, schema: StructType): DataFrame = {
+    val p = s"${versionDir(v)}/$side"
+    if (v > 0 && JFiles.exists(Paths.get(p))) spark.read.schema(schema).parquet(p)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  private def writeState(side: String, df: DataFrame): Unit = {
-    // write-new-then-swap: readers never see a half-written state
-    val tmp = s"${statePath(side)}_next"
-    df.write.mode("overwrite").parquet(tmp)
-    val cur = Paths.get(statePath(side))
-    if (JFiles.exists(cur)) {
-      val old = Paths.get(s"${statePath(side)}_old")
-      JFiles.move(cur, old)
-      JFiles.move(Paths.get(tmp), cur)
-      import scala.jdk.CollectionConverters._
-      val s = JFiles.walk(old)
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (JFiles.exists(p)) {
+      val s = JFiles.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(JFiles.delete) finally s.close()
-    } else JFiles.move(Paths.get(tmp), cur)
-  }
+    }
 
   /** Apply one micro-batch of deltas (Z-set frames with weight columns);
-    * returns the join's output delta. The delta is materialized to a
-    * staging table (distributed write, never a driver collect) BEFORE the
-    * state swap, because it must join against the PRE-step A/B; consume it
-    * before the next step overwrites the staging area. */
+    * returns the join's output delta (staged under the new version —
+    * consume before the next step). Safe to replay the same batch after a
+    * crash: the pointer only advances once the full version is on disk. */
   def step(deltaA: DataFrame, deltaB: DataFrame): DataFrame = {
-    val a = readState("a", schemaA)
-    val b = readState("b", schemaB)
+    val v = currentVersion
+    val a = readState(v, "a", schemaA)
+    val b = readState(v, "b", schemaB)
     val da = ZSet.consolidate(deltaA)
     val db = ZSet.consolidate(deltaB)
+    val next = v + 1
+    deleteDir(Paths.get(versionDir(next))) // clear any half-written replay residue
     val out = ZSet.joinDelta(a, da, b, db, cond)
-    out.write.mode("overwrite").parquet(s"$stateDir/out_delta")
-    writeState("a", ZSet.consolidate(a.unionByName(da)))
-    writeState("b", ZSet.consolidate(b.unionByName(db)))
-    spark.read.schema(out.schema).parquet(s"$stateDir/out_delta")
+    out.write.mode("overwrite").parquet(s"${versionDir(next)}/out")
+    ZSet.consolidate(a.unionByName(da)).write.parquet(s"${versionDir(next)}/a")
+    ZSet.consolidate(b.unionByName(db)).write.parquet(s"${versionDir(next)}/b")
+    // atomic pointer swap — the commit point
+    JFiles.createDirectories(pointer.getParent)
+    val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
+    JFiles.writeString(tmp, next.toString)
+    JFiles.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    deleteDir(Paths.get(versionDir(v - 1))) // GC two-versions-old state
+    spark.read.schema(out.schema).parquet(s"${versionDir(next)}/out")
   }
 }

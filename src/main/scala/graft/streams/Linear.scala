@@ -36,10 +36,12 @@ object Linear {
       value - coalesce(
         lag(value, 1).over(Window.partitionBy(keys.map(col): _*).orderBy(order)), zero))
 
-  /** _delay (z⁻¹) — previous step's value, group zero on the first step
-    * (topologynode.py:97-112). */
+  /** _delay (z⁻¹) — previous step's value (topologynode.py:97-112). z⁻¹ is
+    * type-generic, so the first-step value defaults to NULL; numeric
+    * pipelines wanting the DBSP group-zero pass `zero = lit(0)` (as
+    * differentiate does internally). */
   def delay(df: DataFrame, keys: Seq[String], order: Column, value: Column, as: String,
-      zero: Column = lit(0)): DataFrame =
+      zero: Column = lit(null)): DataFrame =
     df.withColumn(as,
       coalesce(
         lag(value, 1).over(Window.partitionBy(keys.map(col): _*).orderBy(order)), zero))

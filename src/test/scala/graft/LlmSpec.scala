@@ -88,7 +88,7 @@ class LlmSpec extends SparkSpec {
     val clones = emb.filter(col("vec_id") < 5)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(clones)
-    val centroids = Ivf.train(corpus, k = 8, dim = 64, iters = 2)
+    val centroids = Ivf.train(corpus, k = 8, iters = 2)
     assert(centroids.count() == 8)
     val indexed = Ivf.index(corpus, centroids)
     // clone and original share the embedding -> same list -> always found
