@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * commutative monoid aggregate.
   *
   * AQE's skew-join handling covers JOIN skew at runtime; aggregation skew
-  * on a pathological key distribution is what this addresses. The salt is
-  * derived from a hash of the whole row (spreads uniformly, deterministic
-  * plan shape — per-row placement does not affect the result).
+  * on a pathological key distribution is what this addresses. The salt
+  * hashes the row's physical position, so even byte-identical duplicates
+  * of a hot key spread across buckets; the final aggregate is invariant
+  * to the placement.
   */
 object Skew {
 
@@ -22,8 +23,11 @@ object Skew {
     * df.groupBy(keys).agg(sum(value)) under any data distribution. */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
       saltFactor: Int = 16): DataFrame = {
+    // salt must spread IDENTICAL duplicate rows of a hot key too (the most
+    // common skew shape), so it mixes in the row's physical position —
+    // placement varies run to run, but the aggregate is placement-invariant
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(value).as("__partial"))

@@ -48,13 +48,10 @@ object Serde {
   /** Body (bytes 6..) of a Confluent-framed payload. */
   def confluentBody(c: Column): Column = substring(c, 6, Int.MaxValue)
 
-  // ---- base64 (helpers.py:188-215) ----
+  // ---- base64 / millis: single home in graft.functions.Helpers ----
 
-  def b64Encode(c: Column): Column = base64(c)
-  def b64Decode(c: Column): Column = unbase64(c)
-
-  // ---- millis (helpers.py:30-39) ----
-
-  def toMillis(ts: Column): Column = unix_millis(ts.cast("timestamp"))
-  def fromMillis(ms: Column): Column = timestamp_millis(ms)
+  def b64Encode(c: Column): Column = graft.functions.Helpers.b64Encode(c)
+  def b64Decode(c: Column): Column = graft.functions.Helpers.b64Decode(c)
+  def toMillis(ts: Column): Column = graft.functions.Helpers.toMillis(ts)
+  def fromMillis(ms: Column): Column = graft.functions.Helpers.fromMillis(ms)
 }

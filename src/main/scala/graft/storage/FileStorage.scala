@@ -125,8 +125,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
   }
 
   override def watermarks(topic: String): DataFrame =
-    read(topic).groupBy("partition")
-      .agg(min("offset").cast("long").as("low"), (max("offset") + 1).cast("long").as("high"))
+    graft.ops.AddOns.watermarks(read(topic))
 
   // ---- offset / timestamp seeks (fs_admin.py:206-261) ----
 

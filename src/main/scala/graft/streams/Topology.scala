@@ -25,8 +25,15 @@ final class TNode private (
     out
   }
 
-  /** reset — drop memoized plans in this subtree (topologynode.py:1053-1057). */
-  def reset(): Unit = { cache = None; parents.foreach(_.reset()) }
+  /** reset — drop memoized plans in this subtree (topologynode.py:1053-1057).
+    * Visited-set walk: shared nodes (diamonds) are reset once, not 2^depth
+    * times. */
+  def reset(): Unit = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[TNode, java.lang.Boolean]())
+    def walk(n: TNode): Unit = if (seen.add(n)) { n.cache = None; n.parents.foreach(walk) }
+    walk(this)
+  }
 
   private def node(n: String, f: DataFrame => DataFrame): TNode =
     new TNode(n, Seq(this), dfs => f(dfs.head))
@@ -65,12 +72,17 @@ final class TNode private (
     * multi-sink demux happens in graft.streaming.Runner. */
   def sink(sinkName: String): TNode = node(s"sink:$sinkName", identity)
 
-  /** topology — indented DAG pretty-print (topologynode.py:1252-1269). */
+  /** topology — indented DAG pretty-print (topologynode.py:1252-1269);
+    * shared subtrees print once, later references as `name (shared)`. */
   def topology: String = {
     val sb = new StringBuilder
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[TNode, java.lang.Boolean]())
     def walk(n: TNode, depth: Int): Unit = {
-      sb.append("  " * depth).append(n.name).append('\n')
-      n.parents.foreach(walk(_, depth + 1))
+      if (seen.add(n)) {
+        sb.append("  " * depth).append(n.name).append('\n')
+        n.parents.foreach(walk(_, depth + 1))
+      } else sb.append("  " * depth).append(n.name).append(" (shared)\n")
     }
     walk(this, 0)
     sb.result()
@@ -81,7 +93,9 @@ final class TNode private (
     val ids = scala.collection.mutable.LinkedHashMap[TNode, String]()
     def id(n: TNode): String = ids.getOrElseUpdate(n, s"n${ids.size}")
     val edges = scala.collection.mutable.LinkedHashSet[String]()
-    def walk(n: TNode): Unit = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[TNode, java.lang.Boolean]())
+    def walk(n: TNode): Unit = if (seen.add(n)) {
       val me = id(n)
       n.parents.foreach { p => walk(p); edges += s"  ${id(p)}[${p.name}] --> $me[${n.name}]" }
     }

@@ -57,6 +57,32 @@ class OpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("salting spreads byte-identical duplicate rows of a hot key") {
+    // 10k identical rows: the worst-case skew shape a row-content salt
+    // cannot spread
+    val dupes = spark.range(10000).select(lit("hot").as("k"), lit(1L).as("v"))
+    val partials = dupes.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(8)))
+      .groupBy("k", "__salt").count()
+    assert(partials.count() > 1, "identical rows all landed in one salt bucket")
+    val total = Skew.saltedSum(dupes, Seq("k"), col("v"), "s", 8)
+      .head.getLong(1)
+    assert(total == 10000L)
+  }
+
+  test("diamond topology walks visit shared nodes once") {
+    import graft.streams.{TNode, ZSet}
+    // a chain of diamonds: exponential without a visited set
+    var node = TNode.source("s", ZSet.fromRecords(Seq("a").toDF("k")))
+    (0 until 25).foreach { _ =>
+      node = node.filter(lit(true)).union(node.filter(lit(true)))
+    }
+    // completes instantly with the visited set; hangs for ~2^25 visits without
+    assert(node.topology.nonEmpty)
+    assert(node.mermaid.startsWith("graph TD"))
+    node.reset()
+  }
+
   test("head resolves against the low watermark after log truncation") {
     val fs = new graft.storage.FileStorage(spark,
       java.nio.file.Files.createTempDirectory("graft_head").toString)
