@@ -1,0 +1,72 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serde.SchemaRegistry
+
+/** Registry client against a real HTTP server (JDK built-in) — wire-level,
+  * no Spark involved. */
+class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var url: String = _
+  @volatile private var idHits = 0
+  private val schema = """{"type":"record","name":"Doc","fields":[{"name":"t","type":"string"}]}"""
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    def reply(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    val escaped = schema.replace("\"", "\\\"")
+    server.createContext("/schemas/ids/7", ex => { idHits += 1; reply(ex, s"""{"schema": "$escaped"}""") })
+    server.createContext("/subjects/docs-value/versions/latest",
+      ex => reply(ex, s"""{"subject": "docs-value", "version": 3, "id": 7, "schema": "$escaped"}"""))
+    server.createContext("/subjects/docs-value/versions", ex =>
+      if (ex.getRequestMethod == "POST") reply(ex, """{"id": 7}""")
+      else reply(ex, "[1,2,3]"))
+    server.start()
+    url = s"http://localhost:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  test("lookup by id roundtrips the schema text and caches (ids immutable)") {
+    val sr = new SchemaRegistry(url)
+    assert(sr.schemaById(7) == schema)
+    assert(sr.schemaById(7) == schema)
+    assert(idHits == 1, "second lookup must come from the cache")
+  }
+
+  test("register returns the id; versions and latest parse") {
+    val sr = new SchemaRegistry(url)
+    assert(sr.register("docs-value", schema) == 7)
+    assert(sr.versions("docs-value") == Seq(1, 2, 3))
+    val (id, s) = sr.latest("docs-value")
+    assert(id == 7 && s == schema)
+  }
+
+  test("registered schema drives the Avro + Confluent-frame data path") {
+    val sr = new SchemaRegistry(url)
+    val (id, schemaText) = sr.latest("docs-value")
+    // the data-plane handoff: id -> wire prefix, schema text -> decoder
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, """{"t": "hello"}""")).toDF("doc_id", "j")
+    val framed = graft.serde.AvroSerde.encodeFromJson(df, "doc_id", "j", schemaText)
+      .select(col("doc_id"), graft.serde.Serde.confluentWrap(col("avro"), lit(id)).as("bin"))
+    val sid = framed.select(graft.serde.Serde.confluentSchemaId(col("bin"))).head.getInt(0)
+    assert(sid == 7)
+    val back = graft.serde.AvroSerde.decodeToJson(framed, "doc_id", "bin",
+      sr.schemaById(sid), stripConfluent = true)
+      .select(get_json_object(col("json"), "$.t")).head.getString(0)
+    assert(back == "hello")
+  }
+}
