@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Skew mitigation: salted two-phase aggregation.
   *
-  * A groupBy on a hot key (one user generating 10% of a 100 TB stream)
-  * sends that key's entire volume to one reducer. Salting splits each key
-  * into `saltFactor` sub-keys for a map-side-heavy partial aggregate, then
-  * de-salts with a second (tiny) aggregation. Algebra is unchanged for any
-  * commutative monoid aggregate.
+  * Scope: algebraic aggregates (sum/count) already collapse per-key state
+  * in the MAP-SIDE partial HashAggregate, so plain groupBy handles even a
+  * 90%-hot key; salting matters when the partial state does NOT collapse —
+  * composite keys with high per-key cardinality, or aggregation pipelines
+  * whose first phase materializes per-key rows. The two-phase shape here is
+  * that pattern, verified equivalent to the unsalted form through the
+  * correctness gate.
   *
-  * AQE's skew-join handling covers JOIN skew at runtime; aggregation skew
-  * on a pathological key distribution is what this addresses. The salt
-  * hashes the row's physical position, so even byte-identical duplicates
-  * of a hot key spread across buckets; the final aggregate is invariant
-  * to the placement.
+  * The salt MUST be deterministic per row content: a position-derived salt
+  * (monotonically_increasing_id, rand) changes row→bucket assignment when a
+  * lost map task is recomputed while other reducers keep attempt-1 output —
+  * the SPARK-23207 class of silent double-count/loss. Row-content hashing
+  * is retry-stable; byte-identical duplicate rows sharing a bucket is fine
+  * precisely because partial aggregation collapses them map-side first.
   */
 object Skew {
 
@@ -23,11 +26,9 @@ object Skew {
     * df.groupBy(keys).agg(sum(value)) under any data distribution. */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
       saltFactor: Int = 16): DataFrame = {
-    // salt must spread IDENTICAL duplicate rows of a hot key too (the most
-    // common skew shape), so it mixes in the row's physical position —
-    // placement varies run to run, but the aggregate is placement-invariant
+    // deterministic (retry-stable) salt from the full row content
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(df.columns.map(col): _*), lit(saltFactor)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(value).as("__partial"))

@@ -1,28 +1,38 @@
 package graft.serde
 
-import java.net.URI
+import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
+import java.time.Duration
 import scala.collection.concurrent.TrieMap
 
 /** Confluent Schema Registry client (kafi/schemaregistry.py:24-236) — the
   * admin-plane companion of the Confluent wire format in [[Serde]]:
   * register / lookup-by-id / subject versions / latest, with an id→schema
-  * cache (schema ids are immutable, so the cache never invalidates).
+  * cache (schema ids are immutable, so the cache never invalidates; latest/
+  * register seed it).
   *
   * Plain JDK HTTP — no extra dependencies; the data plane never calls this
   * per row (resolve ids up front, decode with [[AvroSerde]]/from_json).
   * Driver-side by design: executors receive resolved schemas via closure
-  * capture or broadcast, never a registry connection each.
+  * capture or broadcast, never a registry connection each. Connect and
+  * request timeouts are set — a hung registry fails the call instead of
+  * hanging the driver.
   */
 class SchemaRegistry(baseUrl: String,
-    client: HttpClient = HttpClient.newHttpClient()) {
+    client: HttpClient = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(10)).build(),
+    requestTimeout: Duration = Duration.ofSeconds(30)) {
 
   private val byId = TrieMap.empty[Int, String]
+
+  private def enc(segment: String): String =
+    URLEncoder.encode(segment, StandardCharsets.UTF_8).replace("+", "%20")
 
   private def get(path: String): String = {
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
+        .timeout(requestTimeout)
         .header("Accept", "application/vnd.schemaregistry.v1+json").GET().build(),
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"registry GET $path -> ${resp.statusCode()}: ${resp.body()}")
@@ -32,11 +42,24 @@ class SchemaRegistry(baseUrl: String,
   private def post(path: String, body: String): String = {
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
+        .timeout(requestTimeout)
         .header("Content-Type", "application/vnd.schemaregistry.v1+json")
         .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)).build(),
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"registry POST $path -> ${resp.statusCode()}: ${resp.body()}")
     resp.body()
+  }
+
+  /** Full JSON string escape (RFC 8259): quote, backslash, and all control
+    * characters — a pretty-printed .avsc with newlines must stay valid. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   // minimal JSON field extraction (registry payloads are flat here; avoids
@@ -45,15 +68,29 @@ class SchemaRegistry(baseUrl: String,
     s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body)
       .getOrElse(sys.error(s"no $field in: $body")).group(1).toInt
 
+  /** Extract and UNESCAPE a JSON string field — \n, \t, \uXXXX become the
+    * real characters (Confluent's encoder emits all of these in schema
+    * doc strings). */
   private def jsonStr(body: String, field: String): String = {
     val m = s""""$field"\\s*:\\s*"""".r.findFirstMatchIn(body)
       .getOrElse(sys.error(s"no $field in: $body"))
-    // manual scan handles escaped quotes inside the schema string
     val sb = new StringBuilder
     var i = m.end
     while (i < body.length && body.charAt(i) != '"') {
-      if (body.charAt(i) == '\\' && i + 1 < body.length) { sb.append(body.charAt(i + 1)); i += 2 }
-      else { sb.append(body.charAt(i)); i += 1 }
+      body.charAt(i) match {
+        case '\\' if i + 1 < body.length =>
+          body.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' if i + 5 < body.length =>
+              sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar); i += 6
+            case other => sb.append(other); i += 2 // \" \\ \/
+          }
+        case c => sb.append(c); i += 1
+      }
     }
     sb.result()
   }
@@ -63,21 +100,27 @@ class SchemaRegistry(baseUrl: String,
   def schemaById(id: Int): String =
     byId.getOrElseUpdate(id, jsonStr(get(s"/schemas/ids/$id"), "schema"))
 
-  /** Register a schema under a subject, returning its id.
+  /** Register a schema under a subject, returning its id; seeds the cache.
     * POST /subjects/{subject}/versions. */
   def register(subject: String, schemaJson: String): Int = {
-    val escaped = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
-    jsonInt(post(s"/subjects/$subject/versions", s"""{"schema": "$escaped"}"""), "id")
+    val id = jsonInt(
+      post(s"/subjects/${enc(subject)}/versions", s"""{"schema": "${jsonEscape(schemaJson)}"}"""),
+      "id")
+    byId.putIfAbsent(id, schemaJson)
+    id
   }
 
   /** Version numbers of a subject. GET /subjects/{subject}/versions. */
   def versions(subject: String): Seq[Int] =
-    "\\d+".r.findAllIn(get(s"/subjects/$subject/versions")).map(_.toInt).toSeq
+    "\\d+".r.findAllIn(get(s"/subjects/${enc(subject)}/versions")).map(_.toInt).toSeq
 
-  /** Latest schema (id, text) of a subject.
+  /** Latest schema (id, text) of a subject; seeds the id cache.
     * GET /subjects/{subject}/versions/latest. */
   def latest(subject: String): (Int, String) = {
-    val body = get(s"/subjects/$subject/versions/latest")
-    (jsonInt(body, "id"), jsonStr(body, "schema"))
+    val body = get(s"/subjects/${enc(subject)}/versions/latest")
+    val id = jsonInt(body, "id")
+    val schema = jsonStr(body, "schema")
+    byId.putIfAbsent(id, schema)
+    (id, schema)
   }
 }

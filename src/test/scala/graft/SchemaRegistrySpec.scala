@@ -29,8 +29,21 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/subjects/docs-value/versions/latest",
       ex => reply(ex, s"""{"subject": "docs-value", "version": 3, "id": 7, "schema": "$escaped"}"""))
     server.createContext("/subjects/docs-value/versions", ex =>
-      if (ex.getRequestMethod == "POST") reply(ex, """{"id": 7}""")
-      else reply(ex, "[1,2,3]"))
+      if (ex.getRequestMethod == "POST") {
+        // the body must be valid JSON even for pretty-printed schemas
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        if (body.contains("\n")) reply(ex, """{"error": "raw newline in JSON"}""")
+        else reply(ex, """{"id": 7}""")
+      } else reply(ex, "[1,2,3]"))
+    server.createContext("/schemas/ids/9",
+      ex => reply(ex, """{"schema": "{\"doc\": \"line1\nline2 café\"}"}"""
+        .replace("\n", "\\n").replace("é", "\\u00e9")))
+    // HttpServer matches contexts on the DECODED path; the assertion that
+    // the client ENCODED it lives in the handler (raw URI check)
+    server.createContext("/subjects/my subject/versions", ex => {
+      assert(ex.getRequestURI.getRawPath.contains("my%20subject"))
+      reply(ex, "[5]")
+    })
     server.start()
     url = s"http://localhost:${server.getAddress.getPort}"
   }
@@ -44,12 +57,32 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idHits == 1, "second lookup must come from the cache")
   }
 
-  test("register returns the id; versions and latest parse") {
+  test("register returns the id; versions and latest parse; latest seeds the cache") {
     val sr = new SchemaRegistry(url)
     assert(sr.register("docs-value", schema) == 7)
     assert(sr.versions("docs-value") == Seq(1, 2, 3))
+    val before = idHits
     val (id, s) = sr.latest("docs-value")
     assert(id == 7 && s == schema)
+    assert(sr.schemaById(7) == schema)
+    assert(idHits == before, "latest() must seed the id cache — no extra GET")
+  }
+
+  test("pretty-printed schema with newlines registers (control-char escaping)") {
+    val sr = new SchemaRegistry(url)
+    val pretty = "{\n  \"type\": \"string\"\n}"
+    assert(sr.register("docs-value", pretty) == 7) // server json-parses the body
+  }
+
+  test("unescape restores newlines and unicode escapes in fetched schema text") {
+    val sr = new SchemaRegistry(url)
+    // /schemas/ids/9 serves a schema whose JSON encoding contains \n and é
+    assert(sr.schemaById(9) == "{\"doc\": \"line1\nline2 café\"}")
+  }
+
+  test("subject names with spaces are URL-encoded") {
+    val sr = new SchemaRegistry(url)
+    assert(sr.versions("my subject") == Seq(5))
   }
 
   test("registered schema drives the Avro + Confluent-frame data path") {
