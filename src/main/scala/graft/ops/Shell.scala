@@ -69,4 +69,26 @@ object Shell {
     * no intermediate materialization. */
   def cp(env: DataFrame, transform: DataFrame => DataFrame = identity): DataFrame =
     transform(env)
+
+  /** diff — pairwise message comparison of two topics by log coordinate
+    * (the capability the reference's cross-storage suite calls but never
+    * defines, test/test_cross_storage.py:617-634): full outer join on
+    * (partition, offset), emitting coordinates whose key or value differ —
+    * including one-sided rows. `side` says where the divergence lives.
+    * One shuffle per side, keyed by the coordinate. */
+  def diff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("partition"), col("offset"),
+      col("key").as("key_a"), col("value").as("value_a"), lit(true).as("__inA"))
+    val r = b.select(col("partition"), col("offset"),
+      col("key").as("key_b"), col("value").as("value_b"), lit(true).as("__inB"))
+    l.join(r, Seq("partition", "offset"), "full_outer")
+      .filter(
+        !coalesce(col("__inA"), lit(false)) || !coalesce(col("__inB"), lit(false)) ||
+          !(col("key_a") <=> col("key_b")) || !(col("value_a") <=> col("value_b")))
+      .withColumn("side",
+        when(col("__inA").isNull, "only_b")
+          .when(col("__inB").isNull, "only_a")
+          .otherwise("both_differ"))
+      .drop("__inA", "__inB")
+  }
 }

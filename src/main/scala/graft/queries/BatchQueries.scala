@@ -108,6 +108,18 @@ object BatchQueries {
     "q_watermarks" -> ((s, dir) =>
       AddOns.watermarks(env(s, dir)).orderBy("partition")),
 
+    "q_topic_diff" -> ((s, dir) => {
+      val e = env(s, dir)
+      // perturb a deterministic slice: uppercase the value where user_id=7,
+      // and drop partition 0's offset 0 — diff must find exactly those
+      val b = e.filter(!(col("partition") === 0 && col("offset") === 0))
+        .withColumn("value",
+          when(col("user_id") === 7, upper(col("value"))).otherwise(col("value")))
+      Shell.diff(e, b)
+        .select("partition", "offset", "key_a", "key_b", "value_a", "value_b", "side")
+        .orderBy("partition", "offset")
+    }),
+
     "q_lags" -> ((s, dir) => {
       val e = env(s, dir)
       // committed = offsets consumed before 2024-01-15 (deterministic group emulation)
@@ -196,6 +208,23 @@ object BatchQueries {
       s"""$envCte SELECT partition, CAST(min("offset") AS BIGINT) AS low,
          |CAST(max("offset") + 1 AS BIGINT) AS high
          |FROM env GROUP BY partition ORDER BY partition""".stripMargin,
+
+    "q_topic_diff" ->
+      s"""$envCte, b AS (
+         |  SELECT partition, "offset", key,
+         |         CASE WHEN user_id = 7 THEN upper(value) ELSE value END AS value
+         |  FROM env WHERE NOT (partition = 0 AND "offset" = 0)
+         |)
+         |SELECT env.partition, env."offset",
+         |       env.key AS key_a, b.key AS key_b,
+         |       env.value AS value_a, b.value AS value_b,
+         |       CASE WHEN b.key IS NULL AND b.value IS NULL
+         |              AND NOT EXISTS (SELECT 1 FROM b b2 WHERE b2.partition = env.partition AND b2."offset" = env."offset")
+         |            THEN 'only_a' ELSE 'both_differ' END AS side
+         |FROM env LEFT JOIN b ON env.partition = b.partition AND env."offset" = b."offset"
+         |WHERE b.partition IS NULL
+         |   OR NOT (env.value IS NOT DISTINCT FROM b.value AND env.key IS NOT DISTINCT FROM b.key)
+         |ORDER BY env.partition, env."offset"""".stripMargin,
 
     "q_lags" ->
       s"""$envCte, wm AS (

@@ -116,6 +116,16 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple"))
   }
 
+  test("diff reports one-sided rows on both sides and equal logs as empty") {
+    val a = Seq((0, 0L, "k1", "v1"), (0, 1L, "k2", "v2"))
+      .toDF("partition", "offset", "key", "value")
+    val b = Seq((0, 1L, "k2", "v2"), (0, 2L, "k3", "v3"))
+      .toDF("partition", "offset", "key", "value")
+    val d = Shell.diff(a, b).select("offset", "side").as[(Long, String)].collect().toSet
+    assert(d == Set((0L, "only_a"), (2L, "only_b")))
+    assert(Shell.diff(a, a).count() == 0)
+  }
+
   test("kafka-source adapter yields the canonical envelope schema") {
     val kafkaShaped = env.select(
       encode(col("key"), "UTF-8").as("key"),
