@@ -65,6 +65,18 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     """"partitions":\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
   }
 
+  /** ls/ll — topic listing with partition counts and message/byte sizes
+    * (kafi/storage_admin.py:11-53): one aggregation per topic, driver
+    * receives |topics| rows. */
+  def ls(pattern: String = "*"): Seq[(String, Int, Long, Long)] =
+    listTopics(pattern).map { t =>
+      val stats = read(t).agg(
+        count(lit(1)),
+        coalesce(sum(coalesce(length(col("key")), lit(0)) +
+          coalesce(length(col("value")), lit(0))), lit(0L))).head
+      (t, partitions(t), stats.getLong(0), stats.getLong(1))
+    }
+
   /** recreate/retouch (kafi/addons.py:69-108): delete + create preserving
     * the partition count. */
   def recreate(topic: String): Unit = {

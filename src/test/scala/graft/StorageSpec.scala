@@ -36,6 +36,16 @@ class StorageSpec extends SparkSpec {
     assert(!fs.exists("drinks"))
   }
 
+  test("ls lists topics with partitions, message counts and byte sizes") {
+    val fs = freshStorage()
+    fs.createTopic("alpha", 2)
+    fs.createTopic("beta", 3)
+    fs.produce("alpha", sampleBatch(10))
+    val ls = fs.ls("*").map { case (t, p, n, b) => (t, p, n, b > 0) }
+    assert(ls == Seq(("alpha", 2, 10L, true), ("beta", 3, 0L, false)))
+    assert(fs.ls("al*").map(_._1) == Seq("alpha"))
+  }
+
   test("produce: hash partitioner, dense offsets, watermarks, append continues") {
     val fs = freshStorage()
     fs.createTopic("t", 4)
