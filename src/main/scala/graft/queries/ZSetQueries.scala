@@ -198,7 +198,7 @@ object ZSetQueries {
          |GROUP BY 1, 2 HAVING sum(weight) > 0 ORDER BY 1, 2""".stripMargin,
 
     "q_zs_merge" ->
-      s"""$abCte SELECT user_id, event_type, sum(weight) AS weight
+      s"""$abCte SELECT user_id, event_type, CAST(sum(weight) AS BIGINT) AS weight
          |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
          |GROUP BY 1, 2 HAVING sum(weight) != 0 ORDER BY 1, 2""".stripMargin,
 
@@ -234,7 +234,7 @@ object ZSetQueries {
          |FROM zs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_zs_groupby_count" ->
-      s"""$zsCte SELECT user_id, sum(weight) AS n FROM zs GROUP BY 1 ORDER BY 1""",
+      s"""$zsCte SELECT user_id, CAST(sum(weight) AS BIGINT) AS n FROM zs GROUP BY 1 ORDER BY 1""",
 
     "q_zs_groupby_max" ->
       s"""$zsCte SELECT user_id, greatest(max(amount), CAST(0 AS DOUBLE)) AS max_amount
@@ -247,11 +247,11 @@ object ZSetQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_zs_groupby_agg" ->
-      """SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_sq
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_zs_global_agg" ->
-      s"""$zsCte SELECT sum(weight) AS n,
+      s"""$zsCte SELECT CAST(sum(weight) AS BIGINT) AS n,
          |CAST(sum(CAST(amount AS DECIMAL(18,2)) * weight) AS DOUBLE) AS total FROM zs""".stripMargin,
 
     "q_integrate" ->
@@ -302,13 +302,13 @@ object ZSetQueries {
         |FROM cr JOIN db ON cr.user_id = db.user_id""".stripMargin,
 
     "q_debezium_in" ->
-      """SELECT user_id, sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS weight
+      """SELECT user_id, CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT) AS weight
         |FROM events GROUP BY 1 HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) != 0
         |ORDER BY 1""".stripMargin,
 
     "q_debezium_out" ->
       s"""$zsCte SELECT user_id, event_type,
          |CASE WHEN sum(weight) > 0 THEN 'c' ELSE 'd' END AS op,
-         |abs(sum(weight)) AS multiplicity
+         |CAST(abs(sum(weight)) AS BIGINT) AS multiplicity
          |FROM zs GROUP BY 1, 2 HAVING sum(weight) != 0 ORDER BY 1, 2""".stripMargin)
 }

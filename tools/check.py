@@ -47,6 +47,17 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
         n_fail += 1
         continue
+    # The driver compare is hash-based, so value REPRESENTATION matters:
+    # DuckDB sum(BIGINT) returns HUGEINT (int128) which hashes differently
+    # than Spark's int64 even when values are equal. Treat dtype drift as
+    # failure so the local gate predicts the driver gate.
+    dt_bad = [c for c in exp.columns if str(exp[c].dtype) != str(got[c].dtype)]
+    if dt_bad:
+        for c in dt_bad[:5]:
+            print(f"  {name}.{c}: dtype exp={exp[c].dtype} got={got[c].dtype}")
+        print(f"FAIL {name}: {len(dt_bad)} dtype mismatches (driver hash would differ)")
+        n_fail += 1
+        continue
     # row order is explicit (ORDER BY both sides); compare positionally
     bad = 0
     for c in exp.columns:
