@@ -50,9 +50,11 @@ object AddOns {
   }
 
   /** message_size / message_size_stats — byte-size stats over key+value
-    * (kafi/addons.py:158-207). One aggregation pass. */
+    * (kafi/addons.py:158-207). One aggregation pass. Sizes are UTF-8 octets
+    * (octet_length), matching the reference's serialized-byte sizes — plain
+    * length() counts characters and understates non-ASCII payloads. */
   def messageSizeStats(env: DataFrame): DataFrame = {
-    val sz = coalesce(length(col("key")), lit(0)) + coalesce(length(col("value")), lit(0))
+    val sz = coalesce(octet_length(col("key")), lit(0)) + coalesce(octet_length(col("value")), lit(0))
     env
       .withColumn("__size", sz)
       .agg(

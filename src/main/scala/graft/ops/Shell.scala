@@ -55,8 +55,8 @@ object Shell {
       count(lit(1)).as("messages"),
       sum(when(col("value").isNull, 0)
         .otherwise(size(split(col("value"), " ")))).cast("long").as("words"),
-      sum(coalesce(length(col("key")), lit(0)) +
-        coalesce(length(col("value")), lit(0))).cast("long").as("bytes"))
+      sum(coalesce(octet_length(col("key")), lit(0)) +
+        coalesce(octet_length(col("value")), lit(0))).cast("long").as("bytes"))
 
   /** grep — regex match over key/value (kafi/shell.py:71-101). The rlike
     * predicate is codegen'd and evaluated inside the scan stage. */

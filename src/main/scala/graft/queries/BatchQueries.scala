@@ -147,7 +147,7 @@ object BatchQueries {
     "q_wc" ->
       s"""$envCte SELECT CAST(count(*) AS BIGINT) AS messages,
          |CAST(sum(CASE WHEN value IS NULL THEN 0 ELSE len(str_split(value, ' ')) END) AS BIGINT) AS words,
-         |CAST(sum(coalesce(length(key),0) + coalesce(length(value),0)) AS BIGINT) AS bytes FROM env""".stripMargin,
+         |CAST(sum(coalesce(strlen(key),0) + coalesce(strlen(value),0)) AS BIGINT) AS bytes FROM env""".stripMargin,
 
     "q_grep" ->
       s"""$envCte SELECT partition, "offset", key, value, ts_ms FROM env
@@ -192,7 +192,7 @@ object BatchQueries {
          |CAST(sum(sz) AS DOUBLE) / count(*) AS avg_bytes,
          |CAST(min(sz) AS BIGINT) AS min_bytes,
          |CAST(max(sz) AS BIGINT) AS max_bytes
-         |FROM (SELECT coalesce(length(key),0) + coalesce(length(value),0) AS sz FROM env)""".stripMargin,
+         |FROM (SELECT coalesce(strlen(key),0) + coalesce(strlen(value),0) AS sz FROM env)""".stripMargin,
 
     "q_offsets_diff" ->
       s"""$envCte SELECT partition, CAST(count(*) AS BIGINT) AS n_messages FROM env

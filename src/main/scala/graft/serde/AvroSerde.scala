@@ -36,10 +36,19 @@ object AvroSerde {
       .mapPartitions { it =>
         val schema = new Schema.Parser().parse(schemaJson)
         val reader = new GenericDatumReader[GenericRecord](schema)
+        val writer = new GenericDatumWriter[GenericRecord](schema)
         it.map { case (id, bytes) =>
           val body = if (stripConfluent) bytes.drop(5) else bytes
           val dec = DecoderFactory.get().binaryDecoder(body, null)
-          (id, reader.read(null, dec).toString) // GenericRecord.toString is its JSON form
+          val rec = reader.read(null, dec)
+          // Real Avro JSON (not GenericRecord.toString): unions keep their
+          // branch wrapper and bytes/fixed escape correctly, so the output
+          // feeds encodeFromJson's jsonDecoder losslessly.
+          val out = new ByteArrayOutputStream()
+          val enc = EncoderFactory.get().jsonEncoder(schema, out)
+          writer.write(rec, enc)
+          enc.flush()
+          (id, out.toString("UTF-8"))
         }
       }
       .toDF(idCol, "json")

@@ -72,8 +72,8 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     listTopics(pattern).map { t =>
       val stats = read(t).agg(
         count(lit(1)),
-        coalesce(sum(coalesce(length(col("key")), lit(0)) +
-          coalesce(length(col("value")), lit(0))), lit(0L))).head
+        coalesce(sum(coalesce(octet_length(col("key")), lit(0)) +
+          coalesce(octet_length(col("value")), lit(0))), lit(0L))).head
       (t, partitions(t), stats.getLong(0), stats.getLong(1))
     }
 
@@ -83,6 +83,32 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     val p = partitions(topic)
     deleteTopic(topic)
     createTopic(topic, p)
+  }
+
+  /** Advisory per-topic writer lock backing Storage.produce's single-writer
+    * contract: atomically created lock file; contenders wait up to 30 s;
+    * a stale lock (holder crashed >10 min ago) is reclaimed. Guards both
+    * produce (read-watermark-then-append) and deleteRecords
+    * (delete-then-move), whose windows race each other. */
+  private def withWriterLock[A](topic: String)(f: => A): A = {
+    val lock = Paths.get(s"${topicDir(topic)}/.writer.lock")
+    val deadline = System.currentTimeMillis() + 30000
+    var acquired = false
+    while (!acquired) {
+      try { JFiles.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = try {
+            System.currentTimeMillis() - JFiles.getLastModifiedTime(lock).toMillis > 600000
+          } catch { case _: java.nio.file.NoSuchFileException => false }
+          if (stale) JFiles.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"writer lock for topic '$topic' held by another producer ($lock)")
+          else Thread.sleep(100)
+      }
+    }
+    try f finally JFiles.deleteIfExists(lock)
   }
 
   private def emptyLog(topic: String): DataFrame =
@@ -97,7 +123,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     else spark.read.schema(Envelope.schema).parquet(dataDir(topic))
   }
 
-  override def produce(topic: String, df: DataFrame): Unit = {
+  override def produce(topic: String, df: DataFrame): Unit = withWriterLock(topic) {
     require(exists(topic), s"no such topic: $topic")
     val p = partitions(topic)
     val withKey = if (df.columns.contains("key")) df else df.withColumn("key", lit(null).cast("string"))
@@ -194,7 +220,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
 
   /** delete_records up to the given offset per partition
     * (cluster_admin.py:292-315): compaction-style rewrite. */
-  def deleteRecords(topic: String, upToOffset: Long): Unit = {
+  def deleteRecords(topic: String, upToOffset: Long): Unit = withWriterLock(topic) {
     val keep = read(topic).filter(col("offset") >= upToOffset)
     val tmp = s"${topicDir(topic)}/data_tmp"
     keep.write.mode("overwrite").parquet(tmp)

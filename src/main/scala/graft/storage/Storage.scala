@@ -23,7 +23,14 @@ trait Storage {
 
   /** Append messages. Input needs `value`; `key`/`partition`/`timestamp`/
     * `headers` optional — partition defaults to the hash-of-key partitioner,
-    * offsets are assigned past the high watermark (fs_producer.py:26-70). */
+    * offsets are assigned past the high watermark (fs_producer.py:26-70).
+    *
+    * CONTRACT: single writer per topic. Offset assignment reads the high
+    * watermark then appends, so two concurrent producers on one topic can
+    * assign duplicate offsets (the reference is a single-process library
+    * with the same implicit contract). FileStorage enforces it with an
+    * advisory per-topic lock file; a broker-backed impl gets it from the
+    * broker's own partition-leader serialization. */
   def produce(topic: String, df: DataFrame): Unit
 
   /** Full-log read; compose with offset/ts predicates for seeks

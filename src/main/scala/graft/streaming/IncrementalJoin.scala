@@ -71,7 +71,17 @@ class IncrementalJoin(
     val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
     JFiles.writeString(tmp, next.toString)
     JFiles.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    deleteDir(Paths.get(versionDir(v - 1))) // GC two-versions-old state
+    // GC: sweep EVERY version older than next-1, not just v-1 — a crash
+    // between a past swap and its GC leaves an orphan that a fixed v-1
+    // delete would never revisit.
+    val vName = "v(\\d+)".r
+    val entries = JFiles.list(Paths.get(stateDir))
+    try entries.iterator().asScala.toSeq.foreach { p =>
+      p.getFileName.toString match {
+        case vName(n) if n.toLong < next - 1 => deleteDir(p)
+        case _ => ()
+      }
+    } finally entries.close()
     spark.read.schema(out.schema).parquet(s"${versionDir(next)}/out")
   }
 }

@@ -30,6 +30,15 @@ class OpsSpec extends SparkSpec {
     assert(row.getLong(2) > 0L)  // key bytes remain
   }
 
+  test("byte sizes are UTF-8 octets, not characters") {
+    import spark.implicits._
+    val one = Seq(("k", "héllo")).toDF("key", "value") // é = 2 octets
+    assert(Shell.wc(one).head.getAs[Long]("bytes") == 1L + 6L)
+    val stats = graft.ops.AddOns.messageSizeStats(one).head
+    assert(stats.getAs[Long]("total_bytes") == 7L)
+    assert(stats.getAs[Long]("max_bytes") == 7L)
+  }
+
   test("distributed foldl equals the sequential fold") {
     val ds = spark.range(1, 1001).as[Long]
     val distributed = Functional.foldl(ds)(0L)(_ + _, _ + _)

@@ -143,5 +143,22 @@ class StorageSpec extends SparkSpec {
     assert(fs.read("t").count() == 6)
   }
 
+  test("concurrent producers serialize on the writer lock: no duplicate offsets") {
+    val fs = freshStorage()
+    fs.createTopic("locked", 2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val writes = (0 until 4).map(_ => Future(fs.produce("locked", sampleBatch(50))))
+      Await.result(Future.sequence(writes), 3.minutes)
+    } finally pool.shutdown()
+    val log = fs.read("locked")
+    assert(log.count() == 200L)
+    assert(log.select("partition", "offset").distinct().count() == 200L,
+      "duplicate (partition, offset) coordinates: writer lock failed")
+  }
+
   private def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
 }

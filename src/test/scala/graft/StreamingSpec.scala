@@ -164,6 +164,28 @@ class StreamingSpec extends SparkSpec {
     assert(integrated == Set(("a", "b", 1L), ("a", "c", 2L)))
   }
 
+  test("incremental join GC sweeps every stale version, not just the previous one") {
+    import graft.streams.ZSet
+    val stateDir = Files.createTempDirectory("graft_ij_gc").toString
+    val schemaA = Seq(("x", 1L)).toDF("ka", ZSet.W).schema
+    val schemaB = Seq(("x", 1L)).toDF("kb", ZSet.W).schema
+    val ij = new graft.streaming.IncrementalJoin(spark, stateDir, schemaA, schemaB,
+      col("ka") <= col("kb"))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaA)
+    val emptyB = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaB)
+    ij.step(Seq(("a", 1L)).toDF("ka", ZSet.W), Seq(("b", 1L)).toDF("kb", ZSet.W)) // -> v1
+    ij.step(empty, emptyB)                                                        // -> v2
+    // simulate a crash-orphaned version older than v-1 (a fixed v-1 delete
+    // would never revisit it)
+    Files.createDirectories(java.nio.file.Paths.get(s"$stateDir/v0"))
+    ij.step(empty, emptyB)                                                        // -> v3, GC < 2
+    val left = Files.list(java.nio.file.Paths.get(stateDir)).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(left).asScala
+      .map(_.getFileName.toString).toSet
+    assert(!names.contains("v0") && !names.contains("v1"), s"stale versions left: $names")
+    assert(names.contains("v2") && names.contains("v3"))
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
