@@ -1,0 +1,89 @@
+package graft.queries
+
+/** DuckDB replication of graft.llm.Hashing — the splitmix64 / FNV-1a /
+  * hyperplane-sign kernels as SQL macros, exact to the bit.
+  *
+  * Why this exists: the LSH-family operators (MinHash bands, SimHash,
+  * hyperplane ANN) are approximate ALGORITHMS but deterministic FUNCTIONS —
+  * their signatures involve no RNG state (graft/llm/Hashing.scala). That
+  * makes the whole bucket→candidate→verify pipeline recomputable by an
+  * independent engine, upgrading these queries from rows-only checks to
+  * full hash-compared oracles.
+  *
+  * Arithmetic notes (64-bit wrap-around without a 64-bit unsigned type):
+  *  - values live in HUGEINT (int128) restricted to [0, 2^64);
+  *  - xor goes through UBIGINT (bit pattern is the same);
+  *  - wrapping multiply splits the multiplicand into 32-bit halves so no
+  *    intermediate exceeds 2^96 (HUGEINT-safe);
+  *  - Spark/Scala Long comparisons are SIGNED, so `tosigned` re-biases
+  *    before any min/ordering that must match the JVM kernel.
+  */
+object HashOracle {
+
+  /** Macro prelude — prepend to any oracle that recomputes signatures.
+    * CREATE OR REPLACE keeps repeated execution on one connection safe. */
+  val macros: String =
+    """CREATE OR REPLACE MACRO ux(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+      |CREATE OR REPLACE MACRO wmul(x, c) AS
+      |  ((((((x >> 32) * (c & 4294967295)) & 4294967295) << 32)
+      |    + (x & 4294967295) * c) & 18446744073709551615::HUGEINT);
+      |CREATE OR REPLACE MACRO sm1(x) AS wmul(ux(x, x >> 30), 13787848793156543929::HUGEINT);
+      |CREATE OR REPLACE MACRO sm2(x) AS wmul(ux(x, x >> 27), 10723151780598845931::HUGEINT);
+      |CREATE OR REPLACE MACRO sm3(x) AS ux(x, x >> 31);
+      |CREATE OR REPLACE MACRO sm64(x) AS sm3(sm2(sm1((x + 11400714819323198485::HUGEINT) & 18446744073709551615::HUGEINT)));
+      |CREATE OR REPLACE MACRO fnv1a(s) AS (
+      |  list_reduce(
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(range(1, length(s) + 1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+      |    (h, c) -> wmul(ux(h, c), 1099511628211::HUGEINT)));
+      |CREATE OR REPLACE MACRO mix64(h, j) AS sm64(ux(h, (CAST(j AS HUGEINT) * 11400714819323198485::HUGEINT) & 18446744073709551615::HUGEINT));
+      |CREATE OR REPLACE MACRO tosigned(u) AS CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT);
+      |CREATE OR REPLACE MACRO planesign(p, d) AS
+      |  CASE WHEN CAST(sm64((CAST(p AS HUGEINT) * 2685821657736338717::HUGEINT + d) & 18446744073709551615::HUGEINT) AS UBIGINT) & 1 = 1 THEN 1 ELSE -1 END;
+      |""".stripMargin
+
+  /** CTE body computing the 64-slot MinHash signature as rows
+    * (doc_id, j, slot) — mirrors Dedup.minhashSignature (k=3 word shingles,
+    * FNV-1a per shingle, signed min of mix64 per slot). */
+  val minhashSigRows: String =
+    """d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shingle FROM d),
+      |uh AS (SELECT shingle, fnv1a(shingle) AS h FROM (SELECT DISTINCT shingle FROM sh)),
+      |hh AS (SELECT DISTINCT doc_id, h FROM sh JOIN uh USING (shingle)),
+      |sigrows AS (SELECT doc_id, j.j AS j, min(tosigned(mix64(h, j.j))) AS slot
+      |  FROM hh, range(64) j(j) GROUP BY doc_id, j.j)""".stripMargin
+
+  /** CTE body for the banded MinHash buckets with the hot-bucket cap —
+    * bucket identity is the raw 4-slot slice (xxhash64 of the slice in the
+    * engine is injective-modulo-collisions; equality of slices IS equality
+    * of buckets). Yields `sc` (doc_id, band, sl). */
+  val minhashBuckets: String =
+    """slice AS (SELECT doc_id, j // 4 AS band, list(slot ORDER BY j) AS sl
+      |  FROM sigrows GROUP BY doc_id, j // 4),
+      |capped AS (SELECT band, sl FROM slice GROUP BY band, sl HAVING count(*) <= 500),
+      |sc AS (SELECT slice.* FROM slice JOIN capped USING (band, sl))""".stripMargin
+
+  /** CTE body computing the 16-bit hyperplane signature per embedding —
+    * mirrors Ann.withNormSig: bit p = (Σ_d emb[d]·planesign(p,d) > 0),
+    * folded in ascending dim order to match the JVM's sequential double
+    * accumulation. Yields `sig` (vec_id, sig). */
+  val hyperplaneSig: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, u.p, u.d, CAST(e.embedding[u.d + 1] AS DOUBLE) * planesign(u.p, u.d) AS term
+      |  FROM e, (SELECT p, d FROM range(16) t(p), range(64) v(d)) u),
+      |dots AS (SELECT vec_id, p, list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY d)), (a, b) -> a + b) AS dot
+      |  FROM x GROUP BY vec_id, p),
+      |sig AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+      |  FROM dots GROUP BY vec_id),
+      |bk AS (SELECT vec_id, b.b AS band,
+      |  (sig // (CASE b.b WHEN 0 THEN 1 WHEN 1 THEN 16 WHEN 2 THEN 256 ELSE 4096 END)) % 16 AS bh
+      |  FROM sig, range(4) b(b))""".stripMargin
+
+  /** Exact sequential-fold cosine between two embedding columns (64 dims),
+    * identical to graft.functions.CosineSimilarity's double accumulation. */
+  def cosine(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       | (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+       |  sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+}

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Ann, Dedup, Multimodal, Stopwords, TextAnalysis}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
-  * analysis / multimodal). SQL-expressible ops carry DuckDB oracles; the
-  * LSH-based ones are registered rows-only (their accuracy is asserted
-  * against brute-force baselines in the ScalaTest suite instead).
+  * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
+  * including the LSH ones: the signature kernels are deterministic
+  * (FNV-1a / splitmix64, graft.llm.Hashing), so [[HashOracle]] replicates
+  * them bit-for-bit in DuckDB SQL and the oracle recomputes the full
+  * bucket→candidate→verify pipeline, not just a rows count.
   */
 object LlmQueries {
 
@@ -119,6 +121,69 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // Full MinHash pipeline recomputed: FNV shingle hashes → 64-slot
+    // signature → 16 banded buckets (hot-bucket cap) → candidate pairs →
+    // est_jaccard = equal-slot fraction ≥ threshold.
+    "q_dedup_minhash" ->
+      s"""${HashOracle.macros}
+         |WITH ${HashOracle.minhashSigRows},
+         |${HashOracle.minhashBuckets},
+         |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sc a JOIN sc b USING (band, sl) WHERE a.doc_id < b.doc_id),
+         |est AS (SELECT id_a, id_b, CAST(count(*) FILTER (sa.slot = sb.slot) AS DOUBLE) / 64 AS est_jaccard
+         |  FROM ids JOIN sigrows sa ON sa.doc_id = id_a
+         |           JOIN sigrows sb ON sb.doc_id = id_b AND sa.j = sb.j
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact 3-word-shingle Jaccard over ALL pairs — passing asserts the
+    // banded candidate generation reached 100% recall at this threshold on
+    // this corpus (true near-dups here have jaccard ≥ 0.9, far above the
+    // 1-(1-j^4)^16 detection knee).
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+        |   FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh)) >= 0.4 * len(list_distinct(list_concat(a.sh, b.sh)))
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Hyperplane-LSH near-dup pipeline recomputed: 16-bit signature →
+    // 4×4-bit bands (hot-bucket cap) → candidates → exact cosine ≥ 0.3.
+    "q_dedup_embedding" ->
+      s"""${HashOracle.macros}
+         |WITH ${HashOracle.hyperplaneSig},
+         |capped AS (SELECT band, bh FROM bk GROUP BY band, bh HAVING count(*) <= 500),
+         |bkc AS (SELECT bk.* FROM bk JOIN capped USING (band, bh)),
+         |ids AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkc a JOIN bkc b USING (band, bh) WHERE a.vec_id < b.vec_id),
+         |pairs AS (SELECT id_a, id_b, ${HashOracle.cosine("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM ids JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // LSH ANN recomputed end-to-end: shared-band candidates (no cap in the
+    // top-k path), exact cosine, rank by (cosine DESC, nn_id).
+    "q_ann_lsh" ->
+      s"""${HashOracle.macros}
+         |WITH ${HashOracle.hyperplaneSig},
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nn_id
+         |  FROM bk q JOIN bk c USING (band, bh)
+         |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+         |scored AS (SELECT q_id, nn_id, ${HashOracle.cosine("eq.embedding", "ec.embedding")} AS cosine
+         |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = nn_id),
+         |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -47,7 +47,8 @@ object ScaleQueries {
       s.sql(PricingSql)
     }),
 
-    // LSH bucket-size observability (rows-only; distribution, not content)
+    // LSH bucket-size observability (oracle recomputes the signatures and
+    // groups by raw band slices — see HashOracle)
     "q_dedup_bucket_stats" -> ((s, dir) =>
       graft.llm.Dedup.minhashBucketStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -64,6 +65,19 @@ object ScaleQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sql_pricing" -> PricingSql,
+
+    // bucket identity = equality of the raw 4-slot signature slice (the
+    // engine buckets on xxhash64 of the slice; equal slices <=> equal
+    // buckets modulo hash collisions)
+    "q_dedup_bucket_stats" ->
+      s"""${HashOracle.macros}
+         |WITH ${HashOracle.minhashSigRows},
+         |slice AS (SELECT doc_id, j // 4 AS band, list(slot ORDER BY j) AS sl
+         |  FROM sigrows GROUP BY doc_id, j // 4),
+         |buckets AS (SELECT band, sl, count(*) AS n FROM slice GROUP BY band, sl)
+         |SELECT CAST(max(n) AS BIGINT) AS max_bucket, avg(n) AS avg_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_buckets
+         |FROM buckets""".stripMargin,
 
     "q_salted_sum" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
