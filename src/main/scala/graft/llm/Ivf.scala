@@ -25,17 +25,45 @@ import graft.functions.Exprs
   */
 object Ivf {
 
-  /** element-wise mean of float vectors per group (typed kernel-free:
-    * posexplode + groupBy(dim) stays columnar and shuffles (id, dim, v)). */
-  private def meanVectors(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("list_id", "dim")
-      .agg(avg("v").as("mv"))
-      .groupBy("list_id")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), x -> CAST(x.mv AS FLOAT))").as("centroid"))
+  /** Quantization scale: 2^20. floor(v · 2^20) is EXACT IEEE arithmetic
+    * (power-of-two multiply + floor), so every engine that replays it gets
+    * the same integers — the foundation of the cross-engine oracle. */
+  private val Q = 1048576.0
 
-  /** Nearest-centroid assignment: broadcast the k-row centroid table. */
+  /** (vec_id, embedding, __q, __h): integer-quantized embedding plus the
+    * splitmix64 seed hash, one typed pass. Quantization makes the Lloyd
+    * state integer-exact; cosine is scale-invariant so clustering quality
+    * is unchanged (relative error ~1e-6). */
+  private def withQuantized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        val q = new Array[Long](e.length)
+        var i = 0
+        while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
+        (id, e, q, Hashing.splitmix64(id))
+      })
+      .toDF("vec_id", "embedding", "__q", "__h")
+  }
+
+  /** element-wise integer SUM of quantized vectors per group (posexplode +
+    * groupBy(dim) stays columnar and shuffles (id, dim, v)). Sums, not
+    * means: cosine assignment is scale-invariant, and integer sums are
+    * order-independent — bit-identical across engines and cluster sizes,
+    * where a floating mean depends on reduction order. */
+  private def sumVectors(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("list_id"), posexplode(col("__q")).as(Seq("dim", "v")))
+      .groupBy("list_id", "dim")
+      .agg(sum("v").as("sv"))
+      .groupBy("list_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sv))), x -> x.sv)").as("centroid"))
+
+  /** Nearest-centroid assignment: broadcast the k-row centroid table.
+    * Cosine casts the integer centroid through float — the same conversion
+    * chain the oracle replays. */
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus
       .crossJoin(broadcast(centroids))
@@ -47,21 +75,23 @@ object Ivf {
       .drop("__sim", "__rk", "centroid")
 
   /** Train k centroids with `iters` Lloyd iterations. `df` needs
-    * (vec_id: long, embedding: array<float>). */
+    * (vec_id: long, embedding: array<float>). Centroids are integer
+    * vectors (quantized sums — scale irrelevant under cosine). */
   def train(df: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    // deterministic seed: the k hash-smallest vectors — a TakeOrdered (top-k
-    // per partition + k-way merge), never a global sort; the row_number
-    // window then runs over only k rows
-    val sample = df.withColumn("__h", xxhash64(col("vec_id"))).orderBy("__h").limit(k)
+    // deterministic seed: the k hash-smallest vectors by splitmix64(vec_id)
+    // — a TakeOrdered (top-k per partition + k-way merge), never a global
+    // sort; the row_number window then runs over only k rows
+    val quant = withQuantized(df)
+    val sample = quant.orderBy("__h").limit(k)
     var centroids: DataFrame = sample.select(
       (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1).as("list_id"),
-      col("embedding").as("centroid"))
+      col("__q").as("centroid"))
     var i = 0
     while (i < iters) {
-      val next = meanVectors(
-        assign(df.select("vec_id", "embedding"), centroids)
-          .select("list_id", "embedding"))
+      val next = sumVectors(
+        assign(quant.select("vec_id", "embedding", "__q"), centroids)
+          .select("list_id", "__q"))
       // standard Lloyd empty-cluster handling: a list that won no points
       // keeps its previous centroid instead of silently vanishing
       val reseeded = centroids.select(col("list_id"), col("centroid").as("__prev"))

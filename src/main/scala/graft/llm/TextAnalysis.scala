@@ -60,29 +60,59 @@ object TextAnalysis {
   }
 
   /** Document fingerprinting: winnowing over rolling word-shingle hashes
-    * (Schleimer et al., SIGMOD'03): k-gram hashes → min per sliding window
-    * of w → distinct fingerprint set. Shared fingerprints ⇒ shared content
-    * runs; used for plagiarism-style containment detection.
-    * `hashes` is the k-gram hash array column (see [[kgramHashes]]). */
-  def fingerprints(hashes: Column, w: Int = 4): Column =
-    array_distinct(
-      when(size(hashes) <= w, array(array_min(hashes)))
-        .otherwise(transform(
-          sequence(lit(0), size(hashes) - w),
-          j => array_min(slice(hashes, j + 1, lit(w))))))
-
-  /** Rolling k-gram hashes of the word stream (the __fp_h input of
-    * [[fingerprints]]); `textCol` is a column name. */
-  def kgramHashes(textCol: String, k: Int = 3): Column =
-    expr(
-      s"""transform(sequence(0, greatest(size(split(lower($textCol), ' ')) - $k, 0)),
-         |  i -> xxhash64(concat_ws(' ', slice(split(lower($textCol), ' '), i + 1, $k))))""".stripMargin)
-
-  /** Full fingerprint pipeline over a DataFrame. */
-  def fingerprintDocs(df: DataFrame, textCol: String, k: Int = 3, w: Int = 4): DataFrame =
-    df.withColumn("__fp_h", kgramHashes(textCol, k))
-      .withColumn("fingerprints", fingerprints(col("__fp_h"), w))
-      .drop("__fp_h")
+    * (Schleimer et al., SIGMOD'03): k-gram FNV hashes → min per sliding
+    * window of w → distinct fingerprint set. Shared fingerprints ⇒ shared
+    * content runs; used for plagiarism-style containment detection.
+    *
+    * Typed mapPartitions kernel: per-row scalar loops JIT to primitive
+    * array code, where the equivalent transform/slice/array_min HOF chain
+    * is CodegenFallback (interpreted per element — see
+    * Dedup.minhashSignature). Hashing is FNV-1a (graft.llm.Hashing), so an
+    * independent engine can recompute fingerprints exactly (HashOracle).
+    * Output: (idCol: long, fingerprints: array<long>). */
+  def fingerprintDocs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val sb = new java.lang.StringBuilder
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.split(' ')
+          val n = math.max(toks.length - k, 0) + 1
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            var t = 0
+            while (t < k && i + t < toks.length) {
+              if (t > 0) sb.append(' ')
+              sb.append(toks(i + t))
+              t += 1
+            }
+            hs(i) = Hashing.hashString(sb)
+            i += 1
+          }
+          val fps =
+            if (n <= w) Array(hs.min)
+            else {
+              val wins = new Array[Long](n - w + 1)
+              var j = 0
+              while (j <= n - w) {
+                var m = Long.MaxValue
+                var x = j
+                while (x < j + w) { if (hs(x) < m) m = hs(x); x += 1 }
+                wins(j) = m
+                j += 1
+              }
+              wins.distinct
+            }
+          (id, fps)
+        }
+      }
+      .toDF(idCol, "fingerprints")
+  }
 }
 
 /** Per-language stopword lexicons (broadcastable literals). */

@@ -86,4 +86,25 @@ object HashOracle {
     s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
        | (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
        |  sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /** Cosine of a float embedding against an INTEGER centroid — the centroid
+    * passes through FLOAT first, replaying Exprs.cosine's array<float> cast
+    * so both engines feed identical IEEE inputs to the fold. */
+  def cosineIntCentroid(a: String, c: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST(CAST($c[i] AS FLOAT) AS DOUBLE))) /
+       | (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+       |  sqrt(list_sum(list_transform(range(1, 65), i -> CAST(CAST($c[i] AS FLOAT) AS DOUBLE) * CAST(CAST($c[i] AS FLOAT) AS DOUBLE)))))""".stripMargin
+
+  /** One Lloyd step over the quantized corpus `qv` given centroids `cin`,
+    * yielding centroids `cout`: cosine assignment (ties by list_id),
+    * integer dim-sums, empty lists keep their previous centroid. */
+  def lloydStep(cin: String, cout: String): String =
+    s"""x_$cout AS (SELECT qv.vec_id, qv.qe, $cin.list_id,
+       |  ${cosineIntCentroid("qv.embedding", s"$cin.centroid")} AS sim FROM qv, $cin),
+       |a_$cout AS (SELECT vec_id, qe, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM x_$cout) WHERE rk = 1),
+       |s_$cout AS (SELECT list_id, d.d AS dim, sum(qe[d.d]) AS sv FROM a_$cout, range(1, 65) d(d) GROUP BY list_id, d.d),
+       |r_$cout AS (SELECT list_id, list(sv ORDER BY dim) AS centroid FROM s_$cout GROUP BY list_id),
+       |$cout AS (SELECT $cin.list_id, coalesce(r_$cout.centroid, $cin.centroid) AS centroid
+       |  FROM $cin LEFT JOIN r_$cout USING (list_id))""".stripMargin
 }

@@ -57,8 +57,9 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // rows-only: IVF coarse-quantizer ANN (recall asserted vs brute force
-    // in LlmSpec)
+    // IVF coarse-quantizer ANN — the oracle replays the ENTIRE training:
+    // splitmix64 seeding, two Lloyd iterations over integer-quantized
+    // vectors, then index + nprobe search (see HashOracle.lloydStep)
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
       val centroids = graft.llm.Ivf.train(e, k = 16, iters = 2)
@@ -87,7 +88,7 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     "q_text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprintDocs(docs(s, dir), "text")
+      TextAnalysis.fingerprintDocs(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
           array_min(col("fingerprints")).as("min_fp"))
         .orderBy("doc_id")),
@@ -156,6 +157,46 @@ object LlmQueries {
         |  AND len(list_intersect(a.sh, b.sh)) >= 0.4 * len(list_distinct(list_concat(a.sh, b.sh)))
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // SimHash recomputed: FNV token hashes → per-bit weighted votes →
+    // packed 64-bit signature → 4×16-bit bands (cap) → Hamming ≤ 10.
+    "q_dedup_simhash" ->
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY doc_id, tok),
+         |ut AS (SELECT tok, fnv1a(tok) AS h FROM (SELECT DISTINCT tok FROM tc)),
+         |th AS (SELECT doc_id, h, cnt FROM tc JOIN ut USING (tok)),
+         |votes AS (SELECT doc_id, b.b AS b,
+         |  sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+         |  FROM th, range(64) b(b) GROUP BY doc_id, b.b),
+         |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+         |  FROM votes GROUP BY doc_id),
+         |bk AS (SELECT doc_id, u, bb.b AS band, (u >> (bb.b * 16)) & 65535 AS bh FROM sh, range(4) bb(b)),
+         |capped AS (SELECT band, bh FROM bk GROUP BY band, bh HAVING count(*) <= 500),
+         |bkc AS (SELECT bk.* FROM bk JOIN capped USING (band, bh)),
+         |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.u AS ua, b.u AS ub
+         |  FROM bkc a JOIN bkc b USING (band, bh) WHERE a.doc_id < b.doc_id),
+         |ham AS (SELECT id_a, id_b, bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) AS hamming FROM ids)
+         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM ham
+         |WHERE hamming <= 10 ORDER BY id_a, id_b""".stripMargin,
+
+    // Winnowing fingerprints recomputed: FNV k-gram hashes (signed), min
+    // per sliding window of 4, distinct set per doc.
+    "q_text_fingerprint" ->
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks,
+         |  greatest(len(str_split(lower(text), ' ')) - 3, 0) + 1 AS n FROM documents),
+         |g AS (SELECT doc_id, n, u.i AS i,
+         |  tosigned(fnv1a(array_to_string(toks[u.i : least(u.i + 2, len(toks))], ' '))) AS h
+         |  FROM d, unnest(generate_series(1, n)) u(i)),
+         |wins AS (SELECT doc_id, n, i,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM g),
+         |fps AS (SELECT DISTINCT doc_id, wmin FROM wins WHERE n > 4 AND i <= n - 3
+         |  UNION ALL SELECT doc_id, min(h) AS wmin FROM g WHERE n <= 4 GROUP BY doc_id)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(wmin) AS min_fp
+         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Hyperplane-LSH near-dup pipeline recomputed: 16-bit signature →
     // 4×4-bit bands (hot-bucket cap) → candidates → exact cosine ≥ 0.3.
     "q_dedup_embedding" ->
@@ -169,6 +210,34 @@ object LlmQueries {
          |  FROM ids JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // IVF recomputed end-to-end: deterministic seeds, two Lloyd steps on
+    // integer sums, nearest-list index, nprobe=4 probe, cosine top-10.
+    "q_ann_ivf" ->
+      s"""${HashOracle.macros}
+         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |qv AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
+         |  tosigned(sm64(CAST(vec_id AS HUGEINT))) AS h FROM e),
+         |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
+         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
+         |${HashOracle.lloydStep("c0", "c1")},
+         |${HashOracle.lloydStep("c1", "c2")},
+         |xi AS (SELECT qv.vec_id, c2.list_id,
+         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
+         |idx AS (SELECT vec_id AS nn_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
+         |xq AS (SELECT qv.vec_id AS q_id, c2.list_id,
+         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim
+         |  FROM qv, c2 WHERE qv.vec_id < 10),
+         |probes AS (SELECT q_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, list_id) AS rk FROM xq) WHERE rk <= 4),
+         |cand AS (SELECT p.q_id, i.nn_id FROM probes p JOIN idx i USING (list_id) WHERE p.q_id != i.nn_id),
+         |scored AS (SELECT q_id, nn_id, ${HashOracle.cosine("eq.embedding", "ec.embedding")} AS cosine
+         |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = nn_id),
+         |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM scored)
+         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     // LSH ANN recomputed end-to-end: shared-band candidates (no cap in the
     // top-k path), exact cosine, rank by (cosine DESC, nn_id).

@@ -104,7 +104,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("fingerprints: clones share all fingerprints, distinct docs don't") {
-    val fp = TextAnalysis.fingerprintDocs(withClones, "text")
+    val fp = TextAnalysis.fingerprintDocs(withClones, "doc_id", "text")
       .select(col("doc_id"), col("fingerprints"))
     val a = fp.filter(col("doc_id") === 0).head.getSeq[Long](1).toSet
     val clone = fp.filter(col("doc_id") === 10000).head.getSeq[Long](1).toSet
