@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep sbt's "[success] Total time" epilogue off stdout so the LAST line
+// of an `sbt runMain` invocation is the program's own output (the bench
+// harness parses that line as JSON)
+ThisBuild / showSuccess := false
+// forked run output goes straight to stdout, not through the "[info]"
+// logger prefix — same reason: the JSON line must arrive verbatim
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

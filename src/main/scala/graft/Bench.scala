@@ -18,12 +18,21 @@ object Bench {
     // a failed query records -1.0 (never a fake duration) and logs to stderr
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // noop sink, not count(): count() lets Catalyst prune every column a
+      // map-only query computes, timing an empty scan instead of the work
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries persist() intermediates (e.g. LSH signature tables); drop
+      // them so 79 sequential queries don't accumulate cache into GC
+      // pressure that taxes whichever query runs late in the alphabet
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
