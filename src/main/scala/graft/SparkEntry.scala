@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.LlmQueries.queries ++
       graft.queries.StorageQueries.queries ++
       graft.queries.TpchQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.LlmQueries.oracles ++
       graft.queries.StorageQueries.oracles ++
       graft.queries.TpchQueries.oracles ++
-      graft.queries.ScaleQueries.oracles
+      graft.queries.ScaleQueries.oracles ++
+      graft.queries.TemporalQueries.oracles
 }

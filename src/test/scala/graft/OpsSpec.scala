@@ -30,6 +30,31 @@ class OpsSpec extends SparkSpec {
     assert(row.getLong(2) > 0L)  // key bytes remain
   }
 
+  test("asof join: inclusive boundary, latest-wins, null when nothing precedes") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 100L, "r@100"), (1L, 150L, "r@150"), (1L, 300L, "r@300"))
+      .toDF("k", "t", "rv")
+    val out = graft.ops.Temporal.asofJoin(left, right, Seq("k"), "t")
+      .select("lv", "r_rv").as[(String, Option[String])].collect().toMap
+    assert(out("p1").contains("r@100")) // equal time matches (inclusive)
+    assert(out("p2").contains("r@150")) // latest preceding, not first
+    assert(out("p3").isEmpty)           // nothing at or before -> null
+  }
+
+  test("range join: inclusive delta, cross-bucket pairs found, no duplicates") {
+    import spark.implicits._
+    // t=999 and t=1001 straddle a bucket boundary at delta=1000
+    val ev = Seq((1L, 10L, 0L), (2L, 10L, 999L), (3L, 10L, 1001L), (4L, 10L, 5000L))
+      .toDF("id", "k", "t")
+    val pairs = graft.ops.Temporal.rangeJoin(ev, ev, Seq("k"), "t", 1000L)
+      .filter(col("id") < col("r_id"))
+      .select("id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    // (1,2): |0-999|<=1000; (1,3): |0-1001|>1000 no; (2,3): 2 <= 1000 across buckets
+    assert(pairs == Seq((1L, 2L), (2L, 3L)))
+  }
+
   test("byte sizes are UTF-8 octets, not characters") {
     import spark.implicits._
     val one = Seq(("k", "héllo")).toDF("key", "value") // é = 2 octets
