@@ -35,11 +35,46 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
   private def metaPath(t: String) = Paths.get(s"${topicDir(t)}/meta.json")
   private def groupPath(g: String, t: String) = Paths.get(s"$root/groups/$g/$t.json")
 
-  override def createTopic(topic: String, partitions: Int = 1): Unit = {
+  override def createTopic(topic: String, partitions: Int = 1): Unit =
+    createTopic(topic, partitions, Map.empty[String, String])
+
+  /** create with topic config entries (fs_admin.py:57-66: metadata carries
+    * {topic, partitions, config}). */
+  def createTopic(topic: String, partitions: Int, config: Map[String, String]): Unit = {
     require(!exists(topic), s"topic exists: $topic")
     JFiles.createDirectories(Paths.get(dataDir(topic)))
-    JFiles.writeString(metaPath(topic), s"""{"partitions": $partitions}""")
+    JFiles.writeString(metaPath(topic),
+      s"""{"partitions": $partitions, "config": ${configJson(config)}}""")
   }
+
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def configJson(c: Map[String, String]): String =
+    c.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+
+  /** Topic config entries (fs_admin.py:361-365). */
+  def getConfig(topic: String): Map[String, String] = {
+    val s = JFiles.readString(metaPath(topic))
+    val body = """"config":\s*\{(.*)\}""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    """"((?:[^"\\]|\\.)*)":\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  /** Get (entries == empty) or merge-set config on every topic matching the
+    * glob pattern (fs_admin.py:40-53). Returns topic -> config after the
+    * operation. */
+  def config(pattern: String, entries: Map[String, String] = Map.empty): Map[String, Map[String, String]] =
+    listTopics(pattern).map { t =>
+      if (entries.nonEmpty) {
+        val merged = getConfig(t) ++ entries
+        JFiles.writeString(metaPath(t),
+          s"""{"partitions": ${partitions(t)}, "config": ${configJson(merged)}}""")
+      }
+      t -> getConfig(t)
+    }.toMap
 
   private def usingStream[A](s: java.util.stream.Stream[java.nio.file.Path])(f: Iterator[java.nio.file.Path] => A): A =
     try f(s.iterator().asScala) finally s.close()
@@ -78,11 +113,12 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     }
 
   /** recreate/retouch (kafi/addons.py:69-108): delete + create preserving
-    * the partition count. */
+    * the partition count and topic config. */
   def recreate(topic: String): Unit = {
     val p = partitions(topic)
+    val c = getConfig(topic)
     deleteTopic(topic)
-    createTopic(topic, p)
+    createTopic(topic, p, c)
   }
 
   /** Advisory per-topic writer lock backing Storage.produce's single-writer

@@ -143,6 +143,29 @@ class StorageSpec extends SparkSpec {
     assert(fs.read("t").count() == 6)
   }
 
+  test("topic config: create-with, glob merge-set, recreate preserves") {
+    val fs = freshStorage()
+    fs.createTopic("snacks", 2, Map("retention.ms" -> "604800000"))
+    fs.createTopic("drinks", 1)
+    assert(fs.getConfig("snacks") == Map("retention.ms" -> "604800000"))
+    assert(fs.getConfig("drinks").isEmpty)
+    // glob set merges onto every match
+    fs.config("s*", Map("cleanup.policy" -> "compact", "retention.ms" -> "1000"))
+    assert(fs.getConfig("snacks") ==
+      Map("retention.ms" -> "1000", "cleanup.policy" -> "compact"))
+    assert(fs.getConfig("drinks").isEmpty)
+    // glob get returns per-topic maps
+    val all = fs.config("*")
+    assert(all("drinks").isEmpty && all("snacks").size == 2)
+    // escaping survives the JSON roundtrip
+    fs.config("drinks", Map("note" -> """quo"te\back"""))
+    assert(fs.getConfig("drinks")("note") == """quo"te\back""")
+    // recreate keeps partitions AND config
+    fs.recreate("snacks")
+    assert(fs.partitions("snacks") == 2)
+    assert(fs.getConfig("snacks")("cleanup.policy") == "compact")
+  }
+
   test("concurrent producers serialize on the writer lock: no duplicate offsets") {
     val fs = freshStorage()
     fs.createTopic("locked", 2)
