@@ -98,6 +98,14 @@ object SerdeQueries {
         .orderBy("r_regionkey")
     }),
 
+    // protobuf wire-format roundtrip (deserializer.py:78-97): rows → proto3
+    // bytes → rows through the varint/fixed64/length-delimited codec
+    "q_serde_proto" -> ((s, dir) => {
+      val ev = Envelope.readEvents(s, dir).select("event_id", "event_type", "value")
+      graft.serde.ProtoWire.decodeEvents(graft.serde.ProtoWire.encodeEvents(ev), "proto")
+        .orderBy("event_id")
+    }),
+
     // recursive flattener (helpers.py:283-303)
     "q_explode_normalize" -> ((s, dir) => {
       val ev = Envelope.readEvents(s, dir).withColumnRenamed("value", "amount")
@@ -142,6 +150,9 @@ object SerdeQueries {
 
     "q_file_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_serde_proto" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
 
     "q_explode_normalize" ->
       """SELECT * FROM (

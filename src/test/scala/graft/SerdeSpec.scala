@@ -84,4 +84,43 @@ class SerdeSpec extends SparkSpec {
       assert(b1(id).sameElements(b2(id)), s"binary drift after JSON roundtrip for id=$id")
     }
   }
+
+  test("proto wire varint roundtrips boundary values") {
+    import graft.serde.ProtoWire
+    val values = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong,
+      (1L << 32) - 1, (1L << 56) + 17, Long.MaxValue, -1L, Long.MinValue)
+    values.foreach { v =>
+      val out = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(out, v)
+      val bytes = out.toByteArray
+      assert(bytes.length <= 10, s"varint for $v too long")
+      val (back, next) = ProtoWire.readVarint(bytes, 0)
+      assert(back == v, s"varint roundtrip failed for $v")
+      assert(next == bytes.length)
+    }
+  }
+
+  test("proto events roundtrip and unknown fields are skipped by wire type") {
+    import graft.serde.ProtoWire
+    val rows = Seq((1L, "view", 3.5), (2L, "héllo✓", -0.0), (3L, "", Double.NaN))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val back = ProtoWire.decodeEvents(ProtoWire.encodeEvents(df), "proto")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    rows.zip(back).foreach { case ((id, et, v), (id2, et2, v2)) =>
+      assert(id == id2 && et == et2)
+      assert(java.lang.Double.doubleToLongBits(v) == java.lang.Double.doubleToLongBits(v2))
+    }
+    // prepend an unknown field (field 9, varint) + (field 10, length-delim):
+    // decoder must skip both and still find fields 1..3
+    val out = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(out, (9L << 3) | 0); ProtoWire.writeVarint(out, 999L)
+    ProtoWire.writeVarint(out, (10L << 3) | 2); ProtoWire.writeVarint(out, 3L)
+    out.write(Array[Byte](1, 2, 3), 0, 3)
+    val prefix = out.toByteArray
+    val withUnknown = ProtoWire.encodeEvents(df)
+      .withColumn("proto", concat(typedLit(prefix), col("proto")))
+    val back2 = ProtoWire.decodeEvents(withUnknown, "proto")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(back2.map(r => (r._1, r._2)).toSeq == rows.map(r => (r._1, r._2)))
+  }
 }
