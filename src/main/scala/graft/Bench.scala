@@ -15,24 +15,35 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup read failed: ${e.getMessage}") }
+    // diagnostics: SPARK_GRAFT_ONLY=q_a,q_b restricts the set;
+    // SPARK_GRAFT_REPEAT=n times each query n times (stderr per-rep lines,
+    // JSON records the last rep). Driver runs use neither.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // a failed query records -1.0 (never a fake duration) and logs to stderr
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune every column a
-      // map-only query computes, timing an empty scan instead of the work
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+    val results = selected.map { case (name, fn) =>
+      var dt = -1.0
+      for (rep <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune every column a
+        // map-only query computes, timing an empty scan instead of the work
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (repeat > 1) System.err.println(f"[bench] $name rep $rep: $dt%.3f s")
+        // queries persist() intermediates (e.g. LSH signature tables); drop
+        // them so 79 sequential queries don't accumulate cache into GC
+        // pressure that taxes whichever query runs late in the alphabet
+        spark.catalog.clearCache()
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries persist() intermediates (e.g. LSH signature tables); drop
-      // them so 79 sequential queries don't accumulate cache into GC
-      // pressure that taxes whichever query runs late in the alphabet
-      spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
