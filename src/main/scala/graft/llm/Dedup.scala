@@ -63,7 +63,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.split(' ')
+          val toks = text.toLowerCase.split(" ", -1)
           val nSh = math.max(toks.length - k + 1, 1)
           val sb = new java.lang.StringBuilder
           val raw = new Array[Long](nSh)
@@ -211,7 +211,7 @@ object Dedup {
         val votes = new Array[Int](64)
         it.map { case (id, text) =>
           java.util.Arrays.fill(votes, 0)
-          val toks = text.toLowerCase.split(' ')
+          val toks = text.toLowerCase.split(" ", -1)
           var i = 0
           while (i < toks.length) {
             val h = Hashing.hashString(toks(i))

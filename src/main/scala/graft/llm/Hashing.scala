@@ -13,12 +13,21 @@ object Hashing {
     x ^ (x >>> 31)
   }
 
-  /** FNV-1a 64 over UTF-16 code units. */
+  /** FNV-1a 64 over Unicode code points (surrogate pairs fold as one code
+    * point, matching DuckDB's per-character `unicode()` so the HashOracle
+    * macros reproduce signatures for supplementary-plane text too). */
   def hashString(s: CharSequence): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      val cp =
+        if (Character.isHighSurrogate(c) && i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
+          i += 1
+          Character.toCodePoint(c, s.charAt(i))
+        } else c.toInt
+      h ^= cp
       h *= 0x100000001b3L
       i += 1
     }

@@ -79,7 +79,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         val sb = new java.lang.StringBuilder
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.split(' ')
+          val toks = text.toLowerCase.split(" ", -1)
           val n = math.max(toks.length - k, 0) + 1
           val hs = new Array[Long](n)
           var i = 0

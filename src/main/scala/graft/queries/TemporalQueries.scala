@@ -11,12 +11,17 @@ import graft.ops.Temporal
 object TemporalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // each purchase matched to the user's latest click at or before it
+    // each purchase matched to the user's latest click at or before it;
+    // right side reduced to ONE row per (user_id, ts) — DuckDB's ASOF JOIN
+    // picks an arbitrary row on right-timestamp ties, so both engines must
+    // see a tie-free right side for the hash compare to be deterministic
     "q_asof_join" -> ((s, dir) => {
       val ev = Envelope.readEvents(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
       val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("event_id"))
         .select("event_id", "user_id", "ts")
       Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_")
         .select(col("event_id"), col("user_id"), col("click_event_id").as("click_id"))
@@ -37,7 +42,9 @@ object TemporalQueries {
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+        |                FROM events WHERE event_type = 'click'
+        |                GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
 

@@ -31,10 +31,14 @@ object ProtoWire {
     out.write(v.toInt)
   }
 
-  /** (value, next position). */
+  /** (value, next position). A valid varint is at most 10 bytes; anything
+    * longer (or running off the buffer) throws instead of silently folding
+    * high bits back into low positions (Scala's << wraps shifts mod 64). */
   def readVarint(b: Array[Byte], pos: Int): (Long, Int) = {
     var v = 0L; var shift = 0; var p = pos
     while ({
+      if (shift > 63) throw new IllegalArgumentException(s"overlong varint at $pos")
+      if (p >= b.length) throw new IllegalArgumentException(s"truncated varint at $pos")
       val x = b(p) & 0xFF
       v |= (x & 0x7FL) << shift
       p += 1

@@ -43,7 +43,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
   def createTopic(topic: String, partitions: Int, config: Map[String, String]): Unit = {
     require(!exists(topic), s"topic exists: $topic")
     JFiles.createDirectories(Paths.get(dataDir(topic)))
-    JFiles.writeString(metaPath(topic),
+    writeMetaAtomic(topic,
       s"""{"partitions": $partitions, "config": ${configJson(config)}}""")
   }
 
@@ -68,9 +68,9 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
     * operation. */
   def config(pattern: String, entries: Map[String, String] = Map.empty): Map[String, Map[String, String]] =
     listTopics(pattern).map { t =>
-      if (entries.nonEmpty) {
+      if (entries.nonEmpty) withWriterLock(t) { // read-modify-write races producers
         val merged = getConfig(t) ++ entries
-        JFiles.writeString(metaPath(t),
+        writeMetaAtomic(t,
           s"""{"partitions": ${partitions(t)}, "config": ${configJson(merged)}}""")
       }
       t -> getConfig(t)
@@ -122,29 +122,74 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
   }
 
   /** Advisory per-topic writer lock backing Storage.produce's single-writer
-    * contract: atomically created lock file; contenders wait up to 30 s;
-    * a stale lock (holder crashed >10 min ago) is reclaimed. Guards both
-    * produce (read-watermark-then-append) and deleteRecords
-    * (delete-then-move), whose windows race each other. */
+    * contract: atomically created lock file carrying a holder token;
+    * contenders wait up to 30 s. Guards both produce
+    * (read-watermark-then-append) and deleteRecords (delete-then-move),
+    * whose windows race each other.
+    *
+    * A stale lock (no heartbeat for >10 min) is reclaimed via ATOMIC_MOVE
+    * to a contender-unique grave name — only one contender can win the
+    * rename, so two waiters can't both "reclaim" and run concurrently
+    * (delete+recreate had exactly that TOCTOU). While the critical section
+    * runs, a daemon thread heartbeats the lock mtime every 60 s so a
+    * legitimately long produce (plausible at 100 TB) is never stolen
+    * mid-append; release deletes the lock only if it still carries our
+    * token. */
   private def withWriterLock[A](topic: String)(f: => A): A = {
     val lock = Paths.get(s"${topicDir(topic)}/.writer.lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + 30000
     var acquired = false
     while (!acquired) {
-      try { JFiles.createFile(lock); acquired = true }
-      catch {
+      try {
+        JFiles.write(lock, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+        acquired = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale = try {
             System.currentTimeMillis() - JFiles.getLastModifiedTime(lock).toMillis > 600000
           } catch { case _: java.nio.file.NoSuchFileException => false }
-          if (stale) JFiles.deleteIfExists(lock)
-          else if (System.currentTimeMillis() > deadline)
+          if (stale) {
+            val grave = Paths.get(s"${topicDir(topic)}/.writer.lock.reclaim.$token")
+            try {
+              JFiles.move(lock, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              JFiles.deleteIfExists(grave)
+            } catch { case _: java.io.IOException => () } // another contender won the rename
+          } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"writer lock for topic '$topic' held by another producer ($lock)")
           else Thread.sleep(100)
       }
     }
-    try f finally JFiles.deleteIfExists(lock)
+    val hb = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(60000)
+          try JFiles.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-$topic")
+    hb.setDaemon(true)
+    hb.start()
+    try f finally {
+      hb.interrupt()
+      try {
+        if (new String(JFiles.readAllBytes(lock), "UTF-8") == token) JFiles.delete(lock)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Crash-safe metadata write: temp file + ATOMIC_MOVE, so a reader never
+    * observes a torn meta.json and a crash mid-write leaves the old file. */
+  private def writeMetaAtomic(topic: String, content: String): Unit = {
+    val tmp = Paths.get(s"${topicDir(topic)}/.meta.json.tmp.${java.util.UUID.randomUUID()}")
+    JFiles.writeString(tmp, content)
+    JFiles.move(tmp, metaPath(topic),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def emptyLog(topic: String): DataFrame =
