@@ -28,7 +28,8 @@ import graft.model.Envelope
   * brokers serialize the same way); everything else is append-only parquet
   * with no global coordination.
   */
-class FileStorage(spark: SparkSession, root: String) extends Storage {
+class FileStorage(spark: SparkSession, val root: String,
+    lockWaitMs: Long = 30000, lockStaleMs: Long = 600000) extends Storage {
 
   private def topicDir(t: String) = s"$root/topics/$t"
   private def dataDir(t: String) = s"${topicDir(t)}/data"
@@ -138,7 +139,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
   private def withWriterLock[A](topic: String)(f: => A): A = {
     val lock = Paths.get(s"${topicDir(topic)}/.writer.lock")
     val token = java.util.UUID.randomUUID().toString
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + lockWaitMs
     var acquired = false
     while (!acquired) {
       try {
@@ -148,7 +149,7 @@ class FileStorage(spark: SparkSession, root: String) extends Storage {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale = try {
-            System.currentTimeMillis() - JFiles.getLastModifiedTime(lock).toMillis > 600000
+            System.currentTimeMillis() - JFiles.getLastModifiedTime(lock).toMillis > lockStaleMs
           } catch { case _: java.nio.file.NoSuchFileException => false }
           if (stale) {
             val grave = Paths.get(s"${topicDir(topic)}/.writer.lock.reclaim.$token")

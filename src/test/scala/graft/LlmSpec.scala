@@ -122,4 +122,27 @@ class LlmSpec extends SparkSpec {
     assert(res(1L) == "en")
     assert(res(2L) == "es")
   }
+
+  test("hashString folds Unicode code points (surrogate pairs as one value)") {
+    import graft.llm.Hashing
+    def fnv1aOverCodePoints(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.codePoints().forEach { cp => h ^= cp; h *= 0x100000001b3L }
+      h
+    }
+    // supplementary-plane text: each emoji is a surrogate pair in UTF-16
+    // but must fold as its single code point (what DuckDB's unicode() sees)
+    for (s <- Seq("hello 😀 world", "🍕🍕", "plain ascii", "café"))
+      assert(Hashing.hashString(s) == fnv1aOverCodePoints(s), s"mismatch for '$s'")
+  }
+
+  test("tokenization keeps trailing empty tokens (matches DuckDB str_split)") {
+    import spark.implicits._
+    // 'a b' vs 'a b ' differ by a trailing empty token; DuckDB's str_split
+    // keeps it, so the signature kernels must too or the oracles diverge
+    val df = Seq((1L, "a b"), (2L, "a b ")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) != sigs(2L))
+  }
 }

@@ -100,6 +100,22 @@ class SerdeSpec extends SparkSpec {
     }
   }
 
+  test("proto wire varint rejects overlong and truncated input") {
+    import graft.serde.ProtoWire
+    // 11 continuation bytes: a conforming decoder must fail, not wrap the
+    // shift mod 64 and fold high bits into low positions
+    val overlong = Array.fill[Byte](11)(0x80.toByte) :+ 0x01.toByte
+    intercept[IllegalArgumentException](ProtoWire.readVarint(overlong, 0))
+    // continuation bit set on the last available byte: truncated
+    val truncated = Array[Byte](0x80.toByte, 0x80.toByte)
+    intercept[IllegalArgumentException](ProtoWire.readVarint(truncated, 0))
+    // a full 10-byte varint (-1L) still decodes
+    val out = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(out, -1L)
+    assert(out.toByteArray.length == 10)
+    assert(ProtoWire.readVarint(out.toByteArray, 0)._1 == -1L)
+  }
+
   test("proto events roundtrip and unknown fields are skipped by wire type") {
     import graft.serde.ProtoWire
     val rows = Seq((1L, "view", 3.5), (2L, "héllo✓", -0.0), (3L, "", Double.NaN))

@@ -183,5 +183,32 @@ class StorageSpec extends SparkSpec {
       "duplicate (partition, offset) coordinates: writer lock failed")
   }
 
+  test("a stale writer lock (dead holder, no heartbeat) is reclaimed") {
+    val fs = freshStorage()
+    fs.createTopic("stale", 1)
+    // simulate a crashed holder: lock exists with an mtime past the stale bar
+    val lock = java.nio.file.Paths.get(s"${fs.root}/topics/stale/.writer.lock")
+    java.nio.file.Files.writeString(lock, "dead-holder-token")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 11 * 60 * 1000))
+    fs.produce("stale", sampleBatch(10)) // must reclaim, not wait out the deadline
+    assert(fs.read("stale").count() == 10L)
+    assert(!java.nio.file.Files.exists(lock), "lock released after reclaim+produce")
+  }
+
+  test("a fresh foreign writer lock blocks until timeout rather than being stolen") {
+    val fs = new FileStorage(spark,
+      java.nio.file.Files.createTempDirectory("graft_fs").toString,
+      lockWaitMs = 1500) // short deadline so the suite doesn't wait 30s
+    fs.createTopic("held", 1)
+    val lock = java.nio.file.Paths.get(s"${fs.root}/topics/held/.writer.lock")
+    java.nio.file.Files.writeString(lock, "live-holder-token")
+    val t0 = System.currentTimeMillis()
+    intercept[IllegalStateException](fs.produce("held", sampleBatch(1)))
+    assert(System.currentTimeMillis() - t0 >= 1500)
+    assert(java.nio.file.Files.readString(lock) == "live-holder-token",
+      "foreign lock content must be untouched")
+  }
+
   private def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
 }
