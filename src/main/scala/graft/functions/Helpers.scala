@@ -29,7 +29,17 @@ object Helpers {
 
   def zstdDecompress(bytes: Array[Byte]): Array[Byte] = {
     val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
-    com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+    // streaming compressors may omit the content size (negative return);
+    // frames >= 2 GiB would wrap toInt negative — both take the streaming
+    // path instead of failing on valid input
+    if (size > 0 && size <= Int.MaxValue)
+      com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+    else if (size == 0) Array.emptyByteArray
+    else {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    }
   }
 
   // ---- glob pattern match (helpers.py:270-280) ----

@@ -22,7 +22,6 @@ object AddOns {
     * would sort every partition — deliberately avoided.)
     */
   def compact(env: DataFrame): DataFrame = {
-    val cols = env.columns.map(col).toSeq
     env
       .groupBy("key")
       .agg(expr(s"max_by(struct(${env.columns.mkString(", ")}), offset)").as("__last"))

@@ -27,10 +27,19 @@ object Flatten {
           changed = true
           f.dataType match {
             case st: StructType =>
-              val others = cur.columns.filterNot(_ == f.name).map(col)
-              val flat = st.fieldNames.map(n =>
-                col(s"`${f.name}`.`$n`").as(s"${f.name}_$n"))
-              cur = cur.select(others ++ flat: _*)
+              val others = cur.columns.filterNot(_ == f.name)
+              // `parent_field` can collide with an existing column (e.g.
+              // `user_id` next to `user: struct<id>`); suffix until unique so
+              // the output never carries duplicate names that blow up the
+              // first downstream reference with AMBIGUOUS_REFERENCE
+              val taken = scala.collection.mutable.Set[String](others: _*)
+              val flat = st.fieldNames.map { n =>
+                var name = s"${f.name}_$n"
+                while (taken(name)) name += "_"
+                taken += name
+                col(s"`${f.name}`.`$n`").as(name)
+              }
+              cur = cur.select(others.map(col) ++ flat: _*)
             case _: ArrayType =>
               val others = cur.columns.filterNot(_ == f.name).map(col)
               cur = cur.select(others :+ explode_outer(col(s"`${f.name}`")).as(f.name): _*)

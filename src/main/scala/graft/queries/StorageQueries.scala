@@ -12,12 +12,18 @@ import graft.storage.FileStorage
   * same derivation in DuckDB. */
 object StorageQueries {
 
+  /** Recursive delete that closes its directory stream (walk leaks an fd
+    * per call otherwise — these queries run repeatedly in one bench JVM). */
+  private def deleteTree(rootP: java.nio.file.Path): Unit =
+    if (JFiles.exists(rootP)) {
+      val s = JFiles.walk(rootP)
+      try s.iterator().asScala.toSeq.reverse.foreach(JFiles.delete) finally s.close()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_storage_roundtrip" -> ((s, dir) => {
       val root = "/tmp/graft_storage_rt"
-      val rootP = Paths.get(root)
-      if (JFiles.exists(rootP))
-        JFiles.walk(rootP).iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+      deleteTree(Paths.get(root))
       val fs = new FileStorage(s, root)
       fs.createTopic("events", Envelope.NumPartitions)
       // explicit partition (user_id % 4) so the oracle can reproduce the
@@ -35,9 +41,7 @@ object StorageQueries {
       // reuses the topic written by q_storage_roundtrip when run in order;
       // rebuild defensively if missing
       val root = "/tmp/graft_storage_oft"
-      val rootP = Paths.get(root)
-      if (JFiles.exists(rootP))
-        JFiles.walk(rootP).iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+      deleteTree(Paths.get(root))
       val fs = new FileStorage(s, root)
       fs.createTopic("events", Envelope.NumPartitions)
       fs.produce("events",

@@ -140,6 +140,10 @@ object ZSetQueries {
     "q_wordcount" -> ((s, dir) => {
       // The reference's flagship wc topology (test/streams/wc/topologies.py:5-26)
       // through the Topology DSL: source → flatmap(words) → distinct → count.
+      // The record deliberately carries `pos` (the reference emits `position`
+      // the same way), so distinct is NOT a dedup on this corpus — it is the
+      // Z-set weight normalization to {0,1} the reference applies, and it is
+      // semantic when the source carries weights > 1 or retractions.
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TNode.source("docs", ZSet.fromRecords(docs.select("doc_id", "text")))
         .flatmap(posexplode(split(col("text"), " ")), col("doc_id"))

@@ -15,9 +15,14 @@ import graft.model.Envelope
   * The reference encodes offsets/timestamps in batch-file NAMES and binary-
   * searches them; here the same pruning falls out of parquet row-group
   * statistics — an offset/ts predicate reaches the scan as a PushedFilter,
-  * so a seek reads only the row groups that overlap the range. `root` can be
-  * any Hadoop FS URI (file://, s3a://, abfss://) — SURVEY §2.1's backend
-  * uniformity comes from the connector, not from this class.
+  * so a seek reads only the row groups that overlap the range.
+  *
+  * `root` is a LOCAL filesystem path in this class: the metadata plane
+  * (meta.json, group offsets, the writer lock) uses java.nio precisely for
+  * its atomic CREATE_NEW / ATOMIC_MOVE guarantees, which object stores do
+  * not offer. Object-store backends (s3a://, abfss://) go through
+  * [[HadoopFileStorage]], which runs the same data plane over the Hadoop
+  * FileSystem API and documents the weaker metadata atomicity there.
   *
   * Layout: `<root>/topics/<name>/data/` (parquet) + `meta.json`
   * (partition count, fs_admin.py:349-369); `<root>/groups/<g>/<topic>.json`
@@ -151,16 +156,23 @@ class FileStorage(spark: SparkSession, val root: String,
           val stale = try {
             System.currentTimeMillis() - JFiles.getLastModifiedTime(lock).toMillis > lockStaleMs
           } catch { case _: java.nio.file.NoSuchFileException => false }
-          if (stale) {
+          val reclaimed = stale && {
             val grave = Paths.get(s"${topicDir(topic)}/.writer.lock.reclaim.$token")
             try {
               JFiles.move(lock, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
               JFiles.deleteIfExists(grave)
-            } catch { case _: java.io.IOException => () } // another contender won the rename
-          } else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"writer lock for topic '$topic' held by another producer ($lock)")
-          else Thread.sleep(100)
+              true
+            } catch { case _: java.io.IOException => false } // another contender won the rename
+          }
+          // the stale branch must also respect the deadline and back off: a
+          // filesystem where the rename fails persistently (e.g. no atomic
+          // move) must time out, not busy-spin at 100% CPU
+          if (!reclaimed) {
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"writer lock for topic '$topic' held by another producer ($lock)")
+            Thread.sleep(100)
+          }
       }
     }
     val hb = new Thread(() => {
@@ -183,15 +195,20 @@ class FileStorage(spark: SparkSession, val root: String,
     }
   }
 
-  /** Crash-safe metadata write: temp file + ATOMIC_MOVE, so a reader never
-    * observes a torn meta.json and a crash mid-write leaves the old file. */
-  private def writeMetaAtomic(topic: String, content: String): Unit = {
-    val tmp = Paths.get(s"${topicDir(topic)}/.meta.json.tmp.${java.util.UUID.randomUUID()}")
+  /** Crash-safe small-file write: temp file in the same directory +
+    * ATOMIC_MOVE, so a reader never observes a torn file and a crash
+    * mid-write leaves the old content. */
+  private def writeAtomic(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.tmp.${java.util.UUID.randomUUID()}")
     JFiles.writeString(tmp, content)
-    JFiles.move(tmp, metaPath(topic),
+    JFiles.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def writeMetaAtomic(topic: String, content: String): Unit =
+    writeAtomic(metaPath(topic), content)
 
   private def emptyLog(topic: String): DataFrame =
     spark.createDataFrame(
@@ -205,35 +222,17 @@ class FileStorage(spark: SparkSession, val root: String,
     else spark.read.schema(Envelope.schema).parquet(dataDir(topic))
   }
 
-  override def produce(topic: String, df: DataFrame): Unit = withWriterLock(topic) {
+  override def produce(topic: String, df: DataFrame): Unit = {
+    // checked before lock acquisition: creating the lock file inside a
+    // missing topic directory would throw a raw NoSuchFileException and mask
+    // the intended error message
     require(exists(topic), s"no such topic: $topic")
-    val p = partitions(topic)
-    val withKey = if (df.columns.contains("key")) df else df.withColumn("key", lit(null).cast("string"))
-    // hash-of-key partitioner (kafi/helpers.py:338-352); explicit partition wins
-    val withPart =
-      if (withKey.columns.contains("partition")) withKey
-      else withKey.withColumn("partition", pmod(hash(col("key")), lit(p)).cast("int"))
-    val withTs =
-      if (withPart.columns.contains("timestamp")) withPart
-      else withPart.withColumn("timestamp", current_timestamp()) // CURRENT_TIME (fs_producer.py:36-37)
-    val hw = watermarks(topic).select(col("partition"), col("high"))
-    val assigned = withTs
-      .join(broadcast(hw), Seq("partition"), "left")
-      // content-deterministic ordering: (timestamp, key, value) — the same
-      // input always yields the same offsets regardless of task scheduling;
-      // monotonically_increasing_id only breaks ties between IDENTICAL
-      // rows, where any assignment is equivalent
-      .withColumn("offset",
-        (row_number().over(Window.partitionBy("partition")
-          .orderBy(col("timestamp"), col("key"), col("value"), monotonically_increasing_id())) - 1
-          + coalesce(col("high"), lit(0L))).cast("long"))
-      .drop("high")
-      .withColumn("topic", lit(topic))
-      .withColumn("timestampType", lit(1))
-      .withColumn("headers",
-        if (withTs.columns.contains("headers")) col("headers") else lit(null).cast(Envelope.headersType))
-      .select(Envelope.columnNames.map(col): _*)
-    assigned.write.mode("append").parquet(dataDir(topic))
+    produceLocked(topic, df)
+  }
+
+  private def produceLocked(topic: String, df: DataFrame): Unit = withWriterLock(topic) {
+    LogProduce.assign(topic, df, partitions(topic), watermarks(topic))
+      .write.mode("append").parquet(dataDir(topic))
   }
 
   /** Streaming read of the topic log (streams source,
@@ -272,7 +271,9 @@ class FileStorage(spark: SparkSession, val root: String,
     JFiles.createDirectories(groupPath(group, topic).getParent)
     val body = offsets.toSeq.sortBy(_._1)
       .map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
-    JFiles.writeString(groupPath(group, topic), body)
+    // atomic like meta.json: a crash mid-write must not leave a torn file
+    // that committed()'s scrape would silently read as a partial offset map
+    writeAtomic(groupPath(group, topic), body)
   }
 
   override def committed(group: String, topic: String): Map[Int, Long] = {
