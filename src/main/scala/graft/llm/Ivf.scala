@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.functions.Exprs
 
 /** IVF (inverted-file) ANN — the coarse-quantizer scale path, complementing
@@ -48,31 +49,101 @@ object Ivf {
       .toDF("vec_id", "embedding", "__q", "__h")
   }
 
-  /** element-wise integer SUM of quantized vectors per group (posexplode +
-    * groupBy(dim) stays columnar and shuffles (id, dim, v)). Sums, not
-    * means: cosine assignment is scale-invariant, and integer sums are
-    * order-independent — bit-identical across engines and cluster sizes,
-    * where a floating mean depends on reduction order. */
-  private def sumVectors(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("list_id"), posexplode(col("__q")).as(Seq("dim", "v")))
-      .groupBy("list_id", "dim")
-      .agg(sum("v").as("sv"))
-      .groupBy("list_id")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, sv))), x -> x.sv)").as("centroid"))
+  /** Element-wise integer sum of quantized vectors, as a typed Aggregator:
+    * partial aggregation collapses each map task to ≤k local sums, so the
+    * exchange carries k rows per partition — not the N×d (id, dim, v) blowup
+    * a posexplode + groupBy(dim) shape would shuffle every Lloyd iteration.
+    * Sums, not means: cosine assignment is scale-invariant, and integer
+    * sums are order-independent — bit-identical across engines and cluster
+    * sizes, where a floating mean depends on reduction order. */
+  private object SumVec extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Array[Long]), Array[Long], Array[Long]] {
+    private def add(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (b.isEmpty) a.clone()
+      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], a: (Long, Array[Long])): Array[Long] = add(b, a._2)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.isEmpty) y else add(x, y)
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 
-  /** Nearest-centroid assignment: broadcast the k-row centroid table.
-    * Cosine casts the integer centroid through float — the same conversion
-    * chain the oracle replays. */
-  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", Exprs.cosine(col("embedding"), col("centroid")))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("__sim").desc, col("list_id"))))
-      .filter(col("__rk") === 1)
-      .drop("__sim", "__rk", "centroid")
+  private def sumVectors(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col("list_id").cast("long"), col("__q"))
+      .as[(Long, Array[Long])]
+      .groupByKey(_._1)
+      .agg(SumVec.toColumn.name("centroid"))
+      .toDF("list_id", "centroid")
+  }
+
+  /** Centroids pulled to the driver for broadcast: (list_id, values as
+    * double, precomputed squared norm), ascending list_id. The long→float
+    * cast happens at the Spark layer so the conversion chain is identical
+    * to `Exprs.cosine(_, centroid)` (long → float → double). k rows only. */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double], Double)] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.select(col("list_id").cast("long"), col("centroid").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, c) =>
+        val v = new Array[Double](c.length)
+        var ny = 0.0
+        var i = 0
+        while (i < c.length) { v(i) = c(i).toDouble; ny += v(i) * v(i); i += 1 }
+        (id, v, ny)
+      }
+  }
+
+  /** Nearest-centroid assignment as a MAP-SIDE argmax: centroids are k rows,
+    * collected and broadcast, and each corpus row scans them in one typed
+    * projection — zero shuffle, no k× row blowup, no per-key window sort.
+    * (The previous crossJoin + row_number form shuffled k× the corpus per
+    * Lloyd iteration — a scale-killer at k=4096.) Arithmetic replicates
+    * [[graft.functions.CosineSimilarity]] exactly: sequential double fold
+    * over float inputs, sqrt(nx)*sqrt(ny) denominator, zero-norm → 0.0 —
+    * so assignments are bit-identical to the old plan and the oracle.
+    * Ties break to the lowest list_id (strict `>` over ascending ids),
+    * matching the old `orderBy(sim desc, list_id)`. All input columns pass
+    * through with `list_id` appended. */
+  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    val in = corpus.withColumn("embedding", col("embedding").cast("array<float>"))
+    val outSchema = in.schema.add("list_id", LongType, nullable = false)
+    val embIdx = in.schema.fieldIndex("embedding")
+    in.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { row =>
+        val e = row.getAs[scala.collection.Seq[Float]](embIdx)
+        val n = e.length
+        val x = new Array[Double](n)
+        var nx = 0.0
+        var i = 0
+        while (i < n) { x(i) = e(i).toDouble; nx += x(i) * x(i); i += 1 }
+        var bestId = cs(0)._1
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val (id, v, ny) = cs(c)
+          val d = math.min(n, v.length)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += x(j) * v(j); j += 1 }
+          val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+          if (sim > bestSim) { bestSim = sim; bestId = id }
+          c += 1
+        }
+        Row.fromSeq(row.toSeq :+ bestId)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Train k centroids with `iters` Lloyd iterations. `df` needs
     * (vec_id: long, embedding: array<float>). Centroids are integer
@@ -81,7 +152,9 @@ object Ivf {
     // deterministic seed: the k hash-smallest vectors by splitmix64(vec_id)
     // — a TakeOrdered (top-k per partition + k-way merge), never a global
     // sort; the row_number window then runs over only k rows
+    // one materialization feeds every Lloyd pass (seed + iters assignments)
     val quant = withQuantized(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = quant.orderBy("__h").limit(k)
     var centroids: DataFrame = sample.select(
       (row_number().over(
@@ -103,6 +176,7 @@ object Ivf {
       centroids = reseeded.sparkSession.createDataFrame(rows, reseeded.schema)
       i += 1
     }
+    quant.unpersist(blocking = false)
     centroids
   }
 

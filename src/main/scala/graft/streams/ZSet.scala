@@ -65,12 +65,20 @@ object ZSet {
 
   /** intersect — equality join of the distinct'd sides projecting left
     * (topologynode.py:322-326 delegates to join). Compiled as a LEFT SEMI
-    * join: no fanout, no right-side columns shuffled. */
+    * join: no fanout, no right-side columns shuffled.
+    *
+    * Both sides are aliased and the condition built from alias-qualified
+    * names: when a and b derive from the same frame (the common Z-set
+    * pattern), `da(c) <=> db(c)` resolves both sides to the SAME attribute
+    * — a trivially-true predicate (the SPARK-25150 self-join hazard).
+    * Qualified names force per-alias resolution. PlanSpec asserts no join
+    * in any declared query carries a same-attribute equality. */
   def intersect(a: DataFrame, b: DataFrame): DataFrame = {
-    val da = distinct(a)
-    val db = distinct(b).drop(W)
-    val cond = da.columns.filterNot(_ == W)
-      .map(c => da(c) <=> db(c)).reduce(_ && _)
+    val cols = a.columns.filterNot(_ == W)
+    val da = distinct(a).alias("__zsl")
+    val db = distinct(b).drop(W).alias("__zsr")
+    val cond = cols
+      .map(c => col(s"__zsl.`$c`") <=> col(s"__zsr.`$c`")).reduce(_ && _)
     da.join(db, cond, "left_semi")
   }
 

@@ -1,5 +1,9 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions.col
+
 /** Plan audits: the scale properties the judge and a 1000-executor cluster
   * both care about, asserted on the optimized physical plans of every
   * registered query. A regression that turns a bucketed join into a cross
@@ -12,8 +16,9 @@ class PlanSpec extends SparkSpec {
   //  - q_ann_brute: brute-force baseline (broadcast NLJ against 10 queries)
   //  - q_trigger / q_expire: watermark = ONE-row aggregate broadcast onto the
   //    stream (Linear.expire/trigger) — a 1-row build side at any scale
-  //  - q_ann_ivf: centroid assignment = k-row (k=16) centroid table broadcast
-  //    against the corpus scan — the IVF coarse quantizer's intended shape
+  //  - q_ann_ivf: the probe step crossJoins |queries| rows × the k-row
+  //    centroid table (both tiny, broadcast) to pick nprobe lists; the
+  //    corpus-side assignment itself is a map-side kernel (asserted below)
   private val intendedNestedLoop =
     Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf")
 
@@ -54,6 +59,39 @@ class PlanSpec extends SparkSpec {
     val plan = SparkEntry.queries("q_salted_sum")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(plan).size >= 4, s"expected salted double agg:\n$plan")
+  }
+
+  test("no trivially-true join conditions in any registered query") {
+    // The SPARK-25150 self-join hazard: a condition built as da(c) <=> db(c)
+    // on frames sharing lineage resolves both sides to the SAME attribute —
+    // the join silently degrades to a filter-true. Two smoking guns in the
+    // analyzed plan: an equality whose two sides are one attribute, or a
+    // join condition whose references all come from one side.
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val analyzed = fn(spark, sfDir).queryExecution.analyzed
+      val bad = analyzed.collect { case j: Join =>
+        val sameAttr = j.condition.toSeq.flatMap(_.collect {
+          case e @ EqualTo(l: AttributeReference, r: AttributeReference)
+            if l.exprId == r.exprId => e
+          case e @ EqualNullSafe(l: AttributeReference, r: AttributeReference)
+            if l.exprId == r.exprId => e
+        })
+        val oneSided = j.condition.filter(c =>
+          c.references.nonEmpty &&
+            (c.references.subsetOf(j.left.outputSet) || c.references.subsetOf(j.right.outputSet)))
+        sameAttr.map(_.toString) ++ oneSided.map(c => s"one-sided: $c")
+      }.flatten
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty, s"trivially-true join conditions:\n${offenders.mkString("\n")}")
+  }
+
+  test("IVF assignment is map-side: no exchange or window between scan and list_id") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+    val cents = graft.llm.Ivf.train(e, k = 8, iters = 1)
+    val plan = graft.llm.Ivf.index(e, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"IVF assignment shuffles the corpus:\n$plan")
+    assert(!plan.contains("Window"), s"IVF assignment sorts per key:\n$plan")
   }
 
   test("whole-stage codegen covers the hot aggregation path (q1)") {
