@@ -106,6 +106,30 @@ object SerdeQueries {
         .orderBy("event_id")
     }),
 
+    // JSON-Schema payload validation (deserializer.py:27-43): compile the
+    // schema to a StructType once, per-row valid/error columns instead of
+    // the reference's per-row ValidationError. Three payload shapes are
+    // synthesized deterministically: malformed (%11), missing a required
+    // field (%7), valid (rest).
+    "q_serde_jsonschema" -> ((s, dir) => {
+      val schema =
+        """{"type":"object","properties":{
+          |"id":{"type":"integer"},"text":{"type":"string"},"lang":{"type":["string","null"]}},
+          |"required":["id","text"]}""".stripMargin
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val payload = when(col("doc_id") % 11 === 0, lit("{not json"))
+        .when(col("doc_id") % 7 === 0,
+          to_json(struct(col("doc_id").as("id"), col("lang").as("lang"))))
+        .otherwise(
+          to_json(struct(col("doc_id").as("id"), col("text").as("text"), col("lang").as("lang"))))
+      docs.select(col("doc_id"), payload.as("__p"))
+        .select(col("doc_id"),
+          graft.serde.JsonSchema.isValid(col("__p"), schema).as("valid"),
+          graft.serde.JsonSchema.error(col("__p"), schema).as("error"),
+          graft.serde.JsonSchema.decode(col("__p"), schema).getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // recursive flattener (helpers.py:283-303)
     "q_explode_normalize" -> ((s, dir) => {
       val ev = Envelope.readEvents(s, dir).withColumnRenamed("value", "amount")
@@ -153,6 +177,32 @@ object SerdeQueries {
 
     "q_serde_proto" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    // json_extract throws on malformed JSON in DuckDB — every extraction is
+    // guarded by json_valid; json_extract returns SQL NULL for BOTH a
+    // missing key and a JSON null, exactly matching Spark's get_json_object
+    "q_serde_jsonschema" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN '{not json'
+        |         WHEN doc_id % 7 = 0 THEN to_json(struct_pack(id := doc_id, lang := lang))::VARCHAR
+        |         ELSE to_json(struct_pack(id := doc_id, text := text, lang := lang))::VARCHAR
+        |    END AS payload
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, json_valid(payload) AS ok,
+        |    CASE WHEN json_valid(payload) THEN json_extract(payload, '$.id') END AS jid,
+        |    CASE WHEN json_valid(payload) THEN json_extract(payload, '$.text') END AS jtext,
+        |    CASE WHEN json_valid(payload) THEN json_extract_string(payload, '$.text') END AS text
+        |  FROM p)
+        |SELECT doc_id,
+        |  (ok AND jid IS NOT NULL AND jtext IS NOT NULL) AS valid,
+        |  CASE WHEN NOT ok THEN 'malformed'
+        |       WHEN jid IS NULL THEN 'missing:id'
+        |       WHEN jtext IS NULL THEN 'missing:text'
+        |       ELSE NULL END AS error,
+        |  text
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_explode_normalize" ->
       """SELECT * FROM (

@@ -101,10 +101,15 @@ class SchemaRegistry(baseUrl: String,
     byId.getOrElseUpdate(id, jsonStr(get(s"/schemas/ids/$id"), "schema"))
 
   /** Register a schema under a subject, returning its id; seeds the cache.
-    * POST /subjects/{subject}/versions. */
-  def register(subject: String, schemaJson: String): Int = {
+    * POST /subjects/{subject}/versions. `schemaType` is AVRO (the Confluent
+    * default, omitted from the body), JSON, or PROTOBUF — the reference
+    * registers all three (kafi/schemaregistry.py register path). */
+  def register(subject: String, schemaJson: String, schemaType: String = "AVRO"): Int = {
+    val typeField =
+      if (schemaType == "AVRO") "" else s""", "schemaType": "$schemaType""""
     val id = jsonInt(
-      post(s"/subjects/${enc(subject)}/versions", s"""{"schema": "${jsonEscape(schemaJson)}"}"""),
+      post(s"/subjects/${enc(subject)}/versions",
+        s"""{"schema": "${jsonEscape(schemaJson)}"$typeField}"""),
       "id")
     byId.putIfAbsent(id, schemaJson)
     id

@@ -16,14 +16,15 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
   @volatile private var idHits = 0
   private val schema = """{"type":"record","name":"Doc","fields":[{"name":"t","type":"string"}]}"""
 
+  private def reply(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress(0), 0)
-    def reply(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.sendResponseHeaders(200, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    }
     val escaped = schema.replace("\"", "\\\"")
     server.createContext("/schemas/ids/7", ex => { idHits += 1; reply(ex, s"""{"schema": "$escaped"}""") })
     server.createContext("/subjects/docs-value/versions/latest",
@@ -83,6 +84,33 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("subject names with spaces are URL-encoded") {
     val sr = new SchemaRegistry(url)
     assert(sr.versions("my subject") == Seq(5))
+  }
+
+  test("JSON schemaType registers with the type field and drives json_sr validation") {
+    val jsonSchema =
+      """{"type":"object","properties":{"t":{"type":"string"}},"required":["t"]}"""
+    @volatile var sawType = false
+    server.createContext("/subjects/docs-json/versions", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      sawType = body.contains(""""schemaType": "JSON"""")
+      reply(ex, """{"id": 11}""")
+    })
+    server.createContext("/schemas/ids/11",
+      ex => reply(ex, s"""{"schema": "${jsonSchema.replace("\"", "\\\"")}", "schemaType": "JSON"}"""))
+    val sr = new SchemaRegistry(url)
+    assert(sr.register("docs-json", jsonSchema, schemaType = "JSON") == 11)
+    assert(sawType, "JSON registration must carry schemaType")
+    // data-plane handoff: registry id -> compiled StructType -> validation
+    val st = graft.serde.JsonSchema.structFromRegistry(new SchemaRegistry(url), 11)
+    assert(st.fieldNames.toSeq == Seq("t") && !st("t").nullable)
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Seq((1L, """{"t":"x"}"""), (2L, """{}"""))
+      .toDF("id", "p")
+      .select(col("id"), graft.serde.JsonSchema.isValid(col("p"), jsonSchema).as("v"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(1L) && !got(2L))
   }
 
   test("registered schema drives the Avro + Confluent-frame data path") {

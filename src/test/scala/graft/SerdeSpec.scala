@@ -85,6 +85,58 @@ class SerdeSpec extends SparkSpec {
     }
   }
 
+  test("json schema compiles to StructType: nesting, unions, required nullability") {
+    import graft.serde.JsonSchema
+    import org.apache.spark.sql.types._
+    val schema =
+      """{"type":"object",
+        |"properties":{
+        |  "id":{"type":"integer"},
+        |  "score":{"type":"number"},
+        |  "ok":{"type":"boolean"},
+        |  "tags":{"type":"array","items":{"type":"string"}},
+        |  "meta":{"type":"object","properties":{"k":{"type":"string"}},"required":["k"]},
+        |  "opt":{"type":["string","null"]}},
+        |"required":["id","tags"]}""".stripMargin
+    val st = JsonSchema.toStruct(schema)
+    assert(st("id") == StructField("id", LongType, nullable = false))
+    assert(st("score").dataType == DoubleType && st("score").nullable)
+    assert(st("ok").dataType == BooleanType)
+    assert(st("tags") == StructField("tags", ArrayType(StringType), nullable = false))
+    assert(st("meta").dataType == StructType(Seq(StructField("k", StringType, nullable = false))))
+    assert(st("opt") == StructField("opt", StringType, nullable = true))
+    assert(JsonSchema.required(schema) == Seq("id", "tags"))
+  }
+
+  test("json schema validation flags malformed, missing-required, and null-required payloads") {
+    import graft.serde.JsonSchema
+    val schema =
+      """{"type":"object","properties":{"id":{"type":"integer"},"text":{"type":"string"}},
+        |"required":["id","text"]}""".stripMargin
+    val rows = Seq(
+      (1L, """{"id":1,"text":"ok"}"""),      // valid
+      (2L, """{"id":2}"""),                  // missing required text
+      (3L, """{"id":null,"text":"x"}"""),    // required field JSON-null
+      (4L, """not json at all"""),           // malformed
+      (5L, """{"id":5,"text":null}"""))      // required field JSON-null
+    val df = rows.toDF("rid", "payload")
+    val got = df.select(col("rid"),
+        JsonSchema.isValid(col("payload"), schema).as("valid"),
+        JsonSchema.error(col("payload"), schema).as("error"))
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, true, null),
+      (2L, false, "missing:text"),
+      (3L, false, "missing:id"),
+      (4L, false, "malformed"),
+      (5L, false, "missing:text")))
+    // decode never throws and preserves what it can
+    val dec = df.select(col("rid"),
+        JsonSchema.decode(col("payload"), schema).getField("text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(dec(1L) == "ok" && dec(2L) == null && dec(4L) == null)
+  }
+
   test("proto wire varint roundtrips boundary values") {
     import graft.serde.ProtoWire
     val values = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong,
