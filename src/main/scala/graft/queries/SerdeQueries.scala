@@ -106,6 +106,29 @@ object SerdeQueries {
         .orderBy("event_id")
     }),
 
+    // Descriptor-driven protobuf (serializer.py:108-123): a second,
+    // differently-shaped message parsed from .proto text at runtime —
+    // sint64 exercises zigzag, bool the varint-bool path, and absent
+    // fields decode to proto3 defaults
+    "q_serde_proto_generic" -> ((s, dir) => {
+      val descriptor =
+        """syntax = "proto3";
+          |message Doc {
+          |  int64 doc_id = 1;
+          |  string lang = 2;
+          |  sint64 signed_len = 3;
+          |  bool long_doc = 4;
+          |  string text = 5;
+          |}""".stripMargin
+      val msg = graft.serde.ProtoWire.parseDescriptor(descriptor)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("signed_len", -col("n_chars"))
+        .withColumn("long_doc", col("n_chars") > 500)
+      graft.serde.ProtoWire.decode(
+          graft.serde.ProtoWire.encode(docs, msg, keep = Nil), "proto", msg)
+        .orderBy("doc_id")
+    }),
+
     // JSON-Schema payload validation (deserializer.py:27-43): compile the
     // schema to a StructType once, per-row valid/error columns instead of
     // the reference's per-row ValidationError. Three payload shapes are
@@ -177,6 +200,10 @@ object SerdeQueries {
 
     "q_serde_proto" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    "q_serde_proto_generic" ->
+      """SELECT doc_id, lang, -n_chars AS signed_len, (n_chars > 500) AS long_doc, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // json_extract throws on malformed JSON in DuckDB — every extraction is
     // guarded by json_valid; json_extract returns SQL NULL for BOTH a

@@ -105,6 +105,27 @@ object ZSetQueries {
         "l_returnflag", "l_quantity", Aggregators.sumOfSquares, "sum_sq")
         .orderBy("l_returnflag")),
 
+    // arbitrary-record NON-COMMUTATIVE fold (topologynode.py:448-459): a
+    // floor-at-zero running balance b' = max(0, b + cents), folded in
+    // (ts, event_id) order over each user's struct records — the order
+    // matters, so this exercises the refold path, not a mergeable agg.
+    // floor() before the long cast: Spark truncates double→long, DuckDB
+    // rounds; floor is identical IEEE arithmetic on both.
+    "q_zs_groupby_agg_struct" -> ((s, dir) => {
+      val ev = Envelope.readEvents(s, dir)
+      val z = ZSet.fromRecords(ev.select(
+        col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents")))
+      val present = ZSet.consolidate(z).filter(col(ZSet.W) > 0).drop(ZSet.W)
+      val centsIdx = 2 // struct order: (ts, event_id) ++ rest = (ts, event_id, cents)
+      Aggregators.groupByAggRefold(
+        present, keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        z = 0L, fold = (b: Long, r: org.apache.spark.sql.Row) =>
+          math.max(0L, b + r.getLong(centsIdx)),
+        as = "floored_balance", org.apache.spark.sql.types.LongType)
+        .orderBy("user_id")
+    }),
+
     "q_zs_global_agg" -> ((s, dir) =>
       ZSet.globalAgg(zs(s, dir))(
         sum(col(ZSet.W)).as("n"),
@@ -253,6 +274,16 @@ object ZSetQueries {
     "q_zs_groupby_agg" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // list_reduce has no initial-value form: prepend the fold's zero
+    "q_zs_groupby_agg_struct" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id,
+        |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
+        |              (a, b) -> greatest(a + b, 0)) AS floored_balance
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_zs_global_agg" ->
       s"""$zsCte SELECT CAST(sum(weight) AS BIGINT) AS n,

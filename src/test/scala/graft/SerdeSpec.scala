@@ -168,6 +168,64 @@ class SerdeSpec extends SparkSpec {
     assert(ProtoWire.readVarint(out.toByteArray, 0)._1 == -1L)
   }
 
+  test("descriptor-driven proto roundtrips all scalar types incl. zigzag and float") {
+    import graft.serde.ProtoWire
+    val msg = ProtoWire.parseDescriptor(
+      """// flat scalar coverage
+        |syntax = "proto3";
+        |message All {
+        |  int64 a = 1;
+        |  sint64 b = 2;
+        |  bool c = 3;
+        |  double d = 4;
+        |  float e = 5;
+        |  string f = 6;
+        |  bytes g = 7;
+        |}""".stripMargin)
+    assert(msg.name == "All" && msg.fields.map(_.number) == Seq(1, 2, 3, 4, 5, 6, 7))
+    val df = Seq(
+      (1L, Long.MinValue, true, 3.5, 1.25f, "héllo✓", Array[Byte](0, -1, 127)),
+      (2L, -1L, false, -0.0, Float.NaN, "", Array.emptyByteArray))
+      .toDF("a", "b", "c", "d", "e", "f", "g")
+    val back = ProtoWire.decode(ProtoWire.encode(df, msg, keep = Nil), "proto", msg)
+      .as[(Long, Long, Boolean, Double, Float, String, Array[Byte])]
+      .collect().sortBy(_._1)
+    val exp = df.as[(Long, Long, Boolean, Double, Float, String, Array[Byte])]
+      .collect().sortBy(_._1)
+    back.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3)
+      assert(java.lang.Double.doubleToLongBits(g._4) == java.lang.Double.doubleToLongBits(e._4))
+      assert(java.lang.Float.floatToIntBits(g._5) == java.lang.Float.floatToIntBits(e._5))
+      assert(g._6 == e._6 && g._7.sameElements(e._7))
+    }
+  }
+
+  test("descriptor decode: absent fields default, foreign fields skip, nulls omitted") {
+    import graft.serde.ProtoWire
+    val wide = ProtoWire.parseDescriptor(
+      "message W { int64 id = 1; string s = 2; double d = 3; }")
+    val narrow = ProtoWire.parseDescriptor(
+      "message N { int64 id = 1; bool flag = 9; }")
+    // encode with the wide descriptor, decode with the narrow one: field 1
+    // matches, 2/3 are unknown (skipped by wire type), 9 absent → false
+    val df = Seq((7L, "x", 2.5)).toDF("id", "s", "d")
+    val got = ProtoWire.decode(ProtoWire.encode(df, wide, keep = Nil), "proto", narrow)
+      .as[(Long, Boolean)].head()
+    assert(got == ((7L, false)))
+    // a null column is omitted from the wire → decodes to proto3 default
+    val withNull = Seq((8L, Option.empty[String], Option.empty[Double]))
+      .toDF("id", "s", "d")
+    val back = ProtoWire.decode(ProtoWire.encode(withNull, wide, keep = Nil), "proto", wide)
+      .as[(Long, String, Double)].head()
+    assert(back == ((8L, "", 0.0)))
+    // keep columns pass through both directions
+    val kept = ProtoWire.decode(
+      ProtoWire.encode(df.withColumn("tag", lit("k")), wide, keep = Seq("tag")),
+      "proto", wide, keep = Seq("tag"))
+    assert(kept.columns.toSeq == Seq("tag", "id", "s", "d"))
+    assert(kept.select("tag").head().getString(0) == "k")
+  }
+
   test("proto events roundtrip and unknown fields are skipped by wire type") {
     import graft.serde.ProtoWire
     val rows = Seq((1L, "view", 3.5), (2L, "héllo✓", -0.0), (3L, "", Double.NaN))

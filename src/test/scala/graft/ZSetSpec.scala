@@ -80,6 +80,39 @@ class ZSetSpec extends SparkSpec {
     assert(full == incremental)
   }
 
+  test("struct-record folds: mergeable RowFold agrees with refold on commutative folds") {
+    import graft.streams.Aggregators
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val df = Seq(
+      ("u1", 1L, 3L), ("u1", 2L, -5L), ("u1", 3L, 4L),
+      ("u2", 1L, 10L), ("u2", 2L, -20L))
+      .toDF("k", "seq", "v")
+    // commutative fold (sum of v*v): both paths must agree
+    val mergeable = new Aggregators.RowFold[Long](
+      0L, (b, r) => b + r.getLong(1) * r.getLong(1), _ + _)(Encoders.scalaLong)
+    val viaUdaf = Aggregators.groupByAggRows(df, Seq("k"), Seq("seq", "v"), mergeable, "s")
+      .as[(String, Long)].collect().toMap
+    val viaRefold = Aggregators.groupByAggRefold(df, Seq("k"), Seq("seq"),
+        0L, (b: Long, r: Row) => b + r.getLong(1) * r.getLong(1), "s", LongType)
+      .as[(String, Long)].collect().toMap
+    assert(viaUdaf == viaRefold)
+    assert(viaUdaf("u1") == 9L + 25L + 16L && viaUdaf("u2") == 100L + 400L)
+  }
+
+  test("refold is order-sensitive: floor-at-zero balance depends on the fold order") {
+    import graft.streams.Aggregators
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    // order by seq: max(0, 0+3)=3 -> max(0, 3-5)=0 -> max(0, 0+4)=4
+    // a commutative mis-evaluation (e.g. sum then floor) would give 2
+    val df = Seq(("u", 1L, 3L), ("u", 2L, -5L), ("u", 3L, 4L)).toDF("k", "seq", "v")
+    val got = Aggregators.groupByAggRefold(df, Seq("k"), Seq("seq"),
+        0L, (b: Long, r: Row) => math.max(0L, b + r.getLong(1)), "bal", LongType)
+      .as[(String, Long)].collect().toMap
+    assert(got("u") == 4L)
+  }
+
   test("topology DSL: memoized build + mermaid rendering") {
     val src = TNode.source("s", zs("a" -> 1L, "a" -> 1L, "b" -> 1L))
     val top = src.distinct.groupByCount(Seq("k"), "n")
