@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Dedup, Ivf}
+
+/** Scale-up probe behind SCALING.md's measured table: replicates the sf0.1
+  * documents/embeddings corpora N× (ids offset per copy, text perturbed so
+  * cross-copy pairs are NEAR-dups, not exact dups) and times the dedup/ANN
+  * paths whose scaling curve the design claims. Re-run after any change to
+  * those operators:
+  *
+  *   java -cp ... graft.ScaleProbe /root/testdata/sf0.1 1 4 10
+  *
+  * Prints one JSON line per (factor, workload). Timings are end-to-end
+  * action times (count or small collect), not plan-build times.
+  */
+object ScaleProbe {
+
+  private def time[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def replicateDocs(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        // perturb every copy differently: cross-copy pairs stay near-dup
+        concat(col("text"), lit(" variant" + i)).as("text"))
+    }.reduce(_ unionByName _)
+
+  private def replicateEmbs(embs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      embs.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
+    val spark = SparkSession.builder()
+      .appName("graft-scale-probe").master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    try {
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      val embs0 = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+      for (f <- factors) {
+        val docs = replicateDocs(docs0, f).persist()
+        val embs = replicateEmbs(embs0, f).persist()
+        val (nd, ne) = (docs.count(), embs.count())
+        def report(workload: String, sec: Double, rows: Long): Unit =
+          println(s"""{"factor":$f,"docs":$nd,"vecs":$ne,"workload":"$workload","sec":${math.round(sec * 1000) / 1000.0},"rows":$rows}""")
+        val (tMh, nMh) = time(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3).count())
+        report("minhash_pairs", tMh, nMh)
+        val (tSh, nSh) = time(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10).count())
+        report("simhash_pairs", tSh, nSh)
+        val qFew = embs.filter(col("vec_id") < 10)
+        val (tLshW, nLshW) = time(Ann.lshTopK(embs, qFew, "vec_id", "embedding", 10).count())
+        report("ann_lsh_window_10q", tLshW, nLshW)
+        val qMany = embs.filter(col("vec_id") % 37 === 0) // ~2.7% of corpus as queries
+        val (tLshA, nLshA) = time(Ann.lshTopKAgg(embs, qMany, "vec_id", "embedding", 10).count())
+        report("ann_lsh_agg_manyq", tLshA, nLshA)
+        val (tIvf, nIvf) = time {
+          val cents = Ivf.train(embs, k = 16, iters = 2)
+          Ivf.index(embs, cents).count()
+        }
+        report("ivf_train_index", tIvf, nIvf)
+        docs.unpersist(); embs.unpersist()
+      }
+    } finally spark.stop()
+  }
+}

@@ -96,24 +96,89 @@ object Ann {
       .withColumn("bh", col("__bk.bh"))
       .drop("__bk")
 
-  /** LSH ANN: per-query top-k among LSH band candidates. Same output shape
-    * as bruteForceTopK; recall < 1 by construction, measured in the test
-    * suite against the brute-force baseline. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int): DataFrame = {
+  /** LSH band-bucket candidates: (q_id, nn_id, __e_q, __e_c), deduplicated
+    * across bands. The only corpus-wide shuffles are keyed by (band, bh)
+    * and (q_id, nn_id) — never a corpus self-join. */
+  private def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
     val c = bandBuckets(withNormSig(corpus, idCol, embCol), idCol)
       .select(col("band"), col("bh"), col(idCol).as("nn_id"), col(embCol).as("__e_c"))
     val q = bandBuckets(withNormSig(queries, idCol, embCol), idCol)
       .select(col("band"), col("bh"), col(idCol).as("q_id"), col(embCol).as("__e_q"))
-    val cand = c.join(broadcast(q), Seq("band", "bh"))
+    c.join(broadcast(q), Seq("band", "bh"))
       .filter(col("q_id") =!= col("nn_id"))
       .dropDuplicates("q_id", "nn_id")
-    cand
+  }
+
+  /** LSH ANN: per-query top-k among LSH band candidates. Same output shape
+    * as bruteForceTopK; recall < 1 by construction, measured in the test
+    * suite against the brute-force baseline.
+    *
+    * Ranking is a per-q_id window — right for the FEW-queries regime (the
+    * window collapses parallelism to |queries| partitions and materializes
+    * every candidate before ranking). For a large query set use
+    * [[lshTopKAgg]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame =
+    lshCandidates(corpus, queries, idCol, embCol)
       .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("cosine").desc, col("nn_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "nn_id", "rank", "cosine")
+
+  /** Bounded top-k as a typed Aggregator: the buffer holds AT MOST k
+    * (cosine, nn_id) pairs, ordered by (cosine desc, nn_id asc) — the same
+    * total order the window form ranks by, so the two agree exactly.
+    * Partial aggregation bounds each map task's state to k per local
+    * q_id and the exchange to ≤k rows per (partition, q_id): parallelism
+    * is NOT |queries|-bounded and nothing materializes the full candidate
+    * list per query. */
+  class TopKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long, Double), List[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: List[(Double, Long)], e: (Double, Long)): List[(Double, Long)] = {
+      val (pre, post) = buf.span(better(_, e))
+      val merged = pre ::: e :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[(Double, Long)] = Nil
+    def reduce(buf: List[(Double, Long)], a: (Long, Long, Double)): List[(Double, Long)] =
+      insert(buf, (a._3, a._2))
+    def merge(x: List[(Double, Long)], y: List[(Double, Long)]): List[(Double, Long)] =
+      y.foldLeft(x)(insert)
+    def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
+
+  /** Rank (q_id, nn_id, cosine) similarity rows to per-query top-k through
+    * [[TopKAgg]] — the many-queries ranking path, reusable over any
+    * candidate generator (LSH bands, IVF probes, brute force). */
+  def topKPerQuery(sims: DataFrame, k: Int): DataFrame = {
+    val spark = sims.sparkSession
+    import spark.implicits._
+    sims.select(col("q_id").cast("long"), col("nn_id").cast("long"), col("cosine").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAgg(k).toColumn)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case ((cos, nn), i) => (q, nn, i + 1, cos) }
+      }
+      .toDF("q_id", "nn_id", "rank", "cosine")
+  }
+
+  /** LSH ANN for LARGE query sets: identical results to [[lshTopK]]
+    * (equivalence asserted in LlmSpec), ranked by bounded aggregation
+    * instead of a per-q_id window. */
+  def lshTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame =
+    topKPerQuery(
+      lshCandidates(corpus, queries, idCol, embCol)
+        .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c"))),
+      k)
 }

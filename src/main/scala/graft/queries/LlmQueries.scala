@@ -57,6 +57,15 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // same LSH search ranked by bounded aggregation (the many-queries
+    // path) — must produce IDENTICAL rows to q_ann_lsh's window form
+    "q_ann_lsh_agg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lshTopKAgg(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF coarse-quantizer ANN — the oracle replays the ENTIRE training:
     // splitmix64 seeding, two Lloyd iterations over integer-quantized
     // vectors, then index + nprobe search (see HashOracle.lloydStep)
@@ -117,6 +126,19 @@ object LlmQueries {
     }))
 
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
+
+  private val lshOracleSql: String =
+    s"""${HashOracle.macros}
+       |WITH ${HashOracle.hyperplaneSig},
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nn_id
+       |  FROM bk q JOIN bk c USING (band, bh)
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+       |scored AS (SELECT q_id, nn_id, ${HashOracle.cosine("eq.embedding", "ec.embedding")} AS cosine
+       |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = nn_id),
+       |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -241,18 +263,11 @@ object LlmQueries {
 
     // LSH ANN recomputed end-to-end: shared-band candidates (no cap in the
     // top-k path), exact cosine, rank by (cosine DESC, nn_id).
-    "q_ann_lsh" ->
-      s"""${HashOracle.macros}
-         |WITH ${HashOracle.hyperplaneSig},
-         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nn_id
-         |  FROM bk q JOIN bk c USING (band, bh)
-         |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
-         |scored AS (SELECT q_id, nn_id, ${HashOracle.cosine("eq.embedding", "ec.embedding")} AS cosine
-         |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = nn_id),
-         |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank
-         |  FROM scored)
-         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin,
+    "q_ann_lsh" -> lshOracleSql,
+
+    // the window and bounded-agg forms rank by the same total order, so
+    // ONE oracle covers both
+    "q_ann_lsh_agg" -> lshOracleSql,
 
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -21,10 +21,20 @@ object Debezium {
   /** to_debezium — consolidated delta → CDC envelope rows: weight>0 emits a
     * create ('c'), weight<0 a delete ('d'); |weight| kept as multiplicity
     * (the reference replicates instead — same information, no fanout). */
-  def toDebezium(zset: DataFrame): DataFrame = {
-    val d = ZSet.consolidate(zset)
+  def toDebezium(zset: DataFrame): DataFrame =
+    envelope(ZSet.consolidate(zset))
+
+  /** Streaming to_debezium: the same envelope mapping WITHOUT the batch
+    * consolidate (a blocking groupBy is not appendable mid-stream). Feed it
+    * an already-consolidated delta stream — RetractionDistinct's ±1 output
+    * is exactly that — and the full reference lifecycle
+    * (topologynode.py:1148-1167 via streams.py's checkpointing runner)
+    * composes as readStream → RetractionDistinct → toDebeziumStream →
+    * Runner.demux, restartable from the checkpoint (StreamingSpec). */
+  def toDebeziumStream(deltas: DataFrame): DataFrame = envelope(deltas)
+
+  private def envelope(d: DataFrame): DataFrame =
     d.withColumn("op", when(col(ZSet.W) > 0, lit("c")).otherwise(lit("d")))
       .withColumn("multiplicity", abs(col(ZSet.W)))
       .drop(ZSet.W)
-  }
 }

@@ -83,6 +83,19 @@ class LlmSpec extends SparkSpec {
     assert(overlap >= 0.15, s"recall@10 $overlap") // random embeddings: band-collision baseline
   }
 
+  test("bounded-agg top-k is row-identical to the window form and window-free") {
+    val q = emb.filter(col("vec_id") < 10)
+    val win = Ann.lshTopK(emb, q, "vec_id", "embedding", 10)
+    val agg = Ann.lshTopKAgg(emb, q, "vec_id", "embedding", 10)
+    val w = win.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val a = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == w, "agg and window rankings diverge")
+    // the scale property: ranking must not collapse parallelism to a
+    // per-q_id window sort (partial aggregation bounds state to k per task)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"agg form still windows:\n$plan")
+  }
+
   test("IVF ANN: planted clone is rank-1; recall beats a random baseline") {
     import graft.llm.Ivf
     val clones = emb.filter(col("vec_id") < 5)

@@ -186,6 +186,67 @@ class StreamingSpec extends SparkSpec {
     assert(names.contains("v2") && names.contains("v3"))
   }
 
+  test("CDC end-to-end: retraction distinct -> debezium out -> demux, across a checkpoint restart") {
+    // the reference's full to_debezium lifecycle (streams.py:133-166,
+    // test_streams.py:223-228): a weighted delta stream becomes a CDC
+    // stream; the run is stopped and restarted from its checkpoint, state
+    // intact, without re-emitting batch-1 envelopes; the integrated CDC
+    // stream must reconcile to the batch Z-set distinct of ALL input.
+    import graft.streams.{Debezium, ZSet}
+    val fs = new graft.storage.FileStorage(spark, Files.createTempDirectory("graft_fs_cdc").toString)
+    fs.createTopic("cdc_in", 2)
+    val checkpoint = ckpt()
+    val cdc = collection.mutable.ArrayBuffer[(String, String, Long)]() // (record, op, multiplicity)
+    def produce(rows: (String, String)*): Unit =
+      fs.produce("cdc_in", rows.toSeq.toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(1700000000000L))))
+    def run(): Unit = {
+      // value = "<record>:<weight>" — parse, distinct with retractions, wrap as CDC
+      val deltas = fs.readStream("cdc_in").select(
+        split(col("value"), ":").getItem(0).as("rec"),
+        split(col("value"), ":").getItem(1).cast("long").as(ZSet.W))
+      val envelopes = Debezium.toDebeziumStream(
+        graft.streaming.RetractionDistinct.overFrame(deltas).toDF()
+          .withColumnRenamed("record", "rec_json").withColumnRenamed("weight", ZSet.W))
+      val q = Runner.demux(
+        envelopes,
+        Seq(
+          ("creates", col("op") === "c", (d: org.apache.spark.sql.DataFrame) => cdc.synchronized {
+            cdc ++= d.select("rec_json", "op", "multiplicity")
+              .as[(String, String, Long)].collect()
+          }),
+          ("deletes", col("op") === "d", (d: org.apache.spark.sql.DataFrame) => cdc.synchronized {
+            cdc ++= d.select("rec_json", "op", "multiplicity")
+              .as[(String, String, Long)].collect()
+          })),
+        checkpoint, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    produce("r1" -> "r1:1", "r1" -> "r1:1", "r2" -> "r2:1")
+    run() // batch 1: r1 appears (+2 integrates to presence), r2 appears
+    assert(cdc.toSet == Set(
+      ("""{"rec":"r1"}""", "c", 1L), ("""{"rec":"r2"}""", "c", 1L)))
+    produce("r1" -> "r1:-2", "r3" -> "r3:1")
+    run() // restart from checkpoint: r1 flips out (state restored), r3 appears
+    val byRecord = cdc.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byRecord.values.forall(_ == 1), s"restart re-emitted envelopes: $cdc")
+    assert(cdc.toSet == Set(
+      ("""{"rec":"r1"}""", "c", 1L), ("""{"rec":"r2"}""", "c", 1L),
+      ("""{"rec":"r1"}""", "d", 1L), ("""{"rec":"r3"}""", "c", 1L)))
+    // reconciliation: integrate the CDC stream back through from_debezium
+    // semantics and compare with the batch distinct over ALL input deltas
+    val integrated = ZSet.consolidate(
+      cdc.toSeq.toDF("rec_json", "op", "multiplicity")
+        .select(get_json_object(col("rec_json"), "$.rec").as("rec"),
+          (when(col("op") === "c", 1L).otherwise(-1L) * col("multiplicity")).as(ZSet.W)))
+      .as[(String, Long)].collect().toSet
+    val batch = ZSet.distinct(
+      Seq(("r1", 1L), ("r1", 1L), ("r2", 1L), ("r1", -2L), ("r3", 1L)).toDF("rec", ZSet.W))
+      .as[(String, Long)].collect().toSet
+    assert(integrated == batch, s"CDC stream does not reconcile: cdc=$integrated batch=$batch")
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
