@@ -137,8 +137,14 @@ object Ann {
     * list per query. */
   class TopKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
       (Long, Long, Double), List[(Double, Long)], Seq[(Double, Long)]] {
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // Spark's sort order for doubles: NaN greater than everything, -0.0 ==
+    // 0.0 (NormalizeFloatingNumbers). `>` alone would sink NaN entries
+    // (every NaN comparison is false) and diverge from the window form.
+    private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(norm(a._1), norm(b._1))
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     private def insert(buf: List[(Double, Long)], e: (Double, Long)): List[(Double, Long)] = {
       val (pre, post) = buf.span(better(_, e))
       val merged = pre ::: e :: post

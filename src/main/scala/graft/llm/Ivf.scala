@@ -89,7 +89,8 @@ object Ivf {
   private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double], Double)] = {
     val spark = centroids.sparkSession
     import spark.implicits._
-    centroids.select(col("list_id").cast("long"), col("centroid").cast("array<float>"))
+    val cents = centroids
+      .select(col("list_id").cast("long"), col("centroid").cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
       .map { case (id, c) =>
         val v = new Array[Double](c.length)
@@ -98,6 +99,8 @@ object Ivf {
         while (i < c.length) { v(i) = c(i).toDouble; ny += v(i) * v(i); i += 1 }
         (id, v, ny)
       }
+    require(cents.nonEmpty, "empty centroid table (train on an empty corpus or k=0?)")
+    cents
   }
 
   /** Nearest-centroid assignment as a MAP-SIDE argmax: centroids are k rows,
@@ -122,6 +125,10 @@ object Ivf {
       val cs = bc.value
       rows.map { row =>
         val e = row.getAs[scala.collection.Seq[Float]](embIdx)
+        // null embedding → deterministic lowest list id (all sims degenerate
+        // to 0 anyway: same as the zero-vector path, no NPE mid-job)
+        if (e == null) Row.fromSeq(row.toSeq :+ cs(0)._1)
+        else {
         val n = e.length
         val x = new Array[Double](n)
         var nx = 0.0
@@ -141,6 +148,7 @@ object Ivf {
           c += 1
         }
         Row.fromSeq(row.toSeq :+ bestId)
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -29,9 +29,11 @@ import org.json4s.jackson.JsonMethods
   *  - a top-level required field missing OR JSON-null → invalid
   *    (get_json_object and DuckDB's json_extract both return SQL NULL for
   *    exactly those two cases — verified behavior, not an assumption);
-  *  - a type-mismatched OPTIONAL field decodes to null silently (PERMISSIVE
-  *    from_json) — the reference's jsonschema library is stricter there;
-  *    a mismatched REQUIRED field still flags via the null check.
+  *  - a type-mismatched field decodes to null silently (PERMISSIVE
+  *    from_json) and validation checks PRESENCE, not type — DuckDB's
+  *    json_extract agrees; the reference's jsonschema library is stricter
+  *    (it would reject the mismatched type). Callers needing type
+  *    enforcement add ordinary filters over the decoded struct.
   */
 object JsonSchema {
 
@@ -86,14 +88,21 @@ object JsonSchema {
   def decode(payload: Column, schemaJson: String): Column =
     from_json(payload, toStruct(schemaJson))
 
-  /** True when the payload does NOT parse. PERMISSIVE from_json returns an
-    * all-null STRUCT for malformed input — not a null column — so the
-    * reliable detector is the corrupt-record side channel: a schema
-    * extended with `_corrupt_record` captures the raw text iff parsing
-    * failed. */
+  /** True when the payload is not well-formed JSON or not an object.
+    * PERMISSIVE from_json returns an all-null STRUCT for malformed input —
+    * not a null column — so the detector is the corrupt-record side
+    * channel. The schema passed here contains ONLY `_corrupt_record`
+    * (no declared fields): with the full schema, a field TYPE-conversion
+    * failure also populates the corrupt column, which would flag
+    * type-mismatched payloads as malformed — diverging from both the
+    * documented semantics and DuckDB's json_valid. With no declared fields
+    * nothing can conversion-fail, so corrupt ⇔ not-an-object (measured:
+    * malformed / scalar / array / bare null → corrupt; an object with a
+    * type-mismatched field → not corrupt). One documented edge: a bare
+    * `null` payload is 'malformed' here but json_valid in DuckDB. */
   def isMalformed(payload: Column, schemaJson: String): Column =
     from_json(payload,
-        toStruct(schemaJson).add("_corrupt_record", StringType),
+        StructType(Seq(StructField("_corrupt_record", StringType))),
         Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
       .getField("_corrupt_record").isNotNull
 

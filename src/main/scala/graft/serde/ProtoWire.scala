@@ -88,18 +88,30 @@ object ProtoWire {
     "bool", "double", "float", "string", "bytes")
 
   private val messageRe = """message\s+(\w+)\s*\{([^}]*)\}""".r
-  private val fieldRe = """(\w+)\s+(\w+)\s*=\s*(\d+)\s*;""".r
+  // optional leading label captured so `repeated` is REJECTED, not silently
+  // parsed as a singular scalar (unpacked repeated data would decode to the
+  // last element only — silent wrong data); `optional` is wire-identical to
+  // singular in proto3 and accepted
+  private val fieldRe = """(?:(repeated|optional|required)\s+)?(\w+)\s+(\w+)\s*=\s*(\d+)\s*;""".r
 
   /** Parse the FIRST message in a `.proto` text. Comments (`//`) are
-    * stripped; `syntax`/`package` lines and unknown options are ignored. */
+    * stripped; `syntax`/`package` lines and unknown options are ignored.
+    * Non-scalar shapes (repeated, map, oneof, nested messages) throw
+    * instead of mis-decoding. */
   def parseDescriptor(protoText: String): ProtoMessage = {
     val clean = protoText.linesIterator.map(l => l.takeWhile(_ != '/')).mkString("\n")
     val m = messageRe.findFirstMatchIn(clean).getOrElse(
       throw new IllegalArgumentException("no message block in descriptor"))
-    val fields = fieldRe.findAllMatchIn(m.group(2)).map { fm =>
-      val t = fm.group(1)
+    val body = m.group(2)
+    require(!body.contains("map<") && !body.contains("oneof"),
+      "map/oneof fields unsupported (flat scalar subset)")
+    val fields = fieldRe.findAllMatchIn(body).map { fm =>
+      val label = fm.group(1)
+      require(label == null || label == "optional",
+        s"unsupported field label '$label' (flat scalar subset; repeated would mis-decode)")
+      val t = fm.group(2)
       require(scalarTypes(t), s"unsupported field type $t (flat scalar subset)")
-      ProtoField(fm.group(3).toInt, fm.group(2), t)
+      ProtoField(fm.group(4).toInt, fm.group(3), t)
     }.toSeq
     require(fields.nonEmpty, s"message ${m.group(1)} has no scalar fields")
     require(fields.map(_.number).distinct.size == fields.size, "duplicate field numbers")
@@ -218,9 +230,13 @@ object ProtoWire {
                 val (v, p2) = readVarint(b, p1); values(idx) = v != 0L; p = p2
               case ("sint32" | "sint64", 0) =>
                 val (v, p2) = readVarint(b, p1); values(idx) = zigzagDecode(v); p = p2
-              case (_, 0) =>
+              case ("int32" | "int64" | "uint32" | "uint64", 0) =>
                 val (v, p2) = readVarint(b, p1); values(idx) = v; p = p2
-              case _ => p = skip(b, p1, wire) // wire/descriptor type mismatch
+              // wire/descriptor type mismatch (e.g. writer sent a varint
+              // where the descriptor says string): skip, keep the default —
+              // an open catch-all on wire 0 here would store a Long into a
+              // non-long field and kill the row encoder
+              case _ => p = skip(b, p1, wire)
             }
             case None => p = skip(b, p1, wire)
           }

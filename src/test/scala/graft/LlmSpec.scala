@@ -96,6 +96,38 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"agg form still windows:\n$plan")
   }
 
+  test("topKPerQuery matches window ranking on NaN / signed-zero cosines") {
+    import spark.implicits._
+    // NaN (from Inf-component embeddings) and -0.0 vs 0.0 are where a naive
+    // `>` comparator diverges from Spark's sort (NaN greatest, -0.0 == 0.0)
+    val sims = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 2.0), (1L, 12L, -0.0), (1L, 13L, 0.0),
+      (2L, 20L, -1.0), (2L, 21L, Double.NaN))
+      .toDF("q_id", "nn_id", "cosine")
+    val agg = Ann.topKPerQuery(sims, 3)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val win = sims.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("nn_id"))))
+      .filter(col("rank") <= 3)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(agg == win, s"agg=$agg win=$win")
+  }
+
+  test("IVF assignment handles null embeddings deterministically") {
+    import spark.implicits._
+    import graft.llm.Ivf
+    val base = emb.select("vec_id", "embedding")
+    val withNull = base.unionByName(
+      Seq((999999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val cents = Ivf.train(base, k = 4, iters = 1)
+    val assigned = Ivf.index(withNull, cents)
+    val nullRow = assigned.filter(col("vec_id") === 999999L).select("list_id")
+      .as[Long].collect()
+    // lowest list id — the same list a zero vector lands in (all sims 0)
+    assert(nullRow.toSeq == Seq(0L))
+  }
+
   test("IVF ANN: planted clone is rank-1; recall beats a random baseline") {
     import graft.llm.Ivf
     val clones = emb.filter(col("vec_id") < 5)

@@ -226,6 +226,54 @@ class SerdeSpec extends SparkSpec {
     assert(kept.select("tag").head().getString(0) == "k")
   }
 
+  test("descriptor parse rejects repeated/map/oneof; wire-type mismatch skips, not crashes") {
+    import graft.serde.ProtoWire
+    intercept[IllegalArgumentException](
+      ProtoWire.parseDescriptor("message M { repeated int64 ids = 1; }"))
+    intercept[IllegalArgumentException](
+      ProtoWire.parseDescriptor("message M { map<string, int64> kv = 1; }"))
+    intercept[IllegalArgumentException](
+      ProtoWire.parseDescriptor("message M { oneof choice { int64 a = 1; } }"))
+    // optional is wire-identical to singular: accepted
+    assert(ProtoWire.parseDescriptor("message M { optional int64 a = 1; }").fields.head.name == "a")
+    // writer says int64, reader's descriptor says double for the same field
+    // number: the varint must be SKIPPED (default 0.0), not stored as a Long
+    val asLong = ProtoWire.parseDescriptor("message M { int64 x = 1; string s = 2; }")
+    val asDouble = ProtoWire.parseDescriptor("message M { double x = 1; string s = 2; }")
+    val df = Seq((42L, "keep")).toDF("x", "s")
+    val got = ProtoWire.decode(ProtoWire.encode(df, asLong, keep = Nil), "proto", asDouble)
+      .as[(Double, String)].head()
+    assert(got == ((0.0, "keep")))
+  }
+
+  test("json schema validation: type-mismatched fields are not 'malformed' (presence semantics)") {
+    import graft.serde.JsonSchema
+    val schema =
+      """{"type":"object","properties":{"id":{"type":"integer"},"text":{"type":"string"},
+        |"tags":{"type":"array","items":{"type":"string"}}},"required":["id","text"]}""".stripMargin
+    val rows = Seq(
+      (1L, """{"id":1,"text":"x","tags":5}"""),       // optional field wrong type
+      (2L, """{"id":"notanint","text":"x"}"""),       // required field wrong type, present
+      (3L, """[{"id":1,"text":"x"}]"""),              // array, not an object
+      (4L, """5"""))                                  // scalar, not an object
+    val got = rows.toDF("rid", "p")
+      .select(col("rid"),
+        JsonSchema.isValid(col("p"), schema).as("v"),
+        JsonSchema.error(col("p"), schema).as("e"))
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    // presence, not type: 1 and 2 are valid (DuckDB json_extract agrees);
+    // non-objects are malformed
+    assert(got.toSeq == Seq(
+      (1L, true, null), (2L, true, null),
+      (3L, false, "malformed"), (4L, false, "malformed")))
+    // the mismatched field itself decodes to null without poisoning siblings
+    val dec = rows.toDF("rid", "p").select(col("rid"),
+        JsonSchema.decode(col("p"), schema).getField("text").as("t"),
+        JsonSchema.decode(col("p"), schema).getField("tags").as("g"))
+      .where(col("rid") === 1L).head()
+    assert(dec.getString(1) == "x" && dec.isNullAt(2))
+  }
+
   test("proto events roundtrip and unknown fields are skipped by wire type") {
     import graft.serde.ProtoWire
     val rows = Seq((1L, "view", 3.5), (2L, "héllo✓", -0.0), (3L, "", Double.NaN))
