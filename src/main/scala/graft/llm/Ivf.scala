@@ -193,9 +193,12 @@ object Ivf {
   def index(df: DataFrame, centroids: DataFrame): DataFrame =
     assign(df.select("vec_id", "embedding"), centroids)
 
-  /** Search: top-k by cosine among the nprobe nearest lists per query. */
-  def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int = 4): DataFrame = {
+  /** Scored probe candidates: each query joins only its `nprobe` nearest
+    * lists (centroid table = k rows, broadcast both ways). The per-query
+    * nprobe pick is a window over k rows per query — bounded by k, not by
+    * the corpus. Output: (q_id, nn_id, cosine). */
+  private def probeCandidates(indexed: DataFrame, centroids: DataFrame,
+      queries: DataFrame, nprobe: Int): DataFrame = {
     val qLists = queries.select(col("vec_id").as("q_id"), col("embedding").as("__e_q"))
       .crossJoin(broadcast(centroids))
       .withColumn("__sim", Exprs.cosine(col("__e_q"), col("centroid")))
@@ -208,10 +211,25 @@ object Ivf {
       .join(broadcast(qLists), Seq("list_id"))
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c")))
+      .select("q_id", "nn_id", "cosine")
+  }
+
+  /** Search: top-k by cosine among the nprobe nearest lists per query.
+    * Window-ranked — the few-queries regime (see [[searchAgg]]). */
+  def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame =
+    probeCandidates(indexed, centroids, queries, nprobe)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("cosine").desc, col("nn_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "nn_id", "rank", "cosine")
-  }
+
+  /** Search for LARGE query sets: same candidates, ranked by the bounded
+    * top-k Aggregator ([[Ann.topKPerQuery]]) instead of a per-q_id window —
+    * row-identical to [[search]] (LlmSpec), parallelism not
+    * |queries|-bounded. */
+  def searchAgg(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame =
+    Ann.topKPerQuery(probeCandidates(indexed, centroids, queries, nprobe), k)
 }

@@ -114,6 +114,18 @@ class LlmSpec extends SparkSpec {
     assert(agg == win, s"agg=$agg win=$win")
   }
 
+  test("IVF searchAgg is row-identical to the window search") {
+    import graft.llm.Ivf
+    val base = emb.select("vec_id", "embedding")
+    val cents = Ivf.train(base, k = 8, iters = 1)
+    val indexed = Ivf.index(base, cents)
+    val q = base.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(rows(Ivf.searchAgg(indexed, cents, q, k = 5, nprobe = 2)) ==
+      rows(Ivf.search(indexed, cents, q, k = 5, nprobe = 2)))
+  }
+
   test("IVF assignment handles null embeddings deterministically") {
     import spark.implicits._
     import graft.llm.Ivf

@@ -226,6 +226,35 @@ class SerdeSpec extends SparkSpec {
     assert(kept.select("tag").head().getString(0) == "k")
   }
 
+  test("descriptor codec roundtrips generated values across all scalar types") {
+    import graft.serde.ProtoWire
+    import org.scalacheck.Arbitrary.arbitrary
+    val msg = ProtoWire.parseDescriptor(
+      "message P { int64 a = 1; sint64 b = 2; double d = 3; string s = 4; bytes g = 5; bool c = 6; }")
+    // BMP-only strings: lone surrogates don't survive UTF-8 by design
+    val bmpStr = Gen.listOf(Gen.choose(32, 0xD7FF).map(_.toChar)).map(_.mkString)
+    val rowGen = for {
+      a <- arbitrary[Long]; b <- arbitrary[Long]; d <- arbitrary[Double]
+      s <- bmpStr; g <- arbitrary[Array[Byte]]; c <- arbitrary[Boolean]
+    } yield (a, b, d, s, g, c)
+    val rows = Gen.listOfN(200, rowGen).sample.get.zipWithIndex
+      .map { case ((a, b, d, s, g, c), i) => (i.toLong, a, b, d, s, g, c) }
+    val df = rows.toDF("rid", "a", "b", "d", "s", "g", "c")
+    val back = ProtoWire.decode(
+        ProtoWire.encode(df, msg, keep = Seq("rid")), "proto", msg, keep = Seq("rid"))
+      .as[(Long, Long, Long, Double, String, Array[Byte], Boolean)]
+      .collect().sortBy(_._1)
+    assert(back.length == rows.length)
+    rows.sortBy(_._1).zip(back).foreach { case (e, g2) =>
+      assert(e._2 == g2._2 && e._3 == g2._3, s"long/sint drift at rid=${e._1}")
+      assert(java.lang.Double.doubleToLongBits(e._4) == java.lang.Double.doubleToLongBits(g2._4),
+        s"double drift at rid=${e._1}")
+      assert(e._5 == g2._5, s"string drift at rid=${e._1}")
+      assert(e._6.sameElements(g2._6), s"bytes drift at rid=${e._1}")
+      assert(e._7 == g2._7)
+    }
+  }
+
   test("descriptor parse rejects repeated/map/oneof; wire-type mismatch skips, not crashes") {
     import graft.serde.ProtoWire
     intercept[IllegalArgumentException](
