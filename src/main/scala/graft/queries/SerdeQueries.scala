@@ -129,6 +129,33 @@ object SerdeQueries {
         .orderBy("doc_id")
     }),
 
+    // nested-message + repeated-field protobuf roundtrip: struct column →
+    // length-delimited submessage, arrays → packed (numeric) / per-element
+    // (string) encodings, all back out through the descriptor decoder;
+    // output flattened to scalars so the oracle compares plain columns
+    "q_serde_proto_nested" -> ((s, dir) => {
+      val msg = graft.serde.ProtoWire.parseDescriptor(
+        """message Doc {
+          |  int64 doc_id = 1;
+          |  Meta meta = 2;
+          |  repeated string tags = 3;
+          |  repeated int64 lens = 4;
+          |  message Meta { string lang = 1; sint64 neg_chars = 2; }
+          |}""".stripMargin)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          struct(col("lang"), (-col("n_chars")).as("neg_chars")).as("meta"),
+          array(col("source"), col("lang")).as("tags"),
+          array(col("n_chars"), col("n_chars") * 2).as("lens"))
+      graft.serde.ProtoWire.decode(
+          graft.serde.ProtoWire.encode(docs, msg, keep = Nil), "proto", msg)
+        .select(col("doc_id"),
+          col("meta.lang").as("lang"), col("meta.neg_chars").as("neg_chars"),
+          element_at(col("tags"), 1).as("tag1"), element_at(col("tags"), 2).as("tag2"),
+          element_at(col("lens"), 1).as("len1"), element_at(col("lens"), 2).as("len2"))
+        .orderBy("doc_id")
+    }),
+
     // JSON-Schema payload validation (deserializer.py:27-43): compile the
     // schema to a StructType once, per-row valid/error columns instead of
     // the reference's per-row ValidationError. Three payload shapes are
@@ -203,6 +230,11 @@ object SerdeQueries {
 
     "q_serde_proto_generic" ->
       """SELECT doc_id, lang, -n_chars AS signed_len, (n_chars > 500) AS long_doc, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_serde_proto_nested" ->
+      """SELECT doc_id, lang, -n_chars AS neg_chars, source AS tag1, lang AS tag2,
+        |n_chars AS len1, n_chars * 2 AS len2
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // json_extract throws on malformed JSON in DuckDB — every extraction is

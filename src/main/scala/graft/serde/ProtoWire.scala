@@ -74,99 +74,201 @@ object ProtoWire {
 
   // ---- runtime descriptors (the generic path) ----
 
-  /** A flat proto3 message descriptor, parsed at runtime from `.proto`
-    * text — the analogue of the reference's runtime schema compilation
+  /** A proto3 message descriptor, parsed at runtime from `.proto` text —
+    * the analogue of the reference's runtime schema compilation
     * (kafi/serializer.py:108-123 pipes user schema text through protoc at
-    * runtime; here a single-message scalar subset is parsed directly, no
-    * compiler round-trip). Supported field types: int32/int64/uint32/
-    * uint64/sint32/sint64 (→ long), bool, double, float, string, bytes. */
-  case class ProtoField(number: Int, name: String, ptype: String)
-  case class ProtoMessage(name: String, fields: Seq[ProtoField])
+    * runtime; here the text is parsed directly, no compiler round-trip).
+    *
+    * Supported: scalar fields int32/int64/uint32/uint64/sint32/sint64
+    * (→ long), bool, double, float, string, bytes; MESSAGE-typed fields
+    * (nested definitions or sibling messages → StructType); `repeated`
+    * fields (→ ArrayType; numeric decode accepts both packed and unpacked
+    * encodings, encode emits packed for numerics — the proto3 default —
+    * and per-element for strings/bytes/messages). `optional` is
+    * wire-identical to singular and accepted. Unsupported and REJECTED at
+    * parse (never mis-decoded): map<>, oneof, and recursive message types
+    * (no finite Spark schema). */
+  case class ProtoField(number: Int, name: String, ptype: String, repeated: Boolean = false)
+  case class ProtoMessage(name: String, fields: Seq[ProtoField],
+      types: Map[String, ProtoMessage] = Map.empty)
 
   private val scalarTypes = Set(
     "int32", "int64", "uint32", "uint64", "sint32", "sint64",
     "bool", "double", "float", "string", "bytes")
 
-  private val messageRe = """message\s+(\w+)\s*\{([^}]*)\}""".r
-  // optional leading label captured so `repeated` is REJECTED, not silently
-  // parsed as a singular scalar (unpacked repeated data would decode to the
-  // last element only — silent wrong data); `optional` is wire-identical to
-  // singular in proto3 and accepted
+  private val msgOpenRe = """message\s+(\w+)\s*\{""".r
   private val fieldRe = """(?:(repeated|optional|required)\s+)?(\w+)\s+(\w+)\s*=\s*(\d+)\s*;""".r
 
-  /** Parse the FIRST message in a `.proto` text. Comments (`//`) are
-    * stripped; `syntax`/`package` lines and unknown options are ignored.
-    * Non-scalar shapes (repeated, map, oneof, nested messages) throw
-    * instead of mis-decoding. */
+  /** All message blocks in document order, brace-matched (nested
+    * definitions included as separate entries); each body has its nested
+    * blocks blanked so the field scan sees only the message's own fields. */
+  private def collectBlocks(text: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def matchBrace(s: String, open: Int): Int = {
+      var depth = 1; var i = open
+      while (depth > 0) {
+        require(i < s.length, "unbalanced braces in descriptor")
+        val c = s.charAt(i)
+        if (c == '{') depth += 1 else if (c == '}') depth -= 1
+        i += 1
+      }
+      i // index just past the closing brace
+    }
+    def blankNested(body: String): String = {
+      var s = body
+      var m = msgOpenRe.findFirstMatchIn(s)
+      while (m.isDefined) {
+        val end = matchBrace(s, m.get.end)
+        s = s.substring(0, m.get.start) + (" " * (end - m.get.start)) + s.substring(end)
+        m = msgOpenRe.findFirstMatchIn(s)
+      }
+      s
+    }
+    def walk(s: String): Unit = {
+      var from = 0
+      var m = msgOpenRe.findFirstMatchIn(s.substring(from))
+      while (m.isDefined) {
+        val open = from + m.get.end
+        val end = matchBrace(s, open)
+        val body = s.substring(open, end - 1)
+        out += ((m.get.group(1), blankNested(body)))
+        walk(body) // register nested definitions
+        from = end
+        m = msgOpenRe.findFirstMatchIn(s.substring(from))
+      }
+    }
+    walk(text)
+    out.toSeq
+  }
+
+  /** Parse a `.proto` text; the FIRST message is the root. Comments (`//`)
+    * are stripped; `syntax`/`package` lines and unknown options ignored. */
   def parseDescriptor(protoText: String): ProtoMessage = {
     val clean = protoText.linesIterator.map(l => l.takeWhile(_ != '/')).mkString("\n")
-    val m = messageRe.findFirstMatchIn(clean).getOrElse(
-      throw new IllegalArgumentException("no message block in descriptor"))
-    val body = m.group(2)
-    require(!body.contains("map<") && !body.contains("oneof"),
-      "map/oneof fields unsupported (flat scalar subset)")
-    val fields = fieldRe.findAllMatchIn(body).map { fm =>
-      val label = fm.group(1)
-      require(label == null || label == "optional",
-        s"unsupported field label '$label' (flat scalar subset; repeated would mis-decode)")
-      val t = fm.group(2)
-      require(scalarTypes(t), s"unsupported field type $t (flat scalar subset)")
-      ProtoField(fm.group(4).toInt, fm.group(3), t)
-    }.toSeq
-    require(fields.nonEmpty, s"message ${m.group(1)} has no scalar fields")
-    require(fields.map(_.number).distinct.size == fields.size, "duplicate field numbers")
-    ProtoMessage(m.group(1), fields)
+    val blocks = collectBlocks(clean)
+    require(blocks.nonEmpty, "no message block in descriptor")
+    val names = blocks.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate message names in descriptor")
+    val fieldsByMsg = blocks.map { case (name, body) =>
+      require(!body.contains("map<") && !body.contains("oneof"),
+        "map/oneof fields unsupported")
+      val fields = fieldRe.findAllMatchIn(body).map { fm =>
+        val label = fm.group(1)
+        require(label == null || label == "optional" || label == "repeated",
+          s"unsupported field label '$label'")
+        val t = fm.group(2)
+        require(scalarTypes(t) || names.contains(t), s"unknown field type $t")
+        ProtoField(fm.group(4).toInt, fm.group(3), t, repeated = label == "repeated")
+      }.toSeq
+      require(fields.nonEmpty, s"message $name has no fields")
+      require(fields.map(_.number).distinct.size == fields.size,
+        s"duplicate field numbers in $name")
+      (name, fields)
+    }
+    // resolve message references bottom-up; a cycle (direct or mutual) has
+    // no finite Spark schema and is rejected rather than looping
+    val built = scala.collection.mutable.Map[String, ProtoMessage]()
+    var remaining = fieldsByMsg
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition { case (_, fs) =>
+        fs.forall(f => scalarTypes(f.ptype) || built.contains(f.ptype))
+      }
+      require(ready.nonEmpty,
+        s"recursive message types unsupported: ${blocked.map(_._1).mkString(", ")}")
+      ready.foreach { case (n, fs) =>
+        val deps = fs.map(_.ptype).filter(built.contains).map(t => t -> built(t)).toMap
+        built(n) = ProtoMessage(n, fs, deps)
+      }
+      remaining = blocked
+    }
+    built(blocks.head._1)
   }
 
   /** The Spark schema a descriptor decodes to. Unsigned 64-bit values land
     * in Long two's-complement (documented; Spark has no unsigned type). */
   def sparkSchema(msg: ProtoMessage): StructType =
-    StructType(msg.fields.map(f => StructField(f.name, f.ptype match {
-      case "bool" => BooleanType
-      case "double" => DoubleType
-      case "float" => FloatType
-      case "string" => StringType
-      case "bytes" => BinaryType
-      case _ => LongType
-    })))
+    StructType(msg.fields.map(f => StructField(f.name, fieldDataType(msg, f))))
+
+  private def fieldDataType(msg: ProtoMessage, f: ProtoField): DataType = {
+    val base = msg.types.get(f.ptype) match {
+      case Some(sub) => sparkSchema(sub)
+      case None => f.ptype match {
+        case "bool" => BooleanType
+        case "double" => DoubleType
+        case "float" => FloatType
+        case "string" => StringType
+        case "bytes" => BinaryType
+        case _ => LongType
+      }
+    }
+    if (f.repeated) ArrayType(base) else base
+  }
 
   private def zigzagEncode(v: Long): Long = (v << 1) ^ (v >> 63)
   private def zigzagDecode(u: Long): Long = (u >>> 1) ^ -(u & 1L)
 
-  /** Encode `df`'s columns (matched by descriptor field NAME) into a
-    * `proto` bytes column, keeping `keep` columns alongside. Null values
-    * are omitted from the wire — proto3 semantics: absent decodes to the
-    * type's default (0 / "" / false / empty). Typed kernel, one pass. */
-  def encode(df: DataFrame, msg: ProtoMessage, keep: Seq[String]): DataFrame = {
-    val schema = sparkSchema(msg)
-    val in = df.select(
-      keep.map(col) ++
-        msg.fields.map(f => col(f.name).cast(schema(f.name).dataType)): _*)
-    val outSchema = StructType(keep.map(in.schema(_)) :+ StructField("proto", BinaryType))
-    val nKeep = keep.length
-    val fields = msg.fields.toArray
-    in.mapPartitions { rows =>
-      rows.map { row =>
-        val out = new ByteArrayOutputStream()
-        var i = 0
-        while (i < fields.length) {
-          val f = fields(i)
-          val idx = nKeep + i
-          if (!row.isNullAt(idx)) f.ptype match {
+  private def writeFixed32(out: ByteArrayOutputStream, bits: Int): Unit = {
+    var k = 0
+    while (k < 4) { out.write((bits >>> (8 * k)) & 0xFF); k += 1 }
+  }
+
+  private def writeLenDelim(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
+    writeKey(out, field, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+  }
+
+  /** One packed element — no key, just the value bytes. */
+  private def writePackedScalar(out: ByteArrayOutputStream, ptype: String, x: Any): Unit =
+    ptype match {
+      case "double" => writeFixed64(out, java.lang.Double.doubleToLongBits(x.asInstanceOf[Double]))
+      case "float" => writeFixed32(out, java.lang.Float.floatToIntBits(x.asInstanceOf[Float]))
+      case "bool" => writeVarint(out, if (x.asInstanceOf[Boolean]) 1L else 0L)
+      case "sint32" | "sint64" => writeVarint(out, zigzagEncode(x.asInstanceOf[Long]))
+      case _ => writeVarint(out, x.asInstanceOf[Long])
+    }
+
+  /** Encode the fields of `msg` read from `row` starting at `offset`.
+    * Null values (and null array elements) are omitted from the wire —
+    * proto3 semantics: absent decodes to the type's default. */
+  private def encodeMessage(out: ByteArrayOutputStream, msg: ProtoMessage,
+      row: Row, offset: Int): Unit = {
+    val fields = msg.fields
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      val idx = offset + i
+      if (!row.isNullAt(idx)) {
+        if (f.repeated) {
+          val xs = row.getSeq[Any](idx).filter(_ != null)
+          if (xs.nonEmpty) f.ptype match {
             case "string" =>
-              val b = row.getString(idx).getBytes("UTF-8")
-              writeKey(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+              xs.foreach(x => writeLenDelim(out, f.number, x.asInstanceOf[String].getBytes("UTF-8")))
             case "bytes" =>
-              val b = row.getAs[Array[Byte]](idx)
-              writeKey(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+              xs.foreach(x => writeLenDelim(out, f.number, x.asInstanceOf[Array[Byte]]))
+            case t if msg.types.contains(t) =>
+              xs.foreach { x =>
+                val sub = new ByteArrayOutputStream()
+                encodeMessage(sub, msg.types(t), x.asInstanceOf[Row], 0)
+                writeLenDelim(out, f.number, sub.toByteArray)
+              }
+            case _ => // packed numerics: the proto3 default encoding
+              val sub = new ByteArrayOutputStream()
+              xs.foreach(x => writePackedScalar(sub, f.ptype, x))
+              writeLenDelim(out, f.number, sub.toByteArray)
+          }
+        } else msg.types.get(f.ptype) match {
+          case Some(subMsg) =>
+            val sub = new ByteArrayOutputStream()
+            encodeMessage(sub, subMsg, row.getStruct(idx), 0)
+            writeLenDelim(out, f.number, sub.toByteArray)
+          case None => f.ptype match {
+            case "string" => writeLenDelim(out, f.number, row.getString(idx).getBytes("UTF-8"))
+            case "bytes" => writeLenDelim(out, f.number, row.getAs[Array[Byte]](idx))
             case "double" =>
               writeKey(out, f.number, 1)
               writeFixed64(out, java.lang.Double.doubleToLongBits(row.getDouble(idx)))
             case "float" =>
               writeKey(out, f.number, 5)
-              val bits = java.lang.Float.floatToIntBits(row.getFloat(idx))
-              var k = 0
-              while (k < 4) { out.write((bits >>> (8 * k)) & 0xFF); k += 1 }
+              writeFixed32(out, java.lang.Float.floatToIntBits(row.getFloat(idx)))
             case "bool" =>
               writeKey(out, f.number, 0); writeVarint(out, if (row.getBoolean(idx)) 1L else 0L)
             case "sint32" | "sint64" =>
@@ -174,74 +276,144 @@ object ProtoWire {
             case _ =>
               writeKey(out, f.number, 0); writeVarint(out, row.getLong(idx))
           }
-          i += 1
         }
+      }
+      i += 1
+    }
+  }
+
+  /** Encode `df`'s columns (matched by descriptor field NAME) into a
+    * `proto` bytes column, keeping `keep` columns alongside. Typed kernel,
+    * one pass. */
+  def encode(df: DataFrame, msg: ProtoMessage, keep: Seq[String]): DataFrame = {
+    val schema = sparkSchema(msg)
+    val in = df.select(
+      keep.map(col) ++
+        msg.fields.map(f => col(f.name).cast(schema(f.name).dataType)): _*)
+    val outSchema = StructType(keep.map(in.schema(_)) :+ StructField("proto", BinaryType))
+    val nKeep = keep.length
+    in.mapPartitions { rows =>
+      rows.map { row =>
+        val out = new ByteArrayOutputStream()
+        encodeMessage(out, msg, row, nKeep)
         Row.fromSeq((0 until nKeep).map(row.get) :+ out.toByteArray)
       }
     }(Encoders.row(outSchema))
   }
 
+  private def scalarDefault(ptype: String): Any = ptype match {
+    case "string" => ""
+    case "bytes" => Array.emptyByteArray
+    case "double" => 0.0
+    case "float" => 0.0f
+    case "bool" => false
+    case _ => 0L
+  }
+
+  /** field number → index, for every message reachable from the root —
+    * built once on the driver so the per-row decode loop does no schema
+    * work. Message names are unique per descriptor (enforced at parse). */
+  private def decodeTables(msg: ProtoMessage): Map[String, Map[Int, Int]] =
+    msg.types.values.foldLeft(
+      Map(msg.name -> msg.fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap)
+    )((acc, sub) => acc ++ decodeTables(sub))
+
+  /** Decode one message body b[start, end) to an external Row. */
+  private def decodeMessage(msg: ProtoMessage, tables: Map[String, Map[Int, Int]],
+      b: Array[Byte], start: Int, end: Int): Row = {
+    val fields = msg.fields
+    val values = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) { // proto3 defaults for absent fields
+      val f = fields(i)
+      values(i) =
+        if (f.repeated) new scala.collection.mutable.ArrayBuffer[Any]()
+        else if (msg.types.contains(f.ptype)) null // absent message = null struct
+        else scalarDefault(f.ptype)
+      i += 1
+    }
+    val byNumber = tables(msg.name)
+    var p = start
+    while (p < end) {
+      val (key, p1) = readVarint(b, p)
+      val wire = (key & 7).toInt
+      byNumber.get((key >>> 3).toInt) match {
+        case Some(idx) =>
+          val f = fields(idx)
+          def appendOrSet(v: Any): Unit =
+            if (f.repeated) values(idx).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += v
+            else values(idx) = v
+          val isMsg = msg.types.contains(f.ptype)
+          (f.ptype, wire) match {
+            case (t, 2) if isMsg =>
+              val (len, p2) = readVarint(b, p1)
+              appendOrSet(decodeMessage(msg.types(t), tables, b, p2, p2 + len.toInt))
+              p = p2 + len.toInt
+            case ("string", 2) =>
+              val (len, p2) = readVarint(b, p1)
+              appendOrSet(new String(b, p2, len.toInt, "UTF-8")); p = p2 + len.toInt
+            case ("bytes", 2) =>
+              val (len, p2) = readVarint(b, p1)
+              appendOrSet(java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)); p = p2 + len.toInt
+            case (t, 2) if f.repeated => // packed numerics
+              val (len, p2) = readVarint(b, p1)
+              val stop = p2 + len.toInt
+              var q = p2
+              while (q < stop) {
+                t match {
+                  case "double" => appendOrSet(java.lang.Double.longBitsToDouble(readFixed64(b, q))); q += 8
+                  case "float" =>
+                    var bits = 0; var k = 0
+                    while (k < 4) { bits |= (b(q + k) & 0xFF) << (8 * k); k += 1 }
+                    appendOrSet(java.lang.Float.intBitsToFloat(bits)); q += 4
+                  case "bool" => val (v, q2) = readVarint(b, q); appendOrSet(v != 0L); q = q2
+                  case "sint32" | "sint64" =>
+                    val (v, q2) = readVarint(b, q); appendOrSet(zigzagDecode(v)); q = q2
+                  case _ => val (v, q2) = readVarint(b, q); appendOrSet(v); q = q2
+                }
+              }
+              p = stop
+            case ("double", 1) =>
+              appendOrSet(java.lang.Double.longBitsToDouble(readFixed64(b, p1))); p = p1 + 8
+            case ("float", 5) =>
+              var bits = 0; var k = 0
+              while (k < 4) { bits |= (b(p1 + k) & 0xFF) << (8 * k); k += 1 }
+              appendOrSet(java.lang.Float.intBitsToFloat(bits)); p = p1 + 4
+            case ("bool", 0) =>
+              val (v, p2) = readVarint(b, p1); appendOrSet(v != 0L); p = p2
+            case ("sint32" | "sint64", 0) =>
+              val (v, p2) = readVarint(b, p1); appendOrSet(zigzagDecode(v)); p = p2
+            case ("int32" | "int64" | "uint32" | "uint64", 0) =>
+              val (v, p2) = readVarint(b, p1); appendOrSet(v); p = p2
+            // wire/descriptor type mismatch (e.g. writer sent a varint
+            // where the descriptor says string): skip, keep the default —
+            // storing the raw Long would kill the row encoder
+            case _ => p = skip(b, p1, wire)
+          }
+        case None => p = skip(b, p1, wire)
+      }
+    }
+    Row.fromSeq(values.toSeq.map {
+      case ab: scala.collection.mutable.ArrayBuffer[_] => ab.toSeq
+      case v => v
+    })
+  }
+
   /** Decode a bytes column through the descriptor: one output column per
-    * descriptor field (absent fields → proto3 defaults), `keep` columns
-    * passed through, unknown field numbers skipped by wire type. */
+    * descriptor field (absent fields → proto3 defaults, absent messages →
+    * null), `keep` columns passed through, unknown field numbers skipped
+    * by wire type. */
   def decode(df: DataFrame, binCol: String, msg: ProtoMessage, keep: Seq[String] = Nil): DataFrame = {
     val valueSchema = sparkSchema(msg)
     val in = df.select(keep.map(col) :+ col(binCol).cast("binary"): _*)
     val outSchema = StructType(keep.map(in.schema(_)) ++ valueSchema.fields)
     val nKeep = keep.length
-    val byNumber: Map[Int, (Int, String)] =
-      msg.fields.zipWithIndex.map { case (f, i) => f.number -> (i, f.ptype) }.toMap
-    val fields = msg.fields.toArray
+    val tables = decodeTables(msg)
     in.mapPartitions { rows =>
       rows.map { row =>
-        val values = new Array[Any](fields.length)
-        var i = 0
-        while (i < fields.length) { // proto3 defaults for absent fields
-          values(i) = fields(i).ptype match {
-            case "string" => ""
-            case "bytes" => Array.emptyByteArray
-            case "double" => 0.0
-            case "float" => 0.0f
-            case "bool" => false
-            case _ => 0L
-          }
-          i += 1
-        }
         val b = row.getAs[Array[Byte]](nKeep)
-        var p = 0
-        while (p < b.length) {
-          val (key, p1) = readVarint(b, p)
-          val wire = (key & 7).toInt
-          byNumber.get((key >>> 3).toInt) match {
-            case Some((idx, ptype)) => (ptype, wire) match {
-              case ("string", 2) =>
-                val (len, p2) = readVarint(b, p1)
-                values(idx) = new String(b, p2, len.toInt, "UTF-8"); p = p2 + len.toInt
-              case ("bytes", 2) =>
-                val (len, p2) = readVarint(b, p1)
-                values(idx) = java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt); p = p2 + len.toInt
-              case ("double", 1) =>
-                values(idx) = java.lang.Double.longBitsToDouble(readFixed64(b, p1)); p = p1 + 8
-              case ("float", 5) =>
-                var bits = 0; var k = 0
-                while (k < 4) { bits |= (b(p1 + k) & 0xFF) << (8 * k); k += 1 }
-                values(idx) = java.lang.Float.intBitsToFloat(bits); p = p1 + 4
-              case ("bool", 0) =>
-                val (v, p2) = readVarint(b, p1); values(idx) = v != 0L; p = p2
-              case ("sint32" | "sint64", 0) =>
-                val (v, p2) = readVarint(b, p1); values(idx) = zigzagDecode(v); p = p2
-              case ("int32" | "int64" | "uint32" | "uint64", 0) =>
-                val (v, p2) = readVarint(b, p1); values(idx) = v; p = p2
-              // wire/descriptor type mismatch (e.g. writer sent a varint
-              // where the descriptor says string): skip, keep the default —
-              // an open catch-all on wire 0 here would store a Long into a
-              // non-long field and kill the row encoder
-              case _ => p = skip(b, p1, wire)
-            }
-            case None => p = skip(b, p1, wire)
-          }
-        }
-        Row.fromSeq((0 until nKeep).map(row.get) ++ values)
+        val decoded = decodeMessage(msg, tables, b, 0, b.length)
+        Row.fromSeq((0 until nKeep).map(row.get) ++ decoded.toSeq)
       }
     }(Encoders.row(outSchema))
   }
