@@ -180,6 +180,30 @@ object SerdeQueries {
         .orderBy("doc_id")
     }),
 
+    // nested `required`: a nested object's required list applies only when
+    // the object is present — %11 rows omit meta entirely (valid: meta
+    // itself is optional), %7 rows send meta without its required member
+    // (invalid: missing:meta.src)
+    "q_serde_jsonschema_nested" -> ((s, dir) => {
+      val schema =
+        """{"type":"object","properties":{
+          |"id":{"type":"integer"},
+          |"meta":{"type":"object","properties":{"src":{"type":"string"}},"required":["src"]}},
+          |"required":["id"]}""".stripMargin
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val payload = when(col("doc_id") % 11 === 0,
+          to_json(struct(col("doc_id").as("id"))))
+        .when(col("doc_id") % 7 === 0,
+          to_json(struct(col("doc_id").as("id"), struct(col("lang").as("x")).as("meta"))))
+        .otherwise(
+          to_json(struct(col("doc_id").as("id"), struct(col("source").as("src")).as("meta"))))
+      docs.select(col("doc_id"), payload.as("__p"))
+        .select(col("doc_id"),
+          graft.serde.JsonSchema.isValid(col("__p"), schema).as("valid"),
+          graft.serde.JsonSchema.error(col("__p"), schema).as("error"))
+        .orderBy("doc_id")
+    }),
+
     // recursive flattener (helpers.py:283-303)
     "q_explode_normalize" -> ((s, dir) => {
       val ev = Envelope.readEvents(s, dir).withColumnRenamed("value", "amount")
@@ -261,6 +285,29 @@ object SerdeQueries {
         |       WHEN jtext IS NULL THEN 'missing:text'
         |       ELSE NULL END AS error,
         |  text
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // all payloads are well-formed objects here, so json_extract is safe
+    // unguarded; presence semantics identical to get_json_object
+    "q_serde_jsonschema_nested" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN to_json(struct_pack(id := doc_id))::VARCHAR
+        |         WHEN doc_id % 7 = 0 THEN to_json(struct_pack(id := doc_id, meta := struct_pack(x := lang)))::VARCHAR
+        |         ELSE to_json(struct_pack(id := doc_id, meta := struct_pack(src := source)))::VARCHAR
+        |    END AS payload
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    json_extract(payload, '$.id') IS NOT NULL AS has_id,
+        |    json_extract(payload, '$.meta') IS NOT NULL AS has_meta,
+        |    json_extract(payload, '$.meta.src') IS NOT NULL AS has_src
+        |  FROM p)
+        |SELECT doc_id,
+        |  (has_id AND (NOT has_meta OR has_src)) AS valid,
+        |  CASE WHEN NOT has_id THEN 'missing:id'
+        |       WHEN has_meta AND NOT has_src THEN 'missing:meta.src'
+        |       ELSE NULL END AS error
         |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_explode_normalize" ->

@@ -82,6 +82,38 @@ object JsonSchema {
       case _ => Nil
     }
 
+  /** Every `required` entry at ANY depth as (parentPath, fieldPath) pairs
+    * in schema walk order (root first, then properties depth-first);
+    * parentPath "" = the root object. JSON-Schema semantics: a nested
+    * object's `required` list applies only when that object is PRESENT —
+    * the validation columns below implement exactly that conditionality. */
+  def requiredPaths(schemaJson: String): Seq[(String, String)] = {
+    def walk(j: JValue, prefix: String): Seq[(String, String)] = {
+      val here = (j \ "required" match {
+        case JArray(rs) => rs.collect { case JString(r) => r }
+        case _ => Nil
+      }).map(r => (prefix, if (prefix.isEmpty) r else s"$prefix.$r"))
+      val below = j \ "properties" match {
+        case JObject(fields) => fields.flatMap { case (name, sub) =>
+          walk(sub, if (prefix.isEmpty) name else s"$prefix.$name")
+        }
+        case _ => Nil
+      }
+      here ++ below
+    }
+    walk(JsonMethods.parse(schemaJson), "")
+  }
+
+  /** True when this (parentPath, fieldPath) required entry is violated:
+    * the parent object is present (root always is, once parsed) but the
+    * required member is absent or JSON-null. */
+  private def violated(payload: Column, pr: (String, String)): Column = pr match {
+    case ("", path) => get_json_object(payload, s"$$.$path").isNull
+    case (parent, path) =>
+      get_json_object(payload, s"$$.$parent").isNotNull &&
+        get_json_object(payload, s"$$.$path").isNull
+  }
+
   /** Decode a JSON string payload against the compiled schema. Malformed
     * payloads decode to an all-null struct (PERMISSIVE), never an
     * exception. */
@@ -107,19 +139,21 @@ object JsonSchema {
       .getField("_corrupt_record").isNotNull
 
   /** True iff the payload parses as the schema's object AND every required
-    * top-level field is present and non-null. */
+    * field — at any depth, conditional on its parent's presence — is
+    * present and non-null. */
   def isValid(payload: Column, schemaJson: String): Column =
-    required(schemaJson).foldLeft(!isMalformed(payload, schemaJson))((acc, f) =>
-      acc && get_json_object(payload, s"$$.$f").isNotNull)
+    requiredPaths(schemaJson).foldLeft(!isMalformed(payload, schemaJson))((acc, pr) =>
+      acc && !violated(payload, pr))
 
   /** Error report: null when valid, 'malformed' when unparseable, else
-    * 'missing:<field>' for the FIRST absent/null required field (schema
-    * order). Mirrors the reference's ValidationError message, reduced to a
-    * deterministic code the oracle can recompute. */
+    * 'missing:<path>' for the FIRST violated required entry (schema walk
+    * order, e.g. 'missing:meta.src'). Mirrors the reference's
+    * ValidationError message, reduced to a deterministic code the oracle
+    * can recompute. */
   def error(payload: Column, schemaJson: String): Column = {
     val base = when(isMalformed(payload, schemaJson), lit("malformed"))
-    required(schemaJson).foldLeft(base)((acc, f) =>
-      acc.when(get_json_object(payload, s"$$.$f").isNull, lit(s"missing:$f")))
+    requiredPaths(schemaJson).foldLeft(base)((acc, pr) =>
+      acc.when(violated(payload, pr), lit(s"missing:${pr._2}")))
       .otherwise(lit(null).cast("string"))
   }
 

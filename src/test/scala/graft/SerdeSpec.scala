@@ -137,6 +137,35 @@ class SerdeSpec extends SparkSpec {
     assert(dec(1L) == "ok" && dec(2L) == null && dec(4L) == null)
   }
 
+  test("json schema nested required: conditional on parent presence, any depth") {
+    import graft.serde.JsonSchema
+    val schema =
+      """{"type":"object","properties":{
+        |"id":{"type":"integer"},
+        |"meta":{"type":"object","properties":{
+        |  "src":{"type":"string"},
+        |  "inner":{"type":"object","properties":{"k":{"type":"integer"}},"required":["k"]}},
+        |  "required":["src"]}},
+        |"required":["id"]}""".stripMargin
+    assert(JsonSchema.requiredPaths(schema) ==
+      Seq(("", "id"), ("meta", "meta.src"), ("meta.inner", "meta.inner.k")))
+    val rows = Seq(
+      (1L, """{"id":1}"""),                                      // meta absent: fine
+      (2L, """{"id":2,"meta":{"src":"s"}}"""),                   // inner absent: fine
+      (3L, """{"id":3,"meta":{"x":1}}"""),                       // meta present, src missing
+      (4L, """{"id":4,"meta":{"src":"s","inner":{}}}"""),        // inner present, k missing
+      (5L, """{"meta":{"src":"s"}}"""))                          // root required missing
+    val got = rows.toDF("rid", "p").select(col("rid"),
+        JsonSchema.isValid(col("p"), schema).as("v"),
+        JsonSchema.error(col("p"), schema).as("e"))
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, true, null), (2L, true, null),
+      (3L, false, "missing:meta.src"),
+      (4L, false, "missing:meta.inner.k"),
+      (5L, false, "missing:id")))
+  }
+
   test("proto wire varint roundtrips boundary values") {
     import graft.serde.ProtoWire
     val values = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong,
