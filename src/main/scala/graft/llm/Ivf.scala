@@ -225,11 +225,79 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("q_id", "nn_id", "rank", "cosine")
 
-  /** Search for LARGE query sets: same candidates, ranked by the bounded
-    * top-k Aggregator ([[Ann.topKPerQuery]]) instead of a per-q_id window —
-    * row-identical to [[search]] (LlmSpec), parallelism not
-    * |queries|-bounded. */
+  /** Map-side nprobe assignment for LARGE query sets: each query row picks
+    * its nprobe nearest lists against the driver-collected broadcast
+    * centroid array and emits nprobe slim rows — no broadcast of the query
+    * set, no window. Arithmetic and tie order ((sim desc, list_id asc);
+    * identical cosine chain) match the window form exactly, so the two
+    * probe paths choose the same lists. A null embedding deterministically
+    * probes the first nprobe lists — the same lists the window form's
+    * nulls-last ordering degenerates to. */
+  private def nprobeAssign(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    val in = queries.select(col("vec_id").cast("long").as("q_id"),
+      col("embedding").cast("array<float>").as("__e_q"))
+    val outSchema = in.schema.add("list_id", LongType, nullable = false)
+    in.mapPartitions { rows =>
+      val cs = bc.value
+      val np = math.min(nprobe, cs.length)
+      rows.flatMap { row =>
+        val e = row.getAs[scala.collection.Seq[Float]](1)
+        if (e == null) (0 until np).map(ci => Row(row.get(0), null, cs(ci)._1))
+        else {
+          val n = e.length
+          val x = new Array[Double](n)
+          var nx = 0.0
+          var i = 0
+          while (i < n) { x(i) = e(i).toDouble; nx += x(i) * x(i); i += 1 }
+          val sims = new Array[Double](cs.length)
+          var c = 0
+          while (c < cs.length) {
+            val (_, v, ny) = cs(c)
+            val d = math.min(n, v.length)
+            var dot = 0.0
+            var j = 0
+            while (j < d) { dot += x(j) * v(j); j += 1 }
+            sims(c) = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+            c += 1
+          }
+          // top-np selection, ties to the lowest list id: strict > over
+          // ascending ids, np passes of O(k) — np and k are both small
+          val taken = new Array[Boolean](cs.length)
+          (0 until np).map { _ =>
+            var best = -1
+            var bestSim = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cs.length) {
+              if (!taken(ci) && sims(ci) > bestSim) { best = ci; bestSim = sims(ci) }
+              ci += 1
+            }
+            taken(best) = true
+            Row(row.get(0), row.get(1), cs(best)._1)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Search for LARGE query sets: map-side nprobe assignment (no query-set
+    * broadcast, no window) → shuffled equi-join on list_id → bounded top-k
+    * aggregation ([[Ann.topKPerQuery]]). Row-identical to [[search]]
+    * (LlmSpec); no stage is |queries|-bounded: probing is a map, the
+    * candidate join shuffles on list_id, ranking keeps ≤k state per task.
+    * A hot list (many queries probing it) is an AQE skew-split case, not a
+    * planning hazard. */
   def searchAgg(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int = 4): DataFrame =
-    Ann.topKPerQuery(probeCandidates(indexed, centroids, queries, nprobe), k)
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val qProbe = nprobeAssign(queries, centroids, nprobe)
+    val cand = indexed
+      .select(col("list_id"), col("vec_id").as("nn_id"), col("embedding").as("__e_c"))
+      .join(qProbe, Seq("list_id"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c")))
+      .select("q_id", "nn_id", "cosine")
+    Ann.topKPerQuery(cand, k)
+  }
 }

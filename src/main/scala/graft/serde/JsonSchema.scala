@@ -82,37 +82,54 @@ object JsonSchema {
       case _ => Nil
     }
 
-  /** Every `required` entry at ANY depth as (parentPath, fieldPath) pairs
-    * in schema walk order (root first, then properties depth-first);
-    * parentPath "" = the root object. JSON-Schema semantics: a nested
-    * object's `required` list applies only when that object is PRESENT —
-    * the validation columns below implement exactly that conditionality. */
-  def requiredPaths(schemaJson: String): Seq[(String, String)] = {
-    def walk(j: JValue, prefix: String): Seq[(String, String)] = {
+  /** A required entry: the parent object's path segments and the required
+    * member's segments. Segment lists (not dot-joined strings) so a
+    * property literally NAMED "a.b" stays one segment and compiles to the
+    * bracket JSONPath `$['a.b']`, not a two-level lookup. */
+  private case class ReqPath(parent: Seq[String], segs: Seq[String]) {
+    def display: String = segs.mkString(".")
+  }
+
+  private def requiredEntries(schemaJson: String): Seq[ReqPath] = {
+    def walk(j: JValue, prefix: Seq[String]): Seq[ReqPath] = {
       val here = (j \ "required" match {
         case JArray(rs) => rs.collect { case JString(r) => r }
         case _ => Nil
-      }).map(r => (prefix, if (prefix.isEmpty) r else s"$prefix.$r"))
+      }).map(r => ReqPath(prefix, prefix :+ r))
       val below = j \ "properties" match {
         case JObject(fields) => fields.flatMap { case (name, sub) =>
-          walk(sub, if (prefix.isEmpty) name else s"$prefix.$name")
+          walk(sub, prefix :+ name)
         }
         case _ => Nil
       }
       here ++ below
     }
-    walk(JsonMethods.parse(schemaJson), "")
+    walk(JsonMethods.parse(schemaJson), Nil)
   }
 
-  /** True when this (parentPath, fieldPath) required entry is violated:
-    * the parent object is present (root always is, once parsed) but the
-    * required member is absent or JSON-null. */
-  private def violated(payload: Column, pr: (String, String)): Column = pr match {
-    case ("", path) => get_json_object(payload, s"$$.$path").isNull
-    case (parent, path) =>
-      get_json_object(payload, s"$$.$parent").isNotNull &&
-        get_json_object(payload, s"$$.$path").isNull
-  }
+  /** Every `required` entry at ANY depth as (parentPath, fieldPath)
+    * display pairs in schema walk order (root first, then properties
+    * depth-first); parentPath "" = the root object. JSON-Schema semantics:
+    * a nested object's `required` list applies only when that object is
+    * PRESENT — the validation columns below implement exactly that
+    * conditionality. */
+  def requiredPaths(schemaJson: String): Seq[(String, String)] =
+    requiredEntries(schemaJson).map(e => (e.parent.mkString("."), e.display))
+
+  private def jsonPath(segs: Seq[String]): String =
+    "$" + segs.map { s =>
+      if (s.matches("[A-Za-z0-9_]+")) s".$s"
+      else s"['${s.replace("'", "\\'")}']"
+    }.mkString
+
+  /** True when this required entry is violated: the parent object is
+    * present (root always is, once parsed) but the required member is
+    * absent or JSON-null. */
+  private def violated(payload: Column, e: ReqPath): Column =
+    if (e.parent.isEmpty) get_json_object(payload, jsonPath(e.segs)).isNull
+    else
+      get_json_object(payload, jsonPath(e.parent)).isNotNull &&
+        get_json_object(payload, jsonPath(e.segs)).isNull
 
   /** Decode a JSON string payload against the compiled schema. Malformed
     * payloads decode to an all-null struct (PERMISSIVE), never an
@@ -142,8 +159,8 @@ object JsonSchema {
     * field — at any depth, conditional on its parent's presence — is
     * present and non-null. */
   def isValid(payload: Column, schemaJson: String): Column =
-    requiredPaths(schemaJson).foldLeft(!isMalformed(payload, schemaJson))((acc, pr) =>
-      acc && !violated(payload, pr))
+    requiredEntries(schemaJson).foldLeft(!isMalformed(payload, schemaJson))((acc, e) =>
+      acc && !violated(payload, e))
 
   /** Error report: null when valid, 'malformed' when unparseable, else
     * 'missing:<path>' for the FIRST violated required entry (schema walk
@@ -152,8 +169,8 @@ object JsonSchema {
     * can recompute. */
   def error(payload: Column, schemaJson: String): Column = {
     val base = when(isMalformed(payload, schemaJson), lit("malformed"))
-    requiredPaths(schemaJson).foldLeft(base)((acc, pr) =>
-      acc.when(violated(payload, pr), lit(s"missing:${pr._2}")))
+    requiredEntries(schemaJson).foldLeft(base)((acc, e) =>
+      acc.when(violated(payload, e), lit(s"missing:${e.display}")))
       .otherwise(lit(null).cast("string"))
   }
 

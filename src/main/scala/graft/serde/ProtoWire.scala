@@ -1,7 +1,7 @@
 package graft.serde
 
 import java.io.ByteArrayOutputStream
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,6 +60,12 @@ object ProtoWire {
   private def readFixed64(b: Array[Byte], pos: Int): Long = {
     var bits = 0L; var i = 0
     while (i < 8) { bits |= (b(pos + i) & 0xFFL) << (8 * i); i += 1 }
+    bits
+  }
+
+  private def readFixed32(b: Array[Byte], pos: Int): Int = {
+    var bits = 0; var i = 0
+    while (i < 4) { bits |= (b(pos + i) & 0xFF) << (8 * i); i += 1 }
     bits
   }
 
@@ -142,13 +148,18 @@ object ProtoWire {
   }
 
   /** Parse a `.proto` text; the FIRST message is the root. Comments (`//`)
-    * are stripped; `syntax`/`package` lines and unknown options ignored. */
+    * are stripped; `syntax`/`package` lines and unknown options ignored.
+    * Message names live in ONE flat namespace here — proto3's
+    * parent-qualified nested names (A.Item vs B.Item) are not modeled, so
+    * two messages sharing a simple name are rejected at parse rather than
+    * silently bound to the wrong type; rename to unique simple names. */
   def parseDescriptor(protoText: String): ProtoMessage = {
     val clean = protoText.linesIterator.map(l => l.takeWhile(_ != '/')).mkString("\n")
     val blocks = collectBlocks(clean)
     require(blocks.nonEmpty, "no message block in descriptor")
     val names = blocks.map(_._1)
-    require(names.distinct.size == names.size, s"duplicate message names in descriptor")
+    require(names.distinct.size == names.size,
+      "duplicate message names in descriptor (flat namespace: qualify nested type names uniquely)")
     val fieldsByMsg = blocks.map { case (name, body) =>
       require(!body.contains("map<") && !body.contains("oneof"),
         "map/oneof fields unsupported")
@@ -226,6 +237,25 @@ object ProtoWire {
       case _ => writeVarint(out, x.asInstanceOf[Long])
     }
 
+  private def wireOf(ptype: String): Int = ptype match {
+    case "double" => 1
+    case "float" => 5
+    case _ => 0
+  }
+
+  /** Cast `c` to the descriptor's type with struct fields matched BY NAME
+    * at every depth — a bare `cast` binds struct fields positionally, so a
+    * caller building `struct(b, a)` against a descriptor ordered (a, b)
+    * would silently encode swapped values. */
+  private def aligned(c: Column, dt: DataType): Column = dt match {
+    case st: StructType =>
+      when(c.isNull, lit(null).cast(st)).otherwise(
+        struct(st.fields.toSeq.map(f => aligned(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case ArrayType(et: StructType, _) => transform(c, x => aligned(x, et))
+    case at: ArrayType => c.cast(at)
+    case _ => c.cast(dt)
+  }
+
   /** Encode the fields of `msg` read from `row` starting at `offset`.
     * Null values (and null array elements) are omitted from the wire —
     * proto3 semantics: absent decodes to the type's default. */
@@ -263,18 +293,9 @@ object ProtoWire {
           case None => f.ptype match {
             case "string" => writeLenDelim(out, f.number, row.getString(idx).getBytes("UTF-8"))
             case "bytes" => writeLenDelim(out, f.number, row.getAs[Array[Byte]](idx))
-            case "double" =>
-              writeKey(out, f.number, 1)
-              writeFixed64(out, java.lang.Double.doubleToLongBits(row.getDouble(idx)))
-            case "float" =>
-              writeKey(out, f.number, 5)
-              writeFixed32(out, java.lang.Float.floatToIntBits(row.getFloat(idx)))
-            case "bool" =>
-              writeKey(out, f.number, 0); writeVarint(out, if (row.getBoolean(idx)) 1L else 0L)
-            case "sint32" | "sint64" =>
-              writeKey(out, f.number, 0); writeVarint(out, zigzagEncode(row.getLong(idx)))
-            case _ =>
-              writeKey(out, f.number, 0); writeVarint(out, row.getLong(idx))
+            case t =>
+              writeKey(out, f.number, wireOf(t))
+              writePackedScalar(out, t, row.get(idx))
           }
         }
       }
@@ -289,7 +310,7 @@ object ProtoWire {
     val schema = sparkSchema(msg)
     val in = df.select(
       keep.map(col) ++
-        msg.fields.map(f => col(f.name).cast(schema(f.name).dataType)): _*)
+        msg.fields.map(f => aligned(col(f.name), schema(f.name).dataType).as(f.name)): _*)
     val outSchema = StructType(keep.map(in.schema(_)) :+ StructField("proto", BinaryType))
     val nKeep = keep.length
     in.mapPartitions { rows =>
@@ -347,7 +368,20 @@ object ProtoWire {
           (f.ptype, wire) match {
             case (t, 2) if isMsg =>
               val (len, p2) = readVarint(b, p1)
-              appendOrSet(decodeMessage(msg.types(t), tables, b, p2, p2 + len.toInt))
+              if (f.repeated) // each occurrence is its own element
+                appendOrSet(decodeMessage(msg.types(t), tables, b, p2, p2 + len.toInt))
+              else {
+                // proto3 MERGES repeated occurrences of a singular embedded
+                // message (concatenation = merge); accumulate the raw bytes
+                // and decode once at the end — last-wins would silently
+                // drop fields set only in earlier occurrences
+                val buf = values(idx) match {
+                  case s: ByteArrayOutputStream => s
+                  case _ =>
+                    val s = new ByteArrayOutputStream(); values(idx) = s; s
+                }
+                buf.write(b, p2, len.toInt)
+              }
               p = p2 + len.toInt
             case ("string", 2) =>
               val (len, p2) = readVarint(b, p1)
@@ -363,9 +397,7 @@ object ProtoWire {
                 t match {
                   case "double" => appendOrSet(java.lang.Double.longBitsToDouble(readFixed64(b, q))); q += 8
                   case "float" =>
-                    var bits = 0; var k = 0
-                    while (k < 4) { bits |= (b(q + k) & 0xFF) << (8 * k); k += 1 }
-                    appendOrSet(java.lang.Float.intBitsToFloat(bits)); q += 4
+                    appendOrSet(java.lang.Float.intBitsToFloat(readFixed32(b, q))); q += 4
                   case "bool" => val (v, q2) = readVarint(b, q); appendOrSet(v != 0L); q = q2
                   case "sint32" | "sint64" =>
                     val (v, q2) = readVarint(b, q); appendOrSet(zigzagDecode(v)); q = q2
@@ -376,9 +408,7 @@ object ProtoWire {
             case ("double", 1) =>
               appendOrSet(java.lang.Double.longBitsToDouble(readFixed64(b, p1))); p = p1 + 8
             case ("float", 5) =>
-              var bits = 0; var k = 0
-              while (k < 4) { bits |= (b(p1 + k) & 0xFF) << (8 * k); k += 1 }
-              appendOrSet(java.lang.Float.intBitsToFloat(bits)); p = p1 + 4
+              appendOrSet(java.lang.Float.intBitsToFloat(readFixed32(b, p1))); p = p1 + 4
             case ("bool", 0) =>
               val (v, p2) = readVarint(b, p1); appendOrSet(v != 0L); p = p2
             case ("sint32" | "sint64", 0) =>
@@ -393,10 +423,18 @@ object ProtoWire {
         case None => p = skip(b, p1, wire)
       }
     }
-    Row.fromSeq(values.toSeq.map {
-      case ab: scala.collection.mutable.ArrayBuffer[_] => ab.toSeq
-      case v => v
-    })
+    var r = 0
+    while (r < fields.length) {
+      values(r) = values(r) match {
+        case ab: scala.collection.mutable.ArrayBuffer[_] => ab.toSeq
+        case s: ByteArrayOutputStream => // merged singular-message bytes
+          val bb = s.toByteArray
+          decodeMessage(msg.types(fields(r).ptype), tables, bb, 0, bb.length)
+        case v => v
+      }
+      r += 1
+    }
+    Row.fromSeq(values.toIndexedSeq)
   }
 
   /** Decode a bytes column through the descriptor: one output column per

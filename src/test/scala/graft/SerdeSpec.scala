@@ -137,6 +137,21 @@ class SerdeSpec extends SparkSpec {
     assert(dec(1L) == "ok" && dec(2L) == null && dec(4L) == null)
   }
 
+  test("json schema required names containing dots resolve as one segment") {
+    import graft.serde.JsonSchema
+    val schema =
+      """{"type":"object","properties":{"a.b":{"type":"integer"}},"required":["a.b"]}"""
+    val got = Seq((1L, """{"a.b":1}"""), (2L, """{"a":{"b":1}}"""))
+      .toDF("rid", "p")
+      .select(col("rid"),
+        JsonSchema.isValid(col("p"), schema).as("v"),
+        JsonSchema.error(col("p"), schema).as("e"))
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    // {"a.b":1} satisfies the schema; a NESTED {"a":{"b":1}} does not —
+    // a naive $.a.b path would get these exactly backwards
+    assert(got.toSeq == Seq((1L, true, null), (2L, false, "missing:a.b")))
+  }
+
   test("json schema nested required: conditional on parent presence, any depth") {
     import graft.serde.JsonSchema
     val schema =
@@ -334,7 +349,14 @@ class SerdeSpec extends SparkSpec {
     val df = Seq(
       (1L, ("s1", -5L), Seq("a", "b"), Seq(1L, -2L, Long.MaxValue), Seq(("h1", 1L), ("h2", 2L))),
       (2L, ("", 0L), Seq.empty[String], Seq.empty[Long], Seq.empty[(String, Long)]))
-      .toDF("id", "meta", "tags", "scores", "history")
+      .toDF("id", "meta0", "tags", "scores", "history0")
+      // struct fields are matched by NAME (tuple _1/_2 names would be
+      // rejected — that strictness is the point of the aligned cast)
+      .select(col("id"),
+        struct(col("meta0._1").as("src"), col("meta0._2").as("rank")).as("meta"),
+        col("tags"), col("scores"),
+        transform(col("history0"),
+          x => struct(x.getField("_1").as("src"), x.getField("_2").as("rank"))).as("history"))
     val back = ProtoWire.decode(ProtoWire.encode(df, msg, keep = Nil), "proto", msg)
       .as[(Long, (String, Long), Seq[String], Seq[Long], Seq[(String, Long)])]
       .collect().sortBy(_._1)
@@ -358,6 +380,38 @@ class SerdeSpec extends SparkSpec {
     val got = ProtoWire.decode(Seq(Tuple1(unpacked)).toDF("proto"), "proto", msg)
       .select("id", "scores").as[(Long, Seq[Long])].head()
     assert(got == ((9L, Seq(7L, 8L))))
+  }
+
+  test("nested struct columns bind by NAME; singular message occurrences merge") {
+    import graft.serde.ProtoWire
+    val msg = ProtoWire.parseDescriptor(
+      "message D { int64 id = 1; Meta meta = 2; message Meta { string lang = 1; sint64 neg = 2; } }")
+    // caller's struct fields in REVERSE of descriptor order: positional
+    // cast would swap them (string into a long slot silently nulls)
+    val df = Seq((1L, -5L, "en")).toDF("id", "n", "l")
+      .select(col("id"), struct(col("n").as("neg"), col("l").as("lang")).as("meta"))
+    val back = ProtoWire.decode(ProtoWire.encode(df, msg, keep = Nil), "proto", msg)
+      .select(col("id"), col("meta.lang"), col("meta.neg"))
+      .as[(Long, String, Long)].head()
+    assert(back == ((1L, "en", -5L)))
+    // proto3 merge: two wire occurrences of singular `meta`, each setting a
+    // different member — a last-wins decoder would lose lang
+    val sub1 = new java.io.ByteArrayOutputStream() // Meta{lang:"en"}
+    ProtoWire.writeVarint(sub1, (1L << 3) | 2); ProtoWire.writeVarint(sub1, 2L)
+    sub1.write('e'); sub1.write('n')
+    val sub2 = new java.io.ByteArrayOutputStream() // Meta{neg:-5}
+    ProtoWire.writeVarint(sub2, (2L << 3) | 0); ProtoWire.writeVarint(sub2, 9L) // zigzag(-5)
+    val outer = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(outer, (1L << 3) | 0); ProtoWire.writeVarint(outer, 7L)
+    for (sub <- Seq(sub1, sub2)) {
+      ProtoWire.writeVarint(outer, (2L << 3) | 2)
+      ProtoWire.writeVarint(outer, sub.size().toLong)
+      outer.write(sub.toByteArray)
+    }
+    val merged = ProtoWire.decode(Seq(Tuple1(outer.toByteArray)).toDF("proto"), "proto", msg)
+      .select(col("id"), col("meta.lang"), col("meta.neg"))
+      .as[(Long, String, Long)].head()
+    assert(merged == ((7L, "en", -5L)), s"occurrences must merge, got $merged")
   }
 
   test("json schema validation: type-mismatched fields are not 'malformed' (presence semantics)") {
