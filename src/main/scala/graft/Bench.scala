@@ -26,7 +26,7 @@ object Bench {
       n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name").agg(count(lit(1)).as("c"))
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("r_name"))))
+          org.apache.spark.sql.expressions.Window.partitionBy(col("c")).orderBy(col("r_name"))))
         .write.format("noop").mode("overwrite").save()
       val ds = spark.range(1000).map(i => (i, "v" + i)).toDF("id", "v")
       ds.repartition(col("id")).groupBy("v").count()

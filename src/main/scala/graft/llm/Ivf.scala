@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 import graft.functions.Exprs
 
 /** IVF (inverted-file) ANN — the coarse-quantizer scale path, complementing
@@ -159,15 +159,20 @@ object Ivf {
   def train(df: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     // deterministic seed: the k hash-smallest vectors by splitmix64(vec_id)
     // — a TakeOrdered (top-k per partition + k-way merge), never a global
-    // sort; the row_number window then runs over only k rows
+    // sort. The k winners land on the driver (same place every Lloyd step
+    // already puts the k-row centroid table) and are numbered there — no
+    // single-partition row_number window, one less exchange.
     // one materialization feeds every Lloyd pass (seed + iters assignments)
     val quant = withQuantized(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sample = quant.orderBy("__h").limit(k)
-    var centroids: DataFrame = sample.select(
-      (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1).as("list_id"),
-      col("__q").as("centroid"))
+    val spark = df.sparkSession
+    val centroidSchema = StructType(Seq(
+      StructField("list_id", LongType, nullable = false),
+      StructField("centroid", ArrayType(LongType), nullable = true)))
+    val seed = quant.select("__h", "__q").orderBy("__h").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => Row(i.toLong, r.get(1)) }
+    var centroids: DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(seed: _*), centroidSchema)
     var i = 0
     while (i < iters) {
       val next = sumVectors(
