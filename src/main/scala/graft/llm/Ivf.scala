@@ -82,6 +82,37 @@ object Ivf {
       .toDF("list_id", "centroid")
   }
 
+  /** Cosine of one float query vector against every broadcast centroid, in
+    * centroid-array order — the ONE kernel behind both assignment paths
+    * (argmax in [[assign]], top-np in `nprobeAssign`), so the bit-exact
+    * contract with [[graft.functions.CosineSimilarity]] lives in a single
+    * place: sequential double fold over float inputs, min-length dot,
+    * sqrt(nx)*sqrt(ny) denominator, zero-norm → 0.0. A NaN input component
+    * yields NaN sims, normalized to +∞ so selection matches Spark's
+    * NaN-sorts-largest `orderBy(desc)` the window forms used (ties still
+    * break to the lowest list id downstream). */
+  private def centroidSims(e: scala.collection.Seq[Float],
+      cs: Array[(Long, Array[Double], Double)]): Array[Double] = {
+    val n = e.length
+    val x = new Array[Double](n)
+    var nx = 0.0
+    var i = 0
+    while (i < n) { x(i) = e(i).toDouble; nx += x(i) * x(i); i += 1 }
+    val sims = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val (_, v, ny) = cs(c)
+      val d = math.min(n, v.length)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += x(j) * v(j); j += 1 }
+      val s = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+      sims(c) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s
+      c += 1
+    }
+    sims
+  }
+
   /** Centroids pulled to the driver for broadcast: (list_id, values as
     * double, precomputed squared norm), ascending list_id. The long→float
     * cast happens at the Spark layer so the conversion chain is identical
@@ -129,22 +160,12 @@ object Ivf {
         // to 0 anyway: same as the zero-vector path, no NPE mid-job)
         if (e == null) Row.fromSeq(row.toSeq :+ cs(0)._1)
         else {
-        val n = e.length
-        val x = new Array[Double](n)
-        var nx = 0.0
-        var i = 0
-        while (i < n) { x(i) = e(i).toDouble; nx += x(i) * x(i); i += 1 }
+        val sims = centroidSims(e, cs)
         var bestId = cs(0)._1
         var bestSim = Double.NegativeInfinity
         var c = 0
         while (c < cs.length) {
-          val (id, v, ny) = cs(c)
-          val d = math.min(n, v.length)
-          var dot = 0.0
-          var j = 0
-          while (j < d) { dot += x(j) * v(j); j += 1 }
-          val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
-          if (sim > bestSim) { bestSim = sim; bestId = id }
+          if (sims(c) > bestSim) { bestSim = sims(c); bestId = cs(c)._1 }
           c += 1
         }
         Row.fromSeq(row.toSeq :+ bestId)
@@ -252,31 +273,18 @@ object Ivf {
         val e = row.getAs[scala.collection.Seq[Float]](1)
         if (e == null) (0 until np).map(ci => Row(row.get(0), null, cs(ci)._1))
         else {
-          val n = e.length
-          val x = new Array[Double](n)
-          var nx = 0.0
-          var i = 0
-          while (i < n) { x(i) = e(i).toDouble; nx += x(i) * x(i); i += 1 }
-          val sims = new Array[Double](cs.length)
-          var c = 0
-          while (c < cs.length) {
-            val (_, v, ny) = cs(c)
-            val d = math.min(n, v.length)
-            var dot = 0.0
-            var j = 0
-            while (j < d) { dot += x(j) * v(j); j += 1 }
-            sims(c) = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
-            c += 1
-          }
+          val sims = centroidSims(e, cs)
           // top-np selection, ties to the lowest list id: strict > over
-          // ascending ids, np passes of O(k) — np and k are both small
+          // ascending ids, np passes of O(k) — np and k are both small.
+          // sims are never NaN (centroidSims normalizes to +∞), so >= -∞
+          // always selects SOMETHING; the -1 guard is belt-and-braces
           val taken = new Array[Boolean](cs.length)
           (0 until np).map { _ =>
             var best = -1
             var bestSim = Double.NegativeInfinity
             var ci = 0
             while (ci < cs.length) {
-              if (!taken(ci) && sims(ci) > bestSim) { best = ci; bestSim = sims(ci) }
+              if (!taken(ci) && (best == -1 || sims(ci) > bestSim)) { best = ci; bestSim = sims(ci) }
               ci += 1
             }
             taken(best) = true

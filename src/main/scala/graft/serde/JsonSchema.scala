@@ -74,8 +74,9 @@ object JsonSchema {
     }
   }
 
-  /** Top-level required field names, in schema order (drives the error
-    * column's first-missing report — the same order the oracle replays). */
+  /** Top-level required field names, in schema order. Superseded by
+    * [[requiredPaths]] (which also walks nested objects) — the validation
+    * columns below are built from the full walk, not from this. */
   def required(schemaJson: String): Seq[String] =
     JsonMethods.parse(schemaJson) \ "required" match {
       case JArray(rs) => rs.collect { case JString(r) => r }
@@ -119,7 +120,15 @@ object JsonSchema {
   private def jsonPath(segs: Seq[String]): String =
     "$" + segs.map { s =>
       if (s.matches("[A-Za-z0-9_]+")) s".$s"
-      else s"['${s.replace("'", "\\'")}']"
+      else {
+        // Spark's JsonPathParser bracket grammar is [^'?]+ — no quote
+        // escaping exists, so a name containing ' or ? cannot be addressed
+        // at all. Fail at schema-compile time (driver side) rather than
+        // silently reporting the field missing on every row.
+        require(!s.exists(ch => ch == '\'' || ch == '?'),
+          s"JSON-Schema property name '$s' contains ' or ? — not addressable by Spark's JSONPath")
+        s"['$s']"
+      }
     }.mkString
 
   /** True when this required entry is violated: the parent object is

@@ -243,18 +243,36 @@ object ProtoWire {
     case _ => 0
   }
 
+  /** True when `in`'s struct field names already sit in `want`'s order at
+    * every depth — then a positional cast IS a by-name cast. */
+  private def nameAligned(in: DataType, want: DataType): Boolean = (in, want) match {
+    case (s: StructType, w: StructType) =>
+      s.fields.length == w.fields.length &&
+        s.fields.zip(w.fields).forall { case (a, b) =>
+          a.name == b.name && nameAligned(a.dataType, b.dataType) }
+    case (ArrayType(a, _), ArrayType(b, _)) => nameAligned(a, b)
+    case _ => true
+  }
+
   /** Cast `c` to the descriptor's type with struct fields matched BY NAME
     * at every depth — a bare `cast` binds struct fields positionally, so a
     * caller building `struct(b, a)` against a descriptor ordered (a, b)
-    * would silently encode swapped values. */
-  private def aligned(c: Column, dt: DataType): Column = dt match {
-    case st: StructType =>
-      when(c.isNull, lit(null).cast(st)).otherwise(
-        struct(st.fields.toSeq.map(f => aligned(c.getField(f.name), f.dataType).as(f.name)): _*))
-    case ArrayType(et: StructType, _) => transform(c, x => aligned(x, et))
-    case at: ArrayType => c.cast(at)
-    case _ => c.cast(dt)
-  }
+    * would silently encode swapped values. When the input's names already
+    * match descriptor order (every decode output and in-order caller), this
+    * is ONE codegen'd cast; the field-shuffling fallback — whose
+    * array-of-struct case rides the interpreted `transform` HOF — runs only
+    * for genuinely reordered inputs. */
+  private def aligned(c: Column, in: DataType, want: DataType): Column =
+    if (nameAligned(in, want)) c.cast(want)
+    else (in, want) match {
+      case (is: StructType, st: StructType) =>
+        when(c.isNull, lit(null).cast(st)).otherwise(
+          struct(st.fields.toSeq.map(f =>
+            aligned(c.getField(f.name), is(f.name).dataType, f.dataType).as(f.name)): _*))
+      case (ArrayType(ie, _), ArrayType(et: StructType, _)) =>
+        transform(c, x => aligned(x, ie, et))
+      case _ => c.cast(want)
+    }
 
   /** Encode the fields of `msg` read from `row` starting at `offset`.
     * Null values (and null array elements) are omitted from the wire —
@@ -310,7 +328,8 @@ object ProtoWire {
     val schema = sparkSchema(msg)
     val in = df.select(
       keep.map(col) ++
-        msg.fields.map(f => aligned(col(f.name), schema(f.name).dataType).as(f.name)): _*)
+        msg.fields.map(f =>
+          aligned(col(f.name), df.schema(f.name).dataType, schema(f.name).dataType).as(f.name)): _*)
     val outSchema = StructType(keep.map(in.schema(_)) :+ StructField("proto", BinaryType))
     val nKeep = keep.length
     in.mapPartitions { rows =>

@@ -126,6 +126,21 @@ class LlmSpec extends SparkSpec {
       rows(Ivf.search(indexed, cents, q, k = 5, nprobe = 2)))
   }
 
+  test("IVF searchAgg survives NaN query embeddings (probes, never crashes)") {
+    import spark.implicits._
+    import graft.llm.Ivf
+    val base = emb.select("vec_id", "embedding")
+    val cents = Ivf.train(base, k = 4, iters = 1)
+    val indexed = Ivf.index(base, cents)
+    // all centroid sims degenerate to NaN → normalized to +∞: the query
+    // must still probe the nprobe LOWEST list ids (the window form's
+    // NaN-sorts-largest order), not throw from an argmax that never fires
+    val q = Seq((777777L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    val got = Ivf.searchAgg(indexed, cents, q, k = 3, nprobe = 2)
+      .select("q_id").distinct().as[Long].collect().toSeq
+    assert(got == Seq(777777L), s"NaN query must return ranked rows, got $got")
+  }
+
   test("IVF assignment handles null embeddings deterministically") {
     import spark.implicits._
     import graft.llm.Ivf

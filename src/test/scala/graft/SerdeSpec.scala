@@ -152,6 +152,18 @@ class SerdeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, true, null), (2L, false, "missing:a.b")))
   }
 
+  test("json schema property names Spark's JSONPath cannot address are rejected at compile") {
+    import graft.serde.JsonSchema
+    // Spark's bracket grammar is [^'?]+ with NO escaping: silently building
+    // $['it\'s'] would flag every row missing; fail loudly instead
+    val schema =
+      """{"type":"object","properties":{"it's":{"type":"integer"}},"required":["it's"]}"""
+    val e = intercept[IllegalArgumentException] {
+      JsonSchema.isValid(col("p"), schema)
+    }
+    assert(e.getMessage.contains("it's"))
+  }
+
   test("json schema nested required: conditional on parent presence, any depth") {
     import graft.serde.JsonSchema
     val schema =
