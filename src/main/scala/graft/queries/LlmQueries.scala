@@ -79,6 +79,20 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // same IVF search through the many-queries path: map-side nprobe
+    // assignment + bounded top-k aggregation — must produce IDENTICAL rows
+    // to q_ann_ivf's broadcast/window form, checked against the same
+    // full-training DuckDB replay
+    "q_ann_ivf_agg" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val centroids = graft.llm.Ivf.train(e, k = 16, iters = 2)
+      graft.llm.Ivf.searchAgg(
+        graft.llm.Ivf.index(e, centroids), centroids,
+        e.filter(col("vec_id") < 10), k = 10, nprobe = 4)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -126,6 +140,37 @@ object LlmQueries {
     }))
 
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
+
+  /** IVF recomputed end-to-end in DuckDB: deterministic splitmix64 seeds,
+    * two Lloyd steps on integer-quantized sums, nearest-list index,
+    * nprobe=4 probe, cosine top-10 — shared by the window (q_ann_ivf) and
+    * bounded-agg (q_ann_ivf_agg) forms, which rank by the same total
+    * order. */
+  private val ivfOracleSql: String =
+    s"""${HashOracle.macros}
+       |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |qv AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
+       |  tosigned(sm64(CAST(vec_id AS HUGEINT))) AS h FROM e),
+       |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
+       |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
+       |${HashOracle.lloydStep("c0", "c1")},
+       |${HashOracle.lloydStep("c1", "c2")},
+       |xi AS (SELECT qv.vec_id, c2.list_id,
+       |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
+       |idx AS (SELECT vec_id AS nn_id, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
+       |xq AS (SELECT qv.vec_id AS q_id, c2.list_id,
+       |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim
+       |  FROM qv, c2 WHERE qv.vec_id < 10),
+       |probes AS (SELECT q_id, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, list_id) AS rk FROM xq) WHERE rk <= 4),
+       |cand AS (SELECT p.q_id, i.nn_id FROM probes p JOIN idx i USING (list_id) WHERE p.q_id != i.nn_id),
+       |scored AS (SELECT q_id, nn_id, ${HashOracle.cosine("eq.embedding", "ec.embedding")} AS cosine
+       |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = nn_id),
+       |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM scored)
+       |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   private val lshOracleSql: String =
     s"""${HashOracle.macros}
@@ -235,31 +280,11 @@ object LlmQueries {
 
     // IVF recomputed end-to-end: deterministic seeds, two Lloyd steps on
     // integer sums, nearest-list index, nprobe=4 probe, cosine top-10.
-    "q_ann_ivf" ->
-      s"""${HashOracle.macros}
-         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |qv AS (SELECT vec_id, embedding,
-         |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
-         |  tosigned(sm64(CAST(vec_id AS HUGEINT))) AS h FROM e),
-         |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
-         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
-         |${HashOracle.lloydStep("c0", "c1")},
-         |${HashOracle.lloydStep("c1", "c2")},
-         |xi AS (SELECT qv.vec_id, c2.list_id,
-         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
-         |idx AS (SELECT vec_id AS nn_id, list_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
-         |xq AS (SELECT qv.vec_id AS q_id, c2.list_id,
-         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim
-         |  FROM qv, c2 WHERE qv.vec_id < 10),
-         |probes AS (SELECT q_id, list_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, list_id) AS rk FROM xq) WHERE rk <= 4),
-         |cand AS (SELECT p.q_id, i.nn_id FROM probes p JOIN idx i USING (list_id) WHERE p.q_id != i.nn_id),
-         |scored AS (SELECT q_id, nn_id, ${HashOracle.cosine("eq.embedding", "ec.embedding")} AS cosine
-         |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = nn_id),
-         |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM scored)
-         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf" -> ivfOracleSql,
+
+    // searchAgg's map-side probe + bounded top-k ranks by the same total
+    // order as the window form, so ONE full-training replay covers both
+    "q_ann_ivf_agg" -> ivfOracleSql,
 
     // LSH ANN recomputed end-to-end: shared-band candidates (no cap in the
     // top-k path), exact cosine, rank by (cosine DESC, nn_id).
