@@ -70,6 +70,13 @@ object ScaleProbe {
           Ivf.index(embs, cents).count()
         }
         report("ivf_train_index", tIvf, nIvf)
+        val cents = Ivf.train(embs, k = 16, iters = 2)
+        val indexed = Ivf.index(embs, cents).persist()
+        indexed.count()
+        val (tIvfA, nIvfA) = time(
+          Ivf.searchAgg(indexed, cents, qMany, k = 10, nprobe = 4).count())
+        report("ivf_searchagg_manyq", tIvfA, nIvfA)
+        indexed.unpersist()
         docs.unpersist(); embs.unpersist()
       }
     } finally spark.stop()
