@@ -204,6 +204,25 @@ object SerdeQueries {
         .orderBy("doc_id")
     }),
 
+    // NON-OBJECT root schema — the reference's jsonschema_no_dict key case
+    // (test_single_storage_base.py:test_produce_consume_jsonschema_no_dict_key):
+    // bare JSON numbers validate against an integer root, quoted strings
+    // and malformed text do not
+    "q_serde_jsonschema_scalar" -> ((s, dir) => {
+      val intRoot = """{"type":"integer"}"""
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val payload = when(col("doc_id") % 11 === 0, lit("{bad"))
+        .when(col("doc_id") % 7 === 0,
+          concat(lit("\""), coalesce(col("lang"), lit("xx")), lit("\"")))
+        .otherwise(col("doc_id").cast("string"))
+      docs.select(col("doc_id"), payload.as("__p"))
+        .select(col("doc_id"),
+          graft.serde.JsonSchema.decode(col("__p"), intRoot).as("val"),
+          graft.serde.JsonSchema.isValid(col("__p"), intRoot).as("valid"),
+          graft.serde.JsonSchema.error(col("__p"), intRoot).as("error"))
+        .orderBy("doc_id")
+    }),
+
     // recursive flattener (helpers.py:283-303)
     "q_explode_normalize" -> ((s, dir) => {
       val ev = Envelope.readEvents(s, dir).withColumnRenamed("value", "amount")
@@ -308,6 +327,21 @@ object SerdeQueries {
         |  CASE WHEN NOT has_id THEN 'missing:id'
         |       WHEN has_meta AND NOT has_src THEN 'missing:meta.src'
         |       ELSE NULL END AS error
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // scalar-root validation: TRY_CAST replays the wrapper decode — bare
+    // numbers cast, quoted strings and broken JSON do not
+    "q_serde_jsonschema_scalar" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN '{bad'
+        |         WHEN doc_id % 7 = 0 THEN '"' || coalesce(lang, 'xx') || '"'
+        |         ELSE CAST(doc_id AS VARCHAR)
+        |    END AS payload
+        |  FROM documents),
+        |v AS (SELECT doc_id, TRY_CAST(payload AS BIGINT) AS val FROM p)
+        |SELECT doc_id, val, (val IS NOT NULL) AS valid,
+        |  CASE WHEN val IS NULL THEN 'malformed' ELSE NULL END AS error
         |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_explode_normalize" ->

@@ -142,9 +142,20 @@ object JsonSchema {
 
   /** Decode a JSON string payload against the compiled schema. Malformed
     * payloads decode to an all-null struct (PERMISSIVE), never an
-    * exception. */
+    * exception. NON-OBJECT root schemas are legal JSON-Schema and the
+    * reference produces them (a bare string/integer key:
+    * test_single_storage_base.py's jsonschema_no_dict case); Spark's
+    * from_json only takes struct/array roots, so a scalar root decodes
+    * through a `{"v": <payload>}` wrapper struct — proper JSON unquoting/
+    * coercion, still codegen'd, malformed still → null. */
   def decode(payload: Column, schemaJson: String): Column =
-    from_json(payload, toStruct(schemaJson))
+    toDataType(JsonMethods.parse(schemaJson)) match {
+      case st: StructType => from_json(payload, st)
+      case at: ArrayType => from_json(payload, at)
+      case dt =>
+        from_json(concat(lit("{\"v\":"), payload, lit("}")),
+          StructType(Seq(StructField("v", dt)))).getField("v")
+    }
 
   /** True when the payload is not well-formed JSON or not an object.
     * PERMISSIVE from_json returns an all-null STRUCT for malformed input —
@@ -166,22 +177,35 @@ object JsonSchema {
 
   /** True iff the payload parses as the schema's object AND every required
     * field — at any depth, conditional on its parent's presence — is
-    * present and non-null. */
+    * present and non-null. For a NON-OBJECT root schema: true iff the
+    * payload parses (and, for a scalar root, coerces to the scalar type —
+    * `"abc"` against an integer root is invalid; a shade stricter than the
+    * object branch's presence-only checks, and what the wrapper decode
+    * gives for free). */
   def isValid(payload: Column, schemaJson: String): Column =
-    requiredEntries(schemaJson).foldLeft(!isMalformed(payload, schemaJson))((acc, e) =>
-      acc && !violated(payload, e))
+    toDataType(JsonMethods.parse(schemaJson)) match {
+      case _: StructType =>
+        requiredEntries(schemaJson).foldLeft(!isMalformed(payload, schemaJson))((acc, e) =>
+          acc && !violated(payload, e))
+      case _ => decode(payload, schemaJson).isNotNull
+    }
 
   /** Error report: null when valid, 'malformed' when unparseable, else
     * 'missing:<path>' for the FIRST violated required entry (schema walk
     * order, e.g. 'missing:meta.src'). Mirrors the reference's
     * ValidationError message, reduced to a deterministic code the oracle
     * can recompute. */
-  def error(payload: Column, schemaJson: String): Column = {
-    val base = when(isMalformed(payload, schemaJson), lit("malformed"))
-    requiredEntries(schemaJson).foldLeft(base)((acc, e) =>
-      acc.when(violated(payload, e), lit(s"missing:${e.display}")))
-      .otherwise(lit(null).cast("string"))
-  }
+  def error(payload: Column, schemaJson: String): Column =
+    toDataType(JsonMethods.parse(schemaJson)) match {
+      case _: StructType =>
+        val base = when(isMalformed(payload, schemaJson), lit("malformed"))
+        requiredEntries(schemaJson).foldLeft(base)((acc, e) =>
+          acc.when(violated(payload, e), lit(s"missing:${e.display}")))
+          .otherwise(lit(null).cast("string"))
+      case _ =>
+        when(decode(payload, schemaJson).isNull, lit("malformed"))
+          .otherwise(lit(null).cast("string"))
+    }
 
   /** Registry wiring: compile the JSON Schema held under a registry id —
     * the `json_sr` payload type's schema resolution path (driver-side once,

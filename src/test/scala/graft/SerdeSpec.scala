@@ -152,6 +152,32 @@ class SerdeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, true, null), (2L, false, "missing:a.b")))
   }
 
+  test("json schema non-object roots decode and validate (reference's no-dict key case)") {
+    import graft.serde.JsonSchema
+    // the reference produces jsonschema payloads with scalar root schemas
+    // (test_single_storage_base.py test_produce_consume_jsonschema_no_dict_key)
+    val strRoot = """{"type":"string"}"""
+    val intRoot = """{"type":"integer"}"""
+    val got = Seq(
+      (1L, "\"snack\"", "7"), (2L, "12", "\"abc\""), (3L, "{bad", "{bad"))
+      .toDF("rid", "ps", "pi")
+      .select(col("rid"),
+        JsonSchema.decode(col("ps"), strRoot).as("s"),
+        JsonSchema.isValid(col("ps"), strRoot).as("sv"),
+        JsonSchema.decode(col("pi"), intRoot).as("i"),
+        JsonSchema.isValid(col("pi"), intRoot).as("iv"),
+        JsonSchema.error(col("pi"), intRoot).as("ie"))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getString(1) == "snack" && got(0).getBoolean(2))
+    assert(got(0).getLong(3) == 7L && got(0).getBoolean(4) && got(0).isNullAt(5))
+    // a JSON string against an integer root fails to coerce -> invalid
+    assert(!got(1).getBoolean(4) && got(1).getString(5) == "malformed")
+    // "12" IS a valid JSON string payload? No - JSON string root expects quotes,
+    // but from_json coerces the number 12 to the string "12" (PERMISSIVE cast)
+    assert(got(1).getString(1) == "12")
+    assert(got(2).isNullAt(1) && !got(2).getBoolean(2) && !got(2).getBoolean(4))
+  }
+
   test("json schema property names Spark's JSONPath cannot address are rejected at compile") {
     import graft.serde.JsonSchema
     // Spark's bracket grammar is [^'?]+ with NO escaping: silently building
