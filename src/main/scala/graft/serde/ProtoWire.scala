@@ -90,13 +90,33 @@ object ProtoWire {
     * (nested definitions or sibling messages → StructType); `repeated`
     * fields (→ ArrayType; numeric decode accepts both packed and unpacked
     * encodings, encode emits packed for numerics — the proto3 default —
-    * and per-element for strings/bytes/messages). `optional` is
-    * wire-identical to singular and accepted. Unsupported and REJECTED at
-    * parse (never mis-decoded): map<>, oneof, and recursive message types
-    * (no finite Spark schema). */
-  case class ProtoField(number: Int, name: String, ptype: String, repeated: Boolean = false)
+    * and per-element for strings/bytes/messages). `optional`/`required`
+    * (proto2 — the reference's own test schemas use it) are wire-identical
+    * to singular and accepted. `oneof` members become plain nullable
+    * columns with last-member-on-the-wire-wins decode and null = unset
+    * (explicit presence); encoding a row with two members set emits both —
+    * caller contract, as in the reference. `map<K,V>` fields decode to
+    * Spark `MapType` with proto3's last-duplicate-key-wins (wire format:
+    * repeated `{key=1, value=2}` entry messages, modeled as a synthetic
+    * entry type under a '#' name no parsed message can collide with);
+    * scalar keys, scalar or message values. Unsupported and REJECTED at
+    * parse (never mis-decoded): recursive message types (no finite Spark
+    * schema). */
+  case class ProtoField(number: Int, name: String, ptype: String, repeated: Boolean = false,
+      oneofGroup: Option[String] = None, isMap: Boolean = false)
   case class ProtoMessage(name: String, fields: Seq[ProtoField],
-      types: Map[String, ProtoMessage] = Map.empty)
+      types: Map[String, ProtoMessage] = Map.empty) {
+    /** field index → sibling indices in the same oneof group (for
+      * last-member-wins decode); built once per descriptor, not per row. */
+    lazy val oneofSiblings: Map[Int, Array[Int]] = {
+      val byGroup = fields.zipWithIndex.collect {
+        case (f, i) if f.oneofGroup.isDefined => (f.oneofGroup.get, i)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      byGroup.values.flatMap { idxs =>
+        idxs.map(i => i -> idxs.filter(_ != i).toArray)
+      }.toMap
+    }
+  }
 
   private val scalarTypes = Set(
     "int32", "int64", "uint32", "uint64", "sint32", "sint64",
@@ -108,18 +128,19 @@ object ProtoWire {
   /** All message blocks in document order, brace-matched (nested
     * definitions included as separate entries); each body has its nested
     * blocks blanked so the field scan sees only the message's own fields. */
+  private def matchBrace(s: String, open: Int): Int = {
+    var depth = 1; var i = open
+    while (depth > 0) {
+      require(i < s.length, "unbalanced braces in descriptor")
+      val c = s.charAt(i)
+      if (c == '{') depth += 1 else if (c == '}') depth -= 1
+      i += 1
+    }
+    i // index just past the closing brace
+  }
+
   private def collectBlocks(text: String): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    def matchBrace(s: String, open: Int): Int = {
-      var depth = 1; var i = open
-      while (depth > 0) {
-        require(i < s.length, "unbalanced braces in descriptor")
-        val c = s.charAt(i)
-        if (c == '{') depth += 1 else if (c == '}') depth -= 1
-        i += 1
-      }
-      i // index just past the closing brace
-    }
     def blankNested(body: String): String = {
       var s = body
       var m = msgOpenRe.findFirstMatchIn(s)
@@ -160,22 +181,57 @@ object ProtoWire {
     val names = blocks.map(_._1)
     require(names.distinct.size == names.size,
       "duplicate message names in descriptor (flat namespace: qualify nested type names uniquely)")
-    val fieldsByMsg = blocks.map { case (name, body) =>
-      require(!body.contains("map<") && !body.contains("oneof"),
-        "map/oneof fields unsupported")
+    val oneofRe = """oneof\s+(\w+)\s*\{""".r
+    val mapRe = """map\s*<\s*(\w+)\s*,\s*(\w+)\s*>\s+(\w+)\s*=\s*(\d+)\s*;""".r
+    val mapKeyTypes = scalarTypes - "double" - "float" - "bytes" // proto map-key rules
+    val syntheticEntries = scala.collection.mutable.ArrayBuffer[(String, Seq[ProtoField])]()
+    val fieldsByMsg0 = blocks.map { case (name, rawBody) =>
+      // map<K,V> → a synthetic repeated entry message {key=1, value=2};
+      // the '#' in its name keeps it out of the \w parse namespace
+      val mapFields = mapRe.findAllMatchIn(rawBody).map { mm =>
+        val (k, v, fname, num) = (mm.group(1), mm.group(2), mm.group(3), mm.group(4).toInt)
+        require(mapKeyTypes(k), s"illegal map key type $k")
+        require(scalarTypes(v) || names.contains(v), s"unknown map value type $v")
+        val entryName = s"$name#${fname}Entry"
+        syntheticEntries += ((entryName,
+          Seq(ProtoField(1, "key", k), ProtoField(2, "value", v))))
+        ProtoField(num, fname, entryName, isMap = true)
+      }.toSeq
+      // unwrap oneof blocks in place: members are wire-identical to plain
+      // singular fields; the group tag drives last-member-wins at decode
+      var body = mapRe.replaceAllIn(rawBody, " ")
+      require(!body.contains("map<"), s"unparseable map field in $name")
+      val groupOf = scala.collection.mutable.Map[String, String]()
+      var om = oneofRe.findFirstMatchIn(body)
+      while (om.isDefined) {
+        val m = om.get
+        val end = matchBrace(body, m.end)
+        val inner = body.substring(m.end, end - 1)
+        require(!inner.contains("repeated"), "repeated not allowed inside oneof")
+        fieldRe.findAllMatchIn(inner).foreach(fm => groupOf(fm.group(3)) = m.group(1))
+        body = body.substring(0, m.start) + (" " * (m.end - m.start)) +
+          inner + " " + body.substring(end)
+        om = oneofRe.findFirstMatchIn(body)
+      }
       val fields = fieldRe.findAllMatchIn(body).map { fm =>
+        // proto2's required/optional and proto3's optional are all
+        // wire-identical to singular (the reference's own test schemas use
+        // `required`: test_single_storage_base.py:51-52); only `repeated`
+        // changes the shape
         val label = fm.group(1)
-        require(label == null || label == "optional" || label == "repeated",
-          s"unsupported field label '$label'")
         val t = fm.group(2)
         require(scalarTypes(t) || names.contains(t), s"unknown field type $t")
-        ProtoField(fm.group(4).toInt, fm.group(3), t, repeated = label == "repeated")
-      }.toSeq
+        ProtoField(fm.group(4).toInt, fm.group(3), t, repeated = label == "repeated",
+          oneofGroup = groupOf.get(fm.group(3)))
+      }.toSeq ++ mapFields
       require(fields.nonEmpty, s"message $name has no fields")
       require(fields.map(_.number).distinct.size == fields.size,
         s"duplicate field numbers in $name")
-      (name, fields)
+      // struct column order = field-number order (canonical; also keeps
+      // map fields, parsed separately, at their declared numbers)
+      (name, fields.sortBy(_.number))
     }
+    val fieldsByMsg = fieldsByMsg0 ++ syntheticEntries
     // resolve message references bottom-up; a cycle (direct or mutual) has
     // no finite Spark schema and is rejected rather than looping
     val built = scala.collection.mutable.Map[String, ProtoMessage]()
@@ -201,6 +257,10 @@ object ProtoWire {
     StructType(msg.fields.map(f => StructField(f.name, fieldDataType(msg, f))))
 
   private def fieldDataType(msg: ProtoMessage, f: ProtoField): DataType = {
+    if (f.isMap) {
+      val e = msg.types(f.ptype)
+      return MapType(fieldDataType(e, e.fields(0)), fieldDataType(e, e.fields(1)))
+    }
     val base = msg.types.get(f.ptype) match {
       case Some(sub) => sparkSchema(sub)
       case None => f.ptype match {
@@ -251,6 +311,7 @@ object ProtoWire {
         s.fields.zip(w.fields).forall { case (a, b) =>
           a.name == b.name && nameAligned(a.dataType, b.dataType) }
     case (ArrayType(a, _), ArrayType(b, _)) => nameAligned(a, b)
+    case (MapType(_, a, _), MapType(_, b, _)) => nameAligned(a, b)
     case _ => true
   }
 
@@ -271,6 +332,8 @@ object ProtoWire {
             aligned(c.getField(f.name), is(f.name).dataType, f.dataType).as(f.name)): _*))
       case (ArrayType(ie, _), ArrayType(et: StructType, _)) =>
         transform(c, x => aligned(x, ie, et))
+      case (MapType(_, ivt, _), mt @ MapType(_, wvt: StructType, _)) =>
+        transform_values(c, (_, v) => aligned(v, ivt, wvt)).cast(mt)
       case _ => c.cast(want)
     }
 
@@ -285,7 +348,14 @@ object ProtoWire {
       val f = fields(i)
       val idx = offset + i
       if (!row.isNullAt(idx)) {
-        if (f.repeated) {
+        if (f.isMap) {
+          val entry = msg.types(f.ptype)
+          row.getMap[Any, Any](idx).foreach { case (k, v) =>
+            val sub = new ByteArrayOutputStream()
+            encodeMessage(sub, entry, Row(k, v), 0)
+            writeLenDelim(out, f.number, sub.toByteArray)
+          }
+        } else if (f.repeated) {
           val xs = row.getSeq[Any](idx).filter(_ != null)
           if (xs.nonEmpty) f.ptype match {
             case "string" =>
@@ -367,8 +437,9 @@ object ProtoWire {
     while (i < fields.length) { // proto3 defaults for absent fields
       val f = fields(i)
       values(i) =
-        if (f.repeated) new scala.collection.mutable.ArrayBuffer[Any]()
+        if (f.repeated || f.isMap) new scala.collection.mutable.ArrayBuffer[Any]()
         else if (msg.types.contains(f.ptype)) null // absent message = null struct
+        else if (f.oneofGroup.isDefined) null // oneof members track presence
         else scalarDefault(f.ptype)
       i += 1
     }
@@ -380,14 +451,21 @@ object ProtoWire {
       byNumber.get((key >>> 3).toInt) match {
         case Some(idx) =>
           val f = fields(idx)
+          // proto3 oneof: seeing any member clears its siblings — only the
+          // LAST member on the wire survives (a member's own repeats still
+          // merge/overwrite normally below)
+          msg.oneofSiblings.get(idx).foreach { sibs =>
+            var s = 0
+            while (s < sibs.length) { values(sibs(s)) = null; s += 1 }
+          }
           def appendOrSet(v: Any): Unit =
-            if (f.repeated) values(idx).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += v
+            if (f.repeated || f.isMap) values(idx).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += v
             else values(idx) = v
           val isMsg = msg.types.contains(f.ptype)
           (f.ptype, wire) match {
             case (t, 2) if isMsg =>
               val (len, p2) = readVarint(b, p1)
-              if (f.repeated) // each occurrence is its own element
+              if (f.repeated || f.isMap) // each occurrence is its own element/entry
                 appendOrSet(decodeMessage(msg.types(t), tables, b, p2, p2 + len.toInt))
               else {
                 // proto3 MERGES repeated occurrences of a singular embedded
@@ -445,7 +523,10 @@ object ProtoWire {
     var r = 0
     while (r < fields.length) {
       values(r) = values(r) match {
-        case ab: scala.collection.mutable.ArrayBuffer[_] => ab.toSeq
+        case ab: scala.collection.mutable.ArrayBuffer[_] =>
+          if (fields(r).isMap) // entry rows → Map; toMap keeps the LAST
+            ab.map { case e: Row => e.get(0) -> e.get(1) }.toMap // duplicate key (proto3)
+          else ab.toSeq
         case s: ByteArrayOutputStream => // merged singular-message bytes
           val bb = s.toByteArray
           decodeMessage(msg.types(fields(r).ptype), tables, bb, 0, bb.length)

@@ -337,12 +337,14 @@ class SerdeSpec extends SparkSpec {
     }
   }
 
-  test("descriptor parse rejects map/oneof/recursion; wire-type mismatch skips, not crashes") {
+  test("descriptor parse rejects recursion/bad maps; wire-type mismatch skips, not crashes") {
     import graft.serde.ProtoWire
+    // float map keys are not legal proto
     intercept[IllegalArgumentException](
-      ProtoWire.parseDescriptor("message M { map<string, int64> kv = 1; }"))
+      ProtoWire.parseDescriptor("message M { map<double, int64> kv = 1; }"))
+    // repeated inside oneof is not legal proto
     intercept[IllegalArgumentException](
-      ProtoWire.parseDescriptor("message M { oneof choice { int64 a = 1; } }"))
+      ProtoWire.parseDescriptor("message M { oneof choice { repeated int64 a = 1; } }"))
     // recursion has no finite Spark schema: rejected, not an infinite loop
     intercept[IllegalArgumentException](
       ProtoWire.parseDescriptor("message M { M next = 1; }"))
@@ -418,6 +420,66 @@ class SerdeSpec extends SparkSpec {
     val got = ProtoWire.decode(Seq(Tuple1(unpacked)).toDF("proto"), "proto", msg)
       .select("id", "scores").as[(Long, Seq[Long])].head()
     assert(got == ((9L, Seq(7L, 8L))))
+  }
+
+  test("map<K,V> fields roundtrip as MapType; duplicate wire keys keep the last") {
+    import graft.serde.ProtoWire
+    val msg = ProtoWire.parseDescriptor(
+      "message M { int64 id = 1; map<string, int64> kv = 2; }")
+    assert(ProtoWire.sparkSchema(msg)("kv").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    val df = Seq((1L, Map("a" -> 10L, "b" -> 20L)), (2L, Map.empty[String, Long]))
+      .toDF("id", "kv")
+    val back = ProtoWire.decode(ProtoWire.encode(df, msg, keep = Nil), "proto", msg)
+      .as[(Long, Map[String, Long])].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, Map("a" -> 10L, "b" -> 20L)), (2L, Map.empty[String, Long])))
+    // duplicate key on the wire: proto3 keeps the LAST entry
+    val entry1 = new java.io.ByteArrayOutputStream() // {key:"a", value:1}
+    ProtoWire.writeVarint(entry1, (1L << 3) | 2); ProtoWire.writeVarint(entry1, 1L); entry1.write('a')
+    ProtoWire.writeVarint(entry1, (2L << 3) | 0); ProtoWire.writeVarint(entry1, 1L)
+    val entry2 = new java.io.ByteArrayOutputStream() // {key:"a", value:9}
+    ProtoWire.writeVarint(entry2, (1L << 3) | 2); ProtoWire.writeVarint(entry2, 1L); entry2.write('a')
+    ProtoWire.writeVarint(entry2, (2L << 3) | 0); ProtoWire.writeVarint(entry2, 9L)
+    val wire = new java.io.ByteArrayOutputStream()
+    for (e <- Seq(entry1, entry2)) {
+      ProtoWire.writeVarint(wire, (2L << 3) | 2)
+      ProtoWire.writeVarint(wire, e.size().toLong)
+      wire.write(e.toByteArray)
+    }
+    val dup = ProtoWire.decode(Seq(Tuple1(wire.toByteArray)).toDF("proto"), "proto", msg)
+      .select("kv").as[Map[String, Long]].head()
+    assert(dup == Map("a" -> 9L), s"last duplicate key must win, got $dup")
+  }
+
+  test("proto2 required label and oneof parse; oneof decodes last-member-wins") {
+    import graft.serde.ProtoWire
+    // the reference's OWN test schema shape (test_single_storage_base.py:51):
+    // proto2 required/optional labels must parse
+    val snack = ProtoWire.parseDescriptor(
+      "message snack_value { required string name = 1; required float calories = 2; optional string colour = 3; }")
+    assert(snack.fields.map(_.name) == Seq("name", "calories", "colour"))
+    val msg = ProtoWire.parseDescriptor(
+      "message E { int64 id = 1; oneof body { string text = 2; int64 code = 3; } }")
+    assert(msg.fields.map(_.name) == Seq("id", "text", "code"))
+    // wire with BOTH members: text then code — only the last survives, and
+    // the unset member is NULL (oneof tracks presence), not ""
+    val out = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(out, (1L << 3) | 0); ProtoWire.writeVarint(out, 5L)
+    ProtoWire.writeVarint(out, (2L << 3) | 2); ProtoWire.writeVarint(out, 2L)
+    out.write('h'); out.write('i')
+    ProtoWire.writeVarint(out, (3L << 3) | 0); ProtoWire.writeVarint(out, 42L)
+    val got = ProtoWire.decode(Seq(Tuple1(out.toByteArray)).toDF("proto"), "proto", msg)
+      .select("id", "text", "code").collect().head
+    assert(got.getLong(0) == 5L && got.isNullAt(1) && got.getLong(2) == 42L,
+      s"last oneof member must win with null siblings, got $got")
+    // only the first member: code stays null, text present
+    val out2 = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(out2, (2L << 3) | 2); ProtoWire.writeVarint(out2, 2L)
+    out2.write('h'); out2.write('i')
+    val got2 = ProtoWire.decode(Seq(Tuple1(out2.toByteArray)).toDF("proto"), "proto", msg)
+      .select("id", "text", "code").collect().head
+    assert(got2.getLong(0) == 0L && got2.getString(1) == "hi" && got2.isNullAt(2))
   }
 
   test("nested struct columns bind by NAME; singular message occurrences merge") {
