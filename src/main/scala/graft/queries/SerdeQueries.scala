@@ -204,6 +204,31 @@ object SerdeQueries {
         .orderBy("doc_id")
     }),
 
+    // map<K,V> + oneof through the wire codec: encode documents into a
+    // message with a string→int64 map and a two-member oneof, decode back,
+    // explode the map to verifiable (key, value) rows. source/lang value
+    // domains are disjoint in the corpus (srcN vs ISO codes) so the map
+    // builder never sees a duplicate key.
+    "q_serde_proto_map" -> ((s, dir) => {
+      val descriptor =
+        """message DocM {
+          |  int64 doc_id = 1;
+          |  map<string, int64> kv = 2;
+          |  oneof body { string text_val = 3; int64 num_val = 4; }
+          |}""".stripMargin
+      val msg = graft.serde.ProtoWire.parseDescriptor(descriptor)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          map(col("source"), col("n_chars").cast("long"),
+            col("lang"), pmod(col("doc_id"), lit(97)).cast("long")).as("kv"),
+          when(col("n_chars") > 500, col("text")).as("text_val"),
+          when(col("n_chars") <= 500, col("n_chars").cast("long")).as("num_val"))
+      graft.serde.ProtoWire.decode(
+          graft.serde.ProtoWire.encode(docs, msg, keep = Nil), "proto", msg)
+        .select(col("doc_id"), explode(col("kv")), col("text_val"), col("num_val"))
+        .orderBy("doc_id", "key")
+    }),
+
     // NON-OBJECT root schema — the reference's jsonschema_no_dict key case
     // (test_single_storage_base.py:test_produce_consume_jsonschema_no_dict_key):
     // bare JSON numbers validate against an integer root, quoted strings
@@ -328,6 +353,21 @@ object SerdeQueries {
         |       WHEN has_meta AND NOT has_src THEN 'missing:meta.src'
         |       ELSE NULL END AS error
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the map explodes to one row per entry; the oneof members reconstruct
+    // from the same predicate that routed them
+    "q_serde_proto_map" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS k1, CAST(n_chars AS BIGINT) AS v1,
+        |    lang AS k2, CAST(doc_id % 97 AS BIGINT) AS v2,
+        |    CASE WHEN n_chars > 500 THEN text END AS text_val,
+        |    CASE WHEN n_chars <= 500 THEN CAST(n_chars AS BIGINT) END AS num_val
+        |  FROM documents)
+        |SELECT doc_id, key, value, text_val, num_val FROM (
+        |  SELECT doc_id, k1 AS key, v1 AS value, text_val, num_val FROM base
+        |  UNION ALL
+        |  SELECT doc_id, k2, v2, text_val, num_val FROM base)
+        |ORDER BY doc_id, key""".stripMargin,
 
     // scalar-root validation: TRY_CAST replays the wrapper decode — bare
     // numbers cast, quoted strings and broken JSON do not
