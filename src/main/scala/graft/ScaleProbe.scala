@@ -65,14 +65,13 @@ object ScaleProbe {
         val qMany = embs.filter(col("vec_id") % 37 === 0) // ~2.7% of corpus as queries
         val (tLshA, nLshA) = time(Ann.lshTopKAgg(embs, qMany, "vec_id", "embedding", 10).count())
         report("ann_lsh_agg_manyq", tLshA, nLshA)
-        val (tIvf, nIvf) = time {
-          val cents = Ivf.train(embs, k = 16, iters = 2)
-          Ivf.index(embs, cents).count()
+        val (tIvf, (cents, indexed)) = time {
+          val c = Ivf.train(embs, k = 16, iters = 2)
+          val ix = Ivf.index(embs, c).persist()
+          ix.count()
+          (c, ix)
         }
-        report("ivf_train_index", tIvf, nIvf)
-        val cents = Ivf.train(embs, k = 16, iters = 2)
-        val indexed = Ivf.index(embs, cents).persist()
-        indexed.count()
+        report("ivf_train_index", tIvf, indexed.count())
         val (tIvfA, nIvfA) = time(
           Ivf.searchAgg(indexed, cents, qMany, k = 10, nprobe = 4).count())
         report("ivf_searchagg_manyq", tIvfA, nIvfA)

@@ -140,21 +140,41 @@ object JsonSchema {
       get_json_object(payload, jsonPath(e.parent)).isNotNull &&
         get_json_object(payload, jsonPath(e.segs)).isNull
 
+  /** True when the payload is one standalone well-formed JSON value.
+    * `try_parse_json` (variant parse) nulls on anything else — the guard
+    * that keeps wrapper-based scalar decode from being an injection
+    * surface: payload `1,"v":2` is NOT valid JSON but would complete the
+    * wrapper below into one ({"v":1,"v":2}, last duplicate key wins). */
+  private def wellFormed(payload: Column): Column =
+    try_parse_json(payload).isNotNull
+
   /** Decode a JSON string payload against the compiled schema. Malformed
     * payloads decode to an all-null struct (PERMISSIVE), never an
     * exception. NON-OBJECT root schemas are legal JSON-Schema and the
     * reference produces them (a bare string/integer key:
     * test_single_storage_base.py's jsonschema_no_dict case); Spark's
     * from_json only takes struct/array roots, so a scalar root decodes
-    * through a `{"v": <payload>}` wrapper struct — proper JSON unquoting/
-    * coercion, still codegen'd, malformed still → null. */
+    * through a `{"v": <payload>}` wrapper struct — guarded by
+    * [[wellFormed]] so only standalone-valid JSON reaches the wrapper.
+    * Two root-strictness guards from_json alone would miss: an ARRAY root
+    * requires a `[` payload (from_json silently wraps a lone object into a
+    * 1-element array), and a STRING root requires a quoted payload
+    * (Jackson stringifies bare numbers; the reference's validator rejects
+    * 12 against type:string). Other scalar roots get strictness from
+    * Jackson itself (a quoted "abc" never coerces to integer). */
   def decode(payload: Column, schemaJson: String): Column =
     toDataType(JsonMethods.parse(schemaJson)) match {
       case st: StructType => from_json(payload, st)
-      case at: ArrayType => from_json(payload, at)
+      case at: ArrayType =>
+        when(startswith(ltrim(payload), lit("[")), from_json(payload, at))
       case dt =>
-        from_json(concat(lit("{\"v\":"), payload, lit("}")),
+        val wrapped = from_json(concat(lit("{\"v\":"), payload, lit("}")),
           StructType(Seq(StructField("v", dt)))).getField("v")
+        val typeOk = dt match {
+          case StringType => startswith(ltrim(payload), lit("\""))
+          case _ => lit(true)
+        }
+        when(wellFormed(payload) && typeOk, wrapped)
     }
 
   /** True when the payload is not well-formed JSON or not an object.

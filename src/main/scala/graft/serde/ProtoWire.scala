@@ -186,9 +186,30 @@ object ProtoWire {
     val mapKeyTypes = scalarTypes - "double" - "float" - "bytes" // proto map-key rules
     val syntheticEntries = scala.collection.mutable.ArrayBuffer[(String, Seq[ProtoField])]()
     val fieldsByMsg0 = blocks.map { case (name, rawBody) =>
-      // map<K,V> → a synthetic repeated entry message {key=1, value=2};
+      // 1) unwrap oneof blocks in place FIRST (so illegal members — maps,
+      // repeated — are caught inside the group, not lifted out as plain
+      // fields): members are wire-identical to plain singular fields; the
+      // group tag drives last-member-wins at decode
+      var body = rawBody
+      val groupOf = scala.collection.mutable.Map[String, String]()
+      var om = oneofRe.findFirstMatchIn(body)
+      while (om.isDefined) {
+        val m = om.get
+        val end = matchBrace(body, m.end)
+        val inner = body.substring(m.end, end - 1)
+        require(!inner.contains("map<"), s"map fields not allowed inside oneof ($name)")
+        fieldRe.findAllMatchIn(inner).foreach { fm =>
+          // label token, not substring: a member NAMED repeated_x is legal
+          require(fm.group(1) != "repeated", "repeated not allowed inside oneof")
+          groupOf(fm.group(3)) = m.group(1)
+        }
+        body = body.substring(0, m.start) + (" " * (m.end - m.start)) +
+          inner + " " + body.substring(end)
+        om = oneofRe.findFirstMatchIn(body)
+      }
+      // 2) map<K,V> → a synthetic repeated entry message {key=1, value=2};
       // the '#' in its name keeps it out of the \w parse namespace
-      val mapFields = mapRe.findAllMatchIn(rawBody).map { mm =>
+      val mapFields = mapRe.findAllMatchIn(body).map { mm =>
         val (k, v, fname, num) = (mm.group(1), mm.group(2), mm.group(3), mm.group(4).toInt)
         require(mapKeyTypes(k), s"illegal map key type $k")
         require(scalarTypes(v) || names.contains(v), s"unknown map value type $v")
@@ -197,22 +218,8 @@ object ProtoWire {
           Seq(ProtoField(1, "key", k), ProtoField(2, "value", v))))
         ProtoField(num, fname, entryName, isMap = true)
       }.toSeq
-      // unwrap oneof blocks in place: members are wire-identical to plain
-      // singular fields; the group tag drives last-member-wins at decode
-      var body = mapRe.replaceAllIn(rawBody, " ")
+      body = mapRe.replaceAllIn(body, " ")
       require(!body.contains("map<"), s"unparseable map field in $name")
-      val groupOf = scala.collection.mutable.Map[String, String]()
-      var om = oneofRe.findFirstMatchIn(body)
-      while (om.isDefined) {
-        val m = om.get
-        val end = matchBrace(body, m.end)
-        val inner = body.substring(m.end, end - 1)
-        require(!inner.contains("repeated"), "repeated not allowed inside oneof")
-        fieldRe.findAllMatchIn(inner).foreach(fm => groupOf(fm.group(3)) = m.group(1))
-        body = body.substring(0, m.start) + (" " * (m.end - m.start)) +
-          inner + " " + body.substring(end)
-        om = oneofRe.findFirstMatchIn(body)
-      }
       val fields = fieldRe.findAllMatchIn(body).map { fm =>
         // proto2's required/optional and proto3's optional are all
         // wire-identical to singular (the reference's own test schemas use
@@ -451,16 +458,19 @@ object ProtoWire {
       byNumber.get((key >>> 3).toInt) match {
         case Some(idx) =>
           val f = fields(idx)
-          // proto3 oneof: seeing any member clears its siblings — only the
-          // LAST member on the wire survives (a member's own repeats still
-          // merge/overwrite normally below)
-          msg.oneofSiblings.get(idx).foreach { sibs =>
-            var s = 0
-            while (s < sibs.length) { values(sibs(s)) = null; s += 1 }
-          }
+          // proto3 oneof: a successfully DECODED member clears its siblings
+          // — only the last member on the wire survives. Cleared on set,
+          // never on the skip path: a wire-type-mismatched occurrence is
+          // unknown-field territory and must not destroy a sibling already
+          // decoded (canonical parsers keep it).
+          def clearSiblings(): Unit =
+            msg.oneofSiblings.get(idx).foreach { sibs =>
+              var s = 0
+              while (s < sibs.length) { values(sibs(s)) = null; s += 1 }
+            }
           def appendOrSet(v: Any): Unit =
             if (f.repeated || f.isMap) values(idx).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += v
-            else values(idx) = v
+            else { clearSiblings(); values(idx) = v }
           val isMsg = msg.types.contains(f.ptype)
           (f.ptype, wire) match {
             case (t, 2) if isMsg =>
@@ -474,7 +484,8 @@ object ProtoWire {
                 // drop fields set only in earlier occurrences
                 val buf = values(idx) match {
                   case s: ByteArrayOutputStream => s
-                  case _ =>
+                  case _ => // fresh start (incl. after a oneof switch-back)
+                    clearSiblings()
                     val s = new ByteArrayOutputStream(); values(idx) = s; s
                 }
                 buf.write(b, p2, len.toInt)

@@ -172,10 +172,42 @@ class SerdeSpec extends SparkSpec {
     assert(got(0).getLong(3) == 7L && got(0).getBoolean(4) && got(0).isNullAt(5))
     // a JSON string against an integer root fails to coerce -> invalid
     assert(!got(1).getBoolean(4) && got(1).getString(5) == "malformed")
-    // "12" IS a valid JSON string payload? No - JSON string root expects quotes,
-    // but from_json coerces the number 12 to the string "12" (PERMISSIVE cast)
-    assert(got(1).getString(1) == "12")
+    // a bare number against a STRING root is invalid (the reference's
+    // validator rejects 12 against type:string; Jackson would stringify it)
+    assert(got(1).isNullAt(1) && !got(1).getBoolean(2))
     assert(got(2).isNullAt(1) && !got(2).getBoolean(2) && !got(2).getBoolean(4))
+  }
+
+  test("json schema scalar root rejects injection payloads and partial JSON") {
+    import graft.serde.JsonSchema
+    val intRoot = """{"type":"integer"}"""
+    // '1,"v":2' is NOT standalone JSON but completes the decode wrapper
+    // into {"v":1,"v":2} (last duplicate wins) — must stay malformed
+    val got = Seq((1L, """1,"v":2"""), (2L, "3"))
+      .toDF("rid", "p")
+      .select(col("rid"),
+        JsonSchema.decode(col("p"), intRoot).as("v"),
+        JsonSchema.isValid(col("p"), intRoot).as("ok"),
+        JsonSchema.error(col("p"), intRoot).as("e"))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).isNullAt(1) && !got(0).getBoolean(2) && got(0).getString(3) == "malformed",
+      s"injection payload must be malformed, got ${got(0)}")
+    assert(got(1).getLong(1) == 3L && got(1).getBoolean(2) && got(1).isNullAt(3))
+  }
+
+  test("json schema array root rejects a lone object payload") {
+    import graft.serde.JsonSchema
+    val arrRoot = """{"type":"array","items":{"type":"integer"}}"""
+    val got = Seq((1L, "[1,2]"), (2L, """{"a":1}"""), (3L, "[bad"))
+      .toDF("rid", "p")
+      .select(col("rid"),
+        JsonSchema.decode(col("p"), arrRoot).as("v"),
+        JsonSchema.isValid(col("p"), arrRoot).as("ok"))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getSeq[Long](1) == Seq(1L, 2L) && got(0).getBoolean(2))
+    // from_json would silently wrap the object into a 1-element array
+    assert(got(1).isNullAt(1) && !got(1).getBoolean(2))
+    assert(got(2).isNullAt(1) && !got(2).getBoolean(2))
   }
 
   test("json schema property names Spark's JSONPath cannot address are rejected at compile") {
@@ -480,6 +512,24 @@ class SerdeSpec extends SparkSpec {
     val got2 = ProtoWire.decode(Seq(Tuple1(out2.toByteArray)).toDF("proto"), "proto", msg)
       .select("id", "text", "code").collect().head
     assert(got2.getLong(0) == 0L && got2.getString(1) == "hi" && got2.isNullAt(2))
+    // a wire-type-MISMATCHED sibling occurrence (skipped as unknown) must
+    // NOT clear a member already decoded — canonical parsers keep "hi"
+    val out3 = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(out3, (2L << 3) | 2); ProtoWire.writeVarint(out3, 2L)
+    out3.write('h'); out3.write('i')
+    ProtoWire.writeVarint(out3, (3L << 3) | 5) // field 3 as fixed32: mismatch
+    out3.write(Array[Byte](1, 2, 3, 4))
+    val got3 = ProtoWire.decode(Seq(Tuple1(out3.toByteArray)).toDF("proto"), "proto", msg)
+      .select("text", "code").collect().head
+    assert(got3.getString(0) == "hi" && got3.isNullAt(1),
+      s"skipped mismatch must not clear the decoded member, got $got3")
+    // legal oneof member names containing the word 'repeated' parse
+    assert(ProtoWire.parseDescriptor(
+      "message R { oneof b { int64 repeated_errors = 1; int64 other = 2; } }")
+      .fields.map(_.name) == Seq("repeated_errors", "other"))
+    // maps are not legal oneof members: rejected, not silently lifted out
+    intercept[IllegalArgumentException](ProtoWire.parseDescriptor(
+      "message Q { oneof b { map<string, int64> kv = 1; int64 x = 2; } }"))
   }
 
   test("nested struct columns bind by NAME; singular message occurrences merge") {
