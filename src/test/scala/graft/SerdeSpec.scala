@@ -369,6 +369,31 @@ class SerdeSpec extends SparkSpec {
     }
   }
 
+  test("descriptor codec roundtrips generated maps and oneof values") {
+    import graft.serde.ProtoWire
+    import org.scalacheck.Arbitrary.arbitrary
+    val msg = ProtoWire.parseDescriptor(
+      "message PM { int64 rid = 1; map<string, int64> kv = 2; oneof o { string sv = 3; sint64 nv = 4; } }")
+    val bmpKey = Gen.nonEmptyListOf(Gen.choose(32, 0xD7FF).map(_.toChar)).map(_.mkString)
+    val rowGen = for {
+      kv <- Gen.mapOf(Gen.zip(bmpKey, arbitrary[Long]))
+      pick <- arbitrary[Boolean]
+      sv <- bmpKey; nv <- arbitrary[Long]
+    } yield (kv, if (pick) Some(sv) else None, if (pick) None else Some(nv))
+    val rows = Gen.listOfN(120, rowGen).sample.get.zipWithIndex
+      .map { case ((kv, sv, nv), i) => (i.toLong, kv, sv, nv) }
+    val df = rows.toDF("rid", "kv", "sv", "nv")
+    val back = ProtoWire.decode(
+        ProtoWire.encode(df, msg, keep = Nil), "proto", msg)
+      .as[(Long, Map[String, Long], Option[String], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(back.length == rows.length)
+    rows.sortBy(_._1).zip(back).foreach { case (e, g2) =>
+      assert(e._2 == g2._2, s"map drift at rid=${e._1}")
+      assert(e._3 == g2._3 && e._4 == g2._4, s"oneof drift at rid=${e._1}")
+    }
+  }
+
   test("descriptor parse rejects recursion/bad maps; wire-type mismatch skips, not crashes") {
     import graft.serde.ProtoWire
     // float map keys are not legal proto
