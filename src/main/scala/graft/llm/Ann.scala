@@ -98,14 +98,19 @@ object Ann {
 
   /** LSH band-bucket candidates: (q_id, nn_id, __e_q, __e_c), deduplicated
     * across bands. The only corpus-wide shuffles are keyed by (band, bh)
-    * and (q_id, nn_id) — never a corpus self-join. */
+    * and (q_id, nn_id) — never a corpus self-join. `pinQueryBroadcast`
+    * forces the banded query side into a broadcast hint (right for the
+    * few-queries regime); without it the join is a plain (band, bh)
+    * equi-join and Catalyst/AQE still broadcasts WHEN stats say the side is
+    * small — the difference is that a huge query set degrades to a shuffle
+    * instead of an OOM-prone forced broadcast. */
   private def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String): DataFrame = {
+      embCol: String, pinQueryBroadcast: Boolean = true): DataFrame = {
     val c = bandBuckets(withNormSig(corpus, idCol, embCol), idCol)
       .select(col("band"), col("bh"), col(idCol).as("nn_id"), col(embCol).as("__e_c"))
     val q = bandBuckets(withNormSig(queries, idCol, embCol), idCol)
       .select(col("band"), col("bh"), col(idCol).as("q_id"), col(embCol).as("__e_q"))
-    c.join(broadcast(q), Seq("band", "bh"))
+    c.join(if (pinQueryBroadcast) broadcast(q) else q, Seq("band", "bh"))
       .filter(col("q_id") =!= col("nn_id"))
       .dropDuplicates("q_id", "nn_id")
   }
@@ -180,11 +185,14 @@ object Ann {
 
   /** LSH ANN for LARGE query sets: identical results to [[lshTopK]]
     * (equivalence asserted in LlmSpec), ranked by bounded aggregation
-    * instead of a per-q_id window. */
+    * instead of a per-q_id window, and candidates joined WITHOUT the
+    * query-side broadcast hint — no stage is |queries|-bounded (PlanSpec
+    * asserts neither a Window nor a pinned BroadcastExchange survives with
+    * auto-broadcast off). */
   def lshTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       k: Int): DataFrame =
     topKPerQuery(
-      lshCandidates(corpus, queries, idCol, embCol)
+      lshCandidates(corpus, queries, idCol, embCol, pinQueryBroadcast = false)
         .withColumn("cosine", Exprs.cosine(col("__e_q"), col("__e_c"))),
       k)
 }

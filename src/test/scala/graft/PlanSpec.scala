@@ -94,6 +94,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"IVF assignment sorts per key:\n$plan")
   }
 
+  test("many-queries ANN paths: no per-q_id window, no forced query-set broadcast") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+    val q = e.limit(50)
+    val cents = graft.llm.Ivf.train(e, k = 8, iters = 1)
+    // disable size-based auto-broadcast: at this tiny SF Catalyst would
+    // broadcast the probe side anyway (correct, stats-driven, fine at
+    // scale); the STRUCTURAL claim is that neither path carries a
+    // broadcast() hint pinning the query-derived side — the few-queries
+    // forms do, and stop scaling at large |queries|
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ivfPlan = graft.llm.Ivf.searchAgg(graft.llm.Ivf.index(e, cents), cents, q,
+        k = 5, nprobe = 2).queryExecution.executedPlan.toString
+      val lshPlan = graft.llm.Ann.lshTopKAgg(e, q, "vec_id", "embedding", 5)
+        .queryExecution.executedPlan.toString
+      for ((name, plan) <- Seq("searchAgg" -> ivfPlan, "lshTopKAgg" -> lshPlan)) {
+        // parallelism must not collapse to |queries| partitions: ranking is
+        // the bounded top-k Aggregator, never a Window over q_id
+        assert(!plan.contains("Window"), s"$name ranks via a window:\n$plan")
+        assert(!plan.contains("BroadcastExchange"), s"$name pins a broadcast:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q1)") {
     // AQE finalizes the plan only at execution; codegen'd operators then
     // carry the "*(n)" prefix
