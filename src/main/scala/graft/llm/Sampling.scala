@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic dataset splitting and sampling for training-data
+  * pipelines. The reference has no split primitive (its pipelines stop at
+  * consume/produce); a 100 TB training corpus needs reproducible
+  * train/val/test routing that is stable across reruns, partitionings, and
+  * cluster sizes — so every decision here is a pure function of the row's
+  * OWN id through splitmix64, never `rand()` (a nondeterministic expression
+  * feeding a shuffle key silently corrupts retried stages — SPARK-23207
+  * class) and never row position.
+  *
+  * The hash runs in a typed mapPartitions kernel: splitmix64's multiplies
+  * WRAP in two's-complement, which ANSI-mode Column arithmetic (Spark 4
+  * default) rejects as overflow — JVM Long arithmetic inside a kernel is
+  * the honest wrap. The routing itself stays a codegen'd when-chain.
+  * Bucket arithmetic is replicated exactly in DuckDB by the oracle
+  * (HashOracle.sm64), so splits are verified bit-for-bit, not
+  * statistically.
+  */
+object Sampling {
+
+  /** Append `__bucket` ∈ [0, 10000) = pmod(splitmix64(id), 10000). */
+  private def withBucket(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.withColumn(idCol, col(idCol).cast("long"))
+    val idIdx = in.schema.fieldIndex(idCol)
+    val outSchema = in.schema.add("__bucket", LongType, nullable = false)
+    in.mapPartitions { rows =>
+      rows.map { row =>
+        val h = Hashing.splitmix64(row.getLong(idIdx))
+        Row.fromSeq(row.toSeq :+ (((h % 10000) + 10000) % 10000))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Route each row to a named split by hash bucket. `fracs` are
+    * (name, fraction) in priority order; fractions are taken in units of
+    * 1/10000 (floor) and must sum to ≤ 1; the remainder falls into the
+    * LAST split. Example: Seq(("train", 0.98), ("val", 0.01), ("test",
+    * 0.01)). Adding rows later never re-routes existing ones. */
+  def hashSplit(df: DataFrame, idCol: String, fracs: Seq[(String, Double)],
+      as: String = "split"): DataFrame = {
+    require(fracs.nonEmpty, "at least one split")
+    require(fracs.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val cuts = fracs.map(_._2 * 10000).map(_.toLong)
+    val uppers = cuts.scanLeft(0L)(_ + _).tail // cumulative upper bounds
+    val b = col("__bucket")
+    // first when in the chain wins: bucket < upper_i routes to split i
+    val expr = fracs.map(_._1).zip(uppers).foldLeft(when(lit(false), lit(""))) {
+      case (acc, (name, hi)) => acc.when(b < lit(hi), lit(name))
+    }.otherwise(lit(fracs.last._1))
+    withBucket(df, idCol).withColumn(as, expr).drop("__bucket")
+  }
+
+  /** Deterministic fraction sample: keep rows whose bucket falls under
+    * `frac` (floor of 1/10000 units) — the reproducible form of
+    * `df.sample(frac)` for pipeline reruns. */
+  def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame =
+    withBucket(df, idCol)
+      .filter(col("__bucket") < lit((frac * 10000).toLong))
+      .drop("__bucket")
+}

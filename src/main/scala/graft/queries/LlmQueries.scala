@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Multimodal, Stopwords, TextAnalysis}
+import graft.llm.{Ann, Dedup, Multimodal, Quantize, Sampling, Stopwords, TextAnalysis}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -91,6 +91,28 @@ object LlmQueries {
         e.filter(col("vec_id") < 10), k = 10, nprobe = 4)
         .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // deterministic train/val/test routing: a pure function of doc_id
+    // through splitmix64 — reproducible across reruns/partitionings, and
+    // replicated bit-for-bit by the oracle (not a statistical check)
+    "q_split_hash" -> ((s, dir) =>
+      Sampling.hashSplit(docs(s, dir), "doc_id",
+          Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)))
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // int8 symmetric embedding quantization, verified code-by-code: explode
+    // (vec_id, dim, code, dequantized) and compare against DuckDB's replay
+    // of the same scale/round/clamp arithmetic
+    "q_embed_quantize" -> ((s, dir) => {
+      val q = Quantize.dequantize(
+        Quantize.quantize(emb(s, dir).select("vec_id", "embedding"), "embedding"),
+        "scale", "q", "deq")
+      q.select(col("vec_id"), col("scale"), posexplode(arrays_zip(col("q"), col("deq"))))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col.q").cast("long").as("code"),
+          col("col.deq").cast("double").as("deq_v"), col("scale"))
+        .orderBy("vec_id", "dim")
     }),
 
     "q_text_tokens" -> ((s, dir) =>
@@ -280,6 +302,36 @@ object LlmQueries {
 
     // IVF recomputed end-to-end: deterministic seeds, two Lloyd steps on
     // integer sums, nearest-list index, nprobe=4 probe, cosine top-10.
+    // pmod(splitmix64(doc_id), 10000) routed through the same cumulative
+    // cuts; tosigned + double-% replicates Spark's pmod on signed longs
+    "q_split_hash" ->
+      s"""${HashOracle.macros}
+         |WITH b AS (SELECT doc_id,
+         |  ((tosigned(sm64(CAST(doc_id AS HUGEINT))) % 10000) + 10000) % 10000 AS bk
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bk < 9800 THEN 'train' WHEN bk < 9900 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // per-vector scale = max|x|/127; code = clamp(round-half-away(x/scale));
+    // deq = CAST(code*scale AS FLOAT) — DuckDB round() IS half-away-from-
+    // zero on doubles (measured), so the replay is arithmetic-identical
+    "q_embed_quantize" ->
+      """WITH s AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |    embedding FROM embeddings),
+        |x AS (SELECT vec_id, scale, u.v, u.dim FROM s,
+        |  UNNEST(list_transform(embedding,
+        |    (v, i) -> struct_pack(v := CAST(v AS DOUBLE), dim := i - 1))) AS t(u)),
+        |c AS (SELECT vec_id, dim, scale,
+        |    CASE WHEN scale > 0
+        |      THEN CAST(greatest(-127, least(127, round(CAST(v AS DOUBLE) / scale))) AS BIGINT)
+        |      ELSE 0 END AS code
+        |  FROM x)
+        |SELECT vec_id, dim, code,
+        |  CAST(CAST(code * scale AS FLOAT) AS DOUBLE) AS deq_v, scale
+        |FROM c ORDER BY vec_id, dim""".stripMargin,
+
     "q_ann_ivf" -> ivfOracleSql,
 
     // searchAgg's map-side probe + bounded top-k ranks by the same total

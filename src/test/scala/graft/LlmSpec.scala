@@ -217,4 +217,49 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) != sigs(2L))
   }
+
+  test("hash split: deterministic, partitioning-invariant, fractions near target") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    val fracs = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, "doc_id", fracs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a = splits(docs)
+    // same rows, different physical partitioning: routing must not move
+    assert(a == splits(docs.repartition(13)))
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 350 && counts("val") > 20 && counts("test") > 20,
+      s"implausible split sizes: $counts") // 500 docs; hash noise tolerated
+    // sampling is a prefix property: the 1% sample is inside the 5% sample
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.01).select("doc_id").as[Long].collect().toSet
+    val s5 = Sampling.hashSample(docs, "doc_id", 0.05).select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s5) && s5.size > s1.size)
+  }
+
+  test("int8 quantization: bounded reconstruction error, exact zero vectors, null passthrough") {
+    import spark.implicits._
+    import graft.llm.Quantize
+    val withEdge = emb.select("vec_id", "embedding").unionByName(
+      Seq((900001L, Array.fill(4)(0.0f)), (900002L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val out = Quantize.dequantize(Quantize.quantize(withEdge, "embedding"), "scale", "q", "deq")
+      .select("vec_id", "embedding", "scale", "deq")
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val e = r.getAs[scala.collection.Seq[Float]](1)
+      if (e == null) assert(r.isNullAt(2) && r.isNullAt(3), s"null must pass through at $id")
+      else {
+        val scale = r.getDouble(2)
+        val d = r.getAs[scala.collection.Seq[Float]](3)
+        assert(d.length == e.length)
+        // symmetric int8: worst-case error is half a step (+ float eps)
+        val tol = scale / 2 + 1e-4
+        e.zip(d).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= tol, s"vec $id: |$x - $y| > $tol") }
+        if (e.forall(_ == 0.0f)) assert(scale == 0.0 && d.forall(_ == 0.0f))
+      }
+    }
+  }
 }
