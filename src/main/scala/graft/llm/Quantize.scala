@@ -18,9 +18,29 @@ import org.apache.spark.sql.types._
   */
 object Quantize {
 
+  /** Round half away from zero, boundary-exact. The usual floor(r + 0.5)
+    * idiom is WRONG one ulp below a half-integer: r + 0.5 rounds UP to the
+    * boundary in IEEE double (floor(0.49999999999999994 + 0.5) == 1, C/
+    * DuckDB round() == 0). Ties are detected exactly instead, on |r| —
+    * a - floor(a) is an exact subtraction for a ≥ 0 (Sterbenz: floor(a) ≤
+    * a < 2·floor(a) once floor ≥ 1; exact trivially below 1), where the
+    * signed form a=-0.49999999999999994 is NOT (fl jumps to -1 and r - fl
+    * rounds to exactly 0.5, a false tie). Non-ties have an unambiguous
+    * nearest integer that rint returns. */
+  private[graft] def roundHalfAway(r: Double): Double = {
+    val a = math.abs(r)
+    val fl = math.floor(a)
+    val v = if (a - fl == 0.5) fl + 1 else math.rint(a)
+    math.copySign(v, r)
+  }
+
   /** (passthrough…, scale: double, q: array<byte>) from an array<float>
     * column. Zero vectors get scale 0 and all-zero codes (dequantize
-    * restores exact zeros). Null embeddings pass through as null scale/q. */
+    * restores exact zeros). Null embeddings pass through as null scale/q;
+    * a null ELEMENT stays a null code (boxed access — `getAs[Seq[Float]]`
+    * would silently unbox null to 0.0f), and a vector with no non-null
+    * elements (empty or all-null) gets a null scale, matching the oracle's
+    * null-skipping list_max. */
   def quantize(df: DataFrame, embCol: String): DataFrame = {
     val in = df.withColumn(embCol, col(embCol).cast("array<float>"))
     val embIdx = in.schema.fieldIndex(embCol)
@@ -29,26 +49,31 @@ object Quantize {
       .add("q", ArrayType(ByteType), nullable = true)
     in.mapPartitions { rows =>
       rows.map { row =>
-        val e = row.getAs[scala.collection.Seq[Float]](embIdx)
+        val e = row.getAs[scala.collection.Seq[java.lang.Float]](embIdx)
         if (e == null) Row.fromSeq(row.toSeq ++ Seq(null, null))
         else {
           val n = e.length
-          var mx = 0.0
+          var mx = -1.0 // -1 = no non-null element seen
           var i = 0
-          while (i < n) { val a = math.abs(e(i).toDouble); if (a > mx) mx = a; i += 1 }
-          val scale = mx / 127.0
-          val q = new Array[Byte](n)
-          if (scale > 0) {
-            i = 0
-            while (i < n) {
-              // round half away from zero, exactly like DuckDB's round()
-              val r = e(i).toDouble / scale
-              val v = if (r >= 0) math.floor(r + 0.5) else math.ceil(r - 0.5)
-              q(i) = math.max(-127.0, math.min(127.0, v)).toByte
-              i += 1
+          while (i < n) {
+            if (e(i) != null) {
+              val a = math.abs(e(i).toDouble); if (a > mx) mx = a
             }
+            i += 1
           }
-          // Seq, not the raw Array[Byte]: RowEncoder reads a bare byte
+          val scale: java.lang.Double = if (mx < 0) null else mx / 127.0
+          val q = new Array[Any](n)
+          i = 0
+          while (i < n) {
+            q(i) =
+              if (e(i) == null) null
+              else if (scale > 0) {
+                val v = roundHalfAway(e(i).toDouble / scale)
+                math.max(-127.0, math.min(127.0, v)).toByte
+              } else 0.toByte
+            i += 1
+          }
+          // Seq, not a raw Array[Byte]: RowEncoder reads a bare byte
           // array as BinaryType and rejects it for array<tinyint>
           Row.fromSeq(row.toSeq ++ Seq(scale, q.toIndexedSeq))
         }
@@ -58,7 +83,7 @@ object Quantize {
 
   /** Reconstruct array<float> from (scale, q) — `as` names the restored
     * column. code × scale, truncated to float32 exactly as the oracle's
-    * CAST(v AS FLOAT). */
+    * CAST(v AS FLOAT); null codes dequantize to null elements. */
   def dequantize(df: DataFrame, scaleCol: String, qCol: String, as: String): DataFrame = {
     val sIdx = df.schema.fieldIndex(scaleCol)
     val qIdx = df.schema.fieldIndex(qCol)
@@ -68,11 +93,14 @@ object Quantize {
         if (row.isNullAt(sIdx) || row.isNullAt(qIdx)) Row.fromSeq(row.toSeq :+ null)
         else {
           val scale = row.getDouble(sIdx)
-          val q = row.getAs[scala.collection.Seq[Byte]](qIdx)
-          val out = new Array[Float](q.length)
+          val q = row.getAs[scala.collection.Seq[java.lang.Byte]](qIdx)
+          val out = new Array[Any](q.length)
           var i = 0
-          while (i < q.length) { out(i) = (q(i) * scale).toFloat; i += 1 }
-          Row.fromSeq(row.toSeq :+ out)
+          while (i < q.length) {
+            out(i) = if (q(i) == null) null else (q(i).toDouble * scale).toFloat
+            i += 1
+          }
+          Row.fromSeq(row.toSeq :+ out.toIndexedSeq)
         }
       }
     }(Encoders.row(outSchema))

@@ -23,29 +23,42 @@ import org.apache.spark.sql.types.LongType
   */
 object Sampling {
 
-  /** Append `__bucket` ∈ [0, 10000) = pmod(splitmix64(id), 10000). */
+  /** Append `__bucket` ∈ [0, 10000) = pmod(splitmix64(id), 10000). The id
+    * is hashed through a TEMP long column (try_cast — ANSI cast would throw
+    * on a malformed string id) so the caller's id column passes through
+    * untouched; a null or non-castable id gets a NULL bucket, which every
+    * downstream comparison treats deterministically (hashSplit routes it to
+    * the last split via `otherwise`, hashSample drops it). */
   private def withBucket(df: DataFrame, idCol: String): DataFrame = {
-    val in = df.withColumn(idCol, col(idCol).cast("long"))
-    val idIdx = in.schema.fieldIndex(idCol)
-    val outSchema = in.schema.add("__bucket", LongType, nullable = false)
+    val in = df.withColumn("__id_long", expr(s"try_cast(`$idCol` as bigint)"))
+    val idIdx = in.schema.fieldIndex("__id_long")
+    val outSchema = in.schema.add("__bucket", LongType, nullable = true)
     in.mapPartitions { rows =>
       rows.map { row =>
-        val h = Hashing.splitmix64(row.getLong(idIdx))
-        Row.fromSeq(row.toSeq :+ (((h % 10000) + 10000) % 10000))
+        val bucket =
+          if (row.isNullAt(idIdx)) null
+          else {
+            val h = Hashing.splitmix64(row.getLong(idIdx))
+            ((h % 10000) + 10000) % 10000
+          }
+        Row.fromSeq(row.toSeq :+ bucket)
       }
-    }(Encoders.row(outSchema))
+    }(Encoders.row(outSchema)).drop("__id_long")
   }
 
   /** Route each row to a named split by hash bucket. `fracs` are
-    * (name, fraction) in priority order; fractions are taken in units of
-    * 1/10000 (floor) and must sum to ≤ 1; the remainder falls into the
-    * LAST split. Example: Seq(("train", 0.98), ("val", 0.01), ("test",
+    * (name, fraction) in priority order; fractions are taken to the NEAREST
+    * multiple of 1/10000 (`math.round`, not truncation — 0.0003 * 10000 is
+    * 2.9999999999999996 in binary double, and truncating it would silently
+    * shrink the split by a bucket) and must sum to ≤ 1; the remainder —
+    * including rows whose id is null or not castable to long — falls into
+    * the LAST split. Example: Seq(("train", 0.98), ("val", 0.01), ("test",
     * 0.01)). Adding rows later never re-routes existing ones. */
   def hashSplit(df: DataFrame, idCol: String, fracs: Seq[(String, Double)],
       as: String = "split"): DataFrame = {
     require(fracs.nonEmpty, "at least one split")
     require(fracs.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
-    val cuts = fracs.map(_._2 * 10000).map(_.toLong)
+    val cuts = fracs.map(_._2 * 10000).map(math.round)
     val uppers = cuts.scanLeft(0L)(_ + _).tail // cumulative upper bounds
     val b = col("__bucket")
     // first when in the chain wins: bucket < upper_i routes to split i
@@ -56,10 +69,11 @@ object Sampling {
   }
 
   /** Deterministic fraction sample: keep rows whose bucket falls under
-    * `frac` (floor of 1/10000 units) — the reproducible form of
-    * `df.sample(frac)` for pipeline reruns. */
+    * `frac` (nearest 1/10000 unit) — the reproducible form of
+    * `df.sample(frac)` for pipeline reruns. Rows with a null/non-castable
+    * id have a NULL bucket and are dropped (the filter is never true). */
   def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame =
     withBucket(df, idCol)
-      .filter(col("__bucket") < lit((frac * 10000).toLong))
+      .filter(col("__bucket") < lit(math.round(frac * 10000)))
       .drop("__bucket")
 }

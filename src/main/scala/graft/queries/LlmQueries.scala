@@ -300,8 +300,6 @@ object LlmQueries {
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // IVF recomputed end-to-end: deterministic seeds, two Lloyd steps on
-    // integer sums, nearest-list index, nprobe=4 probe, cosine top-10.
     // pmod(splitmix64(doc_id), 10000) routed through the same cumulative
     // cuts; tosigned + double-% replicates Spark's pmod on signed longs
     "q_split_hash" ->
@@ -315,7 +313,10 @@ object LlmQueries {
 
     // per-vector scale = max|x|/127; code = clamp(round-half-away(x/scale));
     // deq = CAST(code*scale AS FLOAT) — DuckDB round() IS half-away-from-
-    // zero on doubles (measured), so the replay is arithmetic-identical
+    // zero on doubles (measured), so the replay is arithmetic-identical.
+    // A null ELEMENT is a null code in both engines (the kernel reads boxed
+    // floats; here the explicit v IS NULL arm keeps the scale=0 branch from
+    // coercing it to 0)
     "q_embed_quantize" ->
       """WITH s AS (SELECT vec_id,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
@@ -324,7 +325,8 @@ object LlmQueries {
         |  UNNEST(list_transform(embedding,
         |    (v, i) -> struct_pack(v := CAST(v AS DOUBLE), dim := i - 1))) AS t(u)),
         |c AS (SELECT vec_id, dim, scale,
-        |    CASE WHEN scale > 0
+        |    CASE WHEN v IS NULL THEN NULL
+        |      WHEN scale > 0
         |      THEN CAST(greatest(-127, least(127, round(CAST(v AS DOUBLE) / scale))) AS BIGINT)
         |      ELSE 0 END AS code
         |  FROM x)
@@ -332,6 +334,8 @@ object LlmQueries {
         |  CAST(CAST(code * scale AS FLOAT) AS DOUBLE) AS deq_v, scale
         |FROM c ORDER BY vec_id, dim""".stripMargin,
 
+    // IVF recomputed end-to-end: deterministic seeds, two Lloyd steps on
+    // integer sums, nearest-list index, nprobe=4 probe, cosine top-10
     "q_ann_ivf" -> ivfOracleSql,
 
     // searchAgg's map-side probe + bounded top-k ranks by the same total

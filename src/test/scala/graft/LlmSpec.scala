@@ -262,4 +262,61 @@ class LlmSpec extends SparkSpec {
       }
     }
   }
+
+  test("round-half-away is boundary-exact where floor(r+0.5) is not") {
+    import graft.llm.Quantize.roundHalfAway
+    // one ulp below 0.5: r+0.5 rounds UP to 1.0 in double; C round() gives 0
+    assert(roundHalfAway(0.49999999999999994) == 0.0)
+    assert(roundHalfAway(-0.49999999999999994) == 0.0)
+    assert(roundHalfAway(0.5) == 1.0 && roundHalfAway(-0.5) == -1.0)
+    assert(roundHalfAway(2.5) == 3.0 && roundHalfAway(-2.5) == -3.0)
+    assert(roundHalfAway(1.4999999999999998) == 1.0)
+    assert(roundHalfAway(126.5) == 127.0 && roundHalfAway(-126.5) == -127.0)
+  }
+
+  test("quantize: a null ELEMENT stays a null code, not a silent 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq[Any](1.0f, null, -2.0f)),
+        Row(2L, Seq[Any](null, null))), // no non-null element -> null scale
+      schema)
+    val out = graft.llm.Quantize.dequantize(
+        graft.llm.Quantize.quantize(df, "embedding"), "scale", "q", "deq")
+      .select("vec_id", "scale", "q", "deq").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getDouble(1) == 2.0 / 127.0)
+    val q1 = r1.getAs[scala.collection.Seq[java.lang.Byte]](2)
+    val d1 = r1.getAs[scala.collection.Seq[java.lang.Float]](3)
+    assert(q1(1) == null && d1(1) == null, "null element must propagate")
+    assert(q1(0) != null && q1(2) == -127.toByte)
+    assert(out(2L).isNullAt(1), "all-null vector has no scale (list_max semantics)")
+  }
+
+  test("hash sample/split: exact 1/10000 cuts and deterministic null-id routing") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    // 0.0003*10000 is 2.9999999999999996 in double: truncation would keep
+    // buckets {0,1} only; the cut must be exactly 3
+    val kept = Sampling.hashSample(docs, "doc_id", 0.0003)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = docs.select("doc_id").as[Long].collect()
+      .filter(id => math.floorMod(graft.llm.Hashing.splitmix64(id), 10000L) < 3L).toSet
+    assert(kept == expected)
+    // null and non-castable ids: split routes them to the LAST split,
+    // sample drops them, and the caller's id column type is untouched
+    val strIds = Seq("7", "doc-x", null).toDF("doc_id")
+    val routed = Sampling.hashSplit(strIds, "doc_id",
+        Seq(("train", 0.5), ("rest", 0.5)))
+    assert(routed.schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
+    val m = routed.collect().map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(m(Some("doc-x")) == "rest" && m(None) == "rest")
+    val sampled = Sampling.hashSample(strIds, "doc_id", 1.0).collect().map(_.getString(0)).toSet
+    assert(sampled == Set("7"), s"only the castable id survives: $sampled")
+  }
 }
