@@ -284,4 +284,112 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ---- 6. duplicate-cluster resolution (pairs → connected components) ----
+
+  /** Connected components over an undirected pair set by alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14). Near-dup PAIRS are not a dedup
+    * policy: if A~B and B~C, keeping "one of each pair" keeps two of the
+    * three — the unit of deduplication is the transitive CLUSTER. The
+    * reference has no equivalent (single-process); this is the operator a
+    * 100 TB pipeline runs right after `minhashPairs`.
+    *
+    * Why star-contraction and not plain label propagation: propagation
+    * needs O(diameter) rounds — a pathological chain (adversarial or
+    * boilerplate-heavy corpora produce them) means thousands of shuffles.
+    * Star rounds square away chains in O(log² n) worst case, 2–4 rounds on
+    * real near-dup graphs (clusters are clique-ish). Every round moves only
+    * 16-byte (u, v) edge rows through shuffles keyed on node id; min-
+    * aggregation is map-side partial. `localCheckpoint` truncates the
+    * lineage each round so the driver loop doesn't stack O(rounds) plans
+    * (swap for `checkpoint` + a reliable dir on a real cluster where
+    * executor loss must not force a full recompute).
+    *
+    * Convergence is detected by an (edge-count, xor of edge-hashes)
+    * fingerprint going stable across a round — exact equality would cost a
+    * join per round; the fingerprint is one slim aggregate (xor is
+    * order-independent; a missed change needs a 64-bit xxhash64 multiset
+    * collision). `maxIter` only guards the loop; hitting it throws rather
+    * than silently returning a non-converged (non-star) edge set.
+    *
+    * Returns (id, root): one row per non-isolated node with root = min id
+    * of its component. Isolated nodes (no pair) don't appear — [[clusters]]
+    * re-attaches them. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
+        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        // xor-fold via sum of single-bit-free trick is unavailable; DuckDB
+        // isn't involved here so plain bit_xor aggregate is fine
+        expr("cast(coalesce(bit_xor(xxhash64(u, v)), 0) as long)")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: every node links its strictly-larger neighbors to the
+      // minimum of its closed neighborhood — after this, every edge points
+      // high → low.
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every node links its (all-smaller) neighbors and itself
+      // to its minimum neighbor.
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(mins2, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val fp2 = fingerprint(next)
+      converged = fp2 == fp
+      fp = fp2
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    edges.select(col("u").as("id"), col("v").as("root"))
+  }
+
+  /** Cluster assignment for EVERY document: cluster_id = min doc id of its
+    * duplicate component (singletons map to themselves), is_canonical marks
+    * the one row per cluster a dedup pass keeps. The join back to the full
+    * id set is a slim long-to-long left join; at scale the component map is
+    * tiny relative to the corpus (only non-isolated nodes appear) so AQE
+    * broadcasts it. */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val roots = connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id").as("__ccid"), col("root"))
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(roots, col(idCol) === col("__ccid"), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
+  /** Keep one document per duplicate cluster (the min-id canonical): the
+    * full-width rows survive via a LEFT SEMI join on the slim canonical-id
+    * set — document payloads never enter the clustering shuffles. */
+  def dropDuplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val keep = clusters(df, idCol, pairs, aCol, bCol)
+      .filter(col("is_canonical")).select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

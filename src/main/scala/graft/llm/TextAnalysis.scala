@@ -59,6 +59,99 @@ object TextAnalysis {
       .drop(langs.map(l => s"__s_$l"): _*)
   }
 
+  /** Repetition metrics (the word-level core of the Gopher quality rules,
+    * Rae et al. 2021 §A1.1): excessive repetition is the strongest cheap
+    * signal of machine-generated / boilerplate text. Per document:
+    *
+    *  - `n_tokens`        — whitespace token count;
+    *  - `dup_token_frac`  — fraction of tokens that are repeats of an
+    *                        earlier token: (n - distinct) / n;
+    *  - `top{n}gram_frac` — for each n in `ns`: occurrences of the MOST
+    *                        frequent word n-gram / total n-grams.
+    *
+    * Typed mapPartitions kernel (per-row scalar loops — same rationale as
+    * [[Dedup.minhashSignature]]): one token split feeds all metrics; n-grams
+    * are counted as strings in a reused HashMap, so results are exactly
+    * reproducible by any engine that counts the same strings (no hash
+    * collisions involved). Documents shorter than n tokens count a single
+    * whole-text gram — the same convention as the shingle oracles. Ratios
+    * divide exact integer counts: bit-stable across engines. Pure map
+    * stage — at 100 TB this pipelines over the scan with zero shuffle. */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nsArr = ns.toArray
+    val rows = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Int]()
+        val sb = new java.lang.StringBuilder
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.split(" ", -1)
+          val n = toks.length
+          counts.clear()
+          var i = 0
+          var distinct = 0
+          while (i < n) {
+            if (counts.putIfAbsent(toks(i), 1) == null) distinct += 1
+            i += 1
+          }
+          val dupFrac = (n - distinct).toDouble / n
+          val fracs = nsArr.map { g =>
+            val nGrams = math.max(n - g + 1, 1)
+            counts.clear()
+            var best = 0
+            var j = 0
+            while (j < nGrams) {
+              sb.setLength(0)
+              var t = 0
+              while (t < g && j + t < n) {
+                if (t > 0) sb.append(' ')
+                sb.append(toks(j + t))
+                t += 1
+              }
+              val k = sb.toString
+              val c = counts.merge(k, 1, (a, b) => a + b)
+              if (c > best) best = c
+              j += 1
+            }
+            best.toDouble / nGrams
+          }
+          (id, n.toLong, dupFrac, fracs)
+        }
+      }
+      .toDF(idCol, "n_tokens", "dup_token_frac", "__fr")
+    ns.zipWithIndex.foldLeft(rows) { case (d, (g, i)) =>
+      d.withColumn(s"top${g}gram_frac", col("__fr")(i))
+    }.drop("__fr")
+  }
+
+  /** PII detection + redaction: emails, IPv4 addresses, and international-
+    * format phone numbers, counted on the raw text and replaced with typed
+    * placeholders. The patterns are the portable ASCII core (valid in both
+    * java.util.regex and RE2, leftmost-greedy in both — no alternation
+    * whose tie-break differs): a production pipeline swaps in its
+    * compliance-grade pattern set without changing the plan, which is the
+    * point — a codegen'd map stage over the scan, no shuffle, no UDF. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  def redactPii(df: DataFrame, textCol: String, as: String = "redacted"): DataFrame =
+    // Column-form regexp_extract_all: the pattern goes in as a literal, not
+    // through the SQL parser's string-escape pass (which would strip \b, \+)
+    df
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ipv4", size(regexp_extract_all(col(textCol), lit(ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn(as,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>"))
+
   /** Document fingerprinting: winnowing over rolling word-shingle hashes
     * (Schleimer et al., SIGMOD'03): k-gram FNV hashes → min per sliding
     * window of w → distinct fingerprint set. Shared fingerprints ⇒ shared

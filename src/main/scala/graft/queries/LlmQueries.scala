@@ -28,6 +28,42 @@ object LlmQueries {
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b", "est_jaccard").orderBy("id_a", "id_b")),
 
+    // Gopher-style repetition metrics: pure map stage, integer-exact ratios
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // PII scrub over a deterministically-injected fixture column (the
+    // corpus itself is synthetic word salad with no PII): count + redact
+    // emails / IPv4 / phones. Both engines build the identical fixture.
+    "q_text_pii" -> ((s, dir) => {
+      val injected = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example now"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1 415 "), (col("doc_id") % 1000).cast("string"),
+              lit(" 99"))).otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(injected, "text")
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")
+        .orderBy("doc_id")
+    }),
+
+    // pairs → transitive duplicate clusters → canonical keep set: the unit
+    // of deduplication is the connected component, not the pair
+    "q_dedup_cluster" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clusters(d, "doc_id",
+          Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+            .select("id_a", "id_b"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.4)
         .orderBy("id_a", "id_b")),
@@ -227,6 +263,71 @@ object LlmQueries {
          |  GROUP BY id_a, id_b)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Repetition metrics recomputed set-wise: n-grams as strings (the
+    // engine counts strings too — no hash in the definition), best / total
+    // occurrence counts, ratios from identical integer operands.
+    "q_text_repetition" -> {
+      def gramCte(g: Int): String =
+        s"""gr$g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < $g THEN [array_to_string(toks, ' ')]
+           |  ELSE list_transform(range(1, len(toks) - ${g - 2}), i -> ${
+                 (0 until g).map(t => s"toks[i+$t]").mkString(" || ' ' || ")}) END) AS g FROM d),
+           |c$g AS (SELECT doc_id, max(c) AS best$g, sum(c) AS tot$g FROM
+           |  (SELECT doc_id, g, count(*) AS c FROM gr$g GROUP BY doc_id, g) GROUP BY doc_id)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |tok AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM d),
+         |${gramCte(2)},
+         |${gramCte(3)},
+         |${gramCte(4)}
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(n - nd AS DOUBLE) / n AS dup_token_frac,
+         |  CAST(best2 AS DOUBLE) / tot2 AS top2gram_frac,
+         |  CAST(best3 AS DOUBLE) / tot3 AS top3gram_frac,
+         |  CAST(best4 AS DOUBLE) / tot4 AS top4gram_frac
+         |FROM tok JOIN c2 USING (doc_id) JOIN c3 USING (doc_id) JOIN c4 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_pii" -> {
+      import graft.llm.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+      s"""WITH t AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example now' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' call +1 415 ' || CAST(doc_id % 1000 AS VARCHAR) || ' 99' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g') AS redacted
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    // The minhash pair set recomputed as in q_dedup_minhash, then the
+    // transitive closure via a recursive CTE: reach(id, r) = ids reachable
+    // over the symmetrized pair edges; cluster_id = min reachable id. The
+    // engine's log-round star-contraction and the oracle's naive closure
+    // must agree exactly on every component.
+    "q_dedup_cluster" ->
+      s"""${HashOracle.macros}
+         |WITH RECURSIVE ${HashOracle.minhashSigRows},
+         |${HashOracle.minhashBuckets},
+         |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sc a JOIN sc b USING (band, sl) WHERE a.doc_id < b.doc_id),
+         |est AS (SELECT id_a, id_b, CAST(count(*) FILTER (sa.slot = sb.slot) AS DOUBLE) / 64 AS ej
+         |  FROM ids JOIN sigrows sa ON sa.doc_id = id_a
+         |           JOIN sigrows sb ON sb.doc_id = id_b AND sa.j = sb.j
+         |  GROUP BY id_a, id_b),
+         |pr AS (SELECT id_a, id_b FROM est WHERE ej >= 0.5),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // Exact 3-word-shingle Jaccard over ALL pairs — passing asserts the
     // banded candidate generation reached 100% recall at this threshold on

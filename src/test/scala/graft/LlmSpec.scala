@@ -319,4 +319,93 @@ class LlmSpec extends SparkSpec {
     val sampled = Sampling.hashSample(strIds, "doc_id", 1.0).collect().map(_.getString(0)).toSet
     assert(sampled == Set("7"), s"only the castable id survives: $sampled")
   }
+
+  test("repetition metrics: hand-computed fractions on crafted docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),            // 4 tokens, 1 distinct; top2 "a a" 3/3
+      (2L, "a b a b a"),          // 5 tokens, 2 distinct; "a b" 2/4; "a b a" 2/3
+      (3L, "x y z w"),            // all distinct; every 2-gram unique: 1/3
+      (4L, "q")                   // shorter than every n: single whole-text gram
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m(1L) == ((4L, 3.0 / 4, 1.0, 1.0, 1.0)))
+    assert(m(2L) == ((5L, 3.0 / 5, 2.0 / 4, 2.0 / 3, 1.0 / 2)))
+    assert(m(3L) == ((4L, 0.0, 1.0 / 3, 1.0 / 2, 1.0)))
+    assert(m(4L) == ((1L, 0.0, 1.0, 1.0, 1.0)))
+  }
+
+  test("PII redaction: counts and placeholders for email / ip / phone") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@sub.ex.org and 192.168.0.1 or +1 (415) 555-0100 end"),
+      (2L, "no pii here 1.2 only 999 words"),
+      (3L, "two mails x@y.co z@w.io")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d, "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getLong(4), x.getString(5))).toMap
+    assert(r(1L) == ((1L, 1L, 1L, "mail <EMAIL> and <IP> or <PHONE> end")))
+    assert(r(2L) == ((0L, 0L, 0L, "no pii here 1.2 only 999 words")))
+    assert(r(3L) == ((2L, 0L, 0L, "two mails <EMAIL> <EMAIL>")))
+  }
+
+  test("connected components: a 30-node chain collapses to one root in log rounds") {
+    import spark.implicits._
+    // worst case for label propagation (diameter 30); star-contraction must
+    // converge well inside maxIter and label every node with the chain min
+    val chain = (0L until 30L).sliding(2).map(w => (w(1), w(0))).toSeq.toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L until 30L).forall(cc(_) == 0L), s"chain roots wrong: $cc")
+    assert(!cc.contains(0L), "the root itself carries no edge in the final star")
+  }
+
+  test("clusters: transitive closure, singletons, and canonical selection") {
+    import spark.implicits._
+    // components {1,2,3} (via 1-2, 2-3), {10,11}; 99 is isolated
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(ids, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(cl == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false), 99L -> (99L, true)))
+    val kept = Dedup.dropDuplicateClusters(ids, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
+  test("clusters: empty pair set leaves every doc a canonical singleton") {
+    import spark.implicits._
+    val ids = Seq(5L, 6L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val cl = Dedup.clusters(ids, "doc_id", none).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(cl == Set((5L, 5L, true), (6L, 6L, true)))
+  }
+
+  test("connected components agree with a brute-force union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = (0 until n).map(i => i.toLong -> {
+      // min id in the component of i
+      val r = find(i)
+      (0 until n).filter(j => find(j) == r).min.toLong
+    }).toMap
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val cl = Dedup.clusters(ids, "doc_id", edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == truth)
+  }
 }

@@ -119,6 +119,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("text repetition and PII redaction are pure map stages (no exchange)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    for ((name, df) <- Seq(
+        "repetition" -> graft.llm.TextAnalysis.repetition(d, "doc_id", "text"),
+        "redactPii" -> graft.llm.TextAnalysis.redactPii(d, "text"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q1)") {
     // AQE finalizes the plan only at execution; codegen'd operators then
     // carry the "*(n)" prefix
