@@ -318,17 +318,19 @@ object Dedup {
     * re-attaches them. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // LAZY localCheckpoint throughout: the fingerprint aggregate right
+    // after is the materializing action, so each round costs exactly ONE
+    // job (eager checkpoint + separate fingerprint was two — measured 2×
+    // the wall time on small graphs, where fixed job cost dominates).
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)),
-        // xor-fold via sum of single-bit-free trick is unavailable; DuckDB
-        // isn't involved here so plain bit_xor aggregate is fine
         expr("cast(coalesce(bit_xor(xxhash64(u, v)), 0) as long)")).head()
       (r.getLong(0), r.getLong(1))
     }
@@ -338,14 +340,18 @@ object Dedup {
     while (!converged && it < maxIter) {
       // large-star: every node links its strictly-larger neighbors to the
       // minimum of its closed neighborhood — after this, every edge points
-      // high → low.
+      // high → low. Output is NOT deduplicated: duplicates are bounded by
+      // neighbor multiplicity, min-aggregation is insensitive to them, and
+      // the round's single distinct at the small-star tail catches all —
+      // one shuffle per round instead of two. The min tables are
+      // node-count-sized; AQE broadcasts them while small, so each star
+      // costs one groupBy exchange.
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("u"), col("__mn")).as("m"))
       val large = sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: every node links its (all-smaller) neighbors and itself
       // to its minimum neighbor.
       val mins2 = large.groupBy("u").agg(min("v").as("m"))
@@ -354,7 +360,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val fp2 = fingerprint(next)
       converged = fp2 == fp
       fp = fp2
