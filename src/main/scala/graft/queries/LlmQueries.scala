@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Multimodal, Quantize, Sampling, Stopwords, TextAnalysis}
+import graft.llm.{Ann, Dedup, Multimodal, Packing, Quantize, Sampling, Stopwords, TextAnalysis}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -27,6 +27,22 @@ object LlmQueries {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b", "est_jaccard").orderBy("id_a", "id_b")),
+
+    // token-window chunking: overlapping 64-token windows, stride 48
+    "q_text_chunks" -> ((s, dir) =>
+      Packing.chunkTokens(docs(s, dir), "doc_id", "text", maxTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_ix")),
+
+    // concat-and-split packing at a 512-token budget over 8 uniform shards
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(
+          docs(s, dir).select(
+            col("doc_id"),
+            (col("doc_id") % 8).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "shard", "n_tokens", budget = 512)
+        .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
 
     // Gopher-style repetition metrics: pure map stage, integer-exact ratios
     "q_text_repetition" -> ((s, dir) =>
@@ -263,6 +279,28 @@ object LlmQueries {
          |  GROUP BY id_a, id_b)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Chunk layout recomputed with integer window arithmetic: the window
+    // count is exact ((max(n-64,0)+47)//48)+1 on both engines.
+    "q_text_chunks" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |c AS (SELECT doc_id, toks, n,
+        |  unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS ci FROM x)
+        |SELECT doc_id, ci AS chunk_ix,
+        |  CAST(least(ci * 48 + 64, n) - ci * 48 AS BIGINT) AS n_tokens,
+        |  array_to_string(list_transform(range(ci * 48 + 1, least(ci * 48 + 64, n) + 1), j -> toks[j]), ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    // Packing is a per-shard prefix sum — exact integer window arithmetic
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum FROM d)
+        |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
+        |  CAST(cum % 512 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Repetition metrics recomputed set-wise: n-grams as strings (the
     // engine counts strings too — no hash in the definition), best / total

@@ -350,6 +350,41 @@ class LlmSpec extends SparkSpec {
     assert(r(3L) == ((2L, 0L, 0L, "two mails <EMAIL> <EMAIL>")))
   }
 
+  test("token chunking: window count, overlap content, short-doc passthrough") {
+    import spark.implicits._
+    import graft.llm.Packing
+    val d = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
+      (2L, "a b c")                               // shorter than maxTokens
+    ).toDF("doc_id", "text")
+    val ch = Packing.chunkTokens(d, "doc_id", "text", maxTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 1: windows start at 0,3,6 then (10-4+2)/3+1 = 3 → starts 0,3,6
+    assert(ch((1L, 0L)) == ((4L, "t1 t2 t3 t4")))
+    assert(ch((1L, 1L)) == ((4L, "t4 t5 t6 t7")))
+    assert(ch((1L, 2L)) == ((4L, "t7 t8 t9 t10")))
+    assert(ch((2L, 0L)) == ((3L, "a b c")))
+    assert(ch.size == 4)
+    // every token of doc 1 is covered by at least one window
+    val covered = ch.collect { case ((1L, _), (_, c)) => c.split(" ") }.flatten.toSet
+    assert(covered == (1 to 10).map("t" + _).toSet)
+  }
+
+  test("sequence packing: per-shard prefix sums cut at the budget") {
+    import spark.implicits._
+    import graft.llm.Packing
+    // one shard: docs of 300+300+300 tokens at budget 512:
+    // cum-before = 0, 300, 600 → windows 0,0,1; offsets 0,300,88
+    val d = Seq((1L, 0L, 300L), (2L, 0L, 300L), (3L, 0L, 300L), (4L, 1L, 600L))
+      .toDF("doc_id", "shard", "n_tokens")
+    val p = Packing.packSequences(d, "doc_id", "shard", "n_tokens", budget = 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(p(1L) == ((0L, 0L)))
+    assert(p(2L) == ((0L, 300L)))
+    assert(p(3L) == ((1L, 88L)))
+    assert(p(4L) == ((0L, 0L)), "shards pack independently")
+  }
+
   test("connected components: a 30-node chain collapses to one root in log rounds") {
     import spark.implicits._
     // worst case for label propagation (diameter 30); star-contraction must
