@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{RetractionDistinct, Runner}
+import graft.streaming.{RetractionDistinct, Runner, StreamingDedup}
 
 /** Structured-Streaming tier of the contract suite (the reference's
   * three-tier streams testing, SURVEY §5 item 3): the same topologies run
@@ -184,6 +184,31 @@ class StreamingSpec extends SparkSpec {
       .map(_.getFileName.toString).toSet
     assert(!names.contains("v0") && !names.contains("v1"), s"stale versions left: $names")
     assert(names.contains("v2") && names.contains("v3"))
+  }
+
+  test("streaming first-seen dedup: drops in-horizon re-arrivals, re-emits after eviction") {
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val deduped = StreamingDedup.firstSeen(
+      in.toDF().toDF("ts", "text"), "text", "ts", "10 seconds")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sd_out").start()
+    try {
+      in.addData(ts(10) -> "x", ts(10) -> "x") // same-batch dup
+      q.processAllAvailable()
+      in.addData(ts(11) -> "x", ts(12) -> "y") // in-horizon dup + new content
+      q.processAllAvailable()
+      val step1 = spark.table("sd_out").select("text").as[String].collect().toSeq
+      assert(step1.sorted == Seq("x", "y"), s"dup must be dropped: $step1")
+      // advance the watermark far past x's last-seen: state evicted
+      in.addData(ts(100) -> "z")
+      q.processAllAvailable()
+      in.addData(ts(101) -> "x") // post-eviction re-arrival: re-emitted
+      q.processAllAvailable()
+      val step2 = spark.table("sd_out").select("text").as[String].collect().toSeq
+      assert(step2.sorted == Seq("x", "x", "y", "z"),
+        s"post-eviction re-arrival must re-emit (bounded-state contract): $step2")
+    } finally q.stop()
   }
 
   test("CDC end-to-end: retraction distinct -> debezium out -> demux, across a checkpoint restart") {
