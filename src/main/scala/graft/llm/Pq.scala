@@ -1,0 +1,279 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory-compression scale path for
+  * ANN, complementing [[Ivf]] (which prunes WHAT is scanned; PQ shrinks
+  * what each scanned vector COSTS). A d-dim vector becomes M sub-codebook
+  * codes (here M bytes): at 100 TB the float32 embedding column is the
+  * dataset, and 64 floats → 8 codes is a 32× shrink that turns an
+  * exhaustive ADC scan into a cache-resident table walk. Compose with
+  * [[Ivf]] (IVF-PQ) by encoding per list and probing as usual.
+  *
+  *  1. train: per-subspace Lloyd on integer-quantized sub-vectors
+  *     (floor(v·2^20) — exact IEEE, the [[Ivf]] trick), all M subspaces
+  *     trained in ONE pass per iteration: the assignment kernel emits
+  *     (subspace, code) keyed partial sums that collapse map-side to
+  *     ≤ M·ksub rows per task;
+  *  2. encode: map-side argmin against the broadcast codebook (M·ksub
+  *     rows) — zero shuffle, like [[Ivf.index]]'s assignment;
+  *  3. search: asymmetric distance computation — each query precomputes an
+  *     M×ksub inner-product lookup table against the codebook, and every
+  *     corpus row scores as M table lookups, never touching floats.
+  *
+  * Distances are L2 over (sub-vector − centroid MEAN); means are one
+  * double division of exact integers, so every arithmetic step is
+  * IEEE-deterministic and the DuckDB oracle (q_ann_pq) replays training,
+  * encoding, and ADC ranking bit-for-bit. ADC ranks by approximate
+  * COSINE: ip(q, x̂) / (|q|·|x̂|) with x̂ the reconstruction — consistent
+  * with the cosine metric everywhere else in this engine.
+  */
+object Pq {
+
+  private val Q = 1048576.0 // 2^20: floor(v·Q) is exact for float inputs
+
+  /** Codebook row: (m, code, csum: element-wise integer sum, cnt). The
+    * centroid is csum/cnt, derived identically everywhere it's used. */
+  private val codebookSchema = StructType(Seq(
+    StructField("m", LongType, nullable = false),
+    StructField("code", LongType, nullable = false),
+    StructField("csum", ArrayType(LongType), nullable = true),
+    StructField("cnt", LongType, nullable = false)))
+
+  /** (vec_id, qe: floor(v·2^20), h: splitmix64(vec_id)) — one typed pass. */
+  private def quantized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        val q = new Array[Long](e.length)
+        var i = 0
+        while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
+        (id, q, Hashing.splitmix64(id))
+      })
+      .toDF("vec_id", "qe", "__h")
+  }
+
+  /** Driver-side codebook: means(m)(code) as doubles + (csum, cnt) rows,
+    * dense by (m, code). */
+  private final case class Book(m: Int, ksub: Int, dsub: Int,
+      csum: Array[Array[Long]], cnt: Array[Long]) {
+    // mean = csum/cnt, the ONE place the division happens (both the
+    // assignment distance and the ADC tables read these doubles)
+    val means: Array[Array[Double]] = csum.zipWithIndex.map { case (s, i) =>
+      val c = cnt(i).toDouble
+      s.map(_.toDouble / c)
+    }
+    def mean(mi: Int, code: Int): Array[Double] = means(mi * ksub + code)
+  }
+
+  private def collectBook(codebook: DataFrame, m: Int, ksub: Int): Book = {
+    val rows = codebook.select(col("m").cast("long"), col("code").cast("long"),
+        col("csum"), col("cnt").cast("long"))
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        (r.getAs[scala.collection.Seq[Long]](2).toArray, r.getLong(3))))
+      .toMap
+    require(rows.size == m * ksub, s"codebook has ${rows.size} entries, want ${m * ksub}")
+    val dsub = rows.head._2._1.length
+    val csum = Array.tabulate(m * ksub)(i => rows((i / ksub, i % ksub))._1)
+    val cnt = Array.tabulate(m * ksub)(i => rows((i / ksub, i % ksub))._2)
+    Book(m, ksub, dsub, csum, cnt)
+  }
+
+  /** Squared L2 distance of an integer sub-vector to a mean, ascending-dim
+    * double fold — the bit-contract shared with the oracle. */
+  private def l2(sq: Array[Long], from: Int, mean: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < mean.length) {
+      val d = sq(from + i).toDouble - mean(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-subspace argmin code for one full quantized vector (ties to the
+    * lowest code). */
+  private def assignCodes(qe: Array[Long], book: Book): Array[Long] = {
+    val codes = new Array[Long](book.m)
+    var mi = 0
+    while (mi < book.m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.ksub) {
+        val d = l2(qe, mi * book.dsub, book.mean(mi, c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(mi) = best.toLong
+      mi += 1
+    }
+    codes
+  }
+
+  /** Train an M×ksub codebook with `iters` Lloyd iterations over `df`
+    * (vec_id: long, embedding: array<float>, dim divisible by m). Seeds are
+    * the ksub hash-smallest vectors (splitmix64(vec_id) — deterministic,
+    * no RNG), sliced per subspace; empty codes keep their previous
+    * (csum, cnt). Each iteration is ONE corpus pass: the typed kernel emits
+    * (m·ksub+code, sub-vector) rows whose partial aggregation collapses to
+    * ≤ M·ksub rows per map task before the (tiny) shuffle. */
+  def train(df: DataFrame, m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quant = quantized(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = quant.select("qe").head().getAs[scala.collection.Seq[Long]](0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val seedRows = quant.select("__h", "qe").orderBy("__h").limit(ksub).collect()
+      .zipWithIndex.flatMap { case (r, j) =>
+        val qe = r.getAs[scala.collection.Seq[Long]](1)
+        (0 until m).map(mi =>
+          Row(mi.toLong, j.toLong, qe.slice(mi * dsub, (mi + 1) * dsub), 1L))
+      }
+    var codebook: DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(seedRows: _*), codebookSchema)
+    var it = 0
+    while (it < iters) {
+      val book = collectBook(codebook, m, ksub)
+      val bc = spark.sparkContext.broadcast(book)
+      // one pass: (m·ksub + code) → sub-vector rows, partially aggregated
+      val sums = quant.select(col("vec_id"), col("qe")).as[(Long, Array[Long])]
+        .flatMap { case (_, qe) =>
+          val b = bc.value
+          val codes = assignCodes(qe, b)
+          (0 until b.m).iterator.map { mi =>
+            (mi.toLong * b.ksub + codes(mi),
+              qe.slice(mi * b.dsub, (mi + 1) * b.dsub))
+          }
+        }
+        .groupByKey(_._1)
+        .agg(SumSubVec.toColumn.name("csum"), count(lit(1)).as[Long].name("cnt"))
+        .toDF("key", "csum", "cnt")
+        .select(expr(s"key div $ksub").as("m"),
+          (col("key") % ksub).as("code"), col("csum"), col("cnt"))
+      // Lloyd empty-code handling: keep the previous (csum, cnt) pair
+      val reseeded = codebook.select(col("m"), col("code"),
+          col("csum").as("__ps"), col("cnt").as("__pc"))
+        .join(sums, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("csum"), col("__ps")).as("csum"),
+          coalesce(col("cnt"), col("__pc")).as("cnt"))
+      codebook = spark.createDataFrame(
+        java.util.Arrays.asList(reseeded.collect(): _*), codebookSchema)
+      it += 1
+    }
+    quant.unpersist(blocking = false)
+    codebook
+  }
+
+  private object SumSubVec extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Array[Long]), Array[Long], Array[Long]] {
+    private def add(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (b.isEmpty) a.clone()
+      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], a: (Long, Array[Long])): Array[Long] = add(b, a._2)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.isEmpty) y else add(x, y)
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Encode the corpus: (vec_id, codes: array<long> of length M). Map-side
+    * argmin against the broadcast codebook — zero shuffle; at rest this is
+    * the 32×-smaller column a 100 TB index stores alongside (or instead
+    * of) the floats. */
+  def encode(df: DataFrame, codebook: DataFrame, m: Int, ksub: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectBook(codebook, m, ksub))
+    quantized(df).select(col("vec_id"), col("qe")).as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        val b = bc.value
+        rows.map { case (id, qe) => (id, assignCodes(qe, b)) }
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** ADC top-k: each query precomputes (ip, |centroid|²) tables against the
+    * broadcast codebook; every encoded corpus row scores as M lookups —
+    * adc_cosine = Σ_m ip(q_m, c_m) / (|q| · sqrt(Σ_m |c_m|²)), the cosine
+    * of the query against the RECONSTRUCTION. Few-queries regime (queries
+    * broadcast with the tables); rank by (adc DESC, nn_id) per query.
+    * Output: (q_id, nn_id, adc, rank ≤ k). */
+  def searchAdc(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
+      m: Int, ksub: Int, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val book = collectBook(codebook, m, ksub)
+    // per-query LUT: lut(q)(m*ksub+code) = (ip of q's sub-vector with the
+    // centroid mean, centroid mean squared norm); |q| over the full vector
+    val qlut = quantized(queries).select(col("vec_id"), col("qe"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+      .map { case (qid, qe) =>
+        var nq = 0.0
+        var i = 0
+        while (i < qe.length) { val v = qe(i).toDouble; nq += v * v; i += 1 }
+        val ips = new Array[Double](book.m * book.ksub)
+        val cn2 = new Array[Double](book.m * book.ksub)
+        var mi = 0
+        while (mi < book.m) {
+          var c = 0
+          while (c < book.ksub) {
+            val mean = book.mean(mi, c)
+            var ip = 0.0
+            var n2 = 0.0
+            var d = 0
+            while (d < mean.length) {
+              ip += qe(mi * book.dsub + d).toDouble * mean(d)
+              n2 += mean(d) * mean(d)
+              d += 1
+            }
+            ips(mi * book.ksub + c) = ip
+            cn2(mi * book.ksub + c) = n2
+            c += 1
+          }
+          mi += 1
+        }
+        (qid, math.sqrt(nq), ips, cn2)
+      }
+    val bq = spark.sparkContext.broadcast(qlut)
+    val ksubL = ksub
+    val scored = encoded.select(col("vec_id"), col("codes")).as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        val qs = bq.value
+        rows.flatMap { case (id, codes) =>
+          qs.iterator.filter(_._1 != id).map { case (qid, nq, ips, cn2) =>
+            var adc = 0.0
+            var rn2 = 0.0
+            var mi = 0
+            while (mi < codes.length) {
+              val slot = mi * ksubL + codes(mi).toInt
+              adc += ips(slot)
+              rn2 += cn2(slot)
+              mi += 1
+            }
+            val denom = nq * math.sqrt(rn2)
+            (qid, id, if (denom == 0.0) 0.0 else adc / denom)
+          }
+        }
+      }
+      .toDF("q_id", "nn_id", "adc")
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("adc").desc, col("nn_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -95,6 +95,36 @@ object HashOracle {
        | (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
        |  sqrt(list_sum(list_transform(range(1, 65), i -> CAST(CAST($c[i] AS FLOAT) AS DOUBLE) * CAST(CAST($c[i] AS FLOAT) AS DOUBLE)))))""".stripMargin
 
+  /** Squared-L2 of an integer sub-vector list `sq` against a codebook
+    * (csum, cnt) mean, dsub=8 — ascending-dim double fold matching
+    * graft.llm.Pq.l2 (mean = one exact-int double division). */
+  def pqL2(sq: String, csum: String, cnt: String): String =
+    s"""list_sum(list_transform(range(1, 9), i ->
+       |  (CAST($sq[i] AS DOUBLE) - CAST($csum[i] AS DOUBLE) / CAST($cnt AS DOUBLE)) *
+       |  (CAST($sq[i] AS DOUBLE) - CAST($csum[i] AS DOUBLE) / CAST($cnt AS DOUBLE))))""".stripMargin
+
+  /** One per-subspace Lloyd step for product quantization over `subq`
+    * (vec_id, m, sq: 8 quantized dims) given codebook `cin`
+    * (m, code, csum, cnt), yielding `cout`: L2-argmin assignment (ties by
+    * code), element-wise integer re-sums + counts, empty codes keep their
+    * previous (csum, cnt) — mirrors graft.llm.Pq.train exactly. */
+  def pqStep(cin: String, cout: String): String =
+    s"""x_$cout AS (SELECT subq.vec_id, subq.m, $cin.code, subq.sq,
+       |  ${pqL2("subq.sq", s"$cin.csum", s"$cin.cnt")} AS dist
+       |  FROM subq JOIN $cin ON subq.m = $cin.m),
+       |a_$cout AS (SELECT vec_id, m, code, sq FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk
+       |   FROM x_$cout) WHERE rk = 1),
+       |s_$cout AS (SELECT m, code, d.d AS dim, sum(sq[d.d]) AS sv
+       |  FROM a_$cout, range(1, 9) d(d) GROUP BY m, code, d.d),
+       |l_$cout AS (SELECT m, code, list(sv ORDER BY dim) AS csum FROM s_$cout GROUP BY m, code),
+       |n_$cout AS (SELECT m, code, CAST(count(*) AS BIGINT) AS cnt FROM a_$cout GROUP BY m, code),
+       |$cout AS (SELECT $cin.m, $cin.code,
+       |  coalesce(l_$cout.csum, $cin.csum) AS csum,
+       |  coalesce(n_$cout.cnt, $cin.cnt) AS cnt
+       |  FROM $cin LEFT JOIN l_$cout ON l_$cout.m = $cin.m AND l_$cout.code = $cin.code
+       |            LEFT JOIN n_$cout ON n_$cout.m = $cin.m AND n_$cout.code = $cin.code)""".stripMargin
+
   /** One Lloyd step over the quantized corpus `qv` given centroids `cin`,
     * yielding centroids `cout`: cosine assignment (ties by list_id),
     * integer dim-sums, empty lists keep their previous centroid. */

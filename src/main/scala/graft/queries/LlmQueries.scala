@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Multimodal, Packing, Quantize, Sampling, Stopwords, TextAnalysis}
+import graft.llm.{Ann, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -27,6 +27,16 @@ object LlmQueries {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b", "est_jaccard").orderBy("id_a", "id_b")),
+
+    // product quantization: train 8×8 codebook (2 Lloyd iters), encode the
+    // corpus to 8 codes/vector, ADC-scan top-10 for 10 queries
+    "q_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Pq.train(e, m = 8, ksub = 8, iters = 2)
+      Pq.searchAdc(Pq.encode(e, cb, 8, 8), cb, e.filter(col("vec_id") < 10), 8, 8, 10)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
 
     // token-window chunking: overlapping 64-token windows, stride 48
     "q_text_chunks" -> ((s, dir) =>
@@ -279,6 +289,54 @@ object LlmQueries {
          |  GROUP BY id_a, id_b)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // PQ replayed end-to-end: quantized sub-vectors, hash-seeded per-
+    // subspace Lloyd (2 steps), L2-argmin encoding, per-query ADC tables,
+    // cosine-of-reconstruction ranking — every double op in the same order
+    // as graft.llm.Pq, so ranks match exactly.
+    "q_ann_pq" ->
+      s"""${HashOracle.macros}
+         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |qv AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
+         |  tosigned(sm64(CAST(vec_id AS HUGEINT))) AS h FROM e),
+         |subq AS (SELECT vec_id, m.m AS m, list_transform(range(1, 9), i -> qe[m.m * 8 + i]) AS sq
+         |  FROM qv, range(8) m(m)),
+         |sd AS (SELECT row_number() OVER (ORDER BY h) - 1 AS j, qe
+         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 8)),
+         |p0 AS (SELECT m.m AS m, j AS code,
+         |  list_transform(range(1, 9), i -> qe[m.m * 8 + i]) AS csum, CAST(1 AS BIGINT) AS cnt
+         |  FROM sd, range(8) m(m)),
+         |${HashOracle.pqStep("p0", "p1")},
+         |${HashOracle.pqStep("p1", "p2")},
+         |xe AS (SELECT subq.vec_id, subq.m, p2.code,
+         |  ${HashOracle.pqL2("subq.sq", "p2.csum", "p2.cnt")} AS dist
+         |  FROM subq JOIN p2 ON subq.m = p2.m),
+         |codes AS (SELECT vec_id, m, code FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM xe)
+         |  WHERE rk = 1),
+         |nq AS (SELECT vec_id AS q_id,
+         |  sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+         |  FROM qv WHERE vec_id < 10),
+         |lut AS (SELECT q.vec_id AS q_id, p2.m, p2.code,
+         |  list_sum(list_transform(range(1, 9), i ->
+         |    CAST(q.sq[i] AS DOUBLE) * (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)))) AS ip,
+         |  list_sum(list_transform(range(1, 9), i ->
+         |    (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)) *
+         |    (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)))) AS cn2
+         |  FROM (SELECT vec_id, m, sq FROM subq WHERE vec_id < 10) q JOIN p2 ON q.m = p2.m),
+         |sc0 AS (SELECT l.q_id, c.vec_id AS nn_id, c.m, l.ip, l.cn2
+         |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code WHERE l.q_id != c.vec_id),
+         |sc AS (SELECT q_id, nn_id,
+         |  list_sum(list(ip ORDER BY m)) AS adc0, list_sum(list(cn2 ORDER BY m)) AS rn2
+         |  FROM sc0 GROUP BY q_id, nn_id),
+         |scored AS (SELECT q_id, nn_id,
+         |  CASE WHEN nrm * sqrt(rn2) = 0 THEN 0.0 ELSE adc0 / (nrm * sqrt(rn2)) END AS adc
+         |  FROM sc JOIN nq USING (q_id)),
+         |r AS (SELECT q_id, nn_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nn_id) AS rank FROM scored)
+         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     // Chunk layout recomputed with integer window arithmetic: the window
     // count is exact ((max(n-64,0)+47)//48)+1 on both engines.
