@@ -259,7 +259,7 @@ object Ivf {
     * probe paths choose the same lists. A null embedding deterministically
     * probes the first nprobe lists — the same lists the window form's
     * nulls-last ordering degenerates to. */
-  private def nprobeAssign(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+  private[llm] def nprobeAssign(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val cents = collectCentroids(centroids)
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(cents)

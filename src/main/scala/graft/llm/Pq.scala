@@ -212,14 +212,14 @@ object Pq {
     * of the query against the RECONSTRUCTION. Few-queries regime (queries
     * broadcast with the tables); rank by (adc DESC, nn_id) per query.
     * Output: (q_id, nn_id, adc, rank ≤ k). */
-  def searchAdc(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
-      m: Int, ksub: Int, k: Int): DataFrame = {
-    val spark = encoded.sparkSession
+  /** Per-query ADC tables: lut(q)(m·ksub+code) = (ip of q's sub-vector
+    * with the centroid mean, centroid mean squared norm), plus |q| over the
+    * full vector — all ascending-index double folds (the oracle contract). */
+  private def buildLuts(queries: DataFrame,
+      book: Book): Array[(Long, Double, Array[Double], Array[Double])] = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val book = collectBook(codebook, m, ksub)
-    // per-query LUT: lut(q)(m*ksub+code) = (ip of q's sub-vector with the
-    // centroid mean, centroid mean squared norm); |q| over the full vector
-    val qlut = quantized(queries).select(col("vec_id"), col("qe"))
+    quantized(queries).select(col("vec_id"), col("qe"))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
       .map { case (qid, qe) =>
         var nq = 0.0
@@ -248,7 +248,14 @@ object Pq {
         }
         (qid, math.sqrt(nq), ips, cn2)
       }
-    val bq = spark.sparkContext.broadcast(qlut)
+  }
+
+  def searchAdc(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
+      m: Int, ksub: Int, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val book = collectBook(codebook, m, ksub)
+    val bq = spark.sparkContext.broadcast(buildLuts(queries, book))
     val ksubL = ksub
     val scored = encoded.select(col("vec_id"), col("codes")).as[(Long, Array[Long])]
       .mapPartitions { rows =>
@@ -267,6 +274,57 @@ object Pq {
             val denom = nq * math.sqrt(rn2)
             (qid, id, if (denom == 0.0) 0.0 else adc / denom)
           }
+        }
+      }
+      .toDF("q_id", "nn_id", "adc")
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("adc").desc, col("nn_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the standard large-scale ANN architecture (faiss's IVFPQ,
+    * Jégou et al. §V): IVF lists prune WHAT is scanned (nprobe/k of the
+    * corpus), PQ codes shrink what each candidate COSTS (M table lookups).
+    * `encodedLists` is the at-rest index: (vec_id, list_id, codes) from
+    * [[Ivf.index]] joined with [[encode]] — on disk, partitionBy(list_id)
+    * so a probe reads only its lists. Probing is [[Ivf.nprobeAssign]]'s
+    * map-side kernel (no query-set broadcast, no window over k); the
+    * candidate join shuffles on list_id; scoring is the same broadcast-LUT
+    * map stage as [[searchAdc]]. Few-queries regime for the LUT broadcast
+    * (|q|·M·ksub doubles) — for huge query sets, batch the queries.
+    * Output: (q_id, nn_id, adc, rank ≤ k). */
+  def searchIvfAdc(encodedLists: DataFrame, ivfCentroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, m: Int, ksub: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = encodedLists.sparkSession
+    import spark.implicits._
+    val book = collectBook(codebook, m, ksub)
+    val lutMap = buildLuts(queries, book).map(l => l._1 -> l).toMap
+    val bq = spark.sparkContext.broadcast(lutMap)
+    val probe = Ivf.nprobeAssign(queries, ivfCentroids, nprobe)
+      .select(col("q_id"), col("list_id"))
+    val ksubL = ksub
+    val scored = encodedLists.join(probe, Seq("list_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("codes"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { rows =>
+        val qs = bq.value
+        rows.map { case (qid, nn, codes) =>
+          val (_, nq, ips, cn2) = qs(qid)
+          var adc = 0.0
+          var rn2 = 0.0
+          var mi = 0
+          while (mi < codes.length) {
+            val slot = mi * ksubL + codes(mi).toInt
+            adc += ips(slot)
+            rn2 += cn2(slot)
+            mi += 1
+          }
+          val denom = nq * math.sqrt(rn2)
+          (qid, nn, if (denom == 0.0) 0.0 else adc / denom)
         }
       }
       .toDF("q_id", "nn_id", "adc")

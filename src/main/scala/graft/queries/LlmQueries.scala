@@ -38,6 +38,21 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ: IVF lists prune the scan (nprobe=4 of 16), PQ codes shrink
+    // the candidates — the faiss-style composition, both trainings replayed
+    // by the oracle
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val cents = graft.llm.Ivf.train(e, k = 16, iters = 2)
+      val lists = graft.llm.Ivf.index(e, cents).select("vec_id", "list_id")
+      val cb = Pq.train(e, m = 8, ksub = 8, iters = 2)
+      val encLists = Pq.encode(e, cb, 8, 8).join(lists, Seq("vec_id"))
+      Pq.searchIvfAdc(encLists, cents, cb, e.filter(col("vec_id") < 10),
+          8, 8, 10, nprobe = 4)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // token-window chunking: overlapping 64-token windows, stride 48
     "q_text_chunks" -> ((s, dir) =>
       Packing.chunkTokens(docs(s, dir), "doc_id", "text", maxTokens = 64, stride = 48)
@@ -256,6 +271,55 @@ object LlmQueries {
        |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
+  /** (vec_id, embedding, qe: floor(v·2^20), h: splitmix64) — the quantized
+    * corpus CTE shared by the IVF and PQ replays (both read `qv`). */
+  private val qvCte: String =
+    """qv AS (SELECT vec_id, embedding,
+      |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
+      |  tosigned(sm64(CAST(vec_id AS HUGEINT))) AS h FROM e)""".stripMargin
+
+  /** PQ chain on top of `qv`: sub-vectors, hash-seeded 8×8 codebook, two
+    * Lloyd steps, L2-argmin `codes`, query norms `nq` and ADC tables `lut`
+    * — mirrors graft.llm.Pq.{train, encode, buildLuts}. */
+  private val pqCtes: String =
+    s"""subq AS (SELECT vec_id, m.m AS m, list_transform(range(1, 9), i -> qe[m.m * 8 + i]) AS sq
+       |  FROM qv, range(8) m(m)),
+       |sd AS (SELECT row_number() OVER (ORDER BY h) - 1 AS j, qe
+       |  FROM (SELECT * FROM qv ORDER BY h LIMIT 8)),
+       |p0 AS (SELECT m.m AS m, j AS code,
+       |  list_transform(range(1, 9), i -> qe[m.m * 8 + i]) AS csum, CAST(1 AS BIGINT) AS cnt
+       |  FROM sd, range(8) m(m)),
+       |${HashOracle.pqStep("p0", "p1")},
+       |${HashOracle.pqStep("p1", "p2")},
+       |xe AS (SELECT subq.vec_id, subq.m, p2.code,
+       |  ${HashOracle.pqL2("subq.sq", "p2.csum", "p2.cnt")} AS dist
+       |  FROM subq JOIN p2 ON subq.m = p2.m),
+       |codes AS (SELECT vec_id, m, code FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM xe)
+       |  WHERE rk = 1),
+       |nq AS (SELECT vec_id AS q_id,
+       |  sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+       |  FROM qv WHERE vec_id < 10),
+       |lut AS (SELECT q.vec_id AS q_id, p2.m, p2.code,
+       |  list_sum(list_transform(range(1, 9), i ->
+       |    CAST(q.sq[i] AS DOUBLE) * (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)))) AS ip,
+       |  list_sum(list_transform(range(1, 9), i ->
+       |    (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)) *
+       |    (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)))) AS cn2
+       |  FROM (SELECT vec_id, m, sq FROM subq WHERE vec_id < 10) q JOIN p2 ON q.m = p2.m)""".stripMargin
+
+  /** Ordered-fold ADC scoring + per-query ranking over `sc0`
+    * (q_id, nn_id, m, ip, cn2) — shared tail of q_ann_pq / q_ann_ivfpq. */
+  private val adcRankCtes: String =
+    """sc AS (SELECT q_id, nn_id,
+      |  list_sum(list(ip ORDER BY m)) AS adc0, list_sum(list(cn2 ORDER BY m)) AS rn2
+      |  FROM sc0 GROUP BY q_id, nn_id),
+      |scored AS (SELECT q_id, nn_id,
+      |  CASE WHEN nrm * sqrt(rn2) = 0 THEN 0.0 ELSE adc0 / (nrm * sqrt(rn2)) END AS adc
+      |  FROM sc JOIN nq USING (q_id)),
+      |r AS (SELECT q_id, nn_id,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nn_id) AS rank FROM scored)""".stripMargin
+
   private val lshOracleSql: String =
     s"""${HashOracle.macros}
        |WITH ${HashOracle.hyperplaneSig},
@@ -297,44 +361,41 @@ object LlmQueries {
     "q_ann_pq" ->
       s"""${HashOracle.macros}
          |WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |qv AS (SELECT vec_id, embedding,
-         |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
-         |  tosigned(sm64(CAST(vec_id AS HUGEINT))) AS h FROM e),
-         |subq AS (SELECT vec_id, m.m AS m, list_transform(range(1, 9), i -> qe[m.m * 8 + i]) AS sq
-         |  FROM qv, range(8) m(m)),
-         |sd AS (SELECT row_number() OVER (ORDER BY h) - 1 AS j, qe
-         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 8)),
-         |p0 AS (SELECT m.m AS m, j AS code,
-         |  list_transform(range(1, 9), i -> qe[m.m * 8 + i]) AS csum, CAST(1 AS BIGINT) AS cnt
-         |  FROM sd, range(8) m(m)),
-         |${HashOracle.pqStep("p0", "p1")},
-         |${HashOracle.pqStep("p1", "p2")},
-         |xe AS (SELECT subq.vec_id, subq.m, p2.code,
-         |  ${HashOracle.pqL2("subq.sq", "p2.csum", "p2.cnt")} AS dist
-         |  FROM subq JOIN p2 ON subq.m = p2.m),
-         |codes AS (SELECT vec_id, m, code FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM xe)
-         |  WHERE rk = 1),
-         |nq AS (SELECT vec_id AS q_id,
-         |  sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
-         |  FROM qv WHERE vec_id < 10),
-         |lut AS (SELECT q.vec_id AS q_id, p2.m, p2.code,
-         |  list_sum(list_transform(range(1, 9), i ->
-         |    CAST(q.sq[i] AS DOUBLE) * (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)))) AS ip,
-         |  list_sum(list_transform(range(1, 9), i ->
-         |    (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)) *
-         |    (CAST(p2.csum[i] AS DOUBLE) / CAST(p2.cnt AS DOUBLE)))) AS cn2
-         |  FROM (SELECT vec_id, m, sq FROM subq WHERE vec_id < 10) q JOIN p2 ON q.m = p2.m),
+         |$qvCte,
+         |$pqCtes,
          |sc0 AS (SELECT l.q_id, c.vec_id AS nn_id, c.m, l.ip, l.cn2
          |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code WHERE l.q_id != c.vec_id),
-         |sc AS (SELECT q_id, nn_id,
-         |  list_sum(list(ip ORDER BY m)) AS adc0, list_sum(list(cn2 ORDER BY m)) AS rn2
-         |  FROM sc0 GROUP BY q_id, nn_id),
-         |scored AS (SELECT q_id, nn_id,
-         |  CASE WHEN nrm * sqrt(rn2) = 0 THEN 0.0 ELSE adc0 / (nrm * sqrt(rn2)) END AS adc
-         |  FROM sc JOIN nq USING (q_id)),
-         |r AS (SELECT q_id, nn_id,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nn_id) AS rank FROM scored)
+         |$adcRankCtes
+         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // IVF-PQ: the IVF oracle's training/index/probe chain (c0→c2, idx,
+    // probes) composed with the PQ chain — candidates come from the probed
+    // lists, scores from the ADC tables; both replays shared verbatim with
+    // q_ann_ivf / q_ann_pq.
+    "q_ann_ivfpq" ->
+      s"""${HashOracle.macros}
+         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |$qvCte,
+         |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
+         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
+         |${HashOracle.lloydStep("c0", "c1")},
+         |${HashOracle.lloydStep("c1", "c2")},
+         |xi AS (SELECT qv.vec_id, c2.list_id,
+         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
+         |idx AS (SELECT vec_id AS nn_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
+         |xq AS (SELECT qv.vec_id AS q_id, c2.list_id,
+         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim
+         |  FROM qv, c2 WHERE qv.vec_id < 10),
+         |probes AS (SELECT q_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, list_id) AS rk FROM xq) WHERE rk <= 4),
+         |$pqCtes,
+         |cand AS (SELECT p.q_id, i.nn_id FROM probes p JOIN idx i USING (list_id) WHERE p.q_id != i.nn_id),
+         |sc0 AS (SELECT l.q_id, c.vec_id AS nn_id, c.m, l.ip, l.cn2
+         |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+         |  JOIN cand ON cand.q_id = l.q_id AND cand.nn_id = c.vec_id),
+         |$adcRankCtes
          |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 

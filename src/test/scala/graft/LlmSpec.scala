@@ -384,6 +384,22 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 2 * randomBaseline, s"ADC recall@10 at random level: $recall")
   }
 
+  test("IVF-PQ with nprobe = k is row-identical to the full ADC scan") {
+    import graft.llm.{Ivf, Pq}
+    val e = emb.select("vec_id", "embedding")
+    val cents = Ivf.train(e, k = 8, iters = 1)
+    val lists = Ivf.index(e, cents).select("vec_id", "list_id")
+    val cb = Pq.train(e, m = 8, ksub = 8, iters = 1)
+    val enc = Pq.encode(e, cb, 8, 8)
+    val qs = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "nn_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = rows(Pq.searchAdc(enc, cb, qs, 8, 8, 10))
+    val ivfpq = rows(Pq.searchIvfAdc(enc.join(lists, Seq("vec_id")), cents, cb, qs,
+      8, 8, 10, nprobe = 8))
+    assert(ivfpq == full, "probing every list must degrade to the exhaustive ADC scan")
+  }
+
   test("token chunking: window count, overlap content, short-doc passthrough") {
     import spark.implicits._
     import graft.llm.Packing
