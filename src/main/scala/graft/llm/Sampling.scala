@@ -76,4 +76,22 @@ object Sampling {
     withBucket(df, idCol)
       .filter(col("__bucket") < lit(math.round(frac * 10000)))
       .drop("__bucket")
+
+  /** Stratified hash sampling: a DIFFERENT keep-fraction per stratum value
+    * (e.g. downsample English to 10% while keeping low-resource languages
+    * whole — the standard corpus-rebalancing move). Same deterministic
+    * bucket-vs-cut comparison as [[hashSample]], so membership is stable
+    * across reruns and never resamples a stratum when another's fraction
+    * changes; strata missing from `fracs` keep `default`. Codegen'd
+    * when-chain over the bucket — still a pure map stage, no shuffle. */
+  def hashSampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+      fracs: Map[String, Double], default: Double = 1.0): DataFrame = {
+    val cut = fracs.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (value, f)) =>
+        acc.when(col(stratumCol) === lit(value), lit(math.round(f * 10000)))
+    }.otherwise(lit(math.round(default * 10000)))
+    withBucket(df, idCol)
+      .filter(col("__bucket") < cut)
+      .drop("__bucket")
+  }
 }

@@ -69,6 +69,12 @@ object LlmQueries {
         .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
+    // corpus rebalancing: downsample en to 20%, es to 50%, keep the rest
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.hashSampleStratified(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.2, "es" -> 0.5))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // Gopher-style repetition metrics: pure map stage, integer-exact ratios
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -420,6 +426,16 @@ object LlmQueries {
         |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
         |  CAST(cum % 512 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same splitmix64 bucket arithmetic as q_split_hash, per-stratum cuts
+    "q_sample_stratified" ->
+      s"""${HashOracle.macros}
+         |WITH b AS (SELECT doc_id, lang,
+         |  ((tosigned(sm64(CAST(doc_id AS HUGEINT))) % 10000) + 10000) % 10000 AS bk
+         |  FROM documents)
+         |SELECT doc_id, lang FROM b
+         |WHERE bk < (CASE lang WHEN 'en' THEN 2000 WHEN 'es' THEN 5000 ELSE 10000 END)
+         |ORDER BY doc_id""".stripMargin,
 
     // Repetition metrics recomputed set-wise: n-grams as strings (the
     // engine counts strings too — no hash in the definition), best / total

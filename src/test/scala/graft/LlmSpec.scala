@@ -350,6 +350,25 @@ class LlmSpec extends SparkSpec {
     assert(r(3L) == ((2L, 0L, 0L, "two mails <EMAIL> <EMAIL>")))
   }
 
+  test("stratified sampling: per-stratum cuts, stratum independence, default keep-all") {
+    import graft.llm.{Hashing, Sampling}
+    import spark.implicits._
+    val kept = Sampling.hashSampleStratified(docs, "doc_id", "lang",
+        Map("en" -> 0.2), default = 1.0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val all = docs.select("doc_id", "lang").as[(Long, String)].collect()
+    def bucket(id: Long) = math.floorMod(Hashing.splitmix64(id), 10000L)
+    val expected = all.filter { case (id, lang) =>
+      if (lang == "en") bucket(id) < 2000 else true
+    }
+    assert(kept.toSet == expected.toSet)
+    // changing one stratum's fraction must not re-route another stratum
+    val kept2 = Sampling.hashSampleStratified(docs, "doc_id", "lang",
+        Map("en" -> 0.2, "de" -> 0.5)).select("doc_id", "lang")
+      .as[(Long, String)].collect()
+    assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
+  }
+
   test("PQ: deterministic training, in-range codes, recall floor vs brute force") {
     import graft.llm.Pq
     val e = emb.select("vec_id", "embedding")
