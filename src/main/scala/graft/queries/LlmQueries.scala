@@ -69,6 +69,23 @@ object LlmQueries {
         .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
+    // the whole training-data pipeline as ONE Catalyst plan: exact dedup →
+    // quality gate (length + stopword ratio) → per-shard sequence packing.
+    // No materialization between stages — scan, semi-join, map, window.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keep = Dedup.exact(d, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val uniq = d.join(keep, Seq("doc_id"), "left_semi")
+      val filtered = TextAnalysis.quality(uniq, col("text"))
+        .filter(col("n_words") >= 20 && col("stopword_ratio") >= 0.05)
+      Packing.packSequences(
+          filtered.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            col("n_words").as("n_tokens")),
+          "doc_id", "shard", "n_tokens", budget = 512)
+        .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    }),
+
     // corpus rebalancing: downsample en to 20%, es to 50%, keep the rest
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.hashSampleStratified(docs(s, dir), "doc_id", "lang",
@@ -426,6 +443,24 @@ object LlmQueries {
         |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
         |  CAST(cum % 512 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Dedup keep-set, the quality gate's integer-exact ratios, then the
+    // packing prefix sum — each stage's arithmetic identical to its
+    // standalone oracle (q_dedup_exact / q_text_quality / q_pack_sequences)
+    "q_pipeline_e2e" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |u AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         |q AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM u
+         |  WHERE len(str_split(text, ' ')) >= 20
+         |    AND CAST(len(list_filter(str_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE)
+         |      / len(str_split(text, ' ')) >= 0.05),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum FROM q)
+         |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
+         |  CAST(cum % 512 AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Same splitmix64 bucket arithmetic as q_split_hash, per-stratum cuts
     "q_sample_stratified" ->
