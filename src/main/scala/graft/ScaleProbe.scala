@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Ivf}
+import graft.llm.{Ann, Dedup, Ivf, Pq}
 
 /** Scale-up probe behind SCALING.md's measured table: replicates the sf0.1
   * documents/embeddings corpora N× (ids offset per copy, text perturbed so
@@ -75,6 +75,26 @@ object ScaleProbe {
         val (tIvfA, nIvfA) = time(
           Ivf.searchAgg(indexed, cents, qMany, k = 10, nprobe = 4).count())
         report("ivf_searchagg_manyq", tIvfA, nIvfA)
+        // round-5 operators: duplicate-cluster contraction over the pair
+        // graph, PQ train+encode, and the IVF-PQ composed search
+        val (tCc, nCc) = time {
+          val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+            .select("id_a", "id_b")
+          Dedup.clusters(docs, "doc_id", pairs).filter(col("is_canonical")).count()
+        }
+        report("dedup_cluster_canonical", tCc, nCc)
+        val (tPq, encoded) = time {
+          val cb = Pq.train(embs, m = 8, ksub = 8, iters = 2)
+          val enc = Pq.encode(embs, cb, 8, 8).persist()
+          enc.count()
+          (cb, enc)
+        }
+        report("pq_train_encode", tPq, encoded._2.count())
+        val (tAdc, nAdc) = time(
+          Pq.searchIvfAdc(encoded._2.join(indexed.select("vec_id", "list_id"), Seq("vec_id")),
+            cents, encoded._1, qMany, 8, 8, 10, nprobe = 4).count())
+        report("ivfpq_searchadc_manyq", tAdc, nAdc)
+        encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()
       }
