@@ -43,16 +43,21 @@ object Pq {
     StructField("csum", ArrayType(LongType), nullable = true),
     StructField("cnt", LongType, nullable = false)))
 
-  /** (vec_id, qe: floor(v·2^20), h: splitmix64(vec_id)) — one typed pass. */
+  /** (vec_id, qe: floor(v·2^20), h: splitmix64(vec_id)) — one typed pass.
+    * A null embedding quantizes to an empty vector (codes degenerate to the
+    * all-zero sub-vector's argmin — deterministic, no NPE mid-job; same
+    * posture as Ivf.assign's null path). NaN components floor to 0 via
+    * Long truncation — also deterministic. */
   private def quantized(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, e) =>
-        val q = new Array[Long](e.length)
+        val src = if (e == null) Array.emptyFloatArray else e
+        val q = new Array[Long](src.length)
         var i = 0
-        while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
+        while (i < src.length) { q(i) = math.floor(src(i).toDouble * Q).toLong; i += 1 }
         (id, q, Hashing.splitmix64(id))
       })
       .toDF("vec_id", "qe", "__h")
@@ -86,12 +91,14 @@ object Pq {
   }
 
   /** Squared L2 distance of an integer sub-vector to a mean, ascending-dim
-    * double fold — the bit-contract shared with the oracle. */
+    * double fold — the bit-contract shared with the oracle. Short vectors
+    * (the null-embedding path) read missing dims as 0. */
   private def l2(sq: Array[Long], from: Int, mean: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     while (i < mean.length) {
-      val d = sq(from + i).toDouble - mean(i)
+      val v = if (from + i < sq.length) sq(from + i).toDouble else 0.0
+      val d = v - mean(i)
       acc += d * d
       i += 1
     }
@@ -236,7 +243,9 @@ object Pq {
             var n2 = 0.0
             var d = 0
             while (d < mean.length) {
-              ip += qe(mi * book.dsub + d).toDouble * mean(d)
+              val idx = mi * book.dsub + d
+              val qd = if (idx < qe.length) qe(idx).toDouble else 0.0
+              ip += qd * mean(d)
               n2 += mean(d) * mean(d)
               d += 1
             }

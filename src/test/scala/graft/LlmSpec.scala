@@ -403,6 +403,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 2 * randomBaseline, s"ADC recall@10 at random level: $recall")
   }
 
+  test("PQ: null embeddings encode deterministically (zero-vector path, no NPE)") {
+    import graft.llm.Pq
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val e = emb.select("vec_id", "embedding")
+    val cb = Pq.train(e, m = 8, ksub = 8, iters = 1)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val withNull = e.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(Row(999999L, null)), schema))
+    val enc = Pq.encode(withNull, cb, 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1)).toMap
+    assert(enc.contains(999999L) && enc(999999L).length == 8)
+    // a second run routes the null row to the same codes
+    val enc2 = Pq.encode(withNull, cb, 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1)).toMap
+    assert(enc(999999L) == enc2(999999L))
+  }
+
   test("IVF-PQ with nprobe = k is row-identical to the full ADC scan") {
     import graft.llm.{Ivf, Pq}
     val e = emb.select("vec_id", "embedding")

@@ -211,6 +211,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest pipeline: quality gate then first-seen dedup in one query") {
+    // the streaming form of the batch q_pipeline_e2e front half: short docs
+    // never reach the dedup state store (filter pushes ahead of the
+    // stateful op), duplicates of surviving docs are dropped
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val gated = in.toDF().toDF("ts", "text")
+      .filter(size(split(col("text"), " ")) >= 3)
+    val q = graft.streaming.StreamingDedup.firstSeen(gated, "text", "ts", "10 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pipe_out").start()
+    try {
+      in.addData(
+        ts(10) -> "keep me around please",  // passes gate
+        ts(10) -> "short",                  // gated out
+        ts(11) -> "keep me around please",  // dup of a survivor
+        ts(12) -> "another doc that stays")
+      q.processAllAvailable()
+      val out = spark.table("pipe_out").select("text").as[String].collect().toSeq.sorted
+      assert(out == Seq("another doc that stays", "keep me around please"), out.toString)
+    } finally q.stop()
+  }
+
   test("CDC end-to-end: retraction distinct -> debezium out -> demux, across a checkpoint restart") {
     // the reference's full to_debezium lifecycle (streams.py:133-166,
     // test_streams.py:223-228): a weighted delta stream becomes a CDC
