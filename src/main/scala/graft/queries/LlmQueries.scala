@@ -86,6 +86,11 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // KMV distinct-count sketch: deterministic hashing makes the ESTIMATE
+    // itself oracle-checkable (exact integer division of the k-th hash)
+    "q_sketch_kmv" -> ((s, dir) =>
+      graft.llm.Sketches.kmvDistinct(docs(s, dir), "text", k = 64)),
+
     // corpus rebalancing: downsample en to 20%, es to 50%, keep the rest
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.hashSampleStratified(docs(s, dir), "doc_id", "lang",
@@ -461,6 +466,18 @@ object LlmQueries {
          |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
          |  CAST(cum % 512 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Bottom-64 distinct FNV hashes (unsigned = natural HUGEINT order),
+    // estimate = floor(63 * 2^64 / u) in exact integer arithmetic
+    "q_sketch_kmv" ->
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT DISTINCT fnv1a(text) AS h FROM documents WHERE text IS NOT NULL),
+         |mins AS (SELECT h FROM d ORDER BY h LIMIT 64),
+         |kth AS (SELECT max(h) AS u, count(*) AS nk FROM mins)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_exact,
+         |  tosigned((SELECT u FROM kth)) AS kth_hash,
+         |  CAST(CASE WHEN (SELECT nk FROM kth) < 64 THEN (SELECT nk FROM kth)
+         |    ELSE (63::HUGEINT * 18446744073709551616::HUGEINT) / (SELECT u FROM kth) END AS BIGINT) AS est_distinct""".stripMargin,
 
     // Same splitmix64 bucket arithmetic as q_split_hash, per-stratum cuts
     "q_sample_stratified" ->

@@ -350,6 +350,27 @@ class LlmSpec extends SparkSpec {
     assert(r(3L) == ((2L, 0L, 0L, "two mails <EMAIL> <EMAIL>")))
   }
 
+  test("KMV sketch: below-k exactness, merge law, estimate within KMV error bounds") {
+    import graft.llm.{Hashing, Sketches}
+    import spark.implicits._
+    // below k distinct values the sketch IS the exact count
+    val tiny = (1 to 10).map(i => s"doc $i").toDF("text")
+    val t = Sketches.kmvDistinct(tiny, "text", k = 64).head()
+    assert(t.getLong(0) == 10L && t.getLong(2) == 10L)
+    // merge law: the k smallest of a union are computable from each part's
+    // k smallest — the property that makes the sketch a shard accumulator
+    val all = docs.select("text").as[String].collect().map(Hashing.hashString).distinct
+    val (p1, p2) = all.splitAt(all.length / 2)
+    def bottom(xs: Array[Long], k: Int) = xs.sortBy(_ ^ Long.MinValue).take(k)
+    assert(bottom(bottom(p1, 64) ++ bottom(p2, 64), 64).toSeq == bottom(all, 64).toSeq)
+    // estimate sanity on the real corpus: within the ~1/sqrt(k) KMV bound
+    val r = Sketches.kmvDistinct(docs, "text", k = 64).head()
+    val (exact, est) = (r.getLong(0).toDouble, r.getLong(2).toDouble)
+    assert(math.abs(est - exact) / exact < 0.5, s"estimate $est vs exact $exact")
+    // the estimate derives from the k-th hash by exact integer division
+    assert(r.getLong(2) == Sketches.estimateFromKth(64, r.getLong(1)))
+  }
+
   test("stratified sampling: per-stratum cuts, stratum independence, default keep-all") {
     import graft.llm.{Hashing, Sampling}
     import spark.implicits._
