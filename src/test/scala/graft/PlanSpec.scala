@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cosine_similarity is SQL-callable via GraftExtensions and stays codegen'd") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    // planned as the native expression inside a codegen'd project, not a UDF
+    val plan = spark.sql(
+      """SELECT cosine_similarity(e1.embedding, e2.embedding) AS c
+        |FROM parquet.`/root/testdata/sf0.001/embeddings.parquet` e1
+        |JOIN parquet.`/root/testdata/sf0.001/embeddings.parquet` e2 ON e1.vec_id = e2.vec_id
+        |""".stripMargin).queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_similarity"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("text repetition and PII redaction are pure map stages (no exchange)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     for ((name, df) <- Seq(
