@@ -479,6 +479,35 @@ class LlmSpec extends SparkSpec {
     assert(covered == (1 to 10).map("t" + _).toSet)
   }
 
+  test("chunking properties over random docs: exact reconstruction at stride=max, coverage always") {
+    import spark.implicits._
+    import graft.llm.Packing
+    val rnd = new scala.util.Random(7L)
+    val d = (0L until 20L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stride == maxTokens: disjoint windows — concatenation IS the document
+    val disjoint = Packing.chunkTokens(d, "doc_id", "text", maxTokens = 7, stride = 7)
+      .collect().groupBy(_.getLong(0))
+    disjoint.foreach { case (id, rows) =>
+      val rebuilt = rows.sortBy(_.getLong(1)).map(_.getString(3)).mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id reconstruction")
+    }
+    // any stride < maxTokens: every token position covered, sizes bounded
+    val overlapped = Packing.chunkTokens(d, "doc_id", "text", maxTokens = 7, stride = 4)
+      .collect().groupBy(_.getLong(0))
+    overlapped.foreach { case (id, rows) =>
+      val n = texts(id).split(" ", -1).length
+      val covered = rows.flatMap { r =>
+        val from = r.getLong(1).toInt * 4
+        from until math.min(from + 7, n)
+      }.toSet
+      assert(covered == (0 until n).toSet, s"doc $id coverage")
+      assert(rows.forall(_.getLong(2) <= 7), s"doc $id chunk size bound")
+    }
+  }
+
   test("sequence packing: per-shard prefix sums cut at the budget") {
     import spark.implicits._
     import graft.llm.Packing
