@@ -37,6 +37,48 @@ object Chunker {
       .drop("__pieces", "__piece")
   }
 
+  /** Envelope-level chunking for a storage roundtrip (the reference's
+    * produce-side scheme, kafi/helpers.py:356-376 + chunker.py:25-63):
+    *
+    *  - chunk key = original key + "_%06d" — DISTINCT per chunk, so log
+    *    compaction keeps every chunk alive (a shared key would compact a
+    *    message down to its last chunk);
+    *  - `__partition_key` = the ORIGINAL key — the produce partitioner
+    *    hashes it (LogProduce), so all chunks of a message land on one
+    *    partition and dechunking needs no cross-partition repair;
+    *  - chunk identity/sequence/total ride the envelope HEADERS (the
+    *    envelope projection on produce would drop plain columns).
+    *
+    * Null keys stay null (no suffix); they hash to one partition here
+    * (Spark's hash(null) is a constant), which is stronger than the
+    * reference's round-robin spread for null keys. */
+  def chunkEnvelope(env: DataFrame, chunkChars: Int, idCols: Seq[String]): DataFrame =
+    chunk(env, chunkChars, idCols)
+      .withColumn("__partition_key", col("key"))
+      .withColumn("headers", array(
+        struct(lit("chunk_id").as("key"), encode(col("chunk_id"), "UTF-8").as("value")),
+        struct(lit("chunk_seq").as("key"), encode(col("chunk_seq").cast("string"), "UTF-8").as("value")),
+        struct(lit("chunk_total").as("key"), encode(col("chunk_total").cast("string"), "UTF-8").as("value"))))
+      .withColumn("key",
+        when(col("key").isNull, lit(null).cast("string"))
+          .otherwise(concat(col("key"), lit("_"),
+            lpad(col("chunk_seq").cast("string"), 6, "0"))))
+      .drop("chunk_id", "chunk_seq", "chunk_total")
+
+  /** Inverse of [[chunkEnvelope]] after a topic read: chunk metadata back
+    * out of the headers, key suffix stripped, then [[dechunk]]. */
+  def dechunkEnvelope(env: DataFrame): DataFrame = {
+    def h(name: String) =
+      decode(expr(s"filter(headers, x -> x.key = '$name')[0].value"), "UTF-8")
+    dechunk(env
+      .withColumn("chunk_id", h("chunk_id"))
+      .withColumn("chunk_seq", h("chunk_seq").cast("int"))
+      .withColumn("chunk_total", h("chunk_total").cast("int"))
+      .withColumn("key",
+        when(col("key").isNull, lit(null).cast("string"))
+          .otherwise(expr("substring(key, 1, length(key) - 7)"))))
+  }
+
   /** Reassemble chunked messages: group by chunk_id, order chunks by
     * chunk_seq, concatenate payloads; all non-value columns are taken from
     * the first chunk. */

@@ -29,7 +29,16 @@ private[storage] object LogProduce {
             .otherwise(raise_error(concat(
               lit(s"partition out of range for topic '$topic' (0..${p - 1}): "),
               col("partition").cast("string")))))
-      else withKey.withColumn("partition", pmod(hash(col("key")), lit(p)).cast("int"))
+      else {
+        // partition-key projection (kafi/chunker.py:16-18's projection_fun):
+        // a `__partition_key` column, when present, is hashed INSTEAD of the
+        // key — chunked messages carry distinct per-chunk keys but must
+        // co-locate by their ORIGINAL key (helpers.py:356-376). The column
+        // never reaches the log (the envelope projection below drops it).
+        val pk = if (withKey.columns.contains("__partition_key"))
+          col("__partition_key") else col("key")
+        withKey.withColumn("partition", pmod(hash(pk), lit(p)).cast("int"))
+      }
     val withTs =
       if (withPart.columns.contains("timestamp")) withPart
       else withPart.withColumn("timestamp", current_timestamp()) // CURRENT_TIME (fs_producer.py:36-37)

@@ -46,6 +46,35 @@ class StorageSpec extends SparkSpec {
     assert(fs.ls("al*").map(_._1) == Seq("alpha"))
   }
 
+  test("chunked produce: all chunks of one message land on one partition (dechunk roundtrip)") {
+    // the reference's chunk-key partition-affinity contract
+    // (test_single_storage_base.py:1898-1945): the chunk rows keep the
+    // original key, so the hash-of-key partitioner co-locates every chunk
+    // of a message — dechunking after a per-partition read needs no
+    // cross-partition repair
+    import graft.serde.Chunker
+    val fs = freshStorage()
+    fs.createTopic("chunky", 6)
+    val big = (0 until 8).map(i => (s"k$i", ("x" * 25) + s"payload$i",
+      new java.sql.Timestamp(1700000000000L + i * 1000L))).toDF("key", "value", "timestamp")
+    fs.produce("chunky", Chunker.chunkEnvelope(big, chunkChars = 10, idCols = Seq("key")))
+    val read = fs.read("chunky")
+    // per-chunk keys are distinct (compaction-safe) yet each ORIGINAL key's
+    // chunks sit on exactly one partition
+    assert(read.select("key").distinct().count() == read.count())
+    val partsPerKey = read
+      .select(expr("substring(key, 1, length(key) - 7)").as("k"), col("partition"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).toSet)
+    assert(partsPerKey.size == 8 && partsPerKey.values.forall(_.size == 1),
+      partsPerKey.toMap.toString)
+    // and the chunks reassemble to the original messages
+    val back = Chunker.dechunkEnvelope(read)
+      .select("key", "value").as[(String, String)].collect().toMap
+    val orig = big.select("key", "value").as[(String, String)].collect().toMap
+    assert(back == orig)
+  }
+
   test("produce: hash partitioner, dense offsets, watermarks, append continues") {
     val fs = freshStorage()
     fs.createTopic("t", 4)
