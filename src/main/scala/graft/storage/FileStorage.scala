@@ -2,7 +2,7 @@ package graft.storage
 
 import java.nio.file.{Files => JFiles, Paths}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.Envelope
@@ -264,6 +264,30 @@ class FileStorage(spark: SparkSession, val root: String,
   /** last-n fair share per partition (storage_consumer.py:212-231). */
   def readLastN(topic: String, nPerPartition: Int): DataFrame =
     graft.ops.Shell.tail(read(topic), nPerPartition)
+
+  /** Per-partition start offsets — the consumer `offsets={p: o}` seek
+    * (storage_consumer.py:83-117; exercised by
+    * test_single_storage_base.py:750-792): a NEGATIVE o resolves against
+    * the partition's high watermark (o = −2 ⇒ the last 2 messages, clamped
+    * at the log start); partitions absent from the map read from the
+    * beginning. The start table is |partitions| rows, broadcast onto the
+    * scan — the positive-offset comparison still prunes row groups. */
+  def readFrom(topic: String, offsets: Map[Int, Long]): DataFrame = {
+    val env = read(topic)
+    val starts = offsets.toSeq.map { case (p, o) => Row(p, o) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__req", org.apache.spark.sql.types.LongType)))
+    val reqDf = spark.createDataFrame(java.util.Arrays.asList(starts: _*), schema)
+    val hw = env.groupBy("partition").agg((max("offset") + 1).as("__hw"))
+    env
+      .join(broadcast(reqDf), Seq("partition"), "left")
+      .join(broadcast(hw), Seq("partition"), "left")
+      .filter(col("__req").isNull ||
+        col("offset") >= when(col("__req") < 0,
+          greatest(col("__hw") + col("__req"), lit(0L))).otherwise(col("__req")))
+      .drop("__req", "__hw")
+  }
 
   // ---- groups (fs_admin.py:371-415) ----
 

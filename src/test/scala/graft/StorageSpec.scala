@@ -75,6 +75,27 @@ class StorageSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("readFrom: per-partition start offsets with negative high-watermark resolution") {
+    // mirrors test_single_storage_base.py:750-792 (consume_from_offsets):
+    // messages 1-3 on partition 0, 4-6 on partition 2
+    val fs = freshStorage()
+    fs.createTopic("seek", 3)
+    val rows = (1 to 6).map { i =>
+      (null.asInstanceOf[String], s"message $i", if (i <= 3) 0 else 2,
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("key", "value", "partition", "timestamp")
+    fs.produce("seek", rows)
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("partition", "offset").select("value").as[String].collect().toSeq
+    // positive offsets: {0: 2, 2: 3} -> only "message 3"
+    assert(vals(fs.readFrom("seek", Map(0 -> 2L, 2 -> 3L))) == Seq("message 3"))
+    // negative: {0: -2, 2: 3} -> last two of partition 0
+    assert(vals(fs.readFrom("seek", Map(0 -> -2L, 2 -> 3L))) == Seq("message 2", "message 3"))
+    // unlisted partitions read from the beginning; large negative clamps
+    assert(vals(fs.readFrom("seek", Map(2 -> -99L))) ==
+      (1 to 6).map(i => s"message $i"))
+  }
+
   test("produce: hash partitioner, dense offsets, watermarks, append continues") {
     val fs = freshStorage()
     fs.createTopic("t", 4)
