@@ -73,6 +73,26 @@ object ZSetQueries {
         .orderBy("o_orderkey", "c_name")
     }),
 
+    // the reference's flagship multi-join streams topology shape
+    // (test/streams/datagen/topologies.py:99-170: per-source map→distinct,
+    // then a chain of equi-joins): region ⋈ nation ⋈ customer ⋈ orders,
+    // dimension sides broadcast, fact side shuffled once per join key
+    "q_zs_join_chain" -> ((s, dir) => {
+      val r = ZSet.distinct(ZSet.fromRecords(
+        s.read.parquet(s"$dir/region.parquet").select("r_regionkey", "r_name")))
+      val n = ZSet.distinct(ZSet.fromRecords(
+        s.read.parquet(s"$dir/nation.parquet").select("n_nationkey", "n_name", "n_regionkey")))
+      val c = ZSet.distinct(ZSet.fromRecords(
+        s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_nationkey")))
+      val o = ZSet.distinct(ZSet.fromRecords(
+        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")))
+      val j1 = ZSet.join(n, broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val j2 = ZSet.join(c, broadcast(j1), col("c_nationkey") === col("n_nationkey"))
+      val j3 = ZSet.join(o, j2, col("o_custkey") === col("c_custkey"))
+      ZSet.map(j3)(col("o_orderkey"), col("n_name"), col("r_name"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_zs_join_theta" -> ((s, dir) => {
       val n = ZSet.fromRecords(s.read.parquet(s"$dir/nation.parquet")
         .select("n_nationkey", "n_name", "n_regionkey"))
@@ -253,6 +273,13 @@ object ZSetQueries {
       """SELECT n_name, r_name, CAST(1 AS BIGINT) AS weight
         |FROM nation JOIN region ON n_regionkey < r_regionkey
         |ORDER BY n_name, r_name""".stripMargin,
+
+    "q_zs_join_chain" ->
+      """SELECT o_orderkey, n_name, r_name, CAST(1 AS BIGINT) AS weight
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_zs_groupby_sum" ->
       s"""$zsCte SELECT user_id, CAST(sum(CAST(amount AS DECIMAL(18,2)) * weight) AS DOUBLE) AS total
