@@ -93,12 +93,24 @@ class FileStorage(spark: SparkSession, val root: String,
 
   override def exists(topic: String): Boolean = JFiles.exists(metaPath(topic))
 
+  /** Glob patterns hidden from listTopics/ls (the reference's
+    * topic_ignore_patterns, kafi/storage.py; exercised by
+    * test_single_storage_base.py:448-474 — e.g. Seq("_*") hides internal
+    * topics). Reads/produces by explicit topic name are unaffected. */
+  @volatile private var ignorePatterns: Seq[String] = Nil
+
+  def topicIgnorePatterns(patterns: Seq[String]): Unit =
+    ignorePatterns = patterns
+
   override def listTopics(pattern: String = "*"): Seq[String] = {
     val base = Paths.get(s"$root/topics")
     if (!JFiles.exists(base)) return Nil
     val re = graft.functions.Helpers.globToRegex(pattern).r
+    val ignores = ignorePatterns.map(p => graft.functions.Helpers.globToRegex(p).r)
     usingStream(JFiles.list(base))(
-      _.map(_.getFileName.toString).filter(n => re.matches(n)).toSeq.sorted)
+      _.map(_.getFileName.toString)
+        .filter(n => re.matches(n) && !ignores.exists(_.matches(n)))
+        .toSeq.sorted)
   }
 
   override def partitions(topic: String): Int = {

@@ -36,6 +36,24 @@ class StorageSpec extends SparkSpec {
     assert(!fs.exists("drinks"))
   }
 
+  test("topic ignore patterns hide topics from listings, not from reads") {
+    // mirrors test_single_storage_base.py:448-474
+    val fs = freshStorage()
+    fs.createTopic("snacks", 1)
+    fs.createTopic("_snacks", 1)
+    fs.topicIgnorePatterns(Seq("snacks", "_snacks"))
+    assert(fs.listTopics("*").isEmpty)
+    fs.topicIgnorePatterns(Seq("snacks"))
+    assert(fs.listTopics("*") == Seq("_snacks"))
+    fs.topicIgnorePatterns(Seq("_*")) // the internal-topic convention
+    assert(fs.listTopics("*") == Seq("snacks"))
+    assert(fs.ls("*").map(_._1) == Seq("snacks"))
+    // explicit-name access is unaffected
+    assert(fs.exists("_snacks") && fs.read("_snacks").count() == 0)
+    fs.topicIgnorePatterns(Nil)
+    assert(fs.listTopics("*") == Seq("_snacks", "snacks"))
+  }
+
   test("ls lists topics with partitions, message counts and byte sizes") {
     val fs = freshStorage()
     fs.createTopic("alpha", 2)
