@@ -277,6 +277,12 @@ class FileStorage(spark: SparkSession, val root: String,
   def readLastN(topic: String, nPerPartition: Int): DataFrame =
     graft.ops.Shell.tail(read(topic), nPerPartition)
 
+  /** Restrict a read to a partition subset — the consumer `partitions=`
+    * assignment (test_single_storage_base.py:893-931). The isin predicate
+    * pushes to the parquet scan. */
+  def readPartitions(topic: String, parts: Seq[Int]): DataFrame =
+    read(topic).filter(col("partition").isin(parts: _*))
+
   /** Per-partition start offsets — the consumer `offsets={p: o}` seek
     * (storage_consumer.py:83-117; exercised by
     * test_single_storage_base.py:750-792): a NEGATIVE o resolves against

@@ -112,6 +112,9 @@ class StorageSpec extends SparkSpec {
     // unlisted partitions read from the beginning; large negative clamps
     assert(vals(fs.readFrom("seek", Map(2 -> -99L))) ==
       (1 to 6).map(i => s"message $i"))
+    // partition-subset assignment (the consumer partitions= restriction)
+    assert(vals(fs.readPartitions("seek", Seq(2))) ==
+      Seq("message 4", "message 5", "message 6"))
   }
 
   test("produce: hash partitioner, dense offsets, watermarks, append continues") {
