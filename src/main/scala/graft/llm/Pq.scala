@@ -259,14 +259,16 @@ object Pq {
       }
   }
 
-  def searchAdc(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
-      m: Int, ksub: Int, k: Int): DataFrame = {
+  /** (q_id, nn_id, adc) for every (query, corpus) pair — the exhaustive
+    * ADC scan as a broadcast-LUT map stage. */
+  private def adcScores(encoded: DataFrame, codebook: DataFrame,
+      queries: DataFrame, m: Int, ksub: Int): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val book = collectBook(codebook, m, ksub)
     val bq = spark.sparkContext.broadcast(buildLuts(queries, book))
     val ksubL = ksub
-    val scored = encoded.select(col("vec_id"), col("codes")).as[(Long, Array[Long])]
+    encoded.select(col("vec_id"), col("codes")).as[(Long, Array[Long])]
       .mapPartitions { rows =>
         val qs = bq.value
         rows.flatMap { case (id, codes) =>
@@ -286,12 +288,27 @@ object Pq {
         }
       }
       .toDF("q_id", "nn_id", "adc")
-    scored
+  }
+
+  def searchAdc(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
+      m: Int, ksub: Int, k: Int): DataFrame =
+    adcScores(encoded, codebook, queries, m, ksub)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("adc").desc, col("nn_id"))))
       .filter(col("rank") <= k)
-  }
+
+  /** Many-queries ADC ranking: identical scores to [[searchAdc]], ranked
+    * by the bounded top-k Aggregator ([[Ann.topKPerQuery]]) instead of a
+    * per-q_id window — parallelism is never |queries|-bounded and no stage
+    * materializes all candidates of a query before ranking. Row-identical
+    * to [[searchAdc]] (LlmSpec). */
+  def searchAdcAgg(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
+      m: Int, ksub: Int, k: Int): DataFrame =
+    Ann.topKPerQuery(
+        adcScores(encoded, codebook, queries, m, ksub)
+          .withColumnRenamed("adc", "cosine"), k)
+      .withColumnRenamed("cosine", "adc")
 
   /** IVF-PQ — the standard large-scale ANN architecture (faiss's IVFPQ,
     * Jégou et al. §V): IVF lists prune WHAT is scanned (nprobe/k of the

@@ -443,6 +443,20 @@ class LlmSpec extends SparkSpec {
     assert(enc(999999L) == enc2(999999L))
   }
 
+  test("PQ bounded-agg ranking is row-identical to the window form and window-free") {
+    import graft.llm.Pq
+    val e = emb.select("vec_id", "embedding")
+    val cb = Pq.train(e, m = 8, ksub = 8, iters = 1)
+    val enc = Pq.encode(e, cb, 8, 8)
+    val qs = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "nn_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val win = rows(Pq.searchAdc(enc, cb, qs, 8, 8, 10))
+    val aggD = Pq.searchAdcAgg(enc, cb, qs, 8, 8, 10)
+    assert(rows(aggD) == win)
+    assert(!aggD.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("IVF-PQ with nprobe = k is row-identical to the full ADC scan") {
     import graft.llm.{Ivf, Pq}
     val e = emb.select("vec_id", "embedding")
