@@ -43,23 +43,39 @@ object Pq {
     StructField("csum", ArrayType(LongType), nullable = true),
     StructField("cnt", LongType, nullable = false)))
 
+  /** floor(v·2^20) per component; null → empty. NaN components floor to 0
+    * via Long truncation — deterministic. The ONE quantization kernel: the
+    * driver-side LUT path, the executor-side LUT path, and `quantized` all
+    * call this, so the bit contract with the oracle lives here. */
+  private def quantize(e: scala.collection.Seq[Float]): Array[Long] = {
+    if (e == null) return Array.emptyLongArray
+    val q = new Array[Long](e.length)
+    var i = 0
+    while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
+    q
+  }
+
+  /** Zero-padded sub-vector copy of length dsub starting at `from` — short
+    * vectors (the null-embedding path) read missing dims as 0, so every
+    * emitted sub-vector has length exactly dsub and the element-wise sum
+    * aggregator never sees ragged arrays. */
+  private def subVec(qe: Array[Long], from: Int, dsub: Int): Array[Long] = {
+    val out = new Array[Long](dsub)
+    var i = 0
+    while (i < dsub && from + i < qe.length) { out(i) = qe(from + i); i += 1 }
+    out
+  }
+
   /** (vec_id, qe: floor(v·2^20), h: splitmix64(vec_id)) — one typed pass.
     * A null embedding quantizes to an empty vector (codes degenerate to the
     * all-zero sub-vector's argmin — deterministic, no NPE mid-job; same
-    * posture as Ivf.assign's null path). NaN components floor to 0 via
-    * Long truncation — also deterministic. */
+    * posture as Ivf.assign's null path). */
   private def quantized(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, e) =>
-        val src = if (e == null) Array.emptyFloatArray else e
-        val q = new Array[Long](src.length)
-        var i = 0
-        while (i < src.length) { q(i) = math.floor(src(i).toDouble * Q).toLong; i += 1 }
-        (id, q, Hashing.splitmix64(id))
-      })
+      .mapPartitions(_.map { case (id, e) => (id, quantize(e), Hashing.splitmix64(id)) })
       .toDF("vec_id", "qe", "__h")
   }
 
@@ -136,14 +152,19 @@ object Pq {
     val spark = df.sparkSession
     import spark.implicits._
     val quant = quantized(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = quant.select("qe").head().getAs[scala.collection.Seq[Long]](0).length
+    // dim = the LONGEST quantized vector, not head()'s: a null embedding is
+    // an empty qe, and letting it pick dim would silently train an empty
+    // codebook (and a real vector's sums would then overrun the null row's
+    // zero-length slices mid-aggregation).
+    val dim = quant.select(max(size(col("qe"))).as("d")).head().getInt(0)
+    require(dim > 0, "all embeddings empty/null — nothing to train on")
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val seedRows = quant.select("__h", "qe").orderBy("__h").limit(ksub).collect()
       .zipWithIndex.flatMap { case (r, j) =>
-        val qe = r.getAs[scala.collection.Seq[Long]](1)
+        val qe = r.getAs[scala.collection.Seq[Long]](1).toArray
         (0 until m).map(mi =>
-          Row(mi.toLong, j.toLong, qe.slice(mi * dsub, (mi + 1) * dsub), 1L))
+          Row(mi.toLong, j.toLong, subVec(qe, mi * dsub, dsub).toSeq, 1L))
       }
     var codebook: DataFrame =
       spark.createDataFrame(java.util.Arrays.asList(seedRows: _*), codebookSchema)
@@ -157,8 +178,7 @@ object Pq {
           val b = bc.value
           val codes = assignCodes(qe, b)
           (0 until b.m).iterator.map { mi =>
-            (mi.toLong * b.ksub + codes(mi),
-              qe.slice(mi * b.dsub, (mi + 1) * b.dsub))
+            (mi.toLong * b.ksub + codes(mi), subVec(qe, mi * b.dsub, b.dsub))
           }
         }
         .groupByKey(_._1)
@@ -183,9 +203,13 @@ object Pq {
 
   private object SumSubVec extends org.apache.spark.sql.expressions.Aggregator[
       (Long, Array[Long]), Array[Long], Array[Long]] {
+    // `subVec` guarantees every input has length dsub, so the ragged branch
+    // is unreachable today — kept total anyway (sum into the longer buffer)
+    // so a future caller can't turn a length mismatch into an out-of-bounds.
     private def add(b: Array[Long], a: Array[Long]): Array[Long] =
       if (b.isEmpty) a.clone()
-      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+      else if (a.length <= b.length) { var i = 0; while (i < a.length) { b(i) += a(i); i += 1 }; b }
+      else { val out = a.clone(); var i = 0; while (i < b.length) { out(i) += b(i); i += 1 }; out }
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], a: (Long, Array[Long])): Array[Long] = add(b, a._2)
     def merge(x: Array[Long], y: Array[Long]): Array[Long] =
@@ -219,9 +243,46 @@ object Pq {
     * of the query against the RECONSTRUCTION. Few-queries regime (queries
     * broadcast with the tables); rank by (adc DESC, nn_id) per query.
     * Output: (q_id, nn_id, adc, rank ≤ k). */
-  /** Per-query ADC tables: lut(q)(m·ksub+code) = (ip of q's sub-vector
-    * with the centroid mean, centroid mean squared norm), plus |q| over the
-    * full vector — all ascending-index double folds (the oracle contract). */
+  /** One query's ADC tables from its quantized vector and the codebook:
+    * (|q|, ips(m·ksub+code) = ip of q's sub-vector with the centroid mean,
+    * cn2(m·ksub+code) = centroid mean squared norm) — all ascending-index
+    * double folds (the oracle contract). Called on the DRIVER by
+    * [[buildLuts]] (few-queries regime) and PER TASK by [[searchIvfAdcAgg]]
+    * (many-queries regime) — same kernel, bit-identical tables. */
+  private def lutFor(qe: Array[Long], book: Book): (Double, Array[Double], Array[Double]) = {
+    var nq = 0.0
+    var i = 0
+    while (i < qe.length) { val v = qe(i).toDouble; nq += v * v; i += 1 }
+    val ips = new Array[Double](book.m * book.ksub)
+    val cn2 = new Array[Double](book.m * book.ksub)
+    var mi = 0
+    while (mi < book.m) {
+      var c = 0
+      while (c < book.ksub) {
+        val mean = book.mean(mi, c)
+        var ip = 0.0
+        var n2 = 0.0
+        var d = 0
+        while (d < mean.length) {
+          val idx = mi * book.dsub + d
+          val qd = if (idx < qe.length) qe(idx).toDouble else 0.0
+          ip += qd * mean(d)
+          n2 += mean(d) * mean(d)
+          d += 1
+        }
+        ips(mi * book.ksub + c) = ip
+        cn2(mi * book.ksub + c) = n2
+        c += 1
+      }
+      mi += 1
+    }
+    (math.sqrt(nq), ips, cn2)
+  }
+
+  /** Driver-side per-query ADC tables — the FEW-queries regime (the whole
+    * query set lands here and broadcasts as |q|·M·ksub·2 doubles). The
+    * many-queries paths ([[searchIvfAdcAgg]]) never call this: they build
+    * the same tables per task from the broadcast codebook. */
   private def buildLuts(queries: DataFrame,
       book: Book): Array[(Long, Double, Array[Double], Array[Double])] = {
     val spark = queries.sparkSession
@@ -229,33 +290,8 @@ object Pq {
     quantized(queries).select(col("vec_id"), col("qe"))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
       .map { case (qid, qe) =>
-        var nq = 0.0
-        var i = 0
-        while (i < qe.length) { val v = qe(i).toDouble; nq += v * v; i += 1 }
-        val ips = new Array[Double](book.m * book.ksub)
-        val cn2 = new Array[Double](book.m * book.ksub)
-        var mi = 0
-        while (mi < book.m) {
-          var c = 0
-          while (c < book.ksub) {
-            val mean = book.mean(mi, c)
-            var ip = 0.0
-            var n2 = 0.0
-            var d = 0
-            while (d < mean.length) {
-              val idx = mi * book.dsub + d
-              val qd = if (idx < qe.length) qe(idx).toDouble else 0.0
-              ip += qd * mean(d)
-              n2 += mean(d) * mean(d)
-              d += 1
-            }
-            ips(mi * book.ksub + c) = ip
-            cn2(mi * book.ksub + c) = n2
-            c += 1
-          }
-          mi += 1
-        }
-        (qid, math.sqrt(nq), ips, cn2)
+        val (nq, ips, cn2) = lutFor(qe, book)
+        (qid, nq, ips, cn2)
       }
   }
 
@@ -273,17 +309,7 @@ object Pq {
         val qs = bq.value
         rows.flatMap { case (id, codes) =>
           qs.iterator.filter(_._1 != id).map { case (qid, nq, ips, cn2) =>
-            var adc = 0.0
-            var rn2 = 0.0
-            var mi = 0
-            while (mi < codes.length) {
-              val slot = mi * ksubL + codes(mi).toInt
-              adc += ips(slot)
-              rn2 += cn2(slot)
-              mi += 1
-            }
-            val denom = nq * math.sqrt(rn2)
-            (qid, id, if (denom == 0.0) 0.0 else adc / denom)
+            (qid, id, adcScore(codes, ksubL, nq, ips, cn2))
           }
         }
       }
@@ -309,6 +335,7 @@ object Pq {
         adcScores(encoded, codebook, queries, m, ksub)
           .withColumnRenamed("adc", "cosine"), k)
       .withColumnRenamed("cosine", "adc")
+      .select("q_id", "nn_id", "adc", "rank") // same column ORDER as searchAdc
 
   /** IVF-PQ — the standard large-scale ANN architecture (faiss's IVFPQ,
     * Jégou et al. §V): IVF lists prune WHAT is scanned (nprobe/k of the
@@ -319,7 +346,8 @@ object Pq {
     * map-side kernel (no query-set broadcast, no window over k); the
     * candidate join shuffles on list_id; scoring is the same broadcast-LUT
     * map stage as [[searchAdc]]. Few-queries regime for the LUT broadcast
-    * (|q|·M·ksub doubles) — for huge query sets, batch the queries.
+    * (|q|·M·ksub doubles) — for huge query sets use [[searchIvfAdcAgg]],
+    * which builds the same tables per task and is never |queries|-bounded.
     * Output: (q_id, nn_id, adc, rank ≤ k). */
   def searchIvfAdc(encodedLists: DataFrame, ivfCentroids: DataFrame,
       codebook: DataFrame, queries: DataFrame, m: Int, ksub: Int, k: Int,
@@ -340,17 +368,7 @@ object Pq {
         val qs = bq.value
         rows.map { case (qid, nn, codes) =>
           val (_, nq, ips, cn2) = qs(qid)
-          var adc = 0.0
-          var rn2 = 0.0
-          var mi = 0
-          while (mi < codes.length) {
-            val slot = mi * ksubL + codes(mi).toInt
-            adc += ips(slot)
-            rn2 += cn2(slot)
-            mi += 1
-          }
-          val denom = nq * math.sqrt(rn2)
-          (qid, nn, if (denom == 0.0) 0.0 else adc / denom)
+          (qid, nn, adcScore(codes, ksubL, nq, ips, cn2))
         }
       }
       .toDF("q_id", "nn_id", "adc")
@@ -359,5 +377,70 @@ object Pq {
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("adc").desc, col("nn_id"))))
       .filter(col("rank") <= k)
+  }
+
+  /** ADC cosine of one encoded row against one query's tables: M lookups,
+    * rn2 accumulated in subspace order — shared by every scoring path. */
+  private def adcScore(codes: Array[Long], ksub: Int, nq: Double,
+      ips: Array[Double], cn2: Array[Double]): Double = {
+    var adc = 0.0
+    var rn2 = 0.0
+    var mi = 0
+    while (mi < codes.length) {
+      val slot = mi * ksub + codes(mi).toInt
+      adc += ips(slot)
+      rn2 += cn2(slot)
+      mi += 1
+    }
+    val denom = nq * math.sqrt(rn2)
+    if (denom == 0.0) 0.0 else adc / denom
+  }
+
+  /** IVF-PQ for LARGE query sets — the 100 TB form of [[searchIvfAdc]]:
+    * NOTHING is |queries|-bounded. The query set is never collected to the
+    * driver and never broadcast; the only broadcast is the codebook
+    * (M·ksub rows). Probing is [[Ivf.nprobeAssign]]'s map-side kernel,
+    * which carries each query's raw embedding through its nprobe slim rows;
+    * the candidate join shuffles on list_id; each task then sorts its
+    * partition by q_id (local sort, no exchange) and builds ONE M×ksub ADC
+    * table at a time via [[lutFor]] — the same kernel [[buildLuts]] runs on
+    * the driver, so scores are bit-identical to [[searchIvfAdc]] (LlmSpec
+    * asserts row-identity). Ranking is the bounded top-k Aggregator
+    * ([[Ann.topKPerQuery]]), never a per-q_id window. Per-task memory:
+    * one LUT (2·M·ksub doubles) regardless of |queries|.
+    * Output: (q_id, nn_id, adc, rank ≤ k) — same order as [[searchIvfAdc]]. */
+  def searchIvfAdcAgg(encodedLists: DataFrame, ivfCentroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, m: Int, ksub: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = encodedLists.sparkSession
+    import spark.implicits._
+    val bb = spark.sparkContext.broadcast(collectBook(codebook, m, ksub))
+    val probe = Ivf.nprobeAssign(queries, ivfCentroids, nprobe) // (q_id, __e_q, list_id)
+    val ksubL = ksub
+    val scored = encodedLists.join(probe, Seq("list_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("__e_q"), col("vec_id").as("nn_id"), col("codes"))
+      .sortWithinPartitions("q_id") // group same-query rows so each task holds ONE LUT
+      .as[(Long, Array[Float], Long, Array[Long])]
+      .mapPartitions { rows =>
+        val b = bb.value
+        var curQ = Long.MinValue
+        var hasLut = false
+        var nq = 0.0
+        var ips: Array[Double] = null
+        var cn2: Array[Double] = null
+        rows.map { case (qid, e, nn, codes) =>
+          if (!hasLut || qid != curQ) {
+            val lut = lutFor(quantize(e), b)
+            nq = lut._1; ips = lut._2; cn2 = lut._3
+            curQ = qid; hasLut = true
+          }
+          (qid, nn, adcScore(codes, ksubL, nq, ips, cn2))
+        }
+      }
+      .toDF("q_id", "nn_id", "cosine")
+    Ann.topKPerQuery(scored, k)
+      .withColumnRenamed("cosine", "adc")
+      .select("q_id", "nn_id", "adc", "rank")
   }
 }

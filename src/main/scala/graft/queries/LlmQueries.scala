@@ -53,6 +53,21 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ, many-queries form: per-task ADC tables from the broadcast
+    // codebook (no driver collect of the query set, no per-q_id window) —
+    // same oracle as q_ann_ivfpq since the two paths are score-identical
+    "q_ann_ivfpq_agg" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val cents = graft.llm.Ivf.train(e, k = 16, iters = 2)
+      val lists = graft.llm.Ivf.index(e, cents).select("vec_id", "list_id")
+      val cb = Pq.train(e, m = 8, ksub = 8, iters = 2)
+      val encLists = Pq.encode(e, cb, 8, 8).join(lists, Seq("vec_id"))
+      Pq.searchIvfAdcAgg(encLists, cents, cb, e.filter(col("vec_id") < 10),
+          8, 8, 10, nprobe = 4)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // token-window chunking: overlapping 64-token windows, stride 48
     "q_text_chunks" -> ((s, dir) =>
       Packing.chunkTokens(docs(s, dir), "doc_id", "text", maxTokens = 64, stride = 48)
@@ -361,6 +376,35 @@ object LlmQueries {
        |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-PQ replay, shared by q_ann_ivfpq (window form) and
+    * q_ann_ivfpq_agg (per-task-LUT form) — the two Spark paths are
+    * score-identical so one oracle serves both. */
+  private val ivfpqOracleSql: String =
+    s"""${HashOracle.macros}
+       |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$qvCte,
+       |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
+       |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
+       |${HashOracle.lloydStep("c0", "c1")},
+       |${HashOracle.lloydStep("c1", "c2")},
+       |xi AS (SELECT qv.vec_id, c2.list_id,
+       |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
+       |idx AS (SELECT vec_id AS nn_id, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
+       |xq AS (SELECT qv.vec_id AS q_id, c2.list_id,
+       |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim
+       |  FROM qv, c2 WHERE qv.vec_id < 10),
+       |probes AS (SELECT q_id, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, list_id) AS rk FROM xq) WHERE rk <= 4),
+       |$pqCtes,
+       |cand AS (SELECT p.q_id, i.nn_id FROM probes p JOIN idx i USING (list_id) WHERE p.q_id != i.nn_id),
+       |sc0 AS (SELECT l.q_id, c.vec_id AS nn_id, c.m, l.ip, l.cn2
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+       |  JOIN cand ON cand.q_id = l.q_id AND cand.nn_id = c.vec_id),
+       |$adcRankCtes
+       |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -401,31 +445,10 @@ object LlmQueries {
     // probes) composed with the PQ chain — candidates come from the probed
     // lists, scores from the ADC tables; both replays shared verbatim with
     // q_ann_ivf / q_ann_pq.
-    "q_ann_ivfpq" ->
-      s"""${HashOracle.macros}
-         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |$qvCte,
-         |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
-         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
-         |${HashOracle.lloydStep("c0", "c1")},
-         |${HashOracle.lloydStep("c1", "c2")},
-         |xi AS (SELECT qv.vec_id, c2.list_id,
-         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
-         |idx AS (SELECT vec_id AS nn_id, list_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
-         |xq AS (SELECT qv.vec_id AS q_id, c2.list_id,
-         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim
-         |  FROM qv, c2 WHERE qv.vec_id < 10),
-         |probes AS (SELECT q_id, list_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, list_id) AS rk FROM xq) WHERE rk <= 4),
-         |$pqCtes,
-         |cand AS (SELECT p.q_id, i.nn_id FROM probes p JOIN idx i USING (list_id) WHERE p.q_id != i.nn_id),
-         |sc0 AS (SELECT l.q_id, c.vec_id AS nn_id, c.m, l.ip, l.cn2
-         |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
-         |  JOIN cand ON cand.q_id = l.q_id AND cand.nn_id = c.vec_id),
-         |$adcRankCtes
-         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivfpq" -> ivfpqOracleSql,
+
+    // score-identical many-queries path (per-task LUTs) — same replay
+    "q_ann_ivfpq_agg" -> ivfpqOracleSql,
 
     // Chunk layout recomputed with integer window arithmetic: the window
     // count is exact ((max(n-64,0)+47)//48)+1 on both engines.

@@ -455,6 +455,52 @@ class LlmSpec extends SparkSpec {
     val aggD = Pq.searchAdcAgg(enc, cb, qs, 8, 8, 10)
     assert(rows(aggD) == win)
     assert(!aggD.queryExecution.executedPlan.toString.contains("Window"))
+    // positional consumers see ONE schema across the two paths
+    assert(aggD.columns.toSeq == Pq.searchAdc(enc, cb, qs, 8, 8, 10).columns.toSeq)
+  }
+
+  test("PQ: training survives null embeddings (padded sub-vectors, max-dim)") {
+    import graft.llm.Pq
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val e = emb.select("vec_id", "embedding")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // vec_id 0 hashes early enough to matter and null rows must neither
+    // crash SumSubVec (order-dependent AIOOBE pre-fix) nor pick dim = 0
+    val withNull = e.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(Row(999999L, null), Row(999998L, null)), schema))
+    val cb = Pq.train(withNull, m = 8, ksub = 8, iters = 2)
+    val rows = cb.collect()
+    assert(rows.length == 64)
+    // every centroid sum has the true sub-dimension, not zero-length
+    val dsub = emb.select("embedding").head().getAs[scala.collection.Seq[Float]](0).length / 8
+    assert(rows.forall(_.getAs[scala.collection.Seq[Long]](2).length == dsub))
+    // and the codebook ignores-or-absorbs the nulls deterministically
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Long]](2).toList, r.getLong(3))).toSet
+    assert(key(cb) == key(Pq.train(withNull, m = 8, ksub = 8, iters = 2)))
+  }
+
+  test("IVF-PQ many-queries form (per-task LUTs) is row-identical to the window form") {
+    import graft.llm.{Ivf, Pq}
+    val e = emb.select("vec_id", "embedding")
+    val cents = Ivf.train(e, k = 8, iters = 1)
+    val lists = Ivf.index(e, cents).select("vec_id", "list_id")
+    val cb = Pq.train(e, m = 8, ksub = 8, iters = 1)
+    val encLists = Pq.encode(e, cb, 8, 8).join(lists, Seq("vec_id"))
+    val qs = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "nn_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val win = Pq.searchIvfAdc(encLists, cents, cb, qs, 8, 8, 10, nprobe = 4)
+    val agg = Pq.searchIvfAdcAgg(encLists, cents, cb, qs, 8, 8, 10, nprobe = 4)
+    assert(rows(agg) == rows(win), "per-task LUT scoring must match driver-LUT scoring")
+    assert(agg.columns.toSeq == win.columns.toSeq)
+    // adc scores themselves are bit-identical (same lutFor kernel)
+    def scores(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "nn_id", "adc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scores(agg) == scores(win))
   }
 
   test("IVF-PQ with nprobe = k is row-identical to the full ADC scan") {

@@ -110,7 +110,18 @@ class PlanSpec extends SparkSpec {
         k = 5, nprobe = 2).queryExecution.executedPlan.toString
       val lshPlan = graft.llm.Ann.lshTopKAgg(e, q, "vec_id", "embedding", 5)
         .queryExecution.executedPlan.toString
-      for ((name, plan) <- Seq("searchAgg" -> ivfPlan, "lshTopKAgg" -> lshPlan)) {
+      // IVF-PQ many-queries form: per-task ADC tables — the only broadcast
+      // in the whole plan must be codebook/centroid-sized (driver-collected
+      // k-row values inside mapPartitions closures, invisible to the plan),
+      // never a query-set-derived BroadcastExchange, and ranking is the
+      // bounded aggregator, not a per-q_id window
+      val lists = graft.llm.Ivf.index(e, cents).select("vec_id", "list_id")
+      val cb = graft.llm.Pq.train(e, m = 8, ksub = 8, iters = 1)
+      val encLists = graft.llm.Pq.encode(e, cb, 8, 8).join(lists, Seq("vec_id"))
+      val ivfpqPlan = graft.llm.Pq.searchIvfAdcAgg(encLists, cents, cb, q,
+        8, 8, 5, nprobe = 2).queryExecution.executedPlan.toString
+      for ((name, plan) <- Seq("searchAgg" -> ivfPlan, "lshTopKAgg" -> lshPlan,
+          "searchIvfAdcAgg" -> ivfpqPlan)) {
         // parallelism must not collapse to |queries| partitions: ranking is
         // the bounded top-k Aggregator, never a Window over q_id
         assert(!plan.contains("Window"), s"$name ranks via a window:\n$plan")
