@@ -52,21 +52,39 @@ object Chunker {
     * Null keys stay null (no suffix); they hash to one partition here
     * (Spark's hash(null) is a constant), which is stronger than the
     * reference's round-robin spread for null keys. */
-  def chunkEnvelope(env: DataFrame, chunkChars: Int, idCols: Seq[String]): DataFrame =
+  private val hdrType = "array<struct<key:string,value:binary>>"
+
+  def chunkEnvelope(env: DataFrame, chunkChars: Int, idCols: Seq[String]): DataFrame = {
+    val chunkHdrs = array(
+      struct(lit("chunk_id").as("key"), encode(col("chunk_id"), "UTF-8").as("value")),
+      struct(lit("chunk_seq").as("key"), encode(col("chunk_seq").cast("string"), "UTF-8").as("value")),
+      struct(lit("chunk_total").as("key"), encode(col("chunk_total").cast("string"), "UTF-8").as("value")))
+    // the reference STARTS from the message's own headers and appends the
+    // chunk entries (chunker.py:34-52) — user headers must survive a
+    // chunked produce, not be replaced by the metadata
+    val mergedHdrs =
+      if (env.columns.contains("headers"))
+        concat(coalesce(col("headers").cast(hdrType), array().cast(hdrType)), chunkHdrs)
+      else chunkHdrs
     chunk(env, chunkChars, idCols)
       .withColumn("__partition_key", col("key"))
-      .withColumn("headers", array(
-        struct(lit("chunk_id").as("key"), encode(col("chunk_id"), "UTF-8").as("value")),
-        struct(lit("chunk_seq").as("key"), encode(col("chunk_seq").cast("string"), "UTF-8").as("value")),
-        struct(lit("chunk_total").as("key"), encode(col("chunk_total").cast("string"), "UTF-8").as("value"))))
+      .withColumn("headers", mergedHdrs)
+      // format_string("%06d") widens past 6 digits like the reference's
+      // f"_{n:06}" (helpers.py:374) — lpad would TRUNCATE seq ≥ 1e6 to its
+      // first 6 digits and collide distinct chunk keys under compaction
       .withColumn("key",
         when(col("key").isNull, lit(null).cast("string"))
-          .otherwise(concat(col("key"), lit("_"),
-            lpad(col("chunk_seq").cast("string"), 6, "0"))))
+          .otherwise(concat(col("key"), format_string("_%06d", col("chunk_seq")))))
       .drop("chunk_id", "chunk_seq", "chunk_total")
+  }
 
   /** Inverse of [[chunkEnvelope]] after a topic read: chunk metadata back
-    * out of the headers, key suffix stripped, then [[dechunk]]. */
+    * out of the headers, key suffix stripped at the LAST '_' (the suffix
+    * widens past 6 digits for huge chunk counts, so a fixed 7-char strip
+    * would mangle them; original keys may themselves contain '_', which the
+    * last-'_' split leaves intact), then [[dechunk]]. The three chunk
+    * metadata headers are removed on the way out, restoring the user's own
+    * headers (dechunker.py:57-60 does the same deletes). */
   def dechunkEnvelope(env: DataFrame): DataFrame = {
     def h(name: String) =
       decode(expr(s"filter(headers, x -> x.key = '$name')[0].value"), "UTF-8")
@@ -74,9 +92,12 @@ object Chunker {
       .withColumn("chunk_id", h("chunk_id"))
       .withColumn("chunk_seq", h("chunk_seq").cast("int"))
       .withColumn("chunk_total", h("chunk_total").cast("int"))
+      .withColumn("headers", expr(
+        "filter(headers, x -> NOT (x.key IN ('chunk_id', 'chunk_seq', 'chunk_total')))"))
       .withColumn("key",
         when(col("key").isNull, lit(null).cast("string"))
-          .otherwise(expr("substring(key, 1, length(key) - 7)"))))
+          .otherwise(expr(
+            "substring(key, 1, length(key) - length(substring_index(key, '_', -1)) - 1)"))))
   }
 
   /** Reassemble chunked messages: group by chunk_id, order chunks by
