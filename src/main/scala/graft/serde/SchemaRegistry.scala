@@ -39,16 +39,18 @@ class SchemaRegistry(baseUrl: String,
     resp.body()
   }
 
-  private def post(path: String, body: String): String = {
+  private def send(method: String, path: String, body: String): String = {
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
         .timeout(requestTimeout)
         .header("Content-Type", "application/vnd.schemaregistry.v1+json")
-        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)).build(),
+        .method(method, HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)).build(),
       HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200, s"registry POST $path -> ${resp.statusCode()}: ${resp.body()}")
+    require(resp.statusCode() == 200, s"registry $method $path -> ${resp.statusCode()}: ${resp.body()}")
     resp.body()
   }
+
+  private def post(path: String, body: String): String = send("POST", path, body)
 
   /** Full JSON string escape (RFC 8259): quote, backslash, and all control
     * characters — a pretty-printed .avsc with newlines must stay valid. */
@@ -128,4 +130,37 @@ class SchemaRegistry(baseUrl: String,
     byId.putIfAbsent(id, schema)
     (id, schema)
   }
+
+  /** Set a subject's compatibility level (BACKWARD, FORWARD, FULL, NONE,
+    * *_TRANSITIVE), returning the level the registry actually set.
+    * PUT /config/{subject} (kafi/schemaregistry.py set_compatibility). */
+  def setCompatibility(subject: String, level: String): String =
+    jsonStr(send("PUT", s"/config/${enc(subject)}", s"""{"compatibility": "$level"}"""),
+      "compatibility")
+
+  /** A subject's compatibility level. GET /config/{subject} — the response
+    * field is `compatibilityLevel`, unlike the PUT's `compatibility`
+    * (kafi/schemaregistry.py get_compatibility). */
+  def getCompatibility(subject: String): String =
+    jsonStr(get(s"/config/${enc(subject)}"), "compatibilityLevel")
+
+  /** Would `schemaJson` be accepted under the subject's compatibility rules
+    * against `version` (default latest)? POST /compatibility/subjects/
+    * {subject}/versions/{version} (kafi/schemaregistry.py
+    * test_compatibility). */
+  def testCompatibility(subject: String, schemaJson: String,
+      version: String = "latest", schemaType: String = "AVRO"): Boolean = {
+    val typeField =
+      if (schemaType == "AVRO") "" else s""", "schemaType": "$schemaType""""
+    val body = post(s"/compatibility/subjects/${enc(subject)}/versions/${enc(version)}",
+      s"""{"schema": "${jsonEscape(schemaJson)}"$typeField}""")
+    """"is_compatible"\s*:\s*(true|false)""".r.findFirstMatchIn(body)
+      .getOrElse(sys.error(s"no is_compatible in: $body")).group(1).toBoolean
+  }
+
+  /** Schema text by GUID — the registry's globally-unique schema handle,
+    * distinct from the integer id. GET /schemas/guids/{guid}
+    * (kafi/schemaregistry.py get_schema_by_guid). */
+  def schemaByGuid(guid: String): String =
+    jsonStr(get(s"/schemas/guids/${enc(guid)}"), "schema")
 }

@@ -113,6 +113,43 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) && !got(2L))
   }
 
+  test("compatibility: set (PUT), get (GET), and test against a version") {
+    @volatile var putBody = ""
+    @volatile var testBody = ""
+    @volatile var testPath = ""
+    server.createContext("/config/docs-value", ex => ex.getRequestMethod match {
+      case "PUT" =>
+        putBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        reply(ex, """{"compatibility": "FULL_TRANSITIVE"}""")
+      case _ => reply(ex, """{"compatibilityLevel": "BACKWARD"}""")
+    })
+    server.createContext("/compatibility/subjects/docs-value/versions/latest", ex => {
+      testBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      testPath = ex.getRequestURI.getRawPath
+      reply(ex, """{"is_compatible": true}""")
+    })
+    server.createContext("/compatibility/subjects/docs-value/versions/2",
+      ex => reply(ex, """{"is_compatible": false}"""))
+    val sr = new SchemaRegistry(url)
+    assert(sr.setCompatibility("docs-value", "FULL_TRANSITIVE") == "FULL_TRANSITIVE")
+    assert(putBody.contains(""""compatibility": "FULL_TRANSITIVE""""))
+    assert(sr.getCompatibility("docs-value") == "BACKWARD")
+    assert(sr.testCompatibility("docs-value", schema))
+    assert(testBody.contains("\\\"Doc\\\""), "schema must travel escaped in the body")
+    assert(!sr.testCompatibility("docs-value", schema, version = "2"))
+    // a JSON-type schema carries schemaType in the test body too
+    assert(sr.testCompatibility("docs-value", """{"type":"object"}""", schemaType = "JSON"))
+    assert(testBody.contains(""""schemaType": "JSON""""))
+  }
+
+  test("schema lookup by GUID") {
+    val escaped = schema.replace("\"", "\\\"")
+    server.createContext("/schemas/guids/3e2f0680-0000-4000-8000-0000deadbeef",
+      ex => reply(ex, s"""{"schema": "$escaped", "schemaType": "AVRO"}"""))
+    val sr = new SchemaRegistry(url)
+    assert(sr.schemaByGuid("3e2f0680-0000-4000-8000-0000deadbeef") == schema)
+  }
+
   test("registered schema drives the Avro + Confluent-frame data path") {
     val sr = new SchemaRegistry(url)
     val (id, schemaText) = sr.latest("docs-value")
