@@ -30,6 +30,29 @@ object SerdeQueries {
         .orderBy("doc_id")
     }),
 
+    // header-based schema discovery (deserializer.py:104-123): even doc_ids
+    // carry a __value_schema_id header (version byte + 16-byte GUID built
+    // from doc_id) which takes precedence; odd doc_ids fall back to the
+    // wire-format prefix id. schema_ref is the resolved reference either way.
+    "q_serde_confluent_header" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val hdrType = "array<struct<key:string,value:binary>>"
+      val guidBytes = concat(unhex(lit("01")),
+        unhex(lpad(hex(col("doc_id")), 32, "0")))
+      val framed = docs
+        .withColumn("headers",
+          when(col("doc_id") % 2 === 0,
+            array(struct(lit("__value_schema_id").as("key"), guidBytes.as("value"))))
+            .otherwise(array().cast(hdrType)))
+        .withColumn("__bin",
+          Serde.confluentWrap(Serde.utf8Encode(col("text")), col("doc_id") % 100))
+      framed.select(
+        col("doc_id"),
+        Serde.schemaRef(col("__bin"), col("headers"), isKey = false).as("schema_ref"),
+        Serde.utf8Decode(Serde.confluentBody(col("__bin"))).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // base64 roundtrip (helpers.py:188-215)
     "q_serde_base64" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -271,6 +294,16 @@ object SerdeQueries {
     "q_serde_confluent" ->
       """SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS schema_id, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_serde_confluent_header" ->
+      """WITH h AS (SELECT doc_id, text, printf('%032x', doc_id) AS hx FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' || substr(hx, 13, 4)
+        |      || '-' || substr(hx, 17, 4) || '-' || substr(hx, 21, 12)
+        |  ELSE CAST(doc_id % 100 AS VARCHAR) END AS schema_ref,
+        |  text
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_serde_base64" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",

@@ -48,6 +48,43 @@ object Serde {
   /** Body (bytes 6..) of a Confluent-framed payload. */
   def confluentBody(c: Column): Column = substring(c, 6, Int.MaxValue)
 
+  // ---- header-based schema discovery (deserializer.py:104-123): the
+  //      __key_schema_id / __value_schema_id header, when present, carries
+  //      a version byte (0x01) + 16-byte schema GUID and takes precedence
+  //      over the wire-format prefix ----
+
+  def schemaIdHeaderName(isKey: Boolean): String =
+    if (isKey) "__key_schema_id" else "__value_schema_id"
+
+  /** Schema GUID from the `__{key,value}_schema_id` envelope header as the
+    * canonical lowercase UUID string, or NULL when the header is absent —
+    * version byte skipped, 16 GUID bytes hex-grouped 8-4-4-4-12. Pure
+    * Column ops (codegen'd); `headers` is the envelope's
+    * array<struct<key:string, value:binary>>. */
+  def headerSchemaGuid(headers: Column, isKey: Boolean): Column = {
+    val name = schemaIdHeaderName(isKey)
+    // get(), not [0]: an absent header filters to an EMPTY array, and ANSI
+    // mode turns [0] on it into an error instead of the NULL we want
+    val raw = get(filter(headers, h => h("key") === lit(name)), lit(0))("value")
+    val hx = lower(hex(substring(raw, 2, 16)))
+    when(raw.isNull, lit(null).cast("string")).otherwise(concat_ws("-",
+      substring(hx, 1, 8), substring(hx, 9, 4), substring(hx, 13, 4),
+      substring(hx, 17, 4), substring(hx, 21, 12)))
+  }
+
+  /** The effective schema reference of a framed message, as a string:
+    * the header GUID when the discovery header is present, else the
+    * wire-prefix integer id (deserializer.py:104-123's precedence). */
+  def schemaRef(framed: Column, headers: Column, isKey: Boolean): Column =
+    coalesce(headerSchemaGuid(headers, isKey), confluentSchemaId(framed).cast("string"))
+
+  /** Driver-side resolution to schema text, completing the discovery path:
+    * GUID (header) → [[SchemaRegistry.schemaByGuid]]; integer id (wire
+    * prefix) → [[SchemaRegistry.schemaById]]. Accepts [[schemaRef]]'s
+    * string form of either. */
+  def resolveSchema(sr: SchemaRegistry, ref: String): String =
+    if (ref.contains("-")) sr.schemaByGuid(ref) else sr.schemaById(ref.toInt)
+
   // ---- base64 / millis: single home in graft.functions.Helpers ----
 
   def b64Encode(c: Column): Column = graft.functions.Helpers.b64Encode(c)

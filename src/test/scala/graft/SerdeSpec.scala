@@ -86,6 +86,44 @@ class SerdeSpec extends SparkSpec {
     }
   }
 
+  test("schema-id discovery: header GUID wins over the wire prefix, absent falls back") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val uuid = java.util.UUID.fromString("3e2f0680-1234-4abc-8def-00c0ffee0042")
+    val bb = java.nio.ByteBuffer.allocate(17)
+    bb.put(1.toByte) // version byte, skipped by the extractor
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val hdrT = ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", BinaryType))))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bin", BinaryType), StructField("headers", hdrT)))
+    val framedBytes = Array[Byte](0, 0, 0, 0, 42) ++ "payload".getBytes("UTF-8")
+    val rows = java.util.Arrays.asList(
+      Row(1L, framedBytes, Seq(Row("__value_schema_id", bb.array()),
+        Row("other", "x".getBytes("UTF-8")))),
+      Row(2L, framedBytes, Seq(Row("other", "x".getBytes("UTF-8")))),
+      Row(3L, framedBytes, null))
+    val df = spark.createDataFrame(rows, schema)
+    val refs = df.select(col("id"),
+        Serde.schemaRef(col("bin"), col("headers"), isKey = false).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(refs(1L) == uuid.toString, "header GUID must take precedence")
+    assert(refs(2L) == "42" && refs(3L) == "42", "no header -> wire-prefix id")
+    // key-side header name is independent of the value-side one
+    val keyRef = df.where(col("id") === 1)
+      .select(Serde.schemaRef(col("bin"), col("headers"), isKey = true))
+      .head().getString(0)
+    assert(keyRef == "42", "__value_schema_id must not satisfy the KEY lookup")
+    // resolveSchema routes GUIDs and integer ids to the right registry call
+    val sr = new graft.serde.SchemaRegistry("http://unused") {
+      override def schemaById(id: Int): String = s"by-id:$id"
+      override def schemaByGuid(guid: String): String = s"by-guid:$guid"
+    }
+    assert(Serde.resolveSchema(sr, refs(1L)) == s"by-guid:$uuid")
+    assert(Serde.resolveSchema(sr, refs(2L)) == "by-id:42")
+  }
+
   test("zstd roundtrips and compresses repetitive payloads") {
     val payload = ("the quick brown fox " * 500).getBytes("UTF-8")
     val compressed = Helpers.zstdCompress(payload)
