@@ -269,6 +269,34 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL BMP decode: each doc constructs an actual BMP whose header
+    // declares dims derived from doc_id; the parser must read the header
+    // fields back (offsets 18/22) — a stub can't fake this roundtrip
+    "q_multimodal_bmp" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => Multimodal.Media(id,
+          Multimodal.syntheticBmp(1 + (id % 640).toInt, 1 + (id % 480).toInt), "image/bmp"))
+      Multimodal.decodeMeta(media).toDF()
+        .select("doc_id", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    }),
+
+    // REAL RIFF/WAVE decode: chunk-walked fmt/data headers; n_samples and
+    // duration derive from the declared sizes the fixture wrote
+    "q_multimodal_wav" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => Multimodal.Media(id,
+          Multimodal.syntheticWav(8000 + (id % 8).toInt * 4000, 1 + (id % 2).toInt,
+            16, 1000 + id % 9000), "audio/wav"))
+      Multimodal.decodeAudioMeta(media).toDF()
+        .select("doc_id", "byte_len", "sample_rate", "channels", "n_samples", "duration_ms")
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -753,6 +781,23 @@ object LlmQueries {
         |CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
         |CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS height,
         |CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the fixture's header fields replayed arithmetically: the Spark side
+    // went bytes -> parse, the oracle predicts what an honest parser reads
+    "q_multimodal_bmp" ->
+      """SELECT doc_id, CAST(58 AS BIGINT) AS byte_len,
+        |CAST(1 + doc_id % 640 AS INTEGER) AS width,
+        |CAST(1 + doc_id % 480 AS INTEGER) AS height,
+        |CAST(1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_wav" ->
+      """SELECT doc_id, CAST(44 AS BIGINT) AS byte_len,
+        |CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples,
+        |CAST((1000 + doc_id % 9000) * 1000 // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -641,4 +641,49 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl == truth)
   }
+
+  test("multimodal: BMP/PNM/WAV header parsers read real files, stub only off-family") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // BMP roundtrip incl. negative height (top-down row order -> |h|)
+    val bmp = Multimodal.syntheticBmp(640, 480)
+    val bb = java.nio.ByteBuffer.wrap(bmp.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -480)
+    assert(Multimodal.parseBmp(bmp).contains((640, 480)))
+    assert(Multimodal.parseBmp(bb.array()).contains((640, 480)))
+    // PNM with comment lines; P3 ASCII form too
+    assert(Multimodal.parsePnm(Multimodal.syntheticPpm(12, 34)).contains((12, 34)))
+    assert(Multimodal.parsePnm("P3\n# c1\n# c2\n 7\n9\n255\n".getBytes("US-ASCII")).contains((7, 9)))
+    // WAV chunk walk: an extra chunk before fmt/data must be skipped
+    val wav = Multimodal.syntheticWav(44100, 2, 16, 44100L)
+    assert(Multimodal.parseWav(wav).contains((44100, 2, 16, 44100L)))
+    val extra = wav.slice(0, 12) ++
+      ("LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")) ++
+      wav.drop(12)
+    assert(Multimodal.parseWav(extra).contains((44100, 2, 16, 44100L)))
+    // garbage and truncation: None, never a crash
+    assert(Multimodal.parseBmp("nope".getBytes).isEmpty)
+    assert(Multimodal.parsePnm(Array[Byte]('P')).isEmpty)
+    assert(Multimodal.parseWav(bmp).isEmpty)
+    assert(Multimodal.parseWav(wav.slice(0, 10)).isEmpty)
+    // decodeMeta dispatch: bmp mime -> real dims; unknown mime -> stub dims
+    val ds = Seq(
+      Multimodal.Media(1L, Multimodal.syntheticBmp(100, 50), "image/bmp"),
+      Multimodal.Media(2L, Multimodal.syntheticPpm(8, 4), "image/x-portable-pixmap"),
+      Multimodal.Media(3L, Array.fill[Byte](10)(7), "application/octet-stream"),
+      Multimodal.Media(4L, null, "image/bmp")).toDS()
+    val got = Multimodal.decodeMeta(ds).collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L).width == 100 && got(1L).height == 50 && got(1L).n_frames == 1)
+    assert(got(2L).width == 8 && got(2L).height == 4)
+    assert(got(3L).width == 11 && got(3L).height == 11) // 1 + 10 % 640/480
+    assert(got(4L).byte_len == 0L) // null media: stub path, no NPE
+    // audio: duration is integer ms of declared samples
+    val a = Multimodal.decodeAudioMeta(Seq(
+      Multimodal.Media(1L, Multimodal.syntheticWav(8000, 1, 16, 12000L), "audio/wav"),
+      Multimodal.Media(2L, "not-audio".getBytes, "audio/wav")).toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(a(1L).sample_rate == 8000 && a(1L).channels == 1 &&
+      a(1L).n_samples == 12000L && a(1L).duration_ms == 1500L)
+    assert(a(2L).sample_rate == 0 && a(2L).n_samples == 0L)
+  }
 }
