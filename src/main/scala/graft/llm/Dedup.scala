@@ -61,42 +61,51 @@ object Dedup {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = text.toLowerCase.split(" ", -1)
-          val nSh = math.max(toks.length - k + 1, 1)
-          val sb = new java.lang.StringBuilder
-          val raw = new Array[Long](nSh)
-          var i = 0
-          while (i < nSh) {
-            sb.setLength(0)
-            var t = 0
-            while (t < k && i + t < toks.length) {
-              if (t > 0) sb.append(' ')
-              sb.append(toks(i + t))
-              t += 1
-            }
-            raw(i) = Hashing.hashString(sb)
-            i += 1
-          }
-          val shh = raw.distinct.sorted
-          val sig = new Array[Long](numHashes)
-          var j = 0
-          while (j < numHashes) {
-            var m = Long.MaxValue
-            var x = 0
-            while (x < shh.length) {
-              val h = Hashing.mix(shh(x), j)
-              if (h < m) m = h
-              x += 1
-            }
-            sig(j) = m
-            j += 1
-          }
-          (id, shh, sig)
-        }
-      }
+      .mapPartitions(_.map { case (id, text) =>
+        val (shh, sig) = shinglesAndSignature(text, k, numHashes)
+        (id, shh, sig)
+      })
       .toDF(idCol, "__shh", "__sig")
+  }
+
+  /** The per-document signature kernel behind [[minhashSignature]] and the
+    * streaming near-dup filter (graft.streaming.StreamingDedup.nearDup):
+    * distinct sorted shingle hashes + the MinHash signature. One definition
+    * so batch and stream bucket IDENTICALLY — a doc the batch pass calls a
+    * near-dup collides with the same band keys on the stream. */
+  private[graft] def shinglesAndSignature(text: String, k: Int,
+      numHashes: Int): (Array[Long], Array[Long]) = {
+    val toks = text.toLowerCase.split(" ", -1)
+    val nSh = math.max(toks.length - k + 1, 1)
+    val sb = new java.lang.StringBuilder
+    val raw = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var t = 0
+      while (t < k && i + t < toks.length) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(i + t))
+        t += 1
+      }
+      raw(i) = Hashing.hashString(sb)
+      i += 1
+    }
+    val shh = raw.distinct.sorted
+    val sig = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      var m = Long.MaxValue
+      var x = 0
+      while (x < shh.length) {
+        val h = Hashing.mix(shh(x), j)
+        if (h < m) m = h
+        x += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    (shh, sig)
   }
 
   /** Slim banded bucket rows: (id, band, bh) only. */

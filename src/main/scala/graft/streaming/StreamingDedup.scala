@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Streaming exact dedup for corpus ingestion: emit the FIRST occurrence of
   * each content hash, drop re-arrivals. The batch `Dedup.exact` resolves a
@@ -30,4 +31,59 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+
+  /** Streaming NEAR-dup suppression — the ingestion-time twin of the batch
+    * `Dedup.minhashPairs`: a document is emitted only if NONE of its LSH
+    * band buckets has been claimed within the watermark horizon. Shares the
+    * batch signature kernel ([[graft.llm.Dedup.shinglesAndSignature]]) and
+    * band hashing (xxhash64 over signature slices), so stream and batch
+    * bucket identically.
+    *
+    * Shape: each doc fans out to `bands` slim band-key rows;
+    * `dropDuplicatesWithinWatermark(band, bh)` keeps only FIRST-claimed
+    * buckets (state keyed by band key, evicted at the horizon — bounded by
+    * arrival rate × horizon, never corpus size); a windowed per-doc count
+    * then re-admits exactly the docs that kept ALL their bands. Two
+    * stateful operators chained in append mode — the window is the same
+    * `delay` duration, so rows emit once the watermark passes their
+    * window (bounded additional latency, the price of the cross-batch
+    * claim check).
+    *
+    * Contract notes, both inherent to streaming LSH: (1) a suppressed
+    * doc's NOVEL buckets stay claimed by it (partial registration — the
+    * standard first-wins chaining behavior); (2) like `firstSeen`, a
+    * near-dup arriving after eviction re-emits; the batch pass is the
+    * backstop. */
+  def nearDupFirstSeen(df: DataFrame, textCol: String, tsCol: String, delay: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val tIdx = df.schema.fieldIndex(textCol)
+    val sigSchema = df.schema.add("__sig", ArrayType(LongType), nullable = false)
+    val withSig = df.mapPartitions { rows =>
+      rows.map { row =>
+        val (_, sig) = graft.llm.Dedup.shinglesAndSignature(
+          row.getString(tIdx), k, numHashes)
+        Row.fromSeq(row.toSeq :+ sig.toSeq)
+      }
+    }(Encoders.row(sigSchema))
+    val carry = df.columns
+    val banded = withSig
+      .select(col("*"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> struct(b AS band, xxhash64(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))""".stripMargin))
+        .as("__bk"))
+      .select(carry.map(col) :+ col("__bk.band").as("band") :+ col("__bk.bh").as("bh"): _*)
+    // group on the window plus every NON-event-time column: keeping tsCol
+    // itself as a key would leave two event-time attributes downstream,
+    // which Spark rejects; all band rows of a doc share one ts, so min()
+    // reconstructs it exactly
+    val keys = carry.filterNot(_ == tsCol)
+    banded
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("band", "bh")
+      .groupBy(window(col(tsCol), delay) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("__kept"), min(col(tsCol)).as(tsCol))
+      .filter(col("__kept") === bands)
+      .select(carry.map(col): _*)
+  }
 }

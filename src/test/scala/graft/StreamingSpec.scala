@@ -234,6 +234,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup: in-horizon near-duplicates suppressed, novel docs pass") {
+    // the streaming twin of minhashPairs: batch LSH (same kernel, same band
+    // hashing) decides which docs SHOULD collide; the stream must suppress
+    // exactly those within the horizon
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills tonight"
+    val nearDup = base.replace("tonight", "today") // one-token edit: shares most bands
+    val distinctDoc = "completely different content about spark shuffles partitions and codegen stages forever"
+    // preflight the premise with the BATCH path: base/nearDup must collide,
+    // base/distinctDoc must not
+    import spark.implicits._
+    val batchPairs = graft.llm.Dedup.candidatePairIds(
+      Seq((0L, base), (1L, nearDup), (2L, distinctDoc)).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(batchPairs.contains((0L, 1L)) && !batchPairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"fixture premise broken: $batchPairs")
+    val out = StreamingDedup.nearDupFirstSeen(
+      in.toDF().toDF("ts", "text"), "text", "ts", "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("nd_out").start()
+    try {
+      in.addData(ts(10) -> base)
+      q.processAllAvailable()
+      in.addData(ts(12) -> nearDup, ts(13) -> distinctDoc) // in-horizon: near-dup must drop
+      q.processAllAvailable()
+      // windowed stage emits only once the watermark passes: push it far ahead
+      in.addData(ts(100) -> "window flusher far in the future beyond every horizon boundary now")
+      q.processAllAvailable()
+      in.addData(ts(200) -> "second flusher even further out to close the previous window too")
+      q.processAllAvailable()
+      val got = spark.table("nd_out").select("text").as[String].collect().toSet
+      assert(got.contains(base), s"first arrival must pass: $got")
+      assert(got.contains(distinctDoc), s"novel doc must pass: $got")
+      assert(!got.contains(nearDup), s"in-horizon near-dup must be suppressed: $got")
+    } finally q.stop()
+  }
+
   test("CDC end-to-end: retraction distinct -> debezium out -> demux, across a checkpoint restart") {
     // the reference's full to_debezium lifecycle (streams.py:133-166,
     // test_streams.py:223-228): a weighted delta stream becomes a CDC
