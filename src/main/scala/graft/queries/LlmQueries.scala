@@ -38,6 +38,16 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // exhaustive ADC scan ranked by the bounded top-k aggregator (window-
+    // free many-queries ranking) — score-identical, same oracle as q_ann_pq
+    "q_ann_pq_agg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Pq.train(e, m = 8, ksub = 8, iters = 2)
+      Pq.searchAdcAgg(Pq.encode(e, cb, 8, 8), cb, e.filter(col("vec_id") < 10), 8, 8, 10)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF-PQ: IVF lists prune the scan (nprobe=4 of 16), PQ codes shrink
     // the candidates — the faiss-style composition, both trainings replayed
     // by the oracle
@@ -404,6 +414,19 @@ object LlmQueries {
        |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Exhaustive-ADC replay, shared by q_ann_pq (window form) and
+    * q_ann_pq_agg (bounded-agg form). */
+  private val pqOracleSql: String =
+    s"""${HashOracle.macros}
+       |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$qvCte,
+       |$pqCtes,
+       |sc0 AS (SELECT l.q_id, c.vec_id AS nn_id, c.m, l.ip, l.cn2
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code WHERE l.q_id != c.vec_id),
+       |$adcRankCtes
+       |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
   /** IVF-PQ replay, shared by q_ann_ivfpq (window form) and
     * q_ann_ivfpq_agg (per-task-LUT form) — the two Spark paths are
     * score-identical so one oracle serves both. */
@@ -458,16 +481,10 @@ object LlmQueries {
     // subspace Lloyd (2 steps), L2-argmin encoding, per-query ADC tables,
     // cosine-of-reconstruction ranking — every double op in the same order
     // as graft.llm.Pq, so ranks match exactly.
-    "q_ann_pq" ->
-      s"""${HashOracle.macros}
-         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |$qvCte,
-         |$pqCtes,
-         |sc0 AS (SELECT l.q_id, c.vec_id AS nn_id, c.m, l.ip, l.cn2
-         |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code WHERE l.q_id != c.vec_id),
-         |$adcRankCtes
-         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin,
+    "q_ann_pq" -> pqOracleSql,
+
+    // score-identical bounded-agg ranking — same replay
+    "q_ann_pq_agg" -> pqOracleSql,
 
     // IVF-PQ: the IVF oracle's training/index/probe chain (c0→c2, idx,
     // probes) composed with the PQ chain — candidates come from the probed
