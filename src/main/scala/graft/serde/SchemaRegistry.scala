@@ -163,4 +163,75 @@ class SchemaRegistry(baseUrl: String,
     * (kafi/schemaregistry.py get_schema_by_guid). */
   def schemaByGuid(guid: String): String =
     jsonStr(get(s"/schemas/guids/${enc(guid)}"), "schema")
+
+  private def delete(path: String): String = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
+        .timeout(requestTimeout)
+        .header("Accept", "application/vnd.schemaregistry.v1+json").DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"registry DELETE $path -> ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
+  }
+
+  /** Is this exact schema already registered under the subject? Returns its
+    * (id, version). POST /subjects/{subject} — the lookup endpoint, NOT the
+    * /versions registration one (kafi/schemaregistry.py lookup_schema). */
+  def lookupSchema(subject: String, schemaJson: String,
+      schemaType: String = "AVRO"): (Int, Int) = {
+    val typeField =
+      if (schemaType == "AVRO") "" else s""", "schemaType": "$schemaType""""
+    val body = post(s"/subjects/${enc(subject)}",
+      s"""{"schema": "${jsonEscape(schemaJson)}"$typeField}""")
+    (jsonInt(body, "id"), jsonInt(body, "version"))
+  }
+
+  /** Subject names, glob-filtered client-side like the reference's `sls`
+    * (kafi/schemaregistry.py get_subjects + pattern_match); deleted=true
+    * includes soft-deleted subjects. GET /subjects[?deleted=true]. */
+  def subjects(pattern: String = "*", deleted: Boolean = false): Seq[String] = {
+    val q = if (deleted) "?deleted=true" else ""
+    val re = graft.functions.Helpers.globToRegex(pattern).r
+    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(get(s"/subjects$q"))
+      .map(_.group(1)).filter(s => re.matches(s)).toSeq
+  }
+
+  /** (subject, version) pairs where a schema id is registered.
+    * GET /schemas/ids/{id}/versions (kafi/schemaregistry.py
+    * get_schema_versions). */
+  def schemaVersions(id: Int): Seq[(String, Int)] =
+    """\{\s*"subject"\s*:\s*"((?:[^"\\]|\\.)*)"\s*,\s*"version"\s*:\s*(\d+)""".r
+      .findAllMatchIn(get(s"/schemas/ids/$id/versions"))
+      .map(m => (m.group(1), m.group(2).toInt)).toSeq
+
+  /** One registered version of a subject: (id, schema text); seeds the id
+    * cache. GET /subjects/{subject}/versions/{version}
+    * (kafi/schemaregistry.py get_version). */
+  def version(subject: String, version: Int): (Int, String) = {
+    val body = get(s"/subjects/${enc(subject)}/versions/$version")
+    val id = jsonInt(body, "id")
+    val schema = jsonStr(body, "schema")
+    byId.putIfAbsent(id, schema)
+    (id, schema)
+  }
+
+  /** Delete one subject version, returning the deleted version number;
+    * permanent=true hard-deletes (must follow a soft delete, per the
+    * registry contract). DELETE /subjects/{s}/versions/{v}[?permanent=true]
+    * (kafi/schemaregistry.py delete_version). */
+  def deleteVersion(subject: String, version: Int, permanent: Boolean = false): Int = {
+    val q = if (permanent) "?permanent=true" else ""
+    delete(s"/subjects/${enc(subject)}/versions/$version$q").trim.toInt
+  }
+
+  /** Delete every subject matching a glob, returning subject → deleted
+    * version numbers — the reference's `srm` semantics (glob resolved
+    * client-side, one DELETE per match). DELETE /subjects/{s}
+    * [?permanent=true] (kafi/schemaregistry.py delete_subject). */
+  def deleteSubject(pattern: String, permanent: Boolean = false): Map[String, Seq[Int]] = {
+    val q = if (permanent) "?permanent=true" else ""
+    subjects(pattern, deleted = permanent).map { s =>
+      s -> "\\d+".r.findAllIn(delete(s"/subjects/${enc(s)}$q")).map(_.toInt).toSeq
+    }.toMap
+  }
 }

@@ -142,6 +142,42 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(testBody.contains(""""schemaType": "JSON""""))
   }
 
+  test("subject surface: lookup-under-subject, glob listing, versions, deletes") {
+    val escaped = schema.replace("\"", "\\\"")
+    // POST /subjects/{s} is lookup; POST /subjects/{s}/versions is register —
+    // the handler asserts the client hits the lookup endpoint exactly
+    server.createContext("/subjects/orders-value", ex => {
+      if (ex.getRequestMethod == "POST") {
+        assert(!ex.getRequestURI.getRawPath.endsWith("/versions"))
+        reply(ex, s"""{"subject": "orders-value", "id": 13, "version": 4, "schema": "$escaped"}""")
+      } else { // DELETE subject
+        assert(ex.getRequestMethod == "DELETE")
+        reply(ex, "[1,2,3,4]")
+      }
+    })
+    server.createContext("/subjects/orders-value/versions/4", ex =>
+      if (ex.getRequestMethod == "DELETE") {
+        if (ex.getRequestURI.getRawQuery == "permanent=true") reply(ex, "4") else reply(ex, "4")
+      } else reply(ex, s"""{"subject": "orders-value", "version": 4, "id": 13, "schema": "$escaped"}"""))
+    server.createContext("/subjects", ex => {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      if (q.contains("deleted=true")) reply(ex, """["orders-value", "docs-value", "gone-value"]""")
+      else reply(ex, """["orders-value", "docs-value"]""")
+    })
+    server.createContext("/schemas/ids/13/versions", ex =>
+      reply(ex, """[{"subject": "orders-value", "version": 4}, {"subject": "other", "version": 1}]"""))
+    val sr = new SchemaRegistry(url)
+    assert(sr.lookupSchema("orders-value", schema) == ((13, 4)))
+    assert(sr.subjects() == Seq("orders-value", "docs-value"))
+    assert(sr.subjects("orders*") == Seq("orders-value"))
+    assert(sr.subjects(deleted = true).contains("gone-value"))
+    assert(sr.schemaVersions(13) == Seq(("orders-value", 4), ("other", 1)))
+    assert(sr.version("orders-value", 4) == ((13, schema)))
+    assert(sr.deleteVersion("orders-value", 4) == 4)
+    assert(sr.deleteVersion("orders-value", 4, permanent = true) == 4)
+    assert(sr.deleteSubject("orders*") == Map("orders-value" -> Seq(1, 2, 3, 4)))
+  }
+
   test("schema lookup by GUID") {
     val escaped = schema.replace("\"", "\\\"")
     server.createContext("/schemas/guids/3e2f0680-0000-4000-8000-0000deadbeef",
