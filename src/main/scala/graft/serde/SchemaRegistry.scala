@@ -106,16 +106,24 @@ class SchemaRegistry(baseUrl: String,
     * POST /subjects/{subject}/versions. `schemaType` is AVRO (the Confluent
     * default, omitted from the body), JSON, or PROTOBUF — the reference
     * registers all three (kafi/schemaregistry.py register path). */
-  def register(subject: String, schemaJson: String, schemaType: String = "AVRO"): Int = {
+  def register(subject: String, schemaJson: String, schemaType: String = "AVRO",
+      normalize: Boolean = false): Int = {
     val typeField =
       if (schemaType == "AVRO") "" else s""", "schemaType": "$schemaType""""
+    val q = if (normalize) "?normalize=true" else ""
     val id = jsonInt(
-      post(s"/subjects/${enc(subject)}/versions",
+      post(s"/subjects/${enc(subject)}/versions$q",
         s"""{"schema": "${jsonEscape(schemaJson)}"$typeField}"""),
       "id")
     byId.putIfAbsent(id, schemaJson)
     id
   }
+
+  /** The Confluent TopicNameStrategy subject for a topic's key or value —
+    * `{topic}-key` / `{topic}-value` (kafi/schemaregistry.py
+    * create_subject_name_str). */
+  def subjectName(topic: String, isKey: Boolean): String =
+    if (isKey) s"$topic-key" else s"$topic-value"
 
   /** Version numbers of a subject. GET /subjects/{subject}/versions. */
   def versions(subject: String): Seq[Int] =
@@ -178,10 +186,11 @@ class SchemaRegistry(baseUrl: String,
     * (id, version). POST /subjects/{subject} — the lookup endpoint, NOT the
     * /versions registration one (kafi/schemaregistry.py lookup_schema). */
   def lookupSchema(subject: String, schemaJson: String,
-      schemaType: String = "AVRO"): (Int, Int) = {
+      schemaType: String = "AVRO", normalize: Boolean = false): (Int, Int) = {
     val typeField =
       if (schemaType == "AVRO") "" else s""", "schemaType": "$schemaType""""
-    val body = post(s"/subjects/${enc(subject)}",
+    val q = if (normalize) "?normalize=true" else ""
+    val body = post(s"/subjects/${enc(subject)}$q",
       s"""{"schema": "${jsonEscape(schemaJson)}"$typeField}""")
     (jsonInt(body, "id"), jsonInt(body, "version"))
   }

@@ -167,7 +167,10 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/schemas/ids/13/versions", ex =>
       reply(ex, """[{"subject": "orders-value", "version": 4}, {"subject": "other", "version": 1}]"""))
     val sr = new SchemaRegistry(url)
+    assert(sr.subjectName("orders", isKey = false) == "orders-value")
+    assert(sr.subjectName("orders", isKey = true) == "orders-key")
     assert(sr.lookupSchema("orders-value", schema) == ((13, 4)))
+    assert(sr.lookupSchema("orders-value", schema, normalize = true) == ((13, 4)))
     assert(sr.subjects() == Seq("orders-value", "docs-value"))
     assert(sr.subjects("orders*") == Seq("orders-value"))
     assert(sr.subjects(deleted = true).contains("gone-value"))
