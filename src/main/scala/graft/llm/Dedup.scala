@@ -216,31 +216,33 @@ object Dedup {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        val votes = new Array[Int](64)
-        it.map { case (id, text) =>
-          java.util.Arrays.fill(votes, 0)
-          val toks = text.toLowerCase.split(" ", -1)
-          var i = 0
-          while (i < toks.length) {
-            val h = Hashing.hashString(toks(i))
-            var b = 0
-            while (b < 64) {
-              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-              b += 1
-            }
-            i += 1
-          }
-          var sh = 0L
-          var b = 0
-          while (b < 64) {
-            if (votes(b) > 0) sh |= (1L << b)
-            b += 1
-          }
-          (id, sh)
-        }
-      }
+      .mapPartitions(_.map { case (id, text) => (id, simhashOf(text)) })
       .toDF(idCol, "simhash")
+  }
+
+  /** The per-document SimHash kernel behind [[simhash]] and the streaming
+    * near-dup filter — one definition so batch and stream fingerprint
+    * identically. */
+  private[graft] def simhashOf(text: String): Long = {
+    val votes = new Array[Int](64)
+    val toks = text.toLowerCase.split(" ", -1)
+    var i = 0
+    while (i < toks.length) {
+      val h = Hashing.hashString(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sh |= (1L << b)
+      b += 1
+    }
+    sh
   }
 
   /** SimHash near-dup pairs: band each 64-bit signature into four 16-bit

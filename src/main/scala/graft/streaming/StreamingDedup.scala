@@ -66,17 +66,47 @@ object StreamingDedup {
         Row.fromSeq(row.toSeq :+ sig.toSeq)
       }
     }(Encoders.row(sigSchema))
-    val carry = df.columns
     val banded = withSig
       .select(col("*"), explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
            |  b -> struct(b AS band, xxhash64(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))""".stripMargin))
         .as("__bk"))
-      .select(carry.map(col) :+ col("__bk.band").as("band") :+ col("__bk.bh").as("bh"): _*)
-    // group on the window plus every NON-event-time column: keeping tsCol
-    // itself as a key would leave two event-time attributes downstream,
-    // which Spark rejects; all band rows of a doc share one ts, so min()
-    // reconstructs it exactly
+      .select(df.columns.map(col) :+ col("__bk.band").as("band") :+ col("__bk.bh").as("bh"): _*)
+    claimAllBands(banded, df.columns, tsCol, delay, bands)
+  }
+
+  /** SimHash variant of [[nearDupFirstSeen]]: band keys are the four
+    * 16-bit slices of the 64-bit fingerprint (same kernel and banding as
+    * the batch `Dedup.simhashPairs`, so the stream suppresses exactly the
+    * docs the batch pass pairs at band granularity). The pigeonhole
+    * guarantee carries over: a doc within Hamming ≤ 3 of an in-horizon
+    * predecessor shares at least one band and is suppressed. 65k bucket
+    * values per band — a real key space, unlike the 16-bit hyperplane
+    * embedding signature, which is why THIS is the second streaming
+    * variant. */
+  def nearDupFirstSeenSimhash(df: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame = {
+    val tIdx = df.schema.fieldIndex(textCol)
+    val shSchema = df.schema.add("__simhash", LongType, nullable = false)
+    val withSh = df.mapPartitions { rows =>
+      rows.map(row => Row.fromSeq(row.toSeq :+ graft.llm.Dedup.simhashOf(row.getString(tIdx))))
+    }(Encoders.row(shSchema))
+    val banded = withSh
+      .select(col("*"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, (shiftright(__simhash, b * 16) & 65535) AS bh))"))
+        .as("__bk"))
+      .select(df.columns.map(col) :+ col("__bk.band").as("band") :+ col("__bk.bh").as("bh"): _*)
+    claimAllBands(banded, df.columns, tsCol, delay, bands = 4)
+  }
+
+  /** Shared tail of the streaming near-dup variants: first-claim the
+    * (band, bh) keys within the watermark horizon, then re-admit the docs
+    * that kept ALL their bands. Grouping is on the window plus every
+    * NON-event-time column: keeping tsCol itself as a key would leave two
+    * event-time attributes downstream, which Spark rejects; all band rows
+    * of a doc share one ts, so min() reconstructs it exactly. */
+  private def claimAllBands(banded: DataFrame, carry: Seq[String], tsCol: String,
+      delay: String, bands: Int): DataFrame = {
     val keys = carry.filterNot(_ == tsCol)
     banded
       .withWatermark(tsCol, delay)

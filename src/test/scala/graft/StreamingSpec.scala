@@ -272,6 +272,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SimHash near-dup: band-colliding docs suppressed in-horizon") {
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills tonight"
+    val nearDup = base.replace("tonight", "today")
+    val distinctDoc = "completely different content about spark shuffles partitions and codegen stages forever"
+    // batch premise: near-dup within Hamming<=3 band-collides, distinct doesn't
+    import spark.implicits._
+    val pairs = graft.llm.Dedup.simhashPairs(
+      Seq((0L, base), (1L, nearDup), (2L, distinctDoc)).toDF("doc_id", "text"),
+      "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && !pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs.toString)
+    val out = StreamingDedup.nearDupFirstSeenSimhash(
+      in.toDF().toDF("ts", "text"), "text", "ts", "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("nds_out").start()
+    try {
+      in.addData(ts(10) -> base)
+      q.processAllAvailable()
+      in.addData(ts(12) -> nearDup, ts(13) -> distinctDoc)
+      q.processAllAvailable()
+      in.addData(ts(100) -> "window flusher far in the future beyond every horizon boundary now")
+      q.processAllAvailable()
+      in.addData(ts(200) -> "second flusher even further out to close the previous window too")
+      q.processAllAvailable()
+      val got = spark.table("nds_out").select("text").as[String].collect().toSet
+      assert(got.contains(base) && got.contains(distinctDoc) && !got.contains(nearDup), got.toString)
+    } finally q.stop()
+  }
+
   test("CDC end-to-end: retraction distinct -> debezium out -> demux, across a checkpoint restart") {
     // the reference's full to_debezium lifecycle (streams.py:133-166,
     // test_streams.py:223-228): a weighted delta stream becomes a CDC
