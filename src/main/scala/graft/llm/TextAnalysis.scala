@@ -127,6 +127,60 @@ object TextAnalysis {
     }.drop("__fr")
   }
 
+  /** C4-style cleaning (Raffel et al., "Exploring the Limits of Transfer
+    * Learning with a Unified Text-to-Text Transformer", 2020 §2.2 — the
+    * public C4 heuristics). Line rules — a line survives only if it
+    * (a) ends in terminal punctuation ('.', '!', '?', or '"'),
+    * (b) has ≥ `minWordsPerLine` space-separated words, and
+    * (c) does not contain "javascript" (case-insensitive).
+    * Document rules — `keep` is true only if the CLEANED text counts
+    * ≥ `minSentences` terminal-punctuation marks and the RAW text contains
+    * neither "lorem ipsum" (case-insensitive) nor '{'.
+    *
+    * Typed mapPartitions kernel (per-line scalar loops, same rationale as
+    * [[repetition]]); string semantics chosen to be exactly replayable in
+    * SQL: lines split on '\n', trimmed of SPACES only (matching SQL
+    * `trim`), words split on single spaces with empties dropped. Pure map
+    * stage — pipelines over the scan with zero shuffle at any size.
+    * Output: (id, text_clean, n_lines_kept, n_lines_total, n_sentences,
+    * keep). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minSentences: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val lines = text.split("\n", -1)
+        val kept = new scala.collection.mutable.ArrayBuffer[String](lines.length)
+        var i = 0
+        while (i < lines.length) {
+          var s = 0
+          var e = lines(i).length
+          while (s < e && lines(i).charAt(s) == ' ') s += 1
+          while (e > s && lines(i).charAt(e - 1) == ' ') e -= 1
+          val t = lines(i).substring(s, e)
+          val endsOk = t.nonEmpty && ".!?\"".indexOf(t.charAt(t.length - 1)) >= 0
+          if (endsOk && t.split(" ", -1).count(_.nonEmpty) >= minWordsPerLine &&
+              !t.toLowerCase.contains("javascript"))
+            kept += t
+          i += 1
+        }
+        val clean = kept.mkString("\n")
+        var nSent = 0L
+        var c = 0
+        while (c < clean.length) {
+          val ch = clean.charAt(c)
+          if (ch == '.' || ch == '!' || ch == '?') nSent += 1
+          c += 1
+        }
+        val keep = nSent >= minSentences &&
+          !text.toLowerCase.contains("lorem ipsum") && !text.contains("{")
+        (id, clean, kept.length.toLong, lines.length.toLong, nSent, keep)
+      })
+      .toDF(idCol, "text_clean", "n_lines_kept", "n_lines_total", "n_sentences", "keep")
+  }
+
   /** PII detection + redaction: emails, IPv4 addresses, and international-
     * format phone numbers, counted on the raw text and replaced with typed
     * placeholders. The patterns are the portable ASCII core (valid in both

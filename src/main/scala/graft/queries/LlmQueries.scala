@@ -126,6 +126,29 @@ object LlmQueries {
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // C4 line/document cleaning over a deterministically-structured fixture
+    // (the corpus is single-line word salad, so both engines first build
+    // the same multi-line text: 8-word lines, every 7th-cycle line
+    // one-word-short, every 5th-cycle line unpunctuated, every 11th-cycle
+    // line javascript-tainted, plus doc-level lorem/brace markers)
+    "q_text_c4" -> ((s, dir) => {
+      val injected = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          expr(
+            """array_join(transform(
+              |  sequence(0, greatest((size(split(text, ' ')) + 7) div 8, 1) - 1),
+              |  i -> CASE
+              |    WHEN i % 7 = 3 THEN concat(element_at(split(text, ' '), CAST(i * 8 + 1 AS INT)), '.')
+              |    WHEN i % 5 = 2 THEN array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' ')
+              |    WHEN i % 11 = 5 THEN concat(array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' '), ' javascript.')
+              |    ELSE concat(array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' '), '.')
+              |  END), '\n')""".stripMargin),
+          when(col("doc_id") % 17 === 0, lit("\nlorem ipsum.")).otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit("\nbrace { here.")).otherwise(lit(""))).as("text"))
+      TextAnalysis.c4Clean(injected, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // PII scrub over a deterministically-injected fixture column (the
     // corpus itself is synthetic word salad with no PII): count + redact
     // emails / IPv4 / phones. Both engines build the identical fixture.
@@ -580,6 +603,37 @@ object LlmQueries {
          |FROM tok JOIN c2 USING (doc_id) JOIN c3 USING (doc_id) JOIN c4 USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the C4 rules replayed rule-for-rule over the same constructed fixture
+    "q_text_c4" ->
+      """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS w, len(str_split(text, ' ')) AS n FROM documents),
+        |t1 AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(0, greatest((n + 7) // 8, 1)),
+        |    i -> CASE
+        |      WHEN i % 7 = 3 THEN w[CAST(i * 8 + 1 AS BIGINT)] || '.'
+        |      WHEN i % 5 = 2 THEN array_to_string(w[CAST(i * 8 + 1 AS BIGINT):least(CAST((i + 1) * 8 AS BIGINT), n)], ' ')
+        |      WHEN i % 11 = 5 THEN array_to_string(w[CAST(i * 8 + 1 AS BIGINT):least(CAST((i + 1) * 8 AS BIGINT), n)], ' ') || ' javascript.'
+        |      ELSE array_to_string(w[CAST(i * 8 + 1 AS BIGINT):least(CAST((i + 1) * 8 AS BIGINT), n)], ' ') || '.'
+        |    END), chr(10))
+        |  || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END
+        |  || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'brace { here.' ELSE '' END AS text
+        |  FROM t0),
+        |l AS (SELECT doc_id, text, list_transform(str_split(text, chr(10)), x -> trim(x)) AS lines FROM t1),
+        |k AS (SELECT doc_id, text, len(lines) AS n_lines_total,
+        |  list_filter(lines, t ->
+        |    length(t) > 0
+        |    AND substr(t, length(t), 1) IN ('.', '!', '?', '"')
+        |    AND len(list_filter(str_split(t, ' '), x -> x != '')) >= 3
+        |    AND NOT contains(lower(t), 'javascript')) AS kept
+        |  FROM l),
+        |c AS (SELECT doc_id, text, n_lines_total, len(kept) AS n_lines_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean FROM k),
+        |s AS (SELECT *, length(text_clean)
+        |  - length(replace(replace(replace(text_clean, '.', ''), '!', ''), '?', '')) AS n_sentences FROM c)
+        |SELECT doc_id, text_clean, CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+        |  CAST(n_lines_total AS BIGINT) AS n_lines_total, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  (n_sentences >= 5 AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_pii" -> {
       import graft.llm.TextAnalysis.{emailRe, ipv4Re, phoneRe}

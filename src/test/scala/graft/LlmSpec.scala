@@ -642,6 +642,47 @@ class LlmSpec extends SparkSpec {
     assert(cl == truth)
   }
 
+  test("C4 cleaning: line rules, sentence floor, lorem/brace rejection") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      // 6 good lines -> kept, >= 5 sentences, keep = true
+      (1L, (1 to 6).map(i => s"alpha beta gamma $i.").mkString("\n")),
+      // mixed: unpunctuated, too-short, javascript, blank, good with quote
+      (2L, Seq(
+        "no terminal punctuation here",    // dropped (a)
+        "two words.",                      // dropped (b): "two" "words." = 2
+        "uses javascript on this line.",   // dropped (c)
+        "",                                // dropped (a)
+        "  padded but quite fine.  ",      // kept, trimmed
+        "she said \"stop right there\"",   // dropped: ends with " but... wait
+        "ends with a question?",           // kept
+        "really good line here!").mkString("\n")), // kept
+      // lorem marker kills the doc even with clean lines
+      (3L, (1 to 6).map(i => s"delta epsilon zeta $i.").mkString("\n") + "\nLorem Ipsum."),
+      // brace marker
+      (4L, (1 to 6).map(i => s"eta theta iota $i.").mkString("\n") + "\nval x = { 1 }.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) == (((1 to 6).map(i => s"alpha beta gamma $i.").mkString("\n"), 6L, 6L, 6L, true)))
+    // doc 2: kept = quote-ended line? "she said \"stop right there\"" ends
+    // with '"' -> rule (a) passes, 4+ words -> kept. So kept lines are:
+    // padded, she-said, question, good  -> 4 lines; sentences = '.'+'?'+'!'
+    // = 3 (quote line adds none) -> keep = false (< 5)
+    val (clean2, kept2, total2, sent2, keepFlag2) = got(2L)
+    assert(total2 == 8L && kept2 == 4L, s"$clean2")
+    assert(clean2.linesIterator.toSeq == Seq(
+      "padded but quite fine.", "she said \"stop right there\"",
+      "ends with a question?", "really good line here!"))
+    assert(sent2 == 3L && !keepFlag2)
+    // the lorem line itself ("Lorem Ipsum." = 2 words) is line-dropped too
+    assert(got(3L)._2 == 6L && got(3L)._3 == 7L && !got(3L)._5,
+      "lorem ipsum must reject the doc")
+    assert(!got(4L)._5, "brace must reject the doc")
+    assert(got(4L)._4 >= 5L) // sentence floor passed; rejection came from '{'
+  }
+
   test("multimodal: BMP/PNM/WAV header parsers read real files, stub only off-family") {
     import spark.implicits._
     import graft.llm.Multimodal
