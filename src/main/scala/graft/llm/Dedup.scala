@@ -73,8 +73,11 @@ object Dedup {
     * distinct sorted shingle hashes + the MinHash signature. One definition
     * so batch and stream bucket IDENTICALLY — a doc the batch pass calls a
     * near-dup collides with the same band keys on the stream. */
-  private[graft] def shinglesAndSignature(text: String, k: Int,
-      numHashes: Int): (Array[Long], Array[Long]) = {
+  /** Distinct sorted FNV-1a hashes of the k-word shingles of one document
+    * (lowercased, space-tokenized; docs shorter than k hash the whole
+    * text as one shingle). Shared by the MinHash kernel and
+    * [[decontaminate]]. */
+  private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
     val toks = text.toLowerCase.split(" ", -1)
     val nSh = math.max(toks.length - k + 1, 1)
     val sb = new java.lang.StringBuilder
@@ -91,7 +94,12 @@ object Dedup {
       raw(i) = Hashing.hashString(sb)
       i += 1
     }
-    val shh = raw.distinct.sorted
+    raw.distinct.sorted
+  }
+
+  private[graft] def shinglesAndSignature(text: String, k: Int,
+      numHashes: Int): (Array[Long], Array[Long]) = {
+    val shh = shingleHashes(text, k)
     val sig = new Array[Long](numHashes)
     var j = 0
     while (j < numHashes) {
@@ -269,6 +277,53 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(__h_a ^ __h_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- benchmark decontamination (n-gram overlap vs an eval set) ----
+
+  /** (id, sh) rows: one row per distinct k-shingle hash of each document —
+    * the slim exploded form of [[shingleHashes]]. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => shingleHashes(text, k).iterator.map(sh => (id, sh)) }
+      .toDF(idCol, "__sh")
+  }
+
+  /** Test-set decontamination (the GPT-3 appendix-C / PaLM recipe): flag
+    * every training document sharing at least one k-word shingle with ANY
+    * benchmark document, so evaluation data can be scrubbed from the
+    * training corpus before training. k = 13 is the published n-gram
+    * order.
+    *
+    * Shape for 100 TB: the benchmark side is SMALL by nature (eval sets
+    * are thousands of docs), so its distinct shingle hashes are pinned
+    * broadcast; the training side streams through one map stage (shingle
+    * kernel), a broadcast semi-join marks hits, and a broadcast left join
+    * attaches the flag — the corpus is never shuffled. Shingle identity is
+    * the FNV-1a hash ([[Hashing.hashString]]), shared with the MinHash
+    * kernel, so the DuckDB oracle replays the decision bit-for-bit.
+    * Output: every `train` column plus `contaminated: boolean`. */
+  def decontaminate(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 13): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val benchSh = bench.select(col(benchTextCol).as("__t"))
+      .as[String]
+      .flatMap(t => shingleHashes(t, k).iterator)
+      .toDF("__sh")
+      .distinct()
+    val hits = shingleRows(train, idCol, textCol, k)
+      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    // the hit set is NOT pinned broadcast: it is usually tiny, but a
+    // pathological benchmark (generic shingles) could flag much of the
+    // corpus — let stats/AQE choose the join strategy
+    train.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
   // ---- 5. embedding-cosine near-dup (hyperplane LSH; shared with Ann) ----

@@ -127,6 +127,106 @@ object TextAnalysis {
     }.drop("__fr")
   }
 
+  /** The required-stopword list of the Gopher document filter (Rae et al.
+    * 2021 §A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality gates (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021
+    * §A1.1), with the published thresholds as defaults. A document KEEPS
+    * only if ALL hold:
+    *
+    *  - word count in [minWords, maxWords] ([50, 100k]);
+    *  - mean word length in [minMeanLen, maxMeanLen] ([3, 10]);
+    *  - '#' chars / words ≤ maxSymbolRatio and non-overlapping "..."
+    *    occurrences / words ≤ maxSymbolRatio (0.1);
+    *  - ≤ maxBulletFrac of lines start with a bullet (0.9) and
+    *    ≤ maxEllipsisFrac of lines end with "..." (0.3);
+    *  - ≥ minAlphaFrac of words contain an alphabetic character (0.8);
+    *  - ≥ minStopHits distinct words from [[gopherStopwords]] (2).
+    *
+    * Complements [[repetition]] (the word-level half of the same filter
+    * set). Typed kernel, pure map stage; words split on spaces/newlines
+    * with empties dropped, lines trimmed of spaces — exact string
+    * semantics the DuckDB oracle replays. Output: (id, n_words,
+    * mean_word_len, hash_ratio, ellipsis_ratio, bullet_line_frac,
+    * ellipsis_line_frac, alpha_word_frac, stop_hits, keep). */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val req = gopherStopwords.toArray
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val lines = text.split("\n", -1)
+        var nBullet = 0
+        var nEllLine = 0
+        var li = 0
+        while (li < lines.length) {
+          var s = 0
+          var e = lines(li).length
+          while (s < e && lines(li).charAt(s) == ' ') s += 1
+          while (e > s && lines(li).charAt(e - 1) == ' ') e -= 1
+          if (s < e && "•-*".indexOf(lines(li).charAt(s)) >= 0) nBullet += 1
+          if (e - s >= 3 && lines(li).substring(e - 3, e) == "...") nEllLine += 1
+          li += 1
+        }
+        val toks = text.split("[ \n]", -1).filter(_.nonEmpty)
+        val nWords = toks.length
+        var charSum = 0L
+        var nAlpha = 0
+        val seen = new java.util.HashSet[String]()
+        var ti = 0
+        while (ti < nWords) {
+          val t = toks(ti)
+          charSum += t.length
+          var hasAlpha = false
+          var ci = 0
+          while (ci < t.length && !hasAlpha) {
+            val c = t.charAt(ci)
+            if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+            ci += 1
+          }
+          if (hasAlpha) nAlpha += 1
+          seen.add(t.toLowerCase)
+          ti += 1
+        }
+        var stopHits = 0
+        var ri = 0
+        while (ri < req.length) { if (seen.contains(req(ri))) stopHits += 1; ri += 1 }
+        var nHash = 0
+        var ci = 0
+        while (ci < text.length) { if (text.charAt(ci) == '#') nHash += 1; ci += 1 }
+        // non-overlapping "..." count — replace()-semantics (leftmost first)
+        var nEll = 0
+        var p = text.indexOf("...")
+        while (p >= 0) { nEll += 1; p = text.indexOf("...", p + 3) }
+        val nw = math.max(nWords, 1)
+        val nl = math.max(lines.length, 1)
+        val meanLen = charSum.toDouble / nw
+        val hashRatio = nHash.toDouble / nw
+        val ellRatio = nEll.toDouble / nw
+        val bulletFrac = nBullet.toDouble / nl
+        val ellLineFrac = nEllLine.toDouble / nl
+        val alphaFrac = nAlpha.toDouble / nw
+        val keep = nWords >= minWords && nWords <= maxWords &&
+          meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+          hashRatio <= maxSymbolRatio && ellRatio <= maxSymbolRatio &&
+          bulletFrac <= maxBulletFrac && ellLineFrac <= maxEllipsisFrac &&
+          alphaFrac >= minAlphaFrac && stopHits >= minStopHits
+        (id, nWords.toLong, meanLen, hashRatio, ellRatio, bulletFrac,
+          ellLineFrac, alphaFrac, stopHits.toLong, keep)
+      })
+      .toDF(idCol, "n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac", "stop_hits", "keep")
+  }
+
   /** C4-style cleaning (Raffel et al., "Exploring the Limits of Transfer
     * Learning with a Unified Text-to-Text Transformer", 2020 §2.2 — the
     * public C4 heuristics). Line rules — a line survives only if it

@@ -126,6 +126,35 @@ object LlmQueries {
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // benchmark decontamination: the "eval set" is a 30-word span (words
+    // 11-40) of every 37th doc — those docs (and only docs sharing one of
+    // their 13-grams) must flag contaminated
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(expr("array_join(slice(split(text, ' '), 11, 30), ' ')").as("text"))
+      Dedup.decontaminate(d, "doc_id", "text", bench, "text", k = 13)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+    }),
+
+    // Gopher document gates over an injected fixture: even docs get the
+    // required stopwords, %23 docs a >90% bullet prefix, %29 docs an
+    // ellipsis line, %31 docs a proportional '#' run (ratio > 0.1 at any
+    // doc length) — every gate exercised both ways
+    "q_text_gopher" -> ((s, dir) => {
+      val injected = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 23 === 0, repeat(lit("• bullet item\n"), 30)).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit(" the cat and a dog have to be near of that with them")).otherwise(lit("")),
+          when(col("doc_id") % 31 === 0,
+            concat(lit(" "), expr("repeat('# ', CAST(size(split(text, ' ')) div 4 + 1 AS INT))"))).otherwise(lit("")),
+          when(col("doc_id") % 29 === 0, lit("\nto be continued...")).otherwise(lit(""))).as("text"))
+      TextAnalysis.gopherFilter(injected, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // C4 line/document cleaning over a deterministically-structured fixture
     // (the corpus is single-line word salad, so both engines first build
     // the same multi-line text: 8-word lines, every 7th-cycle line
@@ -603,6 +632,64 @@ object LlmQueries {
          |FROM tok JOIN c2 USING (doc_id) JOIN c3 USING (doc_id) JOIN c4 USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // 13-gram shingles of both sides recomputed with the same FNV-1a hash
+    // the engine joins on; contaminated = any shared shingle hash
+    "q_decontaminate" -> {
+      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM d),
+         |b0 AS (SELECT array_to_string(list_slice(str_split(text, ' '), 11, 40), ' ') AS btext
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |bt AS (SELECT str_split(lower(btext), ' ') AS toks FROM b0),
+         |bsh0 AS (SELECT unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM bt),
+         |bsh AS (SELECT DISTINCT fnv1a(shingle) AS h FROM bsh0),
+         |hits AS (SELECT DISTINCT doc_id FROM sh WHERE fnv1a(shingle) IN (SELECT h FROM bsh))
+         |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // every Gopher gate recomputed over the identically-constructed fixture
+    "q_text_gopher" ->
+      """WITH base AS (SELECT doc_id, text, len(str_split(text, ' ')) AS n0 FROM documents),
+        |t1 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN repeat('• bullet item' || chr(10), 30) ELSE '' END
+        |  || text
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' the cat and a dog have to be near of that with them' ELSE '' END
+        |  || CASE WHEN doc_id % 31 = 0 THEN ' ' || repeat('# ', CAST(n0 // 4 + 1 AS INT)) ELSE '' END
+        |  || CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS text
+        |  FROM base),
+        |l AS (SELECT doc_id, text, str_split(text, chr(10)) AS lines,
+        |  list_filter(regexp_split_to_array(text, '[ \n]'), x -> x != '') AS toks FROM t1),
+        |m AS (SELECT doc_id, text,
+        |  greatest(len(lines), 1) AS nl, greatest(len(toks), 1) AS nw,
+        |  len(toks) AS n_words_raw,
+        |  len(list_filter(lines, x -> substr(trim(x), 1, 1) IN ('•', '-', '*'))) AS n_bullet,
+        |  len(list_filter(lines, x -> trim(x) LIKE '%...')) AS n_ell_line,
+        |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS char_sum,
+        |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |  len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+        |    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits,
+        |  length(text) - length(replace(text, '#', '')) AS n_hash,
+        |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+        |  FROM l)
+        |SELECT doc_id, CAST(n_words_raw AS BIGINT) AS n_words,
+        |  CAST(char_sum AS DOUBLE) / nw AS mean_word_len,
+        |  CAST(n_hash AS DOUBLE) / nw AS hash_ratio,
+        |  CAST(n_ell AS DOUBLE) / nw AS ellipsis_ratio,
+        |  CAST(n_bullet AS DOUBLE) / nl AS bullet_line_frac,
+        |  CAST(n_ell_line AS DOUBLE) / nl AS ellipsis_line_frac,
+        |  CAST(n_alpha AS DOUBLE) / nw AS alpha_word_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words_raw >= 50 AND n_words_raw <= 100000
+        |   AND CAST(char_sum AS DOUBLE) / nw >= 3 AND CAST(char_sum AS DOUBLE) / nw <= 10
+        |   AND CAST(n_hash AS DOUBLE) / nw <= 0.1 AND CAST(n_ell AS DOUBLE) / nw <= 0.1
+        |   AND CAST(n_bullet AS DOUBLE) / nl <= 0.9 AND CAST(n_ell_line AS DOUBLE) / nl <= 0.3
+        |   AND CAST(n_alpha AS DOUBLE) / nw >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // the C4 rules replayed rule-for-rule over the same constructed fixture
     "q_text_c4" ->

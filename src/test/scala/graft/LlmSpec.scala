@@ -642,6 +642,49 @@ class LlmSpec extends SparkSpec {
     assert(cl == truth)
   }
 
+  test("decontamination: only docs sharing a 13-gram with the bench set flag") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val span = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"prefix words here $span suffix words"),       // contains the span
+      (2L, "a completely unrelated document with plenty of its own words going on and on"),
+      (3L, span),                                          // exactly the span
+      (4L, s"tok1 tok2 tok3 only a partial overlap here nothing shared at thirteen grams today")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(s"eval question mentions $span verbatim")).toDF("text")
+    val got = Dedup.decontaminate(train, "doc_id", "text", bench, "text", k = 13)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false), got.toString)
+    // all original columns survive with the flag appended
+    val cols = Dedup.decontaminate(train, "doc_id", "text", bench, "text").columns.toSeq
+    assert(cols == Seq("doc_id", "text", "contaminated"))
+  }
+
+  test("Gopher gates: each published threshold rejects on its own axis") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val good = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                       // passes all gates
+      (2L, "the and only five words here"),             // < 50 words
+      (3L, good + " " + Seq.fill(20)("#").mkString(" ")), // hash ratio 20/82 > 0.1
+      (4L, (Seq.fill(40)("• item x the and") ++ Seq("plain line the and")).mkString("\n")), // 40/41 bullets > 0.9
+      (5L, good + "\nmore..." + "\nagain..." + "\nplain the and"), // 2/4 ellipsis lines > 0.3
+      (6L, ((1 to 60).map(i => s"word$i") ++ Seq.fill(20)("123")).mkString(" ") + " the and"), // alpha 62/82 < 0.8... wait 62/82=0.756 < 0.8
+      (7L, (1 to 60).map(i => s"word$i").mkString(" ")) // no required stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(9), got(1L).toString)
+    assert(!got(2L).getBoolean(9) && got(2L).getLong(1) == 6L)
+    assert(!got(3L).getBoolean(9) && got(3L).getDouble(3) > 0.1)
+    assert(!got(4L).getBoolean(9) && got(4L).getDouble(5) > 0.9)
+    assert(!got(5L).getBoolean(9) && got(5L).getDouble(6) > 0.3)
+    assert(!got(6L).getBoolean(9) && got(6L).getDouble(7) < 0.8)
+    assert(!got(7L).getBoolean(9) && got(7L).getLong(8) == 0L)
+  }
+
   test("C4 cleaning: line rules, sentence floor, lorem/brace rejection") {
     import spark.implicits._
     import graft.llm.TextAnalysis
