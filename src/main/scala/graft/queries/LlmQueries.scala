@@ -111,6 +111,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // the same pipeline with benchmark decontamination as stage 0 — four
+    // stages, still ONE Catalyst plan, still zero inter-stage
+    // materialization: scrub → exact dedup → quality gate → packing
+    "q_pipeline_full" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(expr("array_join(slice(split(text, ' '), 11, 30), ' ')").as("text"))
+      val scrubbed = Dedup.decontaminate(d, "doc_id", "text", bench, "text", k = 13)
+        .filter(!col("contaminated")).select("doc_id", "text")
+      val keep = Dedup.exact(scrubbed, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val uniq = scrubbed.join(keep, Seq("doc_id"), "left_semi")
+      val filtered = TextAnalysis.quality(uniq, col("text"))
+        .filter(col("n_words") >= 20 && col("stopword_ratio") >= 0.05)
+      Packing.packSequences(
+          filtered.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            col("n_words").as("n_tokens")),
+          "doc_id", "shard", "n_tokens", budget = 512)
+        .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    }),
+
     // KMV distinct-count sketch: deterministic hashing makes the ESTIMATE
     // itself oracle-checkable (exact integer division of the k-th hash)
     "q_sketch_kmv" -> ((s, dir) =>
@@ -586,6 +607,37 @@ object LlmQueries {
          |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
          |  CAST(cum % 512 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the four-stage pipeline: the decontamination CTEs prepended to the
+    // q_pipeline_e2e replay, dedup/quality/packing reading the scrubbed set
+    "q_pipeline_full" -> {
+      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+      s"""${HashOracle.macros}
+         |WITH d0 AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM d0),
+         |b0 AS (SELECT array_to_string(list_slice(str_split(text, ' '), 11, 40), ' ') AS btext
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |bt AS (SELECT str_split(lower(btext), ' ') AS toks FROM b0),
+         |bsh0 AS (SELECT unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM bt),
+         |bsh AS (SELECT DISTINCT fnv1a(shingle) AS h FROM bsh0),
+         |hits AS (SELECT DISTINCT doc_id FROM sh WHERE fnv1a(shingle) IN (SELECT h FROM bsh)),
+         |scrubbed AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM scrubbed GROUP BY text),
+         |u AS (SELECT s.doc_id, s.text FROM scrubbed s JOIN keep USING (doc_id)),
+         |q AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM u
+         |  WHERE len(str_split(text, ' ')) >= 20
+         |    AND CAST(len(list_filter(str_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE)
+         |      / len(str_split(text, ' ')) >= 0.05),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum FROM q)
+         |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
+         |  CAST(cum % 512 AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     // Bottom-64 distinct FNV hashes (unsigned = natural HUGEINT order),
     // estimate = floor(63 * 2^64 / u) in exact integer arithmetic
