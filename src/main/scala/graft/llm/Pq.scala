@@ -379,6 +379,28 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Persist the IVF-PQ at-rest index: (vec_id, codes, list_id) written
+    * `partitionBy(list_id)`, so each probed list is its own parquet
+    * directory and a probe's `list_id IN (...)` filter becomes PARTITION
+    * PRUNING — a nprobe/k probe physically reads nprobe/k of the index,
+    * the property that makes IVF the 100 TB ANN architecture (LlmSpec
+    * asserts the pruned scan). 32× smaller than the float column at rest
+    * (codes only; keep embeddings elsewhere if re-ranking needs them). */
+  def writeIndex(encodedLists: DataFrame, path: String): Unit =
+    encodedLists.select(col("vec_id"), col("codes"), col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+  /** Read the at-rest index back; `list_id` returns as a partition column
+    * usable for pruning filters. The schema is pinned explicitly so the
+    * partition column keeps its written LongType (inference would narrow
+    * it to int and type-mismatch joins against fresh assignments). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("codes", ArrayType(LongType), nullable = true),
+        StructField("list_id", LongType, nullable = false))))
+      .parquet(path)
+
   /** ADC cosine of one encoded row against one query's tables: M lookups,
     * rn2 accumulated in subspace order — shared by every scoring path. */
   private def adcScore(codes: Array[Long], ksub: Int, nq: Double,

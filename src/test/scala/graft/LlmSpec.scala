@@ -503,6 +503,35 @@ class LlmSpec extends SparkSpec {
     assert(scores(agg) == scores(win))
   }
 
+  test("IVF-PQ at-rest layout: probe filter becomes partition pruning") {
+    import graft.llm.{Ivf, Pq}
+    val e = emb.select("vec_id", "embedding")
+    val cents = Ivf.train(e, k = 8, iters = 1)
+    val lists = Ivf.index(e, cents).select("vec_id", "list_id")
+    val cb = Pq.train(e, m = 8, ksub = 8, iters = 1)
+    val encLists = Pq.encode(e, cb, 8, 8).join(lists, Seq("vec_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Pq.writeIndex(encLists, dir)
+    // the on-disk layout is one directory per list
+    val sub = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(sub.nonEmpty && sub.forall(_.startsWith("list_id=")), sub.mkString(","))
+    val back = Pq.readIndex(spark, dir)
+    val probed = back.filter(col("list_id").isin(0L, 3L))
+    // the filter must reach the scan as a PARTITION filter (pruned read),
+    // not a post-scan predicate over all lists
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan)
+    val kept = probed.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(Set(0L, 3L)))
+    // and the index roundtrips codes losslessly
+    val orig = encLists.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toList).toMap
+    val rt = back.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toList).toMap
+    assert(rt == orig)
+  }
+
   test("IVF-PQ with nprobe = k is row-identical to the full ADC scan") {
     import graft.llm.{Ivf, Pq}
     val e = emb.select("vec_id", "embedding")
