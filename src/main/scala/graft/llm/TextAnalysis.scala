@@ -281,6 +281,50 @@ object TextAnalysis {
       .toDF(idCol, "text_clean", "n_lines_kept", "n_lines_total", "n_sentences", "keep")
   }
 
+  /** Line-level repetition metrics — the remaining half of the Gopher
+    * repetition rules (Rae et al. 2021 §A1.1, "duplicate line fraction" /
+    * "duplicate line character fraction"; [[repetition]] covers the
+    * word-level half):
+    *
+    *  - `n_lines`             — '\n'-split line count;
+    *  - `dup_line_frac`       — occurrences beyond the first of an
+    *                            identical line / total lines;
+    *  - `dup_line_char_frac`  — characters in those duplicate occurrences
+    *                            / characters across all lines.
+    *
+    * Lines compared VERBATIM (no trim/case-fold — the published rule).
+    * Typed kernel, pure map stage, exact integer ratios. */
+  def repetitionLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Int]()
+        it.map { case (id, text) =>
+          val lines = text.split("\n", -1)
+          counts.clear()
+          var dupLines = 0L
+          var dupChars = 0L
+          var allChars = 0L
+          var i = 0
+          while (i < lines.length) {
+            val l = lines(i)
+            allChars += l.length
+            if (counts.merge(l, 1, (a, b) => a + b) > 1) {
+              dupLines += 1
+              dupChars += l.length
+            }
+            i += 1
+          }
+          (id, lines.length.toLong,
+            dupLines.toDouble / lines.length,
+            if (allChars == 0) 0.0 else dupChars.toDouble / allChars)
+        }
+      }
+      .toDF(idCol, "n_lines", "dup_line_frac", "dup_line_char_frac")
+  }
+
   /** PII detection + redaction: emails, IPv4 addresses, and international-
     * format phone numbers, counted on the raw text and replaced with typed
     * placeholders. The patterns are the portable ASCII core (valid in both

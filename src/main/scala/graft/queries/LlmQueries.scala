@@ -147,6 +147,21 @@ object LlmQueries {
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // line-level Gopher repetition over 8-word lines; every 3rd doc gets an
+    // injected duplicated pair so both ratios exercise nonzero
+    "q_text_repetition_lines" -> ((s, dir) => {
+      val injected = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          expr(
+            """array_join(transform(
+              |  sequence(0, greatest((size(split(text, ' ')) + 7) div 8, 1) - 1),
+              |  i -> array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' ')), '\n')""".stripMargin),
+          when(col("doc_id") % 3 === 0,
+            lit("\nrepeat me twice\nrepeat me twice")).otherwise(lit(""))).as("text"))
+      TextAnalysis.repetitionLines(injected, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // benchmark decontamination: the "eval set" is a 30-word span (words
     // 11-40) of every 37th doc — those docs (and only docs sharing one of
     // their 13-grams) must flag contaminated
@@ -684,6 +699,23 @@ object LlmQueries {
          |FROM tok JOIN c2 USING (doc_id) JOIN c3 USING (doc_id) JOIN c4 USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // line dup ratios from grouped line counts: dup occurrences = c-1 per
+    // distinct line, char fractions from the same counts
+    "q_text_repetition_lines" ->
+      """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS w, len(str_split(text, ' ')) AS n FROM documents),
+        |t1 AS (SELECT doc_id, array_to_string(list_transform(range(0, greatest((n + 7) // 8, 1)),
+        |    i -> array_to_string(w[CAST(i * 8 + 1 AS BIGINT):least(CAST((i + 1) * 8 AS BIGINT), n)], ' ')), chr(10))
+        |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'repeat me twice' || chr(10) || 'repeat me twice' ELSE '' END AS text
+        |  FROM t0),
+        |l AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM t1),
+        |g AS (SELECT doc_id, line, count(*) AS c, length(line) AS len FROM l GROUP BY doc_id, line),
+        |a AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+        |  sum((c - 1) * len) AS dup_chars, sum(c * len) AS all_chars FROM g GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+        |  CASE WHEN all_chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE) / all_chars END AS dup_line_char_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // 13-gram shingles of both sides recomputed with the same FNV-1a hash
     // the engine joins on; contaminated = any shared shingle hash

@@ -671,6 +671,21 @@ class LlmSpec extends SparkSpec {
     assert(cl == truth)
   }
 
+  test("line repetition: dup-line and dup-char fractions from verbatim lines") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "aa\nbb\naa\naa\ncc"),  // 5 lines, 'aa' x3 -> 2 dups, dupChars 4 of 10
+      (2L, "unique one\nunique two"),
+      (3L, "x\nX")                   // verbatim compare: no case folding
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionLines(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((5L, 2.0 / 5, 4.0 / 10)))
+    assert(got(2L) == ((2L, 0.0, 0.0)))
+    assert(got(3L) == ((2L, 0.0, 0.0)))
+  }
+
   test("decontamination: only docs sharing a 13-gram with the bench set flag") {
     import spark.implicits._
     import graft.llm.Dedup
