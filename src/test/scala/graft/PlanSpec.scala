@@ -145,11 +145,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
-  test("text repetition and PII redaction are pure map stages (no exchange)") {
+  test("text analysis operators are pure map stages (no exchange)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     for ((name, df) <- Seq(
         "repetition" -> graft.llm.TextAnalysis.repetition(d, "doc_id", "text"),
-        "redactPii" -> graft.llm.TextAnalysis.redactPii(d, "text"))) {
+        "repetitionLines" -> graft.llm.TextAnalysis.repetitionLines(d, "doc_id", "text"),
+        "redactPii" -> graft.llm.TextAnalysis.redactPii(d, "text"),
+        "c4Clean" -> graft.llm.TextAnalysis.c4Clean(d, "doc_id", "text"),
+        "gopherFilter" -> graft.llm.TextAnalysis.gopherFilter(d, "doc_id", "text"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }
