@@ -279,6 +279,42 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ---- semantic dedup (cluster-then-compare over embeddings) ----
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): coarse-cluster the
+    * embeddings with the IVF quantizer ([[Ivf.train]]/[[Ivf.index]]),
+    * compare pairs ONLY within a cluster (cosine ≥ threshold), resolve the
+    * pair graph transitively ([[clusters]]), keep the min-id canonical per
+    * semantic cluster.
+    *
+    * Scale shape: k grows with the corpus so list size n/k stays bounded;
+    * the only corpus-wide shuffle keys on list_id; the within-list
+    * self-join is quadratic ONLY in list size (a hot list beyond `maxList`
+    * is dropped from pairing — same guard as the banded dedups — so a
+    * degenerate quantizer can't go quadratic in the corpus); the
+    * contraction rounds then move 16-byte edges. Output:
+    * (idCol, cluster_id, is_canonical) — [[dropDuplicateClusters]]-style
+    * filtering composes on top. */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, k: Int = 16, iters: Int = 2,
+      maxList: Int = 100000): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("vec_id"), col(embCol).as("embedding"))
+    val cents = Ivf.train(e, k, iters)
+    val indexed = Ivf.index(e, cents).select("vec_id", "embedding", "list_id")
+    val sizes = indexed.groupBy("list_id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxList)
+    val capped = indexed.join(sizes, Seq("list_id")).drop("__n")
+    val pairs = capped
+      .select(col("list_id"), col("vec_id").as("id_a"), col("embedding").as("__e_a"))
+      .join(capped.select(col("list_id"), col("vec_id").as("id_b"), col("embedding").as("__e_b")),
+        Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.Exprs.cosine(col("__e_a"), col("__e_b")) >= threshold)
+      .select("id_a", "id_b")
+    clusters(df.select(col(idCol)), idCol, pairs)
+  }
+
   // ---- benchmark decontamination (n-gram overlap vs an eval set) ----
 
   /** (id, sh) rows: one row per distinct k-shingle hash of each document —

@@ -261,6 +261,15 @@ object LlmQueries {
       Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: IVF-coarse clusters (k=16, 2 Lloyd iters — the replay
+    // proven by q_ann_ivfpq), within-list cosine pairs at the
+    // q_dedup_embedding threshold, transitive closure to canonicals
+    "q_semdedup" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir).select("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.3, k = 16, iters = 2)
+        .select(col("vec_id"), col("cluster_id"), col("is_canonical"))
+        .orderBy("vec_id")),
+
     "q_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
@@ -579,6 +588,34 @@ object LlmQueries {
     // lists, scores from the ADC tables; both replays shared verbatim with
     // q_ann_ivf / q_ann_pq.
     "q_ann_ivfpq" -> ivfpqOracleSql,
+
+    // the IVF assignment replay (same chain as q_ann_ivfpq), pairwise
+    // cosine within each list, then the q_dedup_cluster recursive closure
+    "q_semdedup" ->
+      s"""${HashOracle.macros}
+         |WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+         |$qvCte,
+         |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
+         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
+         |${HashOracle.lloydStep("c0", "c1")},
+         |${HashOracle.lloydStep("c1", "c2")},
+         |xi AS (SELECT qv.vec_id, c2.list_id,
+         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
+         |idx AS (SELECT vec_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM idx a JOIN idx b USING (list_id)
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${HashOracle.cosine("ea.embedding", "eb.embedding")} >= 0.3),
+         |ed AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.u, reach.r FROM ed JOIN reach ON reach.id = ed.v),
+         |cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
+         |FROM cl ORDER BY vec_id""".stripMargin,
 
     // score-identical many-queries path (per-task LUTs) — same replay
     "q_ann_ivfpq_agg" -> ivfpqOracleSql,

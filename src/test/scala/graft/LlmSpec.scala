@@ -671,6 +671,26 @@ class LlmSpec extends SparkSpec {
     assert(cl == truth)
   }
 
+  test("semantic dedup: planted clones land in their source's cluster") {
+    import graft.llm.Dedup
+    val e = emb.select("vec_id", "embedding")
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val out = Dedup.semanticDedup(e.unionByName(clones), "vec_id", "embedding",
+        threshold = 0.999, k = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // identical vectors: same IVF list, cosine 1.0 -> clone clusters to its
+    // source (the min id), and the source is canonical
+    (0L until 5L).foreach { i =>
+      assert(out(i + 10000)._1 == out(i)._1, s"clone $i split from source")
+      assert(out(i)._1 <= i, "canonical must be the min id of the cluster")
+    }
+    // near-random embeddings at threshold 0.999: non-clones stay singleton
+    val nonClone = out.filter { case (id, (cid, _)) => id >= 5 && id < 10000 }
+    assert(nonClone.forall { case (id, (cid, can)) => cid == id && can },
+      "unexpected non-clone merges at threshold 0.999")
+  }
+
   test("line repetition: dup-line and dup-char fractions from verbatim lines") {
     import spark.implicits._
     import graft.llm.TextAnalysis
