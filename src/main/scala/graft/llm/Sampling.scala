@@ -77,6 +77,72 @@ object Sampling {
       .filter(col("__bucket") < lit(math.round(frac * 10000)))
       .drop("__bucket")
 
+  /** Bounded min-k as a typed Aggregator: the buffer holds AT MOST k
+    * (h, id) pairs in ascending (h signed, id) order — the same total order
+    * a `row_number() OVER (ORDER BY h, id)` window ranks by, so the two
+    * agree exactly. Partial aggregation bounds each map task's state to k
+    * per local domain and the exchange to ≤ k rows per (partition, domain):
+    * parallelism is never |domains|-bounded and a hot domain's candidates
+    * are never materialized in one place (the [[graft.llm.Ann.TopKAgg]]
+    * pattern, flipped to ascending). */
+  private class MinKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+    private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] = {
+      val (pre, post) = buf.span(lt(_, e))
+      val merged = pre ::: e :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[(Long, Long)] = Nil
+    def reduce(buf: List[(Long, Long)], a: (String, Long, Long)): List[(Long, Long)] =
+      insert(buf, (a._2, a._3))
+    def merge(x: List[(Long, Long)], y: List[(Long, Long)]): List[(Long, Long)] =
+      y.foldLeft(x)(insert)
+    def finish(buf: List[(Long, Long)]): Seq[(Long, Long)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Per-domain document caps — the FineWeb/RefinedWeb output-shaping move:
+    * keep at most `maxPerDomain` rows per `domainCol` value (source site,
+    * URL host, shard), chosen DETERMINISTICALLY by ascending
+    * (splitmix64(id), id) — a reproducible "random" pick, never `rand()`
+    * and never arrival order (which varies with partitioning). Appends
+    * `domain_rank` (1-based within the kept set).
+    *
+    * Scale shape: the ranking runs over SLIM (domain, hash, id) rows — the
+    * document text never moves — through the bounded [[MinKAgg]], so
+    * per-task state is ≤ k per domain, the exchange carries ≤ k rows per
+    * (map partition, domain), and a hot domain (the web-crawl reality:
+    * one host can be 1% of a 100 TB crawl) never concentrates its full
+    * row set on one task the way a `row_number` window would. The kept
+    * (id, rank) set then equi-joins back to the full rows (AQE broadcasts
+    * it when small). Rows whose id is null or not castable to long cannot
+    * be ranked deterministically and are dropped, matching [[hashSample]]'s
+    * posture. */
+  def capPerDomain(df: DataFrame, idCol: String, domainCol: String,
+      maxPerDomain: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df
+      .select(col(domainCol).cast("string").as("__dom"),
+        expr(s"try_cast(`$idCol` as bigint)").as("__id"))
+      .filter(col("__id").isNotNull)
+      .as[(String, Long)]
+      .mapPartitions(_.map { case (dom, id) => (dom, Hashing.splitmix64(id), id) })
+    val kept = slim.groupByKey(_._1)
+      .agg(new MinKAgg(maxPerDomain).toColumn)
+      .flatMap { case (_, top) =>
+        top.iterator.zipWithIndex.map { case ((_, id), i) => (id, (i + 1).toLong) }
+      }
+      .toDF("__kept_id", "domain_rank")
+    df.join(kept, expr(s"try_cast(`$idCol` as bigint)") === col("__kept_id"))
+      .drop("__kept_id")
+  }
+
   /** Stratified hash sampling: a DIFFERENT keep-fraction per stratum value
     * (e.g. downsample English to 10% while keeping low-resource languages
     * whole — the standard corpus-rebalancing move). Same deterministic

@@ -143,6 +143,13 @@ object LlmQueries {
           Map("en" -> 0.2, "es" -> 0.5))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // per-domain caps: at most 10 docs per source, picked by ascending
+    // (splitmix64(doc_id), doc_id) through the bounded min-k aggregator —
+    // never a per-domain window (PlanSpec asserts)
+    "q_domain_cap" -> ((s, dir) =>
+      Sampling.capPerDomain(docs(s, dir), "doc_id", "source", maxPerDomain = 10)
+        .select("doc_id", "source", "domain_rank").orderBy("doc_id")),
+
     // Gopher-style repetition metrics: pure map stage, integer-exact ratios
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -702,6 +709,17 @@ object LlmQueries {
          |  tosigned((SELECT u FROM kth)) AS kth_hash,
          |  CAST(CASE WHEN (SELECT nk FROM kth) < 64 THEN (SELECT nk FROM kth)
          |    ELSE (63::HUGEINT * 18446744073709551616::HUGEINT) / (SELECT u FROM kth) END AS BIGINT) AS est_distinct""".stripMargin,
+
+    // The window form of the same total order the bounded aggregator ranks
+    // by: row_number over (splitmix64(doc_id) signed, doc_id) per source
+    "q_domain_cap" ->
+      s"""${HashOracle.macros}
+         |WITH r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY tosigned(sm64(CAST(doc_id AS HUGEINT))), doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(rk AS BIGINT) AS domain_rank
+         |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     // Same splitmix64 bucket arithmetic as q_split_hash, per-stratum cuts
     "q_sample_stratified" ->

@@ -390,6 +390,29 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
   }
 
+  test("domain caps: bounded per domain, hash-ranked, partitioning-invariant") {
+    import graft.llm.{Hashing, Sampling}
+    import spark.implicits._
+    val kept = Sampling.capPerDomain(docs, "doc_id", "source", maxPerDomain = 7)
+      .select("doc_id", "source", "domain_rank").as[(Long, String, Long)].collect()
+    // cap respected, ranks contiguous 1..n per domain
+    kept.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length <= 7)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the kept set is exactly the 7 hash-smallest ids of each domain
+    val all = docs.select("doc_id", "source").as[(Long, String)].collect()
+    val expected = all.groupBy(_._2).iterator.flatMap { case (dom, rows) =>
+      rows.map(_._1).sortBy(id => (Hashing.splitmix64(id), id)).take(7)
+        .zipWithIndex.map { case (id, i) => (id, dom, (i + 1).toLong) }
+    }.toSet
+    assert(kept.toSet == expected)
+    // membership must not depend on the input partitioning
+    val kept2 = Sampling.capPerDomain(docs.repartition(13), "doc_id", "source", 7)
+      .select("doc_id", "source", "domain_rank").as[(Long, String, Long)].collect()
+    assert(kept2.toSet == expected)
+  }
+
   test("PQ: deterministic training, in-range codes, recall floor vs brute force") {
     import graft.llm.Pq
     val e = emb.select("vec_id", "embedding")

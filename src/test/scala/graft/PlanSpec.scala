@@ -130,6 +130,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("domain caps rank via the bounded aggregator, never a per-domain window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.llm.Sampling.capPerDomain(docs, "doc_id", "source", 5)
+      .queryExecution.executedPlan.toString
+    // a hot domain must never concentrate its full row set on one task:
+    // ranking is the bounded min-k Aggregator over slim rows, not a
+    // row_number window partitioned by domain
+    assert(!plan.contains("Window"), s"capPerDomain ranks via a window:\n$plan")
+  }
+
   test("cosine_similarity is SQL-callable via GraftExtensions and stays codegen'd") {
     GraftExtensions.register(spark)
     val r = spark.sql(
