@@ -73,11 +73,11 @@ object Dedup {
     * distinct sorted shingle hashes + the MinHash signature. One definition
     * so batch and stream bucket IDENTICALLY — a doc the batch pass calls a
     * near-dup collides with the same band keys on the stream. */
-  /** Distinct sorted FNV-1a hashes of the k-word shingles of one document
-    * (lowercased, space-tokenized; docs shorter than k hash the whole
-    * text as one shingle). Shared by the MinHash kernel and
-    * [[decontaminate]]. */
-  private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
+  /** FNV-1a hash of the k-word shingle at every token position of one
+    * document (lowercased, space-tokenized; docs shorter than k hash the
+    * whole text as one shingle at position 0). Index IS the position —
+    * [[repeatedSpans]] needs it; [[shingleHashes]] collapses it away. */
+  private[graft] def positionalShingleHashes(text: String, k: Int): Array[Long] = {
     val toks = text.toLowerCase.split(" ", -1)
     val nSh = math.max(toks.length - k + 1, 1)
     val sb = new java.lang.StringBuilder
@@ -94,8 +94,13 @@ object Dedup {
       raw(i) = Hashing.hashString(sb)
       i += 1
     }
-    raw.distinct.sorted
+    raw
   }
+
+  /** Distinct sorted FNV-1a hashes of the k-word shingles of one document.
+    * Shared by the MinHash kernel and [[decontaminate]]. */
+  private[graft] def shingleHashes(text: String, k: Int): Array[Long] =
+    positionalShingleHashes(text, k).distinct.sorted
 
   private[graft] def shinglesAndSignature(text: String, k: Int,
       numHashes: Int): (Array[Long], Array[Long]) = {
@@ -360,6 +365,78 @@ object Dedup {
     // corpus — let stats/AQE choose the join strategy
     train.join(hits, Seq(idCol), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
+  // ---- exact-substring repeated spans (corpus-level substring dedup) ----
+
+  /** Maximal repeated substring spans — the corpus-level EXACT-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022). A token position is covered when
+    * its k-token shingle occurs MORE THAN ONCE in the whole corpus
+    * (across documents or within one — both are verbatim repetition);
+    * covered positions merge into maximal spans `[span_start, span_end)`
+    * in token coordinates (end clamped to the doc's token count). The
+    * caller chooses the removal policy (cut spans, drop docs above a
+    * repeated-fraction threshold); this operator computes WHERE the
+    * repeats are.
+    *
+    * Lee et al. build a corpus suffix array — a sequential structure with
+    * no parallel shuffle analogue. The Spark-shaped equivalent fixes a
+    * minimum match length k (they report 50 BPE tokens; matches shorter
+    * than k are noise by their own analysis) and works on k-token shingle
+    * hashes: any repeated substring of length ≥ k covers ≥ 1 full shingle,
+    * so its positions are found exactly; the merged span recovers the
+    * maximal repeat up to k-1 tokens of slack at the edges.
+    *
+    * Shape for 100 TB: positional (id, pos, hash) rows are slim longs —
+    * the text never shuffles; the duplicate-hash set comes from ONE
+    * map-side-combined count on the hash (shingles repeat locally first,
+    * so partial aggregation collapses hot hashes per task); the hash join
+    * back marks covered positions; span merging is per-document, bounded
+    * by doc length, via one groupByKey on id. Output: (idCol, span_start,
+    * span_end). */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kL = k.toLong
+    val rows = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split(" ", -1)
+        val sh = positionalShingleHashes(text, k)
+        sh.iterator.zipWithIndex.map { case (h, p) =>
+          (id, p.toLong, h, toks.length.toLong)
+        }
+      }
+      .toDF("__id", "__pos", "__sh", "__n")
+    val dup = rows.groupBy("__sh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__sh")
+    rows.join(dup, Seq("__sh"))
+      .select(col("__id"), col("__pos"), col("__n"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        val rs = it.toArray
+        val n = rs(0)._3
+        val ps = rs.map(_._2).sorted
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        var start = ps(0)
+        var maxP = ps(0)
+        var i = 1
+        while (i < ps.length) {
+          val p = ps(i)
+          if (p <= maxP + kL) maxP = p
+          else {
+            out += ((id, start, math.min(maxP + kL, n)))
+            start = p; maxP = p
+          }
+          i += 1
+        }
+        out += ((id, start, math.min(maxP + kL, n)))
+        out.result().iterator
+      }
+      .toDF(idCol, "span_start", "span_end")
   }
 
   // ---- 5. embedding-cosine near-dup (hyperplane LSH; shared with Ann) ----

@@ -16,6 +16,12 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Shared 20-word suffix q_text_spans appends to every 9th doc — one
+    * definition for the Spark fixture and the DuckDB replay. */
+  private val SpanSuffix =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -149,6 +155,17 @@ object LlmQueries {
     "q_domain_cap" -> ((s, dir) =>
       Sampling.capPerDomain(docs(s, dir), "doc_id", "source", maxPerDomain = 10)
         .select("doc_id", "source", "domain_rank").orderBy("doc_id")),
+
+    // exact-substring repeated spans: every 9th doc gets a shared 20-word
+    // suffix so cross-doc verbatim repeats exist by construction (organic
+    // repeats in the corpus flag too — the oracle recomputes both)
+    "q_text_spans" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + SpanSuffix)))
+          .otherwise(col("text")).as("text"))
+      Dedup.repeatedSpans(injected, "doc_id", "text", k = 13)
+        .orderBy("doc_id", "span_start")
+    }),
 
     // Gopher-style repetition metrics: pure map stage, integer-exact ratios
     "q_text_repetition" -> ((s, dir) =>
@@ -771,6 +788,33 @@ object LlmQueries {
         |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
         |  CASE WHEN all_chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE) / all_chars END AS dup_line_char_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // positional 13-gram shingle hashes → hashes occurring >1 time in the
+    // corpus → covered positions → gaps-and-islands merge into maximal
+    // spans (new island when pos > prev running max + k), ends clamped to
+    // the doc's token count — the exact walk the Scala kernel does
+    "q_text_spans" -> {
+      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(lower(CASE WHEN doc_id % 9 = 0
+         |    THEN text || ' $SpanSuffix' ELSE text END), ' ') AS toks FROM documents),
+         |pos0 AS (SELECT doc_id, len(toks) AS n,
+         |  unnest(CASE WHEN len(toks) < 13 THEN [{'p': 0, 'g': array_to_string(toks, ' ')}]
+         |    ELSE list_transform(range(1, len(toks) - 11), i -> {'p': i - 1, 'g': $concat13}) END) AS u
+         |  FROM d),
+         |pos AS (SELECT doc_id, n, u.p AS pos, fnv1a(u.g) AS sh FROM pos0),
+         |dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+         |hits AS (SELECT doc_id, n, pos FROM pos JOIN dup USING (sh)),
+         |marked AS (SELECT doc_id, n, pos,
+         |  CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100) + 13 THEN 1 ELSE 0 END AS ni
+         |  FROM hits),
+         |isl AS (SELECT doc_id, n, pos,
+         |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM marked)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(least(max(pos) + 13, max(n)) AS BIGINT) AS span_end
+         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+    },
 
     // 13-gram shingles of both sides recomputed with the same FNV-1a hash
     // the engine joins on; contaminated = any shared shingle hash

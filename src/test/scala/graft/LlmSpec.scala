@@ -390,6 +390,31 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
   }
 
+  test("repeated spans: cross-doc and within-doc repeats, merging, clamping") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 15) // 15-word verbatim block shared by docs 1, 2
+    val fixture = Seq(
+      (1L, words("a", 10) + " " + shared + " " + words("b", 10)),
+      (2L, words("c", 4) + " " + shared + " " + words("d", 20)),
+      (3L, words("e", 30)),                     // unique — no spans
+      (4L, words("r", 8) + " " + words("r", 8)), // within-doc repeat, 16 toks
+      (5L, "tiny little doc"),
+      (6L, "tiny little doc")                   // whole-doc clone of 5, < k toks
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(fixture, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: shared block at tokens 10..24 → shingles at 10..17 → [10, 25)
+    // doc 2: shared block at tokens 4..18  → shingles at 4..11  → [4, 19)
+    // doc 4: "r0..r7 r0..r7" — EVERY 8-shingle of the 16-token doc repeats
+    //        corpus-wide? no — only the two aligned "r0..r7" shingles match
+    //        (hash multiset: positions 0 and 8 share a hash) → [0, 16)
+    // docs 5/6: whole-text shingle at pos 0, clamped to n=3 → [0, 3)
+    assert(spans == Set((1L, 10L, 25L), (2L, 4L, 19L), (4L, 0L, 16L),
+      (5L, 0L, 3L), (6L, 0L, 3L)))
+  }
+
   test("domain caps: bounded per domain, hash-ranked, partitioning-invariant") {
     import graft.llm.{Hashing, Sampling}
     import spark.implicits._
