@@ -167,6 +167,15 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // CCNet-style LM scoring: bigram model trained on the doc_id%5 slice
+    // (the "trusted reference"), every doc scored in integer micro-nats
+    "q_text_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmScore(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition metrics: pure map stage, integer-exact ratios
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -788,6 +797,30 @@ object LlmQueries {
         |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
         |  CASE WHEN all_chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE) / all_chars END AS dup_line_char_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // add-one bigram LM replayed relationally: unigram/bigram counts over
+    // the %5 reference slice, per-pair surprisal floor(ln(...)·1e6 + 0.5)
+    // as BIGINT (term-wise integer rounding makes the per-doc sum
+    // order-free — no ordered aggregate needed), identical final division
+    "q_text_lm_score" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        |uni AS (SELECT t AS w, count(*) AS c FROM
+        |  (SELECT unnest(toks) AS t FROM d WHERE doc_id % 5 = 0) GROUP BY t),
+        |vv AS (SELECT count(*) AS v FROM uni),
+        |pb0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u FROM d),
+        |pb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM pb0),
+        |bi AS (SELECT w1, w2, count(*) AS c FROM pb WHERE doc_id % 5 = 0 GROUP BY w1, w2),
+        |terms AS (SELECT pb.doc_id,
+        |  CAST(floor(ln(CAST(coalesce(u.c, 0) + (SELECT v FROM vv) AS DOUBLE)
+        |    / (coalesce(b.c, 0) + 1)) * 1000000.0 + 0.5) AS BIGINT) AS t
+        |  FROM pb LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u ON pb.w1 = u.w),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id)
+        |SELECT ids.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(agg.s, 0) AS BIGINT) AS surprisal_micronats,
+        |  CASE WHEN agg.n > 0 THEN CAST(agg.s AS DOUBLE) / 1000000.0 / agg.n END AS mean_nats
+        |FROM (SELECT doc_id FROM d) ids LEFT JOIN agg USING (doc_id)
+        |ORDER BY ids.doc_id""".stripMargin,
 
     // positional 13-gram shingle hashes → hashes occurring >1 time in the
     // corpus → covered positions → gaps-and-islands merge into maximal

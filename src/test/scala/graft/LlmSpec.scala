@@ -390,6 +390,29 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
   }
 
+  test("LM score: hand-computed micro-nat surprisal, edge docs, gibberish ranks worse") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b x"), // pairs: (a,b) seen once, (b,x) unseen
+      (2L, "a"),     // single token — no pairs, NULL mean
+      (3L, "a b a c a b a c"), // pure reference prose
+      (4L, "z q w v u t s r")  // gibberish: all unseen
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(score, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    // V = |{a,b,c}| = 3; term = floor(ln((cu+V)/(cb+1))*1e6 + 0.5)
+    def t(cu: Long, cb: Long): Long =
+      math.floor(math.log((cu + 3).toDouble / (cb + 1).toDouble) * 1000000.0 + 0.5).toLong
+    assert(out(0) == ((1L, 2L, t(2, 1) + t(1, 0),
+      Some((t(2, 1) + t(1, 0)).toDouble / 1000000.0 / 2))))
+    assert(out(1) == ((2L, 0L, 0L, None)))
+    // fluent reference prose must score strictly below all-unseen gibberish
+    assert(out(2)._4.get < out(3)._4.get)
+    // all-unseen: every term is ln((0+3)/1)
+    assert(out(3)._3 == 7 * t(0, 0))
+  }
+
   test("repeated spans: cross-doc and within-doc repeats, merging, clamping") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =
