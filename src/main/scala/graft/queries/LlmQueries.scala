@@ -156,6 +156,17 @@ object LlmQueries {
       Sampling.capPerDomain(docs(s, dir), "doc_id", "source", maxPerDomain = 10)
         .select("doc_id", "source", "domain_rank").orderBy("doc_id")),
 
+    // cluster-balanced sampling: IVF lists as strata, at most 20 vectors
+    // kept per list via the bounded min-k cap — flattens topic skew before
+    // training (hot clusters trimmed, small clusters kept whole)
+    "q_sample_cluster_cap" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val cents = graft.llm.Ivf.train(e, k = 16, iters = 2)
+      val lists = graft.llm.Ivf.index(e, cents).select("vec_id", "list_id")
+      Sampling.capPerDomain(lists, "vec_id", "list_id", maxPerDomain = 20)
+        .select("vec_id", "list_id", "domain_rank").orderBy("vec_id")
+    }),
+
     // exact-substring repeated spans: every 9th doc gets a shared 20-word
     // suffix so cross-doc verbatim repeats exist by construction (organic
     // repeats in the corpus flag too — the oracle recomputes both)
@@ -621,6 +632,25 @@ object LlmQueries {
     // lists, scores from the ADC tables; both replays shared verbatim with
     // q_ann_ivf / q_ann_pq.
     "q_ann_ivfpq" -> ivfpqOracleSql,
+
+    // the IVF assignment replay (training chain shared with q_ann_ivf),
+    // then the q_domain_cap row_number order with list_id as the stratum
+    "q_sample_cluster_cap" ->
+      s"""${HashOracle.macros}
+         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |$qvCte,
+         |c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, qe AS centroid
+         |  FROM (SELECT * FROM qv ORDER BY h LIMIT 16)),
+         |${HashOracle.lloydStep("c0", "c1")},
+         |${HashOracle.lloydStep("c1", "c2")},
+         |xi AS (SELECT qv.vec_id, c2.list_id,
+         |  ${HashOracle.cosineIntCentroid("qv.embedding", "c2.centroid")} AS sim FROM qv, c2),
+         |idx AS (SELECT vec_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rk FROM xi) WHERE rk = 1),
+         |r AS (SELECT vec_id, list_id, row_number() OVER (PARTITION BY list_id
+         |  ORDER BY tosigned(sm64(CAST(vec_id AS HUGEINT))), vec_id) AS rk FROM idx)
+         |SELECT vec_id, list_id, CAST(rk AS BIGINT) AS domain_rank
+         |FROM r WHERE rk <= 20 ORDER BY vec_id""".stripMargin,
 
     // the IVF assignment replay (same chain as q_ann_ivfpq), pairwise
     // cosine within each list, then the q_dedup_cluster recursive closure
