@@ -130,6 +130,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("semi/anti/agg-join TPC-H shapes: LeftSemi, LeftAnti + pushed date, one lineitem shuffle") {
+    // EXISTS must plan as a semi-join (match multiplicity never materializes)
+    val q4 = SparkEntry.queries("q4_priority")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), s"q4_priority: EXISTS did not plan as semi-join\n$q4")
+    // NOT EXISTS must plan as an anti-join with the date filter AT the scan
+    val q16 = SparkEntry.queries("q16_quiet_parts")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q16.contains("LeftAnti"), s"q16_quiet_parts: NOT EXISTS did not plan as anti-join\n$q16")
+    assert(q16.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"q16_quiet_parts: date filter not pushed to the lineitem scan\n$q16")
+    // aggregate-then-join: the HAVING agg's hash partitioning on l_orderkey
+    // must be reused by the orders join — exactly ONE exchange may sit
+    // between the lineitem scan and the join (the agg's own), never two
+    val q18 = SparkEntry.queries("q18_large_orders")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(q18).length
+    assert(exchanges == 1,
+      s"q18_large_orders: expected 1 lineitem-side exchange, found $exchanges\n$q18")
+  }
+
   test("domain caps rank via the bounded aggregator, never a per-domain window") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = graft.llm.Sampling.capPerDomain(docs, "doc_id", "source", 5)
