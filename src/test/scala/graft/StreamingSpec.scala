@@ -234,6 +234,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain cap: per-domain budget, batch hash order, reset after eviction") {
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val capped = graft.streaming.StreamingCaps.domainCapFirstSeen(
+      in.toDF().toDF("ts", "doc_id", "dom"), "doc_id", "dom", "ts",
+      delayMs = 10000L, maxPerDomain = 2)
+    val q = capped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cap_out").start()
+    try {
+      // batch 1: domain a over budget (3 > 2), domain b under (1)
+      in.addData((ts(10), 1L, "a"), (ts(10), 2L, "a"), (ts(10), 3L, "a"), (ts(10), 7L, "b"))
+      q.processAllAvailable()
+      val admitted1 = spark.table("cap_out").select("doc_id", "dom")
+        .as[(Long, String)].collect().toSet
+      // within the batch, admission follows the BATCH operator's order:
+      // the 2 (splitmix64(id), id)-smallest of domain a
+      val expectA = Seq(1L, 2L, 3L)
+        .sortBy(id => (graft.llm.Hashing.splitmix64(id), id)).take(2).toSet
+      assert(admitted1 == expectA.map(_ -> "a") + (7L -> "b"), s"got $admitted1")
+      // batch 2, still in-horizon: domain a's budget is spent
+      in.addData((ts(12), 4L, "a"), (ts(12), 8L, "b"))
+      q.processAllAvailable()
+      val admitted2 = spark.table("cap_out").select("doc_id").as[Long].collect().toSet
+      assert(!admitted2.contains(4L), s"over-budget in-horizon row admitted: $admitted2")
+      assert(admitted2.contains(8L), "domain b still under budget")
+      // push the watermark far past the horizon: domain states evict
+      in.addData((ts(100), 99L, "flush"))
+      q.processAllAvailable()
+      // fresh budget for domain a
+      in.addData((ts(101), 5L, "a"))
+      q.processAllAvailable()
+      val admitted3 = spark.table("cap_out").select("doc_id").as[Long].collect().toSet
+      assert(admitted3.contains(5L), s"post-eviction arrival must get a fresh budget: $admitted3")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: in-horizon near-duplicates suppressed, novel docs pass") {
     // the streaming twin of minhashPairs: batch LSH (same kernel, same band
     // hashing) decides which docs SHOULD collide; the stream must suppress
