@@ -94,6 +94,20 @@ object ScaleProbe {
           Pq.searchIvfAdc(encoded._2.join(indexed.select("vec_id", "list_id"), Seq("vec_id")),
             cents, encoded._1, qMany, 8, 8, 10, nprobe = 4).count())
         report("ivfpq_searchadc_manyq", tAdc, nAdc)
+        // round-6 operators: repeated spans (replicated corpus = worst case,
+        // every doc repeats across copies), domain caps (50 synthetic hot
+        // domains, bounded output), LM scoring vs a FIXED reference (the
+        // realistic shape: the LM never grows with the corpus)
+        val (tSp, nSp) = time(Dedup.repeatedSpans(docs, "doc_id", "text", k = 13).count())
+        report("repeated_spans", tSp, nSp)
+        val withDom = docs.withColumn("dom", pmod(col("doc_id"), lit(50)))
+        val (tCap, nCap) = time(
+          graft.llm.Sampling.capPerDomain(withDom, "doc_id", "dom", 100).count())
+        report("domain_cap100", tCap, nCap)
+        val lmRef = docs0.filter(col("doc_id") % 5 === 0)
+        val (tLm, nLm) = time(
+          graft.llm.TextAnalysis.lmScore(docs, "doc_id", "text", lmRef, "text").count())
+        report("lm_score_fixed_ref", tLm, nLm)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()
