@@ -178,6 +178,12 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // TF-IDF top-5 terms per doc: exact integer scores (micro-nat idf),
+    // bounded per-doc ranking (no doc_id window)
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
+
     // CCNet-style LM scoring: bigram model trained on the doc_id%5 slice
     // (the "trusted reference"), every doc scored in integer micro-nats
     "q_text_lm_score" -> ((s, dir) => {
@@ -827,6 +833,21 @@ object LlmQueries {
         |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
         |  CASE WHEN all_chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE) / all_chars END AS dup_line_char_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // tf/df recomputed relationally, identical micro-nat idf rounding,
+    // exact long score, row_number replay of the (score desc, term) order
+    "q_text_tfidf" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |  tf * CAST(floor(ln(CAST((SELECT count(*) FROM d) AS DOUBLE) / df) * 1000000.0 + 0.5) AS BIGINT) AS score
+        |  FROM tf JOIN dfq USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // add-one bigram LM replayed relationally: unigram/bigram counts over
     // the %5 reference slice, per-pair surprisal floor(ln(...)·1e6 + 0.5)

@@ -390,6 +390,27 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
   }
 
+  test("tf-idf: hand-computed integer scores, rank order, ubiquitous terms score zero") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry cherry common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(fixture, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6).toList).toMap
+    def idf(df: Long) = math.floor(math.log(3.0 / df) * 1000000.0 + 0.5).toLong
+    // doc 1: apple tf=2 df=1 → 2·idf(1); banana tf=1 df=2 → idf(2);
+    // common appears in all docs → idf(3) = ln(1) = 0 exactly
+    assert(out(1L).map(r => (r._2, r._5)) ==
+      List(("apple", 2 * idf(1)), ("banana", idf(2))))
+    assert(out(3L).head._2 == "cherry" && out(3L).head._5 == 3 * idf(2))
+    // ties on score=0 order alphabetically: doc 2's tail picks between
+    // banana/cherry (idf(2) each) then common (0)
+    assert(out(2L).map(_._2) == List("banana", "cherry"))
+    assert(idf(3) == 0L)
+  }
+
   test("LM score: hand-computed micro-nat surprisal, edge docs, gibberish ranks worse") {
     import spark.implicits._
     val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")

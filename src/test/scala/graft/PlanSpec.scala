@@ -159,6 +159,10 @@ class PlanSpec extends SparkSpec {
     // ranking is the bounded min-k Aggregator over slim rows, not a
     // row_number window partitioned by domain
     assert(!plan.contains("Window"), s"capPerDomain ranks via a window:\n$plan")
+    // same claim for tf-idf's per-doc ranking (|docs|-wide key space)
+    val tfidfPlan = graft.llm.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!tfidfPlan.contains("Window"), s"tfidfTopTerms ranks via a window:\n$tfidfPlan")
   }
 
   test("cosine_similarity is SQL-callable via GraftExtensions and stays codegen'd") {
