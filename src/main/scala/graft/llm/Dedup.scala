@@ -367,6 +367,43 @@ object Dedup {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
+  /** Shingle-novelty scoring: what fraction of each document's distinct
+    * k-word shingles is ABSENT from a reference corpus — the continuous
+    * form of [[decontaminate]] (which flags any overlap, this measures how
+    * much). Use: novelty floors when assembling an update corpus against
+    * what a model already trained on, or contamination ratios against an
+    * eval suite. Ratios are divisions of exact integer counts.
+    *
+    * Same shape as [[decontaminate]]: the reference side is small by
+    * nature, its distinct shingle hashes broadcast; scoring is one typed
+    * map stage over the document scan (the per-doc distinct-shingle set is
+    * computed and probed in the kernel — nothing explodes into rows).
+    * Output: (idCol, n_shingles, n_novel, novelty_frac). */
+  def novelty(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, k: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val refSh = reference.select(col(refTextCol)).as[String]
+      .flatMap(t => shingleHashes(t, k).iterator)
+      .distinct().collect()
+    val bc = spark.sparkContext.broadcast(refSh.toSet)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val ref = bc.value
+        it.map { case (id, text) =>
+          val sh = shingleHashes(text, k)
+          var novel = 0
+          var i = 0
+          while (i < sh.length) {
+            if (!ref.contains(sh(i))) novel += 1
+            i += 1
+          }
+          (id, sh.length.toLong, novel.toLong, novel.toDouble / sh.length)
+        }
+      }
+      .toDF(idCol, "n_shingles", "n_novel", "novelty_frac")
+  }
+
   // ---- exact-substring repeated spans (corpus-level substring dedup) ----
 
   /** Maximal repeated substring spans — the corpus-level EXACT-substring

@@ -178,6 +178,15 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // shingle novelty vs the %5 reference slice: reference docs score 0
+    // by construction, everything else by its unseen-13-gram fraction
+    "q_text_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.novelty(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text", k = 13)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top-5 terms per doc: exact integer scores (micro-nat idf),
     // bounded per-doc ranking (no doc_id window)
     "q_text_tfidf" -> ((s, dir) =>
@@ -833,6 +842,25 @@ object LlmQueries {
         |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
         |  CASE WHEN all_chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE) / all_chars END AS dup_line_char_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the decontaminate shingle replay, counted instead of flagged:
+    // distinct 13-gram FNV hashes per doc, novel = absent from the
+    // reference slice's hash set, fraction from exact integer operands
+    "q_text_novelty" -> {
+      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM d),
+         |sh AS (SELECT DISTINCT doc_id, fnv1a(shingle) AS h FROM sh0),
+         |ref AS (SELECT DISTINCT h FROM sh WHERE doc_id % 5 = 0),
+         |agg AS (SELECT doc_id, count(*) AS n,
+         |  sum(CASE WHEN h IN (SELECT h FROM ref) THEN 0 ELSE 1 END) AS novel
+         |  FROM sh GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, CAST(novel AS BIGINT) AS n_novel,
+         |  CAST(novel AS DOUBLE) / n AS novelty_frac
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
 
     // tf/df recomputed relationally, identical micro-nat idf rounding,
     // exact long score, row_number replay of the (score desc, term) order

@@ -390,6 +390,25 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
   }
 
+  test("novelty: reference docs score 0, disjoint docs score 1, partial overlap exact") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val ref = Seq((0L, words("r", 20))).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, words("r", 20)),                       // identical to reference → 0
+      (2L, words("x", 20)),                       // disjoint → 1
+      (3L, words("r", 20) + " " + words("y", 8))  // ref prefix + 8 novel tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.novelty(score, "doc_id", "text", ref, "text", k = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 13L, 0L, 0.0)))  // 20 - 8 + 1 = 13 shingles
+    assert(out(1) == ((2L, 13L, 13L, 1.0)))
+    // doc 3: 28 toks → 21 shingles; positions 0..12 purely in r-prefix are
+    // seen; 13..20 cross into y-tokens → 8 novel
+    assert(out(2) == ((3L, 21L, 8L, 8.0 / 21)))
+  }
+
   test("tf-idf: hand-computed integer scores, rank order, ubiquitous terms score zero") {
     import spark.implicits._
     val fixture = Seq(
