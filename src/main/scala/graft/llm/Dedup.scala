@@ -476,6 +476,31 @@ object Dedup {
       .toDF(idCol, "span_start", "span_end")
   }
 
+  /** Per-document repetition budget from [[repeatedSpans]]: token count,
+    * tokens covered by corpus-repeated spans, and their exact-integer
+    * fraction — the inputs to the standard cut-or-drop policy (Lee et al.
+    * drop or trim documents dominated by verbatim repeats; boilerplate
+    * pages are exactly the high-fraction tail). Every document gets a row
+    * (zero-span docs score 0). One extra slim aggregation over the span
+    * rows; the join back to ids is by the id column only. Output:
+    * (idCol, n_tokens, repeated_tokens, repeated_frac). */
+  def repeatedFraction(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spans = repeatedSpans(df, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(sum(col("span_end") - col("span_start")).as("repeated_tokens"))
+    df.select(col(idCol).cast("long").as(idCol), col(textCol)).as[(Long, String)]
+      .map { case (id, text) => (id, text.toLowerCase.split(" ", -1).length.toLong) }
+      .toDF(idCol, "n_tokens")
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"),
+        (coalesce(col("repeated_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("repeated_frac"))
+  }
+
   // ---- 5. embedding-cosine near-dup (hyperplane LSH; shared with Ann) ----
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates from

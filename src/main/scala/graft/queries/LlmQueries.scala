@@ -22,6 +22,29 @@ object LlmQueries {
     "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
 
+  /** CTE chain shared by q_text_spans / q_text_span_stats: injected
+    * fixture → positional 13-gram FNV hashes → corpus-duplicated hashes →
+    * covered positions → island ids (the gaps-and-islands merge state).
+    * Yields `d` (doc_id, toks) and `isl` (doc_id, n, pos, island). */
+  private lazy val spanIslandCtes: String = {
+    val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+    s"""d AS (SELECT doc_id, str_split(lower(CASE WHEN doc_id % 9 = 0
+       |    THEN text || ' $SpanSuffix' ELSE text END), ' ') AS toks FROM documents),
+       |pos0 AS (SELECT doc_id, len(toks) AS n,
+       |  unnest(CASE WHEN len(toks) < 13 THEN [{'p': 0, 'g': array_to_string(toks, ' ')}]
+       |    ELSE list_transform(range(1, len(toks) - 11), i -> {'p': i - 1, 'g': $concat13}) END) AS u
+       |  FROM d),
+       |pos AS (SELECT doc_id, n, u.p AS pos, fnv1a(u.g) AS sh FROM pos0),
+       |dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+       |hits AS (SELECT doc_id, n, pos FROM pos JOIN dup USING (sh)),
+       |marked AS (SELECT doc_id, n, pos,
+       |  CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100) + 13 THEN 1 ELSE 0 END AS ni
+       |  FROM hits),
+       |isl AS (SELECT doc_id, n, pos,
+       |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM marked)""".stripMargin
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -176,6 +199,17 @@ object LlmQueries {
           .otherwise(col("text")).as("text"))
       Dedup.repeatedSpans(injected, "doc_id", "text", k = 13)
         .orderBy("doc_id", "span_start")
+    }),
+
+    // repeated-token budget per doc over the same injected fixture as
+    // q_text_spans: span lengths summed, exact-integer fraction, every doc
+    // scored (zero-span docs 0)
+    "q_text_span_stats" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + SpanSuffix)))
+          .otherwise(col("text")).as("text"))
+      Dedup.repeatedFraction(injected, "doc_id", "text", k = 13)
+        .orderBy("doc_id")
     }),
 
     // shingle novelty vs the %5 reference slice: reference docs score 0
@@ -905,28 +939,28 @@ object LlmQueries {
     // corpus → covered positions → gaps-and-islands merge into maximal
     // spans (new island when pos > prev running max + k), ends clamped to
     // the doc's token count — the exact walk the Scala kernel does
-    "q_text_spans" -> {
-      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+    "q_text_spans" ->
       s"""${HashOracle.macros}
-         |WITH d AS (SELECT doc_id, str_split(lower(CASE WHEN doc_id % 9 = 0
-         |    THEN text || ' $SpanSuffix' ELSE text END), ' ') AS toks FROM documents),
-         |pos0 AS (SELECT doc_id, len(toks) AS n,
-         |  unnest(CASE WHEN len(toks) < 13 THEN [{'p': 0, 'g': array_to_string(toks, ' ')}]
-         |    ELSE list_transform(range(1, len(toks) - 11), i -> {'p': i - 1, 'g': $concat13}) END) AS u
-         |  FROM d),
-         |pos AS (SELECT doc_id, n, u.p AS pos, fnv1a(u.g) AS sh FROM pos0),
-         |dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
-         |hits AS (SELECT doc_id, n, pos FROM pos JOIN dup USING (sh)),
-         |marked AS (SELECT doc_id, n, pos,
-         |  CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100) + 13 THEN 1 ELSE 0 END AS ni
-         |  FROM hits),
-         |isl AS (SELECT doc_id, n, pos,
-         |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM marked)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(least(max(pos) + 13, max(n)) AS BIGINT) AS span_end
-         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
-    },
+         |WITH $spanIslandCtes,
+         |sp AS (SELECT doc_id, min(pos) AS span_start, least(max(pos) + 13, max(n)) AS span_end
+         |  FROM isl GROUP BY doc_id, island)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(span_end AS BIGINT) AS span_end
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    // the q_text_spans chain aggregated to the per-doc repeated budget;
+    // zero-span docs join in with 0
+    "q_text_span_stats" ->
+      s"""${HashOracle.macros}
+         |WITH $spanIslandCtes,
+         |sp AS (SELECT doc_id, min(pos) AS span_start, least(max(pos) + 13, max(n)) AS span_end
+         |  FROM isl GROUP BY doc_id, island),
+         |rep AS (SELECT doc_id, sum(span_end - span_start) AS repeated_tokens
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(rep.repeated_tokens, 0) AS BIGINT) AS repeated_tokens,
+         |  CAST(coalesce(rep.repeated_tokens, 0) AS DOUBLE) / len(d.toks) AS repeated_frac
+         |FROM d LEFT JOIN rep USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // 13-gram shingles of both sides recomputed with the same FNV-1a hash
     // the engine joins on; contaminated = any shared shingle hash

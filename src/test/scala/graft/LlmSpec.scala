@@ -390,6 +390,23 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
   }
 
+  test("repeated fraction: span budget per doc, zero for unique docs") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 15)
+    val fixture = Seq(
+      (1L, words("a", 10) + " " + shared),  // 25 toks, [10, 25) repeated
+      (2L, shared + " " + words("b", 5)),   // 20 toks, [0, 15) repeated
+      (3L, words("c", 12))                  // unique → 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedFraction(fixture, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 25L, 15L, 15.0 / 25)))
+    assert(out(1) == ((2L, 20L, 15L, 15.0 / 20)))
+    assert(out(2) == ((3L, 12L, 0L, 0.0)))
+  }
+
   test("novelty: reference docs score 0, disjoint docs score 1, partial overlap exact") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =
