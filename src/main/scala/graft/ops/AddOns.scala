@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.Envelope
 
@@ -62,6 +62,38 @@ object AddOns {
         (sum(col("__size")).cast("double") / count(lit(1))).as("avg_bytes"),
         min(col("__size")).cast("long").as("min_bytes"),
         max(col("__size")).cast("long").as("max_bytes"))
+  }
+
+  /** Exact discrete quantiles of an integer-valued column — the p50/p95/p99
+    * companion to [[messageSizeStats]] (size-distribution monitoring,
+    * sequence-length budgeting for packing). Returns the value at 0-based
+    * sorted rank floor((n-1)·p) for each requested probability — exact
+    * rank selection, no interpolation, no sketch error, reproducible across
+    * engines by construction (integer ranks, integer values).
+    *
+    * Scale shape: the full-row sort exact quantiles normally need never
+    * happens — rows collapse FIRST to (value, count) via one map-side-
+    * combined aggregation, and the cumulative rank walk runs over the
+    * DISTINCT VALUES only. Right for bounded-cardinality columns (sizes,
+    * token counts, status codes), where |distinct| is thousands at any
+    * corpus scale; for genuinely continuous columns bucket first or accept
+    * a sketch. The ordered cumulative sum over distinct values is a window
+    * WITHOUT partitioning — acceptable exactly because its input is the
+    * collapsed value table, not the corpus. */
+  def quantilesExact(df: DataFrame, valueCol: Column, probs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.select(valueCol.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val cum = counts.withColumn("__cum",
+      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("__v").rowsBetween(Long.MinValue, 0)))
+    val n = df.count()
+    val pRows = probs.map(p => (p, math.floor((n - 1) * p).toLong))
+    import spark.implicits._
+    val targets = pRows.toDF("p", "__idx")
+    // value at rank idx = first value whose cumulative count exceeds idx
+    cum.join(broadcast(targets), col("__cum") > col("__idx"))
+      .groupBy("p").agg(min(col("__v")).as("value"))
   }
 
   /** offsets_diff — message counts between two timestamps per partition

@@ -97,6 +97,16 @@ object BatchQueries {
     "q_message_size_stats" -> ((s, dir) =>
       AddOns.messageSizeStats(env(s, dir))),
 
+    // exact p50/p90/p99 of message byte sizes: rows collapse to
+    // (value, count) first, rank walk over distinct values only
+    "q_size_quantiles" -> ((s, dir) =>
+      AddOns.quantilesExact(
+          env(s, dir).withColumn("__size",
+            coalesce(octet_length(col("key")), lit(0)) +
+              coalesce(octet_length(col("value")), lit(0))),
+          col("__size"), Seq(0.5, 0.9, 0.99))
+        .orderBy("p")),
+
     "q_offsets_diff" -> ((s, dir) =>
       // 2024-01-10T00:00:00Z .. 2024-01-20T00:00:00Z
       AddOns.offsetsDiff(env(s, dir), 1704844800000L, 1705708800000L)
@@ -193,6 +203,16 @@ object BatchQueries {
          |CAST(min(sz) AS BIGINT) AS min_bytes,
          |CAST(max(sz) AS BIGINT) AS max_bytes
          |FROM (SELECT coalesce(strlen(key),0) + coalesce(strlen(value),0) AS sz FROM env)""".stripMargin,
+
+    // value at 0-based sorted rank floor((n-1)p): rank via row_number,
+    // same octet sizes as q_message_size_stats
+    "q_size_quantiles" ->
+      s"""$envCte, sz AS (SELECT coalesce(strlen(key),0) + coalesce(strlen(value),0) AS v FROM env),
+         |rk AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM sz),
+         |nn AS (SELECT count(*) AS n FROM sz)
+         |SELECT CAST(p AS DOUBLE) AS p, (SELECT CAST(min(v) AS BIGINT) FROM rk
+         |    WHERE r >= floor(((SELECT n FROM nn) - 1) * CAST(p AS DOUBLE))) AS value
+         |FROM (VALUES (0.5), (0.9), (0.99)) t(p) ORDER BY p""".stripMargin,
 
     "q_offsets_diff" ->
       s"""$envCte SELECT partition, CAST(count(*) AS BIGINT) AS n_messages FROM env

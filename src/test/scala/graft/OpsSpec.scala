@@ -64,6 +64,23 @@ class OpsSpec extends SparkSpec {
     assert(stats.getAs[Long]("max_bytes") == 7L)
   }
 
+  test("exact quantiles: rank selection on a known distribution, duplicates, edges") {
+    import spark.implicits._
+    import graft.ops.AddOns
+    // values 1..100 each once: 0-based rank floor(99·p) → value rank+1:
+    // p50 → rank 49 → 50; p99 → rank floor(98.01)=98 → 99; p1.0 → rank 99 → 100
+    val u = (1 to 100).toDF("v")
+    val q1 = AddOns.quantilesExact(u, col("v"), Seq(0.0, 0.5, 0.9, 0.99, 1.0))
+      .as[(Double, Long)].collect().toMap
+    assert(q1 == Map(0.0 -> 1L, 0.5 -> 50L, 0.9 -> 90L, 0.99 -> 99L, 1.0 -> 100L))
+    // heavy duplicates: 90×10, 9×100, 1×1000 → p50 in the 10-bucket,
+    // p95 in the 100-bucket, p100 = 1000
+    val skew = (Seq.fill(90)(10) ++ Seq.fill(9)(100) ++ Seq(1000)).toDF("v")
+    val q2 = AddOns.quantilesExact(skew, col("v"), Seq(0.5, 0.95, 1.0))
+      .as[(Double, Long)].collect().toMap
+    assert(q2 == Map(0.5 -> 10L, 0.95 -> 100L, 1.0 -> 1000L))
+  }
+
   test("distributed foldl equals the sequential fold") {
     val ds = spark.range(1, 1001).as[Long]
     val distributed = Functional.foldl(ds)(0L)(_ + _, _ + _)

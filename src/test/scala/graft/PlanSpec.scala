@@ -19,8 +19,11 @@ class PlanSpec extends SparkSpec {
   //  - q_ann_ivf: the probe step crossJoins |queries| rows × the k-row
   //    centroid table (both tiny, broadcast) to pick nprobe lists; the
   //    corpus-side assignment itself is a map-side kernel (asserted below)
+  //  - q_size_quantiles: the rank targets are a 3-row broadcast joined on
+  //    an inequality (cum > idx) — a 3-row build side at any scale
   private val intendedNestedLoop =
-    Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf")
+    Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf",
+      "q_size_quantiles")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
