@@ -133,6 +133,35 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed tables co-locate the join: no exchange on either input") {
+    // the pre-partitioning story for repeated joins at scale: bucketBy the
+    // join key at write time and the shuffle disappears from every later
+    // join. Demonstrated with both sides bucketed 8 ways on the order key.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet").select("o_orderkey", "o_orderpriority")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable("ord_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-shaped plan
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // the bucket layout satisfies the join's distribution on BOTH sides
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"lineitem side re-shuffled despite bucketing:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"orders side re-shuffled despite bucketing:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("semi/anti/agg-join TPC-H shapes: LeftSemi, LeftAnti + pushed date, one lineitem shuffle") {
     // EXISTS must plan as a semi-join (match multiplicity never materializes)
     val q4 = SparkEntry.queries("q4_priority")(spark, sfDir)
