@@ -22,6 +22,39 @@ object LlmQueries {
     "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
 
+  /** Novelty CTE chain (expects `d` = (doc_id, toks)): distinct 13-gram
+    * FNV hashes per doc, the %5 reference hash set, per-doc novel counts.
+    * Yields `novagg` (doc_id, n, novel). Shared by q_text_novelty and the
+    * curation pipeline. */
+  private lazy val noveltyCtes: String = {
+    val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+    s"""sh0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM d),
+       |sh AS (SELECT DISTINCT doc_id, fnv1a(shingle) AS h FROM sh0),
+       |ref AS (SELECT DISTINCT h FROM sh WHERE doc_id % 5 = 0),
+       |novagg AS (SELECT doc_id, count(*) AS n,
+       |  sum(CASE WHEN h IN (SELECT h FROM ref) THEN 0 ELSE 1 END) AS novel
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Bigram-LM CTE chain (expects `d` = (doc_id, toks)): unigram/bigram
+    * counts over the %5 slice, micro-nat surprisal terms, per-doc sums.
+    * Yields `lmagg` (doc_id, n, s). Shared by q_text_lm_score and the
+    * curation pipeline. */
+  private lazy val lmCtes: String =
+    """uni AS (SELECT t AS w, count(*) AS c FROM
+      |  (SELECT unnest(toks) AS t FROM d WHERE doc_id % 5 = 0) GROUP BY t),
+      |vv AS (SELECT count(*) AS v FROM uni),
+      |pb0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u FROM d),
+      |pb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM pb0),
+      |bi AS (SELECT w1, w2, count(*) AS c FROM pb WHERE doc_id % 5 = 0 GROUP BY w1, w2),
+      |terms AS (SELECT pb.doc_id,
+      |  CAST(floor(ln(CAST(coalesce(u.c, 0) + (SELECT v FROM vv) AS DOUBLE)
+      |    / (coalesce(b.c, 0) + 1)) * 1000000.0 + 0.5) AS BIGINT) AS t
+      |  FROM pb LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u ON pb.w1 = u.w),
+      |lmagg AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id)""".stripMargin
+
   /** CTE chain shared by q_text_spans / q_text_span_stats: injected
     * fixture → positional 13-gram FNV hashes → corpus-duplicated hashes →
     * covered positions → island ids (the gaps-and-islands merge state).
@@ -199,6 +232,25 @@ object LlmQueries {
           .otherwise(col("text")).as("text"))
       Dedup.repeatedSpans(injected, "doc_id", "text", k = 13)
         .orderBy("doc_id", "span_start")
+    }),
+
+    // curation scorecard: domain cap → novelty vs reference → LM
+    // perplexity, composed as ONE plan over the capped survivor set; keep
+    // = novel enough AND fluent enough (thresholds from the sf0.01 signal
+    // distribution: novelty is bimodal 0/1, mean_nats ~3.3-3.5)
+    "q_pipeline_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 5 === 0)
+      val capped = Sampling.capPerDomain(d, "doc_id", "source", maxPerDomain = 15)
+      val nov = Dedup.novelty(capped, "doc_id", "text", ref, "text", k = 13)
+        .select("doc_id", "novelty_frac")
+      val lm = TextAnalysis.lmScore(capped, "doc_id", "text", ref, "text")
+        .select("doc_id", "n_terms", "mean_nats")
+      capped.select("doc_id", "source", "domain_rank")
+        .join(nov, Seq("doc_id"))
+        .join(lm, Seq("doc_id"))
+        .withColumn("keep", col("novelty_frac") > 0.5 && col("mean_nats") <= 3.5)
+        .orderBy("doc_id")
     }),
 
     // repeated-token budget per doc over the same injected fixture as
@@ -877,24 +929,36 @@ object LlmQueries {
         |  CASE WHEN all_chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE) / all_chars END AS dup_line_char_frac
         |FROM a ORDER BY doc_id""".stripMargin,
 
+    // the domain-cap row_number, the novelty chain, and the LM chain
+    // composed in one replay; keep from the same three-valued logic
+    "q_pipeline_curation" ->
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |cap AS (SELECT doc_id, source, rk FROM (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY tosigned(sm64(CAST(doc_id AS HUGEINT))), doc_id) AS rk
+         |  FROM documents) WHERE rk <= 15),
+         |$noveltyCtes,
+         |$lmCtes
+         |SELECT cap.doc_id, cap.source, CAST(cap.rk AS BIGINT) AS domain_rank,
+         |  CAST(novagg.novel AS DOUBLE) / novagg.n AS novelty_frac,
+         |  CAST(coalesce(lmagg.n, 0) AS BIGINT) AS n_terms,
+         |  CASE WHEN lmagg.n > 0 THEN CAST(lmagg.s AS DOUBLE) / 1000000.0 / lmagg.n END AS mean_nats,
+         |  (CAST(novagg.novel AS DOUBLE) / novagg.n > 0.5 AND
+         |   (CASE WHEN lmagg.n > 0 THEN CAST(lmagg.s AS DOUBLE) / 1000000.0 / lmagg.n END) <= 3.5) AS keep
+         |FROM cap JOIN novagg USING (doc_id) LEFT JOIN lmagg USING (doc_id)
+         |ORDER BY cap.doc_id""".stripMargin,
+
     // the decontaminate shingle replay, counted instead of flagged:
     // distinct 13-gram FNV hashes per doc, novel = absent from the
     // reference slice's hash set, fraction from exact integer operands
-    "q_text_novelty" -> {
-      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+    "q_text_novelty" ->
       s"""${HashOracle.macros}
          |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
-         |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM d),
-         |sh AS (SELECT DISTINCT doc_id, fnv1a(shingle) AS h FROM sh0),
-         |ref AS (SELECT DISTINCT h FROM sh WHERE doc_id % 5 = 0),
-         |agg AS (SELECT doc_id, count(*) AS n,
-         |  sum(CASE WHEN h IN (SELECT h FROM ref) THEN 0 ELSE 1 END) AS novel
-         |  FROM sh GROUP BY doc_id)
+         |$noveltyCtes
          |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, CAST(novel AS BIGINT) AS n_novel,
          |  CAST(novel AS DOUBLE) / n AS novelty_frac
-         |FROM agg ORDER BY doc_id""".stripMargin
-    },
+         |FROM novagg ORDER BY doc_id""".stripMargin,
 
     // tf/df recomputed relationally, identical micro-nat idf rounding,
     // exact long score, row_number replay of the (score desc, term) order
@@ -916,24 +980,13 @@ object LlmQueries {
     // as BIGINT (term-wise integer rounding makes the per-doc sum
     // order-free — no ordered aggregate needed), identical final division
     "q_text_lm_score" ->
-      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
-        |uni AS (SELECT t AS w, count(*) AS c FROM
-        |  (SELECT unnest(toks) AS t FROM d WHERE doc_id % 5 = 0) GROUP BY t),
-        |vv AS (SELECT count(*) AS v FROM uni),
-        |pb0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u FROM d),
-        |pb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM pb0),
-        |bi AS (SELECT w1, w2, count(*) AS c FROM pb WHERE doc_id % 5 = 0 GROUP BY w1, w2),
-        |terms AS (SELECT pb.doc_id,
-        |  CAST(floor(ln(CAST(coalesce(u.c, 0) + (SELECT v FROM vv) AS DOUBLE)
-        |    / (coalesce(b.c, 0) + 1)) * 1000000.0 + 0.5) AS BIGINT) AS t
-        |  FROM pb LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u ON pb.w1 = u.w),
-        |agg AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id)
-        |SELECT ids.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_terms,
-        |  CAST(coalesce(agg.s, 0) AS BIGINT) AS surprisal_micronats,
-        |  CASE WHEN agg.n > 0 THEN CAST(agg.s AS DOUBLE) / 1000000.0 / agg.n END AS mean_nats
-        |FROM (SELECT doc_id FROM d) ids LEFT JOIN agg USING (doc_id)
-        |ORDER BY ids.doc_id""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |$lmCtes
+         |SELECT ids.doc_id, CAST(coalesce(lmagg.n, 0) AS BIGINT) AS n_terms,
+         |  CAST(coalesce(lmagg.s, 0) AS BIGINT) AS surprisal_micronats,
+         |  CASE WHEN lmagg.n > 0 THEN CAST(lmagg.s AS DOUBLE) / 1000000.0 / lmagg.n END AS mean_nats
+         |FROM (SELECT doc_id FROM d) ids LEFT JOIN lmagg USING (doc_id)
+         |ORDER BY ids.doc_id""".stripMargin,
 
     // positional 13-gram shingle hashes → hashes occurring >1 time in the
     // corpus → covered positions → gaps-and-islands merge into maximal
