@@ -518,6 +518,23 @@ class LlmSpec extends SparkSpec {
     assert(kept2.toSet == expected)
   }
 
+  test("domain caps: null ids dropped, null domain is its own group, string ids cast") {
+    import graft.llm.{Hashing, Sampling}
+    import spark.implicits._
+    val fixture = Seq(
+      (Some("1"), Some("a")), (Some("2"), Some("a")), (Some("3"), Some("a")),
+      (Some("4"), None), (Some("5"), None),      // null domain: a real group
+      (None, Some("a")), (Some("junk"), Some("a")) // unrankable ids: dropped
+    ).toDF("id", "dom")
+    val kept = Sampling.capPerDomain(fixture, "id", "dom", maxPerDomain = 2)
+      .select("id", "dom").as[(String, Option[String])].collect().toSet
+    val expectA = Seq(1L, 2L, 3L)
+      .sortBy(id => (Hashing.splitmix64(id), id)).take(2).map(_.toString).toSet
+    assert(kept.collect { case (id, Some("a")) => id }.toSet == expectA)
+    assert(kept.collect { case (id, None) => id } == Set("4", "5"))
+    assert(!kept.exists(_._1 == null) && !kept.exists(_._1 == "junk"))
+  }
+
   test("PQ: deterministic training, in-range codes, recall floor vs brute force") {
     import graft.llm.Pq
     val e = emb.select("vec_id", "embedding")
