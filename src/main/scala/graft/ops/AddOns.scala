@@ -96,6 +96,31 @@ object AddOns {
       .groupBy("p").agg(min(col("__v")).as("value"))
   }
 
+  /** Per-group [[quantilesExact]]: one row per (group, probability). Same
+    * collapse-first shape with every step partitioned by the group — the
+    * cumulative window is PARTITIONED (hot groups parallelize across
+    * groups, distinct values only), targets derive from per-group totals,
+    * and the rank walk joins on (group, cum > idx). Output: (groupCol, p,
+    * value). */
+  def quantilesExactBy(df: DataFrame, groupCol: String, valueCol: Column,
+      probs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("__g").agg(sum("__c").as("__n"))
+    val targets = totals
+      .crossJoin(broadcast(probs.toDF("p")))
+      .select(col("__g").as("__tg"), col("p"),
+        floor((col("__n") - 1) * col("p")).cast("long").as("__idx"))
+    val cum = counts.withColumn("__cum",
+      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("__g").orderBy("__v").rowsBetween(Long.MinValue, 0)))
+    cum.join(targets, col("__g") === col("__tg") && col("__cum") > col("__idx"))
+      .groupBy(col("__g").as(groupCol), col("p"))
+      .agg(min(col("__v")).as("value"))
+  }
+
   /** offsets_diff — message counts between two timestamps per partition
     * (kafi/addons.py:133-154). The timestamp range predicate is pushed to the
     * scan (row-group pruning on a time-partitioned layout). */

@@ -107,6 +107,16 @@ object BatchQueries {
           col("__size"), Seq(0.5, 0.9, 0.99))
         .orderBy("p")),
 
+    // the grouped form: per-partition medians/tails, window partitioned by
+    // the group so hot groups never serialize through one task
+    "q_size_quantiles_by" -> ((s, dir) =>
+      AddOns.quantilesExactBy(
+          env(s, dir).withColumn("__size",
+            coalesce(octet_length(col("key")), lit(0)) +
+              coalesce(octet_length(col("value")), lit(0))),
+          "partition", col("__size"), Seq(0.5, 0.99))
+        .orderBy("partition", "p")),
+
     "q_offsets_diff" -> ((s, dir) =>
       // 2024-01-10T00:00:00Z .. 2024-01-20T00:00:00Z
       AddOns.offsetsDiff(env(s, dir), 1704844800000L, 1705708800000L)
@@ -213,6 +223,17 @@ object BatchQueries {
          |SELECT CAST(p AS DOUBLE) AS p, (SELECT CAST(min(v) AS BIGINT) FROM rk
          |    WHERE r >= floor(((SELECT n FROM nn) - 1) * CAST(p AS DOUBLE))) AS value
          |FROM (VALUES (0.5), (0.9), (0.99)) t(p) ORDER BY p""".stripMargin,
+
+    // per-group row_number ranks, same floor((n-1)p) selection
+    "q_size_quantiles_by" ->
+      s"""$envCte, sz AS (SELECT partition, coalesce(strlen(key),0) + coalesce(strlen(value),0) AS v FROM env),
+         |rk AS (SELECT partition, v, row_number() OVER (PARTITION BY partition ORDER BY v) - 1 AS r FROM sz),
+         |ng AS (SELECT partition, count(*) AS n FROM sz GROUP BY 1),
+         |tg AS (SELECT partition, CAST(p AS DOUBLE) AS p, floor((n - 1) * CAST(p AS DOUBLE)) AS idx
+         |  FROM ng, (VALUES (0.5), (0.99)) t(p))
+         |SELECT tg.partition, tg.p, CAST(min(rk.v) AS BIGINT) AS value
+         |FROM tg JOIN rk ON rk.partition = tg.partition AND rk.r >= tg.idx
+         |GROUP BY tg.partition, tg.p ORDER BY tg.partition, tg.p""".stripMargin,
 
     "q_offsets_diff" ->
       s"""$envCte SELECT partition, CAST(count(*) AS BIGINT) AS n_messages FROM env

@@ -81,6 +81,17 @@ class OpsSpec extends SparkSpec {
     assert(q2 == Map(0.5 -> 10L, 0.95 -> 100L, 1.0 -> 1000L))
   }
 
+  test("grouped exact quantiles: independent per-group selection") {
+    import spark.implicits._
+    import graft.ops.AddOns
+    val two = ((1 to 100).map(v => ("a", v)) ++ Seq(("b", 7), ("b", 7), ("b", 9)))
+      .toDF("g", "v")
+    val q = AddOns.quantilesExactBy(two, "g", col("v"), Seq(0.5, 1.0))
+      .as[(String, Double, Long)].collect().toSet
+    // group a = uniform 1..100; group b = {7,7,9}: p50 rank floor(2·0.5)=1 → 7
+    assert(q == Set(("a", 0.5, 50L), ("a", 1.0, 100L), ("b", 0.5, 7L), ("b", 1.0, 9L)))
+  }
+
   test("distributed foldl equals the sequential fold") {
     val ds = spark.range(1, 1001).as[Long]
     val distributed = Functional.foldl(ds)(0L)(_ + _, _ + _)

@@ -19,11 +19,13 @@ class PlanSpec extends SparkSpec {
   //  - q_ann_ivf: the probe step crossJoins |queries| rows × the k-row
   //    centroid table (both tiny, broadcast) to pick nprobe lists; the
   //    corpus-side assignment itself is a map-side kernel (asserted below)
-  //  - q_size_quantiles: the rank targets are a 3-row broadcast joined on
-  //    an inequality (cum > idx) — a 3-row build side at any scale
+  //  - q_size_quantiles / q_size_quantiles_by: the rank targets are a
+  //    probs-row broadcast joined on an inequality (cum > idx) — a
+  //    |probs|-row build side at any scale (the grouped form also crosses
+  //    per-group totals with the broadcast probs list)
   private val intendedNestedLoop =
     Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf",
-      "q_size_quantiles")
+      "q_size_quantiles", "q_size_quantiles_by")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
