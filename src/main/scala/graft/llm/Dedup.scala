@@ -68,17 +68,17 @@ object Dedup {
       .toDF(idCol, "__shh", "__sig")
   }
 
-  /** The per-document signature kernel behind [[minhashSignature]] and the
-    * streaming near-dup filter (graft.streaming.StreamingDedup.nearDup):
-    * distinct sorted shingle hashes + the MinHash signature. One definition
-    * so batch and stream bucket IDENTICALLY — a doc the batch pass calls a
-    * near-dup collides with the same band keys on the stream. */
   /** FNV-1a hash of the k-word shingle at every token position of one
     * document (lowercased, space-tokenized; docs shorter than k hash the
     * whole text as one shingle at position 0). Index IS the position —
     * [[repeatedSpans]] needs it; [[shingleHashes]] collapses it away. */
-  private[graft] def positionalShingleHashes(text: String, k: Int): Array[Long] = {
-    val toks = text.toLowerCase.split(" ", -1)
+  private[graft] def positionalShingleHashes(text: String, k: Int): Array[Long] =
+    positionalShingleHashes(text.toLowerCase.split(" ", -1), k)
+
+  /** Token-array form — callers that already tokenized (the repeatedSpans
+    * kernel needs the token count too) avoid a second lowercase+split pass
+    * over every byte of text. */
+  private[graft] def positionalShingleHashes(toks: Array[String], k: Int): Array[Long] = {
     val nSh = math.max(toks.length - k + 1, 1)
     val sb = new java.lang.StringBuilder
     val raw = new Array[Long](nSh)
@@ -441,7 +441,7 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase.split(" ", -1)
-        val sh = positionalShingleHashes(text, k)
+        val sh = positionalShingleHashes(toks, k)
         sh.iterator.zipWithIndex.map { case (h, p) =>
           (id, p.toLong, h, toks.length.toLong)
         }

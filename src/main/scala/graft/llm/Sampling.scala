@@ -135,12 +135,17 @@ object Sampling {
       .mapPartitions(_.map { case (dom, id) => (dom, Hashing.splitmix64(id), id) })
     val kept = slim.groupByKey(_._1)
       .agg(new MinKAgg(maxPerDomain).toColumn)
-      .flatMap { case (_, top) =>
-        top.iterator.zipWithIndex.map { case ((_, id), i) => (id, (i + 1).toLong) }
+      .flatMap { case (dom, top) =>
+        top.iterator.zipWithIndex.map { case ((_, id), i) => (dom, id, (i + 1).toLong) }
       }
-      .toDF("__kept_id", "domain_rank")
-    df.join(kept, expr(s"try_cast(`$idCol` as bigint)") === col("__kept_id"))
-      .drop("__kept_id")
+      .toDF("__kept_dom", "__kept_id", "domain_rank")
+    // join on BOTH (domain, id): ids only unique within a domain (shard-
+    // local ids are common) must not leak rows across domains; <=> keeps a
+    // null domain matching its own kept entries
+    df.join(kept,
+        expr(s"try_cast(`$idCol` as bigint)") === col("__kept_id") &&
+          col(domainCol).cast("string") <=> col("__kept_dom"))
+      .drop("__kept_id", "__kept_dom")
   }
 
   /** Stratified hash sampling: a DIFFERENT keep-fraction per stratum value

@@ -60,6 +60,9 @@ object TextAnalysis {
       }
       .groupByKey(identity).count().collect().toMap
     val vocab = uni.size.toLong
+    // an empty vocab would make every term ln(0) = -Inf → Long.MinValue →
+    // wrap-around garbage sums; fail fast instead
+    require(vocab > 0, "LM reference corpus is empty — nothing to train on")
     val sc = spark.sparkContext
     val bcU = sc.broadcast(uni)
     val bcB = sc.broadcast(bi)

@@ -82,15 +82,19 @@ object AddOns {
     * collapsed value table, not the corpus. */
   def quantilesExact(df: DataFrame, valueCol: Column, probs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    // nulls (and non-castable values) are ignored, the contract of every
+    // SQL percentile; n comes from the collapsed table — never a second
+    // full scan of the input
     val counts = df.select(valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__c"))
     val cum = counts.withColumn("__cum",
       sum(col("__c")).over(org.apache.spark.sql.expressions.Window
         .orderBy("__v").rowsBetween(Long.MinValue, 0)))
-    val n = df.count()
-    val pRows = probs.map(p => (p, math.floor((n - 1) * p).toLong))
-    import spark.implicits._
-    val targets = pRows.toDF("p", "__idx")
+    val targets = counts.agg(sum("__c").as("__n"))
+      .crossJoin(broadcast(probs.toDF("p")))
+      .select(col("p"), floor((col("__n") - 1) * col("p")).cast("long").as("__idx"))
     // value at rank idx = first value whose cumulative count exceeds idx
     cum.join(broadcast(targets), col("__cum") > col("__idx"))
       .groupBy("p").agg(min(col("__v")).as("value"))
@@ -107,6 +111,7 @@ object AddOns {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull) // same ignore-nulls contract as the ungrouped form
       .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
     val totals = counts.groupBy("__g").agg(sum("__c").as("__n"))
     val targets = totals
@@ -116,7 +121,8 @@ object AddOns {
     val cum = counts.withColumn("__cum",
       sum(col("__c")).over(org.apache.spark.sql.expressions.Window
         .partitionBy("__g").orderBy("__v").rowsBetween(Long.MinValue, 0)))
-    cum.join(targets, col("__g") === col("__tg") && col("__cum") > col("__idx"))
+    // <=> so a NULL group keeps its quantiles instead of silently vanishing
+    cum.join(targets, col("__g") <=> col("__tg") && col("__cum") > col("__idx"))
       .groupBy(col("__g").as(groupCol), col("p"))
       .agg(min(col("__v")).as("value"))
   }

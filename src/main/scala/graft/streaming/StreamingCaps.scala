@@ -37,13 +37,21 @@ object StreamingCaps {
     val in = df
       .withColumn("__id_long", expr(s"try_cast(`$idCol` as bigint)"))
       .filter(col("__id_long").isNotNull)
+      // a null event time cannot hold state within a horizon; drop it like
+      // an unrankable id rather than NPE mid-query
+      .filter(col(tsCol).isNotNull)
       .withWatermark(tsCol, s"$delayMs milliseconds")
     val schema = in.schema
     val dIdx = schema.fieldIndex(domainCol)
     val idIdx = schema.fieldIndex("__id_long")
     val tsIdx = schema.fieldIndex(tsCol)
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
-    in.groupByKey(row => String.valueOf(row.get(dIdx)))
+    // a null domain is its own group (matching the batch operator) — never
+    // String.valueOf, which would pool null with the literal string "null"
+    in.groupByKey { row =>
+        val d = row.get(dIdx)
+        if (d == null) null else d.toString
+      }
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, rows: Iterator[Row], state: GroupState[Long]) =>

@@ -535,6 +535,19 @@ class LlmSpec extends SparkSpec {
     assert(!kept.exists(_._1 == null) && !kept.exists(_._1 == "junk"))
   }
 
+  test("domain caps: shard-local ids do not leak rows across domains") {
+    import graft.llm.Sampling
+    import spark.implicits._
+    // the same id appears in two domains (shard-local numbering)
+    val fixture = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b"), (3L, "b"))
+      .toDF("id", "dom")
+    val kept = Sampling.capPerDomain(fixture, "id", "dom", maxPerDomain = 1)
+      .select("id", "dom").as[(Long, String)].collect()
+    // exactly one row per domain, no duplicates from cross-domain id matches
+    assert(kept.length == 2, s"cap violated or rows duplicated: ${kept.toSeq}")
+    assert(kept.map(_._2).toSet == Set("a", "b"))
+  }
+
   test("PQ: deterministic training, in-range codes, recall floor vs brute force") {
     import graft.llm.Pq
     val e = emb.select("vec_id", "embedding")

@@ -81,6 +81,23 @@ class OpsSpec extends SparkSpec {
     assert(q2 == Map(0.5 -> 10L, 0.95 -> 100L, 1.0 -> 1000L))
   }
 
+  test("exact quantiles ignore nulls; grouped form keeps the NULL group") {
+    import spark.implicits._
+    import graft.ops.AddOns
+    // nulls must not shift ranks: p50 of {10,20,30} is 20 regardless of nulls
+    val withNulls = Seq[Option[Int]](None, Some(10), Some(20), Some(30))
+      .toDF("v")
+    val q = AddOns.quantilesExact(withNulls, col("v"), Seq(0.5))
+      .as[(Double, Long)].collect().toMap
+    assert(q == Map(0.5 -> 20L))
+    // a NULL group value is a real group, not silently dropped
+    val g = Seq((Some("a"), 1), (Some("a"), 3), (None, 7), (None, 9))
+      .toDF("g", "v")
+    val qg = AddOns.quantilesExactBy(g, "g", col("v"), Seq(1.0))
+      .as[(Option[String], Double, Long)].collect().toSet
+    assert(qg == Set((Some("a"), 1.0, 3L), (None, 1.0, 9L)))
+  }
+
   test("grouped exact quantiles: independent per-group selection") {
     import spark.implicits._
     import graft.ops.AddOns
