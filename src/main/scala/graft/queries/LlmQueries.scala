@@ -22,6 +22,34 @@ object LlmQueries {
     "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
 
+  /** BPE training replay: `wc` (word, c) → `w0` (code points joined by
+    * chr(31)) → n merge steps, each counting weighted adjacent pairs,
+    * picking the (count DESC, lhs, rhs) argmax `b$i`, and rewriting every
+    * word via literal replace — DuckDB `replace` shares String.replace's
+    * left-to-right non-overlapping semantics, which IS the BPE merge rule.
+    * Mechanically generated per step, the [[HashOracle.lloydStep]] trick. */
+  private def bpeCtes(n: Int): String = {
+    // AS MATERIALIZED everywhere: each w(i+1) references w(i) and b(i)
+    // several times, and DuckDB's default CTE inlining would expand the
+    // chain 4^n-fold ("too many open files" on the documents scan)
+    val steps = (0 until n).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT u.a AS a, u.b AS b, sum(c) AS c FROM
+         |  (SELECT c, unnest(list_transform(range(1, len(syms)), j -> {'a': syms[j], 'b': syms[j+1]})) AS u
+         |   FROM (SELECT str_split(repr, chr(31)) AS syms, c FROM w$i) s$i) x$i GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (SELECT word, CASE WHEN EXISTS (SELECT 1 FROM b$i)
+         |  THEN replace(repr, (SELECT a FROM b$i) || chr(31) || (SELECT b FROM b$i),
+         |               (SELECT a FROM b$i) || (SELECT b FROM b$i)) ELSE repr END AS repr, c
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS MATERIALIZED (SELECT w AS word, count(*) AS c FROM
+       |  (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents) ww
+       |  WHERE w != '' GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
+       |  i -> word[i]), chr(31)) AS repr, c FROM wc),
+       |$steps""".stripMargin
+  }
+
   /** Novelty CTE chain (expects `d` = (doc_id, toks)): distinct 13-gram
     * FNV hashes per doc, the %5 reference hash set, per-doc novel counts.
     * Yields `novagg` (doc_id, n, novel). Shared by q_text_novelty and the
@@ -232,6 +260,21 @@ object LlmQueries {
           .otherwise(col("text")).as("text"))
       Dedup.repeatedSpans(injected, "doc_id", "text", k = 13)
         .orderBy("doc_id", "span_start")
+    }),
+
+    // BPE tokenizer: 8 merges trained on the corpus word-count dict —
+    // the merge table itself is the query output (rank, lhs, rhs)
+    "q_bpe_merges" -> ((s, dir) => {
+      val (m, _) = graft.llm.Bpe.train(docs(s, dir), "text", numMerges = 8)
+      graft.llm.Bpe.mergesDF(s, m).orderBy("rank")
+    }),
+
+    // full tokenization of every doc under those merges: exact token
+    // counts AND the token strings themselves
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8)
+      graft.llm.Bpe.encode(d, "doc_id", "text", m, dict).orderBy("doc_id")
     }),
 
     // curation scorecard: domain cap → novelty vs reference → LM
@@ -928,6 +971,30 @@ object LlmQueries {
         |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
         |  CASE WHEN all_chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE) / all_chars END AS dup_line_char_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the 8 argmax rows of the replayed merge loop
+    "q_bpe_merges" -> {
+      val union = (0 until 8).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs FROM b$i").mkString("\nUNION ALL ")
+      s"""WITH ${bpeCtes(8)}
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // every doc re-tokenized through the final dict w8: exact counts and
+    // position-ordered token strings
+    "q_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+         |docw AS (SELECT doc_id, u.i AS i, u.w AS w FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'i': i, 'w': toks[i]})) AS u
+         |   FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) dt) dx
+         |  WHERE u.w != ''),
+         |enc AS (SELECT docw.doc_id, docw.i, w8.repr, len(str_split(w8.repr, chr(31))) AS nt
+         |  FROM docw JOIN w8 ON docw.w = w8.word),
+         |agg AS (SELECT doc_id, sum(nt) AS n, string_agg(repr, ' ' ORDER BY i) AS ts
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens,
+         |  coalesce(agg.ts, '') AS tokens_str
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // the domain-cap row_number, the novelty chain, and the LM chain
     // composed in one replay; keep from the same three-valued logic

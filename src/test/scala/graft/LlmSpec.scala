@@ -390,6 +390,27 @@ class LlmSpec extends SparkSpec {
     assert(kept.filter(_._2 != "de").toSet == kept2.filter(_._2 != "de").toSet)
   }
 
+  test("BPE: hand-computed merges, greedy left-to-right, unseen-word generalization") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    val corpus = Seq((1L, "ab ab ab abc")).toDF("doc_id", "text")
+    val (merges, dict) = Bpe.train(corpus, "text", numMerges = 4)
+    // (a,b) count 4 merges first; then (ab,c) count 1; then no pairs remain
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("ab", "c")))
+    assert(dict("ab") == "ab" && dict("abc") == "abc")
+    // unseen word: merges apply in rank order, unknown tail stays split
+    val out = Bpe.encode(Seq((7L, "abc abd zz")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, dict)
+      .as[(Long, Long, String)].collect().head
+    // abc→1 token, abd→(ab, d)=2, zz→(z, z)=2
+    assert(out._2 == 5L, s"token count: $out")
+    assert(out._3 == "abc" + " " + "ab" + Bpe.Sep + "d" + " " + "z" + Bpe.Sep + "z")
+    // greedy left-to-right: aaa + merge (a,a) tokenizes as (aa, a), then (aa,a) merges
+    val (m2, d2) = Bpe.train(Seq((1L, "aaa aaa")).toDF("doc_id", "text"), "text", 4)
+    assert(m2.map(m => (m.lhs, m.rhs)) == Seq(("a", "a"), ("aa", "a")))
+    assert(d2("aaa") == "aaa")
+  }
+
   test("repeated fraction: span budget per doc, zero for unique docs") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =
