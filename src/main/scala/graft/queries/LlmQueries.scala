@@ -184,6 +184,21 @@ object LlmQueries {
         .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
+    // tokenize-then-pack, the actual pretraining dataflow: REAL BPE token
+    // counts (not whitespace estimates) drive the per-shard prefix-sum
+    // packing at a 256-token budget
+    "q_pack_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8)
+      Packing.packSequences(
+          graft.llm.Bpe.encode(d, "doc_id", "text", m, dict)
+            .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+              col("n_bpe_tokens").as("n_tokens")),
+          "doc_id", "shard", "n_tokens", budget = 256)
+        .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    }),
+
     // the whole training-data pipeline as ONE Catalyst plan: exact dedup →
     // quality gate (length + stopword ratio) → per-shard sequence packing.
     // No materialization between stages — scan, semi-join, map, window.
@@ -848,6 +863,23 @@ object LlmQueries {
         |SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS seq_id,
         |  CAST(cum % 512 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the BPE-encode chain's per-doc counts feeding the packing prefix sum
+    "q_pack_bpe" ->
+      s"""WITH ${bpeCtes(8)},
+         |docw AS (SELECT doc_id, w FROM
+         |  (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents) dt
+         |  WHERE w != ''),
+         |cnt AS (SELECT docw.doc_id, sum(len(str_split(w8.repr, chr(31)))) AS nt
+         |  FROM docw JOIN w8 ON docw.w = w8.word GROUP BY docw.doc_id),
+         |d AS (SELECT dd.doc_id, dd.doc_id % 8 AS shard,
+         |  CAST(coalesce(cnt.nt, 0) AS BIGINT) AS n_tokens
+         |  FROM documents dd LEFT JOIN cnt ON dd.doc_id = cnt.doc_id),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum FROM d)
+         |SELECT doc_id, shard, n_tokens, CAST(cum // 256 AS BIGINT) AS seq_id,
+         |  CAST(cum % 256 AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Dedup keep-set, the quality gate's integer-exact ratios, then the
     // packing prefix sum — each stage's arithmetic identical to its
