@@ -60,12 +60,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     // Queries at or above this get a single rep (signal-to-noise is fine
-    // and re-running doubles wall clock). 3.0, not 2.0: a ~0.3 s
-    // steady-state query whose FIRST run pays ~2 s of one-off codegen/GC
-    // would cross a 2.0 cutoff, lose its second rep, and record the cold
-    // time as if it were the operator's cost (r5: q_foldl 2.53 recorded vs
-    // 0.30 steady) — the 2–3 s band is exactly where that mistake lives.
-    val repeatBelow = 3.0
+    // and re-running doubles wall clock). Not 2.0: a ~0.3 s steady-state
+    // query whose FIRST run pays ~2 s of one-off codegen/GC would cross a
+    // low cutoff, lose its second rep, and record the cold time as if it
+    // were the operator's cost (r5: q_foldl 2.53 recorded vs 0.30 steady;
+    // r6: q_ann_pq 4.6 recorded vs 0.9 steady on a noisy run). 4.0 covers
+    // every query whose steady state is under ~3.5 s; only the genuinely
+    // multi-second training/clustering queries run once.
+    val repeatBelow = 4.0
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // a failed query records -1.0 (never a fake duration) and logs to stderr
