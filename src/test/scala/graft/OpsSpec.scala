@@ -98,6 +98,20 @@ class OpsSpec extends SparkSpec {
     assert(qg == Set((Some("a"), 1.0, 3L), (None, 1.0, 9L)))
   }
 
+  test("exact quantiles match the sort-based definition on seeded random data") {
+    import spark.implicits._
+    import graft.ops.AddOns
+    val rnd = new scala.util.Random(42)
+    val vals = Array.fill(997)(rnd.nextInt(50)) // heavy duplicates by design
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = AddOns.quantilesExact(vals.toSeq.toDF("v"), col("v"), probs)
+      .as[(Double, Long)].collect().toMap
+    val sorted = vals.sorted
+    val expected = probs.map(p =>
+      p -> sorted(math.floor((vals.length - 1) * p).toInt).toLong).toMap
+    assert(got == expected)
+  }
+
   test("grouped exact quantiles: independent per-group selection") {
     import spark.implicits._
     import graft.ops.AddOns

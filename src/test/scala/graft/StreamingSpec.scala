@@ -270,6 +270,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE encode: the batch tokenizer kernel runs unchanged on a stream") {
+    // train on a static corpus, tokenize an unbounded feed with the same
+    // broadcast merges+dict — the batch/stream unification the Dataset API
+    // buys for every pure map-stage operator
+    import graft.llm.Bpe
+    val staticCorpus = Seq((1L, "ab ab ab abc")).toDF("doc_id", "text")
+    val (merges, dict) = Bpe.train(staticCorpus, "text", numMerges = 4)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Bpe.encode(in.toDF().toDF("doc_id", "text"), "doc_id", "text", merges, dict)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bpe_out").start()
+    try {
+      in.addData(10L -> "abc ab", 11L -> "abd")
+      q.processAllAvailable()
+      val got = spark.table("bpe_out").select("doc_id", "n_bpe_tokens")
+        .as[(Long, Long)].collect().toMap
+      // abc→1 token, ab→1 (dict hits); abd→(ab, d)=2 (unseen, merges applied)
+      assert(got == Map(10L -> 2L, 11L -> 2L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: in-horizon near-duplicates suppressed, novel docs pass") {
     // the streaming twin of minhashPairs: batch LSH (same kernel, same band
     // hashing) decides which docs SHOULD collide; the stream must suppress
