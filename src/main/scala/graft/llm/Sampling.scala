@@ -77,6 +77,40 @@ object Sampling {
       .filter(col("__bucket") < lit(math.round(frac * 10000)))
       .drop("__bucket")
 
+  /** Temperature-scaled stratum rebalancing — the XLM-R / mT5 move
+    * (Conneau et al. 2020 §3.1): sample stratum l proportionally to
+    * p_l^alpha, flattening a skewed language (or source) distribution
+    * without upsampling. Derivation: the target shares q_l ∝ p_l^alpha are
+    * reached by keeping stratum l with probability ∝ p_l^(alpha-1),
+    * normalized so the largest keep fraction is exactly 1 (the most
+    * down-weighted-toward-equality stratum keeps everything; with
+    * alpha < 1 that is the SMALLEST stratum). Membership is the same
+    * deterministic splitmix64 bucket-vs-cut comparison as [[hashSample]]:
+    * cut_l = floor((c_l^(alpha-1) / max_m c_m^(alpha-1)) · 10000 + 0.5).
+    *
+    * Scale shape: ONE map-side-combined count per stratum (|strata|-
+    * bounded collect — languages/sources number in the hundreds), cuts
+    * computed on the driver, then a codegen'd when-chain filter — a pure
+    * map stage over the scan, identical to [[hashSampleStratified]].
+    * alpha = 1 keeps everything; alpha → 0 approaches equal shares. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ratios = counts.map { case (s, c) => (s, math.pow(c.toDouble, alpha - 1.0)) }
+    val rmax = ratios.map(_._2).max
+    val cuts = ratios.map { case (s, r) =>
+      (s, math.floor(r / rmax * 10000.0 + 0.5).toLong)
+    }
+    val cut = cuts.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (value, c)) => acc.when(col(stratumCol) === lit(value), lit(c))
+    }.otherwise(lit(0L)) // unseen stratum (only possible vs a changed input): drop
+    withBucket(df, idCol).filter(col("__bucket") < cut).drop("__bucket")
+  }
+
   /** Bounded min-k as a typed Aggregator: the buffer holds AT MOST k
     * (h, id) pairs in ascending (h signed, id) order — the same total order
     * a `row_number() OVER (ORDER BY h, id)` window ranks by, so the two

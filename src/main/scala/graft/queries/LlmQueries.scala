@@ -248,6 +248,13 @@ object LlmQueries {
           Map("en" -> 0.2, "es" -> 0.5))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // temperature rebalancing at alpha=0.3: the smallest language keeps
+    // 100%, the 3.4x-larger English slice keeps ~42% — flattening toward
+    // equal shares without upsampling
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(docs(s, dir), "doc_id", "lang", alpha = 0.3)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // per-domain caps: at most 10 docs per source, picked by ascending
     // (splitmix64(doc_id), doc_id) through the bounded min-k aggregator —
     // never a per-domain window (PlanSpec asserts)
@@ -941,6 +948,19 @@ object LlmQueries {
          |  tosigned((SELECT u FROM kth)) AS kth_hash,
          |  CAST(CASE WHEN (SELECT nk FROM kth) < 64 THEN (SELECT nk FROM kth)
          |    ELSE (63::HUGEINT * 18446744073709551616::HUGEINT) / (SELECT u FROM kth) END AS BIGINT) AS est_distinct""".stripMargin,
+
+    // per-language counts → pow(c, alpha-1) ratios → normalized 1/10000
+    // cuts (floor(x+0.5), the engine's rounding) → the sm64 bucket filter
+    "q_sample_temperature" ->
+      s"""${HashOracle.macros}
+         |WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         |r AS (SELECT lang, pow(CAST(c AS DOUBLE), 0.3 - 1.0) AS r FROM c),
+         |cuts AS (SELECT lang, CAST(floor(r / (SELECT max(r) FROM r) * 10000.0 + 0.5) AS BIGINT) AS cut FROM r),
+         |b AS (SELECT doc_id, lang,
+         |  ((tosigned(sm64(CAST(doc_id AS HUGEINT))) % 10000) + 10000) % 10000 AS bk
+         |  FROM documents)
+         |SELECT doc_id, lang FROM b JOIN cuts USING (lang)
+         |WHERE bk < cut ORDER BY doc_id""".stripMargin,
 
     // The window form of the same total order the bounded aggregator ranks
     // by: row_number over (splitmix64(doc_id) signed, doc_id) per source

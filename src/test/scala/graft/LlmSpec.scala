@@ -516,6 +516,29 @@ class LlmSpec extends SparkSpec {
       (5L, 0L, 3L), (6L, 0L, 3L)))
   }
 
+  test("temperature sampling: smallest stratum keeps all, cuts follow pow(c, alpha-1)") {
+    import graft.llm.{Hashing, Sampling}
+    import spark.implicits._
+    val kept = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 0.3)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val all = docs.select("doc_id", "lang").as[(Long, String)].collect()
+    val counts = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rmax = counts.values.map(c => math.pow(c.toDouble, -0.7)).max
+    val cuts = counts.map { case (l, c) =>
+      l -> math.floor(math.pow(c.toDouble, -0.7) / rmax * 10000.0 + 0.5).toLong
+    }
+    // smallest language's cut is exactly 10000 (keeps everything)
+    val smallest = counts.minBy(_._2)._1
+    assert(cuts(smallest) == 10000L)
+    // membership is exactly bucket < cut per stratum
+    def bucket(id: Long) = math.floorMod(Hashing.splitmix64(id), 10000L)
+    val expected = all.filter { case (id, l) => bucket(id) < cuts(l) }.toSet
+    assert(kept.toSet == expected)
+    // alpha = 1 is a no-op
+    val noop = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 1.0).count()
+    assert(noop == all.length)
+  }
+
   test("domain caps: bounded per domain, hash-ranked, partitioning-invariant") {
     import graft.llm.{Hashing, Sampling}
     import spark.implicits._
