@@ -404,6 +404,30 @@ object Dedup {
       .toDF(idCol, "n_shingles", "n_novel", "novelty_frac")
   }
 
+  /** [[novelty]] for reference corpora too large to broadcast: the same
+    * output, with the reference's distinct shingle hashes kept DISTRIBUTED
+    * and the membership probe done as a shuffle join on the hash — both
+    * sides move only slim (id, hash) / (hash) longs, so this scales to a
+    * reference of any size (row-identical to the broadcast form, LlmSpec).
+    * Pick by regime, the [[graft.llm.Ann]] window/agg convention: kernel
+    * form for a bounded reference, join form when the reference is itself
+    * corpus-scale. */
+  def noveltyJoin(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, k: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val refSh = reference.select(col(refTextCol)).as[String]
+      .flatMap(t => shingleHashes(t, k).iterator)
+      .toDF("__sh").distinct()
+      .withColumn("__seen", lit(1))
+    shingleRows(df, idCol, textCol, k)
+      .join(refSh, Seq("__sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac", col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   // ---- exact-substring repeated spans (corpus-level substring dedup) ----
 
   /** Maximal repeated substring spans — the corpus-level EXACT-substring

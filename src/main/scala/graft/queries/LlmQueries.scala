@@ -50,6 +50,16 @@ object LlmQueries {
        |$steps""".stripMargin
   }
 
+  /** Shared oracle for the broadcast and join novelty forms — the
+    * semantics are identical by construction. */
+  private lazy val noveltyOracleSql: String =
+    s"""${HashOracle.macros}
+       |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+       |$noveltyCtes
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, CAST(novel AS BIGINT) AS n_novel,
+       |  CAST(novel AS DOUBLE) / n AS novelty_frac
+       |FROM novagg ORDER BY doc_id""".stripMargin
+
   /** Novelty CTE chain (expects `d` = (doc_id, toks)): distinct 13-gram
     * FNV hashes per doc, the %5 reference hash set, per-doc novel counts.
     * Yields `novagg` (doc_id, n, novel). Shared by q_text_novelty and the
@@ -334,6 +344,15 @@ object LlmQueries {
     "q_text_novelty" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.novelty(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text", k = 13)
+        .orderBy("doc_id")
+    }),
+
+    // the distributed-reference twin: same semantics, membership probed by
+    // a slim shuffle join instead of a driver-collected broadcast set
+    "q_text_novelty_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.noveltyJoin(d, "doc_id", "text",
           d.filter(col("doc_id") % 5 === 0), "text", k = 13)
         .orderBy("doc_id")
     }),
@@ -1071,13 +1090,10 @@ object LlmQueries {
     // the decontaminate shingle replay, counted instead of flagged:
     // distinct 13-gram FNV hashes per doc, novel = absent from the
     // reference slice's hash set, fraction from exact integer operands
-    "q_text_novelty" ->
-      s"""${HashOracle.macros}
-         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
-         |$noveltyCtes
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, CAST(novel AS BIGINT) AS n_novel,
-         |  CAST(novel AS DOUBLE) / n AS novelty_frac
-         |FROM novagg ORDER BY doc_id""".stripMargin,
+    "q_text_novelty" -> noveltyOracleSql,
+
+    // same semantics, same replay — only the engine's join strategy differs
+    "q_text_novelty_join" -> noveltyOracleSql,
 
     // tf/df recomputed relationally, identical micro-nat idf rounding,
     // exact long score, row_number replay of the (score desc, term) order

@@ -428,6 +428,16 @@ class LlmSpec extends SparkSpec {
     assert(out(2) == ((3L, 12L, 0L, 0.0)))
   }
 
+  test("noveltyJoin is row-identical to the broadcast novelty form") {
+    import spark.implicits._
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val a = Dedup.novelty(docs, "doc_id", "text", ref, "text", k = 13)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Dedup.noveltyJoin(docs, "doc_id", "text", ref, "text", k = 13)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("novelty: reference docs score 0, disjoint docs score 1, partial overlap exact") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =
