@@ -88,6 +88,58 @@ object TextAnalysis {
       .toDF(idCol, "n_terms", "surprisal_micronats", "mean_nats")
   }
 
+  /** Trigram form of [[lmScore]] — the sharper fluency signal (CCNet's
+    * KenLM is a 5-gram; a trigram is the honest middle ground a closed
+    * replay can carry). Model: p(w3 | w1 w2) = (c3 + 1) / (c2 + V) where
+    * c3 counts the trigram in the reference, c2 = Σ_w3 c3 counts the
+    * CONTEXT (the pair as a trigram prefix — derived from the trigram
+    * counts, so both engines agree by construction), and V is the
+    * reference's unigram vocabulary. Same integer micro-nat surprisal
+    * contract; docs with < 3 tokens have no terms (NULL mean). Same
+    * reference-bounded broadcast + pure-map-stage shape. */
+  def lmScoreTrigram(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = reference.select(col(refTextCol)).as[String]
+      .flatMap(_.toLowerCase.split(" ", -1).iterator)
+      .distinct().count()
+    require(vocab > 0, "LM reference corpus is empty — nothing to train on")
+    val tri = reference.select(col(refTextCol)).as[String]
+      .flatMap { t =>
+        val w = t.toLowerCase.split(" ", -1)
+        (0 until w.length - 2).iterator.map(i => w(i) + " " + w(i + 1) + " " + w(i + 2))
+      }
+      .groupByKey(identity).count().collect().toMap
+    val ctx: Map[String, Long] = tri.groupMapReduce { case (k, _) =>
+      k.substring(0, k.lastIndexOf(' '))
+    }(_._2)(_ + _)
+    val sc = spark.sparkContext
+    val bcT = sc.broadcast(tri)
+    val bcC = sc.broadcast(ctx)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val t3 = bcT.value
+        val c2 = bcC.value
+        it.map { case (id, text) =>
+          val w = text.toLowerCase.split(" ", -1)
+          val nT = math.max(w.length - 2, 0).toLong
+          var s = 0L
+          var i = 0
+          while (i < w.length - 2) {
+            val pair = w(i) + " " + w(i + 1)
+            val cc = c2.getOrElse(pair, 0L)
+            val ct = t3.getOrElse(pair + " " + w(i + 2), 0L)
+            s += math.floor(
+              math.log((cc + vocab).toDouble / (ct + 1).toDouble) * 1000000.0 + 0.5).toLong
+            i += 1
+          }
+          (id, nT, s, if (nT > 0) Some(s.toDouble / 1000000.0 / nT) else None)
+        }
+      }
+      .toDF(idCol, "n_terms", "surprisal_micronats", "mean_nats")
+  }
+
   /** Bounded top-k terms per document by (score desc, term asc) — the
     * many-docs ranking shape (the [[Ann.TopKAgg]] pattern with a string
     * payload): per-task state ≤ k entries per local doc, never a window

@@ -357,6 +357,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // trigram form of the LM scorer: context counts derived from trigram
+    // counts, same micro-nat contract, same %5 reference
+    "q_text_lm_trigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmScoreTrigram(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top-5 terms per doc: exact integer scores (micro-nat idf),
     // bounded per-doc ranking (no doc_id window)
     "q_text_tfidf" -> ((s, dir) =>
@@ -1094,6 +1103,28 @@ object LlmQueries {
 
     // same semantics, same replay — only the engine's join strategy differs
     "q_text_novelty_join" -> noveltyOracleSql,
+
+    // trigram counts over the %5 slice, contexts as their prefix sums,
+    // V = distinct unigrams, same floor(ln·1e6 + 0.5) per-term rounding
+    "q_text_lm_trigram" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        |vv AS (SELECT count(DISTINCT t) AS v FROM
+        |  (SELECT unnest(toks) AS t FROM d WHERE doc_id % 5 = 0)),
+        |tr0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})) AS u FROM d),
+        |tr AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM tr0),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c FROM tr WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, sum(c) AS c FROM c3 GROUP BY 1, 2),
+        |terms AS (SELECT tr.doc_id,
+        |  CAST(floor(ln(CAST(coalesce(c2.c, 0) + (SELECT v FROM vv) AS DOUBLE)
+        |    / (coalesce(c3.c, 0) + 1)) * 1000000.0 + 0.5) AS BIGINT) AS t
+        |  FROM tr LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN c2 USING (w1, w2)),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id)
+        |SELECT ids.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(agg.s, 0) AS BIGINT) AS surprisal_micronats,
+        |  CASE WHEN agg.n > 0 THEN CAST(agg.s AS DOUBLE) / 1000000.0 / agg.n END AS mean_nats
+        |FROM (SELECT doc_id FROM d) ids LEFT JOIN agg USING (doc_id)
+        |ORDER BY ids.doc_id""".stripMargin,
 
     // tf/df recomputed relationally, identical micro-nat idf rounding,
     // exact long score, row_number replay of the (score desc, term) order

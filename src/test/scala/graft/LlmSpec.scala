@@ -501,6 +501,21 @@ class LlmSpec extends SparkSpec {
     assert(out(3)._3 == 7 * t(0, 0))
   }
 
+  test("trigram LM: context counts sum trigram counts, hand-computed terms") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    // trigrams: (a,b,c), (b,c,a), (c,a,b), (a,b,d); contexts: (a,b)->2, (b,c)->1, (c,a)->1
+    val score = Seq((1L, "a b c"), (2L, "a b"), (3L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreTrigram(score, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    // V = |{a,b,c,d}| = 4
+    def t(cc: Long, ct: Long): Long =
+      math.floor(math.log((cc + 4).toDouble / (ct + 1).toDouble) * 1000000.0 + 0.5).toLong
+    assert(out(0) == ((1L, 1L, t(2, 1), Some(t(2, 1).toDouble / 1000000.0))))
+    assert(out(1) == ((2L, 0L, 0L, None))) // 2 tokens: no trigram
+    assert(out(2)._3 == 2 * t(0, 0))       // all-unseen: both terms ln((0+4)/1)
+  }
+
   test("repeated spans: cross-doc and within-doc repeats, merging, clamping") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =
