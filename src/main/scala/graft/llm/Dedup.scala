@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** Deduplication for 100 TB-scale corpora. Five tiers:
@@ -306,7 +306,11 @@ object Dedup {
       maxList: Int = 100000): DataFrame = {
     val e = df.select(col(idCol).cast("long").as("vec_id"), col(embCol).as("embedding"))
     val cents = Ivf.train(e, k, iters)
+    // persist: the assignment map stage feeds THREE consumers (the size
+    // cap and both sides of the within-list self-join, each with its own
+    // projection) — without it the full corpus scan + argmax runs 3×
     val indexed = Ivf.index(e, cents).select("vec_id", "embedding", "list_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = indexed.groupBy("list_id").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxList)
     val capped = indexed.join(sizes, Seq("list_id")).drop("__n")
@@ -351,20 +355,27 @@ object Dedup {
       bench: DataFrame, benchTextCol: String, k: Int = 13): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
-    val benchSh = bench.select(col(benchTextCol).as("__t"))
-      .as[String]
+    // ONE corpus pass, ZERO shuffle: the bench shingle set is small by the
+    // operator's premise (eval suites), so the flag is computed inline per
+    // document against the broadcast hash set — never an exploded shingle
+    // table, a second corpus scan, or an id-keyed join (whose strategy
+    // would degrade to a full corpus shuffle exactly when a pathological
+    // benchmark flags many docs). `exists` short-circuits on the first hit.
+    val benchSh: Set[Long] = bench.select(col(benchTextCol)).as[String]
       .flatMap(t => shingleHashes(t, k).iterator)
-      .toDF("__sh")
-      .distinct()
-    val hits = shingleRows(train, idCol, textCol, k)
-      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
-      .select(col(idCol)).distinct()
-      .withColumn("contaminated", lit(true))
-    // the hit set is NOT pinned broadcast: it is usually tiny, but a
-    // pathological benchmark (generic shingles) could flag much of the
-    // corpus — let stats/AQE choose the join strategy
-    train.join(hits, Seq(idCol), "left")
-      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .distinct().collect().toSet
+    val bc = spark.sparkContext.broadcast(benchSh)
+    val tIdx = train.schema.fieldIndex(textCol)
+    val outSchema = train.schema.add("contaminated",
+      org.apache.spark.sql.types.BooleanType, nullable = false)
+    train.mapPartitions { rows =>
+      val ref = bc.value
+      rows.map { row =>
+        val t = row.getString(tIdx)
+        val hit = t != null && shingleHashes(t, k).exists(ref.contains)
+        Row.fromSeq(row.toSeq :+ hit)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Shingle-novelty scoring: what fraction of each document's distinct

@@ -81,7 +81,12 @@ object Multimodal {
         blockAlign = bb.getShort(pos + 20)
         bits = bb.getShort(pos + 22)
       } else if (id == "data") dataLen = sz
-      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // advance in LONG arithmetic and require forward progress: a
+      // malformed size field (0xFFFFFFF8 → step 0, or near-2^31 → int
+      // overflow to a negative pos) must end the walk, not hang the task
+      // or index out of bounds — corrupt headers are normal scraped input
+      val next = pos.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+      pos = if (next <= pos || next > Int.MaxValue) b.length else next.toInt
     }
     if (rate > 0 && channels > 0 && blockAlign > 0 && dataLen >= 0)
       Some((rate, channels, bits, dataLen / blockAlign))

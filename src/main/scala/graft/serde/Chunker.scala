@@ -84,10 +84,20 @@ object Chunker {
     * would mangle them; original keys may themselves contain '_', which the
     * last-'_' split leaves intact), then [[dechunk]]. The three chunk
     * metadata headers are removed on the way out, restoring the user's own
-    * headers (dechunker.py:57-60 does the same deletes). */
+    * headers (dechunker.py:57-60 does the same deletes).
+    *
+    * Metadata is read from the LAST matching header: [[chunkEnvelope]]
+    * APPENDS its entries after any preserved user headers, so a user
+    * header that happens to be named chunk_seq must not shadow the real
+    * sequence number (first-match would mis-order chunks, or kill the
+    * query on a non-numeric ANSI cast). User headers with those reserved
+    * names are indistinguishable from chunk metadata on the wire and do
+    * not survive the round trip — same ambiguity in the reference. The
+    * lookup goes through get(reverse(...), 0), which yields NULL (not an
+    * ANSI error) for non-chunked rows with no matching header at all. */
   def dechunkEnvelope(env: DataFrame): DataFrame = {
     def h(name: String) =
-      decode(expr(s"filter(headers, x -> x.key = '$name')[0].value"), "UTF-8")
+      decode(expr(s"get(reverse(filter(headers, x -> x.key = '$name')), 0).value"), "UTF-8")
     dechunk(env
       .withColumn("chunk_id", h("chunk_id"))
       .withColumn("chunk_seq", h("chunk_seq").cast("int"))

@@ -195,6 +195,31 @@ class SchemaRegistry(baseUrl: String,
     (jsonInt(body, "id"), jsonInt(body, "version"))
   }
 
+  /** Unescape one regex-captured JSON string body (\" \\ \n \uXXXX...) —
+    * subject names are arbitrary strings; matching globs or building URLs
+    * against the ESCAPED form targets the wrong subject. */
+  private def unescapeJson(raw: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '\\' if i + 1 < raw.length =>
+          raw.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' if i + 5 < raw.length =>
+              sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar); i += 6
+            case other => sb.append(other); i += 2 // \" \\ \/
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Subject names, glob-filtered client-side like the reference's `sls`
     * (kafi/schemaregistry.py get_subjects + pattern_match); deleted=true
     * includes soft-deleted subjects. GET /subjects[?deleted=true]. */
@@ -202,7 +227,7 @@ class SchemaRegistry(baseUrl: String,
     val q = if (deleted) "?deleted=true" else ""
     val re = graft.functions.Helpers.globToRegex(pattern).r
     """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(get(s"/subjects$q"))
-      .map(_.group(1)).filter(s => re.matches(s)).toSeq
+      .map(m => unescapeJson(m.group(1))).filter(s => re.matches(s)).toSeq
   }
 
   /** (subject, version) pairs where a schema id is registered.
@@ -238,9 +263,19 @@ class SchemaRegistry(baseUrl: String,
     * client-side, one DELETE per match). DELETE /subjects/{s}
     * [?permanent=true] (kafi/schemaregistry.py delete_subject). */
   def deleteSubject(pattern: String, permanent: Boolean = false): Map[String, Seq[Int]] = {
-    val q = if (permanent) "?permanent=true" else ""
     subjects(pattern, deleted = permanent).map { s =>
-      s -> "\\d+".r.findAllIn(delete(s"/subjects/${enc(s)}$q")).map(_.toInt).toSeq
+      // registry contract: a permanent delete must follow a soft delete.
+      // Matched subjects may be live (the listing includes both), so issue
+      // the soft delete first and tolerate "already soft-deleted" — a bare
+      // ?permanent=true against a live subject is rejected (40405) AFTER
+      // earlier matches were hard-deleted, leaving a partial delete.
+      if (permanent) {
+        try delete(s"/subjects/${enc(s)}")
+        catch { case _: IllegalArgumentException => () }
+        s -> "\\d+".r.findAllIn(delete(s"/subjects/${enc(s)}?permanent=true"))
+          .map(_.toInt).toSeq
+      } else
+        s -> "\\d+".r.findAllIn(delete(s"/subjects/${enc(s)}")).map(_.toInt).toSeq
     }.toMap
   }
 }

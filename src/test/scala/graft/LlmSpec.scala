@@ -1041,6 +1041,17 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.parsePnm(Array[Byte]('P')).isEmpty)
     assert(Multimodal.parseWav(bmp).isEmpty)
     assert(Multimodal.parseWav(wav.slice(0, 10)).isEmpty)
+    // malformed chunk sizes: 0xFFFFFFF8 makes the naive step 0 (infinite
+    // loop) and 0x7FFFFFF0 overflows int position arithmetic — both must
+    // terminate with None, not hang or throw
+    val evil = wav.slice(0, 12) ++
+      ("JUNK".getBytes("US-ASCII") ++ Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)) ++
+      wav.drop(12)
+    assert(Multimodal.parseWav(evil).isEmpty)
+    val huge = wav.slice(0, 12) ++
+      ("JUNK".getBytes("US-ASCII") ++ Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte)) ++
+      wav.drop(12)
+    assert(Multimodal.parseWav(huge).isEmpty)
     // decodeMeta dispatch: bmp mime -> real dims; unknown mime -> stub dims
     val ds = Seq(
       Multimodal.Media(1L, Multimodal.syntheticBmp(100, 50), "image/bmp"),
