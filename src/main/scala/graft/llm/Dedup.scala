@@ -674,4 +674,64 @@ object Dedup {
       .filter(col("is_canonical")).select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  // ---- paragraph-level exact dedup ----
+
+  /** Sub-document exact dedup at paragraph granularity — the CCNet /
+    * FineWeb "repeated boilerplate" scrub (Wenzek et al. 2020 dedup at the
+    * paragraph level; Penedo et al. 2024 drop repeated lines): every
+    * distinct paragraph survives exactly ONCE corpus-wide, in its first
+    * occurrence by ascending (doc id, paragraph index); later copies —
+    * navigation chrome, cookie banners, license footers — are cut out and
+    * the documents re-joined from their surviving paragraphs.
+    *
+    * Output: (idCol, text_dedup, n_paras, n_kept). `n_kept = 0` means every
+    * paragraph was seen earlier (text_dedup = ''); callers drop those rows.
+    *
+    * Scale shape, three bounded shuffles and the text moves only where it
+    * must:
+    *  1. winner election groups sha2(paragraph) keys carrying only a
+    *     (doc, idx) struct — 32-byte keys + 12-byte payloads, never text;
+    *  2. the kept set joins back to the exploded paragraphs on the SAME
+    *     (hash, doc, idx) key (AQE plans it; the winner side is one row per
+    *     distinct paragraph);
+    *  3. reassembly groups by doc id — each paragraph's text crosses the
+    *     wire once, exactly like any doc-keyed repartition of the corpus.
+    * The winner rule min(struct(doc, idx)) is a plain mergeable aggregate —
+    * map-side partials, no window over the paragraph key space. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val sepLit = lit(sep)
+    val paras = df
+      .select(col(idCol).cast("long").as("__doc"), col(textCol))
+      .select(col("__doc"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")))
+      .withColumn("__ph", sha2(col("__para"), 256))
+    // winner columns are RE-ALIASED (fresh exprIds): winners derives from
+    // paras, and a groupBy key passes its attribute through, so joining on
+    // __ph === __ph would be the same-exprId trivially-true-condition
+    // hazard PlanSpec hunts for (SPARK-25150 class)
+    val winners = paras
+      .groupBy("__ph")
+      .agg(min(struct(col("__doc"), col("__idx"))).as("__w"))
+      .select(col("__ph").as("__wph"),
+        col("__w.__doc").as("__wdoc"), col("__w.__idx").as("__widx"))
+    val kept = paras.join(winners,
+      col("__ph") === col("__wph") &&
+        col("__doc") === col("__wdoc") && col("__idx") === col("__widx"))
+      .select(col("__doc"), col("__idx"), col("__para"))
+    val rebuilt = kept
+      .groupBy(col("__doc"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__para")))),
+          x => x("__para")), sep).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).cast("long").as(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long").as("n_paras"))
+      .join(rebuilt, col(idCol) === col("__doc"), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -199,4 +199,39 @@ object Sampling {
       .filter(col("__bucket") < cut)
       .drop("__bucket")
   }
+
+  /** Deterministic global training-order shuffle, shard-parallel: assigns
+    * every row a shard `pmod(splitmix64(id), nShards)` and a 1-based
+    * position within its shard ordered by (splitmix64(id) signed, id).
+    * Reading shards in order 0..n−1, positions ascending, visits the corpus
+    * in a reproducible pseudo-random permutation — the "global shuffle"
+    * every training run needs, WITHOUT a global sort: shard routing is a
+    * pure map stage, and the within-shard ranking is a window partitioned
+    * by shard, so the n shards rank in parallel and no single task ever
+    * orders more than |corpus|/n rows. Unlike [[capPerDomain]]'s domains,
+    * shards are uniform BY CONSTRUCTION (a hash mod), so the partitioned
+    * window's per-partition load is balanced and the bounded-aggregator
+    * escape hatch is unnecessary — this is the case where a window is the
+    * right tool. Rows with null/non-long ids are dropped (same posture as
+    * [[hashSample]]: no deterministic place for them).
+    *
+    * Output: the input columns + (shard, pos). Writers then
+    * `partitionBy("shard")` so each shard lands as its own file set,
+    * sorted — the at-rest layout a data loader streams sequentially. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val in = df.withColumn("__id_long", expr(s"try_cast(`$idCol` as bigint)"))
+      .filter(col("__id_long").isNotNull)
+    val idIdx = in.schema.fieldIndex("__id_long")
+    val outSchema = in.schema.add("__h", LongType, nullable = false)
+    val hashed = in.mapPartitions { rows =>
+      rows.map(row => Row.fromSeq(row.toSeq :+ Hashing.splitmix64(row.getLong(idIdx))))
+    }(Encoders.row(outSchema))
+    hashed
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__h"), col("__id_long"))).cast("long"))
+      .drop("__h", "__id_long")
+  }
 }

@@ -32,6 +32,80 @@ object Sketches {
   private[graft] def estimateFromKth(k: Int, kthHash: Long): Long =
     ((BigInt(k - 1) << 64) / (BigInt(kthHash) & Mask)).toLong
 
+  // ---- HyperLogLog (Flajolet et al., AofA'07) ----
+  //
+  // The OTHER mergeable cardinality sketch: m = 2^p registers, register j =
+  // max over items in bucket j of (leading-zero run of the hash suffix + 1).
+  // Kept alongside KMV because the two have different merge economics: a
+  // KMV sketch is k 8-byte hashes (512 B at k=64) and merges by re-sorting;
+  // an HLL sketch is m 6-bit registers (fixed 2^p bytes here, one byte per
+  // register) and merges by element-wise max — the standard choice when
+  // millions of per-shard sketches must be combined (one per file/day/
+  // domain). Same determinism argument as KMV: FNV-1a hashing makes the
+  // registers a pure function of the data, so q_sketch_hll verifies every
+  // register and q_sketch_hll_est the integer-scaled estimate — not
+  // "within ε" (Spark's approx_count_distinct is HLL++ with engine-private
+  // registers; unverifiable across engines).
+
+  /** Non-empty HLL registers of a string column as rows (bucket, rho):
+    * bucket = top p bits of the unsigned FNV-1a hash, rho = leading-zero
+    * count of the remaining 64−p bits + 1 (all-zero suffix → 64−p+1), max
+    * per bucket. Scale shape: a codegen-friendly per-row map then ONE
+    * groupBy on an int key ≤ 2^p with map-side partial max — the shuffle
+    * carries at most m rows per task regardless of input size. Registers
+    * merge across sketches by the same max (LlmSpec asserts the merge law).
+    */
+  def hllRegisters(df: DataFrame, column: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(column).cast("string"))
+      .na.drop()
+      .as[String]
+      .mapPartitions { it =>
+        it.map { s =>
+          val h = Hashing.hashString(s)
+          val bucket = (h >>> (64 - p)).toInt
+          val w = h << p
+          val rho = if (w == 0L) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+          (bucket, rho)
+        }
+      }
+      .toDF("bucket", "rho")
+      .groupBy("bucket").agg(max("rho").as("rho"))
+      .orderBy("bucket")
+  }
+
+  /** One-row HLL estimate: (n_exact, n_zero, est_raw, est). The raw
+    * estimate is computed in EXACT integer arithmetic so DuckDB reproduces
+    * it bit-for-bit: with R_j the register values (0 for empty buckets),
+    * the harmonic-mean denominator Σ_j 2^−R_j is scaled by 2^64 to the
+    * integer S = Σ_j 2^(64−R_j), and
+    * est_raw = ⌊α_e9 · m² · 2^64 / S / 10^9⌋ where α_e9 = ⌊α_m · 10^9⌋
+    * (exact BigInt ÷, same HUGEINT chain in the oracle). The small-range
+    * branch (est_raw ≤ 5m/2 and empty buckets exist) switches to linear
+    * counting ⌊m · ln(m/V)⌋ — ln is the one double in the pipeline, same
+    * replay posture as q_text_lm_score. Large-range correction (E > 2^64/30)
+    * is unreachable at any real corpus size and omitted. */
+  def hllDistinct(df: DataFrame, column: String, p: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val regs = hllRegisters(df, column, p).as[(Int, Int)].collect().toMap // ≤ m rows
+    val nExact = df.select(col(column).cast("string")).na.drop().distinct().count()
+    val nZero = m - regs.size
+    val s = (0 until m).foldLeft(BigInt(0)) { (acc, j) =>
+      acc + (BigInt(1) << (64 - regs.getOrElse(j, 0)))
+    }
+    val alphaE9 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e9).toLong
+    val estRaw = ((BigInt(alphaE9) * m * m << 64) / s / 1000000000L).toLong
+    val est =
+      if (estRaw <= 5L * m / 2 && nZero > 0)
+        math.floor(m * math.log(m.toDouble / nZero)).toLong
+      else estRaw
+    Seq((nExact, nZero.toLong, estRaw, est)).toDF("n_exact", "n_zero", "est_raw", "est")
+  }
+
   /** One-row sketch summary of a string column: (n_exact, kth_hash,
     * est_distinct) for cross-checking; production use keeps just the k
     * minima per shard and merges. If the column has fewer than k distinct

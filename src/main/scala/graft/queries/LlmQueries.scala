@@ -50,6 +50,25 @@ object LlmQueries {
        |$steps""".stripMargin
   }
 
+  /** The "new snapshot" fixture for the corpus-diff queries: every 7th doc
+    * removed, every 11th rewritten, the first 20 re-added under new ids. */
+  private def diffFixture(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000))
+
+  /** Shared CTEs for the corpus-diff oracles — the same fixture in SQL. */
+  private val diffCtes: String =
+    """oldd AS (SELECT doc_id, text FROM documents),
+      |newd AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20)""".stripMargin
+
   /** Shared oracle for the broadcast and join novelty forms — the
     * semantics are identical by construction. */
   private lazy val noveltyOracleSql: String =
@@ -251,6 +270,64 @@ object LlmQueries {
     // itself oracle-checkable (exact integer division of the k-th hash)
     "q_sketch_kmv" -> ((s, dir) =>
       graft.llm.Sketches.kmvDistinct(docs(s, dir), "text", k = 64)),
+
+    // HLL registers over the text column (p=8, 256 buckets): every
+    // register value verified, not just the estimate
+    "q_sketch_hll" -> ((s, dir) =>
+      graft.llm.Sketches.hllRegisters(docs(s, dir), "text", p = 8)
+        .select(col("bucket").cast("long").as("bucket"), col("rho").cast("long").as("rho"))),
+
+    // ... and the exact-integer estimate chain (raw harmonic-mean estimate
+    // in scaled HUGEINT arithmetic + the linear-counting branch)
+    "q_sketch_hll_est" -> ((s, dir) =>
+      graft.llm.Sketches.hllDistinct(docs(s, dir), "text", p = 8)),
+
+    // Bloom membership: filter built from the English texts (1024 bits,
+    // k=3 — deliberately tight so FALSE POSITIVES occur and the oracle
+    // replays them too), probed by every document
+    "q_bloom_probe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val filter = graft.llm.Bloom.build(d.filter(col("lang") === "en"), "text",
+        bits = 1024, k = 3)
+      graft.llm.Bloom.probe(d, "doc_id", "text", filter, k = 3).orderBy("doc_id")
+    }),
+
+    // deterministic global shuffle into 8 shards: shard routing + in-shard
+    // position replayed as the row_number of the same (sm64, id) order
+    "q_shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(docs(s, dir), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+        .orderBy("doc_id")),
+
+    // paragraph-level exact dedup over a deterministic 8-word-paragraph
+    // fixture (the corpus has no newlines; both engines build the same
+    // paragraphs, the q_text_c4 pattern): first corpus-wide occurrence of
+    // each paragraph survives, docs reassemble from survivors
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        expr(
+          """array_join(transform(
+            |  sequence(0, greatest((size(split(text, ' ')) + 7) div 8, 1) - 1),
+            |  i -> array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' ')), '\n\n')""".stripMargin)
+          .as("text"))
+      Dedup.dedupParagraphs(injected, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // snapshot diff: new corpus = old minus every 7th doc (removed), every
+    // 11th rewritten (changed), first 20 re-added under new ids (added)
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.llm.Snapshot.corpusDiff(d, diffFixture(d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ... and the refresh working set: the full new rows that are added or
+    // changed — what an incremental rebuild actually reprocesses
+    "q_refresh_set" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.llm.Snapshot.refreshSet(d, diffFixture(d), "doc_id", "text")
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
 
     // corpus rebalancing: downsample en to 20%, es to 50%, keep the rest
     "q_sample_stratified" -> ((s, dir) =>
@@ -976,6 +1053,115 @@ object LlmQueries {
          |  tosigned((SELECT u FROM kth)) AS kth_hash,
          |  CAST(CASE WHEN (SELECT nk FROM kth) < 64 THEN (SELECT nk FROM kth)
          |    ELSE (63::HUGEINT * 18446744073709551616::HUGEINT) / (SELECT u FROM kth) END AS BIGINT) AS est_distinct""".stripMargin,
+
+    // HLL registers: bucket = top 8 bits of the unsigned FNV-1a hash,
+    // rho = leading zeros of the remaining 56 bits + 1 (bit length via an
+    // integer probe over range(64) — no floating log), max per bucket
+    "q_sketch_hll" ->
+      s"""${HashOracle.macros}
+         |WITH h AS (SELECT fnv1a(text) AS h FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+         |  (h << 8) & 18446744073709551615::HUGEINT AS w FROM h),
+         |r AS (SELECT bucket, CASE WHEN w = 0 THEN 57
+         |  ELSE 65 - list_max(list_transform(range(64),
+         |    i -> CASE WHEN w >= (CAST(1 AS HUGEINT) << i) THEN i + 1 ELSE 0 END)) END AS rho
+         |  FROM b)
+         |SELECT bucket, CAST(max(rho) AS BIGINT) AS rho FROM r
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // ... and the estimate: S = sum over ALL 256 buckets of 2^(64-rho)
+    // (empty bucket -> 2^64) in HUGEINT, est_raw = the exact integer
+    // division chain, est = the linear-counting branch when est_raw <= 640
+    // and empty buckets exist (m*ln(m/V), the one double op — same replay
+    // posture as q_text_lm_score)
+    "q_sketch_hll_est" ->
+      s"""${HashOracle.macros}
+         |WITH h AS (SELECT fnv1a(text) AS h FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+         |  (h << 8) & 18446744073709551615::HUGEINT AS w FROM h),
+         |r AS (SELECT bucket, CASE WHEN w = 0 THEN 57
+         |  ELSE 65 - list_max(list_transform(range(64),
+         |    i -> CASE WHEN w >= (CAST(1 AS HUGEINT) << i) THEN i + 1 ELSE 0 END)) END AS rho
+         |  FROM b),
+         |regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+         |allb AS (SELECT j.j AS bucket, coalesce(regs.rho, 0) AS rho
+         |  FROM range(256) j(j) LEFT JOIN regs ON regs.bucket = j.j),
+         |s AS (SELECT sum(CAST(1 AS HUGEINT) << (64 - rho)) AS s,
+         |  sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero FROM allb),
+         |est AS (SELECT n_zero,
+         |  (CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 1000000000.0) AS HUGEINT)
+         |    * 256 * 256 * (CAST(1 AS HUGEINT) << 64)) // s // 1000000000 AS est_raw
+         |  FROM s)
+         |SELECT (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM documents WHERE text IS NOT NULL) AS n_exact,
+         |  CAST(n_zero AS BIGINT) AS n_zero, CAST(est_raw AS BIGINT) AS est_raw,
+         |  CAST(CASE WHEN est_raw <= 640 AND n_zero > 0
+         |    THEN CAST(floor(256 * ln(256.0 / CAST(n_zero AS DOUBLE))) AS HUGEINT)
+         |    ELSE est_raw END AS BIGINT) AS est
+         |FROM est""".stripMargin,
+
+    // Bloom probe: a probe is maybe_member iff ALL THREE of its bit
+    // positions appear in the inserted position set — bit-identical to the
+    // bitset the engine builds, false positives included
+    "q_bloom_probe" ->
+      s"""${HashOracle.macros}
+         |WITH ins AS (SELECT DISTINCT text FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+         |ip AS (SELECT DISTINCT CAST(mix64(fnv1a(text), i.i) % 1024 AS BIGINT) AS pos
+         |  FROM ins, range(3) i(i)),
+         |pp AS (SELECT doc_id, CAST(mix64(fnv1a(text), i.i) % 1024 AS BIGINT) AS pos
+         |  FROM documents, range(3) i(i) WHERE text IS NOT NULL)
+         |SELECT doc_id, bool_and(pos IN (SELECT pos FROM ip)) AS maybe_member
+         |FROM pp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // shard = pmod(sm64(id), 8); pos = row_number over the same
+    // (sm64 signed, id) order within the shard
+    "q_shuffle_shards" ->
+      s"""${HashOracle.macros}
+         |WITH h AS (SELECT doc_id, tosigned(sm64(CAST(doc_id AS HUGEINT))) AS h FROM documents),
+         |s AS (SELECT doc_id, h, ((h % 8) + 8) % 8 AS shard FROM h)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // paragraph dedup: same 8-word-paragraph fixture, winner = first
+    // (doc_id, idx) occurrence of each distinct paragraph, docs rebuilt
+    // from survivors in original order
+    "q_dedup_paragraph" ->
+      """WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS w, len(str_split(text, ' ')) AS n FROM documents),
+        |t1 AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(0, greatest((n + 7) // 8, 1)),
+        |    i -> array_to_string(w[CAST(i * 8 + 1 AS BIGINT):least(CAST((i + 1) * 8 AS BIGINT), n)], ' ')),
+        |    chr(10) || chr(10)) AS text FROM t0),
+        |px AS (SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+        |    i -> {'idx': i - 1, 'para': parts[i]})) AS u
+        |  FROM (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS parts FROM t1) q),
+        |p AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM px),
+        |wn AS (SELECT doc_id, idx, para,
+        |  row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rk FROM p),
+        |k AS (SELECT doc_id, idx, para FROM wn WHERE rk = 1),
+        |r AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY doc_id),
+        |np AS (SELECT doc_id, CAST(len(str_split(text, chr(10) || chr(10))) AS BIGINT) AS n_paras FROM t1)
+        |SELECT np.doc_id, coalesce(r.text_dedup, '') AS text_dedup, np.n_paras,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM np LEFT JOIN r ON np.doc_id = r.doc_id ORDER BY np.doc_id""".stripMargin,
+
+    // full-outer join on id, status from the null pattern + content compare
+    // (text equality IS the sha2 compare, modulo collisions)
+    "q_corpus_diff" ->
+      s"""WITH $diffCtes,
+         |j AS (SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_refresh_set" ->
+      s"""WITH $diffCtes
+         |SELECT n.doc_id, n.text FROM newd n LEFT JOIN oldd o ON o.doc_id = n.doc_id
+         |WHERE o.doc_id IS NULL OR o.text IS DISTINCT FROM n.text
+         |ORDER BY n.doc_id""".stripMargin,
 
     // per-language counts → pow(c, alpha-1) ratios → normalized 1/10000
     // cuts (floor(x+0.5), the engine's rounding) → the sm64 bucket filter

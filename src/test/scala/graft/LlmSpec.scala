@@ -1072,4 +1072,116 @@ class LlmSpec extends SparkSpec {
       a(1L).n_samples == 12000L && a(1L).duration_ms == 1500L)
     assert(a(2L).sample_rate == 0 && a(2L).n_samples == 0L)
   }
+
+  test("HLL registers obey the merge law and match a local recompute") {
+    import graft.llm.{Hashing, Sketches}
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    def regMap(df: org.apache.spark.sql.DataFrame): Map[Int, Int] = {
+      import spark.implicits._
+      Sketches.hllRegisters(df, "text", p = 8).as[(Int, Int)].collect().toMap
+    }
+    val (rAll, r1, r2) = (regMap(docs), regMap(half1), regMap(half2))
+    // merge = element-wise max: the sketch of a union is computable from
+    // the parts without re-reading the data
+    val merged = (r1.keySet ++ r2.keySet).map(k =>
+      k -> math.max(r1.getOrElse(k, 0), r2.getOrElse(k, 0))).toMap
+    assert(merged == rAll)
+    // registers match a driver-side recompute of the same hash stream
+    val local = scala.collection.mutable.Map.empty[Int, Int]
+    docs.select("text").collect().foreach { row =>
+      val h = Hashing.hashString(row.getString(0))
+      val b = (h >>> 56).toInt
+      val w = h << 8
+      val rho = if (w == 0L) 57 else java.lang.Long.numberOfLeadingZeros(w) + 1
+      local(b) = math.max(local.getOrElse(b, 0), rho)
+    }
+    assert(local.toMap == rAll)
+    // estimate lands within the standard ~1.04/sqrt(m) error band (3 sigma)
+    val est = Sketches.hllDistinct(docs, "text", p = 8).head()
+    val (nExact, e) = (est.getLong(0), est.getLong(3))
+    assert(math.abs(e - nExact).toDouble / nExact < 3 * 1.04 / math.sqrt(256.0))
+  }
+
+  test("Bloom filter: no false negatives, deterministic, FP rate bounded") {
+    import graft.llm.Bloom
+    val en = docs.filter(col("lang") === "en")
+    val filter = Bloom.build(en, "text", bits = 1 << 12, k = 3)
+    val filter2 = Bloom.build(en.repartition(7), "text", bits = 1 << 12, k = 3)
+    assert(filter.sameElements(filter2)) // partitioning-invariant build
+    val probed = Bloom.probe(docs, "doc_id", "text", filter, k = 3)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    // every inserted value must probe true
+    assert(probed.filter(col("lang") === "en" && !col("maybe_member")).count() == 0)
+    // non-inserted probes: false positives allowed but bounded well below
+    // certainty (4096 bits for ~250 inserts keeps the rate tiny)
+    val nonEn = probed.filter(col("lang") =!= "en")
+    val fpRate = nonEn.filter(col("maybe_member")).count().toDouble /
+      math.max(nonEn.count(), 1L)
+    assert(fpRate < 0.2, s"fp rate $fpRate")
+    // a probe with no inserted values at all: definite miss on empty filter
+    val empty = Bloom.build(en.limit(0), "text", bits = 1 << 12, k = 3)
+    assert(Bloom.probe(docs, "doc_id", "text", empty, k = 3)
+      .filter(col("maybe_member")).count() == 0)
+  }
+
+  test("shuffleShards is a permutation, balanced, and partition-invariant") {
+    import graft.llm.Sampling
+    val n = docs.count()
+    val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8).cache()
+    try {
+      assert(out.count() == n) // nothing dropped (ids are all long here)
+      // positions within each shard are exactly 1..count(shard)
+      val bad = out.groupBy("shard")
+        .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"),
+          countDistinct("pos").as("d"))
+        .filter(col("mx") =!= col("c") || col("mn") =!= 1 || col("d") =!= col("c"))
+      assert(bad.count() == 0)
+      // hash sharding is roughly balanced (no shard 3x the mean)
+      val counts = out.groupBy("shard").count().collect().map(_.getLong(1))
+      assert(counts.length == 8 && counts.max < 3 * n / 8)
+      // same assignment regardless of input partitioning
+      val again = Sampling.shuffleShards(docs.repartition(13), "doc_id", nShards = 8)
+      assert(out.select("doc_id", "shard", "pos")
+        .except(again.select("doc_id", "shard", "pos")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("dedupParagraphs keeps first occurrence and reassembles in order") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "aa\n\nbb\n\ncc"), // all first occurrences
+      (2L, "bb\n\ndd"), // bb seen in doc 1 -> only dd survives
+      (3L, "aa\n\nbb"), // nothing new -> empty doc
+      (4L, "dd\n\naa\n\nee") // dd,aa seen -> ee survives alone
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.dedupParagraphs(fixture, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "aa\n\nbb\n\ncc", 3L, 3L)))
+    assert(got(1) == ((2L, "dd", 2L, 1L)))
+    assert(got(2) == ((3L, "", 2L, 0L)))
+    assert(got(3) == ((4L, "ee", 3L, 1L)))
+    // duplicate paragraph WITHIN one doc: second copy is cut too
+    val within = Seq((7L, "xx\n\nxx\n\nyy")).toDF("doc_id", "text")
+    val w = graft.llm.Dedup.dedupParagraphs(within, "doc_id", "text").head()
+    assert(w.getString(1) == "xx\n\nyy" && w.getLong(2) == 3L && w.getLong(3) == 2L)
+  }
+
+  test("corpusDiff classifies all four statuses; null content compares null-safe") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("id", "text")
+    val neu = Seq((1L, Some("a")), (3L, None), (4L, Some("D")), (5L, Some("e")))
+      .toDF("id", "text")
+    val got = graft.llm.Snapshot.corpusDiff(old, neu, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "removed"), (3L, "unchanged"),
+      (4L, "changed"), (5L, "added")))
+    // refresh set = the full NEW rows for added|changed only
+    val rs = graft.llm.Snapshot.refreshSet(old, neu, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rs == Seq((4L, "D"), (5L, "e")))
+  }
 }

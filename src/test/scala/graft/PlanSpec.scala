@@ -227,6 +227,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sketch/shuffle/bloom operators keep their intended scale shapes") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // HLL: ONE exchange (the <=2^p-key groupBy with map-side partial max)
+    // plus AQE's final orderBy; never a window
+    val hll = graft.llm.Sketches.hllRegisters(d, "text", p = 8)
+    val hllPlan = hll.queryExecution.executedPlan.toString
+    assert(!hllPlan.contains("Window"), s"HLL plan grew a window:\n$hllPlan")
+    assert(hllPlan.contains("partial_max") || hllPlan.contains("partial"),
+      s"HLL register max lost its map-side partial:\n$hllPlan")
+    // Bloom probe: pure map stage — the corpus never shuffles
+    val filter = graft.llm.Bloom.build(d.limit(50), "text", bits = 1 << 10, k = 3)
+    val probePlan = graft.llm.Bloom.probe(d, "doc_id", "text", filter, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Exchange"), s"Bloom probe is not a map stage:\n$probePlan")
+    // shuffleShards: the within-shard ranking partitions BY SHARD — a
+    // hash exchange, never a global (range) sort
+    val shPlan = graft.llm.Sampling.shuffleShards(d, "doc_id", nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(shPlan.contains("hashpartitioning(shard"),
+      s"shuffleShards lost its per-shard partitioning:\n$shPlan")
+    assert(!shPlan.contains("rangepartitioning"),
+      s"shuffleShards fell back to a global sort:\n$shPlan")
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q1)") {
     // AQE finalizes the plan only at execution; codegen'd operators then
     // carry the "*(n)" prefix
