@@ -108,6 +108,39 @@ object ScaleProbe {
         val (tLm, nLm) = time(
           graft.llm.TextAnalysis.lmScore(docs, "doc_id", "text", lmRef, "text").count())
         report("lm_score_fixed_ref", tLm, nLm)
+        // round-6 wave 2: sketching, membership, sharding, sub-doc dedup,
+        // snapshot diffing — each should be flat-to-linear in corpus size
+        val (tHll, nHll) = time(graft.llm.Sketches.hllRegisters(docs, "text", p = 8).count())
+        report("hll_registers", tHll, nHll)
+        val blockRef = docs0.filter(col("doc_id") % 11 === 0) // fixed reference
+        val (tBl, nBl) = time {
+          val f = graft.llm.Bloom.build(blockRef, "text", bits = 1 << 20, k = 3)
+          graft.llm.Bloom.probe(docs, "doc_id", "text", f, k = 3)
+            .filter(col("maybe_member")).count()
+        }
+        report("bloom_build_probe", tBl, nBl)
+        val (tShf, nShf) = time(
+          graft.llm.Sampling.shuffleShards(docs, "doc_id", nShards = 32).count())
+        report("shuffle_shards32", tShf, nShf)
+        val paraDocs = docs.withColumn("text",
+          expr("""array_join(transform(
+            |  sequence(0, greatest((size(split(text, ' ')) + 7) div 8, 1) - 1),
+            |  i -> array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' ')), '\n\n')""".stripMargin))
+        val (tPara, nPara) = time(
+          Dedup.dedupParagraphs(paraDocs, "doc_id", "text").filter(col("n_kept") > 0).count())
+        report("paragraph_dedup", tPara, nPara)
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 3)
+        val (tDiff, nDiff) = time(
+          graft.llm.Snapshot.corpusDiff(docs, newSnap, "doc_id", "text")
+            .groupBy("status").count().count())
+        report("corpus_diff", tDiff, nDiff)
+        val benchFix = docs0.filter(col("doc_id") % 37 === 0)
+          .select(expr("array_join(slice(split(text, ' '), 11, 30), ' ')").as("text"))
+        val (tDb, nDb) = time(
+          Dedup.decontaminateBloom(docs, "doc_id", "text", benchFix, "text",
+            k = 13, bloomBits = 1 << 20, bloomK = 3)
+            .filter(col("contaminated")).count())
+        report("decontaminate_bloom", tDb, nDb)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()

@@ -33,9 +33,53 @@ object Bloom {
   /** The k bit positions of one value. `bits` is a power of two; the
     * unsigned mask keeps the position identical to DuckDB's
     * `mix64(fnv1a(x), i) % bits` over the [0, 2^64) hugeint range. */
-  private[graft] def positions(value: String, bits: Int, k: Int): Array[Int] = {
-    val h = Hashing.hashString(value)
+  private[graft] def positions(value: String, bits: Int, k: Int): Array[Int] =
+    positionsOfHash(Hashing.hashString(value), bits, k)
+
+  /** Positions for a value that is ALREADY a 64-bit hash (shingle kernels
+    * emit longs; re-stringing them would be a different filter). */
+  private[graft] def positionsOfHash(h: Long, bits: Int, k: Int): Array[Int] =
     Array.tabulate(k)(i => (Hashing.mix(h, i) & (bits - 1)).toInt)
+
+  /** Membership of a pre-hashed value against a built filter. */
+  private[graft] def containsHash(filter: Array[Long], h: Long, k: Int): Boolean = {
+    val bits = filter.length * 64
+    val pos = positionsOfHash(h, bits, k)
+    var ok = true
+    var i = 0
+    while (ok && i < pos.length) {
+      ok = (filter(pos(i) >>> 6) & (1L << (pos(i) & 63))) != 0L
+      i += 1
+    }
+    ok
+  }
+
+  /** [[build]] over a LONG hash column (e.g. shingle hashes): same
+    * per-partition OR / driver fold, positions from the hash directly. */
+  def buildFromHashes(df: DataFrame, column: String, bits: Int = 1 << 20,
+      k: Int = 3): Array[Long] = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0, "bits must be a power of two >= 64")
+    require(k >= 1 && k <= 16, "k in [1,16]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(col(column).cast("long")).na.drop().as[Long]
+    val parts = values.mapPartitions { it =>
+      val buf = new Array[Long](bits / 64)
+      var any = false
+      while (it.hasNext) {
+        val pos = positionsOfHash(it.next(), bits, k)
+        var i = 0
+        while (i < pos.length) { buf(pos(i) >>> 6) |= 1L << (pos(i) & 63); i += 1 }
+        any = true
+      }
+      if (any) Iterator.single(buf) else Iterator.empty
+    }(Encoders.kryo[Array[Long]])
+    val out = new Array[Long](bits / 64)
+    parts.collect().foreach { b =>
+      var i = 0
+      while (i < out.length) { out(i) |= b(i); i += 1 }
+    }
+    out
   }
 
   /** Build the filter from a string column: one bitset per input partition

@@ -378,6 +378,64 @@ object Dedup {
     }(Encoders.row(outSchema))
   }
 
+  /** [[decontaminate]] for a benchmark/blocklist side TOO BIG to broadcast
+    * exactly: identical output, constant broadcast memory.
+    *
+    * The exact form pins the reference's full distinct-shingle set to every
+    * executor — fine for eval suites (thousands of docs), wrong when the
+    * scrub list is itself corpus-scale (a previous training run, a licensed-
+    * content ledger: billions of shingles). This variant broadcasts only a
+    * fixed 2^b-bit Bloom filter of the reference shingles and runs in two
+    * stages:
+    *
+    *  1. map pass: each doc probes its shingles against the filter and
+    *     keeps the (rare, by the operator's premise) maybe-hits;
+    *  2. exact verify: ONLY the suspects' hit shingles explode into rows
+    *     and LEFT SEMI join the distributed reference shingle table —
+    *     Bloom false positives die here, so the result is EXACT (the
+    *     filter's one-sidedness does the work: a false `maybe` costs a
+    *     verify row, a true `no` is definitive and free).
+    *
+    * The verify shuffle is proportional to suspect×hit counts, not corpus
+    * size; the reference set is never collected. Same deterministic
+    * FNV/splitmix positions as [[graft.llm.Bloom]], so q_decontaminate_bloom
+    * shares the exact form's oracle verbatim — the two paths are
+    * row-identical by construction (LlmSpec asserts it). */
+  def decontaminateBloom(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 13,
+      bloomBits: Int = 1 << 20, bloomK: Int = 3): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val benchSh = bench.select(col(benchTextCol)).as[String]
+      .flatMap(t => shingleHashes(t, k).iterator)
+      .toDF("__bsh").distinct()
+    val filter = Bloom.buildFromHashes(benchSh, "__bsh", bloomBits, bloomK)
+    val bc = spark.sparkContext.broadcast(filter)
+    // the kernel pass emits ONLY suspect (id, shingle) pairs — no full
+    // rows, so nothing needs persisting and the shingle kernel runs once;
+    // the final flag-attach is a second plain SCAN of train, not a second
+    // kernel pass
+    val suspects = train
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val f = bc.value
+          shingleHashes(t, k).iterator
+            .filter(Bloom.containsHash(f, _, bloomK)).map(sh => (id, sh))
+        }
+      }
+      .toDF("__cid", "__sh")
+    val confirmed = suspects
+      .join(benchSh, col("__sh") === col("__bsh"), "left_semi")
+      .select(col("__cid")).distinct()
+      .withColumn("__confirmed", lit(true))
+    train.join(confirmed, col(idCol).cast("long") === col("__cid"), "left")
+      .withColumn("contaminated", coalesce(col("__confirmed"), lit(false)))
+      .drop("__cid", "__confirmed")
+  }
+
   /** Shingle-novelty scoring: what fraction of each document's distinct
     * k-word shingles is ABSENT from a reference corpus — the continuous
     * form of [[decontaminate]] (which flags any overlap, this measures how

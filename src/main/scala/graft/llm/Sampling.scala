@@ -140,6 +140,101 @@ object Sampling {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
   }
 
+  /** Bounded budget-prefix as a typed Aggregator — [[MinKAgg]] with the
+    * truncation rule changed from "k elements" to "the minimal ascending
+    * (h, id) prefix whose token sum covers the budget". A row is kept iff
+    * the tokens BEFORE it (in that total order) are < budget, so the
+    * buffer never needs more than the crossing element: state per
+    * (task, domain) is ≤ budget/min_tokens + 1 entries (token counts are
+    * clamped ≥ 1 so empty docs can't make the prefix unbounded). Merge =
+    * sorted-merge then re-truncate, associative and commutative like any
+    * mergeable top-k. */
+  private class BudgetAgg(budget: Long) extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Long, Long, Long), List[(Long, Long, Long)], Seq[(Long, Long, Long)]] {
+    private def lt(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def truncate(l: List[(Long, Long, Long)]): List[(Long, Long, Long)] = {
+      var sum = 0L
+      val out = List.newBuilder[(Long, Long, Long)]
+      val it = l.iterator
+      var open = true
+      while (open && it.hasNext) {
+        val e = it.next()
+        if (sum < budget) { out += e; sum += math.max(e._3, 1L) } else open = false
+      }
+      out.result()
+    }
+    private def insert(buf: List[(Long, Long, Long)], e: (Long, Long, Long)): List[(Long, Long, Long)] = {
+      val (pre, post) = buf.span(lt(_, e))
+      truncate(pre ::: e :: post)
+    }
+    def zero: List[(Long, Long, Long)] = Nil
+    def reduce(buf: List[(Long, Long, Long)], a: (String, Long, Long, Long)): List[(Long, Long, Long)] =
+      insert(buf, (a._2, a._3, a._4))
+    def merge(x: List[(Long, Long, Long)], y: List[(Long, Long, Long)]): List[(Long, Long, Long)] = {
+      @annotation.tailrec
+      def go(a: List[(Long, Long, Long)], b: List[(Long, Long, Long)],
+          acc: List[(Long, Long, Long)]): List[(Long, Long, Long)] = (a, b) match {
+        case (Nil, r) => acc.reverse ::: r
+        case (l, Nil) => acc.reverse ::: l
+        case (ah :: at, bh :: bt) =>
+          if (lt(ah, bh)) go(at, b, ah :: acc) else go(a, bt, bh :: acc)
+      }
+      truncate(go(x, y, Nil))
+    }
+    def finish(buf: List[(Long, Long, Long)]): Seq[(Long, Long, Long)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Long, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+  }
+
+  /** Token-budgeted per-domain admission — corpus assembly against a
+    * TOKEN target, not a document count (mixture recipes are specified in
+    * tokens): admit each domain's documents in the deterministic
+    * (splitmix64(id), id) order until the domain's summed token count
+    * reaches `budget`; the document that crosses the budget is admitted
+    * and closes the domain. Appends `tokens_before` (the domain's admitted
+    * token sum preceding the row — < budget for every kept row by
+    * definition). Token counts are clamped ≥ 1 (an empty doc still costs
+    * one slot, else unbounded zero-cost admission).
+    *
+    * Scale shape mirrors [[capPerDomain]]: slim (domain, hash, id, tok)
+    * rows through the bounded [[BudgetAgg]] — per-task state is the budget
+    * prefix, never a hot domain's full row set, and no per-domain window.
+    * Rows with null/non-long ids are dropped ([[hashSample]] posture);
+    * null token counts cost 1. */
+  def capPerDomainTokens(df: DataFrame, idCol: String, domainCol: String,
+      tokCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df
+      .select(col(domainCol).cast("string").as("__dom"),
+        expr(s"try_cast(`$idCol` as bigint)").as("__id"),
+        coalesce(col(tokCol).cast("long"), lit(1L)).as("__tok"))
+      .filter(col("__id").isNotNull)
+      .as[(String, Long, Long)]
+      .mapPartitions(_.map { case (dom, id, tok) =>
+        (dom, Hashing.splitmix64(id), id, tok)
+      })
+    val kept = slim.groupByKey(_._1)
+      .agg(new BudgetAgg(budget).toColumn)
+      .flatMap { case (dom, prefix) =>
+        var before = 0L
+        prefix.iterator.map { case (_, id, tok) =>
+          val r = (dom, id, before)
+          before += math.max(tok, 1L)
+          r
+        }
+      }
+      .toDF("__kept_dom", "__kept_id", "tokens_before")
+    df.join(kept,
+        expr(s"try_cast(`$idCol` as bigint)") === col("__kept_id") &&
+          col(domainCol).cast("string") <=> col("__kept_dom"))
+      .drop("__kept_id", "__kept_dom")
+  }
+
   /** Per-domain document caps — the FineWeb/RefinedWeb output-shaping move:
     * keep at most `maxPerDomain` rows per `domainCol` value (source site,
     * URL host, shard), chosen DETERMINISTICALLY by ascending

@@ -55,6 +55,16 @@ object Sketches {
     * carries at most m rows per task regardless of input size. Registers
     * merge across sketches by the same max (LlmSpec asserts the merge law).
     */
+  /** The per-value HLL observation: (bucket, rho). Shared by the batch
+    * registers, the estimate, and the streaming windowed form. */
+  private[graft] def bucketRho(s: CharSequence, p: Int): (Int, Int) = {
+    val h = Hashing.hashString(s)
+    val bucket = (h >>> (64 - p)).toInt
+    val w = h << p
+    val rho = if (w == 0L) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+    (bucket, rho)
+  }
+
   def hllRegisters(df: DataFrame, column: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16]")
     val spark = df.sparkSession
@@ -62,18 +72,28 @@ object Sketches {
     df.select(col(column).cast("string"))
       .na.drop()
       .as[String]
-      .mapPartitions { it =>
-        it.map { s =>
-          val h = Hashing.hashString(s)
-          val bucket = (h >>> (64 - p)).toInt
-          val w = h << p
-          val rho = if (w == 0L) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
-          (bucket, rho)
-        }
-      }
+      .mapPartitions(_.map(bucketRho(_, p)))
       .toDF("bucket", "rho")
       .groupBy("bucket").agg(max("rho").as("rho"))
       .orderBy("bucket")
+  }
+
+  /** The exact-integer estimate chain from a register map (missing buckets
+    * = 0): (n_zero, est_raw, est). Factored out so streaming register
+    * snapshots evaluate through the IDENTICAL arithmetic as [[hllDistinct]]. */
+  private[graft] def estimateFromRegisters(regs: Map[Int, Int], p: Int): (Long, Long, Long) = {
+    val m = 1 << p
+    val nZero = m - regs.size
+    val s = (0 until m).foldLeft(BigInt(0)) { (acc, j) =>
+      acc + (BigInt(1) << (64 - regs.getOrElse(j, 0)))
+    }
+    val alphaE9 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e9).toLong
+    val estRaw = ((BigInt(alphaE9) * m * m << 64) / s / 1000000000L).toLong
+    val est =
+      if (estRaw <= 5L * m / 2 && nZero > 0)
+        math.floor(m * math.log(m.toDouble / nZero)).toLong
+      else estRaw
+    (nZero.toLong, estRaw, est)
   }
 
   /** One-row HLL estimate: (n_exact, n_zero, est_raw, est). The raw
@@ -90,20 +110,10 @@ object Sketches {
   def hllDistinct(df: DataFrame, column: String, p: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val m = 1 << p
     val regs = hllRegisters(df, column, p).as[(Int, Int)].collect().toMap // ≤ m rows
     val nExact = df.select(col(column).cast("string")).na.drop().distinct().count()
-    val nZero = m - regs.size
-    val s = (0 until m).foldLeft(BigInt(0)) { (acc, j) =>
-      acc + (BigInt(1) << (64 - regs.getOrElse(j, 0)))
-    }
-    val alphaE9 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e9).toLong
-    val estRaw = ((BigInt(alphaE9) * m * m << 64) / s / 1000000000L).toLong
-    val est =
-      if (estRaw <= 5L * m / 2 && nZero > 0)
-        math.floor(m * math.log(m.toDouble / nZero)).toLong
-      else estRaw
-    Seq((nExact, nZero.toLong, estRaw, est)).toDF("n_exact", "n_zero", "est_raw", "est")
+    val (nZero, estRaw, est) = estimateFromRegisters(regs, p)
+    Seq((nExact, nZero, estRaw, est)).toDF("n_exact", "n_zero", "est_raw", "est")
   }
 
   /** One-row sketch summary of a string column: (n_exact, kth_hash,

@@ -60,6 +60,25 @@ object LlmQueries {
       .unionByName(d.filter(col("doc_id") < 20)
         .withColumn("doc_id", col("doc_id") + 100000))
 
+  /** Shared oracle for the exact-broadcast and Bloom-pre-filtered
+    * decontamination forms — the verify stage makes them row-identical. */
+  private lazy val decontaminateOracleSql: String = {
+    val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+    s"""${HashOracle.macros}
+       |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM d),
+       |b0 AS (SELECT array_to_string(list_slice(str_split(text, ' '), 11, 40), ' ') AS btext
+       |  FROM documents WHERE doc_id % 37 = 0),
+       |bt AS (SELECT str_split(lower(btext), ' ') AS toks FROM b0),
+       |bsh0 AS (SELECT unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM bt),
+       |bsh AS (SELECT DISTINCT fnv1a(shingle) AS h FROM bsh0),
+       |hits AS (SELECT DISTINCT doc_id FROM sh WHERE fnv1a(shingle) IN (SELECT h FROM bsh))
+       |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared CTEs for the corpus-diff oracles — the same fixture in SQL. */
   private val diffCtes: String =
     """oldd AS (SELECT doc_id, text FROM documents),
@@ -349,6 +368,17 @@ object LlmQueries {
       Sampling.capPerDomain(docs(s, dir), "doc_id", "source", maxPerDomain = 10)
         .select("doc_id", "source", "domain_rank").orderBy("doc_id")),
 
+    // token-BUDGETED domain caps: admit each source's docs in the
+    // deterministic (sm64, id) order until 300 summed tokens; the crossing
+    // doc closes the domain (mixture recipes are token targets, not doc
+    // counts) — same bounded-aggregator shape, budget-truncated
+    "q_domain_cap_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      Sampling.capPerDomainTokens(d, "doc_id", "source", "tok", budget = 300)
+        .select("doc_id", "source", "tokens_before").orderBy("doc_id")
+    }),
+
     // cluster-balanced sampling: IVF lists as strata, at most 20 vectors
     // kept per list via the bounded min-k cap — flattens topic skew before
     // training (hot clusters trimmed, small clusters kept whole)
@@ -485,6 +515,17 @@ object LlmQueries {
       val bench = d.filter(col("doc_id") % 37 === 0)
         .select(expr("array_join(slice(split(text, ' '), 11, 30), ' ')").as("text"))
       Dedup.decontaminate(d, "doc_id", "text", bench, "text", k = 13)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+    }),
+
+    // the corpus-scale-reference form: Bloom pre-filter (constant
+    // broadcast) + exact distributed verify; same fixture, same answer
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(expr("array_join(slice(split(text, ' '), 11, 30), ' ')").as("text"))
+      Dedup.decontaminateBloom(d, "doc_id", "text", bench, "text", k = 13,
+          bloomBits = 1 << 14, bloomK = 3)
         .select("doc_id", "contaminated").orderBy("doc_id")
     }),
 
@@ -1145,6 +1186,19 @@ object LlmQueries {
         |  coalesce(r.n_kept, 0) AS n_kept
         |FROM np LEFT JOIN r ON np.doc_id = r.doc_id ORDER BY np.doc_id""".stripMargin,
 
+    // the window form of the budget rule: cumulative token sum per source
+    // in the same (sm64, id) total order; kept iff the sum BEFORE the row
+    // is under budget
+    "q_domain_cap_tokens" ->
+      s"""${HashOracle.macros}
+         |WITH t AS (SELECT doc_id, source, CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+         |  tosigned(sm64(CAST(doc_id AS HUGEINT))) AS h FROM documents),
+         |w AS (SELECT doc_id, source, tok,
+         |  CAST(coalesce(sum(greatest(tok, 1)) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM t)
+         |SELECT doc_id, source, tokens_before FROM w WHERE tokens_before < 300
+         |ORDER BY doc_id""".stripMargin,
+
     // full-outer join on id, status from the null pattern + content compare
     // (text equality IS the sha2 compare, modulo collisions)
     "q_corpus_diff" ->
@@ -1369,22 +1423,11 @@ object LlmQueries {
 
     // 13-gram shingles of both sides recomputed with the same FNV-1a hash
     // the engine joins on; contaminated = any shared shingle hash
-    "q_decontaminate" -> {
-      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
-      s"""${HashOracle.macros}
-         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
-         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM d),
-         |b0 AS (SELECT array_to_string(list_slice(str_split(text, ' '), 11, 40), ' ') AS btext
-         |  FROM documents WHERE doc_id % 37 = 0),
-         |bt AS (SELECT str_split(lower(btext), ' ') AS toks FROM b0),
-         |bsh0 AS (SELECT unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM bt),
-         |bsh AS (SELECT DISTINCT fnv1a(shingle) AS h FROM bsh0),
-         |hits AS (SELECT DISTINCT doc_id FROM sh WHERE fnv1a(shingle) IN (SELECT h FROM bsh))
-         |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hits)) AS contaminated
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "q_decontaminate" -> decontaminateOracleSql,
+
+    // the Bloom-pre-filtered path is row-identical BY CONSTRUCTION (the
+    // exact verify kills false positives), so it shares the oracle
+    "q_decontaminate_bloom" -> decontaminateOracleSql,
 
     // every Gopher gate recomputed over the identically-constructed fixture
     "q_text_gopher" ->

@@ -1169,6 +1169,50 @@ class LlmSpec extends SparkSpec {
     assert(w.getString(1) == "xx\n\nyy" && w.getLong(2) == 3L && w.getLong(3) == 2L)
   }
 
+  test("capPerDomainTokens admits the budget prefix in deterministic order") {
+    import spark.implicits._
+    import graft.llm.{Hashing, Sampling}
+    // one domain, uniform 10-token docs, budget 25: exactly the first 3 in
+    // (splitmix64(id), id) order are admitted (pre-sums 0, 10, 20 < 25)
+    val ids = (1L to 5L)
+    val fixture = ids.map(id => (id, "d", 10L)).toDF("id", "dom", "tok")
+    val got = Sampling.capPerDomainTokens(fixture, "id", "dom", "tok", budget = 25)
+      .select("id", "tokens_before").as[(Long, Long)].collect().toMap
+    val order = ids.sortBy(id => (Hashing.splitmix64(id), id))
+    assert(got.keySet == order.take(3).toSet)
+    assert(order.take(3).zipWithIndex.forall { case (id, i) => got(id) == 10L * i })
+    // crossing doc admitted: budget 15 -> pre-sums 0 and 10 admitted, 10 < 15
+    val cross = Sampling.capPerDomainTokens(fixture, "id", "dom", "tok", budget = 15)
+      .select("id").as[Long].collect().toSet
+    assert(cross == order.take(2).toSet)
+    // zero/null token docs cost 1, not 0 (state boundedness guard)
+    val zeros = ids.map(id => (id, "d", 0L)).toDF("id", "dom", "tok")
+    val z = Sampling.capPerDomainTokens(zeros, "id", "dom", "tok", budget = 3)
+      .select("id").as[Long].collect().toSet
+    assert(z == order.take(3).toSet)
+    // partitioning invariance
+    val big = docs.withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    val a = Sampling.capPerDomainTokens(big, "doc_id", "source", "tok", 300)
+      .select("doc_id", "tokens_before")
+    val b = Sampling.capPerDomainTokens(big.repartition(11), "doc_id", "source", "tok", 300)
+      .select("doc_id", "tokens_before")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("decontaminateBloom row-identical to the exact form, even FP-saturated") {
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(expr("array_join(slice(split(text, ' '), 11, 30), ' ')").as("text"))
+    val exact = Dedup.decontaminate(docs, "doc_id", "text", bench, "text", k = 13)
+      .select("doc_id", "contaminated")
+    // a deliberately tiny 256-bit filter: almost every shingle probes
+    // maybe — the exact verify stage must kill every false positive
+    val bloom = Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text",
+        k = 13, bloomBits = 256, bloomK = 2)
+      .select("doc_id", "contaminated")
+    assert(bloom.count() == docs.count())
+    assert(exact.except(bloom).count() == 0 && bloom.except(exact).count() == 0)
+  }
+
   test("corpusDiff classifies all four statuses; null content compares null-safe") {
     import spark.implicits._
     val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))

@@ -197,6 +197,12 @@ class PlanSpec extends SparkSpec {
     val tfidfPlan = graft.llm.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 5)
       .queryExecution.executedPlan.toString
     assert(!tfidfPlan.contains("Window"), s"tfidfTopTerms ranks via a window:\n$tfidfPlan")
+    // and for the token-budgeted variant (budget prefix, same hazard)
+    val tokPlan = graft.llm.Sampling.capPerDomainTokens(
+        docs.withColumn("tok", org.apache.spark.sql.functions.lit(10L)),
+        "doc_id", "source", "tok", budget = 100)
+      .queryExecution.executedPlan.toString
+    assert(!tokPlan.contains("Window"), s"capPerDomainTokens ranks via a window:\n$tokPlan")
   }
 
   test("cosine_similarity is SQL-callable via GraftExtensions and stays codegen'd") {

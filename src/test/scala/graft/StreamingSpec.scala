@@ -440,4 +440,56 @@ class StreamingSpec extends SparkSpec {
       assert(m(1L) == 7.0 && m(2L) == 7.0)
     } finally q.stop()
   }
+
+  test("streaming windowed HLL: registers equal the batch sketch per window") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    // 60s windows align to the unix epoch: anchor at a window START so
+    // offsets 0..59 land in window 0 and 60..119 in window 1
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L / 60000 * 60000 + s * 1000L)
+    val out = graft.streaming.StreamingSketch.hllWindowed(
+      in.toDF().toDF("ts", "text"), "ts", "text", "60 seconds", "10 seconds", p = 8)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hll_out").start()
+    try {
+      // window 0: first 30 docs across two micro-batches (update mode may
+      // re-emit a register; LAST value per (window, bucket) is the state)
+      val (w0a, w0b) = docs.take(30).splitAt(17)
+      in.addData(w0a.map { case (_, t) => (ts(5), t) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(w0b.map { case (_, t) => (ts(40), t) }.toSeq: _*)
+      // window 1: the next 20 docs
+      in.addData(docs.slice(30, 50).map { case (_, t) => (ts(70), t) }.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("hll_out")
+        .select(col("window.start").cast("long").as("w"), col("bucket"), col("rho"))
+        .as[(Long, Int, Int)].collect()
+        .groupBy(_._1).map { case (w, rows) =>
+          // last emission per bucket wins (update mode re-emits grown registers)
+          w -> rows.zipWithIndex.groupBy(_._1._2).map { case (b, rs) =>
+            b -> rs.maxBy(_._2)._1._3
+          }
+        }
+      val batchW0 = graft.llm.Sketches.hllRegisters(
+        docs.take(30).toSeq.toDF("doc_id", "text"), "text", p = 8)
+        .as[(Int, Int)].collect().toMap
+      val batchW1 = graft.llm.Sketches.hllRegisters(
+        docs.slice(30, 50).toSeq.toDF("doc_id", "text"), "text", p = 8)
+        .as[(Int, Int)].collect().toMap
+      val wStarts = got.keys.toSeq.sorted
+      assert(wStarts.size == 2, s"expected 2 windows, got $wStarts")
+      assert(got(wStarts.head) == batchW0, "window-0 registers != batch sketch")
+      assert(got(wStarts.last) == batchW1, "window-1 registers != batch sketch")
+      // the streaming snapshot feeds the SAME estimate chain as batch
+      val (_, _, estStream) =
+        graft.llm.Sketches.estimateFromRegisters(got(wStarts.head), 8)
+      val (_, _, estBatch) =
+        graft.llm.Sketches.estimateFromRegisters(batchW0, 8)
+      assert(estStream == estBatch)
+      // state is register-bounded: never more rows than m per window
+      assert(got.values.forall(_.size <= 256))
+    } finally q.stop()
+  }
 }
