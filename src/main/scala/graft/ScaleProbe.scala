@@ -141,6 +141,11 @@ object ScaleProbe {
             k = 13, bloomBits = 1 << 20, bloomK = 3)
             .filter(col("contaminated")).count())
         report("decontaminate_bloom", tDb, nDb)
+        val terms = docs.selectExpr("explode(split(lower(text), ' ')) AS term")
+        val (tHh, nHh) = time(
+          graft.llm.Sketches.heavyHitters(terms, "term", threshold = 1000L,
+            depth = 4, width = 1024).count())
+        report("heavy_hitters_cms", tHh, nHh)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()

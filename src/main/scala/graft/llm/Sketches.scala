@@ -116,6 +116,118 @@ object Sketches {
     Seq((nExact, nZero, estRaw, est)).toDF("n_exact", "n_zero", "est_raw", "est")
   }
 
+  // ---- Count-Min Sketch (Cormode & Muthukrishnan, J. Algorithms 2005) ----
+  //
+  // The FREQUENCY member of the sketch family (KMV/HLL count distincts,
+  // Bloom answers membership, CMS answers "how often"): depth×width
+  // counters, counter(j, mix_j(h) mod width) += 1 per observation, point
+  // estimate = min over the depth rows — an OVERESTIMATE, never an under
+  // (every occurrence lands in all d counters; collisions only add). That
+  // one-sidedness is the work-horse property: a CMS pre-filter loses no
+  // truly-frequent value, so exact verification of the (rare) survivors
+  // yields an EXACT heavy-hitter set — the same filter-then-verify shape
+  // as [[graft.llm.Dedup.decontaminateBloom]].
+  //
+  // Same determinism argument as KMV/HLL: FNV-1a + splitmix row hashes make
+  // every counter a pure function of the data, so q_sketch_cms verifies the
+  // full counter table against DuckDB bit-for-bit.
+
+  /** Row-j counter position of a pre-hashed value: mix64(h, j) unsigned-mod
+    * width — matches the oracle's `mix64(h, j) % w` over [0, 2^64). */
+  private[graft] def cmsPos(h: Long, j: Int, width: Int): Int =
+    java.lang.Long.remainderUnsigned(Hashing.mix(h, j), width.toLong).toInt
+
+  /** Non-empty CMS counters of a string column as rows (j, pos, cnt).
+    * Scale shape: a per-row flatMap of `depth` slim (int, int) pairs, then
+    * ONE groupBy whose key space is ≤ depth·width — map-side partial sums
+    * collapse each task's contribution to at most depth·width rows
+    * regardless of input size (the sketch IS the bound, like
+    * [[hllRegisters]]). Counters merge across sketches by element-wise SUM
+    * (LlmSpec asserts the merge law), the property that makes CMS the
+    * per-shard frequency accumulator at 100 TB. */
+  def cmsRegisters(df: DataFrame, column: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 2, "width >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(column).cast("string"))
+      .na.drop()
+      .as[String]
+      .mapPartitions { it =>
+        it.flatMap { s =>
+          val h = Hashing.hashString(s)
+          (0 until depth).iterator.map(j => (j, cmsPos(h, j, width)))
+        }
+      }
+      .toDF("j", "pos")
+      .groupBy("j", "pos").agg(count(lit(1)).as("cnt"))
+      .orderBy("j", "pos")
+  }
+
+  /** The collected counter table as a dense depth×width array — ≤
+    * depth·width rows land on the driver (the sketch's fixed size, NOT
+    * data-bounded; the [[kmvDistinct]]/codebook posture). */
+  private[graft] def collectCms(registers: DataFrame, depth: Int,
+      width: Int): Array[Array[Long]] = {
+    val table = Array.fill(depth)(new Array[Long](width))
+    registers.select(col("j").cast("int"), col("pos").cast("int"),
+        col("cnt").cast("long"))
+      .collect()
+      .foreach(r => table(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    table
+  }
+
+  /** CMS point estimate of one pre-hashed value: min over the depth rows. */
+  private[graft] def cmsEstimate(table: Array[Array[Long]], h: Long): Long = {
+    val width = table(0).length
+    var est = Long.MaxValue
+    var j = 0
+    while (j < table.length) {
+      val c = table(j)(cmsPos(h, j, width))
+      if (c < est) est = c
+      j += 1
+    }
+    est
+  }
+
+  /** EXACT heavy hitters — every distinct value of `column` whose exact
+    * occurrence count is ≥ `threshold`, as (value, cnt) — found WITHOUT
+    * shuffling the full value cardinality:
+    *
+    *  1. one pass builds the CMS ([[cmsRegisters]] — shuffle ≤ depth·width
+    *     rows);
+    *  2. a map-side probe of the broadcast table keeps only occurrences
+    *     whose CMS estimate clears the threshold — no false negatives (CMS
+    *     only overestimates), so every true heavy hitter survives;
+    *  3. exact count of the survivors (map-side combine makes the shuffle
+    *     ≤ survivors × tasks rows) and the final ≥-threshold filter kills
+    *     the CMS false positives.
+    *
+    * The full-cardinality groupBy this replaces is the thing that dies at
+    * 100 TB on a heavy-tailed token column (billions of distinct keys,
+    * shuffle ∝ corpus); here the shuffle is ∝ occurrences OF CANDIDATES,
+    * tunable by width. The oracle (q_heavy_hitters) is the plain exact
+    * GROUP BY HAVING — the sketch path must reproduce it row-for-row. */
+  def heavyHitters(df: DataFrame, column: String, threshold: Long,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(threshold >= 1, "threshold >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(col(column).cast("string")).na.drop().as[String]
+    val table = collectCms(cmsRegisters(values.toDF(column), column, depth, width),
+      depth, width)
+    val bc = spark.sparkContext.broadcast(table)
+    values
+      .mapPartitions { it =>
+        val t = bc.value
+        it.filter(s => cmsEstimate(t, Hashing.hashString(s)) >= threshold)
+      }
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** One-row sketch summary of a string column: (n_exact, kth_hash,
     * est_distinct) for cross-checking; production use keeps just the k
     * minima per shard and merges. If the column has fewer than k distinct

@@ -301,6 +301,27 @@ object LlmQueries {
     "q_sketch_hll_est" -> ((s, dir) =>
       graft.llm.Sketches.hllDistinct(docs(s, dir), "text", p = 8)),
 
+    // Count-Min counters over the text column (depth 4, width 256 —
+    // collisions guaranteed at 500 distinct texts): every counter verified
+    "q_sketch_cms" -> ((s, dir) =>
+      graft.llm.Sketches.cmsRegisters(docs(s, dir), "text", depth = 4, width = 256)
+        .select(col("j").cast("long").as("j"), col("pos").cast("long").as("pos"),
+          col("cnt").cast("long").as("cnt"))),
+
+    // EXACT heavy hitters via the CMS pre-filter (width 64 — deliberately
+    // collision-saturated so the exact verify stage has false positives to
+    // kill): the oracle is the plain GROUP BY HAVING, which the sketch
+    // path must reproduce row-for-row
+    "q_heavy_hitters" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+      graft.llm.Sketches.heavyHitters(terms, "term", threshold = 100L,
+          depth = 4, width = 64)
+        .withColumnRenamed("value", "term")
+        .select(col("term"), col("cnt").cast("long").as("cnt"))
+        .orderBy("term")
+    }),
+
     // Bloom membership: filter built from the English texts (1024 bits,
     // k=3 — deliberately tight so FALSE POSITIVES occur and the oracle
     // replays them too), probed by every document
@@ -1139,6 +1160,24 @@ object LlmQueries {
          |    THEN CAST(floor(256 * ln(256.0 / CAST(n_zero AS DOUBLE))) AS HUGEINT)
          |    ELSE est_raw END AS BIGINT) AS est
          |FROM est""".stripMargin,
+
+    // CMS counters: position j-row = mix64(fnv1a(text), j) % width over the
+    // unsigned HUGEINT domain — bit-identical to the engine's unsigned mod
+    "q_sketch_cms" ->
+      s"""${HashOracle.macros}
+         |WITH h AS (SELECT fnv1a(text) AS h FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT j.j AS j, CAST(mix64(h, j.j) % 256 AS BIGINT) AS pos
+         |  FROM h, range(4) j(j))
+         |SELECT CAST(j AS BIGINT) AS j, pos, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY j, pos ORDER BY j, pos""".stripMargin,
+
+    // heavy hitters: the sketch path's EXACT contract — plain group-count
+    // with the same threshold; the CMS is invisible in the answer
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(str_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t
+        |GROUP BY term HAVING count(*) >= 100 ORDER BY term""".stripMargin,
 
     // Bloom probe: a probe is maybe_member iff ALL THREE of its bit
     // positions appear in the inserted position set — bit-identical to the

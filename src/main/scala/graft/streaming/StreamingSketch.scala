@@ -24,6 +24,36 @@ import org.apache.spark.sql.functions._
   */
 object StreamingSketch {
 
+  /** Streaming windowed CMS — same argument as [[hllWindowed]] with SUM in
+    * place of MAX: a Count-Min counter is a sum, and sums are native to
+    * update-mode streaming aggregation (monotone under append, no
+    * retraction). State ≤ depth·width rows per window at any stream rate;
+    * a window's streaming counters EQUAL the batch counters of the same
+    * data (StreamingSpec asserts it) and merge with batch sketches by
+    * element-wise sum — the [[graft.llm.Sketches.cmsRegisters]] merge law. */
+  def cmsWindowed(df: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, delay: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 2, "width >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df
+      .select(col(tsCol).cast("timestamp").as("__ts"), col(valueCol).cast("string").as("__v"))
+      .na.drop()
+      .as[(java.sql.Timestamp, String)]
+      .mapPartitions(_.flatMap { case (ts, v) =>
+        val h = graft.llm.Hashing.hashString(v)
+        (0 until depth).iterator.map(j =>
+          (ts, j, graft.llm.Sketches.cmsPos(h, j, width)))
+      })
+      .toDF("__ts", "j", "pos")
+    obs
+      .withWatermark("__ts", delay)
+      .groupBy(window(col("__ts"), windowDuration), col("j"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** `df` must be a streaming DataFrame with event-time `tsCol` and a
     * string `valueCol`. `delay` is the watermark, e.g. "10 seconds". */
   def hllWindowed(df: DataFrame, tsCol: String, valueCol: String,

@@ -1103,6 +1103,44 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(e - nExact).toDouble / nExact < 3 * 1.04 / math.sqrt(256.0))
   }
 
+  test("CMS counters: merge law, one-sided estimates, exact heavy hitters") {
+    import spark.implicits._
+    import graft.llm.{Hashing, Sketches}
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    def regMap(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      Sketches.cmsRegisters(df, "text", depth = 4, width = 64)
+        .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val (rAll, r1, r2) = (regMap(docs), regMap(half1), regMap(half2))
+    // merge = element-wise SUM: the sketch of a union is the sum of parts
+    val merged = (r1.keySet ++ r2.keySet).map(k =>
+      k -> (r1.getOrElse(k, 0L) + r2.getOrElse(k, 0L))).toMap
+    assert(merged == rAll)
+    // one-sidedness: estimate >= exact count for EVERY value, == with a
+    // comfortably wide table (no collisions at 500 distinct texts)
+    val exact = docs.select("text").as[String].collect()
+      .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val narrow = Sketches.collectCms(
+      Sketches.cmsRegisters(docs, "text", depth = 4, width = 64), 4, 64)
+    val wide = Sketches.collectCms(
+      Sketches.cmsRegisters(docs, "text", depth = 6, width = 1 << 16), 6, 1 << 16)
+    exact.foreach { case (t, c) =>
+      val h = Hashing.hashString(t)
+      assert(Sketches.cmsEstimate(narrow, h) >= c)
+      assert(Sketches.cmsEstimate(wide, h) == c)
+    }
+    // heavy hitters: identical rows to the exact group-count under a
+    // collision-saturated width (the verify stage kills CMS overestimates)
+    val terms = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+    val got = Sketches.heavyHitters(terms, "term", threshold = 50L,
+        depth = 4, width = 16)
+      .as[(String, Long)].collect().toMap
+    val want = terms.groupBy("term").count().filter(col("count") >= 50)
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should have heavy hitters at threshold 50")
+  }
+
   test("Bloom filter: no false negatives, deterministic, FP rate bounded") {
     import graft.llm.Bloom
     val en = docs.filter(col("lang") === "en")

@@ -255,6 +255,24 @@ class PlanSpec extends SparkSpec {
       s"shuffleShards lost its per-shard partitioning:\n$shPlan")
     assert(!shPlan.contains("rangepartitioning"),
       s"shuffleShards fell back to a global sort:\n$shPlan")
+    // CMS registers: like HLL — one bounded-key groupBy with map-side
+    // partial counts, never a window
+    val cmsPlan = graft.llm.Sketches.cmsRegisters(d, "text", depth = 4, width = 256)
+      .queryExecution.executedPlan.toString
+    assert(!cmsPlan.contains("Window"), s"CMS plan grew a window:\n$cmsPlan")
+    assert(cmsPlan.contains("partial_count") || cmsPlan.contains("partial"),
+      s"CMS counter sum lost its map-side partial:\n$cmsPlan")
+    // heavy hitters: the candidate filter is a map stage against the
+    // broadcast table — the only exchanges are the two bounded aggregations
+    // (sketch build + survivor count); never a window, never a sort-based
+    // global ranking
+    val hhPlan = graft.llm.Sketches.heavyHitters(
+        d.selectExpr("explode(split(lower(text), ' ')) AS term"),
+        "term", threshold = 50L, depth = 4, width = 64)
+      .queryExecution.executedPlan.toString
+    assert(!hhPlan.contains("Window"), s"heavy hitters grew a window:\n$hhPlan")
+    assert(!hhPlan.contains("rangepartitioning"),
+      s"heavy hitters fell back to a global sort:\n$hhPlan")
   }
 
   test("whole-stage codegen covers the hot aggregation path (q1)") {

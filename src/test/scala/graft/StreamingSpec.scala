@@ -441,6 +441,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed CMS: counters equal the batch sketch per window") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L / 60000 * 60000 + s * 1000L)
+    val out = graft.streaming.StreamingSketch.cmsWindowed(
+      in.toDF().toDF("ts", "text"), "ts", "text", "60 seconds", "10 seconds",
+      depth = 4, width = 64)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cms_out").start()
+    try {
+      val (w0a, w0b) = docs.take(30).splitAt(17)
+      in.addData(w0a.map { case (_, t) => (ts(5), t) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(w0b.map { case (_, t) => (ts(40), t) }.toSeq: _*)
+      in.addData(docs.slice(30, 50).map { case (_, t) => (ts(70), t) }.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_out")
+        .select(col("window.start").cast("long").as("w"), col("j"), col("pos"), col("cnt"))
+        .as[(Long, Int, Int, Long)].collect()
+        .groupBy(_._1).map { case (w, rows) =>
+          // last emission per counter wins (update mode re-emits grown counts)
+          w -> rows.zipWithIndex.groupBy(r => (r._1._2, r._1._3)).map { case (k, rs) =>
+            k -> rs.maxBy(_._2)._1._4
+          }
+        }
+    def batchRegs(part: Seq[(Long, String)]): Map[(Int, Int), Long] =
+        graft.llm.Sketches.cmsRegisters(part.toDF("doc_id", "text"), "text",
+            depth = 4, width = 64)
+          .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val wStarts = got.keys.toSeq.sorted
+      assert(wStarts.size == 2, s"expected 2 windows, got $wStarts")
+      assert(got(wStarts.head) == batchRegs(docs.take(30).toSeq),
+        "window-0 counters != batch sketch")
+      assert(got(wStarts.last) == batchRegs(docs.slice(30, 50).toSeq),
+        "window-1 counters != batch sketch")
+      // state is counter-bounded: never more rows than depth*width per window
+      assert(got.values.forall(_.size <= 4 * 64))
+    } finally q.stop()
+  }
+
   test("streaming windowed HLL: registers equal the batch sketch per window") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
