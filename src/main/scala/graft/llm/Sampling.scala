@@ -329,4 +329,46 @@ object Sampling {
           .orderBy(col("__h"), col("__id_long"))).cast("long"))
       .drop("__h", "__id_long")
   }
+
+  /** Epoch-aware mixture upsampling — mixture recipes assign each domain
+    * an EFFECTIVE EPOCH COUNT (GPT-3's Wikipedia at 3.4 epochs, curated
+    * sources repeated, web crawl sub-sampled): each row is replicated
+    * floor(e) times plus one more with probability frac(e), decided
+    * deterministically from the row's own id. e < 1 degenerates to plain
+    * downsampling (keep ∝ e), e = 2.5 emits 2 or 3 copies — so one
+    * operator covers the whole repetition axis of a mixture.
+    *
+    * The fractional coin is `top32(splitmix64(id)) < floor(frac(e)·2^32)`:
+    * Long-exact in the kernel and HUGEINT-exact in the oracle (the one
+    * double op, frac·2^32, is the same IEEE multiply in both engines), so
+    * q_mix_epochs verifies every copy decision bit-for-bit — the
+    * [[hashSample]] determinism posture extended to replication.
+    *
+    * Scale shape: a pure flatMap — no shuffle, no join-back; the appended
+    * `epoch` column (0 ≤ epoch < copies) gives downstream shuffles
+    * ([[shuffleShards]], packing) a distinct key per copy. Rows with
+    * null/non-long ids are dropped ([[hashSample]] posture); a domain
+    * absent from `epochs` gets `defaultEpochs`. */
+  def upsampleEpochs(df: DataFrame, idCol: String, domainCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 1000.0),
+      "epoch counts must be in [0, 1000]")
+    val in = df.withColumn("__id_long", expr(s"try_cast(`$idCol` as bigint)"))
+      .filter(col("__id_long").isNotNull)
+      .withColumn("__dom", col(domainCol).cast("string"))
+    val idIdx = in.schema.fieldIndex("__id_long")
+    val domIdx = in.schema.fieldIndex("__dom")
+    val outSchema = in.schema.add("epoch", LongType, nullable = false)
+    in.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val e = epochs.getOrElse(row.getString(domIdx), defaultEpochs)
+        val whole = math.floor(e).toLong
+        val frac32 = math.floor((e - math.floor(e)) * 4294967296.0).toLong
+        val extra =
+          if ((Hashing.splitmix64(row.getLong(idIdx)) >>> 32) < frac32) 1L else 0L
+        val copies = whole + extra
+        (0L until copies).iterator.map(ep => Row.fromSeq(row.toSeq :+ ep))
+      }
+    }(Encoders.row(outSchema)).drop("__id_long", "__dom")
+  }
 }

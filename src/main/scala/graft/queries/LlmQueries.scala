@@ -389,6 +389,15 @@ object LlmQueries {
       Sampling.capPerDomain(docs(s, dir), "doc_id", "source", maxPerDomain = 10)
         .select("doc_id", "source", "domain_rank").orderBy("doc_id")),
 
+    // epoch-aware mixture upsampling: src0 at 2.5 epochs, src1 sub-sampled
+    // to 0.25, src2 exactly 3, src3 dropped, everything else 1.0 — every
+    // copy decision (floor + deterministic fractional coin) verified
+    "q_mix_epochs" -> ((s, dir) =>
+      Sampling.upsampleEpochs(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 3.0, "src3" -> 0.0),
+          defaultEpochs = 1.0)
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
+
     // token-BUDGETED domain caps: admit each source's docs in the
     // deterministic (sm64, id) order until 300 summed tokens; the crossing
     // doc closes the domain (mixture recipes are token targets, not doc
@@ -1224,6 +1233,23 @@ object LlmQueries {
         |SELECT np.doc_id, coalesce(r.text_dedup, '') AS text_dedup, np.n_paras,
         |  coalesce(r.n_kept, 0) AS n_kept
         |FROM np LEFT JOIN r ON np.doc_id = r.doc_id ORDER BY np.doc_id""".stripMargin,
+
+    // copies = floor(e) + (top-32-bits-of-sm64 < floor(frac(e)·2^32));
+    // the chosen weights are binary-exact doubles so the DECIMAL-vs-DOUBLE
+    // literal difference between engines cannot surface
+    "q_mix_epochs" ->
+      s"""${HashOracle.macros}
+         |WITH t AS (SELECT doc_id, source,
+         |  CASE source WHEN 'src0' THEN CAST(2.5 AS DOUBLE) WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+         |    WHEN 'src2' THEN CAST(3.0 AS DOUBLE) WHEN 'src3' THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS e
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |c AS (SELECT doc_id, source, CAST(floor(e) AS BIGINT) +
+         |  CASE WHEN (sm64(CAST(doc_id AS HUGEINT)) >> 32)
+         |    < CAST(floor((e - floor(e)) * 4294967296.0) AS HUGEINT) THEN 1 ELSE 0 END AS copies
+         |  FROM t)
+         |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+         |FROM c ORDER BY doc_id, epoch""".stripMargin,
 
     // the window form of the budget rule: cumulative token sum per source
     // in the same (sm64, id) total order; kept iff the sum BEFORE the row

@@ -1207,6 +1207,39 @@ class LlmSpec extends SparkSpec {
     assert(w.getString(1) == "xx\n\nyy" && w.getLong(2) == 3L && w.getLong(3) == 2L)
   }
 
+  test("upsampleEpochs replicates floor+coin deterministically, pure map") {
+    import spark.implicits._
+    import graft.llm.{Hashing, Sampling}
+    val fixture = (1L to 400L).map(id => (id, s"d${id % 4}")).toDF("id", "dom")
+    val weights = Map("d0" -> 2.5, "d1" -> 0.25, "d2" -> 0.0)
+    val got = Sampling.upsampleEpochs(fixture, "id", "dom", weights, defaultEpochs = 1.0)
+      .select("id", "dom", "epoch").as[(Long, String, Long)].collect()
+    // driver recompute of every copy decision
+    val want = (1L to 400L).flatMap { id =>
+      val e = weights.getOrElse(s"d${id % 4}", 1.0)
+      val frac32 = math.floor((e - math.floor(e)) * 4294967296.0).toLong
+      val copies = math.floor(e).toLong +
+        (if ((Hashing.splitmix64(id) >>> 32) < frac32 ) 1L else 0L)
+      (0L until copies).map(ep => (id, s"d${id % 4}", ep))
+    }
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == want.sortBy(r => (r._1, r._3)))
+    // e=0 drops the domain entirely; e=1 keeps exactly one copy of each
+    assert(!got.exists(_._2 == "d2"))
+    assert(got.count(_._2 == "d3") == 100)
+    // d0 at 2.5 epochs: every doc 2 or 3 copies; d1 at 0.25: 0 or 1
+    val perDoc = got.filter(_._2 == "d0").groupBy(_._1).view.mapValues(_.length)
+    assert(perDoc.values.forall(c => c == 2 || c == 3))
+    // partition-invariance: the decision is a function of the id only
+    val re = Sampling.upsampleEpochs(fixture.repartition(13), "id", "dom",
+        weights, defaultEpochs = 1.0)
+      .select("id", "dom", "epoch").as[(Long, String, Long)].collect()
+    assert(re.sortBy(r => (r._1, r._3)).toSeq == want.sortBy(r => (r._1, r._3)))
+    // scale shape: a pure flatMap — no exchange in the plan
+    val plan = Sampling.upsampleEpochs(fixture, "id", "dom", weights, 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsampleEpochs is not a map stage:\n$plan")
+  }
+
   test("capPerDomainTokens admits the budget prefix in deterministic order") {
     import spark.implicits._
     import graft.llm.{Hashing, Sampling}
