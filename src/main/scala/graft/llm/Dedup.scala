@@ -436,6 +436,73 @@ object Dedup {
       .drop("__cid", "__confirmed")
   }
 
+  /** Span-level decontamination — the surgical form of [[decontaminate]]:
+    * instead of flagging (and typically dropping) any document sharing a
+    * k-gram with the benchmark, CUT the matching spans and keep the rest
+    * (Lee et al. ACL 2022's dedup-then-train posture applied to
+    * contamination: most of a long document is innocent; dropping it for
+    * one quoted paragraph wastes data, keeping it verbatim leaks the eval).
+    *
+    * Every token position covered by a bench-matching k-gram (match at p
+    * covers [p, p+k) clamped to doc length — the [[repeatedSpans]] covering
+    * rule; a doc shorter than k tokens that matches is covered whole) is
+    * removed; adjacent/overlapping matches merge into maximal islands.
+    * Matching is case-insensitive ([[shingleHashes]] lowercases), removal
+    * operates on the ORIGINAL tokens, and the survivors rejoin with single
+    * spaces.
+    *
+    * Output: (idCol, text_clean, n_removed, n_spans); a null text yields
+    * (id, null, 0, 0). Scale shape: ONE corpus pass, zero shuffle — the
+    * bench shingle set broadcasts ([[decontaminate]]'s eval-suite premise;
+    * compose with [[decontaminateBloom]]'s filter+verify when the
+    * reference is corpus-scale). */
+  def scrubSpans(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 13): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val benchSh: Set[Long] = bench.select(col(benchTextCol)).as[String]
+      .flatMap(t => shingleHashes(t, k).iterator)
+      .distinct().collect().toSet
+    val bc = spark.sparkContext.broadcast(benchSh)
+    train.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ref = bc.value
+        rows.map { case (id, text) =>
+          if (text == null) (id, null: String, 0L, 0L)
+          else {
+            val orig = text.split(" ", -1)
+            val hashes = positionalShingleHashes(text, k)
+            val n = orig.length
+            val covered = new Array[Boolean](n)
+            var p = 0
+            while (p < hashes.length) {
+              if (ref.contains(hashes(p))) {
+                // a short-text "whole document" shingle covers [0, n)
+                val end = if (hashes.length == 1 && n < k) n else math.min(p + k, n)
+                var i = p
+                while (i < end) { covered(i) = true; i += 1 }
+              }
+              p += 1
+            }
+            var nRemoved = 0L
+            var nSpans = 0L
+            val kept = new scala.collection.mutable.ArrayBuffer[String](n)
+            var i = 0
+            while (i < n) {
+              if (covered(i)) {
+                nRemoved += 1
+                if (i == 0 || !covered(i - 1)) nSpans += 1
+              } else kept += orig(i)
+              i += 1
+            }
+            (id, kept.mkString(" "), nRemoved, nSpans)
+          }
+        }
+      }
+      .toDF(idCol, "text_clean", "n_removed", "n_spans")
+  }
+
   /** Shingle-novelty scoring: what fraction of each document's distinct
     * k-word shingles is ABSENT from a reference corpus — the continuous
     * form of [[decontaminate]] (which flags any overlap, this measures how

@@ -548,6 +548,17 @@ object LlmQueries {
         .select("doc_id", "contaminated").orderBy("doc_id")
     }),
 
+    // the surgical form: CUT the matching spans, keep the documents —
+    // same %37 bench fixture; cleaned text, removed-token and span counts
+    // all verified
+    "q_scrub_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(expr("array_join(slice(split(text, ' '), 11, 30), ' ')").as("text"))
+      Dedup.scrubSpans(d, "doc_id", "text", bench, "text", k = 13)
+        .orderBy("doc_id")
+    }),
+
     // the corpus-scale-reference form: Bloom pre-filter (constant
     // broadcast) + exact distributed verify; same fixture, same answer
     "q_decontaminate_bloom" -> ((s, dir) => {
@@ -1493,6 +1504,47 @@ object LlmQueries {
     // the Bloom-pre-filtered path is row-identical BY CONSTRUCTION (the
     // exact verify kills false positives), so it shares the oracle
     "q_decontaminate_bloom" -> decontaminateOracleSql,
+
+    // span surgery: covered positions = union of [p, p+13) over bench
+    // matches (short docs covered whole), islands counted by the lag
+    // transition, clean text rebuilt from the ORIGINAL tokens
+    "q_scrub_spans" -> {
+      val concat13 = (0 until 13).map(t => s"toks[i+$t]").mkString(" || ' ' || ")
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(text, ' ') AS otoks,
+         |  str_split(lower(text), ' ') AS toks FROM documents),
+         |b0 AS (SELECT array_to_string(list_slice(str_split(text, ' '), 11, 40), ' ') AS btext
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |bt AS (SELECT str_split(lower(btext), ' ') AS toks FROM b0),
+         |bsh0 AS (SELECT unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(1, len(toks) - 11), i -> $concat13) END) AS shingle FROM bt),
+         |bsh AS (SELECT DISTINCT fnv1a(shingle) AS h FROM bsh0),
+         |pos0 AS (SELECT doc_id, len(toks) AS n,
+         |  unnest(CASE WHEN len(toks) < 13 THEN [{'p': 0, 'g': array_to_string(toks, ' ')}]
+         |    ELSE list_transform(range(1, len(toks) - 11), i -> {'p': i - 1, 'g': $concat13}) END) AS u
+         |  FROM d),
+         |pos AS (SELECT doc_id, n, u.p AS pos, fnv1a(u.g) AS sh FROM pos0),
+         |hits AS (SELECT doc_id, n, pos FROM pos WHERE sh IN (SELECT h FROM bsh)),
+         |cov AS (SELECT DISTINCT doc_id, CAST(u AS BIGINT) AS cp FROM
+         |  (SELECT doc_id, unnest(range(pos, CASE WHEN n < 13 THEN n ELSE least(pos + 13, n) END)) AS u
+         |   FROM hits)),
+         |st AS (SELECT doc_id, cp, CASE WHEN lag(cp) OVER (PARTITION BY doc_id ORDER BY cp) = cp - 1
+         |  THEN 0 ELSE 1 END AS s FROM cov),
+         |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+         |  CAST(sum(s) AS BIGINT) AS n_spans FROM st GROUP BY doc_id),
+         |tok0 AS (SELECT doc_id, unnest(list_transform(range(len(otoks)),
+         |  i -> {'i': i, 'w': otoks[i + 1]})) AS u FROM d),
+         |tok AS (SELECT doc_id, u.i AS i, u.w AS w FROM tok0),
+         |kept AS (SELECT t.doc_id, t.i, t.w FROM tok t
+         |  ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.i),
+         |clean AS (SELECT doc_id, array_to_string(list(w ORDER BY i), ' ') AS text_clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(cl.text_clean, '') AS text_clean,
+         |  CAST(coalesce(st2.n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(coalesce(st2.n_spans, 0) AS BIGINT) AS n_spans
+         |FROM d LEFT JOIN clean cl USING (doc_id) LEFT JOIN stats st2 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // every Gopher gate recomputed over the identically-constructed fixture
     "q_text_gopher" ->

@@ -1103,6 +1103,37 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(e - nExact).toDouble / nExact < 3 * 1.04 / math.sqrt(256.0))
   }
 
+  test("scrubSpans cuts covered islands, keeps the rest, counts exactly") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val bench = Seq("a b c", "q r s").toDF("text")
+    val train = Seq(
+      (1L, "x a b c y"),            // one interior match: covers [1,4)
+      (2L, "a b c d a b c"),        // matches at 0 and 4: two islands
+      (3L, "clean doc stays put"),  // no match: identity
+      (4L, "A B C tail here"),      // case-insensitive match at 0
+      (5L, "q r"),                  // shorter than k, no whole-text match
+      (6L, "a b c")                 // shorter-than-k... exactly k: full cover
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubSpans(train, "doc_id", "text", bench, "text", k = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "x y", 3L, 1L)))
+    assert(got(1) == ((2L, "d", 6L, 2L)))
+    assert(got(2) == ((3L, "clean doc stays put", 0L, 0L)))
+    assert(got(3) == ((4L, "tail here", 3L, 1L)))
+    assert(got(4) == ((5L, "q r", 0L, 0L))) // "q r" != "q r s": no match
+    assert(got(5) == ((6L, "", 3L, 1L)))
+    // whole-doc cover for sub-k docs that ARE a bench shingle
+    val short = Seq((7L, "q r s")).toDF("doc_id", "text")
+    val s7 = Dedup.scrubSpans(short, "doc_id", "text", bench, "text", k = 13)
+      .as[(Long, String, Long, Long)].head()
+    assert(s7 == ((7L, "", 3L, 1L)))
+    // pure map stage: no exchange
+    val plan = Dedup.scrubSpans(train, "doc_id", "text", bench, "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scrubSpans is not a map stage:\n$plan")
+  }
+
   test("CMS counters: merge law, one-sided estimates, exact heavy hitters") {
     import spark.implicits._
     import graft.llm.{Hashing, Sketches}
