@@ -436,6 +436,48 @@ object Dedup {
       .drop("__cid", "__confirmed")
   }
 
+  /** Cross-corpus near-duplicate detection — [[minhashPairs]] with the two
+    * sides split: which TRAIN documents are near-duplicates of a REFERENCE
+    * corpus (an eval suite, a licensed-content ledger, a previous training
+    * run)? [[decontaminate]] answers this for verbatim k-gram overlap;
+    * paraphrased or lightly-edited contamination needs the Jaccard form —
+    * the scrub GPT-3 §4 ran against its benchmarks.
+    *
+    * Same kernel, bands, and hot-bucket cap as [[minhashPairs]], but the
+    * band join is STRICTLY across corpora (train×ref, never train×train —
+    * in-corpus duplication is [[minhashPairs]]' job), and the cap applies
+    * to the REFERENCE side's buckets (the side that degenerates when the
+    * blocklist contains boilerplate). Scale shape: signatures computed once
+    * per side, slim (id, band, bh) shuffles; candidate verification joins
+    * signatures back by id, so the corpus text never shuffles.
+    *
+    * Output: (id, ref_id, est_jaccard ≥ threshold) candidate matches; a
+    * train doc with no row is clean. */
+  def nearDupAgainst(train: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String, threshold: Double,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 500): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val tSig = minhashSignature(train, idCol, textCol, k, numHashes)
+      .select(col(idCol).cast("long").as("id"), col("__sig"))
+    val rSig = minhashSignature(ref, refIdCol, refTextCol, k, numHashes)
+      .select(col(refIdCol).cast("long").as("ref_id"), col("__sig").as("__rsig"))
+    val tB = bucketIds(tSig, "id", bands, rowsPerBand)
+    val rB = capBuckets(
+      bucketIds(rSig.select(col("ref_id"), col("__rsig").as("__sig")), "ref_id", bands, rowsPerBand),
+      maxBucket)
+    val cand = tB.join(rB, Seq("band", "bh"))
+      .select("id", "ref_id").dropDuplicates("id", "ref_id")
+    cand
+      .join(tSig, Seq("id"))
+      .join(rSig, Seq("ref_id"))
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(__sig, __rsig, (x, y) -> x = y), v -> v)) / CAST($numHashes AS DOUBLE)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id", "ref_id", "est_jaccard")
+  }
+
   /** Span-level decontamination — the surgical form of [[decontaminate]]:
     * instead of flagging (and typically dropping) any document sharing a
     * k-gram with the benchmark, CUT the matching spans and keep the rest

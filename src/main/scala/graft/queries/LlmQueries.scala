@@ -643,6 +643,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // cross-corpus near-dedup: train = doc_id%4!=0, reference = %4==0 —
+    // which train docs are Jaccard-0.5 near-dups of the reference side
+    // (the paraphrase-robust complement of the 13-gram decontaminate)
+    "q_dedup_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.nearDupAgainst(
+          d.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("id", "ref_id")
+    }),
+
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.4)
         .orderBy("id_a", "id_b")),
@@ -958,6 +970,27 @@ object LlmQueries {
     // Full MinHash pipeline recomputed: FNV shingle hashes → 64-slot
     // signature → 16 banded buckets (hot-bucket cap) → candidate pairs →
     // est_jaccard = equal-slot fraction ≥ threshold.
+    // cross-corpus banding: the signature chain is side-agnostic, so ONE
+    // sigrows CTE over all documents splits by doc_id%4; the reference
+    // side carries the hot-bucket cap, the join is strictly train×ref
+    "q_dedup_cross" ->
+      s"""${HashOracle.macros}
+         |WITH ${HashOracle.minhashSigRows},
+         |slice AS (SELECT doc_id, j // 4 AS band, list(slot ORDER BY j) AS sl
+         |  FROM sigrows GROUP BY doc_id, j // 4),
+         |tb AS (SELECT * FROM slice WHERE doc_id % 4 != 0),
+         |rb0 AS (SELECT * FROM slice WHERE doc_id % 4 = 0),
+         |rcap AS (SELECT band, sl FROM rb0 GROUP BY band, sl HAVING count(*) <= 500),
+         |rb AS (SELECT rb0.* FROM rb0 JOIN rcap USING (band, sl)),
+         |ids AS (SELECT DISTINCT tb.doc_id AS id, rb.doc_id AS ref_id
+         |  FROM tb JOIN rb USING (band, sl)),
+         |est AS (SELECT id, ref_id, CAST(count(*) FILTER (sa.slot = sb.slot) AS DOUBLE) / 64 AS est_jaccard
+         |  FROM ids JOIN sigrows sa ON sa.doc_id = id
+         |           JOIN sigrows sb ON sb.doc_id = ref_id AND sa.j = sb.j
+         |  GROUP BY id, ref_id)
+         |SELECT id, ref_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY id, ref_id""".stripMargin,
+
     "q_dedup_minhash" ->
       s"""${HashOracle.macros}
          |WITH ${HashOracle.minhashSigRows},

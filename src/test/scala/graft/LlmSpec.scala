@@ -1103,6 +1103,30 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(e - nExact).toDouble / nExact < 3 * 1.04 / math.sqrt(256.0))
   }
 
+  test("nearDupAgainst matches the in-corpus pair set restricted across the split") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val ref = docs.filter(col("doc_id") % 4 === 0)
+    val got = Dedup.nearDupAgainst(train, "doc_id", "text", ref, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // the un-split pair set (id_a < id_b), restricted to cross-split pairs
+    // in either orientation, must coincide (caps don't bind at this size)
+    val all = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+        cacheSignatures = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val want = all.flatMap { case (a, b) =>
+      val (aRef, bRef) = (a % 4 == 0, b % 4 == 0)
+      if (!aRef && bRef) Some((a, b))
+      else if (aRef && !bRef) Some((b, a))
+      else None
+    }.toSet
+    assert(got == want)
+    // never a train×train or ref×ref pair
+    assert(got.forall { case (id, refId) => id % 4 != 0 && refId % 4 == 0 })
+  }
+
   test("scrubSpans cuts covered islands, keeps the rest, counts exactly") {
     import spark.implicits._
     import graft.llm.Dedup
