@@ -274,7 +274,10 @@ object TextAnalysis {
     val rows = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val counts = new java.util.HashMap[String, Int]()
+        // Integer, not Int: putIfAbsent's absent-key signal is a reference
+        // null; with a primitive value type the null check only works via an
+        // unspecified boxing quirk (scalac warns "always false").
+        val counts = new java.util.HashMap[String, Integer]()
         val sb = new java.lang.StringBuilder
         it.map { case (id, text) =>
           val toks = text.toLowerCase.split(" ", -1)
@@ -301,7 +304,7 @@ object TextAnalysis {
                 t += 1
               }
               val k = sb.toString
-              val c = counts.merge(k, 1, (a, b) => a + b)
+              val c: Int = counts.merge(k, 1, (a, b) => Integer.valueOf(a + b))
               if (c > best) best = c
               j += 1
             }
@@ -592,6 +595,74 @@ object TextAnalysis {
         }
       }
       .toDF(idCol, "fingerprints")
+  }
+
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009; Lucene's idf variant)
+    * — the ranked form of [[tfidfTopTerms]]'s statistics: for each query,
+    * the k best documents under
+    * `score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with k1 = 1.2, b = 0.75. Inside a curation pipeline this is how a
+    * small trusted seed set pulls its nearest corpus documents (quality
+    * mining), the sparse complement of the embedding ANN family.
+    *
+    * Determinism contract: idf = ⌊ln((2N+2)/(2·df+1))·10⁶ + 0.5⌋ (Lucene's
+    * 1+… form — always positive — collapsed to one integer ratio; the one
+    * double log, [[lmScore]]'s replay posture), and the saturation fraction
+    * is cleared of avgdl's division: with k1 = 6/5, b = 3/4,
+    * `tf·(k1+1)/(tf + k1(1−b) + k1·b·dl·N/TL) = 22·tf·TL / (10·TL·tf +
+    * 3·TL + 9·dl·N)` — exact integers in both engines (TL = total tokens,
+    * N = docs; Long-safe to ~10¹⁴ token-corpora, past which the pure-double
+    * form is the production path). Per-(q,d) terms sum by an ORDERED fold
+    * (ascending term), so the double accumulation replays bit-for-bit.
+    *
+    * Scale shape: tf/dl/df are the slim aggregations a 100 TB inverted
+    * index is built from (term-keyed, map-side combined); the query term
+    * join broadcasts (queries are small by retrieval's premise); ranking is
+    * the bounded top-k Aggregator ([[Ann.topKPerQuery]]) — no per-q_id
+    * window. Output: (q_id, doc_id, score, rank ≤ k). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      topK: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else text.toLowerCase.split(" ", -1).iterator.map(t => (id, t))
+      }
+      .toDF("__id", "term")
+    val tf = tok.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("__id").agg(count(lit(1)).as("dl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.count()
+    val tl = tok.count()
+    val qt = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
+      .as[(Long, String)]
+      .flatMap { case (q, text) =>
+        if (text == null) Iterator.empty
+        else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
+      }
+      .toDF("q_id", "term")
+    val scored = broadcast(qt)
+      .join(tf, Seq("term"))
+      .join(dfc, Seq("term"))
+      .join(dl, Seq("__id"))
+      .withColumn("__idf",
+        floor(log((lit(2.0) * n + lit(2.0)) / (lit(2.0) * col("df") + lit(1.0)))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("__v",
+        col("__idf").cast("double") * (lit(22.0) * col("tf") * lit(tl.toDouble)) /
+          (lit(10.0) * lit(tl.toDouble) * col("tf") + lit(3.0) * lit(tl.toDouble)
+            + lit(9.0) * col("dl") * lit(n.toDouble)))
+    val sums = scored.groupBy("q_id", "__id")
+      .agg(aggregate(sort_array(collect_list(struct(col("term"), col("__v")))),
+        lit(0.0), (acc, x) => acc + x.getField("__v")).as("score"))
+    Ann.topKPerQuery(
+        sums.select(col("q_id"), col("__id").as("nn_id"), col("score").as("cosine")),
+        topK)
+      .select(col("q_id"), col("nn_id").as("doc_id"),
+        col("cosine").as("score"), col("rank").cast("long").as("rank"))
   }
 }
 

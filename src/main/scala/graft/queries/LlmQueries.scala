@@ -509,6 +509,18 @@ object LlmQueries {
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")),
 
+    // BM25 top-5 retrieval: every 17th doc's words 3-12 form a query; the
+    // ordered-fold score replays bit-for-bit in DuckDB (integer idf +
+    // cleared-denominator saturation)
+    "q_text_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("q_id"),
+          expr("array_join(slice(split(text, ' '), 3, 10), ' ')").as("q_text"))
+      TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", topK = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // CCNet-style LM scoring: bigram model trained on the doc_id%5 slice
     // (the "trusted reference"), every doc scored in integer micro-nats
     "q_text_lm_score" -> ((s, dir) => {
@@ -1891,5 +1903,41 @@ object LlmQueries {
         |SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
         |       CAST(u.i * (len // nf) AS BIGINT) AS byte_offset
         |FROM meta, unnest(generate_series(0, nf - 1)) AS u(i)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // BM25 replayed exactly: same integer idf (micro-nat floor of the one
+    // double ln), same cleared-denominator fraction with identical operand
+    // association, and the per-(q,doc) sum as the same ascending-term left
+    // fold (list_reduce over an ORDER BY term list; Spark's aggregate over
+    // sort_array) so the double accumulation is bit-identical
+    "q_text_bm25" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tlc AS (SELECT count(*) AS tl FROM tok),
+        |q AS (SELECT doc_id AS q_id,
+        |    array_to_string((str_split(text, ' '))[3:12], ' ') AS q_text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |  (SELECT q_id, unnest(str_split(lower(q_text), ' ')) AS term FROM q)),
+        |sc AS (SELECT qt.q_id, tf.doc_id, tf.term,
+        |    CAST(floor(ln((2.0 * nn.n + 2.0) / (2.0 * dfc.df + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS idf,
+        |    tf.tf, dl.dl, nn.n, tlc.tl
+        |  FROM qt JOIN tf USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, nn, tlc),
+        |v AS (SELECT q_id, doc_id, term,
+        |    CAST(idf AS DOUBLE) * (22.0 * tf * tl) /
+        |      (10.0 * tl * tf + 3.0 * tl + 9.0 * dl * n) AS v
+        |  FROM sc),
+        |s AS (SELECT q_id, doc_id,
+        |    list_reduce(list(v ORDER BY term), (a, b) -> a + b) AS score
+        |  FROM v GROUP BY q_id, doc_id),
+        |r AS (SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT q_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 }

@@ -336,6 +336,26 @@ class LlmSpec extends SparkSpec {
     assert(m(4L) == ((1L, 0.0, 1.0, 1.0, 1.0)))
   }
 
+  test("bm25: self-retrieval rank 1, rarer terms dominate, null text skipped") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick red fox runs"),
+      (3L, "a completely different document about spark engines"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "quick brown fox"), (3L, "spark engines")).toDF("q_id", "q_text")
+    val r = TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", topK = 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(3)))
+    // query 1 contains "brown" (only doc 1) -> doc 1 must outrank doc 2
+    assert(r.contains((1L, 1L, 1L)))
+    assert(r.contains((1L, 2L, 2L)))
+    // query 3's terms appear only in doc 3; no other doc may surface
+    assert(r.filter(_._1 == 3L).map(_._2).toSeq == Seq(3L))
+    // the null-text doc never scores
+    assert(!r.exists(_._2 == 4L))
+  }
+
   test("PII redaction: counts and placeholders for email / ip / phone") {
     import spark.implicits._
     val d = Seq(
