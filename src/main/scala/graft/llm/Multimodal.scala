@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed batch-wise with `mapPartitions`.
   *
-  * The decode step is REAL for the pure-JVM-parseable families — BMP and
-  * PNM (PPM/PGM) image headers, RIFF/WAVE PCM audio — and a DETERMINISTIC
-  * STUB for codec formats (JPEG/PNG decode, MP3, H.264) whose libraries are
-  * not in this container. What is load-bearing for a 100 TB pipeline either
+  * The decode step is REAL for the pure-JVM-parseable families — BMP, PNM
+  * (PPM/PGM), PNG (IHDR), GIF (screen descriptor) and JPEG (SOF marker
+  * walk) image headers, RIFF/WAVE PCM audio — and a DETERMINISTIC STUB for
+  * pixel/sample decode of compressed codecs (inflate, DCT, MP3, H.264)
+  * whose libraries are not in this container. What is load-bearing for a 100 TB pipeline either
   * way: the schema (binary payload + typed metadata), the partition-parallel
   * batch shape (one decoder init per partition, streamed records), and the
   * frame-sampling fanout as a generator expression. Swapping the stub body
@@ -55,6 +56,57 @@ object Multimodal {
       if (in) Some(v) else None
     }
     for (w <- nextInt(); h <- nextInt()) yield (w, h)
+  }
+
+  /** PNG IHDR: 8-byte signature, then the IHDR chunk is REQUIRED first
+    * (RFC 2083 §4.1.1), so width/height sit at fixed big-endian offsets
+    * 16/20. Header-only — no inflate, no codec. */
+  private[graft] def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b != null && b.length >= 24 &&
+        (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+      Some((bb.getInt(16), bb.getInt(20)))
+    } else None
+
+  /** GIF87a/89a logical screen descriptor: width/height as little-endian
+    * uint16 at offsets 6/8. */
+  private[graft] def parseGif(b: Array[Byte]): Option[(Int, Int)] =
+    if (b != null && b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      Some((bb.getShort(6) & 0xFFFF, bb.getShort(8) & 0xFFFF))
+    } else None
+
+  /** JPEG SOFn scan: walk the marker segments from SOI to the first start-
+    * of-frame (C0–CF minus DHT C4 / JPG C8 / DAC CC) and read the frame
+    * height/width (big-endian, after the 1-byte precision). Stops cleanly —
+    * never throws — on SOS/EOI-before-SOF, fill bytes, standalone markers,
+    * and malformed lengths: corrupt headers are normal scraped input. */
+  private[graft] def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    var pos = 2
+    while (pos + 2 <= b.length) {
+      if ((b(pos) & 0xFF) != 0xFF) return None
+      var marker = b(pos + 1) & 0xFF
+      while (marker == 0xFF && pos + 2 < b.length) { pos += 1; marker = b(pos + 1) & 0xFF }
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI / scan data before any SOF
+      if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) pos += 2 // standalone, no length
+      else {
+        if (pos + 4 > b.length) return None
+        val segLen = bb.getShort(pos + 2) & 0xFFFF
+        if (segLen < 2) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (pos + 9 > b.length) return None
+          return Some((bb.getShort(pos + 7) & 0xFFFF, bb.getShort(pos + 5) & 0xFFFF))
+        }
+        pos += 2 + segLen
+      }
+    }
+    None
   }
 
   /** RIFF/WAVE PCM: walks the word-aligned chunk list for 'fmt ' (channels,
@@ -114,6 +166,48 @@ object Multimodal {
   def syntheticPpm(width: Int, height: Int): Array[Byte] =
     s"P6\n# graft fixture\n$width $height\n255\n".getBytes("US-ASCII") ++ Array[Byte](0)
 
+  /** Minimal PNG: signature + a complete IHDR chunk with a REAL CRC32
+    * (java.util.zip — no codec involved), truecolor 8-bit, no payload. */
+  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+    b.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(width).putInt(height)
+    b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32
+    crc.update(b.array(), 12, 17) // chunk type + data
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** Minimal GIF89a: 6-byte signature + logical screen descriptor, no
+    * color table and no image data blocks. */
+  def syntheticGif(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(width.toShort).putShort(height.toShort)
+    b.put(0x70.toByte).put(0.toByte).put(0.toByte) // flags, bg index, aspect
+    b.array()
+  }
+
+  /** Minimal JPEG: SOI, a full APP0/JFIF segment, an SOF0 frame header
+    * carrying the real dimensions (1 component), EOI. The SOF sits BEHIND
+    * a to-be-skipped segment, so a parser that doesn't walk markers can't
+    * fake the roundtrip. */
+  def syntheticJpeg(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(35).order(ByteOrder.BIG_ENDIAN)
+    b.putShort(0xFFD8.toShort) // SOI
+    b.putShort(0xFFE0.toShort).putShort(16) // APP0, length 16
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.putShort(0x0102.toShort).put(0.toByte) // version 1.2, density units
+    b.putShort(1).putShort(1).put(0.toByte).put(0.toByte) // density, thumbnail
+    b.putShort(0xFFC0.toShort).putShort(11) // SOF0, length 11
+    b.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+    b.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte) // 1 component, 1x1, qtable 0
+    b.putShort(0xFFD9.toShort) // EOI
+    b.array()
+  }
+
   /** Canonical 44-byte WAV header declaring `nSamples` PCM samples; the
     * sample payload itself is omitted (parsers read declared sizes only). */
   def syntheticWav(sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long): Array[Byte] = {
@@ -146,6 +240,9 @@ object Multimodal {
         val parsed = m.mime match {
           case "image/bmp" => parseBmp(m.media)
           case "image/x-portable-pixmap" | "image/x-portable-graymap" => parsePnm(m.media)
+          case "image/png" => parsePng(m.media)
+          case "image/gif" => parseGif(m.media)
+          case "image/jpeg" => parseJpeg(m.media)
           case _ => None
         }
         parsed match {

@@ -811,6 +811,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PNG/GIF/JPEG header decode: each doc becomes one of the three
+    // formats (by doc_id % 3) with dimensions written into real header
+    // fields — IHDR big-endian ints, GIF LE uint16s, a JPEG SOF0 behind a
+    // skipped APP0 segment — and the parsers must read them back
+    "q_multimodal_headers" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 1920).toInt
+          val h = 1 + (id % 1080).toInt
+          id % 3 match {
+            case 0 => Multimodal.Media(id, Multimodal.syntheticPng(w, h), "image/png")
+            case 1 => Multimodal.Media(id, Multimodal.syntheticGif(w, h), "image/gif")
+            case _ => Multimodal.Media(id, Multimodal.syntheticJpeg(w, h), "image/jpeg")
+          }
+        }
+      Multimodal.decodeMeta(media).toDF()
+        .select("doc_id", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    }),
+
     // REAL RIFF/WAVE decode: chunk-walked fmt/data headers; n_samples and
     // duration derive from the declared sizes the fixture wrote
     "q_multimodal_wav" -> ((s, dir) => {
@@ -1886,6 +1908,16 @@ object LlmQueries {
       """SELECT doc_id, CAST(58 AS BIGINT) AS byte_len,
         |CAST(1 + doc_id % 640 AS INTEGER) AS width,
         |CAST(1 + doc_id % 480 AS INTEGER) AS height,
+        |CAST(1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // arithmetic replay of the three fixture writers: sizes are the fixed
+    // header lengths (PNG 33, GIF 13, JPEG 35), dims the written fields
+    "q_multimodal_headers" ->
+      """SELECT doc_id,
+        |CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 35 END AS BIGINT) AS byte_len,
+        |CAST(1 + doc_id % 1920 AS INTEGER) AS width,
+        |CAST(1 + doc_id % 1080 AS INTEGER) AS height,
         |CAST(1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 

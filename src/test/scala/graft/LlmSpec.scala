@@ -1037,6 +1037,38 @@ class LlmSpec extends SparkSpec {
     assert(got(4L)._4 >= 5L) // sentence floor passed; rejection came from '{'
   }
 
+  test("multimodal: PNG/GIF/JPEG header parsers walk real structures, reject corrupt bytes") {
+    import graft.llm.Multimodal
+    // PNG IHDR roundtrip; the fixture writes a real CRC32
+    assert(Multimodal.parsePng(Multimodal.syntheticPng(1920, 1080)).contains((1920, 1080)))
+    // GIF87a is as valid as 89a
+    val gif87 = Multimodal.syntheticGif(320, 200)
+    gif87(4) = '7'
+    assert(Multimodal.parseGif(Multimodal.syntheticGif(320, 200)).contains((320, 200)))
+    assert(Multimodal.parseGif(gif87).contains((320, 200)))
+    // JPEG: SOF0 behind APP0 must be found by the marker walk; a padded
+    // fill byte (FF FF C0) and a restart marker must both be stepped over
+    val jpg = Multimodal.syntheticJpeg(800, 600)
+    assert(Multimodal.parseJpeg(jpg).contains((800, 600)))
+    val withRst = jpg.slice(0, 2) ++ Array[Byte](0xFF.toByte, 0xD0.toByte) ++ jpg.drop(2)
+    assert(Multimodal.parseJpeg(withRst).contains((800, 600)))
+    // progressive (SOF2) reads the same frame fields
+    val prog = jpg.clone(); prog(21) = 0xC2.toByte
+    assert(Multimodal.parseJpeg(prog).contains((800, 600)))
+    // corruption: truncation, scan-before-SOF, zero segment length, wrong
+    // magic — all None, never a throw or a hang
+    assert(Multimodal.parsePng(Multimodal.syntheticPng(9, 9).slice(0, 20)).isEmpty)
+    assert(Multimodal.parseGif("GIF88a1234".getBytes("US-ASCII")).isEmpty)
+    val sosFirst = jpg.clone(); sosFirst(3) = 0xDA.toByte
+    assert(Multimodal.parseJpeg(sosFirst).isEmpty)
+    val zeroLen = jpg.clone(); zeroLen(4) = 0; zeroLen(5) = 0
+    assert(Multimodal.parseJpeg(zeroLen).isEmpty)
+    assert(Multimodal.parseJpeg(Multimodal.syntheticGif(3, 3)).isEmpty)
+    assert(Multimodal.parsePng(null).isEmpty)
+    assert(Multimodal.parseGif(null).isEmpty)
+    assert(Multimodal.parseJpeg(null).isEmpty)
+  }
+
   test("multimodal: BMP/PNM/WAV header parsers read real files, stub only off-family") {
     import spark.implicits._
     import graft.llm.Multimodal
