@@ -597,6 +597,51 @@ object TextAnalysis {
       .toDF(idCol, "fingerprints")
   }
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): split the corpus
+    * into `nBuckets` equal-count tiers (head/middle/tail for 3) of the
+    * [[lmScore]] surprisal distribution — CCNet keeps "head", samples
+    * "middle", drops "tail". Bucket key = `surprisal_micronats div n_terms`
+    * (integer mean micro-nats — exact, order-free); thresholds are true
+    * order statistics: t_i = the smallest key whose cumulative count
+    * reaches ⌈i·N/nBuckets⌉, and `bucket` = #{t_i < key} (ties never split
+    * a bucket boundary). Docs with < 2 tokens (unscorable) get NULL.
+    *
+    * Scale shape: scoring is [[lmScore]]'s broadcast-model map stage; the
+    * threshold pass aggregates a (key → count) histogram — map-side
+    * combined, bounded by DISTINCT mean values — and only the histogram's
+    * running sum uses an unpartitioned window. At 100 TB pre-bin the key
+    * (`div B`) to cap the histogram's cardinality; the bucket assignment
+    * itself stays a pure map against the nBuckets-1 broadcast thresholds. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = lmScore(df, idCol, textCol, reference, refTextCol)
+    val keyed = scored.withColumn("mean_micronats",
+      when(col("n_terms") > 0, expr("surprisal_micronats div n_terms")))
+    val hist = keyed.filter(col("mean_micronats").isNotNull)
+      .groupBy("mean_micronats").agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum("__c").over(org.apache.spark.sql.expressions.Window.orderBy("mean_micronats")))
+    val nTotal = keyed.filter(col("mean_micronats").isNotNull).count()
+    val targets = (1 until nBuckets).map(i => (i.toLong * nTotal + nBuckets - 1) / nBuckets)
+    val cutAggs = targets.zipWithIndex.map { case (t, j) =>
+      min(when(col("__cum") >= t, col("mean_micronats"))).as(s"__t$j")
+    }
+    // no scorable docs: every bucket is NULL anyway, skip the cut job
+    val cuts =
+      if (nTotal == 0) targets.indices.map(_ => Long.MaxValue)
+      else {
+        val cutRow = cum.agg(cutAggs.head, cutAggs.tail: _*).head()
+        targets.indices.map(cutRow.getLong)
+      }
+    val bucket = cuts.map(c => when(col("mean_micronats") > c, 1).otherwise(0))
+      .reduce(_ + _)
+    keyed.withColumn("bucket",
+      when(col("mean_micronats").isNotNull, bucket).cast("int"))
+      .select(col(idCol), col("n_terms"), col("surprisal_micronats"),
+        col("mean_micronats"), col("bucket"))
+  }
+
   /** BM25 top-k retrieval (Robertson & Zaragoza 2009; Lucene's idf variant)
     * — the ranked form of [[tfidfTopTerms]]'s statistics: for each query,
     * the k best documents under

@@ -530,6 +530,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail: tercile buckets of the integer mean-surprisal
+    // distribution, thresholds as exact order statistics of the histogram
+    "q_text_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.perplexityBuckets(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text", nBuckets = 3)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition metrics: pure map stage, integer-exact ratios
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -1536,6 +1545,30 @@ object LlmQueries {
          |  CASE WHEN lmagg.n > 0 THEN CAST(lmagg.s AS DOUBLE) / 1000000.0 / lmagg.n END AS mean_nats
          |FROM (SELECT doc_id FROM d) ids LEFT JOIN lmagg USING (doc_id)
          |ORDER BY ids.doc_id""".stripMargin,
+
+    // the lm_score chain extended by the bucketing arithmetic: integer
+    // mean key (s // n), histogram running sum, ceil-target thresholds,
+    // bucket = #{thresholds < key}
+    "q_text_ppl_buckets" ->
+      s"""WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |$lmCtes,
+         |k AS (SELECT ids.doc_id, coalesce(lmagg.n, 0) AS n, coalesce(lmagg.s, 0) AS s,
+         |    CASE WHEN coalesce(lmagg.n, 0) > 0 THEN lmagg.s // lmagg.n END AS mkey
+         |  FROM (SELECT doc_id FROM d) ids LEFT JOIN lmagg USING (doc_id)),
+         |hist AS (SELECT mkey, count(*) AS c FROM k WHERE mkey IS NOT NULL GROUP BY mkey),
+         |cum AS (SELECT mkey, sum(c) OVER (ORDER BY mkey) AS cum FROM hist),
+         |nt AS (SELECT count(*) AS n FROM k WHERE mkey IS NOT NULL),
+         |cuts AS (SELECT
+         |    min(CASE WHEN cum >= (1 * nt.n + 2) // 3 THEN mkey END) AS t0,
+         |    min(CASE WHEN cum >= (2 * nt.n + 2) // 3 THEN mkey END) AS t1
+         |  FROM cum, nt)
+         |SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_terms,
+         |  CAST(k.s AS BIGINT) AS surprisal_micronats,
+         |  CAST(k.mkey AS BIGINT) AS mean_micronats,
+         |  CAST(CASE WHEN k.mkey IS NULL THEN NULL ELSE
+         |    (CASE WHEN k.mkey > cuts.t0 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN k.mkey > cuts.t1 THEN 1 ELSE 0 END) END AS INTEGER) AS bucket
+         |FROM k, cuts ORDER BY k.doc_id""".stripMargin,
 
     // positional 13-gram shingle hashes → hashes occurring >1 time in the
     // corpus → covered positions → gaps-and-islands merge into maximal

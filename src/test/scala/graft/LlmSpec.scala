@@ -336,6 +336,24 @@ class LlmSpec extends SparkSpec {
     assert(m(4L) == ((1L, 0.0, 1.0, 1.0, 1.0)))
   }
 
+  test("perplexity buckets: monotone in mean surprisal, equal-count terciles, null for short docs") {
+    val d = docs.limit(60).select(col("doc_id"), col("text"))
+    val withShort = d.unionByName(
+      spark.range(1).select(lit(999999L).as("doc_id"), lit("solo").as("text")))
+    val r = TextAnalysis.perplexityBuckets(withShort, "doc_id", "text",
+        d.filter(col("doc_id") % 5 === 0), "text", nBuckets = 3).collect()
+    val scored = r.filter(!_.isNullAt(4)).map(x => (x.getLong(3), x.getInt(4)))
+    // buckets partition the mean-key axis monotonically
+    val byBucket = scored.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet.subsetOf(Set(0, 1, 2)))
+    for (b <- 0 until 2 if byBucket.contains(b) && byBucket.contains(b + 1))
+      assert(byBucket(b).max <= byBucket(b + 1).min)
+    // tercile counts balance within one tie-group (keys here are distinct)
+    assert(byBucket.values.map(_.length).max - byBucket.values.map(_.length).min <= 1)
+    // the 1-token doc is unscorable -> NULL bucket
+    assert(r.find(_.getLong(0) == 999999L).exists(_.isNullAt(4)))
+  }
+
   test("bm25: self-retrieval rank 1, rarer terms dominate, null text skipped") {
     import spark.implicits._
     val d = Seq(
