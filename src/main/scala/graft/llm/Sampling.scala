@@ -371,4 +371,100 @@ object Sampling {
       }
     }(Encoders.row(outSchema)).drop("__id_long", "__dom")
   }
+
+  /** Per-document hashed-feature buckets for [[dsirWeights]]: unigrams and
+    * bigrams of the lowercased space-tokens, FNV-1a'd into `buckets` slots
+    * (pmod of the signed hash — the [[Hashing.hashString]] / HashOracle
+    * replay pair). */
+  private def dsirFeatures(text: String, buckets: Int): Iterator[Int] = {
+    if (text == null) return Iterator.empty
+    val bl = buckets.toLong
+    def bucketOf(g: String): Int = (((Hashing.hashString(g) % bl) + bl) % bl).toInt
+    val w = text.toLowerCase.split(" ", -1)
+    w.iterator.map(bucketOf) ++
+      (0 until w.length - 1).iterator.map(i => bucketOf(w(i) + " " + w(i + 1)))
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every corpus
+    * document by how much its hashed-n-gram distribution looks like a
+    * small trusted TARGET set. Features are unigram+bigram buckets
+    * ([[dsirFeatures]]); both bag-of-buckets models are add-one smoothed,
+    * and the per-bucket log ratio is frozen to an INTEGER micro-nat
+    * λ_b = ⌊ln((T_b+1)(S+B) / ((S_b+1)(T+B)))·10⁶ + 0.5⌋ (one double ln of
+    * exact-integer operands — [[graft.llm.TextAnalysis.lmScore]]'s replay
+    * posture; exact while the count products stay under 2⁵³, i.e. to
+    * ~10¹⁵ feature-corpora). A document's log weight is then the plain
+    * integer sum Σ λ_bucket over its feature occurrences — order-free.
+    *
+    * Scale shape: two histogram passes (B-bounded, map-side combined,
+    * collected at ≤ `buckets` rows) plus one broadcast-λ map stage over
+    * the corpus — nothing is |corpus|-bounded on any single node.
+    * Output: (idCol, logw_micronats). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets
+    def histogram(d: DataFrame, tc: String): Array[Long] = {
+      val arr = new Array[Long](b)
+      d.select(col(tc).cast("string")).as[String]
+        .flatMap(dsirFeatures(_, b)).toDF("b")
+        .groupBy("b").agg(count(lit(1)).as("c")).as[(Int, Long)].collect()
+        .foreach { case (bk, c) => arr(bk) = c }
+      arr
+    }
+    val tCnt = histogram(target, targetTextCol)
+    val sCnt = histogram(df, textCol)
+    val tTot = tCnt.sum
+    val sTot = sCnt.sum
+    val lam = Array.tabulate(b) { i =>
+      math.floor(math.log(
+        ((tCnt(i) + 1).toDouble * (sTot + b).toDouble) /
+          ((sCnt(i) + 1).toDouble * (tTot + b).toDouble)) * 1000000.0 + 0.5).toLong
+    }
+    val bcLam = spark.sparkContext.broadcast(lam)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val l = bcLam.value
+        it.map { case (id, text) =>
+          var s = 0L
+          dsirFeatures(text, l.length).foreach(bk => s += l(bk))
+          (id, s)
+        }
+      }
+      .toDF(idCol, "logw_micronats")
+  }
+
+  /** Gumbel-top-k importance RESAMPLING over [[dsirWeights]] output — the
+    * sampling (not argmax) arm of DSIR: key = logw + Gumbel noise, where
+    * the noise is a pure function of the id (u = (⌊splitmix64(id)/2¹²⌋ +
+    * ½)/2⁵², EXACT in IEEE since the numerator stays below 2⁵², then
+    * g = ⌊−ln(−ln(u))·10⁶ + 0.5⌋ — two chained lns, the one place the
+    * engine accepts a two-deep transcendental; a replay flip needs both
+    * to land within an ulp of a 10⁻⁶ boundary). Selection is the
+    * TakeOrdered top-k by (key DESC, id ASC); the rank window afterwards
+    * orders k rows, never the corpus. Output: (rank, idCol,
+    * logw_micronats, key_micronats). */
+  def dsirSelect(weights: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = weights.sparkSession
+    import spark.implicits._
+    val keyed = weights.select(col(idCol).cast("long"), col("logw_micronats").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, lw) =>
+        val x = Hashing.splitmix64(id) >>> 12
+        val u = (x.toDouble + 0.5) / 4503599627370496.0
+        val gum = math.floor(-math.log(-math.log(u)) * 1000000.0 + 0.5).toLong
+        (id, lw, lw + gum)
+      })
+      .toDF(idCol, "logw_micronats", "key_micronats")
+    import org.apache.spark.sql.expressions.Window
+    keyed.orderBy(col("key_micronats").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("key_micronats").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("logw_micronats"), col("key_micronats"))
+  }
 }

@@ -131,6 +131,28 @@ object LlmQueries {
       |  FROM pb LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u ON pb.w1 = u.w),
       |lmagg AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id)""".stripMargin
 
+  /** CTE chain shared by q_dsir_weights / q_dsir_select: tokenized docs →
+    * unigram+bigram feature buckets → source/target histograms → integer
+    * micro-nat λ per bucket → per-doc summed log weight `w` (doc_id,
+    * logw). Mirrors Sampling.dsirWeights with B = 1024 and the doc_id%7
+    * target slice. */
+  private lazy val dsirCtes: String =
+    """d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+      |gr AS (SELECT doc_id, unnest(toks) AS g FROM d
+      |       UNION ALL
+      |       SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |         i -> toks[i] || ' ' || toks[i+1])) AS g FROM d),
+      |fb AS (SELECT doc_id, ((tosigned(fnv1a(g)) % 1024) + 1024) % 1024 AS b FROM gr),
+      |sc AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+      |tc AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 = 0 GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM fb) AS stot,
+      |               (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS ttot),
+      |lam AS (SELECT sc.b,
+      |    CAST(floor(ln((CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) * CAST(tot.stot + 1024 AS DOUBLE))
+      |      / (CAST(sc.c + 1 AS DOUBLE) * CAST(tot.ttot + 1024 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS lam
+      |  FROM sc LEFT JOIN tc ON sc.b = tc.b, tot),
+      |w AS (SELECT fb.doc_id, sum(lam.lam) AS logw FROM fb JOIN lam USING (b) GROUP BY fb.doc_id)""".stripMargin
+
   /** CTE chain shared by q_text_spans / q_text_span_stats: injected
     * fixture → positional 13-gram FNV hashes → corpus-duplicated hashes →
     * covered positions → island ids (the gaps-and-islands merge state).
@@ -381,6 +403,24 @@ object LlmQueries {
     "q_sample_temperature" -> ((s, dir) =>
       Sampling.temperatureSample(docs(s, dir), "doc_id", "lang", alpha = 0.3)
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // DSIR: every doc's integer micro-nat log importance weight against
+    // the doc_id%7 "trusted target" slice (hashed unigram+bigram buckets)
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirWeights(d, "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
+    // the Gumbel-top-100 resample over those weights: noise is a pure
+    // function of doc_id, so the draw replays exactly
+    "q_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Sampling.dsirWeights(d, "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "text", buckets = 1024)
+      Sampling.dsirSelect(w, "doc_id", k = 100).orderBy("rank")
+    }),
 
     // per-domain caps: at most 10 docs per source, picked by ascending
     // (splitmix64(doc_id), doc_id) through the bounded min-k aggregator —
@@ -1371,6 +1411,35 @@ object LlmQueries {
 
     // per-language counts → pow(c, alpha-1) ratios → normalized 1/10000
     // cuts (floor(x+0.5), the engine's rounding) → the sm64 bucket filter
+    // DSIR replayed end to end: hashed feature buckets (pmod of the signed
+    // FNV-1a), add-one-smoothed count models, the integer micro-nat log
+    // ratio (one ln of exact-integer double products), and the order-free
+    // integer sum per document
+    "q_dsir_weights" ->
+      s"""${HashOracle.macros}
+         |WITH $dsirCtes
+         |SELECT ids.doc_id, CAST(coalesce(w.logw, 0) AS BIGINT) AS logw_micronats
+         |FROM (SELECT doc_id FROM d) ids LEFT JOIN w USING (doc_id)
+         |ORDER BY ids.doc_id""".stripMargin,
+
+    // the Gumbel draw on top: u from the splitmix64 high bits as an exact
+    // dyadic rational, the same two-ln micro-nat floor, rank by
+    // (key DESC, doc_id)
+    "q_dsir_select" ->
+      s"""${HashOracle.macros}
+         |WITH $dsirCtes,
+         |wa AS (SELECT ids.doc_id, coalesce(w.logw, 0) AS logw
+         |  FROM (SELECT doc_id FROM d) ids LEFT JOIN w USING (doc_id)),
+         |gm AS (SELECT doc_id, logw, logw + CAST(floor(-ln(-ln(
+         |    (CAST(sm64(CAST(doc_id AS HUGEINT)) // 4096 AS DOUBLE) + 0.5)
+         |      / 4503599627370496.0)) * 1000000.0 + 0.5) AS BIGINT) AS key
+         |  FROM wa),
+         |r AS (SELECT doc_id, logw, key,
+         |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM gm)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+         |  CAST(logw AS BIGINT) AS logw_micronats, CAST(key AS BIGINT) AS key_micronats
+         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
     "q_sample_temperature" ->
       s"""${HashOracle.macros}
          |WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),

@@ -336,6 +336,29 @@ class LlmSpec extends SparkSpec {
     assert(m(4L) == ((1L, 0.0, 1.0, 1.0, 1.0)))
   }
 
+  test("dsir: target-like docs outweigh off-target docs; gumbel select is deterministic") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "zeta eta theta iota kappa lambda"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "mu nu xi omicron pi rho")
+    ).toDF("doc_id", "text")
+    val target = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(corpus, "doc_id", "text", target, "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs sharing the target's n-grams must outweigh disjoint-vocab docs
+    assert(w(1L) > w(2L) && w(3L) > w(4L))
+    val s1 = Sampling.dsirSelect(
+      Sampling.dsirWeights(corpus, "doc_id", "text", target, "text", 64), "doc_id", 3).collect()
+    val s2 = Sampling.dsirSelect(
+      Sampling.dsirWeights(corpus, "doc_id", "text", target, "text", 64), "doc_id", 3).collect()
+    assert(s1.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq ==
+      s2.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
+    assert(s1.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("perplexity buckets: monotone in mean surprisal, equal-count terciles, null for short docs") {
     val d = docs.limit(60).select(col("doc_id"), col("text"))
     val withShort = d.unionByName(
