@@ -376,7 +376,7 @@ object Sampling {
     * bigrams of the lowercased space-tokens, FNV-1a'd into `buckets` slots
     * (pmod of the signed hash — the [[Hashing.hashString]] / HashOracle
     * replay pair). */
-  private def dsirFeatures(text: String, buckets: Int): Iterator[Int] = {
+  private[llm] def dsirFeatures(text: String, buckets: Int): Iterator[Int] = {
     if (text == null) return Iterator.empty
     val bl = buckets.toLong
     def bucketOf(g: String): Int = (((Hashing.hashString(g) % bl) + bl) % bl).toInt

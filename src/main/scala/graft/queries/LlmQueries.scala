@@ -404,6 +404,17 @@ object LlmQueries {
       Sampling.temperatureSample(docs(s, dir), "doc_id", "lang", alpha = 0.3)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // GPT-3-style model-based quality filter: NB log-odds classifier
+    // (pos = the doc_id%7 curated slice, neg = the rest), sigmoid score in
+    // integer micro-probs, Pareto(9) keep decision cleared of pow
+    "q_quality_nb" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.llm.QualityClassifier.nbQualityFilter(d, "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text",
+          d.filter(col("doc_id") % 7 =!= 0), "text", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
     // DSIR: every doc's integer micro-nat log importance weight against
     // the doc_id%7 "trusted target" slice (hashed unigram+bigram buckets)
     "q_dsir_weights" -> ((s, dir) => {
@@ -1411,6 +1422,47 @@ object LlmQueries {
 
     // per-language counts → pow(c, alpha-1) ratios → normalized 1/10000
     // cuts (floor(x+0.5), the engine's rounding) → the sm64 bucket filter
+    // NB quality filter replayed end to end: pos/neg histograms over the
+    // same hashed buckets, integer micro-nat log-odds + prior, one-exp
+    // sigmoid floored to micro-probs, and the Pareto(9) keep inequality
+    // with t⁹ as the same eight left-associated multiplies
+    "q_quality_nb" ->
+      s"""${HashOracle.macros}
+         |WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |gr AS (SELECT doc_id, unnest(toks) AS g FROM d
+         |       UNION ALL
+         |       SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS g FROM d),
+         |fb AS (SELECT doc_id, ((tosigned(fnv1a(g)) % 1024) + 1024) % 1024 AS b FROM gr),
+         |pc AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 = 0 GROUP BY b),
+         |nc AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 <> 0 GROUP BY b),
+         |tot AS (SELECT
+         |    (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS ptot,
+         |    (SELECT count(*) FROM fb WHERE doc_id % 7 <> 0) AS ntot,
+         |    (SELECT count(*) FROM d WHERE doc_id % 7 = 0) AS pdocs,
+         |    (SELECT count(*) FROM d WHERE doc_id % 7 <> 0) AS ndocs),
+         |ab AS (SELECT DISTINCT b FROM fb),
+         |lam AS (SELECT ab.b,
+         |    CAST(floor(ln((CAST(coalesce(pc.c, 0) + 1 AS DOUBLE) * CAST(tot.ntot + 1024 AS DOUBLE))
+         |      / (CAST(coalesce(nc.c, 0) + 1 AS DOUBLE) * CAST(tot.ptot + 1024 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS lam
+         |  FROM ab LEFT JOIN pc ON ab.b = pc.b LEFT JOIN nc ON ab.b = nc.b, tot),
+         |pri AS (SELECT CAST(floor(ln(CAST(pdocs + 1 AS DOUBLE) / CAST(ndocs + 1 AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS prior FROM tot),
+         |w AS (SELECT fb.doc_id, sum(lam.lam) AS s FROM fb JOIN lam USING (b) GROUP BY fb.doc_id),
+         |lg AS (SELECT ids.doc_id, pri.prior + coalesce(w.s, 0) AS logit
+         |  FROM (SELECT doc_id FROM d) ids LEFT JOIN w USING (doc_id), pri),
+         |scr AS (SELECT doc_id, logit,
+         |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(logit AS DOUBLE) / 1000000.0))) + 0.5) AS BIGINT) AS score
+         |  FROM lg),
+         |kp AS (SELECT doc_id, logit, score,
+         |    (CAST(sm64(CAST(doc_id AS HUGEINT)) // 4096 AS DOUBLE) + 0.5) / 4503599627370496.0 AS u,
+         |    CAST(2000000 - score AS DOUBLE) / 1000000.0 AS t
+         |  FROM scr)
+         |SELECT doc_id, CAST(logit AS BIGINT) AS logit_micronats,
+         |  CAST(score AS BIGINT) AS score_micro,
+         |  (t <= 0.0 OR u * (t*t*t*t*t*t*t*t*t) < 1.0) AS keep
+         |FROM kp ORDER BY doc_id""".stripMargin,
+
     // DSIR replayed end to end: hashed feature buckets (pmod of the signed
     // FNV-1a), add-one-smoothed count models, the integer micro-nat log
     // ratio (one ln of exact-integer double products), and the order-free

@@ -336,6 +336,29 @@ class LlmSpec extends SparkSpec {
     assert(m(4L) == ((1L, 0.0, 1.0, 1.0, 1.0)))
   }
 
+  test("nb quality filter: separates pos-like from neg-like, score in range, high score keeps") {
+    import spark.implicits._
+    import graft.llm.QualityClassifier
+    val pos = Seq((101L, "well written careful prose with substance"),
+      (102L, "careful substance and well written prose")).toDF("doc_id", "text")
+    val neg = Seq((201L, "buy now click here spam spam"),
+      (202L, "click spam buy buy now here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "careful prose with substance"),
+      (2L, "click here buy spam now")).toDF("doc_id", "text")
+    val r = QualityClassifier.nbQualityFilter(corpus, "doc_id", "text",
+        pos, "text", neg, "text", buckets = 256)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L)._1 > r(2L)._1) // pos-like logit above neg-like
+    assert(r.values.forall(v => v._2 >= 0L && v._2 <= 1000000L))
+    // a saturated-positive doc (t <= 0 is impossible; score near 1e6 makes
+    // t^9 tiny) must keep; determinism across reruns
+    val again = QualityClassifier.nbQualityFilter(corpus, "doc_id", "text",
+        pos, "text", neg, "text", buckets = 256)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == again)
+  }
+
   test("dsir: target-like docs outweigh off-target docs; gumbel select is deterministic") {
     import spark.implicits._
     import graft.llm.Sampling
