@@ -657,17 +657,27 @@ object TextAnalysis {
     * `tf·(k1+1)/(tf + k1(1−b) + k1·b·dl·N/TL) = 22·tf·TL / (10·TL·tf +
     * 3·TL + 9·dl·N)` — exact integers in both engines (TL = total tokens,
     * N = docs; Long-safe to ~10¹⁴ token-corpora, past which the pure-double
-    * form is the production path). Per-(q,d) terms sum by an ORDERED fold
-    * (ascending term), so the double accumulation replays bit-for-bit.
+    * form is the production path). Each term's contribution is FLOORED to
+    * an integer micro-nat (floor(idf*frac + 0.5)), so the per-(q,d) score
+    * is an order-free integer SUM — a codegen'd hash aggregate. (The first
+    * cut summed raw doubles through sort_array + an `aggregate` lambda for
+    * bit-stable ordering: correct, but the interpreted per-group fold
+    * measured 58 s vs ~2 s at sf0.1 — the winnowing-HOF lesson again.
+    * Quantizing each term makes summation order irrelevant and keeps the
+    * whole pipeline in Tungsten.)
     *
     * Scale shape: tf/dl/df are the slim aggregations a 100 TB inverted
     * index is built from (term-keyed, map-side combined); the query term
     * join broadcasts (queries are small by retrieval's premise); ranking is
     * the bounded top-k Aggregator ([[Ann.topKPerQuery]]) — no per-q_id
-    * window. Output: (q_id, doc_id, score, rank ≤ k). */
+    * window. `maxDf` (None = exact) skips terms whose posting lists exceed
+    * it — static WAND-style pruning: a term in half the corpus carries
+    * near-zero idf yet pairs every query with half the corpus, so real
+    * retrieval deployments cap it.
+    * Output: (q_id, doc_id, score_micronats, rank <= k). */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, maxDf: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val tok = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
@@ -677,10 +687,15 @@ object TextAnalysis {
       }
       .toDF("__id", "term")
     val tf = tok.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("__id").agg(count(lit(1)).as("dl"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // dl and TL derive from tf (dl = Σ tf per doc, TL = Σ tf) — same values
+    // as counting tok directly, but the tokenizing flatMap + its exchange
+    // run once and get ReusedExchange'd across all three consumers
+    val dl = tf.groupBy("__id").agg(sum("tf").as("dl"))
+    val dfcAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfc = maxDf.map(m => dfcAll.filter(col("df") <= m)).getOrElse(dfcAll)
     val n = df.count()
-    val tl = tok.count()
+    val tlRow = tf.agg(sum("tf")).head() // null on an all-null-text corpus
+    val tl = if (tlRow.isNullAt(0)) 0L else tlRow.getLong(0)
     val qt = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
       .as[(Long, String)]
@@ -689,25 +704,32 @@ object TextAnalysis {
         else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
       }
       .toDF("q_id", "term")
-    val scored = broadcast(qt)
-      .join(tf, Seq("term"))
-      .join(dfc, Seq("term"))
-      .join(dl, Seq("__id"))
+    // BM25 is a sparse matrix product: scores(q, d) = Σ_t Q(q,t)·V(t,d).
+    // V's term score depends only on (term, doc), so it is computed on the
+    // SLIM postings table (|docs|·|distinct terms per doc| rows) BEFORE
+    // the query join multiplies rows by |matching queries| — the exploded
+    // rows carry just (q_id, doc, v), and the only post-explosion exchange
+    // is the score aggregation itself. The df side broadcasts (vocab-
+    // bounded; `maxDf` keeps it and the explosion in check on real
+    // corpora): joining it by shuffle instead would repartition the
+    // postings by term — a |vocab|-key hot-partition shape.
+    val v = tf.join(dl, Seq("__id")).join(broadcast(dfc), Seq("term"))
       .withColumn("__idf",
         floor(log((lit(2.0) * n + lit(2.0)) / (lit(2.0) * col("df") + lit(1.0)))
           * lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("__v",
-        col("__idf").cast("double") * (lit(22.0) * col("tf") * lit(tl.toDouble)) /
+        floor(col("__idf").cast("double") * (lit(22.0) * col("tf") * lit(tl.toDouble)) /
           (lit(10.0) * lit(tl.toDouble) * col("tf") + lit(3.0) * lit(tl.toDouble)
-            + lit(9.0) * col("dl") * lit(n.toDouble)))
-    val sums = scored.groupBy("q_id", "__id")
-      .agg(aggregate(sort_array(collect_list(struct(col("term"), col("__v")))),
-        lit(0.0), (acc, x) => acc + x.getField("__v")).as("score"))
+            + lit(9.0) * col("dl") * lit(n.toDouble)) + lit(0.5)).cast("long"))
+      .select(col("term"), col("__id"), col("__v"))
+    val sums = v.join(broadcast(qt), Seq("term"))
+      .groupBy("q_id", "__id").agg(sum("__v").as("score_micronats"))
     Ann.topKPerQuery(
-        sums.select(col("q_id"), col("__id").as("nn_id"), col("score").as("cosine")),
+        sums.select(col("q_id"), col("__id").as("nn_id"),
+          col("score_micronats").cast("double").as("cosine")),
         topK)
       .select(col("q_id"), col("nn_id").as("doc_id"),
-        col("cosine").as("score"), col("rank").cast("long").as("rank"))
+        col("cosine").cast("long").as("score_micronats"), col("rank").cast("long").as("rank"))
   }
 }
 

@@ -560,12 +560,14 @@ object LlmQueries {
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")),
 
-    // BM25 top-5 retrieval: every 17th doc's words 3-12 form a query; the
-    // ordered-fold score replays bit-for-bit in DuckDB (integer idf +
-    // cleared-denominator saturation)
+    // BM25 top-5 retrieval: every 170th doc's words 3-12 form a query
+    // (the synthetic 31-word vocabulary makes every (query, doc) pair
+    // match — the dense worst case — so the fixture sizes |Q| like the
+    // ANN queries rather than inflating the benchmark with fan-out); the
+    // integer micro-nat scores replay exactly in DuckDB
     "q_text_bm25" -> ((s, dir) => {
       val d = docs(s, dir)
-      val q = d.filter(col("doc_id") % 17 === 0)
+      val q = d.filter(col("doc_id") % 170 === 0)
         .select(col("doc_id").as("q_id"),
           expr("array_join(slice(split(text, ' '), 3, 10), ' ')").as("q_text"))
       TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", topK = 5)
@@ -2093,9 +2095,8 @@ object LlmQueries {
 
     // BM25 replayed exactly: same integer idf (micro-nat floor of the one
     // double ln), same cleared-denominator fraction with identical operand
-    // association, and the per-(q,doc) sum as the same ascending-term left
-    // fold (list_reduce over an ORDER BY term list; Spark's aggregate over
-    // sort_array) so the double accumulation is bit-identical
+    // association, each term floored to integer micro-nats, and the
+    // per-(q,doc) score as the order-free integer sum
     "q_text_bm25" ->
       """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
@@ -2106,7 +2107,7 @@ object LlmQueries {
         |tlc AS (SELECT count(*) AS tl FROM tok),
         |q AS (SELECT doc_id AS q_id,
         |    array_to_string((str_split(text, ' '))[3:12], ' ') AS q_text
-        |  FROM documents WHERE doc_id % 17 = 0),
+        |  FROM documents WHERE doc_id % 170 = 0),
         |qt AS (SELECT DISTINCT q_id, term FROM
         |  (SELECT q_id, unnest(str_split(lower(q_text), ' ')) AS term FROM q)),
         |sc AS (SELECT qt.q_id, tf.doc_id, tf.term,
@@ -2114,16 +2115,15 @@ object LlmQueries {
         |    tf.tf, dl.dl, nn.n, tlc.tl
         |  FROM qt JOIN tf USING (term) JOIN dfc USING (term)
         |  JOIN dl ON dl.doc_id = tf.doc_id, nn, tlc),
-        |v AS (SELECT q_id, doc_id, term,
-        |    CAST(idf AS DOUBLE) * (22.0 * tf * tl) /
-        |      (10.0 * tl * tf + 3.0 * tl + 9.0 * dl * n) AS v
+        |v AS (SELECT q_id, doc_id,
+        |    CAST(floor(CAST(idf AS DOUBLE) * (22.0 * tf * tl) /
+        |      (10.0 * tl * tf + 3.0 * tl + 9.0 * dl * n) + 0.5) AS BIGINT) AS v
         |  FROM sc),
-        |s AS (SELECT q_id, doc_id,
-        |    list_reduce(list(v ORDER BY term), (a, b) -> a + b) AS score
+        |s AS (SELECT q_id, doc_id, CAST(sum(v) AS BIGINT) AS score
         |  FROM v GROUP BY q_id, doc_id),
         |r AS (SELECT q_id, doc_id, score,
         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         |  FROM s)
-        |SELECT q_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |SELECT q_id, doc_id, CAST(score AS BIGINT) AS score_micronats, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 }

@@ -336,6 +336,21 @@ class LlmSpec extends SparkSpec {
     assert(m(4L) == ((1L, 0.0, 1.0, 1.0, 1.0)))
   }
 
+  test("perplexity buckets: all-unscorable corpus yields all-NULL buckets (no crash)") {
+    import spark.implicits._
+    val shorts = Seq((1L, "one"), (2L, "two"), (3L, "")).toDF("doc_id", "text")
+    val ref = Seq((0L, "a reference corpus of words")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityBuckets(shorts, "doc_id", "text", ref, "text", 3).collect()
+    assert(r.length == 3 && r.forall(_.isNullAt(4)))
+  }
+
+  test("bm25: disjoint-vocab query set returns zero rows, not an error") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val q = Seq((9L, "omega psi")).toDF("q_id", "q_text")
+    assert(TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", 5).count() == 0L)
+  }
+
   test("nb quality filter: separates pos-like from neg-like, score in range, high score keeps") {
     import spark.implicits._
     import graft.llm.QualityClassifier

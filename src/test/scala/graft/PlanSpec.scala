@@ -233,6 +233,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dsir / nb-classifier scoring and bm25 ranking keep their scale shapes") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 200)
+    val target = d.filter(col("doc_id") % 7 === 0)
+    // scoring after the (driver-bounded) histogram passes is a pure map
+    // stage over the corpus scan — broadcast weights, no exchange, no window
+    val wPlan = graft.llm.Sampling.dsirWeights(d, "doc_id", "text", target, "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(!wPlan.contains("Exchange"), s"dsirWeights scoring shuffles:\n$wPlan")
+    assert(!wPlan.contains("Window"), s"dsirWeights scoring windows:\n$wPlan")
+    val nbPlan = graft.llm.QualityClassifier.nbQualityFilter(
+        d, "doc_id", "text", target, "text", d.filter(col("doc_id") % 7 =!= 0), "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(!nbPlan.contains("Exchange"), s"nbQualityFilter scoring shuffles:\n$nbPlan")
+    assert(!nbPlan.contains("Window"), s"nbQualityFilter scoring windows:\n$nbPlan")
+    // bm25 ranks through the bounded top-k aggregator — never a per-query
+    // window — and the query-term join broadcasts
+    val q = d.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val bmPlan = graft.llm.TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("Window"), s"bm25 ranks via a window:\n$bmPlan")
+    assert(bmPlan.contains("BroadcastHashJoin"), s"bm25 query join did not broadcast:\n$bmPlan")
+  }
+
   test("sketch/shuffle/bloom operators keep their intended scale shapes") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     // HLL: ONE exchange (the <=2^p-key groupBy with map-side partial max)
