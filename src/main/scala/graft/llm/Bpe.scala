@@ -135,4 +135,36 @@ object Bpe {
       }
       .toDF(idCol, "n_bpe_tokens", "tokens_str")
   }
+
+  /** Tokenizer-QA fertility metrics — tokens-per-word is THE standard
+    * figure for how well a vocabulary fits a corpus (high fertility =
+    * the tokenizer fragments this text; the signal behind per-language
+    * vocabulary sizing). Same kernel as [[encode]] plus a word counter:
+    * `fertility_micro` = ⌊n_bpe_tokens·10⁶ / n_words⌋ (integer division —
+    * exact in any engine; NULL for wordless docs). Pure broadcast-model
+    * map stage. Output: (idCol, n_words, n_bpe_tokens, fertility_micro). */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], dict: Map[String, String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(merges)
+    val bcD = spark.sparkContext.broadcast(dict)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bcM.value
+        val d = bcD.value
+        it.map { case (id, text) =>
+          var nw = 0L
+          var nt = 0L
+          if (text != null) text.toLowerCase.split(" ", -1).iterator.filter(_.nonEmpty)
+            .foreach { w =>
+              val repr = d.getOrElse(w, applyMerges(initRepr(w), ms))
+              nw += 1
+              nt += repr.split(Sep).length
+            }
+          (id, nw, nt, if (nw == 0) None else Some(nt * 1000000L / nw))
+        }
+      }
+      .toDF(idCol, "n_words", "n_bpe_tokens", "fertility_micro")
+  }
 }

@@ -497,6 +497,14 @@ object LlmQueries {
       graft.llm.Bpe.encode(d, "doc_id", "text", m, dict).orderBy("doc_id")
     }),
 
+    // tokenizer fertility: tokens-per-word under the 8-merge BPE dict,
+    // integer micro division
+    "q_bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8)
+      graft.llm.Bpe.encodeStats(d, "doc_id", "text", m, dict).orderBy("doc_id")
+    }),
+
     // curation scorecard: domain cap → novelty vs reference → LM
     // perplexity, composed as ONE plan over the capped survivor set; keep
     // = novel enough AND fluent enough (thresholds from the sf0.01 signal
@@ -1589,6 +1597,22 @@ object LlmQueries {
          |  FROM enc GROUP BY doc_id)
          |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens,
          |  coalesce(agg.ts, '') AS tokens_str
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // the encode chain aggregated to word/token counts; fertility as the
+    // same integer micro division
+    "q_bpe_fertility" ->
+      s"""WITH ${bpeCtes(8)},
+         |docw AS (SELECT doc_id, u.w AS w FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'i': i, 'w': toks[i]})) AS u
+         |   FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) dt) dx
+         |  WHERE u.w != ''),
+         |enc AS (SELECT docw.doc_id, len(str_split(w8.repr, chr(31))) AS nt
+         |  FROM docw JOIN w8 ON docw.w = w8.word),
+         |agg AS (SELECT doc_id, count(*) AS nw, sum(nt) AS nt FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CASE WHEN coalesce(agg.nw, 0) > 0 THEN agg.nt * 1000000 // agg.nw END AS BIGINT) AS fertility_micro
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // the domain-cap row_number, the novelty chain, and the LM chain

@@ -291,6 +291,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB quality filter: batch-trained weights score an unbounded feed") {
+    // train pos/neg on static corpora, score the stream with the broadcast
+    // model — the online form of model-based quality filtering; scores
+    // must equal the batch scores for the same rows
+    import graft.llm.QualityClassifier
+    val pos = Seq((1L, "well written careful prose")).toDF("doc_id", "text")
+    val neg = Seq((2L, "buy spam click now")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)](spark)
+    val q = QualityClassifier.nbQualityFilter(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", pos, "text", neg, "text", buckets = 64)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("nb_out").start()
+    try {
+      in.addData(10L -> "careful well written prose", 11L -> "spam click buy")
+      q.processAllAvailable()
+      val streamed = spark.table("nb_out")
+        .select("doc_id", "logit_micronats", "score_micro", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val batch = QualityClassifier.nbQualityFilter(
+          Seq((10L, "careful well written prose"), (11L, "spam click buy"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", pos, "text", neg, "text", buckets = 64)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.head._2 > streamed(1)._2) // pos-like outranks spam
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: in-horizon near-duplicates suppressed, novel docs pass") {
     // the streaming twin of minhashPairs: batch LSH (same kernel, same band
     // hashing) decides which docs SHOULD collide; the stream must suppress
