@@ -497,6 +497,30 @@ object LlmQueries {
       graft.llm.Bpe.encode(d, "doc_id", "text", m, dict).orderBy("doc_id")
     }),
 
+    // URL canonicalization: messy fixture URLs (uppercase scheme/host, www,
+    // default ports, tracking params, unsorted query, fragment, trailing
+    // slash, one non-URL branch) — the oracle PREDICTS each canonical form
+    // arithmetically, so a normalizer that skips any rule fails
+    "q_url_normalize" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val k = (col("doc_id") % 20).cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://WWW.Example"), k, lit(".COM:80/Dir/Page"), id,
+            lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://sub.Example"), k, lit(".org:8443/p"), id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://Example"), k, lit(".com:443/")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://example"), k, lit(".net/path?fbclid=abc"), id))
+        .otherwise(concat(lit("not a url "), id))
+      docs(s, dir).select(col("doc_id")).withColumn("url", url)
+        .select(col("doc_id"), col("url"),
+          graft.llm.UrlOps.canonicalize(col("url")).as("canonical_url"),
+          graft.llm.UrlOps.registeredDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // tokenizer fertility: tokens-per-word under the 8-merge BPE dict,
     // integer micro division
     "q_bpe_fertility" -> ((s, dir) => {
@@ -1598,6 +1622,32 @@ object LlmQueries {
          |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens,
          |  coalesce(agg.ts, '') AS tokens_str
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // every rule's outcome predicted per branch: lowercased scheme/host,
+    // www and default ports gone, tracking params scrubbed, survivors
+    // sorted, fragment and trailing slash dropped, path case preserved,
+    // the non-URL branch NULL
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 20) || '.COM:80/Dir/Page' || doc_id || '/?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://sub.Example' || (doc_id % 20) || '.org:8443/p' || doc_id
+        |    WHEN 2 THEN 'https://Example' || (doc_id % 20) || '.com:443/'
+        |    WHEN 3 THEN 'http://example' || (doc_id % 20) || '.net/path?fbclid=abc' || doc_id
+        |    ELSE 'not a url ' || doc_id END AS url,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'http://example' || (doc_id % 20) || '.com/Dir/Page' || doc_id || '?a=1&b=2'
+        |    WHEN 1 THEN 'https://sub.example' || (doc_id % 20) || '.org:8443/p' || doc_id
+        |    WHEN 2 THEN 'https://example' || (doc_id % 20) || '.com'
+        |    WHEN 3 THEN 'http://example' || (doc_id % 20) || '.net/path'
+        |    END AS canonical_url,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'example' || (doc_id % 20) || '.com'
+        |    WHEN 1 THEN 'example' || (doc_id % 20) || '.org'
+        |    WHEN 2 THEN 'example' || (doc_id % 20) || '.com'
+        |    WHEN 3 THEN 'example' || (doc_id % 20) || '.net'
+        |    END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the encode chain aggregated to word/token counts; fertility as the
     // same integer micro division

@@ -344,6 +344,40 @@ class LlmSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(_.isNullAt(4)))
   }
 
+  test("url canonicalization: ports, params, fragments, and malformed inputs") {
+    import spark.implicits._
+    import graft.llm.UrlOps
+    val in = Seq(
+      "https://Host.COM",                             // bare host, no path
+      "http://a.com:8080/x",                          // non-default port kept
+      "https://www.b.org/x/?utm_campaign=1&gclid=2",  // all params scrubbed
+      "http://c.net/P?z=1&a=2&ref=feed",              // sort + scrub mix
+      "not-a-url", "", "http//missing.scheme/x"
+    ).toDF("url")
+    val got = in.select(UrlOps.canonicalize(col("url")).as("c"),
+        UrlOps.registeredDomain(col("url")).as("d"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(got(0) == ((Some("https://host.com"), Some("host.com"))))
+    assert(got(1) == ((Some("http://a.com:8080/x"), Some("a.com"))))
+    assert(got(2) == ((Some("https://b.org/x"), Some("b.org"))))
+    assert(got(3) == ((Some("http://c.net/P?a=2&z=1"), Some("c.net"))))
+    assert(got.drop(4).forall(_ == ((None, None))))
+  }
+
+  test("bm25 maxDf pruning: high-df terms stop generating candidates") {
+    import spark.implicits._
+    val d = Seq((1L, "common rare1"), (2L, "common rare2"), (3L, "common filler"))
+      .toDF("doc_id", "text")
+    val q = Seq((9L, "common rare1")).toDF("q_id", "q_text")
+    // "common" has df=3 > maxDf=1: only "rare1" may generate candidates,
+    // so doc 1 is the single hit (unpruned, all three docs would score)
+    val pruned = TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text",
+      topK = 5, maxDf = Some(1L)).collect()
+    assert(pruned.map(_.getLong(1)).toSeq == Seq(1L))
+    assert(TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", 5)
+      .count() == 3L)
+  }
+
   test("bm25: disjoint-vocab query set returns zero rows, not an error") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
