@@ -843,6 +843,20 @@ object LlmQueries {
           Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // leakage-safe splitting: route by the duplicate-CLUSTER id, not the
+    // doc id, so near-duplicate docs can never straddle train/test (the
+    // eval-contamination channel hashSplit-by-doc leaves open); pure
+    // composition of the contraction clusters and the hash router
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cl = Dedup.clusters(d, "doc_id",
+        Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+          .select("id_a", "id_b"))
+      Sampling.hashSplit(cl, "cluster_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "cluster_id", "split").orderBy("doc_id")
+    }),
+
     // int8 symmetric embedding quantization, verified code-by-code: explode
     // (vec_id, dim, code, dequantized) and compare against DuckDB's replay
     // of the same scale/round/clamp arithmetic
@@ -1953,6 +1967,32 @@ object LlmQueries {
          |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // the cluster chain + the sm64 bucket router keyed on cluster_id —
+    // every member of a duplicate cluster provably lands in one split
+    "q_split_leakage_safe" ->
+      s"""${HashOracle.macros}
+         |WITH RECURSIVE ${HashOracle.minhashSigRows},
+         |${HashOracle.minhashBuckets},
+         |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sc a JOIN sc b USING (band, sl) WHERE a.doc_id < b.doc_id),
+         |est AS (SELECT id_a, id_b, CAST(count(*) FILTER (sa.slot = sb.slot) AS DOUBLE) / 64 AS ej
+         |  FROM ids JOIN sigrows sa ON sa.doc_id = id_a
+         |           JOIN sigrows sb ON sb.doc_id = id_b AND sa.j = sb.j
+         |  GROUP BY id_a, id_b),
+         |pr AS (SELECT id_a, id_b FROM est WHERE ej >= 0.5),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |b AS (SELECT doc_id, cluster_id,
+         |  ((tosigned(sm64(CAST(cluster_id AS HUGEINT))) % 10000) + 10000) % 10000 AS bk
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Exact 3-word-shingle Jaccard over ALL pairs — passing asserts the
     // banded candidate generation reached 100% recall at this threshold on

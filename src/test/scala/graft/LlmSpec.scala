@@ -344,6 +344,22 @@ class LlmSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(_.isNullAt(4)))
   }
 
+  test("leakage-safe split: every duplicate cluster lands wholly in one split") {
+    import graft.llm.{Dedup, Sampling}
+    val cl = Dedup.clusters(withClones, "doc_id",
+      Dedup.minhashPairs(withClones, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b"))
+    val split = Sampling.hashSplit(cl, "cluster_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val violations = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n"), count(lit(1)).as("m"))
+      .filter(col("n") > 1)
+    assert(violations.count() == 0L)
+    // the planted clones form non-singleton clusters, so the property is
+    // exercised on real multi-member clusters, not just singletons
+    assert(split.groupBy("cluster_id").count().filter(col("count") > 1).count() >= 10L)
+  }
+
   test("url canonicalization: ports, params, fragments, and malformed inputs") {
     import spark.implicits._
     import graft.llm.UrlOps
