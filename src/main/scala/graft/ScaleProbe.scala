@@ -146,6 +146,30 @@ object ScaleProbe {
           graft.llm.Sketches.heavyHitters(terms, "term", threshold = 1000L,
             depth = 4, width = 1024).count())
         report("heavy_hitters_cms", tHh, nHh)
+        // round-6 wave 3: retrieval + selection operators. Fixed query /
+        // target / model sides (the realistic shape — the corpus grows,
+        // the trusted sets don't); scoring should scale linearly.
+        val bmQ = docs0.filter(col("doc_id") % 170 === 0)
+          .select(col("doc_id").as("q_id"),
+            expr("array_join(slice(split(text, ' '), 3, 10), ' ')").as("q_text"))
+        val (tBm, nBm) = time(
+          graft.llm.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            bmQ, "q_id", "q_text", topK = 5).count())
+        report("bm25_fixed_queries", tBm, nBm)
+        val dsirTarget = docs0.filter(col("doc_id") % 7 === 0)
+        val (tDw, nDw) = time(
+          graft.llm.Sampling.dsirWeights(docs, "doc_id", "text",
+            dsirTarget, "text", buckets = 1024).count())
+        report("dsir_weights_fixed_target", tDw, nDw)
+        val (tNb, nNb) = time(
+          graft.llm.QualityClassifier.nbQualityFilter(docs, "doc_id", "text",
+            dsirTarget, "text", docs0.filter(col("doc_id") % 7 =!= 0), "text",
+            buckets = 1024).filter(col("keep")).count())
+        report("nb_quality_fixed_model", tNb, nNb)
+        val (tSd, nSd) = time(
+          Dedup.semanticDedup(embs, "vec_id", "embedding",
+            threshold = 0.3, k = 16, iters = 2).filter(col("is_canonical")).count())
+        report("semdedup_canonical", tSd, nSd)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()
