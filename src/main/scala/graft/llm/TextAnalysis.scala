@@ -597,6 +597,38 @@ object TextAnalysis {
       .toDF(idCol, "fingerprints")
   }
 
+  /** Compression-ratio quality signal — the RefinedWeb / Gopher-family
+    * "too compressible = boilerplate, too incompressible = gibberish"
+    * heuristic (highly repetitive spam compresses far below prose;
+    * random/encrypted junk refuses to compress at all). Ratio =
+    * compressed/raw bytes of the UTF-8 text through the zstd level-3
+    * kernel the serde layer already ships ([[graft.functions.Helpers]]).
+    *
+    * zstd output bytes are deterministic for a fixed (input, level,
+    * library build) — reruns and retried tasks agree — but no SQL engine
+    * replays a compressor, so this operator's evidence is ScalaTest (ratio
+    * ordering on crafted prose/repetition/noise + determinism), not a
+    * DuckDB row compare: the one op where an oracle would have to be the
+    * implementation. Pure map stage; NULL text → NULL ratio.
+    * Output: (idCol, raw_bytes, zstd_bytes, compression_ratio). */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        if (text == null) (id, None: Option[Long], None: Option[Long], None: Option[Double])
+        else {
+          val raw = text.getBytes("UTF-8")
+          val comp = graft.functions.Helpers.zstdCompress(raw, 3)
+          val ratio =
+            if (raw.length == 0) None else Some(comp.length.toDouble / raw.length)
+          (id, Some(raw.length.toLong), Some(comp.length.toLong), ratio)
+        }
+      })
+      .toDF(idCol, "raw_bytes", "zstd_bytes", "compression_ratio")
+  }
+
   /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): split the corpus
     * into `nBuckets` equal-count tiers (head/middle/tail for 3) of the
     * [[lmScore]] surprisal distribution — CCNet keeps "head", samples

@@ -615,6 +615,14 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // compression-ratio quality signal (zstd-3): no SQL engine replays a
+    // compressor, so this is the one deliberately oracle-less query —
+    // the driver records the rows-only check; determinism and ratio
+    // ordering are pinned by LlmSpec
+    "q_text_compression" -> ((s, dir) =>
+      TextAnalysis.compressionRatio(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // CCNet head/middle/tail: tercile buckets of the integer mean-surprisal
     // distribution, thresholds as exact order statistics of the histogram
     "q_text_ppl_buckets" -> ((s, dir) => {

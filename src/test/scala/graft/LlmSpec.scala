@@ -344,6 +344,26 @@ class LlmSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(_.isNullAt(4)))
   }
 
+  test("compression ratio: repetition compresses below prose, noise above; deterministic") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and keeps going " * 20
+    val repeated = "spam " * 240
+    val noise = (0 until 1200).map(i => (graft.llm.Hashing.splitmix64(i.toLong) % 94 + 33 + 94) % 94 + 33)
+      .map(_.toChar).mkString
+    val d = Seq((1L, prose), (2L, repeated), (3L, noise), (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val ratio = (id: Long) => r(id).getDouble(3)
+    assert(ratio(2L) < ratio(1L) && ratio(1L) < ratio(3L))
+    assert(ratio(3L) > 0.8) // hash noise is near-incompressible
+    assert(r(4L).isNullAt(1) && r(4L).isNullAt(3)) // null text
+    assert(r(5L).getLong(1) == 0L && r(5L).isNullAt(3)) // empty text
+    val again = TextAnalysis.compressionRatio(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.toSeq).toMap
+    assert(r.view.mapValues(_.toSeq).toMap == again)
+  }
+
   test("leakage-safe split: every duplicate cluster lands wholly in one split") {
     import graft.llm.{Dedup, Sampling}
     val cl = Dedup.clusters(withClones, "doc_id",
