@@ -66,7 +66,12 @@ object Multimodal {
         (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
         b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
       val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
-      Some((bb.getInt(16), bb.getInt(20)))
+      // spec constraints, not paranoia: IHDR data is exactly 13 bytes and
+      // dimensions are positive — corrupted fields must reject, not flow
+      // negative/garbage dims into downstream statistics
+      val w = bb.getInt(16)
+      val h = bb.getInt(20)
+      if (bb.getInt(8) == 13 && w > 0 && h > 0) Some((w, h)) else None
     } else None
 
   /** GIF87a/89a logical screen descriptor: width/height as little-endian
@@ -75,7 +80,9 @@ object Multimodal {
     if (b != null && b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-      Some((bb.getShort(6) & 0xFFFF, bb.getShort(8) & 0xFFFF))
+      val w = bb.getShort(6) & 0xFFFF
+      val h = bb.getShort(8) & 0xFFFF
+      if (w > 0 && h > 0) Some((w, h)) else None
     } else None
 
   /** JPEG SOFn scan: walk the marker segments from SOI to the first start-
@@ -101,7 +108,11 @@ object Multimodal {
           marker != 0xC4 && marker != 0xC8 && marker != 0xCC
         if (isSof) {
           if (pos + 9 > b.length) return None
-          return Some((bb.getShort(pos + 7) & 0xFFFF, bb.getShort(pos + 5) & 0xFFFF))
+          val w = bb.getShort(pos + 7) & 0xFFFF
+          val h = bb.getShort(pos + 5) & 0xFFFF
+          // height 0 = DNL-deferred (rare) — treat as undecodable, like a
+          // zero width
+          return if (w > 0 && h > 0) Some((w, h)) else None
         }
         pos += 2 + segLen
       }
@@ -226,10 +237,14 @@ object Multimodal {
   }
 
   /** Batch decode → image metadata. mapPartitions so a real decoder is
-    * initialized once per partition, not per record. BMP and PNM parse
-    * their actual headers; other mimes take the documented deterministic
-    * stub (fake dimensions derived from content length) until a codec
-    * library is available. Still images report n_frames = 1. */
+    * initialized once per partition, not per record. BMP, PNM, PNG, GIF
+    * and JPEG parse their actual headers; a PARSE FAILURE on those mimes
+    * is a zeroed row (the [[decodeAudioMeta]] posture) — fabricating
+    * plausible stub dimensions for corrupt bytes would make bad scrapes
+    * indistinguishable from real decodes, and `n_frames = 0` makes
+    * [[sampleFrames]] emit nothing for them. Only mimes with NO parser
+    * here (codec video/audio formats, pending a library) take the
+    * documented deterministic stub. Still images report n_frames = 1. */
   def decodeMeta(ds: Dataset[Media]): Dataset[MediaMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -243,11 +258,12 @@ object Multimodal {
           case "image/png" => parsePng(m.media)
           case "image/gif" => parseGif(m.media)
           case "image/jpeg" => parseJpeg(m.media)
-          case _ => None
+          case _ => null // no parser for this mime → the documented stub
         }
         parsed match {
           case Some((w, h)) => MediaMeta(m.doc_id, len, w, h, 1)
-          case None =>
+          case None => MediaMeta(m.doc_id, len, 0, 0, 0) // corrupt bytes: honest failure row
+          case null =>
             // STUB decode: deterministic fake dimensions from content length
             MediaMeta(m.doc_id, len, 1 + (len % 640).toInt, 1 + (len % 480).toInt, 1 + (len % 16).toInt)
         }

@@ -44,23 +44,13 @@ object QualityClassifier {
     val spark = df.sparkSession
     import spark.implicits._
     val b = buckets
-    def histogram(d: DataFrame, tc: String): (Array[Long], Long) = {
-      val arr = new Array[Long](b)
-      d.select(col(tc).cast("string")).as[String]
-        .flatMap(Sampling.dsirFeatures(_, b)).toDF("b")
-        .groupBy("b").agg(count(lit(1)).as("c")).as[(Int, Long)].collect()
-        .foreach { case (bk, c) => arr(bk) = c }
-      (arr, d.count())
-    }
-    val (pCnt, pDocs) = histogram(pos, posTextCol)
-    val (nCnt, nDocs) = histogram(neg, negTextCol)
+    val pCnt = Sampling.featureHistogram(pos, posTextCol, b)
+    val nCnt = Sampling.featureHistogram(neg, negTextCol, b)
+    val pDocs = pos.count()
+    val nDocs = neg.count()
     val pTot = pCnt.sum
     val nTot = nCnt.sum
-    val lam = Array.tabulate(b) { i =>
-      math.floor(math.log(
-        ((pCnt(i) + 1).toDouble * (nTot + b).toDouble) /
-          ((nCnt(i) + 1).toDouble * (pTot + b).toDouble)) * 1000000.0 + 0.5).toLong
-    }
+    val lam = Array.tabulate(b)(i => Sampling.smoothedLogRatioMicro(pCnt(i), pTot, nCnt(i), nTot, b))
     val prior = math.floor(
       math.log((pDocs + 1).toDouble / (nDocs + 1).toDouble) * 1000000.0 + 0.5).toLong
     val bcLam = spark.sparkContext.broadcast(lam)
@@ -73,8 +63,7 @@ object QualityClassifier {
           Sampling.dsirFeatures(text, l.length).foreach(bk => s += l(bk))
           val score = math.floor(1000000.0 / (1.0 + math.exp(-(s.toDouble / 1000000.0)))
             + 0.5).toLong
-          val x = Hashing.splitmix64(id) >>> 12
-          val u = (x.toDouble + 0.5) / 4503599627370496.0
+          val u = Sampling.dyadicUniform(id)
           val t = (2000000L - score).toDouble / 1000000.0
           val t9 = t * t * t * t * t * t * t * t * t
           val keep = t <= 0.0 || u * t9 < 1.0

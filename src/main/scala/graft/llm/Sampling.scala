@@ -401,29 +401,48 @@ object Sampling {
     * collected at ≤ `buckets` rows) plus one broadcast-λ map stage over
     * the corpus — nothing is |corpus|-bounded on any single node.
     * Output: (idCol, logw_micronats). */
+  /** B-bucket feature histogram of a text column through [[dsirFeatures]]
+    * — ONE definition shared by DSIR and the NB quality classifier: the
+    * kernel is replay-critical (pinned bit-for-bit by the DuckDB oracles),
+    * so it must not exist twice to diverge. */
+  private[llm] def featureHistogram(d: DataFrame, textCol: String, buckets: Int): Array[Long] = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = buckets
+    val arr = new Array[Long](b)
+    d.select(col(textCol).cast("string")).as[String]
+      .flatMap(dsirFeatures(_, b)).toDF("b")
+      .groupBy("b").agg(count(lit(1)).as("c")).as[(Int, Long)].collect()
+      .foreach { case (bk, c) => arr(bk) = c }
+    arr
+  }
+
+  /** The add-one-smoothed integer micro-nat log ratio both selection
+    * operators freeze: floor(ln((a+1)(bTot+B) / ((b+1)(aTot+B))) * 1e6 +
+    * 0.5) — one double ln of exact-integer double products. */
+  private[llm] def smoothedLogRatioMicro(aCnt: Long, aTot: Long,
+      bCnt: Long, bTot: Long, buckets: Int): Long =
+    math.floor(math.log(
+      ((aCnt + 1).toDouble * (bTot + buckets).toDouble) /
+        ((bCnt + 1).toDouble * (aTot + buckets).toDouble)) * 1000000.0 + 0.5).toLong
+
+  /** Exact dyadic-rational uniform in (0,1) from the id hash — numerator
+    * below 2^52 keeps every IEEE operation exact (shared by the Gumbel
+    * draw and the Pareto keep decision). */
+  private[llm] def dyadicUniform(id: Long): Double =
+    ((Hashing.splitmix64(id) >>> 12).toDouble + 0.5) / 4503599627370496.0
+
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val b = buckets
-    def histogram(d: DataFrame, tc: String): Array[Long] = {
-      val arr = new Array[Long](b)
-      d.select(col(tc).cast("string")).as[String]
-        .flatMap(dsirFeatures(_, b)).toDF("b")
-        .groupBy("b").agg(count(lit(1)).as("c")).as[(Int, Long)].collect()
-        .foreach { case (bk, c) => arr(bk) = c }
-      arr
-    }
-    val tCnt = histogram(target, targetTextCol)
-    val sCnt = histogram(df, textCol)
+    val tCnt = featureHistogram(target, targetTextCol, b)
+    val sCnt = featureHistogram(df, textCol, b)
     val tTot = tCnt.sum
     val sTot = sCnt.sum
-    val lam = Array.tabulate(b) { i =>
-      math.floor(math.log(
-        ((tCnt(i) + 1).toDouble * (sTot + b).toDouble) /
-          ((sCnt(i) + 1).toDouble * (tTot + b).toDouble)) * 1000000.0 + 0.5).toLong
-    }
+    val lam = Array.tabulate(b)(i => smoothedLogRatioMicro(tCnt(i), tTot, sCnt(i), sTot, b))
     val bcLam = spark.sparkContext.broadcast(lam)
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
@@ -455,8 +474,7 @@ object Sampling {
     val keyed = weights.select(col(idCol).cast("long"), col("logw_micronats").cast("long"))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, lw) =>
-        val x = Hashing.splitmix64(id) >>> 12
-        val u = (x.toDouble + 0.5) / 4503599627370496.0
+        val u = dyadicUniform(id)
         val gum = math.floor(-math.log(-math.log(u)) * 1000000.0 + 0.5).toLong
         (id, lw, lw + gum)
       })

@@ -51,12 +51,15 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val refToks = reference.select(col(refTextCol)).as[String]
-      .flatMap(t => t.toLowerCase.split(" ", -1).iterator)
+      .flatMap(t => if (t == null) Iterator.empty else t.toLowerCase.split(" ", -1).iterator)
     val uni = refToks.groupByKey(identity).count().collect().toMap
     val bi = reference.select(col(refTextCol)).as[String]
       .flatMap { t =>
+        if (t == null) Iterator.empty
+        else {
         val w = t.toLowerCase.split(" ", -1)
         (0 until w.length - 1).iterator.map(i => w(i) + " " + w(i + 1))
+        }
       }
       .groupByKey(identity).count().collect().toMap
     val vocab = uni.size.toLong
@@ -71,6 +74,8 @@ object TextAnalysis {
         val u = bcU.value
         val b = bcB.value
         it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L, None: Option[Double])
+          else {
           val w = text.toLowerCase.split(" ", -1)
           val nT = math.max(w.length - 1, 0).toLong
           var s = 0L
@@ -83,6 +88,7 @@ object TextAnalysis {
             i += 1
           }
           (id, nT, s, if (nT > 0) Some(s.toDouble / 1000000.0 / nT) else None)
+          }
         }
       }
       .toDF(idCol, "n_terms", "surprisal_micronats", "mean_nats")
@@ -102,13 +108,16 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val vocab = reference.select(col(refTextCol)).as[String]
-      .flatMap(_.toLowerCase.split(" ", -1).iterator)
+      .flatMap(t => if (t == null) Iterator.empty else t.toLowerCase.split(" ", -1).iterator)
       .distinct().count()
     require(vocab > 0, "LM reference corpus is empty — nothing to train on")
     val tri = reference.select(col(refTextCol)).as[String]
       .flatMap { t =>
+        if (t == null) Iterator.empty
+        else {
         val w = t.toLowerCase.split(" ", -1)
         (0 until w.length - 2).iterator.map(i => w(i) + " " + w(i + 1) + " " + w(i + 2))
+        }
       }
       .groupByKey(identity).count().collect().toMap
     val ctx: Map[String, Long] = tri.groupMapReduce { case (k, _) =>
@@ -122,6 +131,8 @@ object TextAnalysis {
         val t3 = bcT.value
         val c2 = bcC.value
         it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L, None: Option[Double])
+          else {
           val w = text.toLowerCase.split(" ", -1)
           val nT = math.max(w.length - 2, 0).toLong
           var s = 0L
@@ -135,6 +146,7 @@ object TextAnalysis {
             i += 1
           }
           (id, nT, s, if (nT > 0) Some(s.toDouble / 1000000.0 / nT) else None)
+          }
         }
       }
       .toDF(idCol, "n_terms", "surprisal_micronats", "mean_nats")
@@ -280,6 +292,10 @@ object TextAnalysis {
         val counts = new java.util.HashMap[String, Integer]()
         val sb = new java.lang.StringBuilder
         it.map { case (id, text) =>
+          // null text: zeroed metrics, never an executor NPE (the module's
+          // no-NPE-mid-job posture; every ratio reads as "no repetition")
+          if (text == null) (id, 0L, 0.0, nsArr.map(_ => 0.0))
+          else {
           val toks = text.toLowerCase.split(" ", -1)
           val n = toks.length
           counts.clear()
@@ -311,6 +327,7 @@ object TextAnalysis {
             best.toDouble / nGrams
           }
           (id, n.toLong, dupFrac, fracs)
+          }
         }
       }
       .toDF(idCol, "n_tokens", "dup_token_frac", "__fr")
@@ -494,6 +511,8 @@ object TextAnalysis {
       .mapPartitions { it =>
         val counts = new java.util.HashMap[String, Int]()
         it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0.0, 0.0)
+          else {
           val lines = text.split("\n", -1)
           counts.clear()
           var dupLines = 0L
@@ -512,6 +531,7 @@ object TextAnalysis {
           (id, lines.length.toLong,
             dupLines.toDouble / lines.length,
             if (allChars == 0) 0.0 else dupChars.toDouble / allChars)
+          }
         }
       }
       .toDF(idCol, "n_lines", "dup_line_frac", "dup_line_char_frac")
@@ -650,11 +670,17 @@ object TextAnalysis {
     val scored = lmScore(df, idCol, textCol, reference, refTextCol)
     val keyed = scored.withColumn("mean_micronats",
       when(col("n_terms") > 0, expr("surprisal_micronats div n_terms")))
+    // the histogram is tiny (≤ distinct mean keys) and feeds BOTH scalar
+    // jobs — persist it so the corpus-wide scoring scan runs once for the
+    // thresholds (plus once for the final output), not once per action;
+    // nTotal is its count sum, not a third pass over keyed
     val hist = keyed.filter(col("mean_micronats").isNotNull)
       .groupBy("mean_micronats").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cum = hist.withColumn("__cum",
       sum("__c").over(org.apache.spark.sql.expressions.Window.orderBy("mean_micronats")))
-    val nTotal = keyed.filter(col("mean_micronats").isNotNull).count()
+    val nTotalRow = hist.agg(sum("__c")).head()
+    val nTotal = if (nTotalRow.isNullAt(0)) 0L else nTotalRow.getLong(0)
     val targets = (1 until nBuckets).map(i => (i.toLong * nTotal + nBuckets - 1) / nBuckets)
     val cutAggs = targets.zipWithIndex.map { case (t, j) =>
       min(when(col("__cum") >= t, col("mean_micronats"))).as(s"__t$j")
@@ -666,6 +692,7 @@ object TextAnalysis {
         val cutRow = cum.agg(cutAggs.head, cutAggs.tail: _*).head()
         targets.indices.map(cutRow.getLong)
       }
+    hist.unpersist(blocking = false)
     val bucket = cuts.map(c => when(col("mean_micronats") > c, 1).otherwise(0))
       .reduce(_ + _)
     keyed.withColumn("bucket",
@@ -725,9 +752,15 @@ object TextAnalysis {
     val dl = tf.groupBy("__id").agg(sum("tf").as("dl"))
     val dfcAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfc = maxDf.map(m => dfcAll.filter(col("df") <= m)).getOrElse(dfcAll)
-    val n = df.count()
-    val tlRow = tf.agg(sum("tf")).head() // null on an all-null-text corpus
-    val tl = if (tlRow.isNullAt(0)) 0L else tlRow.getLong(0)
+    // ONE scalar pass over the raw scan for both plan literals: N = all
+    // docs (null text included), TL = total tokens (null text contributes
+    // none — matching tok's flatMap). A second count()/agg pair would
+    // re-run the tokenize+groupBy chain just to read two numbers.
+    val scal = df.agg(count(lit(1)),
+      sum(when(col(textCol).isNull, 0)
+        .otherwise(size(split(col(textCol), " ", -1))))).head()
+    val n = scal.getLong(0)
+    val tl = if (scal.isNullAt(1)) 0L else scal.getLong(1)
     val qt = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
       .as[(Long, String)]

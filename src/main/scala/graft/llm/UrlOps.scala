@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   private val UrlRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)#?.*$"
-  private val TrackingRe = "^(utm_[^=&]*|fbclid|gclid|ref)(=|$)"
+  // (?i): tracking params appear uppercased in the wild (UTM_SOURCE=…) and
+  // a case-sensitive scrub would let them survive into "canonical" forms
+  private val TrackingRe = "(?i)^(utm_[^=&]*|fbclid|gclid|ref)(=|$)"
 
   /** Scheme-lowercased, www-stripped, default-port-free, fragment-free,
     * tracking-scrubbed, param-sorted canonical form (NULL for non-URLs). */

@@ -326,7 +326,8 @@ class LlmSpec extends SparkSpec {
       (1L, "a a a a"),            // 4 tokens, 1 distinct; top2 "a a" 3/3
       (2L, "a b a b a"),          // 5 tokens, 2 distinct; "a b" 2/4; "a b a" 2/3
       (3L, "x y z w"),            // all distinct; every 2-gram unique: 1/3
-      (4L, "q")                   // shorter than every n: single whole-text gram
+      (4L, "q"),                  // shorter than every n: single whole-text gram
+      (5L, null.asInstanceOf[String]) // null text: zeroed row, no NPE
     ).toDF("doc_id", "text")
     val m = TextAnalysis.repetition(d, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
@@ -334,6 +335,7 @@ class LlmSpec extends SparkSpec {
     assert(m(2L) == ((5L, 3.0 / 5, 2.0 / 4, 2.0 / 3, 1.0 / 2)))
     assert(m(3L) == ((4L, 0.0, 1.0 / 3, 1.0 / 2, 1.0)))
     assert(m(4L) == ((1L, 0.0, 1.0, 1.0, 1.0)))
+    assert(m(5L) == ((0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
   test("perplexity buckets: all-unscorable corpus yields all-NULL buckets (no crash)") {
@@ -386,7 +388,7 @@ class LlmSpec extends SparkSpec {
     val in = Seq(
       "https://Host.COM",                             // bare host, no path
       "http://a.com:8080/x",                          // non-default port kept
-      "https://www.b.org/x/?utm_campaign=1&gclid=2",  // all params scrubbed
+      "https://www.b.org/x/?UTM_Campaign=1&gclid=2",  // case-insensitive scrub
       "http://c.net/P?z=1&a=2&ref=feed",              // sort + scrub mix
       "not-a-url", "", "http//missing.scheme/x"
     ).toDF("url")
@@ -1263,7 +1265,9 @@ class LlmSpec extends SparkSpec {
     assert(got(1L).width == 100 && got(1L).height == 50 && got(1L).n_frames == 1)
     assert(got(2L).width == 8 && got(2L).height == 4)
     assert(got(3L).width == 11 && got(3L).height == 11) // 1 + 10 % 640/480
-    assert(got(4L).byte_len == 0L) // null media: stub path, no NPE
+    // null/corrupt media on a PARSER-family mime: an honest zeroed failure
+    // row (never fabricated stub dims), and sampleFrames emits nothing
+    assert(got(4L).byte_len == 0L && got(4L).width == 0 && got(4L).n_frames == 0)
     // audio: duration is integer ms of declared samples
     val a = Multimodal.decodeAudioMeta(Seq(
       Multimodal.Media(1L, Multimodal.syntheticWav(8000, 1, 16, 12000L), "audio/wav"),
