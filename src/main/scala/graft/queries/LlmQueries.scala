@@ -497,6 +497,18 @@ object LlmQueries {
       graft.llm.Bpe.encode(d, "doc_id", "text", m, dict).orderBy("doc_id")
     }),
 
+    // PageRank over a synthetic link graph (3 arithmetic link families per
+    // doc): integer micro-rank arithmetic — floor division at the share
+    // and damping steps — so all 3 iterations replay bit-exact
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val e = Seq((7L, 1L), (13L, 5L), (3L, 11L)).map { case (a, b) =>
+        d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % n).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.ops.Graphs.pageRank(e, "src", "dst", iters = 3).orderBy("id")
+    }),
+
     // URL canonicalization: messy fixture URLs (uppercase scheme/host, www,
     // default ports, tracking params, unsorted query, fragment, trailing
     // slash, one non-URL branch) — the oracle PREDICTS each canonical form
@@ -1644,6 +1656,29 @@ object LlmQueries {
          |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens,
          |  coalesce(agg.ts, '') AS tokens_str
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // the same integer update replayed mechanically per iteration:
+    // share = r // outdeg, damped = (850000 * share) // 1e6, next =
+    // 150000 + sum — exact integers end to end
+    "q_pagerank" -> {
+      val iterCtes = (0 until 3).map { i =>
+        s"""s$i AS (SELECT e.dst, (850000 * (r$i.r // dg.d)) // 1000000 AS c
+           |  FROM e JOIN r$i ON r$i.id = e.src JOIN dg ON dg.src = e.src),
+           |r${i + 1} AS (SELECT n.id, 150000 + coalesce(sum(s$i.c), 0) AS r
+           |  FROM nodes n LEFT JOIN s$i ON s$i.dst = n.id GROUP BY n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM documents, nn),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$iterCtes
+         |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin
+    },
 
     // every rule's outcome predicted per branch: lowercased scheme/host,
     // www and default ports gone, tracking params scrubbed, survivors

@@ -229,4 +229,28 @@ class OpsSpec extends SparkSpec {
     assert(adapted.schema.fieldNames.toSeq == Envelope.columnNames)
     assert(adapted.select("value").except(env.select("value")).count() == 0)
   }
+
+  test("pagerank: cycle is stationary at 1e6, star center dominates, hand-exact") {
+    import spark.implicits._
+    import graft.ops.Graphs
+    // 3-cycle: outdeg 1 everywhere; share = 850000, next = 150000 + 850000
+    // = 1e6 -> every iteration is a fixed point
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = Graphs.pageRank(cycle, "src", "dst", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // star 1->2, 3->2 (2 dangling): iter1 r(2) = 150000 + 2*850000;
+    // iter2 leaves drop to 150000, so r(2) = 150000 + 2*((850000*150000)
+    // div 1e6) = 150000 + 2*127500
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val rs = Graphs.pageRank(star, "src", "dst", iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs(1L) == 150000L && rs(3L) == 150000L)
+    assert(rs(2L) == 150000L + 2L * 127500L)
+    // self-loops and duplicate edges are dropped before ranking
+    val messy = Seq((1L, 1L), (1L, 2L), (1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val rm = Graphs.pageRank(messy, "src", "dst", iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rm == rs)
+  }
 }
