@@ -219,6 +219,45 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact shingle-set CONTAINMENT over LSH candidates — the asymmetric
+    * twin of [[ngramJaccardPairs]] for doc-in-doc detection (Broder 1997
+    * distinguishes resemblance from containment): a page quoting a whole
+    * smaller document scores near-1 containment but low Jaccard, so a
+    * Jaccard-thresholded dedup keeps both copies of the quoted text.
+    * Containment here is the max-direction form |A∩B| / min(|A|,|B|) —
+    * symmetric in the pair, 1.0 exactly when one shingle set contains the
+    * other. Emits the integer operands (n_a, n_b, n_inter) alongside the
+    * one double division so downstream policy (and the oracle) can work
+    * in exact integers.
+    *
+    * Candidate generation is the SAME banded-MinHash path as every other
+    * verify op — never all-pairs. Note the recall caveat inherent to
+    * MinHash banding: signature agreement tracks JACCARD, so a tiny doc
+    * fully contained in a huge one can band apart; at matched sizes (the
+    * boilerplate/quote case this targets) recall matches the Jaccard
+    * path's. Output: (id_a, id_b, n_a, n_b, n_inter, containment). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 500,
+      cacheSignatures: Boolean = true): DataFrame = {
+    // one signature pass feeds banding (__sig) and verification (__shh);
+    // see minhashPairs for the cache-lifetime caveat
+    val sigBase = minhashSignature(df, idCol, textCol, k, numHashes)
+    val sigs = if (cacheSignatures) sigBase.persist() else sigBase
+    val ids = pairIdsFromSigs(sigs.select(col(idCol), col("__sig")), idCol,
+      bands, numHashes / bands, maxBucket)
+    val sh = sigs.select(col(idCol), col("__shh"))
+    ids
+      .join(sh.select(col(idCol).as("id_a"), col("__shh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(size(__sh_a) AS BIGINT)").as("n_a"),
+        expr("CAST(size(__sh_b) AS BIGINT)").as("n_b"),
+        expr("CAST(size(array_intersect(__sh_a, __sh_b)) AS BIGINT)").as("n_inter"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---- 3. SimHash ----
 
   /** 64-bit SimHash over word tokens: per-bit vote of token hashes, packed.

@@ -509,6 +509,30 @@ object LlmQueries {
       graft.ops.Graphs.pageRank(e, "src", "dst", iters = 3).orderBy("id")
     }),
 
+    // HITS over the same synthetic link graph: hub/authority mutual
+    // recursion with integer max-normalization (floor div by the round's
+    // max) — both iterations replay bit-exact
+    "q_hits" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val e = Seq((7L, 1L), (13L, 5L), (3L, 11L)).map { case (a, b) =>
+        d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % n).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.ops.Graphs.hits(e, "src", "dst", iters = 2).orderBy("id")
+    }),
+
+    // Rademacher JL projection 64→16: every output component is an exact
+    // integer Σ ±qe_i with signs from the planesign kernel — posexploded
+    // so the oracle compares component-by-component
+    "q_embed_project" -> ((s, dir) => {
+      val p = graft.llm.Embeddings.projectRademacher(
+        emb(s, dir).select("vec_id", "embedding"), "vec_id", "embedding", 16)
+      p.select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").as("comp"))
+        .orderBy("vec_id", "j")
+    }),
+
     // URL canonicalization: messy fixture URLs (uppercase scheme/host, www,
     // default ports, tracking params, unsorted query, fragment, trailing
     // slash, one non-URL branch) — the oracle PREDICTS each canonical form
@@ -783,6 +807,12 @@ object LlmQueries {
 
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // containment (doc-in-doc) over the same banded candidates: integer
+    // set sizes + one double division, oracle replays the full LSH path
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1679,6 +1709,67 @@ object LlmQueries {
          |$iterCtes
          |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin
     },
+
+    // hub/authority mutual recursion replayed mechanically: per iteration
+    // auth = Σ in-edge hubs then (1e6·v) // max, hub = Σ out-edge auths
+    // then the same max-normalization — exact integers end to end
+    "q_hits" -> {
+      val iterCtes = (0 until 2).map { i =>
+        s"""ain$i AS (SELECT e.dst AS id, sum(h$i.h) AS v FROM e JOIN h$i ON h$i.id = e.src GROUP BY e.dst),
+           |ar$i AS (SELECT n.id, coalesce(ain$i.v, 0) AS v FROM nodes n LEFT JOIN ain$i USING (id)),
+           |am$i AS (SELECT max(v) AS mx FROM ar$i),
+           |a${i + 1} AS (SELECT id, CASE WHEN mx > 0 THEN (1000000 * v) // mx ELSE 0 END AS a FROM ar$i, am$i),
+           |hin$i AS (SELECT e.src AS id, sum(a${i + 1}.a) AS v FROM e JOIN a${i + 1} ON a${i + 1}.id = e.dst GROUP BY e.src),
+           |hr$i AS (SELECT n.id, coalesce(hin$i.v, 0) AS v FROM nodes n LEFT JOIN hin$i USING (id)),
+           |hm$i AS (SELECT max(v) AS mx FROM hr$i),
+           |h${i + 1} AS (SELECT id, CASE WHEN mx > 0 THEN (1000000 * v) // mx ELSE 0 END AS h FROM hr$i, hm$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM documents, nn),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |$iterCtes
+         |SELECT id, CAST(h2.h AS BIGINT) AS hub_micro, CAST(a2.a AS BIGINT) AS auth_micro
+         |FROM h2 JOIN a2 USING (id) ORDER BY id""".stripMargin
+    },
+
+    // the projection recomputed sign-by-sign: planesign(j, i) · qe[i]
+    // summed per output dim — integer sums are order-independent, so the
+    // compare is bit-exact regardless of either engine's fold order
+    "q_embed_project" ->
+      s"""${HashOracle.macros}
+         |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS qe FROM e),
+         |t AS (SELECT vec_id, u.j, u.i, planesign(u.j, u.i) * qe[u.i + 1] AS term
+         |  FROM qv, (SELECT j, i FROM range(16) a(j), range(64) b(i)) u)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(term) AS BIGINT) AS comp
+         |FROM t GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+
+    // the full LSH candidate path (signatures → bands → cap) replayed,
+    // then exact distinct-shingle-hash set sizes and intersection counts;
+    // containment = n_inter / min(n_a, n_b) from identical integers
+    "q_dedup_containment" ->
+      s"""${HashOracle.macros}
+         |WITH ${HashOracle.minhashSigRows},
+         |${HashOracle.minhashBuckets},
+         |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sc a JOIN sc b USING (band, sl) WHERE a.doc_id < b.doc_id),
+         |ns AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS ni
+         |  FROM ids JOIN hh ha ON ha.doc_id = id_a
+         |           JOIN hh hb ON hb.doc_id = id_b AND ha.h = hb.h
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |  CAST(inter.ni AS BIGINT) AS n_inter,
+         |  CAST(inter.ni AS DOUBLE) / least(na.n, nb.n) AS containment
+         |FROM inter JOIN ns na ON na.doc_id = id_a JOIN ns nb ON nb.doc_id = id_b
+         |WHERE CAST(inter.ni AS DOUBLE) / least(na.n, nb.n) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // every rule's outcome predicted per branch: lowercased scheme/host,
     // www and default ports gone, tracking params scrubbed, survivors

@@ -37,6 +37,26 @@ class LlmSpec extends SparkSpec {
     assert(pairs.count() >= 10)
   }
 
+  test("containment hits 1.0 for a doc quoted inside a larger one, where jaccard is low") {
+    import spark.implicits._
+    // B = A ++ filler: shingles(A) ⊂ shingles(B), so containment = 1.0
+    // exactly while Jaccard ~ 0.7 — below the 0.9 Jaccard cut (missed
+    // there by construction) yet high enough that the shared banding
+    // path still surfaces the candidate pair
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val filler = (100 to 119).map(i => s"pad$i").mkString(" ")
+    val df = Seq((1L, a), (2L, s"$a $filler")).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9,
+        cacheSignatures = false).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_inter") == r.getAs[Long]("n_a"))
+    assert(r.getAs[Double]("containment") == 1.0)
+    // and the jaccard path at the same threshold indeed misses it
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.9,
+      cacheSignatures = false).count() == 0)
+  }
+
   test("simhash finds planted clones at hamming 0") {
     val pairs = Dedup.simhashPairs(withClones, "doc_id", "text", maxHamming = 0)
     assert(pairs.filter(col("id_b") >= 10000 && col("id_a") === col("id_b") - 10000).count() == 10)

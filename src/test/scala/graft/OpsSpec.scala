@@ -253,4 +253,49 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rm == rs)
   }
+
+  test("hits: star hub/authority split is hand-exact, max-normalized to 1e6") {
+    import spark.implicits._
+    import graft.ops.Graphs
+    // 1->2, 3->2: node 2 is the only authority (max-norm -> 1e6, hub 0);
+    // 1 and 3 are equal pure hubs (1e6 each) at every iteration — the
+    // exact fixed point, so iters=1 and iters=3 agree
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    for (it <- Seq(1, 3)) {
+      val r = Graphs.hits(star, "src", "dst", iters = it).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(r == Map(
+        1L -> ((1000000L, 0L)),
+        2L -> ((0L, 1000000L)),
+        3L -> ((1000000L, 0L))), s"iters=$it")
+    }
+    // chain 1->2->3: auth(2)=auth(3)=max -> both 1e6; hub(1)=hub(2)=max
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rc = Graphs.hits(chain, "src", "dst", iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rc == Map(
+      1L -> ((1000000L, 0L)),
+      2L -> ((1000000L, 1000000L)),
+      3L -> ((0L, 1000000L))))
+  }
+
+  test("rademacher projection: hand-replayed signs, zero for null, determinism") {
+    import spark.implicits._
+    import graft.llm.{Embeddings, Hashing}
+    val df = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f)),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Embeddings.projectRademacher(df, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val q = Array(524288L, -1310720L, 2097152L) // floor(e*2^20)
+    val expected = (0 until 4).map { j =>
+      (0 until 3).map(i => Hashing.planeSign(j, i) * q(i)).sum
+    }.toArray
+    assert(out(1L).toSeq == expected.toSeq)
+    assert(out(2L).toSeq == Seq(0L, 0L, 0L, 0L))
+    // same inputs under a different partitioning -> identical integers
+    val out2 = Embeddings.projectRademacher(df.repartition(7), "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(out2(1L).toSeq == out(1L).toSeq)
+  }
 }
