@@ -51,23 +51,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // diagnostics: SPARK_GRAFT_ONLY=q_a,q_b restricts the set;
-    // SPARK_GRAFT_REPEAT=n times each fast query up to n times (stderr
-    // per-rep lines, JSON records the MIN — the run-to-run minimum is the
-    // stable estimator for sub-second queries, where ±0.3 s of JIT/GC noise
-    // otherwise dominates round-over-round comparison). Queries ≥ 2 s run
-    // once: their signal-to-noise is fine and re-running them would double
-    // the wall clock for nothing.
+    // SPARK_GRAFT_REPEAT=n times each query up to n times (stderr per-rep
+    // lines, JSON records the MIN — the run-to-run minimum is the stable
+    // estimator, where ±0.3 s of JIT/GC noise otherwise dominates
+    // round-over-round comparison). EVERY query gets its full rep count:
+    // r5/r6 both tried a "≥ N s runs once" cutoff to save wall clock and
+    // both times the cutoff itself polluted the numbers — precisely the
+    // slowest-looking queries (the ones a reader scrutinizes) were the
+    // ones recorded cold (r6: q_serde_json 5.87 recorded vs 0.85 steady,
+    // q_hits 6.14 vs ~0.9 — first-rep codegen/GC, code unchanged). The
+    // extra wall clock is the warm sum (~60 s over 160+ queries), a fair
+    // price for numbers that mean what they look like.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    // Queries at or above this get a single rep (signal-to-noise is fine
-    // and re-running doubles wall clock). Not 2.0: a ~0.3 s steady-state
-    // query whose FIRST run pays ~2 s of one-off codegen/GC would cross a
-    // low cutoff, lose its second rep, and record the cold time as if it
-    // were the operator's cost (r5: q_foldl 2.53 recorded vs 0.30 steady;
-    // r6: q_ann_pq 4.6 recorded vs 0.9 steady on a noisy run). 4.0 covers
-    // every query whose steady state is under ~3.5 s; only the genuinely
-    // multi-second training/clustering queries run once.
-    val repeatBelow = 4.0
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // a failed query records -1.0 (never a fake duration) and logs to stderr
@@ -89,10 +85,7 @@ object Bench {
         val cur = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         if (repeat > 1) System.err.println(f"[bench] $name rep $rep: $cur%.3f s")
         if (!ok) { dt = -1.0; go = false }
-        else {
-          dt = if (dt < 0) cur else math.min(dt, cur)
-          if (cur >= repeatBelow) go = false
-        }
+        else dt = if (dt < 0) cur else math.min(dt, cur)
         // queries persist() intermediates (e.g. LSH signature tables); drop
         // them so 100+ sequential queries don't accumulate cache into GC
         // pressure that taxes whichever query runs late in the alphabet

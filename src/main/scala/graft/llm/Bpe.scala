@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * Shape for 100 TB — the two-phase split every production BPE trainer
   * uses (HF tokenizers' `train_from_iterator` does exactly this):
   *  1. ONE distributed pass collapses the corpus to a (word, count) dict —
-  *     map-side combined, shuffle bounded by |vocab|, never corpus size;
-  *  2. the merge loop runs over that dict in driver memory (|vocab| rows —
-  *     bounded at any corpus scale; pair statistics only ever depend on
-  *     the dict, so iterating distributed would shuffle the same dict N
-  *     times for nothing);
+  *     map-side combined, shuffle bounded by |vocab|, never corpus size —
+  *     and TRUNCATES it inside the aggregation (`minCount` frequency
+  *     floor and/or `maxVocab` TakeOrdered top-V), so what reaches the
+  *     driver is model-bounded even on a web corpus whose raw whitespace
+  *     vocabulary is heavy-tailed and effectively unbounded;
+  *  2. the merge loop runs over that truncated dict in driver memory
+  *     (pair statistics only ever depend on the dict, so iterating
+  *     distributed would shuffle the same dict N times for nothing);
   *  3. encode broadcasts the learned merges + final dict and runs as a
   *     pure typed map stage over the document scan.
   *
@@ -48,24 +51,99 @@ object Bpe {
     sb.toString
   }
 
-  /** Apply ranked merges in order to one word representation. */
-  private def applyMerges(repr0: String, merges: Seq[Merge]): String = {
-    var repr = repr0
-    merges.foreach { m =>
-      repr = repr.replace(m.lhs + Sep + m.rhs, m.lhs + m.rhs)
+  /** Per-partition encode kernel for words outside the trained dict:
+    * applies the ranked merges by literal left-to-right replacement —
+    * byte-identical to what [[train]] does to every dict word, so an
+    * unseen word's representation equals what its dict entry WOULD have
+    * been (the dict is purely a cache; truncating it never changes encode
+    * output). Three costs the naive per-word merge scan pays are hoisted:
+    *  - the `lhs␟rhs` / `lhsrhs` target strings build once per applier,
+    *    not once per (word, merge);
+    *  - a 64-bit char-set fingerprint per merge skips merges whose
+    *    characters the word doesn't even contain — sound, because literal
+    *    substring occurrence requires every non-Sep char of the target to
+    *    be a char of the word, and replacement only ever DELETES Sep
+    *    chars, so the word's fingerprint stays exact across merges;
+    *  - a bounded memo (Zipf: the same words recur endlessly) caches the
+    *    final representation per word, cleared wholesale at 2¹⁶ entries.
+    * At a real 32k-merge table this turns the unseen-word path from 32k
+    * string scans + 64k concats into 32k mask tests (~0 work) plus a
+    * handful of real replaces. */
+  private[llm] final class MergeApplier(merges: Seq[Merge]) {
+    private val n = merges.length
+    private val froms = new Array[String](n)
+    private val tos = new Array[String](n)
+    private val masks = new Array[Long](n)
+    locally {
+      var i = 0
+      while (i < n) {
+        val m = merges(i)
+        froms(i) = m.lhs + Sep + m.rhs
+        tos(i) = m.lhs + m.rhs
+        masks(i) = charMask(froms(i))
+        i += 1
+      }
     }
-    repr
+    private def charMask(s: String): Long = {
+      var msk = 0L
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c != Sep) msk |= 1L << (c & 63)
+        i += 1
+      }
+      msk
+    }
+    private val cache = new java.util.HashMap[String, String](1 << 12)
+    def repr(w: String): String = {
+      val hit = cache.get(w)
+      if (hit != null) return hit
+      var repr = initRepr(w)
+      val wm = charMask(repr)
+      var i = 0
+      while (i < n) {
+        if ((masks(i) & ~wm) == 0L) repr = repr.replace(froms(i), tos(i))
+        i += 1
+      }
+      if (cache.size >= (1 << 16)) cache.clear()
+      cache.put(w, repr)
+      repr
+    }
   }
 
   /** Distributed word-count pass + driver merge loop. Returns the ranked
-    * merge table and the final (word → representation) dict. */
-  def train(df: DataFrame, textCol: String,
-      numMerges: Int): (Seq[Merge], Map[String, String]) = {
+    * merge table and the final (word → representation) dict.
+    *
+    * The driver dict is MODEL-bounded, not corpus-bounded: `minCount`
+    * floors the word frequency inside the distributed count aggregation
+    * (a web corpus's whitespace vocabulary is heavy-tailed junk — every
+    * production BPE trains on a frequency-truncated vocab) and `maxVocab`
+    * caps it to the top V by (count DESC, word ASC) via a distributed
+    * TakeOrdered, so what collects is min(V, |{w: c(w) ≥ f}|) rows no
+    * matter the corpus size. Sub-floor words still encode correctly:
+    * [[MergeApplier]] replays the merges, which is definitionally the
+    * dict entry they would have had. The only semantic effect of the cap
+    * is that truncated words don't VOTE in the pair statistics — the
+    * standard contract (HF tokenizers' `min_frequency`/`vocab_size`). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 1L,
+      maxVocab: Int = Int.MaxValue): (Seq[Merge], Map[String, String]) = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(maxVocab >= 1, "maxVocab must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val wc: Array[(String, Long)] = df.select(col(textCol)).as[String]
-      .flatMap(_.toLowerCase.split(" ", -1).iterator.filter(_.nonEmpty))
-      .groupByKey(identity).count().collect()
+    val counted = df.select(col(textCol)).as[String]
+      .flatMap(t => if (t == null) Iterator.empty // null doc: no words, no NPE
+        else t.toLowerCase.split(" ", -1).iterator.filter(_.nonEmpty))
+      .groupByKey(identity).count()
+      .toDF("word", "c")
+      .filter(col("c") >= minCount)
+    val wc: Array[(String, Long)] =
+      (if (maxVocab == Int.MaxValue) counted
+       // orderBy+limit plans as TakeOrdered: per-partition top-V, V rows
+       // to the driver — never a global sort of the vocabulary
+       else counted.orderBy(col("c").desc, col("word")).limit(maxVocab))
+        .as[(String, Long)].collect()
     var dict: Array[(String, String, Long)] = // (word, repr, count)
       wc.map { case (w, c) => (w, initRepr(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -116,20 +194,20 @@ object Bpe {
     val bcD = spark.sparkContext.broadcast(dict)
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
-        val ms = bcM.value
+        val applier = new MergeApplier(bcM.value)
         val d = bcD.value
         it.map { case (id, text) =>
-          val words = text.toLowerCase.split(" ", -1).iterator.filter(_.nonEmpty)
           val sb = new java.lang.StringBuilder
           var n = 0L
           var first = true
-          words.foreach { w =>
-            val repr = d.getOrElse(w, applyMerges(initRepr(w), ms))
-            if (!first) sb.append(' ')
-            sb.append(repr)
-            n += repr.split(Sep).length
-            first = false
-          }
+          if (text != null) // null doc: (id, 0, "") — the wordless-doc row
+            text.toLowerCase.split(" ", -1).iterator.filter(_.nonEmpty).foreach { w =>
+              val repr = d.getOrElse(w, applier.repr(w))
+              if (!first) sb.append(' ')
+              sb.append(repr)
+              n += repr.split(Sep).length
+              first = false
+            }
           (id, n, sb.toString)
         }
       }
@@ -151,14 +229,14 @@ object Bpe {
     val bcD = spark.sparkContext.broadcast(dict)
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
-        val ms = bcM.value
+        val applier = new MergeApplier(bcM.value)
         val d = bcD.value
         it.map { case (id, text) =>
           var nw = 0L
           var nt = 0L
           if (text != null) text.toLowerCase.split(" ", -1).iterator.filter(_.nonEmpty)
             .foreach { w =>
-              val repr = d.getOrElse(w, applyMerges(initRepr(w), ms))
+              val repr = d.getOrElse(w, applier.repr(w))
               nw += 1
               nt += repr.split(Sep).length
             }

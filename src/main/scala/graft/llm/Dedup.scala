@@ -73,7 +73,10 @@ object Dedup {
     * whole text as one shingle at position 0). Index IS the position —
     * [[repeatedSpans]] needs it; [[shingleHashes]] collapses it away. */
   private[graft] def positionalShingleHashes(text: String, k: Int): Array[Long] =
-    positionalShingleHashes(text.toLowerCase.split(" ", -1), k)
+    // null text hashes to NO shingles (module posture: a null document must
+    // never NPE mid-job — it contributes nothing and scores zero)
+    if (text == null) Array.emptyLongArray
+    else positionalShingleHashes(text.toLowerCase.split(" ", -1), k)
 
   /** Token-array form — callers that already tokenized (the repeatedSpans
     * kernel needs the token count too) avoid a second lowercase+split pass
@@ -495,13 +498,18 @@ object Dedup {
   def nearDupAgainst(train: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refIdCol: String, refTextCol: String, threshold: Double,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 500): DataFrame = {
+      maxBucket: Int = 500, cacheSignatures: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val tSig = minhashSignature(train, idCol, textCol, k, numHashes)
+    // each side's signature feeds banding AND the est_jaccard verify join —
+    // without persist the expensive shingle+signature kernel runs twice per
+    // side per action; see minhashPairs for the cache-lifetime caveat
+    val tSigBase = minhashSignature(train, idCol, textCol, k, numHashes)
       .select(col(idCol).cast("long").as("id"), col("__sig"))
-    val rSig = minhashSignature(ref, refIdCol, refTextCol, k, numHashes)
+    val tSig = if (cacheSignatures) tSigBase.persist() else tSigBase
+    val rSigBase = minhashSignature(ref, refIdCol, refTextCol, k, numHashes)
       .select(col(refIdCol).cast("long").as("ref_id"), col("__sig").as("__rsig"))
+    val rSig = if (cacheSignatures) rSigBase.persist() else rSigBase
     val tB = bucketIds(tSig, "id", bands, rowsPerBand)
     val rB = capBuckets(
       bucketIds(rSig.select(col("ref_id"), col("__rsig").as("__sig")), "ref_id", bands, rowsPerBand),
@@ -608,14 +616,15 @@ object Dedup {
       .mapPartitions { it =>
         val ref = bc.value
         it.map { case (id, text) =>
-          val sh = shingleHashes(text, k)
+          val sh = shingleHashes(text, k) // empty only for null text
           var novel = 0
           var i = 0
           while (i < sh.length) {
             if (!ref.contains(sh(i))) novel += 1
             i += 1
           }
-          (id, sh.length.toLong, novel.toLong, novel.toDouble / sh.length)
+          (id, sh.length.toLong, novel.toLong,
+            if (sh.isEmpty) 0.0 else novel.toDouble / sh.length)
         }
       }
       .toDF(idCol, "n_shingles", "n_novel", "novelty_frac")
@@ -681,10 +690,13 @@ object Dedup {
     val rows = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split(" ", -1)
-        val sh = positionalShingleHashes(toks, k)
-        sh.iterator.zipWithIndex.map { case (h, p) =>
-          (id, p.toLong, h, toks.length.toLong)
+        if (text == null) Iterator.empty // null doc: no spans, no NPE
+        else {
+          val toks = text.toLowerCase.split(" ", -1)
+          val sh = positionalShingleHashes(toks, k)
+          sh.iterator.zipWithIndex.map { case (h, p) =>
+            (id, p.toLong, h, toks.length.toLong)
+          }
         }
       }
       .toDF("__id", "__pos", "__sh", "__n")
@@ -733,7 +745,8 @@ object Dedup {
       .groupBy(idCol)
       .agg(sum(col("span_end") - col("span_start")).as("repeated_tokens"))
     df.select(col(idCol).cast("long").as(idCol), col(textCol)).as[(Long, String)]
-      .map { case (id, text) => (id, text.toLowerCase.split(" ", -1).length.toLong) }
+      .map { case (id, text) => // null doc: 0 tokens (frac divides to NULL)
+        (id, if (text == null) 0L else text.toLowerCase.split(" ", -1).length.toLong) }
       .toDF(idCol, "n_tokens")
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),

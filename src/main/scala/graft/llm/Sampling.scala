@@ -96,17 +96,22 @@ object Sampling {
   def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // a null stratum is a real stratum (capPerDomain's posture): counted
+    // under a sentinel driver key and matched back with isNull — without
+    // this, collect() hands sortBy a null key (driver NPE) and === lit
+    // silently drops every null-stratum row
     val counts = df.groupBy(col(stratumCol).cast("string").as("__s"))
       .agg(count(lit(1)).as("__c"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
     val ratios = counts.map { case (s, c) => (s, math.pow(c.toDouble, alpha - 1.0)) }
     val rmax = ratios.map(_._2).max
     val cuts = ratios.map { case (s, r) =>
       (s, math.floor(r / rmax * 10000.0 + 0.5).toLong)
     }
     val cut = cuts.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
-      case (acc, (value, c)) => acc.when(col(stratumCol) === lit(value), lit(c))
+      case (acc, (Some(value), c)) => acc.when(col(stratumCol) === lit(value), lit(c))
+      case (acc, (None, c)) => acc.when(col(stratumCol).isNull, lit(c))
     }.otherwise(lit(0L)) // unseen stratum (only possible vs a changed input): drop
     withBucket(df, idCol).filter(col("__bucket") < cut).drop("__bucket")
   }

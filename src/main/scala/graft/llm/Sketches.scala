@@ -87,7 +87,16 @@ object Sketches {
     val s = (0 until m).foldLeft(BigInt(0)) { (acc, j) =>
       acc + (BigInt(1) << (64 - regs.getOrElse(j, 0)))
     }
-    val alphaE9 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e9).toLong
+    // Flajolet et al. '07 §4: the closed form α ≈ 0.7213/(1+1.079/m) is the
+    // m→∞ asymptote, only accurate for m ≥ 128; the paper gives exact
+    // constants for the three small register counts
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val alphaE9 = math.floor(alpha * 1e9).toLong
     val estRaw = ((BigInt(alphaE9) * m * m << 64) / s / 1000000000L).toLong
     val est =
       if (estRaw <= 5L * m / 2 && nZero > 0)

@@ -201,7 +201,8 @@ object TextAnalysis {
     import spark.implicits._
     val tok = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        text.toLowerCase.split(" ", -1).iterator.map(t => (id, t))
+        if (text == null) Iterator.empty // null doc: no terms, no NPE
+        else text.toLowerCase.split(" ", -1).iterator.map(t => (id, t))
       }
       .toDF("__id", "term")
     val tf = tok.groupBy("__id", "term").agg(count(lit(1)).as("tf"))

@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle per iteration (contributions grouped by dst,
   * map-side combined) plus the share join on src — both keyed joins over
-  * slim (long, long) rows; iterations are a fixed small count, and the
-  * plan depth grows linearly with `iters` (for iters ≳ 10 add a
-  * localCheckpoint every few rounds, the [[graft.llm.Dedup]] contraction
-  * loop's lineage posture). Long-safe while d·(max rank) < 2⁶³ —
+  * slim (long, long) rows; the rank lineage is truncated by an eager
+  * localCheckpoint every `checkpointEvery` (default 4) iterations — the
+  * [[graft.llm.Dedup]] contraction loop's posture — so plan depth is
+  * bounded regardless of `iters`. Long-safe while d·(max rank) < 2⁶³ —
   * max rank ≤ 10⁶·|V| ⇒ fine to ~10¹² nodes. */
 object Graphs {
 
@@ -33,9 +33,11 @@ object Graphs {
     * deduplicated). Output: (id, rank_micro) — one row per node appearing
     * as src or dst. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, dampMicro: Long = 850000L): DataFrame = {
+      iters: Int = 3, dampMicro: Long = 850000L,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampMicro >= 0 && dampMicro <= 1000000L, "dampMicro in [0, 1e6]")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -64,6 +66,14 @@ object Graphs {
         .select(col("id"),
           (lit(1000000L - dampMicro) + coalesce(col("__in"), lit(0L))).as("rank_micro"))
       it += 1
+      // lineage guard, enforced not advisory: without it the rank plan
+      // deepens by two joins per round and deep-iteration runs (iters 10+)
+      // hit multi-hundred-node plans and quadratic re-analysis. Same
+      // posture as [[hits]] and the Dedup contraction loop; eager so the
+      // round's work is done exactly once. Swap for `checkpoint` on a
+      // real cluster where executor loss must not force a full recompute.
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -28,14 +28,18 @@ object LlmQueries {
     * word via literal replace — DuckDB `replace` shares String.replace's
     * left-to-right non-overlapping semantics, which IS the BPE merge rule.
     * Mechanically generated per step, the [[HashOracle.lloydStep]] trick. */
-  private def bpeCtes(n: Int): String = {
+  private def bpeCtes(n: Int, minCount: Long = 1L): String = {
     // AS MATERIALIZED everywhere: each w(i+1) references w(i) and b(i)
     // several times, and DuckDB's default CTE inlining would expand the
-    // chain 4^n-fold ("too many open files" on the documents scan)
+    // chain 4^n-fold ("too many open files" on the documents scan).
+    // The minCount floor matches Bpe.train's truncated-vocab contract:
+    // sub-floor words don't VOTE in the pair statistics (the p$i filter)
+    // but the w chain still carries them, because encode applies the
+    // merges to every word — dict membership never changes a repr.
     val steps = (0 until n).map { i =>
       s"""p$i AS MATERIALIZED (SELECT u.a AS a, u.b AS b, sum(c) AS c FROM
          |  (SELECT c, unnest(list_transform(range(1, len(syms)), j -> {'a': syms[j], 'b': syms[j+1]})) AS u
-         |   FROM (SELECT str_split(repr, chr(31)) AS syms, c FROM w$i) s$i) x$i GROUP BY 1, 2),
+         |   FROM (SELECT str_split(repr, chr(31)) AS syms, c FROM w$i WHERE c >= $minCount) s$i) x$i GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
          |w${i + 1} AS MATERIALIZED (SELECT word, CASE WHEN EXISTS (SELECT 1 FROM b$i)
          |  THEN replace(repr, (SELECT a FROM b$i) || chr(31) || (SELECT b FROM b$i),
@@ -48,6 +52,16 @@ object LlmQueries {
        |w0 AS MATERIALIZED (SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
        |  i -> word[i]), chr(31)) AS repr, c FROM wc),
        |$steps""".stripMargin
+  }
+
+  /** The synthetic link graph the PageRank/HITS queries rank: 3 arithmetic
+    * link families per doc, so edges are predictable in SQL. */
+  private def linkGraph(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.count()
+    Seq((7L, 1L), (13L, 5L), (3L, 11L)).map { case (a, b) =>
+      d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % n).as("dst"))
+    }.reduce(_ unionByName _)
   }
 
   /** The "new snapshot" fixture for the corpus-diff queries: every 7th doc
@@ -259,7 +273,7 @@ object LlmQueries {
     // packing at a 256-token budget
     "q_pack_bpe" -> ((s, dir) => {
       val d = docs(s, dir)
-      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8)
+      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8, minCount = 2)
       Packing.packSequences(
           graft.llm.Bpe.encode(d, "doc_id", "text", m, dict)
             .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
@@ -485,7 +499,7 @@ object LlmQueries {
     // BPE tokenizer: 8 merges trained on the corpus word-count dict —
     // the merge table itself is the query output (rank, lhs, rhs)
     "q_bpe_merges" -> ((s, dir) => {
-      val (m, _) = graft.llm.Bpe.train(docs(s, dir), "text", numMerges = 8)
+      val (m, _) = graft.llm.Bpe.train(docs(s, dir), "text", numMerges = 8, minCount = 2)
       graft.llm.Bpe.mergesDF(s, m).orderBy("rank")
     }),
 
@@ -493,33 +507,36 @@ object LlmQueries {
     // counts AND the token strings themselves
     "q_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8)
+      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8, minCount = 2)
       graft.llm.Bpe.encode(d, "doc_id", "text", m, dict).orderBy("doc_id")
     }),
 
     // PageRank over a synthetic link graph (3 arithmetic link families per
     // doc): integer micro-rank arithmetic — floor division at the share
     // and damping steps — so all 3 iterations replay bit-exact
-    "q_pagerank" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-      val n = d.count()
-      val e = Seq((7L, 1L), (13L, 5L), (3L, 11L)).map { case (a, b) =>
-        d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % n).as("dst"))
-      }.reduce(_ unionByName _)
-      graft.ops.Graphs.pageRank(e, "src", "dst", iters = 3).orderBy("id")
-    }),
+    "q_pagerank" -> ((s, dir) =>
+      graft.ops.Graphs.pageRank(linkGraph(s, dir), "src", "dst", iters = 3)
+        .orderBy("id")),
+
+    // the same ranking at convergence depth: 10 iterations cross the
+    // in-loop checkpoint boundary twice, proving the lineage truncation
+    // changes nothing and iteration error can't compound silently
+    "q_pagerank_deep" -> ((s, dir) =>
+      graft.ops.Graphs.pageRank(linkGraph(s, dir), "src", "dst", iters = 10)
+        .orderBy("id")),
 
     // HITS over the same synthetic link graph: hub/authority mutual
     // recursion with integer max-normalization (floor div by the round's
     // max) — both iterations replay bit-exact
-    "q_hits" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-      val n = d.count()
-      val e = Seq((7L, 1L), (13L, 5L), (3L, 11L)).map { case (a, b) =>
-        d.select(col("doc_id").as("src"), ((col("doc_id") * a + b) % n).as("dst"))
-      }.reduce(_ unionByName _)
-      graft.ops.Graphs.hits(e, "src", "dst", iters = 2).orderBy("id")
-    }),
+    "q_hits" -> ((s, dir) =>
+      graft.ops.Graphs.hits(linkGraph(s, dir), "src", "dst", iters = 2)
+        .orderBy("id")),
+
+    // HITS at twice the depth — the per-iteration persist/checkpoint
+    // machinery replayed through 4 full normalization rounds
+    "q_hits_deep" -> ((s, dir) =>
+      graft.ops.Graphs.hits(linkGraph(s, dir), "src", "dst", iters = 4)
+        .orderBy("id")),
 
     // Rademacher JL projection 64→16: every output component is an exact
     // integer Σ ±qe_i with signs from the planesign kernel — posexploded
@@ -561,7 +578,7 @@ object LlmQueries {
     // integer micro division
     "q_bpe_fertility" -> ((s, dir) => {
       val d = docs(s, dir)
-      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8)
+      val (m, dict) = graft.llm.Bpe.train(d, "text", numMerges = 8, minCount = 2)
       graft.llm.Bpe.encodeStats(d, "doc_id", "text", m, dict).orderBy("doc_id")
     }),
 
@@ -1285,7 +1302,7 @@ object LlmQueries {
 
     // the BPE-encode chain's per-doc counts feeding the packing prefix sum
     "q_pack_bpe" ->
-      s"""WITH ${bpeCtes(8)},
+      s"""WITH ${bpeCtes(8, minCount = 2)},
          |docw AS (SELECT doc_id, w FROM
          |  (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents) dt
          |  WHERE w != ''),
@@ -1667,14 +1684,14 @@ object LlmQueries {
     "q_bpe_merges" -> {
       val union = (0 until 8).map(i =>
         s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs FROM b$i").mkString("\nUNION ALL ")
-      s"""WITH ${bpeCtes(8)}
+      s"""WITH ${bpeCtes(8, minCount = 2)}
          |SELECT * FROM ($union) ORDER BY rank""".stripMargin
     },
 
     // every doc re-tokenized through the final dict w8: exact counts and
     // position-ordered token strings
     "q_bpe_encode" ->
-      s"""WITH ${bpeCtes(8)},
+      s"""WITH ${bpeCtes(8, minCount = 2)},
          |docw AS (SELECT doc_id, u.i AS i, u.w AS w FROM
          |  (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'i': i, 'w': toks[i]})) AS u
          |   FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) dt) dx
@@ -1690,52 +1707,19 @@ object LlmQueries {
     // the same integer update replayed mechanically per iteration:
     // share = r // outdeg, damped = (850000 * share) // 1e6, next =
     // 150000 + sum — exact integers end to end
-    "q_pagerank" -> {
-      val iterCtes = (0 until 3).map { i =>
-        s"""s$i AS (SELECT e.dst, (850000 * (r$i.r // dg.d)) // 1000000 AS c
-           |  FROM e JOIN r$i ON r$i.id = e.src JOIN dg ON dg.src = e.src),
-           |r${i + 1} AS (SELECT n.id, 150000 + coalesce(sum(s$i.c), 0) AS r
-           |  FROM nodes n LEFT JOIN s$i ON s$i.dst = n.id GROUP BY n.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
-         |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
-         |  UNION ALL SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM documents, nn),
-         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-         |nodes AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-         |dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
-         |$iterCtes
-         |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin
-    },
+    "q_pagerank" -> pagerankSql(3),
+
+    // convergence depth: 10 mechanical iterations, spanning two in-loop
+    // checkpoints on the Spark side
+    "q_pagerank_deep" -> pagerankSql(10),
 
     // hub/authority mutual recursion replayed mechanically: per iteration
     // auth = Σ in-edge hubs then (1e6·v) // max, hub = Σ out-edge auths
     // then the same max-normalization — exact integers end to end
-    "q_hits" -> {
-      val iterCtes = (0 until 2).map { i =>
-        s"""ain$i AS (SELECT e.dst AS id, sum(h$i.h) AS v FROM e JOIN h$i ON h$i.id = e.src GROUP BY e.dst),
-           |ar$i AS (SELECT n.id, coalesce(ain$i.v, 0) AS v FROM nodes n LEFT JOIN ain$i USING (id)),
-           |am$i AS (SELECT max(v) AS mx FROM ar$i),
-           |a${i + 1} AS (SELECT id, CASE WHEN mx > 0 THEN (1000000 * v) // mx ELSE 0 END AS a FROM ar$i, am$i),
-           |hin$i AS (SELECT e.src AS id, sum(a${i + 1}.a) AS v FROM e JOIN a${i + 1} ON a${i + 1}.id = e.dst GROUP BY e.src),
-           |hr$i AS (SELECT n.id, coalesce(hin$i.v, 0) AS v FROM nodes n LEFT JOIN hin$i USING (id)),
-           |hm$i AS (SELECT max(v) AS mx FROM hr$i),
-           |h${i + 1} AS (SELECT id, CASE WHEN mx > 0 THEN (1000000 * v) // mx ELSE 0 END AS h FROM hr$i, hm$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
-         |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
-         |  UNION ALL SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM documents, nn),
-         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-         |nodes AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
-         |$iterCtes
-         |SELECT id, CAST(h2.h AS BIGINT) AS hub_micro, CAST(a2.a AS BIGINT) AS auth_micro
-         |FROM h2 JOIN a2 USING (id) ORDER BY id""".stripMargin
-    },
+    "q_hits" -> hitsSql(2),
+
+    // twice the normalization rounds — iteration error can't hide
+    "q_hits_deep" -> hitsSql(4),
 
     // the projection recomputed sign-by-sign: planesign(j, i) · qe[i]
     // summed per output dim — integer sums are order-independent, so the
@@ -1800,7 +1784,7 @@ object LlmQueries {
     // the encode chain aggregated to word/token counts; fertility as the
     // same integer micro division
     "q_bpe_fertility" ->
-      s"""WITH ${bpeCtes(8)},
+      s"""WITH ${bpeCtes(8, minCount = 2)},
          |docw AS (SELECT doc_id, u.w AS w FROM
          |  (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'i': i, 'w': toks[i]})) AS u
          |   FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) dt) dx

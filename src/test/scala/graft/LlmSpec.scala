@@ -1579,4 +1579,62 @@ class LlmSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rs == Seq((4L, "D"), (5L, "e")))
   }
+
+  test("BPE: minCount/maxVocab truncate the driver dict, not any word's repr") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    // 'ab' ×4, 'abc' ×2, 'zq' ×1 — floor 2 drops zq from the dict and its
+    // vote from the pair statistics, but encode must still tokenize it
+    val corpus = Seq((1L, "ab ab ab ab abc abc zq")).toDF("doc_id", "text")
+    val (m, dict) = Bpe.train(corpus, "text", numMerges = 4, minCount = 2)
+    assert(!dict.contains("zq") && dict.contains("ab") && dict.contains("abc"))
+    assert(m.map(x => (x.lhs, x.rhs)) == Seq(("a", "b"), ("ab", "c")))
+    val enc = Bpe.encode(corpus, "doc_id", "text", m, dict)
+      .as[(Long, Long, String)].collect().head
+    // zq is unseen: merges replay, none hit → z␟q stays split
+    assert(enc._3.endsWith("z" + Bpe.Sep + "q"), enc)
+    // maxVocab=1 keeps only the top word; pair stats see just 'ab'
+    val (m2, d2) = Bpe.train(corpus, "text", numMerges = 4, maxVocab = 1)
+    assert(d2.keySet == Set("ab"))
+    assert(m2.map(x => (x.lhs, x.rhs)) == Seq(("a", "b")))
+    // the dict is purely a cache: encode with NO dict (every word through
+    // the MergeApplier) must equal encode with the trained dict
+    val full = Bpe.encode(corpus, "doc_id", "text", m, dict)
+      .as[(Long, Long, String)].collect().toSeq
+    val noDict = Bpe.encode(corpus, "doc_id", "text", m, Map.empty)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(full == noDict)
+  }
+
+  test("null text: text/dedup/tokenizer ops zero-score it, never NPE") {
+    import graft.llm.Bpe
+    import spark.implicits._
+    val withNull = Seq((1L, "a b c d e f g h"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val refNull = Seq((9L, "a b c"), (10L, null: String)).toDF("doc_id", "text")
+    // novelty: null doc scores (0, 0, 0.0); null in the REFERENCE is skipped
+    val nov = Dedup.novelty(withNull, "doc_id", "text", refNull, "text", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(nov(1) == ((2L, 0L, 0L, 0.0)))
+    // repeated spans/fraction: null doc contributes no spans, 0 tokens
+    assert(Dedup.repeatedSpans(withNull, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 2L).count() == 0)
+    val rf = Dedup.repeatedFraction(withNull, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 2L)
+      .select("n_tokens", "repeated_tokens").as[(Long, Long)].collect()
+    assert(rf.toSeq == Seq((0L, 0L)))
+    // tf-idf: null doc emits no terms
+    assert(TextAnalysis.tfidfTopTerms(withNull, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 2L).count() == 0)
+    // BPE: null doc trains on nothing and encodes to the empty row
+    val (m, dict) = Bpe.train(withNull, "text", numMerges = 2)
+    val enc = Bpe.encode(withNull, "doc_id", "text", m, dict)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(enc(1) == ((2L, 0L, "")))
+    // temperature sampling: a null stratum is counted and matched null-safe
+    val strat = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, null: String))
+      .toDF("doc_id", "lang")
+    val kept = graft.llm.Sampling.temperatureSample(strat, "doc_id", "lang", alpha = 1.0)
+    assert(kept.count() == 4) // alpha=1 keeps everything, null stratum included
+  }
 }

@@ -252,6 +252,14 @@ class OpsSpec extends SparkSpec {
     val rm = Graphs.pageRank(messy, "src", "dst", iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rm == rs)
+    // deep iteration: the in-loop localCheckpoint must keep the plan
+    // bounded (not 2 joins per round) AND leave the fixed point intact —
+    // the cycle is stationary at any depth, checkpointed or not
+    val deep = Graphs.pageRank(cycle, "src", "dst", iters = 12)
+    assert(deep.queryExecution.optimizedPlan.toString.linesIterator.size < 60,
+      "checkpoint every 4 rounds should truncate lineage")
+    assert(deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
   }
 
   test("hits: star hub/authority split is hand-exact, max-normalized to 1e6") {
