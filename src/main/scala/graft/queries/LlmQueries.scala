@@ -64,6 +64,61 @@ object LlmQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** The [[linkGraph]] edges replayed arithmetically in SQL: same three
+    * (a·doc_id + b) mod n families, deduplicated, self-loops dropped, plus
+    * the node set — the shared CTE prefix of both graph oracles. */
+  private val linkGraphCtes =
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+       |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+       |  UNION ALL SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM documents, nn),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))""".stripMargin
+
+  /** PageRank oracle at `iters` mechanical integer iterations — the
+    * [[graft.ops.Graphs.pageRank]] micro-rank update (share = r // outdeg,
+    * damped = (850000·share) // 1e6, next = 150000 + Σ) replayed per step.
+    * AS MATERIALIZED per step: each CTE is referenced once so inlining is
+    * linear, but at iters = 10 the inlined chain still re-plans the whole
+    * prefix per level — materialization keeps the oracle O(iters). */
+  private def pagerankSql(iters: Int): String = {
+    val iterCtes = (0 until iters).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e.dst, (850000 * (r$i.r // dg.d)) // 1000000 AS c
+         |  FROM e JOIN r$i ON r$i.id = e.src JOIN dg ON dg.src = e.src),
+         |r${i + 1} AS MATERIALIZED (SELECT n.id, 150000 + coalesce(sum(s$i.c), 0) AS r
+         |  FROM nodes n LEFT JOIN s$i ON s$i.dst = n.id GROUP BY n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+       |dg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** HITS oracle at `iters` iterations: auth = Σ in-edge hubs then
+    * (1e6·v) // max, hub = Σ out-edge auths then the same max-normalization
+    * — exact integers end to end. AS MATERIALIZED is load-bearing here:
+    * ar/hr are each referenced twice (by the max CTE and the normalize
+    * CTE), so default inlining would expand the chain 2^(2·iters)-fold. */
+  private def hitsSql(iters: Int): String = {
+    val iterCtes = (0 until iters).map { i =>
+      s"""ain$i AS (SELECT e.dst AS id, sum(h$i.h) AS v FROM e JOIN h$i ON h$i.id = e.src GROUP BY e.dst),
+         |ar$i AS MATERIALIZED (SELECT n.id, coalesce(ain$i.v, 0) AS v FROM nodes n LEFT JOIN ain$i USING (id)),
+         |am$i AS (SELECT max(v) AS mx FROM ar$i),
+         |a${i + 1} AS MATERIALIZED (SELECT id, CASE WHEN mx > 0 THEN (1000000 * v) // mx ELSE 0 END AS a FROM ar$i, am$i),
+         |hin$i AS (SELECT e.src AS id, sum(a${i + 1}.a) AS v FROM e JOIN a${i + 1} ON a${i + 1}.id = e.dst GROUP BY e.src),
+         |hr$i AS MATERIALIZED (SELECT n.id, coalesce(hin$i.v, 0) AS v FROM nodes n LEFT JOIN hin$i USING (id)),
+         |hm$i AS (SELECT max(v) AS mx FROM hr$i),
+         |h${i + 1} AS MATERIALIZED (SELECT id, CASE WHEN mx > 0 THEN (1000000 * v) // mx ELSE 0 END AS h FROM hr$i, hm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$iterCtes
+       |SELECT id, CAST(h$iters.h AS BIGINT) AS hub_micro, CAST(a$iters.a AS BIGINT) AS auth_micro
+       |FROM h$iters JOIN a$iters USING (id) ORDER BY id""".stripMargin
+  }
+
   /** The "new snapshot" fixture for the corpus-diff queries: every 7th doc
     * removed, every 11th rewritten, the first 20 re-added under new ids. */
   private def diffFixture(d: DataFrame): DataFrame =
