@@ -94,20 +94,27 @@ object Bench {
       }
       name -> dt
     }.toMap
-    // 3-decimal durations keep the JSON line compact (~2 KB for 82 queries):
-    // the driver parses the line from a bounded stdout tail, and full double
-    // precision pushed the line past that buffer (BENCH_r03 "parsed": null)
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qsJson(entries: Seq[(String, Double)]) = entries.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the driver captures a BOUNDED stdout tail; with 100+ queries the JSON
-    // line alone can overflow it (BENCH_r05 lost the first 19 entries). So:
-    // durable copy on disk first, then the line as the last stdout write.
+    // FULL per-query map goes to the durable file — the stdout line cannot
+    // hold it: the driver parses the line from a BOUNDED (2 KB) stdout tail,
+    // and at 160+ queries the full map alone is ~4 KB (BENCH_r05 lost the
+    // first 19 entries; BENCH_r07 "parsed": null — the whole line fell out
+    // of the tail). The printed line instead carries the total plus the
+    // slowest-N subset that fits in ~1.8 KB (the heavy hitters are what
+    // round-over-round comparison scrutinizes) and points at the file.
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results.toSeq)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] result file write failed: ${e.getMessage}") }
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    def lineFor(n: Int) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries_full":"bench_result.json","queries":${qsJson(bySlowest.take(n))},"sf":"$sfDir"}"""
+    val line = (bySlowest.size to 0 by -5).iterator.map(lineFor)
+      .find(_.length <= 1800).getOrElse(lineFor(0))
     println(line)
     spark.stop()
   }

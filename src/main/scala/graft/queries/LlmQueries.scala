@@ -82,11 +82,15 @@ object LlmQueries {
     * AS MATERIALIZED per step: each CTE is referenced once so inlining is
     * linear, but at iters = 10 the inlined chain still re-plans the whole
     * prefix per level — materialization keeps the oracle O(iters). */
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(iters: Int, dampMicro: Long = 850000L): String = {
+    // dampMicro mirrors Graphs.pageRank's parameter (teleport = 1e6 - damp)
+    // so oracle and implementation share one constant; a wiring that passes
+    // a non-default damping must pass the same value here.
+    val teleport = 1000000L - dampMicro
     val iterCtes = (0 until iters).map { i =>
-      s"""s$i AS MATERIALIZED (SELECT e.dst, (850000 * (r$i.r // dg.d)) // 1000000 AS c
+      s"""s$i AS MATERIALIZED (SELECT e.dst, ($dampMicro * (r$i.r // dg.d)) // 1000000 AS c
          |  FROM e JOIN r$i ON r$i.id = e.src JOIN dg ON dg.src = e.src),
-         |r${i + 1} AS MATERIALIZED (SELECT n.id, 150000 + coalesce(sum(s$i.c), 0) AS r
+         |r${i + 1} AS MATERIALIZED (SELECT n.id, $teleport + coalesce(sum(s$i.c), 0) AS r
          |  FROM nodes n LEFT JOIN s$i ON s$i.dst = n.id GROUP BY n.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH $linkGraphCtes,

@@ -40,7 +40,7 @@ object Runner {
       .withWatermark(tsCol, s"$delayMs milliseconds")
       .groupBy(window(col(tsCol), s"$sizeMs milliseconds") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_end_ms", unix_millis(col("window.end")))
+      .withColumn("window_end_ms", unix_millis(col("window.end").cast("timestamp")))
       .drop("window")
 
   /** Update-mode running aggregation — the streaming form of the Z-set

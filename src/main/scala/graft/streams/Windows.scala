@@ -31,11 +31,17 @@ object Windows {
   def expiryDelayMs(windowExtentMs: Long, allowedLatenessMs: Long): Long =
     windowExtentMs + allowedLatenessMs
 
+  /** Window bounds come back as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    * input column's type (parquet writers differ); unix_millis only accepts
+    * the former. The cast is a no-op for TIMESTAMP and value-preserving for
+    * NTZ under the UTC session timezone every graft entry point sets. */
+  private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
   /** window_tumbling (topologynode.py:888-898). */
   def tumbling(df: DataFrame, ts: Column, sizeMs: Long, keys: Seq[Column])(aggs: Column*): DataFrame =
     df.groupBy(window(ts, s"$sizeMs milliseconds") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_end_ms", unix_millis(col("window.end")))
+      .withColumn("window_end_ms", epochMs(col("window.end")))
       .drop("window")
 
   /** window_hopping (topologynode.py:900-910): Spark's sliding window()
@@ -43,7 +49,7 @@ object Windows {
   def hopping(df: DataFrame, ts: Column, sizeMs: Long, hopMs: Long, keys: Seq[Column])(aggs: Column*): DataFrame =
     df.groupBy(window(ts, s"$sizeMs milliseconds", s"$hopMs milliseconds") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_end_ms", unix_millis(col("window.end")))
+      .withColumn("window_end_ms", epochMs(col("window.end")))
       .drop("window")
 
   /** window_cumulative (CUMULATE, topologynode.py:912-922): expanding
@@ -70,8 +76,8 @@ object Windows {
   def session(df: DataFrame, ts: Column, gapMs: Long, keys: Seq[Column])(aggs: Column*): DataFrame =
     df.groupBy(session_window(ts, s"$gapMs milliseconds") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("session_start_ms", unix_millis(col("session_window.start")))
-      .withColumn("session_end_ms", unix_millis(col("session_window.end")))
+      .withColumn("session_start_ms", epochMs(col("session_window.start")))
+      .withColumn("session_end_ms", epochMs(col("session_window.end")))
       .drop("session_window")
 
   /** window_sliding (topologynode.py:926-940): per-record window

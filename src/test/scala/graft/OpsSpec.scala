@@ -252,12 +252,18 @@ class OpsSpec extends SparkSpec {
     val rm = Graphs.pageRank(messy, "src", "dst", iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rm == rs)
-    // deep iteration: the in-loop localCheckpoint must keep the plan
-    // bounded (not 2 joins per round) AND leave the fixed point intact —
-    // the cycle is stationary at any depth, checkpointed or not
+    // deep iteration: the in-loop localCheckpoint must keep lineage FLAT
+    // in iters (not 2 joins per round) AND leave the fixed point intact —
+    // the cycle is stationary at any depth, checkpointed or not. Absolute
+    // plan-line counts are noisy (persisted eDeg/nodes print their whole
+    // cached plan per reference), so the assertion is relative: 12 rounds
+    // may not plan deeper than the 4 un-checkpointed rounds it tails with.
     val deep = Graphs.pageRank(cycle, "src", "dst", iters = 12)
-    assert(deep.queryExecution.optimizedPlan.toString.linesIterator.size < 60,
-      "checkpoint every 4 rounds should truncate lineage")
+    val deepLines = deep.queryExecution.optimizedPlan.toString.linesIterator.size
+    val shallowLines = Graphs.pageRank(cycle, "src", "dst", iters = 4)
+      .queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(deepLines <= shallowLines + 10,
+      s"deep=$deepLines shallow=$shallowLines — checkpoint every 4 rounds should keep lineage flat in iters")
     assert(deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
   }

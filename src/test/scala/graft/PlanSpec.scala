@@ -307,4 +307,25 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"q1 lost whole-stage codegen:\n$plan")
   }
+
+  test("SCALING.md collect inventory matches the source") {
+    // SCALING.md's global rule is "driver-side materialization only with a
+    // model-size bound", backed by a per-file inventory of every .collect()
+    // site. Line numbers rot, so the inventory names files with ×N counts —
+    // and THIS test is the mechanical contract: the per-file counts in the
+    // doc must equal a grep of src/main. Add or remove a collect anywhere
+    // without updating the inventory and this fails.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val srcCounts = Files.walk(Paths.get("src/main/scala")).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map(p => p.getFileName.toString ->
+        "\\.collect\\(\\)".r.findAllIn(Files.readString(p)).size)
+      .filter(_._2 > 0).toMap
+    val doc = Files.readString(Paths.get("SCALING.md"))
+    val docCounts = "`([A-Za-z]+\\.scala)` ×(\\d+)".r.findAllMatchIn(doc)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    assert(docCounts == srcCounts,
+      s"SCALING.md collect inventory drifted.\n  doc: ${docCounts.toSeq.sorted}\n  src: ${srcCounts.toSeq.sorted}")
+  }
 }

@@ -38,6 +38,20 @@ class WindowsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("tumbling/session accept TIMESTAMP_NTZ input (parquet NTZ inference)") {
+    // Spark 4 infers TIMESTAMP_NTZ from tz-less parquet timestamps; the
+    // window()/session_window() bounds then come back NTZ, which
+    // unix_millis rejects. Same recomputation as above, NTZ input column.
+    val ntz = df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val got = Windows.tumbling(ntz, col("ts"), 60000L, Seq(col("k")))(count(lit(1)).as("n"))
+      .select("window_end_ms", "k", "n").as[(Long, String, Long)].collect().toSet
+    val want = data.groupBy { case (k, t) => (t / 60000 * 60000 + 60000, k) }
+      .map { case ((e, k), rows) => (e, k, rows.size.toLong) }.toSet
+    assert(got == want)
+    val sess = Windows.session(ntz, col("ts"), 60000L, Seq(col("k")))(count(lit(1)).as("n"))
+    assert(sess.agg(sum("n")).head.getLong(0) == data.size.toLong)
+  }
+
   test("session windows match a gaps-and-islands recomputation") {
     val gap = 60000L
     val got = Windows.session(df, col("ts"), gap, Seq(col("k")))(count(lit(1)).as("n"))
