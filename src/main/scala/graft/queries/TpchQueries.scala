@@ -122,6 +122,139 @@ object TpchQueries {
         .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
           .cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
+    }),
+
+    // Q7-style cross-nation volume: TWO copies of the nation dim (supplier
+    // side and customer side), both broadcast, with the nation-pair
+    // disjunction evaluated as a residual on the broadcast-joined row —
+    // the one fact-fact shuffle is lineitem ⋈ orders on the order key.
+    "q7_nations" -> ((s, dir) => {
+      val sn = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cn = broadcast(t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q9-style profit by nation and year: the part filter (name contains
+    // "red") prunes the broadcast build side BEFORE the join, so the big
+    // lineitem scan joins against a slim dim — and Catalyst turns the
+    // inner join into a filter on the fact scan's partkey via DPP at
+    // scale. No partsupp table in this corpus, so profit is the
+    // discounted price (the join shape, not the cost arithmetic, is the
+    // point).
+    "q9_profit" -> ((s, dir) => {
+      val reds = broadcast(t(s, dir, "part")
+        .filter(col("p_name").contains("red")).select("p_partkey"))
+      val sn = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      t(s, dir, "lineitem")
+        .join(reds, col("l_partkey") === col("p_partkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_profit"))
+        .orderBy("nation", "o_year")
+    }),
+
+    // Q14-style promo share, one month: numerator and denominator emitted
+    // as SEPARATE decimal sums (a cross-engine-exact ratio would divide
+    // two doubles — the reader can). Conditional aggregation rides the
+    // same single agg shuffle; the month predicate is pushed to the scan.
+    "q14_promo" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1998-02-01"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("total_revenue"))),
+
+    // Q15-style top supplier: aggregate once, then select the argmax rows
+    // by equi-joining the 1-row broadcast max back onto the aggregate —
+    // never a global sort or window over all suppliers.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .as("total_rev"))
+      rev.join(broadcast(rev.agg(max(col("total_rev")).as("__mx"))),
+          col("total_rev") === col("__mx"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q17-style below-average small orders: per-part aggregate joined back
+    // to the fact on the SAME key (partitioning reuse, as q18), with the
+    // 0.2·avg threshold rewritten to multiply-through integer-exact form:
+    // qty < sum/(5·cnt)  ⇔  5·qty·cnt < sum  (cnt > 0) — no division, no
+    // cross-engine decimal-avg typing drift.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val brand = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+      val stats = li.join(brand, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(dec("l_quantity")).as("__sq"), count(lit(1)).as("__cnt"))
+      li.join(brand, col("l_partkey") === col("p_partkey"))
+        .join(stats, col("l_partkey") === col("__pk"))
+        .filter(dec("l_quantity") * 5 * col("__cnt") < col("__sq"))
+        .agg(sum(dec("l_extendedprice")).cast("double").as("small_qty_revenue"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // Q19-style disjunctive-predicate join: equality on the part key
+    // carries the broadcast hash join; the OR-of-ANDs over (brand, size,
+    // quantity) stays a RESIDUAL on the matched row — never a nested-loop
+    // fallback, because the equi-conjunct is extractable.
+    "q19_disjunct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) && dec("l_quantity").between(1, 15)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) && dec("l_quantity").between(10, 25)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) && dec("l_quantity").between(20, 35))))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_matched"))),
+
+    // Q22-style idle rich customers: the global mean threshold is a 1-row
+    // broadcast crossed onto customers with the comparison multiplied
+    // through (bal·N > S — exact decimals, no avg typing drift), then a
+    // LEFT ANTI join drops anyone with a RECENT order (this corpus gives
+    // every customer some order, so classic "never ordered" is empty —
+    // the date filter also prunes the anti-join's build side at the scan).
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val thr = cust.filter(dec("c_acctbal") > lit(0).cast("decimal(18,2)"))
+        .agg(sum(dec("c_acctbal")).as("__s"), count(lit(1)).as("__n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01")).select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .filter(dec("c_acctbal") * col("__n") > col("__s"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec("c_acctbal")).cast("double").as("total_bal"))
+        .orderBy("c_nationkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +315,80 @@ object TpchQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q7_nations" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT
+        |CAST(sum(CASE WHEN p_type = 'PROMO'
+        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        |stats AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem JOIN brand ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+        |  CAST(count(*) AS BIGINT) AS n_small
+        |FROM lineitem
+        |JOIN brand ON l_partkey = p_partkey
+        |JOIN stats ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_matched
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 35)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH thr AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, thr
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * thr.n > thr.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

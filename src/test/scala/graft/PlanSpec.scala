@@ -23,9 +23,12 @@ class PlanSpec extends SparkSpec {
   //    probs-row broadcast joined on an inequality (cum > idx) — a
   //    |probs|-row build side at any scale (the grouped form also crosses
   //    per-group totals with the broadcast probs list)
+  //  - q22_idle_customers: the global-mean threshold is a 1-row aggregate
+  //    crossJoined (broadcast) onto customers — a 1-row build side at any
+  //    scale, same posture as the watermark queries
   private val intendedNestedLoop =
     Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf",
-      "q_size_quantiles", "q_size_quantiles_by")
+      "q_size_quantiles", "q_size_quantiles_by", "q22_idle_customers")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
