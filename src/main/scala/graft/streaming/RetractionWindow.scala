@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Retraction-correct WINDOWED aggregation — the streams-half capability
+  * Spark's built-in windowed aggregation cannot express (SURVEY §7.4's last
+  * stretch item): the reference's windows consume a weighted Z-set delta
+  * stream (topologynode.py:672-963 over ±w records), so a retraction (−w)
+  * arriving inside the lateness horizon must CORRECT the window it falls
+  * in, not be treated as a new insert. Spark's `window().agg(sum)` under
+  * append mode sums whatever rows arrive — weights would need to ride the
+  * values, and a finalized window can never re-emit.
+  *
+  * Implemented as flatMapGroupsWithState keyed by (key, window_end) — the
+  * same state model as [[RetractionDistinct]]:
+  *
+  *  - state = (Σ weight·value, Σ weight) integrated per (key, window);
+  *  - every micro-batch that CHANGES a window's totals re-emits the
+  *    corrected (key, window_end_ms, sum_value, n) row — downstream sees
+  *    an upsert stream exactly like the reference's `group_by_sum` output
+  *    after integrate (latest row per key wins);
+  *  - a window whose weights cancel to zero emits the zeroed row (the
+  *    Z-set "absent" correction) and drops its state immediately;
+  *  - the watermark horizon (EventTimeTimeout at window_end + delay)
+  *    drops remaining state, so state size is bounded by the number of
+  *    LIVE (key, window) pairs inside the horizon — never corpus-bounded.
+  *
+  * Scale note: state is hash-partitioned by (key, window_end) across
+  * executors (RocksDB store in production); each micro-batch touches only
+  * the windows present in the batch. 100 TB/day with a 1 h window and a
+  * 10 min horizon holds ~7 window-epochs × |keys| state rows.
+  */
+object RetractionWindow {
+
+  case class WinDelta(key: String, tsMs: Long, value: Long, weight: Long)
+  case class WinSum(key: String, windowEndMs: Long, sumValue: Long, n: Long)
+
+  /** Internal plumbing type (public only because Catalyst's generated
+    * encoder code cannot touch private classes): WinDelta with the
+    * watermark timestamp column materialized — the stateful operator
+    * needs the event-time column typed alongside the data. */
+  case class WinDeltaTs(key: String, tsMs: Long, value: Long,
+      weight: Long, wmTs: java.sql.Timestamp)
+
+  /** Tumbling windowed sum+count over a ±weighted delta stream.
+    * `delayMs` is the lateness horizon: deltas (inserts OR retractions)
+    * older than watermark − delay are dropped by the watermark, everything
+    * inside corrects its window. */
+  def tumblingSum(deltas: Dataset[WinDelta], sizeMs: Long, delayMs: Long): Dataset[WinSum] = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas.toDF()
+      .withColumn("wmTs", timestamp_millis(col("tsMs")))
+      .withWatermark("wmTs", s"$delayMs milliseconds")
+      .as[WinDeltaTs]
+      .groupByKey(d => (d.key, (d.tsMs / sizeMs) * sizeMs + sizeMs))
+      .flatMapGroupsWithState[(Long, Long), WinSum](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (kw: (String, Long), rows: Iterator[WinDeltaTs], state: GroupState[(Long, Long)]) =>
+          val (key, winEnd) = kw
+          if (state.hasTimedOut) {
+            // horizon passed: the window can no longer change — drop state.
+            // Corrections were emitted eagerly, so nothing re-emits here.
+            state.remove()
+            Iterator.empty
+          } else {
+            val (prevSum, prevN) = state.getOption.getOrElse((0L, 0L))
+            var dSum = 0L
+            var dN = 0L
+            rows.foreach { d =>
+              dSum += d.weight * d.value
+              dN += d.weight
+            }
+            val (sum, n) = (prevSum + dSum, prevN + dN)
+            if (sum == 0L && n == 0L) state.remove()
+            else {
+              state.update((sum, n))
+              // the timeout must sit strictly past the current watermark;
+              // a window already at the horizon edge still gets one tick
+              state.setTimeoutTimestamp(
+                math.max(winEnd + delayMs, state.getCurrentWatermarkMs() + 1))
+            }
+            if (dSum == 0L && dN == 0L) Iterator.empty
+            else Iterator(WinSum(key, winEnd, sum, n))
+          }
+      }
+  }
+}

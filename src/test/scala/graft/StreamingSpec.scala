@@ -449,6 +449,81 @@ class StreamingSpec extends SparkSpec {
     assert(integrated == batch, s"CDC stream does not reconcile: cdc=$integrated batch=$batch")
   }
 
+  test("retraction windows: interleaved +1/-1 feeds correct the window across a checkpoint restart") {
+    // SURVEY §7.4's last stretch item: a windowed sum that consumes ±w
+    // deltas — a retraction inside the horizon CORRECTS its window. The
+    // run stops and restarts from its checkpoint mid-stream (state must
+    // survive), and the watermark horizon must drop window state after
+    // the window can no longer change (the state plateau).
+    import graft.streaming.RetractionWindow
+    import graft.streaming.RetractionWindow.{WinDelta, WinSum}
+    val fs = new graft.storage.FileStorage(spark,
+      Files.createTempDirectory("graft_fs_rw").toString)
+    fs.createTopic("rw_in", 2)
+    val checkpoint = ckpt()
+    val size = 60000L
+    val delay = 120000L
+    val base = 1700000000000L / size * size
+    val out = collection.mutable.ArrayBuffer[WinSum]()
+    var lastStateRows = -1L
+    def produce(rows: (String, Long, Long, Long)*): Unit =
+      fs.produce("rw_in", rows.toSeq.map { case (k, ts, v, w) => (k, s"$ts:$v:$w") }
+        .toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(1700000000000L))))
+    def run(): Unit = {
+      val deltas = fs.readStream("rw_in").select(
+          col("key").cast("string").as("key"),
+          split(col("value"), ":").getItem(0).cast("long").as("tsMs"),
+          split(col("value"), ":").getItem(1).cast("long").as("value"),
+          split(col("value"), ":").getItem(2).cast("long").as("weight"))
+        .as[WinDelta]
+      val q = RetractionWindow.tumblingSum(deltas, size, delay)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (d: org.apache.spark.sql.Dataset[WinSum], _: Long) =>
+          out.synchronized { out ++= d.collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      lastStateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      q.stop()
+    }
+    // run 1: inserts into window [base, base+60s)
+    produce(("x", base + 1000, 10, 1), ("x", base + 2000, 20, 1), ("y", base + 3000, 7, 1))
+    run()
+    assert(out.filter(_.key == "x").map(w => (w.sumValue, w.n)) == Seq((30L, 2L)),
+      s"run1 x: $out")
+    assert(out.filter(_.key == "y").map(w => (w.sumValue, w.n)) == Seq((7L, 1L)))
+    // run 2: restart from checkpoint — a retraction corrects the RESTORED state
+    produce(("x", base + 1000, 10, -1))
+    run()
+    assert(out.filter(_.key == "x").map(w => (w.sumValue, w.n)) == Seq((30L, 2L), (20L, 1L)),
+      s"run2 must correct restored state without re-emitting run1: $out")
+    // run 3: retract the remaining x delta — the window zeroes out (the
+    // Z-set absent correction) and its state drops immediately
+    produce(("x", base + 2000, 20, -1))
+    run()
+    val xs = out.filter(_.key == "x").map(w => (w.sumValue, w.n))
+    assert(xs == Seq((30L, 2L), (20L, 1L), (0L, 0L)), s"x history: $xs")
+    // run 4: an insert far in the future advances the watermark past
+    // window 1's horizon; run 5's batch then fires y's event-time timeout
+    produce(("z", base + size * 6, 3, 1))
+    run()
+    produce(("z", base + size * 6 + 1000, 3, 1))
+    run()
+    assert(out.filter(_.key == "z").map(w => (w.sumValue, w.n)) == Seq((3L, 1L), (6L, 2L)))
+    // state plateau: y dropped by the horizon timeout, x dropped at zero —
+    // only z's live window remains
+    assert(lastStateRows == 1L, s"state did not plateau: $lastStateRows rows")
+    // final per-(key,window) picture = the batch windowed Z-set sum of ALL deltas
+    val last = out.groupBy(w => (w.key, w.windowEndMs)).map(_._2.last)
+      .filterNot(w => w.sumValue == 0 && w.n == 0).toSet
+    assert(last == Set(WinSum("y", base + size, 7, 1), WinSum("z", base + size * 7, 6, 2)))
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
