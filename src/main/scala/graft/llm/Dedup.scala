@@ -755,6 +755,63 @@ object Dedup {
           .as("repeated_frac"))
   }
 
+  /** Corpus-level exact-substring scrub — [[repeatedSpans]] APPLIED, not
+    * just measured (Lee et al. ACL'22 §4.2 deduplicate then train): every
+    * token covered by a corpus-repeated ≥k-token span is removed from its
+    * document and the survivors rejoin with single spaces. This is the
+    * boilerplate-removal policy (remove ALL occurrences — headers, cookie
+    * banners, licence blocks repeat thousands of times and every copy is
+    * noise); compose with [[repeatedFraction]]'s cut-or-drop policy when
+    * keep-one semantics is wanted at document granularity.
+    *
+    * Token hashing is case-folded ([[repeatedSpans]]'s posture) while the
+    * scrub operates on the ORIGINAL tokens, mirroring [[scrubSpans]].
+    *
+    * Shape for 100 TB: the span discovery is [[repeatedSpans]] (slim
+    * positional longs, map-side-combined dup counts — the text never
+    * enters that pipeline); the apply step groups each doc's few merged
+    * spans into one array and joins them back by id, so the text crosses
+    * the wire ONCE (the same posture as paragraph-dedup reassembly), then
+    * the cut is a per-row map kernel. Output: (idCol, text_clean,
+    * n_tokens, removed_tokens); null text yields (id, null, 0, 0). */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spanLists = repeatedSpans(df, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start").as("_1"), col("span_end").as("_2")))
+        .as("__spans"))
+    df.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .join(spanLists, Seq(idCol), "left")
+      .as[(Long, String, Seq[(Long, Long)])]
+      .map { case (id, text, spans) =>
+        if (text == null) (id, null: String, 0L, 0L)
+        else {
+          val toks = text.split(" ", -1)
+          val n = toks.length
+          if (spans == null) (id, text, n.toLong, 0L)
+          else {
+            val covered = new Array[Boolean](n)
+            spans.foreach { case (s, e) =>
+              var i = s.toInt
+              val end = math.min(e, n.toLong).toInt
+              while (i < end) { covered(i) = true; i += 1 }
+            }
+            var removed = 0L
+            val kept = new scala.collection.mutable.ArrayBuffer[String](n)
+            var i = 0
+            while (i < n) {
+              if (covered(i)) removed += 1 else kept += toks(i)
+              i += 1
+            }
+            (id, kept.mkString(" "), n.toLong, removed)
+          }
+        }
+      }
+      .toDF(idCol, "text_clean", "n_tokens", "removed_tokens")
+  }
+
   // ---- 5. embedding-cosine near-dup (hyperplane LSH; shared with Ann) ----
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates from

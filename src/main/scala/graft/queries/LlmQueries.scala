@@ -555,6 +555,17 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // the spans APPLIED (Lee et al. dedup-then-train): every corpus-
+    // repeated span is cut out of its document; same injected fixture so
+    // the scrub provably removes the cross-doc suffix
+    "q_text_scrub" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + SpanSuffix)))
+          .otherwise(col("text")).as("text"))
+      Dedup.scrubRepeatedSpans(injected, "doc_id", "text", k = 13)
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer: 8 merges trained on the corpus word-count dict —
     // the merge table itself is the query output (rank, lhs, rhs)
     "q_bpe_merges" -> ((s, dir) => {
@@ -1970,6 +1981,26 @@ object LlmQueries {
          |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
          |  CAST(span_end AS BIGINT) AS span_end
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    // the q_text_spans chain applied: covered positions flatten to a
+    // per-doc list, and the ORIGINAL (non-folded) token survives iff its
+    // 0-based index is not in it — list_filter over 1-based indices
+    // replays the Scala kernel's cut exactly
+    "q_text_scrub" ->
+      s"""${HashOracle.macros}
+         |WITH $spanIslandCtes,
+         |sp AS (SELECT doc_id, min(pos) AS span_start, least(max(pos) + 13, max(n)) AS span_end
+         |  FROM isl GROUP BY doc_id, island),
+         |cov AS (SELECT doc_id, flatten(list(range(span_start, span_end))) AS cps
+         |  FROM sp GROUP BY doc_id),
+         |t0 AS (SELECT doc_id, str_split(CASE WHEN doc_id % 9 = 0
+         |    THEN text || ' $SpanSuffix' ELSE text END, ' ') AS otoks FROM documents)
+         |SELECT t0.doc_id,
+         |  coalesce(array_to_string(list_transform(list_filter(range(1, len(otoks) + 1),
+         |    i -> cps IS NULL OR NOT list_contains(cps, i - 1)), i -> otoks[i]), ' '), '') AS text_clean,
+         |  CAST(len(otoks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(cps), 0) AS BIGINT) AS removed_tokens
+         |FROM t0 LEFT JOIN cov USING (doc_id) ORDER BY t0.doc_id""".stripMargin,
 
     // the q_text_spans chain aggregated to the per-doc repeated budget;
     // zero-span docs join in with 0

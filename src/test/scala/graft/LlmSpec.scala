@@ -730,6 +730,25 @@ class LlmSpec extends SparkSpec {
     // docs 5/6: whole-text shingle at pos 0, clamped to n=3 → [0, 3)
     assert(spans == Set((1L, 10L, 25L), (2L, 4L, 19L), (4L, 0L, 16L),
       (5L, 0L, 3L), (6L, 0L, 3L)))
+
+    // the spans APPLIED: covered tokens cut, originals (with case) kept.
+    // Mixed-case doc 1 shares the hash (folded) but keeps its own casing.
+    val cased = fixture.withColumn("text",
+      when(col("doc_id") === 1L, upper(col("text"))).otherwise(col("text")))
+    val clean = Dedup.scrubRepeatedSpans(cased, "doc_id", "text", k = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 35 tokens, [10,25) removed → A0..A9 then B0..B9 (uppercased)
+    assert(clean(1L)._2 == ((0 until 10).map(i => s"A$i") ++ (0 until 10).map(i => s"B$i"))
+      .mkString(" ").toUpperCase)
+    assert((clean(1L)._3, clean(1L)._4) == (35L, 15L))
+    // doc 3 untouched; docs 5/6 fully covered → empty string, not null
+    assert(clean(3L)._2 == words("e", 30) && clean(3L)._4 == 0L)
+    assert(clean(5L)._2 == "" && (clean(5L)._3, clean(5L)._4) == (3L, 3L))
+    // null text passes through as (null, 0, 0)
+    val withNull = fixture.unionByName(Seq((9L, null: String)).toDF("doc_id", "text"))
+    val nr = Dedup.scrubRepeatedSpans(withNull, "doc_id", "text", k = 8)
+      .filter(col("doc_id") === 9L).as[(Long, String, Long, Long)].head()
+    assert(nr == ((9L, null, 0L, 0L)))
   }
 
   test("temperature sampling: smallest stratum keeps all, cuts follow pow(c, alpha-1)") {
