@@ -100,6 +100,16 @@ object ScaleProbe {
         // realistic shape: the LM never grows with the corpus)
         val (tSp, nSp) = time(Dedup.repeatedSpans(docs, "doc_id", "text", k = 13).count())
         report("repeated_spans", tSp, nSp)
+        // round-8: the spans APPLIED — adds the per-doc span-array join-back
+        // (text crosses the wire once) and the cut kernel on top of the
+        // discovery pipeline; replicated corpus = worst case (every doc is
+        // near-fully covered, maximal removal work)
+        val (tScr, nScr) = time {
+          Dedup.scrubRepeatedSpans(docs, "doc_id", "text", k = 13)
+            .agg(sum("removed_tokens")).head()
+          nd
+        }
+        report("scrub_repeated_spans", tScr, nScr)
         val withDom = docs.withColumn("dom", pmod(col("doc_id"), lit(50)))
         val (tCap, nCap) = time(
           graft.llm.Sampling.capPerDomain(withDom, "doc_id", "dom", 100).count())

@@ -682,12 +682,14 @@ object Dedup {
     * back marks covered positions; span merging is per-document, bounded
     * by doc length, via one groupByKey on id. Output: (idCol, span_start,
     * span_end). */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 13): DataFrame = {
+  /** Slim positional-shingle rows (__id, __pos, __sh, __n) — the shared
+    * discovery input of [[repeatedSpans]] and the scrub variants; the text
+    * itself never enters the pipeline built on these. */
+  private def positionalRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val kL = k.toLong
-    val rows = df.select(col(idCol).cast("long"), col(textCol))
+    df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty // null doc: no spans, no NPE
@@ -700,10 +702,15 @@ object Dedup {
         }
       }
       .toDF("__id", "__pos", "__sh", "__n")
-    val dup = rows.groupBy("__sh").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select("__sh")
-    rows.join(dup, Seq("__sh"))
-      .select(col("__id"), col("__pos"), col("__n"))
+  }
+
+  /** Gaps-and-islands merge of covered positions into maximal spans —
+    * one groupByKey on id, per-doc work bounded by doc length. Input rows
+    * are (__id, __pos, __n). */
+  private def mergedSpans(hits: DataFrame, idCol: String, kL: Long): DataFrame = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    hits.select(col("__id"), col("__pos"), col("__n"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (id, it) =>
@@ -727,6 +734,14 @@ object Dedup {
         out.result().iterator
       }
       .toDF(idCol, "span_start", "span_end")
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13): DataFrame = {
+    val rows = positionalRows(df, idCol, textCol, k)
+    val dup = rows.groupBy("__sh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__sh")
+    mergedSpans(rows.join(dup, Seq("__sh")), idCol, k.toLong)
   }
 
   /** Per-document repetition budget from [[repeatedSpans]]: token count,
@@ -775,10 +790,40 @@ object Dedup {
     * the cut is a per-row map kernel. Output: (idCol, text_clean,
     * n_tokens, removed_tokens); null text yields (id, null, 0, 0). */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13): DataFrame =
+    cutSpans(df, idCol, textCol, repeatedSpans(df, idCol, textCol, k))
+
+  /** Keep-ONE exact-substring dedup — Lee et al. ACL'22 §4.2 verbatim:
+    * "remove all but one occurrence". The globally FIRST occurrence of
+    * each corpus-repeated shingle (smallest (id, pos)) keeps its tokens;
+    * every other occurrence is cut. Contrast [[scrubRepeatedSpans]], which
+    * removes ALL occurrences (the boilerplate policy). Within-doc repeats
+    * dedup too: "A A" keeps the first A.
+    *
+    * The winner election is one extra slim aggregation (min (id, pos) per
+    * duplicated hash — map-side combinable) and a join back on the hash;
+    * everything else is the shared discovery/merge/cut machinery. */
+  def scrubRepeatedSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
       k: Int = 13): DataFrame = {
+    val rows = positionalRows(df, idCol, textCol, k)
+    val dup = rows.groupBy("__sh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__sh")
+    val hits = rows.join(dup, Seq("__sh"))
+    val winners = hits.groupBy("__sh")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    val losers = hits.join(winners, Seq("__sh"))
+      .filter(!(struct(col("__id"), col("__pos")) === col("__w")))
+    cutSpans(df, idCol, textCol, mergedSpans(losers, idCol, k.toLong))
+  }
+
+  /** The apply step shared by the scrub variants: per-doc span arrays join
+    * back by id (the text crosses the wire ONCE), then a map kernel cuts
+    * covered tokens. `spans` must carry (idCol, span_start, span_end). */
+  private def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val spanLists = repeatedSpans(df, idCol, textCol, k)
+    val spanLists = spans
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start").as("_1"), col("span_end").as("_2")))
         .as("__spans"))

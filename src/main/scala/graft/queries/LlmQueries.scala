@@ -566,6 +566,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Lee et al. verbatim (remove all but ONE occurrence): the globally
+    // first (id, pos) occurrence of each repeated shingle survives — the
+    // injected suffix stays on the first 9th-doc and is cut everywhere else
+    "q_text_scrub_keepfirst" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + SpanSuffix)))
+          .otherwise(col("text")).as("text"))
+      Dedup.scrubRepeatedSpansKeepFirst(injected, "doc_id", "text", k = 13)
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer: 8 merges trained on the corpus word-count dict —
     // the merge table itself is the query output (rank, lhs, rhs)
     "q_bpe_merges" -> ((s, dir) => {
@@ -1991,6 +2002,35 @@ object LlmQueries {
          |WITH $spanIslandCtes,
          |sp AS (SELECT doc_id, min(pos) AS span_start, least(max(pos) + 13, max(n)) AS span_end
          |  FROM isl GROUP BY doc_id, island),
+         |cov AS (SELECT doc_id, flatten(list(range(span_start, span_end))) AS cps
+         |  FROM sp GROUP BY doc_id),
+         |t0 AS (SELECT doc_id, str_split(CASE WHEN doc_id % 9 = 0
+         |    THEN text || ' $SpanSuffix' ELSE text END, ' ') AS otoks FROM documents)
+         |SELECT t0.doc_id,
+         |  coalesce(array_to_string(list_transform(list_filter(range(1, len(otoks) + 1),
+         |    i -> cps IS NULL OR NOT list_contains(cps, i - 1)), i -> otoks[i]), ' '), '') AS text_clean,
+         |  CAST(len(otoks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(cps), 0) AS BIGINT) AS removed_tokens
+         |FROM t0 LEFT JOIN cov USING (doc_id) ORDER BY t0.doc_id""".stripMargin,
+
+    // keep-first: the winner occurrence per duplicated hash is the min
+    // arithmetic (doc_id·1e9 + pos) key — equivalent to lexicographic
+    // (id, pos) while pos < 1e9; islands merge only the LOSER positions
+    "q_text_scrub_keepfirst" ->
+      s"""${HashOracle.macros}
+         |WITH $spanIslandCtes,
+         |w AS (SELECT sh, min(doc_id * 1000000000 + pos) AS wk FROM pos
+         |  JOIN dup USING (sh) GROUP BY sh),
+         |nw AS (SELECT p.doc_id, p.n, p.pos FROM pos p JOIN dup USING (sh)
+         |  JOIN w USING (sh) WHERE p.doc_id * 1000000000 + p.pos <> w.wk),
+         |nmarked AS (SELECT doc_id, n, pos,
+         |  CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100) + 13 THEN 1 ELSE 0 END AS ni
+         |  FROM nw),
+         |nisl AS (SELECT doc_id, n, pos,
+         |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM nmarked),
+         |sp AS (SELECT doc_id, min(pos) AS span_start, least(max(pos) + 13, max(n)) AS span_end
+         |  FROM nisl GROUP BY doc_id, island),
          |cov AS (SELECT doc_id, flatten(list(range(span_start, span_end))) AS cps
          |  FROM sp GROUP BY doc_id),
          |t0 AS (SELECT doc_id, str_split(CASE WHEN doc_id % 9 = 0

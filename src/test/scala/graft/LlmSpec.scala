@@ -749,6 +749,21 @@ class LlmSpec extends SparkSpec {
     val nr = Dedup.scrubRepeatedSpans(withNull, "doc_id", "text", k = 8)
       .filter(col("doc_id") === 9L).as[(Long, String, Long, Long)].head()
     assert(nr == ((9L, null, 0L, 0L)))
+
+    // keep-FIRST (Lee et al. verbatim): the globally first (id, pos)
+    // occurrence survives, every other occurrence is cut
+    val kf = Dedup.scrubRepeatedSpansKeepFirst(fixture, "doc_id", "text", k = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 wins every shared-block hash → untouched
+    assert(kf(1L)._2 == words("a", 10) + " " + shared + " " + words("b", 10))
+    assert(kf(1L)._4 == 0L)
+    // doc 2 loses the block → [4, 19) cut
+    assert(kf(2L)._2 == words("c", 4) + " " + words("d", 20) && kf(2L)._4 == 15L)
+    // within-doc repeat: first "r0..r7" kept, second cut
+    assert(kf(4L)._2 == words("r", 8) && kf(4L)._4 == 8L)
+    // whole-doc clones: doc 5 (smaller id) survives intact, doc 6 empties
+    assert(kf(5L)._2 == "tiny little doc" && kf(5L)._4 == 0L)
+    assert(kf(6L)._2 == "" && kf(6L)._4 == 3L)
   }
 
   test("temperature sampling: smallest stratum keeps all, cuts follow pow(c, alpha-1)") {
