@@ -44,6 +44,47 @@ object RetractionWindow {
   case class WinDeltaTs(key: String, tsMs: Long, value: Long,
       weight: Long, wmTs: java.sql.Timestamp)
 
+  /** [[WinDeltaTs]] plus the exploded hopping window end. */
+  case class WinDeltaW(key: String, tsMs: Long, value: Long,
+      weight: Long, wmTs: java.sql.Timestamp, wend: Long)
+
+  /** The shared (key, window) state machine: integrate (Σ w·v, Σ w),
+    * re-emit on change, drop state on zero-cancel, event-time timeout at
+    * window_end + delay. Generic over the grouped value type because the
+    * watermark column must RIDE IN THE VALUES — projecting it away (e.g.
+    * via mapValues) makes the event-time timeout unresolvable. */
+  private def sumHandler[T](delayMs: Long, vw: T => (Long, Long)):
+      ((String, Long), Iterator[T], GroupState[(Long, Long)]) => Iterator[WinSum] = {
+    (kw, rows, state) =>
+      val (key, winEnd) = kw
+      if (state.hasTimedOut) {
+        // horizon passed: the window can no longer change — drop state.
+        // Corrections were emitted eagerly, so nothing re-emits here.
+        state.remove()
+        Iterator.empty
+      } else {
+        val (prevSum, prevN) = state.getOption.getOrElse((0L, 0L))
+        var dSum = 0L
+        var dN = 0L
+        rows.foreach { d =>
+          val (v, w) = vw(d)
+          dSum += w * v
+          dN += w
+        }
+        val (sum, n) = (prevSum + dSum, prevN + dN)
+        if (sum == 0L && n == 0L) state.remove()
+        else {
+          state.update((sum, n))
+          // the timeout must sit strictly past the current watermark;
+          // a window already at the horizon edge still gets one tick
+          state.setTimeoutTimestamp(
+            math.max(winEnd + delayMs, state.getCurrentWatermarkMs() + 1))
+        }
+        if (dSum == 0L && dN == 0L) Iterator.empty
+        else Iterator(WinSum(key, winEnd, sum, n))
+      }
+  }
+
   /** Tumbling windowed sum+count over a ±weighted delta stream.
     * `delayMs` is the lateness horizon: deltas (inserts OR retractions)
     * older than watermark − delay are dropped by the watermark, everything
@@ -57,34 +98,30 @@ object RetractionWindow {
       .as[WinDeltaTs]
       .groupByKey(d => (d.key, (d.tsMs / sizeMs) * sizeMs + sizeMs))
       .flatMapGroupsWithState[(Long, Long), WinSum](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (kw: (String, Long), rows: Iterator[WinDeltaTs], state: GroupState[(Long, Long)]) =>
-          val (key, winEnd) = kw
-          if (state.hasTimedOut) {
-            // horizon passed: the window can no longer change — drop state.
-            // Corrections were emitted eagerly, so nothing re-emits here.
-            state.remove()
-            Iterator.empty
-          } else {
-            val (prevSum, prevN) = state.getOption.getOrElse((0L, 0L))
-            var dSum = 0L
-            var dN = 0L
-            rows.foreach { d =>
-              dSum += d.weight * d.value
-              dN += d.weight
-            }
-            val (sum, n) = (prevSum + dSum, prevN + dN)
-            if (sum == 0L && n == 0L) state.remove()
-            else {
-              state.update((sum, n))
-              // the timeout must sit strictly past the current watermark;
-              // a window already at the horizon edge still gets one tick
-              state.setTimeoutTimestamp(
-                math.max(winEnd + delayMs, state.getCurrentWatermarkMs() + 1))
-            }
-            if (dSum == 0L && dN == 0L) Iterator.empty
-            else Iterator(WinSum(key, winEnd, sum, n))
-          }
-      }
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sumHandler[WinDeltaTs](delayMs, d => (d.value, d.weight)))
+  }
+
+  /** Hopping form: a delta at t falls in size/hop overlapping windows, so
+    * a retraction must correct ALL of them. The window-end assignment is
+    * the same integer walk as the batch hopping oracle ((t div hop + j)·hop
+    * for j = 1..size/hop), exploded BEFORE the group so each (key, window)
+    * runs the identical state machine; per-delta state cost is the window
+    * multiplicity, exactly as in the batch expansion. */
+  def hoppingSum(deltas: Dataset[WinDelta], sizeMs: Long, hopMs: Long,
+      delayMs: Long): Dataset[WinSum] = {
+    require(sizeMs % hopMs == 0, s"sizeMs ($sizeMs) must be a multiple of hopMs ($hopMs)")
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas.toDF()
+      .withColumn("wmTs", timestamp_millis(col("tsMs")))
+      .withWatermark("wmTs", s"$delayMs milliseconds")
+      .withColumn("wend", explode(expr(
+        s"sequence((tsMs div $hopMs + 1) * $hopMs, (tsMs div $hopMs) * $hopMs + $sizeMs, $hopMs)")))
+      .as[WinDeltaW]
+      .groupByKey(d => (d.key, d.wend))
+      .flatMapGroupsWithState[(Long, Long), WinSum](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sumHandler[WinDeltaW](delayMs, d => (d.value, d.weight)))
   }
 }

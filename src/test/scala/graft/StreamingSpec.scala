@@ -524,6 +524,35 @@ class StreamingSpec extends SparkSpec {
     assert(last == Set(WinSum("y", base + size, 7, 1), WinSum("z", base + size * 7, 6, 2)))
   }
 
+  test("retraction hopping windows: one retraction corrects every overlapping window") {
+    import graft.streaming.RetractionWindow
+    import graft.streaming.RetractionWindow.{WinDelta, WinSum}
+    val hop = 60000L
+    val size = 2 * hop // each delta falls in 2 windows
+    val base = 1700000000000L / hop * hop
+    val in = MemoryStream[WinDelta](spark)
+    val q = RetractionWindow.hoppingSum(in.toDS(), size, hop, delayMs = 600000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rw_hop_out").start()
+    try {
+      in.addData(WinDelta("x", base + 1000, 10, 1), WinDelta("x", base + hop + 1000, 5, 1))
+      q.processAllAvailable()
+      // t0 covers windows ending at base+hop and base+2hop; t1 covers
+      // base+2hop and base+3hop → the middle window holds both
+      def rows() = spark.table("rw_hop_out").as[WinSum].collect().toSeq
+      assert(rows().toSet == Set(
+        WinSum("x", base + hop, 10, 1), WinSum("x", base + 2 * hop, 15, 2),
+        WinSum("x", base + 3 * hop, 5, 1)))
+      // retract the first delta: BOTH of its windows must re-emit corrected
+      in.addData(WinDelta("x", base + 1000, 10, -1))
+      q.processAllAvailable()
+      val after = rows().drop(3)
+      assert(after.toSet == Set(
+        WinSum("x", base + hop, 0, 0), WinSum("x", base + 2 * hop, 5, 1)),
+        s"corrections: $after")
+    } finally q.stop()
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
