@@ -124,4 +124,33 @@ object RetractionWindow {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         sumHandler[WinDeltaW](delayMs, d => (d.value, d.weight)))
   }
+
+  /** Cumulative (CUMULATE) form: a delta at t is assigned every window end
+    * from its own advance-slot to its period's end — the same
+    * explode(sequence(...)) walk as the batch [[graft.streams.Windows]]
+    * cumulative operator — so a retraction corrects every expanding window
+    * that had counted it. Session windows are the one form deliberately
+    * NOT offered here: merging windows under retraction requires
+    * re-splitting previously merged state, which needs the full event
+    * multiset per session — integrate the deltas first, then window. */
+  def cumulativeSum(deltas: Dataset[WinDelta], periodMs: Long, advanceMs: Long,
+      delayMs: Long): Dataset[WinSum] = {
+    require(periodMs % advanceMs == 0,
+      s"periodMs ($periodMs) must be a multiple of advanceMs ($advanceMs)")
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas.toDF()
+      .withColumn("wmTs", timestamp_millis(col("tsMs")))
+      .withWatermark("wmTs", s"$delayMs milliseconds")
+      .withColumn("wend", explode(expr(
+        s"""sequence(
+           |  tsMs - pmod(tsMs, $advanceMs) + $advanceMs,
+           |  tsMs - pmod(tsMs, $periodMs) + $periodMs,
+           |  $advanceMs)""".stripMargin)))
+      .as[WinDeltaW]
+      .groupByKey(d => (d.key, d.wend))
+      .flatMapGroupsWithState[(Long, Long), WinSum](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sumHandler[WinDeltaW](delayMs, d => (d.value, d.weight)))
+  }
 }

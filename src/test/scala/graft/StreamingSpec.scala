@@ -553,6 +553,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retraction cumulative windows: a retraction corrects every expanding window") {
+    import graft.streaming.RetractionWindow
+    import graft.streaming.RetractionWindow.{WinDelta, WinSum}
+    val advance = 60000L
+    val period = 3 * advance
+    val base = 1700000000000L / period * period
+    val in = MemoryStream[WinDelta](spark)
+    val q = RetractionWindow.cumulativeSum(in.toDS(), period, advance, delayMs = 600000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rw_cum_out").start()
+    try {
+      // slot 0 of the period: covers window ends at +1, +2, +3 advances
+      in.addData(WinDelta("x", base + 1000, 10, 1))
+      q.processAllAvailable()
+      def rows() = spark.table("rw_cum_out").as[WinSum].collect().toSeq
+      assert(rows().toSet == (1 to 3).map(j => WinSum("x", base + j * advance, 10, 1)).toSet)
+      // slot 1 delta covers ends +2, +3 only (expanding windows)
+      in.addData(WinDelta("x", base + advance + 1000, 5, 1))
+      q.processAllAvailable()
+      assert(rows().drop(3).toSet == Set(
+        WinSum("x", base + 2 * advance, 15, 2), WinSum("x", base + 3 * advance, 15, 2)))
+      // retract the slot-0 delta: ALL THREE of its windows re-emit corrected
+      in.addData(WinDelta("x", base + 1000, 10, -1))
+      q.processAllAvailable()
+      assert(rows().drop(5).toSet == Set(
+        WinSum("x", base + advance, 0, 0),
+        WinSum("x", base + 2 * advance, 5, 1), WinSum("x", base + 3 * advance, 5, 1)))
+    } finally q.stop()
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
