@@ -236,6 +236,50 @@ object TpchQueries {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_matched"))),
 
+    // Q13-style customer order-count distribution: LEFT OUTER join so
+    // zero-order customers keep a 0 bucket, then a second aggregation over
+    // the first's output — the histogram-of-aggregates shape. The first
+    // agg shuffles on the join key it already has; the second moves only
+    // |distinct counts| rows.
+    "q13_custdist" -> ((s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q21-style waiting suppliers: the decorrelated EXISTS/NOT-EXISTS
+    // chain — a LEFT SEMI (some OTHER supplier contributed to the order)
+    // and a LEFT ANTI (no OTHER supplier was ALSO late) against the same
+    // order-keyed fact, so both auxiliary joins reuse the l_orderkey
+    // partitioning. "Late" = shipped > 45 days after the order date (this
+    // corpus has no commit/receipt dates).
+    "q21_waiting" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey", "__late")
+      val l1 = l.filter(col("__late"))
+      val others = l.select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk"))
+      val lateOthers = l1.select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk"))
+      val waiting = l1
+        .join(others,
+          col("l_orderkey") === col("__ok") && col("l_suppkey") =!= col("__sk"), "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("__ok") && col("l_suppkey") =!= col("__sk"), "left_anti")
+      waiting
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // Q22-style idle rich customers: the global mean threshold is a 1-row
     // broadcast crossed onto customers with the comparison multiplied
     // through (bal·N > S — exact decimals, no avg typing drift), then a
@@ -380,6 +424,27 @@ object TpchQueries {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 25)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 35)""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 45 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q22_idle_customers" ->
       """WITH thr AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, CAST(count(*) AS BIGINT) AS n
