@@ -736,12 +736,43 @@ object Dedup {
       .toDF(idCol, "span_start", "span_end")
   }
 
+  /** Fan-out factor for [[saltedDupJoin]]. 16 salts cap any single
+    * shingle hash's reducer share at ~1/16 of its occurrences; the slim
+    * hash side is already deduplicated per hash, so the ×16 replication
+    * costs 16× a slim frame, not 16× the corpus. */
+  private[graft] val DupJoinSalts = 16
+
+  /** Skew-hardened equi-join of positional rows against a slim per-hash
+    * frame (the duplicated-hash set, or keep-first's winner election —
+    * both carry exactly ONE row per duplicated hash). A plain
+    * `rows.join(slim, "__sh")` sends EVERY occurrence of one hash to ONE
+    * reducer: on a boilerplate-heavy web corpus a single cookie-banner /
+    * licence-block shingle occurs 10⁷–10⁸ times, and that reducer
+    * serializes the stage — the classic skewed-key shuffle tail, in the
+    * hot path of the exact-substring family. Salting splits it
+    * deterministically: the rows side keys on (__sh, __pos mod S) and the
+    * slim side is replicated across all S salts, so one hot hash spreads
+    * over up to S reducers while the join stays an exact equi-join (every
+    * positional row still meets its hash's slim row exactly once — the
+    * replicated side has exactly one row per (hash, salt)). Positions
+    * within one repeated run are consecutive, so __pos mod S spreads a
+    * mega-shingle's occurrences uniformly across the S salts. AQE's
+    * skew-join split is a runtime backstop for the same class, but only
+    * for sort-merge joins it can see stats for — the salt makes the
+    * guarantee structural. LlmSpec plants a hot shingle and asserts the
+    * spread. */
+  private[graft] def saltedDupJoin(rows: DataFrame, slim: DataFrame): DataFrame =
+    rows.withColumn("__salt", pmod(col("__pos"), lit(DupJoinSalts.toLong)).cast("int"))
+      .join(slim.withColumn("__salt", explode(sequence(lit(0), lit(DupJoinSalts - 1)))),
+        Seq("__sh", "__salt"))
+      .drop("__salt")
+
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 13): DataFrame = {
     val rows = positionalRows(df, idCol, textCol, k)
     val dup = rows.groupBy("__sh").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__sh")
-    mergedSpans(rows.join(dup, Seq("__sh")), idCol, k.toLong)
+    mergedSpans(saltedDupJoin(rows, dup), idCol, k.toLong)
   }
 
   /** Per-document repetition budget from [[repeatedSpans]]: token count,
@@ -802,16 +833,22 @@ object Dedup {
     *
     * The winner election is one extra slim aggregation (min (id, pos) per
     * duplicated hash — map-side combinable) and a join back on the hash;
-    * everything else is the shared discovery/merge/cut machinery. */
+    * everything else is the shared discovery/merge/cut machinery.
+    *
+    * Caveat: the keep-one guarantee is per-SHINGLE, not per-token — a
+    * winner occurrence of one shingle can still lose tokens where loser
+    * spans of a DIFFERENT duplicated shingle overlap it (the merged loser
+    * spans cut whatever they cover). Same k−1-token-slack approximation
+    * posture as [[repeatedSpans]]. */
   def scrubRepeatedSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
       k: Int = 13): DataFrame = {
     val rows = positionalRows(df, idCol, textCol, k)
     val dup = rows.groupBy("__sh").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__sh")
-    val hits = rows.join(dup, Seq("__sh"))
+    val hits = saltedDupJoin(rows, dup)
     val winners = hits.groupBy("__sh")
       .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
-    val losers = hits.join(winners, Seq("__sh"))
+    val losers = saltedDupJoin(hits, winners)
       .filter(!(struct(col("__id"), col("__pos")) === col("__w")))
     cutSpans(df, idCol, textCol, mergedSpans(losers, idCol, k.toLong))
   }

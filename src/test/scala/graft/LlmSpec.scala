@@ -766,6 +766,47 @@ class LlmSpec extends SparkSpec {
     assert(kf(6L)._2 == "" && kf(6L)._4 == 3L)
   }
 
+  test("salted dup join: planted mega-shingle spreads across reducers, join stays exact") {
+    import spark.implicits._
+    // The 100 TB failure mode this guards: ONE boilerplate shingle hash
+    // with 10⁷–10⁸ occurrences lands every row on ONE reducer of the
+    // rows⋈dup shuffle. Plant the hot hash, force the shuffle-shaped plan
+    // (no broadcast, no AQE coalesce — at corpus scale the dup side is
+    // far past any broadcast threshold), and assert the salt spreads it.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = 100000L
+      // hot hash 1 at consecutive positions (a block repeated corpus-wide),
+      // one cold duplicated hash 2, one non-duplicated hash 3
+      val rows = spark.range(n).select(
+          (col("id") % 1000L).as("__id"), col("id").as("__pos"),
+          lit(1L).as("__sh"), lit(1000L).as("__n"))
+        .unionByName(Seq((5000L, 0L, 2L, 10L), (5001L, 3L, 3L, 10L))
+          .toDF("__id", "__pos", "__sh", "__n"))
+      val dup = Seq(1L, 2L).toDF("__sh")
+      val joined = Dedup.saltedDupJoin(rows, dup)
+      // exact equi-join semantics survive the salt: every occurrence of a
+      // duplicated hash exactly once, non-duplicated hash dropped
+      assert(joined.count() == n + 1)
+      assert(joined.filter(col("__sh") === 3L).count() == 0)
+      // the hot hash occupies (nearly) every post-shuffle partition — 16
+      // salt keys hashed over the suite's 4 shuffle partitions; without
+      // the salt it would occupy exactly 1
+      val parts = joined.filter(col("__sh") === 1L)
+        .select(spark_partition_id()).distinct().count()
+      assert(parts >= 3, s"hot shingle occupies only $parts of 4 partitions")
+      // and the salt really is a join key in the physical plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), "salt column absent from the physical join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("temperature sampling: smallest stratum keeps all, cuts follow pow(c, alpha-1)") {
     import graft.llm.{Hashing, Sampling}
     import spark.implicits._
