@@ -44,6 +44,9 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .appName("graft-scale-probe").master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
+      // NTZ-inferred parquet timestamps resolve against the session tz;
+      // every graft entry point pins UTC so window epochs are tz-stable
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     try {
@@ -180,6 +183,27 @@ object ScaleProbe {
           Dedup.semanticDedup(embs, "vec_id", "embedding",
             threshold = 0.3, k = 16, iters = 2).filter(col("is_canonical")).count())
         report("semdedup_canonical", tSd, nSd)
+        // round-9: the iterative graph ops on a replicated link graph.
+        // Each copy is a self-contained subgraph (3 deterministic
+        // within-copy out-links per doc: dst = copyBase + (local·31 + c)
+        // mod |copy|), so edges AND nodes grow linearly with the factor —
+        // per-iteration shuffle volume is the linear-growth worst case
+        // while iteration count stays fixed, which is exactly the curve
+        // the SCALING.md rows claim (2 keyed shuffles per pageRank iter,
+        // 2 per HITS half-iteration, lineage capped by localCheckpoint).
+        val nd0 = docs0.count()
+        val copyBase = (col("doc_id").cast("long") / 1000000L).cast("long") * 1000000L
+        val localId = pmod(col("doc_id"), lit(1000000L))
+        val linkEdges = docs.select(col("doc_id").as("src"),
+            explode(array((1 to 3).map(c =>
+              copyBase + pmod(localId * 31L + lit(c.toLong * 7L + 1L), lit(nd0))): _*))
+              .as("dst"))
+        val (tPr, nPr) = time(
+          graft.ops.Graphs.pageRank(linkEdges, "src", "dst", iters = 5).count())
+        report("pagerank_5it", tPr, nPr)
+        val (tHt, nHt) = time(
+          graft.ops.Graphs.hits(linkEdges, "src", "dst", iters = 3).count())
+        report("hits_3it", tHt, nHt)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()

@@ -23,9 +23,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    after integrate (latest row per key wins);
   *  - a window whose weights cancel to zero emits the zeroed row (the
   *    Z-set "absent" correction) and drops its state immediately;
-  *  - the watermark horizon (EventTimeTimeout at window_end + delay)
-  *    drops remaining state, so state size is bounded by the number of
-  *    LIVE (key, window) pairs inside the horizon — never corpus-bounded.
+  *  - the watermark horizon (EventTimeTimeout once the watermark — which
+  *    already lags max event time by the delay — passes window_end) drops
+  *    remaining state, so state size is bounded by the number of LIVE
+  *    (key, window) pairs inside the horizon — never corpus-bounded.
   *
   * Scale note: state is hash-partitioned by (key, window_end) across
   * executors (RocksDB store in production); each micro-batch touches only
@@ -36,6 +37,12 @@ object RetractionWindow {
 
   case class WinDelta(key: String, tsMs: Long, value: Long, weight: Long)
   case class WinSum(key: String, windowEndMs: Long, sumValue: Long, n: Long)
+
+  /** [[slidingSum]] output: one row per live ANCHOR timestamp (the
+    * reference's per-record window [t, t+size]), upsert-keyed by
+    * (key, tsMs). */
+  case class WinSlide(key: String, tsMs: Long, windowEndMs: Long,
+      sumValue: Long, n: Long)
 
   /** Internal plumbing type (public only because Catalyst's generated
     * encoder code cannot touch private classes): WinDelta with the
@@ -75,10 +82,15 @@ object RetractionWindow {
         if (sum == 0L && n == 0L) state.remove()
         else {
           state.update((sum, n))
-          // the timeout must sit strictly past the current watermark;
-          // a window already at the horizon edge still gets one tick
+          // drop state once the watermark passes winEnd: every delta for
+          // this window has tsMs < winEnd, so once watermark ≥ winEnd any
+          // further delta is watermark-dropped before reaching us — the
+          // delay is already inside the watermark, adding it again here
+          // would double the retention (state alive until winEnd + 2·delay).
+          // Spark requires the timeout strictly past the current watermark;
+          // a window already at the horizon edge still gets one tick.
           state.setTimeoutTimestamp(
-            math.max(winEnd + delayMs, state.getCurrentWatermarkMs() + 1))
+            math.max(winEnd, state.getCurrentWatermarkMs() + 1))
         }
         if (dSum == 0L && dN == 0L) Iterator.empty
         else Iterator(WinSum(key, winEnd, sum, n))
@@ -107,7 +119,15 @@ object RetractionWindow {
     * the same integer walk as the batch hopping oracle ((t div hop + j)·hop
     * for j = 1..size/hop), exploded BEFORE the group so each (key, window)
     * runs the identical state machine; per-delta state cost is the window
-    * multiplicity, exactly as in the batch expansion. */
+    * multiplicity, exactly as in the batch expansion.
+    *
+    * Deliberate divergence at the epoch origin: the reference's
+    * _assign_hopping drops partial origin windows (window end < size), so
+    * a delta with tsMs < sizeMs there falls in fewer than size/hop
+    * windows. Here it gets the full walk — matching Spark's batch
+    * `window()` (and graft's batch hopping oracle), which emits partial
+    * origin windows. Filter `window_end_ms >= sizeMs` downstream for
+    * reference-exact output. */
   def hoppingSum(deltas: Dataset[WinDelta], sizeMs: Long, hopMs: Long,
       delayMs: Long): Dataset[WinSum] = {
     require(sizeMs % hopMs == 0, s"sizeMs ($sizeMs) must be a multiple of hopMs ($hopMs)")
@@ -152,5 +172,94 @@ object RetractionWindow {
       .flatMapGroupsWithState[(Long, Long), WinSum](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         sumHandler[WinDeltaW](delayMs, d => (d.value, d.weight)))
+  }
+
+  /** Sliding form — the reference's per-RECORD windows
+    * (topologynode.py:926-940 + _assign_sliding:703-707): every live
+    * record at t anchors a window [t, t+size], aggregating every record
+    * with ts in that range. Unlike the grid-aligned forms the window ends
+    * are DATA-dependent (each anchor's t+size), so the exploded
+    * (key, window_end) assignment cannot know them per delta; instead the
+    * state is keyed by key alone and holds the integrated live multiset
+    * {ts → (Σ w·v, Σ w)} inside the horizon — exactly the event multiset
+    * the reference's expire_sliding machinery retracts from
+    * (topologynode.py:846-853).
+    *
+    *  - a batch's deltas merge into the multiset; every live anchor whose
+    *    window [u, u+size] contains a changed ts re-emits its corrected
+    *    (key, u, u+size, Σ, n) row — an upsert stream keyed by (key, u);
+    *  - an anchor whose weights cancel to zero emits the zeroed row (the
+    *    Z-set absent correction) and leaves the multiset;
+    *  - eviction: an entry at ts is both an anchor (final once the
+    *    watermark passes ts+size — any delta that could change it has
+    *    ts' ≤ ts+size and is watermark-dropped) and a contributor to
+    *    anchors in [ts−size, ts] (whose windows all end ≤ ts+size), so
+    *    ONE rule drops it: watermark ≥ ts + size. State per key is
+    *    bounded by the distinct live timestamps inside size + delay —
+    *    the horizon expire_sliding implies — never stream-bounded.
+    *
+    * Range semantics match the batch [[graft.streams.Windows.slidingAgg]]:
+    * ts ∈ [u, u+size] INCLUSIVE of the right edge. Per-batch work per key
+    * is O(live · changed) worst case (every anchor re-summed when every
+    * ts changed) — the same per-key sequential shape as the reference's
+    * in-memory loop, parallel across keys here. */
+  def slidingSum(deltas: Dataset[WinDelta], sizeMs: Long, delayMs: Long): Dataset[WinSlide] = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas.toDF()
+      .withColumn("wmTs", timestamp_millis(col("tsMs")))
+      .withWatermark("wmTs", s"$delayMs milliseconds")
+      .as[WinDeltaTs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], WinSlide](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // horizon passed for the OLDEST entry: evict everything final;
+            // corrections were emitted eagerly, nothing re-emits here
+            val live = state.get.filter { case (ts, _) => ts + sizeMs > wm }
+            if (live.isEmpty) state.remove()
+            else {
+              state.update(live)
+              state.setTimeoutTimestamp(
+                math.max(live.keys.min + sizeMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            val st = collection.mutable.Map.empty[Long, (Long, Long)] ++
+              state.getOption.getOrElse(Map.empty)
+            val changed = collection.mutable.Set.empty[Long]
+            val gone = collection.mutable.Set.empty[Long]
+            rows.foreach { d =>
+              val (s0, n0) = st.getOrElse(d.tsMs, (0L, 0L))
+              val (s1, n1) = (s0 + d.weight * d.value, n0 + d.weight)
+              changed += d.tsMs
+              if (s1 == 0L && n1 == 0L) {
+                if (st.remove(d.tsMs).isDefined) gone += d.tsMs
+              } else st.update(d.tsMs, (s1, n1))
+            }
+            if (st.isEmpty) state.remove()
+            else {
+              state.update(st.toMap)
+              state.setTimeoutTimestamp(
+                math.max(st.keys.min + sizeMs, wm + 1))
+            }
+            // re-emit every live anchor whose window saw a change, plus the
+            // absent correction for anchors that cancelled out
+            val out = st.keys.toSeq
+              .filter(u => changed.exists(t => t >= u && t <= u + sizeMs))
+              .sorted
+              .map { u =>
+                var s = 0L; var n = 0L
+                st.foreach { case (t, (sv, w)) =>
+                  if (t >= u && t <= u + sizeMs) { s += sv; n += w }
+                }
+                WinSlide(key, u, u + sizeMs, s, n)
+              }
+            val zeroed = gone.toSeq.sorted.map(u => WinSlide(key, u, u + sizeMs, 0L, 0L))
+            (out ++ zeroed).iterator
+          }
+      }
   }
 }

@@ -34,7 +34,11 @@ object Windows {
   /** Window bounds come back as TIMESTAMP or TIMESTAMP_NTZ depending on the
     * input column's type (parquet writers differ); unix_millis only accepts
     * the former. The cast is a no-op for TIMESTAMP and value-preserving for
-    * NTZ under the UTC session timezone every graft entry point sets. */
+    * NTZ under the UTC session timezone every graft entry point sets
+    * (Smoke/Plans/Verify/Bench/ScaleProbe builders all pin it).
+    * Driver-supplied sessions (SparkEntry) must likewise set
+    * spark.sql.session.timeZone=UTC, or NTZ window epochs shift by the
+    * JVM's tz offset. */
   private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
   /** window_tumbling (topologynode.py:888-898). */

@@ -320,10 +320,21 @@ class PlanSpec extends SparkSpec {
     // without updating the inventory and this fails.
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val srcCounts = Files.walk(Paths.get("src/main/scala")).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
+    val files = Files.walk(Paths.get("src/main/scala")).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq
+    // the inventory keys by bare file name — two same-named files in
+    // different packages would silently shadow each other's counts, so
+    // uniqueness is part of the contract
+    val dupeNames = files.groupBy(_.getFileName.toString).filter(_._2.size > 1).keys
+    assert(dupeNames.isEmpty, s"duplicate source file names break the inventory: $dupeNames")
+    // strip comments before counting so a scaladoc MENTIONING collect()
+    // neither breaks nor masks the contract (string literals containing
+    // "// " could over-strip — none do; the build fails here if one appears)
+    def stripComments(s: String): String =
+      s.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("//[^\n]*", "")
+    val srcCounts = files
       .map(p => p.getFileName.toString ->
-        "\\.collect\\(\\)".r.findAllIn(Files.readString(p)).size)
+        "\\.collect\\(\\)".r.findAllIn(stripComments(Files.readString(p))).size)
       .filter(_._2 > 0).toMap
     val doc = Files.readString(Paths.get("SCALING.md"))
     val docCounts = "`([A-Za-z]+\\.scala)` ×(\\d+)".r.findAllMatchIn(doc)
