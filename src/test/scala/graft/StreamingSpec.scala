@@ -583,6 +583,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retraction sliding windows: data-dependent anchors, retraction corrects overlapping records") {
+    import graft.streaming.RetractionWindow
+    import graft.streaming.RetractionWindow.{WinDelta, WinSlide}
+    val size = 60000L
+    val base = 1700000000000L
+    val in = MemoryStream[WinDelta](spark)
+    val q = RetractionWindow.slidingSum(in.toDS(), size, delayMs = 600000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rw_slide_out").start()
+    try {
+      // three anchors; t0 and t1 within one size of each other, t2 beyond
+      val (t0, t1, t2) = (base + 1000, base + 30000, base + 100000)
+      in.addData(WinDelta("x", t0, 10, 1), WinDelta("x", t1, 5, 1),
+        WinDelta("x", t2, 3, 1))
+      q.processAllAvailable()
+      def rows() = spark.table("rw_slide_out").as[WinSlide].collect().toSeq
+      // anchor t0's window [t0, t0+size] holds t0+t1; t1's holds t1 only
+      // (t2 − t1 > size); t2's holds t2
+      assert(rows().toSet == Set(
+        WinSlide("x", t0, t0 + size, 15, 2), WinSlide("x", t1, t1 + size, 5, 1),
+        WinSlide("x", t2, t2 + size, 3, 1)))
+      // retract t1: its own anchor zeroes out (absent correction) AND the
+      // t0 anchor whose window contained it re-emits corrected; t2 silent
+      in.addData(WinDelta("x", t1, 5, -1))
+      q.processAllAvailable()
+      val after = rows().drop(3)
+      assert(after.toSet == Set(
+        WinSlide("x", t0, t0 + size, 10, 1), WinSlide("x", t1, t1 + size, 0, 0)),
+        s"corrections: $after")
+      // a new record INSIDE t0's and t2's... only t2's range corrects t2;
+      // it also opens its own anchor (forward-looking window: holds itself)
+      val t3 = t2 + 10000
+      in.addData(WinDelta("x", t3, 7, 1))
+      q.processAllAvailable()
+      assert(rows().drop(5).toSet == Set(
+        WinSlide("x", t2, t2 + size, 10, 2), WinSlide("x", t3, t3 + size, 7, 1)))
+      // final upsert picture (latest row per anchor, zeroed dropped) equals
+      // the batch per-record sliding aggregation of the integrated deltas
+      val last = rows().groupBy(w => (w.key, w.tsMs)).map(_._2.last)
+        .filterNot(w => w.sumValue == 0 && w.n == 0).toSet
+      assert(last == Set(
+        WinSlide("x", t0, t0 + size, 10, 1), WinSlide("x", t2, t2 + size, 10, 2),
+        WinSlide("x", t3, t3 + size, 7, 1)))
+    } finally q.stop()
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
