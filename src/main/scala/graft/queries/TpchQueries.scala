@@ -286,6 +286,127 @@ object TpchQueries {
     // LEFT ANTI join drops anyone with a RECENT order (this corpus gives
     // every customer some order, so classic "never ordered" is empty —
     // the date filter also prunes the anti-join's build side at the scan).
+    // Q2-style correlated min: cheapest regional supplier per part. The
+    // correlated subquery decorrelates into one slim per-part min agg and
+    // an equi-join back on (part, cost) — the offers frame is computed
+    // once; all dimension sides broadcast, so the only exchange is the
+    // per-part agg over the part-filtered offers slice. DISTINCT collapses
+    // same-supplier-same-price repeat line items.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val regNat = t(s, dir, "nation")
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      val regSupp = t(s, dir, "supplier")
+        .join(broadcast(regNat), col("s_nationkey") === col("n_nationkey"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      val offers = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), dec("l_extendedprice").as("cost"))
+      val minCost = offers.groupBy(col("p_partkey").as("pk"))
+        .agg(min("cost").as("min_cost"))
+      offers.join(broadcast(minCost),
+          col("p_partkey") === col("pk") && col("cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("min_cost").cast("double").as("min_cost"))
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    // Q8-style market share: one nation's volume share of a region's
+    // market per year. Two roles for nation (customer region filter,
+    // supplier name) — both broadcast; the ratio is emitted as exact
+    // numerator/denominator (the q14 posture: never divide doubles the
+    // oracle must reproduce bit-for-bit).
+    "q8_market_share" -> ((s, dir) => {
+      val vol = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+      val custAmerica = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk"))),
+          col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val suppNamed = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(
+          col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAmerica), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNamed), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // Q11-style important parts: per-part value over a nation group's
+    // suppliers, kept when above a fraction of the GLOBAL total. The
+    // global scalar is a 1-row aggregate of the same per-part frame,
+    // broadcast back via cross-join (the q22 threshold pattern); the
+    // comparison is decimal-exact (val·1000 > total — never a double
+    // division).
+    "q11_important_parts" -> ((s, dir) => {
+      val suppNat = t(s, dir, "supplier").filter(col("s_nationkey") < 5)
+        .select("s_suppkey")
+      val v = t(s, dir, "lineitem")
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(dec("l_extendedprice")).as("val"))
+      v.crossJoin(broadcast(v.agg(sum(col("val")).as("total"))))
+        .filter(col("val") * 1000 > col("total"))
+        .select(col("l_partkey"), col("val").cast("double").as("val"))
+        .orderBy(col("val").desc, col("l_partkey"))
+    }),
+
+    // Q12-style two-level conditional aggregation: late shipments split
+    // into high/low priority counts per return flag — the CASE rides the
+    // single agg shuffle; the lateness predicate rides the join.
+    "q12_priority_class" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q20-style nested semi-join chain: suppliers (of a nation slice) who
+    // shipped > 50 units of any red part in 1997. The inner agg-HAVING
+    // reduces lineitem to slim (suppkey, partkey) rows before the
+    // EXISTS — which is a LEFT SEMI against the 100-row supplier dim, so
+    // the big side never re-materializes matches.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val pp = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey")
+      val agg = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(dec("l_quantity")).as("qty"))
+        .filter(col("qty") > 50)
+        .select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_nationkey") < 8)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(agg, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     "q22_idle_customers" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val thr = cust.filter(dec("c_acctbal") > lit(0).cast("decimal(18,2)"))
@@ -445,6 +566,64 @@ object TpchQueries {
         |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
         |    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE')
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |  CAST(min_cost AS DOUBLE) AS min_cost
+        |FROM offers JOIN (SELECT p_partkey AS pk, min(cost) AS min_cost
+        |  FROM offers GROUP BY 1) m ON p_partkey = pk AND cost = min_cost
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey < 5 GROUP BY 1)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS val
+        |FROM v, (SELECT sum(val) AS total FROM v) t
+        |WHERE val * 1000 > total
+        |ORDER BY val DESC, l_partkey""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+        |agg AS (SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey < 8 AND EXISTS (SELECT 1 FROM agg WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q22_idle_customers" ->
       """WITH thr AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, CAST(count(*) AS BIGINT) AS n

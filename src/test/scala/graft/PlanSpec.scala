@@ -28,7 +28,9 @@ class PlanSpec extends SparkSpec {
   //    scale, same posture as the watermark queries
   private val intendedNestedLoop =
     Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf",
-      "q_size_quantiles", "q_size_quantiles_by", "q22_idle_customers")
+      "q_size_quantiles", "q_size_quantiles_by", "q22_idle_customers",
+      // q11's global-total threshold: a broadcast 1-row cross-join by design
+      "q11_important_parts")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -629,6 +629,149 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native stream-stream equi-join: event-time bounds, watermark drop, state cleanup") {
+    // SURVEY §2.5 maps the reference's streaming join_equi
+    // (topologynode.py:362-421) to Spark's NATIVE stream-stream equi-join:
+    // equi-key plus an event-time range condition, watermarks on BOTH
+    // sides so join state is evictable. IncrementalJoin covers theta via
+    // foreachBatch; this exercises the built-in operator end-to-end over
+    // file-backed topics: in-window matches emit, out-of-window pairs
+    // don't, a row below the global watermark is dropped, and state stays
+    // horizon-bounded instead of stream-bounded.
+    val fs = new graft.storage.FileStorage(spark,
+      Files.createTempDirectory("graft_fs_ssj").toString)
+    fs.createTopic("ssj_imp", 2)
+    fs.createTopic("ssj_clk", 2)
+    val checkpoint = ckpt()
+    val t0 = 1700000000000L
+    val hour = 3600000L
+    val out = collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    var lastStateRows = -1L
+    def produce(topic: String, rows: (String, Long)*): Unit =
+      fs.produce(topic, rows.toSeq.map { case (k, ts) => (k, ts.toString) }
+        .toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(t0))))
+    def run(): Unit = {
+      def side(topic: String, ad: String, ts: String) =
+        fs.readStream(topic).select(
+            col("key").cast("string").as(ad),
+            timestamp_millis(col("value").cast("long")).as(ts))
+          .withWatermark(ts, "10 minutes")
+      val joined = side("ssj_imp", "ad", "impTs")
+        .join(side("ssj_clk", "c_ad", "clkTs"),
+          col("ad") === col("c_ad") &&
+            col("clkTs") >= col("impTs") &&
+            col("clkTs") <= col("impTs") + expr("interval 1 hour"))
+        .select(col("ad"), unix_millis(col("impTs")), unix_millis(col("clkTs")))
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized { out ++= d.as[(String, Long, Long)].collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      lastStateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      q.stop()
+    }
+    // run 1: ad1 click lands inside [imp, imp+1h] → match; ad2's click is
+    // 2h after its impression → outside the window, no match; ad0 click
+    // has no impression at all
+    produce("ssj_imp", ("ad1", t0), ("ad2", t0 + 5000))
+    produce("ssj_clk", ("ad1", t0 + 30000), ("ad2", t0 + 2 * hour), ("ad0", t0 + 10000))
+    run()
+    assert(out.toSet == Set(("ad1", t0, t0 + 30000)), s"run1: $out")
+    // run 2: both sides jump 3h ahead → the GLOBAL watermark (min of the
+    // two sides) advances past t0 + 1h; the fresh pair matches
+    produce("ssj_imp", ("ad3", t0 + 3 * hour))
+    produce("ssj_clk", ("ad3", t0 + 3 * hour + 1000))
+    run()
+    assert(out.drop(1).toSet == Set(("ad3", t0 + 3 * hour, t0 + 3 * hour + 1000)),
+      s"run2: ${out.drop(1)}")
+    // run 3: a click for ad2 that WOULD match its impression time-wise is
+    // now below the watermark → dropped, no resurrection; a live pair
+    // still matches
+    produce("ssj_imp", ("ad4", t0 + 3 * hour + 300000))
+    produce("ssj_clk", ("ad2", t0 + 40000), ("ad4", t0 + 3 * hour + 360000))
+    run()
+    assert(out.drop(2).toSet == Set(
+      ("ad4", t0 + 3 * hour + 300000, t0 + 3 * hour + 360000)),
+      s"run3 must drop the too-late ad2 click: ${out.drop(2)}")
+    // horizon-bounded state: run-1's imps/clicks are past every eviction
+    // bound by run 3 — only the recent pairs' rows remain (2 imps + 2
+    // clicks at most), not the 9 rows ever produced
+    assert(lastStateRows > 0 && lastStateRows <= 4,
+      s"join state not horizon-bounded: $lastStateRows rows")
+  }
+
+  test("session windows under retraction: integrate-then-window fallback un-merges sessions") {
+    // RetractionWindow deliberately excludes sessions: a retraction can
+    // remove the BRIDGING record of a merged session, and un-merging
+    // merged state needs the full event multiset. This is the documented
+    // fallback made real: integrate the ±w delta stream into the live
+    // record set (RetractionDistinct presence deltas), then run the BATCH
+    // session window over the integrated set each micro-batch — the
+    // reference's integrate→window composition (topologynode.py:757-819
+    // session merge over the integrated Z-set).
+    import graft.streaming.RetractionDistinct
+    import graft.streams.Windows
+    val gap = 10000L
+    val base = 1700000000000L
+    val in = MemoryStream[(String, Long, Long, Long)](spark)
+    val df = in.toDF().toDF("key", "tsMs", "value", "weight")
+    val live = collection.mutable.Set.empty[(String, Long, Long)]
+    var lastSessions: Seq[(String, Long, Long, Long, Long)] = Nil
+    val Rec = """\{"key":"(\w+)","tsMs":(\d+),"value":(-?\d+)\}""".r
+    val q = RetractionDistinct.overFrame(df)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (d: org.apache.spark.sql.Dataset[RetractionDistinct.Delta], _: Long) =>
+        d.collect().foreach { delta =>
+          val Rec(k, ts, v) = delta.record
+          val rec = (k, ts.toLong, v.toLong)
+          if (delta.weight > 0) live += rec else live -= rec
+        }
+        val liveDF = live.toSeq.toDF("key", "tsMs", "value")
+        lastSessions =
+          if (live.isEmpty) Nil
+          else Windows.session(liveDF, timestamp_millis(col("tsMs")), gap, Seq(col("key")))(
+              sum("value").as("sum_value"), count(lit(1)).as("n"))
+            .select("key", "session_start_ms", "session_end_ms", "sum_value", "n")
+            .as[(String, Long, Long, Long, Long)].collect().toSeq
+            .sortBy(r => (r._1, r._2))
+        ()
+      }.start()
+    try {
+      // two events inside one gap → one session [t0, t1 + gap)
+      in.addData(("x", base, 10L, 1L), ("x", base + 8000, 5L, 1L))
+      q.processAllAvailable()
+      assert(lastSessions == Seq(("x", base, base + 18000, 15L, 2L)))
+      // a third event extends the merged session (8s → 16s bridge via 8s)
+      in.addData(("x", base + 16000, 3L, 1L))
+      q.processAllAvailable()
+      assert(lastSessions == Seq(("x", base, base + 26000, 18L, 3L)))
+      // duplicate insert of a present record: Z-set distinct absorbs it —
+      // no presence delta, the session picture must not double-count
+      in.addData(("x", base, 10L, 1L))
+      q.processAllAvailable()
+      assert(lastSessions == Seq(("x", base, base + 26000, 18L, 3L)))
+      // retract the BRIDGE: the merged session must split in two — the
+      // un-merge that pure streaming session state cannot express
+      in.addData(("x", base + 8000, 5L, -1L))
+      q.processAllAvailable()
+      assert(lastSessions == Seq(
+        ("x", base, base + 10000, 10L, 1L),
+        ("x", base + 16000, base + 26000, 3L, 1L)),
+        s"bridge retraction must un-merge the session: $lastSessions")
+      // drain t0 (integrated weight 2 after the duplicate insert: presence
+      // flips only when weights cancel to zero — two retractions needed)
+      in.addData(("x", base, 10L, -1L), ("x", base, 10L, -1L))
+      q.processAllAvailable()
+      assert(lastSessions == Seq(("x", base + 16000, base + 26000, 3L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
