@@ -113,9 +113,11 @@ object Bench {
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] result file write failed: ${e.getMessage}") }
     val bySlowest = results.toSeq.sortBy(-_._2)
+    // "subset" makes the tail self-describing: the stdout "queries" map is
+    // the slowest-N slice, not the suite — the full map is in the file
     def lineFor(n: Int) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries_full":"bench_result.json","queries":${qsJson(bySlowest.take(n))},"sf":"$sfDir"}"""
+        s""""subset":"slowest_$n","queries_full":"bench_result.json","queries":${qsJson(bySlowest.take(n))},"sf":"$sfDir"}"""
     val line = (bySlowest.size to 0 by -5).iterator.map(lineFor)
       .find(_.length <= 1800).getOrElse(lineFor(0))
     println(line)

@@ -113,8 +113,8 @@ object Graphs {
     // frame must be reuse-protected FIRST: the cross-join reads it twice
     // (once under max, once as probe), and each half-iteration feeds the
     // next — naive lazy composition doubles the plan per normalization and
-    // recompute grows 4× per iteration (24.6 s naive vs ~5.8 s cold
-    // min-of-2 at sf0.1, BENCH_r08/r09; the residual cost is the fixed
+    // recompute grows 4× per iteration (24.6 s naive vs 3.7–5.8 s cold
+    // min-of-2 at sf0.1 across bench runs; the residual cost is the fixed
     // per-iteration job overhead — 2 keyed shuffles + 2 broadcast max
     // aggregates + the eager checkpoint — which ScaleProbe's hits_3it row
     // shows FLAT from 1× to 10× data, so it amortizes at scale).

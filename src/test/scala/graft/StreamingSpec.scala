@@ -629,6 +629,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("effectively-once sink: crash between sink write and checkpoint commit replays into a skip") {
+    // SURVEY §7.4 item 5 — the reference's checkpoint-then-commit
+    // (streams.py:260-271) maps to SS checkpoints + an idempotent sink.
+    // Simulate the crash window: the batch lands at the sink (buffer +
+    // commit marker), then the query dies BEFORE Spark records the batch
+    // in its checkpoint. The restart replays the same batch id;
+    // EffectivelyOnce must turn the replay into a no-op.
+    import graft.streaming.EffectivelyOnce
+    val in = MemoryStream[Int](spark)
+    val checkpoint = ckpt()
+    val commitLog = Files.createTempDirectory("graft_eo_commits").toString
+    val sunk = collection.mutable.ArrayBuffer[Int]()
+    @volatile var crashAfterSink = false
+    val wrapped = EffectivelyOnce.skipCommitted(commitLog) { (d, _) =>
+      sunk.synchronized { sunk ++= d.collect().map(_.getInt(0)) }
+    }
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, bid: Long) =>
+        wrapped(d, bid)
+        // the crash window: sink write AND commit marker done, Spark's own
+        // checkpoint commit for the batch not yet — the restart replays
+        if (crashAfterSink) throw new RuntimeException("crash after sink commit")
+      }
+      .start()
+    val q1 = start()
+    try { in.addData(1, 2); q1.processAllAvailable() } finally q1.stop()
+    assert(sunk.sorted == Seq(1, 2))
+    // batch 2 lands at the sink, then the query dies pre-checkpoint
+    crashAfterSink = true
+    val q2 = start()
+    in.addData(3, 4)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    assert(sunk.sorted == Seq(1, 2, 3, 4), s"sink missed the crashed batch: $sunk")
+    // restart: Spark replays the uncommitted batch — the marker skips it,
+    // and fresh data still flows
+    crashAfterSink = false
+    val q3 = start()
+    try {
+      in.addData(5)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(sunk.sorted == Seq(1, 2, 3, 4, 5),
+      s"replayed batch must not double-deliver: ${sunk.sorted}")
+  }
+
   test("native stream-stream equi-join: event-time bounds, watermark drop, state cleanup") {
     // SURVEY §2.5 maps the reference's streaming join_equi
     // (topologynode.py:362-421) to Spark's NATIVE stream-stream equi-join:
