@@ -35,6 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 shuffle partitions × broadcast joins × cached LSH signatures: 8g
   // produced multi-second GC spikes on whichever bench query ran when the
-  // heap filled; the container has 128 GiB, so size the fork generously
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // heap filled, and at 180+ suite queries 24g still thrashed late in the
+  // alphabet; the container has 128 GiB, so size the fork generously
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

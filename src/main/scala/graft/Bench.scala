@@ -70,7 +70,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // a failed query records -1.0 (never a fake duration) and logs to stderr
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       var dt = -1.0
       var rep = 1
       var go = true
@@ -89,12 +89,25 @@ object Bench {
         if (repeat > 1) System.err.println(f"[bench] $name rep $rep: $cur%.3f s")
         if (!ok) { dt = -1.0; go = false }
         else dt = if (dt < 0) cur else math.min(dt, cur)
-        // queries persist() intermediates (e.g. LSH signature tables); drop
-        // them so 100+ sequential queries don't accumulate cache into GC
-        // pressure that taxes whichever query runs late in the alphabet
+        // queries persist() intermediates (e.g. LSH signature tables) and
+        // localCheckpoint() loop states (graph ranks, contraction rounds);
+        // clearCache() drops only the SQL cache — the checkpoint blocks
+        // stay pinned in the BlockManager until a full GC lets the
+        // ContextCleaner reap them, and across 180 sequential queries that
+        // residue filled the old gen (r9: q_pagerank_deep 9 s isolated vs
+        // 53 s mid-suite, q_decontaminate 0.6 s vs 12 s). Unpersist every
+        // tracked RDD explicitly — every query's result is already in the
+        // noop sink, nothing live depends on them.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         rep += 1
       }
+      // a periodic full GC drives the ContextCleaner's weak-reference
+      // queue, releasing shuffle files and broadcast blocks from completed
+      // queries — otherwise they only go when the old gen happens to fill,
+      // which is exactly the moment a heavy query can least afford it
+      if (qIdx % 25 == 24) System.gc()
       name -> dt
     }.toMap
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

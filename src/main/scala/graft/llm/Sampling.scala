@@ -77,6 +77,59 @@ object Sampling {
       .filter(col("__bucket") < lit(math.round(frac * 10000)))
       .drop("__bucket")
 
+  /** Weighted (probability-proportional-to-size) fixed-size sample —
+    * sequential Poisson sampling (Ohlsson 1998; the order-sampling family
+    * summarized in Rosén 1997): draw u_i uniform, rank items by u_i / w_i
+    * ascending, keep the k smallest. High-weight items get small ranks and
+    * are selected with probability ≈ proportional to w_i — the "keep more
+    * of the high-quality documents, but not ONLY the top scorers"
+    * selection a quality-weighted corpus cut needs, where a deterministic
+    * top-k BY WEIGHT would take a biased slice of one domain. Relation to
+    * [[dsirSelect]]: same order-sampling family, different regime —
+    * Gumbel-top-k draws ∝ exp(log-weight) and rides DSIR's micro-nat log
+    * pipeline; this one draws ∝ the LINEAR weight directly (bytes, token
+    * counts, quality scores) with no log transform and no floating point
+    * anywhere.
+    *
+    * Determinism, this repo's way: u_i is not a RNG draw but
+    * splitmix64(id) — the rank key is a pure function of the row, stable
+    * across reruns/retries/partitionings. The comparison runs in exact
+    * integer arithmetic: u = (splitmix64(id) >>> 3) + 1 ∈ [1, 2⁶¹] and
+    * priority = u div max(w, 1) — a 2⁶¹-resolution floor of u/w (identical
+    * in JVM `/` and DuckDB `//` for positives; ≥2⁴⁰ distinct values at any
+    * realistic weight scale, ties broken by id). The hash runs in the same
+    * mapPartitions kernel posture as [[withBucket]] (ANSI Column arithmetic
+    * rejects the wrap). Null/non-castable ids or weights drop (a sample
+    * must not contain rows it cannot re-derive).
+    *
+    * Scale shape: map kernel → `orderBy(priority, id).limit(k)`, which
+    * Spark plans as TakeOrderedAndProject — per-partition bounded top-k
+    * heaps merged once, k-bounded everywhere, NEVER a global sort. Output:
+    * the id, weight, and `priority` columns. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val in = df.select(
+      expr(s"try_cast(`$idCol` as bigint)").as("__id_long"),
+      expr(s"try_cast(`$weightCol` as bigint)").as("__w_long"))
+    val outSchema = in.schema.add("__prio", LongType, nullable = true)
+    val keyed = in.mapPartitions { rows =>
+      rows.map { row =>
+        val prio =
+          if (row.isNullAt(0) || row.isNullAt(1)) null
+          else {
+            val u = (graft.llm.Hashing.splitmix64(row.getLong(0)) >>> 3) + 1L
+            Long.box(u / math.max(row.getLong(1), 1L))
+          }
+        Row.fromSeq(row.toSeq :+ prio)
+      }
+    }(Encoders.row(outSchema))
+    keyed.filter(col("__prio").isNotNull)
+      .orderBy("__prio", "__id_long")
+      .limit(k)
+      .select(col("__id_long").as(idCol), col("__w_long").as(weightCol),
+        col("__prio").as("priority"))
+  }
+
   /** Temperature-scaled stratum rebalancing — the XLM-R / mT5 move
     * (Conneau et al. 2020 §3.1): sample stratum l proportionally to
     * p_l^alpha, flattening a skewed language (or source) distribution

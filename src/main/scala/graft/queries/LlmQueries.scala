@@ -477,6 +477,13 @@ object LlmQueries {
       Sampling.temperatureSample(docs(s, dir), "doc_id", "lang", alpha = 0.3)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // sequential Poisson sampling (Ohlsson 1998): fixed-size PPS draw
+    // weighted by n_chars — rank by splitmix64(id)/weight in exact integer
+    // floor division, keep the 500 smallest; plans as TakeOrdered, never a
+    // global sort
+    "q_sample_priority" -> ((s, dir) =>
+      Sampling.prioritySample(docs(s, dir), "doc_id", "n_chars", k = 500)),
+
     // GPT-3-style model-based quality filter: NB log-odds classifier
     // (pos = the doc_id%7 curated slice, neg = the rest), sigmoid score in
     // integer micro-probs, Pareto(9) keep decision cleared of pow
@@ -1698,6 +1705,16 @@ object LlmQueries {
          |  FROM documents)
          |SELECT doc_id, lang FROM b JOIN cuts USING (lang)
          |WHERE bk < cut ORDER BY doc_id""".stripMargin,
+
+    // sequential Poisson: priority = ((sm64(id) >> 3) + 1) // max(w, 1) —
+    // unsigned-shift + floor-div in exact integers, identical on both
+    // engines; doc_id breaks the (measure-zero) priority ties
+    "q_sample_priority" ->
+      s"""${HashOracle.macros}
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST((sm64(CAST(doc_id AS HUGEINT)) >> 3) + 1 AS BIGINT)
+         |    // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+         |FROM documents ORDER BY priority, doc_id LIMIT 500""".stripMargin,
 
     // The window form of the same total order the bounded aggregator ranks
     // by: row_number over (splitmix64(doc_id) signed, doc_id) per source

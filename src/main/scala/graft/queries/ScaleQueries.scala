@@ -53,6 +53,17 @@ object ScaleQueries {
       graft.llm.Dedup.minhashBucketStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // Morton/Z-order clustering key over (custkey, orderkey) low bits —
+    // the write-time layout lever: range-partition + sort by zval gives
+    // every file a tight min-max envelope in BOTH dimensions
+    "q_zorder_key" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          graft.functions.ZOrder.interleave(
+            pmod(col("o_custkey"), lit(4096L)),
+            pmod(col("o_orderkey"), lit(4096L)), bits = 12).as("zval"))
+        .orderBy("o_orderkey")),
+
     // Q6-style: one scan, pushed conjunctive predicate, scalar aggregate
     "q6_revenue" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -63,8 +74,18 @@ object ScaleQueries {
         .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
           count(lit(1)).as("n"))))
 
+  /** Bit-definition replay of ZOrder.interleave: 24 disjoint-bit terms,
+    * summed (disjoint bits make + and | coincide). */
+  private val zTerms: String = (0 until 12).flatMap(i => Seq(
+    s"((((o_custkey % 4096) >> $i) & 1) << ${2 * i})",
+    s"((((o_orderkey % 4096) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   val oracles: Map[String, String] = Map(
     "q_sql_pricing" -> PricingSql,
+
+    "q_zorder_key" ->
+      s"""SELECT o_orderkey, CAST($zTerms AS BIGINT) AS zval
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // bucket identity = equality of the raw 4-slot signature slice (the
     // engine buckets on xxhash64 of the slice; equal slices <=> equal

@@ -1712,4 +1712,31 @@ class LlmSpec extends SparkSpec {
     val kept = graft.llm.Sampling.temperatureSample(strat, "doc_id", "lang", alpha = 1.0)
     assert(kept.count() == 4) // alpha=1 keeps everything, null stratum included
   }
+
+  test("priority sample: PPS selection rate follows weight, deterministic, TakeOrdered plan") {
+    import spark.implicits._
+    // 10k rows, odd ids weigh 100x even ids: a PPS draw of 1000 must be
+    // dominated by odd ids (inclusion ~ proportional to weight) without
+    // being ONLY odd ids — both extremes (uniform, strict top-by-weight)
+    // fail one of the two assertions
+    val rows = spark.range(10000).select(col("id"),
+      when(col("id") % 2 === 1, 100L).otherwise(1L).as("w"))
+    val picked = graft.llm.Sampling.prioritySample(rows, "id", "w", k = 1000)
+    val sel = picked.select("id").as[Long].collect().toSet
+    assert(sel.size == 1000)
+    val odd = sel.count(_ % 2 == 1)
+    assert(odd > 930 && odd < 1000, s"odd share $odd not PPS-shaped")
+    // determinism: an independent run over a different partitioning picks
+    // the identical set (the rank key is a pure function of the row)
+    val sel2 = graft.llm.Sampling.prioritySample(rows.repartition(7), "id", "w", k = 1000)
+      .select("id").as[Long].collect().toSet
+    assert(sel2 == sel)
+    // null/non-castable ids drop rather than sample nondeterministically
+    val withNull = Seq((java.lang.Long.valueOf(1L), 5L),
+      (null.asInstanceOf[java.lang.Long], 5L)).toDF("id", "w")
+    assert(graft.llm.Sampling.prioritySample(withNull, "id", "w", k = 10).count() == 1)
+    // scale shape: bounded top-k, never a global sort
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
