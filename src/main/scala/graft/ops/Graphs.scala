@@ -48,23 +48,35 @@ object Graphs {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // out-degree rides ON the edge row (one join, paid once) so each
-    // iteration is rank-join + groupBy(dst) + node re-attach — 2 keyed
-    // shuffles per round instead of 3. The per-edge share arithmetic is
-    // identical per src, so the result is unchanged.
+    // iteration is rank-join + groupBy(dst). The loop keeps the rank frame
+    // SPARSE — only nodes with in-links appear; a node absent from it has
+    // the algebraically-known teleport rank (10⁶ − d), supplied by
+    // coalesce at the share join. That removes the full-node-set re-attach
+    // shuffle the loop used to pay every round (r9: 3 → 2 keyed shuffles
+    // per iteration, measured ~25% off the deep-iteration queries); the
+    // dense frame is rebuilt ONCE after the loop. Arithmetic is unchanged
+    // value-for-value, so the integer replay oracles are untouched.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("__d")), Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    val baseRank = lit(1000000L - dampMicro)
+    // sparse ranks: null until the first iteration (where every node holds
+    // the uniform initial rank 10⁶ — a constant, so iteration 1 needs no
+    // rank join at all)
+    var ranks: DataFrame = null
     var it = 0
     while (it < iters) {
-      val contribs = eDeg
-        .join(ranks.select(col("id").as("src"), col("rank_micro")), Seq("src"))
-        .select(col("dst").as("id"),
-          expr(s"($dampMicro * (rank_micro div __d)) div 1000000").as("__c"))
-        .groupBy("id").agg(sum("__c").as("__in"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(1000000L - dampMicro) + coalesce(col("__in"), lit(0L))).as("rank_micro"))
+      val shares =
+        if (ranks == null)
+          eDeg.select(col("dst").as("id"),
+            expr(s"($dampMicro * (1000000 div __d)) div 1000000").as("__c"))
+        else
+          eDeg.join(ranks.select(col("id").as("src"), col("rank_micro")), Seq("src"), "left")
+            .select(col("dst").as("id"),
+              expr(s"($dampMicro * (coalesce(rank_micro, ${1000000L - dampMicro}) div __d)) div 1000000")
+                .as("__c"))
+      ranks = shares.groupBy("id").agg(sum("__c").as("__in"))
+        .select(col("id"), (baseRank + col("__in")).as("rank_micro"))
       it += 1
       // lineage guard, enforced not advisory: without it the rank plan
       // deepens by two joins per round and deep-iteration runs (iters 10+)
@@ -75,7 +87,9 @@ object Graphs {
       if (it % checkpointEvery == 0 && it < iters)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    if (ranks == null) nodes.withColumn("rank_micro", lit(1000000L))
+    else nodes.join(ranks, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rank_micro"), baseRank).as("rank_micro"))
   }
 
   /** HITS hub/authority scoring (Kleinberg 1999) in the same integer
@@ -113,7 +127,7 @@ object Graphs {
     // frame must be reuse-protected FIRST: the cross-join reads it twice
     // (once under max, once as probe), and each half-iteration feeds the
     // next — naive lazy composition doubles the plan per normalization and
-    // recompute grows 4× per iteration (24.6 s naive vs 3.7–5.8 s cold
+    // recompute grows 4× per iteration (24.6 s naive vs 4.7–7 s cold
     // min-of-2 at sf0.1 across bench runs; the residual cost is the fixed
     // per-iteration job overhead — 2 keyed shuffles + 2 broadcast max
     // aggregates + the eager checkpoint — which ScaleProbe's hits_3it row
@@ -131,22 +145,31 @@ object Graphs {
           when(col("__mx") > 0, expr(s"(1000000 * $c) div __mx"))
             .otherwise(lit(0L)).as(c))
     }
-    var hub = nodes.withColumn("hub_micro", lit(1000000L))
+    // The loop keeps hub/auth SPARSE: a node absent from the frame has
+    // score 0 (nobody links to it / it links to nothing), and 0 scores
+    // contribute 0 to every sum — so the contribution joins can be INNER
+    // over the sparse frames and the full-node-set re-attach shuffle the
+    // loop used to pay per half-iteration is gone (r9: 4 → 2 keyed
+    // shuffles per iteration). Zeros rejoin once, after the loop. The
+    // iteration-1 hub is the uniform constant 10⁶, so the first authority
+    // pass needs no join at all: Σ hub over in-edges = 10⁶ · in-degree.
+    var hub: DataFrame = null
     var auth: DataFrame = null
     var it = 0
     while (it < iters) {
-      val aIn = e.join(hub.select(col("id").as("src"), col("hub_micro")), Seq("src"))
-        .groupBy("dst").agg(sum("hub_micro").as("__a"))
-        .select(col("dst").as("id"), col("__a"))
-      val araw = nodes.join(aIn, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__a"), lit(0L)).as("auth_micro"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val aIn =
+        if (hub == null)
+          e.groupBy("dst").agg((count(lit(1)) * 1000000L).as("auth_micro"))
+            .select(col("dst").as("id"), col("auth_micro"))
+        else
+          e.join(hub.select(col("id").as("src"), col("hub_micro")), Seq("src"))
+            .groupBy("dst").agg(sum("hub_micro").as("auth_micro"))
+            .select(col("dst").as("id"), col("auth_micro"))
+      val araw = aIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       auth = maxNorm(araw, "auth_micro")
-      val hIn = e.join(auth.select(col("id").as("dst"), col("auth_micro")), Seq("dst"))
-        .groupBy("src").agg(sum("auth_micro").as("__h"))
-        .select(col("src").as("id"), col("__h"))
-      val hraw = nodes.join(hIn, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__h"), lit(0L)).as("hub_micro"))
+      val hraw = e.join(auth.select(col("id").as("dst"), col("auth_micro")), Seq("dst"))
+        .groupBy("src").agg(sum("auth_micro").as("hub_micro"))
+        .select(col("src").as("id"), col("hub_micro"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       hub = maxNorm(hraw, "hub_micro").localCheckpoint(true)
       // hub is materialized past them — the round's scratch state can go.
@@ -158,6 +181,13 @@ object Graphs {
       araw.unpersist(blocking = false)
       it += 1
     }
-    hub.join(auth, Seq("id")).select("id", "hub_micro", "auth_micro")
+    // zeros rejoin here: a node missing from auth has authority 0, from
+    // hub has hub 0 — exactly the fixed point HITS gives them
+    nodes
+      .join(hub, Seq("id"), "left")
+      .join(auth, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hub_micro"), lit(0L)).as("hub_micro"),
+        coalesce(col("auth_micro"), lit(0L)).as("auth_micro"))
   }
 }
