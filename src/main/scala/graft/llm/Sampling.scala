@@ -293,6 +293,49 @@ object Sampling {
       .drop("__kept_id", "__kept_dom")
   }
 
+  /** Per-stratum [[prioritySample]]: an independent sequential-Poisson
+    * draw of `kPerStratum` rows inside every `stratumCol` value — the
+    * "keep the best-weighted slice of EACH language/source, sized equally"
+    * selection, where the global draw would let a large stratum crowd out
+    * small ones. The rank key is identical to the global form (priority =
+    * splitmix64(id) div max(w,1), ties by id), so a row's priority does
+    * not depend on its stratum — restratifying never re-randomizes.
+    *
+    * Scale shape: [[capPerDomain]]'s exactly — slim (stratum, priority,
+    * id) rows through the bounded [[MinKAgg]] (per-task state ≤ k per
+    * stratum, exchange ≤ k rows per (map partition, stratum), a hot
+    * stratum never concentrates on one task), kept set equi-joins back on
+    * (stratum, id). Appends `priority` and `stratum_rank` (1-based). */
+  def prioritySampleByStratum(df: DataFrame, idCol: String, weightCol: String,
+      stratumCol: String, kPerStratum: Int): DataFrame = {
+    require(kPerStratum >= 1, "kPerStratum must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df
+      .select(col(stratumCol).cast("string").as("__s"),
+        expr(s"try_cast(`$idCol` as bigint)").as("__id"),
+        expr(s"try_cast(`$weightCol` as bigint)").as("__w"))
+      .filter(col("__id").isNotNull && col("__w").isNotNull)
+      .as[(String, Long, Long)]
+      .mapPartitions(_.map { case (s, id, w) =>
+        val u = (Hashing.splitmix64(id) >>> 3) + 1L
+        (s, u / math.max(w, 1L), id)
+      })
+    val kept = slim.groupByKey(_._1)
+      .agg(new MinKAgg(kPerStratum).toColumn)
+      .flatMap { case (s, top) =>
+        top.iterator.zipWithIndex.map { case ((p, id), i) => (s, id, p, (i + 1).toLong) }
+      }
+      .toDF("__kept_s", "__kept_id", "priority", "stratum_rank")
+    // join on BOTH (stratum, id) — ids only unique within a stratum must
+    // not leak rows across strata; <=> keeps a null stratum matching its
+    // own kept entries
+    df.join(kept,
+        expr(s"try_cast(`$idCol` as bigint)") === col("__kept_id") &&
+          col(stratumCol).cast("string") <=> col("__kept_s"))
+      .drop("__kept_id", "__kept_s")
+  }
+
   /** Per-domain document caps — the FineWeb/RefinedWeb output-shaping move:
     * keep at most `maxPerDomain` rows per `domainCol` value (source site,
     * URL host, shard), chosen DETERMINISTICALLY by ascending

@@ -484,6 +484,14 @@ object LlmQueries {
     "q_sample_priority" -> ((s, dir) =>
       Sampling.prioritySample(docs(s, dir), "doc_id", "n_chars", k = 500)),
 
+    // the per-language form: an independent PPS draw of 200 inside every
+    // lang, bounded-aggregator-ranked (never a per-stratum window)
+    "q_sample_priority_stratified" -> ((s, dir) =>
+      Sampling.prioritySampleByStratum(docs(s, dir), "doc_id", "n_chars",
+          "lang", kPerStratum = 200)
+        .select("doc_id", "lang", "priority", "stratum_rank")
+        .orderBy("lang", "stratum_rank")),
+
     // GPT-3-style model-based quality filter: NB log-odds classifier
     // (pos = the doc_id%7 curated slice, neg = the rest), sigmoid score in
     // integer micro-probs, Pareto(9) keep decision cleared of pow
@@ -1715,6 +1723,19 @@ object LlmQueries {
          |  CAST((sm64(CAST(doc_id AS HUGEINT)) >> 3) + 1 AS BIGINT)
          |    // greatest(CAST(n_chars AS BIGINT), 1) AS priority
          |FROM documents ORDER BY priority, doc_id LIMIT 500""".stripMargin,
+
+    // same priority key, ranked within each lang — the window form of the
+    // total order MinKAgg maintains boundedly
+    "q_sample_priority_stratified" ->
+      s"""${HashOracle.macros}
+         |WITH p AS (SELECT doc_id, lang,
+         |  CAST((sm64(CAST(doc_id AS HUGEINT)) >> 3) + 1 AS BIGINT)
+         |    // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, priority,
+         |  row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rk FROM p)
+         |SELECT doc_id, lang, priority, CAST(rk AS BIGINT) AS stratum_rank
+         |FROM r WHERE rk <= 200 ORDER BY lang, stratum_rank""".stripMargin,
 
     // The window form of the same total order the bounded aggregator ranks
     // by: row_number over (splitmix64(doc_id) signed, doc_id) per source

@@ -1739,4 +1739,28 @@ class LlmSpec extends SparkSpec {
     val plan = picked.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("stratified priority sample: per-stratum k, stratum independence, window-free plan") {
+    import spark.implicits._
+    val rows = spark.range(2000).select(col("id"),
+      when(col("id") % 4 === 0, "small").otherwise("big").as("s"),
+      (col("id") % 7 + 1).as("w"))
+    val picked = graft.llm.Sampling.prioritySampleByStratum(rows, "id", "w", "s", kPerStratum = 50)
+    val byStratum = picked.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byStratum == Map("small" -> 50L, "big" -> 50L))
+    // independence: dropping the OTHER stratum's rows leaves this one's
+    // selection untouched (priorities are stratum-free functions of the row)
+    val onlySmall = graft.llm.Sampling.prioritySampleByStratum(
+      rows.filter(col("s") === "small"), "id", "w", "s", kPerStratum = 50)
+      .select("id").as[Long].collect().toSet
+    assert(onlySmall ==
+      picked.filter(col("s") === "small").select("id").as[Long].collect().toSet)
+    // rank agrees with the (priority, id) total order inside the stratum
+    val ranked = picked.filter(col("s") === "small")
+      .select("priority", "id", "stratum_rank")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(ranked.map(_._3).toSeq == (1L to 50L))
+    // scale shape: bounded aggregator, never a per-stratum window
+    assert(!picked.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }

@@ -754,6 +754,70 @@ class StreamingSpec extends SparkSpec {
       s"join state not horizon-bounded: $lastStateRows rows")
   }
 
+  test("native stream-stream LEFT OUTER join: matches emit live, null-extension waits for the watermark") {
+    // the outer-join completion of the equi-join mapping: an unmatched
+    // left row cannot emit its null-extended form until the watermark
+    // proves no match can still arrive — Spark holds it in state until
+    // the event-time bound expires, then emits (ad, impTs, NULL). This is
+    // the semantics a batch left join gives for free and a stream must
+    // buy with the horizon; asserting both halves (live match, delayed
+    // null) pins the contract.
+    val fs = new graft.storage.FileStorage(spark,
+      Files.createTempDirectory("graft_fs_ssoj").toString)
+    fs.createTopic("ssoj_imp", 2)
+    fs.createTopic("ssoj_clk", 2)
+    val checkpoint = ckpt()
+    val t0 = 1700000000000L
+    val hour = 3600000L
+    val out = collection.mutable.ArrayBuffer[(String, Long, Option[Long])]()
+    def produce(topic: String, rows: (String, Long)*): Unit =
+      fs.produce(topic, rows.toSeq.map { case (k, ts) => (k, ts.toString) }
+        .toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(t0))))
+    def run(): Unit = {
+      def side(topic: String, ad: String, ts: String) =
+        fs.readStream(topic).select(
+            col("key").cast("string").as(ad),
+            timestamp_millis(col("value").cast("long")).as(ts))
+          .withWatermark(ts, "10 minutes")
+      val joined = side("ssoj_imp", "ad", "impTs")
+        .join(side("ssoj_clk", "c_ad", "clkTs"),
+          col("ad") === col("c_ad") &&
+            col("clkTs") >= col("impTs") &&
+            col("clkTs") <= col("impTs") + expr("interval 1 hour"),
+          "leftOuter")
+        .select(col("ad"), unix_millis(col("impTs")), unix_millis(col("clkTs")))
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized {
+            out ++= d.collect().map(r =>
+              (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    // run 1: ad1 matches inside the hour; ad2 has NO click — it must NOT
+    // null-emit yet (a click could still arrive within the horizon)
+    produce("ssoj_imp", ("ad1", t0), ("ad2", t0 + 5000))
+    produce("ssoj_clk", ("ad1", t0 + 30000))
+    run()
+    assert(out.toSet == Set(("ad1", t0, Some(t0 + 30000))), s"run1: $out")
+    // run 2: both sides jump 3h ahead — the global watermark passes ad2's
+    // [impTs, impTs+1h] match window, so its null-extended row emits; the
+    // fresh pair matches live
+    produce("ssoj_imp", ("ad3", t0 + 3 * hour))
+    produce("ssoj_clk", ("ad3", t0 + 3 * hour + 1000))
+    run()
+    assert(out.drop(1).toSet == Set(
+      ("ad3", t0 + 3 * hour, Some(t0 + 3 * hour + 1000)),
+      ("ad2", t0 + 5000, None)),
+      s"run2 must emit the expired left row null-extended: ${out.drop(1)}")
+  }
+
   test("session windows under retraction: integrate-then-window fallback un-merges sessions") {
     // RetractionWindow deliberately excludes sessions: a retraction can
     // remove the BRIDGING record of a merged session, and un-merging
