@@ -50,6 +50,20 @@ object ScaleProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     try {
+      // warm the iterative-graph plan shapes on an 8-edge graph (Bench's
+      // posture): the loops cycle several distinct shapes per iteration
+      // and their first-ever Janino compile otherwise lands on the
+      // factor-1 row (r9: hits_3it read 36.7 s at 1× vs 5.3 s at 4× —
+      // compilation, not the operator)
+      try {
+        import spark.implicits._
+        val tiny = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+        graft.ops.Graphs.pageRank(tiny, "s", "d", iters = 2)
+          .write.format("noop").mode("overwrite").save()
+        graft.ops.Graphs.hits(tiny, "s", "d", iters = 2)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[probe] warmup failed: ${e.getMessage}") }
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
       val embs0 = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
       for (f <- factors) {

@@ -130,7 +130,10 @@ object Ivf {
         while (i < c.length) { v(i) = c(i).toDouble; ny += v(i) * v(i); i += 1 }
         (id, v, ny)
       }
-    require(cents.nonEmpty, "empty centroid table (train on an empty corpus or k=0?)")
+    // empty is legal: training on a zero-row corpus yields zero centroids,
+    // and every consumer treats "no lists exist" as "no assignments/hits"
+    // (the coherent extension — see EmptyInputSpec). Callers must not
+    // index past cents.length.
     cents
   }
 
@@ -151,6 +154,9 @@ object Ivf {
     val bc = spark.sparkContext.broadcast(cents)
     val in = corpus.withColumn("embedding", col("embedding").cast("array<float>"))
     val outSchema = in.schema.add("list_id", LongType, nullable = false)
+    // no lists → no assignments (empty-corpus training); never cs(0)
+    if (cents.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     val embIdx = in.schema.fieldIndex("embedding")
     in.mapPartitions { rows =>
       val cs = bc.value

@@ -99,6 +99,11 @@ object Pq {
       .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
         (r.getAs[scala.collection.Seq[Long]](2).toArray, r.getLong(3))))
       .toMap
+    // empty is legal: training on a zero-row corpus yields a zero-entry
+    // codebook, and a zero-subspace Book encodes every vector to zero
+    // codes / scores nothing — the coherent no-model extension
+    // (EmptyInputSpec). A PARTIAL book is still a hard error.
+    if (rows.isEmpty) return Book(0, ksub, 0, Array.empty, Array.empty)
     require(rows.size == m * ksub, s"codebook has ${rows.size} entries, want ${m * ksub}")
     val dsub = rows.head._2._1.length
     val csum = Array.tabulate(m * ksub)(i => rows((i / ksub, i % ksub))._1)
@@ -156,7 +161,15 @@ object Pq {
     // an empty qe, and letting it pick dim would silently train an empty
     // codebook (and a real vector's sums would then overrun the null row's
     // zero-length slices mid-aggregation).
-    val dim = quant.select(max(size(col("qe"))).as("d")).head().getInt(0)
+    val dimRow = quant.select(max(size(col("qe"))).as("d")).head()
+    // max over zero rows is NULL: an empty corpus trains the empty
+    // codebook (not an error — see collectBook's empty contract)
+    if (dimRow.isNullAt(0)) {
+      quant.unpersist(blocking = false)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], codebookSchema)
+    }
+    val dim = dimRow.getInt(0)
     require(dim > 0, "all embeddings empty/null — nothing to train on")
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m

@@ -157,6 +157,9 @@ object Sampling {
       .agg(count(lit(1)).as("__c"))
       .collect()
       .map(r => (Option(r.getString(0)), r.getLong(1)))
+    // zero rows → zero strata → nothing to rebalance; short-circuit before
+    // the max (empty.max throws) — the result is df itself, already empty
+    if (counts.isEmpty) return df
     val ratios = counts.map { case (s, c) => (s, math.pow(c.toDouble, alpha - 1.0)) }
     val rmax = ratios.map(_._2).max
     val cuts = ratios.map { case (s, r) =>

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Total-function robustness: EVERY registered query must plan and execute
+  * on a zero-row corpus with the production schemas. Empty is not an edge
+  * case at 100 TB — it is the steady state of a filtered partition, a
+  * fresh tenant, a dry re-run — and an operator that throws on it turns a
+  * routine backfill into a page. The oracle gate cannot see this (DuckDB
+  * and Spark would both run on the same populated tables), so it gets its
+  * own suite: read each sf0.001 table's schema, write a 0-row parquet
+  * twin, run all of SparkEntry.queries against the twin directory.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty_sf").toString
+    // the events table only yields its schema under the same reader conf
+    // Envelope uses (nanos timestamps surface as long)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (name <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val src = spark.read.parquet(s"$sfDir/$name.parquet")
+      src.limit(0).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  /** The ONE documented partial-function family: CCNet-style LM scoring
+    * requires a non-empty reference corpus — a model trained on nothing
+    * has no probability estimates, and "score every doc as unscorable"
+    * would silently drop rows where a descriptive error stops the
+    * pipeline at the true fault. The contract is asserted below: these
+    * must fail WITH the documented message, not arbitrarily. Everything
+    * else — including centroid/codebook training, which yields the empty
+    * model and empty search results — must be total. */
+  private val requiresTrainingData = Map(
+    "q_text_lm_score" -> "LM reference corpus is empty",
+    "q_text_lm_trigram" -> "LM reference corpus is empty",
+    "q_text_ppl_buckets" -> "LM reference corpus is empty",
+    "q_pipeline_curation" -> "LM reference corpus is empty")
+
+  test("every registered query runs on a zero-row corpus") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => requiresTrainingData.contains(q._1))
+      .flatMap { case (name, fn) =>
+      try {
+        fn(spark, emptyDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" / ")}")
+      } finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on empty input:\n${failures.mkString("\n")}")
+  }
+
+  test("LM-scoring queries fail on an empty reference WITH the documented error") {
+    for ((name, msg) <- requiresTrainingData) {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries(name)(spark, emptyDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(e.getMessage.contains(msg), s"$name: ${e.getMessage}")
+    }
+  }
+}
