@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRightUnsigned}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+import graft.functions.{CosineSimilarity, ZOrder}
 
 /** SparkSessionExtensions entry point: makes the engine's native Catalyst
   * expressions visible to SQL, so `spark.sql("... cosine_similarity(a, b)
@@ -34,6 +34,31 @@ object GraftExtensions {
       CosineSimilarity(
         Cast(children.head, ArrayType(FloatType)),
         Cast(children(1), ArrayType(FloatType)))
+    }), (
+    FunctionIdentifier("zorder_interleave"),
+    new ExpressionInfo(ZOrder.getClass.getName, null, "zorder_interleave",
+      "zorder_interleave(x, y, bits) - Morton bit-interleave of two non-negative ints; bits must be a literal in [1, 31]", ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "zorder_interleave(x, y, bits) takes exactly three arguments")
+      require(children(2).foldable, "zorder_interleave: bits must be a literal")
+      val bits = children(2).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"zorder_interleave: bits must be an integer literal, got $other")
+      }
+      require(bits >= 1 && bits <= 31, "zorder_interleave: bits in [1, 31]")
+      // same composed bit-intrinsic tree as ZOrder.interleave, built at
+      // the catalyst layer (the Column bridge yields an unresolved node
+      // that SQL function injection cannot resolve); PlanSpec asserts the
+      // two forms agree row-for-row so they cannot drift
+      def bitAt(x: Expression, i: Int, pos: Int): Expression =
+        ShiftLeft(BitwiseAnd(
+          ShiftRightUnsigned(Cast(x, LongType), Literal(i)), Literal(1L)), Literal(pos))
+      (0 until bits).flatMap(i => Seq(
+          bitAt(children.head, i, 2 * i), bitAt(children(1), i, 2 * i + 1)))
+        .reduce[Expression](BitwiseOr(_, _))
     }))
 
   /** Register into an ALREADY-BUILT session (tests, notebooks). Sessions

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo}
 import org.apache.spark.sql.catalyst.plans.logical.Join
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Plan audits: the scale properties the judge and a 1000-executor cluster
   * both care about, asserted on the optimized physical plans of every
@@ -223,6 +223,30 @@ class PlanSpec extends SparkSpec {
         |""".stripMargin).queryExecution.executedPlan.toString
     assert(plan.contains("cosine_similarity"), plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("zorder_interleave is SQL-callable via GraftExtensions, same tree as the Column form") {
+    GraftExtensions.register(spark)
+    // x=0b101, y=0b011 at 3 bits -> 27 (OpsSpec's hand case)
+    assert(spark.sql("SELECT zorder_interleave(5, 3, 3) AS z").head().getLong(0) == 27L)
+    // non-literal bits must be rejected at plan time, not miscompiled
+    val e = intercept[Exception] {
+      spark.sql("SELECT zorder_interleave(5, 3, id) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    // the SQL tree and the Column builder must agree row-for-row (they
+    // are built in two places; this is the no-drift guarantee)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val viaSql = spark.sql(
+      """SELECT o_orderkey, zorder_interleave(o_custkey % 4096, o_orderkey % 4096, 12) AS z
+        |FROM parquet.`/root/testdata/sf0.001/orders.parquet`""".stripMargin)
+    val viaColumn = orders.select(col("o_orderkey"),
+      graft.functions.ZOrder.interleave(
+        pmod(col("o_custkey"), lit(4096L)), pmod(col("o_orderkey"), lit(4096L)), 12).as("z"))
+    assert(viaSql.exceptAll(viaColumn).isEmpty && viaColumn.exceptAll(viaSql).isEmpty)
+    // pure bit intrinsics: no UDF anywhere in the plan
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
   }
 
   test("text analysis operators are pure map stages (no exchange)") {
