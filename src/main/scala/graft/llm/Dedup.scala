@@ -478,6 +478,45 @@ object Dedup {
       .drop("__cid", "__confirmed")
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the family:
+    * flag corpus rows whose embedding is within `threshold` cosine of ANY
+    * eval-set embedding. [[decontaminate]] catches verbatim k-gram
+    * overlap, [[crossNearDup]] catches lexical near-copies; a translated
+    * or fully-paraphrased eval item evades both and only the embedding
+    * distance sees it (the leakage class reported for multilingual
+    * benchmarks — public contamination literature, e.g. the GPT-3 §C /
+    * PaLM appendix methodology, rebuilt here on cosine proximity).
+    *
+    * Scale shape: eval suites are small by the operator's premise
+    * (thousands of vectors), so the eval side BROADCASTS and every corpus
+    * row scores against it inside one codegen'd stage (the q_ann_brute
+    * posture) — the corpus is never shuffled; the per-id argmax is a
+    * map-side-combinable max(struct), not a window. For an eval side too
+    * big to broadcast, compose [[graft.llm.Ann.lshTopKAgg]] with the eval
+    * set as queries instead — same verdict, bucketed candidates.
+    *
+    * Output: (idCol, near_eval_id, max_cos, contaminated); ties on
+    * max_cos resolve to the LOWEST eval id (max of (cos, -id)), so the
+    * report is deterministic. Rows with a null/zero-norm embedding score
+    * 0.0 everywhere and come out clean. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, embCol: String,
+      eval: DataFrame, evalIdCol: String, evalEmbCol: String,
+      threshold: Double): DataFrame = {
+    val paired = corpus.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(eval.select(
+        col(evalIdCol).cast("long").as("__eid"), col(evalEmbCol).as("__ee"))))
+      .select(col(idCol),
+        graft.functions.Exprs.cosine(col(embCol), col("__ee")).as("__cos"),
+        col("__eid"))
+    paired
+      .groupBy(idCol)
+      .agg(max(struct(col("__cos").as("c"), (-col("__eid")).as("n"))).as("__m"))
+      .select(col(idCol),
+        (-col("__m.n")).as("near_eval_id"),
+        col("__m.c").as("max_cos"),
+        (col("__m.c") >= threshold).as("contaminated"))
+  }
+
   /** Cross-corpus near-duplicate detection — [[minhashPairs]] with the two
     * sides split: which TRAIN documents are near-duplicates of a REFERENCE
     * corpus (an eval suite, a licensed-content ledger, a previous training

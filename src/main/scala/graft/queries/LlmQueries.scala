@@ -833,6 +833,17 @@ object LlmQueries {
         .select("doc_id", "contaminated").orderBy("doc_id")
     }),
 
+    // the embedding-space form: eval = the %13 vector slice, broadcast;
+    // every corpus vector scores against it in one codegen'd stage; the
+    // self-overlap guarantees detections at threshold 0.95
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.semanticDecontaminate(e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 13 === 0), "vec_id", "embedding",
+          threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
     // Gopher document gates over an injected fixture: even docs get the
     // required stopwords, %23 docs a >90% bullet prefix, %29 docs an
     // ellipsis line, %31 docs a proportional '#' run (ratio > 0.1 at any
@@ -2101,6 +2112,18 @@ object LlmQueries {
     // the Bloom-pre-filtered path is row-identical BY CONSTRUCTION (the
     // exact verify kills false positives), so it shares the oracle
     "q_decontaminate_bloom" -> decontaminateOracleSql,
+
+    // exhaustive cosine against the eval slice, argmax by (cos DESC, eval
+    // id ASC) — the window form of max(struct(cos, -id))
+    "q_decontaminate_semantic" ->
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee FROM embeddings WHERE vec_id % 13 = 0),
+         |x AS (SELECT c.vec_id, ev.eid,
+         |  ${HashOracle.cosine("c.embedding", "ev.ee")} AS cos
+         |  FROM embeddings c, ev),
+         |r AS (SELECT vec_id, eid, cos,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid) AS rk FROM x)
+         |SELECT vec_id, eid AS near_eval_id, cos AS max_cos, cos >= 0.95 AS contaminated
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     // span surgery: covered positions = union of [p, p+13) over bench
     // matches (short docs covered whole), islands counted by the lag

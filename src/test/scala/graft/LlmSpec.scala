@@ -1740,6 +1740,25 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("semantic decontamination: planted eval clone flagged at 1.0, orthogonal vector clean") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),  // exact clone of eval 100
+      (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to every eval vector
+      (3L, Array(0.9f, 0.0f, 0.1f))   // near eval 100, below 0.999
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+        eval, "vec_id", "embedding", threshold = 0.999)
+      .orderBy("vec_id")
+      .select("vec_id", "near_eval_id", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 100L, true), (2L, 100L, false), (3L, 100L, false)))
+    // corpus id 2 ties at cos 0.0 across both eval vectors -> lowest id wins
+  }
+
   test("stratified priority sample: per-stratum k, stratum independence, window-free plan") {
     import spark.implicits._
     val rows = spark.range(2000).select(col("id"),

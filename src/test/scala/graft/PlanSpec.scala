@@ -30,7 +30,9 @@ class PlanSpec extends SparkSpec {
     Set("q_zs_join_theta", "q_ann_brute", "q_trigger", "q_expire", "q_ann_ivf",
       "q_size_quantiles", "q_size_quantiles_by", "q22_idle_customers",
       // q11's global-total threshold: a broadcast 1-row cross-join by design
-      "q11_important_parts")
+      "q11_important_parts",
+      // broadcast eval slice × corpus: the q_ann_brute posture by design
+      "q_decontaminate_semantic")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
