@@ -218,6 +218,19 @@ object ScaleProbe {
         val (tHt, nHt) = time(
           graft.ops.Graphs.hits(linkEdges, "src", "dst", iters = 3).count())
         report("hits_3it", tHt, nHt)
+        // round-9: the edit-distance join family on a replicated entity
+        // keyspace (sequential low-entropy names — the deletion-
+        // neighborhood regime; copies offset so cross-copy names never
+        // collide and the pair count grows linearly with the factor)
+        val names = docs.select(col("doc_id").as("ent_id"),
+          format_string("Entity#%09d", col("doc_id")).as("name"))
+        val (tFz, nFz) = time(
+          graft.llm.Fuzzy.editDistanceJoinShort(names, "ent_id", "name", 1).count())
+        report("fuzzy_join_d1", tFz, nFz)
+        val (tFc, nFc) = time(
+          graft.llm.Fuzzy.fuzzyClusters(names, "ent_id", "name",
+            maxDist = 1, shortStrings = true).filter(col("is_canonical")).count())
+        report("fuzzy_cluster_canonical", tFc, nFc)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()

@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.StorageQueries.queries ++
       graft.queries.TpchQueries.queries ++
       graft.queries.ScaleQueries.queries ++
-      graft.queries.TemporalQueries.queries
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.FuzzyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.StorageQueries.oracles ++
       graft.queries.TpchQueries.oracles ++
       graft.queries.ScaleQueries.oracles ++
-      graft.queries.TemporalQueries.oracles
+      graft.queries.TemporalQueries.oracles ++
+      graft.queries.FuzzyQueries.oracles
 }

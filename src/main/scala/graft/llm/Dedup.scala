@@ -1037,6 +1037,8 @@ object Dedup {
       val fp2 = fingerprint(next)
       converged = fp2 == fp
       fp = fp2
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] round ${it + 1}: edges=${fp2._1} t=${System.nanoTime() / 1000000}")
       edges = next
       it += 1
     }

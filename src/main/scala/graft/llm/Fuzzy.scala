@@ -1,0 +1,262 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance (fuzzy) string joins — the entity-resolution /
+  * noisy-duplicate primitive the token-set family cannot express: MinHash
+  * and SimHash see "Customer#000000017" and "Customer#000000018" as ONE
+  * shingle apart-or-identical depending on tokenization, while the edit
+  * metric counts the single substituted character. Canonical uses over a
+  * training corpus: merging author/source/entity strings that differ by
+  * typos, collapsing URL or title variants, and building the pair list a
+  * duplicate-cluster resolution ([[Dedup.clusters]]) closes transitively.
+  *
+  * The algorithm is prefix-filtered q-gram blocking in the Ed-Join family
+  * (Xiao, Wang, Lin, "Ed-Join: an efficient algorithm for similarity joins
+  * with edit distance constraints", VLDB 2008; count filtering from
+  * Gravano et al., VLDB 2001; the prefix-filter principle from Chaudhuri
+  * et al., ICDE 2006 / Bayardo et al., WWW 2007), with the verify step the
+  * built-in codegen'd `levenshtein`. It is EXACT — every pair within the
+  * distance bound is produced, every produced pair is verified — so the
+  * DuckDB oracle is plain brute force, no signature replay needed.
+  *
+  * Why completeness holds (the contract the spec asserts against brute
+  * force): a single edit (substitution/insertion/deletion) can destroy at
+  * most `q` of a string's distinct q-gram TYPES — only the windows
+  * overlapping the edited position change, and there are at most q of
+  * them. So ed(s,t) ≤ d implies |G(s) \ G(t)| ≤ q·d where G(x) is the
+  * distinct-q-gram set, and symmetrically — hence |G(s) ∩ G(t)| ≥
+  * max(|G(s)|, |G(t)|) − q·d. Order all grams globally by (corpus
+  * frequency, gram); by the prefix-filter theorem, two sets with
+  * intersection ≥ α intersect within their (|X| − α + 1)-length prefixes
+  * under any shared total order. With α = max(|A|,|B|) − q·d, the larger
+  * side needs exactly its q·d + 1 rarest grams and the smaller side even
+  * fewer — so emitting min(|G|, q·d + 1) rarest grams per string misses
+  * nothing PROVIDED the larger set exceeds q·d grams (α ≥ 1). The
+  * remaining pairs — both strings gram-poor (≤ q·d distinct grams), where
+  * d edits can rewrite the entire gram set and the sets may be disjoint
+  * ("same"/"sane" at q=3, d=1) — are exactly the sentinel bucket's job:
+  * every gram-poor string emits the sentinel key alongside its grams. A
+  * (poor, rich) pair is still caught by the gram path — the poor side
+  * emits its whole gram set, which covers its |A| − α + 1 ≥ 1 required
+  * prefix (|B| ≤ |A| + q·d bounds it positive), and the rich side's
+  * q·d + 1 prefix covers its own — while a (poor, poor) pair shares the
+  * sentinel. The spec asserts all three regimes against brute force.
+  *
+  * Shape for 100 TB:
+  *  - two slim passes build the blocking frame: a distinct-gram explode
+  *    (rows ≈ Σ len(s), each a (long, long, gram) triple — never the
+  *    payload row), one map-side-combinable frequency count, and a
+  *    per-string bounded sort to keep the q·d + 1 rarest grams (the
+  *    collect is per-STRING and bounded by the string's own length —
+  *    nothing corpus-sized accumulates anywhere);
+  *  - the candidate join keys on prefix grams, and the frequency ordering
+  *    is the skew defense: a gram shared by the whole corpus (the
+  *    "Customer#00000" problem that makes naive positional/segment
+  *    blocking quadratic on common-prefix data) is by construction the
+  *    FREQUENT gram that prefix selection excludes — candidates gather on
+  *    the rare distinguishing grams, so bucket sizes track true match
+  *    counts, not shared-boilerplate counts. The degenerate residue is a
+  *    corpus of near-identical strings (all grams frequent), where the
+  *    pair set ITSELF is quadratic — compose with exact dedup first
+  *    (distinct strings + representative ids) so multiplicity collapses
+  *    before pairing, as q_fuzzy_join does via its groupBy(c_name) when
+  *    duplicates exist;
+  *  - the verify joins the slim (id_a, id_b) candidates back to the
+  *    strings by id and runs threshold-bounded `levenshtein(a, b, d)` —
+  *    the banded O(d·n) form that abandons a row the moment the distance
+  *    provably exceeds d, inside whole-stage codegen.
+  *
+  * Gram-poor strings (≤ q·d distinct grams: gram-less shorts, and short
+  * or repetitive strings whose whole gram set fits in the edit-destroy
+  * budget) get a dedicated sentinel bucket — the completeness proof above
+  * shows those are the only pairs the gram path can miss. The bucket is
+  * the tiny short/degenerate class, paired exhaustively under the length
+  * filter. Null strings pair with nothing (SQL comparison semantics).
+  */
+object Fuzzy {
+
+  /** All pairs (id_a < id_b) with levenshtein(strCol_a, strCol_b) ≤
+    * maxDist, with the exact distance. Identical strings (distance 0) are
+    * included — feed distinct strings with representative ids when the
+    * corpus is duplicate-heavy (see the skew note above). Output:
+    * (id_a, id_b, dist). */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"gram width q must be >= 1, got $q")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefixLen = q * maxDist + 1
+
+    val strs = df.select(col(idCol).cast("long").as("__fid"), col(strCol).as("__fs"))
+      .filter(col("__fs").isNotNull)
+
+    // distinct q-grams per string — the destroy-bound counts TYPES, so the
+    // kernel dedups before emitting (and the prefix math assumes sets).
+    // Gram-poor strings (≤ q·d distinct grams — short OR repetitive, the
+    // class whose whole gram set d edits can rewrite) additionally emit
+    // the sentinel row, flagged so it bypasses prefix selection.
+    val gramRows = strs.as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val n = s.length
+        val gs: Array[String] =
+          if (n < q) Array.empty
+          else {
+            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+            var i = 0
+            while (i <= n - q) { seen.add(s.substring(i, i + q)); i += 1 }
+            seen.toArray
+          }
+        val grams = gs.iterator.map(g => (id, n.toLong, g, false))
+        if (gs.length <= q * maxDist) grams ++ Iterator((id, n.toLong, "", true))
+        else grams
+      }
+      .toDF("__fid", "__flen", "__g", "__sent")
+
+    val realGrams = gramRows.filter(!col("__sent")).drop("__sent")
+    val freq = realGrams.groupBy("__g").agg(count(lit(1)).as("__gc"))
+
+    // per-string prefix: the (q·d + 1) globally-rarest grams, rarest-first
+    // under the shared (count, gram) order — bounded by the string length,
+    // so the collect_list is a per-row constant, not a corpus aggregate
+    val prefixReal = realGrams.join(freq, Seq("__g"))
+      .groupBy("__fid")
+      .agg(first(col("__flen")).as("__flen"),
+        slice(array_sort(collect_list(struct(col("__gc"), col("__g")))),
+          1, prefixLen).as("__ps"))
+      .select(col("__fid"), col("__flen"), explode(col("__ps")).as("__p"))
+      .select(col("__fid"), col("__flen"), col("__p.__g").as("__g"))
+
+    // sentinel bucket: the gram-poor class, bounded by construction —
+    // a string lands here only when its entire distinct-gram set fits in
+    // the q·d edit-destroy budget
+    val sentinels = gramRows.filter(col("__sent"))
+      .select("__fid", "__flen", "__g")
+
+    val prefixAll = prefixReal.unionByName(sentinels)
+
+    val cand = prefixAll.select(col("__fid").as("id_a"),
+        col("__flen").as("__la"), col("__g"))
+      .join(prefixAll.select(col("__fid").as("id_b"),
+        col("__flen").as("__lb"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select("id_a", "id_b").distinct()
+
+    verifyPairs(cand, strs, maxDist)
+  }
+
+  /** The shared verify tail: slim (id_a, id_b) candidates join back to
+    * the strings by id and run the threshold-bounded banded levenshtein —
+    * O(d·n) per pair, codegen'd, abandoning a row the moment the distance
+    * provably exceeds the bound. */
+  private def verifyPairs(cand: DataFrame, strs: DataFrame,
+      maxDist: Int): DataFrame =
+    cand
+      .join(strs.select(col("__fid").as("id_a"), col("__fs").as("__sa")), Seq("id_a"))
+      .join(strs.select(col("__fid").as("id_b"), col("__fs").as("__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0) // threshold form yields -1 above maxDist
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+
+  /** [[editDistanceJoin]]'s short-string regime: deletion-neighborhood
+    * (symmetric delete) blocking — FastSS (Bocek et al., "Fast Similarity
+    * Search in Large Dictionaries", U. Zurich TR 2007). Each string emits
+    * a 64-bit hash of every variant reachable by deleting ≤ maxDist
+    * characters; candidates are pairs sharing a variant hash.
+    *
+    * Exactness: if ed(s,t) ≤ d, fix an optimal alignment and delete from
+    * s the positions it substitutes-or-deletes (≤ d of them) and from t
+    * the positions it substitutes-or-inserts (≤ d) — the remainders are
+    * equal, so s and t share a ≤d-deletion variant and candidate
+    * generation misses nothing. The converse does NOT hold (sharing a
+    * variant bounds ed by 2d only — "xab"/"aby" share "ab" at ed 2), and
+    * 64-bit hashing adds a vanishing collision rate, so the levenshtein
+    * verify is load-bearing in both directions, exactly as in the prefix
+    * path.
+    *
+    * Regime choice vs [[editDistanceJoin]] (the [[Ann]] window/agg
+    * convention — pick by shape, results identical): variant count is
+    * O(len^maxDist) per string, so this wants SHORT strings (ids, names,
+    * titles; ≲ 100 chars) and small d (1–2), where it is decisively
+    * faster — on low-entropy keyspaces like "Customer#000014999" every
+    * rare-gram prefix bucket still holds ~100 strings (all-digit trigrams
+    * repeat corpus-wide) and the gram path pays a quadratic candidate
+    * bill, while deletion variants collide almost exclusively on TRUE
+    * pairs (measured at sf0.1: 50.8 s gram-path vs 2.5 s this path, same
+    * 195k-pair answer). For long or high-entropy strings the gram path's
+    * O(len) keys win. Both are exact; both share [[verifyPairs]].
+    *
+    * Scale shape: the variant frame is (long, long, long) triples —
+    * ~(len+1) rows per string at d=1 — one shuffle to co-locate equal
+    * hashes; bucket sizes track true-duplicate multiplicity (the
+    * degenerate identical-string corpus is again the quadratic residue —
+    * same exact-dedup-first composition as the gram path). */
+  def editDistanceJoinShort(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val strs = df.select(col(idCol).cast("long").as("__fid"), col(strCol).as("__fs"))
+      .filter(col("__fs").isNotNull)
+
+    val vrows = strs.as[(Long, String)]
+      .flatMap { case (id, s) =>
+        deletionVariants(s, maxDist).iterator.map(h => (id, s.length.toLong, h))
+      }
+      .toDF("__fid", "__flen", "__vh")
+
+    val cand = vrows.select(col("__fid").as("id_a"),
+        col("__flen").as("__la"), col("__vh"))
+      .join(vrows.select(col("__fid").as("id_b"),
+        col("__flen").as("__lb"), col("__vh")), Seq("__vh"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select("id_a", "id_b").distinct()
+
+    verifyPairs(cand, strs, maxDist)
+  }
+
+  /** Distinct 64-bit hashes of every ≤ maxDist-deletion variant of `s`
+    * (including s itself). Deletion positions are enumerated
+    * non-decreasingly so each position SUBSET is visited once; textually
+    * equal variants from different subsets (adjacent equal chars) dedup
+    * through the hash set. Shared with the streaming first-seen twin
+    * ([[graft.streaming.StreamingDedup]]), which claims the same keys. */
+  private[graft] def deletionVariants(s: String, maxDist: Int): Array[Long] = {
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    def rec(cur: java.lang.StringBuilder, budget: Int, from: Int): Unit = {
+      out += Hashing.hashString(cur)
+      if (budget > 0) {
+        var i = from
+        while (i < cur.length) {
+          val c = cur.charAt(i)
+          cur.deleteCharAt(i)
+          rec(cur, budget - 1, i)
+          cur.insert(i, c)
+          i += 1
+        }
+      }
+    }
+    rec(new java.lang.StringBuilder(s), maxDist, 0)
+    out.toArray
+  }
+
+  /** The edit-distance pairs closed transitively into duplicate clusters
+    * via [[Dedup.clusters]]: every row gets (idCol, cluster_id,
+    * is_canonical) with cluster_id = min id of its fuzzy component — the
+    * entity-resolution form ("all spellings of one entity share a
+    * cluster"). `shortStrings` picks the blocking regime (see
+    * [[editDistanceJoinShort]]); the pair set, and hence the clustering,
+    * is identical either way. */
+  def fuzzyClusters(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 3, shortStrings: Boolean = false): DataFrame = {
+    val pairs =
+      if (shortStrings) editDistanceJoinShort(df, idCol, strCol, maxDist)
+      else editDistanceJoin(df, idCol, strCol, maxDist, q)
+    Dedup.clusters(df, idCol, pairs.select("id_a", "id_b"))
+  }
+}

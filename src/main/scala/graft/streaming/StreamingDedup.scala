@@ -99,6 +99,53 @@ object StreamingDedup {
     claimAllBands(banded, df.columns, tsCol, delay, bands = 4)
   }
 
+  /** Streaming fuzzy (edit-distance) first-seen dedup — the ingestion-time
+    * twin of the batch [[graft.llm.Fuzzy.editDistanceJoinShort]]: a record
+    * is emitted only if NONE of its deletion-neighborhood variant hashes
+    * (the same [[graft.llm.Fuzzy.deletionVariants]] keys the batch path
+    * joins on) has been claimed within the watermark horizon. The use is
+    * the same as the batch op's — typo'd entity keys, near-identical
+    * titles — arriving on an unbounded feed.
+    *
+    * Suppression contract (one-sided, like the LSH twins): any record
+    * within edit distance ≤ maxDist of an in-horizon predecessor SHARES a
+    * variant (the FastSS pigeonhole — completeness direction of the batch
+    * proof) and is therefore suppressed — no false negatives inside the
+    * horizon. The converse is approximate: sharing a variant only bounds
+    * the distance by 2·maxDist, and the claim check has no string at hand
+    * to levenshtein-verify against (state stores only the 64-bit key), so
+    * records between d and 2d of a predecessor may also be suppressed —
+    * the streaming pass is the cheap admission filter, the batch join is
+    * the exact backstop, same division of labor as [[nearDupFirstSeen]].
+    *
+    * State: one key per claimed variant hash — ~(len+1) longs per admitted
+    * record at d=1 — evicted at the horizon, bounded by arrival rate ×
+    * horizon, never corpus size. Null strings generate no variants and
+    * pass through unsuppressed (they cannot be near-anything under SQL
+    * comparison semantics; silently dropping them would turn a schema
+    * problem into missing data). */
+  def fuzzyFirstSeen(df: DataFrame, strCol: String, tsCol: String,
+      delay: String, maxDist: Int = 1): DataFrame = {
+    val sIdx = df.schema.fieldIndex(strCol)
+    val vSchema = df.schema.add("__vh", ArrayType(LongType), nullable = false)
+    val withV = df.mapPartitions { rows =>
+      rows.map { row =>
+        val s = row.getString(sIdx)
+        val vs: Seq[Long] =
+          if (s == null) Seq.empty
+          else scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            graft.llm.Fuzzy.deletionVariants(s, maxDist))
+        Row.fromSeq(row.toSeq :+ vs)
+      }
+    }(Encoders.row(vSchema))
+    val nulls = withV.filter(size(col("__vh")) === 0).select(df.columns.map(col): _*)
+    val claimed = withV.filter(size(col("__vh")) > 0)
+      .select(col("*"), size(col("__vh")).as("__nv"))
+      .select(df.columns.map(col) :+ col("__nv") :+ explode(col("__vh")).as("__v"): _*)
+    claimAll(claimed, df.columns, tsCol, delay, col("__nv"))
+      .unionByName(nulls)
+  }
+
   /** Shared tail of the streaming near-dup variants: first-claim the
     * (band, bh) keys within the watermark horizon, then re-admit the docs
     * that kept ALL their bands. Grouping is on the window plus every
@@ -114,6 +161,22 @@ object StreamingDedup {
       .groupBy(window(col(tsCol), delay) +: keys.map(col): _*)
       .agg(count(lit(1)).as("__kept"), min(col(tsCol)).as(tsCol))
       .filter(col("__kept") === bands)
+      .select(carry.map(col): _*)
+  }
+
+  /** [[claimAllBands]] generalized to a per-record expected claim count
+    * (variant sets vary in size with string length, unlike the fixed band
+    * count): `expected` must be constant across a record's exploded rows
+    * and is carried through the grouping as a key. */
+  private def claimAll(exploded: DataFrame, carry: Seq[String], tsCol: String,
+      delay: String, expected: org.apache.spark.sql.Column): DataFrame = {
+    val keys = carry.filterNot(_ == tsCol)
+    exploded
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__v")
+      .groupBy(window(col(tsCol), delay) +: expected +: keys.map(col): _*)
+      .agg(count(lit(1)).as("__kept"), min(col(tsCol)).as(tsCol))
+      .filter(col("__kept") === expected)
       .select(carry.map(col): _*)
   }
 }

@@ -319,6 +319,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fuzzy first-seen: in-horizon typo variants suppressed, novel keys pass") {
+    // the streaming twin of Fuzzy.editDistanceJoinShort: the batch join
+    // (same deletion-variant keys) decides which strings SHOULD collide;
+    // the stream must suppress exactly those within the horizon
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val base = "Customer#0001"
+    val typo = "Customer#0002" // one substitution
+    val novel = "Wombat#9999"
+    import spark.implicits._
+    // preflight the premise with the BATCH path
+    val batchPairs = graft.llm.Fuzzy.editDistanceJoinShort(
+        Seq((0L, base), (1L, typo), (2L, novel)).toDF("id", "s"), "id", "s", 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs === Set((0L, 1L)), s"fixture premise broken: $batchPairs")
+    val out = StreamingDedup.fuzzyFirstSeen(
+      in.toDF().toDF("ts", "name"), "name", "ts", "10 seconds", maxDist = 1)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fz_out").start()
+    try {
+      in.addData(ts(10) -> base)
+      q.processAllAvailable()
+      in.addData(ts(12) -> typo, ts(13) -> novel) // in-horizon: typo must drop
+      q.processAllAvailable()
+      // advance the watermark past the claims' horizon (the watermark
+      // moves at batch END, so the flusher must land in its own batch
+      // BEFORE the re-arrival), then a post-eviction re-arrival of the
+      // typo must RE-EMIT (the documented bounded-horizon contract)
+      in.addData(ts(100) -> "flusher far beyond every horizon")
+      q.processAllAvailable()
+      in.addData(ts(110) -> typo)
+      q.processAllAvailable()
+      in.addData(ts(200) -> "second flusher to close the re-arrival window")
+      q.processAllAvailable()
+      in.addData(ts(300) -> "third flusher to close the previous window too")
+      q.processAllAvailable()
+      val got = spark.table("fz_out").select("name").as[String].collect().toSeq
+      assert(got.count(_ == base) == 1, s"first arrival must pass once: $got")
+      assert(got.contains(novel), s"novel key must pass: $got")
+      assert(got.count(_ == typo) == 1,
+        s"typo must drop in-horizon and re-emit after eviction: $got")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: in-horizon near-duplicates suppressed, novel docs pass") {
     // the streaming twin of minhashPairs: batch LSH (same kernel, same band
     // hashing) decides which docs SHOULD collide; the stream must suppress
