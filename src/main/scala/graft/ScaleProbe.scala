@@ -220,8 +220,10 @@ object ScaleProbe {
         report("hits_3it", tHt, nHt)
         // round-9: the edit-distance join family on a replicated entity
         // keyspace (sequential low-entropy names — the deletion-
-        // neighborhood regime; copies offset so cross-copy names never
-        // collide and the pair count grows linearly with the factor)
+        // neighborhood regime). Cross-copy names DO pair (the offset digit
+        // is one substitution away), so pairs grow ~linearly-with-constant
+        // per copy AND every copy chains into ONE giant component — the
+        // worst case for both candidate volume and the CC closure.
         val names = docs.select(col("doc_id").as("ent_id"),
           format_string("Entity#%09d", col("doc_id")).as("name"))
         val (tFz, nFz) = time(

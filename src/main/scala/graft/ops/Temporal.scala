@@ -60,6 +60,52 @@ object Temporal {
           rp.map(c => col(s"__m.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Interpolation join — the as-of family's two-sided form: each left row
+    * gets the linear interpolation of `valueCol` between its BRACKETING
+    * right rows (latest at-or-before and earliest at-or-after, per key).
+    * The standard time-series alignment for sensor/metric feeds sampled on
+    * their own clocks; the one-sided [[asofJoin]] carries the last value
+    * forward, this reconstructs the value AT the query instant.
+    *
+    * Output: left columns + (`outCol` = v0 + (v1 − v0)·(t − t0)/(t1 − t0)
+    * as double). An exact hit (t = t0 = t1: both brackets resolve to the
+    * same right row) returns that row's value with no division; left rows
+    * OUTSIDE the right side's covered range (missing either bracket) get
+    * null — interior interpolation only, extrapolation is the caller's
+    * policy. `timeCol` must be NUMERIC on both sides (epoch millis):
+    * the forward bracket is the backward as-of on negated time, and
+    * negation needs arithmetic.
+    *
+    * Like DuckDB's ASOF at ties, the bracket choice among right rows with
+    * equal (key, time) is only deterministic given a tie-free right side —
+    * pre-aggregate right to one value per (key, time) (as the oracle
+    * fixture does) when duplicates are possible.
+    *
+    * Shape: two [[asofJoin]] passes = two key-shuffled window passes over
+    * slim (key, t, v) right rows — never a per-key cross product, same
+    * sort-merge posture as the one-sided form. */
+  def interpolateJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, valueCol: String, outCol: String = "interp"): DataFrame = {
+    val r2 = right.select(
+      keys.map(col) :+
+        col(timeCol).cast("double").as(timeCol) :+
+        col(timeCol).cast("double").as("__rt") :+
+        col(valueCol).cast("double").as("__rv"): _*)
+    val lCast = left.withColumn(timeCol, col(timeCol).cast("double"))
+    val back = asofJoin(lCast, r2, keys, timeCol, "__b_")
+    val ln = back.withColumn("__negt", -col(timeCol))
+    val rn = r2.select(
+      keys.map(col) :+ (-col(timeCol)).as("__negt") :+
+        col("__rt") :+ col("__rv"): _*)
+    asofJoin(ln, rn, keys, "__negt", "__f_")
+      .drop("__negt")
+      .withColumn(outCol,
+        when(col("__b___rt") === col("__f___rt"), col("__b___rv"))
+          .otherwise(col("__b___rv") + (col("__f___rv") - col("__b___rv")) *
+            (col(timeCol) - col("__b___rt")) / (col("__f___rt") - col("__b___rt"))))
+      .drop("__b___rt", "__b___rv", "__f___rt", "__f___rv")
+  }
+
   /** Range join: all (left, right) pairs within the same key group whose
     * time difference is at most `delta` (inclusive, same units as the time
     * columns — typically epoch millis).

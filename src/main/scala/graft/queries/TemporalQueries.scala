@@ -28,6 +28,26 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // each purchase gets the user's click value linearly interpolated
+    // between the bracketing clicks — the two-sided as-of; right side
+    // pre-aggregated tie-free per (user, ts) for the same determinism
+    // reason as q_asof_join, and the oracle is DuckDB's native ASOF in
+    // both directions with the identical interpolation formula (same
+    // IEEE double sequence — one subtract chain, one multiply, one
+    // divide — so the hash compare is exact)
+    "q_interpolate_join" -> ((s, dir) => {
+      val ev = Envelope.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          Envelope.tsMs(col("ts")).as("tms"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tms")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "tms").agg(max("value").as("v"))
+      Temporal.interpolateJoin(purchases, clicks, Seq("user_id"), "tms", "v")
+        .select("event_id", "user_id", "tms", "interp")
+        .orderBy("event_id")
+    }),
+
     // same-user event pairs within 10 minutes of each other
     "q_range_join" -> ((s, dir) => {
       val ev = Envelope.readEvents(s, dir)
@@ -46,6 +66,21 @@ object TemporalQueries {
         |                FROM events WHERE event_type = 'click'
         |                GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_interpolate_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS DOUBLE) AS tms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(epoch_ms(ts) AS DOUBLE) AS tms, max(value) AS v
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.tms,
+        |       CASE WHEN b.tms = f.tms THEN b.v
+        |            WHEN b.tms IS NOT NULL AND f.tms IS NOT NULL
+        |            THEN b.v + (f.v - b.v) * (p.tms - b.tms) / (f.tms - b.tms)
+        |       END AS interp
+        |FROM p
+        |ASOF LEFT JOIN c AS b ON p.user_id = b.user_id AND p.tms >= b.tms
+        |ASOF LEFT JOIN c AS f ON p.user_id = f.user_id AND p.tms <= f.tms
         |ORDER BY p.event_id""".stripMargin,
 
     "q_range_join" ->

@@ -43,6 +43,23 @@ class OpsSpec extends SparkSpec {
     assert(out("p3").isEmpty)           // nothing at or before -> null
   }
 
+  test("interpolate join: exact hit, interior interpolation, null outside the covered range") {
+    import spark.implicits._
+    val left = Seq((1L, 0L, "q0"), (1L, 5L, "q5"), (1L, 10L, "q10"),
+      (1L, 12L, "q12"), (1L, -1L, "qneg"), (2L, 7L, "k2q"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 0L, 10.0), (1L, 10L, 20.0), (2L, 7L, 5.5))
+      .toDF("k", "t", "v")
+    val out = graft.ops.Temporal.interpolateJoin(left, right, Seq("k"), "t", "v")
+      .select("lv", "interp").as[(String, Option[Double])].collect().toMap
+    assert(out("q0").contains(10.0))  // exact hit on the first point
+    assert(out("q5").contains(15.0))  // interior: halfway between 10 and 20
+    assert(out("q10").contains(20.0)) // exact hit on the last point
+    assert(out("q12").isEmpty)        // after the last point: no forward bracket
+    assert(out("qneg").isEmpty)       // before the first point: no backward bracket
+    assert(out("k2q").contains(5.5))  // other key: its own (single) exact point
+  }
+
   test("range join: inclusive delta, cross-bucket pairs found, no duplicates") {
     import spark.implicits._
     // t=999 and t=1001 straddle a bucket boundary at delta=1000

@@ -330,6 +330,22 @@ class PlanSpec extends SparkSpec {
       s"heavy hitters fell back to a global sort:\n$hhPlan")
   }
 
+  test("fuzzy join paths block via equi-joins: no windows, no all-pairs operators") {
+    // the whole point of both blocking regimes is that candidates come
+    // from hash-partitioned equi-joins on gram/variant keys — an all-pairs
+    // operator or a per-key window anywhere in either path would mean the
+    // blocking silently degenerated
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    for ((regime, df) <- Seq(
+        "gram" -> graft.llm.Fuzzy.editDistanceJoin(c, "c_custkey", "c_name", 1),
+        "deletes" -> graft.llm.Fuzzy.editDistanceJoinShort(c, "c_custkey", "c_name", 1))) {
+      val plan = df.queryExecution.executedPlan.toString
+      for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window "))
+        assert(!plan.contains(bad), s"fuzzy $regime path contains $bad:\n$plan")
+      assert(plan.contains("levenshtein"), s"fuzzy $regime path lost the verify:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q1)") {
     // AQE finalizes the plan only at execution; codegen'd operators then
     // carry the "*(n)" prefix
