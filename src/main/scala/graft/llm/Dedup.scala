@@ -1039,6 +1039,12 @@ object Dedup {
       fp = fp2
       if (sys.env.contains("GRAFT_CC_TRACE"))
         System.err.println(s"[cc] round ${it + 1}: edges=${fp2._1} t=${System.nanoTime() / 1000000}")
+      // the fingerprint above materialized `next`'s checkpoint, so the
+      // previous round's edge blocks are dead — free them now rather than
+      // pinning O(rounds) edge sets until the ContextCleaner runs (the
+      // supersede-free posture of [[graft.ops.Graphs.pageRank]]). The
+      // FINAL checkpoint is the returned frame and stays.
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(edges)
       edges = next
       it += 1
     }

@@ -64,6 +64,13 @@ object Graphs {
     // the uniform initial rank 10⁶ — a constant, so iteration 1 needs no
     // rank join at all)
     var ranks: DataFrame = null
+    // the live loop checkpoint: freed the moment a newer eager checkpoint
+    // supersedes it, so in-flight state is ≤1 checkpoint + 3 persisted
+    // frames regardless of `iters` (r9 left all ⌈iters/4⌉ checkpoints AND
+    // e/nodes/eDeg pinned until the harness or ContextCleaner got to them —
+    // the residue behind q_pagerank_deep reading 7.9 s mid-suite vs 4.9 s
+    // isolated)
+    var liveCp: DataFrame = null
     var it = 0
     while (it < iters) {
       val shares =
@@ -84,12 +91,30 @@ object Graphs {
       // posture as [[hits]] and the Dedup contraction loop; eager so the
       // round's work is done exactly once. Swap for `checkpoint` on a
       // real cluster where executor loss must not force a full recompute.
-      if (it % checkpointEvery == 0 && it < iters)
+      if (it % checkpointEvery == 0 && it < iters) {
         ranks = ranks.localCheckpoint(true)
+        // the eager checkpoint above has the rows in hand; the previous
+        // one is now unreachable dead weight
+        if (liveCp != null) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(liveCp)
+        liveCp = ranks
+      }
     }
-    if (ranks == null) nodes.withColumn("rank_micro", lit(1000000L))
-    else nodes.join(ranks, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rank_micro"), baseRank).as("rank_micro"))
+    val result =
+      if (ranks == null) nodes.withColumn("rank_micro", lit(1000000L))
+      else nodes.join(ranks, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rank_micro"), baseRank).as("rank_micro"))
+    // operator-exit cleanup: materialize the (slim, one-row-per-node)
+    // answer eagerly, then release every scratch structure NOW instead of
+    // leaving them for the ContextCleaner — an iterative operator already
+    // runs jobs at call time (the eager loop checkpoints), so eager exit
+    // changes no caller-visible semantics, and the returned frame is
+    // self-contained
+    val out = result.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    eDeg.unpersist(blocking = false)
+    if (liveCp != null) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(liveCp)
+    out
   }
 
   /** HITS hub/authority scoring (Kleinberg 1999) in the same integer
@@ -155,6 +180,10 @@ object Graphs {
     // pass needs no join at all: Σ hub over in-edges = 10⁶ · in-degree.
     var hub: DataFrame = null
     var auth: DataFrame = null
+    // ≤1 live hub checkpoint at any time (same supersede-free posture as
+    // [[pageRank]]): each iteration's eager hub checkpoint frees the
+    // previous one on the spot
+    var liveCp: DataFrame = null
     var it = 0
     while (it < iters) {
       val aIn =
@@ -172,22 +201,34 @@ object Graphs {
         .select(col("src").as("id"), col("hub_micro"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       hub = maxNorm(hraw, "hub_micro").localCheckpoint(true)
-      // hub is materialized past them — the round's scratch state can go.
-      // auth stays LAZY over the persisted araw until the final join; it
-      // unpersists when the caller's action completes (session-scoped,
-      // same cache-lifetime caveat as Dedup.minhashPairs).
+      // hub is materialized past them — the round's scratch state can go:
+      // the raw persisted frames unpersist, and the PREVIOUS iteration's
+      // hub checkpoint (consumed building this round's araw) is freed
       hraw.unpersist(blocking = false)
+      if (liveCp != null) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(liveCp)
+      liveCp = hub
+      // the final auth must outlive araw's unpersist below — checkpoint it
+      // eagerly on the last iteration (earlier iterations' auth is consumed
+      // within the round and needs no pin)
       if (it == iters - 1) auth = auth.localCheckpoint(true)
       araw.unpersist(blocking = false)
       it += 1
     }
     // zeros rejoin here: a node missing from auth has authority 0, from
     // hub has hub 0 — exactly the fixed point HITS gives them
-    nodes
+    val result = nodes
       .join(hub, Seq("id"), "left")
       .join(auth, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("hub_micro"), lit(0L)).as("hub_micro"),
         coalesce(col("auth_micro"), lit(0L)).as("auth_micro"))
+    // operator-exit cleanup, same rationale as [[pageRank]]: pin the slim
+    // answer, free the edge/node frames and the last hub/auth checkpoints
+    val out = result.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(hub)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(auth)
+    out
   }
 }

@@ -9,4 +9,29 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Drop the materialized blocks behind a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.unpersist` only touches the SQL cache and
+    * `SparkContext.getPersistentRDDs` sweeps are a harness-level remedy —
+    * neither lets an ITERATIVE OPERATOR free a checkpoint the moment a
+    * newer eagerly-materialized checkpoint supersedes it. This walks the
+    * analyzed plan to the `LogicalRDD` leaf a checkpoint compiles to and
+    * unpersists its backing `RDD[InternalRow]`, which is where
+    * `RDD.localCheckpoint` parked the rows (it registers them through the
+    * ordinary persist path, storage level MEMORY_AND_DISK).
+    *
+    * Caller contract: only call once nothing will read `ds` again — a
+    * local checkpoint's lineage is truncated, so a freed one cannot be
+    * recomputed (the same non-fault-tolerance `localCheckpoint` already
+    * has on executor loss). No-op on non-checkpoint plans and non-classic
+    * Datasets. */
+  def freeLocalCheckpoint(ds: Dataset[_]): Unit = ds match {
+    case c: classic.Dataset[_] =>
+      c.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }
