@@ -44,13 +44,24 @@ import org.apache.spark.sql.functions._
   * q·d + 1 prefix covers its own — while a (poor, poor) pair shares the
   * sentinel. The spec asserts all three regimes against brute force.
   *
+  * Unit of edit: Unicode CODE POINTS, matching the verify metric —
+  * Spark's `levenshtein` counts code-point edits, so blocking that
+  * enumerated UTF-16 code units would silently drop true pairs on
+  * supplementary-plane text (one code-point substitution rewrites TWO
+  * adjacent units, destroying up to q+1 gram types > the q·d budget, and
+  * the unit-based length filter can reject a pair whose code-point
+  * lengths are within d). Grams, deletion variants, and the length
+  * filter all therefore work over decoded code-point arrays; the
+  * non-ASCII spec case pins this against brute force.
+  *
   * Shape for 100 TB:
   *  - two slim passes build the blocking frame: a distinct-gram explode
   *    (rows ≈ Σ len(s), each a (long, long, gram) triple — never the
   *    payload row), one map-side-combinable frequency count, and a
-  *    per-string bounded sort to keep the q·d + 1 rarest grams (the
-  *    collect is per-STRING and bounded by the string's own length —
-  *    nothing corpus-sized accumulates anywhere);
+  *    bounded min-k aggregation keeping the q·d + 1 rarest grams per
+  *    string (agg state is ≤ q·d + 1 entries per string at every point —
+  *    map-side partial included — so a book-length document costs its
+  *    gram EXPLODE rows but never a document-sized agg buffer);
   *  - the candidate join keys on prefix grams, and the frequency ordering
   *    is the skew defense: a gram shared by the whole corpus (the
   *    "Customer#00000" problem that makes naive positional/segment
@@ -95,18 +106,21 @@ object Fuzzy {
 
     // distinct q-grams per string — the destroy-bound counts TYPES, so the
     // kernel dedups before emitting (and the prefix math assumes sets).
+    // Grams are windows over CODE POINTS (see the Unicode note above), and
+    // __flen is the code-point count the verify metric measures length in.
     // Gram-poor strings (≤ q·d distinct grams — short OR repetitive, the
     // class whose whole gram set d edits can rewrite) additionally emit
     // the sentinel row, flagged so it bypasses prefix selection.
     val gramRows = strs.as[(Long, String)]
       .flatMap { case (id, s) =>
-        val n = s.length
+        val cps = s.codePoints().toArray
+        val n = cps.length
         val gs: Array[String] =
           if (n < q) Array.empty
           else {
             val seen = scala.collection.mutable.LinkedHashSet.empty[String]
             var i = 0
-            while (i <= n - q) { seen.add(s.substring(i, i + q)); i += 1 }
+            while (i <= n - q) { seen.add(new String(cps, i, q)); i += 1 }
             seen.toArray
           }
         val grams = gs.iterator.map(g => (id, n.toLong, g, false))
@@ -118,16 +132,20 @@ object Fuzzy {
     val realGrams = gramRows.filter(!col("__sent")).drop("__sent")
     val freq = realGrams.groupBy("__g").agg(count(lit(1)).as("__gc"))
 
-    // per-string prefix: the (q·d + 1) globally-rarest grams, rarest-first
-    // under the shared (count, gram) order — bounded by the string length,
-    // so the collect_list is a per-row constant, not a corpus aggregate
+    // per-string prefix: the (q·d + 1) globally-rarest grams under the
+    // shared (count, gram) total order, kept by a BOUNDED min-k aggregator
+    // — agg state never exceeds q·d + 1 entries per string, map-side
+    // partials included, so a book-length document can't build a
+    // document-sized buffer the way collect_list-then-slice would (the
+    // [[graft.llm.Sampling]] MinKAgg posture; any shared total order
+    // satisfies the prefix-filter theorem, so the tie-break choice is
+    // free as long as every string uses the same one)
+    val rarestK = udaf(new RarestGramsAgg(prefixLen))
     val prefixReal = realGrams.join(freq, Seq("__g"))
       .groupBy("__fid")
       .agg(first(col("__flen")).as("__flen"),
-        slice(array_sort(collect_list(struct(col("__gc"), col("__g")))),
-          1, prefixLen).as("__ps"))
-      .select(col("__fid"), col("__flen"), explode(col("__ps")).as("__p"))
-      .select(col("__fid"), col("__flen"), col("__p.__g").as("__g"))
+        rarestK(col("__gc"), col("__g")).as("__ps"))
+      .select(col("__fid"), col("__flen"), explode(col("__ps")).as("__g"))
 
     // sentinel bucket: the gram-poor class, bounded by construction —
     // a string lands here only when its entire distinct-gram set fits in
@@ -146,6 +164,35 @@ object Fuzzy {
       .select("id_a", "id_b").distinct()
 
     verifyPairs(cand, strs, maxDist)
+  }
+
+  /** Bounded min-k over (frequency, gram) in ascending order — the
+    * prefix-selection buffer of [[editDistanceJoin]]. The buffer holds AT
+    * MOST k entries at every point (insert keeps the list sorted and
+    * truncates), so per-string agg state is q·d + 1 entries regardless of
+    * how many distinct grams the string has; partial aggregation keeps the
+    * same bound on map-side combiners. Ties on frequency break by
+    * `String.compareTo` — the theorem only needs SOME shared total order. */
+  private[graft] class RarestGramsAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, String), List[(Long, String)], Seq[String]] {
+    private def lt(a: (Long, String), b: (Long, String)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
+    private def insert(buf: List[(Long, String)], e: (Long, String)): List[(Long, String)] = {
+      val (pre, post) = buf.span(lt(_, e))
+      val merged = pre ::: e :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[(Long, String)] = Nil
+    def reduce(buf: List[(Long, String)], a: (Long, String)): List[(Long, String)] =
+      insert(buf, a)
+    def merge(x: List[(Long, String)], y: List[(Long, String)]): List[(Long, String)] =
+      y.foldLeft(x)(insert)
+    def finish(buf: List[(Long, String)]): Seq[String] = buf.map(_._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, String)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
   /** The shared verify tail: slim (id_a, id_b) candidates join back to
@@ -205,7 +252,8 @@ object Fuzzy {
 
     val vrows = strs.as[(Long, String)]
       .flatMap { case (id, s) =>
-        deletionVariants(s, maxDist).iterator.map(h => (id, s.length.toLong, h))
+        val cpLen = s.codePointCount(0, s.length).toLong
+        deletionVariants(s, maxDist).iterator.map(h => (id, cpLen, h))
       }
       .toDF("__fid", "__flen", "__vh")
 
@@ -221,27 +269,41 @@ object Fuzzy {
   }
 
   /** Distinct 64-bit hashes of every ≤ maxDist-deletion variant of `s`
-    * (including s itself). Deletion positions are enumerated
-    * non-decreasingly so each position SUBSET is visited once; textually
-    * equal variants from different subsets (adjacent equal chars) dedup
-    * through the hash set. Shared with the streaming first-seen twin
-    * ([[graft.streaming.StreamingDedup]]), which claims the same keys. */
+    * (including s itself). Deletions remove CODE POINTS, matching the
+    * verify metric's unit — deleting UTF-16 units would leave unpaired
+    * surrogates and miss true supplementary-plane pairs — and the variant
+    * hash ([[Hashing.hashCodePoints]]) is bit-identical to
+    * [[Hashing.hashString]] of the variant text. Deletion positions are
+    * enumerated non-decreasingly so each position SUBSET is visited once;
+    * textually equal variants from different subsets (adjacent equal code
+    * points) dedup through the hash set. Shared with the streaming
+    * first-seen twin ([[graft.streaming.StreamingDedup]]), which claims
+    * the same keys. */
   private[graft] def deletionVariants(s: String, maxDist: Int): Array[Long] = {
     val out = scala.collection.mutable.HashSet.empty[Long]
-    def rec(cur: java.lang.StringBuilder, budget: Int, from: Int): Unit = {
-      out += Hashing.hashString(cur)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    s.codePoints().forEach(cp => buf += cp)
+    val arr = buf.toArray
+    // scratch holds the current variant's code points in its first `len`
+    // slots; delete-at-i = shift-left, restore = shift-right — O(len) per
+    // step but allocation-free across the whole enumeration
+    val scratch = new Array[Int](arr.length)
+    System.arraycopy(arr, 0, scratch, 0, arr.length)
+    def rec(len: Int, budget: Int, from: Int): Unit = {
+      out += Hashing.hashCodePoints(scratch, len)
       if (budget > 0) {
         var i = from
-        while (i < cur.length) {
-          val c = cur.charAt(i)
-          cur.deleteCharAt(i)
-          rec(cur, budget - 1, i)
-          cur.insert(i, c)
+        while (i < len) {
+          val c = scratch(i)
+          System.arraycopy(scratch, i + 1, scratch, i, len - i - 1)
+          rec(len - 1, budget - 1, i)
+          System.arraycopy(scratch, i, scratch, i + 1, len - i - 1)
+          scratch(i) = c
           i += 1
         }
       }
     }
-    rec(new java.lang.StringBuilder(s), maxDist, 0)
+    rec(arr.length, maxDist, 0)
     out.toArray
   }
 

@@ -34,6 +34,22 @@ object Hashing {
     h
   }
 
+  /** FNV-1a 64 over an explicit code-point sequence (first `len` entries
+    * of `cps`) — bit-identical to [[hashString]] of the equivalent String,
+    * for kernels that already work in decoded code-point arrays (the
+    * fuzzy deletion-variant enumeration) and shouldn't re-encode to UTF-16
+    * just to hash. */
+  def hashCodePoints(cps: Array[Int], len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < len) {
+      h ^= cps(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** The j-th hash family member applied to a pre-hashed value. */
   def mix(h: Long, j: Int): Long =
     splitmix64(h ^ (j.toLong * 0x9E3779B97F4A7C15L))

@@ -89,6 +89,73 @@ class FuzzySpec extends SparkSpec {
       Set((0L, 1L, 0L), (0L, 2L, 1L), (1L, 2L, 1L)))
   }
 
+  test("supplementary-plane text: blocking units match the code-point metric") {
+    // each emoji is TWO UTF-16 code units but ONE code point — Spark's
+    // levenshtein counts code points, so unit-based blocking would both
+    // shred grams across surrogate halves and inflate the length filter
+    // (r9 advice finding). Pairs here differ by exactly one code-point
+    // edit INSIDE emoji runs; both regimes must agree with brute force.
+    val df = Seq(
+      (0L, "😀😁😂🤣😃😄😅😆😉😊"), // 10 cp / 20 units
+      (1L, "😀😁😂🤣😃😄😅😆😉😋"), // 1 substitution from 0
+      (2L, "😀😁😂🤣😃😄😅😆😉"),   // 1 deletion from 0
+      (3L, "x😀y😁z"),             // mixed BMP + supplementary
+      (4L, "x😀y😂z"),             // 1 substitution from 3
+      (5L, "plain ascii row"),
+      (6L, "𝕳𝖊𝖑𝖑𝖔 world"),      // math-bold (all supplementary)
+      (7L, "𝕳𝖊𝖑𝖑𝖔 worlds")).toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val b = brute(df, "id", "s", d)
+      assert(blocked(df, "id", "s", d, 3) === b, s"gram path d=$d")
+      assert(deletes(df, "id", "s", d) === b, s"deletion path d=$d")
+    }
+  }
+
+  test("book-length strings: gram path stays correct with the bounded prefix agg") {
+    // ~40k-char documents (far beyond any sane entity key) through the
+    // gram path: the rarest-k aggregator's buffer is structurally capped
+    // at q·d+1, so this must complete without building document-sized agg
+    // rows AND still match brute force (one pair differs by 2 edits, one
+    // is unrelated)
+    val base = (0 until 1500).map(i => s"sentence $i of the long document. ").mkString
+    val df = Seq((0L, base), (1L, base.replace("sentence 17 ", "sentense 17x")),
+      (2L, base.reverse)).toDF("id", "s")
+    // thresholded all-pairs reference: the unthresholded DP is O(n²) per
+    // pair at this length; the banded form is the same metric
+    val s = df.select(col("id"), col("s"))
+    val ref = s.select(col("id").as("id_a"), col("s").as("sa"))
+      .crossJoin(s.select(col("id").as("id_b"), col("s").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), 2).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(ref === Set((0L, 1L, 2L))) // the fixture means what it claims
+    assert(blocked(df, "id", "s", 2, 3) === ref)
+  }
+
+  test("RarestGramsAgg buffer never exceeds k through reduce or merge") {
+    val agg = new graft.llm.Fuzzy.RarestGramsAgg(7)
+    var buf = agg.zero
+    val rnd = new scala.util.Random(42)
+    (0 until 10000).foreach { i =>
+      buf = agg.reduce(buf, (rnd.nextInt(1000).toLong, s"g$i"))
+      assert(buf.length <= 7, s"reduce step $i grew past k")
+    }
+    var m = agg.zero
+    (0 until 50).foreach { _ =>
+      var other = agg.zero
+      (0 until 40).foreach(j => other = agg.reduce(other, (rnd.nextInt(100).toLong, s"m$j")))
+      m = agg.merge(m, other)
+      assert(m.length <= 7, "merge grew past k")
+    }
+    // and the kept set is the true min-k under the (count, gram) order
+    val elems = (0 until 100).map(i => ((i * 37 % 50).toLong, s"e$i"))
+    var b2 = agg.zero
+    elems.foreach(e => b2 = agg.reduce(b2, e))
+    val expect = elems.sortBy { case (c, g) => (c, g) }.take(7).map(_._2)
+    assert(agg.finish(b2) === expect)
+  }
+
   test("fuzzyClusters closes typo chains and keeps singletons canonical") {
     val df = Seq((10L, "gradient"), (11L, "gradiant"), (12L, "gradiunt"),
       (20L, "optimizer"), (30L, "zebra")).toDF("id", "s")
