@@ -49,11 +49,15 @@ object StreamingDedup {
     * window (bounded additional latency, the price of the cross-batch
     * claim check).
     *
-    * Contract notes, both inherent to streaming LSH: (1) a suppressed
+    * Contract notes, all inherent to streaming LSH: (1) a suppressed
     * doc's NOVEL buckets stay claimed by it (partial registration — the
     * standard first-wins chaining behavior); (2) like `firstSeen`, a
     * near-dup arriving after eviction re-emits; the batch pass is the
-    * backstop. */
+    * backstop; (3) near-dups arriving in the SAME micro-batch are
+    * arbitrated deterministically ([[batchLocalFirstClaim]]): the minimum
+    * event-time doc wins every bucket it is first to and is emitted —
+    * without the arbitration step the per-bucket winner is arbitrary and
+    * two same-batch near-dups could split claims and BOTH vanish. */
   def nearDupFirstSeen(df: DataFrame, textCol: String, tsCol: String, delay: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
@@ -123,7 +127,17 @@ object StreamingDedup {
     * horizon, never corpus size. Null strings generate no variants and
     * pass through unsuppressed (they cannot be near-anything under SQL
     * comparison semantics; silently dropping them would turn a schema
-    * problem into missing data). */
+    * problem into missing data).
+    *
+    * Same-batch arrivals are arbitrated deterministically
+    * ([[batchLocalFirstClaim]]): among near-duplicates landing in one
+    * micro-batch, the minimum event-time record wins every variant it is
+    * first to and IS emitted — the first arrival passes in event-time
+    * order, batch boundaries notwithstanding. A suppressed record's
+    * unshared variants remain claimed by it (partial registration), so
+    * suppression can chain transitively past 2·maxDist across a dense
+    * typo cluster — inherent to first-wins streaming; the exact batch
+    * join is the backstop. */
   def fuzzyFirstSeen(df: DataFrame, strCol: String, tsCol: String,
       delay: String, maxDist: Int = 1): DataFrame = {
     val sIdx = df.schema.fieldIndex(strCol)
@@ -146,7 +160,43 @@ object StreamingDedup {
       .unionByName(nulls)
   }
 
-  /** Shared tail of the streaming near-dup variants: first-claim the
+  /** Stateless, batch-scoped claim arbitration — the same-batch
+    * determinism fix (r9 advice): `dropDuplicatesWithinWatermark` picks an
+    * ARBITRARY winner among rows of one micro-batch sharing a claim key,
+    * so two near-duplicates arriving together could split their claims and
+    * BOTH fail the keep-all re-admission — first-seen semantics emitting
+    * zero rows. This pass co-locates each batch's claim-key rows
+    * (repartition on the key) and keeps only the minimum-(event-time)
+    * claimant per key, with a deterministic full-row tiebreak for equal
+    * timestamps. Because the tiebreak compares the SAME non-key fields at
+    * every key a record emits, one record wins consistently across all its
+    * keys: the true (min event-time) first arrival keeps every claim it
+    * is first to, and is emitted. Per-batch and stateless — memory is the
+    * partition's slice of ONE micro-batch, never horizon-sized state. */
+  private def batchLocalFirstClaim(exploded: DataFrame, tsCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val schema = exploded.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    def lt(a: Row, b: Row): Boolean = {
+      val c = a.getAs[java.sql.Timestamp](tsIdx).compareTo(b.getAs[java.sql.Timestamp](tsIdx))
+      // any deterministic total order works for the tie — the point is
+      // only that the same record wins every one of its keys
+      if (c != 0) c < 0 else a.mkString("\u0001").compareTo(b.mkString("\u0001")) < 0
+    }
+    exploded.repartition(keyCols.map(col): _*).mapPartitions { rows =>
+      val best = scala.collection.mutable.HashMap.empty[Seq[Any], Row]
+      rows.foreach { r =>
+        val k = keyIdx.map(r.get)
+        val cur = best.get(k)
+        if (cur.isEmpty || lt(r, cur.get)) best(k) = r
+      }
+      best.valuesIterator
+    }(Encoders.row(schema))
+  }
+
+  /** Shared tail of the streaming near-dup variants: batch-locally
+    * arbitrate claims ([[batchLocalFirstClaim]]), first-claim the
     * (band, bh) keys within the watermark horizon, then re-admit the docs
     * that kept ALL their bands. Grouping is on the window plus every
     * NON-event-time column: keeping tsCol itself as a key would leave two
@@ -155,7 +205,7 @@ object StreamingDedup {
   private def claimAllBands(banded: DataFrame, carry: Seq[String], tsCol: String,
       delay: String, bands: Int): DataFrame = {
     val keys = carry.filterNot(_ == tsCol)
-    banded
+    batchLocalFirstClaim(banded, tsCol, Seq("band", "bh"))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("band", "bh")
       .groupBy(window(col(tsCol), delay) +: keys.map(col): _*)
@@ -171,7 +221,7 @@ object StreamingDedup {
   private def claimAll(exploded: DataFrame, carry: Seq[String], tsCol: String,
       delay: String, expected: org.apache.spark.sql.Column): DataFrame = {
     val keys = carry.filterNot(_ == tsCol)
-    exploded
+    batchLocalFirstClaim(exploded, tsCol, Seq("__v"))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__v")
       .groupBy(window(col(tsCol), delay) +: expected +: keys.map(col): _*)

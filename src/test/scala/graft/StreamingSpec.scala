@@ -363,6 +363,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fuzzy first-seen: SAME-batch near-dups arbitrate to the min-ts record") {
+    // the r9 advice scenario: two typo variants land in ONE micro-batch.
+    // Without deterministic arbitration, dropDuplicatesWithinWatermark can
+    // split the variant claims between them and emit NEITHER; with
+    // batchLocalFirstClaim the min event-time record must win all its
+    // claims and pass, the other must be suppressed.
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val first = "Customer#0001"
+    val typo = "Customer#0002" // distance 1 from first
+    val novel = "Wombat#9999"
+    import spark.implicits._
+    val out = StreamingDedup.fuzzyFirstSeen(
+      in.toDF().toDF("ts", "name"), "name", "ts", "10 seconds", maxDist = 1)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fz_sb_out").start()
+    try {
+      // all three in ONE batch — first and typo are near-dups of each other
+      in.addData(ts(12) -> typo, ts(10) -> first, ts(13) -> novel)
+      q.processAllAvailable()
+      in.addData(ts(100) -> "flusher far beyond every horizon")
+      q.processAllAvailable()
+      in.addData(ts(200) -> "second flusher to close the previous window")
+      q.processAllAvailable()
+      val got = spark.table("fz_sb_out").select("name").as[String].collect().toSeq
+      assert(got.count(_ == first) == 1, s"min-ts arrival must pass exactly once: $got")
+      assert(got.count(_ == typo) == 0, s"same-batch near-dup must be suppressed: $got")
+      assert(got.count(_ == novel) == 1, s"novel key must pass: $got")
+    } finally q.stop()
+  }
+
+  test("streaming LSH near-dup: SAME-batch near-dups arbitrate to the min-ts doc") {
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills tonight"
+    val nearDup = base.replace("tonight", "today")
+    val distinctDoc = "completely different content about spark shuffles partitions and codegen stages forever"
+    import spark.implicits._
+    val out = StreamingDedup.nearDupFirstSeen(
+      in.toDF().toDF("ts", "text"), "text", "ts", "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("nd_sb_out").start()
+    try {
+      in.addData(ts(12) -> nearDup, ts(10) -> base, ts(13) -> distinctDoc) // one batch
+      q.processAllAvailable()
+      in.addData(ts(100) -> "window flusher far in the future beyond every horizon boundary now")
+      q.processAllAvailable()
+      in.addData(ts(200) -> "second flusher even further out to close the previous window too")
+      q.processAllAvailable()
+      val got = spark.table("nd_sb_out").select("text").as[String].collect().toSet
+      assert(got.contains(base), s"min-ts arrival must pass: $got")
+      assert(!got.contains(nearDup), s"same-batch near-dup must be suppressed: $got")
+      assert(got.contains(distinctDoc), s"novel doc must pass: $got")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: in-horizon near-duplicates suppressed, novel docs pass") {
     // the streaming twin of minhashPairs: batch LSH (same kernel, same band
     // hashing) decides which docs SHOULD collide; the stream must suppress
