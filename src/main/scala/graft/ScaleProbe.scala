@@ -233,6 +233,28 @@ object ScaleProbe {
           graft.llm.Fuzzy.fuzzyClusters(names, "ent_id", "name",
             maxDist = 1, shortStrings = true).filter(col("is_canonical")).count())
         report("fuzzy_cluster_canonical", tFc, nFc)
+        // round-10: the as-of family under a HOT key — half of every
+        // tick lands on key 0 (the single-instrument-with-10⁹-ticks shape
+        // the asofJoin scaladoc warns about). The plain window serializes
+        // key 0 into ONE task's sort; the bucketed form (width 10⁴ over a
+        // fixed 10⁶ time span = 100 cuts) spreads it — the probe measures
+        // exactly that divergence growing with the factor. Right-side
+        // (k, t) ties only perturb WHICH equal-time payload wins, never
+        // the row count the timing actions count.
+        val hotK = when(pmod(col("doc_id"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(col("doc_id"), lit(64)))
+        val ticksL = docs.select(hotK.as("k"),
+          pmod(col("doc_id") * 7919L, lit(1000000L)).as("t"),
+          col("doc_id").as("lv"))
+        val ticksR = docs.select(hotK.as("k"),
+          pmod(col("doc_id") * 104729L, lit(1000000L)).as("t"),
+          col("doc_id").as("rv"))
+        val (tAsP, nAsP) = time(
+          graft.ops.Temporal.asofJoin(ticksL, ticksR, Seq("k"), "t").count())
+        report("asof_hotkey_plain", tAsP, nAsP)
+        val (tAsB, nAsB) = time(
+          graft.ops.Temporal.asofJoinBucketed(ticksL, ticksR, Seq("k"), "t", 10000L).count())
+        report("asof_hotkey_bucketed", tAsB, nAsB)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()

@@ -29,6 +29,16 @@ object Temporal {
     *
     * Right payload columns come back prefixed with `rightPrefix`; left rows
     * with no match carry nulls (left-outer semantics).
+    *
+    * Hot-key caveat: the window partitions by `keys`, so ONE pathological
+    * key (a single instrument carrying 10⁹ ticks) serializes its rows into
+    * one task's sort. The mitigation is the same time-axis bucketing
+    * [[rangeJoin]] uses: split the hot key's time axis into coarse ranges
+    * (key, epoch-bucket), run the window inside each bucket, and seed each
+    * bucket with the previous bucket's LAST right row (one extra slim
+    * shuffle) so carry-forward crosses the cut. Compose it per hot key
+    * when key histograms demand it — uniform keyspaces (the common case)
+    * should not pay the extra pass, so it is not the default here.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightPrefix: String = "r_"): DataFrame = {
@@ -52,6 +62,97 @@ object Temporal {
       .orderBy(col(timeCol).asc, col("__r").desc, col("__rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTag.unionByName(rTag)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+      .select(
+        keys.map(col) ++ Seq(col(timeCol)) ++
+          lp.map(c => col(s"__lp.$c").as(c)) ++
+          rp.map(c => col(s"__m.$c").as(s"$rightPrefix$c")): _*)
+  }
+
+  /** [[asofJoin]] with the hot-key mitigation BUILT IN: the time axis is
+    * split into `bucketWidth`-sized ranges and the heavy sort runs per
+    * (key, bucket) — a key with 10⁹ ticks spreads over ⌈span/width⌉ tasks
+    * instead of serializing into one. Carry-forward across the cut comes
+    * from a SEED row per (key, bucket): the latest right payload from any
+    * earlier bucket, computed on a bucket-level summary frame (one row per
+    * (key, bucket) — the per-key window that remains is over buckets, not
+    * ticks) and sorted ahead of the bucket's real rows so any real
+    * at-or-before right row beats it, exactly as its earlier true
+    * timestamp dictates.
+    *
+    * Result-identical to [[asofJoin]] (OpsSpec asserts row-for-row
+    * equality on random data; the driver oracle is the same DuckDB ASOF):
+    * a left row's match is either in its own bucket (found by the
+    * within-bucket window, seeds lose ties to real rows) or the latest
+    * right row of an earlier bucket (the seed, strictly older than
+    * everything in this bucket since buckets partition time).
+    *
+    * `timeCol` must be numeric (epoch millis) — bucketing needs
+    * arithmetic. Extra cost over [[asofJoin]]: one slim (key, bucket)
+    * aggregate and a bucket-level window — pay it when key histograms are
+    * skewed; the uniform-keyspace default remains [[asofJoin]]. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, bucketWidth: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lp = left.columns.filterNot(c => keys.contains(c) || c == timeCol)
+    val rp = right.columns.filterNot(c => keys.contains(c) || c == timeCol)
+    val lpType = left.select(struct(lp.map(col): _*)).schema.head.dataType
+    val rpType = right.select(struct(rp.map(col): _*)).schema.head.dataType
+    def bk(t: Column) = floor(t / bucketWidth).cast("long")
+    // __sd orders seeds BEFORE real rows at equal (t, side): a seed's true
+    // timestamp is strictly older than every row of its bucket, so it must
+    // lose to any real at-or-before right row the window finds later
+    val lTag = left.select(
+      keys.map(col) ++ Seq(
+        bk(col(timeCol)).as("__bk"),
+        col(timeCol),
+        lit(1).as("__sd"),
+        lit(0).as("__r"),
+        struct(lp.map(col): _*).as("__lp"),
+        lit(null).cast(rpType).as("__rp")): _*)
+    val rTag = right.select(
+      keys.map(col) ++ Seq(
+        bk(col(timeCol)).as("__bk"),
+        col(timeCol),
+        lit(1).as("__sd"),
+        lit(1).as("__r"),
+        lit(null).cast(lpType).as("__lp"),
+        struct(rp.map(col): _*).as("__rp")): _*)
+    // bucket-level summary: the max-(time, payload) right row per
+    // (key, bucket) — slim, one row per occupied bucket
+    val bucketLast = rTag.groupBy((keys :+ "__bk").map(col): _*)
+      .agg(max(struct(col(timeCol), col("__rp"))).as("__bl"))
+    // bucket domain = every (key, bucket) holding LEFT rows (only those
+    // need a seed), carry the latest earlier-bucket payload forward via a
+    // window over BUCKET rows per key
+    val domain = lTag.select((keys :+ "__bk").map(col): _*).distinct()
+      .withColumn("__bl", lit(null).cast(bucketLast.schema("__bl").dataType))
+      .unionByName(bucketLast)
+    val wSeed = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bk").asc, col("__bl").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = domain
+      .withColumn("__prev",
+        last(when(col("__bl").isNotNull,
+          struct(col("__bk").as("src_bk"), col("__bl").as("bl"))), ignoreNulls = true).over(wSeed))
+      // a seed carries only STRICTLY-earlier buckets' state: a __prev from
+      // this same bucket is the bucket's own right rows, which the
+      // within-bucket window already sees
+      .filter(col("__prev").isNotNull && col("__prev.src_bk") < col("__bk") &&
+        col("__bl").isNull) // only left-occupied bucket rows spawn seeds
+      .select(
+        keys.map(col) ++ Seq(
+          col("__bk"),
+          (col("__bk") * bucketWidth).cast(left.schema(timeCol).dataType).as(timeCol),
+          lit(0).as("__sd"),
+          lit(1).as("__r"),
+          lit(null).cast(lpType).as("__lp"),
+          col("__prev.bl.__rp").as("__rp")): _*)
+    val w = Window.partitionBy((keys :+ "__bk").map(col): _*)
+      .orderBy(col(timeCol).asc, col("__sd").asc, col("__r").desc, col("__rp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTag.unionByName(rTag).unionByName(seeds)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__r") === 0)
       .select(

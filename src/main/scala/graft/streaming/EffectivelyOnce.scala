@@ -34,7 +34,17 @@ object EffectivelyOnce {
   /** Wrap a foreachBatch body so replays of an already-committed batch id
     * are skipped. `commitDir` must be stable across restarts (like the
     * query checkpoint dir — any Hadoop-FS URI works: file://, s3a://,
-    * abfss://). */
+    * abfss://).
+    *
+    * Atomicity scope: the "exactly one create wins" race note below holds
+    * on filesystems with atomic create-if-absent (HDFS, local, abfss —
+    * where `create(overwrite=false)` is a namespace operation). S3 has no
+    * atomic create-if-absent, so on s3a the exists+create pair is
+    * best-effort against CONCURRENT writers. Structured Streaming's
+    * driver runs foreachBatch single-threaded per query — one writer —
+    * so the single-query case this wraps is safe on any store; only two
+    * simultaneously-live drivers on the same checkpoint (a split-brain SS
+    * deployment error in itself) could double-commit on S3. */
   def skipCommitted(commitDir: String)(body: (DataFrame, Long) => Unit):
       (DataFrame, Long) => Unit = { (df, batchId) =>
     val dir = new Path(commitDir)

@@ -41,6 +41,16 @@ class EmptyInputSpec extends SparkSpec {
     "q_text_ppl_buckets" -> "LM reference corpus is empty",
     "q_pipeline_curation" -> "LM reference corpus is empty")
 
+  test("the partial-function allowlist names only registered queries") {
+    // name-keyed allowlist: a rename in SparkEntry.queries would otherwise
+    // silently drop the renamed query from the totality check above (it
+    // would no longer match the allowlist, but nothing would notice the
+    // allowlist entry going stale either)
+    val unknown = requiresTrainingData.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"allowlist entries with no matching registered query: $unknown")
+  }
+
   test("every registered query runs on a zero-row corpus") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => requiresTrainingData.contains(q._1))

@@ -43,6 +43,35 @@ class OpsSpec extends SparkSpec {
     assert(out("p3").isEmpty)           // nothing at or before -> null
   }
 
+  test("asofJoinBucketed ≡ asofJoin: random data, hot key, boundary times, every width") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture with a HOT key (key 0 carries
+    // half the rows — the skew the bucketed form exists for), ties on
+    // (key, time) on both sides, and times landing exactly on bucket
+    // boundaries for the widths under test
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int, tag: String) = (0 until n).map { i =>
+      val k = if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(5)
+      val t = rnd.nextInt(40).toLong * (if (rnd.nextBoolean()) 7L else 10L)
+      (k, t, s"$tag$i")
+    }
+    val left = gen(120, "L").toDF("k", "t", "lv")
+    // right made tie-free per (k, t) — the operator's documented
+    // determinism precondition, same as the oracle fixture
+    val right = gen(150, "R").toDF("k", "t", "rv")
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    val plain = graft.ops.Temporal.asofJoin(left, right, Seq("k"), "t")
+      .select("k", "t", "lv", "r_rv").as[(Long, Long, String, Option[String])]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    for (width <- Seq(1L, 7L, 10L, 70L, 1000L)) {
+      val bucketed = graft.ops.Temporal.asofJoinBucketed(
+          left, right, Seq("k"), "t", width)
+        .select("k", "t", "lv", "r_rv").as[(Long, Long, String, Option[String])]
+        .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+      assert(bucketed === plain, s"width=$width diverges from asofJoin")
+    }
+  }
+
   test("interpolate join: exact hit, interior interpolation, null outside the covered range") {
     import spark.implicits._
     val left = Seq((1L, 0L, "q0"), (1L, 5L, "q5"), (1L, 10L, "q10"),

@@ -346,6 +346,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed as-of partitions its window by (key, bucket), no all-pairs operator") {
+    // the operator's reason to exist is that the tick-level sort runs per
+    // (key, time-bucket): a window partitioned by the bare key would put
+    // the hot key back into one task, and any nested-loop operator would
+    // mean the seed join degenerated
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (2L, 250L, "b")).toDF("k", "t", "lv")
+    val right = Seq((1L, 50L, "x"), (2L, 40L, "y")).toDF("k", "t", "rv")
+    val df = graft.ops.Temporal.asofJoinBucketed(left, right, Seq("k"), "t", 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"bucketed as-of contains $bad:\n$plan")
+    // the tick-level window's partition spec must include the bucket column
+    assert(plan.contains("windowspecdefinition(k#") || plan.contains("windowspecdefinition(k"),
+      s"expected window over k:\n$plan")
+    assert(plan.contains("__bk"), s"bucket column missing from the plan:\n$plan")
+    val tickWindow = plan.linesIterator.find(l =>
+      l.contains("windowspecdefinition") && l.contains("__rp"))
+    assert(tickWindow.exists(_.contains("__bk")),
+      s"tick-level window not partitioned by the bucket:\n${tickWindow.getOrElse("")}")
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q1)") {
     // AQE finalizes the plan only at execution; codegen'd operators then
     // carry the "*(n)" prefix
