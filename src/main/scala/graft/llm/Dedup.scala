@@ -306,18 +306,35 @@ object Dedup {
     * (pigeonhole), so recall is exact for maxHamming ≤ 3. Rows stay slim:
     * (id, simhash, band, bh) is 32 bytes. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      maxBucket: Int = 500): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+      maxBucket: Int = 500): DataFrame =
+    hammingPairs64(simhash(df, idCol, textCol), idCol, "simhash", maxHamming, maxBucket)
+
+  /** All pairs within `maxHamming` bits over ANY 64-bit fingerprint column
+    * — the banded candidate join + bit_count verify shared by
+    * [[simhashPairs]] (text fingerprints) and the multimodal perceptual-
+    * hash dedup ([[graft.llm.Multimodal.imageNearDupPairs]]). Four 16-bit
+    * bands: a pair within Hamming ≤ 3 shares at least one exact band
+    * (pigeonhole over 4 bands), so recall is EXACT for maxHamming ≤ 3;
+    * beyond 3 a pair surfaces only when one of its bands happens to
+    * collide — the standard LSH recall/threshold trade every caller of
+    * the wider radii opts into knowingly (and the replay oracles model
+    * the banding, not brute force). Scale shape: (id, hash, band, bh)
+    * rows are 32 bytes, candidates gather per (band, bh) bucket — never
+    * an all-pairs comparison — and degenerate buckets (identical
+    * fingerprints corpus-wide) are capped like every banded dedup here. */
+  def hammingPairs64(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int = 500): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
     val banded = capBuckets(
-      sh.select(
-        col(idCol), col("simhash"),
+      hashed.select(
+        col(idCol), col(hashCol),
         explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, (shiftright(simhash, b * 16) & 65535) AS bh))"))
+          s"transform(sequence(0, 3), b -> struct(b AS band, (shiftright($hashCol, b * 16) & 65535) AS bh))"))
           .as("__bk"))
-        .select(col(idCol), col("simhash"), col("__bk.band").as("band"), col("__bk.bh").as("bh")),
+        .select(col(idCol), col(hashCol), col("__bk.band").as("band"), col("__bk.bh").as("bh")),
       maxBucket)
-    banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col("simhash").as("__h_a"))
-      .join(banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col("simhash").as("__h_b")),
+    banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col(hashCol).as("__h_a"))
+      .join(banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col(hashCol).as("__h_b")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -156,6 +156,129 @@ object Multimodal {
     else None
   }
 
+  // ---- real pixel decoders (uncompressed formats only — the honest
+  //      in-container scope; codec formats remain the documented stub) ----
+
+  /** 24-bpp uncompressed BMP → row-major grayscale. Real decode: pixel
+    * array offset from the file header (int32-LE at byte 10), BGR triplets,
+    * rows padded to 4-byte stride, BOTTOM-UP row order unless height is
+    * negative (top-down). Luma is the integer BT.601 weighting
+    * (299·R + 587·G + 114·B) / 1000 — all-integer so the perceptual hash
+    * downstream replays bit-exact in any engine. Returns None for
+    * non-24bpp, compressed (BI_RLE/BI_BITFIELDS), or truncated input —
+    * corrupt scrapes are normal input, never a job failure. */
+  private[graft] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getInt(18)
+    val rawH = bb.getInt(22)
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    if (w <= 0 || h == 0 || bb.getShort(28) != 24 || bb.getInt(30) != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      var p = dataOff + srcRow * stride
+      while (x < w) {
+        val blue = b(p) & 0xFF
+        val green = b(p + 1) & 0xFF
+        val red = b(p + 2) & 0xFF
+        out(y * w + x) = (299 * red + 587 * green + 114 * blue) / 1000
+        x += 1
+        p += 3
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Binary PNM (P5 graymap / P6 pixmap, maxval ≤ 255) → row-major
+    * grayscale, same integer luma as [[decodeBmpGray]]. The header walk is
+    * [[parsePnm]]'s tokens plus maxval; P5 bytes are the gray values
+    * directly, P6 triplets are RGB. ASCII variants (P2/P3) and 16-bit
+    * maxval return None — scoped, not silently wrong. */
+  private[graft] def decodePnmGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val p6 = b(1) == '6'
+    var i = 2
+    def nextInt(): Option[Int] = {
+      var in = false
+      var v = 0
+      while (i < b.length) {
+        val c = b(i).toChar
+        if (!in && c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isDigit) { in = true; v = v * 10 + (c - '0'); i += 1 }
+        else if (in) return Some(v)
+        else if (c.isWhitespace) i += 1
+        else return None
+      }
+      if (in) Some(v) else None
+    }
+    (nextInt(), nextInt(), nextInt()) match {
+      case (Some(w), Some(h), Some(maxv)) if w > 0 && h > 0 && maxv > 0 && maxv <= 255 =>
+        i += 1 // exactly ONE whitespace byte separates maxval from raster (spec)
+        val bpp = if (p6) 3 else 1
+        if (i.toLong + w.toLong * h * bpp > b.length) return None
+        val out = new Array[Int](w * h)
+        var px = 0
+        while (px < w * h) {
+          val p = i + px * bpp
+          out(px) =
+            if (p6) (299 * (b(p) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p + 2) & 0xFF)) / 1000
+            else b(p) & 0xFF
+          px += 1
+        }
+        Some((w, h, out))
+      case _ => None
+    }
+  }
+
+  /** Difference-hash (dHash) perceptual fingerprint: box-average the
+    * grayscale down to a 9×8 grid (integer sums, integer division — every
+    * engine replays it bit-exact), then bit (x + 8·y) = 1 iff
+    * cell(x, y) > cell(x+1, y). 64 bits of horizontal gradient signs —
+    * robust to rescaling, recompression, and brightness-preserving edits,
+    * the standard cheap image near-dup key. Pixel (x, y) maps to cell
+    * (⌊x·9/w⌋, ⌊y·8/h⌋) — THE replayable contract an oracle reproduces in
+    * SQL (for grid-divisible sizes this is the even block partition);
+    * requires w ≥ 9, h ≥ 8 — tinier images have no gradient content worth
+    * hashing and return None. */
+  private[graft] def dHash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val cells = new Array[Long](9 * 8)
+    val counts = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 9 / w, 8)
+        cells(cy * 9 + cx) += gray(y * w + x)
+        counts(cy * 9 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val a = cells(cy * 9 + cx) / counts(cy * 9 + cx)
+        val b = cells(cy * 9 + cx + 1) / counts(cy * 9 + cx + 1)
+        if (a > b) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(hash)
+  }
+
   // ---- deterministic fixture builders (tests + oracle queries construct
   //      real files, then the parsers above must read the fields back) ----
 
@@ -234,6 +357,80 @@ object Multimodal {
     b.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
     b.put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
     b.array()
+  }
+
+  /** A real 24-bpp BMP with caller-supplied grayscale pixels (r=g=b, so
+    * the BT.601 luma round-trips the exact value): bottom-up rows, 4-byte
+    * row stride, honest data-offset field. `gray(y * width + x)` is
+    * row-major TOP-DOWN — the builder flips into BMP's bottom-up order,
+    * so decode(build(px)) == px must hold exactly. */
+  def syntheticBmpPixels(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height pixels")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val b = ByteBuffer.allocate(54 + stride * height).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + stride * height).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height)
+    b.putShort(1).putShort(24).putInt(0).putInt(stride * height)
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up: last raster row first
+      var x = 0
+      while (x < width) {
+        val v = (gray(srcRow * width + x) & 0xFF).toByte
+        b.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  case class ImageHash(doc_id: Long, dhash: Long, ok: Boolean)
+
+  /** Batch pixel-decode → perceptual dHash per image. Real decode for the
+    * uncompressed families (BMP 24-bpp, binary PNM — dispatched on magic
+    * bytes, not trusted mime strings); anything else, including every
+    * codec format, yields ok = false with dhash 0 — the honest-failure
+    * posture of [[decodeMeta]], never a fabricated fingerprint. Pure map
+    * stage: one task decodes its partition's images, nothing shuffles
+    * until the caller joins on the hash. */
+  def imageDHash(ds: Dataset[Media]): Dataset[ImageHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val gray =
+        if (m.media != null && m.media.length >= 2 && m.media(0) == 'B' && m.media(1) == 'M')
+          decodeBmpGray(m.media)
+        else if (m.media != null && m.media.length >= 2 && m.media(0) == 'P')
+          decodePnmGray(m.media)
+        else None
+      gray.flatMap { case (w, h, px) => dHash64(w, h, px) } match {
+        case Some(hsh) => ImageHash(m.doc_id, hsh, ok = true)
+        case None => ImageHash(m.doc_id, 0L, ok = false)
+      }
+    })
+  }
+
+  /** Image near-duplicate pairs: [[imageDHash]] fingerprints joined by the
+    * shared banded Hamming machinery ([[Dedup.hammingPairs64]] — four
+    * 16-bit bands, capped buckets, never an all-pairs comparison).
+    * maxHamming is capped at 3 HERE because this operator advertises
+    * exact recall (and its oracle is brute force) — the pigeonhole
+    * guarantee over 4 bands only covers 3 bits. Undecodable images
+    * (ok = false) pair with nothing — their zero hash would otherwise all
+    * collide. The re-encoded/re-scaled copy detection a multimodal
+    * training corpus needs, at the same shuffle shape as the text SimHash
+    * dedup. */
+  def imageNearDupPairs(ds: Dataset[Media], maxHamming: Int = 2,
+      maxBucket: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"exact recall holds only for maxHamming <= 3, got $maxHamming")
+    Dedup.hammingPairs64(
+      imageDHash(ds).filter(col("ok")).toDF(),
+      "doc_id", "dhash", maxHamming, maxBucket)
   }
 
   /** Batch decode → image metadata. mapPartitions so a real decoder is

@@ -1129,6 +1129,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL pixel decode + perceptual hash: each doc renders an actual
+    // 18x16 24-bpp BMP whose grayscale is an integer function of
+    // (doc_id, x, y); the decoder must reconstruct the EXACT pixels
+    // (bottom-up row order, 4-byte stride padding, BGR triplets) for the
+    // dHash to match the oracle's pure-arithmetic replay — a header-only
+    // or stubbed decode cannot fake this
+    "q_multimodal_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(dhashMedia _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // image near-dup pairs over the same rendered corpus (sparsified):
+    // docs sharing a base pattern differ only in one perturbed corner
+    // block (Hamming 0-1), so the banded join must find exactly the pairs
+    // the oracle's brute-force Hamming-over-replayed-hashes produces
+    "q_multimodal_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      // scale-bounded corpus: % 7 sparsifies, the id cap keeps AT MOST
+      // ~500 rendered docs at ANY sf, so pair volume (quadratic within
+      // the 40 base-pattern groups) stays bounded as the table grows
+      val media = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(dhashMedia _)
+      Multimodal.imageNearDupPairs(media, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1140,6 +1174,26 @@ object LlmQueries {
           col("byte_offset"))
         .orderBy("doc_id", "frame_idx")
     }))
+
+  /** The q_multimodal_dhash/neardup fixture: an 18×16 grayscale whose
+    * value at (x, y) is pure integer arithmetic on (doc_id, x, y) — base
+    * pattern keyed by doc_id % 40, plus a corner-block perturbation keyed
+    * by (doc_id / 40) % 3 that moves exactly one dHash cell, so docs
+    * sharing a base pattern sit at Hamming 0–1. Max value 175 + 80 = 255
+    * (fits a byte with no clamp the oracle would have to model), rendered
+    * through a REAL 24-bpp BMP so the decoder is load-bearing. */
+  private def dhashMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val base = (((id % 40) * 31 + x * 7 + y * 13) % 176).toInt
+      val delta = if (x < 2 && y < 2) (((id / 40) % 3) * 40).toInt else 0
+      base + delta
+    }
+    Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
+  }
 
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
 
@@ -2507,6 +2561,63 @@ object LlmQueries {
         |CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples,
         |CAST((1000 + doc_id % 9000) * 1000 // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the dHash replayed as pure arithmetic: same pixel formula, same
+    // floor box-average (18x16 -> 9x8 is the exact 2x2 partition of the
+    // pixel->cell map floor(x*9/w)), same strict > gradient bit, hash
+    // split hi/lo so no 2^63 sign games in either engine. If the Spark
+    // side's BMP encode->decode were anything but pixel-lossless, these
+    // sums could not match.
+    "q_multimodal_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // brute-force Hamming over the replayed hashes — the banded candidate
+    // join must lose nothing at maxHamming 2 (pigeonhole guarantees <= 3)
+    "q_multimodal_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)
+        |  WHERE doc_id % 7 = 0 AND doc_id < 3500),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH meta AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len,

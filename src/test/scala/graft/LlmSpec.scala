@@ -1373,6 +1373,70 @@ class LlmSpec extends SparkSpec {
     assert(a(2L).sample_rate == 0 && a(2L).n_samples == 0L)
   }
 
+  test("multimodal pixels: BMP encode-decode is lossless, dHash is a real perceptual hash") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(11)
+    // pixel roundtrip at a width whose 3-byte rows need stride padding
+    // (5*3=15 -> 16) and one that doesn't (8*3=24): decode must undo the
+    // bottom-up row order and skip the pad bytes exactly
+    for ((w, h) <- Seq((5, 9), (8, 8), (18, 16))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val decoded = Multimodal.decodeBmpGray(Multimodal.syntheticBmpPixels(w, h, px))
+      assert(decoded.map(_._3.toSeq).contains(px.toSeq), s"roundtrip $w x $h")
+    }
+    // top-down BMP (negative height): same logical image as bottom-up
+    val px = Array.tabulate(18 * 16)(i => (i * 37) % 256)
+    val bu = Multimodal.syntheticBmpPixels(18, 16, px)
+    val td = bu.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -16)
+    // flipping the height sign ALSO flips which raster row is first, so
+    // rewrite the pixel rows in top-down order
+    val stride = ((18 * 3 + 3) / 4) * 4
+    for (y <- 0 until 16; b <- 0 until stride)
+      td(54 + y * stride + b) = bu(54 + (15 - y) * stride + b)
+    assert(Multimodal.decodeBmpGray(td).map(_._3.toSeq).contains(px.toSeq), "top-down")
+    // PNM P5 (gray bytes verbatim) and P6 (r=g=b triplets -> same luma)
+    val p5 = s"P5\n18 16\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+    assert(Multimodal.decodePnmGray(p5).map(_._3.toSeq).contains(px.toSeq), "P5")
+    val p6 = s"P6\n# c\n18 16\n255\n".getBytes("US-ASCII") ++
+      px.flatMap(v => Array(v.toByte, v.toByte, v.toByte))
+    assert(Multimodal.decodePnmGray(p6).map(_._3.toSeq).contains(px.toSeq), "P6")
+    // dHash properties: brightness-shift invariant (gradient SIGNS are the
+    // fingerprint), pixel-replication upscale invariant (box averages are
+    // unchanged), one perturbed corner cell flips at most one bit, and
+    // sub-grid images refuse to hash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h0 = Multimodal.dHash64(18, 16, px).get
+    assert(Multimodal.dHash64(18, 16, px.map(v => math.min(v + 9, 255))).exists(h =>
+      ham(h0, h) <= 4), "brightness shift moved the hash") // clamp at 255 can flip near-tie cells
+    assert(Multimodal.dHash64(18, 16, px.map(_ + 9)).contains(h0), "pure shift must be exact")
+    val up = Array.tabulate(36 * 32)(i => px((i / 36 / 2) * 18 + (i % 36) / 2))
+    assert(Multimodal.dHash64(36, 32, up).contains(h0), "2x pixel replication changed the hash")
+    val corner = px.clone()
+    for (y <- 0 until 2; x <- 0 until 2) corner(y * 18 + x) = math.min(corner(y * 18 + x) + 120, 255)
+    assert(ham(h0, Multimodal.dHash64(18, 16, corner).get) <= 1, "corner block is one cell")
+    assert(Multimodal.dHash64(8, 8, Array.fill(64)(1)).isEmpty, "sub-grid must refuse")
+    // end-to-end near-dup pairs: planted near-identical images pair, the
+    // distinct image doesn't, and undecodable blobs pair with NOTHING
+    // (their zero hashes would otherwise all collide)
+    val base = Array.tabulate(18 * 16)(i => ((i % 18) * 14 + (i / 18) * 3) % 256)
+    val ds = Seq(
+      Multimodal.Media(1L, Multimodal.syntheticBmpPixels(18, 16, base), "image/bmp"),
+      Multimodal.Media(2L, Multimodal.syntheticBmpPixels(18, 16, corner), "x"),
+      Multimodal.Media(3L, Multimodal.syntheticBmpPixels(18, 16, px), "image/bmp"),
+      Multimodal.Media(4L, Multimodal.syntheticBmpPixels(18, 16, px.map(v => 255 - v)), "image/bmp"),
+      Multimodal.Media(5L, "garbage not an image".getBytes, "image/bmp"),
+      Multimodal.Media(6L, "more garbage also not".getBytes, "image/bmp")).toDS()
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 3L)), s"perturbed copy must pair: $pairs") // corner ~ px
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L),
+      s"undecodable blobs must pair with nothing: $pairs")
+    assert(!pairs.contains((3L, 4L)), s"inverted image must NOT pair: $pairs")
+  }
+
   test("HLL registers obey the merge law and match a local recompute") {
     import graft.llm.{Hashing, Sketches}
     val half1 = docs.filter(col("doc_id") % 2 === 0)
