@@ -66,12 +66,33 @@ object ScaleProbe {
         System.err.println(s"[probe] warmup failed: ${e.getMessage}") }
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
       val embs0 = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+      // cross-workload hygiene, the Bench r9/r10 lesson applied to the
+      // probe: operator-internal persists and loop checkpoints that
+      // outlive their workload pile up across the ~30 workloads of a
+      // factor and tax whatever runs late in the JVM (pre-fix the factor-
+      // 10 tail read 30-60 s on workloads whose 4x time was 1-2 s —
+      // block-manager residue, not operator scaling). `kept` holds the
+      // probe's own deliberately-shared frames (docs/embs/index/codes);
+      // everything else unpersists the moment its workload reports.
+      var kept: Set[Int] = Set.empty
+      def keepCurrent(): Unit =
+        kept = spark.sparkContext.getPersistentRDDs.keys.toSet
+      var nReports = 0
       for (f <- factors) {
         val docs = replicateDocs(docs0, f).persist()
         val embs = replicateEmbs(embs0, f).persist()
         val (nd, ne) = (docs.count(), embs.count())
-        def report(workload: String, sec: Double, rows: Long): Unit =
+        keepCurrent()
+        def report(workload: String, sec: Double, rows: Long): Unit = {
           println(s"""{"factor":$f,"docs":$nd,"vecs":$ne,"workload":"$workload","sec":${math.round(sec * 1000) / 1000.0},"rows":$rows}""")
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!kept.contains(id)) rdd.unpersist(blocking = false)
+          }
+          nReports += 1
+          // periodic full GC drains the ContextCleaner's weak-ref queue
+          // (shuffle files, broadcasts) before the old gen fills
+          if (nReports % 8 == 0) System.gc()
+        }
         val (tMh, nMh) = time(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3).count())
         report("minhash_pairs", tMh, nMh)
         val (tSh, nSh) = time(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10).count())
@@ -88,6 +109,7 @@ object ScaleProbe {
           ix.count()
           (c, ix)
         }
+        keepCurrent() // the index feeds the search workloads below
         report("ivf_train_index", tIvf, indexed.count())
         val (tIvfA, nIvfA) = time(
           Ivf.searchAgg(indexed, cents, qMany, k = 10, nprobe = 4).count())
@@ -106,6 +128,7 @@ object ScaleProbe {
           enc.count()
           (cb, enc)
         }
+        keepCurrent() // the code table feeds the ADC workload below
         report("pq_train_encode", tPq, encoded._2.count())
         val (tAdc, nAdc) = time(
           Pq.searchIvfAdc(encoded._2.join(indexed.select("vec_id", "list_id"), Seq("vec_id")),
@@ -258,6 +281,7 @@ object ScaleProbe {
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()
+        kept = Set.empty
       }
     } finally spark.stop()
   }

@@ -103,6 +103,52 @@ object StreamingDedup {
     claimAllBands(banded, df.columns, tsCol, delay, bands = 4)
   }
 
+  /** Streaming IMAGE near-dup first-seen — the ingestion-time twin of the
+    * batch [[graft.llm.Multimodal.imageNearDupPairs]]: each record's
+    * binary media decodes to the perceptual dHash (same pixel kernels —
+    * 24-bpp BMP / binary PNM — and the same integer 9×8 box-average
+    * fingerprint, so stream and batch hash identically) and claims the
+    * four 16-bit bands of the hash; a record is emitted only if it keeps
+    * ALL four. The pigeonhole contract matches the SimHash twin: an image
+    * within Hamming ≤ 3 of an in-horizon predecessor shares a band and is
+    * suppressed; band-granularity false suppression beyond 3 bits is the
+    * documented LSH trade, with the exact batch operator as backstop.
+    *
+    * UNDECODABLE media (codec formats, corrupt scrapes) pass through
+    * unsuppressed — mirroring the batch operator pairing them with
+    * nothing; a shared "undecodable" bucket would suppress every corrupt
+    * scrape after the first. State: 4 claimed band keys per admitted
+    * image, evicted at the horizon. */
+  def imageNearDupFirstSeen(df: DataFrame, mediaCol: String, tsCol: String,
+      delay: String): DataFrame = {
+    import graft.llm.Multimodal
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val hSchema = df.schema.add("__ih", LongType, nullable = true)
+    val withH = df.mapPartitions { rows =>
+      rows.map { row =>
+        val m = row.get(mIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        val gray =
+          if (m != null && m.length >= 2 && m(0) == 'B' && m(1) == 'M')
+            Multimodal.decodeBmpGray(m)
+          else if (m != null && m.length >= 2 && m(0) == 'P') Multimodal.decodePnmGray(m)
+          else None
+        val h = gray.flatMap { case (w, hh, px) => Multimodal.dHash64(w, hh, px) }
+        Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
+      }
+    }(Encoders.row(hSchema))
+    val undecodable = withH.filter(col("__ih").isNull).select(df.columns.map(col): _*)
+    val banded = withH.filter(col("__ih").isNotNull)
+      .select(col("*"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, (shiftright(__ih, b * 16) & 65535) AS bh))"))
+        .as("__bk"))
+      .select(df.columns.map(col) :+ col("__bk.band").as("band") :+ col("__bk.bh").as("bh"): _*)
+    claimAllBands(banded, df.columns, tsCol, delay, bands = 4)
+      .unionByName(undecodable)
+  }
+
   /** Streaming fuzzy (edit-distance) first-seen dedup — the ingestion-time
     * twin of the batch [[graft.llm.Fuzzy.editDistanceJoinShort]]: a record
     * is emitted only if NONE of its deletion-neighborhood variant hashes
@@ -178,11 +224,21 @@ object StreamingDedup {
     val schema = exploded.schema
     val keyIdx = keyCols.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(tsCol)
+    // any deterministic CONTENT-based total order works for the tie — the
+    // point is only that the same record wins every one of its keys. Raw
+    // binary fields must serialize by content: their default toString is
+    // JVM object identity, which differs between the row INSTANCES the
+    // same record's different key rows deserialize into — an
+    // identity-based tiebreak could order A before B at one key and B
+    // before A at another, resurrecting the claim split this pass exists
+    // to prevent.
+    def rowKey(r: Row): String = r.toSeq.map {
+      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+      case x => String.valueOf(x)
+    }.mkString("\u0001")
     def lt(a: Row, b: Row): Boolean = {
       val c = a.getAs[java.sql.Timestamp](tsIdx).compareTo(b.getAs[java.sql.Timestamp](tsIdx))
-      // any deterministic total order works for the tie — the point is
-      // only that the same record wins every one of its keys
-      if (c != 0) c < 0 else a.mkString("\u0001").compareTo(b.mkString("\u0001")) < 0
+      if (c != 0) c < 0 else rowKey(a).compareTo(rowKey(b)) < 0
     }
     exploded.repartition(keyCols.map(col): _*).mapPartitions { rows =>
       val best = scala.collection.mutable.HashMap.empty[Seq[Any], Row]

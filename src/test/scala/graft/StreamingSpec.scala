@@ -457,6 +457,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image near-dup: perceptually-close images suppressed, undecodable pass through") {
+    import graft.llm.Multimodal
+    val in = MemoryStream[(java.sql.Timestamp, Array[Byte])](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rnd = new scala.util.Random(5)
+    val basePx = Array.fill(18 * 16)(rnd.nextInt(256))
+    val nearPx = basePx.clone() // one corner cell perturbed: Hamming <= 1
+    for (y <- 0 until 2; x <- 0 until 2)
+      nearPx(y * 18 + x) = math.min(nearPx(y * 18 + x) + 120, 255)
+    val farPx = Array.fill(18 * 16)(rnd.nextInt(256))
+    val base = Multimodal.syntheticBmpPixels(18, 16, basePx)
+    val near = Multimodal.syntheticBmpPixels(18, 16, nearPx)
+    val far = Multimodal.syntheticBmpPixels(18, 16, farPx)
+    val garbage = "not an image at all".getBytes("US-ASCII")
+    // batch premise: base/near must pair, base/far must not
+    import spark.implicits._
+    val batchPairs = Multimodal.imageNearDupPairs(Seq(
+        Multimodal.Media(0L, base, "image/bmp"), Multimodal.Media(1L, near, "image/bmp"),
+        Multimodal.Media(2L, far, "image/bmp")).toDS(), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs.contains((0L, 1L)) && !batchPairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"fixture premise broken: $batchPairs")
+    val out = StreamingDedup.imageNearDupFirstSeen(
+      in.toDF().toDF("ts", "media"), "media", "ts", "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("img_out").start()
+    try {
+      in.addData(ts(10) -> base, ts(11) -> garbage)
+      q.processAllAvailable()
+      in.addData(ts(12) -> near, ts(13) -> far) // in-horizon: near must drop
+      q.processAllAvailable()
+      in.addData(ts(100) -> Multimodal.syntheticBmpPixels(18, 16,
+        Array.fill(18 * 16)(7))) // window flusher
+      q.processAllAvailable()
+      in.addData(ts(200) -> Multimodal.syntheticBmpPixels(18, 16,
+        Array.fill(18 * 16)(99))) // second flusher closes the previous window
+      q.processAllAvailable()
+      val got = spark.table("img_out").select("media").as[Array[Byte]].collect()
+        .map(_.toSeq).toSet
+      assert(got.contains(base.toSeq), "first arrival must pass")
+      assert(!got.contains(near.toSeq), "in-horizon near-dup must be suppressed")
+      assert(got.contains(far.toSeq), "distinct image must pass")
+      assert(got.contains(garbage.toSeq), "undecodable media must pass through")
+    } finally q.stop()
+  }
+
   test("streaming SimHash near-dup: band-colliding docs suppressed in-horizon") {
     val in = MemoryStream[(java.sql.Timestamp, String)](spark)
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
