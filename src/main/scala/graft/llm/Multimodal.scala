@@ -238,7 +238,9 @@ object Multimodal {
     }
   }
 
-  /** Difference-hash (dHash) perceptual fingerprint: box-average the
+  /** Difference-hash (dHash) perceptual fingerprint (the widely-used
+    * gradient-sign scheme popularized by Krawetz, "Kind of Like That",
+    * HackerFactor blog 2013): box-average the
     * grayscale down to a 9×8 grid (integer sums, integer division — every
     * engine replays it bit-exact), then bit (x + 8·y) = 1 iff
     * cell(x, y) > cell(x+1, y). 64 bits of horizontal gradient signs —
