@@ -272,16 +272,66 @@ object ScaleProbe {
         val ticksR = docs.select(hotK.as("k"),
           pmod(col("doc_id") * 104729L, lit(1000000L)).as("t"),
           col("doc_id").as("rv"))
+        // count the MATCHED column, not the rows: a bare count() lets
+        // Catalyst prune the unused window/match columns and the probe
+        // times a scan instead of the operator (the Bench noop-sink
+        // lesson); rows = matched left rows
         val (tAsP, nAsP) = time(
-          graft.ops.Temporal.asofJoin(ticksL, ticksR, Seq("k"), "t").count())
+          graft.ops.Temporal.asofJoin(ticksL, ticksR, Seq("k"), "t")
+            .agg(count(col("r_rv"))).head.getLong(0))
         report("asof_hotkey_plain", tAsP, nAsP)
         val (tAsB, nAsB) = time(
-          graft.ops.Temporal.asofJoinBucketed(ticksL, ticksR, Seq("k"), "t", 10000L).count())
+          graft.ops.Temporal.asofJoinBucketed(ticksL, ticksR, Seq("k"), "t", 10000L)
+            .agg(count(col("r_rv"))).head.getLong(0))
         report("asof_hotkey_bucketed", tAsB, nAsB)
         encoded._2.unpersist()
         indexed.unpersist()
         docs.unpersist(); embs.unpersist()
         kept = Set.empty
+      }
+      // XL as-of probe, factor-independent and corpus-free: the in-factor
+      // pair shows parity because a few-hundred-thousand-row hot key sorts
+      // in one task faster than the bucket-summary pass costs. THIS is the
+      // regime the bucketed form exists for: 20M ticks, HALF on one key —
+      // plain asofJoin sorts 10M rows in a single task while 31 threads
+      // idle; the bucketed form (width 10⁶ over a 10⁸ span = 100 cuts)
+      // spreads that sort. Built from spark.range so probing the operator
+      // needs no corpus replication.
+      {
+        val n = sys.env.getOrElse("SPARK_GRAFT_ASOF_XL_ROWS", "20000000").toLong
+        def ticks(mult: Long, payload: String) = spark.range(n).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(col("id"), lit(64))).as("k"),
+          pmod(col("id") * mult, lit(100000000L)).as("t"),
+          col("id").as(payload))
+        val xlL = ticks(7919L, "lv").persist()
+        val xlR = ticks(104729L, "rv").persist()
+        val nx = xlL.count(); xlR.count()
+        keepCurrent()
+        // warm BOTH plan shapes at 1/100 scale first (the Bench posture):
+        // each form cycles distinct window/aggregate shapes whose
+        // first-ever Janino compile + first spill otherwise lands on
+        // whichever timed run goes first — measured 124 s cold vs 6-8 s
+        // warm on the bucketed form
+        val lw = xlL.limit(200000)
+        val rw = xlR.limit(200000)
+        graft.ops.Temporal.asofJoin(lw, rw, Seq("k"), "t")
+          .agg(count(col("r_rv"))).head
+        graft.ops.Temporal.asofJoinBucketed(lw, rw, Seq("k"), "t", 1000000L)
+          .agg(count(col("r_rv"))).head
+        def reportXl(workload: String, sec: Double, rows: Long): Unit =
+          println(s"""{"factor":0,"docs":$nx,"vecs":0,"workload":"$workload","sec":${math.round(sec * 1000) / 1000.0},"rows":$rows}""")
+        // same matched-column forcing as the in-factor pair: bare count()
+        // would prune the window and time a scan
+        val (tP, nP) = time(
+          graft.ops.Temporal.asofJoin(xlL, xlR, Seq("k"), "t")
+            .agg(count(col("r_rv"))).head.getLong(0))
+        reportXl("asof_hotkey_xl_plain", tP, nP)
+        val (tB, nB) = time(
+          graft.ops.Temporal.asofJoinBucketed(xlL, xlR, Seq("k"), "t", 1000000L)
+            .agg(count(col("r_rv"))).head.getLong(0))
+        reportXl("asof_hotkey_xl_bucketed", tB, nB)
+        xlL.unpersist(); xlR.unpersist()
       }
     } finally spark.stop()
   }
