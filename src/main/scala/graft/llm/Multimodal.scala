@@ -238,6 +238,128 @@ object Multimodal {
     }
   }
 
+  /** 16-bit PCM WAV → mono samples. Real decode: the [[parseWav]] chunk
+    * walk extended to return the data payload — samples are int16-LE in
+    * the 'data' chunk, multi-channel frames downmix by integer average
+    * (sum / channels, truncating toward zero like every other integer op
+    * here). Only PCM (format 1) at 16 bits decodes; compressed WAV
+    * (ADPCM, float, extensible) returns None — scoped, not silently
+    * wrong. A declared data size past the buffer truncates to the bytes
+    * actually present (scraped audio is routinely cut off mid-payload). */
+  private[graft] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = 0
+    var channels = 0
+    var bits = 0
+    var fmt = 0
+    var dataOff = -1
+    var dataLen = 0L
+    while (pos + 8 <= b.length && (rate == 0 || dataOff < 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val sz = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && pos + 24 <= b.length) {
+        fmt = bb.getShort(pos + 8)
+        channels = bb.getShort(pos + 10)
+        rate = bb.getInt(pos + 12)
+        bits = bb.getShort(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+      val next = pos.toLong + 8L + sz + (sz & 1L)
+      pos = if (next <= pos || next > Int.MaxValue) b.length else next.toInt
+    }
+    if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0) return None
+    val avail = math.min(dataLen, (b.length - dataOff).toLong)
+    val nFrames = (avail / (2L * channels)).toInt
+    val out = new Array[Int](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        sum += bb.getShort(dataOff + (i * channels + c) * 2)
+        c += 1
+      }
+      out(i) = sum / channels
+      i += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  /** Energy-envelope difference hash for audio — the [[dHash64]] trick on
+    * the time axis: split the mono samples into 65 equal frames (sample j
+    * maps to frame ⌊j·65/n⌋ — the same replayable floor map as the image
+    * cells), take each frame's integer mean ABSOLUTE amplitude, and set
+    * bit i iff energy(i) > energy(i+1). 64 gradient-sign bits — invariant
+    * to volume scaling direction-preserving edits and resampling that
+    * keeps the envelope shape, the cheap first-pass audio near-dup key
+    * (a content-level sibling of spectral fingerprints like Haitsma &
+    * Kalker 2002, kept integer-only so any engine replays it bit-exact).
+    * Requires ≥ 65 samples. */
+  private[graft] def audioHash64(samples: Array[Int]): Option[Long] = {
+    val n = samples.length
+    if (n < 65) return None
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var j = 0
+    while (j < n) {
+      val f = math.min(j.toLong * 65 / n, 64).toInt
+      sums(f) += math.abs(samples(j))
+      counts(f) += 1
+      j += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) / counts(i) > sums(i + 1) / counts(i + 1)) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Batch PCM decode → audio fingerprint per record; non-PCM or
+    * too-short audio yields ok = false (the [[imageDHash]] posture). */
+  def audioEnvelopeHash(ds: Dataset[Media]): Dataset[ImageHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      decodeWavPcm(m.media).flatMap { case (_, _, s) => audioHash64(s) } match {
+        case Some(h) => ImageHash(m.doc_id, h, ok = true)
+        case None => ImageHash(m.doc_id, 0L, ok = false)
+      }
+    })
+  }
+
+  /** Audio near-duplicate pairs over the envelope hash — the same shared
+    * banded Hamming machinery as [[imageNearDupPairs]], with the same
+    * exact-recall cap and undecodable-passes-nothing contract. */
+  def audioNearDupPairs(ds: Dataset[Media], maxHamming: Int = 2,
+      maxBucket: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"exact recall holds only for maxHamming <= 3, got $maxHamming")
+    Dedup.hammingPairs64(
+      audioEnvelopeHash(ds).filter(col("ok")).toDF(),
+      "doc_id", "dhash", maxHamming, maxBucket)
+  }
+
+  /** A real 16-bit PCM mono WAV carrying `samples` verbatim — the audio
+    * sibling of [[syntheticBmpPixels]]: decode(build(s)) == s must hold
+    * exactly for the envelope hash to match an arithmetic replay. */
+  def syntheticWavPcm(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(sampleRate)
+    b.putInt(sampleRate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
   /** Difference-hash (dHash) perceptual fingerprint (the widely-used
     * gradient-sign scheme popularized by Krawetz, "Kind of Like That",
     * HackerFactor blog 2013): box-average the

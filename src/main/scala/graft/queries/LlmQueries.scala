@@ -1163,6 +1163,35 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // REAL PCM decode + energy-envelope hash: each doc renders an actual
+    // 16-bit PCM WAV whose samples are an integer function of
+    // (doc_id, j); the decoder must reconstruct the exact samples
+    // (int16-LE payload behind the chunk walk) for the envelope hash to
+    // match the oracle's arithmetic replay
+    "q_multimodal_audiohash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(audioMedia _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // audio near-dup pairs over the same rendered corpus (sparsified,
+    // scale-bounded): docs sharing a base waveform differ only in a
+    // boosted first frame (Hamming 0-1), brute-force oracle
+    "q_multimodal_audio_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(audioMedia _)
+      Multimodal.audioNearDupPairs(media, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1193,6 +1222,20 @@ object LlmQueries {
       base + delta
     }
     Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
+  }
+
+  /** The q_multimodal_audiohash/audio_neardup fixture: 1950 samples
+    * (65 frames × 30 exactly, so the floor frame map is j / 30) whose
+    * value at j is pure integer arithmetic on (doc_id, j) in
+    * [−2000, 2000], plus a first-frame boost keyed by (doc_id / 40) % 3
+    * that moves exactly one envelope bit; rendered through a REAL 16-bit
+    * PCM WAV so the sample decode is load-bearing. */
+  private def audioMedia(id: Long): Multimodal.Media = {
+    val samples = Array.tabulate(1950) { j =>
+      val s = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
+      if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
+    }
+    Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
   }
 
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
@@ -2608,6 +2651,49 @@ object LlmQueries {
         |  FROM cells l JOIN cells r
         |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
         |  WHERE l.cx < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the audio envelope hash replayed as pure arithmetic — same
+    // contract as q_multimodal_dhash: if the Spark side's WAV
+    // encode->decode were anything but sample-lossless these sums could
+    // not match
+    "q_multimodal_audiohash" ->
+      """WITH sm AS (
+        |  SELECT doc_id, u.j AS j,
+        |         abs(((doc_id % 40) * 17 + u.j * 31) % 4001 - 2000
+        |             + CASE WHEN u.j < 30 THEN ((doc_id // 40) % 3) * 500 ELSE 0 END) AS a
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
+        |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
+        |       FROM sm GROUP BY doc_id, j // 30),
+        |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+        |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |         WHERE l.f < 64)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_audio_neardup" ->
+      """WITH sm AS (
+        |  SELECT doc_id, u.j AS j,
+        |         abs(((doc_id % 40) * 17 + u.j * 31) % 4001 - 2000
+        |             + CASE WHEN u.j < 30 THEN ((doc_id // 40) % 3) * 500 ELSE 0 END) AS a
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)
+        |  WHERE doc_id % 7 = 0 AND doc_id < 3500),
+        |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
+        |       FROM sm GROUP BY doc_id, j // 30),
+        |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+        |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |         WHERE l.f < 64),
         |h AS (
         |  SELECT doc_id,
         |    CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi,

@@ -1373,6 +1373,61 @@ class LlmSpec extends SparkSpec {
     assert(a(2L).sample_rate == 0 && a(2L).n_samples == 0L)
   }
 
+  test("multimodal audio: PCM decode is sample-lossless, envelope hash tracks the waveform") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(13)
+    val mono = Array.fill(1950)(rnd.nextInt(4001) - 2000)
+    // mono roundtrip: decode(build(s)) == s exactly
+    val wav = Multimodal.syntheticWavPcm(8000, mono)
+    val dec = Multimodal.decodeWavPcm(wav)
+    assert(dec.map(_._3.toSeq).contains(mono.toSeq), "mono roundtrip")
+    assert(dec.exists(d => d._1 == 8000 && d._2 == 1))
+    // stereo downmix: interleaved L/R averages per frame (int division)
+    val stereo = new Array[Byte](44 + mono.length * 4)
+    val monoWav = Multimodal.syntheticWavPcm(8000, mono)
+    System.arraycopy(monoWav, 0, stereo, 0, 44)
+    val sb = java.nio.ByteBuffer.wrap(stereo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb.putInt(4, 36 + mono.length * 4) // RIFF size
+    sb.putShort(22, 2)                 // channels
+    sb.putInt(28, 8000 * 4)            // byte rate
+    sb.putShort(32, 4)                 // block align
+    sb.putInt(40, mono.length * 4)     // data size
+    mono.zipWithIndex.foreach { case (s, i) =>
+      sb.putShort(44 + i * 4, s.toShort)
+      sb.putShort(44 + i * 4 + 2, (s + 2).toShort)
+    }
+    val downs = Multimodal.decodeWavPcm(stereo).get._3
+    assert(downs.toSeq === mono.map(s => (s + (s + 2)) / 2).toSeq, "stereo downmix")
+    // truncated payload decodes the samples actually present
+    val cut = Multimodal.decodeWavPcm(wav.take(44 + 200)).get._3
+    assert(cut.length == 100 && cut.toSeq == mono.take(100).toSeq, "truncation")
+    // non-PCM (format 2) and non-16-bit reject
+    val adpcm = wav.clone()
+    java.nio.ByteBuffer.wrap(adpcm).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(20, 2)
+    assert(Multimodal.decodeWavPcm(adpcm).isEmpty, "non-PCM must reject")
+    // envelope hash: boosting ONE frame flips at most one bit; too-short
+    // audio refuses; a reversed waveform is far
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h0 = Multimodal.audioHash64(mono).get
+    val boosted = mono.zipWithIndex.map { case (s, j) => if (j < 30) s + 900 else s }
+    assert(ham(h0, Multimodal.audioHash64(boosted).get) <= 1, "one frame is one bit")
+    assert(Multimodal.audioHash64(Array.fill(64)(5)).isEmpty, "sub-frame must refuse")
+    // end-to-end pairs: near copy pairs, distinct doesn't, garbage passes nothing
+    val other = Array.fill(1950)(rnd.nextInt(4001) - 2000)
+    val ds = Seq(
+      Multimodal.Media(1L, Multimodal.syntheticWavPcm(8000, mono), "audio/wav"),
+      Multimodal.Media(2L, Multimodal.syntheticWavPcm(8000, boosted), "audio/wav"),
+      Multimodal.Media(3L, Multimodal.syntheticWavPcm(8000, other), "audio/wav"),
+      Multimodal.Media(4L, "definitely not audio".getBytes, "audio/wav")).toDS()
+    val pairs = Multimodal.audioNearDupPairs(ds, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"boosted copy must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"garbage pairs with nothing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated waveform must not pair: $pairs")
+  }
+
   test("multimodal pixels: BMP encode-decode is lossless, dHash is a real perceptual hash") {
     import spark.implicits._
     import graft.llm.Multimodal
