@@ -237,7 +237,10 @@ object StreamingDedup {
       case x => String.valueOf(x)
     }.mkString("\u0001")
     def lt(a: Row, b: Row): Boolean = {
-      val c = a.getAs[java.sql.Timestamp](tsIdx).compareTo(b.getAs[java.sql.Timestamp](tsIdx))
+      // event-time surfaces as java.sql.Timestamp (TIMESTAMP) or
+      // java.time.LocalDateTime (TIMESTAMP_NTZ) — both Comparable, so
+      // compare through the interface instead of assuming one class
+      val c = a.get(tsIdx).asInstanceOf[Comparable[Any]].compareTo(b.get(tsIdx))
       if (c != 0) c < 0 else rowKey(a).compareTo(rowKey(b)) < 0
     }
     exploded.repartition(keyCols.map(col): _*).mapPartitions { rows =>
