@@ -344,6 +344,139 @@ object Multimodal {
       "doc_id", "dhash", maxHamming, maxBucket)
   }
 
+  /** YUV4MPEG2 (.y4m) stream → (width, height, luma plane per frame).
+    * Real decode of the one video container that needs no codec: an
+    * ASCII header line (`YUV4MPEG2 W.. H.. F.. C..`), then per frame a
+    * `FRAME`-prefixed line followed by raw planar YUV. The LUMA plane is
+    * the grayscale the perceptual hash wants, read directly; chroma is
+    * skipped by size. Scope: C420 family (the spec default — jpeg/mpeg2/
+    * paldv tags included) and C444/Cmono; anything else, malformed
+    * headers, or truncated frames return None / stop at the last whole
+    * frame. */
+  private[graft] def decodeY4mGray(b: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    if (b == null || b.length < magic.length + 2) return None
+    var i = 0
+    while (i < magic.length) { if (b(i) != magic(i)) return None; i += 1 }
+    var eol = i
+    while (eol < b.length && b(eol) != '\n') eol += 1
+    if (eol >= b.length) return None
+    val header = new String(b, i, eol - i, "US-ASCII")
+    var w = 0
+    var h = 0
+    var colour = "420" // spec default when no C tag present
+    header.split(' ').foreach { tok =>
+      if (tok.startsWith("W")) w = tok.drop(1).toIntOption.getOrElse(0)
+      else if (tok.startsWith("H")) h = tok.drop(1).toIntOption.getOrElse(0)
+      else if (tok.startsWith("C")) colour = tok.drop(1)
+    }
+    if (w <= 0 || h <= 0) return None
+    val lumaLen = w * h
+    val chromaLen =
+      if (colour.startsWith("420")) 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      else if (colour == "444") 2 * w * h
+      else if (colour == "mono") 0
+      else return None
+    val frames = Seq.newBuilder[Array[Int]]
+    var pos = eol + 1
+    var open = true
+    while (open && pos + 5 <= b.length) {
+      if (!(b(pos) == 'F' && b(pos + 1) == 'R' && b(pos + 2) == 'A' &&
+          b(pos + 3) == 'M' && b(pos + 4) == 'E')) return None
+      var fe = pos + 5
+      while (fe < b.length && b(fe) != '\n') fe += 1 // frame params skipped
+      val dataStart = fe + 1
+      if (dataStart + lumaLen + chromaLen > b.length) open = false // truncated tail
+      else {
+        val luma = new Array[Int](lumaLen)
+        var j = 0
+        while (j < lumaLen) { luma(j) = b(dataStart + j) & 0xFF; j += 1 }
+        frames += luma
+        pos = dataStart + lumaLen + chromaLen
+      }
+    }
+    val out = frames.result()
+    if (out.isEmpty) None else Some((w, h, out))
+  }
+
+  /** Per-frame perceptual hashes for a video: decode ([[decodeY4mGray]]),
+    * sample `sampleFrames` evenly-spaced frames (all of them when the
+    * video is shorter), [[dHash64]] each sampled luma plane. One output
+    * row per sampled frame: (doc_id, frame_idx, dhash). Pure map stage —
+    * video bytes never shuffle; the fanout is bounded by `sampleFrames`
+    * regardless of video length, which is what makes the pair join's
+    * row count corpus-bounded at 100 TB. Undecodable or sub-grid videos
+    * produce no rows (pairing with nothing, the family posture). */
+  def videoFrameHashes(ds: Dataset[Media], sampleFrames: Int = 16): DataFrame = {
+    require(sampleFrames >= 1, "sampleFrames must be >= 1")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { m =>
+      decodeY4mGray(m.media) match {
+        case Some((w, h, frames)) =>
+          val n = frames.length
+          val k = math.min(sampleFrames, n)
+          // evenly-spaced sample indices: i-th sample at floor(i*n/k) —
+          // the same replayable floor map as every grid here
+          (0 until k).iterator.flatMap { i =>
+            val fi = i * n / k
+            dHash64(w, h, frames(fi)).map(hsh => (m.doc_id, fi.toLong, hsh))
+          }.toSeq
+        case None => Seq.empty
+      }
+    }.toDF("doc_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-duplicate pairs: two videos are near-dups when at least
+    * `minShared` of their sampled frames carry IDENTICAL perceptual
+    * hashes — re-encoded/re-containered copies and trims share most
+    * frame hashes, unrelated footage shares none. Candidates come from
+    * an equi-join on the frame hash itself (64 bits of content — a
+    * shared value IS a near-identical frame); the blank-frame hot key
+    * every video corpus has (black frames, title cards shared
+    * corpus-wide) is capped by `maxBucket` exactly like the LSH bucket
+    * caps, with recall riding the other sampled frames. Output:
+    * (id_a, id_b, shared_frames). Shuffle shape: slim (id, hash) rows,
+    * dedup to distinct hash per video first, one hash-keyed shuffle —
+    * never an all-pairs comparison. */
+  def videoNearDupPairs(ds: Dataset[Media], sampleFrames: Int = 16,
+      minShared: Int = 8, maxBucket: Int = 500): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val hashes = videoFrameHashes(ds, sampleFrames)
+      .select(col("doc_id"), col("dhash").as("__vh")).distinct()
+    // blank-frame hot-key guard — the banded dedups' capBuckets posture
+    // on the single hash key: count, drop oversized, join back (no sort)
+    val sizes = hashes.groupBy("__vh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+    val capped = hashes.join(sizes, Seq("__vh")).drop("__n")
+    capped.select(col("doc_id").as("id_a"), col("__vh"))
+      .join(capped.select(col("doc_id").as("id_b"), col("__vh")), Seq("__vh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
+  /** A real Y4M stream carrying the given luma planes (C420, chroma
+    * filled neutral 128) — the video sibling of [[syntheticBmpPixels]]:
+    * decode(build(frames)) must return the planes verbatim. */
+  def syntheticY4m(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.forall(_.length == width * height), "frames must be width*height")
+    val chromaLen = 2 * ((width + 1) / 2) * ((height + 1) / 2)
+    val head = s"YUV4MPEG2 W$width H$height F30:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val fm = "FRAME\n".getBytes("US-ASCII")
+    val out = ByteBuffer.allocate(
+      head.length + frames.size * (fm.length + width * height + chromaLen))
+    out.put(head)
+    frames.foreach { f =>
+      out.put(fm)
+      f.foreach(v => out.put((v & 0xFF).toByte))
+      var c = 0
+      while (c < chromaLen) { out.put(128.toByte); c += 1 }
+    }
+    out.array()
+  }
+
   /** A real 16-bit PCM mono WAV carrying `samples` verbatim — the audio
     * sibling of [[syntheticBmpPixels]]: decode(build(s)) == s must hold
     * exactly for the envelope hash to match an arithmetic replay. */

@@ -1163,6 +1163,39 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // REAL video decode + per-frame perceptual hash: each doc renders an
+    // actual 12-frame 18x16 Y4M stream (header line, FRAME markers,
+    // planar YUV C420) whose luma is an integer function of
+    // (doc_id, frame, x, y); the decoder must walk the container and
+    // read the luma planes exactly for the per-frame dHashes to match
+    // the oracle's arithmetic replay
+    "q_multimodal_video_hashes" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(videoMedia _)
+      Multimodal.videoFrameHashes(media, sampleFrames = 12)
+        .select(col("doc_id"), col("frame_idx"),
+          shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // video near-dup pairs: same-group videos share >= 10 of 12 frame
+    // hashes (each variant perturbs ONE frame), unrelated groups share
+    // ~0-3 by mod-arithmetic accident — the oracle replays hash equality
+    // and distinct-shared counting exactly, so the threshold join must
+    // reproduce it row-for-row
+    "q_multimodal_video_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(videoMedia _)
+      Multimodal.videoNearDupPairs(media, sampleFrames = 12, minShared = 8)
+        .select(col("id_a"), col("id_b"),
+          col("shared_frames").cast("bigint").as("shared_frames"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL PCM decode + energy-envelope hash: each doc renders an actual
     // 16-bit PCM WAV whose samples are an integer function of
     // (doc_id, j); the decoder must reconstruct the exact samples
@@ -1236,6 +1269,27 @@ object LlmQueries {
       if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
     }
     Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+  }
+
+  /** The q_multimodal_video_* fixture: 12 frames of the image fixture's
+    * 18×16 grid, frame f's base offset by f·53, and the variant
+    * ((doc_id / 40) % 3) perturbing the corner block of FRAME v only —
+    * so same-group videos share ≥ 10 of 12 frame hashes while unrelated
+    * groups share only mod-arithmetic accidents. Rendered through a real
+    * Y4M stream so the container walk + luma read are load-bearing. */
+  private def videoMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val frames = (0 until 12).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        val base = (((id % 40) * 31 + f * 53 + x * 7 + y * 13) % 176).toInt
+        val delta = if (f == ((id / 40) % 3) && x < 2 && y < 2) 40 else 0
+        base + delta
+      }
+    }
+    Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
   }
 
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
@@ -2660,6 +2714,63 @@ object LlmQueries {
         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-frame dHashes replayed as pure arithmetic over the
+    // (doc, frame, x, y) pixel formula — only a container-walking,
+    // luma-lossless decode can match
+    "q_multimodal_video_hashes" ->
+      """WITH px AS (
+        |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + w.f * 53 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN w.f = (doc_id // 40) % 3 AND u.x < 2 AND v.y < 2
+        |                THEN 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
+        |       unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS fhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS fhash_lo
+        |FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_multimodal_video_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + w.f * 53 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN w.f = (doc_id // 40) % 3 AND u.x < 2 AND v.y < 2
+        |                THEN 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
+        |       unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)
+        |  WHERE doc_id % 7 = 0 AND doc_id < 3500),
+        |cells AS (
+        |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |fh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id, f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS shared_frames
+        |FROM fh a JOIN fh b ON a.doc_id < b.doc_id AND a.hi = b.hi AND a.lo = b.lo
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 8
         |ORDER BY id_a, id_b""".stripMargin,
 
     // the audio envelope hash replayed as pure arithmetic — same

@@ -1373,6 +1373,53 @@ class LlmSpec extends SparkSpec {
     assert(a(2L).sample_rate == 0 && a(2L).n_samples == 0L)
   }
 
+  test("multimodal video: Y4M decode walks the container, frame hashes drive near-dup") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(17)
+    val frames = (0 until 5).map(_ => Array.fill(18 * 16)(rnd.nextInt(256)))
+    // container roundtrip: luma planes come back verbatim, chroma skipped
+    val y4m = Multimodal.syntheticY4m(18, 16, frames)
+    val dec = Multimodal.decodeY4mGray(y4m)
+    assert(dec.exists(d => d._1 == 18 && d._2 == 16 && d._3.size == 5))
+    assert(dec.get._3.map(_.toSeq) == frames.map(_.toSeq), "luma roundtrip")
+    // a truncated tail drops the partial frame, keeps the whole ones
+    val cut = Multimodal.decodeY4mGray(y4m.dropRight(100)).get._3
+    assert(cut.size == 4 && cut.map(_.toSeq) == frames.take(4).map(_.toSeq), "truncation")
+    // mono colourspace: no chroma to skip
+    val mono = ("YUV4MPEG2 W4 H2 F30:1 Cmono\n" + "FRAME\n").getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8)(i => (i * 10).toByte)
+    assert(Multimodal.decodeY4mGray(mono).get._3.head.toSeq == (0 until 8).map(_ * 10))
+    // garbage, unsupported colourspace, missing dims: None
+    assert(Multimodal.decodeY4mGray("not a stream".getBytes).isEmpty)
+    assert(Multimodal.decodeY4mGray(
+      "YUV4MPEG2 W4 H2 C422\nFRAME\n12345678901234".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeY4mGray("YUV4MPEG2 F30:1\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    // frame sampling: 12-frame video at sampleFrames=4 picks 0,3,6,9
+    val twelve = (0 until 12).map(f => Array.fill(18 * 16)(f * 20))
+    val v12 = Multimodal.syntheticY4m(18, 16, twelve)
+    val sampled = Multimodal.videoFrameHashes(
+        Seq(Multimodal.Media(1L, v12, "video/x-yuv4mpeg")).toDS(), sampleFrames = 4)
+      .select("frame_idx").as[Long].collect().toSet
+    assert(sampled == Set(0L, 3L, 6L, 9L), s"even sampling: $sampled")
+    // near-dup pairs: a copy with one replaced frame pairs (11/12 shared),
+    // unrelated footage doesn't, garbage pairs with nothing
+    val base12 = (0 until 12).map(_ => Array.fill(18 * 16)(rnd.nextInt(256)))
+    val oneOff = base12.updated(5, Array.fill(18 * 16)(rnd.nextInt(256)))
+    val other12 = (0 until 12).map(_ => Array.fill(18 * 16)(rnd.nextInt(256)))
+    val ds = Seq(
+      Multimodal.Media(1L, Multimodal.syntheticY4m(18, 16, base12), "video/x-yuv4mpeg"),
+      Multimodal.Media(2L, Multimodal.syntheticY4m(18, 16, oneOff), "video/x-yuv4mpeg"),
+      Multimodal.Media(3L, Multimodal.syntheticY4m(18, 16, other12), "video/x-yuv4mpeg"),
+      Multimodal.Media(4L, "garbage bytes".getBytes, "video/mp4")).toDS()
+    val pairs = Multimodal.videoNearDupPairs(ds, sampleFrames = 12, minShared = 8)
+      .select("id_a", "id_b", "shared_frames").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.get((1L, 2L)).exists(_ >= 11L), s"one-frame-off copy must pair: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated must not pair: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"garbage pairs with nothing: $pairs")
+  }
+
   test("multimodal audio: PCM decode is sample-lossless, envelope hash tracks the waveform") {
     import spark.implicits._
     import graft.llm.Multimodal
