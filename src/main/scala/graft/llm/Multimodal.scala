@@ -325,7 +325,7 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.map { m =>
-      decodeWavPcm(m.media).flatMap { case (_, _, s) => audioHash64(s) } match {
+      audioHashOf(m.media) match {
         case Some(h) => ImageHash(m.doc_id, h, ok = true)
         case None => ImageHash(m.doc_id, 0L, ok = false)
       }
@@ -417,7 +417,8 @@ object Multimodal {
           val n = frames.length
           val k = math.min(sampleFrames, n)
           // evenly-spaced sample indices: i-th sample at floor(i*n/k) —
-          // the same replayable floor map as every grid here
+          // the same replayable floor map as every grid here (and the
+          // same frames [[videoHashesOf]] gives the streaming twin)
           (0 until k).iterator.flatMap { i =>
             val fi = i * n / k
             dHash64(w, h, frames(fi)).map(hsh => (m.doc_id, fi.toLong, hsh))
@@ -647,6 +648,37 @@ object Multimodal {
 
   case class ImageHash(doc_id: Long, dhash: Long, ok: Boolean)
 
+  /** Bytes → perceptual image hash, dispatched on magic bytes (not
+    * trusted mime strings): BMP 24-bpp and binary PNM decode for real,
+    * everything else is None. The ONE kernel the batch operator and the
+    * streaming twin share, so stream and batch fingerprint identically. */
+  private[graft] def imageHashOf(m: Array[Byte]): Option[Long] = {
+    val gray =
+      if (m != null && m.length >= 2 && m(0) == 'B' && m(1) == 'M') decodeBmpGray(m)
+      else if (m != null && m.length >= 2 && m(0) == 'P') decodePnmGray(m)
+      else None
+    gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
+  }
+
+  /** Bytes → audio envelope hash (PCM WAV only) — the audio sibling of
+    * [[imageHashOf]], shared by batch and stream. */
+  private[graft] def audioHashOf(m: Array[Byte]): Option[Long] =
+    decodeWavPcm(m).flatMap { case (_, _, s) => audioHash64(s) }
+
+  /** Bytes → DISTINCT sampled-frame hashes (Y4M only; empty when
+    * undecodable or sub-grid) — the video fingerprint set, shared by
+    * batch and stream. */
+  private[graft] def videoHashesOf(m: Array[Byte], sampleFrames: Int): Seq[Long] =
+    decodeY4mGray(m) match {
+      case Some((w, h, frames)) =>
+        val n = frames.length
+        val k = math.min(sampleFrames, n)
+        (0 until k).iterator
+          .flatMap(i => dHash64(w, h, frames(i * n / k)))
+          .toSeq.distinct
+      case None => Seq.empty
+    }
+
   /** Batch pixel-decode → perceptual dHash per image. Real decode for the
     * uncompressed families (BMP 24-bpp, binary PNM — dispatched on magic
     * bytes, not trusted mime strings); anything else, including every
@@ -658,13 +690,7 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.map { m =>
-      val gray =
-        if (m.media != null && m.media.length >= 2 && m.media(0) == 'B' && m.media(1) == 'M')
-          decodeBmpGray(m.media)
-        else if (m.media != null && m.media.length >= 2 && m.media(0) == 'P')
-          decodePnmGray(m.media)
-        else None
-      gray.flatMap { case (w, h, px) => dHash64(w, h, px) } match {
+      imageHashOf(m.media) match {
         case Some(hsh) => ImageHash(m.doc_id, hsh, ok = true)
         case None => ImageHash(m.doc_id, 0L, ok = false)
       }

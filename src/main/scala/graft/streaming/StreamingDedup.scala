@@ -120,8 +120,63 @@ object StreamingDedup {
     * scrape after the first. State: 4 claimed band keys per admitted
     * image, evicted at the horizon. */
   def imageNearDupFirstSeen(df: DataFrame, mediaCol: String, tsCol: String,
-      delay: String): DataFrame = {
-    import graft.llm.Multimodal
+      delay: String): DataFrame =
+    bandedMediaFirstSeen(df, mediaCol, tsCol, delay)(graft.llm.Multimodal.imageHashOf)
+
+  /** Streaming AUDIO near-dup first-seen — the ingestion-time twin of
+    * [[graft.llm.Multimodal.audioNearDupPairs]], on the identical
+    * contract as [[imageNearDupFirstSeen]]: the 16-bit-PCM envelope hash
+    * (same shared kernel as the batch operator) claims its four 16-bit
+    * bands; non-PCM or too-short audio passes through. */
+  def audioNearDupFirstSeen(df: DataFrame, mediaCol: String, tsCol: String,
+      delay: String): DataFrame =
+    bandedMediaFirstSeen(df, mediaCol, tsCol, delay)(graft.llm.Multimodal.audioHashOf)
+
+  /** Streaming VIDEO near-dup first-seen — the ingestion-time twin of
+    * [[graft.llm.Multimodal.videoNearDupPairs]]: each record's sampled
+    * frame hashes (same shared kernel, same evenly-spaced sampling)
+    * claim within the horizon; a video is SUPPRESSED when `minShared` or
+    * more of its frame hashes were already claimed — the batch
+    * shared-frames threshold read as a streaming admission test. Keeps
+    * the family contracts: undecodable media passes through, same-batch
+    * arrivals arbitrate to the min event-time record, a re-arrival past
+    * eviction re-emits. One conservative asymmetry, inherent to counting
+    * SURVIVING claim rows: a short video (fewer sampled hashes than
+    * `minShared`) whose EVERY hash is already claimed leaves no row to
+    * count and is suppressed even though the batch join could never pair
+    * it — the exact batch operator is the backstop, as everywhere in
+    * this family. */
+  def videoNearDupFirstSeen(df: DataFrame, mediaCol: String, tsCol: String,
+      delay: String, sampleFrames: Int = 16, minShared: Int = 8): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val vSchema = df.schema.add("__vh", ArrayType(LongType), nullable = false)
+    val withV = df.mapPartitions { rows =>
+      rows.map { row =>
+        val m = row.get(mIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        Row.fromSeq(row.toSeq :+ graft.llm.Multimodal.videoHashesOf(m, sampleFrames))
+      }
+    }(Encoders.row(vSchema))
+    val undecodable = withV.filter(size(col("__vh")) === 0).select(df.columns.map(col): _*)
+    val claimed = withV.filter(size(col("__vh")) > 0)
+      .select(col("*"), size(col("__vh")).as("__nv"))
+      .select(df.columns.map(col) :+ col("__nv") :+ explode(col("__vh")).as("__v"): _*)
+    claimAll(claimed, df.columns, tsCol, delay, col("__nv"),
+        minKept = greatest(col("__nv") - (minShared - 1), lit(1)))
+      .unionByName(undecodable)
+  }
+
+  /** Shared single-64-bit-fingerprint streaming twin: hash the binary
+    * media column with `hashOf` (a shared batch/stream kernel from
+    * [[graft.llm.Multimodal]]), claim the hash's four 16-bit bands, emit
+    * only records keeping all four; unhashable media passes through
+    * unsuppressed (a shared "undecodable" bucket would suppress every
+    * corrupt scrape after the first). */
+  private def bandedMediaFirstSeen(df: DataFrame, mediaCol: String, tsCol: String,
+      delay: String)(hashOf: Array[Byte] => Option[Long]): DataFrame = {
     val mIdx = df.schema.fieldIndex(mediaCol)
     val hSchema = df.schema.add("__ih", LongType, nullable = true)
     val withH = df.mapPartitions { rows =>
@@ -130,13 +185,7 @@ object StreamingDedup {
           case b: Array[Byte] => b
           case _ => null
         }
-        val gray =
-          if (m != null && m.length >= 2 && m(0) == 'B' && m(1) == 'M')
-            Multimodal.decodeBmpGray(m)
-          else if (m != null && m.length >= 2 && m(0) == 'P') Multimodal.decodePnmGray(m)
-          else None
-        val h = gray.flatMap { case (w, hh, px) => Multimodal.dHash64(w, hh, px) }
-        Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
+        Row.fromSeq(row.toSeq :+ hashOf(m).map(Long.box).orNull)
       }
     }(Encoders.row(hSchema))
     val undecodable = withH.filter(col("__ih").isNull).select(df.columns.map(col): _*)
@@ -278,14 +327,20 @@ object StreamingDedup {
     * count): `expected` must be constant across a record's exploded rows
     * and is carried through the grouping as a key. */
   private def claimAll(exploded: DataFrame, carry: Seq[String], tsCol: String,
-      delay: String, expected: org.apache.spark.sql.Column): DataFrame = {
+      delay: String, expected: org.apache.spark.sql.Column,
+      minKept: org.apache.spark.sql.Column = null): DataFrame = {
     val keys = carry.filterNot(_ == tsCol)
+    // default admission = keep ALL claims (first-seen); a caller-supplied
+    // minKept turns it into a threshold test (the video twin's
+    // fewer-than-minShared-lost rule). A record losing EVERY claim has no
+    // surviving row to count and is suppressed under any threshold.
+    val admit = Option(minKept).getOrElse(expected)
     batchLocalFirstClaim(exploded, tsCol, Seq("__v"))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__v")
       .groupBy(window(col(tsCol), delay) +: expected +: keys.map(col): _*)
       .agg(count(lit(1)).as("__kept"), min(col(tsCol)).as(tsCol))
-      .filter(col("__kept") === expected)
+      .filter(col("__kept") >= admit)
       .select(carry.map(col): _*)
   }
 }

@@ -503,6 +503,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio near-dup: close envelopes suppressed, non-PCM passes through") {
+    import graft.llm.Multimodal
+    val in = MemoryStream[(java.sql.Timestamp, Array[Byte])](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rnd = new scala.util.Random(23)
+    val basePcm = Array.fill(1950)(rnd.nextInt(4001) - 2000)
+    val nearPcm = basePcm.zipWithIndex.map { case (s, j) => if (j < 30) s + 900 else s }
+    val farPcm = Array.fill(1950)(rnd.nextInt(4001) - 2000)
+    import spark.implicits._
+    // batch premise: base/near pair, base/far don't
+    val batchPairs = Multimodal.audioNearDupPairs(Seq(
+        Multimodal.Media(0L, Multimodal.syntheticWavPcm(8000, basePcm), "audio/wav"),
+        Multimodal.Media(1L, Multimodal.syntheticWavPcm(8000, nearPcm), "audio/wav"),
+        Multimodal.Media(2L, Multimodal.syntheticWavPcm(8000, farPcm), "audio/wav")).toDS(),
+        maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs.contains((0L, 1L)) && !batchPairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"fixture premise broken: $batchPairs")
+    val out = StreamingDedup.audioNearDupFirstSeen(
+      in.toDF().toDF("ts", "media"), "media", "ts", "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("aud_out").start()
+    try {
+      val garbage = "definitely not audio".getBytes("US-ASCII")
+      in.addData(ts(10) -> Multimodal.syntheticWavPcm(8000, basePcm), ts(11) -> garbage)
+      q.processAllAvailable()
+      in.addData(ts(12) -> Multimodal.syntheticWavPcm(8000, nearPcm),
+        ts(13) -> Multimodal.syntheticWavPcm(8000, farPcm))
+      q.processAllAvailable()
+      in.addData(ts(100) -> Multimodal.syntheticWavPcm(8000, Array.fill(1950)(7)))
+      q.processAllAvailable()
+      in.addData(ts(200) -> Multimodal.syntheticWavPcm(8000, Array.fill(1950)(99)))
+      q.processAllAvailable()
+      val got = spark.table("aud_out").select("media").as[Array[Byte]].collect()
+        .map(_.toSeq).toSet
+      assert(got.contains(Multimodal.syntheticWavPcm(8000, basePcm).toSeq), "first passes")
+      assert(!got.contains(Multimodal.syntheticWavPcm(8000, nearPcm).toSeq), "near suppressed")
+      assert(got.contains(Multimodal.syntheticWavPcm(8000, farPcm).toSeq), "distinct passes")
+      assert(got.contains(garbage.toSeq), "non-PCM passes through")
+    } finally q.stop()
+  }
+
+  test("streaming video near-dup: frame-hash threshold suppresses copies, unrelated passes") {
+    import graft.llm.Multimodal
+    val in = MemoryStream[(java.sql.Timestamp, Array[Byte])](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rnd = new scala.util.Random(29)
+    val base12 = (0 until 12).map(_ => Array.fill(18 * 16)(rnd.nextInt(256)))
+    val oneOff = base12.updated(5, Array.fill(18 * 16)(rnd.nextInt(256)))
+    val other12 = (0 until 12).map(_ => Array.fill(18 * 16)(rnd.nextInt(256)))
+    val baseV = Multimodal.syntheticY4m(18, 16, base12)
+    val nearV = Multimodal.syntheticY4m(18, 16, oneOff)
+    val farV = Multimodal.syntheticY4m(18, 16, other12)
+    import spark.implicits._
+    // batch premise: base/near pair at minShared 8, base/far don't
+    val batchPairs = Multimodal.videoNearDupPairs(Seq(
+        Multimodal.Media(0L, baseV, "v"), Multimodal.Media(1L, nearV, "v"),
+        Multimodal.Media(2L, farV, "v")).toDS(), sampleFrames = 12, minShared = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs.contains((0L, 1L)) && !batchPairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"fixture premise broken: $batchPairs")
+    val out = StreamingDedup.videoNearDupFirstSeen(
+      in.toDF().toDF("ts", "media"), "media", "ts", "10 seconds",
+      sampleFrames = 12, minShared = 8)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("vid_out").start()
+    try {
+      val garbage = "not a video".getBytes("US-ASCII")
+      in.addData(ts(10) -> baseV, ts(11) -> garbage)
+      q.processAllAvailable()
+      in.addData(ts(12) -> nearV, ts(13) -> farV) // 11 shared >= 8: suppress
+      q.processAllAvailable()
+      in.addData(ts(100) -> Multimodal.syntheticY4m(18, 16,
+        (0 until 12).map(_ => Array.fill(18 * 16)(3))))
+      q.processAllAvailable()
+      in.addData(ts(200) -> Multimodal.syntheticY4m(18, 16,
+        (0 until 12).map(_ => Array.fill(18 * 16)(250))))
+      q.processAllAvailable()
+      val got = spark.table("vid_out").select("media").as[Array[Byte]].collect()
+        .map(_.toSeq).toSet
+      assert(got.contains(baseV.toSeq), "first passes")
+      assert(!got.contains(nearV.toSeq), "11-of-12-shared copy suppressed")
+      assert(got.contains(farV.toSeq), "unrelated passes (shares < 8)")
+      assert(got.contains(garbage.toSeq), "undecodable passes through")
+    } finally q.stop()
+  }
+
   test("streaming SimHash near-dup: band-colliding docs suppressed in-horizon") {
     val in = MemoryStream[(java.sql.Timestamp, String)](spark)
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
