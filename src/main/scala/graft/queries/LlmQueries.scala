@@ -1163,6 +1163,22 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the media CURATION composition: decode -> perceptual hash ->
+    // near-dup pairs -> transitive duplicate clusters -> canonical keep
+    // flag, the image counterpart of the text curation pipelines — the
+    // oracle replays hashing, pairing, AND the recursive closure
+    "q_pipeline_media" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ids = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
+      val media = ids.as[Long].map(dhashMedia _)
+      val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 2)
+        .select("id_a", "id_b")
+      graft.llm.Dedup.clusters(ids, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     // REAL video decode + per-frame perceptual hash: each doc renders an
     // actual 12-frame 18x16 Y4M stream (header line, FRAME markers,
     // planar YUV C420) whose luma is an integer function of
@@ -2715,6 +2731,46 @@ object LlmQueries {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // hashing, pairing, and the transitive closure all replayed: the
+    // q_multimodal_neardup oracle composed with the q_dedup_cluster-style
+    // recursive reach
+    "q_pipeline_media" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)
+        |  WHERE doc_id % 7 = 0 AND doc_id < 3500),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pr
+        |      UNION SELECT id_b, id_a FROM pr),
+        |ids AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0 AND doc_id < 3500),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM ids
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // per-frame dHashes replayed as pure arithmetic over the
     // (doc, frame, x, y) pixel formula — only a container-walking,
