@@ -372,8 +372,12 @@ object Multimodal {
     }
     if (w <= 0 || h <= 0) return None
     val lumaLen = w * h
+    // the EXACT 8-bit tag set: a startsWith("420") would also admit the
+    // high-bit-depth extensions (C420p10/p12), whose samples are TWO
+    // bytes — the walk would mis-stride and the luma read garbage
     val chromaLen =
-      if (colour.startsWith("420")) 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      if (colour == "420" || colour == "420jpeg" || colour == "420paldv" ||
+          colour == "420mpeg2") 2 * ((w + 1) / 2) * ((h + 1) / 2)
       else if (colour == "444") 2 * w * h
       else if (colour == "mono") 0
       else return None

@@ -1394,6 +1394,13 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeY4mGray("not a stream".getBytes).isEmpty)
     assert(Multimodal.decodeY4mGray(
       "YUV4MPEG2 W4 H2 C422\nFRAME\n12345678901234".getBytes("US-ASCII")).isEmpty)
+    // high-bit-depth 420 (two-byte samples) must reject, not mis-stride
+    assert(Multimodal.decodeY4mGray(
+      ("YUV4MPEG2 W4 H2 C420p10\nFRAME\n" + "x" * 24).getBytes("US-ASCII")).isEmpty)
+    // the 8-bit 420 alias tags decode like plain C420
+    val jtag = ("YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n").getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8 + 4)(i => (i * 3).toByte)
+    assert(Multimodal.decodeY4mGray(jtag).get._3.head.toSeq == (0 until 8).map(_ * 3))
     assert(Multimodal.decodeY4mGray("YUV4MPEG2 F30:1\nFRAME\n".getBytes("US-ASCII")).isEmpty)
     // frame sampling: 12-frame video at sampleFrames=4 picks 0,3,6,9
     val twelve = (0 until 12).map(f => Array.fill(18 * 16)(f * 20))
