@@ -370,7 +370,12 @@ object Multimodal {
       else if (tok.startsWith("H")) h = tok.drop(1).toIntOption.getOrElse(0)
       else if (tok.startsWith("C")) colour = tok.drop(1)
     }
-    if (w <= 0 || h <= 0) return None
+    // dimension sanity in LONG arithmetic: a malformed header declaring
+    // 65536x65536 would overflow w*h to 0, sail past the byte-bounds
+    // check, and hand downstream hashing empty "frames" for a huge
+    // declared grid — an out-of-bounds crash on corrupt input. A frame
+    // cannot exceed the buffer anyway, so cap there.
+    if (w <= 0 || h <= 0 || w.toLong * h > b.length) return None
     val lumaLen = w * h
     // the EXACT 8-bit tag set: a startsWith("420") would also admit the
     // high-bit-depth extensions (C420p10/p12), whose samples are TWO
@@ -390,7 +395,7 @@ object Multimodal {
       var fe = pos + 5
       while (fe < b.length && b(fe) != '\n') fe += 1 // frame params skipped
       val dataStart = fe + 1
-      if (dataStart + lumaLen + chromaLen > b.length) open = false // truncated tail
+      if (dataStart.toLong + lumaLen + chromaLen > b.length) open = false // truncated tail
       else {
         val luma = new Array[Int](lumaLen)
         var j = 0

@@ -1394,6 +1394,10 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeY4mGray("not a stream".getBytes).isEmpty)
     assert(Multimodal.decodeY4mGray(
       "YUV4MPEG2 W4 H2 C422\nFRAME\n12345678901234".getBytes("US-ASCII")).isEmpty)
+    // declared dims that overflow int (65536x65536) must reject cleanly,
+    // not crash downstream hashing with empty frames for a huge grid
+    assert(Multimodal.decodeY4mGray(
+      ("YUV4MPEG2 W65536 H65536 C420\nFRAME\n" + "x" * 64).getBytes("US-ASCII")).isEmpty)
     // high-bit-depth 420 (two-byte samples) must reject, not mis-stride
     assert(Multimodal.decodeY4mGray(
       ("YUV4MPEG2 W4 H2 C420p10\nFRAME\n" + "x" * 24).getBytes("US-ASCII")).isEmpty)
