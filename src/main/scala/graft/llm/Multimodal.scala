@@ -173,17 +173,26 @@ object Multimodal {
     val dataOff = bb.getInt(10)
     val w = bb.getInt(18)
     val rawH = bb.getInt(22)
+    // abs(Int.MinValue) IS Int.MinValue — it would pass an `h == 0`
+    // guard and crash the allocation below; reject it by name
+    if (rawH == Int.MinValue) return None
     val h = math.abs(rawH)
     val topDown = rawH < 0
     if (w <= 0 || h == 0 || bb.getShort(28) != 24 || bb.getInt(30) != 0) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return None
+    // stride in LONG: `w * 3` overflows Int for w ≳ 715M, and a wrapped
+    // tiny stride would let a ~60-byte crafted file pass the byte-bounds
+    // check and then attempt a multi-GB allocation / out-of-bounds walk.
+    // Corrupt input must return None, never kill the task (the Y4M
+    // decoder got the same guard; this is the BMP half of that class).
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + stride * h > b.length) return None
+    // stride*h ≤ b.length ⇒ w*h*3 ≤ b.length ⇒ w*h fits an Int
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
       var x = 0
-      var p = dataOff + srcRow * stride
+      var p = dataOff + (srcRow * stride).toInt
       while (x < w) {
         val blue = b(p) & 0xFF
         val green = b(p + 1) & 0xFF
@@ -353,7 +362,21 @@ object Multimodal {
     * paldv tags included) and C444/Cmono; anything else, malformed
     * headers, or truncated frames return None / stop at the last whole
     * frame. */
-  private[graft] def decodeY4mGray(b: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+  private[graft] def decodeY4mGray(b: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
+    y4mScan(b).map { case (w, h, lumaLen, starts) =>
+      (w, h, starts.toSeq.map(s => y4mLuma(b, s, lumaLen)))
+    }
+
+  /** Container walk WITHOUT materializing frames: validates the stream
+    * header, strides over each FRAME's luma+chroma payload, and returns
+    * (w, h, lumaLen, per-frame luma data-start offsets). This is the
+    * shared first pass that lets the sampling decoders allocate planes
+    * for ONLY the frames they hash — per-row memory proportional to
+    * `sampleFrames`, not to video duration (a 2-hour clip sampled at 16
+    * frames builds 16 planes, not ~200k). The offsets array itself is
+    * 4 bytes/frame — negligible. Frame params after FRAME are skipped
+    * per spec, so offsets are discovered, not computed. */
+  private def y4mScan(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
     if (b == null || b.length < magic.length + 2) return None
     var i = 0
@@ -379,14 +402,18 @@ object Multimodal {
     val lumaLen = w * h
     // the EXACT 8-bit tag set: a startsWith("420") would also admit the
     // high-bit-depth extensions (C420p10/p12), whose samples are TWO
-    // bytes — the walk would mis-stride and the luma read garbage
-    val chromaLen =
+    // bytes — the walk would mis-stride and the luma read garbage.
+    // chromaLen in LONG: `2 * w * h` for C444 overflows Int once
+    // w*h > 2^30 (the dimension guard only bounds w*h by b.length,
+    // which reaches ~2^31) — a negative chromaLen would understate the
+    // frame-size check and walk `pos` backward into negative indexing.
+    val chromaLen: Long =
       if (colour == "420" || colour == "420jpeg" || colour == "420paldv" ||
-          colour == "420mpeg2") 2 * ((w + 1) / 2) * ((h + 1) / 2)
-      else if (colour == "444") 2 * w * h
-      else if (colour == "mono") 0
+          colour == "420mpeg2") 2L * ((w + 1) / 2) * ((h + 1) / 2)
+      else if (colour == "444") 2L * w * h
+      else if (colour == "mono") 0L
       else return None
-    val frames = Seq.newBuilder[Array[Int]]
+    val starts = Array.newBuilder[Int]
     var pos = eol + 1
     var open = true
     while (open && pos + 5 <= b.length) {
@@ -397,16 +424,36 @@ object Multimodal {
       val dataStart = fe + 1
       if (dataStart.toLong + lumaLen + chromaLen > b.length) open = false // truncated tail
       else {
-        val luma = new Array[Int](lumaLen)
-        var j = 0
-        while (j < lumaLen) { luma(j) = b(dataStart + j) & 0xFF; j += 1 }
-        frames += luma
-        pos = dataStart + lumaLen + chromaLen
+        starts += dataStart
+        pos = (dataStart.toLong + lumaLen + chromaLen).toInt
       }
     }
-    val out = frames.result()
-    if (out.isEmpty) None else Some((w, h, out))
+    val out = starts.result()
+    if (out.isEmpty) None else Some((w, h, lumaLen, out))
   }
+
+  /** Materialize ONE frame's luma plane from its scanned offset. */
+  private def y4mLuma(b: Array[Byte], dataStart: Int, lumaLen: Int): Array[Int] = {
+    val luma = new Array[Int](lumaLen)
+    var j = 0
+    while (j < lumaLen) { luma(j) = b(dataStart + j) & 0xFF; j += 1 }
+    luma
+  }
+
+  /** Scan + decode ONLY the evenly-spaced sample frames: the i-th of k
+    * samples is frame floor(i*n/k) — the same replayable floor map the
+    * oracles and the streaming twin use. Returns (w, h, (frameIdx, luma)
+    * per sampled frame). Allocation ∝ min(sampleFrames, n), never ∝ n. */
+  private[graft] def decodeY4mGraySampled(b: Array[Byte], sampleFrames: Int)
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] =
+    y4mScan(b).map { case (w, h, lumaLen, starts) =>
+      val n = starts.length
+      val k = math.min(sampleFrames, n)
+      (w, h, (0 until k).map { i =>
+        val fi = i * n / k
+        (fi, y4mLuma(b, starts(fi), lumaLen))
+      })
+    }
 
   /** Per-frame perceptual hashes for a video: decode ([[decodeY4mGray]]),
     * sample `sampleFrames` evenly-spaced frames (all of them when the
@@ -421,16 +468,12 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.flatMap { m =>
-      decodeY4mGray(m.media) match {
-        case Some((w, h, frames)) =>
-          val n = frames.length
-          val k = math.min(sampleFrames, n)
-          // evenly-spaced sample indices: i-th sample at floor(i*n/k) —
-          // the same replayable floor map as every grid here (and the
-          // same frames [[videoHashesOf]] gives the streaming twin)
-          (0 until k).iterator.flatMap { i =>
-            val fi = i * n / k
-            dHash64(w, h, frames(fi)).map(hsh => (m.doc_id, fi.toLong, hsh))
+      // sampled decode: only the floor(i*n/k)-indexed frames ever get a
+      // luma plane — allocation ∝ sampleFrames, not video duration
+      decodeY4mGraySampled(m.media, sampleFrames) match {
+        case Some((w, h, sampled)) =>
+          sampled.iterator.flatMap { case (fi, luma) =>
+            dHash64(w, h, luma).map(hsh => (m.doc_id, fi.toLong, hsh))
           }.toSeq
         case None => Seq.empty
       }
@@ -678,12 +721,10 @@ object Multimodal {
     * undecodable or sub-grid) — the video fingerprint set, shared by
     * batch and stream. */
   private[graft] def videoHashesOf(m: Array[Byte], sampleFrames: Int): Seq[Long] =
-    decodeY4mGray(m) match {
-      case Some((w, h, frames)) =>
-        val n = frames.length
-        val k = math.min(sampleFrames, n)
-        (0 until k).iterator
-          .flatMap(i => dHash64(w, h, frames(i * n / k)))
+    decodeY4mGraySampled(m, sampleFrames) match {
+      case Some((w, h, sampled)) =>
+        sampled.iterator
+          .flatMap { case (_, luma) => dHash64(w, h, luma) }
           .toSeq.distinct
       case None => Seq.empty
     }

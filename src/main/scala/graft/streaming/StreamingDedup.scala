@@ -145,7 +145,17 @@ object StreamingDedup {
     * `minShared`) whose EVERY hash is already claimed leaves no row to
     * count and is suppressed even though the batch join could never pair
     * it — the exact batch operator is the backstop, as everywhere in
-    * this family. */
+    * this family. A second, related asymmetry: claims are counted
+    * WITHOUT regard to WHICH predecessor holds them — a video sharing
+    * e.g. 4 frames with each of two different earlier videos (8 claimed
+    * total, `minShared` = 8) is suppressed although the batch pair join
+    * would pair it with neither. That is deliberate: the admission test
+    * asks "how much of this video's content has the horizon already
+    * seen", which is the right ingestion-time question (a stitched-
+    * from-known-clips compilation IS near-duplicate content); carrying
+    * a claimant id per band to get per-predecessor counts would
+    * multiply state for a semantics the batch backstop already
+    * provides exactly. */
   def videoNearDupFirstSeen(df: DataFrame, mediaCol: String, tsCol: String,
       delay: String, sampleFrames: Int = 16, minShared: Int = 8): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")

@@ -24,13 +24,21 @@ object GraftBridge {
     * Caller contract: only call once nothing will read `ds` again — a
     * local checkpoint's lineage is truncated, so a freed one cannot be
     * recomputed (the same non-fault-tolerance `localCheckpoint` already
-    * has on executor loss). No-op on non-checkpoint plans and non-classic
-    * Datasets. */
+    * has on executor loss). Safety: frees ONLY when the plan has exactly
+    * one `LogicalRDD` leaf — i.e. `ds` IS the checkpoint, nothing else.
+    * A plan embedding additional RDD-backed leaves (a `createDataFrame
+    * (rdd)` input, a shared checkpointed frame joined in) is left
+    * untouched, because freeing a still-live unrelated leaf would be
+    * unrecoverable; callers wanting that must free each checkpoint frame
+    * individually before composing. No-op on non-checkpoint plans and
+    * non-classic Datasets. */
   def freeLocalCheckpoint(ds: Dataset[_]): Unit = ds match {
     case c: classic.Dataset[_] =>
-      c.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-        case _ => ()
+      c.queryExecution.analyzed.collectLeaves().collect {
+        case lr: execution.LogicalRDD => lr
+      } match {
+        case Seq(only) => only.rdd.unpersist(blocking = false)
+        case _ => () // zero or several RDD leaves: ambiguous, touch nothing
       }
     case _ => ()
   }

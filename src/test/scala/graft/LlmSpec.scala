@@ -1413,6 +1413,18 @@ class LlmSpec extends SparkSpec {
         Seq(Multimodal.Media(1L, v12, "video/x-yuv4mpeg")).toDS(), sampleFrames = 4)
       .select("frame_idx").as[Long].collect().toSet
     assert(sampled == Set(0L, 3L, 6L, 9L), s"even sampling: $sampled")
+    // the striding sampled decoder materializes ONLY the sampled frames
+    // and they are byte-identical to the full decode's frames at the
+    // same indices (many frames, sparse sampling — the r10 watch item)
+    val many = (0 until 40).map(f => Array.fill(18 * 16)((f * 7 + 3) % 256))
+    val vMany = Multimodal.syntheticY4m(18, 16, many)
+    val sp = Multimodal.decodeY4mGraySampled(vMany, 4).get
+    assert(sp._1 == 18 && sp._2 == 16 && sp._3.map(_._1) == Seq(0, 10, 20, 30))
+    val full = Multimodal.decodeY4mGray(vMany).get._3
+    assert(sp._3.forall { case (fi, luma) => luma.toSeq == full(fi).toSeq },
+      "sampled planes must equal the full decode's at the same indices")
+    assert(Multimodal.decodeY4mGraySampled(vMany, 100).get._3.size == 40,
+      "sampleFrames beyond length decodes every frame once")
     // near-dup pairs: a copy with one replaced frame pairs (11/12 shared),
     // unrelated footage doesn't, garbage pairs with nothing
     val base12 = (0 until 12).map(_ => Array.fill(18 * 16)(rnd.nextInt(256)))
@@ -1510,6 +1522,20 @@ class LlmSpec extends SparkSpec {
     for (y <- 0 until 16; b <- 0 until stride)
       td(54 + y * stride + b) = bu(54 + (15 - y) * stride + b)
     assert(Multimodal.decodeBmpGray(td).map(_._3.toSeq).contains(px.toSeq), "top-down")
+    // crafted-header hardening: corrupt input must return None, never
+    // OOM/crash the task. (1) a width whose `w*3` WRAPS Int to a tiny
+    // stride (1431655767*3 ≡ 5 mod 2^32 -> stride 8) would let this
+    // 62-byte file pass an Int bounds check and then attempt a ~5.3 GB
+    // allocation; (2) rawH = Int.MinValue survives math.abs unchanged
+    // and would pass an `h == 0` guard into a negative-size allocation
+    val evil = new Array[Byte](62)
+    evil(0) = 'B'; evil(1) = 'M'
+    val eb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    eb.putInt(10, 54); eb.putInt(18, 1431655767); eb.putInt(22, 1)
+    eb.putShort(28, 24); eb.putInt(30, 0)
+    assert(Multimodal.decodeBmpGray(evil).isEmpty, "overflowing stride must reject")
+    eb.putInt(18, 4); eb.putInt(22, Int.MinValue)
+    assert(Multimodal.decodeBmpGray(evil).isEmpty, "rawH = Int.MinValue must reject")
     // PNM P5 (gray bytes verbatim) and P6 (r=g=b triplets -> same luma)
     val p5 = s"P5\n18 16\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
     assert(Multimodal.decodePnmGray(p5).map(_._3.toSeq).contains(px.toSeq), "P5")
