@@ -650,6 +650,43 @@ object TextAnalysis {
       .toDF(idCol, "raw_bytes", "zstd_bytes", "compression_ratio")
   }
 
+  /** Invariant audit of the zstd roundtrip — the oracle-able face of
+    * [[compressionRatio]]. No SQL engine replays a compressor, but a SQL
+    * engine CAN recompute everything AROUND one: per doc this emits the
+    * original UTF-8 length and SHA-256 plus the length and SHA-256 of
+    * `decompress(compress(text))` — all four recomputable by DuckDB from
+    * the corpus alone (`octet_length`, `sha256`), so the row compare
+    * asserts the roundtrip is lossless — and `bound_ok`, the compressor's
+    * own worst-case size contract (`Zstd.compressBound`), which the
+    * oracle pins to TRUE. A broken codec, a truncated frame, or a
+    * corrupted buffer shows up as a sha/length/boolean mismatch in the
+    * gate rather than only in ScalaTest. Runs the SAME serde kernels
+    * ([[graft.functions.Helpers.zstdCompress]]/`zstdDecompress`) the
+    * checkpoint/stream payloads use (reference helpers.py:408-413).
+    * Pure map stage — one pass, no shuffle; NULL text rows are dropped
+    * (mirrored by the oracle's `WHERE text IS NOT NULL`). */
+  def compressionAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def sha256Hex(b: Array[Byte]): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      d.map("%02x".format(_)).mkString
+    }
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .filter(col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val comp = graft.functions.Helpers.zstdCompress(raw, 3)
+        val back = graft.functions.Helpers.zstdDecompress(comp)
+        val boundOk =
+          comp.length.toLong <= com.github.luben.zstd.Zstd.compressBound(raw.length.toLong)
+        (id, raw.length.toLong, sha256Hex(raw), back.length.toLong, sha256Hex(back), boundOk)
+      })
+      .toDF(idCol, "original_len", "original_sha2", "decompressed_len",
+        "decompressed_sha2", "bound_ok")
+  }
+
   /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): split the corpus
     * into `nBuckets` equal-count tiers (head/middle/tail for 3) of the
     * [[lmScore]] surprisal distribution — CCNet keeps "head", samples

@@ -764,12 +764,14 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // compression-ratio quality signal (zstd-3): no SQL engine replays a
-    // compressor, so this is the one deliberately oracle-less query —
-    // the driver records the rows-only check; determinism and ratio
-    // ordering are pinned by LlmSpec
+    // compression quality signal (zstd-3), oracle-checked by INVARIANT:
+    // DuckDB can't replay a compressor, but it recomputes everything
+    // around one — original/decompressed length + sha256 must round-trip
+    // to the corpus values and the compressor's own compressBound must
+    // hold (pinned TRUE). Ratio ordering/determinism of the companion
+    // compressionRatio operator stay pinned by LlmSpec on the same kernel.
     "q_text_compression" -> ((s, dir) =>
-      TextAnalysis.compressionRatio(docs(s, dir), "doc_id", "text")
+      TextAnalysis.compressionAudit(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
     // CCNet head/middle/tail: tercile buckets of the integer mean-surprisal
@@ -2171,6 +2173,19 @@ object LlmQueries {
          |  CASE WHEN lmagg.n > 0 THEN CAST(lmagg.s AS DOUBLE) / 1000000.0 / lmagg.n END AS mean_nats
          |FROM (SELECT doc_id FROM d) ids LEFT JOIN lmagg USING (doc_id)
          |ORDER BY ids.doc_id""".stripMargin,
+
+    // zstd roundtrip as invariant: the compressor runs only in Spark, but
+    // lossless-ness is assertable relationally — decompress(compress(x))
+    // must carry x's exact byte length and SHA-256, both recomputable
+    // from the corpus; the compressBound contract is pinned TRUE
+    "q_text_compression" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS original_len,
+        |  sha256(text) AS original_sha2,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS decompressed_len,
+        |  sha256(text) AS decompressed_sha2,
+        |  TRUE AS bound_ok
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // the lm_score chain extended by the bucketing arithmetic: integer
     // mean key (s // n), histogram running sum, ceil-target thresholds,

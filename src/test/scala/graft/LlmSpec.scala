@@ -384,6 +384,22 @@ class LlmSpec extends SparkSpec {
     val again = TextAnalysis.compressionRatio(d, "doc_id", "text").collect()
       .map(x => x.getLong(0) -> x.toSeq).toMap
     assert(r.view.mapValues(_.toSeq).toMap == again)
+    // the invariant audit (the query's oracle-able face): roundtrip shas
+    // and lengths equal the original's, compressBound holds, nulls drop,
+    // and the emitted original_len agrees with compressionRatio's
+    // raw_bytes on the same rows — multi-byte UTF-8 included
+    val d2 = d.unionByName(Seq((6L, "héllo wörld ↯ " * 40)).toDF("doc_id", "text"))
+    val a = TextAnalysis.compressionAudit(d2, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!a.contains(4L), "null text must drop from the audit")
+    assert(a.keySet == Set(1L, 2L, 3L, 5L, 6L))
+    a.values.foreach { row =>
+      assert(row.getLong(1) == row.getLong(3), s"len roundtrip: $row")
+      assert(row.getString(2) == row.getString(4), s"sha roundtrip: $row")
+      assert(row.getBoolean(5), s"compressBound must hold: $row")
+    }
+    assert(a(6L).getLong(1) == "héllo wörld ↯ ".getBytes("UTF-8").length * 40L)
+    assert(a(1L).getLong(1) == r(1L).getLong(1), "audit len == operator raw_bytes")
   }
 
   test("leakage-safe split: every duplicate cluster lands wholly in one split") {
