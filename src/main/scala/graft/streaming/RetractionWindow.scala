@@ -44,6 +44,13 @@ object RetractionWindow {
   case class WinSlide(key: String, tsMs: Long, windowEndMs: Long,
       sumValue: Long, n: Long)
 
+  /** [[sessionSum]] output: one row per live SESSION, upsert-keyed by
+    * (key, sessionStartMs) — the merge-stable identity (a session's start
+    * only changes when an earlier event joins it, which re-emits under
+    * the new start and zeroes the old). sessionEndMs = last_ts + gap. */
+  case class WinSession(key: String, sessionStartMs: Long, sessionEndMs: Long,
+      sumValue: Long, n: Long)
+
   /** Internal plumbing type (public only because Catalyst's generated
     * encoder code cannot touch private classes): WinDelta with the
     * watermark timestamp column materialized — the stateful operator
@@ -149,10 +156,10 @@ object RetractionWindow {
     * from its own advance-slot to its period's end — the same
     * explode(sequence(...)) walk as the batch [[graft.streams.Windows]]
     * cumulative operator — so a retraction corrects every expanding window
-    * that had counted it. Session windows are the one form deliberately
-    * NOT offered here: merging windows under retraction requires
-    * re-splitting previously merged state, which needs the full event
-    * multiset per session — integrate the deltas first, then window. */
+    * that had counted it. Session windows need a different state model —
+    * merging windows under retraction requires re-splitting previously
+    * merged state, which needs the full event multiset per session — and
+    * get it in [[sessionSum]]. */
   def cumulativeSum(deltas: Dataset[WinDelta], periodMs: Long, advanceMs: Long,
       delayMs: Long): Dataset[WinSum] = {
     require(periodMs % advanceMs == 0,
@@ -259,6 +266,113 @@ object RetractionWindow {
               }
             val zeroed = gone.toSeq.sorted.map(u => WinSlide(key, u, u + sizeMs, 0L, 0L))
             (out ++ zeroed).iterator
+          }
+      }
+  }
+
+  /** Session-windowed sum+count over a ±weighted delta stream — the NATIVE
+    * retraction form of the reference's in-agg session-list merge
+    * (topologynode.py:757-819: per-key session dicts that merge on insert
+    * and keep the full `records` list). Spark's built-in `session_window`
+    * aggregation cannot express this: it stores only the merged aggregate,
+    * so retracting the BRIDGING event of a merged session (−w) could never
+    * re-split it. The state here is the same live event multiset the
+    * reference's records list holds — {tsMs → (Σ w·v, Σ w)} per key —
+    * and sessions are DERIVED from it each batch (sort, split where the
+    * inter-event gap ≥ `gapMs`), so merge and un-merge are both just
+    * recomputation over the multiset:
+    *
+    *  - output is an upsert stream keyed by (key, session_start_ms):
+    *    every batch emits the sessions whose (start, end, Σ, n) changed,
+    *    plus a zeroed row for each previously-live session start that
+    *    vanished (merged into an earlier one, or drained) — the Z-set
+    *    absent correction, exactly the sliding form's posture;
+    *  - merge boundary is STRICT (`ts2 − ts1 < gap` merges), matching
+    *    Spark's `session_window` overlap rule and graft's batch
+    *    [[graft.streams.Windows.session]] (the oracle twin). The
+    *    reference merges at exactly `gap` too (inclusive,
+    *    topologynode.py:765) — at that single boundary instant this form
+    *    sides with its own batch oracle;
+    *  - eviction: a session is FINAL once the watermark passes
+    *    last_ts + gap — an accepted new event has ts ≥ watermark, too far
+    *    right to connect, and a retraction of a member event is
+    *    watermark-dropped (member ts < last_ts < watermark). The
+    *    event-time timeout fires at the earliest live session's
+    *    last_ts + gap and drops final sessions' entries wholesale, so
+    *    state per key is bounded by the events of OPEN sessions inside
+    *    the horizon — the same shape as the reference's records lists
+    *    (an eternally-active session grows there too; that is inherent
+    *    to un-mergeable-without-the-multiset semantics, not a Spark
+    *    artifact). */
+  def sessionSum(deltas: Dataset[WinDelta], gapMs: Long, delayMs: Long): Dataset[WinSession] = {
+    require(gapMs > 0, "gapMs must be > 0")
+    val spark = deltas.sparkSession
+    import spark.implicits._
+
+    // derive (start, lastTs, Σ, n) spans from the multiset: sorted walk,
+    // new session when the inter-event gap reaches gapMs
+    def sessionsOf(st: Iterable[(Long, (Long, Long))]): Seq[(Long, Long, Long, Long)] = {
+      val sorted = st.toSeq.sortBy(_._1)
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      sorted.foreach { case (ts, (sv, w)) =>
+        if (out.nonEmpty && ts - out.last._2 < gapMs) {
+          val (s0, _, sum0, n0) = out.last
+          out(out.length - 1) = (s0, ts, sum0 + sv, n0 + w)
+        } else out += ((ts, ts, sv, w))
+      }
+      out.toSeq
+    }
+
+    deltas.toDF()
+      .withColumn("wmTs", timestamp_millis(col("tsMs")))
+      .withWatermark("wmTs", s"$delayMs milliseconds")
+      .as[WinDeltaTs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], WinSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          def arm(st: Map[Long, (Long, Long)]): Unit = {
+            val open = sessionsOf(st).filter(_._2 + gapMs > wm)
+            val next =
+              if (open.isEmpty) wm + 1 // only final sessions left: evict next tick
+              else open.map(_._2 + gapMs).min
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          if (state.hasTimedOut) {
+            // horizon passed the earliest session's end: drop every FINAL
+            // session's entries wholesale. Corrections were emitted
+            // eagerly, so nothing re-emits here (the sliding contract).
+            val st = state.get
+            val keepSpans = sessionsOf(st).filter(_._2 + gapMs > wm)
+            val keep = st.filter { case (ts, _) =>
+              keepSpans.exists(s => ts >= s._1 && ts <= s._2) }
+            if (keep.isEmpty) state.remove()
+            else { state.update(keep); arm(keep) }
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+            val prevSess = sessionsOf(prev).map(s => s._1 -> s).toMap
+            val st = collection.mutable.Map.empty[Long, (Long, Long)] ++ prev
+            rows.foreach { d =>
+              val (s0, n0) = st.getOrElse(d.tsMs, (0L, 0L))
+              val (s1, n1) = (s0 + d.weight * d.value, n0 + d.weight)
+              if (s1 == 0L && n1 == 0L) st.remove(d.tsMs)
+              else st.update(d.tsMs, (s1, n1))
+            }
+            val now = st.toMap
+            if (now.isEmpty) state.remove()
+            else { state.update(now); arm(now) }
+            val newSess = sessionsOf(now).map(s => s._1 -> s).toMap
+            // upsert diff: changed/new sessions re-emit, vanished starts zero
+            val changed = newSess.collect {
+              case (s0, s) if !prevSess.get(s0).contains(s) =>
+                WinSession(key, s0, s._2 + gapMs, s._3, s._4)
+            }.toSeq.sortBy(_.sessionStartMs)
+            val gone = (prevSess.keySet -- newSess.keySet).toSeq.sorted.map { s0 =>
+              WinSession(key, s0, prevSess(s0)._2 + gapMs, 0L, 0L)
+            }
+            (changed ++ gone).iterator
           }
       }
   }

@@ -1052,14 +1052,15 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("session windows under retraction: integrate-then-window fallback un-merges sessions") {
-    // RetractionWindow deliberately excludes sessions: a retraction can
-    // remove the BRIDGING record of a merged session, and un-merging
-    // merged state needs the full event multiset. This is the documented
-    // fallback made real: integrate the ±w delta stream into the live
-    // record set (RetractionDistinct presence deltas), then run the BATCH
+    // The integrate-then-window COMPOSITION path for sessions (the
+    // native multiset-state form is RetractionWindow.sessionSum, tested
+    // separately): integrate the ±w delta stream into the live record
+    // set (RetractionDistinct presence deltas), then run the BATCH
     // session window over the integrated set each micro-batch — the
     // reference's integrate→window composition (topologynode.py:757-819
-    // session merge over the integrated Z-set).
+    // session merge over the integrated Z-set). Kept alongside the
+    // native form because it exercises DISTINCT-presence semantics
+    // (duplicate inserts absorb) vs the native weighted multiset.
     import graft.streaming.RetractionDistinct
     import graft.streams.Windows
     val gap = 10000L
@@ -1115,6 +1116,103 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(lastSessions == Seq(("x", base + 16000, base + 26000, 3L, 1L)))
     } finally q.stop()
+  }
+
+  test("native session retraction: bridge un-merge and re-merge across a checkpoint restart") {
+    // The session twin of the tumbling checkpoint test, on the state model
+    // sessions uniquely need: the live event multiset per key (the
+    // reference's in-agg records list, topologynode.py:757-819), from
+    // which sessions are DERIVED — so retracting the bridging event of a
+    // merged session re-splits it, the case Spark's own session_window
+    // aggregation (merged-agg-only state) can never express.
+    import graft.streaming.RetractionWindow
+    import graft.streaming.RetractionWindow.{WinDelta, WinSession}
+    val fs = new graft.storage.FileStorage(spark,
+      Files.createTempDirectory("graft_fs_sw").toString)
+    fs.createTopic("sw_in", 2)
+    val checkpoint = ckpt()
+    val gap = 10000L
+    val delay = 600000L
+    val base = 1700000000000L
+    val out = collection.mutable.ArrayBuffer[WinSession]()
+    var lastStateRows = -1L
+    def produce(rows: (String, Long, Long, Long)*): Unit =
+      fs.produce("sw_in", rows.toSeq.map { case (k, ts, v, w) => (k, s"$ts:$v:$w") }
+        .toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(1700000000000L))))
+    def run(): Unit = {
+      val deltas = fs.readStream("sw_in").select(
+          col("key").cast("string").as("key"),
+          split(col("value"), ":").getItem(0).cast("long").as("tsMs"),
+          split(col("value"), ":").getItem(1).cast("long").as("value"),
+          split(col("value"), ":").getItem(2).cast("long").as("weight"))
+        .as[WinDelta]
+      val q = RetractionWindow.sessionSum(deltas, gap, delay)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (d: org.apache.spark.sql.Dataset[WinSession], _: Long) =>
+          out.synchronized { out ++= d.collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      lastStateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      q.stop()
+    }
+    // run 1: two events one gap apart merge into a single session
+    produce(("x", base, 10, 1), ("x", base + 8000, 5, 1))
+    run()
+    assert(out.toSeq == Seq(WinSession("x", base, base + 18000, 15, 2)), s"run1: $out")
+    // run 2 (restart): a third event chains through the 8s bridge — the
+    // RESTORED multiset must merge, not start a fresh session
+    produce(("x", base + 16000, 3, 1))
+    run()
+    assert(out.drop(1).toSeq == Seq(WinSession("x", base, base + 26000, 18, 3)),
+      s"run2 must extend the restored session: ${out.drop(1)}")
+    // run 3: retract the BRIDGE — the merged session re-splits; the
+    // surviving later half appears as a NEW upsert start
+    produce(("x", base + 8000, 5, -1))
+    run()
+    assert(out.drop(2).toSet == Set(
+      WinSession("x", base, base + 10000, 10, 1),
+      WinSession("x", base + 16000, base + 26000, 3, 1)),
+      s"bridge retraction must un-merge: ${out.drop(2)}")
+    // run 4: re-insert the bridge — re-merge; the absorbed later start
+    // zeroes out (the Z-set absent correction on the upsert key)
+    produce(("x", base + 8000, 5, 1))
+    run()
+    assert(out.drop(4).toSet == Set(
+      WinSession("x", base, base + 26000, 18, 3),
+      WinSession("x", base + 16000, base + 26000, 0, 0)),
+      s"re-merge must zero the absorbed start: ${out.drop(4)}")
+    // run 5: drain the first event — the session's START moves right: the
+    // old start zeroes, the same session re-emits under the new identity
+    produce(("x", base, 10, -1))
+    run()
+    assert(out.drop(6).toSet == Set(
+      WinSession("x", base + 8000, base + 26000, 8, 2),
+      WinSession("x", base, base + 26000, 0, 0)),
+      s"start move must re-key the upsert: ${out.drop(6)}")
+    // runs 6+7: a far-future key advances the watermark past x's session
+    // end; the next batch fires x's event-time timeout and drops its
+    // whole multiset — the state plateau (only z's open session remains)
+    produce(("z", base + 700000, 3, 1))
+    run()
+    produce(("z", base + 700000 + 1000, 3, 1))
+    run()
+    assert(out.drop(8).toSeq == Seq(
+      WinSession("z", base + 700000, base + 700000 + gap, 3, 1),
+      WinSession("z", base + 700000, base + 700000 + 1000 + gap, 6, 2)))
+    assert(lastStateRows == 1L, s"state did not plateau: $lastStateRows rows")
+    // final upsert picture (latest row per (key, start), zeroed dropped)
+    // equals the batch session window over the integrated deltas
+    val last = out.groupBy(w => (w.key, w.sessionStartMs)).map(_._2.last)
+      .filterNot(w => w.sumValue == 0 && w.n == 0).toSet
+    assert(last == Set(
+      WinSession("x", base + 8000, base + 26000, 8, 2),
+      WinSession("z", base + 700000, base + 700000 + 1000 + gap, 6, 2)))
   }
 
   test("streaming jamie: running balance via update-mode aggregation") {
