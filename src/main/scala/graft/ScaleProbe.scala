@@ -38,6 +38,54 @@ object ScaleProbe {
         col("embedding"))
     }.reduce(_ unionByName _)
 
+  // Planted-twin MEDIA generators for the round-11 media curves: the
+  // local id (id % 1e6) keys the same pseudorandom content in EVERY
+  // replica copy, and the copy index perturbs one corner block / first
+  // audio frame / one video frame — so cross-copy twins sit at Hamming
+  // ≤ 1 (resp. share ≥ 11 of 12 frame hashes) and pair volume grows
+  // ~C(f,2)·|locals| with the factor while unrelated locals (pseudo-
+  // random splitmix content) almost never collide. Rendering the real
+  // BMP/WAV/Y4M container is PART of the timed map stage, exactly like
+  // decode — bytes never shuffle either way.
+  private def probeImageMedia(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Hashing, Multimodal}
+    val local = id % 1000000L
+    val variant = ((id / 1000000L) % 3L).toInt
+    val w = 18; val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val base = (Hashing.splitmix64(local * 288L + i) & 0x7FL).toInt
+      val delta = if (i % w < 2 && i / w < 2) variant * 40 else 0
+      base + delta
+    }
+    Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
+  }
+
+  private def probeAudioMedia(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Hashing, Multimodal}
+    val local = id % 1000000L
+    val variant = ((id / 1000000L) % 3L).toInt
+    val samples = Array.tabulate(1950) { j =>
+      val s = (((Hashing.splitmix64(local * 1950L + j) % 4001L) + 4001L) % 4001L - 2000L).toInt
+      if (j < 30) s + variant * 500 else s
+    }
+    Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+  }
+
+  private def probeVideoMedia(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Hashing, Multimodal}
+    val local = id % 1000000L
+    val variant = ((id / 1000000L) % 3L).toInt
+    val w = 18; val h = 16
+    val frames = (0 until 12).map { f =>
+      Array.tabulate(w * h) { i =>
+        val base = (Hashing.splitmix64((local * 12L + f) * 288L + i) & 0x7FL).toInt
+        val delta = if (f == variant * 4 && i % w < 2 && i / w < 2) 40 else 0
+        base + delta
+      }
+    }
+    Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -256,6 +304,40 @@ object ScaleProbe {
           graft.llm.Fuzzy.fuzzyClusters(names, "ent_id", "name",
             maxDist = 1, shortStrings = true).filter(col("is_canonical")).count())
         report("fuzzy_cluster_canonical", tFc, nFc)
+        // round-11: the media near-dup family. Decode+hash is a pure map
+        // stage (media bytes never shuffle; rendering the synthetic
+        // container is part of the timed map, standing in for decode
+        // I/O); candidates ride the banded-Hamming join (image/audio)
+        // resp. the frame-hash equi-join with the blank-frame bucket cap
+        // (video), so join fanout is the planted C(f,2)-per-local twins
+        // plus rare splitmix accidents — never all-pairs.
+        locally {
+          import spark.implicits._
+          val mediaIds = docs.select(col("doc_id")).as[Long]
+          val (tIm, nIm) = time(
+            graft.llm.Multimodal.imageNearDupPairs(
+              mediaIds.map(probeImageMedia _), maxHamming = 2).count())
+          report("image_neardup_pairs", tIm, nIm)
+          val (tAu, nAu) = time(
+            graft.llm.Multimodal.audioNearDupPairs(
+              mediaIds.map(probeAudioMedia _), maxHamming = 2).count())
+          report("audio_neardup_pairs", tAu, nAu)
+          val (tVi, nVi) = time(
+            graft.llm.Multimodal.videoNearDupPairs(
+              mediaIds.map(probeVideoMedia _), sampleFrames = 12, minShared = 8).count())
+          report("video_neardup_pairs", tVi, nVi)
+          // the q_pipeline_media composition: decode → hash → pairs →
+          // transitive clusters → canonical, ONE plan; the CC closure
+          // moves 16-byte edges only
+          val (tMp, nMp) = time {
+            val pairs = graft.llm.Multimodal.imageNearDupPairs(
+                mediaIds.map(probeImageMedia _), maxHamming = 2)
+              .select("id_a", "id_b")
+            Dedup.clusters(docs.select(col("doc_id")), "doc_id", pairs)
+              .filter(col("is_canonical")).count()
+          }
+          report("media_pipeline_canonical", tMp, nMp)
+        }
         // round-10: the as-of family under a HOT key — half of every
         // tick lands on key 0 (the single-instrument-with-10⁹-ticks shape
         // the asofJoin scaladoc warns about). The plain window serializes

@@ -32,13 +32,23 @@ object Temporal {
     *
     * Hot-key caveat: the window partitions by `keys`, so ONE pathological
     * key (a single instrument carrying 10⁹ ticks) serializes its rows into
-    * one task's sort. The mitigation is the same time-axis bucketing
-    * [[rangeJoin]] uses: split the hot key's time axis into coarse ranges
-    * (key, epoch-bucket), run the window inside each bucket, and seed each
-    * bucket with the previous bucket's LAST right row (one extra slim
-    * shuffle) so carry-forward crosses the cut. Compose it per hot key
-    * when key histograms demand it — uniform keyspaces (the common case)
-    * should not pay the extra pass, so it is not the default here.
+    * one task's sort. [[asofJoinBucketed]] is the built-in mitigation.
+    *
+    * WHICH FORM TO PICK (the measured rule, graft.AsofProbe numbers):
+    *  - max rows on any single key ≲ 10⁵–10⁶ AND the per-task sort fits
+    *    in executor memory → THIS form. The probe's in-corpus hot key
+    *    (~hundreds of thousands of rows) shows parity-or-better for the
+    *    plain window: a few-hundred-thousand-row sort in one task costs
+    *    less than the bucketed form's extra bucket-summary pass.
+    *  - max rows on any single key ≳ 10⁶, or the plain form's hot task
+    *    spills (watch "spilled" in the Spark UI task table) →
+    *    [[asofJoinBucketed]]. At 20 M ticks with HALF on one key the
+    *    probe measures plain 36.2 s vs bucketed 6.1 s (warm min-of-reps,
+    *    local[32]) — a ~6× win that grows with per-key volume since the
+    *    bucketed per-task sort is capped at span/width rows.
+    *  - key histogram unknown at authoring time → [[asofJoinAuto]], which
+    *    pays one slim histogram aggregation to apply this rule at
+    *    runtime.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightPrefix: String = "r_"): DataFrame = {
@@ -164,6 +174,50 @@ object Temporal {
         keys.map(col) ++ Seq(col(timeCol)) ++
           lp.map(c => col(s"__lp.$c").as(c)) ++
           rp.map(c => col(s"__m.$c").as(s"$rightPrefix$c")): _*)
+  }
+
+  /** [[asofJoin]] with RUNTIME dispatch between the plain and bucketed
+    * forms — for callers who don't know their key histogram at authoring
+    * time. One slim aggregation over (keys, time) of BOTH sides (column-
+    * pruned scans, map-side partial agg, one row per key then one row
+    * total) measures the max single-key row count and the time span;
+    * the scaladoc decision rule on [[asofJoin]] then picks:
+    *
+    *  - max per-key rows < `hotKeyThreshold` (default 10⁶, where the
+    *    AsofProbe measured the plain window's single-task sort start to
+    *    lose badly) → [[asofJoin]], no extra cost beyond the histogram;
+    *  - otherwise → [[asofJoinBucketed]] with width chosen so the
+    *    hottest key lands ~`targetBucketRows` rows per (key, bucket)
+    *    task (cuts clamped to [16, 4096] so tiny spans don't degenerate
+    *    and pathological ones don't explode the bucket domain).
+    *
+    * NOTE this is an ACTION at composition time (the histogram runs
+    * eagerly — two scans of the slim key/time columns), not a lazy
+    * plan like the other forms: dispatch needs the numbers. Callers who
+    * already know their skew should call the specific form directly and
+    * skip the pass; at 100 TB the histogram is affordable (slim columns,
+    * partial aggregation) but not free. `timeCol` must be numeric, as in
+    * the bucketed form. */
+  def asofJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, rightPrefix: String = "r_",
+      hotKeyThreshold: Long = 1000000L,
+      targetBucketRows: Long = 250000L): DataFrame = {
+    val slim = left.select((keys :+ timeCol).map(col): _*)
+      .unionByName(right.select((keys :+ timeCol).map(col): _*))
+    val stats = slim.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
+      .agg(max(col("__n")).as("__maxn"), min(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
+      .head()
+    if (stats.isNullAt(0) || stats.getLong(0) < hotKeyThreshold)
+      asofJoin(left, right, keys, timeCol, rightPrefix)
+    else {
+      val maxN = stats.getLong(0)
+      val span = math.max(1L,
+        stats.getAs[Number](2).longValue() - stats.getAs[Number](1).longValue() + 1L)
+      val cuts = math.min(4096L, math.max(16L, maxN / math.max(1L, targetBucketRows)))
+      val width = math.max(1L, span / cuts)
+      asofJoinBucketed(left, right, keys, timeCol, width, rightPrefix)
+    }
   }
 
   /** Interpolation join — the as-of family's two-sided form: each left row

@@ -69,6 +69,25 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // the runtime-dispatched form: the slim key/time histogram runs
+    // eagerly, the decision rule picks a form (plain here — no events
+    // key is near the 10⁶ hot threshold at any sf), and the result must
+    // match the SAME DuckDB ASOF oracle regardless of which path fired
+    "q_asof_join_auto" -> ((s, dir) => {
+      val ev = Envelope.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          Envelope.tsMs(col("ts")).as("tms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tms")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "tms")
+        .agg(max("event_id").as("event_id"))
+        .select("event_id", "user_id", "tms")
+      Temporal.asofJoinAuto(purchases, clicks, Seq("user_id"), "tms", "click_")
+        .select(col("event_id"), col("user_id"), col("click_event_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // same-user event pairs within 10 minutes of each other
     "q_range_join" -> ((s, dir) => {
       val ev = Envelope.readEvents(s, dir)
@@ -90,6 +109,16 @@ object TemporalQueries {
         |ORDER BY p.event_id""".stripMargin,
 
     "q_asof_join_bucketed" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS tms, max(event_id) AS event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.event_id AS click_id
+        |FROM p
+        |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tms >= c.tms
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_join_auto" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
         |           FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, epoch_ms(ts) AS tms, max(event_id) AS event_id

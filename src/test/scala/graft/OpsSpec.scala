@@ -70,6 +70,24 @@ class OpsSpec extends SparkSpec {
         .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
       assert(bucketed === plain, s"width=$width diverges from asofJoin")
     }
+    // asofJoinAuto dispatches by the measured rule and stays
+    // result-identical in BOTH regimes: default threshold (nothing here
+    // is hot → plain path) and threshold 1 (everything is hot → bucketed
+    // path with a derived width)
+    val autoPlain = graft.ops.Temporal.asofJoinAuto(left, right, Seq("k"), "t")
+      .select("k", "t", "lv", "r_rv").as[(Long, Long, String, Option[String])]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(autoPlain === plain, "auto (cold histogram) diverges")
+    val autoHot = graft.ops.Temporal.asofJoinAuto(left, right, Seq("k"), "t",
+        hotKeyThreshold = 1L, targetBucketRows = 10L)
+      .select("k", "t", "lv", "r_rv").as[(Long, Long, String, Option[String])]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(autoHot === plain, "auto (forced bucketed) diverges")
+    // empty inputs: the histogram head() must not NPE and the result is
+    // the plain form's empty left-outer frame
+    val emptyAuto = graft.ops.Temporal.asofJoinAuto(
+      left.limit(0), right.limit(0), Seq("k"), "t")
+    assert(emptyAuto.count() == 0L)
   }
 
   test("interpolate join: exact hit, interior interpolation, null outside the covered range") {
