@@ -1592,6 +1592,88 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), s"inverted image must NOT pair: $pairs")
   }
 
+  test("multimodal PNG: real inflate, all five unfilter paths, corruption rejects") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(23)
+    val (w, h) = (18, 16)
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    // every filter type round-trips losslessly, gray AND RGB
+    for (ft <- 0 to 4; ct <- Seq(0, 2)) {
+      val png = Multimodal.syntheticPngPixels(w, h, px, colorType = ct, rowFilters = Seq(ft))
+      assert(Multimodal.decodePngGray(png).map(_._3.toSeq).contains(px.toSeq),
+        s"filter $ft colorType $ct")
+    }
+    val png = Multimodal.syntheticPngPixels(w, h, px, colorType = 2,
+      rowFilters = Seq(1, 4, 2, 3, 0))
+    assert(Multimodal.decodePngGray(png).map(_._3.toSeq).contains(px.toSeq), "cycling filters")
+    // the container is invisible to the perceptual hash: PNG == BMP
+    assert(Multimodal.imageHashOf(png) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, px)), "PNG vs BMP hash")
+    // gray+alpha (4) and RGBA (6) decode paths, hand-assembled: filter-0
+    // rows, real zlib stream, real CRCs — alpha must be ignored for luma
+    def chunkedPng(wd: Int, ht: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val cb = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) cb.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val comp = cb.toByteArray
+      val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + comp.length + 12)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      def chunk(tpe: String, data: Array[Byte]): Unit = {
+        out.putInt(data.length)
+        val to = out.position()
+        out.put(tpe.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(out.array(), to, 4 + data.length)
+        out.putInt(crc.getValue.toInt)
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
+      ihdr.putInt(wd).putInt(ht)
+      ihdr.put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk("IHDR", ihdr.array()); chunk("IDAT", comp); chunk("IEND", Array.emptyByteArray)
+      out.array()
+    }
+    val ga = (0 until h).flatMap(y =>
+      0.toByte +: (0 until w).flatMap(x =>
+        Seq(px(y * w + x).toByte, 0x80.toByte))).toArray // gray, alpha
+    assert(Multimodal.decodePngGray(chunkedPng(w, h, 4, ga)).map(_._3.toSeq)
+      .contains(px.toSeq), "gray+alpha")
+    val rgba = (0 until h).flatMap(y =>
+      0.toByte +: (0 until w).flatMap(x =>
+        Seq(px(y * w + x).toByte, px(y * w + x).toByte, px(y * w + x).toByte, 0x33.toByte))).toArray
+    assert(Multimodal.decodePngGray(chunkedPng(w, h, 6, rgba)).map(_._3.toSeq)
+      .contains(px.toSeq), "RGBA")
+    // corruption: a flipped IDAT byte fails the chunk CRC, truncation
+    // fails the chunk walk — both None, never a crash
+    val bad = png.clone()
+    val idatPos = bad.indices.find(i => i + 4 <= bad.length &&
+      bad(i) == 'I' && bad(i + 1) == 'D' && bad(i + 2) == 'A' && bad(i + 3) == 'T').get
+    bad(idatPos + 6) = (bad(idatPos + 6) ^ 0x40).toByte
+    assert(Multimodal.decodePngGray(bad).isEmpty, "corrupt IDAT must reject")
+    assert(Multimodal.decodePngGray(png.dropRight(30)).isEmpty, "truncation must reject")
+    assert(Multimodal.decodePngGray("not a png at all".getBytes).isEmpty)
+    // unsupported-variant rejects via a patched (re-CRC'd) IHDR: palette,
+    // Adam7 interlace, 16-bit depth — scoped, not silently wrong
+    def patchIhdr(orig: Array[Byte])(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val c = orig.clone()
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.BIG_ENDIAN)
+      f(bb)
+      val crc = new java.util.zip.CRC32
+      crc.update(c, 12, 17)
+      bb.putInt(29, crc.getValue.toInt)
+      c
+    }
+    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(25, 3.toByte))).isEmpty, "palette")
+    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(28, 1.toByte))).isEmpty, "Adam7")
+    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(24, 16.toByte))).isEmpty, "16-bit")
+    // a crafted header declaring huge dims is rejected by the DEFLATE
+    // expansion bound BEFORE any allocation matching the claimed size
+    assert(Multimodal.decodePngGray(patchIhdr(png)(_.putInt(16, 1 << 20))).isEmpty, "huge dims")
+  }
+
   test("HLL registers obey the merge law and match a local recompute") {
     import graft.llm.{Hashing, Sketches}
     val half1 = docs.filter(col("doc_id") % 2 === 0)
