@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * walk) image headers, RIFF/WAVE PCM audio — and REAL down to
   * pixels/samples/frames for BMP 24-bpp, binary PNM, PNG (its only codec
   * is DEFLATE, which the JDK ships — full inflate + unfilter in
-  * [[decodePngGray]]), 16-bit PCM WAV, and Y4M video. The DETERMINISTIC
-  * STUB scope is down to the codecs whose decoders genuinely are not in
-  * this container: JPEG entropy+DCT, GIF LZW, MP3, H.264. What is
+  * [[decodePngGray]]), GIF (LZW is a pure-JVM dictionary walk —
+  * [[decodeGifGray]] incl. de-interlace), 16-bit PCM WAV, and Y4M video.
+  * The DETERMINISTIC STUB scope is down to the codecs whose decoders
+  * genuinely are not in this container: JPEG entropy+DCT, MP3, H.264. What is
   * load-bearing for a 100 TB pipeline either
   * way: the schema (binary payload + typed metadata), the partition-parallel
   * batch shape (one decoder init per partition, streamed records), and the
@@ -88,6 +89,185 @@ object Multimodal {
       val h = bb.getShort(8) & 0xFFFF
       if (w > 0 && h > 0) Some((w, h)) else None
     } else None
+
+  /** REAL GIF pixel decode — like PNG, GIF needs no external codec: LZW
+    * is a dictionary walk any JVM can do. The path: signature + logical
+    * screen descriptor → global colour table → block walk (extensions
+    * skipped via their sub-block chains) → FIRST image descriptor
+    * (animated GIFs decode their first frame, the corpus-dedup-relevant
+    * one) → local-or-global colour table → LZW decode (variable code
+    * width 3–12 bits, CLEAR/END codes, dictionary rebuild, the KwKwK
+    * first-use case) → de-interlace when flagged (the 8/8, 4/8, 2/4,
+    * 1/2 four-pass row order) → palette lookup → integer BT.601 luma.
+    *
+    * Scope honesty: first frame only; transparent pixels take their
+    * palette RGB (dedup wants content, not compositing). Corrupt input —
+    * truncated sub-blocks, codes past the dictionary, missing colour
+    * table, undersized output — returns None, never a task failure.
+    * Output allocation is w·h ints from the DECLARED descriptor dims,
+    * which are ≤ 65535² by format (16-bit fields) and guarded in Long
+    * against absurd w·h before allocating. */
+  private[graft] def decodeGifGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = b(10) & 0xFF
+    var pos = 13
+    var globalTable: Array[Int] = null // packed 0xRRGGBB
+    def readTable(n: Int): Array[Int] = {
+      val t = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        t(i) = ((b(pos) & 0xFF) << 16) | ((b(pos + 1) & 0xFF) << 8) | (b(pos + 2) & 0xFF)
+        pos += 3; i += 1
+      }
+      t
+    }
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      if (pos + 3 * n > b.length) return None
+      globalTable = readTable(n)
+    }
+    // block walk to the first image descriptor
+    while (pos < b.length && (b(pos) & 0xFF) == 0x21) { // extension
+      pos += 2 // introducer + label
+      while (pos < b.length && b(pos) != 0) {
+        val sz = b(pos) & 0xFF
+        pos += 1 + sz
+      }
+      pos += 1 // block terminator
+    }
+    if (pos >= b.length || (b(pos) & 0xFF) != 0x2C) return None
+    if (pos + 10 > b.length) return None
+    val w = bb.getShort(pos + 5) & 0xFFFF
+    val h = bb.getShort(pos + 7) & 0xFFFF
+    val iFlags = b(pos + 9) & 0xFF
+    val interlaced = (iFlags & 0x40) != 0
+    pos += 10
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None // 256M px sanity cap
+    val table =
+      if ((iFlags & 0x80) != 0) {
+        val n = 2 << (iFlags & 7)
+        if (pos + 3 * n > b.length) return None
+        readTable(n)
+      } else globalTable
+    if (table == null) return None
+    if (pos >= b.length) return None
+    val minCode = b(pos) & 0xFF
+    pos += 1
+    if (minCode < 2 || minCode > 11) return None
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var term = false
+    while (!term) {
+      if (pos >= b.length) return None
+      val sz = b(pos) & 0xFF
+      pos += 1
+      if (sz == 0) term = true
+      else {
+        if (pos + sz > b.length) return None
+        data.write(b, pos, sz)
+        pos += sz
+      }
+    }
+    val code = data.toByteArray
+    // LZW decode (GIF variant): dictionary of (prefix code, appended
+    // byte), codes grow 1 bit when the next slot would overflow the
+    // current width, capped at 12 bits; CLEAR resets, KwKwK handled
+    val clear = 1 << minCode
+    val end = clear + 1
+    val nPix = w * h
+    val out = new Array[Int](nPix)
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var nextSlot = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var written = 0
+    var bitPos = 0
+    val totalBits = code.length * 8
+    def emit(c: Int): Boolean = { // expand code c onto out; false on bad code
+      var sp = 0
+      var cc = c
+      while (cc >= clear) { // walk the chain down to a literal
+        if (sp >= stack.length || cc >= nextSlot) return false
+        stack(sp) = append(cc); sp += 1
+        cc = prefix(cc)
+      }
+      if (cc >= table.length) return false
+      // literal + reversed chain
+      if (written + sp + 1 > nPix) return false
+      out(written) = cc; written += 1
+      while (sp > 0) { sp -= 1; out(written) = stack(sp) & 0xFF; written += 1 }
+      true
+    }
+    def firstLiteral(c: Int): Int = {
+      var cc = c
+      while (cc >= clear) cc = prefix(cc)
+      cc
+    }
+    var fail = false
+    var ended = false
+    while (!ended && !fail && written < nPix && bitPos + width <= totalBits) {
+      // read `width` bits LSB-first
+      var v = 0
+      var got = 0
+      while (got < width) {
+        val byteI = (bitPos + got) >> 3
+        val bit = (code(byteI) >> ((bitPos + got) & 7)) & 1
+        v |= bit << got
+        got += 1
+      }
+      bitPos += width
+      if (v == clear) {
+        nextSlot = end + 1; width = minCode + 1; prev = -1
+      } else if (v == end) ended = true
+      else if (prev == -1) {
+        if (v >= clear || !emit(v)) fail = true else prev = v
+      } else {
+        if (v > nextSlot || (v == nextSlot && nextSlot >= 4096)) fail = true
+        else {
+          val isNew = v == nextSlot // KwKwK: code used before it's defined
+          if (nextSlot < 4096) {
+            prefix(nextSlot) = prev
+            append(nextSlot) = firstLiteral(if (isNew) prev else v).toByte
+            nextSlot += 1
+            if (nextSlot == (1 << width) && width < 12) width += 1
+          }
+          if (!emit(v)) fail = true else prev = v
+        }
+      }
+    }
+    if (fail || written != nPix) return None
+    // palette -> luma, de-interlacing if flagged
+    val gray = new Array[Int](nPix)
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else {
+        val order = new Array[Int](h)
+        var k = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+          order(k) = y; k += 1
+        }
+        order
+      }
+    var sy = 0
+    while (sy < h) {
+      val dy = rowOrder(sy)
+      var x = 0
+      while (x < w) {
+        val idx = out(sy * w + x)
+        if (idx >= table.length) return None
+        val rgb = table(idx)
+        gray(dy * w + x) =
+          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+        x += 1
+      }
+      sy += 1
+    }
+    Some((w, h, gray))
+  }
 
   /** JPEG SOFn scan: walk the marker segments from SOI to the first start-
     * of-frame (C0–CF minus DHT C4 / JPG C8 / DAC CC) and read the frame
@@ -709,6 +889,75 @@ object Multimodal {
     out.array()
   }
 
+  /** A REAL GIF89a carrying the given grayscale pixels: 256-entry
+    * grayscale global colour table (entry i = (i,i,i), so the BT.601
+    * luma is exactly the palette index — the oracle replays pixels
+    * directly), one image descriptor, and a GENUINE LZW-compressed
+    * data stream (dictionary build, variable 9→12-bit codes, CLEAR
+    * reset on dictionary overflow) packed into 255-byte sub-blocks.
+    * `interlaced` writes the four-pass row order with the flag set, so
+    * the decoder's de-interlace is load-bearing. A decoder that fumbles
+    * the dictionary walk, the width-growth timing, or the row order
+    * cannot round-trip this. */
+  def syntheticGifPixels(width: Int, height: Int, gray: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(width); w16(height)
+    out.write(0xF7); out.write(0); out.write(0) // 256-entry global table
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C)
+    w16(0); w16(0); w16(width); w16(height)
+    out.write(if (interlaced) 0x40 else 0)
+    val rows: Seq[Int] =
+      if (!interlaced) 0 until height
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until height by st }
+    val px = rows.flatMap(y => (0 until width).map(x => gray(y * width + x) & 0xFF)).toArray
+    out.write(8) // LZW min code size
+    val clear = 256; val end = 257
+    val bytes = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nBits = 0; var codeSize = 9
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits; nBits += codeSize
+      while (nBits >= 8) { bytes.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; nBits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = end + 1
+    put(clear)
+    var cur = px(0)
+    var j = 1
+    while (j < px.length) {
+      val b2 = px(j)
+      dict.get((cur, b2)) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          dict((cur, b2)) = nextCode; nextCode += 1
+          // width-growth timing mirrors the decoder: it reads the next
+          // code one entry behind us, so grow at (1<<size)+1
+          if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          if (nextCode >= 4096) {
+            put(clear); dict.clear(); nextCode = end + 1; codeSize = 9
+          }
+          cur = b2
+      }
+      j += 1
+    }
+    put(cur); put(end)
+    if (nBits > 0) bytes.write((bitBuf & 0xFF).toInt)
+    val payload = bytes.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      out.write(n); out.write(payload, off, n); off += n
+    }
+    out.write(0); out.write(0x3B)
+    out.toByteArray
+  }
+
   /** Minimal GIF89a: 6-byte signature + logical screen descriptor, no
     * color table and no image data blocks. */
   def syntheticGif(width: Int, height: Int): Array[Byte] = {
@@ -919,16 +1168,19 @@ object Multimodal {
   case class ImageHash(doc_id: Long, dhash: Long, ok: Boolean)
 
   /** Bytes → perceptual image hash, dispatched on magic bytes (not
-    * trusted mime strings): BMP 24-bpp, binary PNM, and PNG (full
-    * inflate + unfilter, [[decodePngGray]]) decode for real, everything
-    * else is None. The ONE kernel the batch operator and the streaming
-    * twin share, so stream and batch fingerprint identically. */
+    * trusted mime strings): BMP 24-bpp, binary PNM, PNG (full inflate +
+    * unfilter, [[decodePngGray]]), and GIF (LZW + de-interlace,
+    * [[decodeGifGray]]) decode for real, everything else is None. The
+    * ONE kernel the batch operator and the streaming twin share, so
+    * stream and batch fingerprint identically. */
   private[graft] def imageHashOf(m: Array[Byte]): Option[Long] = {
     val gray =
       if (m != null && m.length >= 2 && m(0) == 'B' && m(1) == 'M') decodeBmpGray(m)
       else if (m != null && m.length >= 2 && m(0) == 'P') decodePnmGray(m)
       else if (m != null && m.length >= 2 && (m(0) & 0xFF) == 0x89 && m(1) == 'P')
         decodePngGray(m)
+      else if (m != null && m.length >= 3 && m(0) == 'G' && m(1) == 'I' && m(2) == 'F')
+        decodeGifGray(m)
       else None
     gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
   }

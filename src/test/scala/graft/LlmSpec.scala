@@ -1674,6 +1674,52 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodePngGray(patchIhdr(png)(_.putInt(16, 1 << 20))).isEmpty, "huge dims")
   }
 
+  test("multimodal GIF: real LZW both directions, interlace, dictionary edge cases") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(31)
+    val (w, h) = (18, 16)
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    // lossless roundtrip: pseudorandom pixels force heavy literal traffic
+    val gif = Multimodal.syntheticGifPixels(w, h, px)
+    assert(Multimodal.decodeGifGray(gif).map(_._3.toSeq).contains(px.toSeq), "roundtrip")
+    // interlaced: four-pass row order on disk, decoder must restore it
+    val gifI = Multimodal.syntheticGifPixels(w, h, px, interlaced = true)
+    assert(Multimodal.decodeGifGray(gifI).map(_._3.toSeq).contains(px.toSeq), "interlace")
+    assert(!gifI.sameElements(gif), "interlaced bytes must differ")
+    // KwKwK: long runs of one value emit codes the decoder receives one
+    // slot before defining them — the classic LZW first-use case
+    val runs = Array.tabulate(w * h)(i => if (i < 200) 7 else i % 256)
+    val gifR = Multimodal.syntheticGifPixels(w, h, runs)
+    assert(Multimodal.decodeGifGray(gifR).map(_._3.toSeq).contains(runs.toSeq), "KwKwK runs")
+    // a larger structured image pushes the dictionary past 512 entries so
+    // the 9->10+ bit width growth is exercised on both sides
+    val big = Array.tabulate(64 * 64)(i => (i * 31 + (i / 64) * 7) % 256)
+    val gifB = Multimodal.syntheticGifPixels(64, 64, big)
+    assert(Multimodal.decodeGifGray(gifB).map(_._3.toSeq).contains(big.toSeq), "width growth")
+    // the grayscale palette makes luma == index, so the hash matches the
+    // same pixels through every other real container
+    assert(Multimodal.imageHashOf(gif) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, px)), "GIF vs BMP hash")
+    // corruption: truncated sub-block chain, garbage codes, no trailer
+    assert(Multimodal.decodeGifGray(gif.dropRight(20)).isEmpty, "truncation")
+    assert(Multimodal.decodeGifGray("GIF89a then nonsense".getBytes).isEmpty)
+    assert(Multimodal.decodeGifGray(Multimodal.syntheticGif(4, 4)).isEmpty,
+      "header-only fixture has no image data")
+    val bad = gif.clone()
+    // flip a byte in the LZW stream (past the 13+768+10+1 header+table):
+    // decode must fail cleanly or produce a full-length decode — never throw
+    bad(800) = (bad(800) ^ 0x55).toByte
+    Multimodal.decodeGifGray(bad) // no exception is the assertion
+    // an extension block before the image descriptor is skipped correctly
+    val withExt = {
+      val comment = Array[Byte](0x21, 0xFE.toByte, 3, 'h', 'i', '!', 0)
+      val core = gif
+      core.take(13 + 768) ++ comment ++ core.drop(13 + 768)
+    }
+    assert(Multimodal.decodeGifGray(withExt).map(_._3.toSeq).contains(px.toSeq),
+      "extension blocks must be skipped")
+  }
+
   test("HLL registers obey the merge law and match a local recompute") {
     import graft.llm.{Hashing, Sketches}
     val half1 = docs.filter(col("doc_id") % 2 === 0)
