@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * pixels/samples/frames for BMP 24-bpp, binary PNM, PNG (its only codec
   * is DEFLATE, which the JDK ships — full inflate + unfilter in
   * [[decodePngGray]]), GIF (LZW is a pure-JVM dictionary walk —
-  * [[decodeGifGray]] incl. de-interlace), 16-bit PCM WAV, and Y4M video.
-  * The DETERMINISTIC STUB scope is down to the codecs whose decoders
-  * genuinely are not in this container: JPEG entropy+DCT, MP3, H.264. What is
+  * [[decodeGifGray]] incl. de-interlace), baseline JPEG (Huffman + DC
+  * prediction + dequant + IDCT implemented from the T.81 math —
+  * [[decodeJpegGray]]), 16-bit PCM WAV, and Y4M video. The DETERMINISTIC
+  * STUB scope is down to MP3, H.264, and the progressive/arithmetic
+  * JPEG variants. What is
   * load-bearing for a 100 TB pipeline either
   * way: the schema (binary payload + typed metadata), the partition-parallel
   * batch shape (one decoder init per partition, streamed records), and the
@@ -267,6 +269,295 @@ object Multimodal {
       sy += 1
     }
     Some((w, h, gray))
+  }
+
+  /** REAL baseline JPEG pixel decode — no codec library, just the math
+    * the format is made of: marker walk (DQT 8-bit tables, DHT canonical
+    * Huffman build, SOF0 frame, DRI restart interval, SOS scan) →
+    * MSB-first entropy decode with byte unstuffing (FF00) and RSTn
+    * restarts (byte-align + DC-predictor reset) → per-block DC
+    * prediction + AC run-length through the zigzag → dequant → separable
+    * double-precision IDCT → level shift, clamp. Output is the LUMA
+    * plane: for 3-component YCbCr the Y component IS BT.601 luma, so
+    * chroma blocks are entropy-decoded (the stream is serial — they
+    * cannot be skipped) and discarded.
+    *
+    * Scope: baseline DCT (SOF0) only, 8-bit precision, 1 or 3
+    * components, Y sampling factors up to 2×2 with 1×1 chroma (the
+    * common 4:4:4/4:2:2/4:2:0 layouts); progressive (SOF2),
+    * arithmetic-coded, and 12-bit variants return None — scoped, not
+    * silently wrong. Corrupt input (bad Huffman codes, truncated
+    * entropy data, missing tables) returns None, never a task failure.
+    * DC-only streams (constant 8×8 blocks) decode bit-exactly — the
+    * property the oracle fixtures use; general AC content carries the
+    * usual ±1 float-IDCT rounding, which perceptual hashing absorbs. */
+  private[graft] def decodeJpegGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    val qt = new Array[Array[Int]](4) // quant tables, zigzag order
+    // huffman tables: (class 0 dc / 1 ac)(id) -> (maxcode/valptr decode arrays)
+    case class Huff(counts: Array[Int], vals: Array[Int]) {
+      // canonical code boundaries per length (JPEG F.2.2.3 DECODE)
+      val (minCode, maxCode, valPtr) = {
+        val mn = new Array[Int](17); val mx = new Array[Int](17); val vp = new Array[Int](17)
+        var code = 0; var k = 0
+        var l = 1
+        while (l <= 16) {
+          vp(l) = k; mn(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          mx(l) = code - 1
+          code <<= 1
+          l += 1
+        }
+        (mn, mx, vp)
+      }
+    }
+    val huff = Array.ofDim[Huff](2, 4)
+    var w = 0; var h = 0
+    var nComp = 0
+    var compId: Array[Int] = null; var compHV: Array[Int] = null; var compQ: Array[Int] = null
+    var restartInterval = 0
+    var pos = 2
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    var sosAt = -1
+    var scanComp: Array[(Int, Int, Int)] = null // (compIdx, dcTbl, acTbl)
+    // ---- marker walk to SOS ----
+    var walking = true
+    while (walking) {
+      if (pos + 4 > b.length) return None
+      if ((b(pos) & 0xFF) != 0xFF) return None
+      val m = b(pos + 1) & 0xFF
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { pos += 2 } // standalone
+      else {
+        val len = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val seg = pos + 4
+        val segEnd = pos + 2 + len
+        m match {
+          case 0xDB => // DQT
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xFF) >> 4; val tq = b(p) & 0x0F
+              if (pq != 0 || tq > 3 || p + 65 > segEnd) return None // 8-bit tables only
+              qt(tq) = Array.tabulate(64)(i => b(p + 1 + i) & 0xFF)
+              p += 65
+            }
+          case 0xC4 => // DHT
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xFF) >> 4; val th = b(p) & 0x0F
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xFF)
+              val n = counts.sum
+              if (p + 17 + n > segEnd || n > 256) return None
+              huff(tc)(th) = Huff(counts, Array.tabulate(n)(i => b(p + 17 + i) & 0xFF))
+              p += 17 + n
+            }
+          case 0xC0 => // SOF0 baseline
+            if (b(seg) != 8) return None // 8-bit precision
+            h = ((b(seg + 1) & 0xFF) << 8) | (b(seg + 2) & 0xFF)
+            w = ((b(seg + 3) & 0xFF) << 8) | (b(seg + 4) & 0xFF)
+            nComp = b(seg + 5) & 0xFF
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+                w.toLong * h > (1L << 28)) return None
+            compId = new Array[Int](nComp); compHV = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(seg + 6 + c * 3) & 0xFF
+              compHV(c) = b(seg + 7 + c * 3) & 0xFF
+              compQ(c) = b(seg + 8 + c * 3) & 0xFF
+              c += 1
+            }
+            // luma up to 2x2; chroma must be 1x1 (4:4:4 / 4:2:2 / 4:2:0)
+            if ((compHV(0) >> 4) < 1 || (compHV(0) >> 4) > 2 ||
+                (compHV(0) & 15) < 1 || (compHV(0) & 15) > 2) return None
+            if (nComp == 3 && (compHV(1) != 0x11 || compHV(2) != 0x11)) return None
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // extended/progressive/lossless/arithmetic: scoped out
+          case 0xDD => // DRI
+            restartInterval = ((b(seg) & 0xFF) << 8) | (b(seg + 1) & 0xFF)
+          case 0xDA => // SOS
+            val ns = b(seg) & 0xFF
+            if (ns != nComp || compId == null) return None
+            scanComp = Array.tabulate(ns) { i =>
+              val cid = b(seg + 1 + i * 2) & 0xFF
+              val tbl = b(seg + 2 + i * 2) & 0xFF
+              val ci = compId.indexOf(cid)
+              if (ci < 0) return None
+              (ci, tbl >> 4, tbl & 0x0F)
+            }
+            sosAt = segEnd
+            walking = false
+          case 0xD9 => return None // EOI before SOS
+          case _ => () // APPn / COM / others: skip
+        }
+        pos = segEnd
+      }
+      if (sosAt >= 0) walking = false
+    }
+    if (sosAt < 0 || w == 0) return None
+    // ---- entropy-coded segment: MSB-first bit reader with unstuffing ----
+    var bp = sosAt // byte position
+    var bitBuf = 0; var bitCnt = 0
+    var hitMarker = false
+    def fillBit(): Int = { // next bit, or -1 on exhaustion/marker
+      if (bitCnt == 0) {
+        if (hitMarker || bp >= b.length) return -1
+        val v = b(bp) & 0xFF
+        if (v == 0xFF) {
+          if (bp + 1 >= b.length) return -1
+          val nxt = b(bp + 1) & 0xFF
+          if (nxt == 0x00) { bp += 2 } // stuffed FF
+          else { hitMarker = true; return -1 } // real marker: entropy data ends
+        } else bp += 1
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { val bit = fillBit(); if (bit < 0) return -1; v = (v << 1) | bit; i += 1 }
+      v
+    }
+    def decodeHuff(t: Huff): Int = { // F.2.2.3
+      if (t == null) return -1
+      var code = fillBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (t.counts(l - 1) > 0 && code <= t.maxCode(l)) {
+          val idx = t.valPtr(l) + code - t.minCode(l)
+          if (idx >= t.vals.length) return -1
+          return t.vals(idx)
+        }
+        val bit = fillBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+      }
+      -1
+    }
+    def extend(v: Int, t: Int): Int = if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    // ---- IDCT (separable, double) ----
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    def idct(coef: Array[Int], out: Array[Int]): Unit = {
+      val tmp = new Array[Double](64)
+      var x = 0
+      while (x < 8) { // rows: u -> x
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var u = 0
+          while (u < 8) { s += cu(u) * coef(v * 8 + u) * cosT(x)(u); u += 1 }
+          tmp(v * 8 + x) = s * 0.5
+          v += 1
+        }
+        x += 1
+      }
+      var y = 0
+      while (y < 8) { // cols: v -> y
+        var x2 = 0
+        while (x2 < 8) {
+          var s = 0.0; var v = 0
+          while (v < 8) { s += cu(v) * tmp(v * 8 + x2) * cosT(y)(v); v += 1 }
+          val p = math.round(s * 0.5).toInt + 128
+          out(y * 8 + x2) = math.max(0, math.min(255, p))
+          x2 += 1
+        }
+        y += 1
+      }
+    }
+    // ---- MCU walk ----
+    val hY = compHV(0) >> 4; val vY = compHV(0) & 15
+    val mcuW = 8 * hY; val mcuH = 8 * vY
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    val luma = new Array[Int](w * h)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val px8 = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-aligned RSTn between intervals: drop pad bits, consume the
+        // marker (bp points at its FF whether fillBit saw it or not —
+        // data-byte reads advance past their byte), reset DC predictors
+        bitCnt = 0
+        hitMarker = false
+        if (bp + 1 >= b.length || (b(bp) & 0xFF) != 0xFF) return None
+        val m = b(bp + 1) & 0xFF
+        if (m < 0xD0 || m > 0xD7) return None
+        bp += 2
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var sc = 0
+      while (sc < scanComp.length) {
+        val (ci, dcT, acT) = scanComp(sc)
+        val blocks = if (ci == 0) hY * vY else 1
+        var blk = 0
+        while (blk < blocks) {
+          java.util.Arrays.fill(coef, 0)
+          val q = qt(compQ(ci))
+          if (q == null) return None
+          // DC
+          val t = decodeHuff(huff(0)(dcT))
+          if (t < 0 || t > 11) return None
+          val diffBits = if (t == 0) 0 else readBits(t)
+          if (diffBits < 0) return None
+          pred(ci) += extend(diffBits, t)
+          coef(0) = pred(ci) * q(0)
+          // AC
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeHuff(huff(1)(acT))
+            if (rs < 0) return None
+            if (rs == 0) eob = true
+            else if (rs == 0xF0) k += 16
+            else {
+              k += rs >> 4
+              val s = rs & 15
+              if (k > 63) return None
+              val vb = readBits(s)
+              if (vb < 0) return None
+              coef(zigzag(k)) = extend(vb, s) * q(k)
+              k += 1
+            }
+          }
+          if (ci == 0) {
+            idct(coef, px8)
+            // place into the luma plane (blocks raster within the MCU)
+            val bx = mx * hY + (blk % hY)
+            val by = my * vY + (blk / hY)
+            var yy = 0
+            while (yy < 8) {
+              val gy = by * 8 + yy
+              if (gy < h) {
+                var xx = 0
+                while (xx < 8) {
+                  val gx = bx * 8 + xx
+                  if (gx < w) luma(gy * w + gx) = px8(yy * 8 + xx)
+                  xx += 1
+                }
+              }
+              yy += 1
+            }
+          } // chroma: decoded (stream is serial) and discarded
+          blk += 1
+        }
+        sc += 1
+      }
+      mcu += 1
+    }
+    Some((w, h, luma))
   }
 
   /** JPEG SOFn scan: walk the marker segments from SOI to the first start-
@@ -968,6 +1259,157 @@ object Multimodal {
     b.array()
   }
 
+  /** A REAL baseline JPEG carrying the given grayscale pixels: quant
+    * tables all-ones (so coefficients survive verbatim), a full forward
+    * DCT per 8×8 block, DC-difference + AC run-length entropy coding
+    * against CANONICAL Huffman tables written into DHT (all DC
+    * categories at length 4, every (run,size) AC symbol + EOB + ZRL at
+    * length 8 — the decoder builds whatever DHT declares, so fixtures
+    * need no Annex K transcription), FF byte stuffing, optional RSTn
+    * restart intervals. Images whose 8×8 blocks are CONSTANT decode
+    * bit-exactly (the DCT of a constant block is a lone integer DC
+    * coefficient; float error ~1e-14 dies in rounding) — the property
+    * the oracle fixtures rely on; general content round-trips within
+    * the usual ±1 IDCT rounding. Dimensions must be multiples of 8
+    * (fixture scope, not a format limit). */
+  def syntheticJpegPixels(width: Int, height: Int, gray: Array[Int],
+      restartInterval: Int = 0, color: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "fixture dims must be multiples of 8")
+    require(gray.length == width * height)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xFF); w8(m) }
+    marker(0xD8) // SOI
+    marker(0xDB); w16(2 + 1 + 64); w8(0) // DQT table 0, 8-bit
+    for (_ <- 0 until 64) w8(1)
+    // canonical tables: DC cats 0..11 at length 4; AC 162 symbols at length 8
+    val dcVals = (0 to 11).toArray
+    val acVals = (0x00 +: 0xF0 +: (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+    def canonical(lens: Map[Int, Seq[Int]]): Map[Int, (Int, Int)] = { // sym -> (code, len)
+      var code = 0
+      val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        lens.getOrElse(l, Nil).foreach { sym => m(sym) = (code, l); code += 1 }
+        code <<= 1
+      }
+      m.toMap
+    }
+    val dcCode = canonical(Map(4 -> dcVals.toSeq))
+    val acCode = canonical(Map(8 -> acVals.toSeq))
+    def dht(tc: Int, th: Int, lens: Map[Int, Seq[Int]]): Unit = {
+      val n = lens.values.map(_.size).sum
+      marker(0xC4); w16(2 + 1 + 16 + n); w8((tc << 4) | th)
+      for (l <- 1 to 16) w8(lens.getOrElse(l, Nil).size)
+      for (l <- 1 to 16; s <- lens.getOrElse(l, Nil)) w8(s)
+    }
+    dht(0, 0, Map(4 -> dcVals.toSeq))
+    dht(1, 0, Map(8 -> acVals.toSeq))
+    if (restartInterval > 0) { marker(0xDD); w16(4); w16(restartInterval) }
+    // `color` = YCbCr 4:4:4 with NEUTRAL chroma (Cb=Cr=128 → level-shifted
+    // zero → DC diff 0 + EOB per block): the luma plane is identical, but
+    // the decoder must entropy-walk the interleaved chroma blocks
+    val nc = if (color) 3 else 1
+    marker(0xC0); w16(2 + 6 + 3 * nc); w8(8); w16(height); w16(width); w8(nc) // SOF0
+    for (c <- 1 to nc) { w8(c); w8(0x11); w8(0) }
+    marker(0xDA); w16(2 + 1 + 2 * nc + 3); w8(nc)
+    for (c <- 1 to nc) { w8(c); w8(0x00) }
+    w8(0); w8(63); w8(0) // SOS spectral params
+    // entropy writer: MSB-first, FF-stuffed
+    val ent = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nAcc += 1
+        if (nAcc == 8) {
+          ent.write(acc)
+          if (acc == 0xFF) ent.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (nAcc > 0) { // pad with 1s
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      ent.write(acc); if (acc == 0xFF) ent.write(0x00)
+      acc = 0; nAcc = 0
+    }
+    def cat(v: Int): Int = { var a = math.abs(v); var c = 0; while (a > 0) { a >>= 1; c += 1 }; c }
+    def putSym(tbl: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = tbl(sym); putBits(c, l)
+    }
+    def putVal(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val bw = width / 8; val bh = height / 8
+    var pred = 0
+    var mcu = 0
+    val coefZ = new Array[Int](64)
+    while (mcu < bw * bh) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        flushBits()
+        val entB = ent.toByteArray; out.write(entB, 0, entB.length); ent.reset()
+        marker(0xD0 + ((mcu / restartInterval - 1) % 8))
+        pred = 0
+      }
+      val bx = mcu % bw; val by = mcu / bw
+      // forward DCT, quant 1
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              s += (gray((by * 8 + y) * width + bx * 8 + x) - 128) * cosT(x)(u) * cosT(y)(v)
+              x += 1
+            }
+            y += 1
+          }
+          coefZ(zigzag.indexOf(v * 8 + u)) = math.round(0.25 * cu(u) * cu(v) * s).toInt
+          v += 1
+        }
+        u += 1
+      }
+      val dc = coefZ(0)
+      val diff = dc - pred
+      pred = dc
+      val c = cat(diff)
+      putSym(dcCode, c); putVal(diff, c)
+      var k = 1
+      var lastNz = 63
+      while (lastNz > 0 && coefZ(lastNz) == 0) lastNz -= 1
+      while (k <= lastNz) {
+        var run = 0
+        while (coefZ(k) == 0) { run += 1; k += 1 }
+        while (run > 15) { putSym(acCode, 0xF0); run -= 16 }
+        val s = cat(coefZ(k))
+        putSym(acCode, (run << 4) | s); putVal(coefZ(k), s)
+        k += 1
+      }
+      if (lastNz < 63) putSym(acCode, 0x00) // EOB
+      if (color) { // two neutral-chroma blocks: DC diff 0, all-zero ACs
+        putSym(dcCode, 0); putSym(acCode, 0x00)
+        putSym(dcCode, 0); putSym(acCode, 0x00)
+      }
+      mcu += 1
+    }
+    flushBits()
+    val entB = ent.toByteArray; out.write(entB, 0, entB.length)
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** Minimal JPEG: SOI, a full APP0/JFIF segment, an SOF0 frame header
     * carrying the real dimensions (1 component), EOI. The SOF sits BEHIND
     * a to-be-skipped segment, so a parser that doesn't walk markers can't
@@ -1181,6 +1623,8 @@ object Multimodal {
         decodePngGray(m)
       else if (m != null && m.length >= 3 && m(0) == 'G' && m(1) == 'I' && m(2) == 'F')
         decodeGifGray(m)
+      else if (m != null && m.length >= 2 && (m(0) & 0xFF) == 0xFF && (m(1) & 0xFF) == 0xD8)
+        decodeJpegGray(m)
       else None
     gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
   }

@@ -1180,6 +1180,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // and through a REAL baseline JPEG: 24x16 of CONSTANT 8x8 blocks
+    // (block value = arithmetic on (doc_id, bx, by)) — a constant block's
+    // DCT is a lone integer DC coefficient, so with all-ones quant tables
+    // the decode is BIT-EXACT and the oracle replays pixels arithmetically
+    // exactly as for the lossless containers; the Huffman entropy decode,
+    // DC prediction, dequant, and IDCT are all load-bearing
+    "q_multimodal_jpeg_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(jpegMedia _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // image near-dup pairs over the same rendered corpus (sparsified):
     // docs sharing a base pattern differ only in one perturbed corner
     // block (Hamming 0-1), so the banded join must find exactly the pairs
@@ -1342,6 +1359,26 @@ object LlmQueries {
     }
     Multimodal.Media(id,
       Multimodal.syntheticGifPixels(w, h, gray, interlaced = id % 2 == 0), "image/gif")
+  }
+
+  /** The q_multimodal_jpeg_dhash fixture: 24×16 of constant 8×8 blocks,
+    * value = ((id%40)·31 + bx·29 + by·41) % 200, rendered through a real
+    * baseline JPEG (all-ones quant, canonical DHT, full entropy coding)
+    * — DC-only blocks make the lossy codec bit-exact, so the pixel
+    * replay oracle stays valid. Restart intervals for every third doc
+    * exercise the RSTn path corpus-wide. */
+  private def jpegMedia(id: Long): Multimodal.Media = {
+    val w = 24
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8
+      val by = i / w / 8
+      (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
+    }
+    Multimodal.Media(id,
+      Multimodal.syntheticJpegPixels(w, h, gray,
+        restartInterval = if (id % 3 == 0) 2 else 0),
+      "image/jpeg")
   }
 
   /** The q_multimodal_audiohash/audio_neardup fixture: 1950 samples
@@ -2822,6 +2859,31 @@ object LlmQueries {
         |cells AS (
         |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
         |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the 24x16 JPEG fixture replay: pixels from the block arithmetic,
+    // then the GENERAL dHash cell map (cx = min(x*9//w, 8), cy =
+    // min(y*8//h, 7), cell average = sum // count — non-uniform cells at
+    // w=24, so the 18x16-specific //4 shortcut does not apply)
+    "q_multimodal_jpeg_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + (u.x // 8) * 29 + (v.y // 8) * 41) % 200 AS g
+        |  FROM documents, unnest(generate_series(0, 23)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, LEAST(x * 9 // 24, 8) AS cx, LEAST(y * 8 // 16, 7) AS cy,
+        |         SUM(g) // COUNT(*) AS a
+        |  FROM px GROUP BY doc_id, LEAST(x * 9 // 24, 8), LEAST(y * 8 // 16, 7)),
         |bits AS (
         |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
         |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit

@@ -1720,6 +1720,49 @@ class LlmSpec extends SparkSpec {
       "extension blocks must be skipped")
   }
 
+  test("multimodal JPEG: baseline decode, DC-exactness, AC path, restarts, color") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(41)
+    // DC-only fixtures (constant 8x8 blocks) decode BIT-EXACTLY — the
+    // property the oracle query rests on
+    val (w, h) = (24, 16)
+    val blocks = Array.fill(3 * 2)(rnd.nextInt(256))
+    val flat = Array.tabulate(w * h)(i => blocks((i / w / 8) * 3 + (i % w) / 8))
+    val jpg = Multimodal.syntheticJpegPixels(w, h, flat)
+    assert(Multimodal.decodeJpegGray(jpg).map(_._3.toSeq).contains(flat.toSeq),
+      "DC-only must round-trip exactly")
+    // general content exercises the AC run-length/zigzag/IDCT path: with
+    // all-ones quant tables the DCT round-trip is within +-2 everywhere
+    val smooth = Array.tabulate(32 * 32)(i => ((i % 32) * 5 + (i / 32) * 3) % 256)
+    val jpgS = Multimodal.syntheticJpegPixels(32, 32, smooth)
+    val decS = Multimodal.decodeJpegGray(jpgS).get._3
+    val maxErr = decS.zip(smooth).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 2, s"AC path error too large: $maxErr")
+    val noisy = Array.fill(16 * 16)(rnd.nextInt(256))
+    val decN = Multimodal.decodeJpegGray(Multimodal.syntheticJpegPixels(16, 16, noisy)).get._3
+    assert(decN.zip(noisy).map { case (a, b) => math.abs(a - b) }.max <= 2, "noisy AC")
+    // YCbCr 4:4:4 with neutral chroma: the decoder must entropy-walk the
+    // interleaved chroma blocks and still return the exact luma
+    val jpgC = Multimodal.syntheticJpegPixels(w, h, flat, color = true)
+    assert(Multimodal.decodeJpegGray(jpgC).map(_._3.toSeq).contains(flat.toSeq), "4:4:4 luma")
+    // restart markers: byte-aligned RSTn + DC-predictor reset
+    val jpgR = Multimodal.syntheticJpegPixels(w, h, flat, restartInterval = 2)
+    assert(Multimodal.decodeJpegGray(jpgR).map(_._3.toSeq).contains(flat.toSeq), "RSTn")
+    // the hash sees pixels, not containers: JPEG(DC-only) == BMP
+    assert(Multimodal.imageHashOf(jpg) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, flat)), "JPEG vs BMP hash")
+    // rejects: truncation mid-entropy, progressive SOF2, the header-only
+    // stub fixture (no scan), garbage
+    assert(Multimodal.decodeJpegGray(jpg.dropRight(10)).isEmpty, "truncation")
+    val prog = jpg.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpegGray(prog).isEmpty, "progressive must reject")
+    assert(Multimodal.decodeJpegGray(Multimodal.syntheticJpeg(8, 8)).isEmpty, "header-only")
+    assert(Multimodal.decodeJpegGray("not a jpeg".getBytes).isEmpty)
+  }
+
   test("HLL registers obey the merge law and match a local recompute") {
     import graft.llm.{Hashing, Sketches}
     val half1 = docs.filter(col("doc_id") % 2 === 0)
