@@ -1197,6 +1197,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // CROSS-CONTAINER near-dup capstone: the same block-arithmetic pixels
+    // rendered through BMP, PNG, GIF, or baseline JPEG per doc (id % 4) —
+    // a re-encoded copy of an image is the canonical near-dup case, and
+    // the pairs must form EXACTLY as if every doc were the same format,
+    // because all four decoders land on identical luma. The oracle never
+    // sees a container: it replays pixels arithmetically once
+    "q_multimodal_cross_container" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
+        .as[Long].map(crossContainerMedia _)
+      Multimodal.imageNearDupPairs(media, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // image near-dup pairs over the same rendered corpus (sparsified):
     // docs sharing a base pattern differ only in one perturbed corner
     // block (Hamming 0-1), so the banded join must find exactly the pairs
@@ -1379,6 +1396,30 @@ object LlmQueries {
       Multimodal.syntheticJpegPixels(w, h, gray,
         restartInterval = if (id % 3 == 0) 2 else 0),
       "image/jpeg")
+  }
+
+  /** The q_multimodal_cross_container fixture: [[jpegMedia]]'s 24×16
+    * constant-block pixels (the dims every container here supports and
+    * JPEG decodes bit-exactly) rendered through a container chosen by
+    * id % 4 — BMP, PNG (cycled filters), GIF (interlaced on parity), or
+    * baseline JPEG. Identical pixels through four real codecs. */
+  private def crossContainerMedia(id: Long): Multimodal.Media = {
+    val w = 24
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8
+      val by = i / w / 8
+      (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
+    }
+    (id % 4) match {
+      case 0 => Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
+      case 1 => Multimodal.Media(id,
+        Multimodal.syntheticPngPixels(w, h, gray, colorType = 2,
+          rowFilters = Seq(((id % 5) + 1).toInt % 5, (id % 5).toInt)), "image/png")
+      case 2 => Multimodal.Media(id,
+        Multimodal.syntheticGifPixels(w, h, gray, interlaced = id % 8 == 2), "image/gif")
+      case _ => Multimodal.Media(id, Multimodal.syntheticJpegPixels(w, h, gray), "image/jpeg")
+    }
   }
 
   /** The q_multimodal_audiohash/audio_neardup fixture: 1950 samples
@@ -2894,6 +2935,37 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
         |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // container-blind replay: ONE arithmetic pixel derivation (the 24x16
+    // block fixture), brute-force Hamming pairs — the Spark side must
+    // reach the same pairs through four different real decoders
+    "q_multimodal_cross_container" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + (u.x // 8) * 29 + (v.y // 8) * 41) % 200 AS g
+        |  FROM documents, unnest(generate_series(0, 23)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)
+        |  WHERE doc_id % 7 = 0 AND doc_id < 3500),
+        |cells AS (
+        |  SELECT doc_id, LEAST(x * 9 // 24, 8) AS cx, LEAST(y * 8 // 16, 7) AS cy,
+        |         SUM(g) // COUNT(*) AS a
+        |  FROM px GROUP BY doc_id, LEAST(x * 9 // 24, 8), LEAST(y * 8 // 16, 7)),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // brute-force Hamming over the replayed hashes — the banded candidate
     // join must lose nothing at maxHamming 2 (pigeonhole guarantees <= 3)
