@@ -722,12 +722,24 @@ object Multimodal {
     }
   }
 
-  /** 16-bit PCM WAV → mono samples. Real decode: the [[parseWav]] chunk
-    * walk extended to return the data payload — samples are int16-LE in
-    * the 'data' chunk, multi-channel frames downmix by integer average
-    * (sum / channels, truncating toward zero like every other integer op
-    * here). Only PCM (format 1) at 16 bits decodes; compressed WAV
-    * (ADPCM, float, extensible) returns None — scoped, not silently
+  /** PCM/float WAV → mono samples NORMALIZED to the int16 range. Real
+    * decode: the [[parseWav]] chunk walk extended to return the data
+    * payload. Sample encodings (all little-endian):
+    *
+    *  - format 1 (PCM) at 16 bits — int16 verbatim;
+    *  - format 1 at 8 bits — unsigned byte, `(v − 128) << 8`;
+    *  - format 1 at 24/32 bits — top 16 bits (`>> 8` / `>> 16`);
+    *  - format 3 (IEEE float) at 32 bits — `round(clamp(f, ±1)·32767)`;
+    *  - format 0xFFFE (WAVE_FORMAT_EXTENSIBLE) — dispatched on the
+    *    SubFormat GUID's leading code (1 = PCM, 3 = float), same rules.
+    *
+    * Normalizing every width into the int16 range makes the envelope
+    * hash COMPARABLE ACROSS ENCODINGS — a waveform re-exported at a
+    * different bit depth is the audio re-encode near-dup case, and it
+    * lands on the same (or ±1-bit for lossy 8-bit) fingerprint.
+    * Multi-channel frames downmix by integer average (sum / channels,
+    * truncating toward zero like every other integer op here).
+    * Compressed WAV (ADPCM etc.) returns None — scoped, not silently
     * wrong. A declared data size past the buffer truncates to the bytes
     * actually present (scraped audio is routinely cut off mid-payload). */
   private[graft] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -746,24 +758,44 @@ object Multimodal {
       val id = new String(b, pos, 4, "US-ASCII")
       val sz = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
       if (id == "fmt " && pos + 24 <= b.length) {
-        fmt = bb.getShort(pos + 8)
+        fmt = bb.getShort(pos + 8) & 0xFFFF
         channels = bb.getShort(pos + 10)
         rate = bb.getInt(pos + 12)
         bits = bb.getShort(pos + 22)
+        if (fmt == 0xFFFE && pos + 8 + 26 <= b.length && sz >= 40) {
+          // EXTENSIBLE: fmt data = fmt(2) ch(2) rate(4) brate(4) align(2)
+          // bits(2) cbSize(2) validBits(2) mask(4) SubFormat GUID — whose
+          // LEADING 2 bytes are the real format code (1 PCM / 3 float)
+          fmt = bb.getShort(pos + 8 + 24) & 0xFFFF
+        }
       } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
       val next = pos.toLong + 8L + sz + (sz & 1L)
       pos = if (next <= pos || next > Int.MaxValue) b.length else next.toInt
     }
-    if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0) return None
+    val bytesPer =
+      if (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) bits / 8
+      else if (fmt == 3 && bits == 32) 4
+      else return None
+    if (rate <= 0 || channels <= 0 || dataOff < 0) return None
     val avail = math.min(dataLen, (b.length - dataOff).toLong)
-    val nFrames = (avail / (2L * channels)).toInt
+    val nFrames = (avail / (bytesPer.toLong * channels)).toInt
     val out = new Array[Int](nFrames)
     var i = 0
     while (i < nFrames) {
       var sum = 0
       var c = 0
       while (c < channels) {
-        sum += bb.getShort(dataOff + (i * channels + c) * 2)
+        val p = dataOff + (i * channels + c) * bytesPer
+        sum += (if (fmt == 3) {
+          val f = java.lang.Float.intBitsToFloat(bb.getInt(p))
+          if (f.isNaN) 0
+          else math.round(math.max(-1.0f, math.min(1.0f, f)) * 32767.0f)
+        } else bytesPer match {
+          case 1 => ((b(p) & 0xFF) - 128) << 8
+          case 2 => bb.getShort(p).toInt
+          case 3 => ((b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) | (b(p + 2) << 16)) >> 8
+          case _ => bb.getInt(p) >> 16
+        })
         c += 1
       }
       out(i) = sum / channels
@@ -1018,6 +1050,52 @@ object Multimodal {
     b.putInt(sampleRate * 2).putShort(2).putShort(16)
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  /** [[syntheticWavPcm]]'s waveform re-exported at another encoding —
+    * the audio re-encode fixture. `encoding`: "pcm8" (unsigned byte,
+    * top 8 bits — lossy), "pcm24"/"pcm32" (int16 scaled up — decodes
+    * back exactly), "float32" (s/32768 in IEEE float — decodes back
+    * exactly for |s| < 16384), "ext16" (WAVE_FORMAT_EXTENSIBLE wrapper
+    * around plain int16 PCM). Mono; int16-range input samples. */
+  def syntheticWav(sampleRate: Int, samples: Array[Int], encoding: String): Array[Byte] = {
+    val ext = encoding == "ext16"
+    val bytesPer = encoding match {
+      case "pcm8" => 1
+      case "pcm24" => 3
+      case "pcm32" | "float32" => 4
+      case "ext16" => 2
+      case _ => throw new IllegalArgumentException(s"encoding $encoding")
+    }
+    val fmtLen = if (ext) 40 else 16
+    val dataLen = samples.length * bytesPer
+    val b = ByteBuffer.allocate(20 + fmtLen + 8 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + fmtLen + 8 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+    val code = if (ext) 0xFFFE else if (encoding == "float32") 3 else 1
+    b.putShort(code.toShort).putShort(1).putInt(sampleRate)
+    b.putInt(sampleRate * bytesPer).putShort(bytesPer.toShort).putShort((bytesPer * 8).toShort)
+    if (ext) {
+      b.putShort(22).putShort(16).putInt(0x4) // cbSize, validBits, FRONT_CENTER
+      b.putShort(1) // SubFormat code: PCM
+      // the rest of the PCM SubFormat GUID (fixed KSDATAFORMAT bytes)
+      b.putShort(0).put(Array[Byte](0x00, 0x00, 0x10, 0x00, 0x80.toByte, 0x00,
+        0x00, 0xAA.toByte, 0x00, 0x38, 0x9B.toByte, 0x71))
+    }
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      encoding match {
+        case "pcm8" => b.put((((s >> 8) + 128) & 0xFF).toByte)
+        case "pcm24" =>
+          val v = s << 8
+          b.put((v & 0xFF).toByte).put(((v >> 8) & 0xFF).toByte).put(((v >> 16) & 0xFF).toByte)
+        case "pcm32" => b.putInt(s << 16)
+        case "float32" => b.putFloat(s / 32768.0f)
+        case "ext16" => b.putShort(s.toShort)
+      }
+    }
     b.array()
   }
 

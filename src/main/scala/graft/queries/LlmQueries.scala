@@ -1296,6 +1296,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // the SAME waveform re-exported per doc at one of four EXACT
+    // encodings (int16, int24, IEEE float32, EXTENSIBLE-wrapped int16,
+    // by id % 4): normalization must land every width on the identical
+    // envelope hash — the audio re-encode near-dup case, oracle replay
+    // identical to q_multimodal_audiohash
+    "q_multimodal_audio_cross_encoding" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(audioCrossMedia _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // audio near-dup pairs over the same rendered corpus (sparsified,
     // scale-bounded): docs sharing a base waveform differ only in a
     // boosted first frame (Hamming 0-1), brute-force oracle
@@ -1434,6 +1450,24 @@ object LlmQueries {
       if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
     }
     Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+  }
+
+  /** [[audioMedia]]'s waveform re-exported at an encoding keyed by
+    * id % 4 — int16, int24 (<<8), IEEE float32 (s/32768), or an
+    * EXTENSIBLE-wrapped int16 — every one of which decodes back to the
+    * exact int16 samples, so the envelope replay is encoding-blind. */
+  private def audioCrossMedia(id: Long): Multimodal.Media = {
+    val samples = Array.tabulate(1950) { j =>
+      val s = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
+      if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
+    }
+    val bytes = (id % 4) match {
+      case 0 => Multimodal.syntheticWavPcm(8000, samples)
+      case 1 => Multimodal.syntheticWav(8000, samples, "pcm24")
+      case 2 => Multimodal.syntheticWav(8000, samples, "float32")
+      case _ => Multimodal.syntheticWav(8000, samples, "ext16")
+    }
+    Multimodal.Media(id, bytes, "audio/wav")
   }
 
   /** The q_multimodal_video_* fixture: 12 frames of the image fixture's
@@ -3099,6 +3133,24 @@ object LlmQueries {
     // encode->decode were anything but sample-lossless these sums could
     // not match
     "q_multimodal_audiohash" ->
+      """WITH sm AS (
+        |  SELECT doc_id, u.j AS j,
+        |         abs(((doc_id % 40) * 17 + u.j * 31) % 4001 - 2000
+        |             + CASE WHEN u.j < 30 THEN ((doc_id // 40) % 3) * 500 ELSE 0 END) AS a
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
+        |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
+        |       FROM sm GROUP BY doc_id, j // 30),
+        |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+        |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |         WHERE l.f < 64)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // byte-for-byte the q_multimodal_audiohash replay: the encoding is
+    // invisible to the envelope once decode normalizes to int16
+    "q_multimodal_audio_cross_encoding" ->
       """WITH sm AS (
         |  SELECT doc_id, u.j AS j,
         |         abs(((doc_id % 40) * 17 + u.j * 31) % 4001 - 2000

@@ -1763,6 +1763,46 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeJpegGray("not a jpeg".getBytes).isEmpty)
   }
 
+  test("multimodal WAV encodings: 8/24/32-bit PCM, float32, extensible — normalized decode") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(47)
+    val samples = Array.fill(1950)(rnd.nextInt(4001) - 2000)
+    val ref = Multimodal.decodeWavPcm(Multimodal.syntheticWavPcm(8000, samples)).get._3
+    assert(ref.toSeq == samples.toSeq, "int16 baseline")
+    // exact re-encodings: 24-bit, 32-bit, float32, extensible-wrapped 16
+    for (enc <- Seq("pcm24", "pcm32", "float32", "ext16")) {
+      val dec = Multimodal.decodeWavPcm(Multimodal.syntheticWav(8000, samples, enc))
+      assert(dec.map(_._3.toSeq).contains(samples.toSeq), s"$enc must decode exactly")
+    }
+    // 8-bit is lossy (top byte survives): samples round to their 256-wide
+    // bucket, and on audio with REAL envelope structure (adjacent frame
+    // energies well separated — here by ≥ 480, far above the ±128
+    // quantization noise) the gradient-sign hash is UNCHANGED. iid noise
+    // with near-tie frames can flip ties — that is envelope semantics,
+    // not a decode defect, and the near-dup operators budget for it via
+    // maxHamming.
+    val dec8n = Multimodal.decodeWavPcm(Multimodal.syntheticWav(8000, samples, "pcm8")).get._3
+    assert(dec8n.zip(samples).forall { case (a, b) => math.abs(a - b) < 256 }, "8-bit rounding")
+    val shaped = Array.tabulate(1950) { j =>
+      val amp = 200 + ((j / 30) * 37 % 29) * 60
+      if (j % 2 == 0) amp else -amp
+    }
+    val hS = Multimodal.audioHash64(
+      Multimodal.decodeWavPcm(Multimodal.syntheticWavPcm(8000, shaped)).get._3).get
+    val hS8 = Multimodal.audioHash64(
+      Multimodal.decodeWavPcm(Multimodal.syntheticWav(8000, shaped, "pcm8")).get._3).get
+    assert(hS == hS8, "8-bit must preserve a structured envelope's hash exactly")
+    // ADPCM (format 2) still rejects; float NaN samples clamp to 0 not crash
+    val adpcm = Multimodal.syntheticWavPcm(8000, samples)
+    val ab = java.nio.ByteBuffer.wrap(adpcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ab.putShort(20, 2)
+    assert(Multimodal.decodeWavPcm(adpcm).isEmpty, "ADPCM must reject")
+    val nanWav = Multimodal.syntheticWav(8000, samples.take(100), "float32")
+    val nb = java.nio.ByteBuffer.wrap(nanWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nb.putFloat(44, Float.NaN)
+    assert(Multimodal.decodeWavPcm(nanWav).get._3.head == 0, "NaN clamps to 0")
+  }
+
   test("HLL registers obey the merge law and match a local recompute") {
     import graft.llm.{Hashing, Sketches}
     val half1 = docs.filter(col("doc_id") % 2 === 0)
