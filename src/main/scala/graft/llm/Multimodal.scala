@@ -1431,6 +1431,8 @@ object Multimodal {
     var pred = 0
     var mcu = 0
     val coefZ = new Array[Int](64)
+    val invZigzag = new Array[Int](64) // natural index -> zigzag position
+    for (i <- 0 until 64) invZigzag(zigzag(i)) = i
     while (mcu < bw * bh) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         flushBits()
@@ -1454,7 +1456,7 @@ object Multimodal {
             }
             y += 1
           }
-          coefZ(zigzag.indexOf(v * 8 + u)) = math.round(0.25 * cu(u) * cu(v) * s).toInt
+          coefZ(invZigzag(v * 8 + u)) = math.round(0.25 * cu(u) * cu(v) * s).toInt
           v += 1
         }
         u += 1

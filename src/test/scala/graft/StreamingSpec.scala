@@ -468,14 +468,17 @@ class StreamingSpec extends SparkSpec {
       nearPx(y * 18 + x) = math.min(nearPx(y * 18 + x) + 120, 255)
     val farPx = Array.fill(18 * 16)(rnd.nextInt(256))
     val base = Multimodal.syntheticBmpPixels(18, 16, basePx)
-    val near = Multimodal.syntheticBmpPixels(18, 16, nearPx)
-    val far = Multimodal.syntheticBmpPixels(18, 16, farPx)
+    // the near-dup arrives as a PNG (r11): a re-encoded container must
+    // still be suppressed — the stream kernel decodes all real formats
+    val near = Multimodal.syntheticPngPixels(18, 16, nearPx, colorType = 2,
+      rowFilters = Seq(1, 4, 2))
+    val far = Multimodal.syntheticGifPixels(18, 16, farPx)
     val garbage = "not an image at all".getBytes("US-ASCII")
-    // batch premise: base/near must pair, base/far must not
+    // batch premise: base/near must pair ACROSS containers, base/far must not
     import spark.implicits._
     val batchPairs = Multimodal.imageNearDupPairs(Seq(
-        Multimodal.Media(0L, base, "image/bmp"), Multimodal.Media(1L, near, "image/bmp"),
-        Multimodal.Media(2L, far, "image/bmp")).toDS(), maxHamming = 3)
+        Multimodal.Media(0L, base, "image/bmp"), Multimodal.Media(1L, near, "image/png"),
+        Multimodal.Media(2L, far, "image/gif")).toDS(), maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(batchPairs.contains((0L, 1L)) && !batchPairs.exists(p => p._1 == 2L || p._2 == 2L),
       s"fixture premise broken: $batchPairs")
