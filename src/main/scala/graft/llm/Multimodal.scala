@@ -681,14 +681,22 @@ object Multimodal {
     Some((w, h, out))
   }
 
-  /** Binary PNM (P5 graymap / P6 pixmap, maxval ≤ 255) → row-major
-    * grayscale, same integer luma as [[decodeBmpGray]]. The header walk is
-    * [[parsePnm]]'s tokens plus maxval; P5 bytes are the gray values
-    * directly, P6 triplets are RGB. ASCII variants (P2/P3) and 16-bit
-    * maxval return None — scoped, not silently wrong. */
+  /** The COMPLETE PNM family (P1–P6, maxval ≤ 255) → row-major grayscale,
+    * same integer luma as [[decodeBmpGray]]:
+    *
+    *  - P5/P6 (binary graymap/pixmap): raster bytes directly — the
+    *    original scope;
+    *  - P2/P3 (ASCII graymap/pixmap): whitespace-separated decimal
+    *    samples through the same comment-aware tokenizer as the header;
+    *  - P4 (binary bitmap): MSB-first packed bits, rows byte-padded,
+    *    1 = black (luma 0), 0 = white (255) per spec;
+    *  - P1 (ASCII bitmap): '0'/'1' digits, which the spec allows to be
+    *    ADJACENT with no separating whitespace — read per character.
+    *
+    * 16-bit maxval still returns None — scoped, not silently wrong. */
   private[graft] def decodePnmGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (b == null || b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
-    val p6 = b(1) == '6'
+    if (b == null || b.length < 2 || b(0) != 'P' || b(1) < '1' || b(1) > '6') return None
+    val kind = b(1) - '0'
     var i = 2
     def nextInt(): Option[Int] = {
       var in = false
@@ -703,22 +711,85 @@ object Multimodal {
       }
       if (in) Some(v) else None
     }
-    (nextInt(), nextInt(), nextInt()) match {
-      case (Some(w), Some(h), Some(maxv)) if w > 0 && h > 0 && maxv > 0 && maxv <= 255 =>
-        i += 1 // exactly ONE whitespace byte separates maxval from raster (spec)
-        val bpp = if (p6) 3 else 1
-        if (i.toLong + w.toLong * h * bpp > b.length) return None
-        val out = new Array[Int](w * h)
-        var px = 0
-        while (px < w * h) {
-          val p = i + px * bpp
-          out(px) =
-            if (p6) (299 * (b(p) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p + 2) & 0xFF)) / 1000
-            else b(p) & 0xFF
-          px += 1
-        }
-        Some((w, h, out))
+    def dims(): Option[(Int, Int)] = (nextInt(), nextInt()) match {
+      case (Some(w), Some(h)) if w > 0 && h > 0 && w.toLong * h <= (1L << 28) => Some((w, h))
       case _ => None
+    }
+    kind match {
+      case 1 => // ASCII bitmap — digits may be adjacent
+        dims().flatMap { case (w, h) =>
+          val out = new Array[Int](w * h)
+          var px = 0
+          while (px < w * h && i < b.length) {
+            val c = b(i).toChar
+            if (c == '0') { out(px) = 255; px += 1 }
+            else if (c == '1') { out(px) = 0; px += 1 }
+            else if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+            else if (!c.isWhitespace) return None
+            i += 1
+          }
+          if (px == w * h) Some((w, h, out)) else None
+        }
+      case 4 => // binary bitmap — MSB-first packed, rows byte-padded
+        dims().flatMap { case (w, h) =>
+          i += 1 // single whitespace before the raster
+          val rowBytes = (w + 7) / 8
+          if (i.toLong + rowBytes.toLong * h > b.length) return None
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bit = (b(i + y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+              out(y * w + x) = if (bit == 1) 0 else 255
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, out))
+        }
+      case 2 | 3 => // ASCII graymap / pixmap
+        val rgb = kind == 3
+        (dims(), nextInt()) match {
+          case (Some((w, h)), Some(maxv)) if maxv > 0 && maxv <= 255 =>
+            val out = new Array[Int](w * h)
+            var px = 0
+            while (px < w * h) {
+              if (rgb) {
+                (nextInt(), nextInt(), nextInt()) match {
+                  case (Some(r), Some(g), Some(bl))
+                      if r <= maxv && g <= maxv && bl <= maxv =>
+                    out(px) = (299 * r + 587 * g + 114 * bl) / 1000
+                  case _ => return None
+                }
+              } else nextInt() match {
+                case Some(v) if v <= maxv => out(px) = v
+                case _ => return None
+              }
+              px += 1
+            }
+            Some((w, h, out))
+          case _ => None
+        }
+      case _ => // P5 / P6 binary
+        val p6 = kind == 6
+        (dims(), nextInt()) match {
+          case (Some((w, h)), Some(maxv)) if maxv > 0 && maxv <= 255 =>
+            i += 1 // exactly ONE whitespace byte separates maxval from raster (spec)
+            val bpp = if (p6) 3 else 1
+            if (i.toLong + w.toLong * h * bpp > b.length) return None
+            val out = new Array[Int](w * h)
+            var px = 0
+            while (px < w * h) {
+              val p = i + px * bpp
+              out(px) =
+                if (p6) (299 * (b(p) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p + 2) & 0xFF)) / 1000
+                else b(p) & 0xFF
+              px += 1
+            }
+            Some((w, h, out))
+          case _ => None
+        }
     }
   }
 

@@ -1558,6 +1558,34 @@ class LlmSpec extends SparkSpec {
     val p6 = s"P6\n# c\n18 16\n255\n".getBytes("US-ASCII") ++
       px.flatMap(v => Array(v.toByte, v.toByte, v.toByte))
     assert(Multimodal.decodePnmGray(p6).map(_._3.toSeq).contains(px.toSeq), "P6")
+    // the ASCII family (r11): P2 decimal samples, P3 decimal triplets
+    val p2 = (s"P2\n# c\n18 16\n255\n" + px.mkString(" ")).getBytes("US-ASCII")
+    assert(Multimodal.decodePnmGray(p2).map(_._3.toSeq).contains(px.toSeq), "P2")
+    val p3 = (s"P3\n18 16\n255\n" + px.flatMap(v => Seq(v, v, v)).mkString(" "))
+      .getBytes("US-ASCII")
+    assert(Multimodal.decodePnmGray(p3).map(_._3.toSeq).contains(px.toSeq), "P3")
+    // bitmaps: P4 MSB-first packed with byte-padded rows (w=18 -> 3
+    // bytes/row, 6 pad bits), P1 with ADJACENT digits (spec-legal)
+    val bits = px.map(v => if (v >= 128) 1 else 0)
+    val bw = (18 + 7) / 8
+    val p4 = s"P4\n18 16\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](bw * 16) { bi =>
+        val y = bi / bw
+        var acc = 0
+        for (k <- 0 until 8) {
+          val x = (bi % bw) * 8 + k
+          if (x < 18 && bits(y * 18 + x) == 1) acc |= 1 << (7 - k)
+        }
+        acc.toByte
+      }
+    val expBits = bits.map(v => if (v == 1) 0 else 255)
+    assert(Multimodal.decodePnmGray(p4).map(_._3.toSeq).contains(expBits.toSeq), "P4")
+    val p1 = (s"P1\n18 16\n" + bits.grouped(18).map(_.mkString).mkString("\n"))
+      .getBytes("US-ASCII")
+    assert(Multimodal.decodePnmGray(p1).map(_._3.toSeq).contains(expBits.toSeq), "P1")
+    // short ASCII raster and 16-bit maxval still reject
+    assert(Multimodal.decodePnmGray("P2\n4 4\n255\n1 2 3".getBytes).isEmpty, "short P2")
+    assert(Multimodal.decodePnmGray(("P2\n2 2\n65535\n1 2 3 4").getBytes).isEmpty, "16-bit")
     // dHash properties: brightness-shift invariant (gradient SIGNS are the
     // fingerprint), pixel-replication upscale invariant (box averages are
     // unchanged), one perturbed corner cell flips at most one bit, and
