@@ -642,10 +642,21 @@ object Multimodal {
     * downstream replays bit-exact in any engine. Returns None for
     * non-24bpp, compressed (BI_RLE/BI_BITFIELDS), or truncated input —
     * corrupt scrapes are normal input, never a job failure. */
+  /** The full non-RLE BMP family → row-major grayscale luma: 1/4/8-bit
+    * palettized (packed indices through the BGRA colour table — the
+    * ubiquitous scraped-web form), 24-bpp BGR, and 32-bpp BGRX / BI_
+    * BITFIELDS (channel masks at their fixed post-header offsets, which
+    * V4/V5 headers share; arbitrary masks handled by shift+rescale).
+    * BITMAPINFOHEADER and the larger V4/V5 variants all keep these
+    * field offsets. RLE compression (1/2) and 16-bpp return None —
+    * scoped, not silently wrong. All size arithmetic in LONG: `w * bpp`
+    * Int-wrap on a crafted header must reject, never allocate
+    * (the r11 corrupt-input guard class). */
   private[graft] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val dataOff = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
     val w = bb.getInt(18)
     val rawH = bb.getInt(22)
     // abs(Int.MinValue) IS Int.MinValue — it would pass an `h == 0`
@@ -653,28 +664,70 @@ object Multimodal {
     if (rawH == Int.MinValue) return None
     val h = math.abs(rawH)
     val topDown = rawH < 0
-    if (w <= 0 || h == 0 || bb.getShort(28) != 24 || bb.getInt(30) != 0) return None
-    // stride in LONG: `w * 3` overflows Int for w ≳ 715M, and a wrapped
-    // tiny stride would let a ~60-byte crafted file pass the byte-bounds
-    // check and then attempt a multi-GB allocation / out-of-bounds walk.
-    // Corrupt input must return None, never kill the task (the Y4M
-    // decoder got the same guard; this is the BMP half of that class).
-    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    if (w <= 0 || h == 0 || hdrSize < 40) return None
+    val okFormat = (bpp, compression) match {
+      case (1 | 4 | 8 | 24, 0) => true
+      case (32, 0) => true
+      case (32, 3) => true // BI_BITFIELDS
+      case _ => false
+    }
+    if (!okFormat) return None
+    // palette for the indexed forms: BGRA entries right after the header
+    val luts: Array[Int] =
+      if (bpp <= 8) {
+        val clrUsed = bb.getInt(46)
+        val n = if (clrUsed > 0 && clrUsed <= (1 << bpp)) clrUsed else 1 << bpp
+        val palOff = 14 + hdrSize
+        if (palOff.toLong + 4L * n > b.length) return None
+        Array.tabulate(1 << bpp) { i =>
+          if (i < n) {
+            val p = palOff + i * 4
+            (299 * (b(p + 2) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p) & 0xFF)) / 1000
+          } else 0
+        }
+      } else null
+    // BI_BITFIELDS masks sit at bytes 54..65 for BITMAPINFOHEADER
+    // (immediately after it) AND for V4/V5 (embedded at the same offset)
+    var (rMask, gMask, bMask) = (0x00FF0000, 0x0000FF00, 0x000000FF)
+    if (compression == 3) {
+      if (b.length < 66) return None
+      rMask = bb.getInt(54); gMask = bb.getInt(58); bMask = bb.getInt(62)
+      if (rMask == 0 || gMask == 0 || bMask == 0) return None
+    }
+    def chan(px: Int, mask: Int): Int = {
+      val shift = java.lang.Integer.numberOfTrailingZeros(mask)
+      val maxv = mask >>> shift
+      if (maxv == 0) 0 else ((px & mask) >>> shift) * 255 / maxv
+    }
+    // stride in LONG: `w * bpp` overflows Int for crafted widths, and a
+    // wrapped tiny stride would let a ~60-byte file pass the bounds
+    // check into a multi-GB allocation / out-of-bounds walk
+    val stride = ((w.toLong * bpp + 31) / 32) * 4
     if (dataOff < 54 || dataOff.toLong + stride * h > b.length) return None
-    // stride*h ≤ b.length ⇒ w*h*3 ≤ b.length ⇒ w*h fits an Int
+    if (w.toLong * h > (1L << 28)) return None // 256M px sanity cap
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
+      val rowOff = dataOff + (srcRow * stride).toInt
       var x = 0
-      var p = dataOff + (srcRow * stride).toInt
       while (x < w) {
-        val blue = b(p) & 0xFF
-        val green = b(p + 1) & 0xFF
-        val red = b(p + 2) & 0xFF
-        out(y * w + x) = (299 * red + 587 * green + 114 * blue) / 1000
+        out(y * w + x) = bpp match {
+          case 1 => luts(((b(rowOff + (x >> 3)) >> (7 - (x & 7))) & 1))
+          case 4 =>
+            val v = b(rowOff + (x >> 1)) & 0xFF
+            luts(if ((x & 1) == 0) v >> 4 else v & 0x0F)
+          case 8 => luts(b(rowOff + x) & 0xFF)
+          case 24 =>
+            val p = rowOff + x * 3
+            (299 * (b(p + 2) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p) & 0xFF)) / 1000
+          case _ =>
+            val px = bb.getInt(rowOff + x * 4)
+            (299 * chan(px, rMask) + 587 * chan(px, gMask) + 114 * chan(px, bMask)) / 1000
+        }
         x += 1
-        p += 3
       }
       y += 1
     }
@@ -1226,6 +1279,34 @@ object Multimodal {
     b.putShort(1).putShort(24).putInt(0).putInt(4) // planes, bpp, compression, image size
     b.putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm resolution, palette
     b.putInt(0) // stub pixel bytes
+    b.array()
+  }
+
+  /** A REAL palettized 8-bit BMP: 256-entry grayscale colour table
+    * (entry i = (i,i,i) → luma is exactly the stored index, so the
+    * arithmetic replay oracles hold), bottom-up rows, 4-byte-padded
+    * stride — the ubiquitous indexed-colour web scrape form. */
+  def syntheticBmp8(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height)
+    val stride = (width + 3) / 4 * 4
+    val dataOff = 54 + 256 * 4
+    val size = dataOff + stride * height
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(dataOff)
+    b.putInt(40).putInt(width).putInt(height)
+    b.putShort(1).putShort(8).putInt(0).putInt(stride * height)
+    b.putInt(2835).putInt(2835).putInt(256).putInt(0)
+    var i = 0
+    while (i < 256) {
+      b.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+    }
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) { b.put((gray(y * width + x) & 0xFF).toByte); x += 1 }
+      while (x < stride) { b.put(0.toByte); x += 1 }
+      y -= 1
+    }
     b.array()
   }
 

@@ -1197,6 +1197,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // and through the PALETTIZED 8-bit BMP form (grayscale colour table:
+    // luma is exactly the stored index) — indexed colour is the other
+    // ubiquitous scraped-BMP layout, same arithmetic, same replay
+    "q_multimodal_bmp8_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(bmp8Media _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // CROSS-CONTAINER near-dup capstone: the same block-arithmetic pixels
     // rendered through BMP, PNG, GIF, or baseline JPEG per doc (id % 4) —
     // a re-encoded copy of an image is the canonical near-dup case, and
@@ -1412,6 +1426,20 @@ object LlmQueries {
       Multimodal.syntheticJpegPixels(w, h, gray,
         restartInterval = if (id % 3 == 0) 2 else 0),
       "image/jpeg")
+  }
+
+  /** [[dhashMedia]]'s pixels through the palettized 8-bit BMP form. */
+  private def bmp8Media(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val base = (((id % 40) * 31 + x * 7 + y * 13) % 176).toInt
+      val delta = if (x < 2 && y < 2) (((id / 40) % 3) * 40).toInt else 0
+      base + delta
+    }
+    Multimodal.Media(id, Multimodal.syntheticBmp8(w, h, gray), "image/bmp")
   }
 
   /** The q_multimodal_cross_container fixture: [[jpegMedia]]'s 24×16
@@ -2902,6 +2930,29 @@ object LlmQueries {
     // arithmetic; only the container differs (PNG zlib+filters vs BMP),
     // and the container must be invisible to the hash
     "q_multimodal_png_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical replay again: the 8-bit palette indirection must be
+    // invisible to the hash
+    "q_multimodal_bmp8_dhash" ->
       """WITH px AS (
         |  SELECT doc_id, u.x AS x, v.y AS y,
         |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176

@@ -1586,6 +1586,58 @@ class LlmSpec extends SparkSpec {
     // short ASCII raster and 16-bit maxval still reject
     assert(Multimodal.decodePnmGray("P2\n4 4\n255\n1 2 3".getBytes).isEmpty, "short P2")
     assert(Multimodal.decodePnmGray(("P2\n2 2\n65535\n1 2 3 4").getBytes).isEmpty, "16-bit")
+    // BMP family widened (r11): 8-bit palettized (grayscale table ->
+    // luma == index), 32-bpp BGRX, 32-bpp BI_BITFIELDS with swapped
+    // masks, 1-bit packed — all land on the same luma
+    assert(Multimodal.decodeBmpGray(Multimodal.syntheticBmp8(18, 16, px))
+      .map(_._3.toSeq).contains(px.toSeq), "8-bit palettized")
+    def bmp32(masks: Option[(Int, Int, Int)]): Array[Byte] = {
+      val dataOff = 54 + (if (masks.isDefined) 12 else 0)
+      val bb = java.nio.ByteBuffer.allocate(dataOff + 18 * 16 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(dataOff)
+      bb.putInt(40).putInt(18).putInt(16).putShort(1).putShort(32)
+      bb.putInt(if (masks.isDefined) 3 else 0).putInt(18 * 16 * 4)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      masks.foreach { case (r, g, b2) => bb.putInt(r).putInt(g).putInt(b2) }
+      for (y <- 15 to 0 by -1; x <- 0 until 18) {
+        val v = px(y * 18 + x)
+        masks match {
+          case None => bb.put(v.toByte).put(v.toByte).put(v.toByte).put(0.toByte) // BGRX
+          case Some(_) => bb.putInt(v | (v << 8) | (v << 16) | (v << 24)) // any masks read v
+        }
+      }
+      bb.array()
+    }
+    assert(Multimodal.decodeBmpGray(bmp32(None)).map(_._3.toSeq).contains(px.toSeq), "32 BGRX")
+    assert(Multimodal.decodeBmpGray(bmp32(Some((0x000000FF, 0x00FF0000, 0xFF000000.toInt))))
+      .map(_._3.toSeq).contains(px.toSeq), "32 BI_BITFIELDS swapped masks")
+    val bits2 = px.map(v => if (v >= 128) 1 else 0)
+    val oneBit = {
+      val stride = ((18 + 31) / 32) * 4
+      val dataOff = 54 + 2 * 4
+      val bb = java.nio.ByteBuffer.allocate(dataOff + stride * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(dataOff)
+      bb.putInt(40).putInt(18).putInt(16).putShort(1).putShort(1)
+      bb.putInt(0).putInt(stride * 16).putInt(0).putInt(0).putInt(2).putInt(0)
+      // palette: index 0 = white, 1 = black (matching the PNM bitmap luma)
+      bb.put(255.toByte).put(255.toByte).put(255.toByte).put(0.toByte)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      for (y <- 15 to 0 by -1) {
+        val row = new Array[Byte](stride)
+        for (x <- 0 until 18 if bits2(y * 18 + x) == 1)
+          row(x >> 3) = (row(x >> 3) | (1 << (7 - (x & 7)))).toByte
+        bb.put(row)
+      }
+      bb.array()
+    }
+    assert(Multimodal.decodeBmpGray(oneBit).map(_._3.toSeq)
+      .contains(bits2.map(v => if (v == 1) 0 else 255).toSeq), "1-bit packed")
+    // RLE compression and 16-bpp still reject
+    val rle = Multimodal.syntheticBmp8(18, 16, px)
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+    assert(Multimodal.decodeBmpGray(rle).isEmpty, "RLE8 must reject")
     // dHash properties: brightness-shift invariant (gradient SIGNS are the
     // fingerprint), pixel-replication upscale invariant (box averages are
     // unchanged), one perturbed corner cell flips at most one bit, and
