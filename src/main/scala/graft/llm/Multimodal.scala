@@ -1041,6 +1041,8 @@ object Multimodal {
     val chromaLen: Long =
       if (colour == "420" || colour == "420jpeg" || colour == "420paldv" ||
           colour == "420mpeg2") 2L * ((w + 1) / 2) * ((h + 1) / 2)
+      else if (colour == "422") 2L * ((w + 1) / 2) * h // half-width chroma
+      else if (colour == "440") 2L * w * ((h + 1) / 2) // half-height chroma
       else if (colour == "444") 2L * w * h
       else if (colour == "mono") 0L
       else return None

@@ -1408,8 +1408,23 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeY4mGray(mono).get._3.head.toSeq == (0 until 8).map(_ * 10))
     // garbage, unsupported colourspace, missing dims: None
     assert(Multimodal.decodeY4mGray("not a stream".getBytes).isEmpty)
+    // C422 decodes (r11): luma 8 + half-width chroma 2*2*2=8 per frame;
+    // a truncated frame (14 of 16 bytes) yields no frames, a full one
+    // returns the luma with the chroma strided over
     assert(Multimodal.decodeY4mGray(
-      "YUV4MPEG2 W4 H2 C422\nFRAME\n12345678901234".getBytes("US-ASCII")).isEmpty)
+      "YUV4MPEG2 W4 H2 C422\nFRAME\n12345678901234".getBytes("US-ASCII")).isEmpty,
+      "truncated C422 frame")
+    val c422 = ("YUV4MPEG2 W4 H2 C422\nFRAME\n").getBytes("US-ASCII") ++
+      Array.tabulate[Byte](16)(i => (i * 5).toByte)
+    assert(Multimodal.decodeY4mGray(c422).get._3.head.toSeq == (0 until 8).map(_ * 5),
+      "C422 luma")
+    val c440 = ("YUV4MPEG2 W4 H2 C440\nFRAME\n").getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8 + 8)(i => (i * 3).toByte)
+    assert(Multimodal.decodeY4mGray(c440).get._3.head.toSeq == (0 until 8).map(_ * 3),
+      "C440 luma")
+    assert(Multimodal.decodeY4mGray(
+      "YUV4MPEG2 W4 H2 C411\nFRAME\n12345678901234".getBytes("US-ASCII")).isEmpty,
+      "C411 stays scoped out")
     // declared dims that overflow int (65536x65536) must reject cleanly,
     // not crash downstream hashing with empty frames for a huge grid
     assert(Multimodal.decodeY4mGray(
