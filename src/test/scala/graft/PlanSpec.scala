@@ -264,6 +264,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("media decode+hash operators are pure map stages (no exchange)") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // decode+hash must NEVER shuffle media bytes — the 100 TB contract:
+    // bytes stay in their scan partition, only (id, hash) rows move later
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").filter(col("doc_id") < 8).as[Long]
+    val px = Array.tabulate(18 * 16)(i => i % 256)
+    for ((name, df) <- Seq(
+        "imageDHash" -> Multimodal.imageDHash(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticBmp8(18, 16, px), "image/bmp"))).toDF(),
+        "audioEnvelopeHash" -> Multimodal.audioEnvelopeHash(
+          ids.map(id => Multimodal.Media(id,
+            Multimodal.syntheticWavPcm(8000, Array.tabulate(1950)(_ % 100)), "audio/wav"))).toDF(),
+        "videoFrameHashes" -> Multimodal.videoFrameHashes(
+          ids.map(id => Multimodal.Media(id,
+            Multimodal.syntheticY4m(18, 16, Seq(px)), "video/x-yuv4mpeg"))))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
+    }
+  }
+
   test("dsir / nb-classifier scoring and bm25 ranking keep their scale shapes") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 200)
     val target = d.filter(col("doc_id") % 7 === 0)
