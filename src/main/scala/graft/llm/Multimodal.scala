@@ -648,8 +648,9 @@ object Multimodal {
     * BITFIELDS (channel masks at their fixed post-header offsets, which
     * V4/V5 headers share; arbitrary masks handled by shift+rescale).
     * BITMAPINFOHEADER and the larger V4/V5 variants all keep these
-    * field offsets. RLE compression (1/2) and 16-bpp return None —
-    * scoped, not silently wrong. All size arithmetic in LONG: `w * bpp`
+    * field offsets — plus BI_RLE8 run-length streams (repeat runs,
+    * absolute runs, EOL/EOB/delta escapes). RLE4 and 16-bpp return
+    * None — scoped, not silently wrong. All size arithmetic in LONG: `w * bpp`
     * Int-wrap on a crafted header must reject, never allocate
     * (the r11 corrupt-input guard class). */
   private[graft] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -671,6 +672,7 @@ object Multimodal {
       case (1 | 4 | 8 | 24, 0) => true
       case (32, 0) => true
       case (32, 3) => true // BI_BITFIELDS
+      case (8, 1) => true // BI_RLE8
       case _ => false
     }
     if (!okFormat) return None
@@ -701,12 +703,54 @@ object Multimodal {
       val maxv = mask >>> shift
       if (maxv == 0) 0 else ((px & mask) >>> shift) * 255 / maxv
     }
+    if (w.toLong * h > (1L << 28)) return None // 256M px sanity cap
+    if (compression == 1) {
+      // BI_RLE8 (always bottom-up): (m, c) repeats index c m times;
+      // escapes (0, 0)=end-of-line, (0, 1)=end-of-bitmap, (0, 2)=delta
+      // (skipped cells keep index 0), (0, n>=3)=n absolute indices,
+      // word-padded. Truncated/overflowing streams return None.
+      if (dataOff < 54 || dataOff >= b.length || topDown) return None
+      val out = new Array[Int](w * h)
+      java.util.Arrays.fill(out, luts(0))
+      var p = dataOff
+      var x = 0
+      var row = 0 // bottom-up row counter
+      var done = false
+      while (!done) {
+        if (p + 2 > b.length) return None
+        val m = b(p) & 0xFF
+        val c = b(p + 1) & 0xFF
+        p += 2
+        if (m > 0) {
+          // row bound checked at write time so a trailing EOL before the
+          // EOB (row counter == h with nothing left to paint) stays legal
+          if (row >= h || x + m > w) return None
+          val y = h - 1 - row
+          var k = 0
+          while (k < m) { out(y * w + x + k) = luts(c); k += 1 }
+          x += m
+        } else c match {
+          case 0 => x = 0; row += 1
+          case 1 => done = true
+          case 2 =>
+            if (p + 2 > b.length) return None
+            x += b(p) & 0xFF; row += (b(p + 1) & 0xFF); p += 2
+            if (x > w || row > h) return None
+          case n =>
+            if (row >= h || x + n > w || p + n > b.length) return None
+            val y = h - 1 - row
+            var k = 0
+            while (k < n) { out(y * w + x + k) = luts(b(p + k) & 0xFF); k += 1 }
+            x += n; p += n + (n & 1) // word-aligned
+        }
+      }
+      return Some((w, h, out))
+    }
     // stride in LONG: `w * bpp` overflows Int for crafted widths, and a
     // wrapped tiny stride would let a ~60-byte file pass the bounds
     // check into a multi-GB allocation / out-of-bounds walk
     val stride = ((w.toLong * bpp + 31) / 32) * 4
     if (dataOff < 54 || dataOff.toLong + stride * h > b.length) return None
-    if (w.toLong * h > (1L << 28)) return None // 256M px sanity cap
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -1649,10 +1649,35 @@ class LlmSpec extends SparkSpec {
     }
     assert(Multimodal.decodeBmpGray(oneBit).map(_._3.toSeq)
       .contains(bits2.map(v => if (v == 1) 0 else 255).toSeq), "1-bit packed")
-    // RLE compression and 16-bpp still reject
-    val rle = Multimodal.syntheticBmp8(18, 16, px)
-    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
-    assert(Multimodal.decodeBmpGray(rle).isEmpty, "RLE8 must reject")
+    // BI_RLE8 (r11): re-encode the palettized image as one absolute run
+    // per row (bottom-up) and it must decode identically
+    val rle8 = {
+      val head = Multimodal.syntheticBmp8(18, 16, px).take(54 + 256 * 4)
+      java.nio.ByteBuffer.wrap(head).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+      val body = (15 to 0 by -1).flatMap { y =>
+        Array[Byte](0, 18) ++ (0 until 18).map(x => px(y * 18 + x).toByte) ++
+          Array[Byte](0, 0) // EOL
+      } ++ Seq[Byte](0, 1) // EOB
+      head ++ body
+    }
+    assert(Multimodal.decodeBmpGray(rle8).map(_._3.toSeq).contains(px.toSeq), "RLE8 absolute")
+    // repeat runs + a delta skip: 6x2, bottom row = 4x index 9 then
+    // delta(2,0) leaves two background cells; top row one repeat run
+    val rleSmall = {
+      val head = Multimodal.syntheticBmp8(6, 2, Array.fill(12)(0)).take(54 + 256 * 4)
+      java.nio.ByteBuffer.wrap(head).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+      head ++ Seq[Byte](4, 9, 0, 2, 2, 0, 0, 0, 6, 5, 0, 1)
+      // (4,9) repeat, delta +2, EOL, (6,5) repeat, EOB
+    }
+    val smallPx = Multimodal.decodeBmpGray(rleSmall).get._3
+    assert(smallPx.slice(6, 10).forall(_ == 9) && smallPx(10) == 0 && smallPx(11) == 0,
+      s"RLE8 repeat+delta bottom row: ${smallPx.toSeq}")
+    assert(smallPx.take(6).forall(_ == 5), s"RLE8 top row: ${smallPx.toSeq}")
+    // RLE4 and 16-bpp still reject
+    val rle4 = Multimodal.syntheticBmp8(18, 16, px)
+    java.nio.ByteBuffer.wrap(rle4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 4).putInt(30, 2)
+    assert(Multimodal.decodeBmpGray(rle4).isEmpty, "RLE4 must reject")
     // dHash properties: brightness-shift invariant (gradient SIGNS are the
     // fingerprint), pixel-replication upscale invariant (box averages are
     // unchanged), one perturbed corner cell flips at most one bit, and
