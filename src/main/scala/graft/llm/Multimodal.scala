@@ -648,9 +648,12 @@ object Multimodal {
     * BITFIELDS (channel masks at their fixed post-header offsets, which
     * V4/V5 headers share; arbitrary masks handled by shift+rescale).
     * BITMAPINFOHEADER and the larger V4/V5 variants all keep these
-    * field offsets — plus BI_RLE8 run-length streams (repeat runs,
-    * absolute runs, EOL/EOB/delta escapes). RLE4 and 16-bpp return
-    * None — scoped, not silently wrong. All size arithmetic in LONG: `w * bpp`
+    * field offsets — plus 16-bpp (X1R5G5B5 default or BITFIELDS masks,
+    * rescaled through the same channel math) and the BI_RLE8/BI_RLE4
+    * run-length streams (repeat runs — nibble-alternating for RLE4 —
+    * absolute runs, EOL/EOB/delta escapes). The documented BMP layout
+    * space is COVERED; anything else (OS/2 cores, JPEG/PNG-embedded
+    * compression tags) returns None. All size arithmetic in LONG: `w * bpp`
     * Int-wrap on a crafted header must reject, never allocate
     * (the r11 corrupt-input guard class). */
   private[graft] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -670,9 +673,10 @@ object Multimodal {
     if (w <= 0 || h == 0 || hdrSize < 40) return None
     val okFormat = (bpp, compression) match {
       case (1 | 4 | 8 | 24, 0) => true
-      case (32, 0) => true
-      case (32, 3) => true // BI_BITFIELDS
+      case (16 | 32, 0) => true // 16-bpp BI_RGB defaults to 555
+      case (16 | 32, 3) => true // BI_BITFIELDS
       case (8, 1) => true // BI_RLE8
+      case (4, 2) => true // BI_RLE4
       case _ => false
     }
     if (!okFormat) return None
@@ -692,11 +696,14 @@ object Multimodal {
       } else null
     // BI_BITFIELDS masks sit at bytes 54..65 for BITMAPINFOHEADER
     // (immediately after it) AND for V4/V5 (embedded at the same offset)
-    var (rMask, gMask, bMask) = (0x00FF0000, 0x0000FF00, 0x000000FF)
+    var (rMask, gMask, bMask) =
+      if (bpp == 16) (0x7C00, 0x03E0, 0x001F) // BI_RGB 16-bpp = X1R5G5B5
+      else (0x00FF0000, 0x0000FF00, 0x000000FF)
     if (compression == 3) {
       if (b.length < 66) return None
       rMask = bb.getInt(54); gMask = bb.getInt(58); bMask = bb.getInt(62)
       if (rMask == 0 || gMask == 0 || bMask == 0) return None
+      if (bpp == 16 && ((rMask | gMask | bMask) & ~0xFFFF) != 0) return None
     }
     def chan(px: Int, mask: Int): Int = {
       val shift = java.lang.Integer.numberOfTrailingZeros(mask)
@@ -704,11 +711,14 @@ object Multimodal {
       if (maxv == 0) 0 else ((px & mask) >>> shift) * 255 / maxv
     }
     if (w.toLong * h > (1L << 28)) return None // 256M px sanity cap
-    if (compression == 1) {
-      // BI_RLE8 (always bottom-up): (m, c) repeats index c m times;
-      // escapes (0, 0)=end-of-line, (0, 1)=end-of-bitmap, (0, 2)=delta
-      // (skipped cells keep index 0), (0, n>=3)=n absolute indices,
-      // word-padded. Truncated/overflowing streams return None.
+    if (compression == 1 || compression == 2) {
+      // BI_RLE8 / BI_RLE4 (always bottom-up): (m, c) repeats index c m
+      // times (RLE4: c carries TWO alternating nibbles); escapes
+      // (0, 0)=end-of-line, (0, 1)=end-of-bitmap, (0, 2)=delta (skipped
+      // cells keep index 0), (0, n>=3)=n absolute indices (RLE4: packed
+      // two per byte), word-padded. Truncated/overflowing streams
+      // return None.
+      val rle4 = compression == 2
       if (dataOff < 54 || dataOff >= b.length || topDown) return None
       val out = new Array[Int](w * h)
       java.util.Arrays.fill(out, luts(0))
@@ -727,7 +737,11 @@ object Multimodal {
           if (row >= h || x + m > w) return None
           val y = h - 1 - row
           var k = 0
-          while (k < m) { out(y * w + x + k) = luts(c); k += 1 }
+          while (k < m) {
+            val idx = if (!rle4) c else if ((k & 1) == 0) c >> 4 else c & 0x0F
+            out(y * w + x + k) = luts(idx)
+            k += 1
+          }
           x += m
         } else c match {
           case 0 => x = 0; row += 1
@@ -737,11 +751,19 @@ object Multimodal {
             x += b(p) & 0xFF; row += (b(p + 1) & 0xFF); p += 2
             if (x > w || row > h) return None
           case n =>
-            if (row >= h || x + n > w || p + n > b.length) return None
+            val nBytes = if (rle4) (n + 1) / 2 else n
+            if (row >= h || x + n > w || p + nBytes > b.length) return None
             val y = h - 1 - row
             var k = 0
-            while (k < n) { out(y * w + x + k) = luts(b(p + k) & 0xFF); k += 1 }
-            x += n; p += n + (n & 1) // word-aligned
+            while (k < n) {
+              val idx =
+                if (!rle4) b(p + k) & 0xFF
+                else if ((k & 1) == 0) (b(p + (k >> 1)) & 0xFF) >> 4
+                else b(p + (k >> 1)) & 0x0F
+              out(y * w + x + k) = luts(idx)
+              k += 1
+            }
+            x += n; p += nBytes + (nBytes & 1) // word-aligned
         }
       }
       return Some((w, h, out))
@@ -767,6 +789,9 @@ object Multimodal {
           case 24 =>
             val p = rowOff + x * 3
             (299 * (b(p + 2) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p) & 0xFF)) / 1000
+          case 16 =>
+            val px = bb.getShort(rowOff + x * 2) & 0xFFFF
+            (299 * chan(px, rMask) + 587 * chan(px, gMask) + 114 * chan(px, bMask)) / 1000
           case _ =>
             val px = bb.getInt(rowOff + x * 4)
             (299 * chan(px, rMask) + 587 * chan(px, gMask) + 114 * chan(px, bMask)) / 1000

@@ -1673,11 +1673,52 @@ class LlmSpec extends SparkSpec {
     assert(smallPx.slice(6, 10).forall(_ == 9) && smallPx(10) == 0 && smallPx(11) == 0,
       s"RLE8 repeat+delta bottom row: ${smallPx.toSeq}")
     assert(smallPx.take(6).forall(_ == 5), s"RLE8 top row: ${smallPx.toSeq}")
-    // RLE4 and 16-bpp still reject
-    val rle4 = Multimodal.syntheticBmp8(18, 16, px)
-    java.nio.ByteBuffer.wrap(rle4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .putShort(28, 4).putInt(30, 2)
-    assert(Multimodal.decodeBmpGray(rle4).isEmpty, "RLE4 must reject")
+    // RLE4 (r11): nibble-alternating repeat runs and packed absolute runs
+    val rle4 = {
+      val head = Multimodal.syntheticBmp8(6, 2, Array.fill(12)(0)).take(54 + 256 * 4)
+      java.nio.ByteBuffer.wrap(head).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(28, 4).putInt(30, 2)
+      // bottom row: repeat 5 of 0x9A (9,10,9,10,9) + absolute 3 nibbles
+      // (0xBC, 0xD0) -> 11,12,13 would overflow w=6... use x: 5+1 run
+      head ++ Seq[Byte](5, 0x9A.toByte, 1, 0xB0.toByte, 0, 0, // row 0 + EOL
+        0, 3, 0xBC.toByte, 0xD0.toByte, // top row: absolute 11,12,13 (padded to word)
+        3, 0x21, 0, 1) // repeat 2,1,2; EOB
+    }
+    val small4 = Multimodal.decodeBmpGray(rle4).get._3
+    assert(small4.slice(6, 12).toSeq == Seq(9, 10, 9, 10, 9, 11), s"RLE4 bottom: ${small4.toSeq}")
+    assert(small4.take(6).toSeq == Seq(11, 12, 13, 2, 1, 2), s"RLE4 top: ${small4.toSeq}")
+    // 16-bpp: BI_RGB defaults to X1R5G5B5; BITFIELDS 565 masks rescale.
+    // gray g maps to 5-bit g>>3 (and 6-bit g>>2), so luma = rescaled value
+    def bmp16(masks: Option[(Int, Int, Int)]): Array[Byte] = {
+      val dataOff = 54 + (if (masks.isDefined) 12 else 0)
+      val stride = (18 * 2 + 3) / 4 * 4
+      val bb = java.nio.ByteBuffer.allocate(dataOff + stride * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(dataOff)
+      bb.putInt(40).putInt(18).putInt(16).putShort(1).putShort(16)
+      bb.putInt(if (masks.isDefined) 3 else 0).putInt(stride * 16)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      masks.foreach { case (r, g, b2) => bb.putInt(r).putInt(g).putInt(b2) }
+      for (y <- 15 to 0 by -1) {
+        for (x <- 0 until 18) {
+          val v = px(y * 18 + x)
+          val pix = masks match {
+            case None => ((v >> 3) << 10) | ((v >> 3) << 5) | (v >> 3) // 555
+            case Some(_) => ((v >> 3) << 11) | ((v >> 2) << 5) | (v >> 3) // 565
+          }
+          bb.putShort(pix.toShort)
+        }
+        for (_ <- 18 * 2 until stride) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    def exp555(v: Int) = { val c = (v >> 3) * 255 / 31; c } // all three channels equal
+    assert(Multimodal.decodeBmpGray(bmp16(None)).map(_._3.toSeq)
+      .contains(px.map(exp555).toSeq), "16-bpp 555")
+    def exp565(v: Int) =
+      (299 * ((v >> 3) * 255 / 31) + 587 * ((v >> 2) * 255 / 63) + 114 * ((v >> 3) * 255 / 31)) / 1000
+    assert(Multimodal.decodeBmpGray(bmp16(Some((0xF800, 0x07E0, 0x001F))))
+      .map(_._3.toSeq).contains(px.map(exp565).toSeq), "16-bpp 565 bitfields")
     // dHash properties: brightness-shift invariant (gradient SIGNS are the
     // fingerprint), pixel-replication upscale invariant (box averages are
     // unchanged), one perturbed corner cell flips at most one bit, and
