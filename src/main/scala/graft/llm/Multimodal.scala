@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * pixels/samples/frames for BMP 24-bpp, binary PNM, PNG (its only codec
   * is DEFLATE, which the JDK ships — full inflate + unfilter in
   * [[decodePngGray]]), GIF (LZW is a pure-JVM dictionary walk —
-  * [[decodeGifGray]] incl. de-interlace), baseline JPEG (Huffman + DC
-  * prediction + dequant + IDCT implemented from the T.81 math —
-  * [[decodeJpegGray]]), 16-bit PCM WAV, and Y4M video. The DETERMINISTIC
-  * STUB scope is down to MP3, H.264, and the progressive/arithmetic
-  * JPEG variants. What is
+  * [[decodeGifGray]] incl. de-interlace), baseline AND progressive JPEG
+  * (Huffman + DC prediction + dequant + IDCT implemented from the T.81
+  * math — [[decodeJpegGray]] / [[decodeJpegProgressive]] with the full
+  * successive-approximation refinement walk), WAV across widths, and
+  * Y4M video. The DETERMINISTIC STUB scope is down to MP3, H.264, and
+  * arithmetic-coded JPEG. What is
   * load-bearing for a 100 TB pipeline either
   * way: the schema (binary payload + typed metadata), the partition-parallel
   * batch shape (one decoder init per partition, streamed records), and the
@@ -1560,6 +1561,389 @@ object Multimodal {
     b.array()
   }
 
+  /** REAL PROGRESSIVE JPEG decode (SOF2) — the multi-scan refinement
+    * layout most web JPEGs ship. Coefficients accumulate across scans
+    * in per-component buffers and the IDCT runs once at the end:
+    *
+    *  - DC scans: interleaved or single-component; first pass (Ah=0)
+    *    decodes diffs shifted left by Al, refinement passes (Ah>0) add
+    *    one bit per block at position Al;
+    *  - AC scans: always single-component (T.81 requires it); first
+    *    pass decodes the Ss..Se spectral band with EOBRUN batching,
+    *    refinement implements the G.1.2.3 correction-bit walk
+    *    (correction bits for already-nonzero coefficients, ±1<<Al
+    *    births for newly visible ones, EOBRUN tails that still carry
+    *    corrections);
+    *  - DHT/DQT/DRI may be redefined between scans; RSTn resets DC
+    *    predictors AND the EOBRUN.
+    *
+    * Scope: 8-bit, 1 or 3 components with 1×1 sampling (progressive
+    * 4:2:0 returns None — the non-interleaved AC walk over subsampled
+    * chroma isn't needed for a luma hash and stays out); corrupt input
+    * returns None. Shares the oracle posture of the baseline decoder:
+    * DC-only fixtures decode bit-exactly. */
+  private[graft] def decodeJpegProgressive(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    val qt = new Array[Array[Int]](4)
+    case class Huff(counts: Array[Int], vals: Array[Int]) {
+      val (minCode, maxCode, valPtr) = {
+        val mn = new Array[Int](17); val mx = new Array[Int](17); val vp = new Array[Int](17)
+        var code = 0; var k = 0
+        var l = 1
+        while (l <= 16) {
+          vp(l) = k; mn(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          mx(l) = code - 1
+          code <<= 1
+          l += 1
+        }
+        (mn, mx, vp)
+      }
+    }
+    val huff = Array.ofDim[Huff](2, 4)
+    var w = 0; var h = 0; var nComp = 0
+    var compId: Array[Int] = null; var compQ: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // per comp: blocks*64, natural order
+    var bw = 0; var bh = 0 // blocks per row/col (1x1 sampling: shared)
+    var restartInterval = 0
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    var pos = 2
+    var sawEoi = false
+    var sawSof = false
+    while (!sawEoi) {
+      if (pos + 2 > b.length) return None
+      if ((b(pos) & 0xFF) != 0xFF) return None
+      val m = b(pos + 1) & 0xFF
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { pos += 2 }
+      else if (m == 0xD9) sawEoi = true
+      else {
+        if (pos + 4 > b.length) return None
+        val len = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val seg = pos + 4
+        val segEnd = pos + 2 + len
+        val bb = ByteBuffer.wrap(b)
+        m match {
+          case 0xDB =>
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xFF) >> 4; val tq = b(p) & 0x0F
+              if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+              qt(tq) = Array.tabulate(64)(i => b(p + 1 + i) & 0xFF)
+              p += 65
+            }
+          case 0xC4 =>
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xFF) >> 4; val th = b(p) & 0x0F
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xFF)
+              val n = counts.sum
+              if (p + 17 + n > segEnd || n > 256) return None
+              huff(tc)(th) = Huff(counts, Array.tabulate(n)(i => b(p + 17 + i) & 0xFF))
+              p += 17 + n
+            }
+          case 0xC2 =>
+            if (sawSof || b(seg) != 8) return None
+            h = ((b(seg + 1) & 0xFF) << 8) | (b(seg + 2) & 0xFF)
+            w = ((b(seg + 3) & 0xFF) << 8) | (b(seg + 4) & 0xFF)
+            nComp = b(seg + 5) & 0xFF
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+                w.toLong * h > (1L << 28)) return None
+            compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(seg + 6 + c * 3) & 0xFF
+              if ((b(seg + 7 + c * 3) & 0xFF) != 0x11) return None // 1x1 only
+              compQ(c) = b(seg + 8 + c * 3) & 0xFF
+              c += 1
+            }
+            bw = (w + 7) / 8; bh = (h + 7) / 8
+            coefs = Array.fill(nComp)(new Array[Int](bw * bh * 64))
+            sawSof = true
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // only SOF2 here; baseline goes through decodeJpegGray
+          case 0xDD =>
+            restartInterval = ((b(seg) & 0xFF) << 8) | (b(seg + 1) & 0xFF)
+          case 0xDA =>
+            if (!sawSof) return None
+            val ns = b(seg) & 0xFF
+            if (ns < 1 || ns > nComp) return None
+            val scanComp = Array.tabulate(ns) { i =>
+              val ci = compId.indexOf(b(seg + 1 + i * 2) & 0xFF)
+              if (ci < 0) return None
+              (ci, (b(seg + 2 + i * 2) & 0xFF) >> 4, b(seg + 2 + i * 2) & 0x0F)
+            }
+            val ss = b(seg + 1 + ns * 2) & 0xFF
+            val se = b(seg + 2 + ns * 2) & 0xFF
+            val ahAl = b(seg + 3 + ns * 2) & 0xFF
+            val ah = ahAl >> 4; val al = ahAl & 0x0F
+            if (ss > se || se > 63) return None
+            if (ss == 0 && se != 0 && ns != 1) return None
+            if (ss > 0 && ns != 1) return None // AC scans are single-component
+            // ---- entropy decode this scan ----
+            var bp = segEnd
+            var bitBuf = 0; var bitCnt = 0; var hitMarker = false
+            def fillBit(): Int = {
+              if (bitCnt == 0) {
+                if (hitMarker || bp >= b.length) return -1
+                val v = b(bp) & 0xFF
+                if (v == 0xFF) {
+                  if (bp + 1 >= b.length) return -1
+                  val nxt = b(bp + 1) & 0xFF
+                  if (nxt == 0x00) { bp += 2 }
+                  else { hitMarker = true; return -1 }
+                } else bp += 1
+                bitBuf = v; bitCnt = 8
+              }
+              bitCnt -= 1
+              (bitBuf >> bitCnt) & 1
+            }
+            def readBits(n: Int): Int = {
+              var v = 0; var i = 0
+              while (i < n) { val bit = fillBit(); if (bit < 0) return -1; v = (v << 1) | bit; i += 1 }
+              v
+            }
+            def decodeHuff(t: Huff): Int = {
+              if (t == null) return -1
+              var code = fillBit()
+              if (code < 0) return -1
+              var l = 1
+              while (l <= 16) {
+                if (t.counts(l - 1) > 0 && code <= t.maxCode(l)) {
+                  val idx = t.valPtr(l) + code - t.minCode(l)
+                  if (idx >= t.vals.length) return -1
+                  return t.vals(idx)
+                }
+                val bit = fillBit()
+                if (bit < 0) return -1
+                code = (code << 1) | bit
+                l += 1
+              }
+              -1
+            }
+            def extend(v: Int, t: Int): Int =
+              if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+            def consumeRst(): Boolean = {
+              bitCnt = 0; hitMarker = false
+              if (bp + 1 >= b.length || (b(bp) & 0xFF) != 0xFF) return false
+              val mk = b(bp + 1) & 0xFF
+              if (mk < 0xD0 || mk > 0xD7) return false
+              bp += 2; true
+            }
+            val pred = new Array[Int](nComp)
+            var eobrun = 0
+            if (ss == 0) {
+              // ---- DC scan (interleaved over scanComp, 1x1 so MCU = one
+              // block of each component in raster order) ----
+              var mcu = 0
+              val total = bw * bh
+              while (mcu < total) {
+                if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                  if (!consumeRst()) return None
+                  java.util.Arrays.fill(pred, 0)
+                }
+                var sc = 0
+                while (sc < scanComp.length) {
+                  val (ci, dcT, _) = scanComp(sc)
+                  val base = mcu * 64
+                  if (ah == 0) {
+                    val t = decodeHuff(huff(0)(dcT))
+                    if (t < 0 || t > 11) return None
+                    val bits = if (t == 0) 0 else readBits(t)
+                    if (bits < 0) return None
+                    pred(ci) += extend(bits, t)
+                    coefs(ci)(base) = pred(ci) << al
+                  } else {
+                    val bit = fillBit()
+                    if (bit < 0) return None
+                    if (bit == 1) coefs(ci)(base) |= 1 << al
+                  }
+                  sc += 1
+                }
+                mcu += 1
+              }
+            } else {
+              // ---- AC scan: single component, block raster order ----
+              val (ci, _, acT) = scanComp(0)
+              val cf = coefs(ci)
+              var blk = 0
+              val total = bw * bh
+              while (blk < total) {
+                if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+                  if (!consumeRst()) return None
+                  eobrun = 0
+                }
+                val base = blk * 64
+                if (ah == 0) {
+                  // first AC pass with EOBRUN batching
+                  if (eobrun > 0) eobrun -= 1
+                  else {
+                    var k = ss
+                    var done = false
+                    while (k <= se && !done) {
+                      val rs = decodeHuff(huff(1)(acT))
+                      if (rs < 0) return None
+                      val r = rs >> 4; val s = rs & 15
+                      if (s == 0) {
+                        if (r < 15) {
+                          val extra = if (r == 0) 0 else readBits(r)
+                          if (extra < 0) return None
+                          eobrun = (1 << r) + extra - 1
+                          done = true
+                        } else k += 16 // ZRL
+                      } else {
+                        k += r
+                        if (k > se) return None
+                        val vb = readBits(s)
+                        if (vb < 0) return None
+                        cf(base + zigzag(k)) = extend(vb, s) << al
+                        k += 1
+                      }
+                    }
+                  }
+                } else {
+                  // AC refinement (T.81 G.1.2.3)
+                  val p1 = 1 << al
+                  val m1 = -1 << al
+                  var k = ss
+                  if (eobrun == 0) {
+                    var done = false
+                    while (k <= se && !done) {
+                      val rs = decodeHuff(huff(1)(acT))
+                      if (rs < 0) return None
+                      var r = rs >> 4; val s = rs & 15
+                      var newVal = 0
+                      if (s == 0) {
+                        if (r < 15) {
+                          val extra = if (r == 0) 0 else readBits(r)
+                          if (extra < 0) return None
+                          eobrun = (1 << r) + extra
+                          done = true
+                        }
+                        // r == 15: ZRL — skip 16 zero-history coefs below
+                      } else {
+                        if (s != 1) return None // refinement births are ±1
+                        val sign = fillBit()
+                        if (sign < 0) return None
+                        newVal = if (sign == 1) p1 else m1
+                      }
+                      if (!done) {
+                        // advance over the band: correction bits for
+                        // nonzero history, count down r zero-history slots
+                        var placed = false
+                        while (k <= se && !placed) {
+                          val z = base + zigzag(k)
+                          if (cf(z) != 0) {
+                            val bit = fillBit()
+                            if (bit < 0) return None
+                            if (bit == 1 && (cf(z) & p1) == 0)
+                              cf(z) += (if (cf(z) >= 0) p1 else m1)
+                          } else {
+                            if (r == 0) {
+                              if (newVal != 0) { cf(z) = newVal }
+                              placed = true
+                            } else r -= 1
+                          }
+                          k += 1
+                        }
+                        if (!placed && newVal != 0) return None // band overflow
+                      }
+                    }
+                  }
+                  if (eobrun > 0) {
+                    // EOB tail: correction bits for every remaining
+                    // nonzero coefficient in the band
+                    while (k <= se) {
+                      val z = base + zigzag(k)
+                      if (cf(z) != 0) {
+                        val bit = fillBit()
+                        if (bit < 0) return None
+                        if (bit == 1 && (cf(z) & p1) == 0)
+                          cf(z) += (if (cf(z) >= 0) p1 else m1)
+                      }
+                      k += 1
+                    }
+                    eobrun -= 1
+                  }
+                }
+                blk += 1
+              }
+            }
+            // skip any pad bits; continue the marker walk after the scan
+            if (!hitMarker) {
+              // advance to the next marker byte
+              var scanning = true
+              while (scanning) {
+                if (bp >= b.length) return None
+                if ((b(bp) & 0xFF) == 0xFF && bp + 1 < b.length &&
+                    (b(bp + 1) & 0xFF) != 0x00) scanning = false
+                else bp += 1
+              }
+            }
+            pos = bp
+            // loop continues at the marker (RSTn inside scans were
+            // consumed by consumeRst; stray ones advance above)
+          case _ => ()
+        }
+        if (m != 0xDA) pos = segEnd
+      }
+    }
+    if (!sawSof || coefs == null) return None
+    // ---- dequant + IDCT all blocks, luma only ----
+    val q = qt(compQ(0))
+    if (q == null) return None
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    val luma = new Array[Int](w * h)
+    val cf = coefs(0)
+    val block = new Array[Int](64)
+    var blk = 0
+    while (blk < bw * bh) {
+      var i = 0
+      while (i < 64) { block(zigzag(i)) = cf(blk * 64 + zigzag(i)) * q(i); i += 1 }
+      // separable IDCT (same math as the baseline path)
+      val tmp = new Array[Double](64)
+      var x = 0
+      while (x < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var u = 0
+          while (u < 8) { s += cu(u) * block(v * 8 + u) * cosT(x)(u); u += 1 }
+          tmp(v * 8 + x) = s * 0.5
+          v += 1
+        }
+        x += 1
+      }
+      val bx = blk % bw; val by = blk / bw
+      var y = 0
+      while (y < 8) {
+        val gy = by * 8 + y
+        if (gy < h) {
+          var x2 = 0
+          while (x2 < 8) {
+            val gx = bx * 8 + x2
+            if (gx < w) {
+              var s = 0.0; var v = 0
+              while (v < 8) { s += cu(v) * tmp(v * 8 + x2) * cosT(y)(v); v += 1 }
+              val p = math.round(s * 0.5).toInt + 128
+              luma(gy * w + gx) = math.max(0, math.min(255, p))
+            }
+            x2 += 1
+          }
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    Some((w, h, luma))
+  }
+
   /** A REAL baseline JPEG carrying the given grayscale pixels: quant
     * tables all-ones (so coefficients survive verbatim), a full forward
     * DCT per 8×8 block, DC-difference + AC run-length entropy coding
@@ -1710,6 +2094,189 @@ object Multimodal {
     flushBits()
     val entB = ent.toByteArray; out.write(entB, 0, entB.length)
     marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** A REAL progressive JPEG (SOF2) carrying the given grayscale pixels
+    * through a five-scan script that exercises every progressive decode
+    * path: DC first at Al=1 → AC 1..5 first at Al=1 (EOBRUN-batched) →
+    * AC 6..63 first at Al=1 → DC refinement (Ah=1) → AC 1..63
+    * refinement (Ah=1, the G.1.2.3 correction-bit walk with the
+    * deferred-ZRL buffer partitioning — correction bits flush after the
+    * NEXT symbol, not eagerly, so the decoder's interleaved read order
+    * matches). Same all-ones quant + canonical DHT + FF stuffing as the
+    * baseline encoder; point transforms per T.81 (DC arithmetic shift,
+    * AC magnitude truncation). Dimensions must be multiples of 8. */
+  def syntheticJpegProgressive(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "fixture dims must be multiples of 8")
+    require(gray.length == width * height)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xFF); w8(m) }
+    marker(0xD8)
+    marker(0xDB); w16(2 + 1 + 64); w8(0)
+    for (_ <- 0 until 64) w8(1)
+    val dcVals = (0 to 11).toArray
+    // AC symbols: EOB-run codes (r<<4 | 0) for r = 0..14, ZRL, and every
+    // (run, size) — size up to 10 covers quant-1 magnitudes
+    val acVals = ((0 to 14).map(_ << 4) ++ Seq(0xF0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+    def canonical(syms: Array[Int], len: Int): Map[Int, (Int, Int)] =
+      syms.zipWithIndex.map { case (sym, i) => sym -> (i, len) }.toMap
+    val dcCode = canonical(dcVals, 4)
+    val acCode = canonical(acVals, 8)
+    def dht(tc: Int, th: Int, len: Int, syms: Array[Int]): Unit = {
+      marker(0xC4); w16(2 + 1 + 16 + syms.length); w8((tc << 4) | th)
+      for (l <- 1 to 16) w8(if (l == len) syms.length else 0)
+      syms.foreach(w8)
+    }
+    dht(0, 0, 4, dcVals)
+    dht(1, 0, 8, acVals)
+    marker(0xC2); w16(2 + 6 + 3); w8(8); w16(height); w16(width); w8(1)
+    w8(1); w8(0x11); w8(0)
+    // forward DCT, quant 1, per block; coefficients addressed by ZIGZAG k
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val bw = width / 8; val bh = height / 8
+    val nBlk = bw * bh
+    val coefZ = Array.ofDim[Int](nBlk, 64)
+    for (blk <- 0 until nBlk) {
+      val bx = blk % bw; val by = blk / bw
+      for (u <- 0 until 8; v <- 0 until 8) {
+        var s = 0.0
+        for (y <- 0 until 8; x <- 0 until 8)
+          s += (gray((by * 8 + y) * width + bx * 8 + x) - 128) * cosT(x)(u) * cosT(y)(v)
+        val nat = v * 8 + u
+        val zi = zigzag.indexOf(nat)
+        coefZ(blk)(zi) = math.round(0.25 * cu(u) * cu(v) * s).toInt
+      }
+    }
+    def truncMag(v: Int, al: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+    def cat(v: Int): Int = { var a = math.abs(v); var c = 0; while (a > 0) { a >>= 1; c += 1 }; c }
+    // per-scan entropy writer
+    class Bits {
+      val buf = new java.io.ByteArrayOutputStream()
+      var acc = 0; var n = 0
+      def put(v: Int, bits: Int): Unit = {
+        var i = bits - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1); n += 1
+          if (n == 8) { buf.write(acc); if (acc == 0xFF) buf.write(0x00); acc = 0; n = 0 }
+          i -= 1
+        }
+      }
+      def sym(tbl: Map[Int, (Int, Int)], s: Int): Unit = { val (c, l) = tbl(s); put(c, l) }
+      def flushTo(o: java.io.ByteArrayOutputStream): Unit = {
+        if (n > 0) { acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1); buf.write(acc); if (acc == 0xFF) buf.write(0x00); acc = 0; n = 0 }
+        val a = buf.toByteArray; o.write(a, 0, a.length)
+      }
+    }
+    def sos(ss: Int, se: Int, ah: Int, al: Int)(body: Bits => Unit): Unit = {
+      marker(0xDA); w16(2 + 1 + 2 + 3); w8(1); w8(1); w8(0x00)
+      w8(ss); w8(se); w8((ah << 4) | al)
+      val bits = new Bits
+      body(bits)
+      bits.flushTo(out)
+    }
+    // scan 1: DC first, Al=1 (arithmetic shift per T.81)
+    sos(0, 0, 0, 1) { bits =>
+      var pred = 0
+      for (blk <- 0 until nBlk) {
+        val v = coefZ(blk)(0) >> 1
+        val diff = v - pred
+        pred = v
+        val c = cat(diff)
+        bits.sym(dcCode, c)
+        if (c > 0) bits.put(if (diff >= 0) diff else diff + (1 << c) - 1, c)
+      }
+    }
+    // scans 2+3: AC first passes at Al=1, split spectral bands, EOBRUN-batched
+    def acFirst(ss: Int, se: Int, al: Int): Unit = sos(ss, se, 0, al) { bits =>
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((2 << r) <= eobrun) r += 1 // r = floor(log2(eobrun))
+        bits.sym(acCode, r << 4)
+        if (r > 0) bits.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      for (blk <- 0 until nBlk) {
+        val band = (ss to se).map(k => truncMag(coefZ(blk)(k), al))
+        if (band.forall(_ == 0)) {
+          eobrun += 1
+          if (eobrun == 0x7FFF) flushEob()
+        } else {
+          flushEob()
+          var r = 0
+          var lastNz = se
+          while (truncMag(coefZ(blk)(lastNz), al) == 0) lastNz -= 1
+          for (k <- ss to lastNz) {
+            val tv = truncMag(coefZ(blk)(k), al)
+            if (tv == 0) r += 1
+            else {
+              while (r > 15) { bits.sym(acCode, 0xF0); r -= 16 }
+              val s = cat(tv)
+              bits.sym(acCode, (r << 4) | s)
+              bits.put(if (tv >= 0) tv else tv + (1 << s) - 1, s)
+              r = 0
+            }
+          }
+          if (lastNz < se) eobrun = 1 // trailing zeros begin an EOB run
+        }
+      }
+      flushEob()
+    }
+    acFirst(1, 5, 1)
+    acFirst(6, 63, 1)
+    // scan 4: DC refinement (Ah=1, Al=0) — the low bit per block
+    sos(0, 0, 1, 0) { bits =>
+      for (blk <- 0 until nBlk) bits.put(coefZ(blk)(0) & 1, 1)
+    }
+    // scan 5: AC refinement over 1..63 (Ah=1, Al=0), libjpeg's deferred
+    // buffer discipline: correction bits flush AFTER the next symbol
+    sos(1, 63, 1, 0) { bits =>
+      val al = 0; val ah = 1
+      for (blk <- 0 until nBlk) {
+        var r = 0
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushPending(): Unit = { pending.foreach(bits.put(_, 1)); pending.clear() }
+        // the ZRL flush runs at EVERY nonzero encounter (correction OR
+        // birth) BEFORE buffering/emitting it — libjpeg's discipline.
+        // Flushing only at births would emit corrections that the
+        // decoder's 16-zero ZRL window never walks past, misaligning
+        // the stream.
+        def zrlFlush(): Unit =
+          while (r > 15) { bits.sym(acCode, 0xF0); r -= 16; flushPending() }
+        for (k <- 1 to 63) {
+          val v = coefZ(blk)(k)
+          val hist = truncMag(v, ah)
+          if (hist != 0) {
+            zrlFlush()
+            pending += ((math.abs(v) >> al) & 1)
+          } else if (truncMag(v, al) == 0) r += 1
+          else {
+            // birth (must be ±1 at this precision)
+            zrlFlush()
+            bits.sym(acCode, (r << 4) | 1)
+            bits.put(if (v > 0) 1 else 0, 1)
+            flushPending()
+            r = 0
+          }
+        }
+        if (r > 0 || pending.nonEmpty) { // end-of-block: EOB + tail corrections
+          bits.sym(acCode, 0x00)
+          flushPending()
+        }
+      }
+    }
+    marker(0xD9)
     out.toByteArray
   }
 
@@ -1927,7 +2494,7 @@ object Multimodal {
       else if (m != null && m.length >= 3 && m(0) == 'G' && m(1) == 'I' && m(2) == 'F')
         decodeGifGray(m)
       else if (m != null && m.length >= 2 && (m(0) & 0xFF) == 0xFF && (m(1) & 0xFF) == 0xD8)
-        decodeJpegGray(m)
+        decodeJpegGray(m).orElse(decodeJpegProgressive(m))
       else None
     gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
   }

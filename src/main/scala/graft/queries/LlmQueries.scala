@@ -1211,6 +1211,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // and the PROGRESSIVE form of the same JPEG fixture: five scans (DC
+    // first/refine at shifted precision, spectral-split AC passes with
+    // EOBRUN batching, the G.1.2.3 refinement walk) must reassemble the
+    // exact DC-block pixels — same arithmetic replay as the baseline
+    "q_multimodal_jpeg_prog_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(jpegProgMedia _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // CROSS-CONTAINER near-dup capstone: the same block-arithmetic pixels
     // rendered through BMP, PNG, GIF, or baseline JPEG per doc (id % 4) —
     // a re-encoded copy of an image is the canonical near-dup case, and
@@ -1440,6 +1455,18 @@ object LlmQueries {
       base + delta
     }
     Multimodal.Media(id, Multimodal.syntheticBmp8(w, h, gray), "image/bmp")
+  }
+
+  /** [[jpegMedia]]'s DC-block pixels through the PROGRESSIVE encoder. */
+  private def jpegProgMedia(id: Long): Multimodal.Media = {
+    val w = 24
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8
+      val by = i / w / 8
+      (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
+    }
+    Multimodal.Media(id, Multimodal.syntheticJpegProgressive(w, h, gray), "image/jpeg")
   }
 
   /** The q_multimodal_cross_container fixture: [[jpegMedia]]'s 24×16
@@ -2985,6 +3012,29 @@ object LlmQueries {
         |cells AS (
         |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
         |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the progressive form replays identically: multi-scan assembly must
+    // be invisible to the pixels
+    "q_multimodal_jpeg_prog_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + (u.x // 8) * 29 + (v.y // 8) * 41) % 200 AS g
+        |  FROM documents, unnest(generate_series(0, 23)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, LEAST(x * 9 // 24, 8) AS cx, LEAST(y * 8 // 16, 7) AS cy,
+        |         SUM(g) // COUNT(*) AS a
+        |  FROM px GROUP BY doc_id, LEAST(x * 9 // 24, 8), LEAST(y * 8 // 16, 7)),
         |bits AS (
         |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
         |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit

@@ -1964,6 +1964,54 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm(nanWav).get._3.head == 0, "NaN clamps to 0")
   }
 
+  test("multimodal progressive JPEG: multi-scan refinement decodes, DC-exact") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(53)
+    // DC-only blocks decode BIT-EXACTLY through the full five-scan script
+    // (DC first/refine carry everything; AC scans are pure EOBRUN)
+    val (w, h) = (24, 16)
+    val blocks = Array.fill(3 * 2)(rnd.nextInt(256))
+    val flat = Array.tabulate(w * h)(i => blocks((i / w / 8) * 3 + (i % w) / 8))
+    val prog = Multimodal.syntheticJpegProgressive(w, h, flat)
+    assert(Multimodal.decodeJpegProgressive(prog).map(_._3.toSeq).contains(flat.toSeq),
+      "progressive DC-only must round-trip exactly")
+    // the baseline decoder must refuse it, and the shared dispatch falls
+    // through to the progressive path — same hash as the BMP render
+    assert(Multimodal.decodeJpegGray(prog).isEmpty, "baseline decoder must refuse SOF2")
+    assert(Multimodal.imageHashOf(prog) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, flat)),
+      "dispatch must reach the progressive decoder")
+    // general content drives the AC first passes, EOBRUN batching across
+    // blank blocks, ZRL gaps, and the refinement correction walk; with
+    // all-ones quant the reconstruction stays within the IDCT rounding
+    val smooth = Array.tabulate(32 * 32)(i => ((i % 32) * 5 + (i / 32) * 3) % 256)
+    val decS = Multimodal.decodeJpegProgressive(
+      Multimodal.syntheticJpegProgressive(32, 32, smooth)).get._3
+    assert(decS.zip(smooth).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "smooth progressive error")
+    val noisy = Array.fill(16 * 16)(rnd.nextInt(256))
+    val decN = Multimodal.decodeJpegProgressive(
+      Multimodal.syntheticJpegProgressive(16, 16, noisy)).get._3
+    assert(decN.zip(noisy).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "noisy progressive error")
+    // a mostly-flat image with sparse spikes forces long zero runs (ZRL)
+    // and blank-band blocks (EOBRUN > 1) in the AC scans
+    val sparse = Array.tabulate(32 * 32) { i =>
+      if (i % 97 == 0) 255 else 128
+    }
+    val decSp = Multimodal.decodeJpegProgressive(
+      Multimodal.syntheticJpegProgressive(32, 32, sparse)).get._3
+    assert(decSp.zip(sparse).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "sparse progressive error")
+    // equality with the baseline render of the SAME pixels (both are
+    // lossless-modulo-IDCT at quant 1, and the rounding chain matches)
+    val base = Multimodal.decodeJpegGray(Multimodal.syntheticJpegPixels(32, 32, smooth)).get._3
+    assert(base.toSeq == decS.toSeq, "progressive must equal baseline reconstruction")
+    // corruption: truncation mid-scan rejects
+    assert(Multimodal.decodeJpegProgressive(prog.dropRight(8)).isEmpty, "truncation")
+    assert(Multimodal.decodeJpegProgressive("garbage".getBytes).isEmpty)
+  }
+
   test("HLL registers obey the merge law and match a local recompute") {
     import graft.llm.{Hashing, Sketches}
     val half1 = docs.filter(col("doc_id") % 2 === 0)
