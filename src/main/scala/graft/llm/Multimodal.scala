@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * [[decodeGifGray]] incl. de-interlace), baseline AND progressive JPEG
   * (Huffman + DC prediction + dequant + IDCT implemented from the T.81
   * math — [[decodeJpegGray]] / [[decodeJpegProgressive]] with the full
-  * successive-approximation refinement walk), WAV across widths, and
+  * successive-approximation refinement walk), TIFF (strips with
+  * none/PackBits/LZW compression — [[Tiff.decodeGray]], cross-validated
+  * against the JDK's own ImageIO plugins in MediaInteropSpec), WAV
+  * across widths, FLAC ([[Flac.decodePcm]]) and
   * Y4M video. The DETERMINISTIC STUB scope is down to MP3, H.264, and
   * arithmetic-coded JPEG. What is
   * load-bearing for a 100 TB pipeline either
@@ -2480,10 +2483,11 @@ object Multimodal {
   case class ImageHash(doc_id: Long, dhash: Long, ok: Boolean)
 
   /** Bytes → perceptual image hash, dispatched on magic bytes (not
-    * trusted mime strings): BMP 24-bpp, binary PNM, PNG (full inflate +
-    * unfilter, [[decodePngGray]]), and GIF (LZW + de-interlace,
-    * [[decodeGifGray]]) decode for real, everything else is None. The
-    * ONE kernel the batch operator and the streaming twin share, so
+    * trusted mime strings): the full BMP family, PNM, PNG (full inflate
+    * + unfilter, [[decodePngGray]]), GIF (LZW + de-interlace,
+    * [[decodeGifGray]]), baseline + progressive JPEG, and TIFF
+    * ([[Tiff.decodeGray]]) decode for real, everything else is None.
+    * The ONE kernel the batch operator and the streaming twin share, so
     * stream and batch fingerprint identically. */
   private[graft] def imageHashOf(m: Array[Byte]): Option[Long] = {
     val gray =
@@ -2495,14 +2499,18 @@ object Multimodal {
         decodeGifGray(m)
       else if (m != null && m.length >= 2 && (m(0) & 0xFF) == 0xFF && (m(1) & 0xFF) == 0xD8)
         decodeJpegGray(m).orElse(decodeJpegProgressive(m))
+      else if (Tiff.isTiff(m)) Tiff.decodeGray(m)
       else None
     gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
   }
 
-  /** Bytes → audio envelope hash (PCM WAV only) — the audio sibling of
-    * [[imageHashOf]], shared by batch and stream. */
+  /** Bytes → audio envelope hash (PCM WAV or FLAC, dispatched on magic
+    * bytes) — the audio sibling of [[imageHashOf]], shared by batch and
+    * stream. Both decoders downmix and width-normalize identically, so
+    * a WAV and a FLAC of the same recording hash the same. */
   private[graft] def audioHashOf(m: Array[Byte]): Option[Long] =
-    decodeWavPcm(m).flatMap { case (_, _, s) => audioHash64(s) }
+    (if (Flac.isFlac(m)) Flac.decodePcm(m) else decodeWavPcm(m))
+      .flatMap { case (_, _, s) => audioHash64(s) }
 
   /** Bytes → DISTINCT sampled-frame hashes (Y4M only; empty when
     * undecodable or sub-grid) — the video fingerprint set, shared by
@@ -2575,6 +2583,7 @@ object Multimodal {
           case "image/png" => parsePng(m.media)
           case "image/gif" => parseGif(m.media)
           case "image/jpeg" => parseJpeg(m.media)
+          case "image/tiff" => Tiff.parseDims(m.media)
           case _ => null // no parser for this mime → the documented stub
         }
         parsed match {

@@ -1226,11 +1226,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // and through a REAL TIFF: strip-organized samples with the
+    // compression cycling none/LZW/PackBits across the corpus, the LZW
+    // docs alternating the horizontal-differencing predictor, byte order
+    // alternating II/MM, gray and equal-channel-RGB sample layouts, and
+    // a WhiteIsZero (inverted-storage) slice — every strip/compression/
+    // photometric path is load-bearing somewhere, same arithmetic replay
+    "q_multimodal_tiff_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(tiffMedia _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // CROSS-CONTAINER near-dup capstone: the same block-arithmetic pixels
-    // rendered through BMP, PNG, GIF, or baseline JPEG per doc (id % 4) —
+    // rendered through BMP, PNG, GIF, baseline JPEG, or TIFF per doc (id % 5) —
     // a re-encoded copy of an image is the canonical near-dup case, and
     // the pairs must form EXACTLY as if every doc were the same format,
-    // because all four decoders land on identical luma. The oracle never
+    // because all five decoders land on identical luma. The oracle never
     // sees a container: it replays pixels arithmetically once
     "q_multimodal_cross_container" -> ((s, dir) => {
       val spark = s
@@ -1334,6 +1351,22 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long].map(audioCrossMedia _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // the SAME waveform again through a REAL FLAC stream — frame sync,
+    // CRC-8/CRC-16 verification, rice-coded residuals, fixed/LPC
+    // predictors, stereo decorrelation and ragged-tail blocks all
+    // load-bearing across the corpus (knobs cycle by doc_id); lossless
+    // decode means the identical arithmetic envelope replay
+    "q_multimodal_flac_audiohash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(flacMedia _)
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -1469,11 +1502,41 @@ object LlmQueries {
     Multimodal.Media(id, Multimodal.syntheticJpegProgressive(w, h, gray), "image/jpeg")
   }
 
+  /** [[dhashMedia]]'s pixels through a REAL TIFF, the container knobs
+    * cycling across the corpus: compression none/LZW/PackBits by id % 3,
+    * the LZW slice alternating the horizontal predictor, byte order
+    * II/MM by id % 5, gray vs equal-channel RGB by parity, strip heights
+    * varying, and every 7th doc stored WhiteIsZero (inverse bytes whose
+    * decode must invert back). Same arithmetic → same replay. */
+  private def tiffMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val base = (((id % 40) * 31 + x * 7 + y * 13) % 176).toInt
+      val delta = if (x < 2 && y < 2) (((id / 40) % 3) * 40).toInt else 0
+      base + delta
+    }
+    val comp = (id % 3) match { case 0 => 1; case 1 => 5; case _ => 32773 }
+    val photoZero = id % 7 == 0 && id % 2 == 0
+    Multimodal.Media(id,
+      graft.llm.Tiff.syntheticTiffPixels(w, h, gray,
+        compression = comp,
+        rgb = id % 2 == 1 && !photoZero,
+        predictor = if (comp == 5 && id % 4 == 1) 2 else 1,
+        rowsPerStrip = 4 + (id % 3).toInt * 5,
+        bigEndian = id % 5 == 0,
+        photoZero = photoZero),
+      "image/tiff")
+  }
+
   /** The q_multimodal_cross_container fixture: [[jpegMedia]]'s 24×16
     * constant-block pixels (the dims every container here supports and
     * JPEG decodes bit-exactly) rendered through a container chosen by
-    * id % 4 — BMP, PNG (cycled filters), GIF (interlaced on parity), or
-    * baseline JPEG. Identical pixels through four real codecs. */
+    * id % 5 — BMP, PNG (cycled filters), GIF (interlaced on parity),
+    * baseline JPEG, or TIFF (LZW + predictor, big-endian on parity).
+    * Identical pixels through five real codecs. */
   private def crossContainerMedia(id: Long): Multimodal.Media = {
     val w = 24
     val h = 16
@@ -1482,14 +1545,18 @@ object LlmQueries {
       val by = i / w / 8
       (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
     }
-    (id % 4) match {
+    (id % 5) match {
       case 0 => Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
       case 1 => Multimodal.Media(id,
         Multimodal.syntheticPngPixels(w, h, gray, colorType = 2,
           rowFilters = Seq(((id % 5) + 1).toInt % 5, (id % 5).toInt)), "image/png")
       case 2 => Multimodal.Media(id,
         Multimodal.syntheticGifPixels(w, h, gray, interlaced = id % 8 == 2), "image/gif")
-      case _ => Multimodal.Media(id, Multimodal.syntheticJpegPixels(w, h, gray), "image/jpeg")
+      case 3 => Multimodal.Media(id, Multimodal.syntheticJpegPixels(w, h, gray), "image/jpeg")
+      case _ => Multimodal.Media(id,
+        graft.llm.Tiff.syntheticTiffPixels(w, h, gray, compression = 5,
+          predictor = if (id % 2 == 0) 2 else 1, rowsPerStrip = 6,
+          bigEndian = id % 10 == 4), "image/tiff")
     }
   }
 
@@ -1508,21 +1575,63 @@ object LlmQueries {
   }
 
   /** [[audioMedia]]'s waveform re-exported at an encoding keyed by
-    * id % 4 — int16, int24 (<<8), IEEE float32 (s/32768), or an
-    * EXTENSIBLE-wrapped int16 — every one of which decodes back to the
-    * exact int16 samples, so the envelope replay is encoding-blind. */
+    * id % 5 — int16, int24 (<<8), IEEE float32 (s/32768), an
+    * EXTENSIBLE-wrapped int16, or a REAL FLAC stream — every one of
+    * which decodes back to the exact int16 samples, so the envelope
+    * replay is encoding-blind (FLAC is lossless; [[Flac.decodePcm]]
+    * normalizes identically to the WAV path). */
   private def audioCrossMedia(id: Long): Multimodal.Media = {
     val samples = Array.tabulate(1950) { j =>
       val s = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
       if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
     }
-    val bytes = (id % 4) match {
+    val bytes = (id % 5) match {
       case 0 => Multimodal.syntheticWavPcm(8000, samples)
       case 1 => Multimodal.syntheticWav(8000, samples, "pcm24")
       case 2 => Multimodal.syntheticWav(8000, samples, "float32")
-      case _ => Multimodal.syntheticWav(8000, samples, "ext16")
+      case 3 => Multimodal.syntheticWav(8000, samples, "ext16")
+      case _ => graft.llm.Flac.synthetic(8000, samples, blockSize = 256,
+        strategy = "fixed2")
     }
-    Multimodal.Media(id, bytes, "audio/wav")
+    Multimodal.Media(id, bytes, if (id % 5 == 4) "audio/flac" else "audio/wav")
+  }
+
+  /** [[audioMedia]]'s waveform through a REAL FLAC stream, the codec
+    * knobs cycling across the corpus so every decode path is
+    * load-bearing somewhere: subframe strategy by id % 8 (constant→
+    * fixed-2 fallback, verbatim, fixed 0–4 incl. the rice escape and
+    * partition-order-2 residual forms, order-2 LPC), block size by
+    * id % 3 (ragged tails included), and every third doc re-encoded as
+    * mid/side or left/side STEREO with identical channels — the downmix
+    * (l+r)/2 lands back on the mono waveform, so one oracle replays all
+    * of it. */
+  private def flacMedia(id: Long): Multimodal.Media = {
+    val samples = Array.tabulate(1950) { j =>
+      val s = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
+      if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
+    }
+    val strategy = (id % 8) match {
+      case 0 => "constant"
+      case 1 => "verbatim"
+      case 2 => "fixed0"
+      case 3 => "fixed1"
+      case 4 => "fixed3"
+      case 5 => "lpc2"
+      case 6 => "escape"
+      case _ => "part2"
+    }
+    val blockSize = 150 + (id % 3).toInt * 53 // 150 / 203 / 256: ragged tails at 1950
+    val bytes =
+      if (id % 3 == 2) {
+        val inter = new Array[Int](3900)
+        var j = 0
+        while (j < 1950) { inter(2 * j) = samples(j); inter(2 * j + 1) = samples(j); j += 1 }
+        graft.llm.Flac.synthetic(8000, inter, blockSize = blockSize,
+          strategy = if (strategy == "part2") "fixed2" else strategy,
+          channels = 2, stereo = if (id % 2 == 0) "midside" else "leftside")
+      } else graft.llm.Flac.synthetic(8000, samples, blockSize = blockSize,
+        strategy = strategy)
+    Multimodal.Media(id, bytes, "audio/flac")
   }
 
   /** The q_multimodal_video_* fixture: 12 frames of the image fixture's
@@ -3000,6 +3109,30 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // identical replay again: strips, TIFF-LZW (MSB-first, early
+    // change), PackBits, the horizontal predictor, both byte orders and
+    // the WhiteIsZero inversion must all be invisible to the hash
+    "q_multimodal_tiff_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // identical replay again: LZW + palette + interlace must all be
     // invisible to the hash
     "q_multimodal_gif_dhash" ->
@@ -3252,6 +3385,25 @@ object LlmQueries {
     // byte-for-byte the q_multimodal_audiohash replay: the encoding is
     // invisible to the envelope once decode normalizes to int16
     "q_multimodal_audio_cross_encoding" ->
+      """WITH sm AS (
+        |  SELECT doc_id, u.j AS j,
+        |         abs(((doc_id % 40) * 17 + u.j * 31) % 4001 - 2000
+        |             + CASE WHEN u.j < 30 THEN ((doc_id // 40) % 3) * 500 ELSE 0 END) AS a
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
+        |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
+        |       FROM sm GROUP BY doc_id, j // 30),
+        |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+        |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |         WHERE l.f < 64)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical envelope replay again: the FLAC container (rice coding,
+    // predictors, stereo decorrelation, CRC framing) must be invisible
+    // to the hash once decode lands on the same int16 samples
+    "q_multimodal_flac_audiohash" ->
       """WITH sm AS (
         |  SELECT doc_id, u.j AS j,
         |         abs(((doc_id % 40) * 17 + u.j * 31) % 4001 - 2000

@@ -1,0 +1,199 @@
+package graft.llm
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{ImageIO, ImageWriteParam}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-validation of the pure-JVM media codecs against the JDK's OWN
+  * ImageIO plugins (java.desktop ships TIFF/PNG/GIF/BMP/JPEG readers and
+  * writers) — an EXTERNAL oracle for the byte-level dialects, so an
+  * internally-consistent-but-wrong implementation (the classic LZW
+  * early-change off-by-one, a filter-order slip, a stride bug) cannot
+  * hide behind its own roundtrip. Both directions run where the format
+  * is lossless: our encoder's bytes must decode identically under
+  * ImageIO, and ImageIO-written bytes must decode identically under our
+  * decoder. For JPEG (lossy) the comparison is decoder-vs-decoder on the
+  * SAME bytes. Test-only dependency on java.awt — src/main stays
+  * AWT-free (executors should not need a display toolkit). */
+class MediaInteropSpec extends AnyFunSuite {
+  System.setProperty("java.awt.headless", "true")
+
+  private def rng(seed: Long): () => Int = {
+    var s = seed
+    () => { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 33) % 256).toInt }
+  }
+
+  private def grayImage(w: Int, h: Int, px: Array[Int]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, px(y * w + x))
+    img
+  }
+
+  private def readGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not parse our bytes")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val r = img.getRaster
+    (w, h, Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0)))
+  }
+
+  private def imageioWrite(img: BufferedImage, format: String,
+      compression: Option[String] = None): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName(format).next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    compression.foreach { c =>
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(c)
+    }
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
+  // large enough that single-strip LZW crosses the 9→10→11-bit width
+  // boundaries (one table add per byte step on noisy data)
+  private val W = 200
+  private val H = 60
+  private val noisy: Array[Int] = { val r = rng(0x71FF7L); Array.fill(W * H)(r()) }
+  // runs + structure so PackBits has real runs and LZW has real phrases
+  private val runny: Array[Int] = Array.tabulate(W * H) { i =>
+    val x = i % W; val y = i / W
+    if ((x / 17) % 2 == 0) (y * 3) % 256 else (x % 5) * 40
+  }
+
+  for (comp <- Seq(1, 5, 32773); px <- Seq(("noisy", noisy), ("runny", runny))) {
+    val name = Map(1 -> "none", 5 -> "LZW", 32773 -> "PackBits")(comp)
+    test(s"TIFF $name/${px._1}: our encoder decodes identically under ImageIO") {
+      val bytes = Tiff.syntheticTiffPixels(W, H, px._2, compression = comp,
+        rowsPerStrip = if (comp == 5) H else 7)
+      val (w2, h2, got) = readGray(bytes)
+      assert((w2, h2) == (W, H))
+      assert(got.sameElements(px._2))
+    }
+    test(s"TIFF $name/${px._1}: ImageIO-written bytes decode identically under ours") {
+      val ioName = Map(1 -> None, 5 -> Some("LZW"), 32773 -> Some("PackBits"))(comp)
+      val bytes = imageioWrite(grayImage(W, H, px._2), "tiff", ioName)
+      val Some((w2, h2, got)) = Tiff.decodeGray(bytes)
+      assert((w2, h2) == (W, H))
+      assert(got.sameElements(px._2))
+    }
+  }
+
+  test("TIFF big-endian + multi-strip LZW + predictor: ImageIO reads ours") {
+    val bytes = Tiff.syntheticTiffPixels(W, H, runny, compression = 5,
+      predictor = 2, rowsPerStrip = 13, bigEndian = true)
+    val (w2, h2, got) = readGray(bytes)
+    assert((w2, h2) == (W, H))
+    assert(got.sameElements(runny))
+    // and our own decoder agrees on the same bytes
+    assert(Tiff.decodeGray(bytes).get._3.sameElements(runny))
+  }
+
+  test("TIFF RGB (equal channels): both decoders land on the same luma") {
+    val bytes = Tiff.syntheticTiffPixels(61, 47, noisy.take(61 * 47),
+      compression = 5, rgb = true, rowsPerStrip = 11)
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null)
+    val r = img.getRaster
+    val band0 = Array.tabulate(61 * 47)(i => r.getSample(i % 61, i / 61, 0))
+    assert(band0.sameElements(noisy.take(61 * 47))) // R channel is the value itself
+    assert(Tiff.decodeGray(bytes).get._3.sameElements(noisy.take(61 * 47)))
+  }
+
+  test("PNG: our encoder under ImageIO, ImageIO's encoder under ours") {
+    val px = noisy.take(61 * 47)
+    val ours = Multimodal.syntheticPngPixels(61, 47, px, colorType = 2,
+      rowFilters = Seq(1, 2, 3, 4, 0))
+    val (w2, h2, got) = readGray(ours)
+    assert((w2, h2, got.toSeq) == (61, 47, px.toSeq))
+    val theirs = imageioWrite(grayImage(61, 47, px), "png")
+    val Some((w3, h3, got3)) = Multimodal.decodePngGray(theirs)
+    assert((w3, h3, got3.toSeq) == (61, 47, px.toSeq))
+  }
+
+  test("GIF: our LZW under ImageIO, ImageIO's LZW under ours") {
+    val px = noisy.take(61 * 47)
+    val ours = Multimodal.syntheticGifPixels(61, 47, px, interlaced = true)
+    val (w2, h2, got) = readGray(ours)
+    assert((w2, h2, got.toSeq) == (61, 47, px.toSeq))
+    val img = new BufferedImage(61, 47, BufferedImage.TYPE_BYTE_INDEXED,
+      new java.awt.image.IndexColorModel(8, 256,
+        Array.tabulate[Byte](256)(_.toByte), Array.tabulate[Byte](256)(_.toByte),
+        Array.tabulate[Byte](256)(_.toByte)))
+    for (y <- 0 until 47; x <- 0 until 61) img.getRaster.setSample(x, y, 0, px(y * 61 + x))
+    val theirs = imageioWrite(img, "gif")
+    val Some((w3, h3, got3)) = Multimodal.decodeGifGray(theirs)
+    assert((w3, h3, got3.toSeq) == (61, 47, px.toSeq))
+  }
+
+  test("BMP: ImageIO reads our 24-bpp bytes; ours reads ImageIO's") {
+    val px = noisy.take(61 * 47)
+    val ours = Multimodal.syntheticBmpPixels(61, 47, px)
+    val (w2, h2, got) = readGray(ours)
+    assert((w2, h2, got.toSeq) == (61, 47, px.toSeq))
+    val theirs = imageioWrite(grayImage(61, 47, px), "bmp")
+    val Some((w3, h3, got3)) = Multimodal.decodeBmpGray(theirs)
+    assert((w3, h3, got3.toSeq) == (61, 47, px.toSeq))
+  }
+
+  test("JPEG: our DC-block encoder decodes bit-exactly under ImageIO") {
+    // constant 8x8 blocks -> DC-only spectrum -> lossless through ANY
+    // conformant baseline JPEG decoder, including the JDK's
+    val w = 48; val h = 32
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = i / w / 8
+      (bx * 29 + by * 41) % 200
+    }
+    val ours = Multimodal.syntheticJpegPixels(w, h, px)
+    val img = ImageIO.read(new ByteArrayInputStream(ours))
+    assert(img != null)
+    val r = img.getRaster
+    val got = Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
+    assert(got.sameElements(px))
+  }
+
+  test("JPEG: our decoder agrees with ImageIO's on ImageIO-encoded bytes") {
+    // lossy codec -> decoder-vs-decoder on the SAME bytes; constant
+    // blocks keep the spectrum DC-only so conformant decoders agree
+    // exactly (integer IDCT of a lone DC coefficient has no error term)
+    val w = 48; val h = 32
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = i / w / 8
+      (bx * 31 + by * 47) % 211
+    }
+    val theirs = imageioWrite(grayImage(w, h, px), "jpg")
+    val img = ImageIO.read(new ByteArrayInputStream(theirs))
+    val r = img.getRaster
+    val jdk = Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
+    val Some((w3, h3, ours)) = Multimodal.decodeJpegGray(theirs)
+      .orElse(Multimodal.decodeJpegProgressive(theirs))
+    assert((w3, h3) == (w, h))
+    assert(ours.sameElements(jdk))
+  }
+
+  test("TIFF WhiteIsZero: inverted storage decodes back, under both decoders") {
+    val px = noisy.take(61 * 47)
+    val bytes = Tiff.syntheticTiffPixels(61, 47, px, compression = 32773,
+      rowsPerStrip = 9, photoZero = true)
+    assert(Tiff.decodeGray(bytes).get._3.sameElements(px))
+    val (w2, h2, got) = readGray(bytes) // ImageIO applies the same inversion
+    assert((w2, h2) == (61, 47))
+    assert(got.sameElements(px))
+  }
+
+  test("TIFF corrupt inputs return None, never throw") {
+    val good = Tiff.syntheticTiffPixels(W, H, runny, compression = 5, rowsPerStrip = H)
+    assert(Tiff.decodeGray(good.take(40)).isEmpty)             // truncated mid-IFD-pointerward
+    assert(Tiff.decodeGray(good.take(good.length - 7)).isEmpty) // truncated IFD tail
+    assert(Tiff.decodeGray(Array[Byte]('I', 'I', 42, 0)).isEmpty)
+    assert(Tiff.decodeGray(null).isEmpty)
+    val zeroIfd = good.clone(); zeroIfd(4) = 0; zeroIfd(5) = 0; zeroIfd(6) = 0; zeroIfd(7) = 0
+    assert(Tiff.decodeGray(zeroIfd).isEmpty)
+  }
+}
