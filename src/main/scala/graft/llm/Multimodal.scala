@@ -106,36 +106,56 @@ object Multimodal {
     * first-use case) → de-interlace when flagged (the 8/8, 4/8, 2/4,
     * 1/2 four-pass row order) → palette lookup → integer BT.601 luma.
     *
-    * Scope honesty: first frame only; transparent pixels take their
-    * palette RGB (dedup wants content, not compositing). Corrupt input —
-    * truncated sub-blocks, codes past the dictionary, missing colour
-    * table, undersized output — returns None, never a task failure.
-    * Output allocation is w·h ints from the DECLARED descriptor dims,
-    * which are ≤ 65535² by format (16-bit fields) and guarded in Long
-    * against absurd w·h before allocating. */
-  private[graft] def decodeGifGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    * Scope honesty: transparent pixels take their palette RGB (dedup
+    * wants content, not compositing). Corrupt input — truncated
+    * sub-blocks, codes past the dictionary, missing colour table,
+    * undersized output — returns None, never a task failure. Output
+    * allocation is w·h ints from the DECLARED descriptor dims, which
+    * are ≤ 65535² by format (16-bit fields) and guarded in Long against
+    * absurd w·h before allocating.
+    *
+    * Structure: [[gifHeader]] (signature + screen descriptor + global
+    * table), [[gifSkipExtensions]], and [[gifImageGray]] (one image
+    * descriptor → luma) are shared between this first-frame form and
+    * the animated multi-frame form [[decodeGifFramesSampled]] that
+    * feeds the video near-dup family. */
+  private[graft] def decodeGifGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    gifHeader(b).flatMap { case (_, _, globalTable, start) =>
+      val pos = gifSkipExtensions(b, start)
+      if (pos >= b.length || (b(pos) & 0xFF) != 0x2C) None
+      else gifImageGray(b, pos, globalTable).map { case (w, h, g, _) => (w, h, g) }
+    }
+
+  /** Signature + logical screen descriptor + global colour table →
+    * (screenW, screenH, globalTable-or-null, offset of the first block
+    * after the table). */
+  private def gifHeader(b: Array[Byte]): Option[(Int, Int, Array[Int], Int)] = {
     if (b == null || b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val sw = bb.getShort(6) & 0xFFFF
+    val sh = bb.getShort(8) & 0xFFFF
     val flags = b(10) & 0xFF
     var pos = 13
     var globalTable: Array[Int] = null // packed 0xRRGGBB
-    def readTable(n: Int): Array[Int] = {
-      val t = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        t(i) = ((b(pos) & 0xFF) << 16) | ((b(pos + 1) & 0xFF) << 8) | (b(pos + 2) & 0xFF)
-        pos += 3; i += 1
-      }
-      t
-    }
     if ((flags & 0x80) != 0) {
       val n = 2 << (flags & 7)
       if (pos + 3 * n > b.length) return None
-      globalTable = readTable(n)
+      globalTable = gifReadTable(b, pos, n)
+      pos += 3 * n
     }
-    // block walk to the first image descriptor
-    while (pos < b.length && (b(pos) & 0xFF) == 0x21) { // extension
+    Some((sw, sh, globalTable, pos))
+  }
+
+  private def gifReadTable(b: Array[Byte], pos: Int, n: Int): Array[Int] =
+    Array.tabulate(n)(i =>
+      ((b(pos + 3 * i) & 0xFF) << 16) | ((b(pos + 3 * i + 1) & 0xFF) << 8) |
+        (b(pos + 3 * i + 2) & 0xFF))
+
+  /** Skip 0x21 extension blocks (each a label + sub-block chain). */
+  private def gifSkipExtensions(b: Array[Byte], start: Int): Int = {
+    var pos = start
+    while (pos < b.length && (b(pos) & 0xFF) == 0x21) {
       pos += 2 // introducer + label
       while (pos < b.length && b(pos) != 0) {
         val sz = b(pos) & 0xFF
@@ -143,7 +163,35 @@ object Multimodal {
       }
       pos += 1 // block terminator
     }
-    if (pos >= b.length || (b(pos) & 0xFF) != 0x2C) return None
+    pos
+  }
+
+  /** Skip one image descriptor + its table + LZW sub-block chain WITHOUT
+    * decoding — what lets the animated sampler's allocation stay
+    * proportional to sampleFrames, not duration. Returns the offset
+    * after the image, or −1 on truncation. */
+  private def gifSkipImage(b: Array[Byte], start: Int): Int = {
+    var pos = start
+    if (pos + 10 > b.length) return -1
+    val iFlags = b(pos + 9) & 0xFF
+    pos += 10
+    if ((iFlags & 0x80) != 0) pos += 3 * (2 << (iFlags & 7))
+    pos += 1 // LZW min code size
+    if (pos > b.length) return -1
+    while (pos < b.length && b(pos) != 0) {
+      val sz = b(pos) & 0xFF
+      pos += 1 + sz
+    }
+    if (pos >= b.length) -1 else pos + 1
+  }
+
+  /** Decode ONE image descriptor (at `pos`, pointing at 0x2C) to a luma
+    * plane; dims come from the descriptor itself. Returns (w, h, gray,
+    * endOffset). */
+  private def gifImageGray(b: Array[Byte], imgPos: Int,
+      globalTable: Array[Int]): Option[(Int, Int, Array[Int], Int)] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = imgPos
     if (pos + 10 > b.length) return None
     val w = bb.getShort(pos + 5) & 0xFFFF
     val h = bb.getShort(pos + 7) & 0xFFFF
@@ -155,7 +203,9 @@ object Multimodal {
       if ((iFlags & 0x80) != 0) {
         val n = 2 << (iFlags & 7)
         if (pos + 3 * n > b.length) return None
-        readTable(n)
+        val t = gifReadTable(b, pos, n)
+        pos += 3 * n
+        t
       } else globalTable
     if (table == null) return None
     if (pos >= b.length) return None
@@ -272,8 +322,55 @@ object Multimodal {
       }
       sy += 1
     }
-    Some((w, h, gray))
+    Some((w, h, gray, pos))
   }
+
+  /** ANIMATED GIF → sampled frame lumas, the [[decodeY4mGraySampled]]
+    * shape for the container every scraped-meme corpus is full of. The
+    * scan pass walks descriptors WITHOUT decoding (LZW data skipped via
+    * its sub-block chain), so only the ⌊i·n/k⌋-sampled frames ever
+    * allocate a plane — memory ∝ sampleFrames, not animation length.
+    * Frames must be FULL-SCREEN (left 0, top 0, screen dims): a partial
+    * rect is a delta against composited prior state, which a
+    * per-frame-hash comparison must not fabricate — the walk stops
+    * there (honest prefix, like truncated Y4M). Single-image GIFs come
+    * out as 1-frame videos, consistent with [[decodeGifGray]]. */
+  private[graft] def decodeGifFramesSampled(b: Array[Byte], sampleFrames: Int)
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] =
+    gifHeader(b).filter { case (sw, sh, _, _) => sw > 0 && sh > 0 }.flatMap {
+      case (sw, sh, globalTable, start) =>
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+      var pos = start
+      var stop = false
+      while (!stop) {
+        pos = gifSkipExtensions(b, pos)
+        if (pos >= b.length || (b(pos) & 0xFF) != 0x2C || pos + 10 > b.length) stop = true
+        else {
+          val left = bb.getShort(pos + 1) & 0xFFFF
+          val top = bb.getShort(pos + 3) & 0xFFFF
+          val w = bb.getShort(pos + 5) & 0xFFFF
+          val h = bb.getShort(pos + 7) & 0xFFFF
+          if (left != 0 || top != 0 || w != sw || h != sh) stop = true
+          else {
+            offsets += pos
+            val next = gifSkipImage(b, pos)
+            if (next < 0) { offsets.remove(offsets.length - 1); stop = true }
+            else pos = next
+          }
+        }
+      }
+      val n = offsets.length
+      if (n == 0) None
+      else {
+        val k = math.min(sampleFrames, n)
+        val sampled = (0 until k).flatMap { i =>
+          val fi = i * n / k
+          gifImageGray(b, offsets(fi), globalTable).map { case (_, _, g, _) => (fi, g) }
+        }
+        if (sampled.isEmpty) None else Some((sw, sh, sampled))
+      }
+    }
 
   /** REAL baseline JPEG pixel decode — no codec library, just the math
     * the format is made of: marker walk (DQT 8-bit tables, DHT canonical
@@ -1161,9 +1258,10 @@ object Multimodal {
       })
     }
 
-  /** Per-frame perceptual hashes for a video: decode ([[decodeY4mGray]]),
-    * sample `sampleFrames` evenly-spaced frames (all of them when the
-    * video is shorter), [[dHash64]] each sampled luma plane. One output
+  /** Per-frame perceptual hashes for a video — Y4M streams or animated
+    * GIFs, dispatched on magic ([[videoFramesSampled]]): sample
+    * `sampleFrames` evenly-spaced frames (all of them when the video is
+    * shorter), [[dHash64]] each sampled luma plane. One output
     * row per sampled frame: (doc_id, frame_idx, dhash). Pure map stage —
     * video bytes never shuffle; the fanout is bounded by `sampleFrames`
     * regardless of video length, which is what makes the pair join's
@@ -1176,7 +1274,7 @@ object Multimodal {
     ds.flatMap { m =>
       // sampled decode: only the floor(i*n/k)-indexed frames ever get a
       // luma plane — allocation ∝ sampleFrames, not video duration
-      decodeY4mGraySampled(m.media, sampleFrames) match {
+      videoFramesSampled(m.media, sampleFrames) match {
         case Some((w, h, sampled)) =>
           sampled.iterator.flatMap { case (fi, luma) =>
             dHash64(w, h, luma).map(hsh => (m.doc_id, fi.toLong, hsh))
@@ -1499,12 +1597,47 @@ object Multimodal {
       interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && gray.length == width * height)
     val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, width, height)
+    writeGifImage(out, width, height, gray, interlaced)
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** A real multi-frame (animated) GIF89a: each luma plane becomes one
+    * full-screen image descriptor, with a graphic-control extension
+    * between frames (as real encoders emit — the decoder's extension
+    * skipping is load-bearing mid-stream, not just before frame 1).
+    * With `interlaceAlt`, odd frames are interlaced. */
+  def syntheticGifAnimated(width: Int, height: Int, frames: Seq[Array[Int]],
+      interlaceAlt: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height))
+    val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, width, height)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      // graphic control: 4-byte block (disposal none, 5cs delay, no
+      // transparency) — content is irrelevant here, skipping it isn't
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); out.write(5); out.write(0); out.write(0)
+      out.write(0)
+      writeGifImage(out, width, height, f, interlaceAlt && i % 2 == 1)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  private def writeGifHeader(out: java.io.ByteArrayOutputStream,
+      width: Int, height: Int): Unit = {
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write("GIF89a".getBytes("US-ASCII"))
     w16(width); w16(height)
     out.write(0xF7); out.write(0); out.write(0) // 256-entry global table
     var i = 0
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+  }
+
+  private def writeGifImage(out: java.io.ByteArrayOutputStream,
+      width: Int, height: Int, gray: Array[Int], interlaced: Boolean): Unit = {
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write(0x2C)
     w16(0); w16(0); w16(width); w16(height)
     out.write(if (interlaced) 0x40 else 0)
@@ -1550,8 +1683,7 @@ object Multimodal {
       val n = math.min(255, payload.length - off)
       out.write(n); out.write(payload, off, n); off += n
     }
-    out.write(0); out.write(0x3B)
-    out.toByteArray
+    out.write(0) // sub-block terminator; the stream trailer is the caller's
   }
 
   /** Minimal GIF89a: 6-byte signature + logical screen descriptor, no
@@ -2512,11 +2644,20 @@ object Multimodal {
     (if (Flac.isFlac(m)) Flac.decodePcm(m) else decodeWavPcm(m))
       .flatMap { case (_, _, s) => audioHash64(s) }
 
-  /** Bytes → DISTINCT sampled-frame hashes (Y4M only; empty when
-    * undecodable or sub-grid) — the video fingerprint set, shared by
-    * batch and stream. */
+  /** Bytes → sampled frame lumas, dispatched on magic: Y4M streams or
+    * animated GIFs (full-screen frames), both with allocation bounded
+    * by sampleFrames. The shared front half of the video kernels. */
+  private[graft] def videoFramesSampled(m: Array[Byte], sampleFrames: Int)
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] =
+    if (m != null && m.length >= 3 && m(0) == 'G' && m(1) == 'I' && m(2) == 'F')
+      decodeGifFramesSampled(m, sampleFrames)
+    else decodeY4mGraySampled(m, sampleFrames)
+
+  /** Bytes → DISTINCT sampled-frame hashes (Y4M or animated GIF; empty
+    * when undecodable or sub-grid) — the video fingerprint set, shared
+    * by batch and stream. */
   private[graft] def videoHashesOf(m: Array[Byte], sampleFrames: Int): Seq[Long] =
-    decodeY4mGraySampled(m, sampleFrames) match {
+    videoFramesSampled(m, sampleFrames) match {
       case Some((w, h, sampled)) =>
         sampled.iterator
           .flatMap { case (_, luma) => dHash64(w, h, luma) }

@@ -1326,6 +1326,38 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the SAME 12 frames through a REAL ANIMATED GIF (full-screen image
+    // descriptors, graphic-control extensions between frames, LZW per
+    // frame, alternating interlace): the multi-frame walk + per-frame
+    // decode must land on identical lumas, so the identical arithmetic
+    // replay holds — a meme-corpus video dedup runs on GIFs, not Y4M
+    "q_multimodal_video_gif_hashes" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(videoGifMedia _)
+      Multimodal.videoFrameHashes(media, sampleFrames = 12)
+        .select(col("doc_id"), col("frame_idx"),
+          shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // CROSS-CONTAINER video near-dup: the same frames rendered as Y4M or
+    // animated GIF by doc parity — a re-containered copy of a clip is
+    // the canonical video near-dup case, and the pairs must form exactly
+    // as if every doc were the same container (the oracle never sees
+    // one: it replays frame hashes arithmetically once)
+    "q_multimodal_video_cross_container" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(videoCrossMedia _)
+      Multimodal.videoNearDupPairs(media, sampleFrames = 12, minShared = 8)
+        .select(col("id_a"), col("id_b"),
+          col("shared_frames").cast("bigint").as("shared_frames"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL PCM decode + energy-envelope hash: each doc renders an actual
     // 16-bit PCM WAV whose samples are an integer function of
     // (doc_id, j); the decoder must reconstruct the exact samples
@@ -1653,6 +1685,47 @@ object LlmQueries {
       }
     }
     Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
+  }
+
+  /** [[videoMedia]]'s 12 frames through a REAL ANIMATED GIF — grayscale
+    * palette (luma == index), graphic-control extension before every
+    * frame, odd frames interlaced on even ids. Same arithmetic → same
+    * per-frame replay. */
+  private def videoGifMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val frames = (0 until 12).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        val base = (((id % 40) * 31 + f * 53 + x * 7 + y * 13) % 176).toInt
+        val delta = if (f == ((id / 40) % 3) && x < 2 && y < 2) 40 else 0
+        base + delta
+      }
+    }
+    Multimodal.Media(id,
+      Multimodal.syntheticGifAnimated(w, h, frames, interlaceAlt = id % 2 == 0),
+      "image/gif")
+  }
+
+  /** The q_multimodal_video_cross_container fixture: [[videoMedia]]'s
+    * frames containered as Y4M (even ids) or animated GIF (odd ids). */
+  private def videoCrossMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val frames = (0 until 12).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        val base = (((id % 40) * 31 + f * 53 + x * 7 + y * 13) % 176).toInt
+        val delta = if (f == ((id / 40) % 3) && x < 2 && y < 2) 40 else 0
+        base + delta
+      }
+    }
+    if (id % 2 == 0)
+      Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
+    else
+      Multimodal.Media(id, Multimodal.syntheticGifAnimated(w, h, frames), "image/gif")
   }
 
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
@@ -3332,6 +3405,64 @@ object LlmQueries {
         |FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_video_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + w.f * 53 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN w.f = (doc_id // 40) % 3 AND u.x < 2 AND v.y < 2
+        |                THEN 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
+        |       unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)
+        |  WHERE doc_id % 7 = 0 AND doc_id < 3500),
+        |cells AS (
+        |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |fh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id, f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS shared_frames
+        |FROM fh a JOIN fh b ON a.doc_id < b.doc_id AND a.hi = b.hi AND a.lo = b.lo
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical per-frame replay: the animated-GIF container (extension
+    // blocks, per-frame LZW, interlace) must be invisible to the hashes
+    "q_multimodal_video_gif_hashes" ->
+      """WITH px AS (
+        |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + w.f * 53 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN w.f = (doc_id // 40) % 3 AND u.x < 2 AND v.y < 2
+        |                THEN 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
+        |       unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS fhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS fhash_lo
+        |FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // identical pair replay: containers invisible, pairs must form
+    // across the Y4M/GIF boundary exactly as within it
+    "q_multimodal_video_cross_container" ->
       """WITH px AS (
         |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
         |         ((doc_id % 40) * 31 + w.f * 53 + u.x * 7 + v.y * 13) % 176

@@ -187,6 +187,74 @@ class MediaInteropSpec extends AnyFunSuite {
     assert(got.sameElements(px))
   }
 
+  test("animated GIF: ImageIO reads every frame of ours identically") {
+    val w = 23; val h = 17
+    val frames = (0 until 9).map { f =>
+      Array.tabulate(w * h)(i => (i * 7 + f * 53) % 256)
+    }
+    val bytes = Multimodal.syntheticGifAnimated(w, h, frames, interlaceAlt = true)
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) == 9)
+    for (f <- 0 until 9) {
+      val img = reader.read(f)
+      val r = img.getRaster
+      val got = Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
+      assert(got.sameElements(frames(f)), s"frame $f")
+    }
+    reader.dispose()
+    // and our sampled decoder agrees with itself on the same bytes
+    val Some((w2, h2, sampled)) = Multimodal.decodeGifFramesSampled(bytes, 9)
+    assert((w2, h2) == (w, h) && sampled.length == 9)
+    sampled.foreach { case (fi, luma) => assert(luma.sameElements(frames(fi))) }
+  }
+
+  test("animated GIF: sampling decodes only floor(i*n/k) frames; partial frames stop the walk") {
+    val w = 12; val h = 10
+    val frames = (0 until 10).map(f => Array.fill(w * h)(f * 20))
+    val bytes = Multimodal.syntheticGifAnimated(w, h, frames)
+    val Some((_, _, sampled)) = Multimodal.decodeGifFramesSampled(bytes, 4)
+    assert(sampled.map(_._1) == Seq(0, 2, 5, 7)) // floor(i*10/4)
+    sampled.foreach { case (fi, luma) => assert(luma.sameElements(frames(fi))) }
+    // corrupt the SECOND image descriptor's left-position → partial frame
+    // → honest prefix of one frame (first frame still decodes)
+    var pos = 13 + 3 * 256 // header + global table
+    pos += 8 // graphic-control extension: 0x21 0xF9 4 <4 bytes> 0
+    // skip first image: descriptor(10) + minCode + subblocks
+    def skipImage(p0: Int): Int = {
+      var p = p0 + 10 + 1
+      while (bytes(p) != 0) p += 1 + (bytes(p) & 0xFF)
+      p + 1
+    }
+    val afterFirst = skipImage(pos)
+    val secondDesc = afterFirst + 8 // its graphic-control extension
+    assert((bytes(secondDesc) & 0xFF) == 0x2C)
+    val mangled = bytes.clone(); mangled(secondDesc + 1) = 1 // left = 1
+    val Some((_, _, prefix)) = Multimodal.decodeGifFramesSampled(mangled, 4)
+    assert(prefix.map(_._1) == Seq(0))
+    // truncation inside a frame's data: never throws
+    assert(Multimodal.decodeGifFramesSampled(bytes.take(bytes.length / 2), 4).isDefined ||
+      Multimodal.decodeGifFramesSampled(bytes.take(bytes.length / 2), 4).isEmpty)
+  }
+
+  test("WAV: javax.sound reads our int16 bytes back to the same samples") {
+    // the audio sibling of the ImageIO checks: the JDK's own RIFF/WAVE
+    // reader is the external oracle for the WAV writer+decoder pair
+    val samples = Array.tabulate(1950) { j => ((j * 31 + 7) % 4001) - 2000 }
+    val bytes = Multimodal.syntheticWavPcm(8000, samples)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+    val raw = ais.readAllBytes()
+    val got = Array.tabulate(samples.length) { i =>
+      ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt // little-endian int16
+    }
+    assert(got.sameElements(samples))
+    // and our decoder agrees with itself on the same bytes
+    assert(Multimodal.decodeWavPcm(bytes).get._3.sameElements(samples))
+  }
+
   test("TIFF corrupt inputs return None, never throw") {
     val good = Tiff.syntheticTiffPixels(W, H, runny, compression = 5, rowsPerStrip = H)
     assert(Tiff.decodeGray(good.take(40)).isEmpty)             // truncated mid-IFD-pointerward
