@@ -280,7 +280,16 @@ class PlanSpec extends SparkSpec {
             Multimodal.syntheticWavPcm(8000, Array.tabulate(1950)(_ % 100)), "audio/wav"))).toDF(),
         "videoFrameHashes" -> Multimodal.videoFrameHashes(
           ids.map(id => Multimodal.Media(id,
-            Multimodal.syntheticY4m(18, 16, Seq(px)), "video/x-yuv4mpeg"))))) {
+            Multimodal.syntheticY4m(18, 16, Seq(px)), "video/x-yuv4mpeg"))),
+        "imageDHash/tiff" -> Multimodal.imageDHash(
+          ids.map(id => Multimodal.Media(id,
+            graft.llm.Tiff.syntheticTiffPixels(18, 16, px, compression = 5), "image/tiff"))).toDF(),
+        "audioEnvelopeHash/flac" -> Multimodal.audioEnvelopeHash(
+          ids.map(id => Multimodal.Media(id,
+            graft.llm.Flac.synthetic(8000, Array.tabulate(1950)(_ % 100)), "audio/flac"))).toDF(),
+        "videoFrameHashes/gif" -> Multimodal.videoFrameHashes(
+          ids.map(id => Multimodal.Media(id,
+            Multimodal.syntheticGifAnimated(18, 16, Seq(px, px)), "image/gif"))))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }
