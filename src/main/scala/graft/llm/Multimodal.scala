@@ -1334,6 +1334,162 @@ object Multimodal {
     out.array()
   }
 
+  /** AIFF (Apple's big-endian PCM container, EA-IFF-85 framing) →
+    * (rate, channels, mono int16-range samples) — the
+    * [[decodeWavPcm]] shape. FORM/AIFF chunk walk: COMM carries
+    * channels, frame count, sample width, and the sample rate as an
+    * 80-bit IEEE extended float (decoded exactly for the integer rates
+    * audio uses); SSND carries big-endian PCM behind offset/blockSize
+    * fields. Widths 8 (SIGNED, unlike WAV's unsigned 8-bit) / 16 / 24 /
+    * 32 normalize to the int16 range identically to the WAV path.
+    * Truncation-tolerant; non-AIFF → None. */
+  private[graft] def decodeAiffPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    var pos = 12
+    var rate = 0
+    var channels = 0
+    var bits = 0
+    var nFramesDecl = 0L
+    var dataOff = -1
+    var dataLen = 0L
+    while (pos + 8 <= b.length && (rate == 0 || dataOff < 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val sz = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
+      if (id == "COMM" && pos + 8 + 18 <= b.length) {
+        channels = bb.getShort(pos + 8)
+        nFramesDecl = bb.getInt(pos + 10).toLong & 0xFFFFFFFFL
+        bits = bb.getShort(pos + 14)
+        // 80-bit IEEE extended: 1 sign + 15 exponent + 64 mantissa
+        // (explicit integer bit); rate = mant × 2^(exp − 16383 − 63)
+        val e = bb.getShort(pos + 16) & 0x7FFF
+        val mant = bb.getLong(pos + 18)
+        val shift = e - 16383 - 63
+        rate =
+          if (e == 0 || mant == 0 || shift < -63 || shift > 0) 0 // sub-Hz or absurd
+          else {
+            val r = mant >>> -shift
+            if (r > Int.MaxValue) 0 else r.toInt
+          }
+      } else if (id == "SSND" && pos + 16 <= b.length) {
+        val off = bb.getInt(pos + 8) // extra alignment offset inside the chunk
+        if (off >= 0) { dataOff = pos + 16 + off; dataLen = sz - 8 - off }
+      }
+      val next = pos.toLong + 8L + sz + (sz & 1L)
+      pos = if (next <= pos || next > Int.MaxValue) b.length else next.toInt
+    }
+    if (rate <= 0 || channels <= 0 || dataOff < 0 || dataLen < 0) return None
+    val bytesPer = bits match { case 8 => 1; case 16 => 2; case 24 => 3; case 32 => 4; case _ => return None }
+    val avail = math.min(dataLen, (b.length - dataOff).toLong)
+    val nFrames = math.min(avail / (bytesPer.toLong * channels), nFramesDecl).toInt
+    if (nFrames <= 0) return None
+    val out = new Array[Int](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        val p = dataOff + (i * channels + c) * bytesPer
+        sum += (bytesPer match {
+          case 1 => b(p) << 8 // AIFF 8-bit is signed
+          case 2 => bb.getShort(p).toInt
+          case 3 => ((b(p) << 16) | ((b(p + 1) & 0xFF) << 8) | (b(p + 2) & 0xFF)) >> 8
+          case _ => bb.getInt(p) >> 16
+        })
+        c += 1
+      }
+      out(i) = sum / channels
+      i += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  /** Sun AU (.snd): 24-byte big-endian header (magic, data offset, data
+    * size, encoding, rate, channels) then samples. Encodings: 1 = G.711
+    * μ-law (each byte expands by the closed-form integer law
+    * 132·(2^e − 1) + m·2^(e+3), sign-magnitude — exactly replayable in
+    * any engine), 2/3/4/5 = signed big-endian PCM at 8/16/24/32 bits.
+    * Same downmix/width normalization as the WAV path. */
+  private[graft] def decodeAuPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 24) return None
+    if (!(b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    val dataOff = bb.getInt(4)
+    val dataSize = bb.getInt(8).toLong & 0xFFFFFFFFL // 0xFFFFFFFF = unknown
+    val enc = bb.getInt(12)
+    val rate = bb.getInt(16)
+    val channels = bb.getInt(20)
+    if (dataOff < 24 || dataOff > b.length || rate <= 0 || channels <= 0 ||
+        channels > 64) return None
+    val bytesPer = enc match { case 1 | 2 => 1; case 3 => 2; case 4 => 3; case 5 => 4; case _ => return None }
+    val avail = math.min(dataSize, (b.length - dataOff).toLong)
+    val nFrames = (avail / (bytesPer.toLong * channels)).toInt
+    if (nFrames <= 0) return None
+    val out = new Array[Int](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        val p = dataOff + (i * channels + c) * bytesPer
+        sum += (enc match {
+          case 1 => ulaw2linear(b(p))
+          case 2 => b(p) << 8 // signed 8-bit
+          case 3 => bb.getShort(p).toInt
+          case 4 => ((b(p) << 16) | ((b(p + 1) & 0xFF) << 8) | (b(p + 2) & 0xFF)) >> 8
+          case _ => bb.getInt(p) >> 16
+        })
+        c += 1
+      }
+      out(i) = sum / channels
+      i += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  /** G.711 μ-law byte → linear int16 (CCITT expansion): complement, then
+    * sign-magnitude with 3-bit exponent chords — magnitude =
+    * 132·(2^e − 1) + m·2^(e+3). Closed-form integer, so a SQL oracle
+    * replays it term for term. */
+  private[graft] def ulaw2linear(byte: Byte): Int = {
+    val u = (~byte) & 0xFF
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0F
+    val mag = 132 * ((1 << exp) - 1) + (mant << (exp + 3))
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** A real big-endian int16 mono AIFF carrying `samples` verbatim. */
+  def syntheticAiff(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = ByteBuffer.allocate(12 + 26 + 16 + dataLen).order(ByteOrder.BIG_ENDIAN)
+    b.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 16 + dataLen)
+    b.put("AIFF".getBytes("US-ASCII"))
+    b.put("COMM".getBytes("US-ASCII")).putInt(18)
+    b.putShort(1).putInt(samples.length).putShort(16)
+    // rate as 80-bit extended: normalize so the integer bit is set
+    val nlz = java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    b.putShort((16383 + 63 - nlz).toShort).putLong(sampleRate.toLong << nlz)
+    b.put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen).putInt(0).putInt(0)
+    samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  /** A real AU stream: μ-law bytes verbatim (`enc = 1`) or big-endian
+    * int16 (`enc = 3`), mono. For μ-law the caller supplies the CODED
+    * bytes — fixtures put the integer byte formula on the wire and let
+    * the decoder's expansion law be the thing under test. */
+  def syntheticAu(sampleRate: Int, enc: Int, data: Array[Byte]): Array[Byte] = {
+    require(enc == 1 || enc == 3)
+    val b = ByteBuffer.allocate(24 + data.length).order(ByteOrder.BIG_ENDIAN)
+    b.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(data.length)
+    b.putInt(enc).putInt(sampleRate).putInt(1)
+    b.put(data)
+    b.array()
+  }
+
   /** A real 16-bit PCM mono WAV carrying `samples` verbatim — the audio
     * sibling of [[syntheticBmpPixels]]: decode(build(s)) == s must hold
     * exactly for the envelope hash to match an arithmetic replay. */
@@ -2636,13 +2792,21 @@ object Multimodal {
     gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
   }
 
-  /** Bytes → audio envelope hash (PCM WAV or FLAC, dispatched on magic
-    * bytes) — the audio sibling of [[imageHashOf]], shared by batch and
-    * stream. Both decoders downmix and width-normalize identically, so
-    * a WAV and a FLAC of the same recording hash the same. */
-  private[graft] def audioHashOf(m: Array[Byte]): Option[Long] =
-    (if (Flac.isFlac(m)) Flac.decodePcm(m) else decodeWavPcm(m))
-      .flatMap { case (_, _, s) => audioHash64(s) }
+  /** Bytes → audio envelope hash (PCM WAV, FLAC, AIFF, or AU/μ-law —
+    * dispatched on magic bytes) — the audio sibling of [[imageHashOf]],
+    * shared by batch and stream. Every decoder downmixes and
+    * width-normalizes identically, so any two lossless exports of the
+    * same recording hash the same. */
+  private[graft] def audioHashOf(m: Array[Byte]): Option[Long] = {
+    val pcm =
+      if (Flac.isFlac(m)) Flac.decodePcm(m)
+      else if (m != null && m.length >= 12 && m(0) == 'F' && m(1) == 'O' && m(2) == 'R' && m(3) == 'M')
+        decodeAiffPcm(m)
+      else if (m != null && m.length >= 4 && m(0) == '.' && m(1) == 's' && m(2) == 'n' && m(3) == 'd')
+        decodeAuPcm(m)
+      else decodeWavPcm(m)
+    pcm.flatMap { case (_, _, s) => audioHash64(s) }
+  }
 
   /** Bytes → sampled frame lumas, dispatched on magic: Y4M streams or
     * animated GIFs (full-screen frames), both with allocation bounded

@@ -1374,11 +1374,12 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // the SAME waveform re-exported per doc at one of four EXACT
-    // encodings (int16, int24, IEEE float32, EXTENSIBLE-wrapped int16,
-    // by id % 4): normalization must land every width on the identical
-    // envelope hash — the audio re-encode near-dup case, oracle replay
-    // identical to q_multimodal_audiohash
+    // the SAME waveform re-exported per doc at one of seven EXACT
+    // encodings (WAV int16/int24/float32/EXTENSIBLE, FLAC, big-endian
+    // AIFF, big-endian AU, by id % 7): normalization must land every
+    // container and width on the identical envelope hash — the audio
+    // re-encode near-dup case, oracle replay identical to
+    // q_multimodal_audiohash
     "q_multimodal_audio_cross_encoding" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1399,6 +1400,21 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long].map(flacMedia _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // G.711 μ-law (the Sun AU container): the fixture puts CODED bytes
+    // from an integer formula on the wire, so the decoder's expansion
+    // law — 132·(2^e − 1) + m·2^(e+3), sign-magnitude — is the thing
+    // under test; the oracle recomputes the law term for term
+    "q_multimodal_ulaw_audiohash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map(ulawMedia _)
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -1607,25 +1623,43 @@ object LlmQueries {
   }
 
   /** [[audioMedia]]'s waveform re-exported at an encoding keyed by
-    * id % 5 — int16, int24 (<<8), IEEE float32 (s/32768), an
-    * EXTENSIBLE-wrapped int16, or a REAL FLAC stream — every one of
-    * which decodes back to the exact int16 samples, so the envelope
-    * replay is encoding-blind (FLAC is lossless; [[Flac.decodePcm]]
-    * normalizes identically to the WAV path). */
+    * id % 7 — WAV int16, WAV int24 (<<8), WAV IEEE float32 (s/32768),
+    * EXTENSIBLE-wrapped int16, a REAL FLAC stream, a big-endian AIFF,
+    * or a big-endian AU — every one of which decodes back to the exact
+    * int16 samples, so the envelope replay is encoding-blind (FLAC is
+    * lossless; AIFF/AU are just byte-order-flipped PCM; every decoder
+    * normalizes identically). */
   private def audioCrossMedia(id: Long): Multimodal.Media = {
     val samples = Array.tabulate(1950) { j =>
       val s = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
       if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
     }
-    val bytes = (id % 5) match {
-      case 0 => Multimodal.syntheticWavPcm(8000, samples)
-      case 1 => Multimodal.syntheticWav(8000, samples, "pcm24")
-      case 2 => Multimodal.syntheticWav(8000, samples, "float32")
-      case 3 => Multimodal.syntheticWav(8000, samples, "ext16")
-      case _ => graft.llm.Flac.synthetic(8000, samples, blockSize = 256,
-        strategy = "fixed2")
+    val (bytes, mime) = (id % 7) match {
+      case 0 => (Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+      case 1 => (Multimodal.syntheticWav(8000, samples, "pcm24"), "audio/wav")
+      case 2 => (Multimodal.syntheticWav(8000, samples, "float32"), "audio/wav")
+      case 3 => (Multimodal.syntheticWav(8000, samples, "ext16"), "audio/wav")
+      case 4 => (graft.llm.Flac.synthetic(8000, samples, blockSize = 256,
+        strategy = "fixed2"), "audio/flac")
+      case 5 => (Multimodal.syntheticAiff(8000, samples), "audio/aiff")
+      case _ =>
+        val d = new Array[Byte](samples.length * 2)
+        var j = 0
+        while (j < samples.length) {
+          d(2 * j) = (samples(j) >> 8).toByte; d(2 * j + 1) = samples(j).toByte; j += 1
+        }
+        (Multimodal.syntheticAu(8000, 3, d), "audio/basic")
     }
-    Multimodal.Media(id, bytes, if (id % 5 == 4) "audio/flac" else "audio/wav")
+    Multimodal.Media(id, bytes, mime)
+  }
+
+  /** The q_multimodal_ulaw_audiohash fixture: 1950 G.711 μ-law CODED
+    * bytes straight from an integer formula on (doc_id, j) — the
+    * expansion law (132·(2^e − 1) + m·2^(e+3), sign from the top bit)
+    * is what's under test, and the oracle replays it term for term. */
+  private def ulawMedia(id: Long): Multimodal.Media = {
+    val data = Array.tabulate[Byte](1950)(j => (((id % 97) * 13 + j * 97) % 256).toByte)
+    Multimodal.Media(id, Multimodal.syntheticAu(8000, 1, data), "audio/basic")
   }
 
   /** [[audioMedia]]'s waveform through a REAL FLAC stream, the codec
@@ -3542,6 +3576,29 @@ object LlmQueries {
         |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
         |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
         |       FROM sm GROUP BY doc_id, j // 30),
+        |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+        |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |         WHERE l.f < 64)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the μ-law expansion law recomputed in SQL: complement, exponent
+    // chord, mantissa step — |sample| is the magnitude term directly,
+    // which is all the energy envelope consumes
+    "q_multimodal_ulaw_audiohash" ->
+      """WITH sm AS (
+        |  SELECT doc_id, u.j AS j,
+        |         255 - ((doc_id % 97) * 13 + u.j * 97) % 256 AS cu
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
+        |mg AS (
+        |  SELECT doc_id, j,
+        |         132 * ((1 << ((cu // 16) % 8)) - 1)
+        |         + (cu % 16) * (1 << (((cu // 16) % 8) + 3)) AS a
+        |  FROM sm),
+        |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
+        |       FROM mg GROUP BY doc_id, j // 30),
         |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
         |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
         |         WHERE l.f < 64)

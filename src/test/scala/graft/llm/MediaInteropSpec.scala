@@ -255,6 +255,64 @@ class MediaInteropSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm(bytes).get._3.sameElements(samples))
   }
 
+  test("AIFF: javax.sound reads ours; ours reads javax.sound's") {
+    val samples = Array.tabulate(1950) { j => ((j * 31 + 13) % 4001) - 2000 }
+    val ours = Multimodal.syntheticAiff(8000, samples)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(ours))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && fmt.isBigEndian)
+    val raw = ais.readAllBytes()
+    val got = Array.tabulate(samples.length)(i =>
+      ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)))
+    assert(got.sameElements(samples))
+    assert(Multimodal.decodeAiffPcm(ours).get._3.sameElements(samples))
+    // and the reverse: the JDK writes an AIFF, our decoder reads it
+    val srcFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) { pcm(2 * i) = (samples(i) >> 8).toByte; pcm(2 * i + 1) = samples(i).toByte }
+    val src = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), srcFmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(src,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val Some((rate, ch, mono)) = Multimodal.decodeAiffPcm(bos.toByteArray)
+    assert((rate, ch) == (8000, 1))
+    assert(mono.sameElements(samples))
+  }
+
+  test("AU mu-law: our expansion law matches the JDK's G.711 decode byte for byte") {
+    // every one of the 256 code points, through a real AU container
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val au = Multimodal.syntheticAu(8000, 1, codes)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(au))
+    val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ulaw)
+    val raw = pcm.readAllBytes()
+    val jdk = Array.tabulate(256)(i => ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)))
+    val ours = codes.map(Multimodal.ulaw2linear)
+    assert(ours.sameElements(jdk))
+    // and the AU PCM walk agrees end-to-end
+    assert(Multimodal.decodeAuPcm(au).get._3.sameElements(ours))
+  }
+
+  test("AU big-endian int16: javax.sound's writer round-trips through our decoder") {
+    val samples = Array.tabulate(600) { j => ((j * 77 + 5) % 4001) - 2000 }
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) { pcm(2 * i) = (samples(i) >> 8).toByte; pcm(2 * i + 1) = samples(i).toByte }
+    val srcFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val src = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), srcFmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(src,
+      javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+    val Some((rate, ch, mono)) = Multimodal.decodeAuPcm(bos.toByteArray)
+    assert((rate, ch) == (8000, 1))
+    assert(mono.sameElements(samples))
+  }
+
   test("TIFF corrupt inputs return None, never throw") {
     val good = Tiff.syntheticTiffPixels(W, H, runny, compression = 5, rowsPerStrip = H)
     assert(Tiff.decodeGray(good.take(40)).isEmpty)             // truncated mid-IFD-pointerward
