@@ -242,6 +242,24 @@ object Flac {
     true
   }
 
+  /** Header-only STREAMINFO read → (rate, channels, bitsPerSample,
+    * totalSamples) — the metadata surface without touching a frame. */
+  private[graft] def parseStreamInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (!isFlac(b)) return None
+    val br = new BitReader(b)
+    br.pos = 32
+    br.u(1) // last-metadata flag, irrelevant here
+    val typ = br.u(7)
+    val len = br.u(24)
+    if (typ != 0 || len != 34) return None
+    br.u(16); br.u(16); br.u(24); br.u(24)
+    val rate = br.u(20)
+    val ch = br.u(3) + 1
+    val bps = br.u(5) + 1
+    val total = br.u64(36)
+    if (rate <= 0 || br.pos > br.end || total < 0) None else Some((rate, ch, bps, total))
+  }
+
   /** Full stream decode → (sampleRate, channels, mono int16-range
     * samples) — the [[Multimodal.decodeWavPcm]] return shape, downmixed
     * and width-normalized identically so cross-encoding hashes agree. */

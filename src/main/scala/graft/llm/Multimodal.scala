@@ -1449,6 +1449,51 @@ object Multimodal {
     Some((rate, channels, out))
   }
 
+  /** Header-only AIFF metadata: walk to COMM, take the DECLARED frame
+    * count — never touches SSND data. */
+  private[graft] def parseAiff(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val sz = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
+      if (id == "COMM" && pos + 8 + 18 <= b.length) {
+        val channels = bb.getShort(pos + 8).toInt
+        val nFrames = bb.getInt(pos + 10).toLong & 0xFFFFFFFFL
+        val e = bb.getShort(pos + 16) & 0x7FFF
+        val mant = bb.getLong(pos + 18)
+        val shift = e - 16383 - 63
+        val rate =
+          if (e == 0 || mant == 0 || shift < -63 || shift > 0) 0L
+          else mant >>> -shift
+        return if (rate > 0 && rate <= Int.MaxValue && channels > 0)
+          Some((rate.toInt, channels, nFrames))
+        else None
+      }
+      val next = pos.toLong + 8L + sz + (sz & 1L)
+      pos = if (next <= pos || next > Int.MaxValue) b.length else next.toInt
+    }
+    None
+  }
+
+  /** Header-only AU metadata: the 24-byte fixed header plus a frame
+    * count derived from the declared data size. */
+  private[graft] def parseAu(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 24) return None
+    if (!(b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    val dataSize = bb.getInt(8).toLong & 0xFFFFFFFFL
+    val enc = bb.getInt(12)
+    val rate = bb.getInt(16)
+    val channels = bb.getInt(20)
+    val bytesPer = enc match { case 1 | 2 => 1; case 3 => 2; case 4 => 3; case 5 => 4; case _ => return None }
+    if (rate <= 0 || channels <= 0 || channels > 64) return None
+    Some((rate, channels, dataSize / (bytesPer.toLong * channels)))
+  }
+
   /** G.711 μ-law byte → linear int16 (CCITT expansion): complement, then
     * sign-magnitude with 3-bit exponent chords — magnitude =
     * 132·(2^e − 1) + m·2^(e+3). Closed-form integer, so a SQL oracle
@@ -2902,16 +2947,27 @@ object Multimodal {
     }
   }
 
-  /** Batch decode → PCM audio metadata (real RIFF/WAVE chunk walk);
-    * non-WAV bytes yield a zeroed row rather than failing the job —
-    * same no-NPE-mid-job posture as the rest of the engine. */
+  /** Batch decode → PCM audio metadata — real header walks for every
+    * audio container the engine decodes (RIFF/WAVE chunks, FLAC
+    * STREAMINFO, AIFF COMM, the AU header), dispatched on magic bytes;
+    * unrecognized bytes yield a zeroed row rather than failing the
+    * job — same no-NPE-mid-job posture as the rest of the engine. */
   def decodeAudioMeta(ds: Dataset[Media]): Dataset[AudioMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.map { m =>
       val len = if (m.media == null) 0L else m.media.length.toLong
-      parseWav(m.media) match {
-        case Some((rate, ch, _, n)) =>
+      val b = m.media
+      val parsed: Option[(Int, Int, Long)] =
+        if (Flac.isFlac(b))
+          Flac.parseStreamInfo(b).map { case (rate, ch, _, n) => (rate, ch, n) }
+        else if (b != null && b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M')
+          parseAiff(b)
+        else if (b != null && b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+          parseAu(b)
+        else parseWav(b).map { case (rate, ch, _, n) => (rate, ch, n) }
+      parsed match {
+        case Some((rate, ch, n)) =>
           AudioMeta(m.doc_id, len, rate, ch, n, n * 1000L / rate)
         case None => AudioMeta(m.doc_id, len, 0, 0, 0L, 0L)
       }

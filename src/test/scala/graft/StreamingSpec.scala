@@ -515,10 +515,13 @@ class StreamingSpec extends SparkSpec {
     val nearPcm = basePcm.zipWithIndex.map { case (s, j) => if (j < 30) s + 900 else s }
     val farPcm = Array.fill(1950)(rnd.nextInt(4001) - 2000)
     import spark.implicits._
-    // batch premise: base/near pair, base/far don't
+    // the near-dup arrives as a FLAC (r11): a re-encoded container must
+    // still be suppressed — the stream kernel decodes all real formats
+    val nearFlac = graft.llm.Flac.synthetic(8000, nearPcm, blockSize = 256)
+    // batch premise: base/near pair ACROSS containers, base/far don't
     val batchPairs = Multimodal.audioNearDupPairs(Seq(
         Multimodal.Media(0L, Multimodal.syntheticWavPcm(8000, basePcm), "audio/wav"),
-        Multimodal.Media(1L, Multimodal.syntheticWavPcm(8000, nearPcm), "audio/wav"),
+        Multimodal.Media(1L, nearFlac, "audio/flac"),
         Multimodal.Media(2L, Multimodal.syntheticWavPcm(8000, farPcm), "audio/wav")).toDS(),
         maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -532,7 +535,7 @@ class StreamingSpec extends SparkSpec {
       val garbage = "definitely not audio".getBytes("US-ASCII")
       in.addData(ts(10) -> Multimodal.syntheticWavPcm(8000, basePcm), ts(11) -> garbage)
       q.processAllAvailable()
-      in.addData(ts(12) -> Multimodal.syntheticWavPcm(8000, nearPcm),
+      in.addData(ts(12) -> nearFlac,
         ts(13) -> Multimodal.syntheticWavPcm(8000, farPcm))
       q.processAllAvailable()
       in.addData(ts(100) -> Multimodal.syntheticWavPcm(8000, Array.fill(1950)(7)))
@@ -542,7 +545,7 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("aud_out").select("media").as[Array[Byte]].collect()
         .map(_.toSeq).toSet
       assert(got.contains(Multimodal.syntheticWavPcm(8000, basePcm).toSeq), "first passes")
-      assert(!got.contains(Multimodal.syntheticWavPcm(8000, nearPcm).toSeq), "near suppressed")
+      assert(!got.contains(nearFlac.toSeq), "re-encoded near-dup suppressed")
       assert(got.contains(Multimodal.syntheticWavPcm(8000, farPcm).toSeq), "distinct passes")
       assert(got.contains(garbage.toSeq), "non-PCM passes through")
     } finally q.stop()
@@ -557,7 +560,9 @@ class StreamingSpec extends SparkSpec {
     val oneOff = base12.updated(5, Array.fill(18 * 16)(rnd.nextInt(256)))
     val other12 = (0 until 12).map(_ => Array.fill(18 * 16)(rnd.nextInt(256)))
     val baseV = Multimodal.syntheticY4m(18, 16, base12)
-    val nearV = Multimodal.syntheticY4m(18, 16, oneOff)
+    // the copy arrives RE-CONTAINERED as an animated GIF (r11): frame
+    // hashes must match across the Y4M/GIF boundary for suppression
+    val nearV = Multimodal.syntheticGifAnimated(18, 16, oneOff)
     val farV = Multimodal.syntheticY4m(18, 16, other12)
     import spark.implicits._
     // batch premise: base/near pair at minShared 8, base/far don't
