@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{Ann, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis}
 
@@ -15,6 +15,22 @@ object LlmQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** The media fixtures' id feed: the slim doc_id column REPARTITIONED
+    * across the session's parallelism BEFORE any media bytes are
+    * rendered. A real corpus scan has real partitions, but the sf
+    * fixtures' id column arrives as one small parquet split — without
+    * this, every render+decode of a 5000-doc media query serializes
+    * onto ONE core (measured: the FLAC query at 7 s single-threaded vs
+    * sub-second spread). Only 8-byte ids cross the wire; media bytes
+    * are still born, decoded, and hashed inside a single task — the
+    * decode-never-shuffles contract is about the BYTES, not the ids. */
+  private def mediaIds(s: SparkSession, dir: String): Dataset[Long] = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+  }
 
   /** Shared 20-word suffix q_text_spans appends to every 9th doc — one
     * definition for the Spark fixture and the DuckDB replay. */
@@ -1087,7 +1103,7 @@ object LlmQueries {
     "q_multimodal_bmp" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = mediaIds(s, dir)
         .map(id => Multimodal.Media(id,
           Multimodal.syntheticBmp(1 + (id % 640).toInt, 1 + (id % 480).toInt), "image/bmp"))
       Multimodal.decodeMeta(media).toDF()
@@ -1102,7 +1118,7 @@ object LlmQueries {
     "q_multimodal_headers" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val w = 1 + (id % 1920).toInt
           val h = 1 + (id % 1080).toInt
@@ -1122,7 +1138,7 @@ object LlmQueries {
     "q_multimodal_wav" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = mediaIds(s, dir)
         .map(id => Multimodal.Media(id,
           Multimodal.syntheticWav(8000 + (id % 8).toInt * 4000, 1 + (id % 2).toInt,
             16, 1000 + id % 9000), "audio/wav"))
@@ -1140,7 +1156,7 @@ object LlmQueries {
     "q_multimodal_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(dhashMedia _)
+      val media = mediaIds(s, dir).map(dhashMedia _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -1157,7 +1173,7 @@ object LlmQueries {
     "q_multimodal_png_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(pngMedia _)
+      val media = mediaIds(s, dir).map(pngMedia _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -1172,7 +1188,7 @@ object LlmQueries {
     "q_multimodal_gif_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(gifMedia _)
+      val media = mediaIds(s, dir).map(gifMedia _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -1189,7 +1205,7 @@ object LlmQueries {
     "q_multimodal_jpeg_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(jpegMedia _)
+      val media = mediaIds(s, dir).map(jpegMedia _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -1203,7 +1219,7 @@ object LlmQueries {
     "q_multimodal_bmp8_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(bmp8Media _)
+      val media = mediaIds(s, dir).map(bmp8Media _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -1218,7 +1234,7 @@ object LlmQueries {
     "q_multimodal_jpeg_prog_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(jpegProgMedia _)
+      val media = mediaIds(s, dir).map(jpegProgMedia _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -1235,7 +1251,7 @@ object LlmQueries {
     "q_multimodal_tiff_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(tiffMedia _)
+      val media = mediaIds(s, dir).map(tiffMedia _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -1252,9 +1268,9 @@ object LlmQueries {
     "q_multimodal_cross_container" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id"))
+      val media = mediaIds(s, dir)
         .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
-        .as[Long].map(crossContainerMedia _)
+        .map(crossContainerMedia _)
       Multimodal.imageNearDupPairs(media, maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -1270,8 +1286,8 @@ object LlmQueries {
       // scale-bounded corpus: % 7 sparsifies, the id cap keeps AT MOST
       // ~500 rendered docs at ANY sf, so pair volume (quadratic within
       // the 40 base-pattern groups) stays bounded as the table grows
-      val media = docs(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(dhashMedia _)
+      val media = mediaIds(s, dir)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(dhashMedia _)
       Multimodal.imageNearDupPairs(media, maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -1286,7 +1302,8 @@ object LlmQueries {
       import spark.implicits._
       val ids = docs(s, dir).select(col("doc_id"))
         .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
-      val media = ids.as[Long].map(dhashMedia _)
+      val media = mediaIds(s, dir)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(dhashMedia _)
       val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 2)
         .select("id_a", "id_b")
       graft.llm.Dedup.clusters(ids, "doc_id", pairs)
@@ -1302,7 +1319,7 @@ object LlmQueries {
     "q_multimodal_video_hashes" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(videoMedia _)
+      val media = mediaIds(s, dir).map(videoMedia _)
       Multimodal.videoFrameHashes(media, sampleFrames = 12)
         .select(col("doc_id"), col("frame_idx"),
           shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
@@ -1318,8 +1335,8 @@ object LlmQueries {
     "q_multimodal_video_neardup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(videoMedia _)
+      val media = mediaIds(s, dir)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(videoMedia _)
       Multimodal.videoNearDupPairs(media, sampleFrames = 12, minShared = 8)
         .select(col("id_a"), col("id_b"),
           col("shared_frames").cast("bigint").as("shared_frames"))
@@ -1334,7 +1351,7 @@ object LlmQueries {
     "q_multimodal_video_gif_hashes" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(videoGifMedia _)
+      val media = mediaIds(s, dir).map(videoGifMedia _)
       Multimodal.videoFrameHashes(media, sampleFrames = 12)
         .select(col("doc_id"), col("frame_idx"),
           shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
@@ -1350,8 +1367,8 @@ object LlmQueries {
     "q_multimodal_video_cross_container" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(videoCrossMedia _)
+      val media = mediaIds(s, dir)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(videoCrossMedia _)
       Multimodal.videoNearDupPairs(media, sampleFrames = 12, minShared = 8)
         .select(col("id_a"), col("id_b"),
           col("shared_frames").cast("bigint").as("shared_frames"))
@@ -1366,7 +1383,7 @@ object LlmQueries {
     "q_multimodal_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(audioMedia _)
+      val media = mediaIds(s, dir).map(audioMedia _)
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -1383,7 +1400,7 @@ object LlmQueries {
     "q_multimodal_audio_cross_encoding" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(audioCrossMedia _)
+      val media = mediaIds(s, dir).map(audioCrossMedia _)
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -1399,7 +1416,7 @@ object LlmQueries {
     "q_multimodal_flac_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(flacMedia _)
+      val media = mediaIds(s, dir).map(flacMedia _)
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -1414,7 +1431,7 @@ object LlmQueries {
     "q_multimodal_ulaw_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id")).as[Long].map(ulawMedia _)
+      val media = mediaIds(s, dir).map(ulawMedia _)
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -1428,8 +1445,8 @@ object LlmQueries {
     "q_multimodal_audio_neardup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).as[Long].map(audioMedia _)
+      val media = mediaIds(s, dir)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(audioMedia _)
       Multimodal.audioNearDupPairs(media, maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
