@@ -30,24 +30,32 @@ object Flac {
     def remaining: Long = end - pos
     /** n ≤ 32 bits, unsigned, MSB-first; −1 on exhaustion (callers treat
       * any negative as a truncation signal, valid reads of n ≤ 31 bits
-      * are non-negative; n == 32 goes through u64). */
+      * are non-negative; n == 32 goes through u64). Byte-chunked, not
+      * bit-looped — this reader sits under every sample of a corpus
+      * decode. */
     def u(n: Int): Int = {
       if (pos + n > end) { pos = end + 1; return -1 } // poison: later checks see the overrun
       var v = 0
-      var k = 0
-      while (k < n) {
-        v = (v << 1) | ((b((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1)
-        pos += 1; k += 1
+      var need = n
+      while (need > 0) {
+        val bitOff = (pos & 7).toInt
+        val take = math.min(8 - bitOff, need)
+        val byte = b((pos >> 3).toInt) & 0xFF
+        v = (v << take) | ((byte >> (8 - bitOff - take)) & ((1 << take) - 1))
+        pos += take; need -= take
       }
       v
     }
     def u64(n: Int): Long = {
       if (pos + n > end) { pos = end + 1; return -1L }
       var v = 0L
-      var k = 0
-      while (k < n) {
-        v = (v << 1) | ((b((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1).toLong
-        pos += 1; k += 1
+      var need = n
+      while (need > 0) {
+        val bitOff = (pos & 7).toInt
+        val take = math.min(8 - bitOff, need)
+        val byte = b((pos >> 3).toInt) & 0xFF
+        v = (v << take) | ((byte >> (8 - bitOff - take)) & ((1 << take) - 1)).toLong
+        pos += take; need -= take
       }
       v
     }
@@ -61,14 +69,20 @@ object Flac {
     }
     /** Unary: zeros then a one; −1 on exhaustion (bounds every rice
       * quotient against the buffer, so a crafted all-zeros run cannot
-      * spin). */
+      * spin). Scans the tail of the current byte, then whole zero bytes,
+      * instead of single bits. */
     def unary(): Int = {
       var q = 0
       while (pos < end) {
-        val bit = (b((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1
-        pos += 1
-        if (bit == 1) return q
-        q += 1
+        val bitOff = (pos & 7).toInt
+        val byte = b((pos >> 3).toInt) & 0xFF
+        val rest = (byte << bitOff) & 0xFF // remaining bits, left-aligned
+        if (rest == 0) { q += 8 - bitOff; pos += 8 - bitOff }
+        else {
+          val lead = java.lang.Integer.numberOfLeadingZeros(rest) - 24
+          q += lead; pos += lead + 1
+          return q
+        }
       }
       pos = end + 1
       -1
@@ -411,21 +425,22 @@ object Flac {
   // ------------------------------------------------------------------
 
   private final class BitWriter {
-    private val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
-    private var acc = 0L
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0L // ≤ 7 pending bits between calls
     private var nAcc = 0
+    /** n ≤ 56 bits (largest field written is 36); whole-byte flushes. */
     def put(n: Int, v: Long): Unit = {
-      var k = n - 1
-      while (k >= 0) {
-        acc = (acc << 1) | ((v >> k) & 1L)
-        nAcc += 1
-        if (nAcc == 8) { buf += acc.toByte; acc = 0; nAcc = 0 }
-        k -= 1
-      }
+      acc = (acc << n) | (v & (if (n == 64) -1L else (1L << n) - 1))
+      nAcc += n
+      while (nAcc >= 8) { buf.write(((acc >>> (nAcc - 8)) & 0xFF).toInt); nAcc -= 8 }
     }
-    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(1, 0); i += 1 }; put(1, 1) }
+    def putUnary(q: Int): Unit = {
+      var r = q
+      while (r >= 32) { put(32, 0); r -= 32 }
+      put(r + 1, 1) // r zeros then the terminating one
+    }
     def align(): Unit = if (nAcc > 0) put(8 - nAcc, 0)
-    def bytes: Array[Byte] = { require(nAcc == 0, "unaligned"); buf.toArray }
+    def bytes: Array[Byte] = { require(nAcc == 0, "unaligned"); buf.toByteArray }
   }
 
   private def writeCodedNumber(bw: BitWriter, v: Long): Unit = {

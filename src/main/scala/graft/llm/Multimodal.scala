@@ -752,16 +752,19 @@ object Multimodal {
     * field offsets — plus 16-bpp (X1R5G5B5 default or BITFIELDS masks,
     * rescaled through the same channel math) and the BI_RLE8/BI_RLE4
     * run-length streams (repeat runs — nibble-alternating for RLE4 —
-    * absolute runs, EOL/EOB/delta escapes). The documented BMP layout
-    * space is COVERED; anything else (OS/2 cores, JPEG/PNG-embedded
-    * compression tags) returns None. All size arithmetic in LONG: `w * bpp`
+    * absolute runs, EOL/EOB/delta escapes) — plus the 12-byte OS/2
+    * BITMAPCOREHEADER family with its 3-byte palette
+    * ([[decodeBmpCore]]). The documented BMP layout space is COVERED;
+    * anything else (JPEG/PNG-embedded compression tags) returns None. All size arithmetic in LONG: `w * bpp`
     * Int-wrap on a crafted header must reject, never allocate
     * (the r11 corrupt-input guard class). */
   private[graft] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (b == null || b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val dataOff = bb.getInt(10)
     val hdrSize = bb.getInt(14)
+    if (hdrSize == 12) return decodeBmpCore(b) // OS/2 BITMAPCOREHEADER
+    if (b.length < 54) return None
     val w = bb.getInt(18)
     val rawH = bb.getInt(22)
     // abs(Int.MinValue) IS Int.MinValue — it would pass an `h == 0`
@@ -902,6 +905,93 @@ object Multimodal {
       y += 1
     }
     Some((w, h, out))
+  }
+
+  /** OS/2 BITMAPCOREHEADER (the 12-byte "version 2" DIB that closes the
+    * BMP layout space): u16 width/height at 18/20 (always bottom-up —
+    * the core header has no sign convention), u16 bpp at 24, and a
+    * 3-byte-BGR palette (not the 4-byte BGRA of the Windows headers)
+    * at offset 26 for the 1/4/8-bit indexed forms; 24-bpp is raw BGR.
+    * No compression field exists. Same bounds discipline as the main
+    * decoder: all size math in Long, truncation → None. */
+  private def decodeBmpCore(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getShort(18) & 0xFFFF
+    val h = bb.getShort(20) & 0xFFFF
+    val bpp = bb.getShort(24) & 0xFFFF
+    if (w == 0 || h == 0 || w.toLong * h > (1L << 28)) return None
+    if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24) return None
+    val luts: Array[Int] =
+      if (bpp <= 8) {
+        val n = 1 << bpp
+        if (26L + 3L * n > b.length) return None
+        Array.tabulate(n) { i =>
+          val p = 26 + i * 3
+          (299 * (b(p + 2) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p) & 0xFF)) / 1000
+        }
+      } else null
+    val stride = (((w.toLong * bpp + 7) / 8 + 3) / 4 * 4)
+    if (dataOff < 26 || dataOff.toLong + stride * h > b.length) return None
+    val out = new Array[Int](w * h)
+    var sy = 0
+    while (sy < h) {
+      val dy = h - 1 - sy // bottom-up, unconditionally
+      val rowOff = dataOff + sy * stride.toInt
+      var x = 0
+      while (x < w) {
+        out(dy * w + x) =
+          if (bpp == 24) {
+            val p = rowOff + x * 3
+            (299 * (b(p + 2) & 0xFF) + 587 * (b(p + 1) & 0xFF) + 114 * (b(p) & 0xFF)) / 1000
+          } else {
+            val bitPos = x * bpp
+            val byte = b(rowOff + (bitPos >> 3)) & 0xFF
+            val idx = bpp match {
+              case 8 => byte
+              case 4 => (byte >> (4 - (bitPos & 4))) & 0xF
+              case _ => (byte >> (7 - (bitPos & 7))) & 1
+            }
+            luts(idx)
+          }
+        x += 1
+      }
+      sy += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** A real OS/2 core BMP (12-byte BITMAPCOREHEADER): 8-bit grayscale
+    * palette (3-byte triplets, entry i = (i,i,i)) or raw 24-bpp BGR. */
+  def syntheticBmpCore(width: Int, height: Int, gray: Array[Int],
+      palettized: Boolean = true): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height)
+    val bpp = if (palettized) 8 else 24
+    val palBytes = if (palettized) 3 * 256 else 0
+    val stride = ((width * bpp / 8) + 3) / 4 * 4
+    val dataOff = 14 + 12 + palBytes
+    val bb = ByteBuffer.allocate(dataOff + stride * height).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(dataOff)
+    bb.putInt(12).putShort(width.toShort).putShort(height.toShort)
+    bb.putShort(1).putShort(bpp.toShort)
+    if (palettized) {
+      var i = 0
+      while (i < 256) { bb.put(i.toByte).put(i.toByte).put(i.toByte); i += 1 }
+    }
+    var sy = 0
+    while (sy < height) {
+      val y = height - 1 - sy // bottom-up
+      val rowStart = bb.position()
+      var x = 0
+      while (x < width) {
+        val v = (gray(y * width + x) & 0xFF).toByte
+        if (palettized) bb.put(v) else { bb.put(v); bb.put(v); bb.put(v) }
+        x += 1
+      }
+      while (bb.position() < rowStart + stride) bb.put(0.toByte)
+      sy += 1
+    }
+    bb.array()
   }
 
   /** The COMPLETE PNM family (P1–P6, maxval ≤ 255) → row-major grayscale,
@@ -1410,7 +1500,9 @@ object Multimodal {
     * size, encoding, rate, channels) then samples. Encodings: 1 = G.711
     * μ-law (each byte expands by the closed-form integer law
     * 132·(2^e − 1) + m·2^(e+3), sign-magnitude — exactly replayable in
-    * any engine), 2/3/4/5 = signed big-endian PCM at 8/16/24/32 bits.
+    * any engine), 27 = G.711 A-law (xor 0x55, then (m·16+8) for the
+    * linear segment else (m·16+264)·2^(e−1) — equally closed-form),
+    * 2/3/4/5 = signed big-endian PCM at 8/16/24/32 bits.
     * Same downmix/width normalization as the WAV path. */
   private[graft] def decodeAuPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b == null || b.length < 24) return None
@@ -1423,7 +1515,7 @@ object Multimodal {
     val channels = bb.getInt(20)
     if (dataOff < 24 || dataOff > b.length || rate <= 0 || channels <= 0 ||
         channels > 64) return None
-    val bytesPer = enc match { case 1 | 2 => 1; case 3 => 2; case 4 => 3; case 5 => 4; case _ => return None }
+    val bytesPer = enc match { case 1 | 2 | 27 => 1; case 3 => 2; case 4 => 3; case 5 => 4; case _ => return None }
     val avail = math.min(dataSize, (b.length - dataOff).toLong)
     val nFrames = (avail / (bytesPer.toLong * channels)).toInt
     if (nFrames <= 0) return None
@@ -1436,6 +1528,7 @@ object Multimodal {
         val p = dataOff + (i * channels + c) * bytesPer
         sum += (enc match {
           case 1 => ulaw2linear(b(p))
+          case 27 => alaw2linear(b(p))
           case 2 => b(p) << 8 // signed 8-bit
           case 3 => bb.getShort(p).toInt
           case 4 => ((b(p) << 16) | ((b(p + 1) & 0xFF) << 8) | (b(p + 2) & 0xFF)) >> 8
@@ -1489,7 +1582,7 @@ object Multimodal {
     val enc = bb.getInt(12)
     val rate = bb.getInt(16)
     val channels = bb.getInt(20)
-    val bytesPer = enc match { case 1 | 2 => 1; case 3 => 2; case 4 => 3; case 5 => 4; case _ => return None }
+    val bytesPer = enc match { case 1 | 2 | 27 => 1; case 3 => 2; case 4 => 3; case 5 => 4; case _ => return None }
     if (rate <= 0 || channels <= 0 || channels > 64) return None
     Some((rate, channels, dataSize / (bytesPer.toLong * channels)))
   }
@@ -1522,12 +1615,26 @@ object Multimodal {
     b.array()
   }
 
-  /** A real AU stream: μ-law bytes verbatim (`enc = 1`) or big-endian
-    * int16 (`enc = 3`), mono. For μ-law the caller supplies the CODED
-    * bytes — fixtures put the integer byte formula on the wire and let
-    * the decoder's expansion law be the thing under test. */
+  /** G.711 A-law byte → linear int16: xor 0x55, then segment 0 is
+    * linear (m·16 + 8) and segments 1–7 are (m·16 + 264)·2^(e−1); the
+    * sign bit SET means positive (A-law's inversion of μ-law's
+    * convention). Closed-form integer — SQL-replayable like
+    * [[ulaw2linear]]. */
+  private[graft] def alaw2linear(byte: Byte): Int = {
+    val a = (byte ^ 0x55) & 0xFF
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0F
+    val mag = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** A real AU stream: μ-law (`enc = 1`) or A-law (`enc = 27`) bytes
+    * verbatim, or big-endian int16 (`enc = 3`), mono. For the G.711
+    * codings the caller supplies the CODED bytes — fixtures put the
+    * integer byte formula on the wire and let the decoder's expansion
+    * law be the thing under test. */
   def syntheticAu(sampleRate: Int, enc: Int, data: Array[Byte]): Array[Byte] = {
-    require(enc == 1 || enc == 3)
+    require(enc == 1 || enc == 3 || enc == 27)
     val b = ByteBuffer.allocate(24 + data.length).order(ByteOrder.BIG_ENDIAN)
     b.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(data.length)
     b.putInt(enc).putInt(sampleRate).putInt(1)

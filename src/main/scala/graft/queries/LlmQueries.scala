@@ -1439,6 +1439,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // and the A-law sibling: xor 0x55 framing, linear first segment,
+    // doubling chords after — a DIFFERENT closed-form law the oracle
+    // recomputes independently
+    "q_multimodal_alaw_audiohash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(alawMedia _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // audio near-dup pairs over the same rendered corpus (sparsified,
     // scale-bounded): docs sharing a base waveform differ only in a
     // boosted first frame (Hamming 0-1), brute-force oracle
@@ -1599,9 +1613,10 @@ object LlmQueries {
   /** The q_multimodal_cross_container fixture: [[jpegMedia]]'s 24×16
     * constant-block pixels (the dims every container here supports and
     * JPEG decodes bit-exactly) rendered through a container chosen by
-    * id % 5 — BMP, PNG (cycled filters), GIF (interlaced on parity),
-    * baseline JPEG, or TIFF (LZW + predictor, big-endian on parity).
-    * Identical pixels through five real codecs. */
+    * id % 6 — BMP, PNG (cycled filters), GIF (interlaced on parity),
+    * baseline JPEG, TIFF (LZW + predictor, big-endian on parity), or
+    * an OS/2 core-header BMP. Identical pixels through six real
+    * container/codec forms. */
   private def crossContainerMedia(id: Long): Multimodal.Media = {
     val w = 24
     val h = 16
@@ -1610,7 +1625,7 @@ object LlmQueries {
       val by = i / w / 8
       (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
     }
-    (id % 5) match {
+    (id % 6) match {
       case 0 => Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
       case 1 => Multimodal.Media(id,
         Multimodal.syntheticPngPixels(w, h, gray, colorType = 2,
@@ -1618,10 +1633,12 @@ object LlmQueries {
       case 2 => Multimodal.Media(id,
         Multimodal.syntheticGifPixels(w, h, gray, interlaced = id % 8 == 2), "image/gif")
       case 3 => Multimodal.Media(id, Multimodal.syntheticJpegPixels(w, h, gray), "image/jpeg")
-      case _ => Multimodal.Media(id,
+      case 4 => Multimodal.Media(id,
         graft.llm.Tiff.syntheticTiffPixels(w, h, gray, compression = 5,
           predictor = if (id % 2 == 0) 2 else 1, rowsPerStrip = 6,
           bigEndian = id % 10 == 4), "image/tiff")
+      case _ => Multimodal.Media(id,
+        Multimodal.syntheticBmpCore(w, h, gray, palettized = id % 2 == 1), "image/bmp")
     }
   }
 
@@ -1677,6 +1694,13 @@ object LlmQueries {
   private def ulawMedia(id: Long): Multimodal.Media = {
     val data = Array.tabulate[Byte](1950)(j => (((id % 97) * 13 + j * 97) % 256).toByte)
     Multimodal.Media(id, Multimodal.syntheticAu(8000, 1, data), "audio/basic")
+  }
+
+  /** The A-law sibling of [[ulawMedia]]: a different byte formula
+    * through AU encoding 27, decoded by [[Multimodal.alaw2linear]]. */
+  private def alawMedia(id: Long): Multimodal.Media = {
+    val data = Array.tabulate[Byte](1950)(j => (((id % 89) * 29 + j * 101) % 256).toByte)
+    Multimodal.Media(id, Multimodal.syntheticAu(8000, 27, data), "audio/basic")
   }
 
   /** [[audioMedia]]'s waveform through a REAL FLAC stream, the codec
@@ -3613,6 +3637,29 @@ object LlmQueries {
         |  SELECT doc_id, j,
         |         132 * ((1 << ((cu // 16) % 8)) - 1)
         |         + (cu % 16) * (1 << (((cu // 16) % 8) + 3)) AS a
+        |  FROM sm),
+        |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
+        |       FROM mg GROUP BY doc_id, j // 30),
+        |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+        |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |         WHERE l.f < 64)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the A-law expansion recomputed in SQL: xor-0x55 unframing, the
+    // linear 16-step first segment, then doubling chords — |sample| is
+    // again the magnitude term directly
+    "q_multimodal_alaw_audiohash" ->
+      """WITH sm AS (
+        |  SELECT doc_id, u.j AS j,
+        |         xor(((doc_id % 89) * 29 + u.j * 101) % 256, 85) AS ca
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
+        |mg AS (
+        |  SELECT doc_id, j,
+        |         CASE WHEN (ca // 16) % 8 = 0 THEN (ca % 16) * 16 + 8
+        |              ELSE ((ca % 16) * 16 + 264) * (1 << ((ca // 16) % 8 - 1)) END AS a
         |  FROM sm),
         |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
         |       FROM mg GROUP BY doc_id, j // 30),

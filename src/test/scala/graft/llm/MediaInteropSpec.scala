@@ -142,6 +142,21 @@ class MediaInteropSpec extends AnyFunSuite {
     assert((w3, h3, got3.toSeq) == (61, 47, px.toSeq))
   }
 
+  test("BMP OS/2 core header: ImageIO reads our 8-bit and 24-bpp core files") {
+    val px = noisy.take(61 * 47)
+    for (pal <- Seq(true, false)) {
+      val bytes = Multimodal.syntheticBmpCore(61, 47, px, palettized = pal)
+      val (w2, h2, got) = readGray(bytes)
+      assert((w2, h2) == (61, 47), s"pal=$pal")
+      assert(got.sameElements(px), s"pal=$pal")
+      assert(Multimodal.decodeBmpGray(bytes).get._3.sameElements(px), s"pal=$pal")
+    }
+    // truncated core files reject cleanly
+    val core = Multimodal.syntheticBmpCore(61, 47, px)
+    assert(Multimodal.decodeBmpGray(core.take(30)).isEmpty)
+    assert(Multimodal.decodeBmpGray(core.take(core.length - 9)).isEmpty)
+  }
+
   test("JPEG: our DC-block encoder decodes bit-exactly under ImageIO") {
     // constant 8x8 blocks -> DC-only spectrum -> lossless through ANY
     // conformant baseline JPEG decoder, including the JDK's
@@ -295,6 +310,20 @@ class MediaInteropSpec extends AnyFunSuite {
     val ours = codes.map(Multimodal.ulaw2linear)
     assert(ours.sameElements(jdk))
     // and the AU PCM walk agrees end-to-end
+    assert(Multimodal.decodeAuPcm(au).get._3.sameElements(ours))
+  }
+
+  test("AU A-law: our expansion law matches the JDK's G.711 decode byte for byte") {
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val au = Multimodal.syntheticAu(8000, 27, codes)
+    val alaw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(au))
+    val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, alaw)
+    val raw = pcm.readAllBytes()
+    val jdk = Array.tabulate(256)(i => ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)))
+    val ours = codes.map(Multimodal.alaw2linear)
+    assert(ours.sameElements(jdk))
     assert(Multimodal.decodeAuPcm(au).get._3.sameElements(ours))
   }
 
