@@ -1114,8 +1114,12 @@ object Multimodal {
     *  - format 1 at 8 bits — unsigned byte, `(v − 128) << 8`;
     *  - format 1 at 24/32 bits — top 16 bits (`>> 8` / `>> 16`);
     *  - format 3 (IEEE float) at 32 bits — `round(clamp(f, ±1)·32767)`;
+    *  - formats 6/7 (G.711 A-law/μ-law, the telephony WAVs) at 8 bits —
+    *    each coded byte expands by its closed-form integer law
+    *    ([[alaw2linear]]/[[ulaw2linear]], shared with the AU path);
     *  - format 0xFFFE (WAVE_FORMAT_EXTENSIBLE) — dispatched on the
-    *    SubFormat GUID's leading code (1 = PCM, 3 = float), same rules.
+    *    SubFormat GUID's leading code (1 = PCM, 3 = float, 6/7 = G.711),
+    *    same rules.
     *
     * Normalizing every width into the int16 range makes the envelope
     * hash COMPARABLE ACROSS ENCODINGS — a waveform re-exported at a
@@ -1159,6 +1163,7 @@ object Multimodal {
     val bytesPer =
       if (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) bits / 8
       else if (fmt == 3 && bits == 32) 4
+      else if ((fmt == 6 || fmt == 7) && bits == 8) 1
       else return None
     if (rate <= 0 || channels <= 0 || dataOff < 0) return None
     val avail = math.min(dataLen, (b.length - dataOff).toLong)
@@ -1174,7 +1179,9 @@ object Multimodal {
           val f = java.lang.Float.intBitsToFloat(bb.getInt(p))
           if (f.isNaN) 0
           else math.round(math.max(-1.0f, math.min(1.0f, f)) * 32767.0f)
-        } else bytesPer match {
+        } else if (fmt == 6) alaw2linear(b(p))
+        else if (fmt == 7) ulaw2linear(b(p))
+        else bytesPer match {
           case 1 => ((b(p) & 0xFF) - 128) << 8
           case 2 => bb.getShort(p).toInt
           case 3 => ((b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) | (b(p + 2) << 16)) >> 8
@@ -1701,6 +1708,25 @@ object Multimodal {
         case "ext16" => b.putShort(s.toShort)
       }
     }
+    b.array()
+  }
+
+  /** A real G.711 telephony WAV: format tag 6 (A-law) or 7 (μ-law),
+    * 8 bits, mono, the CODED bytes verbatim — fixtures put the byte
+    * formula on the wire and let the expansion law be the thing under
+    * test (the [[syntheticAu]] pattern). The fmt chunk carries the
+    * 18-byte non-PCM form (cbSize = 0) that strict readers — the JDK's
+    * WaveFileReader among them — expect for compressed format tags. */
+  def syntheticWavG711(sampleRate: Int, fmtTag: Int, data: Array[Byte]): Array[Byte] = {
+    require(fmtTag == 6 || fmtTag == 7)
+    val b = ByteBuffer.allocate(20 + 18 + 8 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 18 + 8 + data.length)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    b.putShort(fmtTag.toShort).putShort(1).putInt(sampleRate)
+    b.putInt(sampleRate).putShort(1).putShort(8).putShort(0)
+    b.put("data".getBytes("US-ASCII")).putInt(data.length)
+    b.put(data)
     b.array()
   }
 

@@ -1453,6 +1453,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // G.711 in the RIFF container: the telephony WAV family (format
+    // tags 6/7), law picked by doc_id parity — ONE oracle replays both
+    // laws behind a CASE
+    "q_multimodal_wav_g711_audiohash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wavG711Media _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // audio near-dup pairs over the same rendered corpus (sparsified,
     // scale-bounded): docs sharing a base waveform differ only in a
     // boosted first frame (Hamming 0-1), brute-force oracle
@@ -1701,6 +1715,16 @@ object LlmQueries {
   private def alawMedia(id: Long): Multimodal.Media = {
     val data = Array.tabulate[Byte](1950)(j => (((id % 89) * 29 + j * 101) % 256).toByte)
     Multimodal.Media(id, Multimodal.syntheticAu(8000, 27, data), "audio/basic")
+  }
+
+  /** G.711 inside the RIFF container (format tags 6/7 — the telephony
+    * WAV family): one byte formula on the wire, the law picked by
+    * doc_id parity, decoded by the same [[Multimodal.alaw2linear]]/
+    * [[Multimodal.ulaw2linear]] shared with the AU path. */
+  private def wavG711Media(id: Long): Multimodal.Media = {
+    val data = Array.tabulate[Byte](1950)(j => (((id % 83) * 37 + j * 103) % 256).toByte)
+    val tag = if (id % 2 == 0) 6 else 7
+    Multimodal.Media(id, Multimodal.syntheticWavG711(8000, tag, data), "audio/wav")
   }
 
   /** [[audioMedia]]'s waveform through a REAL FLAC stream, the codec
@@ -3660,6 +3684,36 @@ object LlmQueries {
         |  SELECT doc_id, j,
         |         CASE WHEN (ca // 16) % 8 = 0 THEN (ca % 16) * 16 + 8
         |              ELSE ((ca % 16) * 16 + 264) * (1 << ((ca // 16) % 8 - 1)) END AS a
+        |  FROM sm),
+        |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
+        |       FROM mg GROUP BY doc_id, j // 30),
+        |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+        |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |         WHERE l.f < 64)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // both G.711 laws behind one CASE keyed on doc_id parity — A-law's
+    // xor-0x55 chords vs mu-law's complemented 132-step segments, each
+    // recomputed from the coded-byte formula
+    "q_multimodal_wav_g711_audiohash" ->
+      """WITH sm AS (
+        |  SELECT doc_id, u.j AS j,
+        |         ((doc_id % 83) * 37 + u.j * 103) % 256 AS cb
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
+        |mg AS (
+        |  SELECT doc_id, j,
+        |         CASE WHEN doc_id % 2 = 0 THEN
+        |           CASE WHEN (xor(cb, 85) // 16) % 8 = 0
+        |                THEN (xor(cb, 85) % 16) * 16 + 8
+        |                ELSE ((xor(cb, 85) % 16) * 16 + 264)
+        |                     * (1 << ((xor(cb, 85) // 16) % 8 - 1)) END
+        |         ELSE
+        |           132 * ((1 << (((255 - cb) // 16) % 8)) - 1)
+        |           + ((255 - cb) % 16) * (1 << ((((255 - cb) // 16) % 8) + 3))
+        |         END AS a
         |  FROM sm),
         |fr AS (SELECT doc_id, j // 30 AS f, SUM(a) // 30 AS e
         |       FROM mg GROUP BY doc_id, j // 30),

@@ -327,6 +327,23 @@ class MediaInteropSpec extends AnyFunSuite {
     assert(Multimodal.decodeAuPcm(au).get._3.sameElements(ours))
   }
 
+  test("WAV G.711: both telephony laws decode byte-for-byte like javax.sound") {
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    for ((tag, law) <- Seq((6, Multimodal.alaw2linear _), (7, Multimodal.ulaw2linear _))) {
+      val wav = Multimodal.syntheticWavG711(8000, tag, codes)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(wav))
+      val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+      val raw = pcm.readAllBytes()
+      val jdk = Array.tabulate(256)(i => ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)))
+      val ours = codes.map(law)
+      assert(ours.sameElements(jdk), s"tag=$tag")
+      val (rate, ch, samples) = Multimodal.decodeWavPcm(wav).get
+      assert((rate, ch) == (8000, 1) && samples.sameElements(ours), s"tag=$tag")
+    }
+  }
+
   test("AU big-endian int16: javax.sound's writer round-trips through our decoder") {
     val samples = Array.tabulate(600) { j => ((j * 77 + 5) % 4001) - 2000 }
     val pcm = new Array[Byte](samples.length * 2)
