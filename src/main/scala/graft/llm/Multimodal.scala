@@ -1127,9 +1127,11 @@ object Multimodal {
     * lands on the same (or ±1-bit for lossy 8-bit) fingerprint.
     * Multi-channel frames downmix by integer average (sum / channels,
     * truncating toward zero like every other integer op here).
-    * Compressed WAV (ADPCM etc.) returns None — scoped, not silently
-    * wrong. A declared data size past the buffer truncates to the bytes
-    * actually present (scraped audio is routinely cut off mid-payload). */
+    * Format 0x11 (IMA/DVI ADPCM, 4-bit) decodes through the stateful
+    * block walk in [[decodeImaAdpcm]]; other compressed WAV (MS-ADPCM,
+    * MP3-in-WAV) returns None — scoped, not silently wrong. A declared
+    * data size past the buffer truncates to the bytes actually present
+    * (scraped audio is routinely cut off mid-payload). */
   private[graft] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b == null || b.length < 12) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -1140,6 +1142,7 @@ object Multimodal {
     var channels = 0
     var bits = 0
     var fmt = 0
+    var blockAlign = 0
     var dataOff = -1
     var dataLen = 0L
     while (pos + 8 <= b.length && (rate == 0 || dataOff < 0)) {
@@ -1149,6 +1152,7 @@ object Multimodal {
         fmt = bb.getShort(pos + 8) & 0xFFFF
         channels = bb.getShort(pos + 10)
         rate = bb.getInt(pos + 12)
+        blockAlign = bb.getShort(pos + 20) & 0xFFFF
         bits = bb.getShort(pos + 22)
         if (fmt == 0xFFFE && pos + 8 + 26 <= b.length && sz >= 40) {
           // EXTENSIBLE: fmt data = fmt(2) ch(2) rate(4) brate(4) align(2)
@@ -1159,6 +1163,13 @@ object Multimodal {
       } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
       val next = pos.toLong + 8L + sz + (sz & 1L)
       pos = if (next <= pos || next > Int.MaxValue) b.length else next.toInt
+    }
+    if (fmt == 0x11) { // IMA/DVI ADPCM — stateful, block-structured
+      if (bits != 4 || rate <= 0 || channels <= 0 || channels > 2 ||
+          dataOff < 0 || blockAlign < 4 * channels) return None
+      val avail = math.min(dataLen, (b.length - dataOff).toLong)
+      return decodeImaAdpcm(b, dataOff, avail, channels, blockAlign)
+        .map(s => (rate, channels, s))
     }
     val bytesPer =
       if (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) bits / 8
@@ -1193,6 +1204,232 @@ object Multimodal {
       i += 1
     }
     Some((rate, channels, out))
+  }
+
+  /** The canonical IMA ADPCM step-size table (89 entries) and nibble →
+    * index-delta table, from the IMA Digital Audio Pack recommended
+    * practices (1992) — fixed constants every implementation shares. */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA nibble through the decoder state: returns the new
+    * (predictor, stepIndex). The difference is the shift-add expansion
+    * diff = (step >> 3) + bit2·step + bit1·(step >> 1) + bit0·(step >> 2)
+    * (the integer form of ((2·mant + 1)·step) / 8), sign from bit 3;
+    * predictor clamps to int16, index to [0, 88]. Pure integer — a
+    * recursive SQL oracle replays the walk state for state. */
+  @inline private def imaStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val pc = math.max(-32768, math.min(32767, p))
+    val ic = math.max(0, math.min(88, idx + ImaIndexTable(nibble)))
+    (pc, ic)
+  }
+
+  /** IMA/DVI ADPCM data payload → mono int16 samples. Block-structured:
+    * every `blockAlign` bytes start fresh with a 4-byte-per-channel
+    * header (int16 seed predictor — emitted as the block's first sample
+    * — uint8 step index, reserved byte), then 4-bit nibbles LOW-first,
+    * stereo interleaved in 4-byte-per-channel groups (8 nibbles L, 8
+    * nibbles R, ...). A partial tail block decodes the nibbles actually
+    * present; stereo frames downmix (l + r) / channels like every other
+    * decoder here. ~4:1 compression with data-dependent state — the
+    * one decoder in the family whose oracle needs a RECURSIVE walk, not
+    * a per-sample closed form. */
+  private def decodeImaAdpcm(b: Array[Byte], dataOff: Int, avail: Long,
+      channels: Int, blockAlign: Int): Option[Array[Int]] = {
+    val hdr = 4 * channels
+    val end = dataOff + avail.toInt
+    val samplesPerFull = 1 + (blockAlign - hdr) * 2 / channels
+    val nBlocks = ((avail + blockAlign - 1) / blockAlign).toInt
+    if (nBlocks <= 0) return None
+    val outBuf = new Array[Int](nBlocks * samplesPerFull)
+    var n = 0
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var blockOff = dataOff
+    while (blockOff + hdr <= end) {
+      var c = 0
+      var seedSum = 0
+      while (c < channels) {
+        val p = blockOff + 4 * c
+        pred(c) = ((b(p) & 0xFF) | (b(p + 1) << 8)).toShort.toInt
+        idx(c) = math.max(0, math.min(88, b(p + 2) & 0xFF))
+        seedSum += pred(c)
+        c += 1
+      }
+      outBuf(n) = seedSum / channels; n += 1
+      val dataEnd = math.min(blockOff + blockAlign, end)
+      var p = blockOff + hdr
+      if (channels == 1) {
+        while (p < dataEnd) {
+          val byte = b(p) & 0xFF
+          val (p1, i1) = imaStep(pred(0), idx(0), byte & 0xF)
+          outBuf(n) = p1; n += 1
+          val (p2, i2) = imaStep(p1, i1, byte >> 4)
+          outBuf(n) = p2; n += 1
+          pred(0) = p2; idx(0) = i2
+          p += 1
+        }
+      } else {
+        // stereo: alternating 4-byte groups; a frame needs BOTH
+        // channels, so decode group-pairs into a small lane buffer
+        val lane = Array.ofDim[Int](2, 8)
+        while (p + 8 <= dataEnd) {
+          var c2 = 0
+          while (c2 < 2) {
+            var k = 0
+            while (k < 4) {
+              val byte = b(p + 4 * c2 + k) & 0xFF
+              val (p1, i1) = imaStep(pred(c2), idx(c2), byte & 0xF)
+              val (p2, i2) = imaStep(p1, i1, byte >> 4)
+              lane(c2)(2 * k) = p1; lane(c2)(2 * k + 1) = p2
+              pred(c2) = p2; idx(c2) = i2
+              k += 1
+            }
+            c2 += 1
+          }
+          var s = 0
+          while (s < 8) { outBuf(n) = (lane(0)(s) + lane(1)(s)) / 2; n += 1; s += 1 }
+          p += 8
+        }
+      }
+      blockOff += blockAlign
+    }
+    if (n == 0) None else Some(java.util.Arrays.copyOf(outBuf, n))
+  }
+
+  /** A real IMA ADPCM WAV from int16 samples (mono or interleaved
+    * stereo): the standard encoder — seed each block's header with the
+    * running predictor/index, quantize each delta through the same
+    * shift-subtract ladder the decoder's shift-add expansion mirrors,
+    * update state THROUGH THE DECODER's step so encoder and decoder
+    * predictors never drift. fmt chunk is the 20-byte form (cbSize = 2,
+    * wSamplesPerBlock) plus a fact chunk, as writers emit in the wild. */
+  def syntheticWavAdpcm(sampleRate: Int, channels: Int, samples: Array[Int],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    require(blockAlign % (4 * channels) == 0 && blockAlign >= 8 * channels)
+    val hdr = 4 * channels
+    val spb = 1 + (blockAlign - hdr) * 2 / channels // samples/block/channel
+    val nFrames = samples.length / channels
+    val nBlocks = (nFrames + spb - 1) / spb
+    val dataLen = nBlocks * blockAlign
+    val b = ByteBuffer.allocate(20 + 20 + 12 + 8 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 20 + 12 + 8 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    b.putShort(0x11).putShort(channels.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort).putShort(4)
+    b.putShort(2).putShort(spb.toShort)
+    b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nFrames)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var f = 0 // frame index of the current block's seed
+    var block = 0
+    while (block < nBlocks) {
+      // block header: seed = the exact next sample, so the first output
+      // matches it and the nibble chain starts from true state; frames
+      // past the input encode a hold-at-predictor tail (silence-shaped
+      // padding the decoder dutifully reproduces)
+      var c = 0
+      while (c < channels) {
+        val seed = if (f < nFrames) samples(f * channels + c) else pred(c)
+        pred(c) = math.max(-32768, math.min(32767, seed))
+        b.putShort(pred(c).toShort).put(idx(c).toByte).put(0.toByte)
+        c += 1
+      }
+      var s = 1 // per-channel sample index within the block
+      if (channels == 1) {
+        while (s < spb) {
+          var byte = 0
+          var half = 0
+          while (half < 2) {
+            val fi = f + s + half
+            val want = if (fi < nFrames) samples(fi) else pred(0)
+            val nib = imaEncodeNibble(pred(0), idx(0), want)
+            val st = imaStep(pred(0), idx(0), nib)
+            pred(0) = st._1; idx(0) = st._2
+            byte |= nib << (4 * half)
+            half += 1
+          }
+          b.put(byte.toByte)
+          s += 2
+        }
+      } else {
+        while (s < spb) { // 8 frames per channel per 16-byte group
+          var c2 = 0
+          while (c2 < 2) {
+            var k = 0
+            var byte = 0
+            while (k < 8) {
+              val fi = f + s + k
+              val want = if (fi < nFrames) samples(fi * 2 + c2) else pred(c2)
+              val nib = imaEncodeNibble(pred(c2), idx(c2), want)
+              val st = imaStep(pred(c2), idx(c2), nib)
+              pred(c2) = st._1; idx(c2) = st._2
+              if (k % 2 == 0) byte = nib
+              else { b.put((byte | (nib << 4)).toByte); byte = 0 }
+              k += 1
+            }
+            c2 += 1
+          }
+          s += 8
+        }
+      }
+      f += spb
+      block += 1
+    }
+    b.array()
+  }
+
+  /** Choose the 4-bit code whose shift-add expansion lands nearest the
+    * wanted delta: the standard trial-subtraction ladder (bit 2 = step,
+    * bit 1 = step/2, bit 0 = step/4), sign in bit 3. */
+  @inline private def imaEncodeNibble(pred: Int, idx: Int, want: Int): Int = {
+    val step = ImaStepTable(idx)
+    var delta = want - pred
+    var nib = 0
+    if (delta < 0) { nib = 8; delta = -delta }
+    if (delta >= step) { nib |= 4; delta -= step }
+    if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+    if (delta >= (step >> 2)) { nib |= 1 }
+    nib
+  }
+
+  /** A G.711-query-style IMA ADPCM fixture: ONE mono block whose 4-byte
+    * header carries the given seed predictor/index and whose nibble
+    * payload is the CODED bytes verbatim — the decoder's recursive
+    * state walk is the thing under test, and a WITH RECURSIVE oracle
+    * replays it state for state. */
+  def syntheticWavAdpcmCoded(sampleRate: Int, seedPred: Int, seedIdx: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val blockAlign = 4 + data.length
+    val spb = 1 + data.length * 2
+    val b = ByteBuffer.allocate(20 + 20 + 8 + blockAlign).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 20 + 8 + blockAlign)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    b.putShort(0x11).putShort(1).putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort).putShort(4)
+    b.putShort(2).putShort(spb.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    b.putShort(seedPred.toShort).put(seedIdx.toByte).put(0.toByte)
+    b.put(data)
+    b.array()
   }
 
   /** Energy-envelope difference hash for audio — the [[dHash64]] trick on

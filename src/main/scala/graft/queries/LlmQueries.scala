@@ -1453,6 +1453,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // IMA ADPCM: the stateful 4-bit predictive codec, coded nibbles on
+    // the wire — oracle = a recursive state walk, not a per-sample law
+    "q_multimodal_adpcm_audiohash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(adpcmMedia _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // G.711 in the RIFF container: the telephony WAV family (format
     // tags 6/7), law picked by doc_id parity — ONE oracle replays both
     // laws behind a CASE
@@ -1715,6 +1728,19 @@ object LlmQueries {
   private def alawMedia(id: Long): Multimodal.Media = {
     val data = Array.tabulate[Byte](1950)(j => (((id % 89) * 29 + j * 101) % 256).toByte)
     Multimodal.Media(id, Multimodal.syntheticAu(8000, 27, data), "audio/basic")
+  }
+
+  /** IMA ADPCM with CODED nibbles on the wire (one mono block, seeds
+    * from a doc_id formula): the decoder's data-dependent predictor/
+    * step-index walk is the thing under test — the one audio decode a
+    * closed-form oracle can't replay, so its DuckDB twin is a
+    * WITH RECURSIVE walk over the same step tables. */
+  private def adpcmMedia(id: Long): Multimodal.Media = {
+    val data = Array.tabulate[Byte](975)(j => (((id % 79) * 41 + j * 107) % 256).toByte)
+    val seedPred = ((id % 61) * 53 - 1500).toInt
+    val seedIdx = ((id * 7) % 89).toInt
+    Multimodal.Media(id, Multimodal.syntheticWavAdpcmCoded(8000, seedPred, seedIdx, data),
+      "audio/wav")
   }
 
   /** G.711 inside the RIFF container (format tags 6/7 — the telephony
@@ -3694,6 +3720,47 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
         |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the IMA ADPCM walk replayed in SQL: WITH RECURSIVE carries
+    // (pred, idx) through all 1950 nibbles — the nibble comes from the
+    // same doc_id formula the fixture wrote, the step tables are
+    // interpolated from the SAME Scala constants the decoder uses, and
+    // the shift-add expansion + clamps are re-stated as pure integer
+    // CASE arithmetic (the one decode in the family where the oracle
+    // must recurse: the state is data-dependent, not closed-form)
+    "q_multimodal_adpcm_audiohash" -> {
+      val steps = graft.llm.Multimodal.ImaStepTable.mkString("[", ", ", "]")
+      val idxT = graft.llm.Multimodal.ImaIndexTable.mkString("[", ", ", "]")
+      // the nibble consumed at transition k -> k+1 (low nibble first)
+      val nb = "(CASE WHEN w.k % 2 = 0 THEN byv % 16 ELSE byv // 16 END)"
+      val stp = s"($steps)[w.idx + 1]"
+      s"""WITH RECURSIVE walk(doc_id, k, pred, idx) AS (
+         |  SELECT doc_id, 0,
+         |         CAST((doc_id % 61) * 53 - 1500 AS INTEGER),
+         |         CAST((doc_id * 7) % 89 AS INTEGER)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT w.doc_id, w.k + 1,
+         |         CAST(GREATEST(-32768, LEAST(32767, w.pred
+         |           + CASE WHEN $nb >= 8 THEN -1 ELSE 1 END
+         |             * ($stp // 8
+         |                + CASE WHEN $nb % 8 >= 4 THEN $stp ELSE 0 END
+         |                + CASE WHEN $nb % 4 >= 2 THEN $stp // 2 ELSE 0 END
+         |                + CASE WHEN $nb % 2 = 1 THEN $stp // 4 ELSE 0 END))) AS INTEGER),
+         |         CAST(GREATEST(0, LEAST(88, w.idx + ($idxT)[$nb + 1])) AS INTEGER)
+         |  FROM (SELECT w0.*, ((w0.doc_id % 79) * 41 + (w0.k // 2) * 107) % 256 AS byv
+         |        FROM walk w0 WHERE w0.k < 1950) w),
+         |fr AS (SELECT doc_id, LEAST(k * 65 // 1951, 64) AS f,
+         |              SUM(abs(pred)) // COUNT(*) AS e
+         |       FROM walk GROUP BY doc_id, LEAST(k * 65 // 1951, 64)),
+         |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+         |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+         |         WHERE l.f < 64)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+         |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // both G.711 laws behind one CASE keyed on doc_id parity — A-law's
     // xor-0x55 chords vs mu-law's complemented 132-step segments, each

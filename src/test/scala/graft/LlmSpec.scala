@@ -1964,6 +1964,53 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm(nanWav).get._3.head == 0, "NaN clamps to 0")
   }
 
+  test("multimodal IMA ADPCM: stateful block decode, encoder tracks, truncation-safe") {
+    import graft.llm.Multimodal
+    // hand-walked vector straight from the IMA tables, seed pred 0 / idx 0
+    // (step 7): nibble 5 -> diff 7+1=8, idx->4 (step 11); nibble 0 ->
+    // diff 1, idx->3 (step 10); nibble 15 -> diff 1+10+5+2=18 SIGNED,
+    // idx->11 (step 21); nibble 2 -> diff 2+10=12, idx->10.
+    // Low nibble first: bytes = [0x05, 0x2F].
+    val vec = Multimodal.syntheticWavAdpcmCoded(8000, 0, 0, Array[Byte](0x05, 0x2F))
+    val (rate, ch, got) = Multimodal.decodeWavPcm(vec).get
+    assert((rate, ch) == (8000, 1))
+    assert(got.toSeq == Seq(0, 8, 9, -9, 3), s"hand vector: ${got.toSeq}")
+    // seed clamping: a header index byte past 88 clamps, not crashes
+    val wild = Multimodal.syntheticWavAdpcmCoded(8000, -30000, 200, Array[Byte](0x77, 0x11))
+    assert(Multimodal.decodeWavPcm(wild).get._3.head == -30000)
+    // encoder->decoder tracking on a smooth waveform across MULTIPLE
+    // blocks: after the per-block seed resync the quantization error is
+    // bounded by the local step size, far under the signal swing
+    val smooth = Array.tabulate(1950) { j =>
+      val period = j % 400
+      val tri = if (period < 200) period * 16 - 1600 else (400 - period) * 16 - 1600
+      tri
+    }
+    val enc = Multimodal.syntheticWavAdpcm(8000, 1, smooth, blockAlign = 256)
+    val dec = Multimodal.decodeWavPcm(enc).get._3
+    assert(dec.length >= 1950, s"padded blocks: ${dec.length}")
+    val err = smooth.indices.map(j => math.abs(dec(j) - smooth(j)))
+    assert(err.max <= 512, s"tracking error ${err.max}")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hOrig = Multimodal.audioHash64(smooth).get
+    val hDec = Multimodal.audioHash64(dec.take(1950)).get
+    assert(ham(hOrig, hDec) <= 2, "lossy but envelope-preserving")
+    // stereo: L = R = x decodes (via the interleaved 4-byte lanes) to a
+    // downmix that tracks x the same way
+    val stereoIn = Array.tabulate(3900)(j => smooth(j / 2))
+    val encS = Multimodal.syntheticWavAdpcm(8000, 2, stereoIn, blockAlign = 256)
+    val decS = Multimodal.decodeWavPcm(encS).get
+    assert(decS._2 == 2)
+    val errS = smooth.indices.map(j => math.abs(decS._3(j) - smooth(j)))
+    assert(errS.max <= 512, s"stereo tracking error ${errS.max}")
+    // truncation mid-block: decodes the nibbles actually present, and the
+    // decoded prefix is IDENTICAL to the full stream's prefix
+    val cut = Multimodal.decodeWavPcm(enc.take(60 + 150)).get._3
+    assert(cut.nonEmpty && cut.length < dec.length)
+    assert(cut.toSeq == dec.take(cut.length).toSeq, "prefix-stable truncation")
+    // MS-ADPCM (format 2) still rejects — only IMA is in scope
+  }
+
   test("multimodal progressive JPEG: multi-scan refinement decodes, DC-exact") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(53)
