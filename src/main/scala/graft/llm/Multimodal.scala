@@ -1128,10 +1128,11 @@ object Multimodal {
     * Multi-channel frames downmix by integer average (sum / channels,
     * truncating toward zero like every other integer op here).
     * Format 0x11 (IMA/DVI ADPCM, 4-bit) decodes through the stateful
-    * block walk in [[decodeImaAdpcm]]; other compressed WAV (MS-ADPCM,
-    * MP3-in-WAV) returns None — scoped, not silently wrong. A declared
-    * data size past the buffer truncates to the bytes actually present
-    * (scraped audio is routinely cut off mid-payload). */
+    * block walk in [[decodeImaAdpcm]]; format 2 (Microsoft ADPCM) through
+    * the two-tap predictive walk in [[decodeMsAdpcm]]; other compressed
+    * WAV (MP3-in-WAV) returns None — scoped, not silently wrong. A
+    * declared data size past the buffer truncates to the bytes actually
+    * present (scraped audio is routinely cut off mid-payload). */
   private[graft] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b == null || b.length < 12) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -1169,6 +1170,13 @@ object Multimodal {
           dataOff < 0 || blockAlign < 4 * channels) return None
       val avail = math.min(dataLen, (b.length - dataOff).toLong)
       return decodeImaAdpcm(b, dataOff, avail, channels, blockAlign)
+        .map(s => (rate, channels, s))
+    }
+    if (fmt == 2) { // Microsoft ADPCM — two-tap predictor, adaptive delta
+      if (bits != 4 || rate <= 0 || channels <= 0 || channels > 2 ||
+          dataOff < 0 || blockAlign < 7 * channels) return None
+      val avail = math.min(dataLen, (b.length - dataOff).toLong)
+      return decodeMsAdpcm(b, dataOff, avail, channels, blockAlign)
         .map(s => (rate, channels, s))
     }
     val bytesPer =
@@ -1428,6 +1436,221 @@ object Multimodal {
     b.putShort(2).putShort(spb.toShort)
     b.put("data".getBytes("US-ASCII")).putInt(blockAlign)
     b.putShort(seedPred.toShort).put(seedIdx.toByte).put(0.toByte)
+    b.put(data)
+    b.array()
+  }
+
+  /** Microsoft ADPCM's fixed tables: the seven two-tap predictor
+    * coefficient pairs (8.8 fixed point) and the 16-entry delta
+    * adaptation table — constants from the WAVE format registry every
+    * implementation shares. */
+  private[graft] val MsAdaptCoeff1: Array[Int] =
+    Array(256, 512, 0, 192, 240, 460, 392)
+  private[graft] val MsAdaptCoeff2: Array[Int] =
+    Array(0, -256, 0, 64, 0, -208, -232)
+  private[graft] val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+    230, 230, 230)
+
+  /** One MS-ADPCM nibble through the decoder state: returns the new
+    * (samp1, samp2, delta). The predictor is the two-tap fixed-point
+    * form `(s1·c1 + s2·c2) >> 8` — an ARITHMETIC shift, i.e. FLOOR
+    * division by 256 (the SQL oracle must restate it with a mod-fixup,
+    * DuckDB's `//` truncates toward zero); the nibble is a SIGNED
+    * 4-bit multiplier on the adaptive delta, and the delta scales by
+    * `adapt[nibble] >> 8` with a floor of 16. Pure integer. */
+  @inline private def msStep(s1: Int, s2: Int, delta: Int, c1: Int, c2: Int,
+      nibble: Int): (Int, Int, Int) = {
+    val pred = (s1 * c1 + s2 * c2) >> 8
+    val signed = if (nibble >= 8) nibble - 16 else nibble
+    val samp = math.max(-32768, math.min(32767, pred + signed * delta))
+    val d = math.max(16, (MsAdaptTable(nibble) * delta) >> 8)
+    (samp, s1, d)
+  }
+
+  /** MS-ADPCM data payload → mono int16 samples. Block-structured with a
+    * RICHER header than IMA: per channel a predictor index (0–6 into the
+    * coefficient pairs), an int16 seed delta, and the two priming
+    * samples iSamp1/iSamp2 — which are emitted OLDEST FIRST (samp2 then
+    * samp1) before the nibble chain. Header layout interleaves by FIELD
+    * (all predictors, all deltas, all samp1s, all samp2s), nibbles are
+    * HIGH-first (the opposite of IMA), and stereo packs one L/R frame
+    * per byte. A predictor byte past 6 rejects the block (corrupt), a
+    * seed delta below 16 clamps to the adaptation floor (encoders never
+    * emit one), and a partial tail block decodes the nibbles actually
+    * present. Like IMA this is the recursive-oracle case: three state
+    * variables (samp1, samp2, delta) per channel, all data-dependent. */
+  private def decodeMsAdpcm(b: Array[Byte], dataOff: Int, avail: Long,
+      channels: Int, blockAlign: Int): Option[Array[Int]] = {
+    val hdr = 7 * channels
+    val end = dataOff + avail.toInt
+    val framesPerFull = 2 + (blockAlign - hdr) * 2 / channels
+    val nBlocks = ((avail + blockAlign - 1) / blockAlign).toInt
+    if (nBlocks <= 0) return None
+    val outBuf = new Array[Int](nBlocks * framesPerFull)
+    var n = 0
+    val s1 = new Array[Int](channels)
+    val s2 = new Array[Int](channels)
+    val dl = new Array[Int](channels)
+    val c1 = new Array[Int](channels)
+    val c2 = new Array[Int](channels)
+    var blockOff = dataOff
+    while (blockOff + hdr <= end) {
+      var c = 0
+      while (c < channels) {
+        val bp = b(blockOff + c) & 0xFF
+        if (bp > 6) return if (n == 0) None else Some(java.util.Arrays.copyOf(outBuf, n))
+        c1(c) = MsAdaptCoeff1(bp); c2(c) = MsAdaptCoeff2(bp)
+        val base = blockOff + channels
+        dl(c) = math.max(16,
+          ((b(base + 2 * c) & 0xFF) | (b(base + 2 * c + 1) << 8)).toShort.toInt)
+        s1(c) = ((b(base + 2 * channels + 2 * c) & 0xFF) |
+          (b(base + 2 * channels + 2 * c + 1) << 8)).toShort.toInt
+        s2(c) = ((b(base + 4 * channels + 2 * c) & 0xFF) |
+          (b(base + 4 * channels + 2 * c + 1) << 8)).toShort.toInt
+        c += 1
+      }
+      // the two priming samples, oldest first, downmixed like the chain
+      var sum2 = 0; var sum1 = 0
+      c = 0
+      while (c < channels) { sum2 += s2(c); sum1 += s1(c); c += 1 }
+      outBuf(n) = sum2 / channels; n += 1
+      outBuf(n) = sum1 / channels; n += 1
+      val dataEnd = math.min(blockOff + blockAlign, end)
+      var p = blockOff + hdr
+      if (channels == 1) {
+        while (p < dataEnd) {
+          val byte = b(p) & 0xFF
+          val r1 = msStep(s1(0), s2(0), dl(0), c1(0), c2(0), byte >> 4)
+          outBuf(n) = r1._1; n += 1
+          val r2 = msStep(r1._1, r1._2, r1._3, c1(0), c2(0), byte & 0xF)
+          outBuf(n) = r2._1; n += 1
+          s1(0) = r2._1; s2(0) = r2._2; dl(0) = r2._3
+          p += 1
+        }
+      } else {
+        while (p < dataEnd) { // one L/R frame per byte: L high, R low
+          val byte = b(p) & 0xFF
+          val rl = msStep(s1(0), s2(0), dl(0), c1(0), c2(0), byte >> 4)
+          s1(0) = rl._1; s2(0) = rl._2; dl(0) = rl._3
+          val rr = msStep(s1(1), s2(1), dl(1), c1(1), c2(1), byte & 0xF)
+          s1(1) = rr._1; s2(1) = rr._2; dl(1) = rr._3
+          outBuf(n) = (rl._1 + rr._1) / 2; n += 1
+          p += 1
+        }
+      }
+      blockOff += blockAlign
+    }
+    if (n == 0) None else Some(java.util.Arrays.copyOf(outBuf, n))
+  }
+
+  /** A real MS-ADPCM WAV from int16 samples (mono or interleaved
+    * stereo): the standard encoder shape — each block seeds iSamp2/
+    * iSamp1 from the first two frames, picks the quantizer code by
+    * rounding `(want − pred) / delta` into the signed-4-bit range, and
+    * updates state THROUGH THE DECODER's step so the two never drift.
+    * Predictor pair 0 (pure one-tap, coeff 256/0) keeps the fixture
+    * deterministic; the fmt chunk carries the full 32-byte extension
+    * (wSamplesPerBlock, wNumCoef = 7, the seven registry pairs) exactly
+    * as writers emit it. */
+  def syntheticWavAdpcmMs(sampleRate: Int, channels: Int, samples: Array[Int],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    require(blockAlign >= 7 * channels + channels)
+    val hdr = 7 * channels
+    val spb = 2 + (blockAlign - hdr) * 2 / channels
+    val nFrames = samples.length / channels
+    val nBlocks = math.max(1, (nFrames + spb - 1) / spb)
+    val dataLen = nBlocks * blockAlign
+    val fmtLen = 18 + 32 // base + cbSize payload (spb, nCoef, 7 pairs)
+    val b = ByteBuffer.allocate(20 + 8 + fmtLen + 12 + 8 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 8 + fmtLen + 12 + 8 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+    b.putShort(2).putShort(channels.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort).putShort(4)
+    b.putShort(32).putShort(spb.toShort).putShort(7)
+    var ci = 0
+    while (ci < 7) {
+      b.putShort(MsAdaptCoeff1(ci).toShort).putShort(MsAdaptCoeff2(ci).toShort)
+      ci += 1
+    }
+    b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nFrames)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    def at(fi: Int, c: Int, fallback: Int): Int =
+      if (fi < nFrames) samples(fi * channels + c) else fallback
+    val s1 = new Array[Int](channels)
+    val s2 = new Array[Int](channels)
+    val dl = new Array[Int](channels)
+    var f = 0
+    var block = 0
+    while (block < nBlocks) {
+      var c = 0
+      while (c < channels) {
+        s2(c) = at(f, c, 0)
+        s1(c) = at(f + 1, c, s2(c))
+        dl(c) = 64 // a mid-range seed; adaptation converges within a few nibbles
+        c += 1
+      }
+      c = 0
+      while (c < channels) { b.put(0.toByte); c += 1 } // predictor 0 per channel
+      c = 0
+      while (c < channels) { b.putShort(dl(c).toShort); c += 1 }
+      c = 0
+      while (c < channels) { b.putShort(s1(c).toShort); c += 1 }
+      c = 0
+      while (c < channels) { b.putShort(s2(c).toShort); c += 1 }
+      // one nibble through the shared quantize-then-decode step
+      def encodeOne(ch: Int, want: Int): Int = {
+        val pred = (s1(ch) * 256) >> 8 // predictor pair 0: c1 = 256, c2 = 0
+        val q = Math.round((want - pred).toFloat / dl(ch))
+        val nib = (math.max(-8, math.min(7, q)) + 16) & 0xF
+        val st = msStep(s1(ch), s2(ch), dl(ch), 256, 0, nib)
+        s1(ch) = st._1; s2(ch) = st._2; dl(ch) = st._3
+        nib
+      }
+      var s = 2 // frames 0/1 ride the header
+      if (channels == 1) {
+        while (s < spb) { // two mono samples per byte, HIGH nibble first
+          val hi = encodeOne(0, at(f + s, 0, s1(0)))
+          val lo = encodeOne(0, at(f + s + 1, 0, s1(0)))
+          b.put(((hi << 4) | lo).toByte)
+          s += 2
+        }
+      } else {
+        while (s < spb) { // one L/R frame per byte: L high, R low
+          val hi = encodeOne(0, at(f + s, 0, s1(0)))
+          val lo = encodeOne(1, at(f + s, 1, s1(1)))
+          b.put(((hi << 4) | lo).toByte)
+          s += 1
+        }
+      }
+      f += spb
+      block += 1
+    }
+    b.array()
+  }
+
+  /** An MS-ADPCM fixture with CODED nibbles on the wire: ONE mono block
+    * whose 7-byte header carries the given predictor index, seed delta,
+    * and priming samples verbatim — the decoder's three-variable
+    * recursive walk is the thing under test, and a WITH RECURSIVE
+    * oracle replays (samp1, samp2, delta) state for state. */
+  def syntheticWavAdpcmMsCoded(sampleRate: Int, bPred: Int, seedDelta: Int,
+      samp1: Int, samp2: Int, data: Array[Byte]): Array[Byte] = {
+    val blockAlign = 7 + data.length
+    val spb = 2 + data.length * 2
+    val b = ByteBuffer.allocate(20 + 26 + 8 + blockAlign).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 26 + 8 + blockAlign)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(18 + 4)
+    b.putShort(2).putShort(1).putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort).putShort(4)
+    b.putShort(4).putShort(spb.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    b.put(bPred.toByte).putShort(seedDelta.toShort)
+    b.putShort(samp1.toShort).putShort(samp2.toShort)
     b.put(data)
     b.array()
   }

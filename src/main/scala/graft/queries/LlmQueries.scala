@@ -1466,6 +1466,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MS-ADPCM: the OTHER stateful WAV codec — two-tap fixed-point
+    // predictor (seven registry coefficient pairs), adaptive delta,
+    // priming samples in the header; the oracle walk carries THREE
+    // state variables and must restate Java's arithmetic >> 8 as a
+    // mod-fixed FLOOR division (DuckDB's // truncates toward zero)
+    "q_multimodal_msadpcm_audiohash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(msAdpcmMedia _)
+      Multimodal.audioEnvelopeHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // G.711 in the RIFF container: the telephony WAV family (format
     // tags 6/7), law picked by doc_id parity — ONE oracle replays both
     // laws behind a CASE
@@ -1740,6 +1756,23 @@ object LlmQueries {
     val seedPred = ((id % 61) * 53 - 1500).toInt
     val seedIdx = ((id * 7) % 89).toInt
     Multimodal.Media(id, Multimodal.syntheticWavAdpcmCoded(8000, seedPred, seedIdx, data),
+      "audio/wav")
+  }
+
+  /** MS-ADPCM with CODED nibbles on the wire (one mono block): the
+    * predictor index, seed delta, and the two priming samples all come
+    * from doc_id formulas, spanning every coefficient pair — the
+    * decoder's three-variable (samp1, samp2, delta) recursive walk is
+    * the thing under test, replayed by a WITH RECURSIVE oracle whose
+    * predictor restates the arithmetic shift as a floor division. */
+  private def msAdpcmMedia(id: Long): Multimodal.Media = {
+    val data = Array.tabulate[Byte](975)(j => (((id % 83) * 37 + j * 111) % 256).toByte)
+    val bPred = (id % 7).toInt
+    val seedDelta = (16 + (id % 50) * 7).toInt
+    val samp1 = ((id % 89) * 73 - 3200).toInt
+    val samp2 = ((id % 97) * 61 - 2900).toInt
+    Multimodal.Media(id,
+      Multimodal.syntheticWavAdpcmMsCoded(8000, bPred, seedDelta, samp1, samp2, data),
       "audio/wav")
   }
 
@@ -3753,6 +3786,51 @@ object LlmQueries {
          |fr AS (SELECT doc_id, LEAST(k * 65 // 1951, 64) AS f,
          |              SUM(abs(pred)) // COUNT(*) AS e
          |       FROM walk GROUP BY doc_id, LEAST(k * 65 // 1951, 64)),
+         |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+         |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+         |         WHERE l.f < 64)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+         |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the MS-ADPCM walk replayed in SQL: WITH RECURSIVE carries THREE
+    // state variables (samp1, samp2, delta) through 1950 high-first
+    // nibbles; the two-tap predictor's `>> 8` is an ARITHMETIC shift
+    // (floor), which DuckDB's truncating `//` must imitate via the
+    // mod-fixup `(pv - ((pv % 256 + 256) % 256)) // 256`; the two
+    // priming samples join the envelope ahead of the chain
+    "q_multimodal_msadpcm_audiohash" -> {
+      val co1 = graft.llm.Multimodal.MsAdaptCoeff1.mkString("[", ", ", "]")
+      val co2 = graft.llm.Multimodal.MsAdaptCoeff2.mkString("[", ", ", "]")
+      val ad = graft.llm.Multimodal.MsAdaptTable.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE walk(doc_id, k, s1, s2, dl) AS (
+         |  SELECT doc_id, 0,
+         |         CAST((doc_id % 89) * 73 - 3200 AS INTEGER),
+         |         CAST((doc_id % 97) * 61 - 2900 AS INTEGER),
+         |         CAST(16 + (doc_id % 50) * 7 AS INTEGER)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT w.doc_id, w.k + 1,
+         |         CAST(GREATEST(-32768, LEAST(32767,
+         |           (pv - ((pv % 256 + 256) % 256)) // 256
+         |           + (nb - CASE WHEN nb >= 8 THEN 16 ELSE 0 END) * w.dl)) AS INTEGER),
+         |         w.s1,
+         |         CAST(GREATEST(16, (($ad)[nb + 1] * w.dl) // 256) AS INTEGER)
+         |  FROM (SELECT w0.*,
+         |               CAST(CASE WHEN w0.k % 2 = 0
+         |                    THEN (((w0.doc_id % 83) * 37 + (w0.k // 2) * 111) % 256) // 16
+         |                    ELSE (((w0.doc_id % 83) * 37 + (w0.k // 2) * 111) % 256) % 16
+         |               END AS INTEGER) AS nb,
+         |               w0.s1 * ($co1)[CAST(w0.doc_id % 7 AS INTEGER) + 1]
+         |                 + w0.s2 * ($co2)[CAST(w0.doc_id % 7 AS INTEGER) + 1] AS pv
+         |        FROM walk w0 WHERE w0.k < 1950) w),
+         |sm AS (SELECT doc_id, k + 1 AS j, abs(s1) AS a FROM walk
+         |       UNION ALL
+         |       SELECT doc_id, 0, abs((doc_id % 97) * 61 - 2900) FROM documents),
+         |fr AS (SELECT doc_id, LEAST(j * 65 // 1952, 64) AS f, SUM(a) // COUNT(*) AS e
+         |       FROM sm GROUP BY doc_id, LEAST(j * 65 // 1952, 64)),
          |bits AS (SELECT l.doc_id, l.f AS i, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
          |         FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
          |         WHERE l.f < 64)
