@@ -86,6 +86,87 @@ object ScaleProbe {
     Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
   }
 
+  // Round-12 codec-wave fixtures: the same planted-twin content rendered
+  // through the EXPENSIVE decode paths the r11 wave added (PNG inflate,
+  // GIF LZW, baseline + progressive JPEG, TIFF-LZW, FLAC, IMA/MS ADPCM,
+  // G.711, AIFF/AU). These rows time the HASH MAP STAGE only — the
+  // decode claim under test is per-row CPU, flat across the decade,
+  // with zero shuffle growth (the pair math is already pinned by the
+  // lossless rows above). Image content is block-constant so JPEG stays
+  // DC-dominated; the coded-formula G.711 paths are stateless decodes
+  // where formula bytes are safe.
+  private def probeImageCrossMedia(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Hashing, Multimodal, Tiff}
+    val local = id % 1000000L
+    val variant = ((id / 1000000L) % 3L).toInt
+    val w = 24; val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = i / w / 8
+      val base = (Hashing.splitmix64(local * 6L + by * 3L + bx) & 0xBFL).toInt
+      if (bx == 0 && by == 0) base + variant * 12 else base
+    }
+    (local % 6) match {
+      case 0 => Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
+      case 1 => Multimodal.Media(id,
+        Multimodal.syntheticPngPixels(w, h, gray, colorType = 2,
+          rowFilters = Seq(((local % 5) + 1).toInt % 5, (local % 5).toInt)), "image/png")
+      case 2 => Multimodal.Media(id,
+        Multimodal.syntheticGifPixels(w, h, gray, interlaced = local % 4 == 2), "image/gif")
+      case 3 => Multimodal.Media(id, Multimodal.syntheticJpegPixels(w, h, gray), "image/jpeg")
+      case 4 => Multimodal.Media(id,
+        Tiff.syntheticTiffPixels(w, h, gray, compression = 5, predictor = 2,
+          rowsPerStrip = 6, bigEndian = local % 2 == 0), "image/tiff")
+      case _ => Multimodal.Media(id,
+        Multimodal.syntheticJpegProgressive(w, h, gray), "image/jpeg")
+    }
+  }
+
+  private def probeAudioCrossMedia(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Flac, Hashing, Multimodal}
+    val local = id % 1000000L
+    val variant = ((id / 1000000L) % 3L).toInt
+    val samples = Array.tabulate(1950) { j =>
+      val s = (((Hashing.splitmix64(local * 1950L + j) % 4001L) + 4001L) % 4001L - 2000L).toInt
+      if (j < 30) s + variant * 500 else s
+    }
+    def codedBytes(n: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(j => (Hashing.splitmix64(local * 31L + j) & 0xFFL).toByte)
+    (local % 8) match {
+      case 0 => Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+      case 1 => Multimodal.Media(id, Multimodal.syntheticWav(8000, samples, "float32"), "audio/wav")
+      case 2 => Multimodal.Media(id,
+        Flac.synthetic(8000, samples, blockSize = 256, strategy = "fixed2"), "audio/flac")
+      case 3 => Multimodal.Media(id, Multimodal.syntheticAiff(8000, samples), "audio/aiff")
+      case 4 => Multimodal.Media(id,
+        Multimodal.syntheticAu(8000, if (local % 2 == 0) 1 else 27, codedBytes(1950)),
+        "audio/basic")
+      case 5 => Multimodal.Media(id,
+        Multimodal.syntheticWavG711(8000, if (local % 2 == 0) 6 else 7, codedBytes(1950)),
+        "audio/wav")
+      case 6 => Multimodal.Media(id,
+        Multimodal.syntheticWavAdpcm(8000, 1, samples, blockAlign = 256), "audio/wav")
+      case _ => Multimodal.Media(id,
+        Multimodal.syntheticWavAdpcmMs(8000, 1, samples), "audio/wav")
+    }
+  }
+
+  private def probeVideoCrossMedia(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Hashing, Multimodal}
+    val local = id % 1000000L
+    val variant = ((id / 1000000L) % 3L).toInt
+    val w = 18; val h = 16
+    val frames = (0 until 12).map { f =>
+      Array.tabulate(w * h) { i =>
+        val base = (Hashing.splitmix64((local * 12L + f) * 288L + i) & 0x7FL).toInt
+        if (f == variant * 4 && i % w < 2 && i / w < 2) base + 40 else base
+      }
+    }
+    if (local % 2 == 0)
+      Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
+    else
+      Multimodal.Media(id, Multimodal.syntheticGifAnimated(w, h, frames), "video/gif")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -337,6 +418,21 @@ object ScaleProbe {
               .filter(col("is_canonical")).count()
           }
           report("media_pipeline_canonical", tMp, nMp)
+          // round-12: the codec-wave decode CPU rows — hash stage only,
+          // aggregated on the hash column (a bare count() can't prune a
+          // typed map, but the forcing is uniform with the as-of lesson)
+          val (tIc, nIc) = time(
+            graft.llm.Multimodal.imageDHash(mediaIds.map(probeImageCrossMedia _))
+              .agg(count(col("dhash"))).head.getLong(0))
+          report("image_hash_cross_container6", tIc, nIc)
+          val (tAc, nAc) = time(
+            graft.llm.Multimodal.audioEnvelopeHash(mediaIds.map(probeAudioCrossMedia _))
+              .agg(count(col("dhash"))).head.getLong(0))
+          report("audio_hash_cross_encoding8", tAc, nAc)
+          val (tVc, nVc) = time(
+            graft.llm.Multimodal.videoFrameHashes(mediaIds.map(probeVideoCrossMedia _),
+              sampleFrames = 12).agg(count(col("dhash"))).head.getLong(0))
+          report("video_hash_cross_container2", tVc, nVc)
         }
         // round-10: the as-of family under a HOT key — half of every
         // tick lands on key 0 (the single-instrument-with-10⁹-ticks shape

@@ -1452,19 +1452,31 @@ object Multimodal {
     230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
     230, 230, 230)
 
+  /** Upper clamp on the MS-ADPCM adaptive delta. The spec gives delta
+    * only a FLOOR (16); with no ceiling, a crafted nibble stream of
+    * uniform random codes grows delta by a ~1.35×/step geometric mean
+    * (the adapt table's mean ratio over 256) and silently wraps Int
+    * within ~100 steps. No real encoder emits such a stream — delta
+    * tracks signal amplitude, and 0x7FFF·8 already lets a single
+    * nibble traverse the entire int16 range — so the clamp changes
+    * nothing for well-formed audio while making hostile bytes safe.
+    * The SQL oracle replays the same LEAST(). */
+  private[graft] val MsDeltaMax: Int = 0x7FFF * 8
+
   /** One MS-ADPCM nibble through the decoder state: returns the new
     * (samp1, samp2, delta). The predictor is the two-tap fixed-point
     * form `(s1·c1 + s2·c2) >> 8` — an ARITHMETIC shift, i.e. FLOOR
     * division by 256 (the SQL oracle must restate it with a mod-fixup,
     * DuckDB's `//` truncates toward zero); the nibble is a SIGNED
     * 4-bit multiplier on the adaptive delta, and the delta scales by
-    * `adapt[nibble] >> 8` with a floor of 16. Pure integer. */
+    * `adapt[nibble] >> 8` with a floor of 16 and the [[MsDeltaMax]]
+    * ceiling. Pure integer. */
   @inline private def msStep(s1: Int, s2: Int, delta: Int, c1: Int, c2: Int,
       nibble: Int): (Int, Int, Int) = {
     val pred = (s1 * c1 + s2 * c2) >> 8
     val signed = if (nibble >= 8) nibble - 16 else nibble
     val samp = math.max(-32768, math.min(32767, pred + signed * delta))
-    val d = math.max(16, (MsAdaptTable(nibble) * delta) >> 8)
+    val d = math.max(16, math.min(MsDeltaMax, (MsAdaptTable(nibble) * delta) >> 8))
     (samp, s1, d)
   }
 
@@ -1604,7 +1616,9 @@ object Multimodal {
       // one nibble through the shared quantize-then-decode step
       def encodeOne(ch: Int, want: Int): Int = {
         val pred = (s1(ch) * 256) >> 8 // predictor pair 0: c1 = 256, c2 = 0
-        val q = Math.round((want - pred).toFloat / dl(ch))
+        // round((want−pred)/dl) in pure integers: floor(x+1/2) =
+        // floorDiv(2a+b, 2b) — same value as the float form, replayable
+        val q = Math.floorDiv(2 * (want - pred) + dl(ch), 2 * dl(ch))
         val nib = (math.max(-8, math.min(7, q)) + 16) & 0xF
         val st = msStep(s1(ch), s2(ch), dl(ch), 256, 0, nib)
         s1(ch) = st._1; s2(ch) = st._2; dl(ch) = st._3
@@ -1641,18 +1655,55 @@ object Multimodal {
       samp1: Int, samp2: Int, data: Array[Byte]): Array[Byte] = {
     val blockAlign = 7 + data.length
     val spb = 2 + data.length * 2
-    val b = ByteBuffer.allocate(20 + 26 + 8 + blockAlign).order(ByteOrder.LITTLE_ENDIAN)
-    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 26 + 8 + blockAlign)
+    val b = ByteBuffer.allocate(20 + 20 + 8 + blockAlign).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 20 + 8 + blockAlign)
     b.put("WAVE".getBytes("US-ASCII"))
-    b.put("fmt ".getBytes("US-ASCII")).putInt(18 + 4)
+    b.put("fmt ".getBytes("US-ASCII")).putInt(18 + 2)
     b.putShort(2).putShort(1).putInt(sampleRate)
     b.putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort).putShort(4)
-    b.putShort(4).putShort(spb.toShort)
+    b.putShort(2).putShort(spb.toShort)
     b.put("data".getBytes("US-ASCII")).putInt(blockAlign)
     b.put(bPred.toByte).putShort(seedDelta.toShort)
     b.putShort(samp1.toShort).putShort(samp2.toShort)
     b.put(data)
     b.array()
+  }
+
+  /** A TRACKING-ENCODER nibble stream for [[syntheticWavAdpcmMsCoded]]:
+    * each nibble quantizes a target waveform sample against the
+    * decoder's OWN state (advanced through [[msStep]], any predictor
+    * pair), so the adaptive delta tracks the signal and stays bounded —
+    * the property a raw formula-coded payload provably lacks here
+    * (MS-ADPCM's delta has no spec ceiling and grows ~1.35×/step under
+    * uniform nibbles, wrapping Int within ~100 steps; IMA was immune
+    * because its step INDEX clamps to [0,88]). The quantizer is the
+    * integer round `floorDiv(2·(want−pred)+dl, 2·dl)` so a SQL oracle
+    * can replay encoder AND decoder in one recursive walk. Returns
+    * `targets.length/2` bytes, two nibbles per byte HIGH first, plus
+    * the per-step decoded-sample and delta traces so a spec can pin
+    * the no-drift and bounded-delta properties exactly. */
+  private[graft] def msAdpcmTrackingNibbles(bPred: Int, seedDelta: Int,
+      samp1: Int, samp2: Int,
+      targets: Array[Int]): (Array[Byte], Array[Int], Array[Int]) = {
+    val c1 = MsAdaptCoeff1(bPred); val c2 = MsAdaptCoeff2(bPred)
+    var s1 = samp1; var s2 = samp2; var dl = math.max(16, seedDelta)
+    val out = new Array[Byte](targets.length / 2)
+    val chain = new Array[Int](targets.length)
+    val deltas = new Array[Int](targets.length)
+    var k = 0
+    while (k < targets.length) {
+      val pred = (s1 * c1 + s2 * c2) >> 8
+      val q = Math.floorDiv(2 * (targets(k) - pred) + dl, 2 * dl)
+      val nib = (math.max(-8, math.min(7, q)) + 16) & 0xF
+      val st = msStep(s1, s2, dl, c1, c2, nib)
+      s1 = st._1; s2 = st._2; dl = st._3
+      chain(k) = s1
+      deltas(k) = dl
+      if (k % 2 == 0) out(k / 2) = (nib << 4).toByte
+      else out(k / 2) = (out(k / 2) | nib).toByte
+      k += 1
+    }
+    (out, chain, deltas)
   }
 
   /** Energy-envelope difference hash for audio — the [[dHash64]] trick on
@@ -2506,11 +2557,17 @@ object Multimodal {
     *  - DHT/DQT/DRI may be redefined between scans; RSTn resets DC
     *    predictors AND the EOBRUN.
     *
-    * Scope: 8-bit, 1 or 3 components with 1×1 sampling (progressive
-    * 4:2:0 returns None — the non-interleaved AC walk over subsampled
-    * chroma isn't needed for a luma hash and stays out); corrupt input
-    * returns None. Shares the oracle posture of the baseline decoder:
-    * DC-only fixtures decode bit-exactly. */
+    * Scope matches the baseline decoder: 8-bit, 1 or 3 components, luma
+    * sampling up to 2×2 with 1×1 chroma (4:4:4 / 4:2:2 / 4:2:0 — the
+    * layouts web JPEGs ship). Interleaved DC scans walk MCUs with each
+    * component's hi×vi blocks at its T.81 A.2.4 PADDED stride;
+    * non-interleaved scans (all AC, single-component DC) walk the
+    * component's own raster. Chroma coefficients are entropy-decoded and
+    * STORED (refinement correction bits branch on coefficient history,
+    * so a luma-only decode cannot skip them) but never IDCT'd — only the
+    * luma plane renders. Corrupt input returns None. Shares the oracle
+    * posture of the baseline decoder: DC-only fixtures decode
+    * bit-exactly. */
   private[graft] def decodeJpegProgressive(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
     val qt = new Array[Array[Int]](4)
@@ -2532,8 +2589,14 @@ object Multimodal {
     val huff = Array.ofDim[Huff](2, 4)
     var w = 0; var h = 0; var nComp = 0
     var compId: Array[Int] = null; var compQ: Array[Int] = null
-    var coefs: Array[Array[Int]] = null // per comp: blocks*64, natural order
-    var bw = 0; var bh = 0 // blocks per row/col (1x1 sampling: shared)
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // per comp: padBw*padBh*64, natural order
+    var bw = 0; var bh = 0 // luma blocks per row/col
+    var mcusX = 0; var mcusY = 0
+    // per component: raster block dims (non-interleaved scans walk these)
+    // and the PADDED row stride interleaved MCUs address (T.81 A.2.4)
+    var cBw: Array[Int] = null; var cBh: Array[Int] = null
+    var padBw: Array[Int] = null; var padBh: Array[Int] = null
     var restartInterval = 0
     val zigzag = Array(
       0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -2584,15 +2647,31 @@ object Multimodal {
             if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
                 w.toLong * h > (1L << 28)) return None
             compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            compH = new Array[Int](nComp); compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
               compId(c) = b(seg + 6 + c * 3) & 0xFF
-              if ((b(seg + 7 + c * 3) & 0xFF) != 0x11) return None // 1x1 only
+              val hv = b(seg + 7 + c * 3) & 0xFF
+              compH(c) = hv >> 4; compV(c) = hv & 0x0F
+              // the baseline decoder's scope: luma up to 2x2, chroma 1x1
+              // (4:4:4 / 4:2:2 / 4:2:0 — the layouts web JPEGs ship)
+              if (c == 0) {
+                if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2)
+                  return None
+              } else if (hv != 0x11) return None
               compQ(c) = b(seg + 8 + c * 3) & 0xFF
               c += 1
             }
             bw = (w + 7) / 8; bh = (h + 7) / 8
-            coefs = Array.fill(nComp)(new Array[Int](bw * bh * 64))
+            mcusX = (w + 8 * compH(0) - 1) / (8 * compH(0))
+            mcusY = (h + 8 * compV(0) - 1) / (8 * compV(0))
+            // chroma raster dims collapse to the MCU grid (its pixel dims
+            // are ceil(w/h0) × ceil(h/v0), one block per MCU)
+            cBw = Array.tabulate(nComp)(c => if (c == 0) bw else mcusX)
+            cBh = Array.tabulate(nComp)(c => if (c == 0) bh else mcusY)
+            padBw = Array.tabulate(nComp)(c => if (c == 0) mcusX * compH(0) else mcusX)
+            padBh = Array.tabulate(nComp)(c => if (c == 0) mcusY * compV(0) else mcusY)
+            coefs = Array.tabulate(nComp)(c => new Array[Int](padBw(c) * padBh(c) * 64))
             sawSof = true
           case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
@@ -2667,48 +2746,79 @@ object Multimodal {
             }
             val pred = new Array[Int](nComp)
             var eobrun = 0
-            if (ss == 0) {
-              // ---- DC scan (interleaved over scanComp, 1x1 so MCU = one
-              // block of each component in raster order) ----
+            // one DC coefficient (first pass or refinement) at `base`
+            def dcOne(ci: Int, dcT: Int, base: Int): Boolean = {
+              if (ah == 0) {
+                val t = decodeHuff(huff(0)(dcT))
+                if (t < 0 || t > 11) return false
+                val bits = if (t == 0) 0 else readBits(t)
+                if (bits < 0) return false
+                pred(ci) += extend(bits, t)
+                coefs(ci)(base) = pred(ci) << al
+              } else {
+                val bit = fillBit()
+                if (bit < 0) return false
+                if (bit == 1) coefs(ci)(base) |= 1 << al
+              }
+              true
+            }
+            if (ss == 0 && scanComp.length > 1) {
+              // ---- interleaved DC scan: MCU walk, each component
+              // contributing its hi×vi blocks at the PADDED stride ----
               var mcu = 0
-              val total = bw * bh
+              val total = mcusX * mcusY
               while (mcu < total) {
                 if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
                   if (!consumeRst()) return None
                   java.util.Arrays.fill(pred, 0)
                 }
+                val mx = mcu % mcusX; val my = mcu / mcusX
                 var sc = 0
                 while (sc < scanComp.length) {
                   val (ci, dcT, _) = scanComp(sc)
-                  val base = mcu * 64
-                  if (ah == 0) {
-                    val t = decodeHuff(huff(0)(dcT))
-                    if (t < 0 || t > 11) return None
-                    val bits = if (t == 0) 0 else readBits(t)
-                    if (bits < 0) return None
-                    pred(ci) += extend(bits, t)
-                    coefs(ci)(base) = pred(ci) << al
-                  } else {
-                    val bit = fillBit()
-                    if (bit < 0) return None
-                    if (bit == 1) coefs(ci)(base) |= 1 << al
+                  var vb = 0
+                  while (vb < compV(ci)) {
+                    var hb = 0
+                    while (hb < compH(ci)) {
+                      val base = ((my * compV(ci) + vb) * padBw(ci) +
+                        (mx * compH(ci) + hb)) * 64
+                      if (!dcOne(ci, dcT, base)) return None
+                      hb += 1
+                    }
+                    vb += 1
                   }
                   sc += 1
                 }
                 mcu += 1
               }
+            } else if (ss == 0) {
+              // ---- single-component DC scan: the component's own raster
+              // (no MCU padding), addressed at the padded row stride ----
+              val (ci, dcT, _) = scanComp(0)
+              var blk = 0
+              val total = cBw(ci) * cBh(ci)
+              while (blk < total) {
+                if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+                  if (!consumeRst()) return None
+                  java.util.Arrays.fill(pred, 0)
+                }
+                val base = ((blk / cBw(ci)) * padBw(ci) + blk % cBw(ci)) * 64
+                if (!dcOne(ci, dcT, base)) return None
+                blk += 1
+              }
             } else {
-              // ---- AC scan: single component, block raster order ----
+              // ---- AC scan: single component, its own raster order,
+              // addressed at the padded row stride ----
               val (ci, _, acT) = scanComp(0)
               val cf = coefs(ci)
               var blk = 0
-              val total = bw * bh
+              val total = cBw(ci) * cBh(ci)
               while (blk < total) {
                 if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
                   if (!consumeRst()) return None
                   eobrun = 0
                 }
-                val base = blk * 64
+                val base = ((blk / cBw(ci)) * padBw(ci) + blk % cBw(ci)) * 64
                 if (ah == 0) {
                   // first AC pass with EOBRUN batching
                   if (eobrun > 0) eobrun -= 1
@@ -2834,8 +2944,10 @@ object Multimodal {
     val block = new Array[Int](64)
     var blk = 0
     while (blk < bw * bh) {
+      // luma raster block (bx, by) lives at the PADDED row stride
+      val cfBase = ((blk / bw) * padBw(0) + blk % bw) * 64
       var i = 0
-      while (i < 64) { block(zigzag(i)) = cf(blk * 64 + zigzag(i)) * q(i); i += 1 }
+      while (i < 64) { block(zigzag(i)) = cf(cfBase + zigzag(i)) * q(i); i += 1 }
       // separable IDCT (same math as the baseline path)
       val tmp = new Array[Double](64)
       var x = 0
@@ -3036,9 +3148,12 @@ object Multimodal {
     * matches). Same all-ones quant + canonical DHT + FF stuffing as the
     * baseline encoder; point transforms per T.81 (DC arithmetic shift,
     * AC magnitude truncation). Dimensions must be multiples of 8. */
-  def syntheticJpegProgressive(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+  def syntheticJpegProgressive(width: Int, height: Int, gray: Array[Int],
+      color420: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
       "fixture dims must be multiples of 8")
+    require(!color420 || (width % 16 == 0 && height % 16 == 0),
+      "4:2:0 fixture dims must be multiples of 16 (whole MCUs)")
     require(gray.length == width * height)
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xFF)
@@ -3063,8 +3178,14 @@ object Multimodal {
     }
     dht(0, 0, 4, dcVals)
     dht(1, 0, 8, acVals)
-    marker(0xC2); w16(2 + 6 + 3); w8(8); w16(height); w16(width); w8(1)
-    w8(1); w8(0x11); w8(0)
+    // `color420` = YCbCr with luma 2x2 / chroma 1x1 and NEUTRAL chroma
+    // (Cb=Cr=128 → all-zero coefficients): the luma plane is identical,
+    // but the decoder must walk interleaved 4:2:0 MCUs in the DC scans
+    // and the chroma components' OWN (quarter-size) rasters in their AC
+    // scans — the addressing 4:2:0 uniquely exercises
+    val nc = if (color420) 3 else 1
+    marker(0xC2); w16(2 + 6 + 3 * nc); w8(8); w16(height); w16(width); w8(nc)
+    for (c <- 1 to nc) { w8(c); w8(if (color420 && c == 1) 0x22 else 0x11); w8(0) }
     // forward DCT, quant 1, per block; coefficients addressed by ZIGZAG k
     val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
     val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
@@ -3107,27 +3228,42 @@ object Multimodal {
         val a = buf.toByteArray; o.write(a, 0, a.length)
       }
     }
-    def sos(ss: Int, se: Int, ah: Int, al: Int)(body: Bits => Unit): Unit = {
-      marker(0xDA); w16(2 + 1 + 2 + 3); w8(1); w8(1); w8(0x00)
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)(body: Bits => Unit): Unit = {
+      marker(0xDA); w16(2 + 1 + 2 * comps.length + 3); w8(comps.length)
+      comps.foreach { c => w8(c); w8(0x00) }
       w8(ss); w8(se); w8((ah << 4) | al)
       val bits = new Bits
       body(bits)
       bits.flushTo(out)
     }
-    // scan 1: DC first, Al=1 (arithmetic shift per T.81)
-    sos(0, 0, 0, 1) { bits =>
+    // DC-scan luma block order: raster when single-component, MCU-major
+    // (vb, hb inner) when interleaved 4:2:0
+    def dcLumaOrder: Seq[Int] =
+      if (!color420) 0 until nBlk
+      else for (my <- 0 until bh / 2; mx <- 0 until bw / 2;
+                vb <- 0 to 1; hb <- 0 to 1)
+        yield (my * 2 + vb) * bw + (mx * 2 + hb)
+    // scan 1: DC first, Al=1 (arithmetic shift per T.81); interleaved
+    // over the 4:2:0 MCU when color (4 luma + Cb + Cr, neutral chroma =
+    // zero diffs)
+    sos(1 to nc, 0, 0, 0, 1) { bits =>
       var pred = 0
-      for (blk <- 0 until nBlk) {
+      var inMcu = 0
+      dcLumaOrder.foreach { blk =>
         val v = coefZ(blk)(0) >> 1
         val diff = v - pred
         pred = v
         val c = cat(diff)
         bits.sym(dcCode, c)
         if (c > 0) bits.put(if (diff >= 0) diff else diff + (1 << c) - 1, c)
+        inMcu += 1
+        if (color420 && inMcu == 4) { // Cb then Cr, diff 0
+          bits.sym(dcCode, 0); bits.sym(dcCode, 0); inMcu = 0
+        }
       }
     }
     // scans 2+3: AC first passes at Al=1, split spectral bands, EOBRUN-batched
-    def acFirst(ss: Int, se: Int, al: Int): Unit = sos(ss, se, 0, al) { bits =>
+    def acFirst(ss: Int, se: Int, al: Int): Unit = sos(Seq(1), ss, se, 0, al) { bits =>
       var eobrun = 0
       def flushEob(): Unit = if (eobrun > 0) {
         var r = 0
@@ -3164,13 +3300,33 @@ object Multimodal {
     }
     acFirst(1, 5, 1)
     acFirst(6, 63, 1)
-    // scan 4: DC refinement (Ah=1, Al=0) — the low bit per block
-    sos(0, 0, 1, 0) { bits =>
-      for (blk <- 0 until nBlk) bits.put(coefZ(blk)(0) & 1, 1)
+    // chroma AC first passes (color only): each chroma component's OWN
+    // quarter-size raster, all-zero bands = pure EOBRUN batches — the
+    // walk exercises the decoder's non-interleaved subsampled addressing
+    if (color420) for (comp <- Seq(2, 3)) sos(Seq(comp), 1, 63, 0, 0) { bits =>
+      var left = (bw / 2) * (bh / 2)
+      while (left > 0) {
+        val run = math.min(left, 0x7FFF)
+        var r = 0
+        while ((2 << r) <= run) r += 1
+        bits.sym(acCode, r << 4)
+        if (r > 0) bits.put(run - (1 << r), r)
+        left -= run
+      }
+    }
+    // scan 4: DC refinement (Ah=1, Al=0) — the low bit per block;
+    // interleaved over the MCU when color (chroma bits are 0)
+    sos(1 to nc, 0, 0, 1, 0) { bits =>
+      var inMcu = 0
+      dcLumaOrder.foreach { blk =>
+        bits.put(coefZ(blk)(0) & 1, 1)
+        inMcu += 1
+        if (color420 && inMcu == 4) { bits.put(0, 1); bits.put(0, 1); inMcu = 0 }
+      }
     }
     // scan 5: AC refinement over 1..63 (Ah=1, Al=0), libjpeg's deferred
     // buffer discipline: correction bits flush AFTER the next symbol
-    sos(1, 63, 1, 0) { bits =>
+    sos(Seq(1), 1, 63, 1, 0) { bits =>
       val al = 0; val ah = 1
       for (blk <- 0 until nBlk) {
         var r = 0

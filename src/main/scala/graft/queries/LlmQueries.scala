@@ -1242,6 +1242,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // the progressive fixture AGAIN as 4:2:0 color (luma 2x2 + neutral
+    // 1x1 chroma): interleaved DC MCUs, MCU-major luma order, chroma AC
+    // over quarter-size rasters — the web's default progressive layout;
+    // the luma plane is the same block arithmetic, replayed once
+    "q_multimodal_jpeg_prog420_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(jpegProg420Media _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // and through a REAL TIFF: strip-organized samples with the
     // compression cycling none/LZW/PackBits across the corpus, the LZW
     // docs alternating the horizontal-differencing predictor, byte order
@@ -1624,6 +1639,23 @@ object LlmQueries {
     Multimodal.Media(id, Multimodal.syntheticJpegProgressive(w, h, gray), "image/jpeg")
   }
 
+  /** [[jpegProgMedia]] re-laid-out as 4:2:0 COLOR (luma 2×2, chroma 1×1,
+    * neutral chroma): 32×16 = two MCUs, so the interleaved DC walk, the
+    * MCU-major luma block order, and the chroma components' quarter-size
+    * AC rasters are all load-bearing; the luma plane — and therefore the
+    * replayed hash — is identical arithmetic to the grayscale form. */
+  private def jpegProg420Media(id: Long): Multimodal.Media = {
+    val w = 32
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8
+      val by = i / w / 8
+      (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
+    }
+    Multimodal.Media(id,
+      Multimodal.syntheticJpegProgressive(w, h, gray, color420 = true), "image/jpeg")
+  }
+
   /** [[dhashMedia]]'s pixels through a REAL TIFF, the container knobs
     * cycling across the corpus: compression none/LZW/PackBits by id % 3,
     * the LZW slice alternating the horizontal predictor, byte order
@@ -1761,16 +1793,22 @@ object LlmQueries {
 
   /** MS-ADPCM with CODED nibbles on the wire (one mono block): the
     * predictor index, seed delta, and the two priming samples all come
-    * from doc_id formulas, spanning every coefficient pair — the
-    * decoder's three-variable (samp1, samp2, delta) recursive walk is
-    * the thing under test, replayed by a WITH RECURSIVE oracle whose
-    * predictor restates the arithmetic shift as a floor division. */
+    * from doc_id formulas, spanning every coefficient pair. Unlike the
+    * IMA twin, the payload nibbles can NOT be a raw byte formula —
+    * MS-ADPCM's adaptive delta has no spec ceiling and uniform nibbles
+    * grow it geometrically past Int — so they come from a TRACKING
+    * encoder chasing a formula waveform, whose integer quantizer the
+    * oracle replays inside the same WITH RECURSIVE decoder walk (the
+    * predictor restates the arithmetic shift as a floor division). */
   private def msAdpcmMedia(id: Long): Multimodal.Media = {
-    val data = Array.tabulate[Byte](975)(j => (((id % 83) * 37 + j * 111) % 256).toByte)
     val bPred = (id % 7).toInt
     val seedDelta = (16 + (id % 50) * 7).toInt
     val samp1 = ((id % 89) * 73 - 3200).toInt
     val samp2 = ((id % 97) * 61 - 2900).toInt
+    val targets = Array.tabulate(1950)(k =>
+      (((id % 71) * 43 + k * 37) % 24001 - 12000).toInt)
+    val (data, _, _) =
+      Multimodal.msAdpcmTrackingNibbles(bPred, seedDelta, samp1, samp2, targets)
     Multimodal.Media(id,
       Multimodal.syntheticWavAdpcmMsCoded(8000, bPred, seedDelta, samp1, samp2, data),
       "audio/wav")
@@ -3410,6 +3448,30 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the 4:2:0 progressive twin: same block arithmetic at 32x16 (two
+    // MCUs), cell map x*9//32 — the subsampled layout must be invisible
+    // to the luma pixels
+    "q_multimodal_jpeg_prog420_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + (u.x // 8) * 29 + (v.y // 8) * 41) % 200 AS g
+        |  FROM documents, unnest(generate_series(0, 31)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, LEAST(x * 9 // 32, 8) AS cx, LEAST(y * 8 // 16, 7) AS cy,
+        |         SUM(g) // COUNT(*) AS a
+        |  FROM px GROUP BY doc_id, LEAST(x * 9 // 32, 8), LEAST(y * 8 // 16, 7)),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // the 24x16 JPEG fixture replay: pixels from the block arithmetic,
     // then the GENERAL dHash cell map (cx = min(x*9//w, 8), cy =
     // min(y*8//h, 7), cell average = sum // count — non-uniform cells at
@@ -3796,10 +3858,14 @@ object LlmQueries {
     },
 
     // the MS-ADPCM walk replayed in SQL: WITH RECURSIVE carries THREE
-    // state variables (samp1, samp2, delta) through 1950 high-first
-    // nibbles; the two-tap predictor's `>> 8` is an ARITHMETIC shift
-    // (floor), which DuckDB's truncating `//` must imitate via the
-    // mod-fixup `(pv - ((pv % 256 + 256) % 256)) // 256`; the two
+    // state variables (samp1, samp2, delta) through 1950 nibbles that
+    // the fixture's TRACKING ENCODER produced — so the walk replays
+    // encoder AND decoder: the quantizer is the integer round
+    // floorDiv(2·(want−pred)+dl, 2·dl), the two-tap predictor's `>> 8`
+    // is an ARITHMETIC shift (floor) which DuckDB's truncating `//`
+    // must imitate via the mod-fixup `(pv - ((pv % 256 + 256) % 256))
+    // // 256` (same fixup floors the quantizer), the delta update
+    // carries the decoder's 262136 = 0x7FFF·8 ceiling, and the two
     // priming samples join the envelope ahead of the chain
     "q_multimodal_msadpcm_audiohash" -> {
       val co1 = graft.llm.Multimodal.MsAdaptCoeff1.mkString("[", ", ", "]")
@@ -3812,20 +3878,22 @@ object LlmQueries {
          |         CAST(16 + (doc_id % 50) * 7 AS INTEGER)
          |  FROM documents
          |  UNION ALL
-         |  SELECT w.doc_id, w.k + 1,
-         |         CAST(GREATEST(-32768, LEAST(32767,
-         |           (pv - ((pv % 256 + 256) % 256)) // 256
-         |           + (nb - CASE WHEN nb >= 8 THEN 16 ELSE 0 END) * w.dl)) AS INTEGER),
-         |         w.s1,
-         |         CAST(GREATEST(16, (($ad)[nb + 1] * w.dl) // 256) AS INTEGER)
-         |  FROM (SELECT w0.*,
-         |               CAST(CASE WHEN w0.k % 2 = 0
-         |                    THEN (((w0.doc_id % 83) * 37 + (w0.k // 2) * 111) % 256) // 16
-         |                    ELSE (((w0.doc_id % 83) * 37 + (w0.k // 2) * 111) % 256) % 16
-         |               END AS INTEGER) AS nb,
-         |               w0.s1 * ($co1)[CAST(w0.doc_id % 7 AS INTEGER) + 1]
-         |                 + w0.s2 * ($co2)[CAST(w0.doc_id % 7 AS INTEGER) + 1] AS pv
-         |        FROM walk w0 WHERE w0.k < 1950) w),
+         |  SELECT doc_id, k + 1,
+         |         CAST(GREATEST(-32768, LEAST(32767, pred + q * dl)) AS INTEGER),
+         |         s1,
+         |         CAST(GREATEST(16, LEAST(262136,
+         |           (($ad)[((q + 16) % 16) + 1] * dl) // 256)) AS INTEGER)
+         |  FROM (SELECT *, GREATEST(-8, LEAST(7,
+         |               (num - ((num % den + den) % den)) // den)) AS q
+         |        FROM (SELECT *, 2 * (want - pred) + dl AS num, 2 * dl AS den
+         |              FROM (SELECT doc_id, k, s1, s2, dl,
+         |                           (pv - ((pv % 256 + 256) % 256)) // 256 AS pred,
+         |                           CAST(((doc_id % 71) * 43 + k * 37) % 24001 - 12000
+         |                                AS INTEGER) AS want
+         |                    FROM (SELECT w0.*,
+         |                                 w0.s1 * ($co1)[CAST(w0.doc_id % 7 AS INTEGER) + 1]
+         |                                   + w0.s2 * ($co2)[CAST(w0.doc_id % 7 AS INTEGER) + 1] AS pv
+         |                          FROM walk w0 WHERE w0.k < 1950))))),
          |sm AS (SELECT doc_id, k + 1 AS j, abs(s1) AS a FROM walk
          |       UNION ALL
          |       SELECT doc_id, 0, abs((doc_id % 97) * 61 - 2900) FROM documents),

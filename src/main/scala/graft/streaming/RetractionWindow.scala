@@ -303,9 +303,30 @@ object RetractionWindow {
     *    the horizon — the same shape as the reference's records lists
     *    (an eternally-active session grows there too; that is inherent
     *    to un-mergeable-without-the-multiset semantics, not a Spark
-    *    artifact). */
-  def sessionSum(deltas: Dataset[WinDelta], gapMs: Long, delayMs: Long): Dataset[WinSession] = {
+    *    artifact);
+    *  - GROWTH CONTRACT: an ETERNALLY-ACTIVE key (events forever closer
+    *    than `gapMs` apart) therefore grows its multiset without bound —
+    *    size the gap/watermark so real sessions close, or set
+    *    `maxEventsPerKey` to trade boundary precision for a hard state
+    *    bound. When the cap trips, the two entries whose merge leaves
+    *    the TIGHTEST surrounding span coalesce into the earlier
+    *    timestamp (interior pairs only, so session starts and the
+    *    last-event timestamp that drives finality never move).
+    *    AGGREGATES STAY EXACT — a later retraction of a coalesced
+    *    event lands as a negative singleton that nets correctly — but
+    *    boundaries coarsen, in two documented ways: (a) a retraction
+    *    that would have re-split a merged session can no longer split
+    *    it (the bridge's weight now lives at a neighbor ts, and the
+    *    negative entry keeps the chain connected); (b) on a SPARSE
+    *    chain — every adjacent pair ≥ gap/2 apart — even the tightest
+    *    merge can open an inter-event gap ≥ `gapMs` and the session
+    *    artificially splits at the merge point. Dense always-on keys
+    *    (the case the cap exists for) have tight interior pairs and
+    *    never hit (b). */
+  def sessionSum(deltas: Dataset[WinDelta], gapMs: Long, delayMs: Long,
+      maxEventsPerKey: Int = Int.MaxValue): Dataset[WinSession] = {
     require(gapMs > 0, "gapMs must be > 0")
+    require(maxEventsPerKey >= 2, "maxEventsPerKey must be >= 2")
     val spark = deltas.sparkSession
     import spark.implicits._
 
@@ -321,6 +342,30 @@ object RetractionWindow {
         } else out += ((ts, ts, sv, w))
       }
       out.toSeq
+    }
+
+    // the optional per-key event cap: fold the interior pair whose merge
+    // leaves the tightest surrounding span into the EARLIER ts (session
+    // starts and the finality-driving last ts never move); O(cap) per
+    // merge and merges only happen on overflow
+    def compact(m: Map[Long, (Long, Long)]): Map[Long, (Long, Long)] = {
+      if (m.size <= maxEventsPerKey) return m
+      val buf = collection.mutable.ArrayBuffer.empty[(Long, (Long, Long))]
+      buf ++= m.toSeq.sortBy(_._1)
+      while (buf.size > maxEventsPerKey) {
+        var best = 0; var bestSpan = Long.MaxValue
+        var i = 0
+        while (i + 2 < buf.size) {
+          val span = buf(i + 2)._1 - buf(i)._1
+          if (span < bestSpan) { bestSpan = span; best = i }
+          i += 1
+        }
+        val (t0, (s0, n0)) = buf(best)
+        val (_, (s1, n1)) = buf(best + 1)
+        buf(best) = (t0, (s0 + s1, n0 + n1))
+        buf.remove(best + 1)
+      }
+      buf.toMap
     }
 
     deltas.toDF()
@@ -360,7 +405,7 @@ object RetractionWindow {
               if (s1 == 0L && n1 == 0L) st.remove(d.tsMs)
               else st.update(d.tsMs, (s1, n1))
             }
-            val now = st.toMap
+            val now = compact(st.toMap)
             if (now.isEmpty) state.remove()
             else { state.update(now); arm(now) }
             val newSess = sessionsOf(now).map(s => s._1 -> s).toMap

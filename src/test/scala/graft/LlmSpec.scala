@@ -2008,7 +2008,52 @@ class LlmSpec extends SparkSpec {
     val cut = Multimodal.decodeWavPcm(enc.take(60 + 150)).get._3
     assert(cut.nonEmpty && cut.length < dec.length)
     assert(cut.toSeq == dec.take(cut.length).toSeq, "prefix-stable truncation")
-    // MS-ADPCM (format 2) still rejects — only IMA is in scope
+  }
+
+  test("multimodal MS-ADPCM: tracking encoder bounds delta, decode never drifts, hostile bytes clamp") {
+    import graft.llm.Multimodal
+    // the q_multimodal_msadpcm_audiohash fixture space, every predictor
+    // pair: the tracking encoder's delta must stay bounded (raw formula
+    // nibbles provably overflow Int here — delta grows ~1.35x/step under
+    // uniform codes), and the DECODER's chain must equal the encoder's
+    // own predicted chain bit for bit (state never drifts)
+    for (id <- 0L until 500L by 7L) {
+      val bPred = (id % 7).toInt
+      val seedDelta = (16 + (id % 50) * 7).toInt
+      val samp1 = ((id % 89) * 73 - 3200).toInt
+      val samp2 = ((id % 97) * 61 - 2900).toInt
+      val targets = Array.tabulate(1950)(k =>
+        (((id % 71) * 43 + k * 37) % 24001 - 12000).toInt)
+      val (data, chain, deltas) =
+        Multimodal.msAdpcmTrackingNibbles(bPred, seedDelta, samp1, samp2, targets)
+      assert(deltas.max <= Multimodal.MsDeltaMax, s"id=$id delta ${deltas.max}")
+      assert(deltas.max < 65536, s"id=$id delta tracks the ~12k signal: ${deltas.max}")
+      val wav = Multimodal.syntheticWavAdpcmMsCoded(8000, bPred, seedDelta, samp1, samp2, data)
+      val (rate, ch, got) = Multimodal.decodeWavPcm(wav).get
+      assert((rate, ch) == (8000, 1))
+      assert(got.length == 1952, s"2 priming + 1950 chain: ${got.length}")
+      assert(got(0) == samp2 && got(1) == samp1, "priming samples oldest first")
+      assert(got.drop(2).toSeq == chain.toSeq, s"id=$id decoder drifted from encoder")
+    }
+    // the real multi-block encoder tracks a smooth waveform within the
+    // local quantizer step, like the IMA twin above
+    val smooth = Array.tabulate(1950) { j =>
+      val period = j % 400
+      if (period < 200) period * 16 - 1600 else (400 - period) * 16 - 1600
+    }
+    val enc = Multimodal.syntheticWavAdpcmMs(8000, 1, smooth)
+    val dec = Multimodal.decodeWavPcm(enc).get._3
+    assert(dec.length >= 1950, s"padded blocks: ${dec.length}")
+    val err = smooth.indices.map(j => math.abs(dec(j) - smooth(j)))
+    assert(err.max <= 512, s"tracking error ${err.max}")
+    // HOSTILE uniform nibbles — the stream no real encoder emits — must
+    // now clamp at MsDeltaMax instead of wrapping Int: every decoded
+    // sample stays int16 and the decode does not throw
+    val raw = Array.tabulate[Byte](975)(j => ((j * 111) % 256).toByte)
+    val hostile = Multimodal.syntheticWavAdpcmMsCoded(8000, 0, 16, 0, 0, raw)
+    val hdec = Multimodal.decodeWavPcm(hostile).get._3
+    assert(hdec.length == 1952)
+    assert(hdec.forall(s => s >= -32768 && s <= 32767), "clamped, no silent wrap")
   }
 
   test("multimodal progressive JPEG: multi-scan refinement decodes, DC-exact") {
@@ -2057,6 +2102,29 @@ class LlmSpec extends SparkSpec {
     // corruption: truncation mid-scan rejects
     assert(Multimodal.decodeJpegProgressive(prog.dropRight(8)).isEmpty, "truncation")
     assert(Multimodal.decodeJpegProgressive("garbage".getBytes).isEmpty)
+    // 4:2:0 (round 12): interleaved DC MCUs (4 luma + Cb + Cr, luma
+    // blocks MCU-major), chroma AC scans walking the QUARTER-size chroma
+    // raster — the luma plane must be identical to the grayscale form.
+    // DC-only blocks stay bit-exact through the subsampled layout
+    val (w4, h4) = (32, 16)
+    val blocks4 = Array.fill((w4 / 8) * (h4 / 8))(rnd.nextInt(256))
+    val flat4 = Array.tabulate(w4 * h4)(i =>
+      blocks4((i / w4 / 8) * (w4 / 8) + (i % w4) / 8))
+    val prog4 = Multimodal.syntheticJpegProgressive(w4, h4, flat4, color420 = true)
+    assert(Multimodal.decodeJpegProgressive(prog4).map(_._3.toSeq).contains(flat4.toSeq),
+      "progressive 4:2:0 DC-only must round-trip exactly")
+    assert(Multimodal.imageHashOf(prog4) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w4, h4, flat4)),
+      "dispatch must reach the 4:2:0 progressive path")
+    // general content through 4:2:0: luma AC scans + MCU DC order
+    val smooth4 = Array.tabulate(32 * 32)(i => ((i % 32) * 5 + (i / 32) * 3) % 256)
+    val decS4 = Multimodal.decodeJpegProgressive(
+      Multimodal.syntheticJpegProgressive(32, 32, smooth4, color420 = true)).get._3
+    assert(decS4.zip(smooth4).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "smooth 4:2:0 progressive error")
+    assert(decS4.toSeq == Multimodal.decodeJpegProgressive(
+      Multimodal.syntheticJpegProgressive(32, 32, smooth4)).get._3.toSeq,
+      "4:2:0 luma must equal the grayscale progressive render")
   }
 
   test("HLL registers obey the merge law and match a local recompute") {

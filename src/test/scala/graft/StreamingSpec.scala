@@ -1223,6 +1223,73 @@ class StreamingSpec extends SparkSpec {
       WinSession("z", base + 700000, base + 700000 + 1000 + gap, 6, 2)))
   }
 
+  test("session maxEventsPerKey cap: exact aggregates on dense keys, documented split on sparse chains") {
+    // The sessionSum growth-contract valve: an eternally-active key's
+    // multiset is capped by coalescing the interior pair with the
+    // tightest surrounding span into the earlier ts. This pins the
+    // contract's two documented behaviors: (1) DENSE keys — the case the
+    // cap exists for — keep exact aggregates and exact boundaries, and a
+    // retraction of a coalesced-away event nets exactly (it lands as a
+    // negative singleton); (2) SPARSE chains (every adjacent pair ≥ gap/2
+    // apart) artificially split at the merge points — boundary precision
+    // is the documented price of the state bound.
+    import graft.streaming.RetractionWindow
+    import graft.streaming.RetractionWindow.{WinDelta, WinSession}
+    val fs = new graft.storage.FileStorage(spark,
+      Files.createTempDirectory("graft_fs_swcap").toString)
+    fs.createTopic("swcap_in", 2)
+    val checkpoint = ckpt()
+    val gap = 10000L
+    val base = 1700000000000L
+    val out = collection.mutable.ArrayBuffer[WinSession]()
+    def produce(rows: (String, Long, Long, Long)*): Unit =
+      fs.produce("swcap_in", rows.toSeq.map { case (k, ts, v, w) => (k, s"$ts:$v:$w") }
+        .toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(1700000000000L))))
+    def run(): Unit = {
+      val deltas = fs.readStream("swcap_in").select(
+          col("key").cast("string").as("key"),
+          split(col("value"), ":").getItem(0).cast("long").as("tsMs"),
+          split(col("value"), ":").getItem(1).cast("long").as("value"),
+          split(col("value"), ":").getItem(2).cast("long").as("weight"))
+        .as[WinDelta]
+      val q = RetractionWindow.sessionSum(deltas, gap, 600000L, maxEventsPerKey = 4)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (d: org.apache.spark.sql.Dataset[WinSession], _: Long) =>
+          out.synchronized { out ++= d.collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    // dense key "d": 6 events 1s apart (cap 4 forces 2 coalesces) — ONE
+    // session with the exact uncapped aggregate; sparse key "s": 6 events
+    // 8s apart (uncapped = one 48s session) — the 2 forced merges open
+    // ≥-gap holes at ts 0→16000 and 16000→32000, a deterministic 3-way
+    // artificial split whose aggregates still sum the right events
+    produce((0 to 5).map(i => ("d", base + i * 1000L, 1L << i, 1L)): _*)
+    produce((0 to 5).map(i => ("s", base + i * 8000L, 1L << i, 1L)): _*)
+    run()
+    assert(out.filter(_.key == "d").toSet == Set(
+      WinSession("d", base, base + 5000 + gap, 63, 6)),
+      s"dense capped key must aggregate exactly: $out")
+    assert(out.filter(_.key == "s").toSet == Set(
+      WinSession("s", base, base + gap, 3, 2),
+      WinSession("s", base + 16000, base + 16000 + gap, 12, 2),
+      WinSession("s", base + 32000, base + 40000 + gap, 48, 2)),
+      s"sparse capped chain splits at the merge points: $out")
+    // retract a coalesced-away dense event (ts base+2000 merged during
+    // compaction): the negative singleton nets exactly — same session
+    // identity, aggregate minus exactly that event
+    produce(("d", base + 2000, 4L, -1L))
+    run()
+    assert(out.drop(4).toSet == Set(
+      WinSession("d", base, base + 5000 + gap, 59, 5)),
+      s"retraction of a coalesced event must net exactly: ${out.drop(4)}")
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(

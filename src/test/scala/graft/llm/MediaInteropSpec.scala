@@ -192,6 +192,63 @@ class MediaInteropSpec extends AnyFunSuite {
     assert(ours.sameElements(jdk))
   }
 
+  test("progressive JPEG 4:2:0: our decoder agrees with ImageIO's own progressive encoding") {
+    // the JDK writer in progressive mode emits the IJG standard scan
+    // script (interleaved DC at Al=1, per-component spectral-split AC
+    // passes, multi-level refinement) with 2x2/1x1/1x1 sampling for
+    // color — the exact web layout the round-12 decoder extension
+    // targets. 40x24 is NOT a multiple of the 16-pixel MCU, so the
+    // T.81 A.2.4 padded stride is load-bearing. Gray content through a
+    // COLOR image keeps chroma neutral and blocks DC-only, where
+    // decoder-vs-decoder comparison is exact (lone-DC IDCT:
+    // floor((d+4)/8) in both integer and double forms).
+    val w = 40; val h = 24
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = i / w / 8
+      (bx * 37 + by * 53) % 199
+    }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(y * w + x)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.flush(); writer.dispose()
+    val bytes = bos.toByteArray
+    // confirm the wire really is SOF2 with 4:2:0 luma — otherwise this
+    // test silently stops exercising the subsampled path
+    var pos = 2; var sof2At = -1
+    while (sof2At < 0 && pos + 4 <= bytes.length) {
+      val m = bytes(pos + 1) & 0xFF
+      assert((bytes(pos) & 0xFF) == 0xFF, "marker walk desynced")
+      if (m == 0xC2) sof2At = pos
+      // SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC): any other frame type
+      // means the JDK did not write progressive Huffman
+      else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+        fail(f"hit SOF marker FF$m%02X before SOF2")
+      else {
+        val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+        pos += 2 + len
+      }
+    }
+    assert(sof2At > 0, "JDK progressive write must emit SOF2")
+    assert((bytes(sof2At + 11) & 0xFF) == 0x22, "JDK color default must be 4:2:0 luma")
+    val jdkImg = ImageIO.read(new ByteArrayInputStream(bytes))
+    val jdk = Array.tabulate(w * h)(i => (jdkImg.getRGB(i % w, i / w) >> 16) & 0xFF)
+    val Some((w2, h2, ours)) = Multimodal.decodeJpegProgressive(bytes)
+    assert((w2, h2) == (w, h))
+    assert(ours.sameElements(jdk), {
+      val diffs = ours.indices.filter(i => ours(i) != jdk(i))
+      s"${diffs.length} luma mismatches, first at ${diffs.headOption}"
+    })
+  }
+
   test("TIFF WhiteIsZero: inverted storage decodes back, under both decoders") {
     val px = noisy.take(61 * 47)
     val bytes = Tiff.syntheticTiffPixels(61, 47, px, compression = 32773,
