@@ -2351,57 +2351,97 @@ object Multimodal {
     * one IDAT holding a genuine zlib/DEFLATE stream
     * (java.util.zip.Deflater) + IEND, every CRC32 real. `colorType` 0
     * writes the gray bytes directly; 2 writes r=g=b triplets (the BT.601
-    * projection returns the same gray on decode). `rowFilters` cycles
-    * per row (values 0–4) and the encoder applies each filter FORWARD
-    * (raw − predictor mod 256, predictors over the UNFILTERED
-    * neighbours, RFC 2083 §6) — so a decoder that skips or fumbles the
-    * unfilter step cannot round-trip a fixture encoded with filters
-    * 1–4. */
+    * projection returns the same gray on decode); 3 writes indices
+    * through a PERMUTED grayscale palette (entry j = p(j)·(1,1,1) with
+    * p(j) = (j·181+7) mod 256, index = p⁻¹(gray)) so an identity-
+    * shortcut palette lookup cannot round-trip. `bitDepth` 16 (types
+    * 0/2) replicates each sample as g<<8|g — the decoder's high-byte
+    * reduction lands back on g. `interlaced` writes the Adam7 pass
+    * layout (seven independently-filtered sub-images). `rowFilters`
+    * cycles per emitted row (values 0–4) and the encoder applies each
+    * filter FORWARD (raw − predictor mod 256, predictors over the
+    * UNFILTERED neighbours, RFC 2083 §6) — so a decoder that skips or
+    * fumbles the unfilter step cannot round-trip a fixture encoded with
+    * filters 1–4. */
   def syntheticPngPixels(width: Int, height: Int, gray: Array[Int],
-      colorType: Int = 0, rowFilters: Seq[Int] = Seq(0)): Array[Byte] = {
-    require(colorType == 0 || colorType == 2, "colorType 0 (gray) or 2 (RGB)")
+      colorType: Int = 0, rowFilters: Seq[Int] = Seq(0),
+      interlaced: Boolean = false, bitDepth: Int = 8): Array[Byte] = {
+    require(colorType == 0 || colorType == 2 || colorType == 3,
+      "colorType 0 (gray), 2 (RGB) or 3 (palette)")
+    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+      "bitDepth 8, or 16 for gray/RGB")
     require(gray.length == width * height, "pixel count mismatch")
     require(rowFilters.nonEmpty && rowFilters.forall(f => f >= 0 && f <= 4))
-    val bpp = if (colorType == 2) 3 else 1
-    val stride = width * bpp
-    // plain = unfiltered raster rows (predictors read these)
-    val plain = new Array[Byte](height * stride)
-    var px = 0
-    while (px < gray.length) {
-      val v = (gray(px) & 0xFF).toByte
-      if (colorType == 2) {
-        plain(px * 3) = v; plain(px * 3 + 1) = v; plain(px * 3 + 2) = v
-      } else plain(px) = v
-      px += 1
-    }
+    val perm = Array.tabulate(256)(j => (j * 181 + 7) % 256)
+    val pinv = { val a = new Array[Int](256); for (j <- 0 until 256) a(perm(j)) = j; a }
+    val channels = if (colorType == 2) 3 else 1
+    val bpp = channels * bitDepth / 8
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val raw = new Array[Byte](height * (stride + 1))
-    var y = 0
-    while (y < height) {
-      val ft = rowFilters(y % rowFilters.length)
-      raw(y * (stride + 1)) = ft.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = plain(y * stride + x) & 0xFF
-        val left = if (x >= bpp) plain(y * stride + x - bpp) & 0xFF else 0
-        val up = if (y > 0) plain((y - 1) * stride + x) & 0xFF else 0
-        val ul = if (y > 0 && x >= bpp) plain((y - 1) * stride + x - bpp) & 0xFF else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var rowCounter = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        // plain = this pass's unfiltered sub-image (predictors read these)
+        val plain = new Array[Byte](ph * stride)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val g = gray((y0 + j * dy) * width + (x0 + i * dx)) & 0xFF
+            val off = j * stride + i * bpp
+            colorType match {
+              case 3 => plain(off) = pinv(g).toByte
+              case _ =>
+                var c = 0
+                while (c < channels) {
+                  if (bitDepth == 8) plain(off + c) = g.toByte
+                  else { plain(off + 2 * c) = g.toByte; plain(off + 2 * c + 1) = g.toByte }
+                  c += 1
+                }
+            }
+            i += 1
+          }
+          j += 1
         }
-        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xFF).toByte
-        x += 1
+        val row = new Array[Byte](stride + 1)
+        j = 0
+        while (j < ph) {
+          val ft = rowFilters(rowCounter % rowFilters.length)
+          rowCounter += 1
+          row(0) = ft.toByte
+          var x = 0
+          while (x < stride) {
+            val cur = plain(j * stride + x) & 0xFF
+            val left = if (x >= bpp) plain(j * stride + x - bpp) & 0xFF else 0
+            val up = if (j > 0) plain((j - 1) * stride + x) & 0xFF else 0
+            val ul = if (j > 0 && x >= bpp) plain((j - 1) * stride + x - bpp) & 0xFF else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => paeth(left, up, ul)
+            }
+            row(1 + x) = ((cur - pred) & 0xFF).toByte
+            x += 1
+          }
+          rawOut.write(row, 0, stride + 1)
+          j += 1
+        }
       }
-      y += 1
     }
+    val raw = rawOut.toByteArray
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val compBuf = new java.io.ByteArrayOutputStream()
@@ -2409,7 +2449,9 @@ object Multimodal {
     while (!defl.finished()) compBuf.write(tmp, 0, defl.deflate(tmp))
     defl.end()
     val comp = compBuf.toByteArray
-    val out = ByteBuffer.allocate(8 + 25 + 12 + comp.length + 12).order(ByteOrder.BIG_ENDIAN)
+    val plteLen = if (colorType == 3) 12 + 768 else 0
+    val out = ByteBuffer.allocate(8 + 25 + plteLen + 12 + comp.length + 12)
+      .order(ByteOrder.BIG_ENDIAN)
     out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
     def chunk(tpe: String, data: Array[Byte]): Unit = {
       out.putInt(data.length)
@@ -2421,8 +2463,11 @@ object Multimodal {
     }
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
     ihdr.putInt(width).putInt(height)
-    ihdr.put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    ihdr.put(bitDepth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(if (interlaced) 1.toByte else 0.toByte)
     chunk("IHDR", ihdr.array())
+    if (colorType == 3)
+      chunk("PLTE", Array.tabulate[Byte](768)(i => perm(i / 3).toByte))
     chunk("IDAT", comp)
     chunk("IEND", Array.emptyByteArray)
     out.array()
@@ -3439,9 +3484,13 @@ object Multimodal {
     * RFC 2083 §6) → integer BT.601 luma, the same luma as
     * [[decodeBmpGray]].
     *
-    * Scope: 8-bit depth, colour types 0 (gray), 2 (RGB), 4 (gray+alpha,
-    * alpha ignored for luma), 6 (RGBA); interlace 0 only (Adam7 returns
-    * None — scoped, not silently wrong), no palette (type 3 → None).
+    * Scope (round 12 — the full RFC 2083 layout space): every legal
+    * (colour type, bit depth) pair — gray at 1/2/4/8/16 (sub-byte
+    * rescaled to full range, 16-bit reduced to its high byte), palette
+    * at 1/2/4/8 through a CRC-verified PLTE, RGB/gray+alpha/RGBA at
+    * 8/16 — and BOTH interlace methods (Adam7's seven independently-
+    * filtered passes scatter to their grid; tRNS ignored, transparent
+    * pixels take their palette RGB — the GIF posture).
     * Corrupt/malformed input returns None, never a task failure; the
     * pre-inflate allocation is bounded by DEFLATE's maximum expansion
     * (1032:1, zlib's documented worst case) over the actual IDAT byte
@@ -3467,21 +3516,45 @@ object Multimodal {
     val bitDepth = b(24) & 0xFF
     val colorType = b(25) & 0xFF
     val interlace = b(28) & 0xFF
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 ||
+    if (w <= 0 || h <= 0 || interlace > 1 ||
         (b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0) return None
-    val bpp = colorType match {
+    val channels = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
+      case 3 => 1 // palette indices
       case 4 => 2 // gray + alpha
       case 6 => 4 // RGBA
-      case _ => return None // palette (3) / invalid
+      case _ => return None
     }
-    // raw (pre-filter) size in LONG: h rows of (1 filter byte + w*bpp)
-    val rowBytes = w.toLong * bpp
-    val rawLen = h.toLong * (rowBytes + 1)
-    if (rawLen > Int.MaxValue - 8) return None
-    // chunk walk: concatenate IDAT payloads, stop at IEND
+    // legal depth sets per colour type (RFC 2083 §4.1.1)
+    val depthOk = colorType match {
+      case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8 || bitDepth == 16
+      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk) return None
+    // Adam7 pass grid (xStart, yStart, xStep, yStep); non-interlaced is
+    // one full pass. Each pass is an independently-filtered sub-image,
+    // concatenated in the inflated stream (RFC 2083 §2.6)
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    def rowBytesOf(pw: Int): Long = (pw.toLong * channels * bitDepth + 7) / 8
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (rowBytesOf(pw) + 1)
+    }.sum
+    if (rawLen == 0 || rawLen > Int.MaxValue - 8) return None
+    // chunk walk: concatenate IDAT payloads, capture PLTE, stop at IEND
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var pos = 33 // first chunk after IHDR's CRC
     var done = false
     while (!done) {
@@ -3492,10 +3565,15 @@ object Multimodal {
       if (tpe == "IDAT") {
         if (!chunkCrcOk(pos + 4, len)) return None
         idat.write(b, pos + 8, len)
+      } else if (tpe == "PLTE") {
+        if (!chunkCrcOk(pos + 4, len) || len % 3 != 0 || len > 768) return None
+        plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
       } else if (tpe == "IEND") done = true
-      // ancillary chunks (tEXt, gAMA, ...) are skipped without CRC cost
+      // ancillary chunks (tEXt, gAMA, tRNS ...) are skipped without CRC
+      // cost (transparency takes its palette RGB — the GIF posture)
       pos += 12 + len
     }
+    if (colorType == 3 && plte == null) return None
     val comp = idat.toByteArray
     if (comp.isEmpty) return None
     // DEFLATE's hard expansion ceiling bounds the allocation a crafted
@@ -3514,50 +3592,90 @@ object Multimodal {
       if (off != raw.length) return None // short or oversized pixel data
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // unfilter in place (RFC 2083 §6): each row starts with its filter type
-    val stride = rowBytes.toInt
+    // unfilter per pass (RFC 2083 §6): each row starts with its filter
+    // type, `prev` never crosses a pass boundary. The filter unit is the
+    // byte-ceiling bpp (1 for sub-byte packing)
+    val fbpp = math.max(1, channels * bitDepth / 8)
     def paeth(a: Int, bb2: Int, c: Int): Int = {
       val p = a + bb2 - c
       val pa = math.abs(p - a); val pb = math.abs(p - bb2); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) bb2 else c
     }
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (stride + 1)
-      val ft = raw(rowOff) & 0xFF
-      if (ft > 4) return None
-      val cur = rowOff + 1
-      val prev = cur - (stride + 1)
-      var x = 0
-      while (x < stride) {
-        val rx = raw(cur + x) & 0xFF
-        val left = if (x >= bpp) raw(cur + x - bpp) & 0xFF else 0
-        val up = if (y > 0) raw(prev + x) & 0xFF else 0
-        val ul = if (y > 0 && x >= bpp) raw(prev + x - bpp) & 0xFF else 0
-        val v = ft match {
-          case 0 => rx
-          case 1 => rx + left
-          case 2 => rx + up
-          case 3 => rx + (left + up) / 2
-          case 4 => rx + paeth(left, up, ul)
+    // sample → 8-bit luma at pixel xi of an unfiltered row starting at
+    // rowOff: 16-bit takes the high byte (the spec's 8-bit reduction),
+    // sub-byte gray rescales to full range, palette goes through PLTE
+    val maxIdx = if (plte == null) 0 else plte.length / 3
+    def grayOf(rowOff: Int, xi: Int): Int = colorType match {
+      case 0 =>
+        bitDepth match {
+          case 16 => raw(rowOff + xi * 2) & 0xFF
+          case 8 => raw(rowOff + xi) & 0xFF
+          case d =>
+            val per = 8 / d
+            val v = ((raw(rowOff + xi / per) & 0xFF) >> (8 - d * (xi % per + 1))) &
+              ((1 << d) - 1)
+            v * 255 / ((1 << d) - 1)
         }
-        raw(cur + x) = (v & 0xFF).toByte
-        x += 1
-      }
-      y += 1
+      case 3 =>
+        val idx = bitDepth match {
+          case 8 => raw(rowOff + xi) & 0xFF
+          case d =>
+            val per = 8 / d
+            ((raw(rowOff + xi / per) & 0xFF) >> (8 - d * (xi % per + 1))) &
+              ((1 << d) - 1)
+        }
+        if (idx >= maxIdx) -1 // out-of-palette index: corrupt, reject
+        else (299 * (plte(idx * 3) & 0xFF) + 587 * (plte(idx * 3 + 1) & 0xFF) +
+          114 * (plte(idx * 3 + 2) & 0xFF)) / 1000
+      case 4 => raw(rowOff + xi * (if (bitDepth == 16) 4 else 2)) & 0xFF
+      case _ =>
+        val s = if (bitDepth == 16) 2 else 1
+        val p = rowOff + xi * channels * s
+        (299 * (raw(p) & 0xFF) + 587 * (raw(p + s) & 0xFF) +
+          114 * (raw(p + 2 * s) & 0xFF)) / 1000
     }
-    // luma projection — the shared integer BT.601 of the BMP/PNM decoders
     val out = new Array[Int](w * h)
-    var px = 0
-    while (px < w * h) {
-      val rowOff = (px / w) * (stride + 1) + 1
-      val p = rowOff + (px % w) * bpp
-      out(px) = colorType match {
-        case 0 | 4 => raw(p) & 0xFF
-        case _ =>
-          (299 * (raw(p) & 0xFF) + 587 * (raw(p + 1) & 0xFF) + 114 * (raw(p + 2) & 0xFF)) / 1000
+    var passOff = 0
+    passes.foreach { pass =>
+      val (x0, y0, dx, dy) = pass
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val stride = rowBytesOf(pw).toInt
+        var j = 0
+        while (j < ph) {
+          val rowOff = passOff + j * (stride + 1)
+          val ft = raw(rowOff) & 0xFF
+          if (ft > 4) return None
+          val cur = rowOff + 1
+          val prev = cur - (stride + 1)
+          var x = 0
+          while (x < stride) {
+            val rx = raw(cur + x) & 0xFF
+            val left = if (x >= fbpp) raw(cur + x - fbpp) & 0xFF else 0
+            val up = if (j > 0) raw(prev + x) & 0xFF else 0
+            val ul = if (j > 0 && x >= fbpp) raw(prev + x - fbpp) & 0xFF else 0
+            val v = ft match {
+              case 0 => rx
+              case 1 => rx + left
+              case 2 => rx + up
+              case 3 => rx + (left + up) / 2
+              case 4 => rx + paeth(left, up, ul)
+            }
+            raw(cur + x) = (v & 0xFF).toByte
+            x += 1
+          }
+          // scatter this pass row to its interlace grid positions
+          var i = 0
+          while (i < pw) {
+            val g = grayOf(cur, i)
+            if (g < 0) return None
+            out((y0 + j * dy) * w + (x0 + i * dx)) = g
+            i += 1
+          }
+          j += 1
+        }
+        passOff += ph * (stride + 1)
       }
-      px += 1
     }
     Some((w, h, out))
   }

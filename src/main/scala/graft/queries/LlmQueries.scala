@@ -1571,8 +1571,15 @@ object LlmQueries {
       base + delta
     }
     val filters = Seq(((id % 5) + 1) % 5, (id % 5), ((id % 5) + 2) % 5).map(_.toInt)
+    // round 12: the layout knobs cycle the WHOLE legal space across the
+    // corpus — colour type RGB / permuted-palette / gray by id % 3, bit
+    // depth 16 on a gray slice, Adam7 interlace on every 4th doc — while
+    // the pixel arithmetic (and therefore the oracle) stays identical
+    val ct = (id % 3) match { case 0 => 2; case 1 => 3; case _ => 0 }
+    val depth = if (ct == 0 && id % 6 == 2) 16 else 8
     Multimodal.Media(id,
-      Multimodal.syntheticPngPixels(w, h, gray, colorType = 2, rowFilters = filters),
+      Multimodal.syntheticPngPixels(w, h, gray, colorType = ct,
+        rowFilters = filters, interlaced = id % 4 == 1, bitDepth = depth),
       "image/png")
   }
 

@@ -1827,12 +1827,47 @@ class LlmSpec extends SparkSpec {
       bb.putInt(29, crc.getValue.toInt)
       c
     }
-    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(25, 3.toByte))).isEmpty, "palette")
-    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(28, 1.toByte))).isEmpty, "Adam7")
-    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(24, 16.toByte))).isEmpty, "16-bit")
+    // structurally-inconsistent variants still reject: a type-3 claim
+    // with no PLTE, an Adam7/16-bit claim whose stream length no longer
+    // matches the declared layout
+    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(25, 3.toByte))).isEmpty,
+      "palette claim without PLTE")
+    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(28, 1.toByte))).isEmpty,
+      "Adam7 claim over a non-interlaced stream")
+    assert(Multimodal.decodePngGray(patchIhdr(png)(_.put(24, 16.toByte))).isEmpty,
+      "16-bit claim over an 8-bit stream")
     // a crafted header declaring huge dims is rejected by the DEFLATE
     // expansion bound BEFORE any allocation matching the claimed size
     assert(Multimodal.decodePngGray(patchIhdr(png)(_.putInt(16, 1 << 20))).isEmpty, "huge dims")
+    // round 12 — the full legal layout space round-trips: palette
+    // (permuted, so a lookup shortcut fails), 16-bit gray/RGB (high-byte
+    // reduction), Adam7 over every colour form, and their compositions
+    for (ct <- Seq(0, 2, 3); il <- Seq(false, true)) {
+      val p2 = Multimodal.syntheticPngPixels(w, h, px, colorType = ct,
+        rowFilters = Seq(4, 1, 3, 0, 2), interlaced = il)
+      assert(Multimodal.decodePngGray(p2).map(_._3.toSeq).contains(px.toSeq),
+        s"colorType $ct interlaced $il")
+    }
+    for (ct <- Seq(0, 2); il <- Seq(false, true)) {
+      val p16 = Multimodal.syntheticPngPixels(w, h, px, colorType = ct,
+        rowFilters = Seq(2, 4), interlaced = il, bitDepth = 16)
+      assert(Multimodal.decodePngGray(p16).map(_._3.toSeq).contains(px.toSeq),
+        s"16-bit colorType $ct interlaced $il")
+    }
+    // Adam7 on tiny images: passes with zero width/height must be
+    // skipped, not mis-walked (1x1 has only pass 1; 3x3 skips pass 2)
+    for ((tw, th) <- Seq((1, 1), (3, 3), (5, 2), (2, 5), (8, 1))) {
+      val tp = Array.tabulate(tw * th)(i => (i * 53 + 11) % 256)
+      val tiny = Multimodal.syntheticPngPixels(tw, th, tp, colorType = 3,
+        rowFilters = Seq(1, 0), interlaced = true)
+      assert(Multimodal.decodePngGray(tiny).map(_._3.toSeq).contains(tp.toSeq),
+        s"Adam7 ${tw}x$th")
+    }
+    // the container stays invisible to the hash across the new layouts
+    assert(Multimodal.imageHashOf(Multimodal.syntheticPngPixels(w, h, px,
+      colorType = 3, interlaced = true)) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, px)),
+      "interlaced palette PNG vs BMP hash")
   }
 
   test("multimodal GIF: real LZW both directions, interlace, dictionary edge cases") {

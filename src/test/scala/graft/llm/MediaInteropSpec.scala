@@ -117,6 +117,65 @@ class MediaInteropSpec extends AnyFunSuite {
     assert((w3, h3, got3.toSeq) == (61, 47, px.toSeq))
   }
 
+  test("PNG round-12 layouts: palette/Adam7/16-bit cross-validate under ImageIO") {
+    val px = noisy.take(61 * 47)
+    // OUR writer's full knob space must decode identically under ImageIO
+    // (palette goes through a PERMUTED table, so index-as-luma shortcuts
+    // surface; 16-bit reads back as sample>>8; Adam7 at a size whose
+    // passes are all ragged)
+    for (ct <- Seq(0, 2, 3); il <- Seq(false, true)) {
+      val bytes = Multimodal.syntheticPngPixels(61, 47, px, colorType = ct,
+        rowFilters = Seq(3, 1, 4, 0, 2), interlaced = il)
+      // palette images read through the colour model (the raw raster
+      // sample is the palette INDEX, deliberately != gray here); gray/RGB
+      // read raw raster samples (getRGB would colour-manage grayscale)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null && (img.getWidth, img.getHeight) == (61, 47), s"ct=$ct il=$il")
+      val got =
+        if (ct == 3) Array.tabulate(61 * 47)(i => (img.getRGB(i % 61, i / 61) >> 16) & 0xFF)
+        else Array.tabulate(61 * 47)(i => img.getRaster.getSample(i % 61, i / 61, 0))
+      assert(got.sameElements(px), s"ct=$ct il=$il")
+    }
+    for (il <- Seq(false, true)) {
+      val bytes = Multimodal.syntheticPngPixels(61, 47, px, colorType = 0,
+        rowFilters = Seq(2, 4), interlaced = il, bitDepth = 16)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"16-bit il=$il")
+      val r = img.getRaster
+      val got = Array.tabulate(61 * 47)(i => r.getSample(i % 61, i / 61, 0) >> 8)
+      assert(got.sameElements(px), s"16-bit il=$il")
+    }
+    // ImageIO's OWN palette writer (TYPE_BYTE_INDEXED) and its Adam7
+    // progressive mode must decode identically under ours
+    val pal = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate[Byte](256)(_.toByte), Array.tabulate[Byte](256)(_.toByte),
+      Array.tabulate[Byte](256)(_.toByte))
+    val palImg = new BufferedImage(61, 47, BufferedImage.TYPE_BYTE_INDEXED, pal)
+    for (y <- 0 until 47; x <- 0 until 61) palImg.getRaster.setSample(x, y, 0, px(y * 61 + x))
+    val theirsPal = imageioWrite(palImg, "png")
+    assert(Multimodal.decodePngGray(theirsPal).map(_._3.toSeq).contains(px.toSeq),
+      "ImageIO palette PNG under our decoder")
+    // 1-bit palette (TYPE_BYTE_BINARY): sub-byte packed indices
+    val binImg = new BufferedImage(61, 47, BufferedImage.TYPE_BYTE_BINARY)
+    val bits = Array.tabulate(61 * 47)(i => if (px(i) >= 128) 1 else 0)
+    for (y <- 0 until 47; x <- 0 until 61) binImg.getRaster.setSample(x, y, 0, bits(y * 61 + x))
+    val theirsBin = imageioWrite(binImg, "png")
+    val Some((_, _, gotBin)) = Multimodal.decodePngGray(theirsBin)
+    assert(gotBin.toSeq == bits.map(_ * 255).toSeq, "1-bit packed PNG under our decoder")
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(grayImage(61, 47, px), null, null), p)
+    ios.flush(); writer.dispose()
+    val theirsAdam = bos.toByteArray
+    assert((theirsAdam(28) & 0xFF) == 1, "ImageIO progressive PNG must flag Adam7")
+    assert(Multimodal.decodePngGray(theirsAdam).map(_._3.toSeq).contains(px.toSeq),
+      "ImageIO Adam7 PNG under our decoder")
+  }
+
   test("GIF: our LZW under ImageIO, ImageIO's LZW under ours") {
     val px = noisy.take(61 * 47)
     val ours = Multimodal.syntheticGifPixels(61, 47, px, interlaced = true)
