@@ -6,14 +6,15 @@ import scala.collection.mutable
 /** Baseline TIFF 6.0 decode — the remaining no-external-codec image
   * container after BMP/PNM/PNG/GIF/JPEG: an endianness-tagged header, a
   * directory (IFD) of typed tag entries, and strip-organized sample data
-  * compressed with nothing, PackBits (a 1951-vintage RLE), or LZW in the
+  * compressed with nothing, PackBits (a 1951-vintage RLE), LZW in the
   * TIFF variant (MSB-first bit packing and the spec's famous "early
   * change" off-by-one, codified in TIFF 6.0 §13 after an early
-  * implementation shipped it). Both byte orders, 8-bit grayscale
-  * (PhotometricInterpretation 0 and 1) and 8-bit RGB, multi-strip
-  * layouts, and the horizontal-differencing predictor (tag 317 = 2) are
-  * decoded for real; tiled TIFFs, other bit depths, and the fax/JPEG
-  * compressions return None — the honest-failure posture of the rest of
+  * implementation shipped it), or Deflate (compression 8 and the legacy
+  * 32946 — a zlib stream per strip, java.util.zip). Both byte orders,
+  * 8-bit grayscale (PhotometricInterpretation 0 and 1) and 8-bit RGB,
+  * multi-strip layouts, and the horizontal-differencing predictor
+  * (tag 317 = 2) are decoded for real; tiled TIFFs, other bit depths,
+  * and the fax/JPEG compressions return None — the honest-failure posture of the rest of
   * the media family (corrupt or out-of-scope input must never fail a
   * task).
   *
@@ -209,7 +210,7 @@ object Tiff {
     * horizontal-differencing undo → photometric mapping to the family's
     * shared integer BT.601 luma. Supports 8-bit gray (photo 0 inverted,
     * photo 1 direct) and 8-bit RGB; compression 1 (none), 5 (LZW),
-    * 32773 (PackBits). Truncated strip data → None. Same return shape
+    * 32773 (PackBits), 8/32946 (Deflate). Truncated strip data → None. Same return shape
     * as [[Multimodal.decodeBmpGray]]. */
   private[graft] def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val ifd = readIfd(b).getOrElse(return None)
@@ -217,7 +218,8 @@ object Tiff {
     if (!(spp == 1 || spp == 3) || bits.length < spp || bits.exists(_ != 8L)) return None
     if (photo != 0 && photo != 1 && photo != 2) return None
     if (photo == 2 && spp != 3) return None
-    if (comp != 1 && comp != 5 && comp != 32773) return None
+    if (comp != 1 && comp != 5 && comp != 32773 && comp != 8 && comp != 32946)
+      return None
     if (predictor != 1 && predictor != 2) return None
     val rps = math.min(rowsPerStrip, height.toLong)
     if (rps <= 0) return None
@@ -240,6 +242,21 @@ object Tiff {
           else { System.arraycopy(b, off.toInt, raw, row * rowBytes, need); need }
         case 5 => lzwDecode(b, off.toInt, math.min(cnt, b.length - off).toInt,
           raw, row * rowBytes, need)
+        case 8 | 32946 => // Adobe deflate (8) and the legacy code (32946):
+          // a plain zlib stream per strip, java.util.zip.Inflater
+          val inf = new java.util.zip.Inflater()
+          try {
+            inf.setInput(b, off.toInt, math.min(cnt, b.length - off).toInt)
+            var total = 0
+            var stalled = false
+            while (total < need && !inf.finished() && !stalled) {
+              val n = inf.inflate(raw, row * rowBytes + total, need - total)
+              if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+              total += n
+            }
+            if (stalled) -1 else total
+          } catch { case _: java.util.zip.DataFormatException => -1 }
+          finally inf.end()
         case _ => packBitsDecode(b, off.toInt, math.min(cnt, b.length - off).toInt,
           raw, row * rowBytes, need)
       }
@@ -355,17 +372,20 @@ object Tiff {
   /** Render 8-bit grayscale pixels through a REAL TIFF: either byte
     * order, gray (spp=1) or equal-channel RGB (spp=3 — BT.601 of (v,v,v)
     * is exactly v, so the pixel replay stays container-blind),
-    * compression none/LZW/PackBits, optional horizontal-differencing
-    * predictor with LZW, multi-strip via rowsPerStrip. IFD entries
+    * compression none/LZW/PackBits/Deflate, optional horizontal-
+    * differencing predictor with LZW/Deflate, multi-strip via
+    * rowsPerStrip. IFD entries
     * ascending by tag as the spec requires. */
   def syntheticTiffPixels(width: Int, height: Int, gray: Array[Int],
       compression: Int = 1, rgb: Boolean = false, predictor: Int = 1,
       rowsPerStrip: Int = 8, bigEndian: Boolean = false,
       photoZero: Boolean = false): Array[Byte] = {
     require(gray.length == width * height, "gray must be width*height")
-    require(compression == 1 || compression == 5 || compression == 32773)
-    require(predictor == 1 || (predictor == 2 && compression == 5),
-      "predictor 2 only with LZW here")
+    require(compression == 1 || compression == 5 || compression == 32773 ||
+      compression == 8)
+    require(predictor == 1 ||
+      (predictor == 2 && (compression == 5 || compression == 8)),
+      "predictor 2 only with LZW/Deflate here")
     require(!(photoZero && rgb), "WhiteIsZero is a grayscale interpretation")
     val spp = if (rgb) 3 else 1
     val rowBytes = width * spp
@@ -399,6 +419,14 @@ object Tiff {
       compression match {
         case 1 => raw
         case 5 => lzwEncode(raw)
+        case 8 => // Adobe deflate: one zlib stream per strip
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(raw); defl.finish()
+          val cb = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!defl.finished()) cb.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          cb.toByteArray
         case _ => {
           val rowsEnc = (0 until rows).map(rr => packBitsEncode(raw.slice(rr * rowBytes, (rr + 1) * rowBytes)))
           rowsEnc.reduceLeft(_ ++ _) // PackBits restarts per row (spec §9)

@@ -1679,13 +1679,13 @@ object LlmQueries {
       val delta = if (x < 2 && y < 2) (((id / 40) % 3) * 40).toInt else 0
       base + delta
     }
-    val comp = (id % 3) match { case 0 => 1; case 1 => 5; case _ => 32773 }
+    val comp = (id % 4) match { case 0 => 1; case 1 => 5; case 2 => 32773; case _ => 8 }
     val photoZero = id % 7 == 0 && id % 2 == 0
     Multimodal.Media(id,
       graft.llm.Tiff.syntheticTiffPixels(w, h, gray,
         compression = comp,
         rgb = id % 2 == 1 && !photoZero,
-        predictor = if (comp == 5 && id % 4 == 1) 2 else 1,
+        predictor = if ((comp == 5 || comp == 8) && id % 4 == 1) 2 else 1,
         rowsPerStrip = 4 + (id % 3).toInt * 5,
         bigEndian = id % 5 == 0,
         photoZero = photoZero),

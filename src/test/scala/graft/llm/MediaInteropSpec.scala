@@ -67,8 +67,8 @@ class MediaInteropSpec extends AnyFunSuite {
     if ((x / 17) % 2 == 0) (y * 3) % 256 else (x % 5) * 40
   }
 
-  for (comp <- Seq(1, 5, 32773); px <- Seq(("noisy", noisy), ("runny", runny))) {
-    val name = Map(1 -> "none", 5 -> "LZW", 32773 -> "PackBits")(comp)
+  for (comp <- Seq(1, 5, 32773, 8); px <- Seq(("noisy", noisy), ("runny", runny))) {
+    val name = Map(1 -> "none", 5 -> "LZW", 32773 -> "PackBits", 8 -> "Deflate")(comp)
     test(s"TIFF $name/${px._1}: our encoder decodes identically under ImageIO") {
       val bytes = Tiff.syntheticTiffPixels(W, H, px._2, compression = comp,
         rowsPerStrip = if (comp == 5) H else 7)
@@ -77,12 +77,28 @@ class MediaInteropSpec extends AnyFunSuite {
       assert(got.sameElements(px._2))
     }
     test(s"TIFF $name/${px._1}: ImageIO-written bytes decode identically under ours") {
-      val ioName = Map(1 -> None, 5 -> Some("LZW"), 32773 -> Some("PackBits"))(comp)
+      // the JDK plugin names compression 8 "ZLib" (32946 is its "Deflate")
+      val ioName = Map(1 -> None, 5 -> Some("LZW"), 32773 -> Some("PackBits"),
+        8 -> Some("ZLib"))(comp)
       val bytes = imageioWrite(grayImage(W, H, px._2), "tiff", ioName)
       val Some((w2, h2, got)) = Tiff.decodeGray(bytes)
       assert((w2, h2) == (W, H))
       assert(got.sameElements(px._2))
     }
+  }
+
+  test("TIFF legacy Deflate (32946): ImageIO-written bytes decode under ours; predictor composes") {
+    val bytes = imageioWrite(grayImage(W, H, runny), "tiff", Some("Deflate"))
+    val Some((w2, h2, got)) = Tiff.decodeGray(bytes)
+    assert((w2, h2) == (W, H))
+    assert(got.sameElements(runny))
+    // our writer: deflate + horizontal predictor + multi-strip + big-endian
+    val ours = Tiff.syntheticTiffPixels(W, H, runny, compression = 8,
+      predictor = 2, rowsPerStrip = 13, bigEndian = true)
+    val (w3, h3, got3) = readGray(ours)
+    assert((w3, h3) == (W, H))
+    assert(got3.sameElements(runny))
+    assert(Tiff.decodeGray(ours).get._3.sameElements(runny))
   }
 
   test("TIFF big-endian + multi-strip LZW + predictor: ImageIO reads ours") {
