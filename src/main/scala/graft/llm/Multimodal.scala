@@ -120,22 +120,23 @@ object Multimodal {
     * the animated multi-frame form [[decodeGifFramesSampled]] that
     * feeds the video near-dup family. */
   private[graft] def decodeGifGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    gifHeader(b).flatMap { case (_, _, globalTable, start) =>
+    gifHeader(b).flatMap { case (_, _, globalTable, _, start) =>
       val pos = gifSkipExtensions(b, start)
       if (pos >= b.length || (b(pos) & 0xFF) != 0x2C) None
       else gifImageGray(b, pos, globalTable).map { case (w, h, g, _) => (w, h, g) }
     }
 
   /** Signature + logical screen descriptor + global colour table →
-    * (screenW, screenH, globalTable-or-null, offset of the first block
-    * after the table). */
-  private def gifHeader(b: Array[Byte]): Option[(Int, Int, Array[Int], Int)] = {
+    * (screenW, screenH, globalTable-or-null, background colour index,
+    * offset of the first block after the table). */
+  private def gifHeader(b: Array[Byte]): Option[(Int, Int, Array[Int], Int, Int)] = {
     if (b == null || b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val sw = bb.getShort(6) & 0xFFFF
     val sh = bb.getShort(8) & 0xFFFF
     val flags = b(10) & 0xFF
+    val bgIndex = b(11) & 0xFF
     var pos = 13
     var globalTable: Array[Int] = null // packed 0xRRGGBB
     if ((flags & 0x80) != 0) {
@@ -144,7 +145,34 @@ object Multimodal {
       globalTable = gifReadTable(b, pos, n)
       pos += 3 * n
     }
-    Some((sw, sh, globalTable, pos))
+    Some((sw, sh, globalTable, bgIndex, pos))
+  }
+
+  /** Like [[gifSkipExtensions]], but CAPTURES the graphic-control
+    * extension (label 0xF9) that governs the next image: returns
+    * (posAfterExtensions, disposal, transparentIndex-or-−1). The last
+    * GCE before the descriptor wins (real encoders emit exactly one). */
+  private def gifExtensionsWithGce(b: Array[Byte], start: Int): (Int, Int, Int) = {
+    var pos = start
+    var disposal = 0
+    var transIdx = -1
+    while (pos < b.length && (b(pos) & 0xFF) == 0x21) {
+      val label = if (pos + 1 < b.length) b(pos + 1) & 0xFF else -1
+      pos += 2
+      var first = true
+      while (pos < b.length && b(pos) != 0) {
+        val sz = b(pos) & 0xFF
+        if (first && label == 0xF9 && sz >= 4 && pos + 4 < b.length) {
+          val packed = b(pos + 1) & 0xFF
+          disposal = (packed >> 2) & 7
+          transIdx = if ((packed & 1) != 0) b(pos + 4) & 0xFF else -1
+        }
+        first = false
+        pos += 1 + sz
+      }
+      pos += 1 // block terminator
+    }
+    (pos, disposal, transIdx)
   }
 
   private def gifReadTable(b: Array[Byte], pos: Int, n: Int): Array[Int] =
@@ -189,10 +217,32 @@ object Multimodal {
     * plane; dims come from the descriptor itself. Returns (w, h, gray,
     * endOffset). */
   private def gifImageGray(b: Array[Byte], imgPos: Int,
-      globalTable: Array[Int]): Option[(Int, Int, Array[Int], Int)] = {
+      globalTable: Array[Int]): Option[(Int, Int, Array[Int], Int)] =
+    gifImageIndices(b, imgPos, globalTable).map {
+      case (_, _, w, h, idx, table, endPos) =>
+        val gray = new Array[Int](w * h)
+        var i = 0
+        while (i < gray.length) {
+          val rgb = table(idx(i))
+          gray(i) =
+            (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+          i += 1
+        }
+        (w, h, gray, endPos)
+    }
+
+  /** Decode ONE image descriptor to PALETTE INDICES in display row order
+    * (de-interlaced), keeping the rect placement and colour table — the
+    * form the animated compositor needs (transparency is an INDEX
+    * comparison, so it must happen before palette mapping). Returns
+    * (left, top, w, h, indices, table, endOffset). */
+  private def gifImageIndices(b: Array[Byte], imgPos: Int,
+      globalTable: Array[Int]): Option[(Int, Int, Int, Int, Array[Int], Array[Int], Int)] = {
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     var pos = imgPos
     if (pos + 10 > b.length) return None
+    val left = bb.getShort(pos + 1) & 0xFFFF
+    val top = bb.getShort(pos + 3) & 0xFFFF
     val w = bb.getShort(pos + 5) & 0xFFFF
     val h = bb.getShort(pos + 7) & 0xFFFF
     val iFlags = b(pos + 9) & 0xFF
@@ -296,79 +346,145 @@ object Multimodal {
       }
     }
     if (fail || written != nPix) return None
-    // palette -> luma, de-interlacing if flagged
-    val gray = new Array[Int](nPix)
-    val rowOrder: Array[Int] =
-      if (!interlaced) Array.tabulate(h)(identity)
+    // bounds-check indices and restore display row order if interlaced
+    val idx =
+      if (!interlaced) out
       else {
-        val order = new Array[Int](h)
+        val rowOrder = new Array[Int](h)
         var k = 0
         for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
-          order(k) = y; k += 1
+          rowOrder(k) = y; k += 1
         }
-        order
+        val d = new Array[Int](nPix)
+        var sy = 0
+        while (sy < h) {
+          System.arraycopy(out, sy * w, d, rowOrder(sy) * w, w)
+          sy += 1
+        }
+        d
       }
-    var sy = 0
-    while (sy < h) {
-      val dy = rowOrder(sy)
-      var x = 0
-      while (x < w) {
-        val idx = out(sy * w + x)
-        if (idx >= table.length) return None
-        val rgb = table(idx)
-        gray(dy * w + x) =
-          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
-        x += 1
-      }
-      sy += 1
+    var i2 = 0
+    while (i2 < nPix) {
+      if (idx(i2) >= table.length) return None
+      i2 += 1
     }
-    Some((w, h, gray, pos))
+    Some((left, top, w, h, idx, table, pos))
   }
 
   /** ANIMATED GIF → sampled frame lumas, the [[decodeY4mGraySampled]]
-    * shape for the container every scraped-meme corpus is full of. The
-    * scan pass walks descriptors WITHOUT decoding (LZW data skipped via
-    * its sub-block chain), so only the ⌊i·n/k⌋-sampled frames ever
-    * allocate a plane — memory ∝ sampleFrames, not animation length.
-    * Frames must be FULL-SCREEN (left 0, top 0, screen dims): a partial
-    * rect is a delta against composited prior state, which a
-    * per-frame-hash comparison must not fabricate — the walk stops
-    * there (honest prefix, like truncated Y4M). Single-image GIFs come
-    * out as 1-frame videos, consistent with [[decodeGifGray]]. */
+    * shape for the container every scraped-meme corpus is full of —
+    * now with the FULL GIF89a compositing model (round 12): frames are
+    * sub-rect DELTAS against a canvas that starts as the background
+    * colour; non-transparent pixels overwrite, disposal 2 restores the
+    * frame's rect to background, disposal 3 restores the pre-frame
+    * canvas. Sampled frame i's plane is the canvas AFTER frame
+    * ⌊i·n/k⌋ composites.
+    *
+    * Scale shape: the scan pass still walks descriptors without
+    * decoding, and a frame that is FULL-SCREEN and OPAQUE is
+    * self-contained — each sampled frame's decode chain starts at the
+    * nearest self-contained frame at or before it, so the common
+    * full-screen case keeps the skip-everything-unsampled behaviour
+    * (CPU ∝ sampleFrames, the r11 contract), while delta GIFs decode
+    * their chains with memory ∝ ONE canvas (+ one snapshot allocated
+    * only if disposal-3 appears). An out-of-canvas rect or a failed
+    * frame decode ends the walk (honest prefix, like truncated Y4M).
+    * Single-image GIFs come out as 1-frame videos, consistent with
+    * [[decodeGifGray]]. */
   private[graft] def decodeGifFramesSampled(b: Array[Byte], sampleFrames: Int)
       : Option[(Int, Int, Seq[(Int, Array[Int])])] =
-    gifHeader(b).filter { case (sw, sh, _, _) => sw > 0 && sh > 0 }.flatMap {
-      case (sw, sh, globalTable, start) =>
+    gifHeader(b).filter { case (sw, sh, _, _, _) =>
+      sw > 0 && sh > 0 && sw.toLong * sh <= (1L << 28)
+    }.flatMap { case (sw, sh, globalTable, bgIndex, start) =>
       val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-      val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+      case class FM(imgPos: Int, left: Int, top: Int, w: Int, h: Int,
+          disposal: Int, transIdx: Int) {
+        def selfContained: Boolean =
+          left == 0 && top == 0 && w == sw && h == sh && transIdx < 0
+      }
+      val metas = scala.collection.mutable.ArrayBuffer[FM]()
       var pos = start
       var stop = false
       while (!stop) {
-        pos = gifSkipExtensions(b, pos)
-        if (pos >= b.length || (b(pos) & 0xFF) != 0x2C || pos + 10 > b.length) stop = true
+        val (p2, disp, tIdx) = gifExtensionsWithGce(b, pos)
+        if (p2 >= b.length || (b(p2) & 0xFF) != 0x2C || p2 + 10 > b.length) stop = true
         else {
-          val left = bb.getShort(pos + 1) & 0xFFFF
-          val top = bb.getShort(pos + 3) & 0xFFFF
-          val w = bb.getShort(pos + 5) & 0xFFFF
-          val h = bb.getShort(pos + 7) & 0xFFFF
-          if (left != 0 || top != 0 || w != sw || h != sh) stop = true
+          val left = bb.getShort(p2 + 1) & 0xFFFF
+          val top = bb.getShort(p2 + 3) & 0xFFFF
+          val w = bb.getShort(p2 + 5) & 0xFFFF
+          val h = bb.getShort(p2 + 7) & 0xFFFF
+          if (w <= 0 || h <= 0 || left + w > sw || top + h > sh) stop = true
           else {
-            offsets += pos
-            val next = gifSkipImage(b, pos)
-            if (next < 0) { offsets.remove(offsets.length - 1); stop = true }
-            else pos = next
+            val next = gifSkipImage(b, p2)
+            if (next < 0) stop = true
+            else { metas += FM(p2, left, top, w, h, disp, tIdx); pos = next }
           }
         }
       }
-      val n = offsets.length
+      val n = metas.length
       if (n == 0) None
       else {
         val k = math.min(sampleFrames, n)
-        val sampled = (0 until k).flatMap { i =>
-          val fi = i * n / k
-          gifImageGray(b, offsets(fi), globalTable).map { case (_, _, g, _) => (fi, g) }
+        val sampledIdx = (0 until k).map(i => i * n / k)
+        val sampledSet = sampledIdx.toSet
+        val needed = sampledIdx.flatMap { fi =>
+          var j = fi
+          while (j > 0 && !metas(j).selfContained) j -= 1
+          j to fi
+        }.toSet
+        def lumaOf(rgb: Int): Int =
+          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+        val bgLuma =
+          if (globalTable != null && bgIndex < globalTable.length) lumaOf(globalTable(bgIndex))
+          else 0
+        val canvas = Array.fill(sw * sh)(bgLuma)
+        var prevSnapshot: Array[Int] = null
+        val outFrames = scala.collection.mutable.ArrayBuffer[(Int, Array[Int])]()
+        var f = 0
+        var bad = false
+        while (f < n && !bad && outFrames.length < k) {
+          if (needed(f)) {
+            val m = metas(f)
+            gifImageIndices(b, m.imgPos, globalTable) match {
+              case None => bad = true
+              case Some((_, _, w, h, idx, table, _)) =>
+                if (m.disposal == 3) { // snapshot the pre-frame canvas
+                  if (prevSnapshot == null) prevSnapshot = new Array[Int](sw * sh)
+                  System.arraycopy(canvas, 0, prevSnapshot, 0, canvas.length)
+                }
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val ix = idx(y * w + x)
+                    if (ix != m.transIdx)
+                      canvas((m.top + y) * sw + (m.left + x)) = lumaOf(table(ix))
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (sampledSet(f)) outFrames += ((f, canvas.clone()))
+                m.disposal match {
+                  case 2 => // restore the rect to background
+                    var yy = 0
+                    while (yy < h) {
+                      var xx = 0
+                      while (xx < w) {
+                        canvas((m.top + yy) * sw + (m.left + xx)) = bgLuma
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                  case 3 =>
+                    if (prevSnapshot != null)
+                      System.arraycopy(prevSnapshot, 0, canvas, 0, canvas.length)
+                  case _ => ()
+                }
+            }
+          }
+          f += 1
         }
-        if (sampled.isEmpty) None else Some((sw, sh, sampled))
+        if (outFrames.isEmpty) None else Some((sw, sh, outFrames.toSeq))
       }
     }
 
@@ -2515,6 +2631,43 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** An animated GIF of sub-rect DELTA frames — the real-world encoder
+    * shape [[decodeGifFramesSampled]]'s compositor exists for. Each
+    * frame is (left, top, w, h, px, disposal) where px entries are gray
+    * values 0–254 or −1 for TRANSPARENT (written as index 255 with the
+    * GCE transparency flag); `disposal` is the GIF89a code (0/1 keep,
+    * 2 restore-to-background, 3 restore-to-previous). The global table
+    * stays the grayscale identity, `bgIndex` seeds the canvas. */
+  def syntheticGifAnimatedDeltas(screenW: Int, screenH: Int,
+      frames: Seq[(Int, Int, Int, Int, Array[Int], Int)],
+      bgIndex: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty)
+    frames.foreach { case (l, t, w, h, px, d) =>
+      require(l >= 0 && t >= 0 && w > 0 && h > 0 && l + w <= screenW && t + h <= screenH)
+      require(px.length == w * h && px.forall(v => v == -1 || (v >= 0 && v <= 254)))
+      require(d >= 0 && d <= 3)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(screenW); w16(screenH)
+    out.write(0xF7); out.write(bgIndex & 0xFF); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { case (l, t, w, h, px, d) =>
+      val hasTrans = px.contains(-1)
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write((d << 2) | (if (hasTrans) 1 else 0))
+      out.write(5); out.write(0) // 5 cs delay
+      out.write(255) // transparent index (only honoured when flagged)
+      out.write(0)
+      writeGifImage(out, w, h, px.map(v => if (v == -1) 255 else v),
+        interlaced = false, left = l, top = t)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
   private def writeGifHeader(out: java.io.ByteArrayOutputStream,
       width: Int, height: Int): Unit = {
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
@@ -2526,10 +2679,11 @@ object Multimodal {
   }
 
   private def writeGifImage(out: java.io.ByteArrayOutputStream,
-      width: Int, height: Int, gray: Array[Int], interlaced: Boolean): Unit = {
+      width: Int, height: Int, gray: Array[Int], interlaced: Boolean,
+      left: Int = 0, top: Int = 0): Unit = {
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write(0x2C)
-    w16(0); w16(0); w16(width); w16(height)
+    w16(left); w16(top); w16(width); w16(height)
     out.write(if (interlaced) 0x40 else 0)
     val rows: Seq[Int] =
       if (!interlaced) 0 until height

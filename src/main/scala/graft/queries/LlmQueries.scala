@@ -1374,6 +1374,23 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // DELTA-frame animated GIF (round 12): odd frames are sub-rect
+    // transparent-holed deltas with disposal 2/3 — the decoder's GIF89a
+    // COMPOSITOR (canvas, transparency, restore-to-background/previous)
+    // is the thing under test; the composited planes stay closed-form
+    // (keyframe formula outside the rect and through the holes, delta
+    // formula inside), so the oracle replays them with one CASE
+    "q_multimodal_video_gif_delta_hashes" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(videoGifDeltaMedia _)
+      Multimodal.videoFrameHashes(media, sampleFrames = 12)
+        .select(col("doc_id"), col("frame_idx"),
+          shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // CROSS-CONTAINER video near-dup: the same frames rendered as Y4M or
     // animated GIF by doc parity — a re-containered copy of a clip is
     // the canonical video near-dup case, and the pairs must form exactly
@@ -1909,6 +1926,37 @@ object LlmQueries {
     Multimodal.Media(id,
       Multimodal.syntheticGifAnimated(w, h, frames, interlaceAlt = id % 2 == 0),
       "image/gif")
+  }
+
+  /** A DELTA-frame animated GIF (round 12): even frames are full-screen
+    * opaque keyframes from the base formula, odd frames are sub-rect
+    * deltas at (4,3) 8×6 whose pixels are TRANSPARENT when
+    * (x+y+doc_id)%3=0 (the keyframe shows through) and a second formula
+    * otherwise, with disposal restore-to-background / restore-to-
+    * previous alternating across odd frames — the composited plane the
+    * sampler must produce stays closed-form, so the oracle replays it
+    * with one CASE. */
+  private def videoGifDeltaMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val (l, t, rw, rh) = (4, 3, 8, 6)
+    def base(f: Int, x: Int, y: Int): Int =
+      (((id % 40) * 31 + f * 53 + x * 7 + y * 13) % 176).toInt
+    val frames = (0 until 12).map { f =>
+      if (f % 2 == 0)
+        (0, 0, w, h, Array.tabulate(w * h)(i => base(f, i % w, i / w)), 0)
+      else {
+        val px = Array.tabulate(rw * rh) { i =>
+          val x = l + i % rw
+          val y = t + i / rw
+          if ((x + y + id) % 3 == 0) -1
+          else (((id % 40) * 29 + f * 47 + (x - l) * 11 + (y - t) * 17) % 176).toInt
+        }
+        (l, t, rw, rh, px, if (f % 4 == 1) 2 else 3)
+      }
+    }
+    Multimodal.Media(id, Multimodal.syntheticGifAnimatedDeltas(w, h, frames),
+      "video/gif")
   }
 
   /** The q_multimodal_video_cross_container fixture: [[videoMedia]]'s
@@ -3670,6 +3718,38 @@ object LlmQueries {
         |         ((doc_id % 40) * 31 + w.f * 53 + u.x * 7 + v.y * 13) % 176
         |         + CASE WHEN w.f = (doc_id // 40) % 3 AND u.x < 2 AND v.y < 2
         |                THEN 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
+        |       unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS fhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS fhash_lo
+        |FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the composited delta replay: even frames are the keyframe formula;
+    // odd frames show the delta formula inside the opaque rect cells and
+    // the PRECEDING keyframe everywhere else (outside the rect and
+    // through the transparent holes) — compositing reduced to one CASE
+    "q_multimodal_video_gif_delta_hashes" ->
+      """WITH px AS (
+        |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
+        |         CASE WHEN w.f % 2 = 0 THEN
+        |           ((doc_id % 40) * 31 + w.f * 53 + u.x * 7 + v.y * 13) % 176
+        |         WHEN u.x BETWEEN 4 AND 11 AND v.y BETWEEN 3 AND 8
+        |              AND (u.x + v.y + doc_id) % 3 != 0 THEN
+        |           ((doc_id % 40) * 29 + w.f * 47 + (u.x - 4) * 11 + (v.y - 3) * 17) % 176
+        |         ELSE
+        |           ((doc_id % 40) * 31 + (w.f - 1) * 53 + u.x * 7 + v.y * 13) % 176
+        |         END AS g
         |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
         |       unnest(generate_series(0, 17)) AS u(x),
         |       unnest(generate_series(0, 15)) AS v(y)),

@@ -1916,6 +1916,73 @@ class LlmSpec extends SparkSpec {
       "extension blocks must be skipped")
   }
 
+  test("multimodal animated GIF compositor: sub-rect deltas, transparency, disposal 2/3, chain skips") {
+    import graft.llm.Multimodal
+    val sw = 10; val sh = 8
+    val bgIdx = 200
+    def grad(seed: Int) = Array.tabulate(sw * sh)(i => (i * 3 + seed) % 255)
+    val f0 = grad(5)
+    val f4 = grad(90)
+    // rect pixels: frame 1 opaque-with-holes (disposal 2), frame 2 opaque
+    // (disposal 3), frame 3 fully transparent (a no-op delta)
+    val px1 = Array.tabulate(4 * 3)(i => if (i % 5 == 2) -1 else 50 + i)
+    val px2 = Array.fill(3 * 2)(77)
+    val px3 = Array.fill(2 * 2)(-1)
+    val px5 = Array.tabulate(3 * 3)(i => 10 + i)
+    val frames = Seq(
+      (0, 0, sw, sh, f0.map(identity), 0),
+      (2, 1, 4, 3, px1, 2),
+      (5, 4, 3, 2, px2, 3),
+      (0, 0, 2, 2, px3, 0),
+      (0, 0, sw, sh, f4.map(identity), 0),
+      (6, 5, 3, 3, px5, 1))
+    val bytes = Multimodal.syntheticGifAnimatedDeltas(sw, sh, frames, bgIndex = bgIdx)
+    // independent reference compositor (the hand computation, generalized)
+    val expect = {
+      var canvas = Array.fill(sw * sh)(bgIdx)
+      frames.map { case (l, t, w, h, p, d) =>
+        val before = canvas.clone()
+        for (y <- 0 until h; x <- 0 until w; if p(y * w + x) != -1)
+          canvas((t + y) * sw + (l + x)) = p(y * w + x)
+        val shown = canvas.clone()
+        d match {
+          case 2 => for (y <- 0 until h; x <- 0 until w) canvas((t + y) * sw + (l + x)) = bgIdx
+          case 3 => canvas = before
+          case _ => ()
+        }
+        shown
+      }
+    }
+    val Some((w6, h6, all)) = Multimodal.decodeGifFramesSampled(bytes, 6)
+    assert((w6, h6) == (sw, sh) && all.map(_._1) == Seq(0, 1, 2, 3, 4, 5))
+    all.foreach { case (fi, luma) =>
+      assert(luma.sameElements(expect(fi)), s"frame $fi composited wrong")
+    }
+    // targeted semantics, independently of the reference compositor:
+    // transparency keeps the underlying pixel; disposal 2 restored frame
+    // 1's rect to background before frame 3's view; disposal 3 restored
+    // frame 2's rect before frame 3's view; frame 3 is a pure no-op
+    val v1 = all(1)._2
+    assert(v1(1 * sw + 2 + 2) == f0(1 * sw + 4), "transparent hole shows frame 0")
+    assert(v1(1 * sw + 2) == 50, "opaque delta pixel overwrites")
+    val v3 = all(3)._2
+    assert(v3(1 * sw + 2) == bgIdx, "disposal 2 restored frame 1's rect to background")
+    assert(v3(4 * sw + 5) == f0(4 * sw + 5), "disposal 3 restored frame 2's rect")
+    assert(v3.sameElements(all.find(_._1 == 3).get._2))
+    // sparse sampling must composite through the chain: k=2 samples
+    // frames 0 and 3, and frame 3's plane must equal the full-run one
+    val Some((_, _, two)) = Multimodal.decodeGifFramesSampled(bytes, 2)
+    assert(two.map(_._1) == Seq(0, 3))
+    assert(two(1)._2.sameElements(expect(3)), "chained composite under sampling")
+    // a self-contained frame starts its own chain: k=3 samples 0/2/4 and
+    // frame 4 (full-screen, opaque) must come out as exactly its pixels
+    // even though frame 3 was never decoded
+    val Some((_, _, three)) = Multimodal.decodeGifFramesSampled(bytes, 3)
+    assert(three.map(_._1) == Seq(0, 2, 4))
+    assert(three(2)._2.sameElements(f4), "self-contained frame resets the chain")
+    assert(three(1)._2.sameElements(expect(2)))
+  }
+
   test("multimodal JPEG: baseline decode, DC-exactness, AC path, restarts, color") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(41)

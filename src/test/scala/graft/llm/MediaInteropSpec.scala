@@ -384,6 +384,42 @@ class MediaInteropSpec extends AnyFunSuite {
       Multimodal.decodeGifFramesSampled(bytes.take(bytes.length / 2), 4).isEmpty)
   }
 
+  test("animated GIF deltas: ImageIO parses our sub-rects, disposal, and transparency metadata") {
+    // external validation of the WIRE format the compositor fixture
+    // emits: the JDK's GIF reader must see the same rect offsets,
+    // disposal methods, transparency flag, and per-frame index rasters
+    val frames = Seq(
+      (0, 0, 12, 10, Array.tabulate(120)(i => (i * 3) % 255 min 254), 0),
+      (3, 2, 5, 4, Array.tabulate(20)(i => if (i % 4 == 1) -1 else 60 + i), 2),
+      (1, 5, 6, 3, Array.fill(18)(90), 3))
+    val bytes = Multimodal.syntheticGifAnimatedDeltas(12, 10, frames, bgIndex = 7)
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) == 3)
+    val expectDisposal = Seq("none", "restoreToBackgroundColor", "restoreToPrevious")
+    for (f <- 0 until 3) {
+      val (l, t, w, h, px, _) = frames(f)
+      val md = reader.getImageMetadata(f)
+        .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+      val desc = md.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      assert(desc.getAttribute("imageLeftPosition").toInt == l, s"frame $f left")
+      assert(desc.getAttribute("imageTopPosition").toInt == t, s"frame $f top")
+      assert(desc.getAttribute("imageWidth").toInt == w && desc.getAttribute("imageHeight").toInt == h)
+      val gce = md.getElementsByTagName("GraphicControlExtension").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      assert(gce.getAttribute("disposalMethod") == expectDisposal(f), s"frame $f disposal")
+      assert(gce.getAttribute("transparentColorFlag").toBoolean == px.contains(-1))
+      // raw raster = palette indices of the SUB-RECT only
+      val img = reader.read(f)
+      assert((img.getWidth, img.getHeight) == (w, h))
+      val r = img.getRaster
+      val got = Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
+      assert(got.sameElements(px.map(v => if (v == -1) 255 else v)), s"frame $f indices")
+    }
+    reader.dispose()
+  }
+
   test("WAV: javax.sound reads our int16 bytes back to the same samples") {
     // the audio sibling of the ImageIO checks: the JDK's own RIFF/WAVE
     // reader is the external oracle for the WAV writer+decoder pair
