@@ -2058,19 +2058,24 @@ object Multimodal {
     out.array()
   }
 
-  /** AIFF (Apple's big-endian PCM container, EA-IFF-85 framing) →
+  /** AIFF and AIFF-C (Apple's PCM container, EA-IFF-85 framing) →
     * (rate, channels, mono int16-range samples) — the
-    * [[decodeWavPcm]] shape. FORM/AIFF chunk walk: COMM carries
+    * [[decodeWavPcm]] shape. FORM/AIFF|AIFC chunk walk: COMM carries
     * channels, frame count, sample width, and the sample rate as an
     * 80-bit IEEE extended float (decoded exactly for the integer rates
-    * audio uses); SSND carries big-endian PCM behind offset/blockSize
-    * fields. Widths 8 (SIGNED, unlike WAV's unsigned 8-bit) / 16 / 24 /
-    * 32 normalize to the int16 range identically to the WAV path.
-    * Truncation-tolerant; non-AIFF → None. */
+    * audio uses); AIFF-C's COMM additionally carries a compression
+    * type — "NONE"/"twos" (big-endian PCM, the AIFF layout) and "sowt"
+    * (BYTE-SWAPPED int16, the Mac OS X default rip format) decode;
+    * lossy types (ima4, ulaw as AIFC, …) return None. SSND carries the
+    * PCM behind offset/blockSize fields. Widths 8 (SIGNED, unlike
+    * WAV's unsigned 8-bit) / 16 / 24 / 32 normalize to the int16 range
+    * identically to the WAV path. Truncation-tolerant; non-AIFF →
+    * None. */
   private[graft] def decodeAiffPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b == null || b.length < 12) return None
+    val isAifc = b.length >= 12 && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'C'
     if (!(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
-        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')) return None
+        ((b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') || isAifc))) return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
     var pos = 12
     var rate = 0
@@ -2079,6 +2084,8 @@ object Multimodal {
     var nFramesDecl = 0L
     var dataOff = -1
     var dataLen = 0L
+    var littleEndian = false
+    var unsupportedComp = false
     while (pos + 8 <= b.length && (rate == 0 || dataOff < 0)) {
       val id = new String(b, pos, 4, "US-ASCII")
       val sz = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
@@ -2086,6 +2093,14 @@ object Multimodal {
         channels = bb.getShort(pos + 8)
         nFramesDecl = bb.getInt(pos + 10).toLong & 0xFFFFFFFFL
         bits = bb.getShort(pos + 14)
+        if (isAifc) {
+          if (sz < 22 || pos + 8 + 22 > b.length) unsupportedComp = true
+          else new String(b, pos + 26, 4, "US-ASCII") match {
+            case "NONE" | "twos" => ()
+            case "sowt" => littleEndian = true
+            case _ => unsupportedComp = true // lossy AIFC codecs out of scope
+          }
+        }
         // 80-bit IEEE extended: 1 sign + 15 exponent + 64 mantissa
         // (explicit integer bit); rate = mant × 2^(exp − 16383 − 63)
         val e = bb.getShort(pos + 16) & 0x7FFF
@@ -2104,7 +2119,9 @@ object Multimodal {
       val next = pos.toLong + 8L + sz + (sz & 1L)
       pos = if (next <= pos || next > Int.MaxValue) b.length else next.toInt
     }
-    if (rate <= 0 || channels <= 0 || dataOff < 0 || dataLen < 0) return None
+    if (rate <= 0 || channels <= 0 || dataOff < 0 || dataLen < 0 || unsupportedComp)
+      return None
+    if (littleEndian && bits != 16) return None // sowt is defined for int16
     val bytesPer = bits match { case 8 => 1; case 16 => 2; case 24 => 3; case 32 => 4; case _ => return None }
     val avail = math.min(dataLen, (b.length - dataOff).toLong)
     val nFrames = math.min(avail / (bytesPer.toLong * channels), nFramesDecl).toInt
@@ -2118,7 +2135,9 @@ object Multimodal {
         val p = dataOff + (i * channels + c) * bytesPer
         sum += (bytesPer match {
           case 1 => b(p) << 8 // AIFF 8-bit is signed
-          case 2 => bb.getShort(p).toInt
+          case 2 =>
+            if (littleEndian) ((b(p) & 0xFF) | (b(p + 1) << 8)).toShort.toInt
+            else bb.getShort(p).toInt
           case 3 => ((b(p) << 16) | ((b(p + 1) & 0xFF) << 8) | (b(p + 2) & 0xFF)) >> 8
           case _ => bb.getInt(p) >> 16
         })
@@ -2246,6 +2265,41 @@ object Multimodal {
     b.putShort((16383 + 63 - nlz).toShort).putLong(sampleRate.toLong << nlz)
     b.put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen).putInt(0).putInt(0)
     samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  /** An AIFF-C stream (FORM type AIFC, FVER chunk, COMM with a
+    * compression type + pascal-string name): `compType` "NONE"/"twos"
+    * writes big-endian int16 like plain AIFF; "sowt" writes
+    * BYTE-SWAPPED int16 — the Mac OS X default, and the case a
+    * big-endian-only reader gets exactly backwards. */
+  def syntheticAifc(sampleRate: Int, samples: Array[Int],
+      compType: String = "sowt"): Array[Byte] = {
+    require(Set("NONE", "twos", "sowt").contains(compType))
+    val name = compType match {
+      case "sowt" => "" case _ => "not compressed"
+    }
+    // pascal string: length byte + chars, padded to EVEN total
+    val pLen = 1 + name.length
+    val pPad = pLen & 1
+    val commLen = 22 + pLen + pPad
+    val dataLen = samples.length * 2
+    val b = ByteBuffer.allocate(12 + 12 + 8 + commLen + 16 + dataLen)
+      .order(ByteOrder.BIG_ENDIAN)
+    b.put("FORM".getBytes("US-ASCII")).putInt(4 + 12 + 8 + commLen + 16 + dataLen)
+    b.put("AIFC".getBytes("US-ASCII"))
+    b.put("FVER".getBytes("US-ASCII")).putInt(4).putInt(0xA2805140)
+    b.put("COMM".getBytes("US-ASCII")).putInt(commLen)
+    b.putShort(1).putInt(samples.length).putShort(16)
+    val nlz = java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    b.putShort((16383 + 63 - nlz).toShort).putLong(sampleRate.toLong << nlz)
+    b.put(compType.getBytes("US-ASCII"))
+    b.put(name.length.toByte).put(name.getBytes("US-ASCII"))
+    if (pPad == 1) b.put(0.toByte)
+    b.put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen).putInt(0).putInt(0)
+    if (compType == "sowt")
+      samples.foreach { s => b.put((s & 0xFF).toByte).put(((s >> 8) & 0xFF).toByte) }
+    else samples.foreach(s => b.putShort(s.toShort))
     b.array()
   }
 

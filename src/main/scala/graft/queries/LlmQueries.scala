@@ -1756,18 +1756,20 @@ object LlmQueries {
   }
 
   /** [[audioMedia]]'s waveform re-exported at an encoding keyed by
-    * id % 7 — WAV int16, WAV int24 (<<8), WAV IEEE float32 (s/32768),
+    * id % 8 — WAV int16, WAV int24 (<<8), WAV IEEE float32 (s/32768),
     * EXTENSIBLE-wrapped int16, a REAL FLAC stream, a big-endian AIFF,
-    * or a big-endian AU — every one of which decodes back to the exact
-    * int16 samples, so the envelope replay is encoding-blind (FLAC is
-    * lossless; AIFF/AU are just byte-order-flipped PCM; every decoder
-    * normalizes identically). */
+    * a big-endian AU, or an AIFF-C (round 12: "sowt" byte-swapped
+    * int16 for even ids — the Mac rip default — "NONE" otherwise) —
+    * every one of which decodes back to the exact int16 samples, so
+    * the envelope replay is encoding-blind (FLAC is lossless; AIFF/AU/
+    * AIFC are just byte-order games; every decoder normalizes
+    * identically). */
   private def audioCrossMedia(id: Long): Multimodal.Media = {
     val samples = Array.tabulate(1950) { j =>
       val s = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
       if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
     }
-    val (bytes, mime) = (id % 7) match {
+    val (bytes, mime) = (id % 8) match {
       case 0 => (Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
       case 1 => (Multimodal.syntheticWav(8000, samples, "pcm24"), "audio/wav")
       case 2 => (Multimodal.syntheticWav(8000, samples, "float32"), "audio/wav")
@@ -1775,13 +1777,15 @@ object LlmQueries {
       case 4 => (graft.llm.Flac.synthetic(8000, samples, blockSize = 256,
         strategy = "fixed2"), "audio/flac")
       case 5 => (Multimodal.syntheticAiff(8000, samples), "audio/aiff")
-      case _ =>
+      case 6 =>
         val d = new Array[Byte](samples.length * 2)
         var j = 0
         while (j < samples.length) {
           d(2 * j) = (samples(j) >> 8).toByte; d(2 * j + 1) = samples(j).toByte; j += 1
         }
         (Multimodal.syntheticAu(8000, 3, d), "audio/basic")
+      case _ => (Multimodal.syntheticAifc(8000, samples,
+        if (id % 2 == 0) "sowt" else "NONE"), "audio/aiff")
     }
     Multimodal.Media(id, bytes, mime)
   }

@@ -465,6 +465,41 @@ class MediaInteropSpec extends AnyFunSuite {
     assert(mono.sameElements(samples))
   }
 
+  test("AIFF-C: javax.sound reads our NONE form; sowt byte-swap decodes to identical samples") {
+    val samples = Array.tabulate(1950) { j => ((j * 29 + 11) % 4001) - 2000 }
+    // "NONE" is plain big-endian PCM in the AIFC wrapper — the JDK reads it
+    val none = Multimodal.syntheticAifc(8000, samples, "NONE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(none))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && fmt.isBigEndian)
+    val raw = ais.readAllBytes()
+    val got = Array.tabulate(samples.length)(i =>
+      ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)))
+    assert(got.sameElements(samples))
+    // the JDK lacks sowt/twos support (UnsupportedAudioFileException) —
+    // for those the check is the cross-encoding contract: every AIFC
+    // form must decode to EXACTLY the samples of the plain-AIFF bytes
+    for (ct <- Seq("NONE", "twos", "sowt")) {
+      val bytes = Multimodal.syntheticAifc(8000, samples, ct)
+      val Some((rate, ch, mono)) = Multimodal.decodeAiffPcm(bytes)
+      assert((rate, ch) == (8000, 1), ct)
+      assert(mono.sameElements(samples), s"$ct must land on the AIFF samples")
+    }
+    assert(!Multimodal.syntheticAifc(8000, samples, "sowt")
+      .sameElements(Multimodal.syntheticAifc(8000, samples, "twos")),
+      "sowt bytes must actually be swapped")
+    // a lossy AIFC compression type rejects instead of decoding garbage
+    val ima = Multimodal.syntheticAifc(8000, samples, "NONE")
+    val imaIdx = ima.indices.find(i => ima(i) == 'N' && ima(i + 1) == 'O' &&
+      ima(i + 2) == 'N' && ima(i + 3) == 'E').get
+    val mangled = ima.clone()
+    mangled(imaIdx) = 'i'; mangled(imaIdx + 1) = 'm'
+    mangled(imaIdx + 2) = 'a'; mangled(imaIdx + 3) = '4'
+    assert(Multimodal.decodeAiffPcm(mangled).isEmpty, "lossy AIFC types are out of scope")
+  }
+
   test("AU mu-law: our expansion law matches the JDK's G.711 decode byte for byte") {
     // every one of the 256 code points, through a real AU container
     val codes = Array.tabulate[Byte](256)(_.toByte)
