@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   * none/PackBits/LZW compression — [[Tiff.decodeGray]], cross-validated
   * against the JDK's own ImageIO plugins in MediaInteropSpec), WAV
   * across widths, FLAC ([[Flac.decodePcm]]) and
-  * Y4M video. The DETERMINISTIC STUB scope is down to MP3, H.264, and
-  * arithmetic-coded JPEG. What is
+  * Y4M video. The DETERMINISTIC STUB scope is down to MP3 SAMPLE decode
+  * (its frame-header/ID3 metadata walk IS real — [[parseMp3]]; the
+  * Huffman+IMDCT body stays out because no external validator exists in
+  * this container and hand-transcribing the 32 ISO Huffman tables
+  * without one would be unverifiable), H.264, and arithmetic-coded
+  * JPEG (ImageIO lacks it too — same no-validator argument). What is
   * load-bearing for a 100 TB pipeline either
   * way: the schema (binary payload + typed metadata), the partition-parallel
   * batch shape (one decoder init per partition, streamed records), and the
@@ -4022,9 +4026,129 @@ object Multimodal {
     }
   }
 
+  // MPEG audio Layer III constants (ISO 11172-3 / 13818-3 public
+  // tables): bitrate columns for MPEG-1 and MPEG-2/2.5, sample rates
+  // per version. Index 0 is free-format (length not derivable from the
+  // header), 15 is forbidden.
+  private[graft] val Mp3BitrateV1L3: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private[graft] val Mp3BitrateV2L3: Array[Int] =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private[graft] val Mp3RatesV1: Array[Int] = Array(44100, 48000, 32000)
+  private[graft] val Mp3RatesV2: Array[Int] = Array(22050, 24000, 16000)
+  private[graft] val Mp3RatesV25: Array[Int] = Array(11025, 12000, 8000)
+
+  /** MP3 METADATA parse — the honest step short of full decode (the
+    * Huffman+IMDCT audio decode remains the documented stub): skip an
+    * ID3v2 tag by its syncsafe length (+footer), scan to the first
+    * valid Layer III frame header, then walk frame to frame by the
+    * header length formula ⌊cst·bitrate/rate⌋+padding (cst = 144 for
+    * MPEG-1's 1152-sample frames, 72 for MPEG-2/2.5's 576) — VBR
+    * streams vary the bitrate index per frame, so every frame's length
+    * is computed from its own header. The walk demands version/rate
+    * consistency; a desync, a free-format frame, or the trailing ID3v1
+    * "TAG" block ends it (honest prefix). Returns (rate, channels,
+    * totalSamples) — the [[decodeAudioMeta]] triple. Layers I/II and
+    * reserved fields return None (scoped, not silently wrong). */
+  private[graft] def parseMp3(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 4) return None
+    var pos = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      val skip = 10L + sz + footer
+      if (skip >= b.length) return None
+      pos = skip.toInt
+    }
+    // (frameLen, rate, samplesPerFrame, channels) at p, or None
+    def hdrAt(p: Int): Option[(Int, Int, Int, Int)] = {
+      if (p + 4 > b.length) return None
+      if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xE0) != 0xE0) return None
+      val verBits = (b(p + 1) >> 3) & 3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layerBits = (b(p + 1) >> 1) & 3 // 1 = Layer III
+      if (layerBits != 1 || verBits == 1) return None
+      val brIdx = (b(p + 2) >> 4) & 0xF
+      val srIdx = (b(p + 2) >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val rate = (verBits match {
+        case 3 => Mp3RatesV1
+        case 2 => Mp3RatesV2
+        case _ => Mp3RatesV25
+      })(srIdx)
+      val v1 = verBits == 3
+      val kbps = (if (v1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx)
+      val pad = (b(p + 2) >> 1) & 1
+      val fl = (if (v1) 144 else 72) * kbps * 1000 / rate + pad
+      val mode = (b(p + 3) >> 6) & 3
+      Some((fl, rate, if (v1) 1152 else 576, if (mode == 3) 1 else 2))
+    }
+    // scraped files carry junk between the tag and the first frame —
+    // scan forward for the first header that validates
+    var first: Option[(Int, Int, Int, Int)] = None
+    while (first.isEmpty && pos + 4 <= b.length) {
+      first = hdrAt(pos)
+      if (first.isEmpty) pos += 1
+    }
+    first.flatMap { case (_, rate, spf, ch) =>
+      var frames = 0L
+      var cont = true
+      while (cont) {
+        hdrAt(pos) match {
+          case Some((fl, r2, s2, _)) if r2 == rate && s2 == spf && fl > 4 =>
+            frames += 1; pos += fl
+          case _ => cont = false
+        }
+      }
+      if (frames == 0) None else Some((rate, ch, frames * spf))
+    }
+  }
+
+  /** A REAL MP3 frame sequence for the metadata walk: optional ID3v2
+    * tag (syncsafe length over the given payload), per-frame Layer III
+    * headers whose (bitrateIdx, padding) vary per frame (the VBR
+    * shape), formula-irrelevant payload bytes, and an optional ID3v1
+    * "TAG" trailer. `version1` picks MPEG-1 (1152-sample frames,
+    * 44100/48000/32000 by srIdx) vs MPEG-2 (576, 22050/24000/16000). */
+  def syntheticMp3(version1: Boolean, srIdx: Int,
+      frames: Seq[(Int, Int)], id3Payload: Array[Byte],
+      channels: Int = 1, trailingTag: Boolean = false): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2)
+    require(frames.nonEmpty && frames.forall { case (br, pad) =>
+      br >= 1 && br <= 14 && (pad == 0 || pad == 1) })
+    val rate = (if (version1) Mp3RatesV1 else Mp3RatesV2)(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Payload.nonEmpty) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      val sz = id3Payload.length
+      out.write((sz >> 21) & 0x7F); out.write((sz >> 14) & 0x7F)
+      out.write((sz >> 7) & 0x7F); out.write(sz & 0x7F)
+      out.write(id3Payload, 0, sz)
+    }
+    frames.foreach { case (brIdx, pad) =>
+      val kbps = (if (version1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx)
+      val fl = (if (version1) 144 else 72) * kbps * 1000 / rate + pad
+      out.write(0xFF)
+      out.write(0xE0 | ((if (version1) 3 else 2) << 3) | (1 << 1) | 1) // ver, L3, no CRC
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write(((if (channels == 1) 3 else 0) << 6))
+      var k = 4
+      while (k < fl) { out.write((k * 37 + brIdx * 11) & 0xFF); k += 1 }
+    }
+    if (trailingTag) {
+      out.write('T'); out.write('A'); out.write('G')
+      var k = 3
+      while (k < 128) { out.write(0); k += 1 }
+    }
+    out.toByteArray
+  }
+
   /** Batch decode → PCM audio metadata — real header walks for every
     * audio container the engine decodes (RIFF/WAVE chunks, FLAC
-    * STREAMINFO, AIFF COMM, the AU header), dispatched on magic bytes;
+    * STREAMINFO, AIFF COMM, the AU header) plus the MP3 frame-header
+    * walk (ID3 skip + per-frame VBR lengths — metadata only, the audio
+    * decode stays the documented stub), dispatched on magic bytes;
     * unrecognized bytes yield a zeroed row rather than failing the
     * job — same no-NPE-mid-job posture as the rest of the engine. */
   def decodeAudioMeta(ds: Dataset[Media]): Dataset[AudioMeta] = {
@@ -4040,6 +4164,10 @@ object Multimodal {
           parseAiff(b)
         else if (b != null && b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
           parseAu(b)
+        else if (b != null && b.length >= 4 &&
+            ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+              ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0)))
+          parseMp3(b)
         else parseWav(b).map { case (rate, ch, _, n) => (rate, ch, n) }
       parsed match {
         case Some((rate, ch, n)) =>

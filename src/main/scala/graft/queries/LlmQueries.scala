@@ -1147,6 +1147,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MP3 metadata (round 12): a REAL VBR Layer III frame sequence —
+    // ID3v2 tag skipped by syncsafe length, per-frame bitrate/padding
+    // varying by formula, MPEG-1/2 by parity, ID3v1 trailer on a slice.
+    // The frame-length walk is the thing under test: byte_len replays
+    // the EXACT sum of per-frame ⌊cst·kbps·1000/rate⌋+pad lengths in
+    // SQL, so a single off-by-one in the walk (or a desync) mismatches
+    "q_multimodal_mp3_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(mp3Media _)
+      Multimodal.decodeAudioMeta(media).toDF()
+        .select("doc_id", "byte_len", "sample_rate", "channels", "n_samples", "duration_ms")
+        .orderBy("doc_id")
+    }),
+
     // REAL pixel decode + perceptual hash: each doc renders an actual
     // 18x16 24-bpp BMP whose grayscale is an integer function of
     // (doc_id, x, y); the decoder must reconstruct the EXACT pixels
@@ -1739,6 +1754,26 @@ object LlmQueries {
       case _ => Multimodal.Media(id,
         Multimodal.syntheticBmpCore(w, h, gray, palettized = id % 2 == 1), "image/bmp")
     }
+  }
+
+  /** The q_multimodal_mp3_meta fixture: MPEG-1/2 by parity, sample-rate
+    * index by id%3, 40–59 frames whose (bitrateIdx, padding) vary per
+    * frame by formula — a real VBR stream shape — behind an ID3v2 tag of
+    * formula length, with an ID3v1 trailer on the id%4=1 slice and
+    * stereo on the id%5=0 slice. Every field the oracle replays depends
+    * on the parser walking each frame's own header length. */
+  private def mp3Media(id: Long): Multimodal.Media = {
+    val v1 = id % 2 == 0
+    val srIdx = (id % 3).toInt
+    val nFrames = (40 + id % 20).toInt
+    val frames = (0 until nFrames).map(j =>
+      ((1 + (id + j) % 14).toInt, ((id + j * 7) % 2).toInt))
+    val id3 = Array.tabulate[Byte]((100 + id % 50).toInt)(j =>
+      (((id % 83) * 31 + j * 17) % 256).toByte)
+    Multimodal.Media(id,
+      Multimodal.syntheticMp3(v1, srIdx, frames, id3,
+        channels = if (id % 5 == 0) 2 else 1, trailingTag = id % 4 == 1),
+      "audio/mpeg")
   }
 
   /** The q_multimodal_audiohash/audio_neardup fixture: 1950 samples
@@ -3362,6 +3397,43 @@ object LlmQueries {
         |CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples,
         |CAST((1000 + doc_id % 9000) * 1000 // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the MP3 frame walk replayed: byte_len sums every frame's own
+    // ⌊cst·kbps·1000/rate⌋+padding length (the ISO 11172-3 header
+    // formula) over the per-frame VBR bitrate/padding formulas, plus
+    // the ID3v2 tag (10 + payload) and the ID3v1 trailer slice — one
+    // desync or off-by-one in the walk and byte_len/n_samples mismatch
+    "q_multimodal_mp3_meta" ->
+      """WITH fr AS (
+        |  SELECT doc_id, u.j AS j,
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN 144 * 1000 * ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])[CAST((doc_id + u.j) % 14 AS INTEGER) + 1]
+        |      ELSE 72 * 1000 * ([8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160])[CAST((doc_id + u.j) % 14 AS INTEGER) + 1]
+        |     END) // (CASE WHEN doc_id % 2 = 0
+        |      THEN ([44100, 48000, 32000])[CAST(doc_id % 3 AS INTEGER) + 1]
+        |      ELSE ([22050, 24000, 16000])[CAST(doc_id % 3 AS INTEGER) + 1] END)
+        |    + (doc_id + u.j * 7) % 2 AS flen
+        |  FROM documents, unnest(generate_series(0, 58)) AS u(j)
+        |  WHERE u.j < 40 + doc_id % 20),
+        |agg AS (SELECT doc_id, SUM(flen) AS frames_len FROM fr GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(110 + d.doc_id % 50
+        |       + CASE WHEN d.doc_id % 4 = 1 THEN 128 ELSE 0 END
+        |       + a.frames_len AS BIGINT) AS byte_len,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0
+        |       THEN ([44100, 48000, 32000])[CAST(d.doc_id % 3 AS INTEGER) + 1]
+        |       ELSE ([22050, 24000, 16000])[CAST(d.doc_id % 3 AS INTEGER) + 1]
+        |       END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+        |  CAST((40 + d.doc_id % 20)
+        |       * CASE WHEN d.doc_id % 2 = 0 THEN 1152 ELSE 576 END AS BIGINT) AS n_samples,
+        |  CAST((40 + d.doc_id % 20)
+        |       * CASE WHEN d.doc_id % 2 = 0 THEN 1152 ELSE 576 END * 1000
+        |       // (CASE WHEN d.doc_id % 2 = 0
+        |           THEN ([44100, 48000, 32000])[CAST(d.doc_id % 3 AS INTEGER) + 1]
+        |           ELSE ([22050, 24000, 16000])[CAST(d.doc_id % 3 AS INTEGER) + 1] END)
+        |       AS BIGINT) AS duration_ms
+        |FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the dHash replayed as pure arithmetic: same pixel formula, same
     // floor box-average (18x16 -> 9x8 is the exact 2x2 partition of the

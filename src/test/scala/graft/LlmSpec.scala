@@ -2026,6 +2026,50 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeJpegGray("not a jpeg".getBytes).isEmpty)
   }
 
+  test("multimodal MP3 metadata: ID3 skip, VBR frame walk, junk resync, scoped rejections") {
+    import graft.llm.Multimodal
+    // MPEG-1, VBR (bitrate + padding vary per frame), ID3v2 + ID3v1
+    val frames = (0 until 25).map(j => (1 + j % 14, j % 2))
+    val id3 = Array.tabulate[Byte](77)(j => ((j * 31) % 256).toByte)
+    val bytes = Multimodal.syntheticMp3(version1 = true, srIdx = 1, frames, id3,
+      channels = 2, trailingTag = true)
+    assert(Multimodal.parseMp3(bytes).contains((48000, 2, 25L * 1152)))
+    // byte_len accounting: tag(10+77) + frames + TAG(128)
+    val frameSum = frames.map { case (br, pad) =>
+      144 * Multimodal.Mp3BitrateV1L3(br) * 1000 / 48000 + pad }.sum
+    assert(bytes.length == 10 + 77 + frameSum + 128, "builder length accounting")
+    // MPEG-2: 576-sample frames, the LSF bitrate column, the LSF rates
+    val v2 = Multimodal.syntheticMp3(version1 = false, srIdx = 2, frames, Array.emptyByteArray)
+    assert(Multimodal.parseMp3(v2).contains((16000, 1, 25L * 576)))
+    // junk between the ID3 tag and the first frame: the scan resyncs
+    val junked = bytes.take(10 + 77) ++ Array[Byte](0, 0x7F, -1, 0) ++ bytes.drop(10 + 77)
+    assert(Multimodal.parseMp3(junked).contains((48000, 2, 25L * 1152)),
+      "junk before the first frame must scan forward")
+    // truncation: a frame whose HEADER survives still counts (header-only
+    // metadata, the duration-estimate stance); cutting the whole last
+    // frame drops exactly one from the walk
+    val lastLen = 144 * Multimodal.Mp3BitrateV1L3(1 + 24 % 14) * 1000 / 48000 + (24 % 2)
+    val cut = Multimodal.parseMp3(bytes.dropRight(128 + lastLen))
+    assert(cut.contains((48000, 2, 24L * 1152)), s"prefix: $cut")
+    // a corrupted FIRST frame header (layer bits flipped to Layer II) is
+    // scanned past — the walk resyncs at frame 2 and counts 24 frames
+    val l2 = bytes.clone()
+    l2(10 + 77 + 1) = (l2(10 + 77 + 1) ^ 0x06).toByte // layer 01 -> 10
+    assert(Multimodal.parseMp3(l2).contains((48000, 2, 24L * 1152)),
+      "scan must resync past a corrupt first header")
+    // a stream that is ONLY Layer II rejects (scoped, not silently wrong)
+    val pureL2 = Array[Byte](0xFF.toByte, 0xFD.toByte, 0x92.toByte, 0xC0.toByte) ++
+      Array.fill[Byte](400)(0)
+    assert(Multimodal.parseMp3(pureL2).isEmpty, "Layer II is out of scope")
+    // free-format first frame rejects (length not derivable)
+    val free = bytes.clone()
+    free(10 + 77 + 2) = (free(10 + 77 + 2) & 0x0F).toByte // bitrate idx 0
+    val f = Multimodal.parseMp3(free)
+    assert(f.isEmpty || f.exists(_._3 < 25L * 1152), "free format cannot be walked")
+    assert(Multimodal.parseMp3("garbage, not audio".getBytes).isEmpty)
+    assert(Multimodal.parseMp3(Array[Byte]('I', 'D', '3')).isEmpty)
+  }
+
   test("multimodal WAV encodings: 8/24/32-bit PCM, float32, extensible — normalized decode") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(47)
