@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systematic corrupt-input sweep over EVERY media decode entry point:
+  * pure random buffers, random byte-flips of every valid fixture the
+  * engine can render, and random truncations. The invariant under test
+  * is the engine's corrupt-scrape posture — a decoder may return None
+  * or a bounded garbage decode, but must NEVER throw (an exception
+  * inside a mapPartitions decode kernel kills a 100 TB job's task,
+  * retries it, and kills it again — corrupt bytes are NORMAL input at
+  * scale, not an error path). Deterministic seeds; complements the
+  * targeted corrupt-input tests next to each decoder. */
+class MediaFuzzSpec extends AnyFunSuite {
+
+  private def rng(seed: Long): () => Long = {
+    var s = seed
+    () => {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s
+    }
+  }
+
+  // every dispatcher + every direct parser the engine exposes
+  private val surfaces: Seq[(String, Array[Byte] => Any)] = Seq(
+    "imageHashOf" -> (b => Multimodal.imageHashOf(b)),
+    "audioHashOf" -> (b => Multimodal.audioHashOf(b)),
+    "videoHashesOf" -> (b => Multimodal.videoHashesOf(b, 12)),
+    "parseMp3" -> (b => Multimodal.parseMp3(b)),
+    "parseBmp" -> (b => Multimodal.parseBmp(b)),
+    "parsePng" -> (b => Multimodal.parsePng(b)),
+    "parseGif" -> (b => Multimodal.parseGif(b)),
+    "parseJpeg" -> (b => Multimodal.parseJpeg(b)),
+    "parseWav" -> (b => Multimodal.parseWav(b)),
+    "tiffDims" -> (b => Tiff.parseDims(b)),
+    "tiffDecode" -> (b => Tiff.decodeGray(b)),
+    "flacDecode" -> (b => Flac.decodePcm(b)))
+
+  // one representative of every container/layout family the engine writes
+  private def fixtures: Seq[(String, Array[Byte])] = {
+    val px = Array.tabulate(18 * 16)(i => (i * 7 + 13) % 255)
+    val samples = Array.tabulate(1950)(j => ((j * 31) % 4001) - 2000)
+    val frames12 = (0 until 12).map(f => Array.tabulate(18 * 16)(i => (i + f * 9) % 255))
+    Seq(
+      "bmp24" -> Multimodal.syntheticBmpPixels(18, 16, px),
+      "bmp8" -> Multimodal.syntheticBmp8(18, 16, px),
+      "bmpCore" -> Multimodal.syntheticBmpCore(18, 16, px, palettized = true),
+      "png" -> Multimodal.syntheticPngPixels(18, 16, px, colorType = 2,
+        rowFilters = Seq(1, 4, 2)),
+      "pngPalAdam7" -> Multimodal.syntheticPngPixels(18, 16, px, colorType = 3,
+        rowFilters = Seq(3, 0), interlaced = true),
+      "png16" -> Multimodal.syntheticPngPixels(18, 16, px, bitDepth = 16),
+      "gif" -> Multimodal.syntheticGifPixels(18, 16, px, interlaced = true),
+      "gifAnim" -> Multimodal.syntheticGifAnimated(18, 16, frames12),
+      "gifDeltas" -> Multimodal.syntheticGifAnimatedDeltas(18, 16, Seq(
+        (0, 0, 18, 16, px.map(v => v min 254), 0),
+        (4, 3, 8, 6, Array.tabulate(48)(i => if (i % 3 == 0) -1 else i % 254), 2),
+        (2, 2, 6, 5, Array.fill(30)(99), 3))),
+      "jpeg" -> Multimodal.syntheticJpegPixels(24, 16, Array.tabulate(24 * 16)(i => i % 200)),
+      "jpegProg" -> Multimodal.syntheticJpegProgressive(24, 16,
+        Array.tabulate(24 * 16)(i => i % 200)),
+      "jpegProg420" -> Multimodal.syntheticJpegProgressive(32, 16,
+        Array.tabulate(32 * 16)(i => i % 200), color420 = true),
+      "tiffLzw" -> Tiff.syntheticTiffPixels(18, 16, px, compression = 5, predictor = 2),
+      "tiffDeflate" -> Tiff.syntheticTiffPixels(18, 16, px, compression = 8,
+        bigEndian = true),
+      "wav16" -> Multimodal.syntheticWavPcm(8000, samples),
+      "wavFloat" -> Multimodal.syntheticWav(8000, samples, "float32"),
+      "wavG711" -> Multimodal.syntheticWavG711(8000, 7,
+        Array.tabulate[Byte](1950)(j => (j * 3).toByte)),
+      "wavAdpcm" -> Multimodal.syntheticWavAdpcm(8000, 1, samples),
+      "wavMsAdpcm" -> Multimodal.syntheticWavAdpcmMs(8000, 1, samples),
+      "aiff" -> Multimodal.syntheticAiff(8000, samples),
+      "aifcSowt" -> Multimodal.syntheticAifc(8000, samples, "sowt"),
+      "au" -> Multimodal.syntheticAu(8000, 1,
+        Array.tabulate[Byte](1950)(j => (j * 5).toByte)),
+      "flac" -> Flac.synthetic(8000, samples, blockSize = 256, strategy = "fixed2"),
+      "y4m" -> Multimodal.syntheticY4m(18, 16, frames12),
+      "mp3" -> Multimodal.syntheticMp3(version1 = true, srIdx = 0,
+        (0 until 20).map(j => (1 + j % 14, j % 2)),
+        Array.tabulate[Byte](64)(_.toByte), trailingTag = true))
+  }
+
+  test("pure random buffers never throw in any decoder") {
+    val next = rng(0xF00DL)
+    for (trial <- 0 until 40) {
+      val len = (math.abs(next()) % 5000).toInt + (trial % 3) // incl. tiny
+      val buf = Array.tabulate[Byte](len)(_ => next().toByte)
+      surfaces.foreach { case (name, f) =>
+        try f(buf)
+        catch { case e: Throwable =>
+          fail(s"$name threw on random buffer (trial $trial, len $len): $e")
+        }
+      }
+    }
+  }
+
+  test("byte-flipped valid fixtures never throw in any decoder") {
+    val next = rng(0xBEEFL)
+    fixtures.foreach { case (fname, orig) =>
+      for (_ <- 0 until 25) {
+        val mutated = orig.clone()
+        val flips = 1 + (math.abs(next()) % 4).toInt
+        for (_ <- 0 until flips) {
+          val at = (math.abs(next()) % mutated.length).toInt
+          mutated(at) = (mutated(at) ^ (1 << (math.abs(next()) % 8).toInt).toByte).toByte
+        }
+        surfaces.foreach { case (sname, f) =>
+          try f(mutated)
+          catch { case e: Throwable =>
+            fail(s"$sname threw on flipped $fname: $e")
+          }
+        }
+      }
+    }
+  }
+
+  test("random truncations of valid fixtures never throw in any decoder") {
+    val next = rng(0xCAFEL)
+    fixtures.foreach { case (fname, orig) =>
+      for (_ <- 0 until 15) {
+        val cut = orig.take((math.abs(next()) % orig.length).toInt)
+        surfaces.foreach { case (sname, f) =>
+          try f(cut)
+          catch { case e: Throwable =>
+            fail(s"$sname threw on truncated $fname (${cut.length}/${orig.length}): $e")
+          }
+        }
+      }
+    }
+  }
+}
