@@ -595,6 +595,36 @@ class StreamingSpec extends SparkSpec {
       assert(!got.contains(nearV.toSeq), "11-of-12-shared copy suppressed")
       assert(got.contains(farV.toSeq), "unrelated passes (shares < 8)")
       assert(got.contains(garbage.toSeq), "undecodable passes through")
+      // r12: the copy arrives DELTA-ENCODED (keyframe + sub-rect deltas,
+      // the GIF-optimizer output shape) — the compositor must land on
+      // the same frame hashes as the Y4M original for suppression
+      // non-monotone content: a row-monotone gradient dHashes to 0 and
+      // would collide with the flat videos above
+      val keyframe = Array.tabulate(18 * 16)(i => (i * 97 + 13) % 251)
+      val content12 = (0 until 12).map { j =>
+        val f = keyframe.clone()
+        for (y <- 3 until 8; x <- 4 until 10) f(y * 18 + x) = (j * 19 + x + y) % 255
+        f
+      }
+      val y4mD = Multimodal.syntheticY4m(18, 16, content12)
+      val deltaGif = Multimodal.syntheticGifAnimatedDeltas(18, 16,
+        (0, 0, 18, 16, content12(0).map(identity), 0) +:
+          (1 until 12).map(j => (4, 3, 6, 5,
+            Array.tabulate(30)(i => (j * 19 + (4 + i % 6) + (3 + i / 6)) % 255), 0)))
+      in.addData(ts(300) -> y4mD)
+      q.processAllAvailable()
+      in.addData(ts(301) -> deltaGif)
+      q.processAllAvailable()
+      // a later decodable event advances the watermark past the [300,310)
+      // claim window — Append-mode aggregates only emit on window close
+      in.addData(ts(400) -> Multimodal.syntheticY4m(18, 16,
+        (0 until 12).map(_ => Array.fill(18 * 16)(77))))
+      q.processAllAvailable()
+      val got2 = spark.table("vid_out").select("media").as[Array[Byte]].collect()
+        .map(_.toSeq).toSet
+      assert(got2.contains(y4mD.toSeq), "delta premise: the Y4M original passes")
+      assert(!got2.contains(deltaGif.toSeq),
+        "delta-encoded GIF copy suppressed across the container boundary")
     } finally q.stop()
   }
 
