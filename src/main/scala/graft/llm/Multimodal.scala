@@ -591,6 +591,7 @@ object Multimodal {
               compId(c) = b(seg + 6 + c * 3) & 0xFF
               compHV(c) = b(seg + 7 + c * 3) & 0xFF
               compQ(c) = b(seg + 8 + c * 3) & 0xFF
+              if (compQ(c) > 3) return None // quant table ids are 0-3
               c += 1
             }
             // luma up to 2x2; chroma must be 1x1 (4:4:4 / 4:2:2 / 4:2:0)
@@ -609,7 +610,7 @@ object Multimodal {
               val cid = b(seg + 1 + i * 2) & 0xFF
               val tbl = b(seg + 2 + i * 2) & 0xFF
               val ci = compId.indexOf(cid)
-              if (ci < 0) return None
+              if (ci < 0 || (tbl >> 4) > 3 || (tbl & 0x0F) > 3) return None
               (ci, tbl >> 4, tbl & 0x0F)
             }
             sosAt = segEnd
@@ -2917,6 +2918,7 @@ object Multimodal {
                   return None
               } else if (hv != 0x11) return None
               compQ(c) = b(seg + 8 + c * 3) & 0xFF
+              if (compQ(c) > 3) return None // quant table ids are 0-3
               c += 1
             }
             bw = (w + 7) / 8; bh = (h + 7) / 8
@@ -2941,8 +2943,9 @@ object Multimodal {
             if (ns < 1 || ns > nComp) return None
             val scanComp = Array.tabulate(ns) { i =>
               val ci = compId.indexOf(b(seg + 1 + i * 2) & 0xFF)
-              if (ci < 0) return None
-              (ci, (b(seg + 2 + i * 2) & 0xFF) >> 4, b(seg + 2 + i * 2) & 0x0F)
+              val tbl = b(seg + 2 + i * 2) & 0xFF
+              if (ci < 0 || (tbl >> 4) > 3 || (tbl & 0x0F) > 3) return None
+              (ci, tbl >> 4, tbl & 0x0F)
             }
             val ss = b(seg + 1 + ns * 2) & 0xFF
             val se = b(seg + 2 + ns * 2) & 0xFF
@@ -3892,6 +3895,117 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  /** ICO/CUR (the favicon container a web image corpus is full of) →
+    * grayscale luma of the LARGEST entry (the favicon convention). The
+    * ICONDIR is a thin directory over payloads this engine already
+    * decodes: a PNG stream (modern favicons) or a headerless DIB whose
+    * BITMAPINFOHEADER declares DOUBLED height (XOR pixels + the 1-bpp
+    * AND mask). The DIB path re-wraps the payload as a .bmp — synthesize
+    * the BITMAPFILEHEADER, halve the height — and reuses
+    * [[decodeBmpGray]] wholesale (palette forms, 16/32-bpp BITFIELDS,
+    * both row orders all come along for free); the AND mask is ignored
+    * (transparency takes content, the GIF/PNG posture). Corrupt
+    * directories, out-of-range entries, and RLE-in-ICO return None. */
+  private[graft] def decodeIcoGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 22) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getShort(0) != 0) return None
+    val typ = bb.getShort(2)
+    if (typ != 1 && typ != 2) return None
+    val n = bb.getShort(4) & 0xFFFF
+    if (n == 0 || 6 + 16 * n > b.length) return None
+    var best = -1
+    var bestPx = -1L
+    var i = 0
+    while (i < n) {
+      val e = 6 + 16 * i
+      val w = if ((b(e) & 0xFF) == 0) 256 else b(e) & 0xFF
+      val h = if ((b(e + 1) & 0xFF) == 0) 256 else b(e + 1) & 0xFF
+      val off = bb.getInt(e + 12).toLong & 0xFFFFFFFFL
+      val len = bb.getInt(e + 8).toLong & 0xFFFFFFFFL
+      if (off >= 6 + 16 * n && off + len <= b.length && len >= 16 &&
+          w.toLong * h > bestPx) {
+        bestPx = w.toLong * h
+        best = e
+      }
+      i += 1
+    }
+    if (best < 0) return None
+    val off = bb.getInt(best + 12)
+    val len = bb.getInt(best + 8)
+    val img = java.util.Arrays.copyOfRange(b, off, off + len)
+    if (img.length >= 8 && (img(0) & 0xFF) == 0x89 && img(1) == 'P')
+      return decodePngGray(img)
+    if (img.length < 40) return None
+    val ib = ByteBuffer.wrap(img).order(ByteOrder.LITTLE_ENDIAN)
+    val hdrSize = ib.getInt(0)
+    if (hdrSize < 40 || hdrSize > img.length) return None
+    val h2 = ib.getInt(8)
+    if (h2 == Int.MinValue || (h2 & 1) != 0 || h2 <= 0) return None // doubled, bottom-up
+    val bpp = ib.getShort(14).toInt
+    val compression = ib.getInt(16)
+    if (compression != 0 && compression != 3) return None // no RLE in ICO
+    val clrUsed = ib.getInt(32)
+    val palN =
+      if (bpp >= 1 && bpp <= 8)
+        (if (clrUsed > 0 && clrUsed <= (1 << bpp)) clrUsed else 1 << bpp)
+      else 0
+    val masksLen = if (compression == 3 && hdrSize == 40) 12 else 0
+    val dataOff = 14 + hdrSize + masksLen + 4 * palN
+    val out = ByteBuffer.allocate(14 + img.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(14 + img.length).putInt(0).putInt(dataOff)
+    out.put(img)
+    out.putInt(14 + 8, h2 / 2) // un-double the height for the XOR plane
+    decodeBmpGray(out.array())
+  }
+
+  /** A real ICO: ICONDIR + a 4×4 DECOY entry (so largest-entry
+    * selection is load-bearing) + the main image as either a
+    * doubled-height 24-bpp DIB with a zeroed AND mask or a full PNG
+    * stream. `width`/`height` must be ≤ 255 (the directory's byte
+    * fields; 256 is the 0 encoding, not needed for fixtures). */
+  def syntheticIco(width: Int, height: Int, gray: Array[Int],
+      png: Boolean = false): Array[Byte] = {
+    require(width > 0 && width <= 255 && height > 0 && height <= 255)
+    require(gray.length == width * height)
+    def dibOf(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val maskStride = ((w + 31) / 32) * 4
+      val buf = ByteBuffer.allocate(40 + (stride + maskStride) * h)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(40).putInt(w).putInt(h * 2)
+      buf.putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      buf.putInt(0).putInt(0).putInt(0).putInt(0)
+      var y = 0
+      while (y < h) {
+        val srcRow = h - 1 - y // bottom-up
+        var x = 0
+        while (x < w) {
+          val v = (px(srcRow * w + x) & 0xFF).toByte
+          buf.put(v).put(v).put(v)
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        y += 1
+      }
+      // fully-opaque AND mask
+      buf.put(new Array[Byte](maskStride * h))
+      buf.array()
+    }
+    val decoy = dibOf(4, 4, Array.fill(16)(1))
+    val main = if (png) syntheticPngPixels(width, height, gray) else dibOf(width, height, gray)
+    val out = ByteBuffer.allocate(6 + 32 + decoy.length + main.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(0).putShort(1).putShort(2)
+    out.put(4.toByte).put(4.toByte).put(0.toByte).put(0.toByte)
+    out.putShort(1).putShort(24).putInt(decoy.length).putInt(6 + 32)
+    out.put(width.toByte).put(height.toByte).put(0.toByte).put(0.toByte)
+    out.putShort(1).putShort(24).putInt(main.length).putInt(6 + 32 + decoy.length)
+    out.put(decoy).put(main)
+    out.array()
+  }
+
   case class ImageHash(doc_id: Long, dhash: Long, ok: Boolean)
 
   /** Bytes → perceptual image hash, dispatched on magic bytes (not
@@ -3912,6 +4026,9 @@ object Multimodal {
       else if (m != null && m.length >= 2 && (m(0) & 0xFF) == 0xFF && (m(1) & 0xFF) == 0xD8)
         decodeJpegGray(m).orElse(decodeJpegProgressive(m))
       else if (Tiff.isTiff(m)) Tiff.decodeGray(m)
+      else if (m != null && m.length >= 6 && m(0) == 0 && m(1) == 0 &&
+        (m(2) == 1 || m(2) == 2) && m(3) == 0)
+        decodeIcoGray(m)
       else None
     gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
   }

@@ -1290,7 +1290,8 @@ object LlmQueries {
     }),
 
     // CROSS-CONTAINER near-dup capstone: the same block-arithmetic pixels
-    // rendered through BMP, PNG, GIF, baseline JPEG, or TIFF per doc (id % 5) —
+    // rendered through BMP, PNG, GIF, baseline JPEG, TIFF, OS/2-core
+    // BMP, or ICO (DIB and PNG payloads) per doc (id % 7) —
     // a re-encoded copy of an image is the canonical near-dup case, and
     // the pairs must form EXACTLY as if every doc were the same format,
     // because all five decoders land on identical luma. The oracle never
@@ -1739,7 +1740,7 @@ object LlmQueries {
       val by = i / w / 8
       (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
     }
-    (id % 6) match {
+    (id % 7) match {
       case 0 => Multimodal.Media(id, Multimodal.syntheticBmpPixels(w, h, gray), "image/bmp")
       case 1 => Multimodal.Media(id,
         Multimodal.syntheticPngPixels(w, h, gray, colorType = 2,
@@ -1751,8 +1752,10 @@ object LlmQueries {
         graft.llm.Tiff.syntheticTiffPixels(w, h, gray, compression = 5,
           predictor = if (id % 2 == 0) 2 else 1, rowsPerStrip = 6,
           bigEndian = id % 10 == 4), "image/tiff")
-      case _ => Multimodal.Media(id,
+      case 5 => Multimodal.Media(id,
         Multimodal.syntheticBmpCore(w, h, gray, palettized = id % 2 == 1), "image/bmp")
+      case _ => Multimodal.Media(id, // round 12: ICO, DIB or PNG payload
+        Multimodal.syntheticIco(w, h, gray, png = id % 2 == 1), "image/x-icon")
     }
   }
 

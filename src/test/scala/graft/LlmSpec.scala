@@ -2026,6 +2026,34 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeJpegGray("not a jpeg".getBytes).isEmpty)
   }
 
+  test("multimodal ICO: largest-entry selection, DIB and PNG payloads, corrupt rejects") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(41)
+    val (w, h) = (18, 16)
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    // DIB payload: doubled-height header + AND mask; the 4x4 decoy entry
+    // must lose the largest-entry selection
+    val ico = Multimodal.syntheticIco(w, h, px)
+    assert(Multimodal.decodeIcoGray(ico).map(_._3.toSeq).contains(px.toSeq), "DIB payload")
+    // PNG payload (the modern favicon form) goes through the PNG decoder
+    val icoPng = Multimodal.syntheticIco(w, h, px, png = true)
+    assert(Multimodal.decodeIcoGray(icoPng).map(_._3.toSeq).contains(px.toSeq), "PNG payload")
+    // the container is invisible to the perceptual hash, via the dispatch
+    assert(Multimodal.imageHashOf(ico) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, px)), "ICO vs BMP hash")
+    assert(Multimodal.imageHashOf(icoPng) == Multimodal.imageHashOf(ico))
+    // CUR (type 2) parses identically
+    val cur = ico.clone(); cur(2) = 2
+    assert(Multimodal.decodeIcoGray(cur).map(_._3.toSeq).contains(px.toSeq), "CUR")
+    // corrupt: bad type, zero entries, out-of-range offsets, truncation
+    val badType = ico.clone(); badType(2) = 9
+    assert(Multimodal.decodeIcoGray(badType).isEmpty)
+    val noEntries = ico.clone(); noEntries(4) = 0; noEntries(5) = 0
+    assert(Multimodal.decodeIcoGray(noEntries).isEmpty)
+    assert(Multimodal.decodeIcoGray(ico.take(40)).isEmpty)
+    assert(Multimodal.decodeIcoGray("not an icon".getBytes).isEmpty)
+  }
+
   test("multimodal MP3 metadata: ID3 skip, VBR frame walk, junk resync, scoped rejections") {
     import graft.llm.Multimodal
     // MPEG-1, VBR (bitrate + padding vary per frame), ID3v2 + ID3v1
