@@ -163,8 +163,19 @@ object ScaleProbe {
     }
     if (local % 2 == 0)
       Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
-    else
+    else if (local % 4 == 1)
       Multimodal.Media(id, Multimodal.syntheticGifAnimated(w, h, frames), "video/gif")
+    else {
+      // DELTA-encoded GIF (round 12): keyframe + sub-rect deltas, so the
+      // probe times the COMPOSITOR chain path, not just per-frame LZW
+      val deltas = (0, 0, w, h, frames.head.map(v => v min 254), 0) +:
+        (1 until frames.size).map { f =>
+          (4, 3, 8, 6, Array.tabulate(48) { i =>
+            frames(f)((3 + i / 8) * w + (4 + i % 8)) min 254
+          }, 0)
+        }
+      Multimodal.Media(id, Multimodal.syntheticGifAnimatedDeltas(w, h, deltas), "video/gif")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -3906,7 +3906,8 @@ object Multimodal {
     * both row orders all come along for free); the AND mask is ignored
     * (transparency takes content, the GIF/PNG posture). Corrupt
     * directories, out-of-range entries, and RLE-in-ICO return None. */
-  private[graft] def decodeIcoGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  /** ICONDIR walk → the largest in-range entry's payload slice. */
+  private def icoBestEntry(b: Array[Byte]): Option[Array[Byte]] = {
     if (b == null || b.length < 22) return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     if (bb.getShort(0) != 0) return None
@@ -3930,10 +3931,28 @@ object Multimodal {
       }
       i += 1
     }
-    if (best < 0) return None
-    val off = bb.getInt(best + 12)
-    val len = bb.getInt(best + 8)
-    val img = java.util.Arrays.copyOfRange(b, off, off + len)
+    if (best < 0) None
+    else Some(java.util.Arrays.copyOfRange(b,
+      bb.getInt(best + 12), bb.getInt(best + 12) + bb.getInt(best + 8)))
+  }
+
+  /** Header-only ICO dims (the parseBmp/parsePng sibling): the LARGEST
+    * entry's payload header — PNG IHDR or the DIB's biWidth/biHeight
+    * (halving the doubled XOR+AND height). */
+  private[graft] def parseIco(b: Array[Byte]): Option[(Int, Int)] =
+    icoBestEntry(b).flatMap { img =>
+      if (img.length >= 8 && (img(0) & 0xFF) == 0x89 && img(1) == 'P') parsePng(img)
+      else if (img.length >= 40) {
+        val ib = ByteBuffer.wrap(img).order(ByteOrder.LITTLE_ENDIAN)
+        val w = ib.getInt(4)
+        val h2 = ib.getInt(8)
+        if (ib.getInt(0) >= 40 && w > 0 && h2 > 0 && (h2 & 1) == 0) Some((w, h2 / 2))
+        else None
+      } else None
+    }
+
+  private[graft] def decodeIcoGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img = icoBestEntry(b).getOrElse(return None)
     if (img.length >= 8 && (img(0) & 0xFF) == 0x89 && img(1) == 'P')
       return decodePngGray(img)
     if (img.length < 40) return None
@@ -4130,6 +4149,7 @@ object Multimodal {
           case "image/gif" => parseGif(m.media)
           case "image/jpeg" => parseJpeg(m.media)
           case "image/tiff" => Tiff.parseDims(m.media)
+          case "image/x-icon" | "image/vnd.microsoft.icon" => parseIco(m.media)
           case _ => null // no parser for this mime → the documented stub
         }
         parsed match {

@@ -2042,6 +2042,9 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.imageHashOf(ico) ==
       Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, px)), "ICO vs BMP hash")
     assert(Multimodal.imageHashOf(icoPng) == Multimodal.imageHashOf(ico))
+    // header-only dims: PNG payload via IHDR, DIB via halved biHeight
+    assert(Multimodal.parseIco(ico).contains((w, h)))
+    assert(Multimodal.parseIco(icoPng).contains((w, h)))
     // CUR (type 2) parses identically
     val cur = ico.clone(); cur(2) = 2
     assert(Multimodal.decodeIcoGray(cur).map(_._3.toSeq).contains(px.toSeq), "CUR")
