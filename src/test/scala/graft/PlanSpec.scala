@@ -289,7 +289,24 @@ class PlanSpec extends SparkSpec {
             graft.llm.Flac.synthetic(8000, Array.tabulate(1950)(_ % 100)), "audio/flac"))).toDF(),
         "videoFrameHashes/gif" -> Multimodal.videoFrameHashes(
           ids.map(id => Multimodal.Media(id,
-            Multimodal.syntheticGifAnimated(18, 16, Seq(px, px)), "image/gif"))))) {
+            Multimodal.syntheticGifAnimated(18, 16, Seq(px, px)), "image/gif"))),
+        // round 12: the compositor (delta GIF), ICO, progressive 4:2:0,
+        // and the MP3 metadata walk are map stages like the rest
+        "videoFrameHashes/deltaGif" -> Multimodal.videoFrameHashes(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticGifAnimatedDeltas(18, 16,
+            Seq((0, 0, 18, 16, px.map(v => v min 254), 0),
+              (4, 3, 6, 5, Array.fill(30)(7), 2))), "image/gif"))),
+        "imageDHash/ico" -> Multimodal.imageDHash(
+          ids.map(id => Multimodal.Media(id,
+            Multimodal.syntheticIco(18, 16, px), "image/x-icon"))).toDF(),
+        "imageDHash/prog420" -> Multimodal.imageDHash(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticJpegProgressive(
+            32, 16, Array.tabulate(32 * 16)(i => i % 200), color420 = true),
+            "image/jpeg"))).toDF(),
+        "audioMeta/mp3" -> Multimodal.decodeAudioMeta(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticMp3(
+            version1 = true, srIdx = 0, Seq((5, 0), (9, 1)), Array.emptyByteArray),
+            "audio/mpeg"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }
