@@ -3906,6 +3906,135 @@ object Multimodal {
     * both row orders all come along for free); the AND mask is ignored
     * (transparency takes content, the GIF/PNG posture). Corrupt
     * directories, out-of-range entries, and RLE-in-ICO return None. */
+  /** QOI ("Quite OK Image", qoiformat.org — a public-domain 2022 spec
+    * one page long) → grayscale luma. 14-byte header (magic "qoif",
+    * BE dims, channels 3/4, colourspace byte), then a byte-oriented op
+    * stream over a running (r,g,b,a) state and a 64-entry index keyed
+    * by (3r+5g+7b+11a) mod 64: RGB/RGBA literals (0xFE/0xFF), INDEX
+    * (00xxxxxx), DIFF (01… two bias-2 bits per channel), LUMA (10… a
+    * six-bit bias-32 dg plus four-bit bias-8 dr−dg/db−dg), RUN (11…,
+    * bias −1, max 62 — 63/64 collide with the literal tags). Every
+    * decoded pixel re-enters the index. Truncated/corrupt streams
+    * return None; the 8-byte end marker is not demanded (honest-prefix
+    * is wrong here — QOI has no per-op length, so a short stream means
+    * the image is NOT reconstructible). */
+  private[graft] def decodeQoiGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 14 + 8) return None
+    if (!(b(0) == 'q' && b(1) == 'o' && b(2) == 'i' && b(3) == 'f')) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    val w = bb.getInt(4)
+    val h = bb.getInt(8)
+    val channels = b(12) & 0xFF
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
+    if ((channels != 3 && channels != 4) || (b(13) & 0xFF) > 1) return None
+    val n = w * h
+    val out = new Array[Int](n)
+    val index = new Array[Int](64) // packed ARGB, zero-initialized per spec
+    var r = 0; var g = 0; var bl = 0; var a = 255
+    var p = 14
+    var i = 0
+    def luma(): Int = (299 * r + 587 * g + 114 * bl) / 1000
+    while (i < n) {
+      if (p >= b.length) return None
+      val op = b(p) & 0xFF
+      p += 1
+      if (op == 0xFE) { // RGB literal
+        if (p + 3 > b.length) return None
+        r = b(p) & 0xFF; g = b(p + 1) & 0xFF; bl = b(p + 2) & 0xFF
+        p += 3
+      } else if (op == 0xFF) { // RGBA literal
+        if (p + 4 > b.length) return None
+        r = b(p) & 0xFF; g = b(p + 1) & 0xFF; bl = b(p + 2) & 0xFF; a = b(p + 3) & 0xFF
+        p += 4
+      } else (op >> 6) match {
+        case 0 => // INDEX
+          val v = index(op & 63)
+          a = (v >>> 24) & 0xFF; r = (v >> 16) & 0xFF; g = (v >> 8) & 0xFF; bl = v & 0xFF
+        case 1 => // DIFF, bias 2
+          r = (r + ((op >> 4) & 3) - 2) & 0xFF
+          g = (g + ((op >> 2) & 3) - 2) & 0xFF
+          bl = (bl + (op & 3) - 2) & 0xFF
+        case 2 => // LUMA: dg bias 32, dr-dg / db-dg bias 8
+          if (p >= b.length) return None
+          val dg = (op & 63) - 32
+          val b2 = b(p) & 0xFF
+          p += 1
+          r = (r + dg + ((b2 >> 4) & 15) - 8) & 0xFF
+          g = (g + dg) & 0xFF
+          bl = (bl + dg + (b2 & 15) - 8) & 0xFF
+        case _ => // RUN, bias -1 (max 62 by construction)
+          var run = (op & 63) + 1
+          if (i + run > n) return None
+          val lv = luma()
+          while (run > 0) { out(i) = lv; i += 1; run -= 1 }
+          // the run repeats prev: no index update, continue the op loop
+          run = -1
+      }
+      if ((op >> 6) != 3 || op == 0xFE || op == 0xFF) {
+        // every produced pixel (incl. literal/diff/luma/index) indexes
+        index((3 * r + 5 * g + 7 * bl + 11 * a) % 64) =
+          (a << 24) | (r << 16) | (g << 8) | bl
+        if (i >= n) return None
+        out(i) = luma()
+        i += 1
+      }
+    }
+    Some((w, h, out))
+  }
+
+  /** A spec-exact QOI encoder (the standard greedy: run → index → diff
+    * → luma → literal), RGB from gray triplets so decode lands on the
+    * exact value. Exercises every op class on structured content. */
+  def syntheticQoi(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == width * height)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def w32(v: Int): Unit = {
+      out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)
+      out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    w32(width); w32(height)
+    out.write(3); out.write(0) // RGB, sRGB
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0; val pa = 255
+    var run = 0
+    def flushRun(): Unit = while (run > 0) {
+      val chunk = math.min(run, 62)
+      out.write(0xC0 | (chunk - 1))
+      run -= chunk
+    }
+    var i = 0
+    while (i < gray.length) {
+      val v = gray(i) & 0xFF
+      if (v == pr && v == pg && v == pb) run += 1
+      else {
+        flushRun()
+        val hash = (3 * v + 5 * v + 7 * v + 11 * pa) % 64
+        val packed = (pa << 24) | (v << 16) | (v << 8) | v
+        val dr = ((v - pr) << 24) >> 24 // wrap to signed byte per spec
+        val dg = ((v - pg) << 24) >> 24
+        val db = ((v - pb) << 24) >> 24
+        if (index(hash) == packed) out.write(hash)
+        else if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+          out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+        else if (dg >= -32 && dg <= 31 && dr - dg >= -8 && dr - dg <= 7 &&
+          db - dg >= -8 && db - dg <= 7) {
+          out.write(0x80 | (dg + 32))
+          out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+        } else {
+          out.write(0xFE); out.write(v); out.write(v); out.write(v)
+        }
+        index(hash) = packed
+        pr = v; pg = v; pb = v
+      }
+      i += 1
+    }
+    flushRun()
+    for (_ <- 0 until 7) out.write(0)
+    out.write(1)
+    out.toByteArray
+  }
+
   /** ICONDIR walk → the largest in-range entry's payload slice. */
   private def icoBestEntry(b: Array[Byte]): Option[Array[Byte]] = {
     if (b == null || b.length < 22) return None
@@ -4048,6 +4177,9 @@ object Multimodal {
       else if (m != null && m.length >= 6 && m(0) == 0 && m(1) == 0 &&
         (m(2) == 1 || m(2) == 2) && m(3) == 0)
         decodeIcoGray(m)
+      else if (m != null && m.length >= 4 && m(0) == 'q' && m(1) == 'o' &&
+        m(2) == 'i' && m(3) == 'f')
+        decodeQoiGray(m)
       else None
     gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
   }

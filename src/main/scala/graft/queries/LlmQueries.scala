@@ -1196,6 +1196,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // and through QOI ("Quite OK Image", the public-domain 2022 format):
+    // the greedy encoder hits every op class on this content (runs in
+    // flat regions, index hits on recurring values, DIFF/LUMA on small
+    // gradients, literals on jumps) and the decoder's running-state +
+    // 64-entry-index walk must reproduce the exact pixels
+    "q_multimodal_qoi_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(qoiMedia _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // and once more through a REAL GIF: LZW-compressed indices against a
     // grayscale palette (entry i = (i,i,i) makes luma exactly the index),
     // INTERLACED for every even doc_id so the four-pass de-interlace is
@@ -1614,6 +1630,22 @@ object LlmQueries {
       Multimodal.syntheticPngPixels(w, h, gray, colorType = ct,
         rowFilters = filters, interlaced = id % 4 == 1, bitDepth = depth),
       "image/png")
+  }
+
+  /** [[dhashMedia]]'s pixels through QOI: same arithmetic, same oracle —
+    * the byte-oriented op stream (runs/index/diff/luma/literals) is what
+    * must be invisible. */
+  private def qoiMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val base = (((id % 40) * 31 + x * 7 + y * 13) % 176).toInt
+      val delta = if (x < 2 && y < 2) (((id / 40) % 3) * 40).toInt else 0
+      base + delta
+    }
+    Multimodal.Media(id, Multimodal.syntheticQoi(w, h, gray), "image/qoi")
   }
 
   /** [[dhashMedia]]'s pixels rendered through a REAL GIF (LZW stream,
@@ -3469,6 +3501,28 @@ object LlmQueries {
     // arithmetic; only the container differs (PNG zlib+filters vs BMP),
     // and the container must be invisible to the hash
     "q_multimodal_png_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical replay again: the QOI op stream must be invisible
+    "q_multimodal_qoi_dhash" ->
       """WITH px AS (
         |  SELECT doc_id, u.x AS x, v.y AS y,
         |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176

@@ -2026,6 +2026,67 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeJpegGray("not a jpeg".getBytes).isEmpty)
   }
 
+  test("multimodal QOI: hand-assembled spec vectors, every op class, corrupt rejects") {
+    import graft.llm.Multimodal
+    // SPEC-ANCHORED vector, assembled BY HAND from qoiformat.org (not by
+    // our encoder — this is the external anchor a format without a JDK
+    // codec gets): 4x2 RGB image exercising literal, DIFF, LUMA, RUN,
+    // and INDEX ops.
+    //   px0: QOI_OP_RGB (10,20,30)
+    //   px1: DIFF dr=+1 dg=0 db=-1      -> (11,20,29)
+    //   px2: LUMA dg=+10, dr-dg=-3, db-dg=+2 -> (18,30,41)
+    //   px3: RUN 2 (repeats px2)        -> (18,30,41) x2 ... wait RUN covers px3,px4
+    //   px5: INDEX of (10,20,30): hash = (30+100+210+2805)%64 = 3145%64 = 9
+    //   px6,7: RUN 2 (repeats (10,20,30))
+    val hdr = Array[Byte]('q', 'o', 'i', 'f', 0, 0, 0, 4, 0, 0, 0, 2, 3, 0)
+    val ops = Array[Int](
+      0xFE, 10, 20, 30, // RGB literal
+      0x40 | (3 << 4) | (2 << 2) | 1, // DIFF +1,0,-1
+      0x80 | (10 + 32), ((-3 + 8) << 4) | (2 + 8), // LUMA
+      0xC0 | (2 - 1), // RUN 2
+      (3 * 10 + 5 * 20 + 7 * 30 + 11 * 255) % 64, // INDEX -> (10,20,30)
+      0xC0 | (2 - 1), // RUN 2
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    val vec = hdr ++ ops
+    def lum(r: Int, g: Int, b: Int) = (299 * r + 587 * g + 114 * b) / 1000
+    val expect = Seq(
+      lum(10, 20, 30), lum(11, 20, 29), lum(18, 30, 41), lum(18, 30, 41),
+      lum(18, 30, 41), lum(10, 20, 30), lum(10, 20, 30), lum(10, 20, 30))
+    assert(Multimodal.decodeQoiGray(vec).map(_._3.toSeq).contains(expect),
+      "hand-assembled spec vector")
+    // encoder roundtrip on content hitting all op classes
+    val rnd = new scala.util.Random(47)
+    val (w, h) = (18, 16)
+    val structured = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (y < 4) 77 // runs
+      else if (y < 8) (x * 2 + y) % 256 // small diffs
+      else if (y < 12) (x * 9 + y * 5) % 256 // luma-range steps
+      else rnd.nextInt(256) // literals + index hits
+    }
+    val qoi = Multimodal.syntheticQoi(w, h, structured)
+    assert(Multimodal.decodeQoiGray(qoi).map(_._3.toSeq).contains(structured.toSeq),
+      "structured roundtrip")
+    val noise = Array.fill(w * h)(rnd.nextInt(256))
+    assert(Multimodal.decodeQoiGray(Multimodal.syntheticQoi(w, h, noise))
+      .map(_._3.toSeq).contains(noise.toSeq), "noise roundtrip")
+    // container-blind hash via the dispatch
+    assert(Multimodal.imageHashOf(qoi) ==
+      Multimodal.imageHashOf(Multimodal.syntheticBmpPixels(w, h, structured)),
+      "QOI vs BMP hash")
+    // corrupt: truncation mid-stream, bad channels, over-long run
+    assert(Multimodal.decodeQoiGray(qoi.dropRight(30)).isEmpty, "truncation")
+    val badCh = qoi.clone(); badCh(12) = 7
+    assert(Multimodal.decodeQoiGray(badCh).isEmpty, "bad channels")
+    // note 0xC0|62 and 0xC0|63 ARE the literal tags 0xFE/0xFF — the spec
+    // caps runs at 62 precisely for this; the longest legal run byte is
+    // 0xC0|61 (a run of 62), which here overruns the 8-pixel image
+    val overRun = hdr ++ Array[Int](0xFE, 1, 2, 3, 0xC0 | 61,
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    assert(Multimodal.decodeQoiGray(overRun).isEmpty, "run past the pixel count")
+    assert(Multimodal.decodeQoiGray("qoif but nonsense".getBytes).isEmpty)
+  }
+
   test("multimodal ICO: largest-entry selection, DIB and PNG payloads, corrupt rejects") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(41)

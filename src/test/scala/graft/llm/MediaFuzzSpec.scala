@@ -33,6 +33,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "parseWav" -> (b => Multimodal.parseWav(b)),
     "tiffDims" -> (b => Tiff.parseDims(b)),
     "icoDecode" -> (b => Multimodal.decodeIcoGray(b)),
+    "qoiDecode" -> (b => Multimodal.decodeQoiGray(b)),
     "tiffDecode" -> (b => Tiff.decodeGray(b)),
     "flacDecode" -> (b => Flac.decodePcm(b)))
 
@@ -57,6 +58,7 @@ class MediaFuzzSpec extends AnyFunSuite {
         (4, 3, 8, 6, Array.tabulate(48)(i => if (i % 3 == 0) -1 else i % 254), 2),
         (2, 2, 6, 5, Array.fill(30)(99), 3))),
       "icoDib" -> Multimodal.syntheticIco(18, 16, px),
+      "qoi" -> Multimodal.syntheticQoi(18, 16, px),
       "icoPng" -> Multimodal.syntheticIco(18, 16, px, png = true),
       "jpeg" -> Multimodal.syntheticJpegPixels(24, 16, Array.tabulate(24 * 16)(i => i % 200)),
       "jpegProg" -> Multimodal.syntheticJpegProgressive(24, 16,
