@@ -2085,6 +2085,21 @@ class LlmSpec extends SparkSpec {
       0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
     assert(Multimodal.decodeQoiGray(overRun).isEmpty, "run past the pixel count")
     assert(Multimodal.decodeQoiGray("qoif but nonsense".getBytes).isEmpty)
+    // RGBA literals (0xFF) + 4-channel header + an alpha change that
+    // relocates the index slot: hash of (10,20,30) moves from 9 (a=255)
+    // to (3*10+5*20+7*30+11*128)%64 = (340+1408)%64 = 1748%64 = 20 at
+    // a=128 — the follow-up INDEX op must hit the NEW slot
+    val hdr4 = Array[Byte]('q', 'o', 'i', 'f', 0, 0, 0, 2, 0, 0, 0, 2, 4, 0)
+    val ops4 = Array[Int](
+      0xFF, 10, 20, 30, 128, // RGBA literal, alpha 128
+      0xFE, 50, 60, 70, // RGB literal keeps alpha 128
+      (3 * 10 + 5 * 20 + 7 * 30 + 11 * 128) % 64, // INDEX -> (10,20,30,128)
+      0xC0 | 0, // RUN 1
+      0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte)
+    val got4 = Multimodal.decodeQoiGray(hdr4 ++ ops4)
+    assert(got4.map(_._3.toSeq).contains(Seq(
+      lum(10, 20, 30), lum(50, 60, 70), lum(10, 20, 30), lum(10, 20, 30))),
+      s"RGBA + alpha-keyed index: $got4")
   }
 
   test("multimodal ICO: largest-entry selection, DIB and PNG payloads, corrupt rejects") {
