@@ -79,14 +79,29 @@ object Bench {
       gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
       s
     }
+    // cumulative process CPU time, the second attribution axis (r13): two
+    // consecutive driver benches recorded 10-30 s wall on media queries
+    // whose clean re-runs take <1 s WITH gc≈0 — i.e. the wall clock was
+    // stolen by a co-tenant, not spent by this process. A rep where
+    // wall ≫ cpu (and gc ≈ 0) self-labels as environment interference; a
+    // rep that is genuinely compute-bound on local[32] has cpu ≥ wall.
+    // getProcessCpuTime sums ALL process threads, so cpu > wall is the
+    // healthy parallel case, and wall_minus_cpu below clamps it to 0.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNs(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     // a failed query records -1.0 (never a fake duration) and logs to stderr
     val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       var dt = -1.0
       var gcSel = 0.0 // gc seconds inside the SELECTED (min) rep
+      var cpuSel = -1.0 // process-cpu seconds inside the SELECTED rep
       var rep = 1
       var go = true
       while (rep <= repeat && go) {
         val g0 = gcMs()
+        val c0 = cpuNs()
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune every column a
         // map-only query computes, timing an empty scan instead of the work
@@ -99,9 +114,11 @@ object Bench {
         }
         val cur = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         val curGc = (gcMs() - g0) / 1e3
-        if (repeat > 1) System.err.println(f"[bench] $name rep $rep: $cur%.3f s (gc $curGc%.3f s)")
+        val curCpu = if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9
+        if (repeat > 1)
+          System.err.println(f"[bench] $name rep $rep: $cur%.3f s (gc $curGc%.3f s, cpu $curCpu%.3f s)")
         if (!ok) { dt = -1.0; go = false }
-        else if (dt < 0 || cur < dt) { dt = cur; gcSel = curGc }
+        else if (dt < 0 || cur < dt) { dt = cur; gcSel = curGc; cpuSel = curCpu }
         // queries persist() intermediates (e.g. LSH signature tables) and
         // localCheckpoint() loop states (graph ranks, contraction rounds);
         // clearCache() drops only the SQL cache — the checkpoint blocks
@@ -121,13 +138,20 @@ object Bench {
       // queries — otherwise they only go when the old gen happens to fill,
       // which is exactly the moment a heavy query can least afford it
       if (qIdx % 25 == 24) System.gc()
-      name -> (dt, gcSel)
+      name -> (dt, gcSel, cpuSel)
     }.toMap
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qsJson(entries: Seq[(String, Double)]) = entries.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val gcByQuery = results.map { case (k, (_, g)) => k -> g }
-    val results1 = results.map { case (k, (d, _)) => k -> d }
+    val gcByQuery = results.map { case (k, (_, g, _)) => k -> g }
+    val cpuByQuery = results.map { case (k, (_, _, c)) => k -> c }
+    // the self-diagnosis column: positive seconds of recorded wall the
+    // process did NOT spend on a CPU (clamped at 0 — parallel compute
+    // makes cpu > wall on healthy reps). A large value with gc ≈ 0 means
+    // the box, not the engine: exactly the r11/r12 driver-bench anomaly
+    val stolenByQuery = results.map { case (k, (d, _, c)) =>
+      k -> (if (d < 0 || c < 0) -1.0 else math.max(0.0, d - c)) }
+    val results1 = results.map { case (k, (d, _, _)) => k -> d }
     val total = results1.values.filter(_ >= 0).sum
     // FULL per-query map goes to the durable file — the stdout line cannot
     // hold it: the driver parses the line from a BOUNDED (2 KB) stdout tail,
@@ -136,8 +160,10 @@ object Bench {
     // of the tail). The printed line instead carries the total plus the
     // slowest-N subset that fits in ~1.8 KB (the heavy hitters are what
     // round-over-round comparison scrutinizes) and points at the file.
-    // "gc" = stop-the-world seconds inside each query's RECORDED (min) rep
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results1.toSeq)},"gc":${qsJson(gcByQuery.toSeq)},"sf":"$sfDir"}"""
+    // "gc" = stop-the-world seconds inside each query's RECORDED (min) rep;
+    // "cpu" = process-cpu seconds inside that same rep; "wall_minus_cpu" =
+    // max(0, wall - cpu) — the interference self-diagnosis (see above)
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results1.toSeq)},"gc":${qsJson(gcByQuery.toSeq)},"cpu":${qsJson(cpuByQuery.toSeq)},"wall_minus_cpu":${qsJson(stolenByQuery.toSeq)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] result file write failed: ${e.getMessage}") }

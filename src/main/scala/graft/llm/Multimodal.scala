@@ -403,8 +403,18 @@ object Multimodal {
       val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
       case class FM(imgPos: Int, left: Int, top: Int, w: Int, h: Int,
           disposal: Int, transIdx: Int) {
+        /** A chain may START at this frame only if compositing it alone
+          * reproduces the canvas: full-screen, opaque, AND not
+          * disposal-3 — a restore-to-previous frame copies back the
+          * pre-frame canvas after compositing, and when the prefix was
+          * skipped that snapshot is the background fill, not the true
+          * prior content, so every later frame in the chain would
+          * composite over wrong pixels (round-13 fix; sampling the
+          * disposal-3 frame itself stays correct because planes are
+          * captured before disposal runs). */
         def selfContained: Boolean =
-          left == 0 && top == 0 && w == sw && h == sh && transIdx < 0
+          left == 0 && top == 0 && w == sw && h == sh && transIdx < 0 &&
+            disposal != 3
       }
       val metas = scala.collection.mutable.ArrayBuffer[FM]()
       var pos = start
@@ -3895,17 +3905,6 @@ object Multimodal {
     Some((w, h, out))
   }
 
-  /** ICO/CUR (the favicon container a web image corpus is full of) →
-    * grayscale luma of the LARGEST entry (the favicon convention). The
-    * ICONDIR is a thin directory over payloads this engine already
-    * decodes: a PNG stream (modern favicons) or a headerless DIB whose
-    * BITMAPINFOHEADER declares DOUBLED height (XOR pixels + the 1-bpp
-    * AND mask). The DIB path re-wraps the payload as a .bmp — synthesize
-    * the BITMAPFILEHEADER, halve the height — and reuses
-    * [[decodeBmpGray]] wholesale (palette forms, 16/32-bpp BITFIELDS,
-    * both row orders all come along for free); the AND mask is ignored
-    * (transparency takes content, the GIF/PNG posture). Corrupt
-    * directories, out-of-range entries, and RLE-in-ICO return None. */
   /** QOI ("Quite OK Image", qoiformat.org — a public-domain 2022 spec
     * one page long) → grayscale luma. 14-byte header (magic "qoif",
     * BE dims, channels 3/4, colourspace byte), then a byte-oriented op
@@ -4080,6 +4079,17 @@ object Multimodal {
       } else None
     }
 
+  /** ICO/CUR (the favicon container a web image corpus is full of) →
+    * grayscale luma of the LARGEST entry (the favicon convention). The
+    * ICONDIR is a thin directory over payloads this engine already
+    * decodes: a PNG stream (modern favicons) or a headerless DIB whose
+    * BITMAPINFOHEADER declares DOUBLED height (XOR pixels + the 1-bpp
+    * AND mask). The DIB path re-wraps the payload as a .bmp — synthesize
+    * the BITMAPFILEHEADER, halve the height — and reuses
+    * [[decodeBmpGray]] wholesale (palette forms, 16/32-bpp BITFIELDS,
+    * both row orders all come along for free); the AND mask is ignored
+    * (transparency takes content, the GIF/PNG posture). Corrupt
+    * directories, out-of-range entries, and RLE-in-ICO return None. */
   private[graft] def decodeIcoGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val img = icoBestEntry(b).getOrElse(return None)
     if (img.length >= 8 && (img(0) & 0xFF) == 0x89 && img(1) == 'P')

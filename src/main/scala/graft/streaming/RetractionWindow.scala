@@ -310,8 +310,17 @@ object RetractionWindow {
     *    `maxEventsPerKey` to trade boundary precision for a hard state
     *    bound. When the cap trips, the two entries whose merge leaves
     *    the TIGHTEST surrounding span coalesce into the earlier
-    *    timestamp (interior pairs only, so session starts and the
-    *    last-event timestamp that drives finality never move).
+    *    timestamp, choosing ONLY among pairs already inside one session
+    *    (inter-pair gap < gapMs) while any exist — so a merge never
+    *    straddles a session boundary, and session starts plus the
+    *    last-event timestamp that drives finality never move, as long
+    *    as at least one intra-session interior pair exists. Only a
+    *    chain whose interior pairs are ALL ≥ gapMs apart (every interior
+    *    event its own session — far outside the dense always-on case
+    *    the cap exists for) falls back to a cross-hole merge, which
+    *    absorbs a singleton session into its predecessor's timestamp
+    *    (that session's start and aggregate shift — the strongest
+    *    distortion, confined to this degenerate shape).
     *    AGGREGATES STAY EXACT — a later retraction of a coalesced
     *    event lands as a negative singleton that nets correctly — but
     *    boundaries coarsen, in two documented ways: (a) a retraction
@@ -353,12 +362,31 @@ object RetractionWindow {
       val buf = collection.mutable.ArrayBuffer.empty[(Long, (Long, Long))]
       buf ++= m.toSeq.sortBy(_._1)
       while (buf.size > maxEventsPerKey) {
-        var best = 0; var bestSpan = Long.MaxValue
+        // two-tier candidate selection (round-13 fix): only pairs that
+        // are ALREADY in the same session (gap < gapMs) may merge while
+        // any exist — merging across a >= gapMs hole would absorb the
+        // first event of a LATER session into the preceding one,
+        // shifting that session's start AND its aggregates between
+        // sessions, a stronger distortion than boundary coarsening.
+        // Only a fully-sparse chain (every interior pair >= gapMs
+        // apart) falls back to cross-hole merges, which is documented
+        // case (b).
+        var best = -1; var bestSpan = Long.MaxValue
         var i = 0
         while (i + 2 < buf.size) {
-          val span = buf(i + 2)._1 - buf(i)._1
-          if (span < bestSpan) { bestSpan = span; best = i }
+          if (buf(i + 1)._1 - buf(i)._1 < gapMs) {
+            val span = buf(i + 2)._1 - buf(i)._1
+            if (span < bestSpan) { bestSpan = span; best = i }
+          }
           i += 1
+        }
+        if (best < 0) {
+          best = 0; bestSpan = Long.MaxValue; i = 0
+          while (i + 2 < buf.size) {
+            val span = buf(i + 2)._1 - buf(i)._1
+            if (span < bestSpan) { bestSpan = span; best = i }
+            i += 1
+          }
         }
         val (t0, (s0, n0)) = buf(best)
         val (_, (s1, n1)) = buf(best + 1)

@@ -1983,6 +1983,44 @@ class LlmSpec extends SparkSpec {
     assert(three(1)._2.sameElements(expect(2)))
   }
 
+  test("multimodal animated GIF: a disposal-3 full-screen frame must NOT anchor a chain") {
+    import graft.llm.Multimodal
+    // Round-13 regression (advisor finding): a full-screen OPAQUE frame
+    // with disposal 3 (restore-to-previous) looks self-contained at
+    // composite time, but its post-frame restore copies back the
+    // PRE-frame canvas — which, when the chain skipped the prefix, is
+    // the background fill rather than the true prior content. Every
+    // later frame in the chain then composites over wrong pixels.
+    // Construction: frame 1 (full-screen B) is skipped under k=2
+    // sampling, frame 2 (full-screen C, disposal 3) was the old anchor,
+    // frame 3 is a small delta — its plane must show B outside the
+    // delta rect, not A or background.
+    val sw = 9; val sh = 7
+    def fill(seed: Int) = Array.tabulate(sw * sh)(i => (i * 97 + seed) % 251)
+    val a = fill(3); val b = fill(60); val c = fill(130)
+    val delta = Array.fill(2 * 2)(240)
+    val frames = Seq(
+      (0, 0, sw, sh, a, 0), // sampled (frame 0 always is)
+      (0, 0, sw, sh, b, 0), // skipped under sparse sampling
+      (0, 0, sw, sh, c, 3), // restore-to-previous: NOT a legal anchor
+      (2, 3, 2, 2, delta, 0), // sampled; composites over restored B
+      (0, 0, 1, 1, Array(7), 0),
+      (0, 0, 1, 1, Array(8), 0))
+    val bytes = Multimodal.syntheticGifAnimatedDeltas(sw, sh, frames)
+    // ground truth: the all-frames decode has no skipping at all
+    val Some((_, _, full)) = Multimodal.decodeGifFramesSampled(bytes, 6)
+    val truth3 = full.find(_._1 == 3).get._2
+    // frame 3's true view = B with the delta rect overwritten
+    for (y <- 0 until sh; x <- 0 until sw) {
+      val inRect = x >= 2 && x < 4 && y >= 3 && y < 5
+      assert(truth3(y * sw + x) == (if (inRect) 240 else b(y * sw + x)))
+    }
+    val Some((_, _, sparse)) = Multimodal.decodeGifFramesSampled(bytes, 2)
+    assert(sparse.map(_._1) == Seq(0, 3))
+    assert(sparse(1)._2.sameElements(truth3),
+      "disposal-3 anchor leaked a stale canvas into the sampled chain")
+  }
+
   test("multimodal JPEG: baseline decode, DC-exactness, AC path, restarts, color") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(41)

@@ -1320,6 +1320,57 @@ class StreamingSpec extends SparkSpec {
       s"retraction of a coalesced event must net exactly: ${out.drop(4)}")
   }
 
+  test("session cap never merges across a session hole while an intra-session pair exists") {
+    // Round-13 fix (advisor finding): compact() used to pick the
+    // globally tightest surrounding span, which could select a pair
+    // straddling a >= gapMs hole — absorbing the FIRST event of a later
+    // session into the preceding session's timestamp, shifting that
+    // session's start AND moving its aggregate between sessions.
+    // Construction: key "m" = [0, 9000, 18000, 28100, 28200] with
+    // gap=10000, cap=4 (one forced merge). The cross-hole pair
+    // (18000, 28100) has the tightest surrounding span (10200) — the old
+    // code merged it, yielding {(0..18000, 15, 4), (28200, 16, 1)}. The
+    // fix must merge the tightest INTRA-session pair (0, 9000) instead:
+    // session B keeps its start 28100 and its exact aggregate 24/2, at
+    // the documented case-(b) price of session A splitting (the merge
+    // opens the 0->18000 hole).
+    import graft.streaming.RetractionWindow
+    import graft.streaming.RetractionWindow.{WinDelta, WinSession}
+    val fs = new graft.storage.FileStorage(spark,
+      Files.createTempDirectory("graft_fs_swhole").toString)
+    fs.createTopic("swhole_in", 2)
+    val checkpoint = ckpt()
+    val gap = 10000L
+    val base = 1700000000000L
+    val out = collection.mutable.ArrayBuffer[WinSession]()
+    fs.produce("swhole_in",
+      Seq(0L, 9000L, 18000L, 28100L, 28200L).zipWithIndex
+        .map { case (off, i) => ("m", s"${base + off}:${1L << i}:1") }
+        .toDF("key", "value")
+        .withColumn("timestamp", lit(new java.sql.Timestamp(base))))
+    val deltas = fs.readStream("swhole_in").select(
+        col("key").cast("string").as("key"),
+        split(col("value"), ":").getItem(0).cast("long").as("tsMs"),
+        split(col("value"), ":").getItem(1).cast("long").as("value"),
+        split(col("value"), ":").getItem(2).cast("long").as("weight"))
+      .as[WinDelta]
+    val q = RetractionWindow.sessionSum(deltas, gap, 600000L, maxEventsPerKey = 4)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (d: org.apache.spark.sql.Dataset[WinSession], _: Long) =>
+        out.synchronized { out ++= d.collect() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    assert(out.toSet == Set(
+      WinSession("m", base, base + gap, 3, 2),
+      WinSession("m", base + 18000, base + 18000 + gap, 4, 1),
+      WinSession("m", base + 28100, base + 28200 + gap, 24, 2)),
+      s"cross-hole merge leaked a session start: $out")
+  }
+
   test("streaming jamie: running balance via update-mode aggregation") {
     val in = MemoryStream[(Long, Double)](spark)
     val agg = Runner.runningAgg(
