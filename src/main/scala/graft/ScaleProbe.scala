@@ -178,6 +178,29 @@ object ScaleProbe {
     }
   }
 
+  // Round-13 ADVERSARIAL compositor shape: the r12 delta probe used short
+  // chains; this one is built to hit the documented worst case head-on —
+  // EVERY frame after the keyframe is a sub-rect delta (so no chain-skip
+  // anchor exists past frame 0), disposal-3 on every other frame (each
+  // one costs a full-canvas snapshot + restore), and sparse sampling
+  // (sampleFrames=4) whose last sample sits at the chain TAIL. The
+  // compositor walks the needed-set union forward ONCE, so per-video CPU
+  // must be ∝ total frames (one decode each + the snapshot copies), NOT
+  // ∝ samples × chain length — the chain24 vs chain96 pair at the same
+  // corpus factor pins the linear-in-duration bound with data.
+  private def probeVideoAdversarialMedia(nFrames: Int)(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Hashing, Multimodal}
+    val local = id % 1000000L
+    val w = 18; val h = 16
+    val key = Array.tabulate(w * h)(i => (Hashing.splitmix64(local * 288L + i) & 0x7FL).toInt)
+    val deltas = (0, 0, w, h, key, 0) +: (1 until nFrames).map { f =>
+      (4, 3, 8, 6, Array.tabulate(48) { i =>
+        (Hashing.splitmix64((local * nFrames + f) * 48L + i) & 0x7FL).toInt
+      }, if (f % 2 == 0) 3 else 0)
+    }
+    Multimodal.Media(id, Multimodal.syntheticGifAnimatedDeltas(w, h, deltas), "video/gif")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -444,6 +467,21 @@ object ScaleProbe {
             graft.llm.Multimodal.videoFrameHashes(mediaIds.map(probeVideoCrossMedia _),
               sampleFrames = 12).agg(count(col("dhash"))).head.getLong(0))
           report("video_hash_cross_container2", tVc, nVc)
+          // round-13: adversarial compositor chains (see the generator's
+          // comment) on a quarter corpus, two chain lengths — the pair's
+          // ratio pins CPU ∝ total frames, the factor sweep pins
+          // linear-in-corpus
+          val quarterIds = mediaIds.filter(_ % 4 == 0)
+          val (tA24, nA24) = time(
+            graft.llm.Multimodal.videoFrameHashes(
+              quarterIds.map(probeVideoAdversarialMedia(24) _), sampleFrames = 4)
+              .agg(count(col("dhash"))).head.getLong(0))
+          report("video_gif_adversarial_chain24", tA24, nA24)
+          val (tA96, nA96) = time(
+            graft.llm.Multimodal.videoFrameHashes(
+              quarterIds.map(probeVideoAdversarialMedia(96) _), sampleFrames = 4)
+              .agg(count(col("dhash"))).head.getLong(0))
+          report("video_gif_adversarial_chain96", tA96, nA96)
         }
         // round-10: the as-of family under a HOT key — half of every
         // tick lands on key 0 (the single-instrument-with-10⁹-ticks shape

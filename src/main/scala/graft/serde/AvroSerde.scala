@@ -38,17 +38,25 @@ object AvroSerde {
         val reader = new GenericDatumReader[GenericRecord](schema)
         val writer = new GenericDatumWriter[GenericRecord](schema)
         it.map { case (id, bytes) =>
-          val body = if (stripConfluent) bytes.drop(5) else bytes
-          val dec = DecoderFactory.get().binaryDecoder(body, null)
-          val rec = reader.read(null, dec)
-          // Real Avro JSON (not GenericRecord.toString): unions keep their
-          // branch wrapper and bytes/fixed escape correctly, so the output
-          // feeds encodeFromJson's jsonDecoder losslessly.
-          val out = new ByteArrayOutputStream()
-          val enc = EncoderFactory.get().jsonEncoder(schema, out)
-          writer.write(rec, enc)
-          enc.flush()
-          (id, out.toString("UTF-8"))
+          // corrupt record → null json, never a task-killing throw: binary
+          // Avro is unframed, so truncated/flipped bytes surface as
+          // EOF/ArrayIndex/Avro exceptions mid-read (round-13 posture,
+          // shared with the media decoders and ProtoWire.decode)
+          try {
+            val body = if (stripConfluent) bytes.drop(5) else bytes
+            val dec = DecoderFactory.get().binaryDecoder(body, null)
+            val rec = reader.read(null, dec)
+            // Real Avro JSON (not GenericRecord.toString): unions keep their
+            // branch wrapper and bytes/fixed escape correctly, so the output
+            // feeds encodeFromJson's jsonDecoder losslessly.
+            val out = new ByteArrayOutputStream()
+            val enc = EncoderFactory.get().jsonEncoder(schema, out)
+            writer.write(rec, enc)
+            enc.flush()
+            (id, out.toString("UTF-8"))
+          } catch {
+            case scala.util.control.NonFatal(_) => (id, null: String)
+          }
         }
       }
       .toDF(idCol, "json")
@@ -65,12 +73,17 @@ object AvroSerde {
         val reader = new GenericDatumReader[GenericRecord](schema)
         val writer = new GenericDatumWriter[GenericRecord](schema)
         it.map { case (id, json) =>
-          val rec = reader.read(null, DecoderFactory.get().jsonDecoder(schema, json))
-          val out = new ByteArrayOutputStream()
-          val enc = EncoderFactory.get().binaryEncoder(out, null)
-          writer.write(rec, enc)
-          enc.flush()
-          (id, out.toByteArray)
+          // malformed JSON → null bytes (same never-throw posture as decode)
+          try {
+            val rec = reader.read(null, DecoderFactory.get().jsonDecoder(schema, json))
+            val out = new ByteArrayOutputStream()
+            val enc = EncoderFactory.get().binaryEncoder(out, null)
+            writer.write(rec, enc)
+            enc.flush()
+            (id, out.toByteArray)
+          } catch {
+            case scala.util.control.NonFatal(_) => (id, null: Array[Byte])
+          }
         }
       }
       .toDF(idCol, "avro")

@@ -551,18 +551,32 @@ object ProtoWire {
   /** Decode a bytes column through the descriptor: one output column per
     * descriptor field (absent fields → proto3 defaults, absent messages →
     * null), `keep` columns passed through, unknown field numbers skipped
-    * by wire type. */
+    * by wire type.
+    *
+    * Corrupt-input posture (round 13, the media-decoder rule applied to
+    * serde): a record whose bytes cannot be structurally decoded —
+    * truncated varint, length running past the buffer, negative length —
+    * yields ALL-NULL decoded columns instead of throwing. An exception in
+    * this kernel would kill a 100 TB task, get retried, and kill it
+    * again; corrupt records are normal input at scrape scale. All-null is
+    * distinguishable from every legal decode (absent fields decode to
+    * proto3 DEFAULTS, not null), so callers can filter on it. */
   def decode(df: DataFrame, binCol: String, msg: ProtoMessage, keep: Seq[String] = Nil): DataFrame = {
     val valueSchema = sparkSchema(msg)
     val in = df.select(keep.map(col) :+ col(binCol).cast("binary"): _*)
     val outSchema = StructType(keep.map(in.schema(_)) ++ valueSchema.fields)
     val nKeep = keep.length
+    val nFields = msg.fields.length
     val tables = decodeTables(msg)
     in.mapPartitions { rows =>
       rows.map { row =>
         val b = row.getAs[Array[Byte]](nKeep)
-        val decoded = decodeMessage(msg, tables, b, 0, b.length)
-        Row.fromSeq((0 until nKeep).map(row.get) ++ decoded.toSeq)
+        val decoded =
+          try { if (b == null) null else decodeMessage(msg, tables, b, 0, b.length) }
+          catch { case scala.util.control.NonFatal(_) => null }
+        val vals: Seq[Any] =
+          if (decoded == null) Seq.fill[Any](nFields)(null) else decoded.toSeq
+        Row.fromSeq((0 until nKeep).map(row.get) ++ vals)
       }
     }(Encoders.row(outSchema))
   }
@@ -593,23 +607,29 @@ object ProtoWire {
     import spark.implicits._
     df.select(col(binCol)).as[Array[Byte]]
       .mapPartitions(_.map { b =>
-        var id = 0L; var et = ""; var v = 0.0
-        var p = 0
-        while (p < b.length) {
-          val (key, p1) = readVarint(b, p)
-          val field = (key >>> 3).toInt
-          val wire = (key & 7).toInt
-          (field, wire) match {
-            case (1, 0) => val (x, p2) = readVarint(b, p1); id = x; p = p2
-            case (2, 2) =>
-              val (len, p2) = readVarint(b, p1)
-              et = new String(b, p2, len.toInt, "UTF-8"); p = p2 + len.toInt
-            case (3, 1) =>
-              v = java.lang.Double.longBitsToDouble(readFixed64(b, p1)); p = p1 + 8
-            case _ => p = skip(b, p1, wire)
+        // corrupt bytes → null-ish row, never a task-killing throw (the
+        // descriptor path's posture; see ProtoWire.decode)
+        try {
+          var id = 0L; var et = ""; var v = 0.0
+          var p = 0
+          while (p < b.length) {
+            val (key, p1) = readVarint(b, p)
+            val field = (key >>> 3).toInt
+            val wire = (key & 7).toInt
+            (field, wire) match {
+              case (1, 0) => val (x, p2) = readVarint(b, p1); id = x; p = p2
+              case (2, 2) =>
+                val (len, p2) = readVarint(b, p1)
+                et = new String(b, p2, len.toInt, "UTF-8"); p = p2 + len.toInt
+              case (3, 1) =>
+                v = java.lang.Double.longBitsToDouble(readFixed64(b, p1)); p = p1 + 8
+              case _ => p = skip(b, p1, wire)
+            }
           }
+          (id, et, v)
+        } catch {
+          case scala.util.control.NonFatal(_) => (0L, null: String, 0.0)
         }
-        (id, et, v)
       })
       .toDF("event_id", "event_type", "value")
   }

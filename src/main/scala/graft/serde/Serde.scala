@@ -41,9 +41,14 @@ object Serde {
       unhex(lpad(hex(schemaId.cast("int")), 8, "0")),
       payload)
 
-  /** Schema id from a Confluent-framed payload (deserializer.py:118). */
+  /** Schema id from a Confluent-framed payload (deserializer.py:118).
+    * The 4 bytes are a SIGNED big-endian int32: sign-extend through a
+    * long instead of casting conv's decimal string straight to int —
+    * under ANSI mode that cast THROWS for ids with the high bit set
+    * (any corrupt frame could kill a task; found by SerdeFuzzSpec r13). */
   def confluentSchemaId(c: Column): Column =
-    conv(hex(substring(c, 2, 4)), 16, 10).cast("int")
+    shiftright(shiftleft(conv(hex(substring(c, 2, 4)), 16, 10).cast("long"), 32), 32)
+      .cast("int")
 
   /** Body (bytes 6..) of a Confluent-framed payload. */
   def confluentBody(c: Column): Column = substring(c, 6, Int.MaxValue)
