@@ -1,0 +1,487 @@
+package graft.llm
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Dataset
+
+import graft.llm.Multimodal.Media
+
+/** STRUCTURAL container metadata walks (round 13): ISO-BMFF (MP4/MOV —
+  * the container nearly every scraped video arrives in) and Ogg (the
+  * free-codec audio container). Both formats are self-describing — box
+  * sizes + 4CC types, page capture patterns + lacing — with NO normative
+  * lookup tables, so a clean-room walk is verifiable by construction:
+  * a parsing mistake surfaces as an absent field or a None, never a
+  * silently wrong value (the property that gates what this engine
+  * implements; see COVERAGE.md's round-13 decision record).
+  *
+  * Reference scope: kafi treats media payloads as opaque bytes
+  * (kafi/helpers.py read/write paths); these walks are the
+  * training-data-pipeline extension the assignment calls for — at
+  * 100 TB, duration/dimension/sample accounting is the admission
+  * filter that runs BEFORE any expensive decode, so it must be a pure
+  * map stage over the bytes already in the scan, which both of these
+  * are (used from [[decodeMp4Meta]]/[[decodeOggMeta]] mapPartitions
+  * kernels; no shuffle, media bytes never move).
+  *
+  * Corrupt-input posture: identical to every other decoder here —
+  * bounded reads, explicit size validation, None on structural
+  * failure, never a throw (MediaFuzzSpec sweeps both surfaces).
+  */
+object Containers {
+
+  /** MP4 metadata: (doc_id, container bytes, video width/height from the
+    * vide-handler trak's tkhd, presentation duration from mvhd, trak
+    * count, video sample count from stsz). Zero-row fields when the
+    * moov carries no video trak. */
+  case class Mp4Meta(doc_id: Long, byte_len: Long, width: Int, height: Int,
+      duration_ms: Long, n_tracks: Int, n_samples: Long)
+
+  /** Ogg metadata: codec identified from the BOS packet of the FIRST
+    * stream ("vorbis" / "opus" / "unknown"), its declared channels and
+    * rate (for Opus the granule clock is ALWAYS 48 kHz regardless of the
+    * OpusHead input rate, so that is what `sample_rate` reports),
+    * `n_samples` = the stream's final granule position, and the page
+    * count of the whole file. */
+  case class OggMeta(doc_id: Long, byte_len: Long, codec: String,
+      sample_rate: Int, channels: Int, n_samples: Long, n_pages: Int)
+
+  // ------------------------------------------------------------------
+  // ISO-BMFF (ISO/IEC 14496-12 box structure)
+  // ------------------------------------------------------------------
+
+  /** Box walk → (width, height, durationMs, nTracks, videoSampleCount).
+    *
+    * The walk is the ISO/IEC 14496-12 size discipline exactly: 32-bit
+    * size + 4CC, size==1 → 64-bit largesize follows, size==0 → to end
+    * of enclosing box; children parse only inside container boxes the
+    * walk understands (moov/trak/mdia/minf/stbl), everything else is
+    * skipped by size — which is what makes the format safe to walk
+    * without a registry of every box type. mvhd v0 (32-bit
+    * timescale/duration) and v1 (64-bit) both parse; width/height are
+    * the 16.16 fixed-point tail of the vide-handler trak's tkhd; the
+    * video sample count is that trak's stsz entry count. Requires a
+    * structurally complete moov with mvhd; anything else → None. */
+  private[graft] def parseMp4(b: Array[Byte]): Option[(Int, Int, Long, Int, Long)] = {
+    if (b == null || b.length < 16) return None
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+      def u32(p: Long): Long = bb.getInt(p.toInt) & 0xFFFFFFFFL
+      // walk children of [start, end); f(type, payloadStart, payloadEnd);
+      // returns false on any structural violation
+      def walk(start: Long, end: Long)(f: (String, Long, Long) => Boolean): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val sz0 = u32(p)
+          val typ = new String(b, p.toInt + 4, 4, "ISO-8859-1")
+          var hdr = 8L
+          val sz =
+            if (sz0 == 1L) {
+              if (p + 16 > end) return false
+              hdr = 16L; bb.getLong(p.toInt + 8)
+            } else if (sz0 == 0L) end - p
+            else sz0
+          if (sz < hdr || p + sz > end) return false
+          if (!f(typ, p + hdr, p + sz)) return false
+          p += sz
+        }
+        p == end
+      }
+      var durMs = -1L
+      var nTracks = 0
+      var vw = 0; var vh = 0; var vSamples = 0L
+      var sawMoov = false
+      val ok = walk(0L, b.length.toLong) { (t, s, e) =>
+        if (t == "moov") {
+          sawMoov = true
+          walk(s, e) { (t2, s2, e2) =>
+            t2 match {
+              case "mvhd" =>
+                if (e2 - s2 < 20) false
+                else {
+                  val ver = b(s2.toInt) & 0xFF
+                  if (ver == 1) {
+                    if (e2 - s2 < 32) false
+                    else {
+                      val ts = u32(s2 + 20)
+                      val dur = bb.getLong(s2.toInt + 24)
+                      if (ts == 0 || dur < 0) false else { durMs = dur * 1000L / ts; true }
+                    }
+                  } else {
+                    val ts = u32(s2 + 12)
+                    val dur = u32(s2 + 16)
+                    if (ts == 0) false else { durMs = dur * 1000L / ts; true }
+                  }
+                }
+              case "trak" =>
+                nTracks += 1
+                var handler = ""
+                var tw = 0; var th = 0; var tSamples = 0L
+                val okT = walk(s2, e2) { (t3, s3, e3) =>
+                  t3 match {
+                    case "tkhd" =>
+                      if (e3 - s3 < 8) false
+                      else {
+                        tw = (u32(e3 - 8) >> 16).toInt
+                        th = (u32(e3 - 4) >> 16).toInt
+                        true
+                      }
+                    case "mdia" =>
+                      walk(s3, e3) { (t4, s4, e4) =>
+                        t4 match {
+                          case "hdlr" =>
+                            if (e4 - s4 < 12) false
+                            else { handler = new String(b, s4.toInt + 8, 4, "ISO-8859-1"); true }
+                          case "minf" =>
+                            walk(s4, e4) { (t5, s5, e5) =>
+                              if (t5 == "stbl")
+                                walk(s5, e5) { (t6, s6, e6) =>
+                                  if (t6 == "stsz") {
+                                    if (e6 - s6 < 12) false
+                                    else { tSamples = u32(s6 + 8); true }
+                                  } else true
+                                }
+                              else true
+                            }
+                          case _ => true
+                        }
+                      }
+                    case _ => true
+                  }
+                }
+                if (okT && handler == "vide") { vw = tw; vh = th; vSamples = tSamples }
+                okT
+              case _ => true
+            }
+          }
+        } else true
+      }
+      if (ok && sawMoov && durMs >= 0) Some((vw, vh, durMs, nTracks, vSamples))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def decodeMp4Meta(ds: Dataset[Media]): Dataset[Mp4Meta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val len = if (m.media == null) 0L else m.media.length.toLong
+      parseMp4(m.media) match {
+        case Some((w, h, dur, nt, ns)) => Mp4Meta(m.doc_id, len, w, h, dur, nt, ns)
+        case None => Mp4Meta(m.doc_id, len, 0, 0, 0L, 0, 0L)
+      }
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // MP4 fixture builder (a REAL box tree, every knob formula-driven)
+  // ------------------------------------------------------------------
+
+  private def be32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+    out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+  }
+  private def be64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    be32(out, v >>> 32); be32(out, v & 0xFFFFFFFFL)
+  }
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    be32(out, 8L + payload.length)
+    out.write(typ.getBytes("ISO-8859-1"), 0, 4)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+  private def bytes(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(); f(out); out.toByteArray
+  }
+
+  /** A structurally complete MP4: ftyp (`brands` compatible brands),
+    * moov [mvhd v0/v1, video trak (tkhd 16.16 dims, mdhd, hdlr "vide",
+    * minf/vmhd/dinf/stbl with stsd+stts+stsz+stsc+stco), optional audio
+    * trak (hdlr "soun", 16 samples), optional `junkLen` unknown "udta"
+    * box], optional `freeLen` free box, mdat of `mdatLen`. Exact size
+    * (the byte_len oracle's closed form, pinned by ContainerSpec):
+    * 16 + 4·brands + 8 + (108 | 120 for v1) + (440 + 4·nVideoSamples)
+    * + (450 if audio) + (8 + junkLen if junk) + (8 + freeLen if free)
+    * + 8 + mdatLen. */
+  def syntheticMp4(brands: Int, mvhdV1: Boolean, timescale: Int, duration: Long,
+      w: Int, h: Int, nVideoSamples: Int, audioTrack: Boolean,
+      mdatLen: Int, freeLen: Int = 0, junkLen: Int = 0): Array[Byte] = {
+    require(brands >= 1 && timescale > 0 && duration >= 0 && nVideoSamples >= 0)
+    val allBrands = Seq("isom", "mp42", "avc1", "iso2", "mp41").take(brands)
+    val ftyp = box("ftyp", bytes { o =>
+      o.write("isom".getBytes("ISO-8859-1")); be32(o, 0x200)
+      allBrands.foreach(br => o.write(br.getBytes("ISO-8859-1")))
+    })
+    val mvhd = box("mvhd", bytes { o =>
+      if (mvhdV1) {
+        o.write(1); o.write(0); o.write(0); o.write(0)
+        be64(o, 0L); be64(o, 0L) // ctime, mtime
+        be32(o, timescale); be64(o, duration)
+      } else {
+        be32(o, 0L) // v0, no flags
+        be32(o, 0L); be32(o, 0L)
+        be32(o, timescale); be32(o, duration)
+      }
+      be32(o, 0x00010000L); o.write(1); o.write(0) // rate 1.0, volume 1.0
+      o.write(0); o.write(0); be64(o, 0L) // reserved
+      // unity matrix
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(be32(o, _))
+      (0 until 6).foreach(_ => be32(o, 0L)) // pre_defined
+      be32(o, 2L) // next_track_ID
+    })
+    def tkhd(trackId: Int, tw: Int, th: Int) = box("tkhd", bytes { o =>
+      be32(o, 7L) // v0, flags: enabled+in-movie+in-preview
+      be32(o, 0L); be32(o, 0L); be32(o, trackId.toLong); be32(o, 0L)
+      be32(o, duration) // track duration in movie timescale (v0 ⇒ fits)
+      be64(o, 0L) // reserved
+      o.write(0); o.write(0); o.write(0); o.write(0) // layer, alternate_group
+      o.write(0); o.write(0); o.write(0); o.write(0) // volume, reserved
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(be32(o, _))
+      be32(o, tw.toLong << 16); be32(o, th.toLong << 16)
+    })
+    def mdhd = box("mdhd", bytes { o =>
+      be32(o, 0L); be32(o, 0L); be32(o, 0L)
+      be32(o, timescale); be32(o, duration)
+      o.write(0x55); o.write(0xC4); o.write(0); o.write(0) // und language
+    })
+    def hdlr(kind: String) = box("hdlr", bytes { o =>
+      be32(o, 0L); be32(o, 0L)
+      o.write(kind.getBytes("ISO-8859-1"), 0, 4)
+      (0 until 3).foreach(_ => be32(o, 0L)) // reserved
+      o.write('g'); o.write(0) // 2-byte name
+    })
+    val dinf = box("dinf", box("dref", bytes { o =>
+      be32(o, 0L); be32(o, 1L)
+      o.write(box("url ", bytes(b2 => be32(b2, 1L))), 0, 12) // self-contained
+    }))
+    def stbl(entry4cc: String, entryLen: Int, n: Int, sampleLen: Int => Long) = {
+      val stsd = box("stsd", bytes { o =>
+        be32(o, 0L); be32(o, 1L)
+        o.write(box(entry4cc, new Array[Byte](entryLen)), 0, 8 + entryLen)
+      })
+      val stts = box("stts", bytes { o =>
+        be32(o, 0L); be32(o, 1L); be32(o, n.toLong)
+        be32(o, if (n == 0) 0L else duration / math.max(1, n))
+      })
+      val stsz = box("stsz", bytes { o =>
+        be32(o, 0L); be32(o, 0L); be32(o, n.toLong)
+        (0 until n).foreach(i => be32(o, sampleLen(i)))
+      })
+      val stsc = box("stsc", bytes { o =>
+        be32(o, 0L); be32(o, 1L); be32(o, 1L); be32(o, math.max(1, n).toLong); be32(o, 1L)
+      })
+      val stco = box("stco", bytes { o => be32(o, 0L); be32(o, 1L); be32(o, 0L) })
+      box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
+    }
+    val vmhd = box("vmhd", bytes { o => be32(o, 1L); be64(o, 0L) })
+    val smhd = box("smhd", bytes { o => be32(o, 1L); be32(o, 0L) })
+    val videoTrak = box("trak", tkhd(1, w, h) ++ box("mdia",
+      mdhd ++ hdlr("vide") ++ box("minf",
+        vmhd ++ dinf ++ stbl("avc1", 78, nVideoSamples, i => 100L + i % 50))))
+    val audioTrak =
+      if (!audioTrack) Array.emptyByteArray
+      else box("trak", tkhd(2, 0, 0) ++ box("mdia",
+        mdhd ++ hdlr("soun") ++ box("minf",
+          smhd ++ dinf ++ stbl("mp4a", 28, 16, i => 60L + i))))
+    val junk = if (junkLen == 0) Array.emptyByteArray
+      else box("udta", Array.tabulate[Byte](junkLen)(i => (i * 13).toByte))
+    val moov = box("moov", mvhd ++ videoTrak ++ audioTrak ++ junk)
+    val free = if (freeLen == 0) Array.emptyByteArray
+      else box("free", Array.tabulate[Byte](freeLen)(i => (i * 7).toByte))
+    val mdat = box("mdat", Array.tabulate[Byte](mdatLen)(i => (i * 31).toByte))
+    ftyp ++ moov ++ free ++ mdat
+  }
+
+  // ------------------------------------------------------------------
+  // Ogg (RFC 3533 page structure; Vorbis I / RFC 7845 ident headers)
+  // ------------------------------------------------------------------
+
+  /** Page walk → (codec, rate, channels, lastGranule, nPages).
+    *
+    * Structure only: capture pattern "OggS", stream version 0, header
+    * type, 64-bit LE granule position, serial, sequence, CRC field
+    * (READ but not verified — metadata accounting does not depend on
+    * payload integrity, and skipping verification keeps this walk free
+    * of any checksum table), lacing values, payload. The first BOS
+    * page's packet identifies the codec: `\x01vorbis` (channels at
+    * byte 11, rate LE at 12 — Vorbis I ident header) or `OpusHead`
+    * (channels at 9; the granule clock is 48 kHz by definition, RFC
+    * 7845 §4, so rate reports 48000). `n_samples` is the final granule
+    * position of the first stream's last page — for Vorbis that is the
+    * PCM sample count, for Opus the 48 kHz sample count including
+    * pre-skip. A malformed page ends the walk; None unless at least
+    * one full page with a BOS parsed. */
+  private[graft] def parseOgg(b: Array[Byte]): Option[(String, Int, Int, Long, Int)] = {
+    if (b == null || b.length < 27) return None
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      var p = 0
+      var nPages = 0
+      var serial0 = -1L
+      var lastGranule = 0L
+      var codec: String = null
+      var rate = 0; var ch = 0
+      var stop = false
+      while (!stop && p + 27 <= b.length) {
+        if (!(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S') ||
+            b(p + 4) != 0) stop = true
+        else {
+          val htype = b(p + 5) & 0xFF
+          val granule = bb.getLong(p + 6)
+          val serial = bb.getInt(p + 14) & 0xFFFFFFFFL
+          val nsegs = b(p + 26) & 0xFF
+          if (p + 27 + nsegs > b.length) stop = true
+          else {
+            var payLen = 0
+            var i = 0
+            while (i < nsegs) { payLen += b(p + 27 + i) & 0xFF; i += 1 }
+            val payStart = p + 27 + nsegs
+            if (payStart + payLen > b.length) stop = true
+            else {
+              nPages += 1
+              if ((htype & 2) != 0 && serial0 < 0) { // first BOS page
+                serial0 = serial
+                // first packet = segments up to the first lacing < 255
+                var pk = 0
+                var j = 0
+                var open = true
+                while (j < nsegs && open) {
+                  val l = b(p + 27 + j) & 0xFF
+                  pk += l
+                  if (l < 255) open = false
+                  j += 1
+                }
+                if (pk >= 16 && b(payStart) == 1 &&
+                    new String(b, payStart + 1, 6, "ISO-8859-1") == "vorbis") {
+                  codec = "vorbis"
+                  ch = b(payStart + 11) & 0xFF
+                  rate = bb.getInt(payStart + 12)
+                } else if (pk >= 12 &&
+                    new String(b, payStart, 8, "ISO-8859-1") == "OpusHead") {
+                  codec = "opus"
+                  ch = b(payStart + 9) & 0xFF
+                  rate = 48000 // the granule clock, RFC 7845 §4
+                } else codec = "unknown"
+              }
+              if (serial == serial0 && granule >= 0) lastGranule = granule
+              p = payStart + payLen
+            }
+          }
+        }
+      }
+      if (nPages == 0 || codec == null) None
+      else Some((codec, rate, ch, lastGranule, nPages))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def decodeOggMeta(ds: Dataset[Media]): Dataset[OggMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val len = if (m.media == null) 0L else m.media.length.toLong
+      parseOgg(m.media) match {
+        case Some((codec, rate, ch, n, pages)) =>
+          OggMeta(m.doc_id, len, codec, rate, ch, n, pages)
+        case None => OggMeta(m.doc_id, len, null, 0, 0, 0L, 0)
+      }
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // Ogg fixture builder (real pages, real lacing, spec CRC)
+  // ------------------------------------------------------------------
+
+  // CRC-32/MPEG-2 style: polynomial 0x04C11DB7, NOT reflected, init 0,
+  // no final xor (RFC 3533 appendix). The decoder never reads this —
+  // it exists so fixtures are well-formed files, and a transcription
+  // slip here cannot make the walk wrong (see parseOgg's doc).
+  private lazy val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) { r = (r << 1) ^ (if ((r & 0x80000000) != 0) 0x04C11DB7 else 0); k += 1 }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+  private def oggCrc(b: Array[Byte]): Int = {
+    var c = 0
+    var i = 0
+    while (i < b.length) { c = (c << 8) ^ oggCrcTable(((c >>> 24) ^ (b(i) & 0xFF)) & 0xFF); i += 1 }
+    c
+  }
+
+  private def oggPage(htype: Int, granule: Long, serial: Int, seq: Int,
+      packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacing = packets.flatMap { pk =>
+      val full = pk.length / 255
+      Seq.fill(full)(255) :+ (pk.length % 255)
+    }
+    require(lacing.length <= 255, "page overflow")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("ISO-8859-1"), 0, 4)
+    out.write(0); out.write(htype)
+    var i = 0
+    while (i < 8) { out.write(((granule >> (8 * i)) & 0xFF).toInt); i += 1 }
+    i = 0
+    while (i < 4) { out.write((serial >> (8 * i)) & 0xFF); i += 1 }
+    i = 0
+    while (i < 4) { out.write((seq >> (8 * i)) & 0xFF); i += 1 }
+    val crcPos = out.size()
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(lacing.length)
+    lacing.foreach(out.write)
+    packets.foreach(pk => out.write(pk, 0, pk.length))
+    val page = out.toByteArray
+    val crc = oggCrc(page)
+    i = 0
+    while (i < 4) { page(crcPos + i) = ((crc >> (8 * i)) & 0xFF).toByte; i += 1 }
+    page
+  }
+
+  /** A real Ogg stream: BOS page with a Vorbis or Opus ident packet,
+    * `dataPages` audio pages whose payload length is `pageLen(i)` (so
+    * multi-segment lacing is exercised whenever a length ≥ 255 comes
+    * through), granule advancing by `granuleStep` per page, EOS flag on
+    * the last. Page size = 27 + (len/255 + 1) + len; the BOS ident
+    * packet is 30 bytes (vorbis) / 19 (opus). */
+  def syntheticOgg(vorbis: Boolean, rate: Int, channels: Int, serial: Int,
+      dataPages: Int, pageLen: Int => Int, granuleStep: Long): Array[Byte] = {
+    require(dataPages >= 1 && channels >= 1)
+    val ident: Array[Byte] =
+      if (vorbis) bytes { o =>
+        o.write(1); o.write("vorbis".getBytes("ISO-8859-1"), 0, 6)
+        var i = 0
+        while (i < 4) { o.write(0); i += 1 } // version 0
+        o.write(channels)
+        i = 0
+        while (i < 4) { o.write((rate >> (8 * i)) & 0xFF); i += 1 }
+        i = 0
+        while (i < 12) { o.write(0); i += 1 } // bitrates
+        o.write(0xB8); o.write(1) // blocksizes + framing bit
+      }
+      else bytes { o =>
+        o.write("OpusHead".getBytes("ISO-8859-1"), 0, 8)
+        o.write(1); o.write(channels)
+        o.write(0x38); o.write(1) // pre-skip 312
+        var i = 0
+        while (i < 4) { o.write((rate >> (8 * i)) & 0xFF); i += 1 } // input rate
+        o.write(0); o.write(0); o.write(0) // gain + mapping family 0
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(oggPage(2, 0L, serial, 0, Seq(ident)))
+    var pg = 0
+    while (pg < dataPages) {
+      val len = pageLen(pg)
+      val payload = Array.tabulate[Byte](len)(j => ((j * 19 + pg * 7) % 256).toByte)
+      val htype = if (pg == dataPages - 1) 4 else 0
+      out.write(oggPage(htype, granuleStep * (pg + 1), serial, pg + 1, Seq(payload)))
+      pg += 1
+    }
+    out.toByteArray
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis}
+import graft.llm.{Ann, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1162,6 +1162,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // ISO-BMFF structural walk (round 13): every field the oracle
+    // replays — dims, duration, trak count, sample count, and the
+    // container's exact byte length — demands the real box discipline
+    // (32/64-bit mvhd, size-based skipping of unknown boxes, the
+    // vide-handler trak selected among two)
+    "q_multimodal_mp4_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(mp4Media _)
+      Containers.decodeMp4Meta(media).toDF()
+        .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks", "n_samples")
+        .orderBy("doc_id")
+    }),
+
+    // Ogg page walk (round 13): codec identification from the BOS
+    // packet, the 48 kHz Opus granule-clock rule, final granule
+    // accounting, and byte_len = the lacing arithmetic of every page
+    "q_multimodal_ogg_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(oggMedia _)
+      Containers.decodeOggMeta(media).toDF()
+        .select("doc_id", "byte_len", "codec", "sample_rate", "channels", "n_samples", "n_pages")
+        .orderBy("doc_id")
+    }),
+
     // REAL pixel decode + perceptual hash: each doc renders an actual
     // 18x16 24-bpp BMP whose grayscale is an integer function of
     // (doc_id, x, y); the decoder must reconstruct the EXACT pixels
@@ -1797,6 +1823,56 @@ object LlmQueries {
     * formula length, with an ID3v1 trailer on the id%4=1 slice and
     * stereo on the id%5=0 slice. Every field the oracle replays depends
     * on the parser walking each frame's own header length. */
+  /** The q_multimodal_mp4_meta fixture (round 13): a structurally
+    * complete ISO-BMFF tree whose every knob is a formula of doc_id —
+    * ftyp brand count, mvhd VERSION (v0 32-bit vs v1 64-bit fields by
+    * parity), timescale/duration chosen so duration_ms replays exactly
+    * in integer SQL, 16.16 fixed tkhd dims, stsz sample count, an
+    * audio trak on the id%4=0 slice (n_tracks 2, and the parser must
+    * pick the vide-handler trak's dims/samples, not the last trak's),
+    * unknown udta junk on id%6=0 (skipped by size), a free box on
+    * id%5=0, and a formula-length mdat. byte_len replays the builder's
+    * closed form; ContainerSpec pins that form against the bytes. */
+  private def mp4Media(id: Long): Multimodal.Media = {
+    val durMs = (5 + id % 7) * 1000 + (id % 10) * 100
+    val ts = 1000 * (1 + id % 3)
+    Multimodal.Media(id,
+      Containers.syntheticMp4(
+        brands = (1 + id % 3).toInt,
+        mvhdV1 = id % 2 == 1,
+        timescale = ts.toInt,
+        duration = durMs * ts / 1000,
+        w = (160 + id % 64).toInt, h = (120 + id % 32).toInt,
+        nVideoSamples = (24 + id % 10).toInt,
+        audioTrack = id % 4 == 0,
+        mdatLen = (50 + id % 40).toInt,
+        freeLen = if (id % 5 == 0) (12 + id % 9).toInt else 0,
+        junkLen = if (id % 6 == 0) (5 + id % 11).toInt else 0),
+      "video/mp4")
+  }
+
+  /** The q_multimodal_ogg_meta fixture (round 13): real Ogg pages —
+    * Vorbis/Opus ident by parity (the Opus BOS carries a 24 kHz INPUT
+    * rate precisely so the parser must report the 48 kHz granule clock
+    * instead of copying the field), 2–5 data pages whose payload
+    * lengths are id-formulas with a ≥510-byte page on the id%3=0 slice
+    * (multi-segment lacing is load-bearing), EOS granule = step·pages.
+    * byte_len replays page framing: Σ 27 + (len/255 + 1) + len. */
+  private def oggMedia(id: Long): Multimodal.Media = {
+    val vorbis = id % 2 == 0
+    Multimodal.Media(id,
+      Containers.syntheticOgg(
+        vorbis = vorbis,
+        rate = if (vorbis) Seq(8000, 22050, 44100)((id % 3).toInt) else 24000,
+        channels = if (id % 5 == 0) 2 else 1,
+        serial = (id % 7 + 1).toInt,
+        dataPages = (2 + id % 4).toInt,
+        pageLen = i => if (i == 0 && id % 3 == 0) (510 + id % 100).toInt
+          else (100 + (id + i * 13) % 155).toInt,
+        granuleStep = 256 * (1 + id % 5)),
+      "audio/ogg")
+  }
+
   private def mp3Media(id: Long): Multimodal.Media = {
     val v1 = id % 2 == 0
     val srIdx = (id % 3).toInt
@@ -3468,6 +3544,54 @@ object LlmQueries {
         |           THEN ([44100, 48000, 32000])[CAST(d.doc_id % 3 AS INTEGER) + 1]
         |           ELSE ([22050, 24000, 16000])[CAST(d.doc_id % 3 AS INTEGER) + 1] END)
         |       AS BIGINT) AS duration_ms
+        |FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // ISO-BMFF walk replay (round 13): every emitted field is a closed
+    // form of doc_id, and byte_len is the builder's exact box-size
+    // arithmetic (ftyp 16+4·brands; mvhd 108 v0 / 120 v1; video trak
+    // 440+4·n; audio trak 450; udta 8+junk; free 8+len; mdat 8+len) —
+    // ContainerSpec pins the same form against the rendered bytes, so
+    // Spark, the builder, and DuckDB must agree three ways
+    "q_multimodal_mp4_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 + 4 * (1 + doc_id % 3)
+        |    + 8 + (CASE WHEN doc_id % 2 = 1 THEN 120 ELSE 108 END)
+        |    + 440 + 4 * (24 + doc_id % 10)
+        |    + (CASE WHEN doc_id % 4 = 0 THEN 450 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 6 = 0 THEN 13 + doc_id % 11 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 5 = 0 THEN 20 + doc_id % 9 ELSE 0 END)
+        |    + 8 + 50 + doc_id % 40 AS BIGINT) AS byte_len,
+        |  CAST(160 + doc_id % 64 AS INTEGER) AS width,
+        |  CAST(120 + doc_id % 32 AS INTEGER) AS height,
+        |  CAST((5 + doc_id % 7) * 1000 + (doc_id % 10) * 100 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+        |  CAST(24 + doc_id % 10 AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Ogg walk replay (round 13): page framing arithmetic — ident page
+    // 27+1+(30 vorbis | 19 opus), data page 27 + (len//255 + 1) + len
+    // with the multi-segment ≥510 page on the id%3=0 slice; the Opus
+    // rows must report 48000 (granule clock), NOT the 24000 the
+    // OpusHead input-rate field carries
+    "q_multimodal_ogg_meta" ->
+      """WITH pg AS (
+        |  SELECT doc_id, u.i AS i,
+        |    (CASE WHEN u.i = 0 AND doc_id % 3 = 0 THEN 510 + doc_id % 100
+        |          ELSE 100 + (doc_id + u.i * 13) % 155 END) AS len
+        |  FROM documents, unnest(generate_series(0, 5)) AS u(i)
+        |  WHERE u.i < 2 + doc_id % 4),
+        |agg AS (SELECT doc_id, SUM(27 + (len // 255 + 1) + len) AS data_len
+        |        FROM pg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(27 + 1 + (CASE WHEN d.doc_id % 2 = 0 THEN 30 ELSE 19 END)
+        |       + a.data_len AS BIGINT) AS byte_len,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0
+        |       THEN ([8000, 22050, 44100])[CAST(d.doc_id % 3 AS INTEGER) + 1]
+        |       ELSE 48000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+        |  CAST(256 * (1 + d.doc_id % 5) * (2 + d.doc_id % 4) AS BIGINT) AS n_samples,
+        |  CAST(3 + d.doc_id % 4 AS INTEGER) AS n_pages
         |FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the dHash replayed as pure arithmetic: same pixel formula, same

@@ -306,7 +306,15 @@ class PlanSpec extends SparkSpec {
         "audioMeta/mp3" -> Multimodal.decodeAudioMeta(
           ids.map(id => Multimodal.Media(id, Multimodal.syntheticMp3(
             version1 = true, srIdx = 0, Seq((5, 0), (9, 1)), Array.emptyByteArray),
-            "audio/mpeg"))).toDF())) {
+            "audio/mpeg"))).toDF(),
+        // round 13: the structural container walks are map stages too
+        "mp4Meta" -> graft.llm.Containers.decodeMp4Meta(
+          ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticMp4(
+            1, mvhdV1 = false, 1000, 2000L, 32, 24, 4, audioTrack = false, mdatLen = 16),
+            "video/mp4"))).toDF(),
+        "oggMeta" -> graft.llm.Containers.decodeOggMeta(
+          ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticOgg(
+            vorbis = true, 8000, 1, 3, 2, _ => 64, 256L), "audio/ogg"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }

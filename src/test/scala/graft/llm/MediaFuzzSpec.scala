@@ -35,7 +35,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "icoDecode" -> (b => Multimodal.decodeIcoGray(b)),
     "qoiDecode" -> (b => Multimodal.decodeQoiGray(b)),
     "tiffDecode" -> (b => Tiff.decodeGray(b)),
-    "flacDecode" -> (b => Flac.decodePcm(b)))
+    "flacDecode" -> (b => Flac.decodePcm(b)),
+    "mp4Parse" -> (b => Containers.parseMp4(b)),
+    "oggParse" -> (b => Containers.parseOgg(b)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -82,7 +84,13 @@ class MediaFuzzSpec extends AnyFunSuite {
       "y4m" -> Multimodal.syntheticY4m(18, 16, frames12),
       "mp3" -> Multimodal.syntheticMp3(version1 = true, srIdx = 0,
         (0 until 20).map(j => (1 + j % 14, j % 2)),
-        Array.tabulate[Byte](64)(_.toByte), trailingTag = true))
+        Array.tabulate[Byte](64)(_.toByte), trailingTag = true),
+      "mp4" -> Containers.syntheticMp4(brands = 3, mvhdV1 = true, timescale = 3000,
+        duration = 16500L, w = 176, h = 144, nVideoSamples = 30, audioTrack = true,
+        mdatLen = 80, freeLen = 16, junkLen = 9),
+      "ogg" -> Containers.syntheticOgg(vorbis = true, rate = 22050, channels = 2,
+        serial = 5, dataPages = 4,
+        pageLen = i => if (i == 0) 560 else 120 + i * 13, granuleStep = 512L))
   }
 
   test("pure random buffers never throw in any decoder") {
