@@ -35,7 +35,8 @@ object Tiff {
   // one parsed IFD entry's values, widened to Long (BYTE/SHORT/LONG)
   private case class Ifd(width: Int, height: Int, bits: Array[Long], comp: Int,
       photo: Int, spp: Int, rowsPerStrip: Long, predictor: Int,
-      stripOffsets: Array[Long], stripCounts: Array[Long])
+      stripOffsets: Array[Long], stripCounts: Array[Long],
+      tileW: Int, tileL: Int, tileOffsets: Array[Long], tileCounts: Array[Long])
 
   /** First-IFD tag walk, bounds-checked everywhere: a crafted directory
     * must reject, never index out of the buffer or allocate from
@@ -75,11 +76,14 @@ object Tiff {
     var rps = 0xFFFFFFFFL; var pred = 1L
     var bits: Array[Long] = Array(1L) // spec default BitsPerSample = 1
     var offs: Array[Long] = null; var cnts: Array[Long] = null
+    var tw = 0L; var tl = 0L
+    var tOffs: Array[Long] = null; var tCnts: Array[Long] = null
     var i = 0
     while (i < n) {
       val e = (ifd + 2 + i * 12).toInt
       val tag = bb.getShort(e) & 0xFFFF
-      if (Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 317).contains(tag)) {
+      if (Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 317,
+          322, 323, 324, 325).contains(tag)) {
         val v = values(e)
         if (v == null) return None
         tag match {
@@ -92,15 +96,21 @@ object Tiff {
           case 277 => spp = v(0)
           case 278 => rps = v(0)
           case 279 => cnts = v
+          case 322 => tw = v(0)
+          case 323 => tl = v(0)
+          case 324 => tOffs = v
+          case 325 => tCnts = v
           case _ => pred = v(0)
         }
       }
       i += 1
     }
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || offs == null || cnts == null)
+    val stripped = offs != null && cnts != null
+    val tiled = tOffs != null && tCnts != null && tw > 0 && tl > 0
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || (!stripped && !tiled))
       return None
     Some(Ifd(w.toInt, h.toInt, bits, comp.toInt, photo.toInt, spp.toInt, rps, pred.toInt,
-      offs, cnts))
+      offs, cnts, tw.toInt, tl.toInt, tOffs, tCnts))
   }
 
   /** Header-only dimensions (the parseBmp/parsePng sibling). */
@@ -206,51 +216,58 @@ object Tiff {
     o - outPos
   }
 
-  /** Full grayscale decode: IFD → per-strip decompress → optional
-    * horizontal-differencing undo → photometric mapping to the family's
-    * shared integer BT.601 luma. Supports 8-bit gray (photo 0 inverted,
-    * photo 1 direct) and 8-bit RGB; compression 1 (none), 5 (LZW),
-    * 32773 (PackBits), 8/32946 (Deflate). Truncated strip data → None. Same return shape
-    * as [[Multimodal.decodeBmpGray]]. */
+  /** Full grayscale decode: IFD → per-segment decompress (STRIPS or, new
+    * in round 13, TILES — tags 322-325, each tile a full tileW×tileL
+    * block decompressed independently and scattered with edge clipping,
+    * TIFF 6.0 §15) → optional horizontal-differencing undo → photometric
+    * mapping to the family's shared integer BT.601 luma. Supports 8-bit
+    * gray (photo 0 inverted, photo 1 direct), 8-bit RGB, and (round 13)
+    * 16-BIT grayscale in either byte order (reduced to the high byte,
+    * the PNG-16 rule, so re-exports land on the same hash); compression
+    * 1 (none), 5 (LZW), 32773 (PackBits), 8/32946 (Deflate). Predictor 2
+    * is 8-bit-scoped (16-bit differencing → None, scoped not wrong).
+    * Truncated segment data → None. Same return shape as
+    * [[Multimodal.decodeBmpGray]]. Both additions are cross-validated
+    * against ImageIO's OWN tiled writer / USHORT_GRAY writer in
+    * MediaInteropSpec — the external-oracle rule that caught the r11
+    * LZW width-switch off-by-one. */
   private[graft] def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val ifd = readIfd(b).getOrElse(return None)
     import ifd._
-    if (!(spp == 1 || spp == 3) || bits.length < spp || bits.exists(_ != 8L)) return None
+    val bpsB =
+      if (bits.length >= spp && bits.take(spp).forall(_ == 8L)) 1
+      else if (bits.length >= spp && bits.take(spp).forall(_ == 16L)) 2
+      else return None
+    if (!(spp == 1 || spp == 3)) return None
+    if (bpsB == 2 && spp != 1) return None // 16-bit scoped to grayscale
     if (photo != 0 && photo != 1 && photo != 2) return None
     if (photo == 2 && spp != 3) return None
     if (comp != 1 && comp != 5 && comp != 32773 && comp != 8 && comp != 32946)
       return None
     if (predictor != 1 && predictor != 2) return None
-    val rps = math.min(rowsPerStrip, height.toLong)
-    if (rps <= 0) return None
-    val nStrips = ((height + rps - 1) / rps).toInt
-    if (stripOffsets.length < nStrips || stripCounts.length < nStrips) return None
-    val rowBytes = width * spp
-    if (width.toLong * height * spp > (64L << 20)) return None // absurd-dims guard
+    if (predictor == 2 && bpsB == 2) return None // 16-bit differencing unsupported
+    val px = spp * bpsB // bytes per pixel
+    val rowBytes = width * px
+    if (width.toLong * height * px > (64L << 20)) return None // absurd-dims guard
     val raw = new Array[Byte](rowBytes * height)
-    var s = 0
-    var row = 0
-    while (s < nStrips) {
-      val rows = math.min(rps, height.toLong - row).toInt
-      val need = rows * rowBytes
-      val off = stripOffsets(s)
-      val cnt = stripCounts(s)
-      if (off < 0 || off > b.length || cnt < 0) return None
+    // one segment (strip or tile) decompressed into dst[dstPos, dstPos+need)
+    def decompress(off: Long, cnt: Long, dst: Array[Byte], dstPos: Int, need: Int): Boolean = {
+      if (off < 0 || off > b.length || cnt < 0) return false
       val got = comp match {
         case 1 =>
           if (off + need > b.length || cnt < need) -1
-          else { System.arraycopy(b, off.toInt, raw, row * rowBytes, need); need }
+          else { System.arraycopy(b, off.toInt, dst, dstPos, need); need }
         case 5 => lzwDecode(b, off.toInt, math.min(cnt, b.length - off).toInt,
-          raw, row * rowBytes, need)
+          dst, dstPos, need)
         case 8 | 32946 => // Adobe deflate (8) and the legacy code (32946):
-          // a plain zlib stream per strip, java.util.zip.Inflater
+          // a plain zlib stream per segment, java.util.zip.Inflater
           val inf = new java.util.zip.Inflater()
           try {
             inf.setInput(b, off.toInt, math.min(cnt, b.length - off).toInt)
             var total = 0
             var stalled = false
             while (total < need && !inf.finished() && !stalled) {
-              val n = inf.inflate(raw, row * rowBytes + total, need - total)
+              val n = inf.inflate(dst, dstPos + total, need - total)
               if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
               total += n
             }
@@ -258,23 +275,72 @@ object Tiff {
           } catch { case _: java.util.zip.DataFormatException => -1 }
           finally inf.end()
         case _ => packBitsDecode(b, off.toInt, math.min(cnt, b.length - off).toInt,
-          raw, row * rowBytes, need)
+          dst, dstPos, need)
       }
-      if (got != need) return None
-      s += 1; row += rows
+      got == need
     }
-    if (predictor == 2) { // undo horizontal differencing, per row per channel
+    def undoPredictor(buf: Array[Byte], nRows: Int, rb: Int): Unit = {
       var y = 0
-      while (y < height) {
-        val base = y * rowBytes
+      while (y < nRows) {
+        val base = y * rb
         var x = spp
-        while (x < rowBytes) {
-          raw(base + x) = (raw(base + x) + raw(base + x - spp)).toByte
+        while (x < rb) {
+          buf(base + x) = (buf(base + x) + buf(base + x - spp)).toByte
           x += 1
         }
         y += 1
       }
     }
+    val tiled = tileOffsets != null
+    if (!tiled) {
+      val rps = math.min(rowsPerStrip, height.toLong)
+      if (rps <= 0) return None
+      val nStrips = ((height + rps - 1) / rps).toInt
+      if (stripOffsets.length < nStrips || stripCounts.length < nStrips) return None
+      var s = 0
+      var row = 0
+      while (s < nStrips) {
+        val rows = math.min(rps, height.toLong - row).toInt
+        if (!decompress(stripOffsets(s), stripCounts(s), raw, row * rowBytes, rows * rowBytes))
+          return None
+        s += 1; row += rows
+      }
+      if (predictor == 2) undoPredictor(raw, height, rowBytes)
+    } else {
+      // TIFF 6.0 §15: every tile is a FULL tileW×tileL block (writers pad
+      // the right/bottom edges), laid out left-to-right, top-to-bottom;
+      // predictor state resets per tile row like per strip row
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileL - 1) / tileL
+      if (across.toLong * down > 65536) return None
+      if (tileOffsets.length < across * down || tileCounts.length < across * down)
+        return None
+      val tileRowBytes = tileW * px
+      val tileBytes = tileRowBytes * tileL
+      if (tileBytes <= 0 || tileBytes > (64 << 20)) return None
+      val tbuf = new Array[Byte](tileBytes)
+      var t = 0
+      var ty = 0
+      while (ty < down) {
+        var tx = 0
+        while (tx < across) {
+          if (!decompress(tileOffsets(t), tileCounts(t), tbuf, 0, tileBytes)) return None
+          if (predictor == 2) undoPredictor(tbuf, tileL, tileRowBytes)
+          val y0 = ty * tileL
+          val x0 = tx * tileW
+          val copyRows = math.min(tileL, height - y0)
+          val copyBytes = math.min(tileW, width - x0) * px
+          var r = 0
+          while (r < copyRows) {
+            System.arraycopy(tbuf, r * tileRowBytes, raw, (y0 + r) * rowBytes + x0 * px, copyBytes)
+            r += 1
+          }
+          t += 1; tx += 1
+        }
+        ty += 1
+      }
+    }
+    val le = b(0) == 'I'
     val out = new Array[Int](width * height)
     var i = 0
     while (i < out.length) {
@@ -282,8 +348,12 @@ object Tiff {
         if (spp == 3) {
           val p = i * 3
           (299 * (raw(p) & 0xFF) + 587 * (raw(p + 1) & 0xFF) + 114 * (raw(p + 2) & 0xFF)) / 1000
-        } else if (photo == 0) 255 - (raw(i) & 0xFF)
-        else raw(i) & 0xFF
+        } else {
+          val v =
+            if (bpsB == 1) raw(i) & 0xFF
+            else raw(2 * i + (if (le) 1 else 0)) & 0xFF // 16-bit high byte
+          if (photo == 0) 255 - v else v
+        }
       i += 1
     }
     Some((width, height, out))
@@ -374,12 +444,17 @@ object Tiff {
     * is exactly v, so the pixel replay stays container-blind),
     * compression none/LZW/PackBits/Deflate, optional horizontal-
     * differencing predictor with LZW/Deflate, multi-strip via
-    * rowsPerStrip. IFD entries
+    * rowsPerStrip — or (round 13) square TILES via `tileSize` (full
+    * padded edge tiles, tags 322-325 replacing the strip tags) and
+    * 16-BIT grayscale via `bits16` (stores g·257 in the file byte
+    * order, so the decoder's high-byte reduction returns g exactly;
+    * WhiteIsZero stores the 16-bit inverse). IFD entries
     * ascending by tag as the spec requires. */
   def syntheticTiffPixels(width: Int, height: Int, gray: Array[Int],
       compression: Int = 1, rgb: Boolean = false, predictor: Int = 1,
       rowsPerStrip: Int = 8, bigEndian: Boolean = false,
-      photoZero: Boolean = false): Array[Byte] = {
+      photoZero: Boolean = false, tileSize: Int = 0,
+      bits16: Boolean = false): Array[Byte] = {
     require(gray.length == width * height, "gray must be width*height")
     require(compression == 1 || compression == 5 || compression == 32773 ||
       compression == 8)
@@ -387,39 +462,39 @@ object Tiff {
       (predictor == 2 && (compression == 5 || compression == 8)),
       "predictor 2 only with LZW/Deflate here")
     require(!(photoZero && rgb), "WhiteIsZero is a grayscale interpretation")
+    require(!(bits16 && (rgb || predictor == 2)), "16-bit is grayscale, no predictor")
+    require(tileSize >= 0)
     val spp = if (rgb) 3 else 1
-    val rowBytes = width * spp
-    val rps = math.max(1, math.min(rowsPerStrip, height))
-    val nStrips = (height + rps - 1) / rps
-    // strip payloads
-    val strips = (0 until nStrips).map { s =>
-      val rows = math.min(rps, height - s * rps)
-      val raw = new Array[Byte](rows * rowBytes)
-      var r = 0
-      while (r < rows) {
-        val y = s * rps + r
-        var x = 0
-        while (x < width) {
-          val g = gray(y * width + x) & 0xFF
-          val v = (if (photoZero) 255 - g else g).toByte // WhiteIsZero stores the inverse
-          if (rgb) { val p = (r * width + x) * 3; raw(p) = v; raw(p + 1) = v; raw(p + 2) = v }
-          else raw(r * width + x) = v
-          x += 1
-        }
-        r += 1
+    val bpsB = if (bits16) 2 else 1
+    val px = spp * bpsB
+    // one pixel's stored bytes at (y, x): 16-bit stores g·257 (so the
+    // high byte IS g — the reduction the decoder performs), WhiteIsZero
+    // stores the bitwise inverse at either depth
+    def putPixel(dst: Array[Byte], at: Int, y: Int, x: Int): Unit = {
+      val g = gray(y * width + x) & 0xFF
+      if (bits16) {
+        val v16 = if (photoZero) 65535 - g * 257 else g * 257
+        if (bigEndian) { dst(at) = (v16 >> 8).toByte; dst(at + 1) = v16.toByte }
+        else { dst(at) = v16.toByte; dst(at + 1) = (v16 >> 8).toByte }
+      } else {
+        val v = (if (photoZero) 255 - g else g).toByte
+        if (rgb) { dst(at) = v; dst(at + 1) = v; dst(at + 2) = v }
+        else dst(at) = v
       }
+    }
+    def compress(raw: Array[Byte], rows: Int, rb: Int): Array[Byte] = {
       if (predictor == 2) { // difference each row before compressing
         var rr = rows - 1
         while (rr >= 0) {
-          var x = rowBytes - 1
-          while (x >= spp) { raw(rr * rowBytes + x) = (raw(rr * rowBytes + x) - raw(rr * rowBytes + x - spp)).toByte; x -= 1 }
+          var x = rb - 1
+          while (x >= spp) { raw(rr * rb + x) = (raw(rr * rb + x) - raw(rr * rb + x - spp)).toByte; x -= 1 }
           rr -= 1
         }
       }
       compression match {
         case 1 => raw
         case 5 => lzwEncode(raw)
-        case 8 => // Adobe deflate: one zlib stream per strip
+        case 8 => // Adobe deflate: one zlib stream per segment
           val defl = new java.util.zip.Deflater()
           defl.setInput(raw); defl.finish()
           val cb = new java.io.ByteArrayOutputStream()
@@ -428,11 +503,47 @@ object Tiff {
           defl.end()
           cb.toByteArray
         case _ => {
-          val rowsEnc = (0 until rows).map(rr => packBitsEncode(raw.slice(rr * rowBytes, (rr + 1) * rowBytes)))
+          val rowsEnc = (0 until rows).map(rr => packBitsEncode(raw.slice(rr * rb, (rr + 1) * rb)))
           rowsEnc.reduceLeft(_ ++ _) // PackBits restarts per row (spec §9)
         }
       }
     }
+    val rowBytes = width * px
+    val rps = math.max(1, math.min(rowsPerStrip, height))
+    val nStrips = (height + rps - 1) / rps
+    // segment payloads: strips, or full padded tiles (TIFF 6.0 §15)
+    val strips: IndexedSeq[Array[Byte]] =
+      if (tileSize > 0) {
+        val across = (width + tileSize - 1) / tileSize
+        val down = (height + tileSize - 1) / tileSize
+        val trb = tileSize * px
+        for (ty <- 0 until down; tx <- 0 until across) yield {
+          val raw = new Array[Byte](trb * tileSize) // zero-padded edges
+          var r = 0
+          while (r < tileSize) {
+            val y = ty * tileSize + r
+            var c = 0
+            while (c < tileSize) {
+              val x = tx * tileSize + c
+              if (y < height && x < width) putPixel(raw, r * trb + c * px, y, x)
+              c += 1
+            }
+            r += 1
+          }
+          compress(raw, tileSize, trb)
+        }
+      } else (0 until nStrips).map { s =>
+        val rows = math.min(rps, height - s * rps)
+        val raw = new Array[Byte](rows * rowBytes)
+        var r = 0
+        while (r < rows) {
+          val y = s * rps + r
+          var x = 0
+          while (x < width) { putPixel(raw, r * rowBytes + x * px, y, x); x += 1 }
+          r += 1
+        }
+        compress(raw, rows, rowBytes)
+      }
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val tags = mutable.ArrayBuffer[(Int, Int, Int, Either[Long, Array[Long]])]() // tag, type, count, inline-or-external
     // external value areas placed between strips and IFD
@@ -455,13 +566,21 @@ object Tiff {
     }
     addTag(256, 4, Array(width.toLong))
     addTag(257, 4, Array(height.toLong))
-    addTag(258, 3, Array.fill(spp)(8L))
+    addTag(258, 3, Array.fill(spp)(if (bits16) 16L else 8L))
     addTag(259, 3, Array(compression.toLong))
     addTag(262, 3, Array(if (rgb) 2L else if (photoZero) 0L else 1L))
-    addTag(273, 4, stripOff.map(_.toLong).toArray)
-    addTag(277, 3, Array(spp.toLong))
-    addTag(278, 4, Array(rps.toLong))
-    addTag(279, 4, strips.map(_.length.toLong).toArray)
+    if (tileSize > 0) {
+      addTag(322, 4, Array(tileSize.toLong))
+      addTag(323, 4, Array(tileSize.toLong))
+      addTag(324, 4, stripOff.map(_.toLong).toArray)
+      addTag(325, 4, strips.map(_.length.toLong).toArray)
+      addTag(277, 3, Array(spp.toLong))
+    } else {
+      addTag(273, 4, stripOff.map(_.toLong).toArray)
+      addTag(277, 3, Array(spp.toLong))
+      addTag(278, 4, Array(rps.toLong))
+      addTag(279, 4, strips.map(_.length.toLong).toArray)
+    }
     if (predictor == 2) addTag(317, 3, Array(2L))
     val ifdOff = extStart + ext.length
     val total = ifdOff + 2 + tags.length * 12 + 4

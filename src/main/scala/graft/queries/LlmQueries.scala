@@ -1779,7 +1779,14 @@ object LlmQueries {
         predictor = if ((comp == 5 || comp == 8) && id % 4 == 1) 2 else 1,
         rowsPerStrip = 4 + (id % 3).toInt * 5,
         bigEndian = id % 5 == 0,
-        photoZero = photoZero),
+        photoZero = photoZero,
+        // round 13: the 18x16 image through 8x8 TILES (padded partial
+        // tiles on both edges) on the id%6=2 slice, and 16-BIT samples
+        // (high-byte reduction load-bearing) on the even id%9=0 slice —
+        // the pixel oracle is container-blind, so both layouts must be
+        // invisible to the hash
+        tileSize = if (id % 6 == 2) 8 else 0,
+        bits16 = id % 9 == 0 && id % 2 == 0),
       "image/tiff")
   }
 

@@ -70,6 +70,10 @@ class MediaFuzzSpec extends AnyFunSuite {
       "tiffLzw" -> Tiff.syntheticTiffPixels(18, 16, px, compression = 5, predictor = 2),
       "tiffDeflate" -> Tiff.syntheticTiffPixels(18, 16, px, compression = 8,
         bigEndian = true),
+      "tiffTiled" -> Tiff.syntheticTiffPixels(18, 16, px, compression = 5,
+        tileSize = 8),
+      "tiff16" -> Tiff.syntheticTiffPixels(18, 16, px, bits16 = true,
+        bigEndian = true),
       "wav16" -> Multimodal.syntheticWavPcm(8000, samples),
       "wavFloat" -> Multimodal.syntheticWav(8000, samples, "float32"),
       "wavG711" -> Multimodal.syntheticWavG711(8000, 7,

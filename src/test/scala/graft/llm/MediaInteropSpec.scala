@@ -334,6 +334,88 @@ class MediaInteropSpec extends AnyFunSuite {
     assert(got.sameElements(px))
   }
 
+  // ---- round 13: tiled layout (TIFF 6.0 §15) and 16-bit grayscale ----
+
+  private def imageioWriteTiled(img: BufferedImage, tw: Int, th: Int,
+      compression: Option[String] = None): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setTiling(tw, th, 0, 0)
+    compression.foreach { c =>
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(c)
+    }
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("TIFF tiled: ImageIO reads our tiles; ours reads ImageIO's tiles (non-aligned edges)") {
+    // 61x47 with 16x16 tiles: both edges force padded partial tiles
+    val px = noisy.take(61 * 47)
+    for (comp <- Seq(1, 5, 32773, 8)) {
+      val ours = Tiff.syntheticTiffPixels(61, 47, px, compression = comp, tileSize = 16)
+      assert(Tiff.decodeGray(ours).get._3.sameElements(px), s"self comp=$comp")
+      val (w2, h2, got) = readGray(ours)
+      assert((w2, h2) == (61, 47) && got.sameElements(px), s"ImageIO reads ours comp=$comp")
+    }
+    for (ioComp <- Seq(None, Some("LZW"), Some("PackBits"), Some("ZLib"))) {
+      val theirs = imageioWriteTiled(grayImage(61, 47, px), 32, 16, ioComp)
+      val Some((w3, h3, got3)) = Tiff.decodeGray(theirs)
+      assert((w3, h3) == (61, 47) && got3.sameElements(px), s"ours reads ImageIO $ioComp")
+    }
+  }
+
+  test("TIFF tiled + predictor + big-endian: both decoders agree") {
+    val px = runny.take(61 * 47)
+    val ours = Tiff.syntheticTiffPixels(61, 47, px, compression = 5,
+      predictor = 2, bigEndian = true, tileSize = 16)
+    assert(Tiff.decodeGray(ours).get._3.sameElements(px))
+    val (w2, h2, got) = readGray(ours)
+    assert((w2, h2) == (61, 47) && got.sameElements(px))
+  }
+
+  private def gray16Image(w: Int, h: Int, px: Array[Int]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, px(y * w + x) * 257)
+    img
+  }
+
+  test("TIFF 16-bit grayscale: both directions, both byte orders, WhiteIsZero") {
+    val px = noisy.take(61 * 47)
+    for (be <- Seq(false, true); comp <- Seq(1, 8)) {
+      val ours = Tiff.syntheticTiffPixels(61, 47, px, compression = comp,
+        bigEndian = be, bits16 = true)
+      assert(Tiff.decodeGray(ours).get._3.sameElements(px), s"self be=$be comp=$comp")
+      // ImageIO reads the full 16-bit samples: g·257 exactly
+      val img = ImageIO.read(new ByteArrayInputStream(ours))
+      assert(img != null && img.getWidth == 61)
+      val r = img.getRaster
+      for (i <- 0 until 61 * 47)
+        assert(r.getSample(i % 61, i / 61, 0) == px(i) * 257, s"sample $i be=$be")
+    }
+    // ImageIO's own USHORT_GRAY writer → our high-byte reduction
+    for (ioComp <- Seq(None, Some("LZW"), Some("ZLib"))) {
+      val theirs = imageioWrite(gray16Image(61, 47, px), "tiff", ioComp)
+      val Some((w2, h2, got)) = Tiff.decodeGray(theirs)
+      assert((w2, h2) == (61, 47) && got.sameElements(px), s"16-bit from ImageIO $ioComp")
+    }
+    // 16-bit WhiteIsZero: stored inverse, high byte still reduces right
+    val inv = Tiff.syntheticTiffPixels(61, 47, px, bits16 = true, photoZero = true)
+    assert(Tiff.decodeGray(inv).get._3.sameElements(px))
+    // 16-bit + tiles compose
+    val tiled16 = Tiff.syntheticTiffPixels(61, 47, px, compression = 8,
+      bits16 = true, tileSize = 16, bigEndian = true)
+    assert(Tiff.decodeGray(tiled16).get._3.sameElements(px))
+    val tiled16Io = imageioWriteTiled(gray16Image(61, 47, px), 32, 16, Some("LZW"))
+    assert(Tiff.decodeGray(tiled16Io).get._3.sameElements(px), "ImageIO tiled 16-bit")
+  }
+
   test("animated GIF: ImageIO reads every frame of ours identically") {
     val w = 23; val h = 17
     val frames = (0 until 9).map { f =>
