@@ -294,6 +294,142 @@ object Containers {
   }
 
   // ------------------------------------------------------------------
+  // AVI (RIFF 'AVI ' — the OpenDML/VfW layout, structural like ISO-BMFF)
+  // ------------------------------------------------------------------
+
+  /** AVI metadata via the RIFF chunk walk → (width, height, durationMs,
+    * nStreams, totalFrames). Width/height and the frame/stream counts
+    * come from the `avih` MainAVIHeader (fixed field offsets inside a
+    * fixed-size chunk — dwMicroSecPerFrame@0, dwTotalFrames@16,
+    * dwStreams@24, dwWidth@32, dwHeight@36); duration =
+    * totalFrames · microSecPerFrame. Chunks are skipped by size with
+    * RIFF's odd-length pad byte, LIST chunks recurse by list type, and
+    * only `hdrl` needs understanding — `movi`/`idx1`/unknown chunks
+    * skip. Structural failure → None, same posture as [[parseMp4]]. */
+  private[graft] def parseAvi(b: Array[Byte]): Option[(Int, Int, Long, Int, Long)] = {
+    if (b == null || b.length < 24) return None
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(p: Int): String = new String(b, p, 4, "ISO-8859-1")
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      val riffLen = bb.getInt(4).toLong & 0xFFFFFFFFL
+      val end = math.min(b.length.toLong, 8L + riffLen)
+      var w = 0; var h = 0; var durMs = -1L; var streams = 0; var frames = 0L
+      // walk chunks in [start, end); returns false on structural violation
+      def walk(start: Long, stop: Long): Boolean = {
+        var p = start
+        while (p + 8 <= stop) {
+          val cc = fourcc(p.toInt)
+          val len = bb.getInt(p.toInt + 4).toLong & 0xFFFFFFFFL
+          val body = p + 8
+          if (body + len > stop) return false
+          if (cc == "LIST") {
+            if (len < 4) return false
+            val listType = fourcc(body.toInt)
+            // only hdrl needs understanding; movi/strl-from-hdrl recurse,
+            // everything else (movi payload incl.) skips wholesale
+            if (listType == "hdrl" || listType == "strl") {
+              if (!walk(body + 4, body + len)) return false
+            }
+          } else if (cc == "avih") {
+            if (len < 40) return false
+            val mspf = bb.getInt(body.toInt).toLong & 0xFFFFFFFFL
+            frames = bb.getInt(body.toInt + 16).toLong & 0xFFFFFFFFL
+            streams = bb.getInt(body.toInt + 24)
+            w = bb.getInt(body.toInt + 32)
+            h = bb.getInt(body.toInt + 36)
+            durMs = frames * mspf / 1000L
+          }
+          p = body + len + (len & 1L) // RIFF pads odd chunk bodies
+        }
+        p == stop
+      }
+      if (!walk(12L, end) || durMs < 0 || w < 0 || h < 0) None
+      else Some((w, h, durMs, streams, frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** AVI rows in the [[Mp4Meta]] shape (n_tracks = dwStreams,
+    * n_samples = dwTotalFrames) — one schema for the video-container
+    * admission filter regardless of container. */
+  def decodeAviMeta(ds: Dataset[Media]): Dataset[Mp4Meta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val len = if (m.media == null) 0L else m.media.length.toLong
+      parseAvi(m.media) match {
+        case Some((w, h, dur, nt, ns)) => Mp4Meta(m.doc_id, len, w, h, dur, nt, ns)
+        case None => Mp4Meta(m.doc_id, len, 0, 0, 0L, 0, 0L)
+      }
+    })
+  }
+
+  private def le32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+  }
+  private def riffChunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(cc.getBytes("ISO-8859-1"), 0, 4)
+    le32(out, payload.length.toLong)
+    out.write(payload, 0, payload.length)
+    if (payload.length % 2 == 1) out.write(0) // RIFF pad byte
+    out.toByteArray
+  }
+  private def riffList(listType: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("ISO-8859-1") ++ children)
+
+  /** A structurally complete AVI: RIFF/AVI header, LIST hdrl [avih,
+    * one video LIST strl (strh "vids" + strf), optional audio strl],
+    * an unknown JUNK chunk (ODD length on demand — the pad-byte path),
+    * LIST movi with `moviChunks` "00dc" chunks of `chunkLen(i)` bytes,
+    * idx1. Exact size (pinned by ContainerSpec): 12 + hdrl + junk +
+    * movi + idx1 where hdrl = 12 + 64 + 124 + (124 if audio),
+    * junk = 8 + junkLen + (junkLen&1), movi = 12 + Σ(8 + len_i +
+    * (len_i&1)), idx1 = 8 + 16·moviChunks. */
+  def syntheticAvi(w: Int, h: Int, microSecPerFrame: Long, totalFrames: Long,
+      audioStream: Boolean, moviChunks: Int, chunkLen: Int => Int,
+      junkLen: Int = 0): Array[Byte] = {
+    require(w >= 0 && h >= 0 && microSecPerFrame > 0 && moviChunks >= 1)
+    val streams = if (audioStream) 2 else 1
+    val avih = riffChunk("avih", bytes { o =>
+      le32(o, microSecPerFrame); le32(o, 0L); le32(o, 0L); le32(o, 0x10L)
+      le32(o, totalFrames); le32(o, 0L); le32(o, streams.toLong); le32(o, 0L)
+      le32(o, w.toLong); le32(o, h.toLong)
+      (0 until 4).foreach(_ => le32(o, 0L)) // dwReserved
+    })
+    def strl(fccType: String, handler: String, length: Long) = riffList("strl",
+      riffChunk("strh", bytes { o =>
+        o.write(fccType.getBytes("ISO-8859-1"), 0, 4)
+        o.write(handler.getBytes("ISO-8859-1"), 0, 4)
+        le32(o, 0L) // flags
+        o.write(0); o.write(0); o.write(0); o.write(0) // priority, language
+        le32(o, 0L) // initial frames
+        le32(o, 1L); le32(o, 25L) // scale, rate
+        le32(o, 0L); le32(o, length) // start, length
+        le32(o, 0L); le32(o, 0L); le32(o, 0L) // sugbuf, quality, samplesize
+        (0 until 4).foreach(_ => o.write(0)) // rcFrame x2 words... 8 bytes
+        (0 until 4).foreach(_ => o.write(0))
+      }) ++ riffChunk("strf", Array.tabulate[Byte](40)(i => (i * 3).toByte)))
+    val hdrl = riffList("hdrl",
+      avih ++ strl("vids", "MJPG", totalFrames) ++
+        (if (audioStream) strl("auds", "    ", 16L)
+         else Array.emptyByteArray))
+    val junk = if (junkLen == 0) Array.emptyByteArray
+      else riffChunk("JUNK", Array.tabulate[Byte](junkLen)(i => (i * 11).toByte))
+    val movi = riffList("movi", (0 until moviChunks).map { i =>
+      riffChunk("00dc", Array.tabulate[Byte](chunkLen(i))(j => ((j * 5 + i) % 256).toByte))
+    }.reduce(_ ++ _))
+    val idx1 = riffChunk("idx1", Array.tabulate[Byte](16 * moviChunks)(i => (i * 7).toByte))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ junk ++ movi ++ idx1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"), 0, 4)
+    le32(out, body.length.toLong)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // Ogg (RFC 3533 page structure; Vorbis I / RFC 7845 ident headers)
   // ------------------------------------------------------------------
 

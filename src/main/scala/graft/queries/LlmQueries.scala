@@ -1176,6 +1176,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // RIFF/AVI walk (round 13): avih field extraction, LIST recursion
+    // limited to hdrl/strl, unknown chunks skipped with RIFF's odd-length
+    // pad byte (the fixture plants odd JUNK and movi chunks)
+    "q_multimodal_avi_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(aviMedia _)
+      Containers.decodeAviMeta(media).toDF()
+        .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks", "n_samples")
+        .orderBy("doc_id")
+    }),
+
     // Ogg page walk (round 13): codec identification from the BOS
     // packet, the 48 kHz Opus granule-clock rule, final granule
     // accounting, and byte_len = the lacing arithmetic of every page
@@ -1878,6 +1890,26 @@ object LlmQueries {
           else (100 + (id + i * 13) % 155).toInt,
         granuleStep = 256 * (1 + id % 5)),
       "audio/ogg")
+  }
+
+  /** The q_multimodal_avi_meta fixture (round 13): a complete RIFF/AVI
+    * tree — avih fields all formula-driven, an audio strl on id%3=0
+    * (n_tracks 2), a JUNK chunk of ODD length on id%4=1 (the RIFF
+    * pad-byte path is load-bearing), movi payload chunks whose lengths
+    * go odd by formula (more pad bytes), idx1. duration =
+    * frames·microSecPerFrame with both factors id-formulas chosen so
+    * the division is exact in integer SQL. */
+  private def aviMedia(id: Long): Multimodal.Media = {
+    Multimodal.Media(id,
+      Containers.syntheticAvi(
+        w = (320 + id % 128).toInt, h = (240 + id % 64).toInt,
+        microSecPerFrame = 1000L * (20 + id % 30),
+        totalFrames = 100 + id % 50,
+        audioStream = id % 3 == 0,
+        moviChunks = (2 + id % 4).toInt,
+        chunkLen = i => (64 + (id + i * 17) % 99).toInt,
+        junkLen = if (id % 4 == 1) (7 + id % 10).toInt else 0),
+      "video/avi")
   }
 
   private def mp3Media(id: Long): Multimodal.Media = {
@@ -3574,6 +3606,31 @@ object LlmQueries {
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
         |  CAST(24 + doc_id % 10 AS BIGINT) AS n_samples
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // RIFF/AVI walk replay (round 13): every field a closed form, and
+    // byte_len = the RIFF framing arithmetic INCLUDING the odd-length
+    // pad bytes (hdrl 12+64+124 (+124 audio); junk/movi chunks carry
+    // len%2 pads; idx1 = 8+16·k)
+    "q_multimodal_avi_meta" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u.i AS i,
+        |    64 + (doc_id + u.i * 17) % 99 AS len
+        |  FROM documents, unnest(generate_series(0, 5)) AS u(i)
+        |  WHERE u.i < 2 + doc_id % 4),
+        |agg AS (SELECT doc_id, SUM(8 + len + len % 2) AS movi_len FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(12 + 12 + 64 + 124
+        |    + (CASE WHEN d.doc_id % 3 = 0 THEN 124 ELSE 0 END)
+        |    + (CASE WHEN d.doc_id % 4 = 1
+        |       THEN 8 + (7 + d.doc_id % 10) + (7 + d.doc_id % 10) % 2 ELSE 0 END)
+        |    + 12 + a.movi_len
+        |    + 8 + 16 * (2 + d.doc_id % 4) AS BIGINT) AS byte_len,
+        |  CAST(320 + d.doc_id % 128 AS INTEGER) AS width,
+        |  CAST(240 + d.doc_id % 64 AS INTEGER) AS height,
+        |  CAST((100 + d.doc_id % 50) * (20 + d.doc_id % 30) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+        |  CAST(100 + d.doc_id % 50 AS BIGINT) AS n_samples
+        |FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Ogg walk replay (round 13): page framing arithmetic — ident page
     // 27+1+(30 vorbis | 19 opus), data page 27 + (len//255 + 1) + len

@@ -314,7 +314,11 @@ class PlanSpec extends SparkSpec {
             "video/mp4"))).toDF(),
         "oggMeta" -> graft.llm.Containers.decodeOggMeta(
           ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticOgg(
-            vorbis = true, 8000, 1, 3, 2, _ => 64, 256L), "audio/ogg"))).toDF())) {
+            vorbis = true, 8000, 1, 3, 2, _ => 64, 256L), "audio/ogg"))).toDF(),
+        "aviMeta" -> graft.llm.Containers.decodeAviMeta(
+          ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticAvi(
+            100, 80, 40000L, 50L, audioStream = false, moviChunks = 2, chunkLen = _ => 40),
+            "video/avi"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }

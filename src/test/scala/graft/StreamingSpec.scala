@@ -1484,4 +1484,49 @@ class StreamingSpec extends SparkSpec {
       assert(got.values.forall(_.size <= 256))
     } finally q.stop()
   }
+
+  test("streaming container metadata: stream rows equal the batch walk (mp4/ogg/avi)") {
+    // the round-13 admission-filter walks are pure map kernels, so they
+    // must run unchanged on an unbounded feed — the streaming twin rule
+    import spark.implicits._
+    import graft.llm.{Containers, Multimodal}
+    val medias = (0L until 6L).flatMap { id =>
+      Seq(
+        (id * 3, Containers.syntheticMp4((1 + id % 3).toInt, mvhdV1 = id % 2 == 1,
+          1000, 2000L + id * 500, (32 + id).toInt, 24, (4 + id).toInt,
+          audioTrack = id % 2 == 0, mdatLen = 16)),
+        (id * 3 + 1, Containers.syntheticOgg(vorbis = id % 2 == 0, 8000,
+          (1 + id % 2).toInt, (3 + id).toInt, (2 + id % 3).toInt, _ => 80 + id.toInt, 256L)),
+        (id * 3 + 2, Containers.syntheticAvi((100 + id).toInt, 80, 40000L, 50L + id,
+          audioStream = id % 2 == 1, moviChunks = 2, chunkLen = i => 40 + i)))
+    }
+    def toMedia(id: Long, b: Array[Byte]) =
+      Multimodal.Media(id, b, if (id % 3 == 0) "video/mp4" else if (id % 3 == 1) "audio/ogg" else "video/avi")
+    val batchDs = spark.createDataset(medias.map { case (id, b) => toMedia(id, b) })
+    val batchMp4 = Containers.decodeMp4Meta(batchDs.filter(_.mime == "video/mp4")).collect().toSet
+    val batchOgg = Containers.decodeOggMeta(batchDs.filter(_.mime == "audio/ogg")).collect().toSet
+    val batchAvi = Containers.decodeAviMeta(batchDs.filter(_.mime == "video/avi")).collect().toSet
+    assert(batchMp4.forall(_.n_samples > 0) && batchOgg.forall(_.n_pages > 0) &&
+      batchAvi.forall(_.n_samples > 0), "batch premise: all fixtures decode")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val mediaStream = in.toDS().map { case (id, b) => toMedia(id, b) }
+    val q1 = Containers.decodeMp4Meta(mediaStream.filter(_.mime == "video/mp4")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_mp4").start()
+    val q2 = Containers.decodeOggMeta(mediaStream.filter(_.mime == "audio/ogg")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_ogg").start()
+    val q3 = Containers.decodeAviMeta(mediaStream.filter(_.mime == "video/avi")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_avi").start()
+    try {
+      in.addData(medias.take(9): _*)
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      in.addData(medias.drop(9): _*)
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      val gotMp4 = spark.table("cm_mp4").as[Containers.Mp4Meta].collect().toSet
+      val gotOgg = spark.table("cm_ogg").as[Containers.OggMeta].collect().toSet
+      val gotAvi = spark.table("cm_avi").as[Containers.Mp4Meta].collect().toSet
+      assert(gotMp4 == batchMp4, "mp4 stream == batch")
+      assert(gotOgg == batchOgg, "ogg stream == batch")
+      assert(gotAvi == batchAvi, "avi stream == batch")
+    } finally { q1.stop(); q2.stop(); q3.stop() }
+  }
 }

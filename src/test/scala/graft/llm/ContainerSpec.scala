@@ -101,6 +101,49 @@ class ContainerSpec extends AnyFunSuite {
     assert(Containers.parseMp4(ftypOnly).isEmpty)
   }
 
+  // the q_multimodal_avi_meta fixture formulas, verbatim
+  private def aviBytes(id: Long): Array[Byte] =
+    Containers.syntheticAvi(
+      w = (320 + id % 128).toInt, h = (240 + id % 64).toInt,
+      microSecPerFrame = 1000L * (20 + id % 30),
+      totalFrames = 100 + id % 50,
+      audioStream = id % 3 == 0,
+      moviChunks = (2 + id % 4).toInt,
+      chunkLen = i => (64 + (id + i * 17) % 99).toInt,
+      junkLen = if (id % 4 == 1) (7 + id % 10).toInt else 0)
+
+  test("avi: parse fields and the RIFF-framing byte_len form hold across the id sweep") {
+    for (id <- 0L until 420L) {
+      val b = aviBytes(id)
+      val k = (2 + id % 4).toInt
+      val moviLen = (0 until k).map { i =>
+        val len = (64 + (id + i * 17) % 99).toInt
+        8 + len + len % 2
+      }.sum
+      val closedForm = 12 + 12 + 64 + 124 +
+        (if (id % 3 == 0) 124 else 0) +
+        (if (id % 4 == 1) 8 + (7 + id % 10) + (7 + id % 10) % 2 else 0) +
+        12 + moviLen + 8 + 16 * k
+      assert(b.length.toLong == closedForm, s"avi byte_len form drifted at id=$id")
+      val Some((w, h, durMs, nStreams, frames)) = Containers.parseAvi(b)
+      assert(w == 320 + id % 128 && h == 240 + id % 64, s"dims at id=$id")
+      assert(durMs == (100 + id % 50) * (20 + id % 30), s"duration at id=$id")
+      assert(nStreams == (if (id % 3 == 0) 2 else 1), s"streams at id=$id")
+      assert(frames == 100 + id % 50, s"frames at id=$id")
+    }
+  }
+
+  test("avi: corrupt structures return None, never throw") {
+    val good = aviBytes(13L) // odd junk chunk: the pad path
+    assert(Containers.parseAvi(null).isEmpty)
+    assert(Containers.parseAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    for (cut <- Seq(4, 11, 30, good.length / 2, good.length - 1))
+      Containers.parseAvi(good.take(cut)) // completing is the assertion
+    val badLen = good.clone() // avih chunk claiming past its list
+    badLen(4) = 0x7F.toByte
+    Containers.parseAvi(badLen) // must not throw
+  }
+
   // the q_multimodal_ogg_meta fixture formulas, verbatim
   private def oggBytes(id: Long): Array[Byte] = {
     val vorbis = id % 2 == 0

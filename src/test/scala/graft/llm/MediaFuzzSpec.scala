@@ -37,7 +37,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "tiffDecode" -> (b => Tiff.decodeGray(b)),
     "flacDecode" -> (b => Flac.decodePcm(b)),
     "mp4Parse" -> (b => Containers.parseMp4(b)),
-    "oggParse" -> (b => Containers.parseOgg(b)))
+    "oggParse" -> (b => Containers.parseOgg(b)),
+    "aviParse" -> (b => Containers.parseAvi(b)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -94,7 +95,9 @@ class MediaFuzzSpec extends AnyFunSuite {
         mdatLen = 80, freeLen = 16, junkLen = 9),
       "ogg" -> Containers.syntheticOgg(vorbis = true, rate = 22050, channels = 2,
         serial = 5, dataPages = 4,
-        pageLen = i => if (i == 0) 560 else 120 + i * 13, granuleStep = 512L))
+        pageLen = i => if (i == 0) 560 else 120 + i * 13, granuleStep = 512L),
+      "avi" -> Containers.syntheticAvi(352, 288, 40000L, 75L, audioStream = true,
+        moviChunks = 3, chunkLen = i => 65 + i * 11, junkLen = 7))
   }
 
   test("pure random buffers never throw in any decoder") {
