@@ -2438,6 +2438,126 @@ object Multimodal {
     * SQL (for grid-divisible sizes this is the even block partition);
     * requires w ≥ 9, h ≥ 8 — tinier images have no gradient content worth
     * hashing and return None. */
+  /** EXIF orientation → display-oriented luma (round 13). `o` is the
+    * EXIF tag-274 value: 1 identity, 2 mirror-H, 3 rot180, 4 mirror-V,
+    * 5 transpose, 6 rot90CW, 7 transverse, 8 rot270CW (5–8 swap dims).
+    * Applied before hashing so a rotated/mirrored re-export of the same
+    * photo — the single most common benign transform in a scraped image
+    * corpus — lands on the SAME near-dup hash. Out-of-range values act
+    * as 1 (corrupt-input posture). */
+  private[graft] def applyOrientation(w: Int, h: Int, px: Array[Int], o: Int)
+      : (Int, Int, Array[Int]) = {
+    if (o <= 1 || o > 8) return (w, h, px)
+    val swap = o >= 5
+    val w2 = if (swap) h else w
+    val h2 = if (swap) w else h
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val sx = o match {
+          case 2 => w - 1 - x
+          case 3 => w - 1 - x
+          case 4 => x
+          case 5 => y
+          case 6 => y
+          case 7 => w - 1 - y
+          case _ => w - 1 - y // 8
+        }
+        val sy = o match {
+          case 2 => y
+          case 3 => h - 1 - y
+          case 4 => h - 1 - y
+          case 5 => x
+          case 6 => h - 1 - x
+          case 7 => h - 1 - x
+          case _ => x // 8
+        }
+        out(y * w2 + x) = px(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    (w2, h2, out)
+  }
+
+  /** JPEG APP1/Exif orientation: marker walk to the first APP1 whose
+    * payload starts "Exif\0\0", then the embedded TIFF's 0th-IFD scan
+    * for tag 274 (SHORT, either byte order). 1 when absent or
+    * structurally unreadable — orientation is advisory metadata, so the
+    * corrupt posture here is "treat as upright", never None. */
+  private[graft] def exifOrientationJpeg(b: Array[Byte]): Int = {
+    if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return 1
+    try {
+      var p = 2
+      while (p + 4 <= b.length) {
+        if ((b(p) & 0xFF) != 0xFF) return 1
+        val marker = b(p + 1) & 0xFF
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
+          p += 2 // standalone markers carry no length
+        } else if (marker == 0xDA || marker == 0xD9) {
+          return 1 // entropy data / EOI: no APP1 seen
+        } else {
+          val len = ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+          if (len < 2 || p + 2 + len > b.length) return 1
+          if (marker == 0xE1 && len >= 2 + 6 + 8 &&
+              b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+              b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+            val t0 = p + 10 // embedded TIFF header
+            val le = b(t0) == 'I' && b(t0 + 1) == 'I'
+            val be = b(t0) == 'M' && b(t0 + 1) == 'M'
+            if (!le && !be) return 1
+            val bb = ByteBuffer.wrap(b).order(
+              if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+            if ((bb.getShort(t0 + 2) & 0xFFFF) != 42) return 1
+            val ifd = t0 + bb.getInt(t0 + 4)
+            if (ifd < t0 || ifd + 2 > b.length) return 1
+            val n = bb.getShort(ifd) & 0xFFFF
+            var i = 0
+            while (i < n) {
+              val e = ifd + 2 + i * 12
+              if (e + 12 > b.length) return 1
+              if ((bb.getShort(e) & 0xFFFF) == 274 && (bb.getShort(e + 2) & 0xFFFF) == 3) {
+                val v = bb.getShort(e + 8) & 0xFFFF
+                return if (v >= 1 && v <= 8) v else 1
+              }
+              i += 1
+            }
+            return 1
+          }
+          p += 2 + len
+        }
+      }
+      1
+    } catch { case scala.util.control.NonFatal(_) => 1 }
+  }
+
+  /** Splice an APP1/Exif segment carrying orientation `o` right after
+    * SOI — the fixture side of [[exifOrientationJpeg]]. */
+  def withExifOrientation(jpeg: Array[Byte], o: Int, bigEndian: Boolean = false): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8)
+    require(o >= 1 && o <= 8)
+    val tiff = ByteBuffer.allocate(8 + 2 + 12 + 4).order(
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    tiff.put((if (bigEndian) "MM" else "II").getBytes("ISO-8859-1"))
+    tiff.putShort(42); tiff.putInt(8) // 0th IFD right after the header
+    tiff.putShort(1) // one entry
+    tiff.putShort(274); tiff.putShort(3); tiff.putInt(1); tiff.putShort(o.toShort)
+    tiff.putShort(0) // value field padding
+    tiff.putInt(0) // no next IFD
+    val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiff.array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(jpeg, 0, 2)
+    out.write(0xFF); out.write(0xE1)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+    out.write(payload, 0, payload.length)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
   private[graft] def dHash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
     if (w < 9 || h < 8) return None
     val cells = new Array[Long](9 * 8)
@@ -4191,7 +4311,19 @@ object Multimodal {
         m(2) == 'i' && m(3) == 'f')
         decodeQoiGray(m)
       else None
-    gray.flatMap { case (w, h, px) => dHash64(w, h, px) }
+    // EXIF orientation normalization (round 13): hash the DISPLAY
+    // orientation, so rotated/mirrored re-exports of the same photo
+    // near-dup match. Carried by JPEG APP1 and TIFF tag 274; every
+    // other container hashes as stored (orientation 1).
+    val orient =
+      if (m != null && m.length >= 2 && (m(0) & 0xFF) == 0xFF && (m(1) & 0xFF) == 0xD8)
+        exifOrientationJpeg(m)
+      else if (Tiff.isTiff(m)) Tiff.orientationOf(m)
+      else 1
+    gray.flatMap { case (w, h, px) =>
+      val (w2, h2, px2) = applyOrientation(w, h, px, orient)
+      dHash64(w2, h2, px2)
+    }
   }
 
   /** Bytes → audio envelope hash (PCM WAV, FLAC, AIFF, or AU/μ-law —

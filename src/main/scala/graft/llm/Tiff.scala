@@ -36,7 +36,8 @@ object Tiff {
   private case class Ifd(width: Int, height: Int, bits: Array[Long], comp: Int,
       photo: Int, spp: Int, rowsPerStrip: Long, predictor: Int,
       stripOffsets: Array[Long], stripCounts: Array[Long],
-      tileW: Int, tileL: Int, tileOffsets: Array[Long], tileCounts: Array[Long])
+      tileW: Int, tileL: Int, tileOffsets: Array[Long], tileCounts: Array[Long],
+      orientation: Int = 1)
 
   /** First-IFD tag walk, bounds-checked everywhere: a crafted directory
     * must reject, never index out of the buffer or allocate from
@@ -78,11 +79,12 @@ object Tiff {
     var offs: Array[Long] = null; var cnts: Array[Long] = null
     var tw = 0L; var tl = 0L
     var tOffs: Array[Long] = null; var tCnts: Array[Long] = null
+    var orient = 1L
     var i = 0
     while (i < n) {
       val e = (ifd + 2 + i * 12).toInt
       val tag = bb.getShort(e) & 0xFFFF
-      if (Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 317,
+      if (Set(256, 257, 258, 259, 262, 273, 274, 277, 278, 279, 317,
           322, 323, 324, 325).contains(tag)) {
         val v = values(e)
         if (v == null) return None
@@ -93,6 +95,7 @@ object Tiff {
           case 259 => comp = v(0)
           case 262 => photo = v(0)
           case 273 => offs = v
+          case 274 => orient = v(0)
           case 277 => spp = v(0)
           case 278 => rps = v(0)
           case 279 => cnts = v
@@ -110,8 +113,15 @@ object Tiff {
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || (!stripped && !tiled))
       return None
     Some(Ifd(w.toInt, h.toInt, bits, comp.toInt, photo.toInt, spp.toInt, rps, pred.toInt,
-      offs, cnts, tw.toInt, tl.toInt, tOffs, tCnts))
+      offs, cnts, tw.toInt, tl.toInt, tOffs, tCnts,
+      if (orient >= 1 && orient <= 8) orient.toInt else 1))
   }
+
+  /** EXIF/TIFF orientation (tag 274), 1 when absent/unreadable — the
+    * advisory-metadata posture [[Multimodal.exifOrientationJpeg]]
+    * documents. */
+  private[graft] def orientationOf(b: Array[Byte]): Int =
+    readIfd(b).map(_.orientation).getOrElse(1)
 
   /** Header-only dimensions (the parseBmp/parsePng sibling). */
   private[graft] def parseDims(b: Array[Byte]): Option[(Int, Int)] =
@@ -454,7 +464,8 @@ object Tiff {
       compression: Int = 1, rgb: Boolean = false, predictor: Int = 1,
       rowsPerStrip: Int = 8, bigEndian: Boolean = false,
       photoZero: Boolean = false, tileSize: Int = 0,
-      bits16: Boolean = false): Array[Byte] = {
+      bits16: Boolean = false, orientation: Int = 1): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8)
     require(gray.length == width * height, "gray must be width*height")
     require(compression == 1 || compression == 5 || compression == 32773 ||
       compression == 8)
@@ -569,6 +580,7 @@ object Tiff {
     addTag(258, 3, Array.fill(spp)(if (bits16) 16L else 8L))
     addTag(259, 3, Array(compression.toLong))
     addTag(262, 3, Array(if (rgb) 2L else if (photoZero) 0L else 1L))
+    if (orientation != 1) addTag(274, 3, Array(orientation.toLong))
     if (tileSize > 0) {
       addTag(322, 4, Array(tileSize.toLong))
       addTag(323, 4, Array(tileSize.toLong))

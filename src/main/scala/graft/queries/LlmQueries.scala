@@ -1282,6 +1282,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // EXIF orientation normalization (round 13): stored rotated/mirrored
+    // (all 8 orientations by id), hash must land on the CANONICAL image's
+    // bits — the oracle replays only the canonical pixels, so reading the
+    // APP1/tag-274 metadata AND applying the exact transform are both
+    // load-bearing
+    "q_multimodal_exif_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(exifMedia _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
     // and through the PALETTIZED 8-bit BMP form (grayscale colour table:
     // luma is exactly the stored index) — indexed colour is the other
     // ubiquitous scraped-BMP layout, same arithmetic, same replay
@@ -1721,6 +1737,38 @@ object LlmQueries {
       Multimodal.syntheticJpegPixels(w, h, gray,
         restartInterval = if (id % 3 == 0) 2 else 0),
       "image/jpeg")
+  }
+
+  /** The q_multimodal_exif_dhash fixture (round 13): ONE canonical
+    * 24×16 block image per id (the [[jpegMedia]] formula), STORED in
+    * the inverse of EXIF orientation (id%8)+1 — dims swap for 5–8 — so
+    * only a decoder that reads the orientation metadata (JPEG APP1 on
+    * even ids, both Exif byte orders; TIFF tag 274 on odd ids) AND
+    * applies the correct transform lands back on the canonical hash
+    * the oracle replays. A wrong transpose direction or a skipped
+    * mirror produces a different hash on ~7/8 of the corpus. */
+  private def exifMedia(id: Long): Multimodal.Media = {
+    val w = 24
+    val h = 16
+    val canonical = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8
+      val by = i / w / 8
+      (((id % 40) * 31 + bx * 29 + by * 41) % 200).toInt
+    }
+    val o = (id % 8 + 1).toInt
+    val inv = o match { case 6 => 8; case 8 => 6; case other => other }
+    val (sw, sh, stored) = Multimodal.applyOrientation(w, h, canonical, inv)
+    if (id % 2 == 0)
+      Multimodal.Media(id,
+        Multimodal.withExifOrientation(
+          Multimodal.syntheticJpegPixels(sw, sh, stored), o, bigEndian = id % 4 == 0),
+        "image/jpeg")
+    else
+      Multimodal.Media(id,
+        graft.llm.Tiff.syntheticTiffPixels(sw, sh, stored,
+          compression = if (id % 4 == 1) 5 else 1,
+          bigEndian = id % 3 == 0, orientation = o),
+        "image/tiff")
   }
 
   /** [[dhashMedia]]'s pixels through the palettized 8-bit BMP form. */
@@ -3853,6 +3901,30 @@ object LlmQueries {
     // min(y*8//h, 7), cell average = sum // count — non-uniform cells at
     // w=24, so the 18x16-specific //4 shortcut does not apply)
     "q_multimodal_jpeg_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + (u.x // 8) * 29 + (v.y // 8) * 41) % 200 AS g
+        |  FROM documents, unnest(generate_series(0, 23)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, LEAST(x * 9 // 24, 8) AS cx, LEAST(y * 8 // 16, 7) AS cy,
+        |         SUM(g) // COUNT(*) AS a
+        |  FROM px GROUP BY doc_id, LEAST(x * 9 // 24, 8), LEAST(y * 8 // 16, 7)),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // orientation-blind replay (round 13): the oracle computes ONLY the
+    // canonical image's hash — the eight stored orientations on the
+    // Spark side must all collapse onto it
+    "q_multimodal_exif_dhash" ->
       """WITH px AS (
         |  SELECT doc_id, u.x AS x, v.y AS y,
         |         ((doc_id % 40) * 31 + (u.x // 8) * 29 + (v.y // 8) * 41) % 200 AS g

@@ -2021,6 +2021,63 @@ class LlmSpec extends SparkSpec {
       "disposal-3 anchor leaked a stale canvas into the sampled chain")
   }
 
+  test("multimodal EXIF orientation: transform algebra, APP1/tag-274 walks, hash invariance") {
+    import graft.llm.{Multimodal, Tiff}
+    // hand-pinned semantics on an asymmetric 3x2 image: values
+    //   0 1 2
+    //   3 4 5
+    val src = Array(0, 1, 2, 3, 4, 5)
+    def ap(o: Int) = Multimodal.applyOrientation(3, 2, src, o)
+    assert(ap(1)._3.toSeq == Seq(0, 1, 2, 3, 4, 5))
+    assert(ap(2)._3.toSeq == Seq(2, 1, 0, 5, 4, 3), "mirror H")
+    assert(ap(3)._3.toSeq == Seq(5, 4, 3, 2, 1, 0), "rot180")
+    assert(ap(4)._3.toSeq == Seq(3, 4, 5, 0, 1, 2), "mirror V")
+    assert((ap(5)._1, ap(5)._2) == (2, 3) && ap(5)._3.toSeq == Seq(0, 3, 1, 4, 2, 5), "transpose")
+    assert((ap(6)._1, ap(6)._2) == (2, 3) && ap(6)._3.toSeq == Seq(3, 0, 4, 1, 5, 2), "rot90CW")
+    assert(ap(7)._3.toSeq == Seq(5, 2, 4, 1, 3, 0), "transverse")
+    assert(ap(8)._3.toSeq == Seq(2, 5, 1, 4, 0, 3), "rot270CW")
+    // group property: f_o ∘ f_inv(o) = identity for every orientation
+    val canon = Array.tabulate(24 * 16)(i => (i * 97 + 5) % 251)
+    for (o <- 1 to 8) {
+      val inv = o match { case 6 => 8; case 8 => 6; case x => x }
+      val (sw, sh, stored) = Multimodal.applyOrientation(24, 16, canon, inv)
+      val (bw, bh, back) = Multimodal.applyOrientation(sw, sh, stored, o)
+      assert((bw, bh) == (24, 16) && back.sameElements(canon), s"o=$o")
+    }
+    // APP1 walk: both byte orders, absent -> 1, corrupt -> 1, and the
+    // spliced segment must not disturb pixel decode
+    val blocks = Array.tabulate(24 * 16)(i => (((i % 24) / 8) * 50 + (i / 24 / 8) * 30) % 200)
+    val plain = Multimodal.syntheticJpegPixels(24, 16, blocks)
+    assert(Multimodal.exifOrientationJpeg(plain) == 1, "absent APP1 -> 1")
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val tagged = Multimodal.withExifOrientation(plain, o, bigEndian = be)
+      assert(Multimodal.exifOrientationJpeg(tagged) == o, s"o=$o be=$be")
+      assert(Multimodal.decodeJpegGray(tagged).map(_._3.toSeq) ==
+        Multimodal.decodeJpegGray(plain).map(_._3.toSeq), "APP1 must not disturb decode")
+    }
+    val corrupt = Multimodal.withExifOrientation(plain, 6)
+    corrupt(10) = 'X' // break the Exif magic
+    assert(Multimodal.exifOrientationJpeg(corrupt) == 1, "corrupt APP1 -> 1 (advisory)")
+    // TIFF tag 274 roundtrip
+    val t = Tiff.syntheticTiffPixels(24, 16, blocks, orientation = 7, bigEndian = true)
+    assert(Tiff.orientationOf(t) == 7)
+    assert(Tiff.orientationOf(Tiff.syntheticTiffPixels(24, 16, blocks)) == 1)
+    // hash invariance: all 8 stored orientations, both containers, land
+    // on the canonical hash
+    val canonHash = Multimodal.imageHashOf(plain)
+    assert(canonHash.isDefined)
+    for (o <- 1 to 8) {
+      val inv = o match { case 6 => 8; case 8 => 6; case x => x }
+      val (sw, sh, stored) = Multimodal.applyOrientation(24, 16, blocks, inv)
+      val viaJpeg = Multimodal.imageHashOf(
+        Multimodal.withExifOrientation(Multimodal.syntheticJpegPixels(sw, sh, stored), o))
+      val viaTiff = Multimodal.imageHashOf(
+        Tiff.syntheticTiffPixels(sw, sh, stored, compression = 5, orientation = o))
+      assert(viaJpeg == canonHash, s"jpeg o=$o must hash as canonical")
+      assert(viaTiff == canonHash, s"tiff o=$o must hash as canonical")
+    }
+  }
+
   test("multimodal JPEG: baseline decode, DC-exactness, AC path, restarts, color") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(41)

@@ -64,6 +64,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       "qoi" -> Multimodal.syntheticQoi(18, 16, px),
       "icoPng" -> Multimodal.syntheticIco(18, 16, px, png = true),
       "jpeg" -> Multimodal.syntheticJpegPixels(24, 16, Array.tabulate(24 * 16)(i => i % 200)),
+      "jpegExif" -> Multimodal.withExifOrientation(
+        Multimodal.syntheticJpegPixels(24, 16, Array.tabulate(24 * 16)(i => i % 200)),
+        6, bigEndian = true),
       "jpegProg" -> Multimodal.syntheticJpegProgressive(24, 16,
         Array.tabulate(24 * 16)(i => i % 200)),
       "jpegProg420" -> Multimodal.syntheticJpegProgressive(32, 16,
