@@ -32,10 +32,13 @@ object Containers {
 
   /** MP4 metadata: (doc_id, container bytes, video width/height from the
     * vide-handler trak's tkhd, presentation duration from mvhd, trak
-    * count, video sample count from stsz). Zero-row fields when the
-    * moov carries no video trak. */
+    * count, video sample count from stsz, and the video codec 4CC from
+    * the stsd's first sample entry — avc1/hev1/av01/… is the admission
+    * signal that routes a corpus row to the right decode pool). Zero/null
+    * fields when the moov carries no video trak. The AVI walk emits the
+    * same shape (codec = the strh fccHandler). */
   case class Mp4Meta(doc_id: Long, byte_len: Long, width: Int, height: Int,
-      duration_ms: Long, n_tracks: Int, n_samples: Long)
+      duration_ms: Long, n_tracks: Int, n_samples: Long, codec: String)
 
   /** Ogg metadata: codec identified from the BOS packet of the FIRST
     * stream ("vorbis" / "opus" / "unknown"), its declared channels and
@@ -62,7 +65,7 @@ object Containers {
     * the 16.16 fixed-point tail of the vide-handler trak's tkhd; the
     * video sample count is that trak's stsz entry count. Requires a
     * structurally complete moov with mvhd; anything else → None. */
-  private[graft] def parseMp4(b: Array[Byte]): Option[(Int, Int, Long, Int, Long)] = {
+  private[graft] def parseMp4(b: Array[Byte]): Option[(Int, Int, Long, Int, Long, String)] = {
     if (b == null || b.length < 16) return None
     try {
       val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
@@ -90,6 +93,7 @@ object Containers {
       var durMs = -1L
       var nTracks = 0
       var vw = 0; var vh = 0; var vSamples = 0L
+      var vCodec: String = null
       var sawMoov = false
       val ok = walk(0L, b.length.toLong) { (t, s, e) =>
         if (t == "moov") {
@@ -117,6 +121,7 @@ object Containers {
                 nTracks += 1
                 var handler = ""
                 var tw = 0; var th = 0; var tSamples = 0L
+                var tCodec: String = null
                 val okT = walk(s2, e2) { (t3, s3, e3) =>
                   t3 match {
                     case "tkhd" =>
@@ -139,6 +144,12 @@ object Containers {
                                   if (t6 == "stsz") {
                                     if (e6 - s6 < 12) false
                                     else { tSamples = u32(s6 + 8); true }
+                                  } else if (t6 == "stsd") {
+                                    // fullbox(4) + entry_count(4) + first
+                                    // sample entry's [size][4CC]
+                                    if (e6 - s6 >= 16 && u32(s6 + 4) >= 1)
+                                      tCodec = new String(b, s6.toInt + 12, 4, "ISO-8859-1")
+                                    true
                                   } else true
                                 }
                               else true
@@ -149,14 +160,16 @@ object Containers {
                     case _ => true
                   }
                 }
-                if (okT && handler == "vide") { vw = tw; vh = th; vSamples = tSamples }
+                if (okT && handler == "vide") {
+                  vw = tw; vh = th; vSamples = tSamples; vCodec = tCodec
+                }
                 okT
               case _ => true
             }
           }
         } else true
       }
-      if (ok && sawMoov && durMs >= 0) Some((vw, vh, durMs, nTracks, vSamples))
+      if (ok && sawMoov && durMs >= 0) Some((vw, vh, durMs, nTracks, vSamples, vCodec))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -167,8 +180,8 @@ object Containers {
     ds.mapPartitions(_.map { m =>
       val len = if (m.media == null) 0L else m.media.length.toLong
       parseMp4(m.media) match {
-        case Some((w, h, dur, nt, ns)) => Mp4Meta(m.doc_id, len, w, h, dur, nt, ns)
-        case None => Mp4Meta(m.doc_id, len, 0, 0, 0L, 0, 0L)
+        case Some((w, h, dur, nt, ns, codec)) => Mp4Meta(m.doc_id, len, w, h, dur, nt, ns, codec)
+        case None => Mp4Meta(m.doc_id, len, 0, 0, 0L, 0, 0L, null)
       }
     })
   }
@@ -206,8 +219,10 @@ object Containers {
     * + 8 + mdatLen. */
   def syntheticMp4(brands: Int, mvhdV1: Boolean, timescale: Int, duration: Long,
       w: Int, h: Int, nVideoSamples: Int, audioTrack: Boolean,
-      mdatLen: Int, freeLen: Int = 0, junkLen: Int = 0): Array[Byte] = {
+      mdatLen: Int, freeLen: Int = 0, junkLen: Int = 0,
+      videoCodec: String = "avc1"): Array[Byte] = {
     require(brands >= 1 && timescale > 0 && duration >= 0 && nVideoSamples >= 0)
+    require(videoCodec.length == 4)
     val allBrands = Seq("isom", "mp42", "avc1", "iso2", "mp41").take(brands)
     val ftyp = box("ftyp", bytes { o =>
       o.write("isom".getBytes("ISO-8859-1")); be32(o, 0x200)
@@ -278,7 +293,7 @@ object Containers {
     val smhd = box("smhd", bytes { o => be32(o, 1L); be32(o, 0L) })
     val videoTrak = box("trak", tkhd(1, w, h) ++ box("mdia",
       mdhd ++ hdlr("vide") ++ box("minf",
-        vmhd ++ dinf ++ stbl("avc1", 78, nVideoSamples, i => 100L + i % 50))))
+        vmhd ++ dinf ++ stbl(videoCodec, 78, nVideoSamples, i => 100L + i % 50))))
     val audioTrak =
       if (!audioTrack) Array.emptyByteArray
       else box("trak", tkhd(2, 0, 0) ++ box("mdia",
@@ -306,7 +321,7 @@ object Containers {
     * RIFF's odd-length pad byte, LIST chunks recurse by list type, and
     * only `hdrl` needs understanding — `movi`/`idx1`/unknown chunks
     * skip. Structural failure → None, same posture as [[parseMp4]]. */
-  private[graft] def parseAvi(b: Array[Byte]): Option[(Int, Int, Long, Int, Long)] = {
+  private[graft] def parseAvi(b: Array[Byte]): Option[(Int, Int, Long, Int, Long, String)] = {
     if (b == null || b.length < 24) return None
     try {
       val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
@@ -315,6 +330,7 @@ object Containers {
       val riffLen = bb.getInt(4).toLong & 0xFFFFFFFFL
       val end = math.min(b.length.toLong, 8L + riffLen)
       var w = 0; var h = 0; var durMs = -1L; var streams = 0; var frames = 0L
+      var codec: String = null
       // walk chunks in [start, end); returns false on structural violation
       def walk(start: Long, stop: Long): Boolean = {
         var p = start
@@ -339,13 +355,17 @@ object Containers {
             w = bb.getInt(body.toInt + 32)
             h = bb.getInt(body.toInt + 36)
             durMs = frames * mspf / 1000L
+          } else if (cc == "strh") {
+            // the FIRST vids stream's handler 4CC is the codec signal
+            if (len >= 8 && codec == null && fourcc(body.toInt) == "vids")
+              codec = fourcc(body.toInt + 4)
           }
           p = body + len + (len & 1L) // RIFF pads odd chunk bodies
         }
         p == stop
       }
       if (!walk(12L, end) || durMs < 0 || w < 0 || h < 0) None
-      else Some((w, h, durMs, streams, frames))
+      else Some((w, h, durMs, streams, frames, codec))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -358,8 +378,8 @@ object Containers {
     ds.mapPartitions(_.map { m =>
       val len = if (m.media == null) 0L else m.media.length.toLong
       parseAvi(m.media) match {
-        case Some((w, h, dur, nt, ns)) => Mp4Meta(m.doc_id, len, w, h, dur, nt, ns)
-        case None => Mp4Meta(m.doc_id, len, 0, 0, 0L, 0, 0L)
+        case Some((w, h, dur, nt, ns, codec)) => Mp4Meta(m.doc_id, len, w, h, dur, nt, ns, codec)
+        case None => Mp4Meta(m.doc_id, len, 0, 0, 0L, 0, 0L, null)
       }
     })
   }
@@ -389,8 +409,9 @@ object Containers {
     * (len_i&1)), idx1 = 8 + 16·moviChunks. */
   def syntheticAvi(w: Int, h: Int, microSecPerFrame: Long, totalFrames: Long,
       audioStream: Boolean, moviChunks: Int, chunkLen: Int => Int,
-      junkLen: Int = 0): Array[Byte] = {
+      junkLen: Int = 0, videoHandler: String = "MJPG"): Array[Byte] = {
     require(w >= 0 && h >= 0 && microSecPerFrame > 0 && moviChunks >= 1)
+    require(videoHandler.length == 4)
     val streams = if (audioStream) 2 else 1
     val avih = riffChunk("avih", bytes { o =>
       le32(o, microSecPerFrame); le32(o, 0L); le32(o, 0L); le32(o, 0x10L)
@@ -412,7 +433,7 @@ object Containers {
         (0 until 4).foreach(_ => o.write(0))
       }) ++ riffChunk("strf", Array.tabulate[Byte](40)(i => (i * 3).toByte)))
     val hdrl = riffList("hdrl",
-      avih ++ strl("vids", "MJPG", totalFrames) ++
+      avih ++ strl("vids", videoHandler, totalFrames) ++
         (if (audioStream) strl("auds", "    ", 16L)
          else Array.emptyByteArray))
     val junk = if (junkLen == 0) Array.emptyByteArray

@@ -1172,7 +1172,8 @@ object LlmQueries {
       import spark.implicits._
       val media = mediaIds(s, dir).map(mp4Media _)
       Containers.decodeMp4Meta(media).toDF()
-        .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks", "n_samples")
+        .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks",
+          "n_samples", "codec")
         .orderBy("doc_id")
     }),
 
@@ -1184,7 +1185,8 @@ object LlmQueries {
       import spark.implicits._
       val media = mediaIds(s, dir).map(aviMedia _)
       Containers.decodeAviMeta(media).toDF()
-        .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks", "n_samples")
+        .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks",
+          "n_samples", "codec")
         .orderBy("doc_id")
     }),
 
@@ -1914,7 +1916,8 @@ object LlmQueries {
         audioTrack = id % 4 == 0,
         mdatLen = (50 + id % 40).toInt,
         freeLen = if (id % 5 == 0) (12 + id % 9).toInt else 0,
-        junkLen = if (id % 6 == 0) (5 + id % 11).toInt else 0),
+        junkLen = if (id % 6 == 0) (5 + id % 11).toInt else 0,
+        videoCodec = Seq("avc1", "hev1", "av01", "vp09")((id % 4).toInt)),
       "video/mp4")
   }
 
@@ -1956,7 +1959,8 @@ object LlmQueries {
         audioStream = id % 3 == 0,
         moviChunks = (2 + id % 4).toInt,
         chunkLen = i => (64 + (id + i * 17) % 99).toInt,
-        junkLen = if (id % 4 == 1) (7 + id % 10).toInt else 0),
+        junkLen = if (id % 4 == 1) (7 + id % 10).toInt else 0,
+        videoHandler = Seq("MJPG", "XVID", "H264")((id % 3).toInt)),
       "video/avi")
   }
 
@@ -3652,7 +3656,8 @@ object LlmQueries {
         |  CAST(120 + doc_id % 32 AS INTEGER) AS height,
         |  CAST((5 + doc_id % 7) * 1000 + (doc_id % 10) * 100 AS BIGINT) AS duration_ms,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
-        |  CAST(24 + doc_id % 10 AS BIGINT) AS n_samples
+        |  CAST(24 + doc_id % 10 AS BIGINT) AS n_samples,
+        |  (['avc1', 'hev1', 'av01', 'vp09'])[CAST(doc_id % 4 AS INTEGER) + 1] AS codec
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // RIFF/AVI walk replay (round 13): every field a closed form, and
@@ -3677,7 +3682,8 @@ object LlmQueries {
         |  CAST(240 + d.doc_id % 64 AS INTEGER) AS height,
         |  CAST((100 + d.doc_id % 50) * (20 + d.doc_id % 30) AS BIGINT) AS duration_ms,
         |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
-        |  CAST(100 + d.doc_id % 50 AS BIGINT) AS n_samples
+        |  CAST(100 + d.doc_id % 50 AS BIGINT) AS n_samples,
+        |  (['MJPG', 'XVID', 'H264'])[CAST(d.doc_id % 3 AS INTEGER) + 1] AS codec
         |FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Ogg walk replay (round 13): page framing arithmetic — ident page

@@ -25,7 +25,8 @@ class ContainerSpec extends AnyFunSuite {
       audioTrack = id % 4 == 0,
       mdatLen = (50 + id % 40).toInt,
       freeLen = if (id % 5 == 0) (12 + id % 9).toInt else 0,
-      junkLen = if (id % 6 == 0) (5 + id % 11).toInt else 0)
+      junkLen = if (id % 6 == 0) (5 + id % 11).toInt else 0,
+      videoCodec = Seq("avc1", "hev1", "av01", "vp09")((id % 4).toInt))
   }
 
   test("mp4: parse fields and the oracle's byte_len closed form hold across the id sweep") {
@@ -39,11 +40,12 @@ class ContainerSpec extends AnyFunSuite {
         (if (id % 5 == 0) 20 + id % 9 else 0) +
         8 + 50 + id % 40
       assert(b.length.toLong == closedForm, s"byte_len closed form drifted at id=$id")
-      val Some((w, h, durMs, nTracks, nSamples)) = Containers.parseMp4(b)
+      val Some((w, h, durMs, nTracks, nSamples, codec)) = Containers.parseMp4(b)
       assert(w == 160 + id % 64 && h == 120 + id % 32, s"dims at id=$id")
       assert(durMs == (5 + id % 7) * 1000 + (id % 10) * 100, s"duration at id=$id")
       assert(nTracks == (if (id % 4 == 0) 2 else 1), s"tracks at id=$id")
       assert(nSamples == 24 + id % 10, s"samples at id=$id")
+      assert(codec == Seq("avc1", "hev1", "av01", "vp09")((id % 4).toInt), s"codec at id=$id")
     }
   }
 
@@ -75,8 +77,8 @@ class ContainerSpec extends AnyFunSuite {
       w = 0, h = 0, nVideoSamples = 0, audioTrack = true, mdatLen = 10)
     // (the "video" trak here has hdlr vide with zero dims/samples — build
     // a sharper case by checking the audio trak never wins dims)
-    val Some((w2, h2, _, nT2, nS2)) = Containers.parseMp4(mp4Bytes(4L)) // has audio trak
-    assert(nT2 == 2 && w2 == 160 + 4 % 64 && nS2 == 24 + 4 % 10,
+    val Some((w2, h2, _, nT2, nS2, codec2)) = Containers.parseMp4(mp4Bytes(4L)) // has audio trak
+    assert(nT2 == 2 && w2 == 160 + 4 % 64 && nS2 == 24 + 4 % 10 && codec2 == "avc1",
       "vide-handler trak must win over the soun trak")
     assert(Containers.parseMp4(audioOnly).isDefined)
   }
@@ -110,7 +112,8 @@ class ContainerSpec extends AnyFunSuite {
       audioStream = id % 3 == 0,
       moviChunks = (2 + id % 4).toInt,
       chunkLen = i => (64 + (id + i * 17) % 99).toInt,
-      junkLen = if (id % 4 == 1) (7 + id % 10).toInt else 0)
+      junkLen = if (id % 4 == 1) (7 + id % 10).toInt else 0,
+      videoHandler = Seq("MJPG", "XVID", "H264")((id % 3).toInt))
 
   test("avi: parse fields and the RIFF-framing byte_len form hold across the id sweep") {
     for (id <- 0L until 420L) {
@@ -125,11 +128,12 @@ class ContainerSpec extends AnyFunSuite {
         (if (id % 4 == 1) 8 + (7 + id % 10) + (7 + id % 10) % 2 else 0) +
         12 + moviLen + 8 + 16 * k
       assert(b.length.toLong == closedForm, s"avi byte_len form drifted at id=$id")
-      val Some((w, h, durMs, nStreams, frames)) = Containers.parseAvi(b)
+      val Some((w, h, durMs, nStreams, frames, codec)) = Containers.parseAvi(b)
       assert(w == 320 + id % 128 && h == 240 + id % 64, s"dims at id=$id")
       assert(durMs == (100 + id % 50) * (20 + id % 30), s"duration at id=$id")
       assert(nStreams == (if (id % 3 == 0) 2 else 1), s"streams at id=$id")
       assert(frames == 100 + id % 50, s"frames at id=$id")
+      assert(codec == Seq("MJPG", "XVID", "H264")((id % 3).toInt), s"codec at id=$id")
     }
   }
 
