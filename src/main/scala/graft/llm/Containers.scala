@@ -532,6 +532,84 @@ object Containers {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Vorbis-comment / OpusTags extraction (round 13): the SECOND packet
+    * of the first stream — reassembled across lacing segments and page
+    * continuations — parsed as the comment header both codecs share
+    * (vendor length+string, then count × (length + "KEY=value" UTF-8)).
+    * Keys are canonicalized UPPER (the spec makes them case-insensitive).
+    * Advisory posture: structural trouble yields the comments parsed so
+    * far, never a throw. */
+  private[graft] def oggComments(b: Array[Byte]): Map[String, String] = {
+    if (b == null || b.length < 27) return Map.empty
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      var p = 0
+      var serial0 = -1L
+      var packetIdx = 0
+      val pkt = new java.io.ByteArrayOutputStream()
+      var second: Array[Byte] = null
+      var stop = false
+      while (!stop && second == null && p + 27 <= b.length) {
+        if (!(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S') ||
+            b(p + 4) != 0) stop = true
+        else {
+          val htype = b(p + 5) & 0xFF
+          val serial = bb.getInt(p + 14) & 0xFFFFFFFFL
+          val nsegs = b(p + 26) & 0xFF
+          if (p + 27 + nsegs > b.length) stop = true
+          else {
+            if ((htype & 2) != 0 && serial0 < 0) serial0 = serial
+            var seg = 0
+            var q = p + 27 + nsegs
+            while (seg < nsegs && second == null) {
+              val l = b(p + 27 + seg) & 0xFF
+              if (q + l > b.length) { stop = true; seg = nsegs }
+              else {
+                if (serial == serial0) {
+                  pkt.write(b, q, l)
+                  if (l < 255) { // packet boundary
+                    if (packetIdx == 1) second = pkt.toByteArray
+                    packetIdx += 1
+                    pkt.reset()
+                  }
+                }
+                q += l; seg += 1
+              }
+            }
+            p = p + 27 + nsegs + (0 until nsegs).map(i => b(p + 27 + i) & 0xFF).sum
+          }
+        }
+      }
+      if (second == null) return Map.empty
+      val c = second
+      val off =
+        if (c.length >= 7 && c(0) == 3 &&
+          new String(c, 1, 6, "ISO-8859-1") == "vorbis") 7
+        else if (c.length >= 8 && new String(c, 0, 8, "ISO-8859-1") == "OpusTags") 8
+        else return Map.empty
+      val cb = ByteBuffer.wrap(c).order(ByteOrder.LITTLE_ENDIAN)
+      if (off + 4 > c.length) return Map.empty
+      val vendorLen = cb.getInt(off)
+      var q = off + 4 + vendorLen
+      if (vendorLen < 0 || q + 4 > c.length) return Map.empty
+      val n = cb.getInt(q)
+      q += 4
+      val out = scala.collection.mutable.LinkedHashMap[String, String]()
+      var i = 0
+      while (i < n && q + 4 <= c.length) {
+        val l = cb.getInt(q)
+        q += 4
+        if (l < 0 || q + l > c.length) return out.toMap
+        val kv = new String(c, q, l, "UTF-8")
+        val eq = kv.indexOf('=')
+        if (eq > 0) out(kv.substring(0, eq).toUpperCase) = kv.substring(eq + 1)
+        q += l
+        i += 1
+      }
+      out.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
   def decodeOggMeta(ds: Dataset[Media]): Dataset[OggMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -607,7 +685,8 @@ object Containers {
     * the last. Page size = 27 + (len/255 + 1) + len; the BOS ident
     * packet is 30 bytes (vorbis) / 19 (opus). */
   def syntheticOgg(vorbis: Boolean, rate: Int, channels: Int, serial: Int,
-      dataPages: Int, pageLen: Int => Int, granuleStep: Long): Array[Byte] = {
+      dataPages: Int, pageLen: Int => Int, granuleStep: Long,
+      comments: Seq[(String, String)] = Nil, vendor: String = "graft"): Array[Byte] = {
     require(dataPages >= 1 && channels >= 1)
     val ident: Array[Byte] =
       if (vorbis) bytes { o =>
@@ -631,12 +710,31 @@ object Containers {
       }
     val out = new java.io.ByteArrayOutputStream()
     out.write(oggPage(2, 0L, serial, 0, Seq(ident)))
+    // comment header page (the packet both codecs put second): vendor +
+    // count + "KEY=value" entries, vorbis with its trailing framing bit
+    val seqOff = if (comments.nonEmpty) {
+      val pkt = bytes { o =>
+        def le(v: Int): Unit = { var i = 0; while (i < 4) { o.write((v >> (8 * i)) & 0xFF); i += 1 } }
+        if (vorbis) { o.write(3); o.write("vorbis".getBytes("ISO-8859-1"), 0, 6) }
+        else o.write("OpusTags".getBytes("ISO-8859-1"), 0, 8)
+        val vb = vendor.getBytes("UTF-8")
+        le(vb.length); o.write(vb, 0, vb.length)
+        le(comments.length)
+        comments.foreach { case (k, v) =>
+          val kv = s"$k=$v".getBytes("UTF-8")
+          le(kv.length); o.write(kv, 0, kv.length)
+        }
+        if (vorbis) o.write(1) // framing bit
+      }
+      out.write(oggPage(0, 0L, serial, 1, Seq(pkt)))
+      1
+    } else 0
     var pg = 0
     while (pg < dataPages) {
       val len = pageLen(pg)
       val payload = Array.tabulate[Byte](len)(j => ((j * 19 + pg * 7) % 256).toByte)
       val htype = if (pg == dataPages - 1) 4 else 0
-      out.write(oggPage(htype, granuleStep * (pg + 1), serial, pg + 1, Seq(payload)))
+      out.write(oggPage(htype, granuleStep * (pg + 1), serial, pg + 1 + seqOff, Seq(payload)))
       pg += 1
     }
     out.toByteArray

@@ -38,6 +38,7 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int, n_frames: Int)
   case class AudioMeta(doc_id: Long, byte_len: Long, sample_rate: Int, channels: Int,
       n_samples: Long, duration_ms: Long)
+  case class AudioTags(doc_id: Long, title: String, artist: String, album: String)
 
   // ---- real header parsers (no native deps, header-only reads) ----
 
@@ -4515,6 +4516,96 @@ object Multimodal {
     }
   }
 
+  /** ID3v2 TEXT-frame extraction (round 13) — title/artist/album are the
+    * curation signals a scraped-audio corpus filters on. Structural
+    * walk, no lookup data: ID3v2.3 (plain big-endian frame sizes) and
+    * v2.4 (syncsafe), frame header = 4-char id + size + 2 flag bytes,
+    * text frames carry an encoding byte (0 Latin-1, 1 UTF-16 w/ BOM,
+    * 2 UTF-16BE, 3 UTF-8) then the text, trailing NULs stripped.
+    * Unknown frames skip by size; padding (zero id) ends the walk;
+    * anything structurally unreadable yields the frames parsed so far —
+    * advisory metadata, the [[exifOrientationJpeg]] posture. */
+  private[graft] def id3TextFrames(b: Array[Byte]): Map[String, String] = {
+    if (b == null || b.length < 10 ||
+      !(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return Map.empty
+    try {
+      val ver = b(3) & 0xFF
+      if (ver != 3 && ver != 4) return Map.empty
+      val tagEnd = math.min(b.length.toLong,
+        10L + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))).toInt
+      val out = scala.collection.mutable.LinkedHashMap[String, String]()
+      var p = 10
+      var stop = false
+      while (!stop && p + 10 <= tagEnd) {
+        if (b(p) == 0) stop = true // padding
+        else {
+          val fid = new String(b, p, 4, "ISO-8859-1")
+          val sz =
+            if (ver == 4)
+              ((b(p + 4) & 0x7F) << 21) | ((b(p + 5) & 0x7F) << 14) |
+                ((b(p + 6) & 0x7F) << 7) | (b(p + 7) & 0x7F)
+            else
+              ((b(p + 4) & 0xFF) << 24) | ((b(p + 5) & 0xFF) << 16) |
+                ((b(p + 6) & 0xFF) << 8) | (b(p + 7) & 0xFF)
+          if (sz < 0 || p + 10 + sz > tagEnd) stop = true
+          else {
+            if (fid.startsWith("T") && fid != "TXXX" && sz >= 1 &&
+                fid.forall(c => c.isUpper || c.isDigit)) {
+              val enc = b(p + 10) & 0xFF
+              val charset = enc match {
+                case 0 => "ISO-8859-1"
+                case 1 => "UTF-16" // BOM-led
+                case 2 => "UTF-16BE"
+                case _ => "UTF-8"
+              }
+              val text = new String(b, p + 11, sz - 1, charset)
+                .replaceAll("\\x00+$", "")
+              out(fid) = text
+            }
+            p += 10 + sz
+          }
+        }
+      }
+      out.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** The fixture side of [[id3TextFrames]]: a frames-only ID3v2 payload
+    * (no 10-byte header — [[syntheticMp3]] adds it, with `id3Version`
+    * picking the matching size format) plus trailing padding. */
+  def id3FramesPayload(version: Int, frames: Seq[(String, String)],
+      encoding: Int, padding: Int = 0): Array[Byte] = {
+    require(version == 3 || version == 4)
+    require(Seq(0, 1, 2, 3).contains(encoding))
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (fid, text) =>
+      require(fid.length == 4)
+      val charset = encoding match {
+        case 0 => "ISO-8859-1"
+        case 1 => "UTF-16" // writes a BOM
+        case 2 => "UTF-16BE"
+        case _ => "UTF-8"
+      }
+      val tb = text.getBytes(charset)
+      val sz = tb.length + 1
+      out.write(fid.getBytes("ISO-8859-1"), 0, 4)
+      if (version == 4) {
+        out.write((sz >> 21) & 0x7F); out.write((sz >> 14) & 0x7F)
+        out.write((sz >> 7) & 0x7F); out.write(sz & 0x7F)
+      } else {
+        out.write((sz >> 24) & 0xFF); out.write((sz >> 16) & 0xFF)
+        out.write((sz >> 8) & 0xFF); out.write(sz & 0xFF)
+      }
+      out.write(0); out.write(0) // frame flags
+      out.write(encoding)
+      out.write(tb, 0, tb.length)
+    }
+    var i = 0
+    while (i < padding) { out.write(0); i += 1 }
+    out.toByteArray
+  }
+
   /** A REAL MP3 frame sequence for the metadata walk: optional ID3v2
     * tag (syncsafe length over the given payload), per-frame Layer III
     * headers whose (bitrateIdx, padding) vary per frame (the VBR
@@ -4523,15 +4614,17 @@ object Multimodal {
     * 44100/48000/32000 by srIdx) vs MPEG-2 (576, 22050/24000/16000). */
   def syntheticMp3(version1: Boolean, srIdx: Int,
       frames: Seq[(Int, Int)], id3Payload: Array[Byte],
-      channels: Int = 1, trailingTag: Boolean = false): Array[Byte] = {
+      channels: Int = 1, trailingTag: Boolean = false,
+      id3Version: Int = 4): Array[Byte] = {
     require(srIdx >= 0 && srIdx <= 2)
+    require(id3Version == 3 || id3Version == 4)
     require(frames.nonEmpty && frames.forall { case (br, pad) =>
       br >= 1 && br <= 14 && (pad == 0 || pad == 1) })
     val rate = (if (version1) Mp3RatesV1 else Mp3RatesV2)(srIdx)
     val out = new java.io.ByteArrayOutputStream()
     if (id3Payload.nonEmpty) {
       out.write('I'); out.write('D'); out.write('3')
-      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      out.write(id3Version); out.write(0); out.write(0) // v2.3/v2.4, no flags
       val sz = id3Payload.length
       out.write((sz >> 21) & 0x7F); out.write((sz >> 14) & 0x7F)
       out.write((sz >> 7) & 0x7F); out.write(sz & 0x7F)
@@ -4585,6 +4678,29 @@ object Multimodal {
           AudioMeta(m.doc_id, len, rate, ch, n, n * 1000L / rate)
         case None => AudioMeta(m.doc_id, len, 0, 0, 0L, 0L)
       }
+    })
+  }
+
+  /** Tag extraction for the audio-curation pipeline (round 13): title /
+    * artist / album from ID3v2 text frames (MP3) or the Vorbis-comment /
+    * OpusTags header (Ogg), dispatched on magic — one output schema for
+    * both metadata families, the [[decodeAudioMeta]] posture (absent or
+    * unreadable → nulls, pure map stage, bytes never shuffle). */
+  def audioTags(ds: Dataset[Media]): Dataset[AudioTags] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val b = m.media
+      val tags: Map[String, String] =
+        if (b != null && b.length >= 4 && b(0) == 'O' && b(1) == 'g' &&
+          b(2) == 'g' && b(3) == 'S') Containers.oggComments(b)
+        else if (b != null && b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+          id3TextFrames(b)
+        else Map.empty
+      AudioTags(m.doc_id,
+        tags.get("TIT2").orElse(tags.get("TITLE")).orNull,
+        tags.get("TPE1").orElse(tags.get("ARTIST")).orNull,
+        tags.get("TALB").orElse(tags.get("ALBUM")).orNull)
     })
   }
 

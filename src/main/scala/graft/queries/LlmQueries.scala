@@ -1177,6 +1177,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // tag extraction (round 13): ID3v2 text frames and Vorbis/Opus
+    // comments collapse onto one (title, artist, album) schema — the
+    // oracle replays only the strings, so both tag walks, all three
+    // text encodings, both frame-size formats, and key case-folding are
+    // load-bearing
+    "q_multimodal_audio_tags" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(tagMedia _)
+      Multimodal.audioTags(media).toDF()
+        .select("doc_id", "title", "artist", "album")
+        .orderBy("doc_id")
+    }),
+
     // RIFF/AVI walk (round 13): avih field extraction, LIST recursion
     // limited to hdrl/strl, unknown chunks skipped with RIFF's odd-length
     // pad byte (the fixture plants odd JUNK and movi chunks)
@@ -1962,6 +1976,43 @@ object LlmQueries {
         junkLen = if (id % 4 == 1) (7 + id % 10).toInt else 0,
         videoHandler = Seq("MJPG", "XVID", "H264")((id % 3).toInt)),
       "video/avi")
+  }
+
+  /** The q_multimodal_audio_tags fixture (round 13): ONE (title, artist,
+    * album) triple per id, stored through BOTH tag families — ID3v2 text
+    * frames inside a real MP3 on even ids (v2.3 plain / v2.4 syncsafe
+    * frame sizes by id%4, encodings Latin-1 / UTF-16-with-BOM / UTF-8 by
+    * id%3, trailing padding) and a Vorbis-comment / OpusTags header page
+    * inside a real Ogg on odd ids (lowercase keys on the id%8=1 slice —
+    * the spec's case-insensitivity is load-bearing). The oracle replays
+    * only the strings, so the walk must be tag-format-blind. */
+  private def tagMedia(id: Long): Multimodal.Media = {
+    val title = s"ttl ${id % 97}"
+    val artist = s"art ${id * 7 % 89}"
+    val album = s"alb ${id * 13 % 83}"
+    if (id % 2 == 0) {
+      val payload = Multimodal.id3FramesPayload(
+        version = if (id % 4 == 0) 4 else 3,
+        frames = Seq(("TIT2", title), ("TPE1", artist), ("TALB", album)),
+        encoding = Seq(0, 1, 3)((id % 3).toInt),
+        padding = (10 + id % 20).toInt)
+      Multimodal.Media(id,
+        Multimodal.syntheticMp3(version1 = true, srIdx = (id % 3).toInt,
+          frames = Seq((5, 0), (9, 1)), id3Payload = payload,
+          id3Version = if (id % 4 == 0) 4 else 3),
+        "audio/mpeg")
+    } else {
+      val lower = id % 8 == 1
+      def k(s: String) = if (lower) s.toLowerCase else s
+      Multimodal.Media(id,
+        Containers.syntheticOgg(
+          vorbis = id % 4 == 1, rate = 8000, channels = 1,
+          serial = (id % 7 + 1).toInt, dataPages = 2, pageLen = _ => 60,
+          granuleStep = 256,
+          comments = Seq((k("TITLE"), title), (k("ARTIST"), artist), (k("ALBUM"), album)),
+          vendor = s"v${id % 5}"),
+        "audio/ogg")
+    }
   }
 
   private def mp3Media(id: Long): Multimodal.Media = {
@@ -3658,6 +3709,15 @@ object LlmQueries {
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
         |  CAST(24 + doc_id % 10 AS BIGINT) AS n_samples,
         |  (['avc1', 'hev1', 'av01', 'vp09'])[CAST(doc_id % 4 AS INTEGER) + 1] AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // tag replay (round 13): the strings alone — identical for the MP3
+    // and Ogg halves of the corpus
+    "q_multimodal_audio_tags" ->
+      """SELECT doc_id,
+        |  'ttl ' || CAST(doc_id % 97 AS VARCHAR) AS title,
+        |  'art ' || CAST((doc_id * 7) % 89 AS VARCHAR) AS artist,
+        |  'alb ' || CAST((doc_id * 13) % 83 AS VARCHAR) AS album
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // RIFF/AVI walk replay (round 13): every field a closed form, and

@@ -184,6 +184,49 @@ class ContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("id3 text frames: both size formats, all encodings, padding, corrupt input") {
+    val frames = Seq(("TIT2", "Hëllo Wörld"), ("TPE1", "graft"), ("TALB", "a/b"))
+    for (ver <- Seq(3, 4); enc <- Seq(0, 1, 2, 3)) {
+      // encoding 0 is Latin-1: the fixture strings stay representable
+      val payload = Multimodal.id3FramesPayload(ver, frames, enc, padding = 17)
+      val mp3 = Multimodal.syntheticMp3(version1 = true, srIdx = 0,
+        Seq((5, 0)), payload, id3Version = ver)
+      val got = Multimodal.id3TextFrames(mp3)
+      assert(got == frames.toMap, s"ver=$ver enc=$enc: $got")
+      // the metadata walk still sees the frames behind the tag
+      assert(Multimodal.parseMp3(mp3).isDefined, s"ver=$ver enc=$enc parseMp3")
+    }
+    assert(Multimodal.id3TextFrames(null).isEmpty)
+    assert(Multimodal.id3TextFrames("not id3 at all".getBytes).isEmpty)
+    val good = Multimodal.syntheticMp3(version1 = true, srIdx = 0, Seq((5, 0)),
+      Multimodal.id3FramesPayload(4, frames, 3))
+    for (cut <- Seq(3, 9, 15, 40)) Multimodal.id3TextFrames(good.take(cut)) // no throw
+  }
+
+  test("ogg comments: vorbis and opus, multi-segment packets, case folding, corrupt") {
+    val many = (0 until 30).map(i => (s"KEY$i", "v" * 20 + i)) // packet >> 255 bytes
+    for (vorbis <- Seq(true, false)) {
+      val b = Containers.syntheticOgg(vorbis, 8000, 1, 5, dataPages = 2,
+        pageLen = _ => 50, granuleStep = 128, comments = many, vendor = "vend")
+      val got = Containers.oggComments(b)
+      assert(got == many.toMap, s"vorbis=$vorbis multi-segment comment packet")
+      // the meta walk is undisturbed by the extra header page
+      val Some((codec, _, _, n, pages)) = Containers.parseOgg(b)
+      assert(codec == (if (vorbis) "vorbis" else "opus") && n == 256 && pages == 4)
+    }
+    val lower = Containers.syntheticOgg(vorbis = true, 8000, 1, 5, 1, _ => 30, 64L,
+      comments = Seq(("title", "T"), ("Artist", "A")))
+    assert(Containers.oggComments(lower) == Map("TITLE" -> "T", "ARTIST" -> "A"),
+      "keys canonicalize upper")
+    assert(Containers.oggComments(
+      Containers.syntheticOgg(vorbis = true, 8000, 1, 5, 1, _ => 30, 64L)).isEmpty,
+      "no comment packet -> empty")
+    val good = Containers.syntheticOgg(vorbis = false, 8000, 1, 5, 1, _ => 30, 64L,
+      comments = Seq(("K", "V")))
+    for (cut <- Seq(10, 30, 60, good.length - 5))
+      Containers.oggComments(good.take(cut)) // no throw
+  }
+
   test("ogg: corrupt pages end the walk honestly; garbage returns None") {
     val good = oggBytes(6L) // multi-segment first data page (id%3==0)
     assert(Containers.parseOgg(null).isEmpty)

@@ -38,7 +38,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "flacDecode" -> (b => Flac.decodePcm(b)),
     "mp4Parse" -> (b => Containers.parseMp4(b)),
     "oggParse" -> (b => Containers.parseOgg(b)),
-    "aviParse" -> (b => Containers.parseAvi(b)))
+    "aviParse" -> (b => Containers.parseAvi(b)),
+    "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
+    "oggComments" -> (b => Containers.oggComments(b)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -100,7 +102,12 @@ class MediaFuzzSpec extends AnyFunSuite {
         serial = 5, dataPages = 4,
         pageLen = i => if (i == 0) 560 else 120 + i * 13, granuleStep = 512L),
       "avi" -> Containers.syntheticAvi(352, 288, 40000L, 75L, audioStream = true,
-        moviChunks = 3, chunkLen = i => 65 + i * 11, junkLen = 7))
+        moviChunks = 3, chunkLen = i => 65 + i * 11, junkLen = 7),
+      "mp3Tagged" -> Multimodal.syntheticMp3(version1 = true, srIdx = 0,
+        Seq((5, 0), (9, 1)), Multimodal.id3FramesPayload(3,
+          Seq(("TIT2", "t"), ("TPE1", "a")), encoding = 1, padding = 9), id3Version = 3),
+      "oggTagged" -> Containers.syntheticOgg(vorbis = true, 8000, 1, 5, 2,
+        _ => 50, 128L, comments = Seq(("TITLE", "x" * 300))))
   }
 
   test("pure random buffers never throw in any decoder") {
