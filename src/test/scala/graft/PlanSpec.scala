@@ -318,7 +318,11 @@ class PlanSpec extends SparkSpec {
         "aviMeta" -> graft.llm.Containers.decodeAviMeta(
           ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticAvi(
             100, 80, 40000L, 50L, audioStream = false, moviChunks = 2, chunkLen = _ => 40),
-            "video/avi"))).toDF())) {
+            "video/avi"))).toDF(),
+        "audioTags" -> Multimodal.audioTags(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticMp3(
+            version1 = true, srIdx = 0, Seq((5, 0)),
+            Multimodal.id3FramesPayload(4, Seq(("TIT2", "t")), 3)), "audio/mpeg"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }

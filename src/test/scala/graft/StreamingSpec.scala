@@ -1529,4 +1529,34 @@ class StreamingSpec extends SparkSpec {
       assert(gotAvi == batchAvi, "avi stream == batch")
     } finally { q1.stop(); q2.stop(); q3.stop() }
   }
+
+  test("streaming audio tags: stream rows equal the batch walk (id3 + ogg comments)") {
+    import spark.implicits._
+    import graft.llm.{Containers, Multimodal}
+    val medias = (0L until 8L).map { id =>
+      if (id % 2 == 0)
+        Multimodal.Media(id, Multimodal.syntheticMp3(version1 = true, srIdx = 0,
+          Seq((5, 0)), Multimodal.id3FramesPayload(
+            if (id % 4 == 0) 4 else 3,
+            Seq(("TIT2", s"t$id"), ("TPE1", s"a$id")), encoding = (id % 3).toInt.min(1)),
+          id3Version = if (id % 4 == 0) 4 else 3), "audio/mpeg")
+      else
+        Multimodal.Media(id, Containers.syntheticOgg(vorbis = id % 4 == 1, 8000, 1,
+          3, 1, _ => 40, 128L, comments = Seq(("TITLE", s"t$id"), ("ARTIST", s"a$id"))),
+          "audio/ogg")
+    }
+    val batch = Multimodal.audioTags(spark.createDataset(medias)).collect().toSet
+    assert(batch.forall(t => t.title == s"t${t.doc_id}" && t.artist == s"a${t.doc_id}"),
+      s"batch premise: $batch")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val q = Multimodal.audioTags(
+        in.toDS().map { case (id, b) => medias(id.toInt) }).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("tag_out").start()
+    try {
+      in.addData(medias.map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      val got = spark.table("tag_out").as[Multimodal.AudioTags].collect().toSet
+      assert(got == batch, "tags stream == batch")
+    } finally q.stop()
+  }
 }
