@@ -186,6 +186,57 @@ object Containers {
     })
   }
 
+  /** iTunes-style MP4/M4A tag extraction (round 13): the
+    * moov/udta/meta/ilst chain — `meta` is a FULL box (4 version/flags
+    * bytes before its children, the classic ISO-BMFF parsing trap),
+    * `ilst` items are typed by their own 4CC (0xA9+"nam"/"ART"/"alb"
+    * for title/artist/album), each holding a `data` box whose 8-byte
+    * head (type indicator + locale) precedes the raw UTF-8 value.
+    * Returns canonical TITLE/ARTIST/ALBUM keys so [[Multimodal.audioTags]]
+    * can collapse all three tag families onto one schema. Advisory
+    * posture throughout. */
+  private[graft] def mp4Tags(b: Array[Byte]): Map[String, String] = {
+    if (b == null || b.length < 16) return Map.empty
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+      def u32(p: Long): Long = bb.getInt(p.toInt) & 0xFFFFFFFFL
+      val out = scala.collection.mutable.LinkedHashMap[String, String]()
+      def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val sz0 = u32(p)
+          val typ = new String(b, p.toInt + 4, 4, "ISO-8859-1")
+          var hdr = 8L
+          val sz =
+            if (sz0 == 1L) { if (p + 16 > end) return; hdr = 16L; bb.getLong(p.toInt + 8) }
+            else if (sz0 == 0L) end - p
+            else sz0
+          if (sz < hdr || p + sz > end) return
+          f(typ, p + hdr, p + sz)
+          p += sz
+        }
+      }
+      val keyOf = Map("©nam" -> "TITLE", "©ART" -> "ARTIST", "©alb" -> "ALBUM")
+      walk(0L, b.length.toLong) { (t, s, e) =>
+        if (t == "moov") walk(s, e) { (t2, s2, e2) =>
+          if (t2 == "udta") walk(s2, e2) { (t3, s3, e3) =>
+            if (t3 == "meta" && e3 - s3 >= 4) walk(s3 + 4, e3) { (t4, s4, e4) =>
+              if (t4 == "ilst") walk(s4, e4) { (t5, s5, e5) =>
+                keyOf.get(t5).foreach { key =>
+                  walk(s5, e5) { (t6, s6, e6) =>
+                    if (t6 == "data" && e6 - s6 >= 8 && !out.contains(key))
+                      out(key) = new String(b, s6.toInt + 8, (e6 - s6 - 8).toInt, "UTF-8")
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      out.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
   // ------------------------------------------------------------------
   // MP4 fixture builder (a REAL box tree, every knob formula-driven)
   // ------------------------------------------------------------------
@@ -220,9 +271,11 @@ object Containers {
   def syntheticMp4(brands: Int, mvhdV1: Boolean, timescale: Int, duration: Long,
       w: Int, h: Int, nVideoSamples: Int, audioTrack: Boolean,
       mdatLen: Int, freeLen: Int = 0, junkLen: Int = 0,
-      videoCodec: String = "avc1"): Array[Byte] = {
+      videoCodec: String = "avc1",
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
     require(brands >= 1 && timescale > 0 && duration >= 0 && nVideoSamples >= 0)
     require(videoCodec.length == 4)
+    require(tags.forall(_._1.length == 4))
     val allBrands = Seq("isom", "mp42", "avc1", "iso2", "mp41").take(brands)
     val ftyp = box("ftyp", bytes { o =>
       o.write("isom".getBytes("ISO-8859-1")); be32(o, 0x200)
@@ -301,7 +354,27 @@ object Containers {
           smhd ++ dinf ++ stbl("mp4a", 28, 16, i => 60L + i))))
     val junk = if (junkLen == 0) Array.emptyByteArray
       else box("udta", Array.tabulate[Byte](junkLen)(i => (i * 13).toByte))
-    val moov = box("moov", mvhd ++ videoTrak ++ audioTrak ++ junk)
+    // iTunes-style tag chain: udta → meta (FULL box: 4 version/flags
+    // bytes) → hdlr 'mdir' + ilst → ©xxx items each holding a data box
+    val tagUdta =
+      if (tags.isEmpty) Array.emptyByteArray
+      else {
+        val items = tags.map { case (cc, v) =>
+          box(cc, box("data", bytes { o =>
+            be32(o, 1L); be32(o, 0L) // UTF-8 type indicator + locale
+            val vb = v.getBytes("UTF-8")
+            o.write(vb, 0, vb.length)
+          }))
+        }.reduce(_ ++ _)
+        val mdirHdlr = box("hdlr", bytes { o =>
+          be32(o, 0L); be32(o, 0L)
+          o.write("mdir".getBytes("ISO-8859-1"), 0, 4)
+          (0 until 3).foreach(_ => be32(o, 0L))
+        })
+        box("udta", box("meta",
+          Array[Byte](0, 0, 0, 0) ++ mdirHdlr ++ box("ilst", items)))
+      }
+    val moov = box("moov", mvhd ++ videoTrak ++ audioTrak ++ junk ++ tagUdta)
     val free = if (freeLen == 0) Array.emptyByteArray
       else box("free", Array.tabulate[Byte](freeLen)(i => (i * 7).toByte))
     val mdat = box("mdat", Array.tabulate[Byte](mdatLen)(i => (i * 31).toByte))

@@ -4682,10 +4682,11 @@ object Multimodal {
   }
 
   /** Tag extraction for the audio-curation pipeline (round 13): title /
-    * artist / album from ID3v2 text frames (MP3) or the Vorbis-comment /
-    * OpusTags header (Ogg), dispatched on magic — one output schema for
-    * both metadata families, the [[decodeAudioMeta]] posture (absent or
-    * unreadable → nulls, pure map stage, bytes never shuffle). */
+    * artist / album from ID3v2 text frames (MP3), the Vorbis-comment /
+    * OpusTags header (Ogg), or the iTunes-style ilst chain (M4A/MP4),
+    * dispatched on magic — one output schema for all three metadata
+    * families, the [[decodeAudioMeta]] posture (absent or unreadable →
+    * nulls, pure map stage, bytes never shuffle). */
   def audioTags(ds: Dataset[Media]): Dataset[AudioTags] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -4696,6 +4697,8 @@ object Multimodal {
           b(2) == 'g' && b(3) == 'S') Containers.oggComments(b)
         else if (b != null && b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
           id3TextFrames(b)
+        else if (b != null && b.length >= 8 && b(4) == 'f' && b(5) == 't' &&
+          b(6) == 'y' && b(7) == 'p') Containers.mp4Tags(b) // M4A/MP4 ilst
         else Map.empty
       AudioTags(m.doc_id,
         tags.get("TIT2").orElse(tags.get("TITLE")).orNull,

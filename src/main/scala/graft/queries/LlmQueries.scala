@@ -1177,10 +1177,11 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // tag extraction (round 13): ID3v2 text frames and Vorbis/Opus
-    // comments collapse onto one (title, artist, album) schema — the
-    // oracle replays only the strings, so both tag walks, all three
-    // text encodings, both frame-size formats, and key case-folding are
+    // tag extraction (round 13): ID3v2 text frames, Vorbis/Opus
+    // comments, and the M4A ilst chain collapse onto one (title,
+    // artist, album) schema — the oracle replays only the strings, so
+    // all three tag walks, the text encodings, both ID3 frame-size
+    // formats, key case-folding, and the meta-fullbox offset are
     // load-bearing
     "q_multimodal_audio_tags" -> ((s, dir) => {
       val spark = s
@@ -1979,39 +1980,50 @@ object LlmQueries {
   }
 
   /** The q_multimodal_audio_tags fixture (round 13): ONE (title, artist,
-    * album) triple per id, stored through BOTH tag families — ID3v2 text
-    * frames inside a real MP3 on even ids (v2.3 plain / v2.4 syncsafe
-    * frame sizes by id%4, encodings Latin-1 / UTF-16-with-BOM / UTF-8 by
-    * id%3, trailing padding) and a Vorbis-comment / OpusTags header page
-    * inside a real Ogg on odd ids (lowercase keys on the id%8=1 slice —
-    * the spec's case-insensitivity is load-bearing). The oracle replays
-    * only the strings, so the walk must be tag-format-blind. */
+    * album) triple per id, stored through THREE tag families by id%3 —
+    * ID3v2 text frames inside a real MP3 (v2.3 plain / v2.4 syncsafe
+    * frame sizes, encodings Latin-1 / UTF-16-with-BOM / UTF-8 cycling,
+    * trailing padding), a Vorbis-comment / OpusTags header page inside
+    * a real Ogg (lowercase keys on the id%8=1 slice — the spec's
+    * case-insensitivity is load-bearing), and the iTunes-style
+    * udta/meta/ilst chain inside a real M4A (the `meta` FULL-box
+    * version/flags offset is the classic trap). The oracle replays only
+    * the strings, so every walk must be tag-format-blind. */
   private def tagMedia(id: Long): Multimodal.Media = {
     val title = s"ttl ${id % 97}"
     val artist = s"art ${id * 7 % 89}"
     val album = s"alb ${id * 13 % 83}"
-    if (id % 2 == 0) {
-      val payload = Multimodal.id3FramesPayload(
-        version = if (id % 4 == 0) 4 else 3,
-        frames = Seq(("TIT2", title), ("TPE1", artist), ("TALB", album)),
-        encoding = Seq(0, 1, 3)((id % 3).toInt),
-        padding = (10 + id % 20).toInt)
-      Multimodal.Media(id,
-        Multimodal.syntheticMp3(version1 = true, srIdx = (id % 3).toInt,
-          frames = Seq((5, 0), (9, 1)), id3Payload = payload,
-          id3Version = if (id % 4 == 0) 4 else 3),
-        "audio/mpeg")
-    } else {
-      val lower = id % 8 == 1
-      def k(s: String) = if (lower) s.toLowerCase else s
-      Multimodal.Media(id,
-        Containers.syntheticOgg(
-          vorbis = id % 4 == 1, rate = 8000, channels = 1,
-          serial = (id % 7 + 1).toInt, dataPages = 2, pageLen = _ => 60,
-          granuleStep = 256,
-          comments = Seq((k("TITLE"), title), (k("ARTIST"), artist), (k("ALBUM"), album)),
-          vendor = s"v${id % 5}"),
-        "audio/ogg")
+    (id % 3) match {
+      case 0 =>
+        val payload = Multimodal.id3FramesPayload(
+          version = if (id % 2 == 0) 4 else 3,
+          frames = Seq(("TIT2", title), ("TPE1", artist), ("TALB", album)),
+          encoding = Seq(0, 1, 3)(((id / 3) % 3).toInt),
+          padding = (10 + id % 20).toInt)
+        Multimodal.Media(id,
+          Multimodal.syntheticMp3(version1 = true, srIdx = (id % 3).toInt,
+            frames = Seq((5, 0), (9, 1)), id3Payload = payload,
+            id3Version = if (id % 2 == 0) 4 else 3),
+          "audio/mpeg")
+      case 1 =>
+        val lower = id % 8 == 1
+        def k(s: String) = if (lower) s.toLowerCase else s
+        Multimodal.Media(id,
+          Containers.syntheticOgg(
+            vorbis = id % 2 == 1, rate = 8000, channels = 1,
+            serial = (id % 7 + 1).toInt, dataPages = 2, pageLen = _ => 60,
+            granuleStep = 256,
+            comments = Seq((k("TITLE"), title), (k("ARTIST"), artist), (k("ALBUM"), album)),
+            vendor = s"v${id % 5}"),
+          "audio/ogg")
+      case _ => // M4A/MP4: the iTunes-style udta/meta/ilst chain
+        Multimodal.Media(id,
+          Containers.syntheticMp4(
+            brands = 1, mvhdV1 = id % 2 == 0, timescale = 1000,
+            duration = 2000L + (id % 7) * 500, w = 0, h = 0, nVideoSamples = 0,
+            audioTrack = true, mdatLen = (30 + id % 20).toInt,
+            tags = Seq(("©nam", title), ("©ART", artist), ("©alb", album))),
+          "audio/mp4")
     }
   }
 

@@ -227,6 +227,21 @@ class ContainerSpec extends AnyFunSuite {
       Containers.oggComments(good.take(cut)) // no throw
   }
 
+  test("mp4 ilst tags: the meta-fullbox offset, key mapping, corrupt input") {
+    val tagged = Containers.syntheticMp4(1, mvhdV1 = false, 1000, 3000L,
+      32, 24, 4, audioTrack = false, mdatLen = 10,
+      tags = Seq(("©nam", "Tïtle"), ("©ART", "Ärtist"), ("©alb", "Album"), ("©day", "2021")))
+    assert(Containers.mp4Tags(tagged) ==
+      Map("TITLE" -> "Tïtle", "ARTIST" -> "Ärtist", "ALBUM" -> "Album"),
+      "known keys map, unknown ilst items skip")
+    // the meta walk is undisturbed by the tag chain
+    assert(Containers.parseMp4(tagged).isDefined)
+    assert(Containers.mp4Tags(mp4Bytes(3L)).isEmpty, "no ilst -> empty")
+    assert(Containers.mp4Tags(null).isEmpty)
+    for (cut <- Seq(7, 20, tagged.length / 2, tagged.length - 3))
+      Containers.mp4Tags(tagged.take(cut)) // no throw
+  }
+
   test("ogg: corrupt pages end the walk honestly; garbage returns None") {
     val good = oggBytes(6L) // multi-segment first data page (id%3==0)
     assert(Containers.parseOgg(null).isEmpty)

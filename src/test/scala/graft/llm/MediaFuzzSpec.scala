@@ -40,7 +40,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "oggParse" -> (b => Containers.parseOgg(b)),
     "aviParse" -> (b => Containers.parseAvi(b)),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
-    "oggComments" -> (b => Containers.oggComments(b)))
+    "oggComments" -> (b => Containers.oggComments(b)),
+    "mp4Tags" -> (b => Containers.mp4Tags(b)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -107,7 +108,10 @@ class MediaFuzzSpec extends AnyFunSuite {
         Seq((5, 0), (9, 1)), Multimodal.id3FramesPayload(3,
           Seq(("TIT2", "t"), ("TPE1", "a")), encoding = 1, padding = 9), id3Version = 3),
       "oggTagged" -> Containers.syntheticOgg(vorbis = true, 8000, 1, 5, 2,
-        _ => 50, 128L, comments = Seq(("TITLE", "x" * 300))))
+        _ => 50, 128L, comments = Seq(("TITLE", "x" * 300))),
+      "m4aTagged" -> Containers.syntheticMp4(1, mvhdV1 = true, 1000, 2000L,
+        0, 0, 0, audioTrack = true, mdatLen = 24,
+        tags = Seq(("©nam", "t"), ("©ART", "a"))))
   }
 
   test("pure random buffers never throw in any decoder") {
