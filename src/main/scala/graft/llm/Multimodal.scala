@@ -832,6 +832,82 @@ object Multimodal {
     * sample rate, bits/sample, block align) and 'data' (payload size);
     * n_samples = data size / block align. Tolerates a truncated payload —
     * only the declared sizes are read, never the samples. */
+  /** RIFF/WAVE `LIST INFO` tag extraction (round 13): the fourth tag
+    * family [[audioTags]] collapses — INAM/IART/IPRD sub-chunks map to
+    * TITLE/ARTIST/ALBUM, values NUL-terminated Latin-1 per the RIFF
+    * registry, odd chunk bodies padded. Advisory posture. */
+  private[graft] def wavInfoTags(b: Array[Byte]): Map[String, String] = {
+    if (b == null || b.length < 12 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return Map.empty
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val keyOf = Map("INAM" -> "TITLE", "IART" -> "ARTIST", "IPRD" -> "ALBUM")
+      val out = scala.collection.mutable.LinkedHashMap[String, String]()
+      var pos = 12
+      var stop = false
+      while (!stop && pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
+        if (pos + 8 + len > b.length) stop = true
+        else {
+          if (id == "LIST" && len >= 4 &&
+              new String(b, pos + 8, 4, "US-ASCII") == "INFO") {
+            var q = pos + 12
+            val end = pos + 8 + len.toInt
+            while (q + 8 <= end) {
+              val sid = new String(b, q, 4, "US-ASCII")
+              val slen = bb.getInt(q + 4).toLong & 0xFFFFFFFFL
+              if (q + 8 + slen > end) { q = end }
+              else {
+                keyOf.get(sid).foreach { key =>
+                  var l = slen.toInt
+                  while (l > 0 && b(q + 8 + l - 1) == 0) l -= 1 // strip NULs
+                  out(key) = new String(b, q + 8, l, "ISO-8859-1")
+                }
+                q += 8 + slen.toInt + (slen & 1L).toInt
+              }
+            }
+          }
+          pos += 8 + len.toInt + (len & 1L).toInt
+        }
+      }
+      out.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Append a `LIST INFO` tag chunk to a RIFF/WAVE file (the fixture
+    * side of [[wavInfoTags]]): sub-chunks NUL-terminated, odd bodies
+    * padded, the outer RIFF size patched. */
+  def withWavInfo(wav: Array[Byte], tags: Seq[(String, String)]): Array[Byte] = {
+    require(wav.length >= 12 && wav(0) == 'R' && wav(8) == 'W')
+    val info = new java.io.ByteArrayOutputStream()
+    info.write("INFO".getBytes("US-ASCII"), 0, 4)
+    tags.foreach { case (k, v) =>
+      require(k.length == 4)
+      val vb = v.getBytes("ISO-8859-1") :+ 0.toByte
+      info.write(k.getBytes("US-ASCII"), 0, 4)
+      val l = vb.length
+      info.write(l & 0xFF); info.write((l >> 8) & 0xFF)
+      info.write((l >> 16) & 0xFF); info.write((l >> 24) & 0xFF)
+      info.write(vb, 0, l)
+      if (l % 2 == 1) info.write(0)
+    }
+    val payload = info.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(wav, 0, wav.length)
+    out.write("LIST".getBytes("US-ASCII"), 0, 4)
+    val pl = payload.length
+    out.write(pl & 0xFF); out.write((pl >> 8) & 0xFF)
+    out.write((pl >> 16) & 0xFF); out.write((pl >> 24) & 0xFF)
+    out.write(payload, 0, pl)
+    val res = out.toByteArray
+    val riffLen = res.length - 8
+    res(4) = (riffLen & 0xFF).toByte; res(5) = ((riffLen >> 8) & 0xFF).toByte
+    res(6) = ((riffLen >> 16) & 0xFF).toByte; res(7) = ((riffLen >> 24) & 0xFF).toByte
+    res
+  }
+
   private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (b == null || b.length < 12) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -4699,6 +4775,8 @@ object Multimodal {
           id3TextFrames(b)
         else if (b != null && b.length >= 8 && b(4) == 'f' && b(5) == 't' &&
           b(6) == 'y' && b(7) == 'p') Containers.mp4Tags(b) // M4A/MP4 ilst
+        else if (b != null && b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+          b(2) == 'F' && b(3) == 'F') wavInfoTags(b) // RIFF LIST INFO
         else Map.empty
       AudioTags(m.doc_id,
         tags.get("TIT2").orElse(tags.get("TITLE")).orNull,

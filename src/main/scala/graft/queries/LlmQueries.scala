@@ -1179,10 +1179,10 @@ object LlmQueries {
 
     // tag extraction (round 13): ID3v2 text frames, Vorbis/Opus
     // comments, and the M4A ilst chain collapse onto one (title,
-    // artist, album) schema — the oracle replays only the strings, so
-    // all three tag walks, the text encodings, both ID3 frame-size
-    // formats, key case-folding, and the meta-fullbox offset are
-    // load-bearing
+    // artist, album) schema — joined by the WAV RIFF LIST-INFO family;
+    // the oracle replays only the strings, so all four tag walks, the
+    // text encodings, both ID3 frame-size formats, key case-folding,
+    // and the meta-fullbox offset are load-bearing
     "q_multimodal_audio_tags" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1980,20 +1980,22 @@ object LlmQueries {
   }
 
   /** The q_multimodal_audio_tags fixture (round 13): ONE (title, artist,
-    * album) triple per id, stored through THREE tag families by id%3 —
+    * album) triple per id, stored through FOUR tag families by id%4 —
     * ID3v2 text frames inside a real MP3 (v2.3 plain / v2.4 syncsafe
     * frame sizes, encodings Latin-1 / UTF-16-with-BOM / UTF-8 cycling,
     * trailing padding), a Vorbis-comment / OpusTags header page inside
     * a real Ogg (lowercase keys on the id%8=1 slice — the spec's
     * case-insensitivity is load-bearing), and the iTunes-style
     * udta/meta/ilst chain inside a real M4A (the `meta` FULL-box
-    * version/flags offset is the classic trap). The oracle replays only
-    * the strings, so every walk must be tag-format-blind. */
+    * version/flags offset is the classic trap), and a RIFF `LIST INFO`
+    * chunk inside a real WAV (INAM/IART/IPRD, NUL-terminated values).
+    * The oracle replays only the strings, so every walk must be
+    * tag-format-blind. */
   private def tagMedia(id: Long): Multimodal.Media = {
     val title = s"ttl ${id % 97}"
     val artist = s"art ${id * 7 % 89}"
     val album = s"alb ${id * 13 % 83}"
-    (id % 3) match {
+    (id % 4) match {
       case 0 =>
         val payload = Multimodal.id3FramesPayload(
           version = if (id % 2 == 0) 4 else 3,
@@ -2016,7 +2018,7 @@ object LlmQueries {
             comments = Seq((k("TITLE"), title), (k("ARTIST"), artist), (k("ALBUM"), album)),
             vendor = s"v${id % 5}"),
           "audio/ogg")
-      case _ => // M4A/MP4: the iTunes-style udta/meta/ilst chain
+      case 2 => // M4A/MP4: the iTunes-style udta/meta/ilst chain
         Multimodal.Media(id,
           Containers.syntheticMp4(
             brands = 1, mvhdV1 = id % 2 == 0, timescale = 1000,
@@ -2024,6 +2026,13 @@ object LlmQueries {
             audioTrack = true, mdatLen = (30 + id % 20).toInt,
             tags = Seq(("©nam", title), ("©ART", artist), ("©alb", album))),
           "audio/mp4")
+      case _ => // WAV: RIFF LIST INFO appended after the data chunk
+        Multimodal.Media(id,
+          Multimodal.withWavInfo(
+            Multimodal.syntheticWavPcm(8000,
+              Array.tabulate(200)(j => ((id % 17) * 13 + j * 7).toInt % 2001 - 1000)),
+            Seq(("INAM", title), ("IART", artist), ("IPRD", album))),
+          "audio/wav")
     }
   }
 

@@ -242,6 +242,19 @@ class ContainerSpec extends AnyFunSuite {
       Containers.mp4Tags(tagged.take(cut)) // no throw
   }
 
+  test("wav LIST INFO tags: roundtrip, NUL stripping, odd padding, undisturbed decode") {
+    import Multimodal.{syntheticWavPcm, wavInfoTags, withWavInfo}
+    val wav = syntheticWavPcm(8000, Array.tabulate(100)(j => j * 3 - 150))
+    val tagged = withWavInfo(wav, Seq(("INAM", "Titl"), ("IART", "Art"), ("IPRD", "Al"),
+      ("ICMT", "ignored-key")))
+    assert(wavInfoTags(tagged) == Map("TITLE" -> "Titl", "ARTIST" -> "Art", "ALBUM" -> "Al"))
+    // "Art" + NUL = 4 bytes even; "Al" + NUL = 3 bytes -> pad byte path
+    assert(wavInfoTags(wav).isEmpty, "untagged wav -> empty")
+    // sample decode is undisturbed by the trailing LIST chunk
+    assert(Multimodal.parseWav(tagged) == Multimodal.parseWav(wav))
+    for (cut <- Seq(5, 14, 40, tagged.length - 3)) wavInfoTags(tagged.take(cut)) // no throw
+  }
+
   test("ogg: corrupt pages end the walk honestly; garbage returns None") {
     val good = oggBytes(6L) // multi-segment first data page (id%3==0)
     assert(Containers.parseOgg(null).isEmpty)

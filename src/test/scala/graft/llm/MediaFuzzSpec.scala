@@ -41,7 +41,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "aviParse" -> (b => Containers.parseAvi(b)),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
-    "mp4Tags" -> (b => Containers.mp4Tags(b)))
+    "mp4Tags" -> (b => Containers.mp4Tags(b)),
+    "wavInfoTags" -> (b => Multimodal.wavInfoTags(b)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
