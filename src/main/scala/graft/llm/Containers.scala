@@ -507,7 +507,7 @@ object Containers {
       }) ++ riffChunk("strf", Array.tabulate[Byte](40)(i => (i * 3).toByte)))
     val hdrl = riffList("hdrl",
       avih ++ strl("vids", videoHandler, totalFrames) ++
-        (if (audioStream) strl("auds", "    ", 16L)
+        (if (audioStream) strl("auds", "    ", 16L)
          else Array.emptyByteArray))
     val junk = if (junkLen == 0) Array.emptyByteArray
       else riffChunk("JUNK", Array.tabulate[Byte](junkLen)(i => (i * 11).toByte))
