@@ -812,4 +812,451 @@ object Containers {
     }
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // WebP (RIFF container; VP8 / VP8L / VP8X headers — round 13)
+  // ------------------------------------------------------------------
+
+  /** WebP metadata: dims from the format-appropriate header, `format`
+    * in {lossy, lossless, extended}, alpha from the VP8L header bit or
+    * the VP8X flags byte, `n_frames` = ANMF chunk count (0 for a
+    * still). WebP is the most common image container in a modern web
+    * scrape, and ALL of this is structural — RIFF's self-describing
+    * chunk sizes plus fixed-layout bitstream headers (the 3-byte VP8
+    * keyframe tag + 9D 01 2A start code + 14-bit dims; VP8L's packed
+    * 14-bit dims/alpha/version byte; VP8X's 24-bit canvas dims) — so it
+    * passes the COVERAGE.md round-13 decision-record gate that parks
+    * full VP8L PIXEL decode (normative code-length-code order + 2D
+    * distance map): a parsing mistake here degrades to a None, never a
+    * silently wrong value. */
+  case class WebpMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
+      format: String, has_alpha: Boolean, n_frames: Int)
+
+  /** Chunk walk → (width, height, format, hasAlpha, anmfCount).
+    *
+    * The FIRST chunk fixes the format, exactly as the spec orders the
+    * file ("VP8 "/"VP8L" still images, "VP8X" extended); later chunks
+    * are counted (ANMF) or skipped by size with RIFF's odd-length pad
+    * byte. In an extended file the canvas dims come from VP8X ONLY —
+    * the embedded still/frame bitstreams keep their own (sub-canvas)
+    * dims and the walk must not read them; the fixture plants DIFFERENT
+    * inner dims to make that load-bearing. A lossy non-keyframe first
+    * chunk carries no dims → None (matches the spec: a still VP8 chunk
+    * is always a keyframe). */
+  private[graft] def parseWebp(b: Array[Byte]): Option[(Int, Int, String, Boolean, Int)] = {
+    if (b == null || b.length < 20) return None
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      def cc(p: Int): String = new String(b, p, 4, "ISO-8859-1")
+      if (cc(0) != "RIFF" || cc(8) != "WEBP") return None
+      val riffLen = bb.getInt(4).toLong & 0xFFFFFFFFL
+      val end = math.min(b.length.toLong, 8L + riffLen)
+      var p = 12L
+      var w = 0; var h = 0; var fmt: String = null
+      var alpha = false; var frames = 0
+      var first = true
+      while (p + 8 <= end) {
+        val typ = cc(p.toInt)
+        val len = bb.getInt(p.toInt + 4).toLong & 0xFFFFFFFFL
+        val s = p + 8
+        if (s + len > end) return None
+        if (first) {
+          first = false
+          typ match {
+            case "VP8 " =>
+              if (len < 10) return None
+              val si = s.toInt
+              val tag = (b(si) & 0xFF) | ((b(si + 1) & 0xFF) << 8) | ((b(si + 2) & 0xFF) << 16)
+              if ((tag & 1) != 0) return None // interframe: no dims in a still
+              if ((b(si + 3) & 0xFF) != 0x9D || (b(si + 4) & 0xFF) != 0x01 ||
+                  (b(si + 5) & 0xFF) != 0x2A) return None
+              w = bb.getShort(si + 6) & 0x3FFF
+              h = bb.getShort(si + 8) & 0x3FFF
+              fmt = "lossy"
+            case "VP8L" =>
+              if (len < 5 || (b(s.toInt) & 0xFF) != 0x2F) return None
+              val bits = bb.getInt(s.toInt + 1)
+              if (((bits >>> 29) & 7) != 0) return None // version must be 0
+              w = (bits & 0x3FFF) + 1
+              h = ((bits >>> 14) & 0x3FFF) + 1
+              alpha = ((bits >>> 28) & 1) == 1
+              fmt = "lossless"
+            case "VP8X" =>
+              if (len < 10) return None
+              val si = s.toInt
+              alpha = (b(si) & 0x10) != 0
+              def u24(q: Int): Int =
+                (b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8) | ((b(q + 2) & 0xFF) << 16)
+              w = u24(si + 4) + 1
+              h = u24(si + 7) + 1
+              fmt = "extended"
+            case _ => return None
+          }
+        } else if (typ == "ANMF") frames += 1
+        p = s + len + (len & 1L)
+      }
+      if (fmt == null || p != end) None else Some((w, h, fmt, alpha, frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def decodeWebpMeta(ds: Dataset[Media]): Dataset[WebpMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val len = if (m.media == null) 0L else m.media.length.toLong
+      parseWebp(m.media) match {
+        case Some((w, h, fmt, alpha, frames)) =>
+          WebpMeta(m.doc_id, len, w, h, fmt, alpha, frames)
+        case None => WebpMeta(m.doc_id, len, 0, 0, null, has_alpha = false, 0)
+      }
+    })
+  }
+
+  /** A structurally complete WebP.
+    *   - format "lossy": VP8 chunk = 10-byte keyframe header + fillLen.
+    *   - format "lossless": VP8L chunk = 5-byte header + fillLen.
+    *   - format "extended": VP8X(10) then [ALPH alphaLen if alpha] then
+    *     either ANIM(6) + animFrames × ANMF(16 + frameLen(i)) or a still
+    *     VP8 chunk (10 + fillLen) whose OWN dims are deliberately
+    *     smaller than the canvas, then [EXIF exifLen if > 0].
+    * Every chunk body of odd length gets RIFF's pad byte. Exact size
+    * (pinned by ContainerSpec): 12 + Σ(8 + len + len%2). */
+  def syntheticWebp(format: String, w: Int, h: Int, alpha: Boolean,
+      animFrames: Int, frameLen: Int => Int, fillLen: Int,
+      alphaLen: Int = 0, exifLen: Int = 0): Array[Byte] = {
+    require(w >= 1 && w <= 0x3FFF && h >= 1 && h <= 0x3FFF)
+    def vp8Still(sw: Int, sh: Int, fill: Int): Array[Byte] = riffChunk("VP8 ", bytes { o =>
+      o.write(0x10); o.write(0); o.write(0) // keyframe tag (bit0 = 0)
+      o.write(0x9D); o.write(0x01); o.write(0x2A)
+      o.write(sw & 0xFF); o.write((sw >> 8) & 0x3F)
+      o.write(sh & 0xFF); o.write((sh >> 8) & 0x3F)
+      var i = 0
+      while (i < fill) { o.write((i * 13 + 5) % 256); i += 1 }
+    })
+    val chunks: Array[Byte] = format match {
+      case "lossy" => vp8Still(w, h, fillLen)
+      case "lossless" => riffChunk("VP8L", bytes { o =>
+        o.write(0x2F)
+        val bits = (w - 1) | ((h - 1) << 14) | (if (alpha) 1 << 28 else 0)
+        le32(o, bits.toLong & 0xFFFFFFFFL)
+        var i = 0
+        while (i < fillLen) { o.write((i * 7 + 3) % 256); i += 1 }
+      })
+      case "extended" =>
+        val vp8x = riffChunk("VP8X", bytes { o =>
+          o.write((if (alpha) 0x10 else 0) | (if (animFrames > 0) 0x02 else 0))
+          o.write(0); o.write(0); o.write(0)
+          def u24(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF); o.write((v >> 16) & 0xFF) }
+          u24(w - 1); u24(h - 1)
+        })
+        val alph = if (alpha) riffChunk("ALPH", Array.tabulate[Byte](alphaLen)(i => ((i * 3 + 1) % 256).toByte))
+          else Array.emptyByteArray
+        val image =
+          if (animFrames > 0)
+            riffChunk("ANIM", Array.tabulate[Byte](6)(_ => 0.toByte)) ++
+              (0 until animFrames).map { i =>
+                riffChunk("ANMF", Array.tabulate[Byte](16)(j => (j * 5).toByte) ++
+                  Array.tabulate[Byte](frameLen(i))(j => ((j * 11 + i) % 256).toByte))
+              }.fold(Array.emptyByteArray)(_ ++ _)
+          else vp8Still(math.max(1, w / 2), math.max(1, h / 2), fillLen)
+        val exif = if (exifLen > 0)
+          riffChunk("EXIF", Array.tabulate[Byte](exifLen)(i => ((i * 9 + 2) % 256).toByte))
+          else Array.emptyByteArray
+        vp8x ++ alph ++ image ++ exif
+      case other => throw new IllegalArgumentException(other)
+    }
+    val body = "WEBP".getBytes("ISO-8859-1") ++ chunks
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"), 0, 4)
+    le32(out, body.length.toLong)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Matroska / WebM (EBML structure — round 13)
+  // ------------------------------------------------------------------
+
+  /** EBML walk → (width, height, durationMs, nTracks, videoBlockCount,
+    * codecId) in the [[Mp4Meta]] shape — WebM is the third leg of the
+    * video-container admission filter next to MP4 and AVI.
+    *
+    * EBML is MORE self-describing than ISO-BMFF: every element is
+    * (variable-width id, variable-width size, payload), where the width
+    * of both fields is declared by their own leading-zero count, so the
+    * whole format parses with two VINT readers and a recursive skip —
+    * no normative tables anywhere (the decision-record gate). The walk
+    * honors the three size encodings a real muxer emits: minimal-width
+    * VINTs, deliberately NON-minimal widths (legal EBML, used by
+    * streaming muxers that reserve 8-byte sizes to patch later), and
+    * the all-ones UNKNOWN size (live streams), accepted for the Segment
+    * only and read to EOF.
+    *
+    * Fields: duration = Info's float Duration × TimestampScale (whose
+    * 1 000 000 ns default applies when the element is absent), dims and
+    * codec from the FIRST TrackEntry with TrackType 1 selected by type
+    * — not position, the fixture swaps track order — and `n_samples` =
+    * the count of Cluster SimpleBlocks whose own track-number VINT
+    * routes to that video track. Anything structurally broken → None. */
+  private[graft] def parseMkv(b: Array[Byte]): Option[(Int, Int, Long, Int, Long, String)] = {
+    if (b == null || b.length < 8) return None
+    try {
+      val n = b.length.toLong
+      // element-id VINT: marker bit kept (ids compare as written)
+      def idAt(q: Long): (Long, Int) = {
+        if (q >= n) return (-1L, 0)
+        val f = b(q.toInt) & 0xFF
+        if (f == 0) return (-1L, 0)
+        val w = Integer.numberOfLeadingZeros(f) - 23 // f in [1,255] → 1..8
+        if (w > 4 || q + w > n) return (-1L, 0)
+        var v = f.toLong
+        var i = 1
+        while (i < w) { v = (v << 8) | (b((q + i).toInt) & 0xFF); i += 1 }
+        (v, w)
+      }
+      // size VINT: marker stripped; all-ones payload → unknown → (-1, w)
+      def sizeAt(q: Long): (Long, Int) = {
+        if (q >= n) return (-2L, 0)
+        val f = b(q.toInt) & 0xFF
+        if (f == 0) return (-2L, 0)
+        val w = Integer.numberOfLeadingZeros(f) - 23
+        if (q + w > n) return (-2L, 0)
+        var v = (f & (0xFF >>> w)).toLong
+        var i = 1
+        while (i < w) { v = (v << 8) | (b((q + i).toInt) & 0xFF); i += 1 }
+        (if (v == (1L << (7 * w)) - 1) -1L else v, w)
+      }
+      def uintAt(q: Long, len: Long): Long = {
+        var v = 0L; var i = 0L
+        while (i < len) { v = (v << 8) | (b((q + i).toInt) & 0xFF); i += 1 }
+        v
+      }
+      // children of [start, end); f(id, payloadStart, payloadEnd);
+      // false on structural violation (unknown sizes are segment-only)
+      def walk(start: Long, end: Long)(f: (Long, Long, Long) => Boolean): Boolean = {
+        var p = start
+        while (p < end) {
+          val (id, iw) = idAt(p)
+          if (id < 0) return false
+          val (sz, sw) = sizeAt(p + iw)
+          if (sz < 0) return false
+          val s = p + iw + sw
+          if (s + sz > end) return false
+          if (!f(id, s, s + sz)) return false
+          p = s + sz
+        }
+        p == end
+      }
+      // EBML header, skipped by size
+      val (hid, hw) = idAt(0L)
+      if (hid != 0x1A45DFA3L) return None
+      val (hsz, hsw) = sizeAt(hw.toLong)
+      if (hsz < 0 || hw + hsw + hsz > n) return None
+      val segPos = hw + hsw + hsz
+      val (sid, siw) = idAt(segPos)
+      if (sid != 0x18538067L) return None
+      val (ssz, ssw) = sizeAt(segPos + siw)
+      if (ssz == -2L) return None
+      val segStart = segPos + siw + ssw
+      val segEnd = if (ssz == -1L) n else segStart + ssz
+      if (segEnd > n) return None
+
+      var durTicks = -1.0
+      var tsScale = 1000000L
+      var nTracks = 0
+      var vNum = -1L; var vw = 0; var vh = 0; var vCodec: String = null
+      val blockCounts = scala.collection.mutable.HashMap.empty[Long, Long]
+      val ok = walk(segStart, segEnd) { (id, s, e) =>
+        id match {
+          case 0x1549A966L => // Info
+            walk(s, e) { (id2, s2, e2) =>
+              val len = e2 - s2
+              if (id2 == 0x2AD7B1L) { tsScale = uintAt(s2, len); true }
+              else if (id2 == 0x4489L) {
+                if (len == 4) {
+                  durTicks = java.lang.Float.intBitsToFloat(uintAt(s2, 4).toInt).toDouble; true
+                } else if (len == 8) {
+                  durTicks = java.lang.Double.longBitsToDouble(uintAt(s2, 8)); true
+                } else false
+              } else true
+            }
+          case 0x1654AE6BL => // Tracks
+            walk(s, e) { (id2, s2, e2) =>
+              if (id2 == 0xAEL) { // TrackEntry
+                nTracks += 1
+                var num = -1L; var typ = -1L; var codec: String = null
+                var tw = 0; var th = 0
+                val okE = walk(s2, e2) { (id3, s3, e3) =>
+                  id3 match {
+                    case 0xD7L => num = uintAt(s3, e3 - s3); true
+                    case 0x83L => typ = uintAt(s3, e3 - s3); true
+                    case 0x86L => codec = new String(b, s3.toInt, (e3 - s3).toInt, "ISO-8859-1"); true
+                    case 0xE0L => // Video
+                      walk(s3, e3) { (id4, s4, e4) =>
+                        if (id4 == 0xB0L) tw = uintAt(s4, e4 - s4).toInt
+                        else if (id4 == 0xBAL) th = uintAt(s4, e4 - s4).toInt
+                        true
+                      }
+                    case _ => true
+                  }
+                }
+                if (okE && typ == 1L && vNum < 0) {
+                  vNum = num; vw = tw; vh = th; vCodec = codec
+                }
+                okE
+              } else true
+            }
+          case 0x1F43B675L => // Cluster
+            walk(s, e) { (id2, s2, e2) =>
+              if (id2 == 0xA3L) {
+                // SimpleBlock: payload leads with a track-number VINT
+                // (read with the size reader, so the all-ones form —
+                // track 127 in 1 byte — reads as unknown and fails the
+                // walk; real muxers emit it 2-wide long before 127
+                // tracks exist)
+                val (tn, tw2) = sizeAt(s2)
+                if (tn < 0 || tw2 <= 0 || s2 + tw2 + 3 > e2) false
+                else { blockCounts(tn) = blockCounts.getOrElse(tn, 0L) + 1L; true }
+              } else true
+            }
+          case _ => true // SeekHead, Cues, Tags, Void … skipped by size
+        }
+      }
+      if (!ok || durTicks < 0) None
+      else {
+        val durMs = (durTicks * tsScale / 1e6).toLong
+        Some((vw, vh, durMs, nTracks, blockCounts.getOrElse(vNum, 0L), vCodec))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Matroska rows in the [[Mp4Meta]] shape (n_samples = the video
+    * track's SimpleBlock count). */
+  def decodeMkvMeta(ds: Dataset[Media]): Dataset[Mp4Meta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val len = if (m.media == null) 0L else m.media.length.toLong
+      parseMkv(m.media) match {
+        case Some((w, h, dur, nt, ns, codec)) => Mp4Meta(m.doc_id, len, w, h, dur, nt, ns, codec)
+        case None => Mp4Meta(m.doc_id, len, 0, 0, 0L, 0, 0L, null)
+      }
+    })
+  }
+
+  // EBML write side (fixtures): ids as written; size VINTs at an
+  // explicit width (0 = minimal); integers at a fixed width — EBML
+  // permits non-minimal integer widths, which keeps the fixture's byte
+  // accounting closed-form
+  private[graft] def ebmlVint(o: java.io.ByteArrayOutputStream, v: Long, w: Int): Unit = {
+    val x = (1L << (7 * w)) | v
+    var i = w - 1
+    while (i >= 0) { o.write(((x >> (8 * i)) & 0xFF).toInt); i -= 1 }
+  }
+  private def ebmlMinW(v: Long): Int = {
+    var w = 1
+    while (v >= (1L << (7 * w)) - 1) w += 1
+    w
+  }
+  private[graft] def ebmlElem(id: Long, payload: Array[Byte], sizeW: Int = 0): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val idW = if (id <= 0xFFL) 1 else if (id <= 0xFFFFL) 2 else if (id <= 0xFFFFFFL) 3 else 4
+    var i = idW - 1
+    while (i >= 0) { o.write(((id >> (8 * i)) & 0xFF).toInt); i -= 1 }
+    val w = if (sizeW == 0) ebmlMinW(payload.length.toLong) else sizeW
+    ebmlVint(o, payload.length.toLong, w)
+    o.write(payload, 0, payload.length)
+    o.toByteArray
+  }
+  private[graft] def ebmlUintBytes(v: Long, w: Int): Array[Byte] =
+    Array.tabulate[Byte](w)(i => ((v >> (8 * (w - 1 - i))) & 0xFF).toByte)
+
+  /** A structurally complete WebM. Knobs (all pinned by ContainerSpec's
+    * closed byte form): `segSizeMode` 0 = minimal 2-byte Segment size,
+    * 1 = all-ones UNKNOWN size (read to EOF), 2 = non-minimal 8-byte
+    * size; `writeScale` = false omits TimestampScale so the 1 000 000
+    * default is load-bearing; `swapOrder` puts the audio TrackEntry
+    * first with track number 1 (type-based selection + block routing by
+    * number both load-bearing). Cluster blocks alternate video/audio
+    * when an audio track exists. Exact sizes: EBML header 36; Info
+    * 16/23; video entry 25, audio 24; cluster = 4 + sizeW(payload) +
+    * payload, payload = 4 + Σ(6 + blockLen(c,j)). */
+  def syntheticMkv(w: Int, h: Int, durationTicks: Double, timestampScale: Long,
+      writeScale: Boolean, audioTrack: Boolean, swapOrder: Boolean,
+      nClusters: Int, blocksPerCluster: Int => Int, blockLen: (Int, Int) => Int,
+      videoCodec: String, segSizeMode: Int): Array[Byte] = {
+    require(nClusters >= 1 && videoCodec.length == 5)
+    require(!swapOrder || audioTrack, "swapOrder needs the audio track")
+    val ebmlHeader = ebmlElem(0x1A45DFA3L, bytes { o =>
+      o.write(ebmlElem(0x4286L, ebmlUintBytes(1, 1)), 0, 4)
+      o.write(ebmlElem(0x42F7L, ebmlUintBytes(1, 1)), 0, 4)
+      o.write(ebmlElem(0x42F2L, ebmlUintBytes(4, 1)), 0, 4)
+      o.write(ebmlElem(0x42F3L, ebmlUintBytes(8, 1)), 0, 4)
+      val dt = ebmlElem(0x4282L, "webm".getBytes("ISO-8859-1"))
+      o.write(dt, 0, dt.length)
+      o.write(ebmlElem(0x4287L, ebmlUintBytes(2, 1)), 0, 4)
+      o.write(ebmlElem(0x4285L, ebmlUintBytes(2, 1)), 0, 4)
+    })
+    val info = ebmlElem(0x1549A966L, bytes { o =>
+      if (writeScale) {
+        val ts = ebmlElem(0x2AD7B1L, ebmlUintBytes(timestampScale, 3))
+        o.write(ts, 0, ts.length)
+      }
+      val dur = ebmlElem(0x4489L,
+        ebmlUintBytes(java.lang.Double.doubleToLongBits(durationTicks), 8))
+      o.write(dur, 0, dur.length)
+    })
+    val vNum = if (swapOrder) 2L else 1L
+    val aNum = if (swapOrder) 1L else 2L
+    def trackEntry(num: Long, typ: Long, codec: String, sub: Array[Byte]): Array[Byte] =
+      ebmlElem(0xAEL, bytes { o =>
+        o.write(ebmlElem(0xD7L, ebmlUintBytes(num, 1)), 0, 3)
+        o.write(ebmlElem(0x83L, ebmlUintBytes(typ, 1)), 0, 3)
+        val c = ebmlElem(0x86L, codec.getBytes("ISO-8859-1"))
+        o.write(c, 0, c.length)
+        o.write(sub, 0, sub.length)
+      })
+    val videoEntry = trackEntry(vNum, 1L, videoCodec, ebmlElem(0xE0L,
+      ebmlElem(0xB0L, ebmlUintBytes(w.toLong, 2)) ++
+        ebmlElem(0xBAL, ebmlUintBytes(h.toLong, 2))))
+    val audioEntry = if (audioTrack) trackEntry(aNum, 2L, "A_OPUS", ebmlElem(0xE1L,
+      ebmlElem(0xB5L, ebmlUintBytes(
+        java.lang.Float.floatToIntBits(48000f).toLong & 0xFFFFFFFFL, 4))))
+      else Array.emptyByteArray
+    val tracks = ebmlElem(0x1654AE6BL,
+      if (swapOrder) audioEntry ++ videoEntry else videoEntry ++ audioEntry)
+    val clusters = (0 until nClusters).map { ci =>
+      ebmlElem(0x1F43B675L, bytes { o =>
+        o.write(ebmlElem(0xE7L, ebmlUintBytes(300L + 100L * ci, 2)), 0, 4)
+        val nb = blocksPerCluster(ci)
+        var j = 0
+        while (j < nb) {
+          val tn = if (audioTrack && j % 2 == 1) aNum else vNum
+          val dataLen = blockLen(ci, j)
+          val blk = ebmlElem(0xA3L, bytes { bo =>
+            ebmlVint(bo, tn, 1)
+            bo.write(0); bo.write(16 * (j + 1)) // 2-byte timecode
+            bo.write(0x80) // flags: keyframe
+            var k = 0
+            while (k < dataLen) { bo.write((k * 3 + ci + j) % 256); k += 1 }
+          })
+          o.write(blk, 0, blk.length)
+          j += 1
+        }
+      })
+    }.fold(Array.emptyByteArray)(_ ++ _)
+    val segPayload = info ++ tracks ++ clusters
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ebmlHeader, 0, ebmlHeader.length)
+    // Segment id + size in the requested encoding
+    out.write(0x18); out.write(0x53); out.write(0x80); out.write(0x67)
+    segSizeMode match {
+      case 0 => ebmlVint(out, segPayload.length.toLong, 2)
+      case 1 => out.write(0xFF) // unknown size: to EOF
+      case 2 => ebmlVint(out, segPayload.length.toLong, 8)
+      case other => throw new IllegalArgumentException(s"segSizeMode $other")
+    }
+    out.write(segPayload, 0, segPayload.length)
+    out.toByteArray
+  }
 }

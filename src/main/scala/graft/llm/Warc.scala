@@ -1,0 +1,291 @@
+package graft.llm
+
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.Dataset
+
+import graft.llm.Multimodal.Media
+
+/** WARC ingestion (round 13): the entry point of a web-scale training
+  * corpus. Common Crawl ships ~100 TB per crawl as WARC files (ISO
+  * 28500) — so "read the scrape" IS a WARC record walk, and it has to
+  * be a pure flatMap kernel over the bytes already in the scan: one
+  * archive blob in, N records out, nothing shuffles until the caller
+  * keys on something.
+  *
+  * The format is STRUCTURAL in exactly the sense of the COVERAGE.md
+  * round-13 decision record: a version line, RFC-822-style named
+  * headers (case-insensitive), a Content-Length that frames the body,
+  * and a two-CRLF trailer — no normative lookup data anywhere. HTTP
+  * response records nest a second structural layer (status line +
+  * headers + body) that the walk splits the same way. Compression is
+  * the Common Crawl layout: each record its own gzip member, members
+  * concatenated — `GZIPInputStream` consumes multi-member streams, and
+  * record boundaries re-emerge from the WARC framing itself, so random
+  * access is the only thing lost by whole-stream decompression (a 100
+  * TB job reads every record anyway; the per-member offsets in the
+  * companion CDX index are what a seeking reader would use).
+  *
+  * Corrupt-input posture: the walk keeps every complete record parsed
+  * before the first structural violation (the Ogg prefix rule) and
+  * never throws; a gzip stream that explodes past `maxInflate` stops
+  * the same way (decompression-bomb guard — at scale a hostile archive
+  * is NORMAL input).
+  *
+  * Reference scope: kafi has no archive reader; its closest surface is
+  * the file-source walk (kafi/fs/fs_reader.py) which treats files as
+  * opaque byte streams. This operator is part of the LLM-pipeline
+  * extension the assignment calls for.
+  */
+object Warc {
+
+  /** One WARC record. `warc_type`/`target_uri`/`content_type` are the
+    * WARC headers; `content_length` the WARC body size (for a response
+    * record that is the FULL nested HTTP message); `http_status` and
+    * `payload_len`/`payload` the nested HTTP split (status 0 and the
+    * whole body for non-HTTP records). */
+  case class WarcRecord(doc_id: Long, rec_idx: Int, warc_type: String,
+      target_uri: String, content_type: String, content_length: Long,
+      http_status: Int, payload_len: Long, payload: String)
+
+  private val CRLF = "\r\n".getBytes("ISO-8859-1")
+
+  /** Multi-member gunzip with a bomb guard. None on any stream error
+    * or when the inflated size crosses `max`. */
+  private[graft] def gunzipAll(b: Array[Byte], max: Int = 1 << 26): Option[Array[Byte]] = {
+    try {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > max) return None
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int, end: Int): Int = {
+    var i = from
+    while (i + 1 < end) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse `[p, end)` as RFC-822-style headers up to and including the
+    * blank line; returns (lower-cased name → value, bodyStart) or None
+    * on a malformed line. */
+  private def parseHeaders(b: Array[Byte], p0: Int, end: Int): Option[(Map[String, String], Int)] = {
+    var p = p0
+    val m = Map.newBuilder[String, String]
+    while (true) {
+      val eol = indexOfCrlf(b, p, end)
+      if (eol < 0) return None
+      if (eol == p) return Some((m.result(), p + 2)) // blank line
+      val line = new String(b, p, eol - p, "UTF-8")
+      val colon = line.indexOf(':')
+      if (colon <= 0) return None
+      m += (line.substring(0, colon).trim.toLowerCase -> line.substring(colon + 1).trim)
+      p = eol + 2
+    }
+    None // unreachable
+  }
+
+  /** Record walk → complete records before the first structural
+    * violation. Accepts plain or gzipped (multi-member) archives. */
+  private[graft] def parseWarc(raw: Array[Byte]): Seq[WarcRecord] = {
+    if (raw == null || raw.length < 4) return Nil
+    try {
+      val b =
+        if ((raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B)
+          gunzipAll(raw).getOrElse(return Nil)
+        else raw
+      val out = Seq.newBuilder[WarcRecord]
+      var p = 0
+      var idx = 0
+      val n = b.length
+      var broken = false
+      while (!broken && p + 7 <= n) {
+        // version line
+        val eol = indexOfCrlf(b, p, n)
+        if (eol < 0 || !new String(b, p, math.min(5, eol - p), "ISO-8859-1").equals("WARC/"))
+          broken = true
+        else parseHeaders(b, eol + 2, n) match {
+          case None => broken = true
+          case Some((hdrs, bodyStart)) =>
+            val clen = hdrs.get("content-length").flatMap(s => s.toLongOption)
+            clen match {
+              case Some(cl) if cl >= 0 && bodyStart + cl + 4 <= n =>
+                val bodyEnd = bodyStart + cl.toInt
+                if (b(bodyEnd) != '\r' || b(bodyEnd + 1) != '\n' ||
+                    b(bodyEnd + 2) != '\r' || b(bodyEnd + 3) != '\n') broken = true
+                else {
+                  val wtype = hdrs.getOrElse("warc-type", "")
+                  val uri = hdrs.getOrElse("warc-target-uri", null)
+                  val ctype = hdrs.getOrElse("content-type", "")
+                  var status = 0
+                  var payStart = bodyStart
+                  if (ctype.toLowerCase.startsWith("application/http")) {
+                    // nested HTTP message: status line + headers + body
+                    val seol = indexOfCrlf(b, bodyStart, bodyEnd)
+                    if (seol > 0) {
+                      val sline = new String(b, bodyStart, seol - bodyStart, "ISO-8859-1")
+                      val parts = sline.split(" ", 3)
+                      if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
+                        status = parts(1).toIntOption.getOrElse(0)
+                      parseHeaders(b, seol + 2, bodyEnd) match {
+                        case Some((_, hb)) => payStart = hb
+                        case None => payStart = bodyEnd // headers never close: empty payload
+                      }
+                    }
+                  }
+                  val payload = new String(b, payStart, bodyEnd - payStart, "UTF-8")
+                  out += WarcRecord(-1L, idx, wtype, uri, ctype, cl, status,
+                    (bodyEnd - payStart).toLong, payload)
+                  idx += 1
+                  p = bodyEnd + 4
+                }
+              case _ => broken = true
+            }
+        }
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Archive blobs → records, a pure flatMap kernel (PlanSpec-asserted
+    * no-Exchange). `doc_id` identifies the source archive. */
+  def readWarc(ds: Dataset[Media]): Dataset[WarcRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      parseWarc(m.media).map(r => r.copy(doc_id = m.doc_id))
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // HTML text extraction (the step between "WARC payload" and every
+  // text operator in this engine)
+  // ------------------------------------------------------------------
+
+  private val ReComment = java.util.regex.Pattern.compile("<!--.*?-->",
+    java.util.regex.Pattern.DOTALL)
+  private val ReScript = java.util.regex.Pattern.compile(
+    "<(script|style)\\b[^>]*>.*?</\\1\\s*>",
+    java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val ReTag = java.util.regex.Pattern.compile("<[^>]*>")
+  private val ReEntity = java.util.regex.Pattern.compile("&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+  private val ReWs = java.util.regex.Pattern.compile("[\\s\\u00A0]+")
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ")
+
+  /** Tag-stripping text extraction: comments out, whole script/style
+    * elements out (their CONTENT must not leak — a naive tag strip
+    * leaves `var a="...";` in the corpus), remaining tags → space,
+    * entities decoded (named set + numeric dec/hex), whitespace
+    * collapsed. Deterministic and total: any string in, text out —
+    * corrupt HTML degrades to extra stripped fragments, never a throw.
+    * Heuristic boundary, documented: attribute values containing a
+    * literal '>' end the tag early (the usual scraper trade; a
+    * conforming document escapes it as &gt;). */
+  private[graft] def htmlText(html: String): String = {
+    if (html == null) return ""
+    var s = ReComment.matcher(html).replaceAll(" ")
+    s = ReScript.matcher(s).replaceAll(" ")
+    s = ReTag.matcher(s).replaceAll(" ")
+    val m = ReEntity.matcher(s)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(s, last, m.start())
+      val e = m.group(1)
+      val rep =
+        if (e.startsWith("#x") || e.startsWith("#X"))
+          parseIntRadix(e.substring(2), 16).filter(Character.isValidCodePoint(_))
+            .map(cp => new String(Character.toChars(cp))).getOrElse(m.group())
+        else if (e.startsWith("#"))
+          e.substring(1).toIntOption.filter(Character.isValidCodePoint(_))
+            .map(cp => new String(Character.toChars(cp))).getOrElse(m.group())
+        else namedEntities.getOrElse(e, m.group())
+      sb.append(rep)
+      last = m.end()
+    }
+    sb.append(s, last, s.length)
+    ReWs.matcher(sb.toString).replaceAll(" ").trim
+  }
+
+  private def parseIntRadix(s: String, radix: Int): Option[Int] =
+    try Some(Integer.parseInt(s, radix)) catch { case _: NumberFormatException => None }
+
+  /** Extracted text rows from an archive feed: HTTP-200 responses →
+    * (doc_id, rec_idx, text). One Catalyst plan, no shuffle. */
+  def htmlTextRecords(ds: Dataset[Media]): Dataset[(Long, Int, String)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    readWarc(ds)
+      .filter(r => r.warc_type == "response" && r.http_status == 200)
+      .map(r => (r.doc_id, r.rec_idx, htmlText(r.payload)))
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture builder (real framing, real per-record gzip members)
+  // ------------------------------------------------------------------
+
+  private def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  private def record(headers: Seq[(String, String)], body: Array[Byte],
+      lowerCase: Boolean): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("WARC/1.0\r\n".getBytes("ISO-8859-1"))
+    (headers :+ ("Content-Length" -> body.length.toString)).foreach { case (k, v) =>
+      val key = if (lowerCase) k.toLowerCase else k
+      o.write(s"$key: $v\r\n".getBytes("UTF-8"))
+    }
+    o.write(CRLF); o.write(body); o.write(CRLF); o.write(CRLF)
+    o.toByteArray
+  }
+
+  private def httpResponse(status: Int, reason: String, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status $reason\r\nContent-Type: text/html\r\n\r\n" + body)
+      .getBytes("UTF-8")
+
+  /** A well-formed archive: one warcinfo record, then `nResponses`
+    * response records (preceded by a request record each when
+    * `withRequests` — rec_idx accounting is load-bearing), each nesting
+    * a real HTTP message. `gzipped` wraps EVERY record in its own gzip
+    * member (the Common Crawl layout). `lowerCaseHeaders` exercises the
+    * spec's header case-insensitivity. */
+  def syntheticWarc(nResponses: Int, uri: Int => String,
+      status: Int => (Int, String), htmlBody: Int => String,
+      gzipped: Boolean, withRequests: Boolean,
+      lowerCaseHeaders: Boolean, infoLen: Int): Array[Byte] = {
+    require(nResponses >= 1 && infoLen >= 0)
+    val recs = Seq.newBuilder[Array[Byte]]
+    recs += record(Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      Array.tabulate[Byte](infoLen)(i => ('a' + i % 26).toByte), lowerCaseHeaders)
+    (0 until nResponses).foreach { i =>
+      if (withRequests)
+        recs += record(Seq("WARC-Type" -> "request", "WARC-Target-URI" -> uri(i),
+          "Content-Type" -> "application/http;msgtype=request"),
+          s"GET / HTTP/1.1\r\nHost: h$i\r\n\r\n".getBytes("ISO-8859-1"), lowerCaseHeaders)
+      val (code, reason) = status(i)
+      recs += record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri(i),
+        "Content-Type" -> "application/http;msgtype=response"),
+        httpResponse(code, reason, htmlBody(i)), lowerCaseHeaders)
+    }
+    val all = recs.result()
+    if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
+    else all.fold(Array.emptyByteArray)(_ ++ _)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis}
+import graft.llm.{Ann, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1217,6 +1217,63 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // WebP walk (round 13): the most common image container in a modern
+    // scrape — format from the first chunk, canvas-vs-inner dims (the
+    // extended fixture plants SMALLER inner still dims the parser must
+    // not copy), VP8L packed header bits, ANMF frame count, RIFF pad
+    // bytes in byte_len
+    "q_multimodal_webp_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(webpMedia _)
+      Containers.decodeWebpMeta(media).toDF()
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("format"), col("has_alpha").cast("int").as("has_alpha"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // Matroska/WebM EBML walk (round 13): VINT discipline across three
+    // Segment-size encodings (minimal / non-minimal 8-byte / unknown-to-
+    // EOF), the TimestampScale default, type-based video-track selection
+    // under swapped track order, and SimpleBlock routing by track number
+    "q_multimodal_mkv_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(mkvMedia _)
+      Containers.decodeMkvMeta(media).toDF()
+        .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks",
+          "n_samples", "codec")
+        .orderBy("doc_id")
+    }),
+
+    // WARC record walk (round 13): Common Crawl-layout archives — the
+    // gzipped half uses one gzip member PER RECORD; the request-record
+    // slice shifts rec_idx; the lower-case-header slice exercises
+    // header case-insensitivity; content_length is the FULL nested HTTP
+    // message, payload_len the body after the HTTP header split
+    "q_warc_records" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcMedia _)
+      Warc.readWarc(media)
+        .filter(_.warc_type == "response").toDF()
+        .select("doc_id", "rec_idx", "target_uri", "http_status", "content_length",
+          "payload_len")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
+    // WARC → HTML text extraction (round 13): HTTP-200 responses only,
+    // script/style CONTENT must not leak, entities decode, whitespace
+    // collapses — the oracle replays the exact extracted string
+    "q_warc_html" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcMedia _)
+      Warc.htmlTextRecords(media)
+        .toDF("doc_id", "rec_idx", "text")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // REAL pixel decode + perceptual hash: each doc renders an actual
     // 18x16 24-bpp BMP whose grayscale is an integer function of
     // (doc_id, x, y); the decoder must reconstruct the EXACT pixels
@@ -1956,6 +2013,89 @@ object LlmQueries {
           else (100 + (id + i * 13) % 155).toInt,
         granuleStep = 256 * (1 + id % 5)),
       "audio/ogg")
+  }
+
+  /** The q_multimodal_webp_meta fixture (round 13): format cycles
+    * lossy/lossless/extended by id%3, shared dim formulas across all
+    * three (so the extended rows prove the CANVAS dims were read — the
+    * builder's inner still is w/2×h/2), VP8L alpha bit and VP8X alpha
+    * flag on the even slice, animation (1 + (id/4)%3 ANMF frames) on
+    * the id%4=2 extended slice, an odd-capable EXIF chunk on id%5=0,
+    * and odd codec-payload lengths throughout so RIFF pad bytes are
+    * load-bearing in byte_len. */
+  private def webpMedia(id: Long): Multimodal.Media = {
+    val fmt = Seq("lossy", "lossless", "extended")((id % 3).toInt)
+    val alpha = id % 2 == 0 && fmt != "lossy"
+    val anim = fmt == "extended" && id % 4 == 2
+    Multimodal.Media(id,
+      Containers.syntheticWebp(
+        format = fmt,
+        w = (48 + id % 500).toInt, h = (32 + id % 300).toInt,
+        alpha = alpha,
+        animFrames = if (anim) (1 + (id / 4) % 3).toInt else 0,
+        frameLen = i => (20 + (id + 7 * i) % 33).toInt,
+        fillLen = (19 + id % 31).toInt,
+        alphaLen = if (fmt == "extended" && alpha) (11 + id % 14).toInt else 0,
+        exifLen = if (fmt == "extended" && id % 5 == 0) (9 + id % 6).toInt else 0),
+      "image/webp")
+  }
+
+  /** The q_multimodal_mkv_meta fixture (round 13): Segment size
+    * encoding cycles minimal-2-byte / unknown-to-EOF (id%5=2) /
+    * non-minimal-8-byte (id%5=3); TimestampScale = (1 + id%3) µs-ticks
+    * but OMITTED on id%7=0 (the 1 000 000 default is load-bearing);
+    * audio track on id%3=0 with the track ORDER AND NUMBERS swapped on
+    * id%6=3 (selection by TrackType, block routing by number); clusters
+    * and blocks by formula with video/audio blocks interleaved, so
+    * n_samples counts only the blocks whose leading VINT routes to the
+    * video track. */
+  private def mkvMedia(id: Long): Multimodal.Media = {
+    Multimodal.Media(id,
+      Containers.syntheticMkv(
+        w = (320 + id % 640).toInt, h = (180 + id % 360).toInt,
+        durationTicks = (200 + id % 500).toDouble,
+        timestampScale = 1000000L * (1 + id % 3),
+        writeScale = id % 7 != 0,
+        audioTrack = id % 3 == 0,
+        swapOrder = id % 6 == 3,
+        nClusters = (1 + (id / 3) % 3).toInt,
+        blocksPerCluster = ci => (1 + (id + ci) % 3).toInt,
+        blockLen = (ci, j) => (10 + (id + ci * 5 + j * 3) % 40).toInt,
+        videoCodec = Seq("V_VP8", "V_VP9", "V_AV1")((id % 3).toInt),
+        segSizeMode = if (id % 5 == 2) 1 else if (id % 5 == 3) 2 else 0),
+      "video/webm")
+  }
+
+  /** The q_warc_records / q_warc_html fixture (round 13): a warcinfo
+    * record, then 2 + id%3 HTTP response records (with a request record
+    * before each on the id%4=2 slice — rec_idx accounting), status
+    * cycling 200/404/301 by (id+i)%3, per-record gzip members on the
+    * odd slice, lower-cased header names on id%5=0. The HTML bodies
+    * embed the known text in script/style/comment/entity traps; the
+    * oracle replays both the byte accounting (content_length =
+    * 42 + reason + LENGTH(html)) and the extracted strings. */
+  private[graft] def warcHtml(id: Long, i: Int): String =
+    s"""<html><head><title>T$id-$i</title><script>var a="<p>x</p>";</script>""" +
+      s"""<style>p{color:red}</style></head><body><h1 id="h">H ${(id + i) % 50}</h1>""" +
+      s"""<p>W&amp;b ${(id * 3 + i) % 97}</p><!-- c -->""" +
+      s"""<div>Tail&nbsp;${(id + 7 * i) % 89}</div></body></html>"""
+
+  private def warcMedia(id: Long): Multimodal.Media = {
+    Multimodal.Media(id,
+      Warc.syntheticWarc(
+        nResponses = (2 + id % 3).toInt,
+        uri = i => s"https://ex.org/$id/$i",
+        status = i => ((id + i) % 3) match {
+          case 0 => (200, "OK")
+          case 1 => (404, "Not Found")
+          case _ => (301, "Moved")
+        },
+        htmlBody = i => warcHtml(id, i),
+        gzipped = id % 2 == 1,
+        withRequests = id % 4 == 2,
+        lowerCaseHeaders = id % 5 == 0,
+        infoLen = (15 + id % 20).toInt),
+      "application/warc")
   }
 
   /** The q_multimodal_avi_meta fixture (round 13): a complete RIFF/AVI
@@ -3792,6 +3932,117 @@ object LlmQueries {
         |  CAST(256 * (1 + d.doc_id % 5) * (2 + d.doc_id % 4) AS BIGINT) AS n_samples,
         |  CAST(3 + d.doc_id % 4 AS INTEGER) AS n_pages
         |FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // WebP walk replay (round 13): byte_len = RIFF framing with pad
+    // bytes per chunk (lossy VP8 = 10 + fill, VP8L = 5 + fill, VP8X 18,
+    // ALPH/ANIM/ANMF/EXIF per slice); dims SHARED across formats so the
+    // extended rows prove canvas (not inner-still) dims were read
+    "q_multimodal_webp_meta" ->
+      """WITH fr AS (
+        |  SELECT doc_id, u.i AS i, 20 + (doc_id + 7 * u.i) % 33 AS flen
+        |  FROM documents, unnest(generate_series(0, 4)) AS u(i)
+        |  WHERE doc_id % 3 = 2 AND doc_id % 4 = 2 AND u.i < 1 + (doc_id // 4) % 3),
+        |an AS (SELECT doc_id, SUM(24 + flen + (16 + flen) % 2) AS anmf_len FROM fr GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CASE
+        |    WHEN d.doc_id % 3 = 0 THEN 20 + (29 + d.doc_id % 31) + (29 + d.doc_id % 31) % 2
+        |    WHEN d.doc_id % 3 = 1 THEN 20 + (24 + d.doc_id % 31) + (24 + d.doc_id % 31) % 2
+        |    ELSE 30
+        |      + (CASE WHEN d.doc_id % 2 = 0
+        |         THEN 8 + (11 + d.doc_id % 14) + (11 + d.doc_id % 14) % 2 ELSE 0 END)
+        |      + (CASE WHEN d.doc_id % 4 = 2 THEN 14 + COALESCE(a.anmf_len, 0)
+        |              ELSE 8 + (29 + d.doc_id % 31) + (29 + d.doc_id % 31) % 2 END)
+        |      + (CASE WHEN d.doc_id % 5 = 0
+        |         THEN 8 + (9 + d.doc_id % 6) + (9 + d.doc_id % 6) % 2 ELSE 0 END)
+        |  END AS BIGINT) AS byte_len,
+        |  CAST(48 + d.doc_id % 500 AS INTEGER) AS width,
+        |  CAST(32 + d.doc_id % 300 AS INTEGER) AS height,
+        |  (['lossy', 'lossless', 'extended'])[CAST(d.doc_id % 3 AS INTEGER) + 1] AS format,
+        |  CAST(CASE WHEN d.doc_id % 3 <> 0 AND d.doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS has_alpha,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 AND d.doc_id % 4 = 2
+        |    THEN 1 + (d.doc_id // 4) % 3 ELSE 0 END AS INTEGER) AS n_frames
+        |FROM documents d LEFT JOIN an a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Matroska/WebM replay (round 13): byte_len = EBML framing — header
+    // 36, Segment id+size by encoding mode, Info 16/23 (TimestampScale
+    // omitted on id%7=0), Tracks 30/54, clusters with data-dependent
+    // size-VINT width; n_samples counts only video-routed SimpleBlocks;
+    // duration_ms = float Duration × scale (exact integers by fixture)
+    "q_multimodal_mkv_meta" ->
+      """WITH blk AS (
+        |  SELECT doc_id, c.ci AS ci, j.j AS j,
+        |    10 + (doc_id + c.ci * 5 + j.j * 3) % 40 AS dlen
+        |  FROM documents,
+        |       unnest(generate_series(0, 2)) AS c(ci),
+        |       unnest(generate_series(0, 2)) AS j(j)
+        |  WHERE c.ci < 1 + (doc_id // 3) % 3
+        |    AND j.j < 1 + (doc_id + c.ci) % 3),
+        |cl AS (
+        |  SELECT doc_id, ci, 4 + SUM(6 + dlen) AS payload,
+        |    SUM(CASE WHEN doc_id % 3 = 0 AND j % 2 = 1 THEN 0 ELSE 1 END) AS vblocks
+        |  FROM blk GROUP BY doc_id, ci),
+        |cagg AS (
+        |  SELECT doc_id,
+        |    SUM(4 + (CASE WHEN payload <= 126 THEN 1 ELSE 2 END) + payload) AS clusters_len,
+        |    SUM(vblocks) AS vsamples
+        |  FROM cl GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(36 + 4
+        |    + (CASE WHEN d.doc_id % 5 = 2 THEN 1 WHEN d.doc_id % 5 = 3 THEN 8 ELSE 2 END)
+        |    + (CASE WHEN d.doc_id % 7 = 0 THEN 16 ELSE 23 END)
+        |    + (CASE WHEN d.doc_id % 3 = 0 THEN 54 ELSE 30 END)
+        |    + a.clusters_len AS BIGINT) AS byte_len,
+        |  CAST(320 + d.doc_id % 640 AS INTEGER) AS width,
+        |  CAST(180 + d.doc_id % 360 AS INTEGER) AS height,
+        |  CAST((200 + d.doc_id % 500)
+        |    * (CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 1 + d.doc_id % 3 END)
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+        |  CAST(a.vsamples AS BIGINT) AS n_samples,
+        |  (['V_VP8', 'V_VP9', 'V_AV1'])[CAST(d.doc_id % 3 AS INTEGER) + 1] AS codec
+        |FROM documents d JOIN cagg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // WARC walk replay (round 13): the oracle rebuilds the EXACT html
+    // body string, so content_length = 42 + reason + LENGTH(html) binds
+    // the walk's byte accounting to the nested HTTP framing (status
+    // line 15 + reason, Content-Type header 25, blank 2); rec_idx
+    // replays the request-record interleave; gzip and header case are
+    // invisible by construction — which is the load-bearing claim
+    "q_warc_records" ->
+      """WITH r AS (
+        |  SELECT doc_id, u.i AS i,
+        |    '<html><head><title>T' || doc_id || '-' || u.i
+        |      || '</title><script>var a="<p>x</p>";</script><style>p{color:red}</style></head><body><h1 id="h">H '
+        |      || ((doc_id + u.i) % 50)
+        |      || '</h1><p>W&amp;b ' || ((doc_id * 3 + u.i) % 97)
+        |      || '</p><!-- c --><div>Tail&nbsp;' || ((doc_id + 7 * u.i) % 89)
+        |      || '</div></body></html>' AS h
+        |  FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |  WHERE u.i < 2 + doc_id % 3)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 + 2 * i ELSE 1 + i END AS INTEGER) AS rec_idx,
+        |  'https://ex.org/' || doc_id || '/' || i AS target_uri,
+        |  CAST(CASE (doc_id + i) % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END
+        |    AS INTEGER) AS http_status,
+        |  CAST(42 + (CASE (doc_id + i) % 3 WHEN 0 THEN 2 WHEN 1 THEN 9 ELSE 5 END)
+        |    + LENGTH(h) AS BIGINT) AS content_length,
+        |  CAST(LENGTH(h) AS BIGINT) AS payload_len
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // HTML extraction replay (round 13): the exact extracted string —
+    // title text kept, script/style content ABSENT, &amp;/&nbsp;
+    // decoded, whitespace collapsed; only the HTTP-200 slice emits
+    "q_warc_html" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 + 2 * u.i ELSE 1 + u.i END
+        |    AS INTEGER) AS rec_idx,
+        |  'T' || doc_id || '-' || u.i || ' H ' || ((doc_id + u.i) % 50)
+        |    || ' W&b ' || ((doc_id * 3 + u.i) % 97)
+        |    || ' Tail ' || ((doc_id + 7 * u.i) % 89) AS text
+        |FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |WHERE u.i < 2 + doc_id % 3 AND (doc_id + u.i) % 3 = 0
+        |ORDER BY doc_id, rec_idx""".stripMargin,
 
     // the dHash replayed as pure arithmetic: same pixel formula, same
     // floor box-average (18x16 -> 9x8 is the exact 2x2 partition of the

@@ -322,7 +322,30 @@ class PlanSpec extends SparkSpec {
         "audioTags" -> Multimodal.audioTags(
           ids.map(id => Multimodal.Media(id, Multimodal.syntheticMp3(
             version1 = true, srIdx = 0, Seq((5, 0)),
-            Multimodal.id3FramesPayload(4, Seq(("TIT2", "t")), 3)), "audio/mpeg"))).toDF())) {
+            Multimodal.id3FramesPayload(4, Seq(("TIT2", "t")), 3)), "audio/mpeg"))).toDF(),
+        "webpMeta" -> graft.llm.Containers.decodeWebpMeta(
+          ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticWebp(
+            "extended", 64, 48, alpha = true, animFrames = 2, frameLen = _ => 20,
+            fillLen = 10, alphaLen = 9), "image/webp"))).toDF(),
+        "mkvMeta" -> graft.llm.Containers.decodeMkvMeta(
+          ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticMkv(
+            320, 180, 100.0, 1000000L, writeScale = true, audioTrack = false,
+            swapOrder = false, nClusters = 1, blocksPerCluster = _ => 2,
+            blockLen = (_, _) => 16, videoCodec = "V_VP8", segSizeMode = 0),
+            "video/webm"))).toDF(),
+        // the WARC walk fans records OUT but still must not shuffle:
+        // archive bytes stay in the scan task, records flow on
+        "warcRecords" -> graft.llm.Warc.readWarc(
+          ids.map(id => Multimodal.Media(id, graft.llm.Warc.syntheticWarc(
+            2, i => s"https://x/$id/$i", _ => (200, "OK"),
+            i => s"<html><body>t$id-$i</body></html>", gzipped = id % 2 == 1,
+            withRequests = false, lowerCaseHeaders = false, infoLen = 10),
+            "application/warc"))).toDF(),
+        "warcHtmlText" -> graft.llm.Warc.htmlTextRecords(
+          ids.map(id => Multimodal.Media(id, graft.llm.Warc.syntheticWarc(
+            1, i => s"https://x/$id/$i", _ => (200, "OK"),
+            _ => "<p>a&amp;b</p>", gzipped = false, withRequests = false,
+            lowerCaseHeaders = false, infoLen = 4), "application/warc"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }

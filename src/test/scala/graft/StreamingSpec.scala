@@ -1530,6 +1530,77 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
+  test("streaming container metadata: stream rows equal the batch walk (webp/mkv)") {
+    import spark.implicits._
+    import graft.llm.{Containers, Multimodal}
+    val medias = (0L until 8L).map { id =>
+      if (id % 2 == 0)
+        (id, Containers.syntheticWebp(
+          Seq("lossy", "lossless", "extended")((id % 3).toInt),
+          (40 + id).toInt, (30 + id).toInt, alpha = id % 3 == 1,
+          animFrames = if (id % 3 == 2) 2 else 0, frameLen = i => 18 + i,
+          fillLen = (11 + id).toInt), "image/webp")
+      else
+        (id, Containers.syntheticMkv((320 + id).toInt, 180, 100.0 + id * 10,
+          1000000L, writeScale = true, audioTrack = id % 3 == 0,
+          swapOrder = false, nClusters = (1 + id % 2).toInt,
+          blocksPerCluster = ci => 1 + ci, blockLen = (ci, j) => (12 + ci + j + id).toInt,
+          videoCodec = "V_VP9", segSizeMode = (id % 3).toInt.min(2)), "video/webm")
+    }
+    def toMedia(t: (Long, Array[Byte], String)) = Multimodal.Media(t._1, t._2, t._3)
+    val batchDs = spark.createDataset(medias.map(toMedia))
+    val batchWebp = Containers.decodeWebpMeta(batchDs.filter(_.mime == "image/webp")).collect().toSet
+    val batchMkv = Containers.decodeMkvMeta(batchDs.filter(_.mime == "video/webm")).collect().toSet
+    assert(batchWebp.forall(_.format != null) && batchMkv.forall(_.duration_ms > 0),
+      "batch premise: all fixtures decode")
+    val in = MemoryStream[(Long, Array[Byte], String)](spark)
+    val mediaStream = in.toDS().map(toMedia)
+    val q1 = Containers.decodeWebpMeta(mediaStream.filter(_.mime == "image/webp")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_webp").start()
+    val q2 = Containers.decodeMkvMeta(mediaStream.filter(_.mime == "video/webm")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_mkv").start()
+    try {
+      in.addData(medias.take(4): _*)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      in.addData(medias.drop(4): _*)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      val gotWebp = spark.table("cm_webp").as[Containers.WebpMeta].collect().toSet
+      val gotMkv = spark.table("cm_mkv").as[Containers.Mp4Meta].collect().toSet
+      assert(gotWebp == batchWebp, "webp stream == batch")
+      assert(gotMkv == batchMkv, "mkv stream == batch")
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("streaming WARC ingestion: stream records equal the batch walk") {
+    // the archive reader is a flatMap kernel, so a live crawl feed runs
+    // the identical code path — records fan out per input blob
+    import spark.implicits._
+    import graft.llm.{Multimodal, Warc}
+    val medias = (0L until 6L).map { id =>
+      Multimodal.Media(id, Warc.syntheticWarc(
+        (1 + id % 3).toInt, i => s"https://s/$id/$i",
+        i => if ((id + i) % 2 == 0) (200, "OK") else (404, "Not Found"),
+        i => s"<html><body>d$id-$i &amp; x</body></html>",
+        gzipped = id % 2 == 1, withRequests = id % 3 == 2,
+        lowerCaseHeaders = false, infoLen = (5 + id).toInt), "application/warc")
+    }
+    val batch = Warc.readWarc(spark.createDataset(medias)).collect().toSet
+    assert(batch.count(_.warc_type == "response") == medias.indices.map(1 + _ % 3).sum,
+      "batch premise: every response parsed")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val st = in.toDS().map { case (id, b) => Multimodal.Media(id, b, "application/warc") }
+    val q = Warc.readWarc(st).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_warc").start()
+    try {
+      in.addData(medias.take(3).map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      in.addData(medias.drop(3).map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cm_warc").as[Warc.WarcRecord].collect().toSet
+      assert(got == batch, "warc stream == batch")
+    } finally q.stop()
+  }
+
   test("streaming audio tags: stream rows equal the batch walk (id3 + ogg comments)") {
     import spark.implicits._
     import graft.llm.{Containers, Multimodal}

@@ -255,6 +255,156 @@ class ContainerSpec extends AnyFunSuite {
     for (cut <- Seq(5, 14, 40, tagged.length - 3)) wavInfoTags(tagged.take(cut)) // no throw
   }
 
+  // the q_multimodal_webp_meta fixture formulas, verbatim
+  private def webpBytes(id: Long): Array[Byte] = {
+    val fmt = Seq("lossy", "lossless", "extended")((id % 3).toInt)
+    val alpha = id % 2 == 0 && fmt != "lossy"
+    val anim = fmt == "extended" && id % 4 == 2
+    Containers.syntheticWebp(
+      format = fmt,
+      w = (48 + id % 500).toInt, h = (32 + id % 300).toInt,
+      alpha = alpha,
+      animFrames = if (anim) (1 + (id / 4) % 3).toInt else 0,
+      frameLen = i => (20 + (id + 7 * i) % 33).toInt,
+      fillLen = (19 + id % 31).toInt,
+      alphaLen = if (fmt == "extended" && alpha) (11 + id % 14).toInt else 0,
+      exifLen = if (fmt == "extended" && id % 5 == 0) (9 + id % 6).toInt else 0)
+  }
+
+  test("webp: parse fields and the RIFF-framing byte_len form hold across the id sweep") {
+    for (id <- 0L until 420L) {
+      val b = webpBytes(id)
+      val fill = (19 + id % 31).toInt
+      val closedForm = (id % 3) match {
+        case 0 => 20 + (10 + fill) + (10 + fill) % 2
+        case 1 => 20 + (5 + fill) + (5 + fill) % 2
+        case _ =>
+          30 +
+            (if (id % 2 == 0) { val al = (11 + id % 14).toInt; 8 + al + al % 2 } else 0) +
+            (if (id % 4 == 2) {
+              val nf = (1 + (id / 4) % 3).toInt
+              14 + (0 until nf).map { i =>
+                val fl = (20 + (id + 7 * i) % 33).toInt; 24 + fl + fl % 2
+              }.sum
+            } else 8 + (10 + fill) + (10 + fill) % 2) +
+            (if (id % 5 == 0) { val ex = (9 + id % 6).toInt; 8 + ex + ex % 2 } else 0)
+      }
+      assert(b.length.toLong == closedForm, s"webp byte_len form drifted at id=$id")
+      val Some((w, h, fmt, alpha, frames)) = Containers.parseWebp(b)
+      // the extended builder's inner still is (w/2)×(h/2): equality here
+      // proves the CANVAS dims were read, not the embedded bitstream's
+      assert(w == 48 + id % 500 && h == 32 + id % 300, s"dims at id=$id")
+      assert(fmt == Seq("lossy", "lossless", "extended")((id % 3).toInt), s"format at id=$id")
+      assert(alpha == (id % 3 != 0 && id % 2 == 0), s"alpha at id=$id")
+      assert(frames == (if (id % 3 == 2 && id % 4 == 2) (1 + (id / 4) % 3).toInt else 0),
+        s"frames at id=$id")
+    }
+  }
+
+  test("webp: corrupt structures return None, never throw") {
+    val good = webpBytes(14L) // extended + anim + alpha
+    assert(Containers.parseWebp(null).isEmpty)
+    assert(Containers.parseWebp("RIFFxxxxWAVEdata".getBytes).isEmpty)
+    for (cut <- Seq(4, 12, 19, good.length / 2, good.length - 1))
+      Containers.parseWebp(good.take(cut)) // completing is the assertion
+    // an interframe VP8 first chunk has no dims → None (a still is a keyframe)
+    val lossy = webpBytes(0L)
+    val inter = lossy.clone(); inter(20) = (inter(20) | 1).toByte
+    assert(Containers.parseWebp(inter).isEmpty, "interframe VP8 carries no dims")
+    // a broken VP8 start code → None
+    val badSc = lossy.clone(); badSc(23) = 0x42
+    assert(Containers.parseWebp(badSc).isEmpty)
+    // VP8L version bits != 0 → None
+    val lossless = webpBytes(1L)
+    val badVer = lossless.clone(); badVer(24) = (badVer(24) | 0x20).toByte
+    assert(Containers.parseWebp(badVer).isEmpty)
+    // unknown first chunk → None (spec orders the image chunk first)
+    val badCc = lossy.clone(); badCc(12) = 'X'.toByte
+    assert(Containers.parseWebp(badCc).isEmpty)
+  }
+
+  // the q_multimodal_mkv_meta fixture formulas, verbatim
+  private def mkvBytes(id: Long): Array[Byte] =
+    Containers.syntheticMkv(
+      w = (320 + id % 640).toInt, h = (180 + id % 360).toInt,
+      durationTicks = (200 + id % 500).toDouble,
+      timestampScale = 1000000L * (1 + id % 3),
+      writeScale = id % 7 != 0,
+      audioTrack = id % 3 == 0,
+      swapOrder = id % 6 == 3,
+      nClusters = (1 + (id / 3) % 3).toInt,
+      blocksPerCluster = ci => (1 + (id + ci) % 3).toInt,
+      blockLen = (ci, j) => (10 + (id + ci * 5 + j * 3) % 40).toInt,
+      videoCodec = Seq("V_VP8", "V_VP9", "V_AV1")((id % 3).toInt),
+      segSizeMode = if (id % 5 == 2) 1 else if (id % 5 == 3) 2 else 0)
+
+  test("mkv: parse fields and the EBML-framing byte_len form hold across the id sweep") {
+    for (id <- 0L until 420L) {
+      val b = mkvBytes(id)
+      val nC = (1 + (id / 3) % 3).toInt
+      val clustersLen = (0 until nC).map { ci =>
+        val nb = (1 + (id + ci) % 3).toInt
+        val payload = 4 + (0 until nb).map(j => 6 + (10 + (id + ci * 5 + j * 3) % 40).toInt).sum
+        4 + (if (payload <= 126) 1 else 2) + payload
+      }.sum
+      val closedForm = 36 + 4 +
+        (if (id % 5 == 2) 1 else if (id % 5 == 3) 8 else 2) +
+        (if (id % 7 == 0) 16 else 23) +
+        (if (id % 3 == 0) 54 else 30) +
+        clustersLen
+      assert(b.length.toLong == closedForm, s"mkv byte_len form drifted at id=$id")
+      val Some((w, h, durMs, nTracks, nSamples, codec)) = Containers.parseMkv(b)
+      assert(w == 320 + id % 640 && h == 180 + id % 360, s"dims at id=$id")
+      val scale = if (id % 7 == 0) 1 else (1 + id % 3).toInt
+      assert(durMs == (200 + id % 500) * scale,
+        s"duration at id=$id (TimestampScale default on the omitted slice)")
+      assert(nTracks == (if (id % 3 == 0) 2 else 1), s"tracks at id=$id")
+      val expSamples = (0 until nC).map { ci =>
+        val nb = (1 + (id + ci) % 3).toInt
+        if (id % 3 == 0) (0 until nb).count(_ % 2 == 0) else nb
+      }.sum
+      assert(nSamples == expSamples,
+        s"samples at id=$id (only video-routed SimpleBlocks count)")
+      assert(codec == Seq("V_VP8", "V_VP9", "V_AV1")((id % 3).toInt), s"codec at id=$id")
+    }
+  }
+
+  test("mkv: a 4-byte float Duration, non-video-first selection, corrupt input") {
+    import Containers.{ebmlElem, ebmlUintBytes}
+    // hand-assembled: a float4 Duration (the builder always emits float8)
+    val header = mkvBytes(1L).take(36)
+    val info4 = ebmlElem(0x1549A966L,
+      ebmlElem(0x4489L, ebmlUintBytes(
+        java.lang.Float.floatToIntBits(250f).toLong & 0xFFFFFFFFL, 4)))
+    val tracks = ebmlElem(0x1654AE6BL, ebmlElem(0xAEL,
+      ebmlElem(0xD7L, ebmlUintBytes(1, 1)) ++
+        ebmlElem(0x83L, ebmlUintBytes(1, 1)) ++
+        ebmlElem(0x86L, "V_VP9".getBytes("ISO-8859-1")) ++
+        ebmlElem(0xE0L, ebmlElem(0xB0L, ebmlUintBytes(640, 2)) ++
+          ebmlElem(0xBAL, ebmlUintBytes(360, 2)))))
+    val seg = ebmlElem(0x18538067L, info4 ++ tracks)
+    val Some((w4, h4, d4, t4, s4, c4)) = Containers.parseMkv(header ++ seg)
+    assert((w4, h4, d4, t4, s4, c4) == (640, 360, 250L, 1, 0L, "V_VP9"),
+      "float4 Duration and a cluster-free segment parse")
+    // the swap slice: audio entry FIRST with number 1 — selection must be
+    // by TrackType and block routing by the video track's number (2)
+    val swapped = mkvBytes(3L)
+    val Some((ws, _, _, nts, nss, _)) = Containers.parseMkv(swapped)
+    assert(ws == 320 + 3 && nts == 2 && nss > 0, "type-selected video track under swap")
+    // corrupt
+    assert(Containers.parseMkv(null).isEmpty)
+    assert(Containers.parseMkv("not ebml at all!".getBytes).isEmpty)
+    val good = mkvBytes(12L) // unknown segment size slice (12%5==2)
+    for (cut <- Seq(3, 10, 36, good.length / 2, good.length - 1))
+      Containers.parseMkv(good.take(cut)) // completing is the assertion
+    // a size VINT claiming past EOF → None
+    val overrun = header ++ ebmlElem(0x18538067L, info4 ++ tracks).dropRight(5)
+    assert(Containers.parseMkv(overrun).isEmpty)
+    // no Duration → None (duration is the admission signal)
+    val noDur = header ++ ebmlElem(0x18538067L, tracks)
+    assert(Containers.parseMkv(noDur).isEmpty)
+  }
+
   test("ogg: corrupt pages end the walk honestly; garbage returns None") {
     val good = oggBytes(6L) // multi-segment first data page (id%3==0)
     assert(Containers.parseOgg(null).isEmpty)

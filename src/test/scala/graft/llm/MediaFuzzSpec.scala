@@ -39,6 +39,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "mp4Parse" -> (b => Containers.parseMp4(b)),
     "oggParse" -> (b => Containers.parseOgg(b)),
     "aviParse" -> (b => Containers.parseAvi(b)),
+    "webpParse" -> (b => Containers.parseWebp(b)),
+    "mkvParse" -> (b => Containers.parseMkv(b)),
+    "warcParse" -> (b => Warc.parseWarc(b)),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
     "mp4Tags" -> (b => Containers.mp4Tags(b)),
@@ -105,6 +108,21 @@ class MediaFuzzSpec extends AnyFunSuite {
         pageLen = i => if (i == 0) 560 else 120 + i * 13, granuleStep = 512L),
       "avi" -> Containers.syntheticAvi(352, 288, 40000L, 75L, audioStream = true,
         moviChunks = 3, chunkLen = i => 65 + i * 11, junkLen = 7),
+      "webpAnim" -> Containers.syntheticWebp("extended", 320, 240, alpha = true,
+        animFrames = 3, frameLen = i => 21 + i * 8, fillLen = 25, alphaLen = 13,
+        exifLen = 11),
+      "webpLossless" -> Containers.syntheticWebp("lossless", 160, 90, alpha = true,
+        animFrames = 0, frameLen = _ => 0, fillLen = 33),
+      "mkv" -> Containers.syntheticMkv(640, 360, 400.0, 2000000L, writeScale = true,
+        audioTrack = true, swapOrder = true, nClusters = 3,
+        blocksPerCluster = ci => 1 + ci % 3, blockLen = (ci, j) => 12 + ci * 5 + j * 3,
+        videoCodec = "V_VP9", segSizeMode = 1),
+      "warcPlain" -> Warc.syntheticWarc(2, i => s"https://x/$i", _ => (200, "OK"),
+        i => s"<html><body>p$i</body></html>", gzipped = false, withRequests = true,
+        lowerCaseHeaders = false, infoLen = 12),
+      "warcGz" -> Warc.syntheticWarc(2, i => s"https://x/$i", _ => (404, "Not Found"),
+        i => s"<p>q$i</p>", gzipped = true, withRequests = false,
+        lowerCaseHeaders = true, infoLen = 7),
       "mp3Tagged" -> Multimodal.syntheticMp3(version1 = true, srIdx = 0,
         Seq((5, 0), (9, 1)), Multimodal.id3FramesPayload(3,
           Seq(("TIT2", "t"), ("TPE1", "a")), encoding = 1, padding = 9), id3Version = 3),

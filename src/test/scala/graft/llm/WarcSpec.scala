@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC ingestion + HTML text extraction (round 13). Pins (a) every
+  * record field against the q_warc_records fixture formulas across an
+  * id sweep, (b) gzip-transparency — the per-record-member archive
+  * must parse to EXACTLY the plain archive's records, (c) the
+  * extraction semantics q_warc_html replays (script/style content must
+  * not leak, entities, whitespace), and (d) the corrupt-input prefix
+  * posture. */
+class WarcSpec extends AnyFunSuite {
+
+  // the q_warc_records fixture formulas, verbatim
+  private def html(id: Long, i: Int): String =
+    s"""<html><head><title>T$id-$i</title><script>var a="<p>x</p>";</script>""" +
+      s"""<style>p{color:red}</style></head><body><h1 id="h">H ${(id + i) % 50}</h1>""" +
+      s"""<p>W&amp;b ${(id * 3 + i) % 97}</p><!-- c -->""" +
+      s"""<div>Tail&nbsp;${(id + 7 * i) % 89}</div></body></html>"""
+
+  private def warcBytes(id: Long, gz: Boolean): Array[Byte] =
+    Warc.syntheticWarc(
+      nResponses = (2 + id % 3).toInt,
+      uri = i => s"https://ex.org/$id/$i",
+      status = i => ((id + i) % 3) match {
+        case 0 => (200, "OK")
+        case 1 => (404, "Not Found")
+        case _ => (301, "Moved")
+      },
+      htmlBody = i => html(id, i),
+      gzipped = gz,
+      withRequests = id % 4 == 2,
+      lowerCaseHeaders = id % 5 == 0,
+      infoLen = (15 + id % 20).toInt)
+
+  test("record fields hold across the id sweep; gzip members are invisible") {
+    for (id <- 0L until 120L) {
+      val plain = Warc.parseWarc(warcBytes(id, gz = false))
+      val gzipped = Warc.parseWarc(warcBytes(id, gz = true))
+      assert(plain == gzipped, s"per-record gzip members must be invisible at id=$id")
+      val nResp = (2 + id % 3).toInt
+      val withReq = id % 4 == 2
+      assert(plain.length == 1 + nResp * (if (withReq) 2 else 1), s"record count at id=$id")
+      val info = plain.head
+      assert(info.warc_type == "warcinfo" && info.http_status == 0 &&
+        info.payload_len == 15 + id % 20 &&
+        info.payload == Array.tabulate((15 + id % 20).toInt)(
+          j => ('a' + j % 26).toChar).mkString,
+        s"warcinfo passthrough at id=$id (non-HTTP body verbatim)")
+      val responses = plain.filter(_.warc_type == "response")
+      assert(responses.length == nResp)
+      responses.zipWithIndex.foreach { case (r, i) =>
+        assert(r.rec_idx == (if (withReq) 2 + 2 * i else 1 + i), s"rec_idx at id=$id i=$i")
+        assert(r.target_uri == s"https://ex.org/$id/$i", s"uri at id=$id i=$i")
+        val reason = ((id + i) % 3) match { case 0 => 2; case 1 => 9; case _ => 5 }
+        val code = ((id + i) % 3) match { case 0 => 200; case 1 => 404; case _ => 301 }
+        assert(r.http_status == code, s"status at id=$id i=$i")
+        assert(r.payload == html(id, i), s"payload at id=$id i=$i")
+        assert(r.payload_len == html(id, i).length, s"payload_len at id=$id i=$i")
+        assert(r.content_length == 42 + reason + html(id, i).length,
+          s"content_length (nested HTTP framing) at id=$id i=$i")
+      }
+      if (withReq)
+        assert(plain.count(_.warc_type == "request") == nResp, s"requests at id=$id")
+    }
+  }
+
+  test("htmlText: script/style content never leaks; entities; whitespace; totality") {
+    assert(Warc.htmlText(html(7, 1)) == s"T7-1 H ${8 % 50} W&b ${22 % 97} Tail ${14 % 89}")
+    assert(!Warc.htmlText(html(3, 0)).contains("var a"), "script body must not leak")
+    assert(!Warc.htmlText(html(3, 0)).contains("color"), "style body must not leak")
+    assert(Warc.htmlText("<SCRIPT>x=1</SCRIPT>ok") == "ok", "case-insensitive script")
+    assert(Warc.htmlText("<script >a</script\t>b<style x=1>c</style>d") == "b d",
+      "attributes and whitespace in open/close tags (tags become spaces)")
+    assert(Warc.htmlText("a &#65;&#x42;c &bogus; &gt;") == "a ABc &bogus; >",
+      "numeric dec/hex decode; unknown entities survive verbatim")
+    assert(Warc.htmlText("a\n\n b\t c") == "a b c", "whitespace collapse")
+    assert(Warc.htmlText(null) == "" && Warc.htmlText("") == "")
+    assert(Warc.htmlText("<unclosed") == "<unclosed", "tag never closes: text kept")
+    assert(Warc.htmlText("&#xFFFFFFF;") == "&#xFFFFFFF;", "invalid code point survives")
+  }
+
+  test("corrupt archives keep the parsed prefix and never throw") {
+    val good = warcBytes(5L, gz = false)
+    val full = Warc.parseWarc(good)
+    assert(Warc.parseWarc(null).isEmpty)
+    assert(Warc.parseWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
+    // cut inside the LAST record: every earlier record survives
+    val cut = Warc.parseWarc(good.take(good.length - 10))
+    assert(cut == full.dropRight(1), "prefix records survive truncation")
+    for (c <- Seq(3, 10, 50, good.length / 2)) Warc.parseWarc(good.take(c)) // no throw
+    // a lying Content-Length stops the walk at that record (id=6: plain,
+    // canonical header case, so the header is findable by name)
+    val arc6 = warcBytes(6L, gz = false)
+    val lieAt = new String(arc6, "ISO-8859-1").indexOf("Content-Length: ")
+    assert(lieAt > 0)
+    val lied = arc6.clone()
+    lied(lieAt + 16) = '9'; lied(lieAt + 17) = '9'
+    assert(Warc.parseWarc(lied).isEmpty, "first record's lying length -> no records")
+    // gzip bomb guard: a same-bytes stream past the cap returns None
+    val big = Array.fill[Byte](4096)('x')
+    val bos = new java.io.ByteArrayOutputStream()
+    val gzo = new java.util.zip.GZIPOutputStream(bos)
+    gzo.write(big); gzo.close()
+    assert(Warc.gunzipAll(bos.toByteArray, max = 100).isEmpty, "bomb guard trips")
+    assert(Warc.gunzipAll(bos.toByteArray).exists(_.sameElements(big)))
+    // corrupt gzip tail: None -> no records, no throw
+    val gzArc = warcBytes(4L, gz = true)
+    Warc.parseWarc(gzArc.take(gzArc.length / 2)) // no throw
+  }
+}
