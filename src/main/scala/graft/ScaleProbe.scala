@@ -201,6 +201,42 @@ object ScaleProbe {
     Multimodal.Media(id, Multimodal.syntheticGifAnimatedDeltas(w, h, deltas), "video/gif")
   }
 
+  // Round-13 admission-layer probes: the structural container walks and
+  // WARC ingestion are pure map/flatMap kernels, so the expectation is
+  // wall-clock linear in corpus size with no shuffle; rendering the
+  // synthetic container inside the timed map stands in for scan I/O.
+  private def probeWebpMedia(id: Long): graft.llm.Multimodal.Media = {
+    val fmt = Seq("lossy", "lossless", "extended")((id % 3).toInt)
+    graft.llm.Multimodal.Media(id, graft.llm.Containers.syntheticWebp(
+      fmt, (64 + id % 300).toInt, (48 + id % 200).toInt,
+      alpha = fmt != "lossy" && id % 2 == 0,
+      animFrames = if (fmt == "extended" && id % 4 == 2) 3 else 0,
+      frameLen = i => (40 + (id + i) % 60).toInt, fillLen = (200 + id % 99).toInt,
+      alphaLen = 30, exifLen = if (id % 5 == 0) 25 else 0), "image/webp")
+  }
+  private def probeMkvMedia(id: Long): graft.llm.Multimodal.Media =
+    graft.llm.Multimodal.Media(id, graft.llm.Containers.syntheticMkv(
+      (320 + id % 640).toInt, (180 + id % 360).toInt,
+      durationTicks = (300 + id % 400).toDouble, timestampScale = 1000000L,
+      writeScale = id % 7 != 0, audioTrack = id % 3 == 0, swapOrder = id % 6 == 3,
+      nClusters = (2 + id % 3).toInt, blocksPerCluster = ci => (2 + (id + ci) % 3).toInt,
+      blockLen = (ci, j) => (30 + (id + ci * 5 + j * 3) % 60).toInt,
+      videoCodec = "V_VP9",
+      segSizeMode = if (id % 5 == 2) 1 else if (id % 5 == 3) 2 else 0), "video/webm")
+  private def probeWarcMedia(id: Long): graft.llm.Multimodal.Media = {
+    // ~2 KB html bodies: a realistic page-weight stand-in so the timed
+    // row includes gunzip + header walk + extraction over real volume
+    val filler = ("<p>" + ("lorem ipsum dolor sit amet " * 12) + "</p>") * 6
+    graft.llm.Multimodal.Media(id, graft.llm.Warc.syntheticWarc(
+      nResponses = 3,
+      uri = i => s"https://probe/$id/$i",
+      status = i => if ((id + i) % 4 == 0) (404, "Not Found") else (200, "OK"),
+      htmlBody = i => s"<html><head><title>P$id-$i</title><script>var x=1;" +
+        s"</script></head><body><h1>H ${(id + i) % 97}</h1>$filler</body></html>",
+      gzipped = id % 2 == 1, withRequests = id % 3 == 0,
+      lowerCaseHeaders = false, infoLen = 20), "application/warc")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -482,6 +518,25 @@ object ScaleProbe {
               quarterIds.map(probeVideoAdversarialMedia(96) _), sampleFrames = 4)
               .agg(count(col("dhash"))).head.getLong(0))
           report("video_gif_adversarial_chain96", tA96, nA96)
+          // round-13: admission walks + WARC ingest/extract — the count
+          // aggregates a parsed column so the typed map can't be pruned
+          val (tWp, nWp) = time(
+            graft.llm.Containers.decodeWebpMeta(mediaIds.map(probeWebpMedia _))
+              .agg(count(col("width"))).head.getLong(0))
+          report("webp_meta_walk", tWp, nWp)
+          val (tMk, nMk) = time(
+            graft.llm.Containers.decodeMkvMeta(mediaIds.map(probeMkvMedia _))
+              .agg(count(col("duration_ms"))).head.getLong(0))
+          report("mkv_meta_walk", tMk, nMk)
+          val (tWr, nWr) = time(
+            graft.llm.Warc.readWarc(mediaIds.map(probeWarcMedia _))
+              .agg(count(col("content_length"))).head.getLong(0))
+          report("warc_ingest_records", tWr, nWr)
+          val (tWh, nWh) = time(
+            graft.llm.Warc.htmlTextRecords(mediaIds.map(probeWarcMedia _))
+              .toDF("doc_id", "rec_idx", "text")
+              .agg(count(col("text"))).head.getLong(0))
+          report("warc_html_extract", tWh, nWh)
         }
         // round-10: the as-of family under a HOT key — half of every
         // tick lands on key 0 (the single-instrument-with-10⁹-ticks shape

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis, Warc}
+import graft.llm.{Ann, Archives, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1274,6 +1274,62 @@ object LlmQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // Ingestion pipeline (round 13): WARC record walk → HTTP-200 filter
+    // → HTML text extraction → quality gate, ONE Catalyst plan with no
+    // inter-stage materialization and no shuffle before the output sort
+    // — the first mile of a Common Crawl curation run
+    "q_pipeline_warc" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcMedia _)
+      val txt = Warc.htmlTextRecords(media).toDF("doc_id", "rec_idx", "text")
+      TextAnalysis.quality(txt, col("text"))
+        .select(col("doc_id"), col("rec_idx"), col("n_chars"), col("n_words"),
+          (col("n_chars") >= 24 && col("n_words") >= 6).cast("int").as("keep"))
+        .orderBy("doc_id", "rec_idx")
+    }),
+
+    // TAR shard walk (round 13): ustar headers with VERIFIED additive
+    // checksums, octal size fields, 512-block offset accounting that
+    // must stay correct across skipped pax entries and the gzip slice
+    "q_tar_entries" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(tarMedia _)
+      Archives.tarEntries(media).toDF()
+        .select("doc_id", "entry_idx", "name", "type_flag", "size", "data_offset",
+          "content")
+        .orderBy("doc_id", "entry_idx")
+    }),
+
+    // WebDataset sample grouping (round 13): consecutive same-key
+    // entries collapse in-walk (zero shuffle); key = basename up to the
+    // FIRST dot; the caption and the jpg byte length cross-check both
+    // payloads landed under the right extension
+    "q_webdataset_samples" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wdsMedia _)
+      Archives.webdatasetSamples(media)
+        .map(w => (w.doc_id, w.key, w.n_parts,
+          new String(w.parts("txt"), "UTF-8"), w.parts("jpg").length.toLong))
+        .toDF("doc_id", "key", "n_parts", "caption", "jpg_len")
+        .orderBy("doc_id", "key")
+    }),
+
+    // ZIP walk (round 13): OUR central-directory reader over archives
+    // written by the JDK's OWN ZipOutputStream — independent writer and
+    // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
+    "q_zip_entries" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(zipMedia _)
+      Archives.zipEntries(media).toDF()
+        .select(col("doc_id"), col("entry_idx"), col("name"), col("method"),
+          col("uncomp_len"), col("crc_ok").cast("int").as("crc_ok"), col("content"))
+        .orderBy("doc_id", "entry_idx")
+    }),
+
     // REAL pixel decode + perceptual hash: each doc renders an actual
     // 18x16 24-bpp BMP whose grayscale is an integer function of
     // (doc_id, x, y); the decoder must reconstruct the EXACT pixels
@@ -2096,6 +2152,63 @@ object LlmQueries {
         lowerCaseHeaders = id % 5 == 0,
         infoLen = (15 + id % 20).toInt),
       "application/warc")
+  }
+
+  /** The q_tar_entries fixture (round 13): 2 + id%4 text members under
+    * a directory entry (id%3=0 slice), a skipped pax header member on
+    * id%5=0 (offset accounting must still advance), gzip on odd ids.
+    * Contents are prefix + 'a'-padding to a formula size so the oracle
+    * rebuilds the exact string AND the 512-block offset arithmetic. */
+  private def tarMedia(id: Long): Multimodal.Media = {
+    val nF = (2 + id % 4).toInt
+    val members = Seq.newBuilder[(String, Char, Array[Byte])]
+    if (id % 3 == 0) members += ((s"d$id/", '5', Array.emptyByteArray))
+    if (id % 5 == 0) members += (("pax", 'x',
+      Array.tabulate[Byte]((17 + id % 9).toInt)(j => ('p' + j % 11).toByte)))
+    (0 until nF).foreach { i =>
+      val size = (20 + (id + 3 * i) % 40).toInt
+      val prefix = s"c$id-$i-"
+      val content = prefix + "a" * (size - prefix.length)
+      members += ((s"d$id/f${id}_$i.txt", '0', content.getBytes("UTF-8")))
+    }
+    Multimodal.Media(id, Archives.syntheticTar(members.result(), gzipped = id % 2 == 1),
+      "application/x-tar")
+  }
+
+  /** The q_webdataset_samples fixture (round 13): 2 + id%3 samples of
+    * consecutive (key.jpg, key.txt[, key.json]) members, a leading
+    * non-file directory entry on id%4=0 (grouping must ignore it), gzip
+    * on id%3=1. */
+  private def wdsMedia(id: Long): Multimodal.Media = {
+    val nS = (2 + id % 3).toInt
+    val members = Seq.newBuilder[(String, Char, Array[Byte])]
+    if (id % 4 == 0) members += (("wds/", '5', Array.emptyByteArray))
+    (0 until nS).foreach { k =>
+      val key = s"s${id}_$k"
+      members += ((s"$key.jpg",
+        '0', Array.tabulate[Byte]((30 + (id + k) % 50).toInt)(j => ((j * 7 + k) % 256).toByte)))
+      members += ((s"$key.txt", '0', s"cap $id $k".getBytes("UTF-8")))
+      if ((id + k) % 2 == 0) members += ((s"$key.json", '0', "{}".getBytes("UTF-8")))
+    }
+    Multimodal.Media(id, Archives.syntheticTar(members.result(), gzipped = id % 3 == 1),
+      "application/x-tar")
+  }
+
+  /** The q_zip_entries fixture (round 13): written by the JDK's own
+    * ZipOutputStream (independent of our central-directory reader);
+    * 2 + id%3 members, STORED on the (id+i)%3=0 slice, DEFLATE
+    * otherwise; contents prefix + 'b'-padding to a formula size. */
+  private[graft] def zipText(id: Long, i: Int): String = {
+    val size = (15 + (id + i) % 30).toInt
+    val prefix = s"z$id-$i-"
+    prefix + "b" * math.max(0, size - prefix.length)
+  }
+  private def zipMedia(id: Long): Multimodal.Media = {
+    val nE = (2 + id % 3).toInt
+    val entries = (0 until nE).map { i =>
+      (s"e$id/$i.txt", zipText(id, i).getBytes("UTF-8"), (id + i) % 3 == 0)
+    }
+    Multimodal.Media(id, Archives.syntheticZip(entries), "application/zip")
   }
 
   /** The q_multimodal_avi_meta fixture (round 13): a complete RIFF/AVI
@@ -4043,6 +4156,89 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 3)) AS u(i)
         |WHERE u.i < 2 + doc_id % 3 AND (doc_id + u.i) % 3 = 0
         |ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // ingestion-pipeline replay (round 13): quality metrics over the
+    // SAME closed-form extracted text — n_words = spaces + 1 (single
+    // spaces by construction), keep = integer threshold gate
+    "q_pipeline_warc" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 4 = 2 THEN 2 + 2 * u.i ELSE 1 + u.i END
+        |      AS INTEGER) AS rec_idx,
+        |    'T' || doc_id || '-' || u.i || ' H ' || ((doc_id + u.i) % 50)
+        |      || ' W&b ' || ((doc_id * 3 + u.i) % 97)
+        |      || ' Tail ' || ((doc_id + 7 * u.i) % 89) AS text
+        |  FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |  WHERE u.i < 2 + doc_id % 3 AND (doc_id + u.i) % 3 = 0)
+        |SELECT doc_id, rec_idx,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN LENGTH(text) >= 24
+        |    AND LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 6
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM t ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // tar replay (round 13): entry_idx/name/content closed forms plus
+    // data_offset = the 512-block arithmetic INCLUDING the header of a
+    // skipped pax member (dir 512, pax 1024, each file 1024)
+    "q_tar_entries" ->
+      """WITH f AS (
+        |  SELECT doc_id, u.i AS i,
+        |    20 + (doc_id + 3 * u.i) % 40 AS fsize,
+        |    'c' || doc_id || '-' || u.i || '-' AS pre
+        |  FROM documents, unnest(generate_series(0, 4)) AS u(i)
+        |  WHERE u.i < 2 + doc_id % 4)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS entry_idx,
+        |  'd' || doc_id || '/' AS name, '5' AS type_flag,
+        |  CAST(0 AS BIGINT) AS size, CAST(512 AS BIGINT) AS data_offset,
+        |  CAST(NULL AS VARCHAR) AS content
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id,
+        |  CAST(i + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS entry_idx,
+        |  'd' || doc_id || '/f' || doc_id || '_' || i || '.txt' AS name,
+        |  '0' AS type_flag,
+        |  CAST(fsize AS BIGINT) AS size,
+        |  CAST((CASE WHEN doc_id % 3 = 0 THEN 512 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 5 = 0 THEN 1024 ELSE 0 END)
+        |    + i * 1024 + 512 AS BIGINT) AS data_offset,
+        |  pre || repeat('a', fsize - LENGTH(pre)) AS content
+        |FROM f
+        |ORDER BY doc_id, entry_idx""".stripMargin,
+
+    // WebDataset replay (round 13): one row per sample — n_parts counts
+    // the optional json, the caption string and jpg byte length pin the
+    // extension→payload routing
+    "q_webdataset_samples" ->
+      """SELECT doc_id,
+        |  's' || doc_id || '_' || u.k AS key,
+        |  CAST(2 + CASE WHEN (doc_id + u.k) % 2 = 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS n_parts,
+        |  'cap ' || doc_id || ' ' || u.k AS caption,
+        |  CAST(30 + (doc_id + u.k) % 50 AS BIGINT) AS jpg_len
+        |FROM documents, unnest(generate_series(0, 4)) AS u(k)
+        |WHERE u.k < 2 + doc_id % 3
+        |ORDER BY doc_id, key""".stripMargin,
+
+    // zip replay (round 13): method by slice (STORED/DEFLATE), content
+    // rebuilt exactly, uncomp_len = LENGTH(content), crc_ok must be 1
+    // everywhere (CRC-32 re-verified over OUR inflate of the JDK's
+    // compressed bytes)
+    "q_zip_entries" ->
+      """WITH e AS (
+        |  SELECT doc_id, u.i AS i,
+        |    'z' || doc_id || '-' || u.i || '-'
+        |      || repeat('b', GREATEST(15 + (doc_id + u.i) % 30
+        |           - LENGTH('z' || doc_id || '-' || u.i || '-'), 0)) AS content
+        |  FROM documents, unnest(generate_series(0, 4)) AS u(i)
+        |  WHERE u.i < 2 + doc_id % 3)
+        |SELECT doc_id, CAST(i AS INTEGER) AS entry_idx,
+        |  'e' || doc_id || '/' || i || '.txt' AS name,
+        |  CAST(CASE WHEN (doc_id + i) % 3 = 0 THEN 0 ELSE 8 END AS INTEGER) AS method,
+        |  CAST(LENGTH(content) AS BIGINT) AS uncomp_len,
+        |  CAST(1 AS INTEGER) AS crc_ok,
+        |  content
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
 
     // the dHash replayed as pure arithmetic: same pixel formula, same
     // floor box-average (18x16 -> 9x8 is the exact 2x2 partition of the

@@ -345,7 +345,22 @@ class PlanSpec extends SparkSpec {
           ids.map(id => Multimodal.Media(id, graft.llm.Warc.syntheticWarc(
             1, i => s"https://x/$id/$i", _ => (200, "OK"),
             _ => "<p>a&amp;b</p>", gzipped = false, withRequests = false,
-            lowerCaseHeaders = false, infoLen = 4), "application/warc"))).toDF())) {
+            lowerCaseHeaders = false, infoLen = 4), "application/warc"))).toDF(),
+        // archive shard walks: entries/samples fan out in the scan task
+        "tarEntries" -> graft.llm.Archives.tarEntries(
+          ids.map(id => Multimodal.Media(id, graft.llm.Archives.syntheticTar(Seq(
+            (s"a$id.txt", '0', s"body $id".getBytes),
+            (s"b$id.txt", '0', "x".getBytes)), gzipped = id % 2 == 0),
+            "application/x-tar"))).toDF(),
+        "wdsSamples" -> graft.llm.Archives.webdatasetSamples(
+          ids.map(id => Multimodal.Media(id, graft.llm.Archives.syntheticTar(Seq(
+            (s"k$id.jpg", '0', Array.tabulate[Byte](24)(j => (j + 1).toByte)),
+            (s"k$id.txt", '0', "cap".getBytes)), gzipped = false),
+            "application/x-tar"))).toDF(),
+        "zipEntries" -> graft.llm.Archives.zipEntries(
+          ids.map(id => Multimodal.Media(id, graft.llm.Archives.syntheticZip(Seq(
+            (s"z$id.txt", s"zip body $id".getBytes, id % 2 == 0))),
+            "application/zip"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }

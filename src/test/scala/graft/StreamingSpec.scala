@@ -1601,6 +1601,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
+    import spark.implicits._
+    import graft.llm.{Archives, Multimodal}
+    val medias = (0L until 6L).map { id =>
+      if (id % 2 == 0)
+        Multimodal.Media(id, Archives.syntheticTar(
+          (0 until (1 + id % 3).toInt).map(i =>
+            (s"f${id}_$i.txt", '0', s"body $id $i".getBytes("UTF-8"))),
+          gzipped = id % 4 == 0), "application/x-tar")
+      else
+        Multimodal.Media(id, Archives.syntheticZip(
+          (0 until (1 + id % 3).toInt).map(i =>
+            (s"e${id}_$i.txt", s"zip $id $i".getBytes("UTF-8"), i % 2 == 0))),
+          "application/zip")
+    }
+    val batchDs = spark.createDataset(medias)
+    val batchTar = Archives.tarEntries(batchDs.filter(_.mime == "application/x-tar"))
+      .collect().toSet
+    val batchZip = Archives.zipEntries(batchDs.filter(_.mime == "application/zip"))
+      .collect().toSet
+    assert(batchTar.nonEmpty && batchZip.nonEmpty && batchZip.forall(_.crc_ok),
+      "batch premise: every fixture parses")
+    val in = MemoryStream[(Long, Array[Byte], String)](spark)
+    val st = in.toDS().map(t => Multimodal.Media(t._1, t._2, t._3))
+    val q1 = Archives.tarEntries(st.filter(_.mime == "application/x-tar")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_tar").start()
+    val q2 = Archives.zipEntries(st.filter(_.mime == "application/zip")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_zip").start()
+    try {
+      in.addData(medias.take(3).map(m => (m.doc_id, m.media, m.mime)): _*)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      in.addData(medias.drop(3).map(m => (m.doc_id, m.media, m.mime)): _*)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      val gotTar = spark.table("cm_tar").as[Archives.TarEntry].collect().toSet
+      val gotZip = spark.table("cm_zip").as[Archives.ZipEntry].collect().toSet
+      assert(gotTar == batchTar, "tar stream == batch")
+      assert(gotZip == batchZip, "zip stream == batch")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming audio tags: stream rows equal the batch walk (id3 + ogg comments)") {
     import spark.implicits._
     import graft.llm.{Containers, Multimodal}

@@ -42,6 +42,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "webpParse" -> (b => Containers.parseWebp(b)),
     "mkvParse" -> (b => Containers.parseMkv(b)),
     "warcParse" -> (b => Warc.parseWarc(b)),
+    "tarParse" -> (b => Archives.parseTar(b)),
+    "wdsParse" -> (b => Archives.parseWds(b)),
+    "zipParse" -> (b => Archives.parseZip(b)),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
     "mp4Tags" -> (b => Containers.mp4Tags(b)),
@@ -123,6 +126,20 @@ class MediaFuzzSpec extends AnyFunSuite {
       "warcGz" -> Warc.syntheticWarc(2, i => s"https://x/$i", _ => (404, "Not Found"),
         i => s"<p>q$i</p>", gzipped = true, withRequests = false,
         lowerCaseHeaders = true, infoLen = 7),
+      "tar" -> Archives.syntheticTar(Seq(
+        ("d/", '5', Array.emptyByteArray),
+        ("d/a.txt", '0', "hello tar".getBytes),
+        ("pax", 'x', Array[Byte](1, 2, 3)),
+        ("d/b.bin", '0', Array.tabulate[Byte](700)(j => (j * 3).toByte))),
+        gzipped = false),
+      "tarGzWds" -> Archives.syntheticTar(Seq(
+        ("s0.jpg", '0', Array.tabulate[Byte](40)(j => (j * 5).toByte)),
+        ("s0.txt", '0', "cap".getBytes),
+        ("s1.jpg", '0', Array.tabulate[Byte](33)(j => (j * 9).toByte))),
+        gzipped = true),
+      "zip" -> Archives.syntheticZip(Seq(
+        ("a.txt", "stored body".getBytes, true),
+        ("b/c.txt", ("deflate body " * 20).getBytes, false))),
       "mp3Tagged" -> Multimodal.syntheticMp3(version1 = true, srIdx = 0,
         Seq((5, 0), (9, 1)), Multimodal.id3FramesPayload(3,
           Seq(("TIT2", "t"), ("TPE1", "a")), encoding = 1, padding = 9), id3Version = 3),
