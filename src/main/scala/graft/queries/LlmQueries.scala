@@ -1317,6 +1317,28 @@ object LlmQueries {
         .orderBy("doc_id", "key")
     }),
 
+    // Multimodal shard pipeline (round 13): WebDataset tar walk →
+    // adjacency sample grouping → REAL BMP pixel decode of the .bmp
+    // part → perceptual dHash, ONE Catalyst plan of pure map stages —
+    // the LAION-style "hash every image in every shard" first pass;
+    // the oracle replays the dHash arithmetic per (doc, sample)
+    "q_pipeline_wds_media" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wdsHashMedia _)
+      val imgs = Archives.webdatasetSamples(media)
+        .map { w =>
+          val k = w.key.substring(w.key.lastIndexOf('_') + 1).toLong
+          Multimodal.Media(w.doc_id * 4 + k, w.parts("bmp"), "image/bmp")
+        }
+      Multimodal.imageDHash(imgs).toDF()
+        .select(expr("doc_id div 4").as("doc_id"),
+          pmod(col("doc_id"), lit(4L)).cast("int").as("k"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id", "k")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -2191,6 +2213,29 @@ object LlmQueries {
       if ((id + k) % 2 == 0) members += ((s"$key.json", '0', "{}".getBytes("UTF-8")))
     }
     Multimodal.Media(id, Archives.syntheticTar(members.result(), gzipped = id % 3 == 1),
+      "application/x-tar")
+  }
+
+  /** The q_pipeline_wds_media fixture (round 13): WebDataset shards of
+    * (key.bmp, key.txt) samples whose BMP pixels follow the
+    * [[dhashMedia]] arithmetic on sid = doc_id·4 + k — so the oracle's
+    * dHash replay only matches if the shard walk, the sample grouping,
+    * AND the pixel decode are all correct. gzip on odd ids. */
+  private def wdsHashMedia(id: Long): Multimodal.Media = {
+    val nS = (2 + id % 2).toInt
+    val members = Seq.newBuilder[(String, Char, Array[Byte])]
+    (0 until nS).foreach { k =>
+      val sid = id * 4 + k
+      val gray = Array.tabulate(18 * 16) { i =>
+        val x = i % 18
+        val y = i / 18
+        (((sid % 40) * 31 + x * 7 + y * 13) % 176).toInt +
+          (if (x < 2 && y < 2) (((sid / 40) % 3) * 40).toInt else 0)
+      }
+      members += ((s"m${id}_$k.bmp", '0', Multimodal.syntheticBmpPixels(18, 16, gray)))
+      members += ((s"m${id}_$k.txt", '0', s"cap $id $k".getBytes("UTF-8")))
+    }
+    Multimodal.Media(id, Archives.syntheticTar(members.result(), gzipped = id % 2 == 1),
       "application/x-tar")
   }
 
@@ -4219,6 +4264,34 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 4)) AS u(k)
         |WHERE u.k < 2 + doc_id % 3
         |ORDER BY doc_id, key""".stripMargin,
+
+    // WebDataset-media pipeline replay (round 13): the q_multimodal_dhash
+    // arithmetic re-keyed by sid = doc_id·4 + k — shard walk, grouping,
+    // and decode must compose losslessly for these sums to match
+    "q_pipeline_wds_media" ->
+      """WITH s AS (
+        |  SELECT doc_id, u.k AS k, doc_id * 4 + u.k AS sid
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(k)
+        |  WHERE u.k < 2 + doc_id % 2),
+        |px AS (
+        |  SELECT doc_id, k, u.x AS x, v.y AS y,
+        |         ((sid % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((sid // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM s, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, k, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, k, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.k, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.k = r.k AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id, CAST(k AS INTEGER) AS k,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin,
 
     // zip replay (round 13): method by slice (STORED/DEFLATE), content
     // rebuilt exactly, uncomp_len = LENGTH(content), crc_ok must be 1
