@@ -4408,16 +4408,18 @@ object Multimodal {
     * shared by batch and stream. Every decoder downmixes and
     * width-normalizes identically, so any two lossless exports of the
     * same recording hash the same. */
-  private[graft] def audioHashOf(m: Array[Byte]): Option[Long] = {
-    val pcm =
-      if (Flac.isFlac(m)) Flac.decodePcm(m)
-      else if (m != null && m.length >= 12 && m(0) == 'F' && m(1) == 'O' && m(2) == 'R' && m(3) == 'M')
-        decodeAiffPcm(m)
-      else if (m != null && m.length >= 4 && m(0) == '.' && m(1) == 's' && m(2) == 'n' && m(3) == 'd')
-        decodeAuPcm(m)
-      else decodeWavPcm(m)
-    pcm.flatMap { case (_, _, s) => audioHash64(s) }
-  }
+  private[graft] def audioHashOf(m: Array[Byte]): Option[Long] =
+    audioPcmOf(m).flatMap { case (_, _, s) => audioHash64(s) }
+
+  /** Bytes → (rate, channels, int16-normalized samples), the magic-byte
+    * PCM dispatch shared by the hash kernel and [[AudioStats]]. */
+  private[graft] def audioPcmOf(m: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (Flac.isFlac(m)) Flac.decodePcm(m)
+    else if (m != null && m.length >= 12 && m(0) == 'F' && m(1) == 'O' && m(2) == 'R' && m(3) == 'M')
+      decodeAiffPcm(m)
+    else if (m != null && m.length >= 4 && m(0) == '.' && m(1) == 's' && m(2) == 'n' && m(3) == 'd')
+      decodeAuPcm(m)
+    else decodeWavPcm(m)
 
   /** Bytes → sampled frame lumas, dispatched on magic: Y4M streams or
     * animated GIFs (full-screen frames), both with allocation bounded

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, TextAnalysis, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1317,6 +1317,33 @@ object LlmQueries {
         .orderBy("doc_id", "key")
     }),
 
+    // Audio curation stats (round 13): peak/clipping/silence/loudness/
+    // zero-crossings over decoded PCM — integer-exact, replayed
+    // bit-for-bit across all eight lossless encodings of the fixture
+    "q_audio_stats" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(audioStatsMedia _)
+      AudioStats.stats(media).toDF()
+        .select("doc_id", "n_samples", "peak", "clipped", "silence_windows",
+          "mean_abs", "zero_crossings")
+        .orderBy("doc_id")
+    }),
+
+    // Subtitle cue walk (round 13): SRT and WebVTT sidecars — comma vs
+    // dot milliseconds, NOTE blocks, cue ids, settings after the arrow
+    // all load-bearing; cue text flows through the HTML cleaner (the
+    // transcript posture), so inline <i> markup must strip exactly
+    "q_subtitle_cues" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(subMedia _)
+      Subtitles.cues(media)
+        .map(c => (c.doc_id, c.cue_idx, c.start_ms, c.end_ms, Warc.htmlText(c.text)))
+        .toDF("doc_id", "cue_idx", "start_ms", "end_ms", "text")
+        .orderBy("doc_id", "cue_idx")
+    }),
+
     // Multimodal shard pipeline (round 13): WebDataset tar walk →
     // adjacency sample grouping → REAL BMP pixel decode of the .bmp
     // part → perceptual dHash, ONE Catalyst plan of pure map stages —
@@ -2216,6 +2243,26 @@ object LlmQueries {
       "application/x-tar")
   }
 
+  /** The q_subtitle_cues fixture (round 13): SRT on even ids, WebVTT
+    * (with its NOTE block) on odd — settings-after-the-arrow on id%4=1,
+    * cue identifiers on id%4=3; timings by formula; cue text carries
+    * inline <i> markup and a second line on the (id+i)%3=0 slice so the
+    * multi-line join + HTML-clean composition are load-bearing. */
+  private def subMedia(id: Long): Multimodal.Media = {
+    val nC = (2 + id % 4).toInt
+    val cueList = (0 until nC).map { i =>
+      val start = (id % 500) * 10 + i * 2000
+      val end = start + 500 + (id * 7 + i * 13) % 1500
+      val lines = Seq(s"Line ${(id + i) % 97} <i>em</i>") ++
+        (if ((id + i) % 3 == 0) Seq(s"and ${(id * 3 + i) % 89}") else Nil)
+      (start, end, lines)
+    }
+    Multimodal.Media(id,
+      Subtitles.synthetic(cueList, vtt = id % 2 == 1,
+        vttSettings = id % 4 == 1, vttIds = id % 4 == 3).getBytes("UTF-8"),
+      if (id % 2 == 1) "text/vtt" else "application/x-subrip")
+  }
+
   /** The q_pipeline_wds_media fixture (round 13): WebDataset shards of
     * (key.bmp, key.txt) samples whose BMP pixels follow the
     * [[dhashMedia]] arithmetic on sid = doc_id·4 + k — so the oracle's
@@ -2376,6 +2423,13 @@ object LlmQueries {
       val s = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
       if (j < 30) s + (((id / 40) % 3) * 500).toInt else s
     }
+    encodeAudioCross(id, samples)
+  }
+
+  /** The id%8 lossless re-export dispatch shared by [[audioCrossMedia]]
+    * and [[audioStatsMedia]] — every branch decodes back to the exact
+    * int16 samples. */
+  private[graft] def encodeAudioCross(id: Long, samples: Array[Int]): Multimodal.Media = {
     val (bytes, mime) = (id % 8) match {
       case 0 => (Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
       case 1 => (Multimodal.syntheticWav(8000, samples, "pcm24"), "audio/wav")
@@ -2396,6 +2450,26 @@ object LlmQueries {
     }
     Multimodal.Media(id, bytes, mime)
   }
+
+  /** The q_audio_stats fixture (round 13): the [[audioCrossMedia]]
+    * waveform with two curation-signal slices layered on — id%6=0
+    * amplifies ×17 with a symmetric int16 clamp (real clipping, full-scale
+    * runs), id%5=1 zeroes samples 600–899 (ten dead-air windows) —
+    * then re-exported through the same id%8 lossless encoding
+    * dispatch, so every decoder is load-bearing for the stats. */
+  private[graft] def audioStatsSamples(id: Long): Array[Int] = Array.tabulate(1950) { j =>
+    val base0 = (((id % 40) * 17 + j * 31) % 4001 - 2000).toInt
+    val base = if (j < 30) base0 + (((id / 40) % 3) * 500).toInt else base0
+    // the float32 slice (id%8=2) skips amplification: the documented
+    // decode scale (round(clamp(f)*32767)) quantizes by <=1 LSB above
+    // half scale, so full-scale samples are not bit-replayable there —
+    // every other encoding is int16-exact at any amplitude
+    val amp = if (id % 6 == 0 && id % 8 != 2)
+      math.max(-32767, math.min(32767, base * 17)) else base
+    if (id % 5 == 1 && j >= 600 && j < 900) 0 else amp
+  }
+  private def audioStatsMedia(id: Long): Multimodal.Media =
+    encodeAudioCross(id, audioStatsSamples(id))
 
   /** The q_multimodal_ulaw_audiohash fixture: 1950 G.711 μ-law CODED
     * bytes straight from an integer formula on (doc_id, j) — the
@@ -4264,6 +4338,59 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 4)) AS u(k)
         |WHERE u.k < 2 + doc_id % 3
         |ORDER BY doc_id, key""".stripMargin,
+
+    // audio-stats replay (round 13): the sample formula with the clip
+    // clamp and dead-air slices, then every signal as exact integer
+    // aggregation — LAG for sign alternations, 30-sample windows with
+    // integer-division means for silence
+    "q_audio_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, u.j AS j,
+        |    ((doc_id % 40) * 17 + u.j * 31) % 4001 - 2000
+        |      + CASE WHEN u.j < 30 THEN ((doc_id // 40) % 3) * 500 ELSE 0 END AS base
+        |  FROM documents, unnest(generate_series(0, 1949)) AS u(j)),
+        |sm AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN doc_id % 5 = 1 AND j BETWEEN 600 AND 899 THEN 0
+        |         WHEN doc_id % 6 = 0 AND doc_id % 8 <> 2
+        |           THEN GREATEST(-32767, LEAST(32767, base * 17))
+        |         ELSE base END AS s
+        |  FROM b),
+        |w AS (SELECT doc_id, j // 30 AS f, SUM(abs(s)) // 30 AS e
+        |      FROM sm GROUP BY doc_id, j // 30),
+        |sil AS (SELECT doc_id, SUM(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS sw
+        |        FROM w GROUP BY doc_id),
+        |zc AS (SELECT doc_id,
+        |         SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (s < 0)
+        |             THEN 1 ELSE 0 END) AS z
+        |       FROM (SELECT doc_id, s,
+        |               LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM sm)
+        |       GROUP BY doc_id),
+        |agg AS (SELECT doc_id, COUNT(*) AS n, MAX(abs(s)) AS peak,
+        |          SUM(CASE WHEN abs(s) >= 32760 THEN 1 ELSE 0 END) AS clipped,
+        |          SUM(abs(s)) // COUNT(*) AS mean_abs
+        |        FROM sm GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(clipped AS BIGINT) AS clipped,
+        |  CAST(sw AS BIGINT) AS silence_windows, CAST(mean_abs AS BIGINT) AS mean_abs,
+        |  CAST(z AS BIGINT) AS zero_crossings
+        |FROM agg a JOIN sil USING (doc_id) JOIN zc USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // subtitle replay (round 13): timings and the cleaned cue text —
+    // comma/dot milliseconds, NOTE skipping, id lines, and the
+    // multi-line space join must all hold for the strings to match
+    "q_subtitle_cues" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS cue_idx,
+        |  CAST((doc_id % 500) * 10 + u.i * 2000 AS BIGINT) AS start_ms,
+        |  CAST((doc_id % 500) * 10 + u.i * 2000 + 500
+        |    + (doc_id * 7 + u.i * 13) % 1500 AS BIGINT) AS end_ms,
+        |  'Line ' || ((doc_id + u.i) % 97) || ' em'
+        |    || CASE WHEN (doc_id + u.i) % 3 = 0
+        |       THEN ' and ' || ((doc_id * 3 + u.i) % 89) ELSE '' END AS text
+        |FROM documents, unnest(generate_series(0, 4)) AS u(i)
+        |WHERE u.i < 2 + doc_id % 4
+        |ORDER BY doc_id, cue_idx""".stripMargin,
 
     // WebDataset-media pipeline replay (round 13): the q_multimodal_dhash
     // arithmetic re-keyed by sid = doc_id·4 + k — shard walk, grouping,

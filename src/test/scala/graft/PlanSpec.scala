@@ -360,7 +360,15 @@ class PlanSpec extends SparkSpec {
         "zipEntries" -> graft.llm.Archives.zipEntries(
           ids.map(id => Multimodal.Media(id, graft.llm.Archives.syntheticZip(Seq(
             (s"z$id.txt", s"zip body $id".getBytes, id % 2 == 0))),
-            "application/zip"))).toDF())) {
+            "application/zip"))).toDF(),
+        "subtitleCues" -> graft.llm.Subtitles.cues(
+          ids.map(id => Multimodal.Media(id, graft.llm.Subtitles.synthetic(
+            Seq((1000L * id, 1000L * id + 500L, Seq(s"line $id"))),
+            vtt = id % 2 == 1).getBytes("UTF-8"), "text/vtt"))).toDF(),
+        "audioStats" -> graft.llm.AudioStats.stats(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticWavPcm(8000,
+            Array.tabulate(300)(j => ((j * 13 + id.toInt) % 2001) - 1000)),
+            "audio/wav"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }

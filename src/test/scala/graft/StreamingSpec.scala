@@ -1641,6 +1641,37 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming subtitle cues and audio stats equal the batch kernels") {
+    import spark.implicits._
+    import graft.llm.{AudioStats, Multimodal, Subtitles}
+    val medias = (0L until 6L).map { id =>
+      if (id % 2 == 0)
+        Multimodal.Media(id, Subtitles.synthetic(
+          (0 until (1 + id % 3).toInt).map(i =>
+            (1000L * i, 1000L * i + 400L + id, Seq(s"cue $id $i"))),
+          vtt = id % 4 == 0).getBytes("UTF-8"), "text/vtt")
+      else
+        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000,
+          Array.tabulate(240)(j => ((j * 17 + id.toInt * 5) % 1601) - 800)), "audio/wav")
+    }
+    val batchDs = spark.createDataset(medias)
+    val batchCues = Subtitles.cues(batchDs.filter(_.mime == "text/vtt")).collect().toSet
+    val batchStats = AudioStats.stats(batchDs.filter(_.mime == "audio/wav")).collect().toSet
+    assert(batchCues.nonEmpty && batchStats.forall(_.n_samples == 240))
+    val in = MemoryStream[(Long, Array[Byte], String)](spark)
+    val st = in.toDS().map(t => Multimodal.Media(t._1, t._2, t._3))
+    val q1 = Subtitles.cues(st.filter(_.mime == "text/vtt")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_cues").start()
+    val q2 = AudioStats.stats(st.filter(_.mime == "audio/wav")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_astats").start()
+    try {
+      in.addData(medias.map(m => (m.doc_id, m.media, m.mime)): _*)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      assert(spark.table("cm_cues").as[Subtitles.Cue].collect().toSet == batchCues)
+      assert(spark.table("cm_astats").as[AudioStats.Stats].collect().toSet == batchStats)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming audio tags: stream rows equal the batch walk (id3 + ogg comments)") {
     import spark.implicits._
     import graft.llm.{Containers, Multimodal}

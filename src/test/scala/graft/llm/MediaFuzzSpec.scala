@@ -45,6 +45,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "tarParse" -> (b => Archives.parseTar(b)),
     "wdsParse" -> (b => Archives.parseWds(b)),
     "zipParse" -> (b => Archives.parseZip(b)),
+    "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
     "mp4Tags" -> (b => Containers.mp4Tags(b)),
@@ -140,6 +141,12 @@ class MediaFuzzSpec extends AnyFunSuite {
       "zip" -> Archives.syntheticZip(Seq(
         ("a.txt", "stored body".getBytes, true),
         ("b/c.txt", ("deflate body " * 20).getBytes, false))),
+      "vtt" -> Subtitles.synthetic(Seq(
+        (0L, 900L, Seq("one", "two")), (2000L, 3000L, Seq("three"))),
+        vtt = true, vttSettings = true, vttIds = true).getBytes("UTF-8"),
+      "srt" -> Subtitles.synthetic(Seq(
+        (0L, 900L, Seq("uno")), (2000L, 3000L, Seq("dos", "tres"))),
+        vtt = false).getBytes("UTF-8"),
       "mp3Tagged" -> Multimodal.syntheticMp3(version1 = true, srIdx = 0,
         Seq((5, 0), (9, 1)), Multimodal.id3FramesPayload(3,
           Seq(("TIT2", "t"), ("TPE1", "a")), encoding = 1, padding = 9), id3Version = 3),
