@@ -4370,7 +4370,13 @@ object Multimodal {
     * ([[Tiff.decodeGray]]) decode for real, everything else is None.
     * The ONE kernel the batch operator and the streaming twin share, so
     * stream and batch fingerprint identically. */
-  private[graft] def imageHashOf(m: Array[Byte]): Option[Long] = {
+  private[graft] def imageHashOf(m: Array[Byte]): Option[Long] =
+    imageGrayOf(m).flatMap { case (w, h, px) => dHash64(w, h, px) }
+
+  /** Bytes → (w, h, luma) in DISPLAY orientation — the magic-byte image
+    * dispatch (BMP/PNM/PNG/GIF/JPEG/TIFF/ICO/QOI + EXIF normalization)
+    * shared by the hash kernel and [[imageStats]]. */
+  private[graft] def imageGrayOf(m: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val gray =
       if (m != null && m.length >= 2 && m(0) == 'B' && m(1) == 'M') decodeBmpGray(m)
       else if (m != null && m.length >= 2 && m(0) == 'P') decodePnmGray(m)
@@ -4397,10 +4403,7 @@ object Multimodal {
         exifOrientationJpeg(m)
       else if (Tiff.isTiff(m)) Tiff.orientationOf(m)
       else 1
-    gray.flatMap { case (w, h, px) =>
-      val (w2, h2, px2) = applyOrientation(w, h, px, orient)
-      dHash64(w2, h2, px2)
-    }
+    gray.map { case (w, h, px) => applyOrientation(w, h, px, orient) }
   }
 
   /** Bytes → audio envelope hash (PCM WAV, FLAC, AIFF, or AU/μ-law —

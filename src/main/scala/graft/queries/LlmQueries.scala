@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, ImageStats, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1317,6 +1317,32 @@ object LlmQueries {
         .orderBy("doc_id", "key")
     }),
 
+    // Image curation stats (round 13): mean/min/max luma, dark/bright
+    // pixel counts, horizontal edge density — integer-exact over the
+    // same decoded pixels the dHash family proves lossless
+    "q_image_stats" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(dhashMedia _)
+      ImageStats.stats(media).toDF()
+        .select("doc_id", "n_px", "mean_luma", "min_luma", "max_luma", "dark",
+          "bright", "edges")
+        .orderBy("doc_id")
+    }),
+
+    // Video scene cuts (round 13): consecutive sampled-frame dHashes,
+    // cut = hamming >= 16; the fixture's scenes rewrite the gradient
+    // field at two formula cut points, through BOTH containers (Y4M
+    // even ids, animated GIF odd)
+    "q_video_scenes" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(videoSceneMedia _)
+      VideoStats.sceneCuts(media).toDF()
+        .select("doc_id", "n_frames", "n_cuts", "sum_hamming")
+        .orderBy("doc_id")
+    }),
+
     // Audio curation stats (round 13): peak/clipping/silence/loudness/
     // zero-crossings over decoded PCM — integer-exact, replayed
     // bit-for-bit across all eight lossless encodings of the fixture
@@ -2449,6 +2475,31 @@ object LlmQueries {
         if (id % 2 == 0) "sowt" else "NONE"), "audio/aiff")
     }
     Multimodal.Media(id, bytes, mime)
+  }
+
+  /** The q_video_scenes fixture (round 13): 12 frames in 2–3 scenes
+    * with cut points c1 = 3 + id%3 and c2 = 7 + id%4; each scene
+    * REWRITES the gradient field (x/y coefficients depend on the scene
+    * index), so frame hashes are constant within a scene and jump at
+    * cuts. Y4M on even ids, animated GIF on odd — both containers feed
+    * the same kernel. */
+  private def videoSceneMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val c1 = (3 + id % 3).toInt
+    val c2 = (7 + id % 4).toInt
+    val frames = (0 until 12).map { f =>
+      val sc = (if (f >= c1) 1 else 0) + (if (f >= c2) 1 else 0)
+      Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        (((id % 40) * 31 + x * (7 + sc * 3) + y * (13 + sc * 5) + sc * 57) % 176).toInt
+      }
+    }
+    if (id % 2 == 0)
+      Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
+    else
+      Multimodal.Media(id, Multimodal.syntheticGifAnimated(w, h, frames), "image/gif")
   }
 
   /** The q_audio_stats fixture (round 13): the [[audioCrossMedia]]
@@ -4338,6 +4389,76 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 4)) AS u(k)
         |WHERE u.k < 2 + doc_id % 3
         |ORDER BY doc_id, key""".stripMargin,
+
+    // image-stats replay (round 13): the q_multimodal_dhash pixel
+    // formula aggregated — integer-division mean, dark/bright counts,
+    // and horizontal |Δg| ≥ 8 edge pairs via a self-join on x+1
+    "q_image_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |e AS (
+        |  SELECT l.doc_id,
+        |    SUM(CASE WHEN abs(r.g - l.g) >= 8 THEN 1 ELSE 0 END) AS edges
+        |  FROM px l JOIN px r ON l.doc_id = r.doc_id AND r.y = l.y AND r.x = l.x + 1
+        |  WHERE l.x < 17 GROUP BY l.doc_id),
+        |a AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(g) // COUNT(*) AS mean_luma,
+        |    MIN(g) AS mn, MAX(g) AS mx,
+        |    SUM(CASE WHEN g < 32 THEN 1 ELSE 0 END) AS dark,
+        |    SUM(CASE WHEN g > 223 THEN 1 ELSE 0 END) AS bright
+        |  FROM px GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(n AS BIGINT) AS n_px, CAST(mean_luma AS BIGINT) AS mean_luma,
+        |  CAST(mn AS INTEGER) AS min_luma, CAST(mx AS INTEGER) AS max_luma,
+        |  CAST(dark AS BIGINT) AS dark, CAST(bright AS BIGINT) AS bright,
+        |  CAST(e.edges AS BIGINT) AS edges
+        |FROM a JOIN e USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    // scene-cut replay (round 13): per-frame hashes from the scene-
+    // dependent gradient formula, LAG over frame order, hamming =
+    // bit_count(xor) on the hi/lo halves, cut threshold 16
+    "q_video_scenes" ->
+      """WITH px AS (
+        |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
+        |    ((doc_id % 40) * 31
+        |      + u.x * (7 + 3 * ((CASE WHEN w.f >= 3 + doc_id % 3 THEN 1 ELSE 0 END)
+        |                      + (CASE WHEN w.f >= 7 + doc_id % 4 THEN 1 ELSE 0 END)))
+        |      + v.y * (13 + 5 * ((CASE WHEN w.f >= 3 + doc_id % 3 THEN 1 ELSE 0 END)
+        |                       + (CASE WHEN w.f >= 7 + doc_id % 4 THEN 1 ELSE 0 END)))
+        |      + 57 * ((CASE WHEN w.f >= 3 + doc_id % 3 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN w.f >= 7 + doc_id % 4 THEN 1 ELSE 0 END))) % 176 AS g
+        |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
+        |       unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |h AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS hi,
+        |    SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS lo
+        |  FROM bits GROUP BY doc_id, f),
+        |t AS (
+        |  SELECT doc_id, hi, lo,
+        |    LAG(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
+        |    LAG(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
+        |  FROM h),
+        |d AS (
+        |  SELECT doc_id, bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) AS hd
+        |  FROM t WHERE phi IS NOT NULL)
+        |SELECT doc_id, CAST(12 AS INTEGER) AS n_frames,
+        |  CAST(SUM(CASE WHEN hd >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(SUM(hd) AS BIGINT) AS sum_hamming
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // audio-stats replay (round 13): the sample formula with the clip
     // clamp and dead-air slices, then every signal as exact integer

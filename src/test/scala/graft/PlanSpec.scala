@@ -368,7 +368,14 @@ class PlanSpec extends SparkSpec {
         "audioStats" -> graft.llm.AudioStats.stats(
           ids.map(id => Multimodal.Media(id, Multimodal.syntheticWavPcm(8000,
             Array.tabulate(300)(j => ((j * 13 + id.toInt) % 2001) - 1000)),
-            "audio/wav"))).toDF())) {
+            "audio/wav"))).toDF(),
+        "imageStats" -> graft.llm.ImageStats.stats(
+          ids.map(id => Multimodal.Media(id,
+            Multimodal.syntheticBmpPixels(18, 16, px), "image/bmp"))).toDF(),
+        "videoSceneCuts" -> graft.llm.VideoStats.sceneCuts(
+          ids.map(id => Multimodal.Media(id,
+            Multimodal.syntheticY4m(18, 16, Seq(px, px.map(v => 255 - v))),
+            "video/x-yuv4mpeg")), sampleFrames = 2).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
     }
