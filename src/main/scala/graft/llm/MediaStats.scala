@@ -19,31 +19,37 @@ object ImageStats {
   case class Stats(doc_id: Long, n_px: Long, mean_luma: Long, min_luma: Int,
       max_luma: Int, dark: Long, bright: Long, edges: Long)
 
+  /** The per-blob kernel behind [[stats]], shared with pipeline
+    * compositions that carry their own keys (doc_id is filled by the
+    * caller). */
+  private[graft] def signalsOf(media: Array[Byte], darkBelow: Int = 32,
+      brightAbove: Int = 223, edgeThresh: Int = 8): Stats =
+    Multimodal.imageGrayOf(media) match {
+      case Some((w, h, px)) if px.nonEmpty =>
+        var sum = 0L
+        var mn = 255; var mx = 0
+        var dark = 0L; var bright = 0L; var edges = 0L
+        var i = 0
+        while (i < px.length) {
+          val g = px(i)
+          sum += g
+          if (g < mn) mn = g
+          if (g > mx) mx = g
+          if (g < darkBelow) dark += 1
+          if (g > brightAbove) bright += 1
+          if (i % w != w - 1 && math.abs(px(i + 1) - g) >= edgeThresh) edges += 1
+          i += 1
+        }
+        Stats(-1L, px.length.toLong, sum / px.length, mn, mx, dark, bright, edges)
+      case _ => Stats(-1L, 0L, 0L, 0, 0, 0L, 0L, 0L)
+    }
+
   def stats(ds: Dataset[Media], darkBelow: Int = 32, brightAbove: Int = 223,
       edgeThresh: Int = 8): Dataset[Stats] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.map { m =>
-      Multimodal.imageGrayOf(m.media) match {
-        case Some((w, h, px)) if px.nonEmpty =>
-          var sum = 0L
-          var mn = 255; var mx = 0
-          var dark = 0L; var bright = 0L; var edges = 0L
-          var i = 0
-          while (i < px.length) {
-            val g = px(i)
-            sum += g
-            if (g < mn) mn = g
-            if (g > mx) mx = g
-            if (g < darkBelow) dark += 1
-            if (g > brightAbove) bright += 1
-            if (i % w != w - 1 && math.abs(px(i + 1) - g) >= edgeThresh) edges += 1
-            i += 1
-          }
-          Stats(m.doc_id, px.length.toLong, sum / px.length, mn, mx, dark, bright, edges)
-        case _ => Stats(m.doc_id, 0L, 0L, 0, 0, 0L, 0L, 0L)
-      }
-    })
+    ds.mapPartitions(_.map(m =>
+      signalsOf(m.media, darkBelow, brightAbove, edgeThresh).copy(doc_id = m.doc_id)))
   }
 }
 

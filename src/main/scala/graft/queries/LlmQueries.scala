@@ -1392,6 +1392,28 @@ object LlmQueries {
         .orderBy("doc_id", "k")
     }),
 
+    // Cross-modal shard curation (round 13): one WebDataset pass emits
+    // BOTH the caption's token count and the image's edge density, and
+    // the keep flag gates on the pair — the multimodal admission rule
+    // (good caption AND visually non-degenerate image), one plan, no
+    // shuffle before the output sort
+    "q_pipeline_wds_curation" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wdsHashMedia _)
+      Archives.webdatasetSamples(media)
+        .map { w =>
+          val k = w.key.substring(w.key.lastIndexOf('_') + 1).toInt
+          val caption = new String(w.parts("txt"), "UTF-8")
+          val words = caption.split(" ").count(_.nonEmpty)
+          val st = ImageStats.signalsOf(w.parts("bmp"))
+          (w.doc_id, k, words, st.mean_luma, st.edges,
+            if (st.edges >= 12 && words >= 3) 1 else 0)
+        }
+        .toDF("doc_id", "k", "caption_words", "mean_luma", "edges", "keep")
+        .orderBy("doc_id", "k")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -4540,6 +4562,32 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
         |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin,
+
+    // cross-modal curation replay (round 13): caption tokens are the
+    // fixture's 3-word form; the image side re-derives mean luma and
+    // edge density per (doc, sample) from the sid-keyed pixel formula
+    "q_pipeline_wds_curation" ->
+      """WITH s AS (
+        |  SELECT doc_id, u.k AS k, doc_id * 4 + u.k AS sid
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(k)
+        |  WHERE u.k < 2 + doc_id % 2),
+        |px AS (
+        |  SELECT doc_id, k, u.x AS x, v.y AS y,
+        |         ((sid % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((sid // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM s, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |e AS (
+        |  SELECT l.doc_id, l.k,
+        |    SUM(CASE WHEN abs(r.g - l.g) >= 8 THEN 1 ELSE 0 END) AS edges
+        |  FROM px l JOIN px r
+        |    ON l.doc_id = r.doc_id AND l.k = r.k AND r.y = l.y AND r.x = l.x + 1
+        |  WHERE l.x < 17 GROUP BY l.doc_id, l.k),
+        |m AS (SELECT doc_id, k, SUM(g) // COUNT(*) AS mean_luma FROM px GROUP BY doc_id, k)
+        |SELECT doc_id, CAST(k AS INTEGER) AS k, CAST(3 AS INTEGER) AS caption_words,
+        |  CAST(mean_luma AS BIGINT) AS mean_luma, CAST(edges AS BIGINT) AS edges,
+        |  CAST(CASE WHEN edges >= 12 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM m JOIN e USING (doc_id, k) ORDER BY doc_id, k""".stripMargin,
 
     // zip replay (round 13): method by slice (STORED/DEFLATE), content
     // rebuilt exactly, uncomp_len = LENGTH(content), crc_ok must be 1
