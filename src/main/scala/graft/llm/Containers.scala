@@ -974,6 +974,139 @@ object Containers {
   }
 
   // ------------------------------------------------------------------
+  // AVIF / HEIC (ISO-BMFF item structure — round 13)
+  // ------------------------------------------------------------------
+
+  /** AVIF/HEIC metadata: the modern still-image containers are
+    * ISO-BMFF ITEM files — no moov, a `meta` FULL box holding the item
+    * property container — and the admission signals live in `ispe`
+    * (image spatial extents). `width`/`height` are the LARGEST ispe in
+    * ipco (files carry thumbnail/alpha items with their own smaller
+    * ispe — the fixture plants one so max-selection is load-bearing),
+    * `brand` is the ftyp major brand routing rows to decode pools,
+    * `n_props` the ipco property count. Entirely structural: box
+    * sizes, FULL-box version/flags offsets, fixed-layout ispe. */
+  case class AvifMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
+      brand: String, n_props: Int)
+
+  private[graft] def parseAvif(b: Array[Byte]): Option[(Int, Int, String, Int)] = {
+    if (b == null || b.length < 16) return None
+    try {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+      def u32(p: Long): Long = bb.getInt(p.toInt) & 0xFFFFFFFFL
+      def walk(start: Long, end: Long)(f: (String, Long, Long) => Boolean): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val sz0 = u32(p)
+          val typ = new String(b, p.toInt + 4, 4, "ISO-8859-1")
+          var hdr = 8L
+          val sz =
+            if (sz0 == 1L) {
+              if (p + 16 > end) return false
+              hdr = 16L; bb.getLong(p.toInt + 8)
+            } else if (sz0 == 0L) end - p
+            else sz0
+          if (sz < hdr || p + sz > end) return false
+          if (!f(typ, p + hdr, p + sz)) return false
+          p += sz
+        }
+        p == end
+      }
+      var brand: String = null
+      var bestW = 0; var bestH = 0
+      var nProps = 0
+      var sawMeta = false
+      val ok = walk(0L, b.length.toLong) { (t, s, e) =>
+        t match {
+          case "ftyp" =>
+            if (e - s < 4) false
+            else { brand = new String(b, s.toInt, 4, "ISO-8859-1"); true }
+          case "meta" => // FULL box: 4 version/flags bytes precede children
+            if (e - s < 4) false
+            else {
+              sawMeta = true
+              walk(s + 4, e) { (t2, s2, e2) =>
+                if (t2 == "iprp")
+                  walk(s2, e2) { (t3, s3, e3) =>
+                    if (t3 == "ipco")
+                      walk(s3, e3) { (t4, s4, e4) =>
+                        nProps += 1
+                        if (t4 == "ispe" && e4 - s4 >= 12) {
+                          val w = u32(s4 + 4).toInt
+                          val h = u32(s4 + 8).toInt
+                          if (w.toLong * h > bestW.toLong * bestH) { bestW = w; bestH = h }
+                        }
+                        true
+                      }
+                    else true
+                  }
+                else true
+              }
+            }
+          case _ => true
+        }
+      }
+      if (ok && brand != null && sawMeta) Some((bestW, bestH, brand, nProps)) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def decodeAvifMeta(ds: Dataset[Media]): Dataset[AvifMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      val len = if (m.media == null) 0L else m.media.length.toLong
+      parseAvif(m.media) match {
+        case Some((w, h, brand, np)) => AvifMeta(m.doc_id, len, w, h, brand, np)
+        case None => AvifMeta(m.doc_id, len, 0, 0, null, 0)
+      }
+    })
+  }
+
+  /** A structurally complete AVIF/HEIC item file: ftyp, meta FULL box
+    * [hdlr pict, iprp[ipco[ispe main (+ thumbnail ispe on demand)
+    * (+ an opaque codec-config prop of `propLen`)], ipma], iloc-shaped
+    * junk], mdat. Exact sizes (pinned by ContainerSpec): ftyp
+    * 16 + 4·compat; hdlr 33; ispe 20 each; prop 8 + propLen; ipco
+    * 8 + Σ; iprp 8 + ipco; ipma 12 + ipmaLen; meta 12 + children;
+    * mdat 8 + mdatLen. */
+  def syntheticAvif(brand: String, compat: Int, w: Int, h: Int,
+      thumbnail: Boolean, propLen: Int, ipmaLen: Int, mdatLen: Int): Array[Byte] = {
+    require(brand.length == 4 && compat >= 0)
+    val ftyp = box("ftyp", bytes { o =>
+      o.write(brand.getBytes("ISO-8859-1"), 0, 4)
+      be32(o, 0L)
+      (0 until compat).foreach(_ => o.write("mif1".getBytes("ISO-8859-1"), 0, 4))
+    })
+    def ispe(iw: Int, ih: Int) = box("ispe", bytes { o =>
+      be32(o, 0L); be32(o, iw.toLong); be32(o, ih.toLong)
+    })
+    val hdlr = box("hdlr", bytes { o =>
+      be32(o, 0L); be32(o, 0L)
+      o.write("pict".getBytes("ISO-8859-1"), 0, 4)
+      (0 until 12).foreach(_ => o.write(0))
+      o.write(0) // empty name
+    })
+    val props = ispe(w, h) ++
+      (if (thumbnail) ispe(math.max(1, w / 8), math.max(1, h / 8)) else Array.emptyByteArray) ++
+      (if (propLen > 0) box("av1C", Array.tabulate[Byte](propLen)(i => ((i * 5 + 1) % 256).toByte))
+       else Array.emptyByteArray)
+    val ipco = box("ipco", props)
+    val iprp = box("iprp", ipco)
+    val ipma = box("ipma", bytes { o =>
+      be32(o, 0L)
+      (0 until ipmaLen).foreach(i => o.write((i * 3) % 256))
+    })
+    val meta = box("meta", bytes { o =>
+      be32(o, 0L) // FULL box version/flags
+      o.write(hdlr, 0, hdlr.length)
+      o.write(iprp, 0, iprp.length)
+      o.write(ipma, 0, ipma.length)
+    })
+    val mdat = box("mdat", Array.tabulate[Byte](mdatLen)(i => ((i * 7 + 3) % 256).toByte))
+    ftyp ++ meta ++ mdat
+  }
+
+  // ------------------------------------------------------------------
   // Matroska / WebM (EBML structure — round 13)
   // ------------------------------------------------------------------
 

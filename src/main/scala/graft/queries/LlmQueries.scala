@@ -1232,6 +1232,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // AVIF/HEIC item walk (round 13): the modern still-image containers
+    // are ISO-BMFF ITEM files — meta FULL-box offset, iprp/ipco chain,
+    // LARGEST-ispe selection past the planted thumbnail property
+    "q_multimodal_avif_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(avifMedia _)
+      Containers.decodeAvifMeta(media).toDF()
+        .select("doc_id", "byte_len", "width", "height", "brand", "n_props")
+        .orderBy("doc_id")
+    }),
+
     // Matroska/WebM EBML walk (round 13): VINT discipline across three
     // Segment-size encodings (minimal / non-minimal 8-byte / unknown-to-
     // EOF), the TimestampScale default, type-based video-track selection
@@ -2191,6 +2203,24 @@ object LlmQueries {
         alphaLen = if (fmt == "extended" && alpha) (11 + id % 14).toInt else 0,
         exifLen = if (fmt == "extended" && id % 5 == 0) (9 + id % 6).toInt else 0),
       "image/webp")
+  }
+
+  /** The q_multimodal_avif_meta fixture (round 13): brand cycles
+    * avif/heic/mif1, a THUMBNAIL ispe (w/8 × h/8) on the even slice so
+    * largest-extent selection is load-bearing, an opaque codec-config
+    * property and ipma/mdat junk by formula — byte_len replays the box
+    * arithmetic, n_props the ipco count. */
+  private def avifMedia(id: Long): Multimodal.Media = {
+    Multimodal.Media(id,
+      Containers.syntheticAvif(
+        brand = Seq("avif", "heic", "mif1")((id % 3).toInt),
+        compat = (id % 3).toInt,
+        w = (320 + id % 1000).toInt, h = (200 + id % 700).toInt,
+        thumbnail = id % 2 == 0,
+        propLen = if (id % 4 != 3) (9 + id % 12).toInt else 0,
+        ipmaLen = (5 + id % 9).toInt,
+        mdatLen = (40 + id % 77).toInt),
+      "image/avif")
   }
 
   /** The q_multimodal_mkv_meta fixture (round 13): Segment size
@@ -4268,6 +4298,22 @@ object LlmQueries {
         |  CAST(CASE WHEN d.doc_id % 3 = 2 AND d.doc_id % 4 = 2
         |    THEN 1 + (d.doc_id // 4) % 3 ELSE 0 END AS INTEGER) AS n_frames
         |FROM documents d LEFT JOIN an a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // AVIF/HEIC replay (round 13): byte_len = ftyp 16+4c, meta
+    // 73 + props + ipmaLen (hdlr 33, iprp 16+props, ipma 12+len),
+    // mdat 8+len; dims are the MAIN ispe (the thumbnail must lose)
+    "q_multimodal_avif_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 + 4 * (doc_id % 3) + 73
+        |    + 20 + (CASE WHEN doc_id % 2 = 0 THEN 20 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 4 <> 3 THEN 8 + 9 + doc_id % 12 ELSE 0 END)
+        |    + (5 + doc_id % 9) + 8 + 40 + doc_id % 77 AS BIGINT) AS byte_len,
+        |  CAST(320 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(200 + doc_id % 700 AS INTEGER) AS height,
+        |  (['avif', 'heic', 'mif1'])[CAST(doc_id % 3 AS INTEGER) + 1] AS brand,
+        |  CAST(1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END) AS INTEGER) AS n_props
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Matroska/WebM replay (round 13): byte_len = EBML framing — header
     // 36, Segment id+size by encoding mode, Info 16/23 (TimestampScale

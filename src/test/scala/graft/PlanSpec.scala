@@ -323,6 +323,10 @@ class PlanSpec extends SparkSpec {
           ids.map(id => Multimodal.Media(id, Multimodal.syntheticMp3(
             version1 = true, srIdx = 0, Seq((5, 0)),
             Multimodal.id3FramesPayload(4, Seq(("TIT2", "t")), 3)), "audio/mpeg"))).toDF(),
+        "avifMeta" -> graft.llm.Containers.decodeAvifMeta(
+          ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticAvif(
+            "avif", 1, 320, 240, thumbnail = false, propLen = 10, ipmaLen = 5,
+            mdatLen = 30), "image/avif"))).toDF(),
         "webpMeta" -> graft.llm.Containers.decodeWebpMeta(
           ids.map(id => Multimodal.Media(id, graft.llm.Containers.syntheticWebp(
             "extended", 64, 48, alpha = true, animFrames = 2, frameLen = _ => 20,

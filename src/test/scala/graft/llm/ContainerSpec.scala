@@ -323,6 +323,49 @@ class ContainerSpec extends AnyFunSuite {
     assert(Containers.parseWebp(badCc).isEmpty)
   }
 
+  // the q_multimodal_avif_meta fixture formulas, verbatim
+  private def avifBytes(id: Long): Array[Byte] =
+    Containers.syntheticAvif(
+      brand = Seq("avif", "heic", "mif1")((id % 3).toInt),
+      compat = (id % 3).toInt,
+      w = (320 + id % 1000).toInt, h = (200 + id % 700).toInt,
+      thumbnail = id % 2 == 0,
+      propLen = if (id % 4 != 3) (9 + id % 12).toInt else 0,
+      ipmaLen = (5 + id % 9).toInt,
+      mdatLen = (40 + id % 77).toInt)
+
+  test("avif/heic: fields and the box-arithmetic byte_len form hold across the id sweep") {
+    for (id <- 0L until 420L) {
+      val b = avifBytes(id)
+      val closedForm = 16 + 4 * (id % 3) + 73 +
+        20 + (if (id % 2 == 0) 20 else 0) +
+        (if (id % 4 != 3) 8 + 9 + id % 12 else 0) +
+        (5 + id % 9) + 8 + 40 + id % 77
+      assert(b.length.toLong == closedForm, s"avif byte_len form drifted at id=$id")
+      val Some((w, h, brand, nProps)) = Containers.parseAvif(b)
+      // the even slice plants a thumbnail ispe: equality proves the
+      // LARGEST extents won, not the last-seen property
+      assert(w == 320 + id % 1000 && h == 200 + id % 700, s"dims at id=$id")
+      assert(brand == Seq("avif", "heic", "mif1")((id % 3).toInt), s"brand at id=$id")
+      assert(nProps == 1 + (if (id % 2 == 0) 1 else 0) + (if (id % 4 != 3) 1 else 0),
+        s"prop count at id=$id")
+    }
+  }
+
+  test("avif/heic: corrupt structures return None, never throw") {
+    val good = avifBytes(4L) // thumbnail + codec prop present
+    assert(Containers.parseAvif(null).isEmpty)
+    assert(Containers.parseAvif("ftypavif but not a box".getBytes).isEmpty)
+    for (cut <- Seq(4, 15, 40, good.length / 2, good.length - 1))
+      Containers.parseAvif(good.take(cut)) // completing is the assertion
+    val badSize = good.clone(); badSize(0) = 0x7F.toByte
+    assert(Containers.parseAvif(badSize).isEmpty)
+    // a plain-video MP4 has no meta box → None from the ITEM walk
+    assert(Containers.parseAvif(mp4Bytes(3L)).isEmpty, "moov files are not item files")
+    // and vice versa: the avif has no moov → None from the video walk
+    assert(Containers.parseMp4(good).isEmpty, "item files are not moov files")
+  }
+
   // the q_multimodal_mkv_meta fixture formulas, verbatim
   private def mkvBytes(id: Long): Array[Byte] =
     Containers.syntheticMkv(

@@ -41,6 +41,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "aviParse" -> (b => Containers.parseAvi(b)),
     "webpParse" -> (b => Containers.parseWebp(b)),
     "mkvParse" -> (b => Containers.parseMkv(b)),
+    "avifParse" -> (b => Containers.parseAvif(b)),
     "warcParse" -> (b => Warc.parseWarc(b)),
     "tarParse" -> (b => Archives.parseTar(b)),
     "wdsParse" -> (b => Archives.parseWds(b)),
@@ -117,6 +118,8 @@ class MediaFuzzSpec extends AnyFunSuite {
         exifLen = 11),
       "webpLossless" -> Containers.syntheticWebp("lossless", 160, 90, alpha = true,
         animFrames = 0, frameLen = _ => 0, fillLen = 33),
+      "avif" -> Containers.syntheticAvif("avif", 2, 640, 480, thumbnail = true,
+        propLen = 13, ipmaLen = 7, mdatLen = 90),
       "mkv" -> Containers.syntheticMkv(640, 360, 400.0, 2000000L, writeScale = true,
         audioTrack = true, swapOrder = true, nClusters = 3,
         blocksPerCluster = ci => 1 + ci % 3, blockLen = (ci, j) => 12 + ci * 5 + j * 3,
