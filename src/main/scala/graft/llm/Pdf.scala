@@ -1,0 +1,871 @@
+package graft.llm
+
+import org.apache.spark.sql.Dataset
+
+import graft.llm.Multimodal.Media
+
+/** PDF ingestion (round 13): books, papers, and reports — the
+  * highest-value text in a training corpus — arrive as PDF, so the
+  * engine needs the same admission walk + text extraction it has for
+  * WARC/HTML. PDF qualifies under the COVERAGE.md decision record:
+  * the format is STRUCTURAL top to bottom — a header line, a body of
+  * `N G obj … endobj` objects written in the ISO 32000 COS grammar
+  * (dicts/arrays/names/strings/numbers/refs), stream objects framed by
+  * their own /Length, an xref table, and a trailer dict. There is no
+  * normative lookup data anywhere in this scope: FlateDecode is RFC
+  * 1950/1951 through the JDK's `Inflater` (the dependency the ZIP
+  * reader already carries), and text shows in content streams are
+  * byte-level operators (`Tj`/`TJ`/`'`/`"`) whose operands are the COS
+  * strings themselves. A parsing mistake degrades to a missing page or
+  * a None, never a silently wrong value.
+  *
+  * Scope, stated where it bites (each a documented trade, not a stub):
+  *  - The object walk is SCAN-BASED (sequential over the body,
+  *    tolerant of a wrong or absent xref) rather than xref-driven —
+  *    the posture every corpus-scale extractor takes, because at 100
+  *    TB a corrupt xref is normal input and the body is read
+  *    sequentially anyway. The xref table and trailer are still
+  *    parsed (the trailer carries /Root and /Encrypt).
+  *  - Text decode covers simple fonts whose code bytes are ASCII /
+  *    Latin-1 (WinAnsi and Standard encoding agree with Latin-1 on
+  *    the printable range). Composite-font CMaps (/ToUnicode) are out
+  *    of scope; a page using them extracts the raw code bytes.
+  *  - Encrypted documents (trailer /Encrypt) are ADMITTED as metadata
+  *    but never text-extracted — string/stream payloads are
+  *    ciphertext, and emitting decode-of-ciphertext would be exactly
+  *    the silently-wrong-value failure the posture exists to prevent.
+  *  - Layout reconstruction is line-oriented: a text show appends; a
+  *    line move (`Td`/`TD` with ty ≠ 0, `T*`, `'`, `"`) and the end of
+  *    a text block (`ET`) start a new line. Kerning numbers inside
+  *    `TJ` arrays are positioning-only and never synthesize spaces
+  *    (deterministic by construction; a heuristic space-from-kerning
+  *    rule would make the output depend on font metrics this scope
+  *    does not carry).
+  *
+  * Reference scope: kafi has no document reader (its file surface is
+  * kafi/fs/fs_reader.py, opaque bytes). The PDF layer is part of the
+  * LLM-pipeline extension the assignment calls for, sibling to
+  * [[Warc]] ingestion.
+  */
+object Pdf {
+
+  /** Per-document admission row. `n_objects` counts indirect objects
+    * the scan walk completed; `n_streams` counts stream objects;
+    * `encrypted` is the trailer /Encrypt test that gates extraction. */
+  case class PdfMeta(doc_id: Long, byte_len: Long, version: String,
+      n_objects: Int, n_pages: Int, n_streams: Int, encrypted: Boolean)
+
+  /** One page of extracted text. `n_shows` counts executed show
+    * operators (`Tj`/`TJ`/`'`/`"`) — the cheap volume signal a
+    * curation gate reads before looking at the string. */
+  case class PdfPage(doc_id: Long, page_idx: Int, n_shows: Int, text: String)
+
+  // ------------------------------------------------------------------
+  // COS object model
+  // ------------------------------------------------------------------
+
+  private[graft] sealed trait P
+  private[graft] case class PNum(v: Double) extends P { def int: Int = v.toInt }
+  private[graft] case class PStr(b: Array[Byte]) extends P
+  private[graft] case class PName(s: String) extends P
+  private[graft] case class PBool(b: Boolean) extends P
+  private[graft] case object PNull extends P
+  private[graft] case class PArr(v: Vector[P]) extends P
+  private[graft] case class PDict(m: Map[String, P]) extends P {
+    def get(k: String): Option[P] = m.get(k)
+  }
+  private[graft] case class PRef(num: Int) extends P
+  private[graft] case class PStream(dict: PDict, data: Array[Byte]) extends P
+
+  // ------------------------------------------------------------------
+  // Lexer: COS tokens over a byte window. PDF whitespace is NUL / TAB /
+  // LF / FF / CR / space; '%' comments run to EOL; the eight delimiter
+  // characters self-terminate tokens.
+  // ------------------------------------------------------------------
+
+  private[graft] sealed trait Tok
+  private case class TNum(v: Double) extends Tok
+  private case class TStr(b: Array[Byte]) extends Tok
+  private case class TName(s: String) extends Tok
+  private case class TKw(s: String) extends Tok // obj endobj stream R true … and [ ] << >>
+  private case object TEof extends Tok
+
+  private def isWs(c: Int): Boolean =
+    c == 0 || c == 9 || c == 10 || c == 12 || c == 13 || c == 32
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  private[graft] final class Lexer(val b: Array[Byte], var p: Int, val end: Int) {
+    def this(b: Array[Byte]) = this(b, 0, b.length)
+
+    // one-token pushback queue: reference parsing ("N G R") needs to
+    // look two numbers ahead and hand back what it over-read
+    private var back: List[Tok] = Nil
+    def push(t: Tok): Unit = back = t :: back
+
+    def skipWs(): Unit = {
+      while (p < end) {
+        val c = b(p) & 0xFF
+        if (isWs(c)) p += 1
+        else if (c == '%') { while (p < end && b(p) != '\n' && b(p) != '\r') p += 1 }
+        else return
+      }
+    }
+
+    /** Raw byte cursor positioned at the next non-ws, non-comment byte. */
+    def mark(): Int = { skipWs(); p }
+
+    def next(): Tok = {
+      back match {
+        case h :: t => back = t; return h
+        case Nil =>
+      }
+      skipWs()
+      if (p >= end) return TEof
+      val c = b(p) & 0xFF
+      c match {
+        case '[' => p += 1; TKw("[")
+        case ']' => p += 1; TKw("]")
+        case '{' => p += 1; TKw("{")
+        case '}' => p += 1; TKw("}")
+        case '/' => p += 1; TName(lexName())
+        case '(' => p += 1; TStr(lexLiteral())
+        case '<' =>
+          if (p + 1 < end && b(p + 1) == '<') { p += 2; TKw("<<") }
+          else { p += 1; TStr(lexHex()) }
+        case '>' =>
+          if (p + 1 < end && b(p + 1) == '>') { p += 2; TKw(">>") }
+          else { p += 1; TKw(">") } // lone '>' is malformed; surfaces as an unknown keyword
+        case _ if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          lexNumber()
+        case _ =>
+          val s = p
+          while (p < end && !isWs(b(p) & 0xFF) && !isDelim(b(p) & 0xFF)) p += 1
+          if (p == s) { p += 1; TKw(new String(b, s, 1, "ISO-8859-1")) }
+          else TKw(new String(b, s, p - s, "ISO-8859-1"))
+      }
+    }
+
+    /** Name token after '/': regular chars, #xx hex escapes decoded. */
+    private def lexName(): String = {
+      val sb = new java.lang.StringBuilder
+      while (p < end && !isWs(b(p) & 0xFF) && !isDelim(b(p) & 0xFF)) {
+        val c = b(p) & 0xFF
+        if (c == '#' && p + 2 < end && hex(b(p + 1)) >= 0 && hex(b(p + 2)) >= 0) {
+          sb.append(((hex(b(p + 1)) << 4) | hex(b(p + 2))).toChar)
+          p += 3
+        } else { sb.append(c.toChar); p += 1 }
+      }
+      sb.toString
+    }
+
+    private def hex(x: Byte): Int = {
+      val c = x & 0xFF
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    }
+
+    /** Literal string after '(': balanced parens, the eight \-escapes,
+      * 1–3 digit octal, \<EOL> line continuation, and the spec rule
+      * that an unescaped EOL reads as \n. Unterminated → prefix. */
+    private def lexLiteral(): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (p < end && depth > 0) {
+        val c = b(p) & 0xFF
+        if (c == '\\' && p + 1 < end) {
+          val e = b(p + 1) & 0xFF
+          p += 2
+          e match {
+            case 'n' => out.write('\n')
+            case 'r' => out.write('\r')
+            case 't' => out.write('\t')
+            case 'b' => out.write('\b')
+            case 'f' => out.write('\f')
+            case '(' => out.write('(')
+            case ')' => out.write(')')
+            case '\\' => out.write('\\')
+            case '\r' => if (p < end && b(p) == '\n') p += 1 // \<EOL>: continuation
+            case '\n' => ()
+            case d if d >= '0' && d <= '7' =>
+              var v = d - '0'
+              var k = 0
+              while (k < 2 && p < end && b(p) >= '0' && b(p) <= '7') {
+                v = (v << 3) | (b(p) - '0'); p += 1; k += 1
+              }
+              out.write(v & 0xFF)
+            case other => out.write(other) // \x → x for unknown escapes (spec)
+          }
+        } else {
+          p += 1
+          c match {
+            case '(' => depth += 1; out.write('(')
+            case ')' => depth -= 1; if (depth > 0) out.write(')')
+            case '\r' =>
+              if (p < end && b(p) == '\n') p += 1
+              out.write('\n') // EOL inside a string normalizes to \n
+            case _ => out.write(c)
+          }
+        }
+      }
+      out.toByteArray
+    }
+
+    /** Hex string after '<': whitespace-transparent digit pairs, odd
+      * final digit padded with 0 (spec), closes at '>'. */
+    private def lexHex(): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      while (p < end && b(p) != '>') {
+        val h = hex(b(p))
+        if (h >= 0) {
+          if (hi < 0) hi = h
+          else { out.write((hi << 4) | h); hi = -1 }
+        }
+        p += 1
+      }
+      if (p < end) p += 1 // consume '>'
+      if (hi >= 0) out.write(hi << 4)
+      out.toByteArray
+    }
+
+    private def lexNumber(): Tok = {
+      val s = p
+      if (b(p) == '+' || b(p) == '-') p += 1
+      var digits = false
+      while (p < end && b(p) >= '0' && b(p) <= '9') { p += 1; digits = true }
+      if (p < end && b(p) == '.') {
+        p += 1
+        while (p < end && b(p) >= '0' && b(p) <= '9') { p += 1; digits = true }
+      }
+      if (!digits) TKw(new String(b, s, p - s, "ISO-8859-1"))
+      else TNum(new String(b, s, p - s, "ISO-8859-1").toDouble)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Recursive-descent COS value parser with reference lookahead
+  // ------------------------------------------------------------------
+
+  private val MaxDepth = 48
+
+  /** Parse one COS value. A number may begin an `N G R` reference —
+    * resolved by reading ahead two tokens and pushing back what the
+    * pattern does not claim. Returns None on malformed input. */
+  private[graft] def parseValue(lx: Lexer, depth: Int): Option[P] = {
+    if (depth > MaxDepth) return None
+    lx.next() match {
+      case TNum(v) =>
+        // lookahead: N G R
+        lx.next() match {
+          case g @ TNum(gv) =>
+            lx.next() match {
+              case TKw("R") if v >= 0 && v == math.floor(v) && gv >= 0 =>
+                Some(PRef(v.toInt))
+              case other => lx.push(other); lx.push(g); Some(PNum(v))
+            }
+          case other => lx.push(other); Some(PNum(v))
+        }
+      case TStr(s) => Some(PStr(s))
+      case TName(s) => Some(PName(s))
+      case TKw("true") => Some(PBool(true))
+      case TKw("false") => Some(PBool(false))
+      case TKw("null") => Some(PNull)
+      case TKw("[") =>
+        val items = Vector.newBuilder[P]
+        var done = false
+        while (!done) {
+          lx.next() match {
+            case TKw("]") => done = true
+            case TEof => return None
+            case other =>
+              lx.push(other)
+              parseValue(lx, depth + 1) match {
+                case Some(v) => items += v
+                case None => return None
+              }
+          }
+        }
+        Some(PArr(items.result()))
+      case TKw("<<") =>
+        val m = Map.newBuilder[String, P]
+        var done = false
+        while (!done) {
+          lx.next() match {
+            case TKw(">>") => done = true
+            case TName(k) =>
+              parseValue(lx, depth + 1) match {
+                case Some(v) => m += (k -> v)
+                case None => return None
+              }
+            case _ => return None // dict keys must be names
+          }
+        }
+        Some(PDict(m.result()))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Document walk
+  // ------------------------------------------------------------------
+
+  private[graft] case class PdfDoc(version: String, objects: Map[Int, P],
+      trailer: PDict, nStreams: Int)
+
+  private val StreamKw = "stream".getBytes("ISO-8859-1")
+  private val EndstreamKw = "endstream".getBytes("ISO-8859-1")
+
+  private def find(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    val last = b.length - pat.length
+    while (i <= last) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Sequential scan walk: header version, then objects / xref /
+    * trailer / startxref sections until EOF or the first structural
+    * violation (prefix posture — everything parsed so far is kept;
+    * incremental-update files simply keep walking, later trailer keys
+    * overriding earlier ones per spec). */
+  private[graft] def parsePdf(raw: Array[Byte], maxInflate: Int = 1 << 26): Option[PdfDoc] = {
+    if (raw == null || raw.length < 9) return None
+    try {
+      if (!(raw(0) == '%' && raw(1) == 'P' && raw(2) == 'D' && raw(3) == 'F' && raw(4) == '-'))
+        return None
+      var ve = 5
+      while (ve < raw.length && raw(ve) != '\r' && raw(ve) != '\n' && ve - 5 < 8) ve += 1
+      val version = new String(raw, 5, ve - 5, "ISO-8859-1")
+      val lx = new Lexer(raw, ve, raw.length)
+      val objects = Map.newBuilder[Int, P]
+      var trailer = Map.empty[String, P]
+      var nStreams = 0
+      var broken = false
+      var done = false
+      while (!broken && !done) {
+        lx.next() match {
+          case TEof => done = true
+          case TNum(num) =>
+            // `N G obj value [stream…endstream] endobj`
+            (lx.next(), lx.next()) match {
+              case (TNum(_), TKw("obj")) =>
+                parseValue(lx, 0) match {
+                  case None => broken = true
+                  case Some(v0) =>
+                    var v = v0
+                    lx.next() match {
+                      case TKw("stream") =>
+                        v0 match {
+                          case d: PDict =>
+                            readStreamBody(lx, d, objects.result()) match {
+                              case Some(data) =>
+                                nStreams += 1
+                                v = PStream(d, data)
+                                lx.next() match {
+                                  case TKw("endobj") => ()
+                                  case other => lx.push(other) // tolerate a missing endobj
+                                }
+                              case None => broken = true
+                            }
+                          case _ => broken = true
+                        }
+                      case TKw("endobj") => ()
+                      case other => lx.push(other)
+                    }
+                    if (!broken && num >= 0 && num == math.floor(num))
+                      objects += (num.toInt -> v)
+                }
+              case _ => broken = true
+            }
+          case TKw("xref") =>
+            // subsections: `start count` then count fixed-width lines —
+            // tokenizes as (num num) pairs then `f`/`n` keywords; walk
+            // tolerantly until something that is not a subsection start
+            var inXref = true
+            while (inXref) {
+              lx.next() match {
+                case TNum(_) =>
+                  lx.next() match {
+                    case TNum(cnt) if cnt >= 0 && cnt < 1e7 =>
+                      var i = 0L
+                      var ok = true
+                      while (ok && i < cnt) {
+                        (lx.next(), lx.next(), lx.next()) match {
+                          case (TNum(_), TNum(_), TKw(t)) if t == "n" || t == "f" => ()
+                          case _ => ok = false
+                        }
+                        i += 1
+                      }
+                      if (!ok) { inXref = false; broken = true }
+                    case _ => inXref = false; broken = true
+                  }
+                case other => lx.push(other); inXref = false
+              }
+            }
+          case TKw("trailer") =>
+            parseValue(lx, 0) match {
+              case Some(PDict(m)) => trailer = trailer ++ m
+              case _ => broken = true
+            }
+          case TKw("startxref") =>
+            lx.next() match {
+              case TNum(_) => ()
+              case _ => broken = true
+            }
+          case _ => broken = true
+        }
+      }
+      val objs = objects.result()
+      if (objs.isEmpty) None
+      else Some(PdfDoc(version, objs, PDict(trailer), nStreams))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Stream body after the `stream` keyword: spec EOL (CRLF or LF),
+    * then /Length bytes. A /Length that is an unresolvable forward
+    * reference falls back to scanning for `endstream` and trimming one
+    * trailing EOL — the tolerant-reader move every extractor makes,
+    * since incremental writers emit the length object after the
+    * stream. */
+  private def readStreamBody(lx: Lexer, dict: PDict, seen: Map[Int, P]): Option[Array[Byte]] = {
+    var p = lx.p
+    val b = lx.b
+    if (p < lx.end && b(p) == '\r') p += 1
+    if (p < lx.end && b(p) == '\n') p += 1
+    val len: Option[Int] = dict.get("Length") match {
+      case Some(PNum(v)) if v >= 0 => Some(v.toInt)
+      case Some(PRef(n)) => seen.get(n) match {
+        case Some(PNum(v)) if v >= 0 => Some(v.toInt)
+        case _ => None
+      }
+      case _ => None
+    }
+    len match {
+      case Some(l) if p + l <= lx.end =>
+        val data = java.util.Arrays.copyOfRange(b, p, p + l)
+        lx.p = p + l
+        lx.next() match {
+          case TKw("endstream") => Some(data)
+          case _ => None // declared length disagrees with framing
+        }
+      case _ =>
+        val e = find(b, EndstreamKw, p)
+        if (e < 0) None
+        else {
+          var de = e
+          if (de > p && b(de - 1) == '\n') de -= 1
+          if (de > p && b(de - 1) == '\r') de -= 1
+          val data = java.util.Arrays.copyOfRange(b, p, de)
+          lx.p = e + EndstreamKw.length
+          Some(data)
+        }
+    }
+  }
+
+  private def resolve(doc: PdfDoc, v: P, depth: Int = 0): P =
+    v match {
+      case PRef(n) if depth < MaxDepth => resolve(doc, doc.objects.getOrElse(n, PNull), depth + 1)
+      case PRef(_) => PNull
+      case other => other
+    }
+
+  /** /Filter-aware stream payload: none → raw; /FlateDecode (name or
+    * single-element array) → zlib inflate with a bomb guard; any other
+    * filter → None. */
+  private[graft] def streamData(doc: PdfDoc, s: PStream, maxInflate: Int = 1 << 26): Option[Array[Byte]] = {
+    resolve(doc, s.dict.get("Filter").getOrElse(PNull)) match {
+      case PNull => Some(s.data)
+      case PName("FlateDecode") => inflate(s.data, maxInflate)
+      case PArr(Vector(PName("FlateDecode"))) => inflate(s.data, maxInflate)
+      case PArr(v) if v.isEmpty => Some(s.data)
+      case _ => None
+    }
+  }
+
+  private def inflate(b: Array[Byte], max: Int): Option[Array[Byte]] = {
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) { inf.end(); return None }
+        } else {
+          out.write(buf, 0, k)
+          if (out.size > max) { inf.end(); return None }
+        }
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Page-tree walk from trailer /Root → /Pages: /Pages nodes recurse
+    * through /Kids in order, /Page leaves collect; cycle/depth bounded
+    * and order-preserving (page index IS document order). */
+  private[graft] def pages(doc: PdfDoc): Seq[PDict] = {
+    val out = Seq.newBuilder[PDict]
+    val visited = scala.collection.mutable.Set.empty[Int]
+    def walk(v: P, depth: Int): Unit = {
+      if (depth > MaxDepth) return
+      v match {
+        case PRef(n) =>
+          if (visited.add(n)) walk(resolve(doc, v), depth + 1)
+        case d: PDict =>
+          resolve(doc, d.get("Type").getOrElse(PNull)) match {
+            case PName("Page") => out += d
+            case _ =>
+              resolve(doc, d.get("Kids").getOrElse(PNull)) match {
+                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case _ => ()
+              }
+          }
+        case _ => ()
+      }
+    }
+    val root = resolve(doc, doc.trailer.get("Root").getOrElse(PNull))
+    root match {
+      case d: PDict => walk(d.get("Pages").getOrElse(PNull), 0)
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** A page's content bytes: /Contents ref or array of refs, each
+    * stream decoded, concatenated with one LF between parts (the spec
+    * guarantees split points fall between lexical tokens, so a
+    * whitespace joint preserves the token stream exactly). */
+  private[graft] def pageContent(doc: PdfDoc, page: PDict, maxInflate: Int): Option[Array[Byte]] = {
+    val parts: Seq[P] = resolve(doc, page.get("Contents").getOrElse(PNull)) match {
+      case s: PStream => Seq(s)
+      case PArr(v) => v.map(resolve(doc, _))
+      case _ => Seq.empty
+    }
+    if (parts.isEmpty) return Some(Array.emptyByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach {
+      case s: PStream =>
+        streamData(doc, s, maxInflate) match {
+          case Some(d) =>
+            if (out.size > 0) out.write('\n')
+            out.write(d)
+          case None => return None
+        }
+      case _ => return None
+    }
+    Some(out.toByteArray)
+  }
+
+  // ------------------------------------------------------------------
+  // Content-stream text extraction
+  // ------------------------------------------------------------------
+
+  /** Execute the show/positioning subset over a content stream.
+    * Returns (n_shows, text): shows append (bytes → Latin-1, the
+    * simple-font scope documented above); `Td`/`TD` with ty ≠ 0, `T*`,
+    * `'`, `"`, and `ET` start a new line; everything else only
+    * consumes its operands. Lines join with \n; no leading newline,
+    * trailing whitespace trimmed. Total function — malformed operator
+    * streams degrade to fewer shows, never a throw. */
+  private[graft] def extractText(content: Array[Byte]): (Int, String) = {
+    val lx = new Lexer(content)
+    val sb = new java.lang.StringBuilder
+    var shows = 0
+    var stack = List.empty[P]
+    def newline(): Unit =
+      if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def show(v: P): Unit = v match {
+      case PStr(b) => sb.append(new String(b, "ISO-8859-1")); shows += 1
+      case _ => ()
+    }
+    var done = false
+    while (!done) {
+      lx.next() match {
+        case TEof => done = true
+        case TNum(v) => stack = PNum(v) :: stack
+        case TStr(s) => stack = PStr(s) :: stack
+        case TName(s) => stack = PName(s) :: stack
+        case TKw("[") =>
+          lx.push(TKw("["))
+          parseValue(lx, 0) match {
+            case Some(a) => stack = a :: stack
+            case None => done = true // unterminated array: prefix posture
+          }
+        case TKw("<<") =>
+          lx.push(TKw("<<"))
+          parseValue(lx, 0) match {
+            case Some(d) => stack = d :: stack
+            case None => done = true
+          }
+        case TKw(op) =>
+          op match {
+            case "Tj" => stack.headOption.foreach(show)
+            case "'" => newline(); stack.headOption.foreach(show)
+            case "\"" => newline(); stack.headOption.foreach(show)
+            case "TJ" =>
+              stack.headOption.foreach {
+                case PArr(items) =>
+                  var any = false
+                  items.foreach {
+                    case PStr(b) => sb.append(new String(b, "ISO-8859-1")); any = true
+                    case _ => () // kerning number: positioning only
+                  }
+                  if (any) shows += 1
+                case _ => ()
+              }
+            case "Td" | "TD" =>
+              stack match {
+                case PNum(ty) :: _ if ty != 0 => newline()
+                case _ => ()
+              }
+            case "T*" | "ET" => newline()
+            case _ => () // Tf, Tm, cm, graphics ops …: operands consumed below
+          }
+          stack = Nil
+      }
+      if (stack.length > 64) stack = stack.take(64) // runaway operand guard
+    }
+    var e = sb.length
+    while (e > 0 && (sb.charAt(e - 1) == '\n' || sb.charAt(e - 1) == ' ')) e -= 1
+    (shows, sb.substring(0, e))
+  }
+
+  // ------------------------------------------------------------------
+  // Dataset surfaces (pure map kernels — no shuffle)
+  // ------------------------------------------------------------------
+
+  private[graft] def metaOf(id: Long, raw: Array[Byte]): Option[PdfMeta] =
+    parsePdf(raw).map { doc =>
+      PdfMeta(id, raw.length.toLong, doc.version, doc.objects.size,
+        pages(doc).size, doc.nStreams,
+        doc.trailer.get("Encrypt").isDefined)
+    }
+
+  private[graft] def pagesOf(id: Long, raw: Array[Byte], maxInflate: Int = 1 << 26): Seq[PdfPage] =
+    parsePdf(raw, maxInflate) match {
+      case Some(doc) if doc.trailer.get("Encrypt").isEmpty =>
+        pages(doc).zipWithIndex.flatMap { case (pg, i) =>
+          pageContent(doc, pg, maxInflate).map { c =>
+            val (n, t) = extractText(c)
+            PdfPage(id, i, n, t)
+          }
+        }
+      case _ => Nil // unparseable or encrypted: admitted by meta, never extracted
+    }
+
+  /** Admission metadata, one row per parseable document. */
+  def pdfMeta(ds: Dataset[Media]): Dataset[PdfMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(m => metaOf(m.doc_id, m.media)))
+  }
+
+  /** Extracted page text, a pure flatMap kernel. */
+  def pdfPages(ds: Dataset[Media]): Dataset[PdfPage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(m => pagesOf(m.doc_id, m.media)))
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture writer: real COS bodies, real xref offsets, JDK-Deflater
+  // flate bodies — the reader's inflate path is exercised against an
+  // independent compressor, the same writer/reader split the ZIP
+  // fixture uses.
+  // ------------------------------------------------------------------
+
+  private def escapeLiteral(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def octalLiteral(s: String): String =
+    s.getBytes("ISO-8859-1").map(b => f"\\${b & 0xFF}%03o").mkString
+
+  private def hexString(s: String): String =
+    "<" + s.getBytes("ISO-8859-1").zipWithIndex.map { case (b, i) =>
+      f"${b & 0xFF}%02X" + (if (i % 7 == 6) " " else "") // interior ws is spec-legal
+    }.mkString + ">"
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One synthetic document. Per page `p`, `lines(p)` become text
+    * shows whose operator form rotates by (formSeed + line index) % 4:
+    * 0 literal `Tj` (ALL-octal escapes when `octalAll`), 1 split `TJ`
+    * with a kerning number, 2 hex-string `Tj`, 3 `'` next-line show.
+    * Knobs: `flate(p)` compresses that page's content (JDK Deflater;
+    * `filterArray` writes /Filter [/FlateDecode]), `twoStreams(p)`
+    * splits the page at a line boundary into a /Contents ARRAY,
+    * `indirectLength` emits each stream's /Length as a forward
+    * reference to a later int object (plain streams on that layout,
+    * matching the incremental writers that use it), `outOfOrder`
+    * writes page/content objects before the catalog, `nested` inserts
+    * an intermediate /Pages node holding pages 1.., `encrypted` adds a
+    * trailer /Encrypt dict (extraction must refuse). Offsets in the
+    * xref table are real. */
+  def syntheticPdf(version: String, lines: Int => Seq[String],
+      nPages: Int, formSeed: Int, octalAll: Boolean,
+      flate: Int => Boolean, filterArray: Boolean, twoStreams: Int => Boolean,
+      indirectLength: Boolean, outOfOrder: Boolean, nested: Boolean,
+      encrypted: Boolean): Array[Byte] = {
+    require(nPages >= 1)
+    // ---- object numbering plan
+    // 1 catalog, 2 pages root, (3 nested node), then font, then per
+    // page: page obj, 1-2 content streams, (length objs)
+    var next = if (nested) 4 else 3
+    val fontObj = next; next += 1
+    val pageObj = new Array[Int](nPages)
+    val contObjs = new Array[Seq[Int]](nPages)
+    val lenObjs = new Array[Seq[Int]](nPages)
+    (0 until nPages).foreach { p =>
+      pageObj(p) = next; next += 1
+      val nc = if (twoStreams(p)) 2 else 1
+      contObjs(p) = (0 until nc).map { _ => val o = next; next += 1; o }
+      lenObjs(p) =
+        if (indirectLength) (0 until nc).map { _ => val o = next; next += 1; o }
+        else Seq.empty
+    }
+    val encObj = if (encrypted) { val o = next; next += 1; o } else 0
+    val size = next
+
+    // ---- page content ops
+    def contentOps(p: Int): Seq[String] = {
+      val ls = lines(p)
+      val ops = Seq.newBuilder[String]
+      ops += "BT"
+      ops += s"/F1 12 Tf"
+      ops += "72 720 Td"
+      ls.zipWithIndex.foreach { case (l, j) =>
+        val form = (formSeed + j) % 4
+        if (j > 0 && form != 3) ops += "0 -14 Td"
+        form match {
+          case 0 =>
+            val body = if (octalAll) octalLiteral(l) else escapeLiteral(l)
+            ops += s"($body) Tj"
+          case 1 =>
+            val cut = l.length / 2
+            ops += s"[ (${escapeLiteral(l.substring(0, cut))}) -250 " +
+              s"(${escapeLiteral(l.substring(cut))}) ] TJ"
+          case 2 => ops += s"${hexString(l)} Tj"
+          case _ => ops += s"(${escapeLiteral(l)}) '"
+        }
+      }
+      ops += "ET"
+      ops.result()
+    }
+
+    // ---- assemble objects as (objNum, bytes) in write order
+    case class Obj(num: Int, body: Array[Byte])
+    def obj(num: Int, s: String): Obj = Obj(num, s"$num 0 obj\n$s\nendobj\n".getBytes("ISO-8859-1"))
+    def streamObj(num: Int, dict: String, data: Array[Byte]): Obj = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"$num 0 obj\n$dict\nstream\n".getBytes("ISO-8859-1"))
+      o.write(data)
+      o.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      Obj(num, o.toByteArray)
+    }
+
+    val objs = Seq.newBuilder[Obj]
+    val kidsTop =
+      if (nested) s"[${pageObj(0)} 0 R 3 0 R]"
+      else (0 until nPages).map(p => s"${pageObj(p)} 0 R").mkString("[", " ", "]")
+    val catalog = obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    val pagesRoot = obj(2,
+      s"<< /Type /Pages /Kids $kidsTop /Count $nPages >>")
+    val nestedNode =
+      if (nested)
+        Some(obj(3, s"<< /Type /Pages /Parent 2 0 R /Kids " +
+          (1 until nPages).map(p => s"${pageObj(p)} 0 R").mkString("[", " ", "]") +
+          s" /Count ${nPages - 1} >>"))
+      else None
+    val font = obj(fontObj,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    val pageAndContent = (0 until nPages).flatMap { p =>
+      val ops = contentOps(p)
+      val nc = contObjs(p).length
+      // split at a line boundary: first stream gets ceil(half) of ops
+      val chunks: Seq[Array[Byte]] =
+        if (nc == 1) Seq(ops.mkString("\n").getBytes("ISO-8859-1"))
+        else {
+          val cut = ops.length / 2
+          Seq(ops.take(cut).mkString("\n").getBytes("ISO-8859-1"),
+            ops.drop(cut).mkString("\n").getBytes("ISO-8859-1"))
+        }
+      val parent = if (nested && p > 0) 3 else 2
+      val contentsRef =
+        if (nc == 1) s"${contObjs(p).head} 0 R"
+        else contObjs(p).map(o => s"$o 0 R").mkString("[", " ", "]")
+      val pg = obj(pageObj(p),
+        s"<< /Type /Page /Parent $parent 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contentsRef >>")
+      val streams = chunks.zipWithIndex.map { case (plain, ci) =>
+        val compress = flate(p) && !indirectLength
+        val data = if (compress) deflate(plain) else plain
+        val filt =
+          if (!compress) ""
+          else if (filterArray) " /Filter [/FlateDecode]"
+          else " /Filter /FlateDecode"
+        val lenPart =
+          if (indirectLength) s"/Length ${lenObjs(p)(ci)} 0 R"
+          else s"/Length ${data.length}"
+        streamObj(contObjs(p)(ci), s"<< $lenPart$filt >>", data) ->
+          (if (indirectLength) Some(obj(lenObjs(p)(ci), plain.length.toString)) else None)
+      }
+      Seq(pg) ++ streams.map(_._1) ++ streams.flatMap(_._2)
+    }
+
+    val core = Seq(catalog, pagesRoot) ++ nestedNode.toSeq ++ Seq(font)
+    val encSeq = if (encrypted)
+      Seq(obj(encObj, "<< /Filter /Standard /V 1 /R 2 /O (x) /U (y) /P -44 >>"))
+    else Seq.empty
+    val ordered =
+      if (outOfOrder) pageAndContent ++ core ++ encSeq
+      else core ++ pageAndContent ++ encSeq
+
+    // ---- serialize with real offsets
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"%PDF-$version\n".getBytes("ISO-8859-1"))
+    out.write(Array[Byte]('%', 0xE2.toByte, 0xE3.toByte, 0xCF.toByte, 0xD3.toByte, '\n'))
+    val offsets = new Array[Int](size)
+    ordered.foreach { o =>
+      out.write("% indirect object follows\n".getBytes("ISO-8859-1"))
+      offsets(o.num) = out.size
+      out.write(o.body)
+    }
+    val xrefOff = out.size
+    val xr = new java.lang.StringBuilder
+    xr.append("xref\n").append(s"0 $size\n")
+    xr.append("0000000000 65535 f \n")
+    (1 until size).foreach(i => xr.append(f"${offsets(i)}%010d 00000 n \n"))
+    val encPart = if (encrypted) s" /Encrypt $encObj 0 R" else ""
+    xr.append(s"trailer\n<< /Size $size /Root 1 0 R$encPart >>\n")
+    xr.append(s"startxref\n$xrefOff\n%%EOF\n")
+    out.write(xr.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, ImageStats, Multimodal, Packing, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Multimodal, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1426,6 +1426,83 @@ object LlmQueries {
         .orderBy("doc_id", "k")
     }),
 
+    // PDF admission walk (round 13): scan-based object walk over real
+    // COS bodies — version, object/stream/page counts, the trailer
+    // /Encrypt test; out-of-order bodies, nested page trees, indirect
+    // /Length and a fake-encrypted slice are all load-bearing
+    "q_pdf_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(pdfMedia _)
+      Pdf.pdfMeta(media).toDF()
+        .select(col("doc_id"), col("version"), col("n_objects"), col("n_pages"),
+          col("n_streams"), col("encrypted").cast("int").as("encrypted"))
+        .orderBy("doc_id")
+    }),
+
+    // PDF text extraction (round 13): page-tree walk → /Contents
+    // streams (JDK-Deflater-written flate on half the pages, /Contents
+    // ARRAYS on a slice, indirect /Length on another) → content-stream
+    // execution where every line rotates its show form (literal Tj with
+    // paren escapes, an ALL-octal slice, split TJ arrays with kerning,
+    // hex strings, ' next-line shows) — the oracle replays the exact
+    // per-page string, so a wrong escape, a swallowed TJ element, or a
+    // bad flate joint diverges immediately; encrypted docs must emit
+    // NOTHING (ciphertext is not text)
+    "q_pdf_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(pdfMedia _)
+      Pdf.pdfPages(media).toDF()
+        .select("doc_id", "page_idx", "n_shows", "text")
+        .orderBy("doc_id", "page_idx")
+    }),
+
+    // Document-curation pipeline (round 13): PDF walk → page text →
+    // newline-to-space normalization → quality gate, ONE Catalyst plan
+    // — the books/papers mile of a corpus run, sibling to
+    // q_pipeline_warc's HTML mile
+    "q_pipeline_pdf" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(pdfMedia _)
+      val txt = Pdf.pdfPages(media).toDF()
+        .select(col("doc_id"), col("page_idx"),
+          translate(col("text"), "\n", " ").as("text"))
+      TextAnalysis.quality(txt, col("text"))
+        .select(col("doc_id"), col("page_idx"), col("n_chars"), col("n_words"),
+          (col("n_chars") >= 30 && col("n_words") >= 8).cast("int").as("keep"))
+        .orderBy("doc_id", "page_idx")
+    }),
+
+    // DOCX text extraction (round 13): zip walk → word/document.xml →
+    // element-targeted WordprocessingML walk — runs concatenate with NO
+    // separator (the fixture splits words across runs), <w:tab/> and
+    // paragraph joins are literal whitespace, XML entities decode; the
+    // oracle replays the exact string
+    "q_docx_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(docxMedia _)
+      Docs.docxTexts(media).toDF()
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // EPUB chapter extraction (round 13): the OCF/OPF chain —
+    // container.xml full-path → manifest id→href → SPINE order (the
+    // fixture reverses the spine against archive order on a slice, and
+    // plants an off-spine decoy chapter that must not emit); chapter
+    // XHTML rides the same extractor as WARC HTML
+    "q_epub_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(epubMedia _)
+      Docs.epubTexts(media).toDF()
+        .select("doc_id", "part_idx", "part", "text")
+        .orderBy("doc_id", "part_idx")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -2279,6 +2356,71 @@ object LlmQueries {
         lowerCaseHeaders = id % 5 == 0,
         infoLen = (15 + id % 20).toInt),
       "application/warc")
+  }
+
+  /** The q_pdf_* fixture (round 13): 1 + id%3 pages of 2 + (id+p)%3
+    * text lines, every line carrying parentheses (escape path always
+    * load-bearing); show forms rotate by (id + j) % 4 across literal/
+    * TJ-split/hex/' — with the id%5=0 slice writing literals ALL-octal;
+    * flate on (id+p) even pages (JDK Deflater — independent
+    * compressor), /Filter array form on id%7=3; /Contents arrays on
+    * (id+p)%5=0; indirect /Length (forward refs, plain streams) on
+    * id%6=2; body objects out of order on id%4=1; a nested /Pages node
+    * on id%3=0; trailer /Encrypt on id%11=7 (meta admits, text must
+    * refuse). */
+  private[graft] def pdfLine(id: Long, p: Int, j: Int): String =
+    s"L$j P$p D$id (k=${(id + 3 * p + 7 * j) % 53})"
+
+  private def pdfMedia(id: Long): Multimodal.Media = {
+    val nPages = (1 + id % 3).toInt
+    Multimodal.Media(id,
+      Pdf.syntheticPdf(
+        version = s"1.${4 + id % 4}",
+        lines = p => (0 until (2 + (id + p) % 3).toInt).map(j => pdfLine(id, p, j)),
+        nPages = nPages,
+        formSeed = (id % 4).toInt,
+        octalAll = id % 5 == 0,
+        flate = p => (id + p) % 2 == 0,
+        filterArray = id % 7 == 3,
+        twoStreams = p => (id + p) % 5 == 0,
+        indirectLength = id % 6 == 2,
+        outOfOrder = id % 4 == 1,
+        nested = id % 3 == 0,
+        encrypted = id % 11 == 7),
+      "application/pdf")
+  }
+
+  /** The q_docx_text fixture (round 13): 2 + id%3 paragraphs, each
+    * split mid-word into three runs at id-dependent cut points
+    * (concatenation semantics load-bearing), a real tab via <w:tab/>
+    * on the (id+k)%4=0 slice, '&' through entity escape everywhere,
+    * stored-vs-deflate zip parts by id parity. */
+  private def docxMedia(id: Long): Multimodal.Media = {
+    val nP = (2 + id % 3).toInt
+    val paras = (0 until nP).map { k =>
+      val sep = if ((id + k) % 4 == 0) "\t" else " "
+      val t = s"P$k${sep}D$id & t=${(id * 5 + 3 * k) % 71}"
+      val c1 = math.min(3, t.length)
+      val c2 = math.min(c1 + 1 + ((id + k) % 5).toInt, t.length)
+      Seq(t.substring(0, c1), t.substring(c1, c2), t.substring(c2))
+    }
+    Multimodal.Media(id, Docs.syntheticDocx(paras, storedParts = id % 2 == 0),
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+  }
+
+  /** The q_epub_text fixture (round 13): 1 + id%3 chapters written in
+    * natural ARCHIVE order but spined REVERSED on id%3=1 (a reader that
+    * walks the archive misorders exactly there), plus an off-spine
+    * decoy .xhtml on id%4=0 that must not emit. */
+  private def epubMedia(id: Long): Multimodal.Media = {
+    val n = (1 + id % 3).toInt
+    val chapters = (0 until n).map { k =>
+      (s"ch$k.xhtml",
+        s"<html><body><h1>C$k</h1><p>E$id &amp; ${(id + 11 * k) % 59}</p></body></html>")
+    }
+    val spine = if (id % 3 == 1) (0 until n).reverse else (0 until n)
+    Multimodal.Media(id, Docs.syntheticEpub(chapters, spine,
+      if (id % 4 == 0) Some("decoy.xhtml") else None), "application/epub+zip")
   }
 
   /** The q_tar_entries fixture (round 13): 2 + id%4 text members under
@@ -4415,6 +4557,96 @@ object LlmQueries {
         |    AND LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 6
         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM t ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // PDF meta replay (round 13): object/stream/page counts as closed
+    // forms of the fixture's numbering plan — base objects (catalog,
+    // pages root, font, +nested node, +encrypt dict) plus per page
+    // 1 + nc(1 + indirect-length), nc = 2 on the /Contents-array slice
+    "q_pdf_meta" ->
+      """WITH pg AS (
+        |  SELECT doc_id, u.p AS p,
+        |    CASE WHEN (doc_id + u.p) % 5 = 0 THEN 2 ELSE 1 END AS nc
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(p)
+        |  WHERE u.p < 1 + doc_id % 3)
+        |SELECT doc_id,
+        |  '1.' || (4 + doc_id % 4) AS version,
+        |  CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END
+        |    + SUM(1 + nc * (1 + CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END))
+        |    AS INTEGER) AS n_objects,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_pages,
+        |  CAST(SUM(nc) AS INTEGER) AS n_streams,
+        |  CAST(CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END AS INTEGER) AS encrypted
+        |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PDF text replay (round 13): the EXACT per-page string — lines
+    // joined by \n, one show per line (so n_shows = line count), the
+    // encrypted slice absent entirely
+    "q_pdf_text" ->
+      """WITH ln AS (
+        |  SELECT doc_id, u.p AS p, v.j AS j,
+        |    'L' || v.j || ' P' || u.p || ' D' || doc_id
+        |      || ' (k=' || ((doc_id + 3 * u.p + 7 * v.j) % 53) || ')' AS line
+        |  FROM documents,
+        |    unnest(generate_series(0, 2)) AS u(p),
+        |    unnest(generate_series(0, 4)) AS v(j)
+        |  WHERE u.p < 1 + doc_id % 3 AND v.j < 2 + (doc_id + u.p) % 3
+        |    AND doc_id % 11 <> 7)
+        |SELECT doc_id, CAST(p AS INTEGER) AS page_idx,
+        |  CAST(2 + (doc_id + p) % 3 AS INTEGER) AS n_shows,
+        |  string_agg(line, chr(10) ORDER BY j) AS text
+        |FROM ln GROUP BY doc_id, p ORDER BY doc_id, page_idx""".stripMargin,
+
+    // document-pipeline replay (round 13): quality metrics over the
+    // SAME closed-form page text with newlines normalized to spaces —
+    // n_words = separators + 1 (single spaces by construction)
+    "q_pipeline_pdf" ->
+      """WITH ln AS (
+        |  SELECT doc_id, u.p AS p, v.j AS j,
+        |    'L' || v.j || ' P' || u.p || ' D' || doc_id
+        |      || ' (k=' || ((doc_id + 3 * u.p + 7 * v.j) % 53) || ')' AS line
+        |  FROM documents,
+        |    unnest(generate_series(0, 2)) AS u(p),
+        |    unnest(generate_series(0, 4)) AS v(j)
+        |  WHERE u.p < 1 + doc_id % 3 AND v.j < 2 + (doc_id + u.p) % 3
+        |    AND doc_id % 11 <> 7),
+        |t AS (
+        |  SELECT doc_id, CAST(p AS INTEGER) AS page_idx,
+        |    string_agg(line, ' ' ORDER BY j) AS text
+        |  FROM ln GROUP BY doc_id, p)
+        |SELECT doc_id, page_idx,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN LENGTH(text) >= 30
+        |    AND LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 8
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM t ORDER BY doc_id, page_idx""".stripMargin,
+
+    // DOCX replay (round 13): the exact main-document string — run
+    // splits invisible, tabs and entities decoded, paragraphs joined \n
+    "q_docx_text" ->
+      """WITH p AS (
+        |  SELECT doc_id, u.k AS k,
+        |    'P' || u.k || (CASE WHEN (doc_id + u.k) % 4 = 0 THEN chr(9) ELSE ' ' END)
+        |      || 'D' || doc_id || ' & t=' || ((doc_id * 5 + 3 * u.k) % 71) AS para
+        |  FROM documents, unnest(generate_series(0, 4)) AS u(k)
+        |  WHERE u.k < 2 + doc_id % 3)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY k) AS text
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // EPUB replay (round 13): part_idx follows the SPINE (reversed vs
+    // archive order on id%3=1), href resolves under OEBPS/, the decoy
+    // never appears, text = the HTML-extracted chapter string
+    "q_epub_text" ->
+      """WITH s AS (
+        |  SELECT doc_id, u.j AS j,
+        |    CASE WHEN doc_id % 3 = 1 THEN (doc_id % 3) - u.j ELSE u.j END AS k
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(j)
+        |  WHERE u.j < 1 + doc_id % 3)
+        |SELECT doc_id, CAST(j AS INTEGER) AS part_idx,
+        |  'OEBPS/ch' || k || '.xhtml' AS part,
+        |  'C' || k || ' E' || doc_id || ' & ' || ((doc_id + 11 * k) % 59) AS text
+        |FROM s ORDER BY doc_id, part_idx""".stripMargin,
 
     // tar replay (round 13): entry_idx/name/content closed forms plus
     // data_offset = the 512-block arithmetic INCLUDING the header of a

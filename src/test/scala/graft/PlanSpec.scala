@@ -365,6 +365,29 @@ class PlanSpec extends SparkSpec {
           ids.map(id => Multimodal.Media(id, graft.llm.Archives.syntheticZip(Seq(
             (s"z$id.txt", s"zip body $id".getBytes, id % 2 == 0))),
             "application/zip"))).toDF(),
+        // the PDF walk is the same shape: document bytes stay in the
+        // scan task, pages flow out of the flatMap
+        "pdfMeta" -> graft.llm.Pdf.pdfMeta(
+          ids.map(id => Multimodal.Media(id, graft.llm.Pdf.syntheticPdf(
+            "1.5", p => Seq(s"a $id $p", "b (x)"), 2, formSeed = id.toInt % 4,
+            octalAll = false, flate = p => (id + p) % 2 == 0, filterArray = false,
+            twoStreams = _ => id % 3 == 0, indirectLength = false,
+            outOfOrder = id % 2 == 1, nested = false, encrypted = false),
+            "application/pdf"))).toDF(),
+        "pdfPages" -> graft.llm.Pdf.pdfPages(
+          ids.map(id => Multimodal.Media(id, graft.llm.Pdf.syntheticPdf(
+            "1.7", p => Seq(s"t $id $p"), 1, formSeed = 0, octalAll = false,
+            flate = _ => true, filterArray = true, twoStreams = _ => false,
+            indirectLength = false, outOfOrder = false, nested = false,
+            encrypted = false), "application/pdf"))).toDF(),
+        "docxTexts" -> graft.llm.Docs.docxTexts(
+          ids.map(id => Multimodal.Media(id, graft.llm.Docs.syntheticDocx(
+            Seq(Seq(s"para $id", " tail")), storedParts = id % 2 == 0),
+            "application/docx"))).toDF(),
+        "epubTexts" -> graft.llm.Docs.epubTexts(
+          ids.map(id => Multimodal.Media(id, graft.llm.Docs.syntheticEpub(
+            Seq(("a.xhtml", s"<p>c $id</p>")), Seq(0), None),
+            "application/epub+zip"))).toDF(),
         "subtitleCues" -> graft.llm.Subtitles.cues(
           ids.map(id => Multimodal.Media(id, graft.llm.Subtitles.synthetic(
             Seq((1000L * id, 1000L * id + 500L, Seq(s"line $id"))),

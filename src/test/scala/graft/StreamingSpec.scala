@@ -1601,6 +1601,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PDF extraction: stream pages equal the batch walk") {
+    // the document walk is the same flatMap kernel shape — a live
+    // document feed extracts identically, encrypted refusal included
+    import spark.implicits._
+    import graft.llm.{Multimodal, Pdf}
+    val medias = (0L until 6L).map { id =>
+      Multimodal.Media(id, Pdf.syntheticPdf(
+        "1.6", p => (0 until (1 + (id + p) % 3).toInt).map(j => s"s$id $p $j (q)"),
+        (1 + id % 2).toInt, formSeed = (id % 4).toInt, octalAll = id % 3 == 0,
+        flate = p => (id + p) % 2 == 0, filterArray = id % 5 == 1,
+        twoStreams = p => (id + p) % 4 == 0, indirectLength = id % 5 == 2,
+        outOfOrder = id % 2 == 1, nested = id % 3 == 1,
+        encrypted = id == 4L), "application/pdf")
+    }
+    val batch = Pdf.pdfPages(spark.createDataset(medias)).collect().toSet
+    assert(batch.nonEmpty && !batch.exists(_.doc_id == 4L),
+      "batch premise: pages extracted, encrypted doc refused")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val st = in.toDS().map { case (id, b) => Multimodal.Media(id, b, "application/pdf") }
+    val q = Pdf.pdfPages(st).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_pdf").start()
+    try {
+      in.addData(medias.take(3).map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      in.addData(medias.drop(3).map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cm_pdf").as[Pdf.PdfPage].collect().toSet
+      assert(got == batch, "pdf stream == batch")
+    } finally q.stop()
+  }
+
+  test("streaming document extraction: docx and epub parts equal the batch walk") {
+    import spark.implicits._
+    import graft.llm.{Docs, Multimodal}
+    val medias = (0L until 6L).map { id =>
+      if (id % 2 == 0)
+        Multimodal.Media(id, Docs.syntheticDocx(
+          (0 until (1 + id % 3).toInt).map(k => Seq(s"p$id", s"-$k & x")),
+          storedParts = id % 4 == 0), "application/docx")
+      else
+        Multimodal.Media(id, Docs.syntheticEpub(
+          (0 until (1 + id % 3).toInt).map(k =>
+            (s"c$k.xhtml", s"<html><body><p>e$id $k</p></body></html>")),
+          (0 until (1 + id % 3).toInt).reverse,
+          if (id % 3 == 1) Some("d.xhtml") else None), "application/epub+zip")
+    }
+    val docxIn = spark.createDataset(medias.filter(_.doc_id % 2 == 0))
+    val epubIn = spark.createDataset(medias.filter(_.doc_id % 2 == 1))
+    val batchDocx = Docs.docxTexts(docxIn).collect().toSet
+    val batchEpub = Docs.epubTexts(epubIn).collect().toSet
+    assert(batchDocx.size == 3 && batchEpub.nonEmpty, "batch premise")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val st = in.toDS().map { case (id, b) => Multimodal.Media(id, b, "application/x") }
+    val q1 = Docs.docxTexts(st.filter(_.doc_id % 2 == 0)).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_docx").start()
+    val q2 = Docs.epubTexts(st.filter(_.doc_id % 2 == 1)).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_epub").start()
+    try {
+      in.addData(medias.map(m => (m.doc_id, m.media)): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("cm_docx").as[Docs.DocPart].collect().toSet == batchDocx,
+        "docx stream == batch")
+      assert(spark.table("cm_epub").as[Docs.DocPart].collect().toSet == batchEpub,
+        "epub stream == batch")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}

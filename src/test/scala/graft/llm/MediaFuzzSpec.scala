@@ -46,6 +46,10 @@ class MediaFuzzSpec extends AnyFunSuite {
     "tarParse" -> (b => Archives.parseTar(b)),
     "wdsParse" -> (b => Archives.parseWds(b)),
     "zipParse" -> (b => Archives.parseZip(b)),
+    "pdfParse" -> (b => Pdf.parsePdf(b)),
+    "pdfPages" -> (b => Pdf.pagesOf(0L, b)),
+    "docxText" -> (b => Docs.docxText(b)),
+    "epubChapters" -> (b => Docs.epubChapters(b)),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
@@ -144,6 +148,17 @@ class MediaFuzzSpec extends AnyFunSuite {
       "zip" -> Archives.syntheticZip(Seq(
         ("a.txt", "stored body".getBytes, true),
         ("b/c.txt", ("deflate body " * 20).getBytes, false))),
+      "pdf" -> Pdf.syntheticPdf("1.6",
+        p => Seq(s"line (a) $p", "x \\ y", "octal"), 2, formSeed = 1,
+        octalAll = true, flate = p => p == 0, filterArray = true,
+        twoStreams = p => p == 1, indirectLength = false, outOfOrder = true,
+        nested = true, encrypted = false),
+      "docx" -> Docs.syntheticDocx(Seq(
+        Seq("Hel", "lo ", "a&b"), Seq("x\ty", "\nz")), storedParts = false),
+      "epub" -> Docs.syntheticEpub(Seq(
+        ("a.xhtml", "<html><body><p>one &amp; two</p></body></html>"),
+        ("b.xhtml", "<html><body><p>three</p></body></html>")),
+        Seq(1, 0), Some("decoy.xhtml")),
       "vtt" -> Subtitles.synthetic(Seq(
         (0L, 900L, Seq("one", "two")), (2000L, 3000L, Seq("three"))),
         vtt = true, vttSettings = true, vttIds = true).getBytes("UTF-8"),

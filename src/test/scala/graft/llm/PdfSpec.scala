@@ -1,0 +1,176 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF object walk + text extraction (round 13). Pins (a) the COS
+  * lexer's string semantics byte-by-byte (escapes, octal, continuation,
+  * EOL normalization, hex padding, name #-escapes), (b) the content
+  * executor's line model against hand-assembled operator streams, (c)
+  * the q_pdf_* fixture formulas across an id sweep — every layout knob
+  * (flate/plain, /Contents arrays, indirect /Length, out-of-order
+  * bodies, nested page trees, all-octal literals) must land on the SAME
+  * extracted text, (d) the encrypted-refusal posture, and (e) the
+  * corrupt-input prefix rule. */
+class PdfSpec extends AnyFunSuite {
+
+  // the q_pdf_* fixture formulas, verbatim
+  private def line(id: Long, p: Int, j: Int): String =
+    s"L$j P$p D$id (k=${(id + 3 * p + 7 * j) % 53})"
+  private def nPages(id: Long): Int = (1 + id % 3).toInt
+  private def nLines(id: Long, p: Int): Int = (2 + (id + p) % 3).toInt
+  private def pageText(id: Long, p: Int): String =
+    (0 until nLines(id, p)).map(line(id, p, _)).mkString("\n")
+
+  private def pdfBytes(id: Long): Array[Byte] =
+    Pdf.syntheticPdf(
+      version = s"1.${4 + id % 4}",
+      lines = p => (0 until nLines(id, p)).map(line(id, p, _)),
+      nPages = nPages(id),
+      formSeed = (id % 4).toInt,
+      octalAll = id % 5 == 0,
+      flate = p => (id + p) % 2 == 0,
+      filterArray = id % 7 == 3,
+      twoStreams = p => (id + p) % 5 == 0,
+      indirectLength = id % 6 == 2,
+      outOfOrder = id % 4 == 1,
+      nested = id % 3 == 0,
+      encrypted = id % 11 == 7)
+
+  private def extract(content: String): String =
+    Pdf.extractText(content.getBytes("ISO-8859-1"))._2
+
+  // ------------------------------------------------------------------
+  // lexer string semantics
+  // ------------------------------------------------------------------
+
+  test("literal-string escapes decode per ISO 32000 §7.3.4.2") {
+    assert(extract("BT (a\\(b\\)c\\\\d) Tj ET") == "a(b)c\\d")
+    assert(extract("BT (x\\ny\\tz) Tj ET") == "x\ny\tz")
+    // 1-3 digit octal, stopping at the first non-octal char
+    assert(extract("BT (\\101\\102\\7a) Tj ET") == "AB\u0007a")
+    // \<EOL> is a line CONTINUATION (no byte); a raw EOL reads as \n,
+    // with CRLF collapsing to one
+    assert(extract("BT (ab\\\ncd) Tj ET") == "abcd")
+    assert(extract("BT (ab\r\ncd) Tj ET") == "ab\ncd")
+    // unknown escape drops the backslash
+    assert(extract("BT (a\\qb) Tj ET") == "aqb")
+    // balanced inner parens need no escapes
+    assert(extract("BT (a(b)c) Tj ET") == "a(b)c")
+  }
+
+  test("hex strings: whitespace-transparent pairs, odd digit pads with 0") {
+    assert(extract("BT <4142> Tj ET") == "AB")
+    assert(extract("BT <41 4\n2> Tj ET") == "AB")
+    assert(extract("BT <414> Tj ET") == "A@") // odd: trailing 4 → 0x40
+  }
+
+  test("content executor: line model and show forms") {
+    // Td with ty=0 is a horizontal move, NOT a line break
+    assert(extract("BT (a) Tj 10 0 Td (b) Tj ET") == "ab")
+    assert(extract("BT (a) Tj 0 -14 Td (b) Tj ET") == "a\nb")
+    assert(extract("BT (a) Tj T* (b) Tj ET") == "a\nb")
+    assert(extract("BT (a) Tj (b) ' ET") == "a\nb")
+    assert(extract("BT (a) Tj 2 3 (b) \" ET") == "a\nb")
+    // TJ: strings concatenate, kerning numbers are positioning only
+    assert(extract("BT [ (a) -250 (b) 12 (c) ] TJ ET") == "abc")
+    // ET separates text blocks; no leading or trailing newline survives
+    assert(extract("BT (a) Tj ET BT (b) Tj ET") == "a\nb")
+    assert(extract("q 1 0 0 1 50 50 cm BT /F1 9 Tf 0 700 Td (x) Tj ET Q") == "x")
+    // n_shows counts executed show operators
+    assert(Pdf.extractText("BT (a) Tj [ (b) (c) ] TJ (d) ' ET".getBytes("ISO-8859-1"))._1 == 3)
+  }
+
+  // ------------------------------------------------------------------
+  // fixture sweep: every knob lands on the same closed-form text
+  // ------------------------------------------------------------------
+
+  test("meta and page text hold across the id sweep") {
+    for (id <- 0L until 120L) {
+      val b = pdfBytes(id)
+      val meta = Pdf.metaOf(id, b).getOrElse(fail(s"unparseable fixture at id=$id"))
+      assert(meta.version == s"1.${4 + id % 4}", s"version at id=$id")
+      assert(meta.n_pages == nPages(id), s"n_pages at id=$id")
+      val ncs = (0 until nPages(id)).map(p => if ((id + p) % 5 == 0) 2 else 1)
+      assert(meta.n_streams == ncs.sum, s"n_streams at id=$id")
+      val expObjs = 3 + (if (id % 3 == 0) 1 else 0) + (if (id % 11 == 7) 1 else 0) +
+        ncs.map(nc => 1 + nc * (if (id % 6 == 2) 2 else 1)).sum
+      assert(meta.n_objects == expObjs, s"n_objects at id=$id")
+      assert(meta.encrypted == (id % 11 == 7), s"encrypted at id=$id")
+
+      val pages = Pdf.pagesOf(id, b)
+      if (id % 11 == 7) assert(pages.isEmpty, s"encrypted doc must extract nothing, id=$id")
+      else {
+        assert(pages.length == nPages(id), s"page count at id=$id")
+        pages.zipWithIndex.foreach { case (pg, p) =>
+          assert(pg.page_idx == p, s"page order at id=$id")
+          assert(pg.n_shows == nLines(id, p), s"n_shows at id=$id p=$p")
+          assert(pg.text == pageText(id, p), s"text at id=$id p=$p")
+        }
+      }
+    }
+  }
+
+  test("layout knobs are invisible to extraction (pairwise diffs)") {
+    // same lines, one knob toggled at a time — text must be identical
+    val ls = (p: Int) => Seq(s"alpha $p (x)", s"beta $p \\ y", s"gamma $p")
+    def mk(flate: Boolean, two: Boolean, indirect: Boolean, ooo: Boolean,
+        nested: Boolean, octal: Boolean, arr: Boolean) =
+      Pdf.pagesOf(5L, Pdf.syntheticPdf("1.6", ls, 2, 1, octal,
+        _ => flate, arr, _ => two, indirect, ooo, nested, encrypted = false))
+        .map(_.text)
+    val base = mk(false, false, false, false, false, false, false)
+    assert(base.length == 2 && base.head.startsWith("alpha 0 (x)\nbeta"))
+    assert(mk(true, false, false, false, false, false, false) == base, "flate")
+    assert(mk(true, false, false, false, false, false, true) == base, "filter array")
+    assert(mk(false, true, false, false, false, false, false) == base, "two streams")
+    assert(mk(false, false, true, false, false, false, false) == base, "indirect length")
+    assert(mk(false, false, false, true, false, false, false) == base, "out of order")
+    assert(mk(false, false, false, false, true, false, false) == base, "nested tree")
+    assert(mk(false, false, false, false, false, true, false) == base, "all-octal")
+  }
+
+  // ------------------------------------------------------------------
+  // posture
+  // ------------------------------------------------------------------
+
+  test("corrupt input: prefix rule, never a throw") {
+    val good = pdfBytes(3L)
+    // truncations keep every object completed before the cut
+    for (cut <- Seq(good.length / 4, good.length / 2, good.length - 30)) {
+      val doc = Pdf.parsePdf(java.util.Arrays.copyOfRange(good, 0, cut))
+      doc.foreach(d => assert(d.objects.nonEmpty))
+    }
+    assert(Pdf.parsePdf(Array[Byte](1, 2, 3)) == None)
+    assert(Pdf.parsePdf("%PDF-1.4\nnot objects".getBytes) == None)
+    assert(Pdf.pagesOf(0L, "%PDF-".getBytes) == Nil)
+    // a /Length past EOF falls back to endstream-scan framing (the
+    // tolerant-reader rule); the doc still has no page tree → no text
+    val lying = ("%PDF-1.4\n1 0 obj << /Length 999 >> stream\nxx\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>").getBytes("ISO-8859-1")
+    assert(Pdf.pagesOf(0L, lying) == Nil)
+  }
+
+  test("unknown filters skip the page; empty /Contents extracts empty") {
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 6 /Filter /DCTDecode >> stream\nabcdef\nendstream endobj\n" +
+      "5 0 obj << /Type /Page /Parent 2 0 R >> endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val pages = Pdf.pagesOf(9L, pdf)
+    // page 0 (unknown filter) skipped, page 1 (no contents) empty
+    assert(pages.map(p => (p.page_idx, p.text)) == Seq((1, "")))
+  }
+
+  test("incremental update: a second trailer's keys override") {
+    val base = new String(pdfBytes(1L), "ISO-8859-1")
+    val updated = (base +
+      "\n99 0 obj << /X 1 >> endobj\ntrailer << /Info 99 0 R >>\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    val doc = Pdf.parsePdf(updated).getOrElse(fail("update section broke the walk"))
+    assert(doc.trailer.get("Root").isDefined, "first trailer's /Root survives")
+    assert(doc.trailer.get("Info").isDefined, "second trailer's keys merge")
+    assert(doc.objects.contains(99))
+  }
+}
