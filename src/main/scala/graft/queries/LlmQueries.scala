@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Multimodal, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1503,6 +1503,44 @@ object LlmQueries {
         .orderBy("doc_id", "part_idx")
     }),
 
+    // Jupyter-notebook cell extraction (round 13): fully DECLARATIVE —
+    // from_json under both nbformat source schemas (array-of-lines AND
+    // plain string, coalesced per cell) + posexplode; metadata/outputs
+    // are schema-projected away; the oracle replays the exact cell text
+    "q_ipynb_cells" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, ipynbJson(id))).toDF("doc_id", "json")
+      Notebooks.cells(df, "doc_id", col("json"))
+        .select("doc_id", "cell_idx", "cell_type", "source", "n_chars")
+        .orderBy("doc_id", "cell_idx")
+    }),
+
+    // code-cell concatenation per notebook (the code-corpus form):
+    // order restored via array_sort on the leading struct field, never
+    // trusting collect_list's shuffle order
+    "q_ipynb_code" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, ipynbJson(id))).toDF("doc_id", "json")
+      Notebooks.codeText(df, "doc_id", col("json"))
+        .select("doc_id", "code")
+        .orderBy("doc_id")
+    }),
+
+    // LaTeX text extraction (round 13): the arXiv mile — preamble/
+    // comments/math/equation-envs dropped, prose arguments kept,
+    // character escapes decoded; the oracle replays the exact string,
+    // so markup leaking INTO the text or prose dropped OUT of it both
+    // diverge immediately
+    "q_latex_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, latexSrc(id))).toDF("doc_id", "src")
+      Latex.latexTexts(df, "doc_id", "src")
+        .orderBy("doc_id")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -2421,6 +2459,52 @@ object LlmQueries {
     val spine = if (id % 3 == 1) (0 until n).reverse else (0 until n)
     Multimodal.Media(id, Docs.syntheticEpub(chapters, spine,
       if (id % 4 == 0) Some("decoy.xhtml") else None), "application/epub+zip")
+  }
+
+  /** The q_ipynb_* fixture (round 13): 2 + id%3 cells alternating
+    * code/markdown by (id+k)%2; cell text = 1 + (id+k)%3 lines; source
+    * written in nbformat's ARRAY-of-lines form except the (id+k)%5=0
+    * slice which uses the equally-legal plain-string form (the
+    * dual-schema coalesce is load-bearing there); execution_count/
+    * outputs/metadata noise present on every code cell. */
+  private[graft] def ipynbJson(id: Long): String = {
+    val specs = (0 until (2 + id % 3).toInt).map { k =>
+      val tpe = if ((id + k) % 2 == 0) "code" else "markdown"
+      val nL = (1 + (id + k) % 3).toInt
+      val text = (0 until nL).map(j => s"x$k$j d$id").mkString("\n")
+      (tpe, text, (id + k) % 5 != 0)
+    }
+    Notebooks.syntheticIpynb(specs)
+  }
+
+  /** The q_latex_text fixture (round 13): a realistic article skeleton
+    * where every rule is a trap — the comment line carries fake math
+    * and a fake \emph, inline/display math carry id-dependent garbage,
+    * the equation environment wraps a \label, itemize must keep its
+    * prose while losing its markers, and the escapes (\%, \&, \_) sit
+    * inside kept prose. The oracle replays the exact extracted
+    * string. */
+  private[graft] def latexSrc(id: Long): String = {
+    val a = id % 50; val b = id * 3 % 97; val d = id % 41
+    val e = id * 11 % 73; val f = id * 13 % 61
+    s"""\\documentclass[11pt]{article}
+       |% preamble comment with $$fake$$ and \\emph{trap}
+       |\\usepackage[utf8]{inputenc}
+       |\\title{T $id}
+       |\\begin{document}
+       |\\maketitle
+       |\\section{S $a}
+       |Body \\emph{em $b} with math $$x^2_{$id} + 1$$ dropped. % tail
+       |\\begin{equation}
+       |  E = mc^2 \\label{eq:$id}
+       |\\end{equation}
+       |Cite~\\cite{k$id} and pct 100\\% amp \\& und x\\_y.
+       |\\begin{itemize}
+       |  \\item First $d
+       |  \\item Second \\textbf{bold $e}
+       |\\end{itemize}
+       |Line one\\\\line two \\[ disp + $id \\] tail $f.
+       |\\end{document}""".stripMargin
   }
 
   /** The q_tar_entries fixture (round 13): 2 + id%4 text members under
@@ -4647,6 +4731,54 @@ object LlmQueries {
         |  'OEBPS/ch' || k || '.xhtml' AS part,
         |  'C' || k || ' E' || doc_id || ' & ' || ((doc_id + 11 * k) % 59) AS text
         |FROM s ORDER BY doc_id, part_idx""".stripMargin,
+
+    // ipynb replay (round 13): exact cell text per (doc, cell) — the
+    // string-form slice must land on the same text as the array form
+    "q_ipynb_cells" ->
+      """WITH c AS (
+        |  SELECT doc_id, u.k AS k, v.j AS j,
+        |    'x' || u.k || v.j || ' d' || doc_id AS line
+        |  FROM documents,
+        |    unnest(generate_series(0, 4)) AS u(k),
+        |    unnest(generate_series(0, 2)) AS v(j)
+        |  WHERE u.k < 2 + doc_id % 3 AND v.j < 1 + (doc_id + u.k) % 3),
+        |s AS (
+        |  SELECT doc_id, k, string_agg(line, chr(10) ORDER BY j) AS source
+        |  FROM c GROUP BY doc_id, k)
+        |SELECT doc_id, CAST(k AS INTEGER) AS cell_idx,
+        |  CASE WHEN (doc_id + k) % 2 = 0 THEN 'code' ELSE 'markdown' END AS cell_type,
+        |  source, CAST(LENGTH(source) AS BIGINT) AS n_chars
+        |FROM s ORDER BY doc_id, cell_idx""".stripMargin,
+
+    // code-concatenation replay (round 13): code cells only, in cell
+    // order
+    "q_ipynb_code" ->
+      """WITH c AS (
+        |  SELECT doc_id, u.k AS k, v.j AS j,
+        |    'x' || u.k || v.j || ' d' || doc_id AS line
+        |  FROM documents,
+        |    unnest(generate_series(0, 4)) AS u(k),
+        |    unnest(generate_series(0, 2)) AS v(j)
+        |  WHERE u.k < 2 + doc_id % 3 AND v.j < 1 + (doc_id + u.k) % 3),
+        |s AS (
+        |  SELECT doc_id, k, string_agg(line, chr(10) ORDER BY j) AS source
+        |  FROM c GROUP BY doc_id, k)
+        |SELECT doc_id, string_agg(source, chr(10) ORDER BY k) AS code
+        |FROM s WHERE (doc_id + k) % 2 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // LaTeX replay (round 13): the exact extracted prose — title/
+    // section/emph/textbf arguments and escaped chars kept, everything
+    // else (preamble, comments, math, equation env, cite/label,
+    // markers) gone
+    "q_latex_text" ->
+      """SELECT doc_id,
+        |  'T ' || doc_id || ' S ' || (doc_id % 50)
+        |    || ' Body em ' || (doc_id * 3 % 97)
+        |    || ' with math dropped. Cite and pct 100% amp & und x_y. First '
+        |    || (doc_id % 41) || ' Second bold ' || (doc_id * 11 % 73)
+        |    || ' Line one line two tail ' || (doc_id * 13 % 61) || '.' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // tar replay (round 13): entry_idx/name/content closed forms plus
     // data_offset = the 512-block arithmetic INCLUDING the header of a

@@ -380,6 +380,14 @@ class PlanSpec extends SparkSpec {
             flate = _ => true, filterArray = true, twoStreams = _ => false,
             indirectLength = false, outOfOrder = false, nested = false,
             encrypted = false), "application/pdf"))).toDF(),
+        "latexTexts" -> graft.llm.Latex.latexTexts(
+          ids.map(id => (id, s"\\section{S $id} body $$x$$ \\cite{k}"))
+            .toDF("doc_id", "src"), "doc_id", "src"),
+        // declarative notebook path: from_json + posexplode is a
+        // Generate, not an Exchange — cells fan out in the scan task
+        "ipynbCells" -> graft.llm.Notebooks.cells(
+          ids.map(id => (id, graft.queries.LlmQueries.ipynbJson(id)))
+            .toDF("doc_id", "json"), "doc_id", col("json")),
         "docxTexts" -> graft.llm.Docs.docxTexts(
           ids.map(id => Multimodal.Media(id, graft.llm.Docs.syntheticDocx(
             Seq(Seq(s"para $id", " tail")), storedParts = id % 2 == 0),

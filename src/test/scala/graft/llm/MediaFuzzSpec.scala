@@ -50,6 +50,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "pdfPages" -> (b => Pdf.pagesOf(0L, b)),
     "docxText" -> (b => Docs.docxText(b)),
     "epubChapters" -> (b => Docs.epubChapters(b)),
+    "latexText" -> (b => Latex.latexText(new String(b, "UTF-8"))),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
