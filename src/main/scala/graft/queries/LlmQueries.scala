@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Mail, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1541,6 +1541,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // mbox/MIME walk (round 13): envelope framing + mboxrd escapes,
+    // folded headers, RFC 2047 encoded-word subjects (B and split-Q
+    // forms) — the oracle replays the DECODED header strings, so the
+    // three encoding layers are invisible by construction
+    "q_mail_messages" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(mboxMedia _)
+      Mail.readMbox(media).toDF()
+        .select("doc_id", "msg_idx", "from", "to", "subject", "n_parts")
+        .orderBy("doc_id", "msg_idx")
+    }),
+
+    // mail text extraction (round 13): content-transfer decode (7bit /
+    // soft-wrapped quoted-printable / base64), multipart walk where the
+    // html decoy comes FIRST but text/plain must win, html-only
+    // fallback through the HTML extractor — exact decoded strings
+    "q_mail_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(mboxMedia _)
+      Mail.readMbox(media).toDF()
+        .select("doc_id", "msg_idx", "text")
+        .orderBy("doc_id", "msg_idx")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -2505,6 +2531,27 @@ object LlmQueries {
        |\\end{itemize}
        |Line one\\\\line two \\[ disp + $id \\] tail $f.
        |\\end{document}""".stripMargin
+  }
+
+  /** The q_mail_* fixture (round 13): 1 + id%3 messages; per message i
+    * the subject encoding cycles raw/B-word/split-Q-word by (id+i)%3,
+    * the To header folds at its space on (id+i)%4=0, and the body kind
+    * cycles by (id+i)%5: plain-7bit / soft-wrapped QP / base64 /
+    * multipart-with-html-decoy-first / html-only. Body text carries a
+    * literal '=' (the QP escape is load-bearing) and two lines (the
+    * html slice collapses them — the oracle's CASE). */
+  private def mboxMedia(id: Long): Multimodal.Media = {
+    val msgs = (0 until (1 + id % 3).toInt).map { i =>
+      Mail.syntheticMessage(
+        from = s"u$id$i@ex.org",
+        to = s"team${(id + i) % 9}@ex.org list$i@ex.org",
+        subject = s"Re: topic $id ${(id * 3 + i) % 31}",
+        bodyText = s"Body $id.$i one\nsecond = ${(id * 7 + i) % 43} end",
+        bodyKind = ((id + i) % 5).toInt,
+        subjEnc = ((id + i) % 3).toInt,
+        foldTo = (id + i) % 4 == 0)
+    }
+    Multimodal.Media(id, Mail.syntheticMbox(msgs), "application/mbox")
   }
 
   /** The q_tar_entries fixture (round 13): 2 + id%4 text members under
@@ -4779,6 +4826,33 @@ object LlmQueries {
         |    || (doc_id % 41) || ' Second bold ' || (doc_id * 11 % 73)
         |    || ' Line one line two tail ' || (doc_id * 13 % 61) || '.' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mail header replay (round 13): decoded From/To/Subject — folding
+    // and both encoded-word forms invisible; n_parts = 2 only on the
+    // multipart slice
+    "q_mail_messages" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS msg_idx,
+        |  'u' || doc_id || u.i || '@ex.org' AS "from",
+        |  'team' || ((doc_id + u.i) % 9) || '@ex.org list' || u.i || '@ex.org' AS "to",
+        |  'Re: topic ' || doc_id || ' ' || ((doc_id * 3 + u.i) % 31) AS subject,
+        |  CAST(CASE WHEN (doc_id + u.i) % 5 = 3 THEN 2 ELSE 1 END AS INTEGER) AS n_parts
+        |FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 3
+        |ORDER BY doc_id, msg_idx""".stripMargin,
+
+    // mail text replay (round 13): the decoded body — QP soft wraps,
+    // base64 line wraps, and the multipart decoy all invisible; the
+    // html-only slice goes through the HTML extractor (lines collapse)
+    "q_mail_text" ->
+      """WITH m AS (
+        |  SELECT doc_id, u.i AS i, (doc_id + u.i) % 5 AS kind,
+        |    'Body ' || doc_id || '.' || u.i || ' one' AS l1,
+        |    'second = ' || ((doc_id * 7 + u.i) % 43) || ' end' AS l2
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |  WHERE u.i < 1 + doc_id % 3)
+        |SELECT doc_id, CAST(i AS INTEGER) AS msg_idx,
+        |  CASE WHEN kind = 4 THEN l1 || ' ' || l2 ELSE l1 || chr(10) || l2 END AS text
+        |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
 
     // tar replay (round 13): entry_idx/name/content closed forms plus
     // data_offset = the 512-block arithmetic INCLUDING the header of a

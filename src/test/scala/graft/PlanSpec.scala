@@ -380,6 +380,11 @@ class PlanSpec extends SparkSpec {
             flate = _ => true, filterArray = true, twoStreams = _ => false,
             indirectLength = false, outOfOrder = false, nested = false,
             encrypted = false), "application/pdf"))).toDF(),
+        "mailMessages" -> graft.llm.Mail.readMbox(
+          ids.map(id => Multimodal.Media(id, graft.llm.Mail.syntheticMbox(Seq(
+            graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
+              s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
+            "application/mbox"))).toDF(),
         "latexTexts" -> graft.llm.Latex.latexTexts(
           ids.map(id => (id, s"\\section{S $id} body $$x$$ \\cite{k}"))
             .toDF("doc_id", "src"), "doc_id", "src"),

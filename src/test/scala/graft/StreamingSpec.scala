@@ -1668,6 +1668,30 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming mail ingestion: stream messages equal the batch walk") {
+    import spark.implicits._
+    import graft.llm.{Mail, Multimodal}
+    val medias = (0L until 6L).map { id =>
+      Multimodal.Media(id, Mail.syntheticMbox(
+        (0 until (1 + id % 2).toInt).map(i => Mail.syntheticMessage(
+          s"u$id$i@x", s"a@x b$i@x", s"S $id $i", s"t $id\nu = $i",
+          ((id + i) % 5).toInt, ((id + i) % 3).toInt, (id + i) % 4 == 0))),
+        "application/mbox")
+    }
+    val batch = Mail.readMbox(spark.createDataset(medias)).collect().toSet
+    assert(batch.size == medias.map(m => 1 + (m.doc_id % 2).toInt).sum, "batch premise")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val st = in.toDS().map { case (id, b) => Multimodal.Media(id, b, "application/mbox") }
+    val q = Mail.readMbox(st).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_mail").start()
+    try {
+      in.addData(medias.map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cm_mail").as[Mail.MailMessage].collect().toSet
+      assert(got == batch, "mail stream == batch")
+    } finally q.stop()
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}

@@ -51,6 +51,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "docxText" -> (b => Docs.docxText(b)),
     "epubChapters" -> (b => Docs.epubChapters(b)),
     "latexText" -> (b => Latex.latexText(new String(b, "UTF-8"))),
+    "mboxParse" -> (b => Mail.parseMbox(b)),
+    "mailMessage" -> (b => Mail.parseMessage(new String(b, "ISO-8859-1"))),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
@@ -160,6 +162,9 @@ class MediaFuzzSpec extends AnyFunSuite {
         ("a.xhtml", "<html><body><p>one &amp; two</p></body></html>"),
         ("b.xhtml", "<html><body><p>three</p></body></html>")),
         Seq(1, 0), Some("decoy.xhtml")),
+      "mbox" -> Mail.syntheticMbox(Seq(
+        Mail.syntheticMessage("a@x", "b@x c@x", "Sub one", "plain = text\nline", 3, 2, foldTo = true),
+        Mail.syntheticMessage("c@x", "d@x", "Sub two", "base body", 2, 1, foldTo = false))),
       "vtt" -> Subtitles.synthetic(Seq(
         (0L, 900L, Seq("one", "two")), (2000L, 3000L, Seq("three"))),
         vtt = true, vttSettings = true, vttIds = true).getBytes("UTF-8"),
