@@ -237,6 +237,43 @@ object ScaleProbe {
       lowerCaseHeaders = false, infoLen = 20), "application/warc")
   }
 
+  // round-13 document-router probe: one blob per doc cycling the seven
+  // router formats, bodies sized like short real documents (the pdf
+  // slice renders 3 flate-compressed pages so the inflate path is in
+  // the timed stage).
+  private def probeDocMedia(id: Long): graft.llm.Multimodal.Media = {
+    import graft.llm.{Docs, Hashing, Mail, Pdf}
+    val local = id % 1000000L
+    def para(j: Int): String = (0 until 30).map(w =>
+      s"w${Hashing.splitmix64(local * 53L + j * 7L + w) & 0xFFL}").mkString(" ")
+    val bytes: Array[Byte] = (local % 7L).toInt match {
+      case 0 => Pdf.syntheticPdf("1.5", p => Seq(para(p), para(p + 3)), 3,
+        (local % 4L).toInt, octalAll = false, flate = _ => true, filterArray = false,
+        twoStreams = _ => false, indirectLength = false, outOfOrder = false,
+        nested = false, encrypted = false)
+      case 1 => Docs.syntheticDocx(Seq(Seq(para(0)), Seq(para(1), para(2))),
+        storedParts = local % 2 == 0)
+      case 2 => Docs.syntheticEpub(
+        (0 until 2).map(k => (s"c$k.xhtml", s"<html><body><p>${para(k)}</p></body></html>")),
+        Seq(1, 0), None)
+      case 3 => Mail.syntheticMbox(Seq(Mail.syntheticMessage(
+        "a@x", "b@x c@x", s"S $local", para(0) + "\n" + para(1),
+        (local % 5L).toInt, (local % 3L).toInt, foldTo = local % 2 == 0)))
+      case 4 => s"<html><body><p>${para(0)}</p><p>${para(1)}</p></body></html>"
+        .getBytes("UTF-8")
+      case 5 => (s"\\documentclass{article}\n\\begin{document}\n\\section{${para(0).take(40)}}\n" +
+        s"${para(1)}\n$$x_{$local}$$\n${para(2)}\n\\end{document}\n").getBytes("UTF-8")
+      case _ =>
+        val plain = s"<!DOCTYPE html><html><body><p>${para(0)}</p></body></html>"
+          .getBytes("UTF-8")
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        bos.toByteArray
+    }
+    graft.llm.Multimodal.Media(id, bytes, "application/octet-stream")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -537,6 +574,15 @@ object ScaleProbe {
               .toDF("doc_id", "rec_idx", "text")
               .agg(count(col("text"))).head.getLong(0))
           report("warc_html_extract", tWh, nWh)
+          // round-13: the heterogeneous document router — detect +
+          // extract across all seven formats in one flatMap; the count
+          // aggregates the extracted text so nothing prunes away. The
+          // pdf slice is the CPU-heavy one (3 flate pages per doc).
+          val (tDr, nDr) = time(
+            graft.llm.Docs.routedTexts(mediaIds.map(probeDocMedia _))
+              .toDF("doc_id", "format", "text")
+              .agg(count(col("text"))).head.getLong(0))
+          report("doc_router_extract", tDr, nDr)
         }
         // round-10: the as-of family under a HOT key — half of every
         // tick lands on key 0 (the single-instrument-with-10⁹-ticks shape

@@ -195,6 +195,78 @@ object Docs {
   }
 
   // ------------------------------------------------------------------
+  // Format router: the first mile of a HETEROGENEOUS corpus — blobs
+  // arrive untyped, and the admission step is magic-byte detection
+  // routing each to its extractor. One flatMap kernel: detect +
+  // extract happen in the scan task, only (id, format, text) flows on.
+  // ------------------------------------------------------------------
+
+  /** Magic-byte format detection. ZIP containers are disambiguated by
+    * their entries (OCF mimetype / word/document.xml); gzip peels one
+    * layer and recurses (bounded); LaTeX and mbox are text formats
+    * with canonical openings; HTML by its root tags. "unknown"
+    * otherwise — at scrape scale unknown is NORMAL, not an error. */
+  private[graft] def detectFormat(b: Array[Byte], depth: Int = 0): String = {
+    if (b == null || b.length < 4) return "unknown"
+    if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') return "pdf"
+    if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
+      val names = Archives.parseZip(b).map(_.name).toSet
+      return if (names.contains("mimetype") || names.contains("META-INF/container.xml")) "epub"
+      else if (names.contains("word/document.xml")) "docx"
+      else "zip"
+    }
+    if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B && depth == 0)
+      return Warc.gunzipAll(b).map(detectFormat(_, 1)).getOrElse("unknown")
+    val head = new String(b, 0, math.min(b.length, 512),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val t = head.dropWhile(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
+    if (t.startsWith("WARC/")) "warc"
+    else if (t.startsWith("From ")) "mbox"
+    else if (t.startsWith("\\documentclass") || t.startsWith("\\begin{document}")) "latex"
+    else {
+      val tl = t.toLowerCase
+      if (tl.startsWith("<!doctype html") || tl.startsWith("<html")) "html"
+      else "unknown"
+    }
+  }
+
+  /** Detect + extract, one blob → at most one (format, text) row.
+    * Formats compose the engine's own kernels; unknown blobs emit
+    * nothing. (The .ipynb path stays on [[Notebooks]]' declarative
+    * from_json plan — JSON is not a byte-magic format.) */
+  private[graft] def extractAny(b0: Array[Byte]): Option[(String, String)] = {
+    val gz = b0 != null && b0.length > 2 && (b0(0) & 0xFF) == 0x1F && (b0(1) & 0xFF) == 0x8B
+    val b = if (gz) Warc.gunzipAll(b0).getOrElse(return None) else b0
+    detectFormat(b) match {
+      case "pdf" => Some(("pdf", Pdf.pagesOf(0L, b).map(_.text).mkString("\n")))
+      case "docx" => docxText(b).map(("docx", _))
+      case "epub" =>
+        Some(("epub", epubChapters(b).map { case (_, x) => Warc.htmlText(x) }.mkString("\n")))
+      case "mbox" =>
+        Some(("mbox", Mail.parseMbox(b)
+          .flatMap(Mail.parseMessage(_).map(_._3)).mkString("\n")))
+      case "warc" =>
+        Some(("warc", Warc.parseWarc(b)
+          .filter(r => r.warc_type == "response" && r.http_status == 200)
+          .map(r => Warc.htmlText(r.payload)).mkString("\n")))
+      case "latex" =>
+        Some(("latex", Latex.latexText(new String(b, java.nio.charset.StandardCharsets.UTF_8))))
+      case "html" =>
+        Some(("html", Warc.htmlText(new String(b, java.nio.charset.StandardCharsets.UTF_8))))
+      case _ => None
+    }
+  }
+
+  /** Untyped blob feed → (doc_id, format, text), a pure flatMap
+    * kernel — the heterogeneous corpus's unified text entry point. */
+  def routedTexts(ds: Dataset[Media]): Dataset[(Long, String, String)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(m =>
+      extractAny(m.media).map { case (f, t) => (m.doc_id, f, t) }))
+  }
+
+  // ------------------------------------------------------------------
   // Fixture writers (JDK ZipOutputStream container, real OPF chain)
   // ------------------------------------------------------------------
 

@@ -1567,6 +1567,20 @@ object LlmQueries {
         .orderBy("doc_id", "msg_idx")
     }),
 
+    // Heterogeneous-corpus router (round 13): UNTYPED blobs cycling
+    // pdf/docx/epub/mbox/html/latex/gzipped-html by id%7; magic-byte
+    // detection routes each to its extractor in ONE flatMap kernel and
+    // every format must land on the SAME canonical text — a
+    // misdetection or a broken extractor diverges on its whole slice
+    "q_doc_router" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(routerMedia _)
+      Docs.routedTexts(media)
+        .toDF("doc_id", "format", "text")
+        .orderBy("doc_id")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -2552,6 +2566,34 @@ object LlmQueries {
         foldTo = (id + i) % 4 == 0)
     }
     Multimodal.Media(id, Mail.syntheticMbox(msgs), "application/mbox")
+  }
+
+  /** The q_doc_router fixture (round 13): ONE canonical text rendered
+    * into seven containers by id%7 — pdf, docx, epub, mbox, html,
+    * latex, gzip-wrapped html (the router must peel the compression
+    * layer before detecting). */
+  private def routerMedia(id: Long): Multimodal.Media = {
+    val t = s"Doc $id body ${id * 3 % 97}"
+    val bytes: Array[Byte] = (id % 7) match {
+      case 0 => Pdf.syntheticPdf("1.4", _ => Seq(t), 1, 0, octalAll = false,
+        flate = _ => id % 2 == 0, filterArray = false, twoStreams = _ => false,
+        indirectLength = false, outOfOrder = false, nested = false, encrypted = false)
+      case 1 => Docs.syntheticDocx(Seq(Seq(t)), storedParts = false)
+      case 2 => Docs.syntheticEpub(
+        Seq(("c0.xhtml", s"<html><body><p>$t</p></body></html>")), Seq(0), None)
+      case 3 => Mail.syntheticMbox(Seq(
+        Mail.syntheticMessage("a@x", "b@x", "s", t, 0, 0, foldTo = false)))
+      case 4 => s"<html><head></head><body><p>$t</p></body></html>".getBytes("UTF-8")
+      case 5 => (s"\\documentclass{article}\n\\begin{document}\n$t\n" +
+        "\\end{document}\n").getBytes("UTF-8")
+      case _ =>
+        val plain = s"<!DOCTYPE html><html><body><p>$t</p></body></html>".getBytes("UTF-8")
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        bos.toByteArray
+    }
+    Multimodal.Media(id, bytes, "application/octet-stream")
   }
 
   /** The q_tar_entries fixture (round 13): 2 + id%4 text members under
@@ -4853,6 +4895,17 @@ object LlmQueries {
         |SELECT doc_id, CAST(i AS INTEGER) AS msg_idx,
         |  CASE WHEN kind = 4 THEN l1 || ' ' || l2 ELSE l1 || chr(10) || l2 END AS text
         |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
+
+    // router replay (round 13): every slice lands on the SAME
+    // canonical text; format names pin the detection
+    "q_doc_router" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INTEGER)
+        |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
+        |    WHEN 3 THEN 'mbox' WHEN 4 THEN 'html' WHEN 5 THEN 'latex'
+        |    ELSE 'html' END AS format,
+        |  'Doc ' || doc_id || ' body ' || (doc_id * 3 % 97) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // tar replay (round 13): entry_idx/name/content closed forms plus
     // data_offset = the 512-block arithmetic INCLUDING the header of a

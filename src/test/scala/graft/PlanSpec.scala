@@ -380,6 +380,10 @@ class PlanSpec extends SparkSpec {
             flate = _ => true, filterArray = true, twoStreams = _ => false,
             indirectLength = false, outOfOrder = false, nested = false,
             encrypted = false), "application/pdf"))).toDF(),
+        "routedTexts" -> graft.llm.Docs.routedTexts(
+          ids.map(id => Multimodal.Media(id,
+            s"<html><body>r $id</body></html>".getBytes("UTF-8"),
+            "application/octet-stream"))).toDF(),
         "mailMessages" -> graft.llm.Mail.readMbox(
           ids.map(id => Multimodal.Media(id, graft.llm.Mail.syntheticMbox(Seq(
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",

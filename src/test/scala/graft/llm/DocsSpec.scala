@@ -77,6 +77,33 @@ class DocsSpec extends AnyFunSuite {
     assert(Docs.epubChapters(zip2).map(_._1) == Seq("ch.xhtml"))
   }
 
+  test("router: magic-byte detection and unified extraction") {
+    val t = "Doc 9 body 27"
+    val pdf = Pdf.syntheticPdf("1.4", _ => Seq(t), 1, 0, octalAll = false,
+      flate = _ => true, filterArray = false, twoStreams = _ => false,
+      indirectLength = false, outOfOrder = false, nested = false, encrypted = false)
+    val docx = Docs.syntheticDocx(Seq(Seq(t)), storedParts = false)
+    val epub = Docs.syntheticEpub(Seq(("c.xhtml", s"<p>$t</p>")), Seq(0), None)
+    val mbox = Mail.syntheticMbox(Seq(Mail.syntheticMessage("a@x", "b@x", "s", t, 0, 0, false)))
+    val html = s"<HTML><body>$t</body></HTML>".getBytes("UTF-8")
+    val latex = s"\\documentclass{x}\n\\begin{document} $t \\end{document}".getBytes("UTF-8")
+    for ((b, f) <- Seq(pdf -> "pdf", docx -> "docx", epub -> "epub",
+        mbox -> "mbox", html -> "html", latex -> "latex")) {
+      assert(Docs.detectFormat(b) == f, s"detect $f")
+      assert(Docs.extractAny(b) == Some((f, t)), s"extract $f")
+    }
+    // gzip peels exactly one layer
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos); gz.write(html); gz.close()
+    assert(Docs.extractAny(bos.toByteArray) == Some(("html", t)))
+    // a plain zip is a zip, not a docx/epub; junk is unknown
+    val zip = Archives.syntheticZip(Seq(("a.txt", "x".getBytes, false)))
+    assert(Docs.detectFormat(zip) == "zip")
+    assert(Docs.extractAny(zip) == None)
+    assert(Docs.detectFormat("random prose".getBytes) == "unknown")
+    assert(Docs.extractAny(Array[Byte](9, 9, 9, 9)) == None)
+  }
+
   test("corrupt input: never a throw, missing parts → None/Nil") {
     assert(Docs.docxText(Array[Byte](1, 2, 3)) == None)
     assert(Docs.docxText(Archives.syntheticZip(Seq(

@@ -52,6 +52,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "epubChapters" -> (b => Docs.epubChapters(b)),
     "latexText" -> (b => Latex.latexText(new String(b, "UTF-8"))),
     "mboxParse" -> (b => Mail.parseMbox(b)),
+    "docRouter" -> (b => Docs.extractAny(b)),
     "mailMessage" -> (b => Mail.parseMessage(new String(b, "ISO-8859-1"))),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
