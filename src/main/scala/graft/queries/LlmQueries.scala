@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Mail, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1581,6 +1581,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Markdown text extraction (round 13): fences dropped, headings/
+    // quotes/list markers stripped, images→alt, links→text, code spans
+    // unwrapped, setext rules and reference definitions gone, entities
+    // via the shared HTML tail — exact string replay
+    "q_markdown_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, mdSrc(id))).toDF("doc_id", "src")
+      Markdown.mdTexts(df, "doc_id", "src")
+        .orderBy("doc_id")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -2595,6 +2607,31 @@ object LlmQueries {
     }
     Multimodal.Media(id, bytes, "application/octet-stream")
   }
+
+  /** The q_markdown_text fixture (round 13): every rule a trap — a
+    * fence wrapping droppable code, emphasis inside prose, inline and
+    * reference links, an image whose alt must survive, a blockquote
+    * with an entity, a setext heading whose underline must vanish
+    * without taking the heading, and a reference definition line. */
+  private[graft] def mdSrc(id: Long): String =
+    s"""# Title $id
+       |
+       |Intro *bold* and [link ${id % 29}](http://u/$id) plus `x = ${id % 13}` end.
+       |
+       |```scala
+       |val dropped = $id
+       |```
+       |
+       |- item one ${id % 23}
+       |- item two
+       |
+       |> quote ${id % 31} &amp; tail
+       |
+       |![alt ${id % 19}](img.png)
+       |Setext H
+       |---
+       |[ref]: http://gone/$id
+       |""".stripMargin
 
   /** The q_tar_entries fixture (round 13): 2 + id%4 text members under
     * a directory entry (id%3=0 slice), a skipped pax header member on
@@ -4905,6 +4942,15 @@ object LlmQueries {
         |    WHEN 3 THEN 'mbox' WHEN 4 THEN 'html' WHEN 5 THEN 'latex'
         |    ELSE 'html' END AS format,
         |  'Doc ' || doc_id || ' body ' || (doc_id * 3 % 97) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // markdown replay (round 13): the exact extracted prose
+    "q_markdown_text" ->
+      """SELECT doc_id,
+        |  'Title ' || doc_id || ' Intro bold and link ' || (doc_id % 29)
+        |    || ' plus x = ' || (doc_id % 13) || ' end. item one ' || (doc_id % 23)
+        |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
+        |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // tar replay (round 13): entry_idx/name/content closed forms plus

@@ -389,6 +389,9 @@ class PlanSpec extends SparkSpec {
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
               s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
             "application/mbox"))).toDF(),
+        "mdTexts" -> graft.llm.Markdown.mdTexts(
+          ids.map(id => (id, s"# H $id\n*body* [l](u)")).toDF("doc_id", "src"),
+          "doc_id", "src"),
         "latexTexts" -> graft.llm.Latex.latexTexts(
           ids.map(id => (id, s"\\section{S $id} body $$x$$ \\cite{k}"))
             .toDF("doc_id", "src"), "doc_id", "src"),

@@ -53,6 +53,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "latexText" -> (b => Latex.latexText(new String(b, "UTF-8"))),
     "mboxParse" -> (b => Mail.parseMbox(b)),
     "docRouter" -> (b => Docs.extractAny(b)),
+    "mdText" -> (b => Markdown.mdText(new String(b, "UTF-8"))),
     "mailMessage" -> (b => Mail.parseMessage(new String(b, "ISO-8859-1"))),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
