@@ -1692,6 +1692,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text-format extraction: latex, markdown, ipynb equal the batch paths") {
+    // the three string-input extractors are a typed map (latex/md) and
+    // a from_json+posexplode plan (ipynb) — all streaming-legal
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.{Latex, Markdown, Notebooks}
+    import graft.queries.LlmQueries
+    val rows = (0L until 8L).map(id =>
+      (id, LlmQueries.latexSrc(id), LlmQueries.mdSrc(id), LlmQueries.ipynbJson(id)))
+    val batchDf = rows.toDF("doc_id", "latex", "md", "json")
+    val bLatex = Latex.latexTexts(batchDf.select("doc_id", "latex"), "doc_id", "latex")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bMd = Markdown.mdTexts(batchDf.select("doc_id", "md"), "doc_id", "md")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bNb = Notebooks.cells(batchDf, "doc_id", col("json"))
+      .select("doc_id", "cell_idx", "source")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val in = MemoryStream[(Long, String, String, String)](spark)
+    val st = in.toDF().toDF("doc_id", "latex", "md", "json")
+    val q1 = Latex.latexTexts(st.select("doc_id", "latex"), "doc_id", "latex")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_lx").start()
+    val q2 = Markdown.mdTexts(st.select("doc_id", "md"), "doc_id", "md")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_md").start()
+    val q3 = Notebooks.cells(st, "doc_id", col("json"))
+      .select("doc_id", "cell_idx", "source")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_nb").start()
+    try {
+      in.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      assert(spark.table("cm_lx").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == bLatex, "latex stream == batch")
+      assert(spark.table("cm_md").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == bMd, "markdown stream == batch")
+      assert(spark.table("cm_nb").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == bNb,
+        "ipynb stream == batch")
+    } finally { q1.stop(); q2.stop(); q3.stop() }
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}
