@@ -43,17 +43,20 @@ object Notebooks {
     * (lines already carry their newlines per the format). */
   def cells(df: DataFrame, idCol: String, jsonCol: Column): DataFrame = {
     val a = from_json(jsonCol, arrSchema)
-    val b = from_json(jsonCol, strSchema)
     df
-      .select(col(idCol), posexplode(a.getField("cells")).as(Seq("cell_idx", "cell")),
-        b.getField("cells").as("__scells"))
+      .select(col(idCol), jsonCol.as("__json"),
+        posexplode(a.getField("cells")).as(Seq("cell_idx", "cell")))
       .select(
         col(idCol),
         col("cell_idx"),
         col("cell").getField("cell_type").as("cell_type"),
+        // coalesce short-circuits in codegen: the second from_json (the
+        // string-schema reparse) runs ONLY for string-form cells, so
+        // the common array-form corpus pays ONE parse per row, not two
         coalesce(
           array_join(col("cell").getField("source"), ""),
-          element_at(col("__scells"), col("cell_idx") + 1).getField("source"))
+          element_at(from_json(col("__json"), strSchema).getField("cells"),
+            col("cell_idx") + 1).getField("source"))
           .as("source"))
       .withColumn("n_chars", length(col("source")).cast("long"))
   }
