@@ -124,6 +124,65 @@ object Docs {
       .find(e => e.name == "word/document.xml" && e.content != null)
       .map(e => wordXmlText(e.content))
 
+  // ------------------------------------------------------------------
+  // ODT (OpenDocument text — the LibreOffice/OpenOffice half of the
+  // office corpus; same zip-of-XML shape as DOCX but the OPPOSITE text
+  // model: character data sits directly in <text:p>/<text:h> and in
+  // arbitrarily nested spans, so the walk KEEPS nested element text
+  // instead of targeting one leaf element)
+  // ------------------------------------------------------------------
+
+  private val ReOdtPara = java.util.regex.Pattern.compile(
+    "<text:(p|h)[\\s>].*?</text:\\1>|<text:(?:p|h)/>",
+    java.util.regex.Pattern.DOTALL)
+  private val ReOdtSpace = java.util.regex.Pattern.compile(
+    "<text:s(?:\\s+text:c\\s*=\\s*\"(\\d{1,4})\")?[^>]*/>")
+  private val ReAnyTag = java.util.regex.Pattern.compile("<[^>]*>")
+
+  /** OpenDocument content.xml → text: per text:p/text:h paragraph,
+    * `<text:tab/>` → \t, `<text:line-break/>` → \n, `<text:s
+    * text:c="n"/>` → n spaces (ODF collapses literal runs of spaces —
+    * the element IS the whitespace), all other nested markup stripped
+    * keeping its character data, entities decoded; paragraphs join
+    * with \n. */
+  private[graft] def odtXmlText(xml: String): String = {
+    if (xml == null) return ""
+    val paras = Seq.newBuilder[String]
+    val pm = ReOdtPara.matcher(xml)
+    while (pm.find()) {
+      var p = pm.group()
+      p = p.replaceAll("<text:tab[^>]*/>", "\t")
+        .replaceAll("<text:line-break[^>]*/>", "\n")
+      val sm = ReOdtSpace.matcher(p)
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      while (sm.find()) {
+        sb.append(p, last, sm.start())
+        val n = Option(sm.group(1)).flatMap(_.toIntOption).getOrElse(1)
+        var i = 0
+        while (i < n) { sb.append(' '); i += 1 }
+        last = sm.end()
+      }
+      sb.append(p, last, p.length)
+      paras += xmlUnescape(ReAnyTag.matcher(sb.toString).replaceAll(""))
+    }
+    paras.result().mkString("\n")
+  }
+
+  /** ODT → text: zip walk → content.xml → [[odtXmlText]]. */
+  private[graft] def odtText(zip: Array[Byte]): Option[String] =
+    Archives.parseZip(zip)
+      .find(e => e.name == "content.xml" && e.content != null)
+      .map(e => odtXmlText(e.content))
+
+  /** ODT feed → one text row per readable document (flatMap kernel). */
+  def odtTexts(ds: Dataset[Media]): Dataset[DocPart] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(m =>
+      odtText(m.media).map(t => DocPart(m.doc_id, 0, "content.xml", t))))
+  }
+
   /** DOCX feed → one text row per readable document (flatMap kernel). */
   def docxTexts(ds: Dataset[Media]): Dataset[DocPart] = {
     val spark = ds.sparkSession
@@ -210,9 +269,17 @@ object Docs {
     if (b == null || b.length < 4) return "unknown"
     if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') return "pdf"
     if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
-      val names = Archives.parseZip(b).map(_.name).toSet
-      return if (names.contains("mimetype") || names.contains("META-INF/container.xml")) "epub"
+      val entries = Archives.parseZip(b)
+      // the OCF/ODF mimetype entry's CONTENT is the discriminator —
+      // both families carry one, so its presence alone decides nothing
+      val mime = entries.find(_.name == "mimetype")
+        .flatMap(e => Option(e.content)).map(_.trim).getOrElse("")
+      val names = entries.map(_.name).toSet
+      return if (mime.startsWith("application/epub") ||
+        names.contains("META-INF/container.xml")) "epub"
+      else if (mime.startsWith("application/vnd.oasis.opendocument")) "odt"
       else if (names.contains("word/document.xml")) "docx"
+      else if (names.contains("content.xml")) "odt"
       else "zip"
     }
     if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B && depth == 0)
@@ -240,6 +307,7 @@ object Docs {
     detectFormat(b) match {
       case "pdf" => Some(("pdf", Pdf.pagesOf(0L, b).map(_.text).mkString("\n")))
       case "docx" => docxText(b).map(("docx", _))
+      case "odt" => odtText(b).map(("odt", _))
       case "epub" =>
         Some(("epub", epubChapters(b).map { case (_, x) => Warc.htmlText(x) }.mkString("\n")))
       case "mbox" =>
@@ -317,6 +385,56 @@ object Docs {
       ("[Content_Types].xml", types.getBytes("UTF-8"), storedParts),
       ("_rels/.rels", rels.getBytes("UTF-8"), storedParts),
       ("word/document.xml", doc.getBytes("UTF-8"), storedParts)))
+  }
+
+  /** A well-formed ODT: stored `mimetype` first (the ODF rule), a
+    * manifest, and content.xml. Each paragraph is a Seq of span texts
+    * nested one level deep (the walk must keep nested character
+    * data); inside a span, \t and \n become `<text:tab/>`/
+    * `<text:line-break/>`, and every run of k ≥ 2 spaces becomes one
+    * literal space + `<text:s text:c="k-1"/>` (the ODF whitespace
+    * model — extraction must reconstruct exactly k). */
+  def syntheticOdt(paragraphs: Seq[Seq[String]]): Array[Byte] = {
+    def encodeRun(r: String): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < r.length) {
+        val c = r.charAt(i)
+        if (c == ' ') {
+          var k = 0
+          while (i + k < r.length && r.charAt(i + k) == ' ') k += 1
+          if (k >= 2) sb.append(' ').append(s"""<text:s text:c="${k - 1}"/>""")
+          else sb.append(' ')
+          i += k
+        } else {
+          c match {
+            case '\t' => sb.append("<text:tab/>")
+            case '\n' => sb.append("<text:line-break/>")
+            case _ => sb.append(xmlEscape(c.toString))
+          }
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    val body = paragraphs.map { runs =>
+      "<text:p text:style-name=\"P1\">" +
+        runs.map(r => s"""<text:span text:style-name="T1">${encodeRun(r)}</text:span>""").mkString +
+        "</text:p>"
+    }.mkString
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+        """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" office:version="1.2">""" +
+        s"<office:body><office:text>$body</office:text></office:body></office:document-content>"
+    val manifest =
+      """<?xml version="1.0"?><manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">""" +
+        """<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.text"/>""" +
+        """<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/></manifest:manifest>"""
+    Archives.syntheticZip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.text".getBytes("UTF-8"), true),
+      ("META-INF/manifest.xml", manifest.getBytes("UTF-8"), false),
+      ("content.xml", content.getBytes("UTF-8"), false)))
   }
 
   /** A well-formed EPUB: stored `mimetype` first (the OCF rule),

@@ -233,6 +233,17 @@ object Warc {
       .map(r => (r.doc_id, r.rec_idx, htmlText(r.payload)))
   }
 
+  /** WET feed (Common Crawl's pre-extracted text layer): `conversion`
+    * records whose body IS the plain text — no nested HTTP layer, no
+    * tag work. Same record walk, same flatMap shape. */
+  def wetTexts(ds: Dataset[Media]): Dataset[(Long, Int, String, String)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    readWarc(ds)
+      .filter(_.warc_type == "conversion")
+      .map(r => (r.doc_id, r.rec_idx, r.target_uri, r.payload))
+  }
+
   // ------------------------------------------------------------------
   // Fixture builder (real framing, real per-record gzip members)
   // ------------------------------------------------------------------
@@ -283,6 +294,23 @@ object Warc {
       recs += record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri(i),
         "Content-Type" -> "application/http;msgtype=response"),
         httpResponse(code, reason, htmlBody(i)), lowerCaseHeaders)
+    }
+    val all = recs.result()
+    if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
+    else all.fold(Array.emptyByteArray)(_ ++ _)
+  }
+
+  /** A WET archive (the Common Crawl text layer): one warcinfo record,
+    * then `conversion` records with text/plain bodies — the payload is
+    * the text itself. Per-record gzip members when `gzipped`. */
+  def syntheticWet(texts: Seq[(String, String)], gzipped: Boolean): Array[Byte] = {
+    val recs = Seq.newBuilder[Array[Byte]]
+    recs += record(Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-wet-fixture".getBytes("UTF-8"), lowerCase = false)
+    texts.foreach { case (uri, text) =>
+      recs += record(Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "text/plain"), text.getBytes("UTF-8"), lowerCase = false)
     }
     val all = recs.result()
     if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)

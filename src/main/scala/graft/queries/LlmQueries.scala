@@ -1567,10 +1567,37 @@ object LlmQueries {
         .orderBy("doc_id", "msg_idx")
     }),
 
+    // WET walk (round 13): Common Crawl's pre-extracted text layer —
+    // conversion records whose body IS the text; the multi-byte UTF-8
+    // slice pins byte-length vs char-length framing (Content-Length is
+    // BYTES, the payload string is CHARS)
+    "q_warc_wet" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wetMedia _)
+      Warc.wetTexts(media)
+        .toDF("doc_id", "rec_idx", "uri", "text")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
+    // ODT text extraction (round 13): the opposite text model to DOCX
+    // — character data in nested spans must be KEPT, the ODF
+    // whitespace elements (text:s runs, tab, line-break) reconstruct
+    // exactly; mimetype-content detection separates it from EPUB's
+    // identically-shaped container
+    "q_odt_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(odtMedia _)
+      Docs.odtTexts(media).toDF()
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Heterogeneous-corpus router (round 13): UNTYPED blobs cycling
-    // pdf/docx/epub/mbox/html/latex/gzipped-html by id%7; magic-byte
-    // detection routes each to its extractor in ONE flatMap kernel and
-    // every format must land on the SAME canonical text — a
+    // pdf/docx/epub/mbox/html/latex/gzipped-html/odt by id%8;
+    // magic-byte detection routes each to its extractor in ONE flatMap
+    // kernel and every format must land on the SAME canonical text — a
     // misdetection or a broken extractor diverges on its whole slice
     "q_doc_router" -> ((s, dir) => {
       val spark = s
@@ -2584,9 +2611,40 @@ object LlmQueries {
     * into seven containers by id%7 — pdf, docx, epub, mbox, html,
     * latex, gzip-wrapped html (the router must peel the compression
     * layer before detecting). */
+  /** The q_warc_wet fixture (round 13): a warcinfo record then
+    * 1 + id%4 conversion records; text = two lines with a multi-byte
+    * UTF-8 character on the odd slice (Content-Length counts BYTES —
+    * a char-counted writer or reader breaks framing for every record
+    * after it); per-record gzip members on id%3=0. */
+  private def wetMedia(id: Long): Multimodal.Media = {
+    val texts = (0 until (1 + id % 4).toInt).map { i =>
+      val mark = if ((id + i) % 2 == 1) "é" else "e" // é is 2 UTF-8 bytes
+      (s"https://cc.org/$id/$i",
+        s"WET $id.$i line one $mark\nsecond ${(id * 5 + i) % 83}")
+    }
+    Multimodal.Media(id, Warc.syntheticWet(texts, gzipped = id % 3 == 0),
+      "application/warc")
+  }
+
+  /** The q_odt_text fixture (round 13): 1 + id%3 paragraphs, each
+    * split mid-word into nested spans; a tab on the (id+k)%3=0 slice,
+    * a TWO-SPACE run (the text:s element) on the others, '&' through
+    * entity escape everywhere. */
+  private def odtMedia(id: Long): Multimodal.Media = {
+    val nP = (1 + id % 3).toInt
+    val paras = (0 until nP).map { k =>
+      val sep = if ((id + k) % 3 == 0) "\t" else "  "
+      val t = s"O$k${sep}D$id & s=${(id * 7 + k) % 61}"
+      val c1 = math.min(2, t.length)
+      Seq(t.substring(0, c1), t.substring(c1))
+    }
+    Multimodal.Media(id, Docs.syntheticOdt(paras),
+      "application/vnd.oasis.opendocument.text")
+  }
+
   private def routerMedia(id: Long): Multimodal.Media = {
     val t = s"Doc $id body ${id * 3 % 97}"
-    val bytes: Array[Byte] = (id % 7) match {
+    val bytes: Array[Byte] = (id % 8) match {
       case 0 => Pdf.syntheticPdf("1.4", _ => Seq(t), 1, 0, octalAll = false,
         flate = _ => id % 2 == 0, filterArray = false, twoStreams = _ => false,
         indirectLength = false, outOfOrder = false, nested = false, encrypted = false)
@@ -2598,12 +2656,13 @@ object LlmQueries {
       case 4 => s"<html><head></head><body><p>$t</p></body></html>".getBytes("UTF-8")
       case 5 => (s"\\documentclass{article}\n\\begin{document}\n$t\n" +
         "\\end{document}\n").getBytes("UTF-8")
-      case _ =>
+      case 6 =>
         val plain = s"<!DOCTYPE html><html><body><p>$t</p></body></html>".getBytes("UTF-8")
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos)
         gz.write(plain); gz.close()
         bos.toByteArray
+      case _ => Docs.syntheticOdt(Seq(Seq(t)))
     }
     Multimodal.Media(id, bytes, "application/octet-stream")
   }
@@ -4933,14 +4992,39 @@ object LlmQueries {
         |  CASE WHEN kind = 4 THEN l1 || ' ' || l2 ELSE l1 || chr(10) || l2 END AS text
         |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
 
+    // WET replay (round 13): the exact conversion-record text — gzip
+    // members and the byte-vs-char framing invisible by construction
+    "q_warc_wet" ->
+      """SELECT doc_id,
+        |  CAST(1 + u.i AS INTEGER) AS rec_idx,
+        |  'https://cc.org/' || doc_id || '/' || u.i AS uri,
+        |  'WET ' || doc_id || '.' || u.i || ' line one '
+        |    || (CASE WHEN (doc_id + u.i) % 2 = 1 THEN 'é' ELSE 'e' END)
+        |    || chr(10) || 'second ' || ((doc_id * 5 + u.i) % 83) AS text
+        |FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 4
+        |ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // ODT replay (round 13): exact string — span splits invisible,
+    // text:s runs reconstruct their spaces, tabs and entities decode
+    "q_odt_text" ->
+      """WITH p AS (
+        |  SELECT doc_id, u.k AS k,
+        |    'O' || u.k || (CASE WHEN (doc_id + u.k) % 3 = 0 THEN chr(9) ELSE '  ' END)
+        |      || 'D' || doc_id || ' & s=' || ((doc_id * 7 + u.k) % 61) AS para
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(k)
+        |  WHERE u.k < 1 + doc_id % 3)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY k) AS text
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // router replay (round 13): every slice lands on the SAME
     // canonical text; format names pin the detection
     "q_doc_router" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 7 AS INTEGER)
+        |  CASE CAST(doc_id % 8 AS INTEGER)
         |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
         |    WHEN 3 THEN 'mbox' WHEN 4 THEN 'html' WHEN 5 THEN 'latex'
-        |    ELSE 'html' END AS format,
+        |    WHEN 6 THEN 'html' ELSE 'odt' END AS format,
         |  'Doc ' || doc_id || ' body ' || (doc_id * 3 % 97) AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 

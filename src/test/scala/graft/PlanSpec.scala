@@ -400,6 +400,13 @@ class PlanSpec extends SparkSpec {
         "ipynbCells" -> graft.llm.Notebooks.cells(
           ids.map(id => (id, graft.queries.LlmQueries.ipynbJson(id)))
             .toDF("doc_id", "json"), "doc_id", col("json")),
+        "odtTexts" -> graft.llm.Docs.odtTexts(
+          ids.map(id => Multimodal.Media(id, graft.llm.Docs.syntheticOdt(
+            Seq(Seq(s"p $id", "  q"))), "application/odt"))).toDF(),
+        "wetTexts" -> graft.llm.Warc.wetTexts(
+          ids.map(id => Multimodal.Media(id, graft.llm.Warc.syntheticWet(
+            Seq((s"https://x/$id", s"text $id")), gzipped = id % 2 == 0),
+            "application/warc"))).toDF(),
         "docxTexts" -> graft.llm.Docs.docxTexts(
           ids.map(id => Multimodal.Media(id, graft.llm.Docs.syntheticDocx(
             Seq(Seq(s"para $id", " tail")), storedParts = id % 2 == 0),

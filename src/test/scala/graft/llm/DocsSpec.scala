@@ -77,6 +77,27 @@ class DocsSpec extends AnyFunSuite {
     assert(Docs.epubChapters(zip2).map(_._1) == Seq("ch.xhtml"))
   }
 
+  test("odt: nested spans kept, ODF whitespace elements reconstruct, sweep") {
+    // the q_odt_text fixture formulas, verbatim
+    for (id <- 0L until 100L) {
+      val nP = (1 + id % 3).toInt
+      val paras = (0 until nP).map { k =>
+        val sep = if ((id + k) % 3 == 0) "\t" else "  "
+        val t = s"O$k${sep}D$id & s=${(id * 7 + k) % 61}"
+        Seq(t.substring(0, 2), t.substring(2))
+      }
+      val exp = paras.map(_.mkString).mkString("\n")
+      assert(Docs.odtText(Docs.syntheticOdt(paras)) == Some(exp), s"odt text at id=$id")
+    }
+    // hand cases: text directly in p, nested bold inside span, n-space
+    val xml = """<office:body><office:text>
+      |<text:p>direct <text:span>sp<text:span>deep</text:span>an</text:span> end</text:p>
+      |<text:p>a <text:s text:c="3"/>b&amp;c<text:tab/>d<text:line-break/>e</text:p>
+      |</office:text></office:body>""".stripMargin
+    assert(Docs.odtXmlText(xml) == "direct spdeepan end\na    b&c\td\ne")
+    assert(Docs.odtText(Array[Byte](1, 2)) == None)
+  }
+
   test("router: magic-byte detection and unified extraction") {
     val t = "Doc 9 body 27"
     val pdf = Pdf.syntheticPdf("1.4", _ => Seq(t), 1, 0, octalAll = false,
@@ -87,8 +108,9 @@ class DocsSpec extends AnyFunSuite {
     val mbox = Mail.syntheticMbox(Seq(Mail.syntheticMessage("a@x", "b@x", "s", t, 0, 0, false)))
     val html = s"<HTML><body>$t</body></HTML>".getBytes("UTF-8")
     val latex = s"\\documentclass{x}\n\\begin{document} $t \\end{document}".getBytes("UTF-8")
+    val odt = Docs.syntheticOdt(Seq(Seq(t)))
     for ((b, f) <- Seq(pdf -> "pdf", docx -> "docx", epub -> "epub",
-        mbox -> "mbox", html -> "html", latex -> "latex")) {
+        mbox -> "mbox", html -> "html", latex -> "latex", odt -> "odt")) {
       assert(Docs.detectFormat(b) == f, s"detect $f")
       assert(Docs.extractAny(b) == Some((f, t)), s"extract $f")
     }

@@ -49,6 +49,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "pdfParse" -> (b => Pdf.parsePdf(b)),
     "pdfPages" -> (b => Pdf.pagesOf(0L, b)),
     "docxText" -> (b => Docs.docxText(b)),
+    "odtText" -> (b => Docs.odtText(b)),
+    "wetTexts" -> (b => Warc.parseWarc(b)),
     "epubChapters" -> (b => Docs.epubChapters(b)),
     "latexText" -> (b => Latex.latexText(new String(b, "UTF-8"))),
     "mboxParse" -> (b => Mail.parseMbox(b)),
@@ -164,6 +166,9 @@ class MediaFuzzSpec extends AnyFunSuite {
         ("a.xhtml", "<html><body><p>one &amp; two</p></body></html>"),
         ("b.xhtml", "<html><body><p>three</p></body></html>")),
         Seq(1, 0), Some("decoy.xhtml")),
+      "odt" -> Docs.syntheticOdt(Seq(Seq("a  b", "\tc"), Seq("d & e\nf"))),
+      "wet" -> Warc.syntheticWet(Seq(
+        ("https://x/1", "line é one\ntwo"), ("https://x/2", "t2")), gzipped = true),
       "mbox" -> Mail.syntheticMbox(Seq(
         Mail.syntheticMessage("a@x", "b@x c@x", "Sub one", "plain = text\nline", 3, 2, foldTo = true),
         Mail.syntheticMessage("c@x", "d@x", "Sub two", "base body", 2, 1, foldTo = false))),
