@@ -287,7 +287,8 @@ object Docs {
     val head = new String(b, 0, math.min(b.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val t = head.dropWhile(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
-    if (t.startsWith("WARC/")) "warc"
+    if (t.startsWith("{\\rtf")) "rtf"
+    else if (t.startsWith("WARC/")) "warc"
     else if (t.startsWith("From ")) "mbox"
     else if (t.startsWith("\\documentclass") || t.startsWith("\\begin{document}")) "latex"
     else {
@@ -319,6 +320,8 @@ object Docs {
           .map(r => Warc.htmlText(r.payload)).mkString("\n")))
       case "latex" =>
         Some(("latex", Latex.latexText(new String(b, java.nio.charset.StandardCharsets.UTF_8))))
+      case "rtf" =>
+        Some(("rtf", Rtf.rtfText(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))))
       case "html" =>
         Some(("html", Warc.htmlText(new String(b, java.nio.charset.StandardCharsets.UTF_8))))
       case _ => None

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1567,6 +1567,19 @@ object LlmQueries {
         .orderBy("doc_id", "msg_idx")
     }),
 
+    // RTF text extraction (round 13): the legacy-document family —
+    // font/color/info tables and {\*…} destinations must not leak,
+    // nested bold groups are invisible, \'hh code-page bytes and \uN
+    // escapes (with their fallback char SKIPPED) decode; exact replay
+    "q_rtf_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(rtfMedia _)
+      Rtf.rtfTexts(media)
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // WET walk (round 13): Common Crawl's pre-extracted text layer —
     // conversion records whose body IS the text; the multi-byte UTF-8
     // slice pins byte-length vs char-length framing (Content-Length is
@@ -2611,6 +2624,18 @@ object LlmQueries {
     * into seven containers by id%7 — pdf, docx, epub, mbox, html,
     * latex, gzip-wrapped html (the router must peel the compression
     * layer before detecting). */
+  /** The q_rtf_text fixture (round 13): 1 + id%2 paragraphs (even
+    * ones carrying a nested bold group mid-word), header tables and an
+    * ignorable generator group that must not leak, and on id%4=1 a
+    * unicode paragraph mixing \'hh Latin-1 bytes with \uN?-escaped BMP
+    * chars whose '?' fallback must be skipped. */
+  private def rtfMedia(id: Long): Multimodal.Media = {
+    val paras = (0 until (1 + id % 2).toInt).map(k =>
+      s"R$k D$id pct 50 end ${(id * 3 + k) % 71}")
+    val uni = if (id % 4 == 1) Some(s"Café — d${id % 10}") else None
+    Multimodal.Media(id, Rtf.syntheticRtf(paras, uni), "application/rtf")
+  }
+
   /** The q_warc_wet fixture (round 13): a warcinfo record then
     * 1 + id%4 conversion records; text = two lines with a multi-byte
     * UTF-8 character on the odd slice (Content-Length counts BYTES —
@@ -2644,7 +2669,7 @@ object LlmQueries {
 
   private def routerMedia(id: Long): Multimodal.Media = {
     val t = s"Doc $id body ${id * 3 % 97}"
-    val bytes: Array[Byte] = (id % 8) match {
+    val bytes: Array[Byte] = (id % 9) match {
       case 0 => Pdf.syntheticPdf("1.4", _ => Seq(t), 1, 0, octalAll = false,
         flate = _ => id % 2 == 0, filterArray = false, twoStreams = _ => false,
         indirectLength = false, outOfOrder = false, nested = false, encrypted = false)
@@ -2662,7 +2687,8 @@ object LlmQueries {
         val gz = new java.util.zip.GZIPOutputStream(bos)
         gz.write(plain); gz.close()
         bos.toByteArray
-      case _ => Docs.syntheticOdt(Seq(Seq(t)))
+      case 7 => Docs.syntheticOdt(Seq(Seq(t)))
+      case _ => Rtf.syntheticRtf(Seq(t), None)
     }
     Multimodal.Media(id, bytes, "application/octet-stream")
   }
@@ -4992,6 +5018,18 @@ object LlmQueries {
         |  CASE WHEN kind = 4 THEN l1 || ' ' || l2 ELSE l1 || chr(10) || l2 END AS text
         |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
 
+    // RTF replay (round 13): exact prose — tables/destinations gone,
+    // escapes decoded, fallback chars absent
+    "q_rtf_text" ->
+      """SELECT doc_id,
+        |  'R0 D' || doc_id || ' pct 50 end ' || ((doc_id * 3) % 71)
+        |  || CASE WHEN doc_id % 2 = 1
+        |       THEN ' R1 D' || doc_id || ' pct 50 end ' || ((doc_id * 3 + 1) % 71)
+        |       ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 1
+        |       THEN ' Café — d' || (doc_id % 10) ELSE '' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // WET replay (round 13): the exact conversion-record text — gzip
     // members and the byte-vs-char framing invisible by construction
     "q_warc_wet" ->
@@ -5021,10 +5059,10 @@ object LlmQueries {
     // canonical text; format names pin the detection
     "q_doc_router" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |  CASE CAST(doc_id % 9 AS INTEGER)
         |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
         |    WHEN 3 THEN 'mbox' WHEN 4 THEN 'html' WHEN 5 THEN 'latex'
-        |    WHEN 6 THEN 'html' ELSE 'odt' END AS format,
+        |    WHEN 6 THEN 'html' WHEN 7 THEN 'odt' ELSE 'rtf' END AS format,
         |  'Doc ' || doc_id || ' body ' || (doc_id * 3 % 97) AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -109,8 +109,10 @@ class DocsSpec extends AnyFunSuite {
     val html = s"<HTML><body>$t</body></HTML>".getBytes("UTF-8")
     val latex = s"\\documentclass{x}\n\\begin{document} $t \\end{document}".getBytes("UTF-8")
     val odt = Docs.syntheticOdt(Seq(Seq(t)))
+    val rtf = Rtf.syntheticRtf(Seq(t), None)
     for ((b, f) <- Seq(pdf -> "pdf", docx -> "docx", epub -> "epub",
-        mbox -> "mbox", html -> "html", latex -> "latex", odt -> "odt")) {
+        mbox -> "mbox", html -> "html", latex -> "latex", odt -> "odt",
+        rtf -> "rtf")) {
       assert(Docs.detectFormat(b) == f, s"detect $f")
       assert(Docs.extractAny(b) == Some((f, t)), s"extract $f")
     }

@@ -56,6 +56,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "mboxParse" -> (b => Mail.parseMbox(b)),
     "docRouter" -> (b => Docs.extractAny(b)),
     "mdText" -> (b => Markdown.mdText(new String(b, "UTF-8"))),
+    "rtfText" -> (b => Rtf.rtfText(new String(b, "ISO-8859-1"))),
     "mailMessage" -> (b => Mail.parseMessage(new String(b, "ISO-8859-1"))),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
@@ -167,6 +168,7 @@ class MediaFuzzSpec extends AnyFunSuite {
         ("b.xhtml", "<html><body><p>three</p></body></html>")),
         Seq(1, 0), Some("decoy.xhtml")),
       "odt" -> Docs.syntheticOdt(Seq(Seq("a  b", "\tc"), Seq("d & e\nf"))),
+      "rtf" -> Rtf.syntheticRtf(Seq("p one {brace}", "p two"), Some("uni — é")),
       "wet" -> Warc.syntheticWet(Seq(
         ("https://x/1", "line é one\ntwo"), ("https://x/2", "t2")), gzipped = true),
       "mbox" -> Mail.syntheticMbox(Seq(
