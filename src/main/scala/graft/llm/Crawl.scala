@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.Dataset
+
+import graft.llm.Multimodal.Media
+
+/** Crawl-politeness metadata (round 13): a corpus pipeline that
+  * re-crawls or audits provenance needs robots.txt semantics — not
+  * just parsing, the DECISION function (REP, RFC 9309): group
+  * selection by most-specific user-agent token, longest-match rule
+  * precedence with allow winning length ties, `*` wildcards and the
+  * `$` end anchor. All structural; a mistake denies or admits a URL,
+  * and the oracle replays decisions the fixture pins.
+  *
+  * Reference scope: kafi has no crawl surface; LLM-pipeline extension
+  * breadth, sibling to [[UrlOps]].
+  */
+object Crawl {
+
+  /** One parsed rule line. `rule` ∈ allow/disallow; `agent` is the
+    * group's user-agent token (lower-cased). */
+  case class RobotsRule(doc_id: Long, group_idx: Int, agent: String,
+      rule: String, pattern: String)
+
+  private[graft] case class Robots(
+      groups: Seq[(Seq[String], Seq[(Boolean, String)])], // (agents, (isAllow, pattern))
+      sitemaps: Seq[String])
+
+  /** Line-oriented parse per RFC 9309 §2.2: `field: value`, fields
+    * case-insensitive, `#` comments, consecutive user-agent lines
+    * open ONE group, rules before any user-agent line are ignored,
+    * sitemap is group-independent. Total function. */
+  private[graft] def parseRobots(text: String): Robots = {
+    if (text == null) return Robots(Nil, Nil)
+    val groups = Seq.newBuilder[(Seq[String], Seq[(Boolean, String)])]
+    val sitemaps = Seq.newBuilder[String]
+    var agents = Seq.newBuilder[String]
+    var rules = Seq.newBuilder[(Boolean, String)]
+    var nAgents = 0
+    var nRules = 0
+    var open = false // a group exists (agents seen)
+    var inAgents = false // still collecting consecutive user-agent lines
+    def flush(): Unit = {
+      if (open) { groups += ((agents.result(), rules.result())) }
+      agents = Seq.newBuilder[String]; rules = Seq.newBuilder[(Boolean, String)]
+      nAgents = 0; nRules = 0; open = false
+    }
+    text.split("\n", -1).foreach { line0 =>
+      val noComment = {
+        val h = line0.indexOf('#')
+        if (h >= 0) line0.substring(0, h) else line0
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents) flush()
+            agents += value.toLowerCase; nAgents += 1; open = true; inAgents = true
+          case "allow" | "disallow" if open =>
+            rules += ((field == "allow", value)); nRules += 1; inAgents = false
+          case "sitemap" => sitemaps += value; inAgents = false
+          case _ => inAgents = false // crawl-delay etc.: group keeps collecting rules
+        }
+      }
+    }
+    flush()
+    Robots(groups.result(), sitemaps.result())
+  }
+
+  /** Does `pattern` (with `*` wildcards, optional `$` end anchor)
+    * match a PREFIX of `path`? Iterative greedy-with-backtrack over
+    * segments — linear-ish, no regex compilation per row. */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    if (pattern.isEmpty) return true // empty Disallow matches nothing per spec — handled by caller
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val parts = p.split("\\*", -1)
+    var pos = 0
+    var i = 0
+    while (i < parts.length) {
+      val part = parts(i)
+      if (i == 0) {
+        if (!path.startsWith(part)) return false
+        pos = part.length
+      } else if (part.nonEmpty) {
+        // anchored final segment must sit at the END (leftmost-match
+        // would reject "/a*b$" against "/abXb")
+        if (anchored && i == parts.length - 1) {
+          if (!(path.endsWith(part) && path.length - part.length >= pos)) return false
+          pos = path.length
+        } else {
+          val k = path.indexOf(part, pos)
+          if (k < 0) return false
+          pos = k + part.length
+        }
+      } else pos = path.length // trailing '*' consumes the rest
+      i += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** The REP decision for (userAgent, path): pick the group whose
+    * user-agent token is the LONGEST substring of `userAgent` (else
+    * the `*` group), then the longest-pattern matching rule wins,
+    * allow beating disallow on equal length; no match → allowed. */
+  private[graft] def isAllowed(r: Robots, userAgent: String, path: String): Boolean = {
+    val ua = userAgent.toLowerCase
+    // group selection
+    var best: Seq[(Boolean, String)] = null
+    var bestLen = -1
+    var starGroup: Seq[(Boolean, String)] = null
+    r.groups.foreach { case (agents, rules) =>
+      agents.foreach { a =>
+        if (a == "*") { if (starGroup == null) starGroup = rules }
+        else if (ua.contains(a) && a.length > bestLen) { best = rules; bestLen = a.length }
+      }
+    }
+    val rules = if (best != null) best else if (starGroup != null) starGroup else return true
+    var verdict = true
+    var winLen = -1
+    var winAllow = false
+    rules.foreach { case (isAllow, pat) =>
+      if (pat.nonEmpty && patternMatches(pat, path)) {
+        val len = pat.length
+        if (len > winLen || (len == winLen && isAllow && !winAllow)) {
+          winLen = len; winAllow = isAllow; verdict = isAllow
+        }
+      }
+    }
+    verdict
+  }
+
+  /** robots.txt blobs → rule rows (flatMap kernel). */
+  def robotsRules(ds: Dataset[Media]): Dataset[RobotsRule] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      val r = parseRobots(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+      r.groups.zipWithIndex.flatMap { case ((agents, rules), gi) =>
+        for (a <- agents; (isAllow, pat) <- rules)
+          yield RobotsRule(m.doc_id, gi, a, if (isAllow) "allow" else "disallow", pat)
+      }
+    })
+  }
+
+  /** (robots blob, probe paths) → per-path decisions for an agent. */
+  def robotsDecisions(ds: Dataset[Media], userAgent: String,
+      paths: Long => Seq[String]): Dataset[(Long, Int, String, Boolean)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      val r = parseRobots(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+      paths(m.doc_id).zipWithIndex.map { case (p, i) =>
+        (m.doc_id, i, p, isAllowed(r, userAgent, p))
+      }
+    })
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Dedup, Docs, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1567,6 +1567,48 @@ object LlmQueries {
         .orderBy("doc_id", "msg_idx")
     }),
 
+    // robots.txt rule walk (round 13): groups by consecutive
+    // user-agent lines (a multi-agent group on a slice), comments,
+    // field case, crawl-delay noise, a group-independent sitemap
+    "q_robots_rules" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(robotsMedia _)
+      Crawl.robotsRules(media).toDF()
+        .select("doc_id", "group_idx", "agent", "rule", "pattern")
+        .orderBy("doc_id", "group_idx", "agent", "rule", "pattern")
+    }),
+
+    // the REP DECISION function (round 13): group selection by
+    // user-agent token (the * group must NOT apply to gruntbot),
+    // longest-match precedence, allow-beats-disallow on the longer
+    // pattern, * wildcard + $ anchor — five probe paths per doc whose
+    // verdicts the oracle pins
+    "q_robots_decision" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(robotsMedia _)
+      Crawl.robotsDecisions(media, "GruntBot/1.0", id => Seq(
+          s"/private$id/x", s"/private$id/ok/y", s"/a$id.tmp",
+          s"/a$id.tmpX", s"/all$id/z"))
+        .map { case (id, i, p, a) => (id, i, p, if (a) 1 else 0) }
+        .toDF("doc_id", "path_idx", "path", "allowed")
+        .orderBy("doc_id", "path_idx")
+    }),
+
+    // RSS/Atom feed items (round 13): root-element format detection,
+    // per-format link forms, and the double-layer text convention —
+    // entity-encoded HTML vs CDATA-wrapped raw HTML must land on the
+    // SAME extracted string (the fixture alternates per item)
+    "q_feed_items" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(feedMedia _)
+      Feeds.feedItems(media).toDF()
+        .select("doc_id", "item_idx", "fmt", "title", "link", "text")
+        .orderBy("doc_id", "item_idx")
+    }),
+
     // RTF text extraction (round 13): the legacy-document family —
     // font/color/info tables and {\*…} destinations must not leak,
     // nested bold groups are invisible, \'hh code-page bytes and \uN
@@ -2624,6 +2666,43 @@ object LlmQueries {
     * into seven containers by id%7 — pdf, docx, epub, mbox, html,
     * latex, gzip-wrapped html (the router must peel the compression
     * layer before detecting). */
+  /** The q_robots_* fixture (round 13): a gruntbot group (plus a
+    * second agent on id%3=0 — one group, two tokens), three rules
+    * incl. a wildcard-anchored one, crawl-delay noise, then the *
+    * group and a sitemap. Probe paths exercise group selection,
+    * longest-match, allow-override, and the $ anchor. */
+  private def robotsMedia(id: Long): Multimodal.Media = {
+    val sb = new StringBuilder
+    sb ++= s"# robots for doc $id\n"
+    sb ++= "User-Agent: gruntbot\n"
+    if (id % 3 == 0) sb ++= "user-agent: otherbot\n"
+    sb ++= s"Disallow: /private$id/   # keep out\n"
+    sb ++= s"Allow: /private$id/ok/\n"
+    sb ++= "Disallow: /*.tmp$\n"
+    sb ++= "Crawl-delay: 5\n"
+    sb ++= "\n"
+    sb ++= "User-agent: *\n"
+    sb ++= s"Disallow: /all$id/\n"
+    sb ++= s"Sitemap: https://ex.org/$id/sitemap.xml\n"
+    Multimodal.Media(id, sb.toString.getBytes("UTF-8"), "text/plain")
+  }
+
+  /** The q_feed_items fixture (round 13): RSS on even ids, Atom on
+    * odd; 1 + id%3 items; item i's body is CDATA-wrapped raw HTML on
+    * (id+i)%2=0 and entity-encoded HTML otherwise — same extracted
+    * text either way; titles carry a literal '&'. */
+  private def feedMedia(id: Long): Multimodal.Media = {
+    val n = (1 + id % 3).toInt
+    val items = (0 until n).map { i =>
+      (s"T $id $i & co",
+        s"https://n.ex/$id/$i",
+        s"<p>Body $id.$i <b>k ${(id * 7 + i) % 43}</b> &amp; tail</p>")
+    }
+    Multimodal.Media(id,
+      Feeds.syntheticFeed(atom = id % 2 == 1, items, cdata = i => (id + i) % 2 == 0),
+      "application/xml")
+  }
+
   /** The q_rtf_text fixture (round 13): 1 + id%2 paragraphs (even
     * ones carrying a nested bold group mid-word), header tables and an
     * ignorable generator group that must not leak, and on id%4=1 a
@@ -5017,6 +5096,55 @@ object LlmQueries {
         |SELECT doc_id, CAST(i AS INTEGER) AS msg_idx,
         |  CASE WHEN kind = 4 THEN l1 || ' ' || l2 ELSE l1 || chr(10) || l2 END AS text
         |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
+
+    // robots rule replay (round 13)
+    "q_robots_rules" ->
+      """WITH ag AS (
+        |  SELECT doc_id, 'gruntbot' AS agent FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'otherbot' AS agent FROM documents WHERE doc_id % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INTEGER) AS group_idx, agent,
+        |    'disallow' AS rule, '/private' || doc_id || '/' AS pattern FROM ag
+        |  UNION ALL
+        |  SELECT doc_id, CAST(0 AS INTEGER), agent, 'allow',
+        |    '/private' || doc_id || '/ok/' FROM ag
+        |  UNION ALL
+        |  SELECT doc_id, CAST(0 AS INTEGER), agent, 'disallow', '/*.tmp$' FROM ag
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INTEGER), '*', 'disallow',
+        |    '/all' || doc_id || '/' FROM documents)
+        |ORDER BY doc_id, group_idx, agent, rule, pattern""".stripMargin,
+
+    // REP decision replay (round 13): the five verdicts — deny inside
+    // /private, allow on the longer /ok/ override, deny on the
+    // anchored wildcard, allow past the anchor, allow on the * group's
+    // path because gruntbot's own group was selected
+    "q_robots_decision" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS path_idx,
+        |  CASE u.i
+        |    WHEN 0 THEN '/private' || doc_id || '/x'
+        |    WHEN 1 THEN '/private' || doc_id || '/ok/y'
+        |    WHEN 2 THEN '/a' || doc_id || '.tmp'
+        |    WHEN 3 THEN '/a' || doc_id || '.tmpX'
+        |    ELSE '/all' || doc_id || '/z' END AS path,
+        |  CAST(CASE u.i WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 0
+        |    WHEN 3 THEN 1 ELSE 1 END AS INTEGER) AS allowed
+        |FROM documents, unnest(generate_series(0, 4)) AS u(i)
+        |ORDER BY doc_id, path_idx""".stripMargin,
+
+    // feed replay (round 13): entity-encoded and CDATA bodies land on
+    // the same string; per-format link forms invisible
+    "q_feed_items" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS item_idx,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'atom' ELSE 'rss' END AS fmt,
+        |  'T ' || doc_id || ' ' || u.i || ' & co' AS title,
+        |  'https://n.ex/' || doc_id || '/' || u.i AS link,
+        |  'Body ' || doc_id || '.' || u.i || ' k ' || ((doc_id * 7 + u.i) % 43)
+        |    || ' & tail' AS text
+        |FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 3
+        |ORDER BY doc_id, item_idx""".stripMargin,
 
     // RTF replay (round 13): exact prose — tables/destinations gone,
     // escapes decoded, fallback chars absent

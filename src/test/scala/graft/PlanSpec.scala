@@ -384,6 +384,17 @@ class PlanSpec extends SparkSpec {
           ids.map(id => Multimodal.Media(id,
             s"<html><body>r $id</body></html>".getBytes("UTF-8"),
             "application/octet-stream"))).toDF(),
+        "robotsDecisions" -> graft.llm.Crawl.robotsDecisions(
+          ids.map(id => Multimodal.Media(id,
+            s"User-agent: a\nDisallow: /x$id/\n".getBytes("UTF-8"), "text/plain")),
+          "a", id => Seq(s"/x$id/y", "/ok")).toDF(),
+        "feedItems" -> graft.llm.Feeds.feedItems(
+          ids.map(id => Multimodal.Media(id, graft.llm.Feeds.syntheticFeed(
+            atom = id % 2 == 1, Seq((s"t $id", s"https://l/$id", s"<p>b $id</p>")),
+            _ => id % 3 == 0), "application/xml"))).toDF(),
+        "rtfTexts" -> graft.llm.Rtf.rtfTexts(
+          ids.map(id => Multimodal.Media(id, graft.llm.Rtf.syntheticRtf(
+            Seq(s"para $id"), None), "application/rtf"))).toDF(),
         "mailMessages" -> graft.llm.Mail.readMbox(
           ids.map(id => Multimodal.Media(id, graft.llm.Mail.syntheticMbox(Seq(
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** robots.txt REP semantics + feed extraction (round 13). */
+class CrawlFeedSpec extends AnyFunSuite {
+
+  test("robots parse: groups, comments, case, crawl-delay noise, sitemap") {
+    val r = Crawl.parseRobots(
+      """# hi
+        |User-Agent: BotA
+        |user-agent: botb
+        |Disallow: /x/  # trailing comment
+        |Allow: /x/ok
+        |Crawl-delay: 3
+        |Disallow: /y$
+        |
+        |User-agent: *
+        |Disallow: /z/
+        |Sitemap: https://e/s.xml
+        |Disallow: /after-sitemap/
+        |""".stripMargin)
+    assert(r.groups.length == 2)
+    assert(r.groups.head._1 == Seq("bota", "botb"))
+    assert(r.groups.head._2 == Seq((false, "/x/"), (true, "/x/ok"), (false, "/y$")))
+    assert(r.groups(1)._2 == Seq((false, "/z/"), (false, "/after-sitemap/")))
+    assert(r.sitemaps == Seq("https://e/s.xml"))
+    // rules before any user-agent line are ignored; junk never throws
+    assert(Crawl.parseRobots("Disallow: /early/\nUser-agent: a\nDisallow: /b/")
+      .groups == Seq((Seq("a"), Seq((false, "/b/")))))
+    assert(Crawl.parseRobots(null).groups.isEmpty)
+    assert(Crawl.parseRobots("no colons here\n\n##").groups.isEmpty)
+  }
+
+  test("pattern matching: wildcards and the $ anchor") {
+    assert(Crawl.patternMatches("/a/", "/a/b"))
+    assert(!Crawl.patternMatches("/a/", "/b/a/"))
+    assert(Crawl.patternMatches("/*/private", "/x/private-stuff"))
+    assert(Crawl.patternMatches("/*.php$", "/dir/x.php"))
+    assert(!Crawl.patternMatches("/*.php$", "/dir/x.php?q=1"))
+    assert(Crawl.patternMatches("/a*b*c", "/aXXbYYc-and-more"))
+    assert(!Crawl.patternMatches("/a*b*c", "/aXXbYY"))
+    assert(Crawl.patternMatches("/a*b$", "/abXb"), "anchored final segment matches at the end")
+    assert(Crawl.patternMatches("/*$", "/anything"))
+  }
+
+  test("REP decision: group selection, longest match, allow ties") {
+    val r = Crawl.parseRobots(
+      """User-agent: grunt
+        |Disallow: /d/
+        |Allow: /d/deep/
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin)
+    assert(!Crawl.isAllowed(r, "GruntBot/2", "/d/x"))
+    assert(Crawl.isAllowed(r, "GruntBot/2", "/d/deep/x"), "longer allow wins")
+    assert(Crawl.isAllowed(r, "GruntBot/2", "/open/"), "star group must not apply")
+    assert(!Crawl.isAllowed(r, "SomeOther/1", "/anything"), "star group for strangers")
+    // equal length: allow wins
+    val r2 = Crawl.parseRobots("User-agent: *\nDisallow: /p/\nAllow: /p/\n")
+    assert(Crawl.isAllowed(r2, "x", "/p/q"))
+    // no groups at all → allowed
+    assert(Crawl.isAllowed(Crawl.parseRobots(""), "x", "/q"))
+  }
+
+  test("feeds: rss vs atom, CDATA vs entity-encoded bodies, links") {
+    val items = Seq(("T & a", "https://l/1", "<p>one <b>x</b> &amp; y</p>"),
+      ("T2", "https://l/2", "<p>two</p>"))
+    for (atom <- Seq(false, true); cd <- Seq(true, false)) {
+      val got = Feeds.parseFeed(new String(
+        Feeds.syntheticFeed(atom, items, _ => cd), "UTF-8"))
+      assert(got.length == 2, s"atom=$atom cd=$cd")
+      assert(got.head == ((if (atom) "atom" else "rss"), "T & a", "https://l/1",
+        "one x & y"), s"atom=$atom cd=$cd")
+    }
+    // mixed CDATA/encoded in one feed land on identical text shapes
+    val mixed = Feeds.parseFeed(new String(
+      Feeds.syntheticFeed(atom = false, items, i => i == 0), "UTF-8"))
+    assert(mixed.map(_._4) == Seq("one x & y", "two"))
+    assert(Feeds.parseFeed("not xml at all") == Nil)
+    assert(Feeds.parseFeed(null) == Nil)
+  }
+}

@@ -57,6 +57,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "docRouter" -> (b => Docs.extractAny(b)),
     "mdText" -> (b => Markdown.mdText(new String(b, "UTF-8"))),
     "rtfText" -> (b => Rtf.rtfText(new String(b, "ISO-8859-1"))),
+    "robotsParse" -> (b => Crawl.parseRobots(new String(b, "UTF-8"))),
+    "feedParse" -> (b => Feeds.parseFeed(new String(b, "UTF-8"))),
     "mailMessage" -> (b => Mail.parseMessage(new String(b, "ISO-8859-1"))),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
@@ -169,6 +171,12 @@ class MediaFuzzSpec extends AnyFunSuite {
         Seq(1, 0), Some("decoy.xhtml")),
       "odt" -> Docs.syntheticOdt(Seq(Seq("a  b", "\tc"), Seq("d & e\nf"))),
       "rtf" -> Rtf.syntheticRtf(Seq("p one {brace}", "p two"), Some("uni — é")),
+      "robots" -> ("User-agent: a\nDisallow: /x/\nAllow: /x/y$\nUser-agent: *\n" +
+        "Sitemap: https://s\n").getBytes("UTF-8"),
+      "rssFeed" -> Feeds.syntheticFeed(atom = false, Seq(
+        ("t & 1", "https://l", "<p>b &amp; c</p>")), _ => true),
+      "atomFeed" -> Feeds.syntheticFeed(atom = true, Seq(
+        ("t2", "https://l2", "<p>d</p>")), _ => false),
       "wet" -> Warc.syntheticWet(Seq(
         ("https://x/1", "line é one\ntwo"), ("https://x/2", "t2")), gzipped = true),
       "mbox" -> Mail.syntheticMbox(Seq(
