@@ -133,6 +133,84 @@ object Crawl {
     verdict
   }
 
+  // ------------------------------------------------------------------
+  // Sitemaps (the discovery half of the crawl-metadata pair)
+  // ------------------------------------------------------------------
+
+  /** One sitemap entry: a page URL from `<urlset>` or a child-sitemap
+    * URL from `<sitemapindex>` (`is_index` = 1). */
+  case class SitemapUrl(doc_id: Long, url_idx: Int, loc: String,
+      lastmod: String, priority: Double, is_index: Int)
+
+  private def innerElem(xml: String, elem: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile(s"<$elem(?:\\s[^>]*)?>(.*?)</$elem>", java.util.regex.Pattern.DOTALL)
+      .matcher(xml)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group(1)
+    out.result()
+  }
+
+  /** Sitemap walk: urlset → per-url loc/lastmod/priority (absent
+    * priority = the protocol default 0.5); sitemapindex → child
+    * sitemap locs. Entities in locs decode (&amp; in query strings is
+    * the classic). Total function. */
+  private[graft] def parseSitemap(xml: String): Seq[(String, String, Double, Int)] = {
+    if (xml == null) return Nil
+    def field(u: String, e: String): Option[String] =
+      innerElem(u, e).headOption.map(s => Docs.xmlUnescape(s.trim))
+    if (xml.contains("<sitemapindex")) {
+      innerElem(xml, "sitemap").flatMap(u =>
+        field(u, "loc").map(l => (l, field(u, "lastmod").getOrElse(""), 0.5, 1)))
+    } else if (xml.contains("<urlset")) {
+      innerElem(xml, "url").flatMap { u =>
+        field(u, "loc").map { l =>
+          (l, field(u, "lastmod").getOrElse(""),
+            field(u, "priority").flatMap(_.toDoubleOption).getOrElse(0.5), 0)
+        }
+      }
+    } else Nil
+  }
+
+  /** Sitemap blobs → entry rows (flatMap kernel). */
+  def sitemapUrls(ds: Dataset[Media]): Dataset[SitemapUrl] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      parseSitemap(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+        .zipWithIndex.map { case ((l, lm, p, ix), i) => SitemapUrl(m.doc_id, i, l, lm, p, ix) }
+    })
+  }
+
+  /** A urlset or sitemapindex fixture; url locs carry an &amp;-encoded
+    * query string (decode load-bearing), priorities on a slice. */
+  def syntheticSitemap(index: Boolean, urls: Seq[(String, String, Option[Double])]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8"?>""").append('\n')
+    if (index) {
+      sb.append("""<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""")
+      urls.foreach { case (loc, lastmod, _) =>
+        sb.append("<sitemap>")
+          .append(s"<loc>${loc.replace("&", "&amp;")}</loc>")
+        if (lastmod.nonEmpty) sb.append(s"<lastmod>$lastmod</lastmod>")
+        sb.append("</sitemap>")
+      }
+      sb.append("</sitemapindex>")
+    } else {
+      sb.append("""<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""")
+      urls.foreach { case (loc, lastmod, prio) =>
+        sb.append("<url>")
+          .append(s"<loc>${loc.replace("&", "&amp;")}</loc>")
+        if (lastmod.nonEmpty) sb.append(s"<lastmod>$lastmod</lastmod>")
+        sb.append("<changefreq>daily</changefreq>")
+        prio.foreach(p => sb.append(s"<priority>$p</priority>"))
+        sb.append("</url>")
+      }
+      sb.append("</urlset>")
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** robots.txt blobs → rule rows (flatMap kernel). */
   def robotsRules(ds: Dataset[Media]): Dataset[RobotsRule] = {
     val spark = ds.sparkSession

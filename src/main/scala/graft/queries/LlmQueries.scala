@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1596,6 +1596,44 @@ object LlmQueries {
         .orderBy("doc_id", "path_idx")
     }),
 
+    // comment stripping (round 13): the code-dedup input form — three
+    // comment grammars by id%3, with the classic traps load-bearing
+    // everywhere: markers inside string literals (// in a C string, #
+    // in a Python docstring, -- in a SQL string) survive, quotes
+    // inside comments don't confuse the walk, block comments read as
+    // one space; non-comment bytes replay byte-exact
+    "q_code_strip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(codeMedia _)
+      Code.strippedCode(media, fam => fam)
+        .toDF("doc_id", "family", "code")
+        .orderBy("doc_id")
+    }),
+
+    // license identification (round 13): SPDX tag verbatim, else
+    // phrase fingerprints of the six dominant licenses, else unknown
+    "q_code_license" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(licenseMedia _)
+      Code.licenses(media)
+        .toDF("doc_id", "license")
+        .orderBy("doc_id")
+    }),
+
+    // sitemap walk (round 13): urlset vs sitemapindex by slice,
+    // &amp;-encoded query strings decode, absent priority = protocol
+    // default 0.5, absent lastmod = empty
+    "q_sitemap_urls" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(sitemapMedia _)
+      Crawl.sitemapUrls(media).toDF()
+        .select("doc_id", "url_idx", "loc", "lastmod", "priority", "is_index")
+        .orderBy("doc_id", "url_idx")
+    }),
+
     // RSS/Atom feed items (round 13): root-element format detection,
     // per-format link forms, and the double-layer text convention —
     // entity-encoded HTML vs CDATA-wrapped raw HTML must land on the
@@ -2685,6 +2723,64 @@ object LlmQueries {
     sb ++= s"Disallow: /all$id/\n"
     sb ++= s"Sitemap: https://ex.org/$id/sitemap.xml\n"
     Multimodal.Media(id, sb.toString.getBytes("UTF-8"), "text/plain")
+  }
+
+  /** The q_code_strip fixture (round 13): one source file per doc,
+    * family by id%3 — C with a line comment, a multi-line block
+    * comment mid-statement, and a // inside a string; Python with a
+    * trailing comment, a # in a double-quoted string AND in a
+    * multi-line docstring; SQL with --, a block comment, and a --
+    * inside a quoted literal. */
+  private def codeMedia(id: Long): Multimodal.Media = {
+    val a = id % 9; val b = id % 7
+    val (fam, src) = (id % 3) match {
+      case 0 => ("c",
+        s"// head $id\nint a = $a; /* block\nspans */ int b = $b;\n" +
+          "char* s = \"x // not\";\n")
+      case 1 => ("hash",
+        s"# head $id\nx = $a  # trail\ns = \"y # keep\"\n" +
+          "d = \"\"\"doc # keep\ntwo\"\"\"\n" + s"y = $b\n")
+      case _ => ("sql",
+        s"-- lead $id\nSELECT $a AS a, /* mid */ '--not' AS s\nFROM t -- tail\n")
+    }
+    Multimodal.Media(id, src.getBytes("UTF-8"), fam)
+  }
+
+  /** The q_code_license fixture (round 13): id%6 cycles an SPDX tag,
+    * MIT/Apache/GPL-3.0/BSD phrase fingerprints, and a no-license
+    * file. */
+  private def licenseMedia(id: Long): Multimodal.Media = {
+    val src = (id % 6) match {
+      case 0 => s"// SPDX-License-Identifier: Apache-2.0\nlet x = $id;\n"
+      case 1 => "/*\n * Permission is hereby granted, free of charge, to any person\n" +
+        s" */\nlet y = $id;\n"
+      case 2 => "Licensed under the Apache License, Version 2.0 (the \"License\");\n" +
+        s"code $id\n"
+      case 3 => "This program is free software: you can redistribute it under the\n" +
+        s"GNU General Public License, version 3.\ncode $id\n"
+      case 4 => "Redistribution and use in source and binary forms, with or without\n" +
+        s"modification, are permitted.\ncode $id\n"
+      case _ => s"def f():\n    return $id  # no license here\n"
+    }
+    Multimodal.Media(id, src.getBytes("UTF-8"), "text/x-source")
+  }
+
+  /** The q_sitemap_urls fixture (round 13): sitemapindex on id%4=0
+    * (child locs, is_index=1), urlset otherwise with &-carrying query
+    * strings, a missing-lastmod slice, and exactly-representable
+    * 0.125-step priorities on alternate urls (absent → 0.5). */
+  private def sitemapMedia(id: Long): Multimodal.Media = {
+    val n = (1 + id % 3).toInt
+    val isIdx = id % 4 == 0
+    val urls = (0 until n).map { i =>
+      if (isIdx)
+        (s"https://ex.org/$id/map$i.xml", s"2026-0${1 + (id + i) % 9}-01", None)
+      else
+        (s"https://ex.org/$id/p$i?a=1&b=${(id + i) % 7}",
+          if ((id + i) % 3 == 0) "" else s"2026-0${1 + (id + i) % 9}-01",
+          if ((id + i) % 2 == 0) Some(0.125 * (1 + (id + i) % 7)) else None)
+    }
+    Multimodal.Media(id, Crawl.syntheticSitemap(isIdx, urls), "application/xml")
   }
 
   /** The q_feed_items fixture (round 13): RSS on even ids, Atom on
@@ -5132,6 +5228,53 @@ object LlmQueries {
         |    WHEN 3 THEN 1 ELSE 1 END AS INTEGER) AS allowed
         |FROM documents, unnest(generate_series(0, 4)) AS u(i)
         |ORDER BY doc_id, path_idx""".stripMargin,
+
+    // comment-strip replay (round 13): the exact stripped source —
+    // note the doubled '' escapes for the SQL slice's quoted literal
+    "q_code_strip" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'c' WHEN 1 THEN 'hash'
+        |    ELSE 'sql' END AS family,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN chr(10) || 'int a = ' || (doc_id % 9)
+        |      || ';   int b = ' || (doc_id % 7) || ';' || chr(10)
+        |      || 'char* s = "x // not";' || chr(10)
+        |    WHEN 1 THEN chr(10) || 'x = ' || (doc_id % 9) || '  ' || chr(10)
+        |      || 's = "y # keep"' || chr(10) || 'd = ' || repeat(chr(34), 3)
+        |      || 'doc # keep' || chr(10) || 'two' || repeat(chr(34), 3)
+        |      || chr(10) || 'y = ' || (doc_id % 7) || chr(10)
+        |    ELSE chr(10) || 'SELECT ' || (doc_id % 9)
+        |      || ' AS a,   ''--not'' AS s' || chr(10) || 'FROM t ' || chr(10)
+        |  END AS code
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // license replay (round 13)
+    "q_code_license" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT' WHEN 2 THEN 'Apache-2.0'
+        |    WHEN 3 THEN 'GPL-3.0' WHEN 4 THEN 'BSD-3-Clause'
+        |    ELSE 'unknown' END AS license
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sitemap replay (round 13)
+    "q_sitemap_urls" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS url_idx,
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN 'https://ex.org/' || doc_id || '/map' || u.i || '.xml'
+        |    ELSE 'https://ex.org/' || doc_id || '/p' || u.i || '?a=1&b='
+        |      || ((doc_id + u.i) % 7) END AS loc,
+        |  CASE WHEN doc_id % 4 = 0
+        |      THEN '2026-0' || (1 + (doc_id + u.i) % 9) || '-01'
+        |    WHEN (doc_id + u.i) % 3 = 0 THEN ''
+        |    ELSE '2026-0' || (1 + (doc_id + u.i) % 9) || '-01' END AS lastmod,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 0.5
+        |    WHEN (doc_id + u.i) % 2 = 0 THEN 0.125 * (1 + (doc_id + u.i) % 7)
+        |    ELSE 0.5 END AS DOUBLE) AS priority,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_index
+        |FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 3
+        |ORDER BY doc_id, url_idx""".stripMargin,
 
     // feed replay (round 13): entity-encoded and CDATA bodies land on
     // the same string; per-format link forms invisible

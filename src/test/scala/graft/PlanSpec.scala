@@ -384,6 +384,16 @@ class PlanSpec extends SparkSpec {
           ids.map(id => Multimodal.Media(id,
             s"<html><body>r $id</body></html>".getBytes("UTF-8"),
             "application/octet-stream"))).toDF(),
+        "sitemapUrls" -> graft.llm.Crawl.sitemapUrls(
+          ids.map(id => Multimodal.Media(id, graft.llm.Crawl.syntheticSitemap(
+            index = id % 2 == 0, Seq((s"https://e/$id", "", None))),
+            "application/xml"))).toDF(),
+        "codeStrip" -> graft.llm.Code.strippedCode(
+          ids.map(id => Multimodal.Media(id,
+            s"int a = $id; // c\n".getBytes("UTF-8"), "c")), f => f).toDF(),
+        "codeLicenses" -> graft.llm.Code.licenses(
+          ids.map(id => Multimodal.Media(id,
+            s"// SPDX-License-Identifier: MIT\nx$id".getBytes("UTF-8"), "c"))).toDF(),
         "robotsDecisions" -> graft.llm.Crawl.robotsDecisions(
           ids.map(id => Multimodal.Media(id,
             s"User-agent: a\nDisallow: /x$id/\n".getBytes("UTF-8"), "text/plain")),

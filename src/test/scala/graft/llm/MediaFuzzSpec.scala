@@ -58,6 +58,10 @@ class MediaFuzzSpec extends AnyFunSuite {
     "mdText" -> (b => Markdown.mdText(new String(b, "UTF-8"))),
     "rtfText" -> (b => Rtf.rtfText(new String(b, "ISO-8859-1"))),
     "robotsParse" -> (b => Crawl.parseRobots(new String(b, "UTF-8"))),
+    "sitemapParse" -> (b => Crawl.parseSitemap(new String(b, "UTF-8"))),
+    "codeStripC" -> (b => Code.stripComments(new String(b, "UTF-8"), "c")),
+    "codeStripHash" -> (b => Code.stripComments(new String(b, "UTF-8"), "hash")),
+    "licenseOf" -> (b => Code.licenseOf(new String(b, "UTF-8"))),
     "feedParse" -> (b => Feeds.parseFeed(new String(b, "UTF-8"))),
     "mailMessage" -> (b => Mail.parseMessage(new String(b, "ISO-8859-1"))),
     "subCues" -> (b => Subtitles.parseCues(new String(b, "UTF-8"))),
@@ -173,6 +177,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       "rtf" -> Rtf.syntheticRtf(Seq("p one {brace}", "p two"), Some("uni — é")),
       "robots" -> ("User-agent: a\nDisallow: /x/\nAllow: /x/y$\nUser-agent: *\n" +
         "Sitemap: https://s\n").getBytes("UTF-8"),
+      "sitemap" -> Crawl.syntheticSitemap(index = false, Seq(
+        ("https://e/p?a=1&b=2", "2026-01-01", Some(0.25)), ("https://e/q", "", None))),
       "rssFeed" -> Feeds.syntheticFeed(atom = false, Seq(
         ("t & 1", "https://l", "<p>b &amp; c</p>")), _ => true),
       "atomFeed" -> Feeds.syntheticFeed(atom = true, Seq(
