@@ -1611,6 +1611,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // code-dedup pipeline (round 13): strip → exact-hash group — the
+    // code-corpus dedup move. Doc pairs share code but differ in
+    // comments (id-stamped), so WITHOUT stripping every group is a
+    // singleton and the output halves; one shuffle on the stripped key
+    "q_pipeline_code" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(codePairMedia _)
+      Code.strippedCode(media, fam => fam)
+        .toDF("doc_id", "family", "code")
+        .groupBy("code")
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_docs"))
+        .select("canonical", "n_docs")
+        .orderBy("canonical")
+    }),
+
     // license identification (round 13): SPDX tag verbatim, else
     // phrase fingerprints of the six dominant licenses, else unknown
     "q_code_license" -> ((s, dir) => {
@@ -2744,6 +2760,16 @@ object LlmQueries {
         s"-- lead $id\nSELECT $a AS a, /* mid */ '--not' AS s\nFROM t -- tail\n")
     }
     Multimodal.Media(id, src.getBytes("UTF-8"), fam)
+  }
+
+  /** The q_pipeline_code fixture (round 13): docs 2k and 2k+1 carry
+    * the SAME code with DIFFERENT id-stamped comments — stripping is
+    * what makes them collide. */
+  private def codePairMedia(id: Long): Multimodal.Media = {
+    val base = id / 2
+    Multimodal.Media(id,
+      (s"// noise $id\nint v = $base;\n" + // base itself: groups are pairs, never accidental
+        s"int w = ${base % 11}; // tail $id\n").getBytes("UTF-8"), "c")
   }
 
   /** The q_code_license fixture (round 13): id%6 cycles an SPDX tag,
@@ -5247,6 +5273,15 @@ object LlmQueries {
         |      || ' AS a,   ''--not'' AS s' || chr(10) || 'FROM t ' || chr(10)
         |  END AS code
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // code-dedup replay (round 13): pair groups by construction — the
+    // GROUP BY on doc_id's pair base is the ground truth the stripped-
+    // code grouping must reproduce
+    "q_pipeline_code" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY doc_id - (doc_id % 2)
+        |ORDER BY canonical""".stripMargin,
 
     // license replay (round 13)
     "q_code_license" ->
