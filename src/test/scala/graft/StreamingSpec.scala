@@ -1731,6 +1731,47 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
+  test("streaming crawl/feed/code kernels equal the batch paths") {
+    import spark.implicits._
+    import graft.llm.{Code, Crawl, Feeds, Multimodal, Rtf}
+    val robots = (0L until 3L).map(id => Multimodal.Media(id,
+      s"User-agent: a\nDisallow: /x$id/\nAllow: /x$id/ok/\n".getBytes("UTF-8"), "r"))
+    val feeds = (0L until 3L).map(id => Multimodal.Media(id, Feeds.syntheticFeed(
+      atom = id % 2 == 1, Seq((s"t $id", s"https://l/$id", s"<p>b $id &amp; x</p>")),
+      i => (id + i) % 2 == 0), "f"))
+    val code = (0L until 4L).map(id => Multimodal.Media(id,
+      s"// c $id\nint v = ${id / 2}; /* b */\n".getBytes("UTF-8"), "c"))
+    val rtfs = (0L until 3L).map(id => Multimodal.Media(id,
+      Rtf.syntheticRtf(Seq(s"p $id"), if (id == 1) Some("é — u") else None), "x"))
+    val bRobots = Crawl.robotsDecisions(spark.createDataset(robots), "a",
+      id => Seq(s"/x$id/q", s"/x$id/ok/q")).collect().toSet
+    val bFeeds = Feeds.feedItems(spark.createDataset(feeds)).collect().toSet
+    val bCode = Code.strippedCode(spark.createDataset(code), f => f).collect().toSet
+    val bRtf = Rtf.rtfTexts(spark.createDataset(rtfs)).collect().toSet
+    assert(bRobots.exists(!_._4) && bRobots.exists(_._4) && bFeeds.size == 3 &&
+      bCode.size == 4 && bRtf.size == 3, "batch premise")
+    val in = MemoryStream[(Long, Array[Byte], String)](spark)
+    val st = in.toDS().map { case (id, b, m) => Multimodal.Media(id, b, m) }
+    val q1 = Crawl.robotsDecisions(st.filter(_.mime == "r"), "a",
+        id => Seq(s"/x$id/q", s"/x$id/ok/q")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_rb").start()
+    val q2 = Feeds.feedItems(st.filter(_.mime == "f")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_fd").start()
+    val q3 = Code.strippedCode(st.filter(_.mime == "c"), f => f).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_cd").start()
+    val q4 = Rtf.rtfTexts(st.filter(_.mime == "x")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_rt").start()
+    try {
+      in.addData((robots ++ feeds ++ code ++ rtfs).map(m => (m.doc_id, m.media, m.mime)): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q3.processAllAvailable(); q4.processAllAvailable()
+      assert(spark.table("cm_rb").as[(Long, Int, String, Boolean)].collect().toSet == bRobots)
+      assert(spark.table("cm_fd").as[graft.llm.Feeds.FeedItem].collect().toSet == bFeeds)
+      assert(spark.table("cm_cd").as[(Long, String, String)].collect().toSet == bCode)
+      assert(spark.table("cm_rt").as[(Long, String)].collect().toSet == bRtf)
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}
