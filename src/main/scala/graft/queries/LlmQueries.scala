@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Bibtex, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1567,6 +1567,20 @@ object LlmQueries {
         .orderBy("doc_id", "msg_idx")
     }),
 
+    // BibTeX entries (round 13): brace-balanced values with nested
+    // case-protection groups, hard-wrapped quoted values (whitespace
+    // collapse is the BibTeX rule), @string macros + # concatenation
+    // in a field the output doesn't even show (a broken concat still
+    // kills the entry), @comment noise, case-insensitive entry types
+    "q_bibtex_entries" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(bibMedia _)
+      Bibtex.bibEntries(media).toDF()
+        .select("doc_id", "entry_idx", "entry_type", "cite_key", "title", "author", "year")
+        .orderBy("doc_id", "entry_idx")
+    }),
+
     // robots.txt rule walk (round 13): groups by consecutive
     // user-agent lines (a multi-agent group on a slice), comments,
     // field case, crawl-delay noise, a group-independent sitemap
@@ -2720,6 +2734,27 @@ object LlmQueries {
     * into seven containers by id%7 — pdf, docx, epub, mbox, html,
     * latex, gzip-wrapped html (the router must peel the compression
     * layer before detecting). */
+  /** The q_bibtex_entries fixture (round 13): a @string macro, a
+    * @comment with nested braces, then 1 + id%3 entries with braced
+    * nested-group titles, hard-wrapped quoted authors, a
+    * concatenation+macro journal field, bare-number years, and an
+    * upper-cased entry type on the (id+k)%4=0 slice. */
+  private def bibMedia(id: Long): Multimodal.Media = {
+    val sb = new StringBuilder
+    sb ++= s"@string{jrnl = {Journal of $id}}\n"
+    sb ++= s"@comment{ignore {nested} stuff $id}\n"
+    (0 until (1 + id % 3).toInt).foreach { k =>
+      val t0 = Seq("article", "book", "inproceedings")(((id + k) % 3).toInt)
+      val typ = if ((id + k) % 4 == 0) t0.toUpperCase else t0
+      sb ++= s"@$typ{k$id-$k,\n"
+      sb ++= s"  title = {The {B$k} Title ${(id * 3 + k) % 53}},\n"
+      sb ++= "  author = \"A. Name and\n        B. N" + k + "\",\n"
+      sb ++= "  journal = \"Proc. \" # jrnl,\n"
+      sb ++= s"  year = ${1970 + (id + k) % 50}\n}\n"
+    }
+    Multimodal.Media(id, sb.toString.getBytes("UTF-8"), "text/x-bibtex")
+  }
+
   /** The q_robots_* fixture (round 13): a gruntbot group (plus a
     * second agent on id%3=0 — one group, two tokens), three rules
     * incl. a wildcard-anchored one, crawl-delay noise, then the *
@@ -5218,6 +5253,19 @@ object LlmQueries {
         |SELECT doc_id, CAST(i AS INTEGER) AS msg_idx,
         |  CASE WHEN kind = 4 THEN l1 || ' ' || l2 ELSE l1 || chr(10) || l2 END AS text
         |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
+
+    // bibtex replay (round 13)
+    "q_bibtex_entries" ->
+      """SELECT doc_id, CAST(u.k AS INTEGER) AS entry_idx,
+        |  CASE CAST((doc_id + u.k) % 3 AS INTEGER) WHEN 0 THEN 'article'
+        |    WHEN 1 THEN 'book' ELSE 'inproceedings' END AS entry_type,
+        |  'k' || doc_id || '-' || u.k AS cite_key,
+        |  'The B' || u.k || ' Title ' || ((doc_id * 3 + u.k) % 53) AS title,
+        |  'A. Name and B. N' || u.k AS author,
+        |  CAST(1970 + (doc_id + u.k) % 50 AS VARCHAR) AS year
+        |FROM documents, unnest(generate_series(0, 2)) AS u(k)
+        |WHERE u.k < 1 + doc_id % 3
+        |ORDER BY doc_id, entry_idx""".stripMargin,
 
     // robots rule replay (round 13)
     "q_robots_rules" ->

@@ -384,6 +384,10 @@ class PlanSpec extends SparkSpec {
           ids.map(id => Multimodal.Media(id,
             s"<html><body>r $id</body></html>".getBytes("UTF-8"),
             "application/octet-stream"))).toDF(),
+        "bibEntries" -> graft.llm.Bibtex.bibEntries(
+          ids.map(id => Multimodal.Media(id,
+            s"@article{k$id, title = {T $id}, year = ${2000 + id}}".getBytes("UTF-8"),
+            "text/x-bibtex"))).toDF(),
         "sitemapUrls" -> graft.llm.Crawl.sitemapUrls(
           ids.map(id => Multimodal.Media(id, graft.llm.Crawl.syntheticSitemap(
             index = id % 2 == 0, Seq((s"https://e/$id", "", None))),

@@ -59,6 +59,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "rtfText" -> (b => Rtf.rtfText(new String(b, "ISO-8859-1"))),
     "robotsParse" -> (b => Crawl.parseRobots(new String(b, "UTF-8"))),
     "sitemapParse" -> (b => Crawl.parseSitemap(new String(b, "UTF-8"))),
+    "bibParse" -> (b => Bibtex.parseBib(new String(b, "UTF-8"))),
     "codeStripC" -> (b => Code.stripComments(new String(b, "UTF-8"), "c")),
     "codeStripHash" -> (b => Code.stripComments(new String(b, "UTF-8"), "hash")),
     "licenseOf" -> (b => Code.licenseOf(new String(b, "UTF-8"))),
@@ -177,6 +178,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       "rtf" -> Rtf.syntheticRtf(Seq("p one {brace}", "p two"), Some("uni — é")),
       "robots" -> ("User-agent: a\nDisallow: /x/\nAllow: /x/y$\nUser-agent: *\n" +
         "Sitemap: https://s\n").getBytes("UTF-8"),
+      "bib" -> ("@string{j = {J}}\n@article{k, title = {T {n} t}, " +
+        "author = \"a and\n b\", journal = \"P \" # j, year = 2000}\n").getBytes("UTF-8"),
       "sitemap" -> Crawl.syntheticSitemap(index = false, Seq(
         ("https://e/p?a=1&b=2", "2026-01-01", Some(0.25)), ("https://e/q", "", None))),
       "rssFeed" -> Feeds.syntheticFeed(atom = false, Seq(
