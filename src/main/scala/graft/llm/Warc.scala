@@ -185,20 +185,10 @@ object Warc {
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     "nbsp" -> " ")
 
-  /** Tag-stripping text extraction: comments out, whole script/style
-    * elements out (their CONTENT must not leak — a naive tag strip
-    * leaves `var a="...";` in the corpus), remaining tags → space,
-    * entities decoded (named set + numeric dec/hex), whitespace
-    * collapsed. Deterministic and total: any string in, text out —
-    * corrupt HTML degrades to extra stripped fragments, never a throw.
-    * Heuristic boundary, documented: attribute values containing a
-    * literal '>' end the tag early (the usual scraper trade; a
-    * conforming document escapes it as &gt;). */
-  private[graft] def htmlText(html: String): String = {
-    if (html == null) return ""
-    var s = ReComment.matcher(html).replaceAll(" ")
-    s = ReScript.matcher(s).replaceAll(" ")
-    s = ReTag.matcher(s).replaceAll(" ")
+  /** Entity decode alone (named set + numeric dec/hex) — the shared
+    * tail [[htmlText]] and the block walk in [[Boilerplate]] both
+    * ride; unknown entities pass through verbatim. */
+  private[graft] def decodeEntities(s: String): String = {
     val m = ReEntity.matcher(s)
     val sb = new java.lang.StringBuilder
     var last = 0
@@ -217,7 +207,28 @@ object Warc {
       last = m.end()
     }
     sb.append(s, last, s.length)
-    ReWs.matcher(sb.toString).replaceAll(" ").trim
+    sb.toString
+  }
+
+  /** Collapse all whitespace runs to single spaces and trim. */
+  private[graft] def collapseWs(s: String): String =
+    ReWs.matcher(s).replaceAll(" ").trim
+
+  /** Tag-stripping text extraction: comments out, whole script/style
+    * elements out (their CONTENT must not leak — a naive tag strip
+    * leaves `var a="...";` in the corpus), remaining tags → space,
+    * entities decoded (named set + numeric dec/hex), whitespace
+    * collapsed. Deterministic and total: any string in, text out —
+    * corrupt HTML degrades to extra stripped fragments, never a throw.
+    * Heuristic boundary, documented: attribute values containing a
+    * literal '>' end the tag early (the usual scraper trade; a
+    * conforming document escapes it as &gt;). */
+  private[graft] def htmlText(html: String): String = {
+    if (html == null) return ""
+    var s = ReComment.matcher(html).replaceAll(" ")
+    s = ReScript.matcher(s).replaceAll(" ")
+    s = ReTag.matcher(s).replaceAll(" ")
+    collapseWs(decodeEntities(s))
   }
 
   private def parseIntRadix(s: String, radix: Int): Option[Int] =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Bibtex, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc}
+import graft.llm.{Ann, Archives, AudioStats, Bibtex, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc, Wiki}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1743,6 +1743,84 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MediaWiki dump walk (round 13): the encyclopedia corpus —
+    // export-0.10 page elements behind THREE compression forms by
+    // id%3 (plain / gzip / bz2 MULTISTREAM, the Wikipedia layout whose
+    // stream boundary falls mid-document), entity-carrying titles, a
+    // redirect slice, a self-closing empty <text/> slice, and the
+    // revision <id> that must NOT shadow the page <id>
+    "q_wiki_pages" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wikiDumpMedia _)
+      Wiki.wikiPages(media).toDF()
+        .select(col("doc_id"), col("page_idx"), col("title"), col("ns"),
+          col("page_id"), col("redirect"), col("timestamp").as("ts"),
+          col("text").as("page_text"))
+        .orderBy("doc_id", "page_idx")
+    }),
+
+    // wikitext → plain text (round 13): nested templates, a table, a
+    // piped and a plain wikilink, a File link whose caption nests a
+    // further link, a Category, refs (paired and self-closing), a
+    // heading, bold/italic runs, list markers, labeled and bare
+    // external links, an entity — exact string replay
+    "q_wiki_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wikitextMedia _)
+      Wiki.wikiTexts(media)
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // wiki-dedup pipeline (round 13): dump walk → ns-0 non-redirect
+    // filter → wikitext extraction → exact-hash group, ONE Catalyst
+    // plan. Doc pairs share prose but differ in comment/template
+    // id-stamps — extraction is what makes them collide; without it
+    // every group is a singleton
+    "q_pipeline_wiki" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(wikiPairMedia _)
+      Wiki.wikiPages(media)
+        .filter(p => p.ns == 0 && p.redirect.isEmpty)
+        .map(p => (p.doc_id, Wiki.wikitextToText(p.text)))
+        .toDF("doc_id", "text")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_docs"))
+        .select("canonical", "n_docs")
+        .orderBy("canonical")
+    }),
+
+    // Boilerplate block classification (round 13): the jusText/
+    // boilerpipe core — block segmentation at block-tag boundaries,
+    // per-block length + link-density + chrome-container features, and
+    // the integer-threshold verdict; every block's features and
+    // verdict replay closed-form
+    "q_html_blocks" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(boilerMedia _)
+      graft.llm.Boilerplate.htmlBlocks(media).toDF()
+        .select(col("doc_id"), col("block_idx"), col("text"), col("n_chars"),
+          col("link_chars"), col("ctx_dropped").cast("int").as("ctx_dropped"),
+          col("is_content").cast("int").as("is_content"))
+        .orderBy("doc_id", "block_idx")
+    }),
+
+    // main-content extraction (round 13): the kept text — title, nav,
+    // short heading, link farm, and footer all gone; exactly the one
+    // long low-link-density paragraph survives
+    "q_html_main_content" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(boilerMedia _)
+      graft.llm.Boilerplate.mainContent(media)
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -2927,6 +3005,80 @@ object LlmQueries {
       case _ => Rtf.syntheticRtf(Seq(t), None)
     }
     Multimodal.Media(id, bytes, "application/octet-stream")
+  }
+
+  /** The q_wiki_pages fixture (round 13): 1 + id%3 pages; page j has
+    * an entity-carrying title on (id+j)%4=0, ns cycling 0/1/14,
+    * page_id = id*10+j, a redirect on (id+j)%5=0, and a self-closing
+    * empty text on (id+j)%7=0 (else an entity-carrying body).
+    * Compression cycles plain/gzip/bz2-multistream by id%3. */
+  private def wikiDumpMedia(id: Long): Multimodal.Media = {
+    val n = (1 + id % 3).toInt
+    val pages = (0 until n).map { j =>
+      val title = if ((id + j) % 4 == 0) s"A & B $id/$j" else s"Page $id/$j"
+      val ns = ((id + j) % 3) match { case 0 => 0; case 1 => 1; case _ => 14 }
+      val redirect = if ((id + j) % 5 == 0) s"R $id" else ""
+      val text = if ((id + j) % 7 == 0) "" else s"w $id $j & end"
+      (title, ns, id * 10 + j, redirect, text)
+    }
+    Multimodal.Media(id, Wiki.syntheticDump(pages, (id % 3).toInt),
+      "application/xml")
+  }
+
+  /** The q_wiki_text fixture (round 13): one wikitext doc exercising
+    * every strip rule; the oracle replays the exact extracted prose. */
+  private def wikitextMedia(id: Long): Multimodal.Media = {
+    val a = id % 9; val b = id % 7
+    val src =
+      s"""== H$id ==
+         |'''Bold$a''' and ''it$b'' text. <!-- hidden $id -->
+         |{{infobox|name=x$id|val={{nested|y}}}}
+         |A [[Target $a]] and [[T$b|label $b]] link.<ref>cite $id</ref>
+         |[[File:Img$id.png|thumb|cap [[inner $id]]]]
+         |[[Category:Cat$a]]
+         |{| class="wikitable"
+         ||-
+         || cell$id || c2
+         ||}
+         |* item$a
+         |# item$b
+         |See [https://e.org/$id site $id] and [https://e.org/bare].<ref name="n$id" />
+         |End &amp; fin$id.
+         |""".stripMargin
+    Multimodal.Media(id, src.getBytes("UTF-8"), "text/x-wiki")
+  }
+
+  /** The q_pipeline_wiki fixture (round 13): docs 2k and 2k+1 carry
+    * the SAME prose behind DIFFERENT id-stamped comments and
+    * templates — extraction is what makes them collide. */
+  private def wikiPairMedia(id: Long): Multimodal.Media = {
+    val base = id / 2
+    val text = s"Base $base <!-- n$id --> mid {{stamp|$id}} tail ${base % 11}"
+    Multimodal.Media(id,
+      Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
+      "application/xml")
+  }
+
+  /** The q_html_blocks / q_html_main_content fixture (round 13): a
+    * full page whose seven blocks exercise every classification path —
+    * a short title, a nav (chrome container, all links), a short
+    * heading, THE content paragraph (long, one inline link under the
+    * density bar), a short paragraph, a link farm (long enough but
+    * over the density bar), and a footer (chrome). */
+  private def boilerMedia(id: Long): Multimodal.Media = {
+    val a = id % 9; val b = id % 7
+    val html =
+      s"""<html><head><title>T $id</title><script>var x = $id;</script></head>
+         |<body>
+         |<nav><a href="/">Home $id</a> <a href="/b">Browse</a></nav>
+         |<h1>Heading $id</h1>
+         |<p>This is the long main paragraph number $id with plenty of words to pass the length gate and one <a href="/x">link $a</a> inside.</p>
+         |<p>Short $b.</p>
+         |<div><a href="/1">more articles $id</a> and <a href="/2">even more links here</a></div>
+         |<footer>Copyright $id Example Corp</footer>
+         |</body></html>
+         |""".stripMargin
+    Multimodal.Media(id, html.getBytes("UTF-8"), "text/html")
   }
 
   /** The q_markdown_text fixture (round 13): every rule a trap — a
@@ -5428,6 +5580,81 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // boilerplate block replay (round 13): per-block text/link closed
+    // forms; features are lengths of those forms and the verdict is
+    // the SAME integer rule evaluated independently in SQL
+    "q_html_blocks" ->
+      """WITH b AS (
+        |  SELECT doc_id, 0 AS i, 'T ' || doc_id AS text, '' AS link,
+        |    FALSE AS ctx FROM documents
+        |  UNION ALL SELECT doc_id, 1, 'Home ' || doc_id || ' Browse',
+        |    'Home ' || doc_id || 'Browse', TRUE FROM documents
+        |  UNION ALL SELECT doc_id, 2, 'Heading ' || doc_id, '', FALSE FROM documents
+        |  UNION ALL SELECT doc_id, 3,
+        |    'This is the long main paragraph number ' || doc_id
+        |      || ' with plenty of words to pass the length gate and one link '
+        |      || (doc_id % 9) || ' inside.',
+        |    'link ' || (doc_id % 9), FALSE FROM documents
+        |  UNION ALL SELECT doc_id, 4, 'Short ' || (doc_id % 7) || '.', '',
+        |    FALSE FROM documents
+        |  UNION ALL SELECT doc_id, 5,
+        |    'more articles ' || doc_id || ' and even more links here',
+        |    'more articles ' || doc_id || 'even more links here', FALSE FROM documents
+        |  UNION ALL SELECT doc_id, 6, 'Copyright ' || doc_id || ' Example Corp',
+        |    '', TRUE FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS block_idx, text,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(length(link) AS INTEGER) AS link_chars,
+        |  CAST(CASE WHEN ctx THEN 1 ELSE 0 END AS INTEGER) AS ctx_dropped,
+        |  CAST(CASE WHEN NOT ctx AND length(text) >= 25
+        |       AND length(link) * 100 <= length(text) * 40
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_content
+        |FROM b ORDER BY doc_id, block_idx""".stripMargin,
+
+    // main-content replay (round 13): exactly the one content block
+    "q_html_main_content" ->
+      """SELECT doc_id,
+        |  'This is the long main paragraph number ' || doc_id
+        |    || ' with plenty of words to pass the length gate and one link '
+        |    || (doc_id % 9) || ' inside.' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // wiki dump replay (round 13): every page field a closed form —
+    // the compression split (plain/gzip/bz2-multistream by doc_id%3)
+    // is invisible to the output, which is the point
+    "q_wiki_pages" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS page_idx,
+        |  CASE WHEN (doc_id + u.i) % 4 = 0 THEN 'A & B ' || doc_id || '/' || u.i
+        |       ELSE 'Page ' || doc_id || '/' || u.i END AS title,
+        |  CAST(CASE (doc_id + u.i) % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |       ELSE 14 END AS INTEGER) AS ns,
+        |  CAST(doc_id * 10 + u.i AS BIGINT) AS page_id,
+        |  CASE WHEN (doc_id + u.i) % 5 = 0 THEN 'R ' || doc_id ELSE '' END AS redirect,
+        |  '2026-01-02T03:04:05Z' AS ts,
+        |  CASE WHEN (doc_id + u.i) % 7 = 0 THEN ''
+        |       ELSE 'w ' || doc_id || ' ' || u.i || ' & end' END AS page_text
+        |FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 3
+        |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // wikitext replay (round 13): the exact extracted prose
+    "q_wiki_text" ->
+      """SELECT doc_id,
+        |  'H' || doc_id || ' Bold' || (doc_id % 9) || ' and it' || (doc_id % 7)
+        |    || ' text. A Target ' || (doc_id % 9) || ' and label ' || (doc_id % 7)
+        |    || ' link. item' || (doc_id % 9) || ' item' || (doc_id % 7)
+        |    || ' See site ' || doc_id || ' and . End & fin' || doc_id || '.' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // wiki-dedup replay (round 13): pair groups by construction — the
+    // GROUP BY on doc_id's pair base is the ground truth the
+    // extracted-text grouping must reproduce
+    "q_pipeline_wiki" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY doc_id - (doc_id % 2)
+        |ORDER BY canonical""".stripMargin,
 
     // tar replay (round 13): entry_idx/name/content closed forms plus
     // data_offset = the 512-block arithmetic INCLUDING the header of a

@@ -414,6 +414,15 @@ class PlanSpec extends SparkSpec {
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
               s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
             "application/mbox"))).toDF(),
+        // the wiki dump walk fans pages out inside the scan task
+        "wikiPages" -> graft.llm.Wiki.wikiPages(
+          ids.map(id => Multimodal.Media(id, graft.llm.Wiki.syntheticDump(
+            Seq((s"P $id", 0, id, "", s"w $id")), (id % 3).toInt),
+            "application/xml"))).toDF(),
+        "wikiTexts" -> graft.llm.Wiki.wikiTexts(
+          ids.map(id => Multimodal.Media(id,
+            s"'''B$id''' [[a|l$id]] {{t|$id}}".getBytes("UTF-8"),
+            "text/x-wiki"))).toDF(),
         "mdTexts" -> graft.llm.Markdown.mdTexts(
           ids.map(id => (id, s"# H $id\n*body* [l](u)")).toDF("doc_id", "src"),
           "doc_id", "src"),

@@ -1772,6 +1772,27 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
   }
 
+  test("streaming wiki dump ingestion equals the batch walk") {
+    import spark.implicits._
+    import graft.llm.{Multimodal, Wiki}
+    val dumps = (0L until 4L).map(id => Multimodal.Media(id, Wiki.syntheticDump(
+      (0 until (1 + id % 2).toInt).map(j =>
+        (s"P $id/$j", (j % 2), id * 10 + j, if (j == 1) s"R $id" else "",
+          s"'''w''' [[a|$id-$j]]")), (id % 3).toInt), "application/xml"))
+    val batch = Wiki.wikiPages(spark.createDataset(dumps)).collect().toSet
+    assert(batch.size == 6 && batch.exists(_.redirect.nonEmpty), "batch premise")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val q = Wiki.wikiPages(in.toDS().map { case (id, b) =>
+        Multimodal.Media(id, b, "application/xml") }).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("wk_pg").start()
+    try {
+      in.addData(dumps.map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      assert(spark.table("wk_pg").as[graft.llm.Wiki.WikiPage].collect().toSet == batch)
+    } finally { q.stop() }
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}

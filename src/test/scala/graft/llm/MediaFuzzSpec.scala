@@ -69,7 +69,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "id3Tags" -> (b => Multimodal.id3TextFrames(b)),
     "oggComments" -> (b => Containers.oggComments(b)),
     "mp4Tags" -> (b => Containers.mp4Tags(b)),
-    "wavInfoTags" -> (b => Multimodal.wavInfoTags(b)))
+    "wavInfoTags" -> (b => Multimodal.wavInfoTags(b)),
+    "wikiDump" -> (b => Wiki.parseDump(b)),
+    "wikitext" -> (b => Wiki.wikitextToText(new String(b, "UTF-8"))))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -149,6 +151,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       "warcGz" -> Warc.syntheticWarc(2, i => s"https://x/$i", _ => (404, "Not Found"),
         i => s"<p>q$i</p>", gzipped = true, withRequests = false,
         lowerCaseHeaders = true, infoLen = 7),
+      "wikiBz2" -> Wiki.syntheticDump(Seq(
+        ("A & b", 0, 3L, "", "'''x''' [[l|y]] {{t}}"),
+        ("T:c", 1, 4L, "A & b", "")), compress = 2),
       "tar" -> Archives.syntheticTar(Seq(
         ("d/", '5', Array.emptyByteArray),
         ("d/a.txt", '0', "hello tar".getBytes),
