@@ -1821,6 +1821,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Compressed-JSONL shard walk (round 13): the published-corpus
+    // interchange format (.jsonl.zst/.gz) — codec dispatch by magic
+    // across ALL FIVE runtime codecs by id%5 (plain/gzip/zstd-two-
+    // frame/xz/bzip2), a blank-line slice pinning skip semantics; the
+    // kernel only decompresses and splits, field extraction stays
+    // declarative (get_json_object, codegen'd)
+    "q_jsonl_shard" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(jsonlMedia _)
+      Archives.jsonlLines(media).toDF()
+        .select(col("doc_id"), col("line_idx"),
+          get_json_object(col("line"), "$.id").cast("long").as("rec_id"),
+          get_json_object(col("line"), "$.text").as("text"),
+          get_json_object(col("line"), "$.lang").as("lang"))
+        .orderBy("doc_id", "line_idx")
+    }),
+
     // ZIP walk (round 13): OUR central-directory reader over archives
     // written by the JDK's OWN ZipOutputStream — independent writer and
     // reader; stored + DEFLATE mix, CRC re-verified over inflated bytes
@@ -3057,6 +3075,21 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_jsonl_shard fixture (round 13): 1 + id%4 records, codec by
+    * id%5 (the zstd slice writes TWO frames — the seekable layout);
+    * id%6=0 interleaves a blank line after record 0, which must skip
+    * without consuming a line_idx slot. */
+  private def jsonlMedia(id: Long): Multimodal.Media = {
+    val n = (1 + id % 4).toInt
+    val recs = (0 until n).map { j =>
+      s"""{"id":${id * 100 + j},"text":"line $j of doc $id","lang":"${
+        if ((id + j) % 2 == 0) "en" else "de"}"}"""
+    }
+    val lines = if (id % 6 == 0) recs.take(1) ++ Seq("") ++ recs.drop(1) else recs
+    Multimodal.Media(id, Archives.syntheticJsonl(lines, (id % 5).toInt),
+      "application/jsonl")
   }
 
   /** The q_html_blocks / q_html_main_content fixture (round 13): a
@@ -5580,6 +5613,17 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // jsonl shard replay (round 13): codec split invisible by design;
+    // the blank-line slice shifts nothing
+    "q_jsonl_shard" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS line_idx,
+        |  CAST(doc_id * 100 + u.i AS BIGINT) AS rec_id,
+        |  'line ' || u.i || ' of doc ' || doc_id AS text,
+        |  CASE WHEN (doc_id + u.i) % 2 = 0 THEN 'en' ELSE 'de' END AS lang
+        |FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 4
+        |ORDER BY doc_id, line_idx""".stripMargin,
 
     // boilerplate block replay (round 13): per-block text/link closed
     // forms; features are lengths of those forms and the verdict is

@@ -414,6 +414,13 @@ class PlanSpec extends SparkSpec {
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
               s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
             "application/mbox"))).toDF(),
+        "jsonlLines" -> graft.llm.Archives.jsonlLines(
+          ids.map(id => Multimodal.Media(id, graft.llm.Archives.syntheticJsonl(
+            Seq(s"""{"id":$id}"""), (id % 5).toInt), "application/jsonl"))).toDF(),
+        "htmlBlocks" -> graft.llm.Boilerplate.htmlBlocks(
+          ids.map(id => Multimodal.Media(id,
+            s"<nav><a>h</a></nav><p>content $id long enough to pass the gate</p>"
+              .getBytes("UTF-8"), "text/html"))).toDF(),
         // the wiki dump walk fans pages out inside the scan task
         "wikiPages" -> graft.llm.Wiki.wikiPages(
           ids.map(id => Multimodal.Media(id, graft.llm.Wiki.syntheticDump(

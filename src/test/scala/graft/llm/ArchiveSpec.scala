@@ -143,6 +143,39 @@ class ArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("jsonl shards: all five codecs land on the plain walk") {
+    val lines = (0 until 5).map(j => s"""{"id":$j,"t":"rec $j"}""")
+    (0 to 4).foreach { c =>
+      val b = Archives.syntheticJsonl(lines, c)
+      val got = Archives.decompressAny(b).map(x =>
+        new String(x, "UTF-8").split("\n", -1).filter(_.nonEmpty).toSeq)
+      assert(got.contains(lines), s"codec $c")
+    }
+  }
+
+  test("jsonl: multi-frame zstd, blank-line skip, CRLF, corrupt posture") {
+    val lines = Seq("""{"a":1}""", "", """{"b":2}""")
+    val zst = Archives.syntheticJsonl(lines, 2) // frame split at len/2 = 1
+    val dec = new String(Archives.decompressAny(zst).get, "UTF-8")
+    assert(dec == "{\"a\":1}\n\n{\"b\":2}\n")
+    // CRLF lines strip their \r
+    assert(Archives.decompressAny("{\"x\":1}\r\n{\"y\":2}\r\n".getBytes).isDefined)
+    // truncations of every codec never throw; either None or a prefix
+    (1 to 4).foreach { c =>
+      val b = Archives.syntheticJsonl(lines, c)
+      (1 until b.length by 3).foreach(k => Archives.decompressAny(b.take(k)))
+    }
+    // decompression bomb: a 100 MiB zero stream through gzip stops at the guard
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      val z = new Array[Byte](1 << 20)
+      (0 until 100).foreach(_ => gz.write(z)); gz.close()
+      bos.toByteArray
+    }
+    assert(Archives.decompressAny(bomb).isEmpty)
+  }
+
   test("zip: corrupt directories and bodies degrade honestly") {
     val good = Archives.syntheticZip(zipEntriesFor(4L))
     assert(Archives.parseZip(null).isEmpty)

@@ -71,7 +71,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "mp4Tags" -> (b => Containers.mp4Tags(b)),
     "wavInfoTags" -> (b => Multimodal.wavInfoTags(b)),
     "wikiDump" -> (b => Wiki.parseDump(b)),
-    "wikitext" -> (b => Wiki.wikitextToText(new String(b, "UTF-8"))))
+    "wikitext" -> (b => Wiki.wikitextToText(new String(b, "UTF-8"))),
+    "decompressAny" -> (b => Archives.decompressAny(b)),
+    "htmlBlocks" -> (b => Boilerplate.blocks(new String(b, "UTF-8"))))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -154,6 +156,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       "wikiBz2" -> Wiki.syntheticDump(Seq(
         ("A & b", 0, 3L, "", "'''x''' [[l|y]] {{t}}"),
         ("T:c", 1, 4L, "A & b", "")), compress = 2),
+      "jsonlZst" -> Archives.syntheticJsonl(Seq(
+        """{"id":1,"t":"a"}""", """{"id":2,"t":"b"}"""), compress = 2),
+      "jsonlXz" -> Archives.syntheticJsonl(Seq("""{"id":3}"""), compress = 3),
       "tar" -> Archives.syntheticTar(Seq(
         ("d/", '5', Array.emptyByteArray),
         ("d/a.txt", '0', "hello tar".getBytes),
