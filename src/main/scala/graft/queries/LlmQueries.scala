@@ -1821,6 +1821,36 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Distributed PCA (round 13): one treeReduce pass to (n, Σx, Σxxᵀ),
+    // driver-side Jacobi on the d×d covariance, broadcast-basis map
+    // projection. The fixture PLANTS an exact eigensystem (balanced
+    // ±amplitudes on an orthonormal pair; N%20=0 at every sf) so
+    // eigenvalues and per-doc scores are known integers — a wrong
+    // covariance normalizer, unsorted eigenpairs, or un-canonicalized
+    // signs all break the replay
+    "q_embed_pca" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, pcaEmb(id))).toDF("doc_id", "emb")
+      val model = graft.llm.Pca.fit(df, "emb")
+      graft.llm.Pca.project(df, "doc_id", "emb", model, 2)
+        .select(col("doc_id"), round(col("pc_0")).cast("long").as("pc0"),
+          round(col("pc_1")).cast("long").as("pc1"))
+        .orderBy("doc_id")
+    }),
+
+    // the fitted model itself: eigenvalue spectrum (44, 11, 0, 0 by
+    // construction — population normalizer, descending order)
+    "q_embed_pca_model" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, pcaEmb(id))).toDF("doc_id", "emb")
+      val model = graft.llm.Pca.fit(df, "emb")
+      model.eigvals.zipWithIndex.map { case (v, i) => (i, math.round(v)) }.toSeq
+        .toDF("component", "eigenvalue")
+        .orderBy("component")
+    }),
+
     // Compressed-JSONL shard walk (round 13): the published-corpus
     // interchange format (.jsonl.zst/.gz) — codec dispatch by magic
     // across ALL FIVE runtime codecs by id%5 (plain/gzip/zstd-two-
@@ -3075,6 +3105,22 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_embed_pca fixture (round 13): x = μ + a1·v1 + a2·v2 with
+    * v1 = (1,1,1,1)/2, v2 = (1,−1,1,−1)/2, a1 = 2·(1−2(id%2))·(1+id%5),
+    * a2 = (1−2⌊(id%4)/2⌋)·(1+id%5). Amplitudes are exactly balanced and
+    * uncorrelated whenever N%20 = 0 (true at every sf: 500/5000/50000),
+    * so the population covariance is EXACTLY 44·v1v1ᵀ + 11·v2v2ᵀ in
+    * double arithmetic (half-integer components, integer sums ≪ 2^53 —
+    * exact regardless of reduce order) and the PCA scores are the
+    * planted integer amplitudes. */
+  private def pcaEmb(id: Long): Array[Double] = {
+    val m5 = (id % 5).toDouble + 1.0
+    val a1 = 2.0 * (1 - 2 * (id % 2)) * m5
+    val a2 = (1 - 2 * ((id % 4) / 2)) * m5
+    Array.tabulate(4)(c =>
+      (c + 1).toDouble + a1 * 0.5 + a2 * (if (c % 2 == 0) 0.5 else -0.5))
   }
 
   /** The q_jsonl_shard fixture (round 13): 1 + id%4 records, codec by
@@ -5613,6 +5659,19 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PCA replay (round 13): scores are the planted amplitudes
+    "q_embed_pca" ->
+      """SELECT doc_id,
+        |  CAST(2 * (1 - 2 * (doc_id % 2)) * (1 + doc_id % 5) AS BIGINT) AS pc0,
+        |  CAST((1 - 2 * ((doc_id % 4) // 2)) * (1 + doc_id % 5) AS BIGINT) AS pc1
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the planted spectrum, independent of the table
+    "q_embed_pca_model" ->
+      """SELECT CAST(t.c AS INTEGER) AS component, CAST(t.e AS BIGINT) AS eigenvalue
+        |FROM (VALUES (0, 44), (1, 11), (2, 0), (3, 0)) t(c, e)
+        |ORDER BY component""".stripMargin,
 
     // jsonl shard replay (round 13): codec split invisible by design;
     // the blank-line slice shifts nothing
