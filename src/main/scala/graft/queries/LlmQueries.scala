@@ -1821,6 +1821,41 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Stack Exchange dump walk (round 13): the Q&A corpus — ATTRIBUTE-
+    // based <row/> records (the opposite XML shape to the wiki's
+    // element pages), entity-encoded HTML bodies through the shared
+    // htmlText tail, the <a><b> tag-list convention, question-only
+    // Title/Tags, negative scores, codec by id%3
+    "q_stackexchange_posts" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(seMedia _)
+      graft.llm.StackExchange.posts(media).toDF()
+        .select("doc_id", "row_idx", "post_id", "post_type", "score",
+          "title", "tags", "body_text")
+        .orderBy("doc_id", "row_idx")
+    }),
+
+    // crawl-curation pipeline (round 13): WARC walk → HTTP-200 filter →
+    // boilerplate removal → exact-hash group, ONE Catalyst plan. Doc
+    // pairs share MAIN content behind different id-stamped chrome
+    // (nav/footer) — a tag-stripping extractor that keeps chrome sees
+    // every doc as unique and the output doubles; the block classifier
+    // is what makes the pairs collide
+    "q_pipeline_crawl" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcPairMedia _)
+      Warc.readWarc(media)
+        .filter(r => r.warc_type == "response" && r.http_status == 200)
+        .map(r => (r.doc_id, graft.llm.Boilerplate.mainText(r.payload)))
+        .toDF("doc_id", "text")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_docs"))
+        .select("canonical", "n_docs")
+        .orderBy("canonical")
+    }),
+
     // Distributed PCA (round 13): one treeReduce pass to (n, Σx, Σxxᵀ),
     // driver-side Jacobi on the d×d covariance, broadcast-basis map
     // projection. The fixture PLANTS an exact eigensystem (balanced
@@ -3105,6 +3140,38 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_stackexchange_posts fixture (round 13): 1 + id%3 rows;
+    * row j is a question iff (id+j)%2 = 0 (Title/Tags present only
+    * then, the dump convention), score can be negative, body is
+    * entity-encoded HTML carrying a literal '&', codec by id%3. */
+  private def seMedia(id: Long): Multimodal.Media = {
+    val n = (1 + id % 3).toInt
+    val rows = (0 until n).map { j =>
+      (id * 10 + j, (1 + (id + j) % 2).toInt, ((id * 3 + j) % 50 - 5).toInt,
+        s"Q title $id/$j & more", Seq(s"t${id % 5}", s"u$j"),
+        s"<p>body $j of $id & rest</p>")
+    }
+    Multimodal.Media(id,
+      graft.llm.StackExchange.syntheticPosts(rows, (id % 3).toInt),
+      "application/xml")
+  }
+
+  /** The q_pipeline_crawl fixture (round 13): docs 2k and 2k+1 carry
+    * the SAME main paragraph behind DIFFERENT id-stamped nav/footer
+    * chrome — removing boilerplate is what makes them collide. Gzip on
+    * odd ids keeps the codec path load-bearing inside the pipeline. */
+  private def warcPairMedia(id: Long): Multimodal.Media = {
+    val base = id / 2
+    val html =
+      s"<html><body><nav><a href='/'>site nav $id</a> <a href='/x'>more $id</a></nav>" +
+        s"<p>Shared long paragraph about base $base with enough words to pass " +
+        s"the length gate, number ${base % 13}.</p>" +
+        s"<footer>footer chrome $id</footer></body></html>"
+    Multimodal.Media(id, Warc.syntheticWarc(1, _ => s"https://e.org/$id",
+      _ => (200, "OK"), _ => html, gzipped = id % 2 == 1, withRequests = false,
+      lowerCaseHeaders = false, infoLen = 8), "application/warc")
   }
 
   /** The q_embed_pca fixture (round 13): x = μ + a1·v1 + a2·v2 with
@@ -5659,6 +5726,28 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // stack exchange replay (round 13)
+    "q_stackexchange_posts" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS row_idx,
+        |  CAST(doc_id * 10 + u.i AS BIGINT) AS post_id,
+        |  CAST(1 + (doc_id + u.i) % 2 AS INTEGER) AS post_type,
+        |  CAST((doc_id * 3 + u.i) % 50 - 5 AS INTEGER) AS score,
+        |  CASE WHEN (doc_id + u.i) % 2 = 0
+        |    THEN 'Q title ' || doc_id || '/' || u.i || ' & more' ELSE '' END AS title,
+        |  CASE WHEN (doc_id + u.i) % 2 = 0
+        |    THEN 't' || (doc_id % 5) || ',u' || u.i ELSE '' END AS tags,
+        |  'body ' || u.i || ' of ' || doc_id || ' & rest' AS body_text
+        |FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 3
+        |ORDER BY doc_id, row_idx""".stripMargin,
+
+    // crawl-pipeline replay (round 13): pair groups by construction
+    "q_pipeline_crawl" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY doc_id - (doc_id % 2)
+        |ORDER BY canonical""".stripMargin,
 
     // PCA replay (round 13): scores are the planted amplitudes
     "q_embed_pca" ->

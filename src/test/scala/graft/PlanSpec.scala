@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
   */
 class PlanSpec extends SparkSpec {
 
+  /** True when the plan contains an actual exchange OPERATOR
+    * (Exchange / BroadcastExchange / ReusedExchange). A plain
+    * substring test false-positives on class names that end in
+    * "Exchange" (graft.llm.StackExchange's rows appear verbatim in
+    * SerializeFromObject nodes), so the match requires the operator
+    * form: no letter before, an argument or line break after. */
+  private def hasExchange(plan: String): Boolean =
+    "(?<![A-Za-z])(Broadcast|Reused)?Exchange[ (\n]".r.findFirstIn(plan).isDefined
+
   // Queries where a nested-loop operator IS the intended plan:
   //  - q_zs_join_theta: non-equi theta join (broadcast BNLJ over a 5-row dim)
   //  - q_ann_brute: brute-force baseline (broadcast NLJ against 10 queries)
@@ -260,7 +269,7 @@ class PlanSpec extends SparkSpec {
         "c4Clean" -> graft.llm.TextAnalysis.c4Clean(d, "doc_id", "text"),
         "gopherFilter" -> graft.llm.TextAnalysis.gopherFilter(d, "doc_id", "text"))) {
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
+      assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }
   }
 
@@ -414,6 +423,10 @@ class PlanSpec extends SparkSpec {
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
               s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
             "application/mbox"))).toDF(),
+        "sePosts" -> graft.llm.StackExchange.posts(
+          ids.map(id => Multimodal.Media(id, graft.llm.StackExchange.syntheticPosts(
+            Seq((id, 1, 1, s"t $id", Seq("x"), s"<p>b $id</p>")), (id % 3).toInt),
+            "application/xml"))).toDF(),
         "jsonlLines" -> graft.llm.Archives.jsonlLines(
           ids.map(id => Multimodal.Media(id, graft.llm.Archives.syntheticJsonl(
             Seq(s"""{"id":$id}"""), (id % 5).toInt), "application/jsonl"))).toDF(),
@@ -472,7 +485,7 @@ class PlanSpec extends SparkSpec {
             Multimodal.syntheticY4m(18, 16, Seq(px, px.map(v => 255 - v))),
             "video/x-yuv4mpeg")), sampleFrames = 2).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"$name is not a pure map stage:\n$plan")
+      assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }
   }
 

@@ -1793,6 +1793,39 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("streaming jsonl/boilerplate/stackexchange kernels equal the batch paths") {
+    import spark.implicits._
+    import graft.llm.{Archives, Boilerplate, Multimodal, StackExchange}
+    val shards = (0L until 5L).map(id => Multimodal.Media(id, Archives.syntheticJsonl(
+      (0 until (1 + id % 2).toInt).map(j => s"""{"id":${id * 10 + j}}"""),
+      (id % 5).toInt), "j"))
+    val pages = (0L until 3L).map(id => Multimodal.Media(id,
+      (s"<nav><a>h$id</a></nav><p>content $id long enough to pass the length gate</p>")
+        .getBytes("UTF-8"), "h"))
+    val dumps = (0L until 3L).map(id => Multimodal.Media(id,
+      StackExchange.syntheticPosts(Seq(
+        (id, 1, id.toInt, s"t $id", Seq("x"), s"<p>b $id</p>")), (id % 3).toInt), "s"))
+    val bJ = Archives.jsonlLines(spark.createDataset(shards)).collect().toSet
+    val bB = Boilerplate.htmlBlocks(spark.createDataset(pages)).collect().toSet
+    val bS = StackExchange.posts(spark.createDataset(dumps)).collect().toSet
+    assert(bJ.size == 7 && bB.exists(_.is_content) && bS.size == 3, "batch premise")
+    val in = MemoryStream[(Long, Array[Byte], String)](spark)
+    val st = in.toDS().map { case (id, b, m) => Multimodal.Media(id, b, m) }
+    val q1 = Archives.jsonlLines(st.filter(_.mime == "j")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("nj_jl").start()
+    val q2 = Boilerplate.htmlBlocks(st.filter(_.mime == "h")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("nj_bp").start()
+    val q3 = StackExchange.posts(st.filter(_.mime == "s")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("nj_se").start()
+    try {
+      in.addData((shards ++ pages ++ dumps).map(m => (m.doc_id, m.media, m.mime)): _*)
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      assert(spark.table("nj_jl").as[graft.llm.Archives.JsonlLine].collect().toSet == bJ)
+      assert(spark.table("nj_bp").as[graft.llm.Boilerplate.Block].collect().toSet == bB)
+      assert(spark.table("nj_se").as[graft.llm.StackExchange.SePost].collect().toSet == bS)
+    } finally { q1.stop(); q2.stop(); q3.stop() }
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}

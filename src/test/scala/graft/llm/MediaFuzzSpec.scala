@@ -73,7 +73,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "wikiDump" -> (b => Wiki.parseDump(b)),
     "wikitext" -> (b => Wiki.wikitextToText(new String(b, "UTF-8"))),
     "decompressAny" -> (b => Archives.decompressAny(b)),
-    "htmlBlocks" -> (b => Boilerplate.blocks(new String(b, "UTF-8"))))
+    "htmlBlocks" -> (b => Boilerplate.blocks(new String(b, "UTF-8"))),
+    "sePosts" -> (b => StackExchange.parsePosts(b)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -159,6 +160,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       "jsonlZst" -> Archives.syntheticJsonl(Seq(
         """{"id":1,"t":"a"}""", """{"id":2,"t":"b"}"""), compress = 2),
       "jsonlXz" -> Archives.syntheticJsonl(Seq("""{"id":3}"""), compress = 3),
+      "sePostsZst" -> StackExchange.syntheticPosts(Seq(
+        (1L, 1, 5, "T &", Seq("a"), "<p>b</p>")), compress = 2),
       "tar" -> Archives.syntheticTar(Seq(
         ("d/", '5', Array.emptyByteArray),
         ("d/a.txt", '0', "hello tar".getBytes),
