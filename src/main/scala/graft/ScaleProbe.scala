@@ -274,6 +274,55 @@ object ScaleProbe {
     graft.llm.Multimodal.Media(id, bytes, "application/octet-stream")
   }
 
+  // Round-13 wave 2: dump/shard ingestion + boilerplate. Bodies are
+  // splitmix-worded paragraphs sized like short real records; codec
+  // choice cycles per id so gzip/bz2/zstd/xz decompression is inside
+  // the timed stage on its share of the corpus.
+  private[graft] def probeWikiMedia(id: Long): graft.llm.Multimodal.Media = {
+    val local = id % 1000000L
+    def para(j: Int): String = (0 until 25).map(w =>
+      s"w${graft.llm.Hashing.splitmix64(local * 31L + j * 5L + w) & 0xFFL}").mkString(" ")
+    val pages = (0 until (1 + local % 3).toInt).map { j =>
+      (s"P $local/$j", 0, local * 10 + j, "",
+        s"== H$j ==\n'''${para(j)}''' and [[T$j|${para(j + 1).take(30)}]] {{tmpl|$j}}\n* ${para(j + 2)}\n")
+    }
+    graft.llm.Multimodal.Media(id,
+      graft.llm.Wiki.syntheticDump(pages, (local % 3).toInt), "application/xml")
+  }
+  private[graft] def probeJsonlMedia(id: Long): graft.llm.Multimodal.Media = {
+    val local = id % 1000000L
+    val lines = (0 until 4).map { j =>
+      val words = (0 until 30).map(w =>
+        s"t${graft.llm.Hashing.splitmix64(local * 53L + j * 11L + w) & 0x7FL}").mkString(" ")
+      s"""{"id":${local * 10 + j},"text":"$words"}"""
+    }
+    graft.llm.Multimodal.Media(id,
+      graft.llm.Archives.syntheticJsonl(lines, (local % 5).toInt), "application/jsonl")
+  }
+  private[graft] def probeBoilerMedia(id: Long): graft.llm.Multimodal.Media = {
+    val local = id % 1000000L
+    def para(j: Int): String = (0 until 35).map(w =>
+      s"w${graft.llm.Hashing.splitmix64(local * 97L + j * 13L + w) & 0xFFL}").mkString(" ")
+    val html = s"<html><body><nav>" +
+      (0 until 8).map(k => s"<a href='/$k'>nav $k</a>").mkString(" ") +
+      "</nav>" +
+      (0 until 4).map(j => s"<p>${para(j)} <a href='/x'>ref</a></p>").mkString +
+      s"<div>${(0 until 6).map(k => s"<a href='/$k'>link farm $k</a>").mkString(" ")}</div>" +
+      s"<footer>${para(9)}</footer></body></html>"
+    graft.llm.Multimodal.Media(id, html.getBytes("UTF-8"), "text/html")
+  }
+  private[graft] def probeSeMedia(id: Long): graft.llm.Multimodal.Media = {
+    val local = id % 1000000L
+    def para(j: Int): String = (0 until 30).map(w =>
+      s"w${graft.llm.Hashing.splitmix64(local * 17L + j * 3L + w) & 0xFFL}").mkString(" ")
+    val rows = (0 until (2 + local % 2).toInt).map { j =>
+      (local * 10 + j, 1 + (j % 2), ((local + j) % 40 - 5).toInt,
+        s"T $local/$j", Seq(s"t${local % 7}"), s"<p>${para(j)}</p><p>${para(j + 1)}</p>")
+    }
+    graft.llm.Multimodal.Media(id,
+      graft.llm.StackExchange.syntheticPosts(rows, (local % 3).toInt), "application/xml")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -583,7 +632,37 @@ object ScaleProbe {
               .toDF("doc_id", "format", "text")
               .agg(count(col("text"))).head.getLong(0))
           report("doc_router_extract", tDr, nDr)
+          // round-13 wave 2: dump/shard ingestion and the boilerplate
+          // classifier — all pure flatMap kernels whose codec slices
+          // (gzip/bz2/zstd/xz per id) decompress inside the timed map;
+          // counts aggregate a parsed/extracted column so nothing prunes
+          val (tWk, nWk) = time(
+            graft.llm.Wiki.wikiPages(mediaIds.map(probeWikiMedia _))
+              .map(p => graft.llm.Wiki.wikitextToText(p.text))
+              .agg(count(col("value"))).head.getLong(0))
+          report("wiki_ingest_extract", tWk, nWk)
+          val (tJl, nJl) = time(
+            graft.llm.Archives.jsonlLines(mediaIds.map(probeJsonlMedia _))
+              .agg(count(col("line"))).head.getLong(0))
+          report("jsonl_shard_lines", tJl, nJl)
+          val (tBp, nBp) = time(
+            graft.llm.Boilerplate.htmlBlocks(mediaIds.map(probeBoilerMedia _))
+              .filter(col("is_content")).agg(count(col("text"))).head.getLong(0))
+          report("boilerplate_content_blocks", tBp, nBp)
+          val (tSe, nSe) = time(
+            graft.llm.StackExchange.posts(mediaIds.map(probeSeMedia _))
+              .agg(count(col("body_text"))).head.getLong(0))
+          report("stackexchange_posts", tSe, nSe)
         }
+        // round-13 wave 2: PCA — the covariance pass is the corpus-linear
+        // part (treeReduce of a d(d+3)/2-double accumulator); Jacobi is
+        // O(d³) once on the driver, invariant in the factor
+        val (tPc, nPc) = time {
+          val model = graft.llm.Pca.fit(embs, "embedding")
+          graft.llm.Pca.project(embs, "vec_id", "embedding", model, 2)
+            .agg(count(col("pc_0"))).head.getLong(0)
+        }
+        report("pca_fit_project", tPc, nPc)
         // round-10: the as-of family under a HOT key — half of every
         // tick lands on key 0 (the single-instrument-with-10⁹-ticks shape
         // the asofJoin scaladoc warns about). The plain window serializes

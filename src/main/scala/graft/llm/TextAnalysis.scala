@@ -367,11 +367,15 @@ object TextAnalysis {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
-      minStopHits: Int = 2): DataFrame = {
+      minStopHits: Int = 2,
+      // opt-in text passthrough: a filter→dedup pipeline keeps the text
+      // flowing through ONE branch instead of re-reading the corpus for
+      // a join-back on the kept ids (q_pipeline_corpus)
+      withText: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val req = gopherStopwords.toArray
-    df.select(col(idCol).cast("long"), col(textCol))
+    val base = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val lines = text.split("\n", -1)
@@ -430,11 +434,12 @@ object TextAnalysis {
           hashRatio <= maxSymbolRatio && ellRatio <= maxSymbolRatio &&
           bulletFrac <= maxBulletFrac && ellLineFrac <= maxEllipsisFrac &&
           alphaFrac >= minAlphaFrac && stopHits >= minStopHits
-        (id, nWords.toLong, meanLen, hashRatio, ellRatio, bulletFrac,
+        (id, text, nWords.toLong, meanLen, hashRatio, ellRatio, bulletFrac,
           ellLineFrac, alphaFrac, stopHits.toLong, keep)
       })
-      .toDF(idCol, "n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
+      .toDF(idCol, textCol, "n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac", "stop_hits", "keep")
+    if (withText) base else base.drop(textCol)
   }
 
   /** C4-style cleaning (Raffel et al., "Exploring the Limits of Transfer

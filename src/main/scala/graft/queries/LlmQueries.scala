@@ -1821,6 +1821,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // end-to-end corpus-curation pipeline (round 13): compressed-JSONL
+    // ingest (all five codecs live on their id%5 slices) → declarative
+    // field extraction → Gopher quality gates WITH text passthrough
+    // (one branch, no join-back) → exact-hash dedup — ONE Catalyst
+    // plan. Per shard: record 0 passes the gates and is duplicated
+    // across the doc pair, record 1 fails minWords, record 2 fails the
+    // stopword gate — so the output is exactly the pair groups of the
+    // surviving record
+    "q_pipeline_corpus" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(corpusShardMedia _)
+      val recs = Archives.jsonlLines(media).toDF()
+        .select((col("doc_id") * 3 + col("line_idx")).as("rec_id"),
+          get_json_object(col("line"), "$.text").as("text"))
+      TextAnalysis.gopherFilter(recs, "rec_id", "text", withText = true)
+        .filter(col("keep"))
+        .groupBy("text")
+        .agg(min(col("rec_id")).as("canonical"), count(lit(1)).as("n_recs"))
+        .select("canonical", "n_recs")
+        .orderBy("canonical")
+    }),
+
     // Stack Exchange dump walk (round 13): the Q&A corpus — ATTRIBUTE-
     // based <row/> records (the opposite XML shape to the wiki's
     // element pages), entity-encoded HTML bodies through the shared
@@ -3140,6 +3163,25 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_pipeline_corpus fixture (round 13): one shard per doc,
+    * three records — record 0 passes every Gopher gate (8 stopword
+    * types + 48 short alpha words = 56 words, mean length in [3,10])
+    * and is SHARED across the doc pair via its base; record 1 fails
+    * minWords; record 2 fails the stopword gate (60 words, zero
+    * required stopwords). Codec by id%5. */
+  private def corpusShardMedia(id: Long): Multimodal.Media = {
+    val base = id / 2
+    val good = s"the be to of and that have with pipeline$base " +
+      (0 until 48).map(k => s"w${(base * 7 + k) % 97}x").mkString(" ")
+    val noStop = (0 until 60).map(k => s"zz${(id + k) % 53}q").mkString(" ")
+    val lines = Seq(
+      s"""{"id":${id * 3},"text":"$good"}""",
+      s"""{"id":${id * 3 + 1},"text":"too short"}""",
+      s"""{"id":${id * 3 + 2},"text":"$noStop"}""")
+    Multimodal.Media(id, Archives.syntheticJsonl(lines, (id % 5).toInt),
+      "application/jsonl")
   }
 
   /** The q_stackexchange_posts fixture (round 13): 1 + id%3 rows;
@@ -5726,6 +5768,14 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // corpus-pipeline replay (round 13): survivors are exactly the
+    // record-0s, pair-grouped; canonical = 3 * (even doc of the pair)
+    "q_pipeline_corpus" ->
+      """SELECT CAST(3 * doc_id AS BIGINT) AS canonical,
+        |  CAST(2 AS BIGINT) AS n_recs
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY canonical""".stripMargin,
 
     // stack exchange replay (round 13)
     "q_stackexchange_posts" ->
