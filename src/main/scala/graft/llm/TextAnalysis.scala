@@ -261,6 +261,55 @@ object TextAnalysis {
       .drop(langs.map(l => s"__s_$l"): _*)
   }
 
+  /** Unicode-script profile (round 13): per-document character counts
+    * by script block plus the dominant script — the script-mix filter a
+    * multilingual curation pipeline applies before language ID (a doc
+    * whose script histogram disagrees with its claimed language, or
+    * that mixes scripts heavily, is usually markup debris or spam; the
+    * FineWeb/Dolma pipelines gate on exactly this signal). Ranges are
+    * the core Unicode blocks: Latin = ASCII letters + Latin-1/Extended
+    * (U+00C0–U+024F), Cyrillic U+0400–U+04FF, Greek U+0370–U+03FF,
+    * Arabic U+0600–U+06FF, CJK = unified ideographs U+4E00–U+9FFF +
+    * kana U+3040–U+30FF + hangul U+AC00–U+D7AF. Dominance ties break
+    * by that fixed column order (deterministic, fixture-pinned).
+    *
+    * Pure typed map stage — a per-code-point integer walk, no shuffle;
+    * the DuckDB oracle replays planted per-script counts closed-form. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = if (text == null) "" else text
+        var latin, cyr, greek, arabic, cjk, digit, space, other = 0L
+        var i = 0
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= 0xC0 && cp <= 0x24F)) latin += 1
+          else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+          else if (cp >= 0x370 && cp <= 0x3FF) greek += 1
+          else if (cp >= 0x600 && cp <= 0x6FF) arabic += 1
+          else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF) ||
+            (cp >= 0xAC00 && cp <= 0xD7AF)) cjk += 1
+          else if (cp >= '0' && cp <= '9') digit += 1
+          else if (Character.isWhitespace(cp)) space += 1
+          else other += 1
+          i += Character.charCount(cp)
+        }
+        val counts = Seq("latin" -> latin, "cyrillic" -> cyr, "greek" -> greek,
+          "arabic" -> arabic, "cjk" -> cjk)
+        val main = counts.maxBy(_._2) match {
+          case (_, 0L) => "none"
+          case (name, _) => name
+        }
+        (id, latin, cyr, greek, arabic, cjk, digit, space, other, main)
+      })
+      .toDF(idCol, "n_latin", "n_cyrillic", "n_greek", "n_arabic", "n_cjk",
+        "n_digit", "n_space", "n_other", "main_script")
+  }
+
   /** Repetition metrics (the word-level core of the Gopher quality rules,
     * Rae et al. 2021 §A1.1): excessive repetition is the strongest cheap
     * signal of machine-generated / boilerplate text. Per document:

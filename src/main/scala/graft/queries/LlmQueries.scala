@@ -1821,6 +1821,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode-script profile (round 13): planted per-script counts —
+    // the dominant script cycles latin/cyrillic/cjk/arabic by id%4,
+    // digits/other by small moduli, greek and spaces pinned at zero
+    "q_script_profile" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, scriptText(id))).toDF("doc_id", "text")
+      TextAnalysis.scriptProfile(df, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // end-to-end corpus-curation pipeline (round 13): compressed-JSONL
     // ingest (all five codecs live on their id%5 slices) → declarative
     // field extraction → Gopher quality gates WITH text passthrough
@@ -3163,6 +3174,21 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_script_profile fixture (round 13): concatenated script runs
+    * with planted counts — dominant script (9 + id%7 chars) by id%4,
+    * fixed small counts for the rest (latin 3 / cyrillic 2 / arabic 1 /
+    * cjk 2 when not dominant), id%3 digits, id%2 punctuation, no
+    * spaces, no greek. */
+  private def scriptText(id: Long): String = {
+    val dom = (9 + id % 7).toInt
+    val nl = if (id % 4 == 0) dom else 3
+    val nc = if (id % 4 == 1) dom else 2
+    val nj = if (id % 4 == 2) dom else 2
+    val na = if (id % 4 == 3) dom else 1
+    ("a" * nl) + ("д" * nc) + ("中" * nj) + ("ش" * na) +
+      ("7" * (id % 3).toInt) + ("!" * (id % 2).toInt)
   }
 
   /** The q_pipeline_corpus fixture (round 13): one shard per doc,
@@ -5767,6 +5793,21 @@ object LlmQueries {
         |    || ' plus x = ' || (doc_id % 13) || ' end. item one ' || (doc_id % 23)
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // script-profile replay (round 13): the planted counts
+    "q_script_profile" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 9 + doc_id % 7 ELSE 3 END AS BIGINT) AS n_latin,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 9 + doc_id % 7 ELSE 2 END AS BIGINT) AS n_cyrillic,
+        |  CAST(0 AS BIGINT) AS n_greek,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 9 + doc_id % 7 ELSE 1 END AS BIGINT) AS n_arabic,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 9 + doc_id % 7 ELSE 2 END AS BIGINT) AS n_cjk,
+        |  CAST(doc_id % 3 AS BIGINT) AS n_digit,
+        |  CAST(0 AS BIGINT) AS n_space,
+        |  CAST(doc_id % 2 AS BIGINT) AS n_other,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
+        |       WHEN 2 THEN 'cjk' ELSE 'arabic' END AS main_script
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // corpus-pipeline replay (round 13): survivors are exactly the

@@ -1258,6 +1258,43 @@ class LlmSpec extends SparkSpec {
     assert(!got(7L).getBoolean(9) && got(7L).getLong(8) == 0L)
   }
 
+  test("gopherFilter text passthrough: withText keeps the column, default drops it") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq((1L, "the be to of and that have with " +
+      (1 to 48).map(i => s"w${i}x").mkString(" "))).toDF("doc_id", "text")
+    val without = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+    assert(!without.columns.contains("text"))
+    val withT = TextAnalysis.gopherFilter(docs, "doc_id", "text", withText = true)
+    assert(withT.columns.contains("text"))
+    val r = withT.collect().head
+    assert(r.getAs[String]("text").startsWith("the be to") && r.getAs[Boolean]("keep"))
+  }
+
+  test("script profile: block ranges, astral code points, dominance ties, empties") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "abcÀд中あ한ش7 !"),        // one of everything: À is Latin-Extended
+      (2L, "😀x"),          // astral emoji = ONE other, not two
+      (3L, ""),                        // empty → main none
+      (4L, "дa"),                      // tie latin=cyr=1 → fixed order: latin
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 4L, "latin: abc + À")          // n_latin
+    assert(r1.getLong(2) == 1L && r1.getLong(4) == 1L)     // cyrillic, arabic
+    assert(r1.getLong(5) == 3L, "cjk: ideograph + kana + hangul")
+    assert(r1.getLong(6) == 1L && r1.getLong(7) == 1L && r1.getLong(8) == 1L)
+    assert(r1.getString(9) == "latin")
+    assert(got(2L).getLong(8) == 1L && got(2L).getLong(1) == 1L)
+    assert(got(3L).getString(9) == "none")
+    assert(got(4L).getString(9) == "latin")
+    assert(got(5L).getString(9) == "none")
+  }
+
   test("C4 cleaning: line rules, sentence floor, lorem/brace rejection") {
     import spark.implicits._
     import graft.llm.TextAnalysis

@@ -267,7 +267,8 @@ class PlanSpec extends SparkSpec {
         "repetitionLines" -> graft.llm.TextAnalysis.repetitionLines(d, "doc_id", "text"),
         "redactPii" -> graft.llm.TextAnalysis.redactPii(d, "text"),
         "c4Clean" -> graft.llm.TextAnalysis.c4Clean(d, "doc_id", "text"),
-        "gopherFilter" -> graft.llm.TextAnalysis.gopherFilter(d, "doc_id", "text"))) {
+        "gopherFilter" -> graft.llm.TextAnalysis.gopherFilter(d, "doc_id", "text"),
+        "scriptProfile" -> graft.llm.TextAnalysis.scriptProfile(d, "doc_id", "text"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }
