@@ -310,6 +310,66 @@ object TextAnalysis {
         "n_digit", "n_space", "n_other", "main_script")
   }
 
+  /** Abbreviations whose trailing period never ends a sentence (the
+    * usual rule-based splitter list; lowercased, period-stripped). */
+  private val sentenceAbbrevs: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "no", "vs",
+    "etc", "e.g", "i.e", "cf", "fig", "dept", "inc", "ltd", "co")
+
+  /** Rule-based sentence splitting (round 13): the boundary unit for
+    * decontamination windows, C4-style sentence accounting, and
+    * boundary-aware chunking. Deterministic contract, fixture-pinned:
+    * a boundary is a run of [.!?] followed by whitespace followed by
+    * an uppercase letter, digit, or quote — UNLESS the token ending at
+    * the period is a known abbreviation or a single letter (initials).
+    * Decimal points never match (no whitespace after the dot); the
+    * trailing remainder is the last sentence. Pure typed flatMap. */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val abbrevs = sentenceAbbrevs
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text
+        val out = Seq.newBuilder[(Long, Int, String)]
+        var start = 0
+        var idx = 0
+        var i = 0
+        val n = t.length
+        def emit(end: Int): Unit = {
+          val s = t.substring(start, end).trim
+          if (s.nonEmpty) { out += ((id, idx, s)); idx += 1 }
+          start = end
+        }
+        while (i < n) {
+          val c = t.charAt(i)
+          if (c == '.' || c == '!' || c == '?') {
+            var j = i
+            while (j + 1 < n && ".!?".indexOf(t.charAt(j + 1)) >= 0) j += 1
+            var k = j + 1
+            while (k < n && Character.isWhitespace(t.charAt(k))) k += 1
+            val isBoundary = k > j + 1 && k < n && {
+              val nxt = t.charAt(k)
+              Character.isUpperCase(nxt) || Character.isDigit(nxt) ||
+                nxt == '"' || nxt == '\''
+            } && {
+              // the token ending at the FIRST terminator of the run
+              var w = i - 1
+              while (w >= 0 && !Character.isWhitespace(t.charAt(w))) w -= 1
+              val tok = t.substring(w + 1, i).toLowerCase
+              !(c == '.' && (abbrevs.contains(tok) ||
+                (tok.length == 1 && Character.isLetter(tok.charAt(0)))))
+            }
+            if (isBoundary) { emit(j + 1); i = k } else i = j + 1
+          } else i += 1
+        }
+        emit(n)
+        out.result()
+      }
+      .toDF(idCol, "sent_idx", "sentence")
+  }
+
   /** Repetition metrics (the word-level core of the Gopher quality rules,
     * Rae et al. 2021 §A1.1): excessive repetition is the strongest cheap
     * signal of machine-generated / boilerplate text. Per document:

@@ -1821,6 +1821,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // rule-based sentence splitting (round 13): abbreviation guard
+    // (Dr.), initials (J. K.), decimal points, terminator runs, and
+    // the trailing remainder — exact six-sentence replay per doc
+    "q_sentences" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, sentenceText(id))).toDF("doc_id", "text")
+      TextAnalysis.sentences(df, "doc_id", "text")
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // Unicode-script profile (round 13): planted per-script counts —
     // the dominant script cycles latin/cyrillic/cjk/arabic by id%4,
     // digits/other by small moduli, greek and spaces pinned at zero
@@ -3174,6 +3185,16 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_sentences fixture (round 13): six sentences with every
+    * splitter trap — an abbreviation (Dr.), a terminator variety
+    * (!/?), a digit-led next sentence, an interior decimal, and
+    * initials (J. K.). */
+  private def sentenceText(id: Long): String = {
+    val a = id % 9; val b = id % 7
+    s"First sentence $id is here. Second one mentions Dr. Smith and $a things! " +
+      s"Is this third? Yes it is. 3.14 stays here. J. K. wrote $b books."
   }
 
   /** The q_script_profile fixture (round 13): concatenated script runs
@@ -5794,6 +5815,19 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sentence replay (round 13): the six planted sentences
+    "q_sentences" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS sent_idx,
+        |  CASE CAST(u.i AS INTEGER)
+        |    WHEN 0 THEN 'First sentence ' || doc_id || ' is here.'
+        |    WHEN 1 THEN 'Second one mentions Dr. Smith and ' || (doc_id % 9) || ' things!'
+        |    WHEN 2 THEN 'Is this third?'
+        |    WHEN 3 THEN 'Yes it is.'
+        |    WHEN 4 THEN '3.14 stays here.'
+        |    ELSE 'J. K. wrote ' || (doc_id % 7) || ' books.' END AS sentence
+        |FROM documents, unnest(generate_series(0, 5)) AS u(i)
+        |ORDER BY doc_id, sent_idx""".stripMargin,
 
     // script-profile replay (round 13): the planted counts
     "q_script_profile" ->

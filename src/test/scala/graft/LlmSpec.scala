@@ -1295,6 +1295,27 @@ class LlmSpec extends SparkSpec {
     assert(got(5L).getString(9) == "none")
   }
 
+  test("sentence splitting: abbrevs, initials, decimals, runs, remainders") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    def split(t: String): Seq[String] =
+      TextAnalysis.sentences(Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("sent_idx").collect().map(_.getString(2)).toSeq
+    assert(split("One here. Two there.") == Seq("One here.", "Two there."))
+    assert(split("Ask Dr. Smith. He knows.") == Seq("Ask Dr. Smith.", "He knows."))
+    assert(split("J. K. Rowling wrote. Then stopped.") ==
+      Seq("J. K. Rowling wrote.", "Then stopped."))
+    assert(split("Pi is 3.14 always. Next.") == Seq("Pi is 3.14 always.", "Next."))
+    assert(split("What?! Really. yes") == Seq("What?!", "Really. yes"))
+    // lowercase continuation never splits; terminator at end = remainder
+    assert(split("it ran. and ran. Done") == Seq("it ran. and ran.", "Done"))
+    assert(split("No terminator at all") == Seq("No terminator at all"))
+    assert(split("") == Seq.empty && split("   ") == Seq.empty)
+    // e.g. guard: the inner dot never splits, the trailing one is guarded
+    assert(split("Use e.g. Spark. It scales.") == Seq("Use e.g. Spark.", "It scales."))
+    assert(split("Quote next. \"Hi\" she said.") == Seq("Quote next.", "\"Hi\" she said."))
+  }
+
   test("C4 cleaning: line rules, sentence floor, lorem/brace rejection") {
     import spark.implicits._
     import graft.llm.TextAnalysis
