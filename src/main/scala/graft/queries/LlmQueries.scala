@@ -1821,6 +1821,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM tokenizer (round 13): REAL EM training on a corpus
+    // whose converged segmentation is analytically forced — words are
+    // (ab)^k and (xy)^m, so with pieces capped at 2 chars the lattice
+    // paths through "ab"/"xy" dominate and Viterbi must emit exactly
+    // k + m tokens with the exact piece strings; a broken E-step, a
+    // wrong prune, or a nondeterministic tie all break the replay
+    "q_unigram_encode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir)
+        .map(id => (id, s"${"ab" * (1 + id % 5).toInt} ${"xy" * (1 + id % 3).toInt}"))
+        .toDF("doc_id", "text")
+      val model = graft.llm.Unigram.train(df, "text", vocabSize = 16,
+        maxPieceLen = 2, iters = 4)
+      graft.llm.Unigram.encode(df, "doc_id", "text", model, maxPieceLen = 2)
+        .select("doc_id", "n_tokens", "segmented")
+        .orderBy("doc_id")
+    }),
+
     // rule-based sentence splitting (round 13): abbreviation guard
     // (Dr.), initials (J. K.), decimal points, terminator runs, and
     // the trailing remainder — exact six-sentence replay per doc
@@ -5814,6 +5833,14 @@ object LlmQueries {
         |    || ' plus x = ' || (doc_id % 13) || ' end. item one ' || (doc_id % 23)
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // unigram replay (round 13): the forced segmentation
+    "q_unigram_encode" ->
+      """SELECT doc_id,
+        |  CAST((1 + doc_id % 5) + (1 + doc_id % 3) AS BIGINT) AS n_tokens,
+        |  rtrim(repeat('ab|', CAST(1 + doc_id % 5 AS INTEGER)), '|') || '|' ||
+        |    rtrim(repeat('xy|', CAST(1 + doc_id % 3 AS INTEGER)), '|') AS segmented
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // sentence replay (round 13): the six planted sentences
