@@ -324,48 +324,50 @@ object TextAnalysis {
     * the period is a known abbreviation or a single letter (initials).
     * Decimal points never match (no whitespace after the dot); the
     * trailing remainder is the last sentence. Pure typed flatMap. */
+  private[graft] def splitSentences(text: String): Seq[String] = {
+    val t = if (text == null) "" else text
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    val n = t.length
+    def emit(end: Int): Unit = {
+      val s = t.substring(start, end).trim
+      if (s.nonEmpty) out += s
+      start = end
+    }
+    while (i < n) {
+      val c = t.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        var j = i
+        while (j + 1 < n && ".!?".indexOf(t.charAt(j + 1)) >= 0) j += 1
+        var k = j + 1
+        while (k < n && Character.isWhitespace(t.charAt(k))) k += 1
+        val isBoundary = k > j + 1 && k < n && {
+          val nxt = t.charAt(k)
+          Character.isUpperCase(nxt) || Character.isDigit(nxt) ||
+            nxt == '"' || nxt == '\''
+        } && {
+          // the token ending at the FIRST terminator of the run
+          var w = i - 1
+          while (w >= 0 && !Character.isWhitespace(t.charAt(w))) w -= 1
+          val tok = t.substring(w + 1, i).toLowerCase
+          !(c == '.' && (sentenceAbbrevs.contains(tok) ||
+            (tok.length == 1 && Character.isLetter(tok.charAt(0)))))
+        }
+        if (isBoundary) { emit(j + 1); i = k } else i = j + 1
+      } else i += 1
+    }
+    emit(n)
+    out.result()
+  }
+
   def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val abbrevs = sentenceAbbrevs
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = if (text == null) "" else text
-        val out = Seq.newBuilder[(Long, Int, String)]
-        var start = 0
-        var idx = 0
-        var i = 0
-        val n = t.length
-        def emit(end: Int): Unit = {
-          val s = t.substring(start, end).trim
-          if (s.nonEmpty) { out += ((id, idx, s)); idx += 1 }
-          start = end
-        }
-        while (i < n) {
-          val c = t.charAt(i)
-          if (c == '.' || c == '!' || c == '?') {
-            var j = i
-            while (j + 1 < n && ".!?".indexOf(t.charAt(j + 1)) >= 0) j += 1
-            var k = j + 1
-            while (k < n && Character.isWhitespace(t.charAt(k))) k += 1
-            val isBoundary = k > j + 1 && k < n && {
-              val nxt = t.charAt(k)
-              Character.isUpperCase(nxt) || Character.isDigit(nxt) ||
-                nxt == '"' || nxt == '\''
-            } && {
-              // the token ending at the FIRST terminator of the run
-              var w = i - 1
-              while (w >= 0 && !Character.isWhitespace(t.charAt(w))) w -= 1
-              val tok = t.substring(w + 1, i).toLowerCase
-              !(c == '.' && (abbrevs.contains(tok) ||
-                (tok.length == 1 && Character.isLetter(tok.charAt(0)))))
-            }
-            if (isBoundary) { emit(j + 1); i = k } else i = j + 1
-          } else i += 1
-        }
-        emit(n)
-        out.result()
+        splitSentences(text).zipWithIndex.map { case (s, ix) => (id, ix, s) }
       }
       .toDF(idCol, "sent_idx", "sentence")
   }

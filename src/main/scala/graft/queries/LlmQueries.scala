@@ -1821,6 +1821,33 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // unified-diff walk (round 13): the commit-corpus record — two
+    // hunks whose @@ arithmetic (including the second hunk's
+    // delta-shifted new_start) and ± line counts replay closed-form
+    "q_diff_hunks" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(diffMedia _)
+      graft.llm.Diff.diffHunks(media).toDF()
+        .select("doc_id", "file_path", "hunk_idx", "old_start", "old_len",
+          "new_start", "new_len", "added", "removed")
+        .orderBy("doc_id", "hunk_idx")
+    }),
+
+    // patch application (round 13): context and removed lines VERIFY
+    // against the original — the id%7 slice carries a context
+    // mismatch and must fail honestly (ok=0, null blob), never emit a
+    // half-applied file
+    "q_diff_apply" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(diffApplyMedia _)
+      val orig = (1 to 8).map(i => s"l$i").mkString("\n")
+      graft.llm.Diff.applyPatches(media, Map("a.txt" -> orig))
+        .toDF("doc_id", "file_path", "ok", "patched")
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM tokenizer (round 13): REAL EM training on a corpus
     // whose converged segmentation is analytically forced — words are
     // (ab)^k and (xy)^m, so with pieces capped at 2 chars the lattice
@@ -3204,6 +3231,30 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_diff_hunks fixture (round 13): one file, two hunks — sizes
+    * keyed to id so the @@ arithmetic (incl. the delta-shifted second
+    * new_start) is load-bearing. */
+  private def diffMedia(id: Long): Multimodal.Media = {
+    val r0 = (1 + id % 2).toInt
+    val a0 = (1 + id % 3).toInt
+    Multimodal.Media(id, graft.llm.Diff.syntheticDiff(Seq(
+      (s"src/f$id.txt", Seq(
+        (2, Seq(s"c0 $id"), (0 until r0).map(k => s"o$k $id"),
+          (0 until a0).map(k => s"n$k $id"), Seq(s"c1 $id")),
+        (8, Seq.empty, Seq(s"o9 $id"), Seq(s"n9 $id", s"n10 $id"),
+          Seq(s"c2 $id")))))), "text/x-diff")
+  }
+
+  /** The q_diff_apply fixture (round 13): a substitution hunk against
+    * the constant 8-line original; the id%7 slice plants a context
+    * mismatch that must fail verification. */
+  private def diffApplyMedia(id: Long): Multimodal.Media = {
+    val pre = if (id % 7 == 0) "BAD" else "l3"
+    Multimodal.Media(id, graft.llm.Diff.syntheticDiff(Seq(
+      ("a.txt", Seq((3, Seq(pre), Seq("l4"),
+        Seq(s"n1 $id", s"n2 $id"), Seq("l5")))))), "text/x-diff")
   }
 
   /** The q_sentences fixture (round 13): six sentences with every
@@ -5833,6 +5884,32 @@ object LlmQueries {
         |    || ' plus x = ' || (doc_id % 13) || ' end. item one ' || (doc_id % 23)
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // diff-hunk replay (round 13): the @@ arithmetic closed-form
+    "q_diff_hunks" ->
+      """SELECT doc_id, 'src/f' || doc_id || '.txt' AS file_path,
+        |  CAST(u.i AS INTEGER) AS hunk_idx,
+        |  CAST(CASE u.i WHEN 0 THEN 2 ELSE 8 END AS INTEGER) AS old_start,
+        |  CAST(CASE u.i WHEN 0 THEN 3 + doc_id % 2 ELSE 2 END AS INTEGER) AS old_len,
+        |  CAST(CASE u.i WHEN 0 THEN 2
+        |       ELSE 8 + doc_id % 3 - doc_id % 2 END AS INTEGER) AS new_start,
+        |  CAST(CASE u.i WHEN 0 THEN 3 + doc_id % 3 ELSE 3 END AS INTEGER) AS new_len,
+        |  CAST(CASE u.i WHEN 0 THEN 1 + doc_id % 3 ELSE 2 END AS INTEGER) AS added,
+        |  CAST(CASE u.i WHEN 0 THEN 1 + doc_id % 2 ELSE 1 END AS INTEGER) AS removed
+        |FROM documents, unnest(generate_series(0, 1)) AS u(i)
+        |ORDER BY doc_id, hunk_idx""".stripMargin,
+
+    // patch replay (round 13): the verified application or the
+    // honest failure
+    "q_diff_apply" ->
+      """SELECT doc_id, 'a.txt' AS file_path,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+        |  CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS VARCHAR)
+        |       ELSE 'l1' || chr(10) || 'l2' || chr(10) || 'l3' || chr(10)
+        |         || 'n1 ' || doc_id || chr(10) || 'n2 ' || doc_id || chr(10)
+        |         || 'l5' || chr(10) || 'l6' || chr(10) || 'l7' || chr(10) || 'l8'
+        |       END AS patched
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // unigram replay (round 13): the forced segmentation

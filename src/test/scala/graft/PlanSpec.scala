@@ -425,6 +425,10 @@ class PlanSpec extends SparkSpec {
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
               s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
             "application/mbox"))).toDF(),
+        "diffHunks" -> graft.llm.Diff.diffHunks(
+          ids.map(id => Multimodal.Media(id, graft.llm.Diff.syntheticDiff(Seq(
+            (s"f$id", Seq((1, Seq(s"c$id"), Seq("o"), Seq("n"), Seq.empty))))),
+            "text/x-diff"))).toDF(),
         "sePosts" -> graft.llm.StackExchange.posts(
           ids.map(id => Multimodal.Media(id, graft.llm.StackExchange.syntheticPosts(
             Seq((id, 1, 1, s"t $id", Seq("x"), s"<p>b $id</p>")), (id % 3).toInt),

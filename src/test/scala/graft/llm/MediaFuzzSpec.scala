@@ -74,7 +74,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "wikitext" -> (b => Wiki.wikitextToText(new String(b, "UTF-8"))),
     "decompressAny" -> (b => Archives.decompressAny(b)),
     "htmlBlocks" -> (b => Boilerplate.blocks(new String(b, "UTF-8"))),
-    "sePosts" -> (b => StackExchange.parsePosts(b)))
+    "sePosts" -> (b => StackExchange.parsePosts(b)),
+    "diffParse" -> (b => Diff.parseDiff(new String(b, "UTF-8"))),
+    "sentenceSplit" -> (b => TextAnalysis.splitSentences(new String(b, "UTF-8"))))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
