@@ -1826,6 +1826,52 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
+  test("streaming sentences/script/diff/unigram kernels equal the batch paths") {
+    import spark.implicits._
+    import graft.llm.{Diff, Multimodal, TextAnalysis, Unigram}
+    val texts = (0L until 4L).map(id =>
+      (id, s"One $id here. Ask Dr. Who? Done. абв 中 $id"))
+    val diffs = (0L until 3L).map(id => Multimodal.Media(id, Diff.syntheticDiff(Seq(
+      (s"f$id", Seq((2, Seq(s"c $id"), Seq("o"), Seq(s"n $id"), Seq.empty))))), "d"))
+    val tDf = texts.toDF("doc_id", "text")
+    // unigram: train on a static corpus, tokenize the stream with the
+    // broadcast model — the Bpe streaming posture
+    val corpus = (0 until 30).map(i => (i.toLong, "ab" * (1 + i % 3))).toDF("id", "text")
+    val model = Unigram.train(corpus, "text", vocabSize = 8, maxPieceLen = 2, iters = 3)
+    val streamTexts = (0L until 4L).map(id => (id, "ab" * (1 + id % 3).toInt))
+    val bSent = TextAnalysis.sentences(tDf, "doc_id", "text").collect().toSet
+    val bScript = TextAnalysis.scriptProfile(tDf, "doc_id", "text").collect().toSet
+    val bDiff = Diff.diffHunks(spark.createDataset(diffs)).collect().toSet
+    val bUni = Unigram.encode(streamTexts.toDF("doc_id", "text"), "doc_id", "text", model,
+      maxPieceLen = 2).collect().toSet
+    assert(bSent.size == 12 && bScript.size == 4 && bDiff.size == 3 && bUni.size == 4,
+      "batch premise")
+    val inT = MemoryStream[(Long, String)](spark)
+    val inD = MemoryStream[(Long, Array[Byte])](spark)
+    val q1 = TextAnalysis.sentences(inT.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("tk_sn").start()
+    val q2 = TextAnalysis.scriptProfile(inT.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("tk_sc").start()
+    val q3 = Diff.diffHunks(inD.toDS().map { case (id, b) => Multimodal.Media(id, b, "d") })
+      .toDF().writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("tk_df").start()
+    val inU = MemoryStream[(Long, String)](spark)
+    val q4 = Unigram.encode(inU.toDF().toDF("doc_id", "text"), "doc_id", "text", model,
+        maxPieceLen = 2)
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("tk_un").start()
+    try {
+      inT.addData(texts: _*)
+      inD.addData(diffs.map(m => (m.doc_id, m.media)): _*)
+      inU.addData(streamTexts: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q3.processAllAvailable(); q4.processAllAvailable()
+      assert(spark.table("tk_sn").collect().toSet == bSent)
+      assert(spark.table("tk_sc").collect().toSet == bScript)
+      assert(spark.table("tk_df").as[graft.llm.Diff.DiffHunk].collect().toSet == bDiff)
+      assert(spark.table("tk_un").collect().toSet == bUni)
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}
