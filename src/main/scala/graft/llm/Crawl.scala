@@ -225,6 +225,110 @@ object Crawl {
   }
 
   /** (robots blob, probe paths) → per-path decisions for an agent. */
+  // ------------------------------------------------------------------
+  // SURT url keys + CDX index records (round 13): the lookup layer of
+  // a web corpus. Common Crawl's CDXJ index lines are
+  // `<urlkey> <timestamp> <json>` where urlkey is the SURT (Sort-
+  // friendly URI Reordering Transform) of the capture url — host
+  // segments reversed so one domain's captures sort adjacent. The
+  // [[Warc]] scaladoc's "per-member offsets in the companion CDX
+  // index" is THIS file; a seeking reader joins urlkeys to (filename,
+  // offset, length) and fetches single gzip members.
+  // ------------------------------------------------------------------
+
+  /** SURT key, the documented Common Crawl urlkey variant: lowercase
+    * everything; scheme and fragment dropped; leading `www.` dropped;
+    * host segments reversed and comma-joined, `)` before the path;
+    * default ports (80/443) dropped, other ports kept as `:port`;
+    * query parameters sorted by full `k=v` text and `&`-joined; an
+    * empty path stays empty. Total: input without `://` lowercases
+    * and passes through (already-a-key posture). */
+  private[graft] def surt(url: String): String = {
+    if (url == null) return ""
+    val u = url.trim.toLowerCase
+    val schemeAt = u.indexOf("://")
+    if (schemeAt < 0) return u
+    val rest0 = u.substring(schemeAt + 3)
+    val rest = { val h = rest0.indexOf('#'); if (h >= 0) rest0.substring(0, h) else rest0 }
+    val pathAt = rest.indexOf('/')
+    val (hostPort, pathQuery) =
+      if (pathAt < 0) (rest, "") else (rest.substring(0, pathAt), rest.substring(pathAt))
+    val (host0, port) = {
+      val c = hostPort.lastIndexOf(':')
+      if (c < 0) (hostPort, "")
+      else {
+        val p = hostPort.substring(c + 1)
+        if (p.forall(_.isDigit) && p.nonEmpty) {
+          if (p == "80" || p == "443") (hostPort.substring(0, c), "")
+          else (hostPort.substring(0, c), ":" + p)
+        } else (hostPort, "")
+      }
+    }
+    val host = if (host0.startsWith("www.")) host0.substring(4) else host0
+    val revHost = host.split('.').reverse.mkString(",")
+    val (path, query) = {
+      val q = pathQuery.indexOf('?')
+      if (q < 0) (pathQuery, "")
+      else {
+        val params = pathQuery.substring(q + 1).split('&').filter(_.nonEmpty).sorted
+        (pathQuery.substring(0, q),
+          if (params.isEmpty) "" else "?" + params.mkString("&"))
+      }
+    }
+    revHost + port + ")" + path + query
+  }
+
+  /** SURT keys as a map-stage column op over a url column. */
+  def surtKeys(ds: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map { case (id, u) => (id, surt(u)) }
+  }
+
+  /** One CDXJ line: urlkey + 14-digit timestamp + the raw JSON blob —
+    * field extraction stays declarative (get_json_object over `json`),
+    * the [[Archives.jsonlLines]] split of responsibilities. */
+  case class CdxRecord(doc_id: Long, rec_idx: Int, urlkey: String,
+      ts: String, json: String)
+
+  /** CDX shard walk (plain or compressed via the shared codec
+    * dispatch): lines with fewer than three fields are skipped. */
+  def cdxRecords(ds: Dataset[Media]): Dataset[CdxRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      Archives.decompressAny(m.media).toSeq.flatMap { b =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n", -1).iterator.map(_.trim).filter(_.nonEmpty)
+          .flatMap { line =>
+            val s1 = line.indexOf(' ')
+            val s2 = if (s1 < 0) -1 else line.indexOf(' ', s1 + 1)
+            if (s2 < 0) None
+            else Some((line.substring(0, s1), line.substring(s1 + 1, s2),
+              line.substring(s2 + 1)))
+          }
+          .zipWithIndex.map { case ((k, t, j), i) => CdxRecord(m.doc_id, i, k, t, j) }
+      }
+    })
+  }
+
+  /** A CDXJ shard: `captures` = (url, timestamp, json) — the urlkey is
+    * computed through [[surt]], which is exactly what makes the
+    * q_cdx_records oracle bite on it. */
+  def syntheticCdx(captures: Seq[(String, String, String)], compress: Int): Array[Byte] = {
+    val text = captures.map { case (url, ts, json) => s"${surt(url)} $ts $json" }
+      .map(_ + "\n").mkString
+    compress match {
+      case 1 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(text.getBytes("UTF-8")); gz.close()
+        bos.toByteArray
+      case 2 => com.github.luben.zstd.Zstd.compress(text.getBytes("UTF-8"), 3)
+      case _ => text.getBytes("UTF-8")
+    }
+  }
+
   def robotsDecisions(ds: Dataset[Media], userAgent: String,
       paths: Long => Seq[String]): Dataset[(Long, Int, String, Boolean)] = {
     val spark = ds.sparkSession

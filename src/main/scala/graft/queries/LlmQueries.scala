@@ -1821,6 +1821,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // SURT url keys (round 13): the Common Crawl urlkey transform —
+    // scheme/fragment drop, www strip, host reversal, default-port
+    // drop vs explicit-port keep, query-parameter sort, full
+    // lowercase; a no-scheme slice passes through (already-a-key)
+    "q_url_surt" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Crawl.surtKeys(mediaIds(s, dir).map(id => (id, surtUrl(id))))
+        .toDF("doc_id", "urlkey")
+        .orderBy("doc_id")
+    }),
+
+    // CDX index walk (round 13): the seek layer the WARC scaladoc
+    // points at — urlkey(SURT) + timestamp + JSON blob per line, field
+    // extraction left declarative; codec by id%3
+    "q_cdx_records" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(cdxMedia _)
+      Crawl.cdxRecords(media).toDF()
+        .select(col("doc_id"), col("rec_idx"), col("urlkey"), col("ts"),
+          get_json_object(col("json"), "$.status").cast("int").as("status"),
+          get_json_object(col("json"), "$.length").cast("long").as("length"))
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // unified-diff walk (round 13): the commit-corpus record — two
     // hunks whose @@ arithmetic (including the second hunk's
     // delta-shifted new_start) and ± line counts replay closed-form
@@ -3231,6 +3257,29 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_url_surt fixture (round 13): mixed-case url with www, a
+    * port that is default on the even slice and explicit otherwise,
+    * unsorted query params, and a fragment; id%5=0 is already a key
+    * (no scheme) and must pass through lowercased. */
+  private def surtUrl(id: Long): String =
+    if (id % 5 == 0) s"ORG,key$id)/P"
+    else s"HTTP://WWW.Ex${id % 7}.ORG:${if (id % 2 == 0) 80 else 8080}" +
+      s"/Path$id/x?b=${id % 3}&a=$id#frag"
+
+  /** The q_cdx_records fixture (round 13): 1 + id%3 captures whose
+    * urlkeys go through the REAL surt transform; status 404 on the
+    * (id+j)%4 slice; codec by id%3. */
+  private def cdxMedia(id: Long): Multimodal.Media = {
+    val caps = (0 until (1 + id % 3).toInt).map { j =>
+      val url = s"http://www.s${id % 7}.org/p$j?x=$id"
+      val ts = s"2026010${1 + (id + j) % 9}000000"
+      val json = s"""{"url":"$url","status":"${if ((id + j) % 4 == 0) 404 else 200}",""" +
+        s""""length":"${100 + (id * 3 + j) % 500}"}"""
+      (url, ts, json)
+    }
+    Multimodal.Media(id, Crawl.syntheticCdx(caps, (id % 3).toInt), "application/cdxj")
   }
 
   /** The q_diff_hunks fixture (round 13): one file, two hunks — sizes
@@ -5885,6 +5934,27 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // surt replay (round 13)
+    "q_url_surt" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'org,key' || doc_id || ')/p'
+        |       ELSE 'org,ex' || (doc_id % 7)
+        |         || CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END
+        |         || ')/path' || doc_id || '/x?a=' || doc_id || '&b=' || (doc_id % 3)
+        |       END AS urlkey
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cdx replay (round 13): urlkey through the same surt arithmetic
+    "q_cdx_records" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS rec_idx,
+        |  'org,s' || (doc_id % 7) || ')/p' || u.i || '?x=' || doc_id AS urlkey,
+        |  '2026010' || (1 + (doc_id + u.i) % 9) || '000000' AS ts,
+        |  CAST(CASE WHEN (doc_id + u.i) % 4 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+        |  CAST(100 + (doc_id * 3 + u.i) % 500 AS BIGINT) AS length
+        |FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |WHERE u.i < 1 + doc_id % 3
+        |ORDER BY doc_id, rec_idx""".stripMargin,
 
     // diff-hunk replay (round 13): the @@ arithmetic closed-form
     "q_diff_hunks" ->

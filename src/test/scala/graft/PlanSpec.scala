@@ -425,6 +425,10 @@ class PlanSpec extends SparkSpec {
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
               s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
             "application/mbox"))).toDF(),
+        "cdxRecords" -> graft.llm.Crawl.cdxRecords(
+          ids.map(id => Multimodal.Media(id, graft.llm.Crawl.syntheticCdx(Seq(
+            (s"http://e$id.org/p", "20260101000000", s"""{"s":"$id"}""")),
+            (id % 3).toInt), "application/cdxj"))).toDF(),
         "diffHunks" -> graft.llm.Diff.diffHunks(
           ids.map(id => Multimodal.Media(id, graft.llm.Diff.syntheticDiff(Seq(
             (s"f$id", Seq((1, Seq(s"c$id"), Seq("o"), Seq("n"), Seq.empty))))),

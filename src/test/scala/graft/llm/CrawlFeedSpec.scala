@@ -80,4 +80,37 @@ class CrawlFeedSpec extends AnyFunSuite {
     assert(Feeds.parseFeed("not xml at all") == Nil)
     assert(Feeds.parseFeed(null) == Nil)
   }
+
+  test("surt: hosts, www, ports, params, fragments, degenerate inputs") {
+    assert(Crawl.surt("http://www.Example.COM/Foo?b=2&a=1#x") ==
+      "com,example)/foo?a=1&b=2")
+    assert(Crawl.surt("https://sub.ex.org:443/p") == "org,ex,sub)/p")
+    assert(Crawl.surt("http://ex.org:8080/p") == "org,ex:8080)/p")
+    assert(Crawl.surt("http://ex.org") == "org,ex)")
+    assert(Crawl.surt("http://ex.org/?") == "org,ex)/")
+    assert(Crawl.surt("ftp://ex.org/f") == "org,ex)/f") // scheme-agnostic
+    assert(Crawl.surt("no scheme HERE") == "no scheme here")
+    assert(Crawl.surt(null) == "" && Crawl.surt("") == "")
+    // IPv6-ish colon garbage in the host never mis-parses as a port
+    assert(Crawl.surt("http://[::1]/p") == "[::1])/p")
+  }
+
+  test("cdx: line framing, codec dispatch, short-line skip") {
+    val caps = Seq(
+      ("http://www.a.org/x", "20260101000000", """{"status":"200"}"""),
+      ("http://b.net/y?q=1", "20260102000000", """{"status":"404","length":"5"}"""))
+    (0 to 2).foreach { c =>
+      val recs = new String(
+        Archives.decompressAny(Crawl.syntheticCdx(caps, c)).get, "UTF-8")
+      assert(recs.linesIterator.size == 2, s"codec $c")
+    }
+    val parsed = {
+      val bytes = Crawl.syntheticCdx(caps, 1)
+      // run the kernel body directly on the decompressed text
+      val txt = new String(Archives.decompressAny(bytes).get, "UTF-8")
+      txt.linesIterator.toSeq
+    }
+    assert(parsed.head.startsWith("org,a)/x 20260101000000 {"))
+    assert(parsed(1).startsWith("net,b)/y?q=1 20260102000000 {"))
+  }
 }

@@ -76,7 +76,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "htmlBlocks" -> (b => Boilerplate.blocks(new String(b, "UTF-8"))),
     "sePosts" -> (b => StackExchange.parsePosts(b)),
     "diffParse" -> (b => Diff.parseDiff(new String(b, "UTF-8"))),
-    "sentenceSplit" -> (b => TextAnalysis.splitSentences(new String(b, "UTF-8"))))
+    "sentenceSplit" -> (b => TextAnalysis.splitSentences(new String(b, "UTF-8"))),
+    "surt" -> (b => Crawl.surt(new String(b, "UTF-8"))))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
