@@ -71,4 +71,50 @@ object Markdown {
       .mapPartitions(_.map { case (id, s) => (id, mdText(s)) })
       .toDF(idCol, "text")
   }
+
+  /** YAML-style front matter (round 13): the `---`-fenced `key: value`
+    * block static-site corpora (Jekyll/Hugo blogs, docs trees) lead
+    * with — curation wants it as METADATA (title, date, tags, draft
+    * flags) and stripped from the prose. Scope is the flat scalar
+    * subset (one `key: value` per line, quotes around the value
+    * stripped, `#` needs no special case because values are taken
+    * verbatim); list/nested YAML values pass through as raw text —
+    * documented, not guessed at. Returns (key, value) pairs in file
+    * order; None when the document has no front-matter fence. */
+  private[graft] def frontMatter(src: String): Option[Seq[(String, String)]] = {
+    if (src == null) return None
+    val lines = src.split("\n", -1)
+    if (lines.isEmpty || lines(0).trim != "---") return None
+    val out = Seq.newBuilder[(String, String)]
+    var i = 1
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l == "---" || l == "...") return Some(out.result())
+      val colon = l.indexOf(':')
+      if (colon > 0) {
+        val k = l.substring(0, colon).trim
+        var v = l.substring(colon + 1).trim
+        if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+          (v.head == '\'' && v.last == '\''))) v = v.substring(1, v.length - 1)
+        out += (k -> v)
+      }
+      i += 1
+    }
+    None // fence never closed: not front matter, the whole doc is prose
+  }
+
+  /** (id, markdown) → (id, key_idx, key, value) front-matter rows;
+    * docs without front matter contribute nothing. */
+  def mdFrontMatter(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(srcCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        frontMatter(s).getOrElse(Nil).zipWithIndex.map {
+          case ((k, v), ix) => (id, ix, k, v)
+        }
+      }
+      .toDF(idCol, "key_idx", "key", "value")
+  }
 }

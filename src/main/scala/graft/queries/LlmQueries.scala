@@ -1821,6 +1821,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML table extraction (round 13): per-cell rows with (table,
+    // row, col) coordinates — th header flag, colspan advancing the
+    // column arithmetic on its slice, entities through the shared
+    // htmlText tail
+    "q_html_tables" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(tableMedia _)
+      graft.llm.Tables.tableCells(media).toDF()
+        .select(col("doc_id"), col("table_idx"), col("row_idx"), col("col_idx"),
+          col("is_header").cast("int").as("is_header"), col("text"))
+        .orderBy("doc_id", "row_idx", "col_idx")
+    }),
+
+    // markdown front matter (round 13): the ----fenced key:value block
+    // as metadata rows — quoted values unwrap, the no-front-matter
+    // slice contributes nothing, an unclosed fence is prose not metadata
+    "q_md_frontmatter" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, frontMatterSrc(id))).toDF("doc_id", "src")
+      Markdown.mdFrontMatter(df, "doc_id", "src")
+        .orderBy("doc_id", "key_idx")
+    }),
+
     // SURT url keys (round 13): the Common Crawl urlkey transform —
     // scheme/fragment drop, www strip, host reversal, default-port
     // drop vs explicit-port keep, query-parameter sort, full
@@ -3258,6 +3283,36 @@ object LlmQueries {
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
   }
+
+  /** The q_html_tables fixture (round 13): one header row + 1 + id%3
+    * data rows; the (id+j)%4 slice spans its middle cell over two
+    * columns so the trailing cell lands at col 3, and the last cell
+    * carries an entity. */
+  private def tableMedia(id: Long): Multimodal.Media = {
+    val n = (1 + id % 3).toInt
+    val rows = (0 until n).map { j =>
+      val mid =
+        if ((id + j) % 4 == 0) s"""<td colspan="2">w$j $id</td>"""
+        else s"<td>b$j</td>"
+      s"<tr><td>a$id</td>$mid<td>x&amp;y $j</td></tr>"
+    }
+    val html = s"<html><body><p>prose</p><table><tr><th>H0</th>" +
+      s"<th>H1 $id</th><th>H2</th></tr>${rows.mkString}</table></body></html>"
+    Multimodal.Media(id, html.getBytes("UTF-8"), "text/html")
+  }
+
+  /** The q_md_frontmatter fixture (round 13): three scalar keys (the
+    * title quoted) on two of three slices; id%3=2 has no fence. */
+  private def frontMatterSrc(id: Long): String =
+    if (id % 3 == 2) s"# Plain doc $id\nno metadata here\n"
+    else
+      s"""---
+         |title: "Post $id"
+         |date: 2026-01-0${1 + id % 9}
+         |tags: alpha${id % 9}
+         |---
+         |# Body $id
+         |""".stripMargin
 
   /** The q_url_surt fixture (round 13): mixed-case url with www, a
     * port that is default on the even slice and explicit otherwise,
@@ -5934,6 +5989,43 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // table replay (round 13): header + data coordinates, the colspan
+    // slice shifting the trailing cell to col 3
+    "q_html_tables" ->
+      """WITH hdr AS (
+        |  SELECT doc_id, 0 AS row_idx, u.i AS col_idx, 1 AS hd,
+        |    CASE u.i WHEN 0 THEN 'H0' WHEN 1 THEN 'H1 ' || doc_id
+        |         ELSE 'H2' END AS text
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(i)),
+        |dat AS (
+        |  SELECT doc_id, 1 + r.j AS row_idx,
+        |    CASE c.k WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      ELSE CASE WHEN (doc_id + r.j) % 4 = 0 THEN 3 ELSE 2 END END AS col_idx,
+        |    0 AS hd,
+        |    CASE c.k WHEN 0 THEN 'a' || doc_id
+        |      WHEN 1 THEN CASE WHEN (doc_id + r.j) % 4 = 0
+        |        THEN 'w' || r.j || ' ' || doc_id ELSE 'b' || r.j END
+        |      ELSE 'x&y ' || r.j END AS text
+        |  FROM documents, unnest(generate_series(0, 2)) AS r(j),
+        |       unnest(generate_series(0, 2)) AS c(k)
+        |  WHERE r.j < 1 + doc_id % 3)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS table_idx,
+        |  CAST(row_idx AS INTEGER) AS row_idx, CAST(col_idx AS INTEGER) AS col_idx,
+        |  CAST(hd AS INTEGER) AS is_header, text
+        |FROM (SELECT * FROM hdr UNION ALL SELECT * FROM dat)
+        |ORDER BY doc_id, row_idx, col_idx""".stripMargin,
+
+    // front-matter replay (round 13)
+    "q_md_frontmatter" ->
+      """SELECT doc_id, CAST(u.i AS INTEGER) AS key_idx,
+        |  CASE u.i WHEN 0 THEN 'title' WHEN 1 THEN 'date' ELSE 'tags' END AS key,
+        |  CASE u.i WHEN 0 THEN 'Post ' || doc_id
+        |       WHEN 1 THEN '2026-01-0' || (1 + doc_id % 9)
+        |       ELSE 'alpha' || (doc_id % 9) END AS value
+        |FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |WHERE doc_id % 3 <> 2
+        |ORDER BY doc_id, key_idx""".stripMargin,
 
     // surt replay (round 13)
     "q_url_surt" ->

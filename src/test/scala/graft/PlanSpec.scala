@@ -425,6 +425,10 @@ class PlanSpec extends SparkSpec {
             graft.llm.Mail.syntheticMessage(s"u$id@x", "t@x", s"s $id",
               s"body $id", (id % 5).toInt, (id % 3).toInt, foldTo = false))),
             "application/mbox"))).toDF(),
+        "tableCells" -> graft.llm.Tables.tableCells(
+          ids.map(id => Multimodal.Media(id,
+            s"<table><tr><td>c$id</td></tr></table>".getBytes("UTF-8"),
+            "text/html"))).toDF(),
         "cdxRecords" -> graft.llm.Crawl.cdxRecords(
           ids.map(id => Multimodal.Media(id, graft.llm.Crawl.syntheticCdx(Seq(
             (s"http://e$id.org/p", "20260101000000", s"""{"s":"$id"}""")),

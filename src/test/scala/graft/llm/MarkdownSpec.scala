@@ -49,4 +49,18 @@ class MarkdownSpec extends AnyFunSuite {
       Markdown.mdText(s) // must not throw
     }
   }
+
+  test("front matter: quoted values, file order, unclosed fence, absent") {
+    val fm = Markdown.frontMatter(
+      "---\ntitle: \"A: B\"\ndate: 2026-01-02\nempty:\ntags: 'x y'\n---\nbody")
+    assert(fm.contains(Seq(
+      ("title", "A: B"), ("date", "2026-01-02"), ("empty", ""), ("tags", "x y"))))
+    assert(Markdown.frontMatter("# no fence").isEmpty)
+    assert(Markdown.frontMatter("---\nkey: v\nno close ever").isEmpty)
+    assert(Markdown.frontMatter("---\n...\nbody").contains(Seq.empty))
+    assert(Markdown.frontMatter(null).isEmpty)
+    // a non-key line inside the block is skipped, not fatal
+    assert(Markdown.frontMatter("---\njust words\nk: v\n---\n")
+      .contains(Seq(("k", "v"))))
+  }
 }

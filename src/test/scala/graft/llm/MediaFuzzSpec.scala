@@ -77,7 +77,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "sePosts" -> (b => StackExchange.parsePosts(b)),
     "diffParse" -> (b => Diff.parseDiff(new String(b, "UTF-8"))),
     "sentenceSplit" -> (b => TextAnalysis.splitSentences(new String(b, "UTF-8"))),
-    "surt" -> (b => Crawl.surt(new String(b, "UTF-8"))))
+    "surt" -> (b => Crawl.surt(new String(b, "UTF-8"))),
+    "htmlTables" -> (b => Tables.parseTables(new String(b, "UTF-8"))),
+    "frontMatter" -> (b => Markdown.frontMatter(new String(b, "UTF-8"))))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
