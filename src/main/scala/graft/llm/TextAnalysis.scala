@@ -372,6 +372,48 @@ object TextAnalysis {
       .toDF(idCol, "sent_idx", "sentence")
   }
 
+  /** Syllable estimate for one word (the standard readability
+    * heuristic): count maximal vowel groups (aeiouy) over the letters,
+    * subtract one for a trailing silent 'e' when more than one group
+    * remains, floor at 1. Deterministic; documented approximation. */
+  private[graft] def syllables(word: String): Int = {
+    val w = word.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+    if (w.isEmpty) return 0
+    var groups = 0
+    var inGroup = false
+    w.foreach { c =>
+      val vowel = "aeiouy".indexOf(c) >= 0
+      if (vowel && !inGroup) groups += 1
+      inGroup = vowel
+    }
+    if (w.endsWith("e") && !w.endsWith("le") && groups > 1) groups -= 1
+    math.max(groups, 1)
+  }
+
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975): the classic
+    * readability gate — 0.39·(words/sentences) + 11.8·(syllables/
+    * words) − 15.59, over [[splitSentences]] and the whitespace word
+    * split. Counts floor at 1 so empty docs score finitely. The
+    * formula is evaluated in the same IEEE double expression order the
+    * oracle uses (the interpolation-join precedent), so the compare is
+    * exact. Pure typed map stage. */
+  def fleschKincaid(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = if (text == null) "" else text
+        val nS = math.max(splitSentences(t).length, 1)
+        val words = t.split("\\s+").filter(_.nonEmpty)
+        val nW = math.max(words.length, 1)
+        val nY = words.map(syllables).sum
+        val grade = 0.39 * (nW.toDouble / nS) + 11.8 * (nY.toDouble / nW) - 15.59
+        (id, nS.toLong, nW.toLong, nY.toLong, grade)
+      })
+      .toDF(idCol, "n_sentences", "n_words", "n_syllables", "fk_grade")
+  }
+
   /** Repetition metrics (the word-level core of the Gopher quality rules,
     * Rae et al. 2021 §A1.1): excessive repetition is the strongest cheap
     * signal of machine-generated / boilerplate text. Per document:

@@ -1821,6 +1821,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Flesch–Kincaid readability (round 13): planted syllable counts
+    // (cat/data/banana/name cover the vowel-group + silent-e rules)
+    // over the sentence splitter; the grade replays the identical IEEE
+    // expression — exact double compare, the interpolation precedent
+    "q_readability" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir)
+        .map(id => (id, ("cat " * (id % 4).toInt) + "cat data banana. Name cat."))
+        .toDF("doc_id", "text")
+      TextAnalysis.fleschKincaid(df, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // HTML table extraction (round 13): per-cell rows with (table,
     // row, col) coordinates — th header flag, colspan advancing the
     // column arithmetic on its slice, entities through the shared
@@ -5988,6 +6002,18 @@ object LlmQueries {
         |    || ' plus x = ' || (doc_id % 13) || ' end. item one ' || (doc_id % 23)
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // readability replay (round 13): identical IEEE expression
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(2 AS BIGINT) AS n_sentences,
+        |  CAST(5 + doc_id % 4 AS BIGINT) AS n_words,
+        |  CAST(8 + doc_id % 4 AS BIGINT) AS n_syllables,
+        |  CAST(0.39 AS DOUBLE) * (CAST(5 + doc_id % 4 AS DOUBLE) / CAST(2 AS DOUBLE))
+        |    + CAST(11.8 AS DOUBLE) * (CAST(8 + doc_id % 4 AS DOUBLE)
+        |        / CAST(5 + doc_id % 4 AS DOUBLE))
+        |    - CAST(15.59 AS DOUBLE) AS fk_grade
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // table replay (round 13): header + data coordinates, the colspan

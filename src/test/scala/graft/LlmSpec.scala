@@ -1316,6 +1316,26 @@ class LlmSpec extends SparkSpec {
     assert(split("Quote next. \"Hi\" she said.") == Seq("Quote next.", "\"Hi\" she said."))
   }
 
+  test("syllables and readability: vowel groups, silent e, -le, floors") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    assert(TextAnalysis.syllables("cat") == 1)
+    assert(TextAnalysis.syllables("data") == 2)
+    assert(TextAnalysis.syllables("banana") == 3)
+    assert(TextAnalysis.syllables("name") == 1)   // silent e
+    assert(TextAnalysis.syllables("table") == 2)  // -le keeps its e
+    assert(TextAnalysis.syllables("rhythm") == 1) // y as vowel
+    assert(TextAnalysis.syllables("e") == 1)      // floor
+    assert(TextAnalysis.syllables("123") == 0)    // no letters
+    assert(TextAnalysis.syllables("queue") == 1)  // one vowel group
+    val fk = TextAnalysis.fleschKincaid(
+      Seq((1L, "One two. Three four."), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fk(1L) == ((2L, 4L, 4L)))
+    assert(fk(2L) == ((1L, 1L, 0L)) && fk(3L) == ((1L, 1L, 0L))) // floors, finite grade
+  }
+
   test("C4 cleaning: line rules, sentence floor, lorem/brace rejection") {
     import spark.implicits._
     import graft.llm.TextAnalysis

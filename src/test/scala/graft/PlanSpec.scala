@@ -269,7 +269,8 @@ class PlanSpec extends SparkSpec {
         "c4Clean" -> graft.llm.TextAnalysis.c4Clean(d, "doc_id", "text"),
         "gopherFilter" -> graft.llm.TextAnalysis.gopherFilter(d, "doc_id", "text"),
         "scriptProfile" -> graft.llm.TextAnalysis.scriptProfile(d, "doc_id", "text"),
-        "sentences" -> graft.llm.TextAnalysis.sentences(d, "doc_id", "text"))) {
+        "sentences" -> graft.llm.TextAnalysis.sentences(d, "doc_id", "text"),
+        "fleschKincaid" -> graft.llm.TextAnalysis.fleschKincaid(d, "doc_id", "text"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }
