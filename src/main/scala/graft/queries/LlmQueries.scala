@@ -1821,6 +1821,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // provenance audit pipeline (round 13): CDX walk → capture path
+    // from the urlkey → REP decision against a broadcast policy →
+    // per-shard allow/deny counts, ONE plan — "which of our captures
+    // would today's robots.txt deny" is the re-crawl compliance
+    // question a provenance-aware corpus answers
+    "q_pipeline_provenance" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(provenanceCdxMedia _)
+      val policy = Crawl.parseRobots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n")
+      Crawl.cdxRecords(media)
+        .map { r =>
+          val path = r.urlkey.substring(r.urlkey.indexOf(')') + 1)
+          (r.doc_id, if (Crawl.isAllowed(policy, "bot", path)) 1L else 0L)
+        }
+        .toDF("doc_id", "allowed")
+        .groupBy("doc_id")
+        .agg(sum(col("allowed")).as("n_allowed"),
+          sum(lit(1L) - col("allowed")).as("n_denied"))
+        .orderBy("doc_id")
+    }),
+
     // Flesch–Kincaid readability (round 13): planted syllable counts
     // (cat/data/banana/name cover the vowel-group + silent-e rules)
     // over the sentence splitter; the grade replays the identical IEEE
@@ -3296,6 +3319,22 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_pipeline_provenance fixture (round 13): 3 + id%3 captures
+    * cycling allowed (/p…), denied (/private/…), and allow-override
+    * (/private/ok/…) paths by (id+j)%3 — longest-match REP precedence
+    * is load-bearing on the third slice. */
+  private def provenanceCdxMedia(id: Long): Multimodal.Media = {
+    val caps = (0 until (3 + id % 3).toInt).map { j =>
+      val path = ((id + j) % 3) match {
+        case 0 => s"/p$j"
+        case 1 => s"/private/x$j"
+        case _ => s"/private/ok/y$j"
+      }
+      (s"http://www.d${id % 5}.org$path", "20260101000000", s"""{"status":"200"}""")
+    }
+    Multimodal.Media(id, Crawl.syntheticCdx(caps, (id % 3).toInt), "application/cdxj")
   }
 
   /** The q_html_tables fixture (round 13): one header row + 1 + id%3
@@ -6003,6 +6042,17 @@ object LlmQueries {
         |    || ' item two quote ' || (doc_id % 31) || ' & tail alt '
         |    || (doc_id % 19) || ' Setext H' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // provenance replay (round 13): the REP verdict per slice
+    "q_pipeline_provenance" ->
+      """SELECT doc_id,
+        |  CAST(SUM(CASE WHEN (doc_id + u.i) % 3 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(SUM(CASE WHEN (doc_id + u.i) % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_denied
+        |FROM documents, unnest(generate_series(0, 5)) AS u(i)
+        |WHERE u.i < 3 + doc_id % 3
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // readability replay (round 13): identical IEEE expression
     "q_readability" ->
