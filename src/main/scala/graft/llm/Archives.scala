@@ -478,7 +478,9 @@ object Archives {
           com.github.luben.zstd.Zstd.compress(join(lines.drop(half)), 3)
       case 3 =>
         val bos = new java.io.ByteArrayOutputStream()
-        val xz = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(3))
+        // preset 0: the fixture's ENCODE cost is not under test — the
+        // engine side is the decode, which is preset-independent
+        val xz = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(0))
         xz.write(join(lines)); xz.close()
         bos.toByteArray
       case 4 =>

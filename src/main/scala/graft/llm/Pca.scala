@@ -119,13 +119,19 @@ object Pca {
     import spark.implicits._
     val vecs = df.select(col(vecCol).cast("array<double>")).as[Array[Double]]
     // RDD hop: the Acc is a mutable accumulator, not an encodable row —
-    // and treeReduce is the point: partial sums merge log-depth across
-    // executors instead of funneling every partition into the driver
-    val acc = vecs.rdd.mapPartitions { it =>
-      var a: Acc = null
-      it.foreach { x => if (a == null) a = new Acc(x.length); a.add(x) }
-      if (a == null) Iterator.empty else Iterator.single(a)
-    }.treeReduce(_ merge _, depth = 2)
+    // and the tree aggregation is the point: partial sums merge
+    // log-depth across executors instead of funneling every partition
+    // into the driver
+    // treeAggregate with a null zero: ONE job (an isEmpty pre-check
+    // would re-scan the corpus), and a zero-row corpus (filtered
+    // partition, dry re-run) falls through to a degenerate model
+    // instead of treeReduce's empty-collection throw — project/whiten
+    // over the same empty corpus then emit zero rows
+    val acc = vecs.rdd.treeAggregate(null: Acc)(
+      (a, x) => { val b = if (a == null) new Acc(x.length) else a; b.add(x) },
+      (a, b) => if (a == null) b else if (b == null) a else a.merge(b),
+      depth = 2)
+    if (acc == null) return PcaModel(Array.empty, Array.empty, Array.empty)
     val d = acc.d
     val n = acc.n.toDouble
     val mean = acc.s.map(_ / n)
@@ -178,7 +184,9 @@ object Pca {
     * to zero (a collapsed direction carries no signal to rescale). */
   def whiten(df: DataFrame, idCol: String, vecCol: String,
       model: PcaModel, k: Int, eps: Double = 1e-9): DataFrame = {
-    val scale = model.eigvals.take(k).map(l => if (l > eps) 1.0 / math.sqrt(l) else 0.0)
+    val scale = Array.tabulate(k)(c =>
+      if (c < model.eigvals.length && model.eigvals(c) > eps)
+        1.0 / math.sqrt(model.eigvals(c)) else 0.0)
     val proj = project(df, idCol, vecCol, model, k)
     (0 until k).foldLeft(proj)((d, c) => d.withColumn(s"pc_$c", col(s"pc_$c") * scale(c)))
   }

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -87,5 +88,11 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(w.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
     val one = Pca.fit((0L to 0L).map(id => (id, Array(1.0, 2.0))).toDF("id", "e"), "e")
     assert(one.eigvals.forall(v => approx(v, 0.0, 1e-12)))
+    // zero-row corpus: degenerate model, zero-row projection, no throw
+    val empty = df.filter(col("id") < 0)
+    val em = Pca.fit(empty, "e")
+    assert(em.eigvals.isEmpty && em.basis.isEmpty)
+    assert(Pca.project(empty, "id", "e", em, 2).count() == 0)
+    assert(Pca.whiten(empty, "id", "e", em, 2).count() == 0)
   }
 }
