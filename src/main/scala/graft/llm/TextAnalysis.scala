@@ -414,6 +414,91 @@ object TextAnalysis {
       .toDF(idCol, "n_sentences", "n_words", "n_syllables", "fk_grade")
   }
 
+  /** Mojibake repair: text that was UTF-8 on disk but decoded as
+    * Latin-1 somewhere upstream shows the classic "Ã©"/"â€™" digraphs.
+    * The repair is exact, not heuristic: re-encode the STRING as
+    * Latin-1 bytes and strictly re-decode as UTF-8 — applied only when
+    * (a) the text contains a mojibake marker (Ã/Â/â followed by a
+    * high-half char) and (b) the strict re-decode succeeds and (c) the
+    * round-trip is byte-faithful (every char fits Latin-1). Clean text
+    * fails (a) and passes through untouched; genuinely mixed text
+    * fails (b)/(c) and passes through too — repair never corrupts. */
+  private[graft] def fixMojibake(s: String): String = {
+    var i = 0
+    var marker = false
+    while (i + 1 < s.length && !marker) {
+      val c = s.charAt(i)
+      // \u00C3 / \u00C2 / \u00E2 followed by a high-half char
+      if ((c == '\u00C3' || c == '\u00C2' || c == '\u00E2') && s.charAt(i + 1) >= 0x80)
+        marker = true
+      i += 1
+    }
+    if (!marker) return s
+    // byte-faithful Latin-1 re-encode: every char must be ≤ 0xFF
+    var j = 0
+    while (j < s.length) { if (s.charAt(j) > 0xFF) return s; j += 1 }
+    val bytes = new Array[Byte](s.length)
+    j = 0
+    while (j < s.length) { bytes(j) = s.charAt(j).toByte; j += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
+  /** Punctuation folding: the typographic characters a web corpus is
+    * full of, mapped to their ASCII intent (smart quotes, en/em
+    * dashes, ellipsis, NBSP). Applied AFTER NFKC (which does not fold
+    * these — they are distinct characters, not compatibility forms). */
+  private val punctFold: Map[Char, String] = Map(
+    '\u2018' -> "'", '\u2019' -> "'", '\u201A' -> "'", '\u201B' -> "'",
+    '\u201C' -> "\"", '\u201D' -> "\"", '\u201E' -> "\"",
+    '\u2013' -> "-", '\u2014' -> "-", '\u2212' -> "-",
+    '\u2026' -> "...", '\u00A0' -> " ",
+    // LS/PS are line semantics, not noise: fold to newline
+    '\u2028' -> "\n", '\u2029' -> "\n")
+
+  /** Text normalization (round 13): the cleanup pass between ingestion
+    * and every downstream operator — tokenizers, dedup shingles, and
+    * quality heuristics all fracture on the same raw-web artifacts.
+    * Order is load-bearing and documented:
+    *  1. mojibake repair (exact round-trip, see [[fixMojibake]]);
+    *  2. Unicode NFKC (the JDK normalizer — fullwidth forms, ligature
+    *     decomposition, compatibility digits);
+    *  3. punctuation folding (smart quotes → ASCII, dashes, ellipsis,
+    *     NBSP → space — NFKC leaves these alone by design);
+    *  4. control and zero-width characters dropped (keeping \n and
+    *     \t), including BOM/ZWSP/ZWNJ/ZWJ and bidi marks.
+    * Pure typed map stage; total on any input. */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t0 = if (text == null) "" else text
+        val t1 = fixMojibake(t0)
+        val t2 = java.text.Normalizer.normalize(t1, java.text.Normalizer.Form.NFKC)
+        val sb = new java.lang.StringBuilder(t2.length)
+        var i = 0
+        while (i < t2.length) {
+          val c = t2.charAt(i)
+          punctFold.get(c) match {
+            case Some(rep) => sb.append(rep)
+            case None =>
+              // BOM, ZWSP..RLM (bidi marks), word joiner
+              val drop = (Character.isISOControl(c) && c != '\n' && c != '\t') ||
+                c == '\uFEFF' || (c >= '\u200B' && c <= '\u200F') || c == '\u2060'
+              if (!drop) sb.append(c)
+          }
+          i += 1
+        }
+        (id, sb.toString)
+      })
+      .toDF(idCol, "text")
+  }
+
   /** Repetition metrics (the word-level core of the Gopher quality rules,
     * Rae et al. 2021 §A1.1): excessive repetition is the strongest cheap
     * signal of machine-generated / boilerplate text. Per document:

@@ -1844,6 +1844,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // text normalization (round 13): three slices — exact mojibake
+    // repair (Latin-1 round-trip), typographic folding (smart quotes /
+    // em-dash / ellipsis / NBSP), and NFKC + zero-width strip
+    // (fullwidth letters, circled digits, ZWSP) — exact replay
+    "q_normalize_text" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map(id => (id, normalizeSrc(id))).toDF("doc_id", "text")
+      TextAnalysis.normalizeText(df, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Flesch–Kincaid readability (round 13): planted syllable counts
     // (cat/data/banana/name cover the vowel-group + silent-e rules)
     // over the sentence splitter; the grade replays the identical IEEE
@@ -3319,6 +3331,16 @@ object LlmQueries {
     Multimodal.Media(id,
       Wiki.syntheticDump(Seq((s"P $id", 0, id, "", text)), (id % 3).toInt),
       "application/xml")
+  }
+
+  /** The q_normalize_text fixture (round 13): id%3 cycles a mojibake
+    * slice (UTF-8 "Café" mis-decoded as Latin-1 — the repair is an
+    * exact byte round-trip), a typography slice, and an NFKC +
+    * zero-width slice (fullwidth letters, a circled digit, ZWSP). */
+  private def normalizeSrc(id: Long): String = (id % 3) match {
+    case 0 => s"CafÃ© $id"
+    case 1 => s"“q $id” — it’s … ok now"
+    case _ => s"A​b $id ＡＢ ①"
   }
 
   /** The q_pipeline_provenance fixture (round 13): 3 + id%3 captures
@@ -6053,6 +6075,15 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 5)) AS u(i)
         |WHERE u.i < 3 + doc_id % 3
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // normalization replay (round 13): the three repaired forms
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'Café ' || doc_id
+        |    WHEN 1 THEN '"q ' || doc_id || '" - it''s ... ok now'
+        |    ELSE 'Ab ' || doc_id || ' AB 1' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // readability replay (round 13): identical IEEE expression
     "q_readability" ->

@@ -1336,6 +1336,37 @@ class LlmSpec extends SparkSpec {
     assert(fk(2L) == ((1L, 1L, 0L)) && fk(3L) == ((1L, 1L, 0L))) // floors, finite grade
   }
 
+  test("text normalization: mojibake repair is exact and never corrupts") {
+    import graft.llm.TextAnalysis.fixMojibake
+    // UTF-8 "\u00e9" (C3 A9) seen through Latin-1 = U+00C3 U+00A9
+    assert(fixMojibake("Caf\u00c3\u00a9") == "Caf\u00e9")
+    // U+2019 (E2 80 99) through Latin-1 = U+00E2 U+0080 U+0099
+    assert(fixMojibake("it\u00e2\u0080\u0099s") == "it\u2019s")
+    // clean text has no marker: untouched
+    assert(fixMojibake("plain caf\u00e9 text") == "plain caf\u00e9 text")
+    // marker present but NOT valid UTF-8 when re-encoded: untouched
+    assert(fixMojibake("\u00c3\u00a9 then lone \u00c3\u00a0\u00c3.") ==
+      "\u00c3\u00a9 then lone \u00c3\u00a0\u00c3.")
+    // marker present but text has chars outside Latin-1: untouched
+    assert(fixMojibake("\u00c3\u00a9 with \u4e2d") == "\u00c3\u00a9 with \u4e2d")
+  }
+
+  test("text normalization: NFKC, punctuation folding, zero-width strip") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    def n(s: String): String = TextAnalysis.normalizeText(
+      Seq((1L, s)).toDF("id", "text"), "id", "text").collect().head.getString(1)
+    assert(n("\u201cq\u201d \u2014 it\u2019s \u2026 ok\u00a0now") ==
+      "\"q\" - it's ... ok now")
+    assert(n("A\u200bb \uff21\uff22 \u2460") == "Ab AB 1")
+    assert(n("keep\nlines\tand\u0007bell") == "keep\nlines\tandbell")
+    assert(n("ls\u2028ps\u2029end") == "ls\nps\nend")
+    assert(n("\ufeffbom gone") == "bom gone")
+    assert(n(null.asInstanceOf[String]) == "" && n("") == "")
+    // ligature and fullwidth digits through NFKC
+    assert(n("\ufb01le \uff12\uff10") == "file 20")
+  }
+
   test("C4 cleaning: line rules, sentence floor, lorem/brace rejection") {
     import spark.implicits._
     import graft.llm.TextAnalysis

@@ -270,7 +270,8 @@ class PlanSpec extends SparkSpec {
         "gopherFilter" -> graft.llm.TextAnalysis.gopherFilter(d, "doc_id", "text"),
         "scriptProfile" -> graft.llm.TextAnalysis.scriptProfile(d, "doc_id", "text"),
         "sentences" -> graft.llm.TextAnalysis.sentences(d, "doc_id", "text"),
-        "fleschKincaid" -> graft.llm.TextAnalysis.fleschKincaid(d, "doc_id", "text"))) {
+        "fleschKincaid" -> graft.llm.TextAnalysis.fleschKincaid(d, "doc_id", "text"),
+        "normalizeText" -> graft.llm.TextAnalysis.normalizeText(d, "doc_id", "text"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }
