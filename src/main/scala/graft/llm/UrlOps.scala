@@ -65,4 +65,35 @@ object UrlOps {
     when(regexp_extract(url, UrlRe, 1) === "" || dom === "", lit(null).cast("string"))
       .otherwise(dom)
   }
+
+  /** The country-code second-level labels under which registrations
+    * actually happen (`foo.co.uk`, not `co.uk`). The common public-
+    * suffix convention without shipping the full PSL — the labels
+    * every major ccTLD registry uses. */
+  private val ccSecondLevels =
+    Seq("co", "com", "org", "net", "gov", "edu", "ac", "or", "ne", "go", "mil")
+
+  /** ccSLD-aware registered domain (round 13): closes the documented
+    * [[registeredDomain]] gap — under a two-letter ccTLD whose second
+    * label is a registry category (`co.uk`, `com.au`, `ac.jp`, …) the
+    * registration lives at the THIRD label, so `a.b.foo.co.uk` keys as
+    * `foo.co.uk` while `a.b.foo.com` still keys as `foo.com`. Pure
+    * Column algebra (codegen'd, no UDF); NULL for non-URLs; a bare
+    * registry suffix (`co.uk` itself) keys as itself. */
+  def registeredDomainCc(url: Column): Column = {
+    val auth = regexp_extract(url, UrlRe, 2)
+    val host = regexp_replace(lower(regexp_replace(auth, ":[0-9]+$", "")), "^www\\.", "")
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last = element_at(parts, -1)
+    val second = when(n >= 2, element_at(parts, -2)).otherwise(lit(""))
+    val ccRule = last.rlike("^[a-z][a-z]$") &&
+      second.isin(ccSecondLevels.map(x => x: Any): _*)
+    val dom = when(n >= 3 && ccRule,
+        concat_ws(".", element_at(parts, -3), second, last))
+      .when(n >= 2, concat_ws(".", second, last))
+      .otherwise(lit(""))
+    when(regexp_extract(url, UrlRe, 1) === "" || dom === "", lit(null).cast("string"))
+      .otherwise(dom)
+  }
 }

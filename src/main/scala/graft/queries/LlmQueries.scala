@@ -1844,6 +1844,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // ccSLD-aware registered domain (round 13): foo.co.uk keys at the
+    // third label, foo.com at the second, non-URLs at NULL
+    "q_url_registered_cc" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val df = mediaIds(s, dir).map { id =>
+        val url = (id % 4) match {
+          case 0 => s"https://a$id.blog.foo${id % 7}.co.uk/x"
+          case 1 => s"http://www.bar${id % 5}.com/y"
+          case 2 => s"https://sub.baz$id.com.au/"
+          case _ => s"not a url $id"
+        }
+        (id, url)
+      }.toDF("doc_id", "url")
+      df.select(col("doc_id"),
+          graft.llm.UrlOps.registeredDomainCc(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // text normalization (round 13): three slices — exact mojibake
     // repair (Latin-1 round-trip), typographic folding (smart quotes /
     // em-dash / ellipsis / NBSP), and NFKC + zero-width strip
@@ -6075,6 +6094,16 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 5)) AS u(i)
         |WHERE u.i < 3 + doc_id % 3
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // registered-domain replay (round 13)
+    "q_url_registered_cc" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'foo' || (doc_id % 7) || '.co.uk'
+        |    WHEN 1 THEN 'bar' || (doc_id % 5) || '.com'
+        |    WHEN 2 THEN 'baz' || doc_id || '.com.au'
+        |    ELSE CAST(NULL AS VARCHAR) END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // normalization replay (round 13): the three repaired forms
     "q_normalize_text" ->

@@ -436,6 +436,15 @@ class LlmSpec extends SparkSpec {
     assert(got(2) == ((Some("https://b.org/x"), Some("b.org"))))
     assert(got(3) == ((Some("http://c.net/P?a=2&z=1"), Some("c.net"))))
     assert(got.drop(4).forall(_ == ((None, None))))
+    // ccSLD-aware variant: registry suffixes key at the third label
+    val cc = Seq(
+      "https://a.b.foo.co.uk/x", "http://bar.com/x", "https://deep.x.y.baz.ac.jp/",
+      "https://co.uk/", "http://site.info/x", "https://x.gov.br/p", "nope")
+      .toDF("url")
+      .select(UrlOps.registeredDomainCc(col("url")).as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(cc.toSeq == Seq(Some("foo.co.uk"), Some("bar.com"), Some("baz.ac.jp"),
+      Some("co.uk"), Some("site.info"), Some("x.gov.br"), None))
   }
 
   test("bm25 maxDf pruning: high-df terms stop generating candidates") {
