@@ -1872,6 +1872,55 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
   }
 
+  test("streaming normalize/readability/tables/frontmatter equal the batch paths") {
+    import spark.implicits._
+    import graft.llm.{Markdown, Multimodal, Tables, TextAnalysis, UrlOps}
+    val texts = (0L until 4L).map(id =>
+      (id, s"“q $id” — it’s fine. Ask Dr. Who $id."))
+    val pages = (0L until 3L).map(id => Multimodal.Media(id,
+      s"<table><tr><th>H</th></tr><tr><td>c$id</td><td colspan='2'>w</td></tr></table>"
+        .getBytes("UTF-8"), "h"))
+    val mds = (0L until 3L).map(id => (id, s"---\ntitle: T $id\n---\nbody"))
+    val tDf = texts.toDF("doc_id", "text")
+    val bNorm = TextAnalysis.normalizeText(tDf, "doc_id", "text").collect().toSet
+    val bFk = TextAnalysis.fleschKincaid(tDf, "doc_id", "text").collect().toSet
+    val bTab = Tables.tableCells(spark.createDataset(pages)).collect().toSet
+    val bFm = Markdown.mdFrontMatter(mds.toDF("doc_id", "src"), "doc_id", "src")
+      .collect().toSet
+    val bUrl = (0L until 3L).map(id => (id, s"https://x.foo$id.co.uk/p")).toDF("doc_id", "url")
+      .select(col("doc_id"), UrlOps.registeredDomainCc(col("url")).as("d")).collect().toSet
+    assert(bNorm.size == 4 && bFk.size == 4 && bTab.size == 9 && bFm.size == 3 &&
+      bUrl.size == 3, "batch premise")
+    val inT = MemoryStream[(Long, String)](spark)
+    val inP = MemoryStream[(Long, Array[Byte])](spark)
+    val inM = MemoryStream[(Long, String)](spark)
+    val inU = MemoryStream[(Long, String)](spark)
+    val q1 = TextAnalysis.normalizeText(inT.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("nw_nm").start()
+    val q2 = TextAnalysis.fleschKincaid(inT.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("nw_fk").start()
+    val q3 = Tables.tableCells(inP.toDS().map { case (id, b) => Multimodal.Media(id, b, "h") })
+      .toDF().writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("nw_tb").start()
+    val q4 = Markdown.mdFrontMatter(inM.toDF().toDF("doc_id", "src"), "doc_id", "src")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("nw_fm").start()
+    val q5 = inU.toDF().toDF("doc_id", "url")
+      .select(col("doc_id"), UrlOps.registeredDomainCc(col("url")).as("d"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("nw_ur").start()
+    try {
+      inT.addData(texts: _*)
+      inP.addData(pages.map(m => (m.doc_id, m.media)): _*)
+      inM.addData(mds: _*)
+      inU.addData((0L until 3L).map(id => (id, s"https://x.foo$id.co.uk/p")): _*)
+      Seq(q1, q2, q3, q4, q5).foreach(_.processAllAvailable())
+      assert(spark.table("nw_nm").collect().toSet == bNorm)
+      assert(spark.table("nw_fk").collect().toSet == bFk)
+      assert(spark.table("nw_tb").as[graft.llm.Tables.TableCell].collect().toSet == bTab)
+      assert(spark.table("nw_fm").collect().toSet == bFm)
+      assert(spark.table("nw_ur").collect().toSet == bUrl)
+    } finally Seq(q1, q2, q3, q4, q5).foreach(_.stop())
+  }
+
   test("streaming archive ingestion: tar entries and zip entries equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Archives, Multimodal}
