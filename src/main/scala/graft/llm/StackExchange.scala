@@ -121,7 +121,11 @@ object StackExchange {
       case 2 => com.github.luben.zstd.Zstd.compress(plain, 3)
       case 4 =>
         val bos = new java.io.ByteArrayOutputStream()
-        val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+        val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, 1)
+          // blockSize 1 (100 kB work arrays, not default 9's ~8 MB): fixture
+          // payloads are <4 kB, so the bytes out are identical while the
+          // per-call allocation storm that polluted the r13 driver-bench CPU
+          // reading (VERDICT r13 task 1) disappears
         z.write(plain); z.close()
         bos.toByteArray
       case _ => plain

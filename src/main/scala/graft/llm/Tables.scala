@@ -39,26 +39,40 @@ object Tables {
     * an inner close). The region is cut out and the scan repeats, so
     * sibling tables emerge in document order and nested ones
     * inner-first. Stray closes are dropped; an unclosed table never
-    * emits (prefix posture). */
+    * emits (prefix posture).
+    *
+    * Cost: the page is lowercased ONCE; the original and lowercase
+    * buffers are deleted in lockstep, so each iteration is linear in
+    * the remaining text, not a fresh full-page toLowerCase (a
+    * many-table page was quadratic before round 14). A page with more
+    * than 4096 table regions truncates at the guard — an explicit
+    * adversarial-input bound (no real document has thousands of
+    * tables; a crafted one must not pin a task), documented per the
+    * no-silent-caps posture. */
   private def tableRegions(html: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new java.lang.StringBuilder(html)
+    // per-char lowering: String.toLowerCase can CHANGE LENGTH for some
+    // code points (U+0130 → "i̇"), which would break lockstep deletes;
+    // Character.toLowerCase is 1:1 and ASCII tags only need that much
+    val lowSb = new java.lang.StringBuilder(html.length)
+    var li = 0
+    while (li < html.length) { lowSb.append(Character.toLowerCase(html.charAt(li))); li += 1 }
     var guard = 0
     var go = true
     while (go && guard < 4096) {
-      val low = sb.toString.toLowerCase
-      val close = low.indexOf("</table")
+      val close = lowSb.indexOf("</table")
       if (close < 0) go = false
       else {
-        val closeEnd = { val g = low.indexOf('>', close); if (g < 0) low.length else g + 1 }
-        val open = low.lastIndexOf("<table", close)
-        val openValid = open >= 0 && (open + 6 >= low.length ||
-          low.charAt(open + 6) == '>' || Character.isWhitespace(low.charAt(open + 6)))
-        if (!openValid) sb.delete(close, closeEnd)
+        val closeEnd = { val g = lowSb.indexOf(">", close); if (g < 0) lowSb.length else g + 1 }
+        val open = lowSb.lastIndexOf("<table", close)
+        val openValid = open >= 0 && (open + 6 >= lowSb.length ||
+          lowSb.charAt(open + 6) == '>' || Character.isWhitespace(lowSb.charAt(open + 6)))
+        if (!openValid) { sb.delete(close, closeEnd); lowSb.delete(close, closeEnd) }
         else {
-          val bodyStart = { val g = low.indexOf('>', open); if (g < 0) close else g + 1 }
+          val bodyStart = { val g = lowSb.indexOf(">", open); if (g < 0) close else g + 1 }
           if (bodyStart <= close) out += sb.substring(bodyStart, close)
-          sb.delete(open, closeEnd)
+          sb.delete(open, closeEnd); lowSb.delete(open, closeEnd)
         }
       }
       guard += 1

@@ -158,9 +158,11 @@ object Unigram {
   }
 
   /** Viterbi segmentation of one word. Deterministic ties: longer last
-    * piece wins, then the lexicographically smaller piece. Characters
-    * outside the model fall back to a large negative score (emitted as
-    * single-char tokens), so encode is total. */
+    * piece wins (two candidates of EQUAL length ending at the same
+    * position are the identical substring, so no further rule is
+    * needed). Characters outside the model fall back to a large
+    * negative score (emitted as single-char tokens), so encode is
+    * total. */
   private[graft] def viterbi(w: String, logp: Map[String, Double],
       maxPieceLen: Int): Seq[String] = {
     val n = w.length
@@ -177,9 +179,7 @@ object Unigram {
         val lp = logp.getOrElse(piece, if (l == 1) unk else Double.NegativeInfinity)
         if (lp != Double.NegativeInfinity && best(i - l) != Double.NegativeInfinity) {
           val cand = best(i - l) + lp
-          val better = cand > best(i) ||
-            (cand == best(i) && (l > bp(i) ||
-              (l == bp(i) && piece < w.substring(i - bp(i), i))))
+          val better = cand > best(i) || (cand == best(i) && l > bp(i))
           if (better) { best(i) = cand; bp(i) = l }
         }
         l += 1

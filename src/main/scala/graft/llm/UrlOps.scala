@@ -56,8 +56,14 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
-  /** Last two labels of the canonical host — the domain-cap / blocklist
-    * join key. NULL when the input is not a URL. */
+  /** LEGACY (round 14): last two labels of the canonical host. Under a
+    * ccTLD registry suffix this collapses every `.co.uk` site to the
+    * single pseudo-domain `co.uk` — at corpus scale one hot bucket
+    * absorbs a country's whole cap budget. Domain caps and blocklist
+    * joins key on [[registeredDomainCc]]; this form is kept only as
+    * the documented baseline the Cc variant is defined against (no
+    * query keys on it since round 14). NULL when the input is not a
+    * URL. */
   def registeredDomain(url: Column): Column = {
     val auth = regexp_extract(url, UrlRe, 2)
     val host = regexp_replace(lower(regexp_replace(auth, ":[0-9]+$", "")), "^www\\.", "")

@@ -150,7 +150,9 @@ object Wiki {
 
   /** One pass over `[[…]]` links: File/Image/Category links (whose
     * captions may nest further links) drop whole; others become their
-    * label (after the last top-level `|`) or target. Returns the
+    * label — everything after the FIRST top-level `|`, matching
+    * MediaWiki's rendering of a multi-pipe `[[a|b|c]]` as `b|c` for
+    * non-file links — or the target when there is no pipe. Returns the
     * rewritten string; caller loops while it changes (nested labels). */
   private def linkPass(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -158,19 +160,15 @@ object Wiki {
     val n = s.length
     while (i < n) {
       if (i + 1 < n && s.charAt(i) == '[' && s.charAt(i + 1) == '[') {
-        // find matching ]] with nesting; track first/last TOP-LEVEL pipe
+        // find matching ]] with nesting; track the first TOP-LEVEL pipe
         var j = i + 2
         var depth = 1
         var firstPipe = -1
-        var lastPipe = -1
         while (j + 1 < n && depth > 0) {
           if (s.charAt(j) == '[' && s.charAt(j + 1) == '[') { depth += 1; j += 2 }
           else if (s.charAt(j) == ']' && s.charAt(j + 1) == ']') { depth -= 1; if (depth > 0) j += 2 }
           else {
-            if (depth == 1 && s.charAt(j) == '|') {
-              if (firstPipe < 0) firstPipe = j
-              lastPipe = j
-            }
+            if (depth == 1 && s.charAt(j) == '|' && firstPipe < 0) firstPipe = j
             j += 1
           }
         }
@@ -180,7 +178,7 @@ object Wiki {
           val target = (if (firstPipe >= 0) s.substring(i + 2, firstPipe) else inner).trim
           val lowered = target.toLowerCase
           if (!dropPrefixes.exists(lowered.startsWith))
-            sb.append(if (lastPipe >= 0) s.substring(lastPipe + 1, j) else inner)
+            sb.append(if (firstPipe >= 0) s.substring(firstPipe + 1, j) else inner)
           i = j + 2
         }
       } else { sb.append(s.charAt(i)); i += 1 }
@@ -299,7 +297,11 @@ object Wiki {
         val split = pages.length / 2
         def bz(s: String): Array[Byte] = {
           val bos = new java.io.ByteArrayOutputStream()
-          val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+          val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, 1)
+          // blockSize 1 (100 kB work arrays, not default 9's ~8 MB): fixture
+          // payloads are <4 kB, so the bytes out are identical while the
+          // per-call allocation storm that polluted the r13 driver-bench CPU
+          // reading (VERDICT r13 task 1) disappears
           z.write(s.getBytes("UTF-8")); z.close()
           bos.toByteArray
         }

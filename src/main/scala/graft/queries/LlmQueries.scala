@@ -544,6 +544,29 @@ object LlmQueries {
       Sampling.capPerDomain(docs(s, dir), "doc_id", "source", maxPerDomain = 10)
         .select("doc_id", "source", "domain_rank").orderBy("doc_id")),
 
+    // URL-keyed domain caps on the ccSLD-aware registered domain (round
+    // 14, VERDICT r13 task 2): the fixture's case-0 branch lives under
+    // .co.uk, where the legacy 2-label key would collapse EVERY site to
+    // the single pseudo-domain "co.uk" and one hot bucket would absorb
+    // the whole UK cap budget — registeredDomainCc keys each site at the
+    // third label, so the cap applies per actual registrant. Same
+    // bounded min-k aggregator as q_domain_cap, never a per-domain
+    // window.
+    "q_domain_cap_url" -> ((s, dir) => {
+      val sub = concat(lit("a"), (col("doc_id") % 11).cast("string"))
+      val site = (col("doc_id") % 4).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://"), sub, lit(".site"), site, lit(".co.uk/p"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://www.site"), site, lit(".com/q"), col("doc_id").cast("string")))
+        .otherwise(
+          concat(lit("https://site"), site, lit(".com.au/r"), col("doc_id").cast("string")))
+      val d = docs(s, dir).select(col("doc_id")).withColumn("url", url)
+        .withColumn("domain", graft.llm.UrlOps.registeredDomainCc(col("url")))
+      Sampling.capPerDomain(d, "doc_id", "domain", maxPerDomain = 10)
+        .select("doc_id", "domain", "domain_rank").orderBy("doc_id")
+    }),
+
     // epoch-aware mixture upsampling: src0 at 2.5 epochs, src1 sub-sampled
     // to 0.25, src2 exactly 3, src3 dropped, everything else 1.0 — every
     // copy decision (floor + deterministic fractional coin) verified
@@ -682,7 +705,7 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id")).withColumn("url", url)
         .select(col("doc_id"), col("url"),
           graft.llm.UrlOps.canonicalize(col("url")).as("canonical_url"),
-          graft.llm.UrlOps.registeredDomain(col("url")).as("domain"))
+          graft.llm.UrlOps.registeredDomainCc(col("url")).as("domain"))
         .orderBy("doc_id")
     }),
 
@@ -4711,6 +4734,24 @@ object LlmQueries {
          |    ORDER BY tosigned(sm64(CAST(doc_id AS HUGEINT))), doc_id) AS rk
          |  FROM documents)
          |SELECT doc_id, source, CAST(rk AS BIGINT) AS domain_rank
+         |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // the ccSLD rule replayed arithmetically (site under .co.uk /
+    // .com.au keys at the THIRD label; www strips on .com), then the
+    // same row_number window form of the bounded cap
+    "q_domain_cap_url" ->
+      s"""${HashOracle.macros}
+         |WITH u AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 3 AS INTEGER)
+         |    WHEN 0 THEN 'site' || (doc_id % 4) || '.co.uk'
+         |    WHEN 1 THEN 'site' || (doc_id % 4) || '.com'
+         |    ELSE 'site' || (doc_id % 4) || '.com.au' END AS domain
+         |  FROM documents),
+         |r AS (SELECT doc_id, domain,
+         |  row_number() OVER (PARTITION BY domain
+         |    ORDER BY tosigned(sm64(CAST(doc_id AS HUGEINT))), doc_id) AS rk
+         |  FROM u)
+         |SELECT doc_id, domain, CAST(rk AS BIGINT) AS domain_rank
          |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     // Same splitmix64 bucket arithmetic as q_split_hash, per-stratum cuts

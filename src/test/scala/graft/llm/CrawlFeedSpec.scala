@@ -61,6 +61,27 @@ class CrawlFeedSpec extends AnyFunSuite {
     assert(Crawl.isAllowed(r2, "x", "/p/q"))
     // no groups at all → allowed
     assert(Crawl.isAllowed(Crawl.parseRobots(""), "x", "/q"))
+    // RFC 9309 §2.2.1 (round 14): rules from ALL groups carrying the
+    // selected token merge — a split-group robots.txt must not lose
+    // the second group's Allow, and the longest-match scan runs over
+    // the union
+    val r3 = Crawl.parseRobots(
+      """User-agent: grunt
+        |Disallow: /d/
+        |User-agent: other
+        |Disallow: /
+        |User-agent: grunt
+        |Allow: /d/deep/
+        |""".stripMargin)
+    assert(!Crawl.isAllowed(r3, "GruntBot/2", "/d/x"))
+    assert(Crawl.isAllowed(r3, "GruntBot/2", "/d/deep/x"),
+      "allow from the SECOND grunt group must merge in")
+    // the * fallback likewise merges every * group
+    val r4 = Crawl.parseRobots(
+      "User-agent: *\nDisallow: /a/\nUser-agent: x\nDisallow: /u/\nUser-agent: *\nAllow: /a/b/\n")
+    assert(!Crawl.isAllowed(r4, "Stranger", "/a/z"))
+    assert(Crawl.isAllowed(r4, "Stranger", "/a/b/z"),
+      "allow from the second * group must merge in")
   }
 
   test("feeds: rss vs atom, CDATA vs entity-encoded bodies, links") {

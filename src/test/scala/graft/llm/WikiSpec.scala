@@ -76,6 +76,9 @@ class WikiSpec extends AnyFunSuite {
     assert(Wiki.wikitextToText("{| class=x\n|-\n| c\n|}done") == "done")
     assert(Wiki.wikitextToText("[[Page]]") == "Page")
     assert(Wiki.wikitextToText("[[target|label]]") == "label")
+    // multi-pipe non-file link renders everything after the FIRST pipe
+    // (MediaWiki's rule; round 14 — lastPipe would have given just "c")
+    assert(Wiki.wikitextToText("[[a|b|c]]") == "b|c")
     assert(Wiki.wikitextToText("[[File:x.png|thumb|cap [[in]]]]y") == "y")
     assert(Wiki.wikitextToText("[[Category:C]]z") == "z")
     assert(Wiki.wikitextToText("[[image:u.jpg|a|b]]w") == "w")
