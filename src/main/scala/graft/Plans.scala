@@ -44,7 +44,15 @@ object Plans {
       "q_pipeline_wds_media" -> "WebDataset shard walk -> sample grouping -> BMP decode -> dHash: the whole multimodal first pass as consecutive map stages, media bytes never shuffle (round 13)",
       "q_pipeline_corpus" -> "compressed-JSONL ingest -> declarative field extraction -> Gopher gates with text passthrough -> exact-hash dedup: ONE plan, one shuffle (the dedup groupBy) (round 13)",
       "q_embed_pca" -> "PCA projection: broadcast-basis map stage over the embedding scan; the covariance pass is a separate bounded treeAggregate at fit time (round 13)",
-      "q_pipeline_crawl" -> "WARC walk -> HTTP-200 filter -> boilerplate block classification -> exact-hash dedup: record fanout and main-content extraction in the scan task, one shuffle (round 13)")
+      "q_pipeline_crawl" -> "WARC walk -> HTTP-200 filter -> boilerplate block classification -> exact-hash dedup: record fanout and main-content extraction in the scan task, one shuffle (round 13)",
+      "q_pipeline_wiki" -> "dump walk -> ns-0 non-redirect filter -> wikitext extraction -> exact-text dedup group: blob fanout and extraction in the scan task, ONE shuffle (the groupBy) (round 13, plan audited round 14)",
+      "q_pipeline_provenance" -> "CDX walk -> urlkey capture path -> broadcast-policy REP decision -> per-shard allow/deny counts: the decision is a closure over a driver-built policy riding the scan task, ONE shuffle (the groupBy) (round 13, plan audited round 14)",
+      "q_pipeline_pdf" -> "PDF page-tree walk -> content-stream text -> newline normalization -> quality gate: COS walk and every scoring column in consecutive map stages, NO shuffle before the output sort (round 13, plan audited round 14)",
+      "q_pipeline_code" -> "comment-strip by family -> exact-dedup group on stripped code: strip kernel in the scan task, ONE shuffle (the groupBy) (round 13, plan audited round 14)",
+      "q_pipeline_wds_curation" -> "WebDataset shard walk -> caption + image-signal scoring -> keep gate: sample grouping and BMP signal extraction in one typed map, media bytes never shuffle, NO exchange before the output sort (round 13, plan audited round 14)",
+      "q_domain_cap_url" -> "URL-keyed domain caps on the ccSLD-aware registered domain: codegen'd Column key + bounded min-k aggregation, no per-domain window (round 14)",
+      "q_wiki_slices" -> "multistream index -> slim slice rows: pure flatMap over index blobs — the ~40-byte slice row is ALL that ever shuffles of a 20 GB dump; the ranged-read decode (slicePagesFs) hangs off these rows (round 14)",
+      "q_multimodal_webp_dhash" -> "WebP VP8L full pixel decode + dHash: one typed map over the media scan, no exchange before the output sort (round 14)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.Plans` on `$dir`. After execution, codegen'd\n")

@@ -824,11 +824,12 @@ object Containers {
     * scrape, and ALL of this is structural — RIFF's self-describing
     * chunk sizes plus fixed-layout bitstream headers (the 3-byte VP8
     * keyframe tag + 9D 01 2A start code + 14-bit dims; VP8L's packed
-    * 14-bit dims/alpha/version byte; VP8X's 24-bit canvas dims) — so it
-    * passes the COVERAGE.md round-13 decision-record gate that parks
-    * full VP8L PIXEL decode (normative code-length-code order + 2D
-    * distance map): a parsing mistake here degrades to a None, never a
-    * silently wrong value. */
+    * 14-bit dims/alpha/version byte; VP8X's 24-bit canvas dims) — a
+    * parsing mistake here degrades to a None, never a silently wrong
+    * value. Full VP8L PIXEL decode landed in round 14 ([[Vp8l]]): its
+    * prefix codes are stream-carried and its one fixed neighbor map is
+    * derived from its generative rule, so it passes the COVERAGE.md
+    * decision-record bar that MP3 samples did not. */
   case class WebpMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
       format: String, has_alpha: Boolean, n_frames: Int)
 

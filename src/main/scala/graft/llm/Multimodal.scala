@@ -4393,6 +4393,9 @@ object Multimodal {
       else if (m != null && m.length >= 4 && m(0) == 'q' && m(1) == 'o' &&
         m(2) == 'i' && m(3) == 'f')
         decodeQoiGray(m)
+      else if (m != null && m.length >= 12 && m(0) == 'R' && m(1) == 'I' &&
+        m(2) == 'F' && m(3) == 'F' && Vp8l.isWebpLossless(m))
+        Vp8l.decodeGray(m) // WebP lossless (round 14); lossy VP8 stays None
       else None
     // EXIF orientation normalization (round 13): hash the DISPLAY
     // orientation, so rotated/mirrored re-exports of the same photo

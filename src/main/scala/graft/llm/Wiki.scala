@@ -263,29 +263,43 @@ object Wiki {
     * `compress`: 0 plain, 1 gzip, 2 bzip2 MULTISTREAM (the XML split
     * at a page boundary across two independent bz2 streams, the
     * Wikipedia layout). */
+  private def pageXml(p: (String, Int, Long, String, String)): String = {
+    val (title, ns, pid, redirect, text) = p
+    val sb = new java.lang.StringBuilder
+    sb.append("  <page>\n")
+    sb.append(s"    <title>${xmlEscape(title)}</title>\n")
+    sb.append(s"    <ns>$ns</ns>\n")
+    sb.append(s"    <id>$pid</id>\n")
+    if (redirect.nonEmpty)
+      sb.append(s"""    <redirect title="${xmlEscape(redirect)}" />""").append('\n')
+    sb.append("    <revision>\n")
+    sb.append(s"      <id>${pid * 7 + 1}</id>\n")
+    sb.append("      <timestamp>2026-01-02T03:04:05Z</timestamp>\n")
+    if (text.isEmpty)
+      sb.append("""      <text bytes="0" xml:space="preserve" />""").append('\n')
+    else
+      sb.append(s"""      <text xml:space="preserve">${xmlEscape(text)}</text>""").append('\n')
+    sb.append("    </revision>\n  </page>\n")
+    sb.toString
+  }
+
+  private val DumpHead =
+    "<mediawiki xml:lang=\"en\">\n  <siteinfo><sitename>Fixture</sitename></siteinfo>\n"
+  private val DumpTail = "</mediawiki>\n"
+
+  /** One bz2 stream of `s` (blockSize 1: fixture payloads are <4 kB). */
+  private def bz2Stream(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos, 1)
+    z.write(s.getBytes("UTF-8")); z.close()
+    bos.toByteArray
+  }
+
   def syntheticDump(pages: Seq[(String, Int, Long, String, String)],
       compress: Int): Array[Byte] = {
-    def pageXml(p: (String, Int, Long, String, String)): String = {
-      val (title, ns, pid, redirect, text) = p
-      val sb = new java.lang.StringBuilder
-      sb.append("  <page>\n")
-      sb.append(s"    <title>${xmlEscape(title)}</title>\n")
-      sb.append(s"    <ns>$ns</ns>\n")
-      sb.append(s"    <id>$pid</id>\n")
-      if (redirect.nonEmpty)
-        sb.append(s"""    <redirect title="${xmlEscape(redirect)}" />""").append('\n')
-      sb.append("    <revision>\n")
-      sb.append(s"      <id>${pid * 7 + 1}</id>\n")
-      sb.append("      <timestamp>2026-01-02T03:04:05Z</timestamp>\n")
-      if (text.isEmpty)
-        sb.append("""      <text bytes="0" xml:space="preserve" />""").append('\n')
-      else
-        sb.append(s"""      <text xml:space="preserve">${xmlEscape(text)}</text>""").append('\n')
-      sb.append("    </revision>\n  </page>\n")
-      sb.toString
-    }
-    val head = "<mediawiki xml:lang=\"en\">\n  <siteinfo><sitename>Fixture</sitename></siteinfo>\n"
-    val tail = "</mediawiki>\n"
+    val head = DumpHead
+    val tail = DumpTail
     compress match {
       case 1 =>
         val bos = new java.io.ByteArrayOutputStream()
@@ -295,19 +309,163 @@ object Wiki {
       case 2 =>
         // multistream: head + first half in stream 1, rest in stream 2
         val split = pages.length / 2
-        def bz(s: String): Array[Byte] = {
-          val bos = new java.io.ByteArrayOutputStream()
-          val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, 1)
-          // blockSize 1 (100 kB work arrays, not default 9's ~8 MB): fixture
-          // payloads are <4 kB, so the bytes out are identical while the
-          // per-call allocation storm that polluted the r13 driver-bench CPU
-          // reading (VERDICT r13 task 1) disappears
-          z.write(s.getBytes("UTF-8")); z.close()
-          bos.toByteArray
-        }
-        bz(head + pages.take(split).map(pageXml).mkString) ++
-          bz(pages.drop(split).map(pageXml).mkString + tail)
+        bz2Stream(head + pages.take(split).map(pageXml).mkString) ++
+          bz2Stream(pages.drop(split).map(pageXml).mkString + tail)
       case _ => (head + pages.map(pageXml).mkString + tail).getBytes("UTF-8")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Multistream index slicing (round 14, VERDICT r13 task 5): the
+  // ingest PATH to 100 TB. Wikipedia ships each multistream dump with
+  // a companion `…-index.txt.bz2` of `offset:pageid:title` lines whose
+  // offset is the byte position of the bz2 stream holding that page.
+  // Reading the index turns one 20 GB dump FILE into thousands of
+  // independently-decodable (offset, length) slices — each a complete
+  // bz2 stream whose payload is a bare <page> concatenation, which
+  // [[parseDump]] accepts by design (it never assumes the <mediawiki>
+  // root). One slice = one task: the dump parallelizes without ever
+  // materializing whole.
+  // ------------------------------------------------------------------
+
+  /** One index-derived slice of a multistream dump. `n_pages` and
+    * `first_page_id` come from the index lines sharing the offset. */
+  case class WikiSlice(doc_id: Long, slice_idx: Int, offset: Long,
+      length: Long, n_pages: Long, first_page_id: Long)
+
+  /** An index blob plus the dump file's total byte length (the index
+    * alone cannot bound its last slice). */
+  case class WikiIndexSrc(doc_id: Long, index: Array[Byte], dump_len: Long)
+
+  /** Index walk: bz2/gzip/plain `offset:pageid:title` lines →
+    * (offset, pageId, title). Titles may contain ':' — only the first
+    * two colons delimit. Corrupt lines are skipped (keep what parses,
+    * never throw). */
+  private[graft] def parseIndex(raw: Array[Byte]): Seq[(Long, Long, String)] = {
+    if (raw == null || raw.length == 0) return Nil
+    val b =
+      if (raw.length >= 2 && (raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B)
+        Warc.gunzipAll(raw).getOrElse(return Nil)
+      else if (raw.length >= 3 && raw(0) == 'B' && raw(1) == 'Z' && raw(2) == 'h')
+        bunzipAll(raw).getOrElse(return Nil)
+      else raw
+    val text = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    text.split("\n", -1).toSeq.flatMap { line0 =>
+      val line = line0.stripSuffix("\r")
+      val c1 = line.indexOf(':')
+      val c2 = if (c1 < 0) -1 else line.indexOf(':', c1 + 1)
+      if (c2 < 0) None
+      else for {
+        off <- line.substring(0, c1).toLongOption
+        pid <- line.substring(c1 + 1, c2).toLongOption
+        if off >= 0 && pid >= 0
+      } yield (off, pid, line.substring(c2 + 1))
+    }
+  }
+
+  /** Distinct offsets in order → (offset, length) ranges; the last
+    * slice runs to `dumpLen` (which may append the closing-root tail
+    * stream — concatenated-mode bunzip plus the rootless page walk
+    * make that harmless by construction). */
+  private[graft] def sliceRanges(entries: Seq[(Long, Long, String)],
+      dumpLen: Long): Seq[(Long, Long)] = {
+    val offs = entries.map(_._1).distinct.sorted.filter(o => o >= 0 && o < dumpLen)
+    offs.zipWithIndex.map { case (o, i) =>
+      val end = if (i + 1 < offs.length) offs(i + 1) else dumpLen
+      (o, end - o)
+    }.filter(_._2 > 0)
+  }
+
+  /** Index blobs → slice rows, a pure flatMap kernel. The slim (no
+    * dump bytes) output is what a 100 TB planner shuffles or ranges
+    * over — ~40 bytes per slice for a 20 GB dump's ~200k streams. */
+  def indexSlices(ds: Dataset[WikiIndexSrc]): Dataset[WikiSlice] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { src =>
+      val entries = parseIndex(src.index)
+      val byOff = entries.groupBy(_._1)
+      sliceRanges(entries, src.dump_len).zipWithIndex.map { case ((off, len), i) =>
+        val here = byOff.getOrElse(off, Nil)
+        WikiSlice(src.doc_id, i, off, len, here.length.toLong,
+          if (here.isEmpty) -1L else here.map(_._2).min)
+      }
+    })
+  }
+
+  /** The per-slice decode kernel: one (dump bytes, index bytes) pair →
+    * (slice_idx, page) via real slicing — each slice's bytes are cut
+    * at the index offsets and walked independently, exactly what the
+    * ranged-read path does per task. */
+  private[graft] def pagesBySlice(dump: Array[Byte], index: Array[Byte]): Seq[(Int, WikiPage)] = {
+    if (dump == null) return Nil
+    sliceRanges(parseIndex(index), dump.length.toLong).zipWithIndex.flatMap {
+      case ((off, len), si) =>
+        parseDump(java.util.Arrays.copyOfRange(dump, off.toInt, (off + len).toInt))
+          .map(p => (si, p))
+    }
+  }
+
+  /** Slice rows → pages via Hadoop FS RANGED reads: each task opens
+    * `path(doc)` once per partition, seeks to its slices' offsets, and
+    * reads exactly `length` bytes — the dump file never materializes
+    * whole anywhere, and `slices.repartition(n)` IS the parallelism
+    * dial. This is the 100 TB ingest form; the hermetic fixture form
+    * is [[pagesBySlice]] with in-row bytes (same kernel after the
+    * read). Slices whose range cannot be read (file gone, short read)
+    * are skipped — corrupt-input posture, never a task failure. */
+  def slicePagesFs(slices: Dataset[(WikiSlice, String)]): Dataset[WikiPage] = {
+    val spark = slices.sparkSession
+    import spark.implicits._
+    slices.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val opened = scala.collection.mutable.LinkedHashMap
+        .empty[String, org.apache.hadoop.fs.FSDataInputStream]
+      def streamFor(path: String) = opened.getOrElseUpdate(path, {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).open(p)
+      })
+      val out = it.flatMap { case (s, path) =>
+        try {
+          val in = streamFor(path)
+          val buf = new Array[Byte](s.length.toInt)
+          in.readFully(s.offset, buf) // positioned read: thread-safe, seek-free
+          parseDump(buf).map(p => p.copy(doc_id = s.doc_id, page_idx = s.slice_idx))
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      // LinkedHashMap keeps at most one stream per distinct path in the
+      // partition; Spark closes task resources with the iterator, and
+      // the streams are cheap positioned-read handles
+      out
+    }
+  }
+
+  /** Fixture: a REAL multistream dump + its REAL index. Stream layout:
+    * header stream (siteinfo, no pages), `streams` page streams (page
+    * i goes to stream i*streams/nPages — contiguous chunks, replayable
+    * integer arithmetic), and a closing-root tail stream. The index
+    * lines carry the true byte offsets recorded while concatenating,
+    * bz2-compressed like the real `-index.txt.bz2`. */
+  def syntheticMultistreamIndexed(pages: Seq[(String, Int, Long, String, String)],
+      streams: Int): (Array[Byte], Array[Byte]) = {
+    require(streams >= 1 && streams <= pages.length)
+    val dump = new java.io.ByteArrayOutputStream()
+    dump.write(bz2Stream(DumpHead))
+    val indexLines = new java.lang.StringBuilder
+    var j = 0
+    while (j < streams) {
+      val chunk = pages.zipWithIndex
+        .filter { case (_, i) => i * streams / pages.length == j }
+        .map(_._1)
+      val off = dump.size.toLong
+      chunk.foreach { p =>
+        indexLines.append(off).append(':').append(p._3).append(':')
+          .append(p._1).append('\n')
+      }
+      dump.write(bz2Stream(chunk.map(pageXml).mkString))
+      j += 1
+    }
+    dump.write(bz2Stream(DumpTail))
+    (dump.toByteArray, bz2Stream(indexLines.toString))
   }
 }

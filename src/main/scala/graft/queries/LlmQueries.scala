@@ -1783,6 +1783,39 @@ object LlmQueries {
         .orderBy("doc_id", "page_idx")
     }),
 
+    // multistream index slicing (round 14, VERDICT r13 task 5): a REAL
+    // dump (header stream + 2-3 page streams + tail stream) with its
+    // REAL bz2 index of offset:pageid:title lines — the indexSlices
+    // OPERATOR must read true byte offsets back and pair each with the
+    // pages the index attributes to it; offsets/lengths are compressed
+    // sizes (not replayable) so the oracle pins the slice→page algebra
+    "q_wiki_slices" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val src = mediaIds(s, dir).map { id =>
+        val (dump, index) = wikiMsFixture(id)
+        Wiki.WikiIndexSrc(id, index, dump.length.toLong)
+      }
+      Wiki.indexSlices(src).toDF()
+        .select(col("doc_id"), col("slice_idx"), col("n_pages"), col("first_page_id"))
+        .orderBy("doc_id", "slice_idx")
+    }),
+
+    // and the slices DECODED: each index-derived (offset, length) range
+    // is cut out of the dump bytes and walked independently — the page
+    // set must equal the whole-dump walk, with each page landing in the
+    // slice the index put it in (the per-task unit of the 100 TB path)
+    "q_wiki_slice_pages" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      mediaIds(s, dir).flatMap { id =>
+        val (dump, index) = wikiMsFixture(id)
+        Wiki.pagesBySlice(dump, index)
+          .map { case (si, p) => (id, si, p.page_id, p.title, p.text) }
+      }.toDF("doc_id", "slice_idx", "page_id", "title", "page_text")
+        .orderBy("doc_id", "page_id")
+    }),
+
     // wikitext → plain text (round 13): nested templates, a table, a
     // piped and a plain wikilink, a File link whose caption nests a
     // further link, a Category, refs (paired and self-closing), a
@@ -2193,6 +2226,21 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = mediaIds(s, dir).map(qoiMedia _)
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // and through a REAL WebP-lossless file (round 14): the VP8L decode
+    // chain — stream-carried prefix codes, color cache, LZ77 backward
+    // refs, subtract-green / palette / predictor transforms, cycled per
+    // id — must be invisible to the hash; the oracle replays pixels only
+    "q_multimodal_webp_dhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(webpLosslessMedia _)
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2650,6 +2698,26 @@ object LlmQueries {
       base + delta
     }
     Multimodal.Media(id, Multimodal.syntheticQoi(w, h, gray), "image/qoi")
+  }
+
+  /** The same pixels through a REAL WebP-lossless (VP8L) file (round
+    * 14): id%6 cycles the encoder variant — flat literal codes, color
+    * cache, LZ77 at direct distances, subtract-green, color-indexing
+    * palette, predictor transform — so all six bitstream shapes are
+    * load-bearing across the corpus while the oracle replays pixels
+    * only ([[graft.llm.Vp8l.syntheticWebpGray]]). */
+  private def webpLosslessMedia(id: Long): Multimodal.Media = {
+    val w = 18
+    val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val base = (((id % 40) * 31 + x * 7 + y * 13) % 176).toInt
+      val delta = if (x < 2 && y < 2) (((id / 40) % 3) * 40).toInt else 0
+      base + delta
+    }
+    Multimodal.Media(id, graft.llm.Vp8l.syntheticWebpGray(w, h, gray, (id % 6).toInt),
+      "image/webp")
   }
 
   /** [[dhashMedia]]'s pixels rendered through a REAL GIF (LZW stream,
@@ -3362,6 +3430,19 @@ object LlmQueries {
          |End &amp; fin$id.
          |""".stripMargin
     Multimodal.Media(id, src.getBytes("UTF-8"), "text/x-wiki")
+  }
+
+  /** The q_wiki_slices fixture (round 14): a REAL multistream dump of
+    * P = 4 + id%3 pages across S = 2 + id%2 page streams (page i →
+    * stream i·S/P, exact integer arithmetic the oracle replays), plus
+    * its REAL bz2 index. Titles carry a ':' so only the index line's
+    * first two colons may delimit. */
+  private def wikiMsFixture(id: Long): (Array[Byte], Array[Byte]) = {
+    val p = (4 + id % 3).toInt
+    val s = (2 + id % 2).toInt
+    val pages = (0 until p).map(i =>
+      (s"Pg $id:$i", 0, id * 100 + i, "", s"body $id $i"))
+    Wiki.syntheticMultistreamIndexed(pages, s)
   }
 
   /** The q_pipeline_wiki fixture (round 13): docs 2k and 2k+1 carry
@@ -6398,6 +6479,32 @@ object LlmQueries {
         |WHERE u.i < 1 + doc_id % 3
         |ORDER BY doc_id, page_idx""".stripMargin,
 
+    // slice replay (round 14): page i of P = 4+id%3 lands in slice
+    // i·S/P (S = 2+id%2) — counts and first ids per slice, exact
+    // integer arithmetic; byte offsets/lengths are compressed sizes
+    // and deliberately out of the compare
+    "q_wiki_slices" ->
+      """WITH p AS (SELECT doc_id, u.i AS i FROM documents,
+        |  unnest(generate_series(0, 5)) AS u(i) WHERE u.i < 4 + doc_id % 3),
+        |s AS (SELECT doc_id,
+        |  CAST(i * (2 + doc_id % 2) // (4 + doc_id % 3) AS INTEGER) AS slice_idx,
+        |  doc_id * 100 + i AS pid FROM p)
+        |SELECT doc_id, slice_idx, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(min(pid) AS BIGINT) AS first_page_id
+        |FROM s GROUP BY doc_id, slice_idx ORDER BY doc_id, slice_idx""".stripMargin,
+
+    // slice-decode replay (round 14): every page field closed-form,
+    // tagged with the slice the index routed it through
+    "q_wiki_slice_pages" ->
+      """WITH p AS (SELECT doc_id, u.i AS i FROM documents,
+        |  unnest(generate_series(0, 5)) AS u(i) WHERE u.i < 4 + doc_id % 3)
+        |SELECT doc_id,
+        |  CAST(i * (2 + doc_id % 2) // (4 + doc_id % 3) AS INTEGER) AS slice_idx,
+        |  CAST(doc_id * 100 + i AS BIGINT) AS page_id,
+        |  'Pg ' || doc_id || ':' || i AS title,
+        |  'body ' || doc_id || ' ' || i AS page_text
+        |FROM p ORDER BY doc_id, page_id""".stripMargin,
+
     // wikitext replay (round 13): the exact extracted prose
     "q_wiki_text" ->
       """SELECT doc_id,
@@ -6708,6 +6815,29 @@ object LlmQueries {
 
     // identical replay again: the QOI op stream must be invisible
     "q_multimodal_qoi_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, u.x AS x, v.y AS y,
+        |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |         + CASE WHEN u.x < 2 AND v.y < 2 THEN ((doc_id // 40) % 3) * 40 ELSE 0 END AS g
+        |  FROM documents, unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical replay again: six VP8L bitstream shapes, one arithmetic
+    // truth — a decoder shortcut on any variant breaks a sixth of rows
+    "q_multimodal_webp_dhash" ->
       """WITH px AS (
         |  SELECT doc_id, u.x AS x, v.y AS y,
         |         ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176

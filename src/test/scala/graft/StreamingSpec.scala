@@ -472,15 +472,20 @@ class StreamingSpec extends SparkSpec {
     // still be suppressed — the stream kernel decodes all real formats
     val near = Multimodal.syntheticPngPixels(18, 16, nearPx, colorType = 2,
       rowFilters = Seq(1, 4, 2))
+    // a second re-export of the same image as WebP-lossless (r14): the
+    // VP8L decode rides the same shared kernel, so it too must suppress
+    val nearWebp = graft.llm.Vp8l.syntheticWebpGray(18, 16, nearPx, variant = 1)
     val far = Multimodal.syntheticGifPixels(18, 16, farPx)
     val garbage = "not an image at all".getBytes("US-ASCII")
     // batch premise: base/near must pair ACROSS containers, base/far must not
     import spark.implicits._
     val batchPairs = Multimodal.imageNearDupPairs(Seq(
         Multimodal.Media(0L, base, "image/bmp"), Multimodal.Media(1L, near, "image/png"),
-        Multimodal.Media(2L, far, "image/gif")).toDS(), maxHamming = 3)
+        Multimodal.Media(2L, far, "image/gif"),
+        Multimodal.Media(3L, nearWebp, "image/webp")).toDS(), maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(batchPairs.contains((0L, 1L)) && !batchPairs.exists(p => p._1 == 2L || p._2 == 2L),
+    assert(batchPairs.contains((0L, 1L)) && batchPairs.contains((0L, 3L)) &&
+      !batchPairs.exists(p => p._1 == 2L || p._2 == 2L),
       s"fixture premise broken: $batchPairs")
     val out = StreamingDedup.imageNearDupFirstSeen(
       in.toDF().toDF("ts", "media"), "media", "ts", "10 seconds")
@@ -490,6 +495,8 @@ class StreamingSpec extends SparkSpec {
       in.addData(ts(10) -> base, ts(11) -> garbage)
       q.processAllAvailable()
       in.addData(ts(12) -> near, ts(13) -> far) // in-horizon: near must drop
+      q.processAllAvailable()
+      in.addData(ts(14) -> nearWebp) // in-horizon webp re-export: drop too
       q.processAllAvailable()
       in.addData(ts(100) -> Multimodal.syntheticBmpPixels(18, 16,
         Array.fill(18 * 16)(7))) // window flusher
@@ -501,6 +508,7 @@ class StreamingSpec extends SparkSpec {
         .map(_.toSeq).toSet
       assert(got.contains(base.toSeq), "first arrival must pass")
       assert(!got.contains(near.toSeq), "in-horizon near-dup must be suppressed")
+      assert(!got.contains(nearWebp.toSeq), "webp re-export must be suppressed")
       assert(got.contains(far.toSeq), "distinct image must pass")
       assert(got.contains(garbage.toSeq), "undecodable media must pass through")
     } finally q.stop()

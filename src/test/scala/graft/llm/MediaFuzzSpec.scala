@@ -79,7 +79,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     "sentenceSplit" -> (b => TextAnalysis.splitSentences(new String(b, "UTF-8"))),
     "surt" -> (b => Crawl.surt(new String(b, "UTF-8"))),
     "htmlTables" -> (b => Tables.parseTables(new String(b, "UTF-8"))),
-    "frontMatter" -> (b => Markdown.frontMatter(new String(b, "UTF-8"))))
+    "frontMatter" -> (b => Markdown.frontMatter(new String(b, "UTF-8"))),
+    "vp8lDecode" -> (b => Vp8l.decodeGray(b)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -103,6 +104,11 @@ class MediaFuzzSpec extends AnyFunSuite {
         (2, 2, 6, 5, Array.fill(30)(99), 3))),
       "icoDib" -> Multimodal.syntheticIco(18, 16, px),
       "qoi" -> Multimodal.syntheticQoi(18, 16, px),
+      "webpLiterals" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 0),
+      "webpCache" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 1),
+      "webpLz77" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 2),
+      "webpPalette" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 4),
+      "webpPredictor" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 5),
       "icoPng" -> Multimodal.syntheticIco(18, 16, px, png = true),
       "jpeg" -> Multimodal.syntheticJpegPixels(24, 16, Array.tabulate(24 * 16)(i => i % 200)),
       "jpegExif" -> Multimodal.withExifOrientation(

@@ -10,6 +10,47 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class WikiSpec extends AnyFunSuite {
 
+  private val msPages = (0 until 7).map(i =>
+    (s"T $i:colon", 0, 100L + i, "", s"body $i"))
+
+  test("multistream index: offsets real, titles keep their colons") {
+    val (dumpB, indexB) = Wiki.syntheticMultistreamIndexed(msPages, 3)
+    val idx = Wiki.parseIndex(indexB)
+    assert(idx.length === 7)
+    assert(idx.map(_._2) === (100L to 106L))
+    assert(idx.map(_._3) === msPages.map(_._1), "first-two-colons rule")
+    // offsets are REAL stream positions: each distinct offset starts 'BZh'
+    idx.map(_._1).distinct.foreach { off =>
+      assert(dumpB(off.toInt) === 'B'.toByte && dumpB(off.toInt + 1) === 'Z'.toByte)
+    }
+    // page i → stream i*3/7: chunks of 3, 2, 2
+    val ranges = Wiki.sliceRanges(idx, dumpB.length.toLong)
+    assert(ranges.length === 3)
+    assert(idx.groupBy(_._1).view.mapValues(_.length).values.toSeq.sorted === Seq(2, 2, 3))
+    // corrupt index lines skip, never throw
+    assert(Wiki.parseIndex("x:y\n12:34:ok\n:::\n9:9".getBytes("UTF-8"))
+      === Seq((12L, 34L, "ok")))
+    assert(Wiki.parseIndex(Array[Byte]('B', 'Z', 'h', 0, 1)) === Nil)
+    assert(Wiki.parseIndex(null) === Nil)
+  }
+
+  test("multistream slices: per-slice decode equals the whole-dump walk") {
+    val (dumpB, indexB) = Wiki.syntheticMultistreamIndexed(msPages, 3)
+    val whole = Wiki.parseDump(dumpB)
+    assert(whole.map(_.page_id) === (100L to 106L))
+    val sliced = Wiki.pagesBySlice(dumpB, indexB)
+    assert(sliced.map(_._2.page_id).sorted === whole.map(_.page_id))
+    assert(sliced.map { case (si, p) => (si, p.title, p.text) }.toSet ===
+      msPages.zipWithIndex.map { case ((t, _, _, _, txt), i) =>
+        (i * 3 / 7, t, txt) }.toSet)
+    // every slice is independently decodable — no slice sees the root
+    val ranges = Wiki.sliceRanges(Wiki.parseIndex(indexB), dumpB.length.toLong)
+    ranges.foreach { case (o, l) =>
+      val ps = Wiki.parseDump(java.util.Arrays.copyOfRange(dumpB, o.toInt, (o + l).toInt))
+      assert(ps.nonEmpty)
+    }
+  }
+
   private def dump(compress: Int) = Wiki.syntheticDump(Seq(
     ("Alpha & Beta", 0, 11L, "", "Body '''one''' & more"),
     ("Talk:Alpha", 1, 12L, "", ""),
