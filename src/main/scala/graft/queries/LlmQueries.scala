@@ -1816,6 +1816,28 @@ object LlmQueries {
         .orderBy("doc_id", "page_id")
     }),
 
+    // the FS RANGED-READ slice path itself (round 14): one on-disk
+    // multistream dump of 64 pages / 16 streams; slim slice rows fan
+    // out to tasks that each do one positioned readFully — the dump
+    // never enters the plan as a blob. Deterministic file content, so
+    // the write is idempotent across reps.
+    "q_wiki_slices_fs" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val pages = (0 until 64).map(i => (s"F $i", 0, 1000L + i, "", s"fs body $i"))
+      val (dump, index) = Wiki.syntheticMultistreamIndexed(pages, 16)
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q_wiki_slices_fs.xml.bz2")
+      java.nio.file.Files.write(f.toPath, dump)
+      val path = f.getAbsolutePath
+      val src = Seq(Wiki.WikiIndexSrc(0L, index, dump.length.toLong)).toDS()
+      val slices = Wiki.indexSlices(src).map(sl => (sl, path))
+        .repartition(8) // one task per slice group: the parallelism dial
+      Wiki.slicePagesFs(slices).toDF()
+        .select(col("page_id"), col("title"), col("text").as("page_text"))
+        .orderBy("page_id")
+    }),
+
     // wikitext → plain text (round 13): nested templates, a table, a
     // piped and a plain wikilink, a File link whose caption nests a
     // further link, a Category, refs (paired and self-closing), a
@@ -6504,6 +6526,15 @@ object LlmQueries {
         |  'Pg ' || doc_id || ':' || i AS title,
         |  'body ' || doc_id || ' ' || i AS page_text
         |FROM p ORDER BY doc_id, page_id""".stripMargin,
+
+    // ranged-read replay (round 14): 64 closed-form pages, independent
+    // of the documents table — the path under test is the IO shape
+    "q_wiki_slices_fs" ->
+      """SELECT CAST(1000 + u.i AS BIGINT) AS page_id,
+        |  'F ' || u.i AS title,
+        |  'fs body ' || u.i AS page_text
+        |FROM unnest(generate_series(0, 63)) AS u(i)
+        |ORDER BY page_id""".stripMargin,
 
     // wikitext replay (round 13): the exact extracted prose
     "q_wiki_text" ->

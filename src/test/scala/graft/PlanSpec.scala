@@ -499,7 +499,19 @@ class PlanSpec extends SparkSpec {
         "videoSceneCuts" -> graft.llm.VideoStats.sceneCuts(
           ids.map(id => Multimodal.Media(id,
             Multimodal.syntheticY4m(18, 16, Seq(px, px.map(v => 255 - v))),
-            "video/x-yuv4mpeg")), sampleFrames = 2).toDF())) {
+            "video/x-yuv4mpeg")), sampleFrames = 2).toDF(),
+        // round 14: VP8L pixel decode and the multistream slice rows
+        // are map stages like the rest — webp bytes and index blobs
+        // stay in their scan partitions
+        "imageDHash/webpVp8l" -> Multimodal.imageDHash(
+          ids.map(id => Multimodal.Media(id, graft.llm.Vp8l.syntheticWebpGray(
+            18, 16, px.map(_ % 176), (id % 6).toInt), "image/webp"))).toDF(),
+        "wikiIndexSlices" -> graft.llm.Wiki.indexSlices(
+          ids.map { id =>
+            val pages = (0 until 4).map(i => (s"P $id:$i", 0, id * 10 + i, "", s"b $i"))
+            val (dump, index) = graft.llm.Wiki.syntheticMultistreamIndexed(pages, 2)
+            graft.llm.Wiki.WikiIndexSrc(id, index, dump.length.toLong)
+          }).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }

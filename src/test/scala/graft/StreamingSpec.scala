@@ -1579,6 +1579,34 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming wiki index slices: stream rows equal the batch kernel (r14)") {
+    import spark.implicits._
+    import graft.llm.Wiki
+    // index blobs arrive on a stream (a dump-mirror watcher); the slim
+    // slice rows must match the batch kernel row-for-row — indexSlices
+    // is the same pure flatMap on both sides
+    val srcs = (1L to 4L).map { id =>
+      val pages = (0 until (3 + id % 3).toInt).map(i =>
+        (s"S $id:$i", 0, id * 50 + i, "", s"t $id $i"))
+      val (dump, index) = Wiki.syntheticMultistreamIndexed(pages, 2 + (id % 2).toInt)
+      Wiki.WikiIndexSrc(id, index, dump.length.toLong)
+    }
+    val batch = Wiki.indexSlices(srcs.toDS()).collect().toSet
+    assert(batch.nonEmpty && batch.forall(_.n_pages > 0), "batch premise")
+    val in = MemoryStream[Wiki.WikiIndexSrc](spark)
+    val q = Wiki.indexSlices(in.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("wiki_slices").start()
+    try {
+      in.addData(srcs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(srcs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("wiki_slices").as[Wiki.WikiSlice].collect().toSet
+      assert(got == batch, "slice stream == batch")
+    } finally q.stop()
+  }
+
   test("streaming WARC ingestion: stream records equal the batch walk") {
     // the archive reader is a flatMap kernel, so a live crawl feed runs
     // the identical code path — records fan out per input blob
