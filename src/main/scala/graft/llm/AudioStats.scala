@@ -68,4 +68,133 @@ object AudioStats {
       }
     })
   }
+
+  /** One voice-activity segment: [start_frame, end_frame] inclusive,
+    * with the frame grid fixed at `frameLen` samples; `n_active` counts
+    * the active frames inside (merged gaps are inactive frames the
+    * hangover rule bridged). Millisecond bounds are integer arithmetic
+    * on the decoder's sample rate. */
+  case class VadSegment(doc_id: Long, seg_idx: Int, start_frame: Long,
+      end_frame: Long, n_frames: Long, n_active: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** Energy-based voice-activity segmentation (round 14): the
+    * speech-pipeline admission operator — before audio is worth
+    * transcribing, an ASR corpus run wants "where is the speech", both
+    * to drop dead air and to cut long files at silence boundaries.
+    * Classic frame-energy VAD with a hangover: the mono PCM (same
+    * shared decode as the near-dup hash — WAV all widths, FLAC,
+    * AIFF/AIFF-C, AU, G.711) is cut into fixed `frameLen`-sample
+    * frames (the tail partial frame is dropped — a fixed grid is what
+    * makes the oracle exact); a frame is ACTIVE when its mean |s|
+    * (integer division) reaches `energyThresh`; active runs separated
+    * by at most `mergeGap` inactive frames merge into one segment (the
+    * hangover — speech has sub-200 ms stops that are not boundaries).
+    *
+    * Everything is integer-exact, so the DuckDB oracle replays the
+    * whole decision — frame energies, the threshold, and the
+    * gap-tolerant island merge (lag + running-start-count form).
+    *
+    * Scale shape: a pure flatMap over the media scan, segments out,
+    * bytes never shuffle; state per task is one frame accumulator.
+    * Undecodable or sub-frame audio emits nothing (corrupt-input
+    * posture; [[stats]] keeps the accounting row). */
+  def vadSegments(ds: Dataset[Media], frameLen: Int = 160,
+      energyThresh: Int = 200, mergeGap: Int = 1): Dataset[VadSegment] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    require(frameLen > 0 && energyThresh >= 0 && mergeGap >= 0)
+    ds.mapPartitions(_.flatMap { m =>
+      decodeRegions(m.media, frameLen, energyThresh, mergeGap) match {
+        case Some((rate, regions)) =>
+          regions.zipWithIndex.map { case ((start, end, nAct), i) =>
+            VadSegment(m.doc_id, i, start, end, end - start + 1, nAct,
+              start * frameLen * 1000L / rate,
+              (end + 1) * frameLen * 1000L / rate)
+          }
+        case None => Nil
+      }
+    })
+  }
+
+  /** Shared island walk: frame energies → merged active regions
+    * (start, end inclusive, n_active), plus the sample rate. None when
+    * undecodable or shorter than one frame. */
+  private def decodeRegions(media: Array[Byte], frameLen: Int,
+      energyThresh: Int, mergeGap: Int): Option[(Int, Seq[(Long, Long, Long)])] =
+    Multimodal.audioPcmOf(media) match {
+      case Some((rate, _, s)) if rate > 0 && s.length >= frameLen =>
+        val nFrames = s.length / frameLen
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        var segStart = -1L
+        var lastActive = -1L
+        var nAct = 0L
+        def close(): Unit = if (segStart >= 0) {
+          out += ((segStart, lastActive, nAct))
+          segStart = -1L; nAct = 0L
+        }
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0L
+          var i = f * frameLen
+          val end = i + frameLen
+          while (i < end) { sum += math.abs(s(i)); i += 1 }
+          if (sum / frameLen >= energyThresh) {
+            if (segStart >= 0 && f - lastActive > mergeGap + 1) close()
+            if (segStart < 0) segStart = f
+            lastActive = f
+            nAct += 1
+          }
+          f += 1
+        }
+        close()
+        Some((rate, out.result()))
+      case _ => None
+    }
+
+  /** One transcription-ready chunk: a slice of a speech region, capped
+    * at `maxFrames`. `region_idx` ties chunks back to the silence-split
+    * region they came from. */
+  case class AsrChunk(doc_id: Long, chunk_idx: Int, region_idx: Int,
+      start_frame: Long, end_frame: Long, n_frames: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** ASR chunking (round 14): the step between VAD and a transcription
+    * model — long audio must be cut into bounded pieces WITHOUT cutting
+    * through speech. Deterministic two-level rule (each level exactly
+    * replayable in SQL): split at every silence of more than
+    * `gapSplit` inactive frames (the same island walk as [[vadSegments]]
+    * with `gapSplit` as the hangover), then hard-split any region
+    * longer than `maxFrames` on the frame grid FROM THE REGION START
+    * (a region of span S yields ceil(S / maxFrames) chunks) — greedy
+    * per-segment packing was rejected exactly because a running-reset
+    * fold has no window-function replay, and the grid rule loses
+    * nothing an ASR consumer cares about. Pure flatMap over the scan,
+    * one frame accumulator of state. */
+  def asrChunks(ds: Dataset[Media], frameLen: Int = 160,
+      energyThresh: Int = 200, gapSplit: Int = 5, maxFrames: Int = 1500)
+      : Dataset[AsrChunk] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    require(maxFrames > 0 && gapSplit >= 0)
+    ds.mapPartitions(_.flatMap { m =>
+      decodeRegions(m.media, frameLen, energyThresh, gapSplit) match {
+        case Some((rate, regions)) =>
+          var chunkIdx = 0
+          regions.zipWithIndex.flatMap { case ((start, end, _), ri) =>
+            val span = end - start + 1
+            val n = ((span + maxFrames - 1) / maxFrames).toInt
+            (0 until n).map { c =>
+              val cs = start + c.toLong * maxFrames
+              val ce = math.min(end, cs + maxFrames - 1)
+              val chunk = AsrChunk(m.doc_id, chunkIdx, ri, cs, ce, ce - cs + 1,
+                cs * frameLen * 1000L / rate, (ce + 1) * frameLen * 1000L / rate)
+              chunkIdx += 1
+              chunk
+            }
+          }
+        case None => Nil
+      }
+    })
+  }
 }

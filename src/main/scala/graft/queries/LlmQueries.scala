@@ -1391,6 +1391,56 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // voice-activity segmentation (round 14): frame-energy VAD with a
+    // hangover over real WAV PCM — per-frame constant amplitudes make
+    // every frame energy exact, the inactive pattern mixes single-frame
+    // stops (the hangover must bridge) with 2-frame silences (it must
+    // not), and the oracle replays the whole decision: energies,
+    // threshold, and the gap-tolerant island merge
+    "q_audio_vad" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map { id =>
+        val nf = (12 + id % 5).toInt
+        val samples = Array.tabulate(nf * 160) { j =>
+          val f = j / 160
+          val inactive = ((f + id) % 7 < 2) || ((f + id) % 5 == 3)
+          if (inactive) ((id % 3) * 30).toInt
+          else (300 + 50 * ((f + id) % 3)).toInt
+        }
+        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+      }
+      AudioStats.vadSegments(media, frameLen = 160, energyThresh = 200, mergeGap = 1)
+        .toDF()
+        .select("doc_id", "seg_idx", "start_frame", "end_frame", "n_frames",
+          "n_active", "start_ms", "end_ms")
+        .orderBy("doc_id", "seg_idx")
+    }),
+
+    // ASR chunking (round 14): silence-split regions (2-frame gaps cut,
+    // single stops bridge) then the frame-grid length cap — region
+    // spans up to 27 frames against maxFrames 4, so multi-chunk splits
+    // happen throughout; the oracle replays islands AND the grid split
+    "q_audio_chunks" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map { id =>
+        val nf = (20 + id % 7).toInt
+        val samples = Array.tabulate(nf * 160) { j =>
+          val f = j / 160
+          val inactive = ((f + id) % 9 < 2) || ((f + id) % 5 == 3)
+          if (inactive) 0 else 300
+        }
+        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+      }
+      AudioStats.asrChunks(media, frameLen = 160, energyThresh = 200,
+          gapSplit = 1, maxFrames = 4)
+        .toDF()
+        .select("doc_id", "chunk_idx", "region_idx", "start_frame", "end_frame",
+          "n_frames", "start_ms", "end_ms")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Subtitle cue walk (round 13): SRT and WebVTT sidecars — comma vs
     // dot milliseconds, NOTE blocks, cue ids, settings after the arrow
     // all load-bearing; cue text flows through the HTML cleaner (the
@@ -6670,6 +6720,66 @@ object LlmQueries {
     // clamp and dead-air slices, then every signal as exact integer
     // aggregation — LAG for sign alternations, 30-sample windows with
     // integer-division means for silence
+    // chunking replay (round 14): islands with the gapSplit tolerance,
+    // then ceil(span/4) grid chunks per region, renumbered per doc
+    "q_audio_chunks" ->
+      """WITH f AS (SELECT doc_id, u.f AS f,
+        |    CASE WHEN ((u.f + doc_id) % 9 < 2) OR ((u.f + doc_id) % 5 = 3)
+        |         THEN 0 ELSE 300 END AS energy
+        |  FROM documents, unnest(generate_series(0, 26)) AS u(f)
+        |  WHERE u.f < 20 + doc_id % 7),
+        |a AS (SELECT doc_id, f FROM f WHERE energy >= 200),
+        |g AS (SELECT doc_id, f,
+        |  CASE WHEN lag(f) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+        |         OR f - lag(f) OVER (PARTITION BY doc_id ORDER BY f) > 2
+        |       THEN 1 ELSE 0 END AS new_seg FROM a),
+        |seg AS (SELECT doc_id, f,
+        |  SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY f) - 1 AS ri FROM g),
+        |reg AS (SELECT doc_id, ri, min(f) AS s, max(f) AS e
+        |        FROM seg GROUP BY doc_id, ri),
+        |ch AS (SELECT doc_id, ri, s, e, u.c AS c
+        |  FROM reg, unnest(generate_series(0, 6)) AS u(c)
+        |  WHERE u.c < (e - s + 1 + 3) // 4),
+        |numbered AS (SELECT doc_id, ri, s + c * 4 AS cs,
+        |  least(e, s + c * 4 + 3) AS ce,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY ri, c) - 1 AS chunk_idx
+        |  FROM ch)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(ri AS INTEGER) AS region_idx,
+        |  CAST(cs AS BIGINT) AS start_frame, CAST(ce AS BIGINT) AS end_frame,
+        |  CAST(ce - cs + 1 AS BIGINT) AS n_frames,
+        |  CAST(cs * 20 AS BIGINT) AS start_ms,
+        |  CAST((ce + 1) * 20 AS BIGINT) AS end_ms
+        |FROM numbered ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // VAD replay (round 14): the same frame grid, threshold, and
+    // hangover merge in SQL — a new segment starts when the gap to the
+    // previous ACTIVE frame exceeds mergeGap + 1
+    "q_audio_vad" ->
+      """WITH f AS (
+        |  SELECT doc_id, u.f AS f,
+        |    CASE WHEN ((u.f + doc_id) % 7 < 2) OR ((u.f + doc_id) % 5 = 3)
+        |         THEN (doc_id % 3) * 30
+        |         ELSE 300 + 50 * ((u.f + doc_id) % 3) END AS energy
+        |  FROM documents, unnest(generate_series(0, 16)) AS u(f)
+        |  WHERE u.f < 12 + doc_id % 5),
+        |a AS (SELECT doc_id, f FROM f WHERE energy >= 200),
+        |g AS (SELECT doc_id, f,
+        |  CASE WHEN lag(f) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+        |         OR f - lag(f) OVER (PARTITION BY doc_id ORDER BY f) > 2
+        |       THEN 1 ELSE 0 END AS new_seg FROM a),
+        |seg AS (SELECT doc_id, f,
+        |  SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY f) - 1 AS seg_idx FROM g)
+        |SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+        |  CAST(min(f) AS BIGINT) AS start_frame,
+        |  CAST(max(f) AS BIGINT) AS end_frame,
+        |  CAST(max(f) - min(f) + 1 AS BIGINT) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(min(f) * 20 AS BIGINT) AS start_ms,
+        |  CAST((max(f) + 1) * 20 AS BIGINT) AS end_ms
+        |FROM seg GROUP BY doc_id, seg_idx
+        |ORDER BY doc_id, seg_idx""".stripMargin,
+
     "q_audio_stats" ->
       """WITH b AS (
         |  SELECT doc_id, u.j AS j,

@@ -511,7 +511,15 @@ class PlanSpec extends SparkSpec {
             val pages = (0 until 4).map(i => (s"P $id:$i", 0, id * 10 + i, "", s"b $i"))
             val (dump, index) = graft.llm.Wiki.syntheticMultistreamIndexed(pages, 2)
             graft.llm.Wiki.WikiIndexSrc(id, index, dump.length.toLong)
-          }).toDF())) {
+          }).toDF(),
+        "audioVadSegments" -> graft.llm.AudioStats.vadSegments(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticWavPcm(8000,
+            Array.tabulate(800)(j => if ((j / 160 + id) % 3 == 0) 0 else 300)),
+            "audio/wav"))).toDF(),
+        "audioAsrChunks" -> graft.llm.AudioStats.asrChunks(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticWavPcm(8000,
+            Array.tabulate(800)(j => if ((j / 160 + id) % 3 == 0) 0 else 300)),
+            "audio/wav")), maxFrames = 2).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }

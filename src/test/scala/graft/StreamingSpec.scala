@@ -1607,6 +1607,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio VAD + ASR chunks: stream rows equal the batch kernels (r14)") {
+    import spark.implicits._
+    import graft.llm.{AudioStats, Multimodal}
+    val medias = (0L until 6L).map { id =>
+      val nf = (10 + id % 4).toInt
+      val samples = Array.tabulate(nf * 8) { j =>
+        val f = j / 8
+        if ((f + id) % 4 == 0) 0 else 300
+      }
+      Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+    }
+    val batchDs = spark.createDataset(medias)
+    val batchVad = AudioStats.vadSegments(batchDs, frameLen = 8).collect().toSet
+    val batchChunks = AudioStats.asrChunks(batchDs, frameLen = 8,
+      gapSplit = 0, maxFrames = 2).collect().toSet
+    assert(batchVad.nonEmpty && batchChunks.nonEmpty, "batch premise")
+    val in = MemoryStream[Multimodal.Media](spark)
+    val q1 = AudioStats.vadSegments(in.toDS(), frameLen = 8).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("vad_out").start()
+    val q2 = AudioStats.asrChunks(in.toDS(), frameLen = 8,
+        gapSplit = 0, maxFrames = 2).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("chunk_out").start()
+    try {
+      in.addData(medias.take(3): _*)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      in.addData(medias.drop(3): _*)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      assert(spark.table("vad_out").as[AudioStats.VadSegment].collect().toSet
+        == batchVad, "vad stream == batch")
+      assert(spark.table("chunk_out").as[AudioStats.AsrChunk].collect().toSet
+        == batchChunks, "chunks stream == batch")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming WARC ingestion: stream records equal the batch walk") {
     // the archive reader is a flatMap kernel, so a live crawl feed runs
     // the identical code path — records fan out per input blob

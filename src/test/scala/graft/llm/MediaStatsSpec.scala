@@ -28,6 +28,46 @@ class MediaStatsSpec extends AnyFunSuite {
     assert(junk.n_px == 0, "undecodable input keeps its row")
   }
 
+  test("vad segments: hangover merge, hard boundary, tail drop, codec identity") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    // frame grid of 4 samples; energies per frame: [300, 0, 300, 0, 0, 300, 300]
+    // + a 2-sample tail (dropped). With thresh 200, mergeGap 1: frames 0-2
+    // merge across the single-frame stop; the 2-frame silence splits; one
+    // segment of frames 5-6 follows.
+    def wav(frames: Seq[Int], tail: Int): Array[Byte] =
+      Multimodal.syntheticWavPcm(8000,
+        (frames.flatMap(a => Seq.fill(4)(a)) ++ Seq.fill(tail)(999)).toArray)
+    val b = wav(Seq(300, 0, 300, 0, 0, 300, 300), tail = 2)
+    val segs = AudioStats.vadSegments(
+      spark.createDataset(Seq(Multimodal.Media(1L, b, "audio/wav"))),
+      frameLen = 4, energyThresh = 200, mergeGap = 1).collect().sortBy(_.seg_idx)
+    assert(segs.length == 2)
+    assert((segs(0).start_frame, segs(0).end_frame, segs(0).n_frames, segs(0).n_active)
+      == (0L, 2L, 3L, 2L), "hangover bridges the one-frame stop")
+    assert((segs(1).start_frame, segs(1).end_frame, segs(1).n_active) == (5L, 6L, 2L),
+      "two-frame silence is a boundary; the 999-sample tail is off-grid")
+    // ms bounds on the 8 kHz grid: 4 samples = 0.5 ms per frame
+    assert(segs(0).start_ms == 0L && segs(0).end_ms == 3L * 4 * 1000 / 8000)
+    // mergeGap 0: the one-frame stop also splits → 3 segments
+    val strict = AudioStats.vadSegments(
+      spark.createDataset(Seq(Multimodal.Media(1L, b, "audio/wav"))),
+      frameLen = 4, energyThresh = 200, mergeGap = 0).collect()
+    assert(strict.length == 3)
+    // the same samples through FLAC segment identically (shared decode)
+    val flacB = Flac.synthetic(8000,
+      (Seq(300, 0, 300, 0, 0, 300, 300).flatMap(a => Seq.fill(4)(a)) ++ Seq(999, 999)).toArray)
+    val viaFlac = AudioStats.vadSegments(
+      spark.createDataset(Seq(Multimodal.Media(1L, flacB, "audio/flac"))),
+      frameLen = 4, energyThresh = 200, mergeGap = 1).collect().sortBy(_.seg_idx)
+    assert(viaFlac.toSeq == segs.toSeq, "VAD is container-blind")
+    // all-silent and undecodable audio emit nothing
+    assert(AudioStats.vadSegments(spark.createDataset(Seq(
+      Multimodal.Media(2L, wav(Seq(0, 0, 0), 0), "audio/wav"),
+      Multimodal.Media(3L, "junk".getBytes, "audio/wav"))),
+      frameLen = 4, energyThresh = 200).count() == 0L)
+  }
+
   test("video scene cuts: hand case and container identity") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
