@@ -52,7 +52,9 @@ object Plans {
       "q_pipeline_wds_curation" -> "WebDataset shard walk -> caption + image-signal scoring -> keep gate: sample grouping and BMP signal extraction in one typed map, media bytes never shuffle, NO exchange before the output sort (round 13, plan audited round 14)",
       "q_domain_cap_url" -> "URL-keyed domain caps on the ccSLD-aware registered domain: codegen'd Column key + bounded min-k aggregation, no per-domain window (round 14)",
       "q_wiki_slices" -> "multistream index -> slim slice rows: pure flatMap over index blobs — the ~40-byte slice row is ALL that ever shuffles of a 20 GB dump; the ranged-read decode (slicePagesFs) hangs off these rows (round 14)",
-      "q_multimodal_webp_dhash" -> "WebP VP8L full pixel decode + dHash: one typed map over the media scan, no exchange before the output sort (round 14)")
+      "q_multimodal_webp_dhash" -> "WebP VP8L full pixel decode + dHash: one typed map over the media scan, no exchange before the output sort (round 14)",
+      "q_audio_vad" -> "frame-energy VAD: decode + frame energies + hangover island merge all in one flatMap over the media scan (round 14)",
+      "q_pipeline_asr" -> "speech-admission pipeline: VAD aggregation joined with the stats pass's frame totals, keep gate in integers — two map-stage signal passes, one groupBy, one join (round 14)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.Plans` on `$dir`. After execution, codegen'd\n")

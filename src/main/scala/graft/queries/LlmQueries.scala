@@ -1417,6 +1417,39 @@ object LlmQueries {
         .orderBy("doc_id", "seg_idx")
     }),
 
+    // speech-admission pipeline (round 14): decode → VAD → per-file
+    // speech accounting → keep gate, ONE Catalyst plan — "is this file
+    // worth transcribing" is the audio corpus's first dollar decision;
+    // the ratio is exact integer micro-arithmetic (speech frames vs the
+    // full frame grid from the stats pass)
+    "q_pipeline_asr" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      def media = mediaIds(s, dir).map { id =>
+        val nf = (12 + id % 5).toInt
+        val samples = Array.tabulate(nf * 160) { j =>
+          val f = j / 160
+          val inactive = ((f + id) % 7 < 2) || ((f + id) % 5 == 3)
+          if (inactive) ((id % 3) * 30).toInt
+          else (300 + 50 * ((f + id) % 3)).toInt
+        }
+        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+      }
+      val segs = AudioStats.vadSegments(media, frameLen = 160,
+          energyThresh = 200, mergeGap = 1).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"), sum(col("n_active")).as("speech_frames"))
+      val totals = AudioStats.stats(media).toDF()
+        .select(col("doc_id"), (col("n_samples") / 160).cast("long").as("n_frames"))
+      totals.join(segs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("speech_frames"), lit(0L)).as("speech_frames"),
+          (coalesce(col("speech_frames"), lit(0L)) * 100 >= col("n_frames") * 50)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ASR chunking (round 14): silence-split regions (2-frame gaps cut,
     // single stops bridge) then the frame-grid length cap — region
     // spans up to 27 frames against maxFrames 4, so multi-chunk splits
@@ -6720,6 +6753,33 @@ object LlmQueries {
     // clamp and dead-air slices, then every signal as exact integer
     // aggregation — LAG for sign alternations, 30-sample windows with
     // integer-division means for silence
+    // speech-admission replay (round 14): active frames counted
+    // directly (the island merge cannot change the ACTIVE count), the
+    // segment count via the same lag rule, the gate in exact integers
+    "q_pipeline_asr" ->
+      """WITH f AS (SELECT doc_id, u.f AS f,
+        |    CASE WHEN ((u.f + doc_id) % 7 < 2) OR ((u.f + doc_id) % 5 = 3)
+        |         THEN (doc_id % 3) * 30
+        |         ELSE 300 + 50 * ((u.f + doc_id) % 3) END AS energy,
+        |    12 + doc_id % 5 AS nf
+        |  FROM documents, unnest(generate_series(0, 16)) AS u(f)
+        |  WHERE u.f < 12 + doc_id % 5),
+        |a AS (SELECT doc_id, f FROM f WHERE energy >= 200),
+        |g AS (SELECT doc_id, f,
+        |  CASE WHEN lag(f) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+        |         OR f - lag(f) OVER (PARTITION BY doc_id ORDER BY f) > 2
+        |       THEN 1 ELSE 0 END AS new_seg FROM a),
+        |agg AS (SELECT doc_id, SUM(new_seg) AS n_segments, COUNT(*) AS speech
+        |        FROM g GROUP BY doc_id),
+        |tot AS (SELECT DISTINCT doc_id, nf FROM f)
+        |SELECT t.doc_id, CAST(t.nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(agg.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(agg.speech, 0) AS BIGINT) AS speech_frames,
+        |  CAST(CASE WHEN coalesce(agg.speech, 0) * 100 >= t.nf * 50
+        |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM tot t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // chunking replay (round 14): islands with the gapSplit tolerance,
     // then ceil(span/4) grid chunks per region, renumbered per doc
     "q_audio_chunks" ->
