@@ -4434,6 +4434,8 @@ object Multimodal {
       : Option[(Int, Int, Seq[(Int, Array[Int])])] =
     if (m != null && m.length >= 3 && m(0) == 'G' && m(1) == 'I' && m(2) == 'F')
       decodeGifFramesSampled(m, sampleFrames)
+    else if (Vp8l.isWebpAnim(m)) // animated WebP joins the family (round 14)
+      Vp8l.decodeAnimFramesSampled(m, sampleFrames)
     else decodeY4mGraySampled(m, sampleFrames)
 
   /** Bytes → DISTINCT sampled-frame hashes (Y4M or animated GIF; empty

@@ -752,15 +752,22 @@ object Vp8l {
     *  3: subtract-green transform;
     *  4: color-indexing (palette) transform, unbundled;
     *  5: predictor transform, uniform mode 2 (top), size_bits 2. */
-  def syntheticWebpGray(width: Int, height: Int, gray: Array[Int], variant: Int): Array[Byte] = {
+  def syntheticWebpGray(width: Int, height: Int, gray: Array[Int], variant: Int): Array[Byte] =
+    riffWrap(vp8lPayloadGray(width, height, gray, variant))
+
+  /** The raw VP8L payload for an (r=g=b) image at uniform `alpha` —
+    * shared by the still fixture ([[syntheticWebpGray]]) and the
+    * animation fixture's per-frame payloads. */
+  private[llm] def vp8lPayloadGray(width: Int, height: Int, gray: Array[Int],
+      variant: Int, alpha: Int = 255): Array[Byte] = {
     require(width > 0 && height > 0 && gray.length == width * height)
     val bw = new BitWriter
     bw.putBits(0x2F, 8)
     bw.putBits(width - 1, 14)
     bw.putBits(height - 1, 14)
-    bw.putBits(0, 1) // no alpha hint
+    bw.putBits(if (alpha != 255) 1 else 0, 1) // alpha hint
     bw.putBits(0, 3) // version 0
-    val argb = gray.map(g => 0xFF000000 | (g << 16) | (g << 8) | g)
+    val argb = gray.map(g => (alpha << 24) | (g << 16) | (g << 8) | g)
     variant % 6 match {
       case 0 => bw.putBits(0, 1); encodeLiterals(bw, argb) // no transforms
       case 1 => bw.putBits(0, 1); encodeWithCache(bw, argb)
@@ -777,7 +784,7 @@ object Vp8l {
       case 4 => encodePalette(bw, argb)
       case _ => encodePredictorTop(bw, argb, width, height)
     }
-    riffWrap(bw.toBytes)
+    bw.toBytes
   }
 
   /** Literal-only body: flat 9-bit literals + a 1-bit filler length
@@ -935,5 +942,208 @@ object Vp8l {
       y += 1
     }
     encodeLiterals(bw, res)
+  }
+
+  // ------------------------------------------------------------------
+  // Animated WebP (VP8X + ANIM/ANMF with VP8L frame payloads) — round
+  // 14: the modern web's animated format joins the video near-dup
+  // family (Y4M and animated GIF were already covered). The walk reads
+  // the ANMF compositing model: per-frame (x, y) placement in 2-px
+  // units, alpha-blend vs overwrite (flags bit 1), and
+  // dispose-to-background (flags bit 0). Compositing is defined here
+  // in exact integers: src-over uses floor((src*a + dst*(255-a))/255)
+  // per channel against an opaque canvas seeded with the ANIM
+  // background color — the fixture and oracle replay the same
+  // arithmetic. A lossy (VP8) frame makes content hashing impossible →
+  // None for the whole file, the same honest posture as lossy stills.
+  // ------------------------------------------------------------------
+
+  /** Find one subchunk's payload inside [off, end). */
+  private def subchunk(b: Array[Byte], off: Int, end: Int, want: String): Option[Array[Byte]] = {
+    var p = off
+    while (p + 8 <= end) {
+      val t = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+        ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+      if (sz < 0 || p + 8 + sz > end) return None
+      if (t == want) return Some(java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz))
+      p = p + 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** Animated WebP → sampled composited luma frames, the
+    * [[Multimodal.videoFramesSampled]] contract (k = min(sampleFrames,
+    * n); sampled indices i·n/k; rows carry the true frame index).
+    * None when not an animated WebP, when any frame is lossy or
+    * corrupt, or when geometry violates the canvas. */
+  private[graft] def decodeAnimFramesSampled(b: Array[Byte], sampleFrames: Int)
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] = {
+    if (b == null || b.length < 30 || sampleFrames <= 0) return None
+    def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u24(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+    def u32(o: Int): Long = (u24(o).toLong) | ((b(o + 3).toLong & 0xFF) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    var cw = -1
+    var ch = -1
+    var bg = 0xFF000000
+    final case class Fr(x: Int, y: Int, w: Int, h: Int, blend: Boolean,
+        disposeBg: Boolean, off: Int, end: Int)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Fr]
+    var p = 12
+    while (p + 8 <= b.length) {
+      val t = tag(p)
+      val sz = u32(p + 4)
+      val body = p + 8
+      if (sz < 0 || body + sz > b.length) return None
+      t match {
+        case "VP8X" if sz >= 10 =>
+          cw = u24(body + 4) + 1
+          ch = u24(body + 7) + 1
+        case "ANIM" if sz >= 6 =>
+          // Background Color: 32 bits, byte order B G R A
+          bg = ((b(body + 3) & 0xFF) << 24) | ((b(body + 2) & 0xFF) << 16) |
+            ((b(body + 1) & 0xFF) << 8) | (b(body) & 0xFF)
+        case "ANMF" if sz >= 16 =>
+          val flags = b(body + 15) & 0xFF
+          frames += Fr(u24(body) * 2, u24(body + 3) * 2,
+            u24(body + 6) + 1, u24(body + 9) + 1,
+            blend = (flags & 2) == 0, disposeBg = (flags & 1) == 1,
+            body + 16, (body + sz).toInt)
+        case _ =>
+      }
+      p = body + sz.toInt + (sz.toInt & 1)
+    }
+    if (cw <= 0 || ch <= 0 || frames.isEmpty || cw.toLong * ch > (1L << 24)) return None
+    val n = frames.length
+    val k = math.min(sampleFrames, n)
+    val sampled = (0 until k).map(i => i * n / k).toSet
+    val canvas = Array.fill(cw * ch)(bg)
+    val out = Seq.newBuilder[(Int, Array[Int])]
+    var fi = 0
+    while (fi < n) {
+      val f = frames(fi)
+      if (f.x + f.w > cw || f.y + f.h > ch) return None
+      val pay = subchunk(b, f.off, f.end, "VP8L").getOrElse(return None)
+      val (dw, dh, px) = decodeArgb(pay).getOrElse(return None)
+      if (dw != f.w || dh != f.h) return None
+      var yy = 0
+      while (yy < f.h) {
+        var xx = 0
+        while (xx < f.w) {
+          val src = px(yy * f.w + xx)
+          val di = (f.y + yy) * cw + (f.x + xx)
+          canvas(di) =
+            if (!f.blend) src
+            else {
+              val a = src >>> 24
+              val dst = canvas(di)
+              var outPx = 0xFF000000
+              var sh = 0
+              while (sh < 24) {
+                val c = (((src >>> sh) & 0xFF) * a + ((dst >>> sh) & 0xFF) * (255 - a)) / 255
+                outPx |= c << sh
+                sh += 8
+              }
+              outPx
+            }
+          xx += 1
+        }
+        yy += 1
+      }
+      if (sampled(fi)) {
+        val luma = new Array[Int](cw * ch)
+        var i = 0
+        while (i < luma.length) {
+          val q = canvas(i)
+          luma(i) = (299 * ((q >> 16) & 0xFF) + 587 * ((q >> 8) & 0xFF) + 114 * (q & 0xFF)) / 1000
+          i += 1
+        }
+        out += ((fi, luma))
+      }
+      if (f.disposeBg) {
+        var yy2 = 0
+        while (yy2 < f.h) {
+          java.util.Arrays.fill(canvas, (f.y + yy2) * cw + f.x,
+            (f.y + yy2) * cw + f.x + f.w, bg)
+          yy2 += 1
+        }
+      }
+      fi += 1
+    }
+    Some((cw, ch, out.result()))
+  }
+
+  /** Is this an animated WebP (VP8X animation flag + at least one
+    * ANMF)? Cheap structural check for the video dispatch. */
+  private[graft] def isWebpAnim(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 30) return false
+    def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    tag(0) == "RIFF" && tag(8) == "WEBP" && tag(12) == "VP8X" &&
+      b.length > 20 && (b(20) & 0x02) != 0
+  }
+
+  /** Fixture: a REAL animated WebP. Each frame: (x, y, w, h, gray,
+    * alpha, blend, disposeBg, variant) — x/y must be even (ANMF's
+    * 2-px-unit offsets). `bgGray` seeds the ANIM background color. */
+  def syntheticWebpAnim(cw: Int, ch: Int, bgGray: Int,
+      frames: Seq[(Int, Int, Int, Int, Array[Int], Int, Boolean, Boolean, Int)]): Array[Byte] = {
+    require(cw >= 1 && ch >= 1 && frames.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(t: String, payload: Array[Byte]): Unit = {
+      out.write(t.getBytes("ISO-8859-1"), 0, 4)
+      var v = payload.length
+      var i = 0
+      while (i < 4) { out.write(v & 0xFF); v >>= 8; i += 1 }
+      out.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) out.write(0)
+    }
+    def u24b(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF); o.write((v >> 16) & 0xFF)
+    }
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write(0x02); vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    u24b(vp8x, cw - 1); u24b(vp8x, ch - 1)
+    val anim = new java.io.ByteArrayOutputStream()
+    anim.write(bgGray); anim.write(bgGray); anim.write(bgGray); anim.write(0xFF) // B G R A
+    anim.write(0); anim.write(0) // loop count
+    val inner = new java.io.ByteArrayOutputStream()
+    val innerChunk = (t: String, payload: Array[Byte]) => {
+      inner.write(t.getBytes("ISO-8859-1"), 0, 4)
+      var v = payload.length
+      var i = 0
+      while (i < 4) { inner.write(v & 0xFF); v >>= 8; i += 1 }
+      inner.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) inner.write(0)
+    }
+    frames.foreach { case (x, y, w, h, gray, alpha, blend, disposeBg, variant) =>
+      require(x % 2 == 0 && y % 2 == 0, "ANMF offsets are in 2-px units")
+      val anmf = new java.io.ByteArrayOutputStream()
+      u24b(anmf, x / 2); u24b(anmf, y / 2)
+      u24b(anmf, w - 1); u24b(anmf, h - 1)
+      u24b(anmf, 40) // duration ms
+      anmf.write((if (blend) 0 else 2) | (if (disposeBg) 1 else 0))
+      val pay = vp8lPayloadGray(w, h, gray, variant, alpha)
+      anmf.write("VP8L".getBytes("ISO-8859-1"), 0, 4)
+      var v = pay.length
+      var i = 0
+      while (i < 4) { anmf.write(v & 0xFF); v >>= 8; i += 1 }
+      anmf.write(pay, 0, pay.length)
+      if ((pay.length & 1) == 1) anmf.write(0)
+      innerChunk("ANMF", anmf.toByteArray)
+      val _ = innerChunk
+    }
+    chunk("VP8X", vp8x.toByteArray)
+    chunk("ANIM", anim.toByteArray)
+    out.write(inner.toByteArray, 0, inner.size)
+    val body = out.toByteArray
+    val full = new java.io.ByteArrayOutputStream()
+    full.write("RIFF".getBytes("ISO-8859-1"), 0, 4)
+    var v = body.length + 4
+    var i = 0
+    while (i < 4) { full.write(v & 0xFF); v >>= 8; i += 1 }
+    full.write("WEBP".getBytes("ISO-8859-1"), 0, 4)
+    full.write(body, 0, body.length)
+    full.toByteArray
   }
 }

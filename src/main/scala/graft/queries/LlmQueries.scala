@@ -2580,6 +2580,23 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ANIMATED WEBP (round 14): four ANMF frames per file — a full VP8L
+    // keyframe, a sub-rect overwrite, a dispose-to-background rect, and
+    // a HALF-TRANSPARENT src-over blend — with the VP8L variant cycling
+    // per frame; the compositor (2-px-unit placement, blend flags,
+    // disposal, integer src-over) is the thing under test, and every
+    // composited plane stays closed-form for the oracle
+    "q_multimodal_video_webp_hashes" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(webpAnimMedia _)
+      Multimodal.videoFrameHashes(media, sampleFrames = 12)
+        .select(col("doc_id"), col("frame_idx"),
+          shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // CROSS-CONTAINER video near-dup: the same frames rendered as Y4M or
     // animated GIF by doc parity — a re-containered copy of a clip is
     // the canonical video near-dup case, and the pairs must form exactly
@@ -3535,6 +3552,26 @@ object LlmQueries {
          |End &amp; fin$id.
          |""".stripMargin
     Multimodal.Media(id, src.getBytes("UTF-8"), "text/x-wiki")
+  }
+
+  /** The q_multimodal_video_webp_hashes fixture (round 14): a REAL
+    * animated WebP — full VP8L keyframe, sub-rect overwrite,
+    * dispose-to-background rect, half-transparent blend rect — with
+    * closed-form grays per region and the VP8L encoder variant cycling
+    * per frame (the 16-px blend rect skips the >16-color palette
+    * variant). */
+  private def webpAnimMedia(id: Long): Multimodal.Media = {
+    val c = (id % 40).toInt
+    val f0 = Array.tabulate(18 * 16)(i => (c * 31 + (i % 18) * 7 + (i / 18) * 13) % 176)
+    val f1 = Array.tabulate(8 * 6)(i => (c + (i % 8) * 11 + (i / 8) * 3) % 200)
+    val f2 = Array.tabulate(6 * 4)(i => (c + (i % 6) * 5 + (i / 6) * 7) % 150)
+    val f3 = Array.tabulate(4 * 4)(i => (c + (i % 4) * 9 + (i / 4) * 2) % 120)
+    val v3 = Seq(0, 1, 2, 3, 5)((id % 5).toInt)
+    Multimodal.Media(id, graft.llm.Vp8l.syntheticWebpAnim(18, 16, 10, Seq(
+      (0, 0, 18, 16, f0, 255, false, false, (id % 6).toInt),
+      (4, 6, 8, 6, f1, 255, false, false, ((id + 1) % 6).toInt),
+      (2, 2, 6, 4, f2, 255, false, true, ((id + 2) % 6).toInt),
+      (12, 2, 4, 4, f3, 128, true, false, v3))), "image/webp")
   }
 
   /** The q_wiki_slices fixture (round 14): a REAL multistream dump of
@@ -7424,6 +7461,42 @@ object LlmQueries {
         |           ((doc_id % 40) * 31 + (w.f - 1) * 53 + u.x * 7 + v.y * 13) % 176
         |         END AS g
         |  FROM documents, unnest(generate_series(0, 11)) AS w(f),
+        |       unnest(generate_series(0, 17)) AS u(x),
+        |       unnest(generate_series(0, 15)) AS v(y)),
+        |cells AS (
+        |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, SUM(g) // 4 AS a
+        |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i >= 32 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS fhash_hi,
+        |  CAST(SUM(CASE WHEN bit = 1 AND i < 32 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS fhash_lo
+        |FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // animated-webp compositor replay (round 14): four planes, each a
+    // region CASE — keyframe, overwrite rect, dispose rect (background
+    // 10 on the LAST frame only), and the exact integer src-over
+    // (src*128 + dst*127) / 255 — then the standard per-frame dHash
+    "q_multimodal_video_webp_hashes" ->
+      """WITH px AS (
+        |  SELECT doc_id, w.f AS f, u.x AS x, v.y AS y,
+        |    CASE
+        |      WHEN w.f >= 1 AND u.x BETWEEN 4 AND 11 AND v.y BETWEEN 6 AND 11
+        |        THEN ((doc_id % 40) + (u.x - 4) * 11 + (v.y - 6) * 3) % 200
+        |      WHEN w.f = 2 AND u.x BETWEEN 2 AND 7 AND v.y BETWEEN 2 AND 5
+        |        THEN ((doc_id % 40) + (u.x - 2) * 5 + (v.y - 2) * 7) % 150
+        |      WHEN w.f = 3 AND u.x BETWEEN 2 AND 7 AND v.y BETWEEN 2 AND 5
+        |        THEN 10
+        |      WHEN w.f = 3 AND u.x BETWEEN 12 AND 15 AND v.y BETWEEN 2 AND 5
+        |        THEN (((doc_id % 40) + (u.x - 12) * 9 + (v.y - 2) * 2) % 120 * 128
+        |              + ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176 * 127) // 255
+        |      ELSE ((doc_id % 40) * 31 + u.x * 7 + v.y * 13) % 176
+        |    END AS g
+        |  FROM documents, unnest(generate_series(0, 3)) AS w(f),
         |       unnest(generate_series(0, 17)) AS u(x),
         |       unnest(generate_series(0, 15)) AS v(y)),
         |cells AS (

@@ -109,6 +109,10 @@ class MediaFuzzSpec extends AnyFunSuite {
       "webpLz77" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 2),
       "webpPalette" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 4),
       "webpPredictor" -> Vp8l.syntheticWebpGray(18, 16, px.map(_ % 176), 5),
+      "webpAnim" -> Vp8l.syntheticWebpAnim(18, 16, 10, Seq(
+        (0, 0, 18, 16, px.map(_ % 176), 255, false, false, 0),
+        (4, 6, 8, 6, Array.tabulate(48)(i => (i * 11) % 200), 255, false, true, 1),
+        (12, 2, 4, 4, Array.tabulate(16)(i => (i * 9) % 120), 128, true, false, 2))),
       "icoPng" -> Multimodal.syntheticIco(18, 16, px, png = true),
       "jpeg" -> Multimodal.syntheticJpegPixels(24, 16, Array.tabulate(24 * 16)(i => i % 200)),
       "jpegExif" -> Multimodal.withExifOrientation(

@@ -307,6 +307,69 @@ class Vp8lSpec extends AnyFunSuite {
     assert(out.get._3.toSeq === Seq(p(5), p(7), p(9), p(8)))
   }
 
+  test("animated webp: compositing model hand-checked against array math") {
+    val cw = 18; val ch = 16; val bg = 10
+    val f0 = Array.tabulate(cw * ch)(i => (31 + (i % cw) * 7 + (i / cw) * 13) % 176)
+    val f1 = Array.tabulate(8 * 6)(i => (5 + (i % 8) * 11 + (i / 8) * 3) % 200)
+    val f2 = Array.tabulate(6 * 4)(i => (9 + (i % 6) * 5 + (i / 6) * 7) % 150)
+    val f3 = Array.tabulate(4 * 4)(i => (2 + (i % 4) * 9 + (i / 4) * 2) % 120)
+    val webp = Vp8l.syntheticWebpAnim(cw, ch, bg, Seq(
+      (0, 0, cw, ch, f0, 255, false, false, 0), // full keyframe, overwrite
+      (4, 6, 8, 6, f1, 255, false, false, 1), // sub-rect overwrite
+      (2, 2, 6, 4, f2, 255, false, true, 2), // dispose-to-background after
+      (12, 2, 4, 4, f3, 128, true, false, 3))) // semi-transparent src-over
+    val out = Vp8l.decodeAnimFramesSampled(webp, 12)
+    assert(out.isDefined)
+    val (w, h, frames) = out.get
+    assert((w, h) === (cw, ch) && frames.map(_._1) === Seq(0, 1, 2, 3))
+    // independent expected-canvas math (plain array ops, not the decoder)
+    def inRect(x: Int, y: Int, rx: Int, ry: Int, rw: Int, rh: Int) =
+      x >= rx && x < rx + rw && y >= ry && y < ry + rh
+    val exp = Array.tabulate(4) { fi =>
+      Array.tabulate(cw * ch) { i =>
+        val x = i % cw; val y = i / cw
+        val a = f0(i)
+        if (fi == 0) a
+        else if (inRect(x, y, 4, 6, 8, 6)) f1((y - 6) * 8 + (x - 4))
+        else if (fi >= 2 && inRect(x, y, 2, 2, 6, 4)) {
+          if (fi == 2) f2((y - 2) * 6 + (x - 2)) else bg // disposed after frame 2
+        }
+        else if (fi == 3 && inRect(x, y, 12, 2, 4, 4))
+          (f3((y - 2) * 4 + (x - 12)) * 128 + a * 127) / 255
+        else a
+      }
+    }
+    frames.foreach { case (fi, luma) =>
+      assert(luma.toSeq === exp(fi).toSeq, s"frame $fi composite")
+    }
+    // the video hash family picks it up through the shared dispatch
+    assert(Multimodal.videoHashesOf(webp, 12).nonEmpty)
+    // sampling contract: 7 frames at sampleFrames 3 → indices 0, 2, 4
+    val seven = Vp8l.syntheticWebpAnim(10, 9, 0,
+      (0 until 7).map(i => (0, 0, 10, 9, Array.fill(90)((i * 20) % 256), 255, false, false, 0)))
+    assert(Vp8l.decodeAnimFramesSampled(seven, 3).get._3.map(_._1) === Seq(0, 2, 4))
+  }
+
+  test("animated webp: lossy frames, bad geometry, stills all refuse") {
+    val ok = Vp8l.syntheticWebpAnim(10, 9, 0,
+      Seq((0, 0, 10, 9, Array.fill(90)(50), 255, false, false, 0)))
+    assert(Vp8l.isWebpAnim(ok))
+    assert(Vp8l.decodeAnimFramesSampled(ok, 4).isDefined)
+    // a VP8 (lossy) frame payload: structural walk fine, content → None
+    val lossy = ok.clone()
+    val at = ok.indexOfSlice("VP8L".getBytes("ISO-8859-1"), 30)
+    lossy(at + 3) = ' '.toByte
+    assert(Vp8l.decodeAnimFramesSampled(lossy, 4) === None)
+    // a frame escaping the canvas → None
+    val esc = Vp8l.syntheticWebpAnim(10, 9, 0,
+      Seq((6, 0, 10, 9, Array.fill(90)(50), 255, false, false, 0)))
+    assert(Vp8l.decodeAnimFramesSampled(esc, 4) === None)
+    // stills are not animations
+    assert(!Vp8l.isWebpAnim(Vp8l.syntheticWebpGray(9, 8,
+      Array.tabulate(72)(_ % 176), 0)))
+    assert(Vp8l.decodeAnimFramesSampled(null, 4) === None)
+  }
+
   test("imageGrayOf dispatch: webp joins the container-invariant family") {
     // the same pixels through QOI and VP8L must hash identically —
     // container invariance is what makes cross-format near-dup work
