@@ -2597,11 +2597,12 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
-    // CROSS-CONTAINER video near-dup: the same frames rendered as Y4M or
-    // animated GIF by doc parity — a re-containered copy of a clip is
-    // the canonical video near-dup case, and the pairs must form exactly
-    // as if every doc were the same container (the oracle never sees
-    // one: it replays frame hashes arithmetically once)
+    // CROSS-CONTAINER video near-dup: the same frames rendered as Y4M,
+    // animated GIF, or (round 14) animated WebP by doc_id % 3 — a
+    // re-containered copy of a clip is the canonical video near-dup
+    // case, and the pairs must form exactly as if every doc were the
+    // same container (the oracle never sees one: it replays frame
+    // hashes arithmetically once)
     "q_multimodal_video_cross_container" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -4335,10 +4336,20 @@ object LlmQueries {
         base + delta
       }
     }
-    if (id % 2 == 0)
-      Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
-    else
-      Multimodal.Media(id, Multimodal.syntheticGifAnimated(w, h, frames), "image/gif")
+    (id % 3) match {
+      case 0 =>
+        Multimodal.Media(id, Multimodal.syntheticY4m(w, h, frames), "video/x-yuv4mpeg")
+      case 1 =>
+        Multimodal.Media(id, Multimodal.syntheticGifAnimated(w, h, frames), "image/gif")
+      case _ =>
+        // round 14: a THIRD container — animated WebP of full VP8L
+        // keyframes (variant cycling per frame); the near-dup pairs
+        // must form across all three boundaries, and the oracle stays
+        // container-blind by construction
+        Multimodal.Media(id, graft.llm.Vp8l.syntheticWebpAnim(w, h, 0,
+          frames.zipWithIndex.map { case (fr, fi) =>
+            (0, 0, w, h, fr, 255, false, false, fi % 6) }), "image/webp")
+    }
   }
 
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
