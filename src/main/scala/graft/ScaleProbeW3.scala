@@ -31,6 +31,28 @@ object ScaleProbeW3 {
       graft.llm.Vp8l.syntheticWebpGray(w, h, gray, (id % 6).toInt), "image/webp")
   }
 
+  /** The q_multimodal_video_webp_hashes fixture shape, probe-sized. */
+  private[graft] def probeWebpAnimMedia(id: Long): graft.llm.Multimodal.Media = {
+    val c = (id % 40).toInt
+    val f0 = Array.tabulate(18 * 16)(i => (c * 31 + (i % 18) * 7 + (i / 18) * 13) % 176)
+    val f1 = Array.tabulate(8 * 6)(i => (c + (i % 8) * 11 + (i / 8) * 3) % 200)
+    val f3 = Array.tabulate(4 * 4)(i => (c + (i % 4) * 9 + (i / 4) * 2) % 120)
+    graft.llm.Multimodal.Media(id, graft.llm.Vp8l.syntheticWebpAnim(18, 16, 10, Seq(
+      (0, 0, 18, 16, f0, 255, false, false, (id % 6).toInt),
+      (4, 6, 8, 6, f1, 255, false, true, ((id + 1) % 6).toInt),
+      (12, 2, 4, 4, f3, 128, true, false, 0))), "image/webp")
+  }
+
+  /** The q_audio_vad fixture shape, probe-sized (24 frames of 160). */
+  private[graft] def probeVadMedia(id: Long): graft.llm.Multimodal.Media = {
+    val samples = Array.tabulate(24 * 160) { j =>
+      val f = j / 160
+      if (((f + id) % 7 < 2) || ((f + id) % 5 == 3)) 0 else 300
+    }
+    graft.llm.Multimodal.Media(id,
+      graft.llm.Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -59,6 +81,20 @@ object ScaleProbeW3 {
           graft.llm.Multimodal.imageDHash(ids.map(probeWebpMedia _))
             .filter(col("ok")).agg(count(col("dhash"))).head.getLong(0))
         report("webp_vp8l_dhash", tWp, nWp)
+
+        // animated WebP: 4-frame compositor (keyframe + overwrite +
+        // dispose + semi-transparent blend) per doc, per-frame hashes
+        val (tAn, nAn) = time(
+          graft.llm.Multimodal.videoFrameHashes(ids.map(probeWebpAnimMedia _),
+              sampleFrames = 4)
+            .agg(count(col("dhash"))).head.getLong(0))
+        report("webp_anim_frame_hashes", tAn, nAn)
+
+        // frame-energy VAD + ASR chunking over real WAV PCM
+        val (tVd, nVd) = time(
+          graft.llm.AudioStats.vadSegments(ids.map(probeVadMedia _))
+            .agg(count(col("seg_idx"))).head.getLong(0))
+        report("audio_vad_segments", tVd, nVd)
 
         // wiki slices: ONE on-disk multistream dump of 60*f streams /
         // 300*f pages; slim slice rows fan out to ranged-read tasks
