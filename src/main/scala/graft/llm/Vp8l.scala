@@ -1131,7 +1131,6 @@ object Vp8l {
       anmf.write(pay, 0, pay.length)
       if ((pay.length & 1) == 1) anmf.write(0)
       innerChunk("ANMF", anmf.toByteArray)
-      val _ = innerChunk
     }
     chunk("VP8X", vp8x.toByteArray)
     chunk("ANIM", anim.toByteArray)

@@ -433,10 +433,22 @@ object Wiki {
           parseDump(buf).map(p => p.copy(doc_id = s.doc_id, page_idx = s.slice_idx))
         } catch { case scala.util.control.NonFatal(_) => Nil }
       }
-      // LinkedHashMap keeps at most one stream per distinct path in the
-      // partition; Spark closes task resources with the iterator, and
-      // the streams are cheap positioned-read handles
-      out
+      // one stream per distinct path in the partition, CLOSED when the
+      // task's iterator drains — long-lived executors must not
+      // accumulate open handles across thousands of slice tasks
+      def closeAll(): Unit = {
+        opened.values.foreach(in =>
+          try in.close() catch { case scala.util.control.NonFatal(_) => () })
+        opened.clear()
+      }
+      new Iterator[WikiPage] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) closeAll()
+          h
+        }
+        def next(): WikiPage = out.next()
+      }
     }
   }
 
