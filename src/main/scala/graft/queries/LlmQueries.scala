@@ -709,6 +709,38 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // WordPiece encode (round 14): the BERT-family greedy
+    // longest-match-first segmentation with ## continuations and the
+    // whole-word [UNK] fallback — the third tokenizer family. The
+    // fixture builds words by concatenating vocabulary pieces whose
+    // z-terminator construction makes greedy provably recover the
+    // build (no piece can span a boundary), so the oracle replays the
+    // CONSTRUCTION; the '!' slice must collapse to [UNK] whole
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val pcs = wpPieces
+      val vocab = pcs ++ pcs.map("##" + _)
+      val df = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        def word(widx: Int): String = {
+          val k = id + widx * 7
+          val s0 = pcs((k % 6).toInt)
+          val s1 = pcs(((k / 6) % 6).toInt)
+          val s2 = pcs(((k / 36) % 6).toInt)
+          widx match {
+            case 0 => s0 + s1 + s2
+            case 1 => s0 + s1 + "!"
+            case _ => s2
+          }
+        }
+        // upper-cased on purpose: the encoder's lowercasing is part of
+        // the contract
+        (id, Seq(0, 1, 2).map(word).mkString(" ").toUpperCase)
+      }.toDF("doc_id", "text")
+      graft.llm.Wordpiece.encode(df, "doc_id", "text", vocab)
+        .orderBy("doc_id", "word_idx")
+    }),
+
     // tokenizer fertility: tokens-per-word under the 8-merge BPE dict,
     // integer micro division
     "q_bpe_fertility" -> ((s, dir) => {
@@ -4352,6 +4384,12 @@ object LlmQueries {
     }
   }
 
+  /** The q_wordpiece_encode piece set: every multi-char piece ends in
+    * the terminator 'z' and is z-free inside, so no vocabulary entry
+    * can span a concatenation boundary and greedy longest-match
+    * provably recovers the construction. */
+  private val wpPieces = Seq("az", "boz", "cedz", "difuz", "egz", "fohz")
+
   private val stopList = Stopwords.en.map(w => s"'$w'").mkString(", ")
 
   /** IVF recomputed end-to-end in DuckDB: deterministic splitmix64 seeds,
@@ -5139,6 +5177,30 @@ object LlmQueries {
         |    WHEN 3 THEN 'example' || (doc_id % 20) || '.net'
         |    END AS domain
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // WordPiece replay (round 14): the z-terminator construction means
+    // the oracle replays the BUILD, not the greedy search — which is
+    // the proof obligation the fixture design discharges
+    "q_wordpiece_encode" ->
+      """WITH w AS (SELECT doc_id, u.i AS word_idx, doc_id + u.i * 7 AS k
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(i)),
+        |parts AS (SELECT doc_id, word_idx,
+        |  list_extract(['az','boz','cedz','difuz','egz','fohz'],
+        |    1 + CAST(k % 6 AS INTEGER)) AS s0,
+        |  list_extract(['az','boz','cedz','difuz','egz','fohz'],
+        |    1 + CAST((k // 6) % 6 AS INTEGER)) AS s1,
+        |  list_extract(['az','boz','cedz','difuz','egz','fohz'],
+        |    1 + CAST((k // 36) % 6 AS INTEGER)) AS s2
+        |  FROM w)
+        |SELECT doc_id, CAST(word_idx AS INTEGER) AS word_idx,
+        |  CASE word_idx WHEN 0 THEN s0 || s1 || s2
+        |                WHEN 1 THEN s0 || s1 || '!'
+        |                ELSE s2 END AS word,
+        |  CAST(CASE word_idx WHEN 0 THEN 3 ELSE 1 END AS BIGINT) AS n_pieces,
+        |  CASE word_idx WHEN 0 THEN s0 || '|##' || s1 || '|##' || s2
+        |                WHEN 1 THEN '[UNK]'
+        |                ELSE s2 END AS pieces
+        |FROM parts ORDER BY doc_id, word_idx""".stripMargin,
 
     // the encode chain aggregated to word/token counts; fertility as the
     // same integer micro division
