@@ -150,6 +150,17 @@ object Vp8l {
   }
 
   private object Prefix {
+    /** Two-symbol code in LISTED order: bit 0 → s0, bit 1 → s1.
+      * The simple-form header carries the symbols in stream order and
+      * libwebp's decoder maps them positionally, bypassing the
+      * canonical (length, symbol) sort used for normal-form codes. */
+    def pair(s0: Int, s1: Int): Prefix = {
+      val count = Array(0, 2)
+      val firstCode = Array(0, 0)
+      val offset = Array(0, 0)
+      new Prefix(-1, count, firstCode, offset, Array(s0, s1), 1)
+    }
+
     def build(lengths: Array[Int]): Option[Prefix] = {
       val nz = lengths.zipWithIndex.filter(_._1 > 0)
       if (nz.isEmpty) return None
@@ -202,9 +213,11 @@ object Vp8l {
       }
       val s1 = br.bits(8)
       if (br.eof || s1 >= alphabet || s1 == s0) return None
-      val lens = new Array[Int](alphabet)
-      lens(s0) = 1; lens(s1) = 1
-      Prefix.build(lens)
+      // Listed order is normative here: libwebp's decoder assigns code
+      // 0 to the FIRST-listed symbol, not the canonically smaller one.
+      // libwebp's encoder happens to list ascending, but a third-party
+      // stream listing the larger symbol first must decode s0 on bit 0.
+      Some(Prefix.pair(s0, s1))
     } else { // normal: code lengths themselves prefix-coded
       val numCodes = br.bits(4) + 4
       if (numCodes > ClOrder.length) return None
@@ -419,7 +432,11 @@ object Vp8l {
       pT += math.abs(p - chan(t, sh))
       sh += 8
     }
-    if (pL <= pT) l else t
+    // Tie goes to TOP: libwebp (and RFC 9649's reference decoder)
+    // return left only on pL < pT STRICTLY. The predictor transform is
+    // pixel-recursive, so getting the tie wrong corrupts everything
+    // downstream of the first tied pixel in real encoder output.
+    if (pL < pT) l else t
   }
   private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
     var out = 0; var sh = 0

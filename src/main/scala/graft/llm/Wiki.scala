@@ -441,6 +441,12 @@ object Wiki {
           try in.close() catch { case scala.util.control.NonFatal(_) => () })
         opened.clear()
       }
+      // The drain-close above misses partial consumption (limit/take)
+      // and task aborts; the task-completion listener is the backstop
+      // that fires on EVERY task exit path. closeAll() is idempotent,
+      // so double-close on the happy path is harmless.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => closeAll()))
       new Iterator[WikiPage] {
         def hasNext: Boolean = {
           val h = out.hasNext

@@ -1943,7 +1943,18 @@ object LlmQueries {
       val (dump, index) = Wiki.syntheticMultistreamIndexed(pages, 16)
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q_wiki_slices_fs.xml.bz2")
-      java.nio.file.Files.write(f.toPath, dump)
+      // Concurrent-run safe: skip when the deterministic bytes are
+      // already in place; otherwise write to a unique temp file and
+      // ATOMIC_MOVE it in, so no reader ever sees a partial dump.
+      if (!(f.isFile && f.length == dump.length &&
+            java.util.Arrays.equals(java.nio.file.Files.readAllBytes(f.toPath), dump))) {
+        val tmp = java.nio.file.Files.createTempFile(
+          f.toPath.getParent, "graft_q_wiki_slices_fs", ".tmp")
+        java.nio.file.Files.write(tmp, dump)
+        java.nio.file.Files.move(tmp, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       val path = f.getAbsolutePath
       val src = Seq(Wiki.WikiIndexSrc(0L, index, dump.length.toLong)).toDS()
       val slices = Wiki.indexSlices(src).map(sl => (sl, path))

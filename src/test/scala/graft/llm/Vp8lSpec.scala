@@ -37,11 +37,11 @@ class Vp8lSpec extends AnyFunSuite {
     assert(gray.map { case (w, h, px) => (w, h, px.toSeq) } === Some((1, 1, Seq(76))))
   }
 
-  test("hand vector: 2x1 two-symbol simple green code, canonical order") {
-    // green simple 2-symbol code listing symbols 10 then 200: both get
-    // length 1; canonical assigns code 0 to the SMALLER symbol (the
-    // RFC's lengths-then-canonical reading), so pixel bits [0, 1]
-    // decode to greens [10, 200].
+  test("hand vector: 2x1 two-symbol simple green code, ascending listing") {
+    // green simple 2-symbol code listing symbols 10 then 200: code 0
+    // goes to the FIRST-LISTED symbol (libwebp's positional reading —
+    // which coincides with canonical here because the listing is
+    // ascending), so pixel bits [0, 1] decode to greens [10, 200].
     val bits = Seq(
       1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // w-1 = 1
       0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // h-1 = 0
@@ -61,6 +61,32 @@ class Vp8lSpec extends AnyFunSuite {
     val payload = (0x2F.toByte +: pack(bits).toSeq).toArray
     assert(Vp8l.decodeArgb(payload).map { case (w, h, px) => (w, h, px.toSeq) }
       === Some((2, 1, Seq(0xFF000A00, 0xFF00C800))))
+  }
+
+  test("hand vector: 2x1 two-symbol simple code, DESCENDING listing") {
+    // The discriminating case for listed-order vs canonical: symbols
+    // 200 then 10. libwebp's decoder assigns code 0 positionally to
+    // the first-listed symbol (200); the canonical reading would give
+    // it to 10. Pixel bits [0, 1] must decode to greens [200, 10].
+    val bits = Seq(
+      1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // w-1 = 1
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // h-1 = 0
+      0, // alpha
+      0, 0, 0, // version
+      0, // no transforms
+      0, // no cache
+      0, // no meta
+      1, 1, 1, 0, 0, 0, 1, 0, 0, 1, 1, // green: simple, 2 syms, 8-bit, 200
+      0, 1, 0, 1, 0, 0, 0, 0, // second symbol 10
+      1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, // red: single 0
+      1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, // blue: single 0
+      1, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, // alpha: single 255
+      1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, // dist: single 0
+      0, // pixel 0 → code 0 → FIRST-listed green 200
+      1) // pixel 1 → code 1 → green 10
+    val payload = (0x2F.toByte +: pack(bits).toSeq).toArray
+    assert(Vp8l.decodeArgb(payload).map { case (w, h, px) => (w, h, px.toSeq) }
+      === Some((2, 1, Seq(0xFF00C800, 0xFF000A00))))
   }
 
   test("distance map: derivation matches the spec's printed prefix") {
@@ -305,6 +331,41 @@ class Vp8lSpec extends AnyFunSuite {
     assert(out.isDefined)
     def p(v: Int) = 0xFF000000 | (v << 16) | (v << 8) | v
     assert(out.get._3.toSeq === Seq(p(5), p(7), p(9), p(8)))
+  }
+
+  test("predictor mode 11 (Select): TIE goes to TOP, not left") {
+    // targets: (8,8,8), (7,7,7) / (9,9,9), (20,20,20); block mode 11.
+    // (1,1): p = L+T-TL = 9+7-8 = 8 per color channel (alpha: 255).
+    // pL = 3*|8-9| = 3, pT = 3*|8-7| = 3 → TIE → libwebp predicts the
+    // TOP pixel 7 → residual 13 yields 20. A left-on-tie decoder would
+    // produce 22 here.
+    val bw = new Vp8l.BitWriter
+    bw.putBits(0x2F, 8).putBits(1, 14).putBits(1, 14).putBits(0, 1).putBits(0, 3)
+    bw.putBits(1, 1).putBits(0, 2) // transform: predictor
+    bw.putBits(0, 3) // size_bits 2 → one block
+    bw.putBits(0, 1) // sub-image: no cache
+    single(bw, g = 11, r = 0, b = 0, a = 255, d = 0) // mode in green
+    bw.putBits(0, 1) // end of transforms
+    bw.putBits(0, 1).putBits(0, 1) // main: no cache, no meta
+    val lens = new Array[Int](280)
+    Seq(8, 255, 1, 13).foreach(lens(_) = 2)
+    val gc = Vp8l.writeNormalCode(bw, lens)
+    val lensC = new Array[Int](256)
+    Seq(8, 255, 1, 13).foreach(lensC(_) = 2)
+    val rc = Vp8l.writeNormalCode(bw, lensC)
+    val bc = Vp8l.writeNormalCode(bw, lensC)
+    Vp8l.writeSingleCode(bw, 0) // alpha residual 0 everywhere
+    Vp8l.writeSingleCode(bw, 0) // dist
+    // residuals per pixel (g, r, b all equal): 8, 255, 1, 13
+    Seq(8, 255, 1, 13).foreach { v =>
+      val (cg, lg) = gc(v); bw.putCode(cg, lg)
+      val (cr, lr) = rc(v); bw.putCode(cr, lr)
+      val (cb, lb) = bc(v); bw.putCode(cb, lb)
+    }
+    val out = Vp8l.decodeArgb(bw.toBytes)
+    assert(out.isDefined)
+    def p(v: Int) = 0xFF000000 | (v << 16) | (v << 8) | v
+    assert(out.get._3.toSeq === Seq(p(8), p(7), p(9), p(20)))
   }
 
   test("animated webp: compositing model hand-checked against array math") {
