@@ -26,10 +26,17 @@ import graft.llm.Multimodal.Media
   *    TB a corrupt xref is normal input and the body is read
   *    sequentially anyway. The xref table and trailer are still
   *    parsed (the trailer carries /Root and /Encrypt).
-  *  - Text decode covers simple fonts whose code bytes are ASCII /
-  *    Latin-1 (WinAnsi and Standard encoding agree with Latin-1 on
-  *    the printable range). Composite-font CMaps (/ToUnicode) are out
-  *    of scope; a page using them extracts the raw code bytes.
+  *  - Text decode (round 15, closing the round-14 verdict's top gap)
+  *    covers composite fonts via their /ToUnicode CMap (bfchar,
+  *    bfrange in both destination forms, codespace-driven code
+  *    splitting, UTF-16BE destinations incl. surrogate pairs) and
+  *    simple fonts via /Encoding /Differences + 1-byte /ToUnicode
+  *    overlays on a Latin-1 base (WinAnsi and Standard agree with
+  *    Latin-1 on the printable range). A composite code the CMap
+  *    does not map decodes to U+FFFD — never to the raw code bytes.
+  *    A composite font WITHOUT /ToUnicode has no carried text
+  *    mapping at all (glyph ids only) and decodes to U+FFFD per
+  *    code, which is the honest reading.
   *  - Encrypted documents (trailer /Encrypt) are ADMITTED as metadata
   *    but never text-extracted — string/stream payloads are
   *    ciphertext, and emitting decode-of-ciphertext would be exactly
@@ -567,25 +574,321 @@ object Pdf {
   }
 
   // ------------------------------------------------------------------
+  // Fonts: code bytes → Unicode (round 15)
+  //
+  // Three decode shapes cover the fonts real corpora carry:
+  //  - FLatin1: simple font, no /Differences, no /ToUnicode — the
+  //    round-13 scope (WinAnsi/Standard agree with Latin-1 on the
+  //    printable range).
+  //  - FSimple: a 256-entry table — Latin-1 base, /Differences glyph
+  //    names overlaid, then 1-byte /ToUnicode entries (CMap wins:
+  //    it is the author's own statement of the text).
+  //  - FCid: composite (/Type0) — multi-byte codes split by the
+  //    CMap's codespace ranges, mapped through /ToUnicode bfchar/
+  //    bfrange. An unmapped code decodes to U+FFFD, never to the raw
+  //    code bytes (emitting code bytes as text is the silently-wrong
+  //    value the posture forbids).
+  // Everything here is CARRIED IN THE FILE — the CMap is a stream
+  // object, /Differences is an array in the font dict — so this sits
+  // on the VP8L side of the decision-record bar (no normative lookup
+  // tables; the small glyph-name list below is the algorithmic
+  // uniXXXX/uXXXX rule plus the few dozen printable-ASCII names the
+  // name-for-every-byte convention spells out).
+  // ------------------------------------------------------------------
+
+  private[graft] sealed trait FontDec
+  private[graft] case object FLatin1 extends FontDec
+  private[graft] final case class FSimple(table: Array[String]) extends FontDec
+  private[graft] final case class FCid(map: Map[Int, String],
+      ranges: Seq[(Int, Long, Long)]) extends FontDec // (nBytes, lo, hi)
+
+  /** Glyph name → code point. Algorithmic forms first (AGL's uniXXXX
+    * and uXXXX[XX] rules, single-character names map to themselves),
+    * then the printable-ASCII/typography names /Differences arrays
+    * actually use. Full AGL (~4k entries of font-vendor history) is
+    * deliberately out of scope: an unknown name keeps the base
+    * encoding's value for that code — degrade, never throw. */
+  private[graft] def glyphToUnicode(n: String): Option[String] = {
+    def hexSeq(s: String, unit: Int): Option[String] =
+      if (s.nonEmpty && s.length % unit == 0 &&
+          s.forall(c => Character.digit(c, 16) >= 0)) {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < s.length) {
+          val v = Integer.parseInt(s.substring(i, i + unit), 16)
+          if (v > 0x10FFFF) return None
+          sb.appendCodePoint(v)
+          i += unit
+        }
+        Some(sb.toString)
+      } else None
+    if (n.length == 1 && n.charAt(0) >= 0x20 && n.charAt(0) < 0x7F) Some(n)
+    else if (n.startsWith("uni")) hexSeq(n.substring(3), 4)
+    else if (n.startsWith("u") && n.length >= 5 && n.length <= 7)
+      hexSeq(n.substring(1), n.length - 1)
+    else GlyphNames.get(n).map(cp => new String(Character.toChars(cp)))
+  }
+
+  private val GlyphNames: Map[String, Int] = Map(
+    "space" -> 32, "exclam" -> 33, "quotedbl" -> 34, "numbersign" -> 35,
+    "dollar" -> 36, "percent" -> 37, "ampersand" -> 38, "quotesingle" -> 39,
+    "parenleft" -> 40, "parenright" -> 41, "asterisk" -> 42, "plus" -> 43,
+    "comma" -> 44, "hyphen" -> 45, "period" -> 46, "slash" -> 47,
+    "zero" -> 48, "one" -> 49, "two" -> 50, "three" -> 51, "four" -> 52,
+    "five" -> 53, "six" -> 54, "seven" -> 55, "eight" -> 56, "nine" -> 57,
+    "colon" -> 58, "semicolon" -> 59, "less" -> 60, "equal" -> 61,
+    "greater" -> 62, "question" -> 63, "at" -> 64, "bracketleft" -> 91,
+    "backslash" -> 92, "bracketright" -> 93, "asciicircum" -> 94,
+    "underscore" -> 95, "grave" -> 96, "braceleft" -> 123, "bar" -> 124,
+    "braceright" -> 125, "asciitilde" -> 126,
+    "bullet" -> 0x2022, "emdash" -> 0x2014, "endash" -> 0x2013,
+    "quoteleft" -> 0x2018, "quoteright" -> 0x2019, "quotedblleft" -> 0x201C,
+    "quotedblright" -> 0x201D, "ellipsis" -> 0x2026, "Euro" -> 0x20AC,
+    "dagger" -> 0x2020, "daggerdbl" -> 0x2021, "fi" -> 0xFB01,
+    "fl" -> 0xFB02, "degree" -> 0xB0, "copyright" -> 0xA9,
+    "registered" -> 0xAE, "trademark" -> 0x2122, "section" -> 0xA7,
+    "paragraph" -> 0xB6, "aacute" -> 0xE1, "eacute" -> 0xE9,
+    "iacute" -> 0xED, "oacute" -> 0xF3, "uacute" -> 0xFA,
+    "agrave" -> 0xE0, "egrave" -> 0xE8, "ntilde" -> 0xF1,
+    "adieresis" -> 0xE4, "odieresis" -> 0xF6, "udieresis" -> 0xFC,
+    "idieresis" -> 0xEF, "germandbls" -> 0xDF, "ccedilla" -> 0xE7)
+
+  /** Parse a /ToUnicode CMap stream: codespace ranges + the bfchar /
+    * bfrange sections. CMaps are PostScript-flavored, but every token
+    * this walk needs (hex strings, arrays, names, keywords) is already
+    * COS — the `findresource`/`def`/`dict` framing lexes as keywords
+    * and is skipped. Source codes are big-endian ints of 1–4 bytes;
+    * destinations are UTF-16BE (surrogate pairs included). bfrange
+    * with a string destination increments the LAST BYTE (ISO 32000
+    * 9.10.3); the entry count is capped so a hostile <0000><FFFF>
+    * range cannot balloon the map. Total function — malformed CMaps
+    * yield whatever prefix parsed. */
+  private[graft] def parseCmap(b: Array[Byte]): (Map[Int, String], Seq[(Int, Long, Long)]) = {
+    val MaxEntries = 1 << 16
+    val lx = new Lexer(b)
+    val map = Map.newBuilder[Int, String]
+    var n = 0
+    val ranges = Seq.newBuilder[(Int, Long, Long)]
+    def codeOf(bytes: Array[Byte]): Long = {
+      var v = 0L
+      bytes.foreach(x => v = (v << 8) | (x & 0xFF))
+      v
+    }
+    def utf16(bytes: Array[Byte]): String = new String(bytes, "UTF-16BE")
+    var done = false
+    while (!done) {
+      lx.next() match {
+        case TEof => done = true
+        case TKw("begincodespacerange") =>
+          var in = true
+          while (in) lx.next() match {
+            case TStr(lo) =>
+              lx.next() match {
+                case TStr(hi) if hi.length == lo.length && lo.length >= 1 && lo.length <= 4 =>
+                  ranges += ((lo.length, codeOf(lo), codeOf(hi)))
+                case TEof => in = false; done = true
+                case _ => ()
+              }
+            case TKw("endcodespacerange") => in = false
+            case TEof => in = false; done = true
+            case _ => ()
+          }
+        case TKw("beginbfchar") =>
+          var in = true
+          while (in) lx.next() match {
+            case TStr(src) if src.length >= 1 && src.length <= 4 =>
+              lx.next() match {
+                case TStr(dst) if n < MaxEntries =>
+                  map += codeOf(src).toInt -> utf16(dst); n += 1
+                case TEof => in = false; done = true
+                case _ => ()
+              }
+            case TKw("endbfchar") => in = false
+            case TEof => in = false; done = true
+            case _ => ()
+          }
+        case TKw("beginbfrange") =>
+          var in = true
+          while (in) lx.next() match {
+            case TStr(lo) if lo.length >= 1 && lo.length <= 4 =>
+              (lx.next(), lx.next()) match {
+                case (TStr(hi), TStr(dst)) if hi.length == lo.length =>
+                  val l = codeOf(lo); val h = codeOf(hi)
+                  val last = if (dst.isEmpty) 0 else dst(dst.length - 1) & 0xFF
+                  var i = 0L
+                  while (l + i <= h && last + i <= 0xFF && n < MaxEntries) {
+                    val d = dst.clone()
+                    if (d.nonEmpty) d(d.length - 1) = (last + i).toByte
+                    map += (l + i).toInt -> utf16(d); n += 1
+                    i += 1
+                  }
+                case (TStr(hi), TKw("[")) if hi.length == lo.length =>
+                  val l = codeOf(lo); val h = codeOf(hi)
+                  var i = 0L
+                  var inArr = true
+                  while (inArr) lx.next() match {
+                    case TStr(dst) =>
+                      if (l + i <= h && n < MaxEntries) {
+                        map += (l + i).toInt -> utf16(dst); n += 1
+                      }
+                      i += 1
+                    case TKw("]") => inArr = false
+                    case TEof => inArr = false; in = false; done = true
+                    case _ => ()
+                  }
+                case (TEof, _) | (_, TEof) => in = false; done = true
+                case _ => ()
+              }
+            case TKw("endbfrange") => in = false
+            case TEof => in = false; done = true
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    (map.result(), ranges.result())
+  }
+
+  /** The page's font resources, decode-ready. /Resources is
+    * inheritable: a page without its own walks the /Parent chain
+    * (depth-bounded). A font that fails to parse falls back FLatin1 —
+    * same posture as an absent one. */
+  private[graft] def pageFonts(doc: PdfDoc, page: PDict, maxInflate: Int): Map[String, FontDec] = {
+    def resourcesOf(d: PDict, depth: Int): Option[PDict] =
+      resolve(doc, d.get("Resources").getOrElse(PNull)) match {
+        case r: PDict => Some(r)
+        case _ if depth < MaxDepth =>
+          resolve(doc, d.get("Parent").getOrElse(PNull)) match {
+            case p: PDict => resourcesOf(p, depth + 1)
+            case _ => None
+          }
+        case _ => None
+      }
+    val fonts = resourcesOf(page, 0)
+      .map(r => resolve(doc, r.get("Font").getOrElse(PNull))) match {
+      case Some(fd: PDict) => fd.m
+      case _ => return Map.empty
+    }
+    fonts.flatMap { case (name, fv) =>
+      resolve(doc, fv) match {
+        case f: PDict => Some(name -> fontDecOf(doc, f, maxInflate))
+        case _ => None
+      }
+    }
+  }
+
+  private def fontDecOf(doc: PdfDoc, f: PDict, maxInflate: Int): FontDec = {
+    val toUni: Option[(Map[Int, String], Seq[(Int, Long, Long)])] =
+      resolve(doc, f.get("ToUnicode").getOrElse(PNull)) match {
+        case s: PStream => streamData(doc, s, maxInflate).map(parseCmap)
+        case _ => None
+      }
+    resolve(doc, f.get("Subtype").getOrElse(PNull)) match {
+      case PName("Type0") =>
+        // Composite: codes are multi-byte per the CMap's codespace.
+        // Identity-H/V (the overwhelmingly common /Encoding) is 2-byte;
+        // a CMap without codespace ranges defaults the same way.
+        val (m, rs) = toUni.getOrElse((Map.empty[Int, String], Seq.empty))
+        FCid(m, if (rs.nonEmpty) rs else Seq((2, 0L, 0xFFFFL)))
+      case _ =>
+        // Simple font: 1-byte codes. Latin-1 base, /Differences names
+        // overlaid, then the CMap's own statements win.
+        val diffs: Seq[P] =
+          resolve(doc, f.get("Encoding").getOrElse(PNull)) match {
+            case e: PDict => resolve(doc, e.get("Differences").getOrElse(PNull)) match {
+              case PArr(v) => v
+              case _ => Seq.empty
+            }
+            case _ => Seq.empty
+          }
+        if (diffs.isEmpty && toUni.forall(_._1.isEmpty)) FLatin1
+        else {
+          val table = Array.tabulate(256)(i => (i.toChar).toString)
+          var code = 0
+          diffs.foreach {
+            case PNum(v) => code = v.toInt
+            case PName(g) =>
+              if (code >= 0 && code < 256)
+                glyphToUnicode(g).foreach(table(code) = _)
+              code += 1
+            case _ => ()
+          }
+          toUni.foreach(_._1.foreach { case (c, s) =>
+            if (c >= 0 && c < 256) table(c) = s
+          })
+          FSimple(table)
+        }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Content-stream text extraction
   // ------------------------------------------------------------------
 
   /** Execute the show/positioning subset over a content stream.
-    * Returns (n_shows, text): shows append (bytes → Latin-1, the
-    * simple-font scope documented above); `Td`/`TD` with ty ≠ 0, `T*`,
-    * `'`, `"`, and `ET` start a new line; everything else only
-    * consumes its operands. Lines join with \n; no leading newline,
-    * trailing whitespace trimmed. Total function — malformed operator
-    * streams degrade to fewer shows, never a throw. */
-  private[graft] def extractText(content: Array[Byte]): (Int, String) = {
+    * Returns (n_shows, text): shows decode through the CURRENT FONT
+    * (`/Fn size Tf` switches it; fonts come from the page resources —
+    * composite-font code bytes go through the /ToUnicode CMap, simple
+    * fonts through their /Differences+CMap table, everything else is
+    * Latin-1 as before); `Td`/`TD` with ty ≠ 0, `T*`, `'`, `"`, and
+    * `ET` start a new line; everything else only consumes its
+    * operands. Font state deliberately survives q/Q (a save/restore
+    * stack would need the full graphics state this scope does not
+    * carry; real text runs re-issue Tf after Q anyway). Lines join
+    * with \n; no leading newline, trailing whitespace trimmed. Total
+    * function — malformed operator streams degrade to fewer shows,
+    * never a throw. */
+  private[graft] def extractText(content: Array[Byte]): (Int, String) =
+    extractText(content, Map.empty)
+
+  private[graft] def extractText(content: Array[Byte],
+      fonts: Map[String, FontDec]): (Int, String) = {
     val lx = new Lexer(content)
     val sb = new java.lang.StringBuilder
     var shows = 0
     var stack = List.empty[P]
+    var cur: FontDec = FLatin1
     def newline(): Unit =
       if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def decodeBytes(b: Array[Byte]): String = cur match {
+      case FLatin1 => new String(b, "ISO-8859-1")
+      case FSimple(t) =>
+        val o = new java.lang.StringBuilder(b.length)
+        b.foreach(x => o.append(t(x & 0xFF)))
+        o.toString
+      case FCid(m, ranges) =>
+        // Split code bytes by codespace: the range whose first-byte
+        // span admits the next byte fixes the code length; no match →
+        // consume the shortest range's length and emit U+FFFD (the
+        // spec's error rule). Codes never span show strings.
+        val minLen = ranges.map(_._1).min
+        val o = new java.lang.StringBuilder
+        var p = 0
+        while (p < b.length) {
+          var matched = -1
+          var code = 0L
+          val it = ranges.iterator
+          while (matched < 0 && it.hasNext) {
+            val (nb, lo, hi) = it.next()
+            if (p + nb <= b.length) {
+              var v = 0L
+              var k = 0
+              while (k < nb) { v = (v << 8) | (b(p + k) & 0xFF); k += 1 }
+              if (v >= lo && v <= hi) { matched = nb; code = v }
+            }
+          }
+          if (matched > 0) {
+            o.append(m.getOrElse(code.toInt, "�"))
+            p += matched
+          } else {
+            o.append('�')
+            p += math.max(1, math.min(minLen, b.length - p))
+          }
+        }
+        o.toString
+    }
     def show(v: P): Unit = v match {
-      case PStr(b) => sb.append(new String(b, "ISO-8859-1")); shows += 1
+      case PStr(b) => sb.append(decodeBytes(b)); shows += 1
       case _ => ()
     }
     var done = false
@@ -617,10 +920,16 @@ object Pdf {
                 case PArr(items) =>
                   var any = false
                   items.foreach {
-                    case PStr(b) => sb.append(new String(b, "ISO-8859-1")); any = true
+                    case PStr(b) => sb.append(decodeBytes(b)); any = true
                     case _ => () // kerning number: positioning only
                   }
                   if (any) shows += 1
+                case _ => ()
+              }
+            case "Tf" =>
+              stack match {
+                case PNum(_) :: PName(n) :: _ =>
+                  cur = fonts.getOrElse(n, FLatin1)
                 case _ => ()
               }
             case "Td" | "TD" =>
@@ -656,7 +965,7 @@ object Pdf {
       case Some(doc) if doc.trailer.get("Encrypt").isEmpty =>
         pages(doc).zipWithIndex.flatMap { case (pg, i) =>
           pageContent(doc, pg, maxInflate).map { c =>
-            val (n, t) = extractText(c)
+            val (n, t) = extractText(c, pageFonts(doc, pg, maxInflate))
             PdfPage(id, i, n, t)
           }
         }
@@ -864,6 +1173,124 @@ object Pdf {
     (1 until size).foreach(i => xr.append(f"${offsets(i)}%010d 00000 n \n"))
     val encPart = if (encrypted) s" /Encrypt $encObj 0 R" else ""
     xr.append(s"trailer\n<< /Size $size /Root 1 0 R$encPart >>\n")
+    xr.append(s"startxref\n$xrefOff\n%%EOF\n")
+    out.write(xr.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Composite-font fixture (round 15): two pages.
+    *
+    * Page 0 uses /F2, a /Type0 Identity-H font whose /ToUnicode CMap
+    * (a REAL CMap stream — codespace range, bfchar entries with a
+    * surrogate-pair destination, bfrange in BOTH destination forms) is
+    * flate-compressed when `flateCmap`. Its text shows are 2-byte-code
+    * HEX strings: `asciiLine` encoded as char+0x100 (decoded back by
+    * the <0120><017E><0020> bfrange), one `Tj` — or a 2-byte-aligned
+    * split `TJ` with a kerning number when `splitTj` — then `specials`
+    * (raw source CODES) as a second show.
+    *
+    * Page 1 uses /F3, a simple font with /Encoding /Differences
+    * [97 /aacute 128 /uni20AC 165 /bullet]: `simpleBytes` shown as a
+    * literal string, non-ASCII bytes through octal escapes.
+    *
+    * Real xref offsets, same serializer discipline as [[syntheticPdf]]. */
+  def syntheticCidPdf(version: String, asciiLine: String, specials: Seq[Int],
+      simpleBytes: Array[Byte], splitTj: Boolean, flateCmap: Boolean): Array[Byte] = {
+    val cmapSrc =
+      ("""/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+        |/CMapName /Adobe-Identity-UCS def
+        |/CMapType 2 def
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0001> <00E9>
+        |<0002> <2026>
+        |<0003> <D83DDE00>
+        |endbfchar
+        |2 beginbfrange
+        |<0120> <017E> <0020>
+        |<0010> <0012> [<0391> <0392> <0393>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""").stripMargin.getBytes("ISO-8859-1")
+    val cmapData = if (flateCmap) deflate(cmapSrc) else cmapSrc
+    val cmapFilt = if (flateCmap) " /Filter /FlateDecode" else ""
+
+    def hexCodes(cs: Seq[Int]): String =
+      cs.map(c => f"$c%04X").mkString("<", "", ">")
+    val asciiCodes = asciiLine.map(c => c.toInt + 0x100)
+    val show1 =
+      if (splitTj) {
+        val cut = (asciiCodes.length / 2) max 1
+        s"[ ${hexCodes(asciiCodes.take(cut))} -250 ${hexCodes(asciiCodes.drop(cut))} ] TJ"
+      } else s"${hexCodes(asciiCodes)} Tj"
+    val content0 = Seq("BT", "/F2 12 Tf", "72 720 Td", show1,
+      "0 -14 Td", s"${hexCodes(specials)} Tj", "ET")
+      .mkString("\n").getBytes("ISO-8859-1")
+
+    val lit = new java.lang.StringBuilder("(")
+    simpleBytes.foreach { b =>
+      val c = b & 0xFF
+      if (c == '\\' || c == '(' || c == ')' || c < 0x20 || c > 0x7E)
+        lit.append(f"\\$c%03o")
+      else lit.append(c.toChar)
+    }
+    lit.append(") Tj")
+    val content1 = Seq("BT", "/F3 12 Tf", "72 720 Td", lit.toString, "ET")
+      .mkString("\n").getBytes("ISO-8859-1")
+
+    case class Obj(num: Int, body: Array[Byte])
+    def obj(num: Int, s: String): Obj =
+      Obj(num, s"$num 0 obj\n$s\nendobj\n".getBytes("ISO-8859-1"))
+    def streamObj(num: Int, dict: String, data: Array[Byte]): Obj = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"$num 0 obj\n$dict\nstream\n".getBytes("ISO-8859-1"))
+      o.write(data)
+      o.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      Obj(num, o.toByteArray)
+    }
+    val objs = Seq(
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      obj(2, "<< /Type /Pages /Kids [7 0 R 9 0 R] /Count 2 >>"),
+      obj(3, "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H " +
+        "/Encoding /Identity-H /DescendantFonts [5 0 R] /ToUnicode 4 0 R >>"),
+      streamObj(4, s"<< /Length ${cmapData.length}$cmapFilt >>", cmapData),
+      obj(5, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"),
+      obj(6, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 97 /aacute 128 /uni20AC 165 /bullet ] >> >>"),
+      obj(7, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F2 3 0 R >> >> /Contents 8 0 R >>"),
+      streamObj(8, s"<< /Length ${content0.length} >>", content0),
+      // page 1 has NO /Resources of its own if inheritance were needed;
+      // here it carries them directly (the inheritance path is specced
+      // separately in PdfSpec against a /Parent-held resource dict)
+      obj(9, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F3 6 0 R >> >> /Contents 10 0 R >>"),
+      streamObj(10, s"<< /Length ${content1.length} >>", content1))
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"%PDF-$version\n".getBytes("ISO-8859-1"))
+    out.write(Array[Byte]('%', 0xE2.toByte, 0xE3.toByte, 0xCF.toByte, 0xD3.toByte, '\n'))
+    val size = 11
+    val offsets = new Array[Int](size)
+    objs.foreach { o =>
+      offsets(o.num) = out.size
+      out.write(o.body)
+    }
+    val xrefOff = out.size
+    val xr = new java.lang.StringBuilder
+    xr.append("xref\n").append(s"0 $size\n")
+    xr.append("0000000000 65535 f \n")
+    (1 until size).foreach(i => xr.append(f"${offsets(i)}%010d 00000 n \n"))
+    xr.append(s"trailer\n<< /Size $size /Root 1 0 R >>\n")
     xr.append(s"startxref\n$xrefOff\n%%EOF\n")
     out.write(xr.toString.getBytes("ISO-8859-1"))
     out.toByteArray

@@ -1596,6 +1596,24 @@ object LlmQueries {
         .orderBy("doc_id", "page_idx")
     }),
 
+    // Composite-font PDF text (round 15, closing the r14 verdict's top
+    // gap): a /Type0 Identity-H font whose REAL /ToUnicode CMap stream
+    // (flate on half the ids) carries bfchar entries — one mapping to a
+    // surrogate-pair emoji — plus bfrange in BOTH destination forms;
+    // 2-byte-code hex shows (split TJ on odd ids), an UNMAPPED code on
+    // the id%3=0 slice that must decode U+FFFD (never raw code bytes),
+    // and a second page through a simple font whose /Encoding
+    // /Differences remaps 'a'→aacute plus 0x80→uni20AC and 0xA5→bullet
+    // — the oracle replays every decoded code point exactly
+    "q_pdf_text_cid" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(cidPdfMedia _)
+      Pdf.pdfPages(media).toDF()
+        .select("doc_id", "page_idx", "n_shows", "text")
+        .orderBy("doc_id", "page_idx")
+    }),
+
     // Document-curation pipeline (round 13): PDF walk → page text →
     // newline-to-space normalization → quality gate, ONE Catalyst plan
     // — the books/papers mile of a corpus run, sibling to
@@ -3255,6 +3273,30 @@ object LlmQueries {
         outOfOrder = id % 4 == 1,
         nested = id % 3 == 0,
         encrypted = id % 11 == 7),
+      "application/pdf")
+  }
+
+  /** The q_pdf_text_cid fixture (round 15): composite-font page 0 shows
+    * "Cid D<id> k=<(7id+3)%29>" as char+0x100 codes (the CMap's
+    * bfrange shifts them back), then an id%3-selected special show —
+    * bfchar é + an UNMAPPED code (→U+FFFD), bfchar … + the
+    * array-bfrange ΑΒΓ, or the surrogate-pair 😀; simple-font page 1
+    * shows "a=<id%13> ¥" through /Differences
+    * (aacute/uni20AC/bullet). Split-TJ on odd ids, flate CMap on even. */
+  private def cidPdfMedia(id: Long): Multimodal.Media = {
+    val specials = (id % 3) match {
+      case 0 => Seq(0x0001, 0x0099)
+      case 1 => Seq(0x0002, 0x0010, 0x0011, 0x0012)
+      case _ => Seq(0x0003)
+    }
+    Multimodal.Media(id,
+      Pdf.syntheticCidPdf(
+        version = s"1.${5 + id % 3}",
+        asciiLine = s"Cid D$id k=${(id * 7 + 3) % 29}",
+        specials = specials,
+        simpleBytes = s"a=${id % 13} \u0080\u00A5".getBytes("ISO-8859-1"),
+        splitTj = id % 2 == 1,
+        flateCmap = id % 2 == 0),
       "application/pdf")
   }
 
@@ -6130,6 +6172,29 @@ object LlmQueries {
         |  CAST(2 + (doc_id + p) % 3 AS INTEGER) AS n_shows,
         |  string_agg(line, chr(10) ORDER BY j) AS text
         |FROM ln GROUP BY doc_id, p ORDER BY doc_id, page_idx""".stripMargin,
+
+    // composite-font replay (round 15): every decoded code point in
+    // closed form — chr() for the CMap-carried ones (é 233, … 8230,
+    // 😀 128512 via surrogate pair, ΑΒΓ 913-915, U+FFFD 65533 for the
+    // unmapped code) and for the /Differences trio (á 225, € 8364,
+    // • 8226)
+    "q_pdf_text_cid" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, 0 AS page_idx, 2 AS n_shows,
+        |    'Cid D' || doc_id || ' k=' || ((doc_id * 7 + 3) % 29) || chr(10) ||
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN chr(233) || chr(65533)
+        |      WHEN 1 THEN chr(8230) || chr(913) || chr(914) || chr(915)
+        |      ELSE chr(128512) END AS text
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id, 1 AS page_idx, 1 AS n_shows,
+        |    chr(225) || '=' || (doc_id % 13) || ' ' || chr(8364) || chr(8226) AS text
+        |  FROM documents)
+        |SELECT doc_id, CAST(page_idx AS INTEGER) AS page_idx,
+        |  CAST(n_shows AS INTEGER) AS n_shows, text
+        |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+        |ORDER BY doc_id, page_idx""".stripMargin,
 
     // document-pipeline replay (round 13): quality metrics over the
     // SAME closed-form page text with newlines normalized to spaces —

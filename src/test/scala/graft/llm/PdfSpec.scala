@@ -163,6 +163,109 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.map(p => (p.page_idx, p.text)) == Seq((1, "")))
   }
 
+  // ------------------------------------------------------------------
+  // round 15: composite-font CMaps + simple-font /Differences
+  // ------------------------------------------------------------------
+
+  test("parseCmap: bfchar, both bfrange forms, codespace, surrogates") {
+    val src = """1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0001> <00E9>
+      |<0003> <D83DDE00>
+      |endbfchar
+      |2 beginbfrange
+      |<0041> <0043> <0061>
+      |<0010> <0012> [<0391> <0392> <0393>]
+      |endbfrange""".stripMargin.getBytes("ISO-8859-1")
+    val (m, rs) = Pdf.parseCmap(src)
+    assert(rs === Seq((2, 0L, 0xFFFFL)))
+    assert(m(0x0001) === "é")
+    assert(m(0x0003) === "😀") // surrogate pair survives UTF-16BE
+    // string-destination bfrange: LAST BYTE increments across the span
+    assert((0x41 to 0x43).map(m(_)) === Seq("a", "b", "c"))
+    // array-destination bfrange: positional
+    assert((0x10 to 0x12).map(m(_)) === Seq("Α", "Β", "Γ"))
+    assert(!m.contains(0x0044) && !m.contains(0x0013))
+  }
+
+  test("composite font end-to-end: CMap decode, layout knobs invisible") {
+    val ascii = "Hi (k=3)"
+    val specials = Seq(0x0001, 0x0002, 0x0003, 0x0010, 0x0011, 0x0012, 0x0099)
+    val simple = "a=7 \u0080 \u00A5!".getBytes("ISO-8859-1")
+    val expected0 = ascii + "\n" + "é…😀ΑΒΓ�"
+    val expected1 = "á=7 € •!"
+    for (split <- Seq(false, true); flate <- Seq(false, true)) {
+      val pdf = Pdf.syntheticCidPdf("1.6", ascii, specials, simple, split, flate)
+      val pages = Pdf.pagesOf(1L, pdf)
+      assert(pages.map(p => (p.page_idx, p.n_shows, p.text)) ===
+        Seq((0, 2, expected0), (1, 1, expected1)),
+        s"split=$split flate=$flate")
+    }
+  }
+
+  // hand-built stream object with a correct /Length (exact framing —
+  // a wrong declared length drops the stream by design)
+  private def streamObjSrc(num: Int, ops: String): String =
+    s"$num 0 obj << /Length ${ops.length} >> stream\n$ops\nendstream endobj\n"
+
+  test("composite font WITHOUT /ToUnicode: U+FFFD per code, never raw bytes") {
+    val pdf = ("%PDF-1.5\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      streamObjSrc(4, "BT /F1 9 Tf <00410042> Tj ET") +
+      "5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H >> endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val pages = Pdf.pagesOf(5L, pdf)
+    assert(pages.map(_.text) === Seq("��"),
+      "glyph ids without a carried mapping must not masquerade as text")
+  }
+
+  test("/Resources inherits from the /Parent chain") {
+    val pdf = ("%PDF-1.5\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /F9 5 0 R >> >> >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      streamObjSrc(4, "BT /F9 9 Tf (na\\257ve) Tj ET") +
+      "5 0 obj << /Type /Font /Subtype /TrueType /Encoding " +
+      "<< /Differences [ 175 /idieresis ] >> >> endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val pages = Pdf.pagesOf(6L, pdf)
+    assert(pages.map(_.text) === Seq("naïve"))
+  }
+
+  test("simple font: 1-byte /ToUnicode overlay wins over /Differences") {
+    // Differences says 0x61 -> aacute; the CMap says 0x61 -> 'Z'. The
+    // CMap is the author's own statement of the text, so it wins.
+    val cmap = "1 beginbfchar\n<61> <005A>\nendbfchar"
+    val pdf = ("%PDF-1.5\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      streamObjSrc(4, "BT /F1 9 Tf (aba) Tj ET") +
+      "5 0 obj << /Type /Font /Subtype /Type1 /ToUnicode 6 0 R /Encoding " +
+      "<< /Differences [ 97 /aacute ] >> >> endobj\n" +
+      streamObjSrc(6, cmap) +
+      "trailer << /Size 7 /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val pages = Pdf.pagesOf(7L, pdf)
+    assert(pages.map(_.text) === Seq("ZbZ"))
+  }
+
+  test("glyphToUnicode: algorithmic forms and the degrade rule") {
+    assert(Pdf.glyphToUnicode("uni20AC") === Some("€"))
+    assert(Pdf.glyphToUnicode("uni00E90041") === Some("éA"))
+    assert(Pdf.glyphToUnicode("u1F600") === Some("😀"))
+    assert(Pdf.glyphToUnicode("A") === Some("A"))
+    assert(Pdf.glyphToUnicode("bullet") === Some("•"))
+    assert(Pdf.glyphToUnicode("g123456789") === None) // unknown: keep base
+    assert(Pdf.glyphToUnicode("uniZZZZ") === None)
+  }
+
   test("incremental update: a second trailer's keys override") {
     val base = new String(pdfBytes(1L), "ISO-8859-1")
     val updated = (base +
