@@ -43,10 +43,13 @@ object Warc {
     * WARC headers; `content_length` the WARC body size (for a response
     * record that is the FULL nested HTTP message); `http_status` and
     * `payload_len`/`payload` the nested HTTP split (status 0 and the
-    * whole body for non-HTTP records). */
+    * whole body for non-HTTP records). `charset` is the encoding the
+    * payload was DECODED WITH (lowercase canonical name), resolved by
+    * the BOM → HTTP header → meta sniff → UTF-8 validity → cp1252
+    * chain in [[decodePayload]]. */
   case class WarcRecord(doc_id: Long, rec_idx: Int, warc_type: String,
       target_uri: String, content_type: String, content_length: Long,
-      http_status: Int, payload_len: Long, payload: String)
+      http_status: Int, payload_len: Long, payload: String, charset: String)
 
   private val CRLF = "\r\n".getBytes("ISO-8859-1")
 
@@ -95,6 +98,98 @@ object Warc {
     None // unreachable
   }
 
+  // ------------------------------------------------------------------
+  // Payload charset (round 15): a real crawl is NOT UTF-8 — a large
+  // fraction of legacy pages is windows-1252 / Shift_JIS / GB*, and
+  // decoding those as hard UTF-8 mojibakes the corpus text into
+  // U+FFFD. The encoding is carried in the bytes already parsed: the
+  // HTTP Content-Type charset parameter, the <meta charset> tag, or a
+  // BOM. Resolution order is the WHATWG one (BOM strongest, then
+  // transport, then in-document), the label table is the JVM's
+  // Charset.forName with the encoding standard's one deliberate
+  // remap — pages LABELED iso-8859-1/us-ascii are decoded as
+  // windows-1252, because that is what servers saying latin-1
+  // actually serve (the C1 range is where they differ and cp1252 is
+  // a superset in practice). Undeclared payloads decode UTF-8 when
+  // strictly valid, else windows-1252 (total: the JVM's cp1252 maps
+  // all 256 bytes). Every path is total — new String with a Charset
+  // replaces malformed input, never throws.
+  // ------------------------------------------------------------------
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Latin1Labels = Set(
+    "iso-8859-1", "iso8859-1", "iso_8859-1", "iso88591", "latin1",
+    "latin-1", "l1", "us-ascii", "ascii", "ansi_x3.4-1968",
+    "windows-1252", "cp1252", "x-cp1252", "cp819", "ibm819")
+
+  /** Charset label → JVM charset, None on an unknown label. */
+  private[graft] def charsetFor(label: String): Option[java.nio.charset.Charset] = {
+    val n = label.trim.stripPrefix("\"").stripSuffix("\"").stripSuffix(";").trim.toLowerCase
+    if (n.isEmpty) None
+    else if (Latin1Labels(n)) Some(Cp1252)
+    else
+      try Some(java.nio.charset.Charset.forName(n))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def charsetParam(ctype: String): Option[String] = {
+    val i = ctype.toLowerCase.indexOf("charset=")
+    if (i < 0) None
+    else {
+      val rest = ctype.substring(i + 8)
+      val v = rest.takeWhile(c => c != ';' && !c.isWhitespace)
+      if (v.isEmpty) None else Some(v)
+    }
+  }
+
+  // <meta charset=X> and <meta http-equiv content="...; charset=X">
+  // both surface as charset= inside a meta tag; sniff window 1024
+  // bytes per the WHATWG prescan
+  private val ReMetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,1000}?charset\\s*=\\s*[\"']?([A-Za-z0-9._:-]+)")
+
+  private def isValidUtf8(b: Array[Byte], from: Int, to: Int): Boolean = {
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(b, from, to - from))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
+  /** Decode `[from, to)` per the resolution chain; returns (text,
+    * lowercase canonical charset name). A BOM is consumed, not
+    * emitted. */
+  private[graft] def decodePayload(b: Array[Byte], from: Int, to: Int,
+      httpCharset: Option[String]): (String, String) = {
+    val len = to - from
+    if (len >= 3 && (b(from) & 0xFF) == 0xEF && (b(from + 1) & 0xFF) == 0xBB &&
+        (b(from + 2) & 0xFF) == 0xBF)
+      return (new String(b, from + 3, len - 3,
+        java.nio.charset.StandardCharsets.UTF_8), "utf-8")
+    if (len >= 2 && (b(from) & 0xFF) == 0xFF && (b(from + 1) & 0xFF) == 0xFE)
+      return (new String(b, from + 2, len - 2,
+        java.nio.charset.StandardCharsets.UTF_16LE), "utf-16le")
+    if (len >= 2 && (b(from) & 0xFF) == 0xFE && (b(from + 1) & 0xFF) == 0xFF)
+      return (new String(b, from + 2, len - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE), "utf-16be")
+    httpCharset.flatMap(charsetFor) match {
+      case Some(cs) => (new String(b, from, len, cs), cs.name.toLowerCase)
+      case None =>
+        val head = new String(b, from, math.min(1024, len),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val m = ReMetaCharset.matcher(head)
+        val metaCs = if (m.find()) charsetFor(m.group(1)) else None
+        metaCs match {
+          case Some(cs) => (new String(b, from, len, cs), cs.name.toLowerCase)
+          case None =>
+            if (isValidUtf8(b, from, to))
+              (new String(b, from, len,
+                java.nio.charset.StandardCharsets.UTF_8), "utf-8")
+            else (new String(b, from, len, Cp1252), "windows-1252")
+        }
+    }
+  }
+
   /** Record walk → complete records before the first structural
     * violation. Accepts plain or gzipped (multi-member) archives. */
   private[graft] def parseWarc(raw: Array[Byte]): Seq[WarcRecord] = {
@@ -129,6 +224,7 @@ object Warc {
                   val ctype = hdrs.getOrElse("content-type", "")
                   var status = 0
                   var payStart = bodyStart
+                  var httpCharset: Option[String] = None
                   if (ctype.toLowerCase.startsWith("application/http")) {
                     // nested HTTP message: status line + headers + body
                     val seol = indexOfCrlf(b, bodyStart, bodyEnd)
@@ -138,14 +234,16 @@ object Warc {
                       if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
                         status = parts(1).toIntOption.getOrElse(0)
                       parseHeaders(b, seol + 2, bodyEnd) match {
-                        case Some((_, hb)) => payStart = hb
+                        case Some((hh, hb)) =>
+                          payStart = hb
+                          httpCharset = hh.get("content-type").flatMap(charsetParam)
                         case None => payStart = bodyEnd // headers never close: empty payload
                       }
                     }
                   }
-                  val payload = new String(b, payStart, bodyEnd - payStart, "UTF-8")
+                  val (payload, charset) = decodePayload(b, payStart, bodyEnd, httpCharset)
                   out += WarcRecord(-1L, idx, wtype, uri, ctype, cl, status,
-                    (bodyEnd - payStart).toLong, payload)
+                    (bodyEnd - payStart).toLong, payload, charset)
                   idx += 1
                   p = bodyEnd + 4
                 }
@@ -307,6 +405,29 @@ object Warc {
         httpResponse(code, reason, htmlBody(i)), lowerCaseHeaders)
     }
     val all = recs.result()
+    if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
+    else all.fold(Array.emptyByteArray)(_ ++ _)
+  }
+
+  /** Response records with CALLER-CONTROLLED body bytes and HTTP
+    * Content-Type — the charset-resolution fixture surface (round 15):
+    * one warcinfo record, then one response per `(uri, httpCtype,
+    * body)` triple. Bodies pass through verbatim (no re-encoding), so
+    * a test can plant cp1252/Shift_JIS/BOM byte sequences exactly. */
+  def syntheticWarcRaw(recs: Seq[(String, String, Array[Byte])],
+      gzipped: Boolean): Array[Byte] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    out += record(Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-charset-fixture".getBytes("UTF-8"), lowerCase = false)
+    recs.foreach { case (uri, ctype, body) =>
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n"
+        .getBytes("ISO-8859-1")
+      out += record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http;msgtype=response"),
+        head ++ body, lowerCase = false)
+    }
+    val all = out.result()
     if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
     else all.fold(Array.emptyByteArray)(_ ++ _)
   }

@@ -1329,6 +1329,25 @@ object LlmQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // WARC payload charset resolution (round 15, verdict task 2): one
+    // response per resolution path — HTTP-header cp1252 (curly quotes
+    // through the C1 range), <meta charset=shift_jis> sniff (real
+    // Shift_JIS bytes), UTF-8 BOM (consumed, not emitted), undeclared
+    // invalid-UTF-8 → cp1252 fallback (€/™ prove the C1 mapping),
+    // undeclared valid UTF-8, UTF-16LE BOM, and the WHATWG label
+    // upgrade (header SAYS iso-8859-1, byte 0x85 must decode … not a
+    // C1 control) — the oracle replays every decoded code point and
+    // the resolved charset name
+    "q_warc_charset" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcCharsetMedia _)
+      Warc.readWarc(media)
+        .filter(_.warc_type == "response").toDF()
+        .select("doc_id", "rec_idx", "charset", "payload")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // WARC → HTML text extraction (round 13): HTTP-200 responses only,
     // script/style CONTENT must not leak, entities decode, whitespace
     // collapses — the oracle replays the exact extracted string
@@ -3241,6 +3260,33 @@ object LlmQueries {
         withRequests = id % 4 == 2,
         lowerCaseHeaders = id % 5 == 0,
         infoLen = (15 + id % 20).toInt),
+      "application/warc")
+  }
+
+  /** The q_warc_charset fixture (round 15): seven responses per doc,
+    * one per resolution path, bodies planted byte-exact (cp1252 curly
+    * quotes 0x93/0x94, Shift_JIS multibyte, BOMs, the undefined-in-
+    * latin1 0x80/0x99/0x85 cp1252 range); per-record gzip members on
+    * even ids. */
+  private def warcCharsetMedia(id: Long): Multimodal.Media = {
+    def iso(s: String) = s.getBytes("ISO-8859-1")
+    def b(xs: Int*) = xs.map(_.toByte).toArray
+    val recs = Seq(
+      (s"http://cs.example/$id/cp1252", "text/html; charset=windows-1252",
+        iso(s"w$id ") ++ b(0x93, 0xE9, 0x94)),
+      (s"http://cs.example/$id/sjis", "text/html",
+        iso("<meta charset=shift_jis>") ++ "日本語".getBytes("Shift_JIS")),
+      (s"http://cs.example/$id/bom8", "text/html",
+        b(0xEF, 0xBB, 0xBF) ++ s"b$id é…".getBytes("UTF-8")),
+      (s"http://cs.example/$id/fallback", "text/html",
+        iso(s"f$id ") ++ b(0x80, 0x99)),
+      (s"http://cs.example/$id/sniff8", "text/html",
+        s"u$id é€".getBytes("UTF-8")),
+      (s"http://cs.example/$id/bom16", "text/html",
+        b(0xFF, 0xFE) ++ s"s$id".getBytes("UTF-16LE")),
+      (s"http://cs.example/$id/latin1label", "text/html; charset=iso-8859-1",
+        iso(s"l$id ") ++ b(0x85)))
+    Multimodal.Media(id, Warc.syntheticWarcRaw(recs, gzipped = id % 2 == 0),
       "application/warc")
   }
 
@@ -6097,6 +6143,31 @@ object LlmQueries {
         |  CAST(42 + (CASE (doc_id + i) % 3 WHEN 0 THEN 2 WHEN 1 THEN 9 ELSE 5 END)
         |    + LENGTH(h) AS BIGINT) AS content_length,
         |  CAST(LENGTH(h) AS BIGINT) AS payload_len
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // charset replay (round 15): the exact decoded code points per
+    // resolution path — cp1252 curly quotes chr(8220)/chr(8221),
+    // Shift_JIS kanji, BOM-stripped UTF-8/UTF-16LE, the €/™/… that
+    // only exist if 0x80/0x99/0x85 went through cp1252 (a latin-1 or
+    // hard-UTF-8 decode would emit C1 controls or U+FFFD instead)
+    "q_warc_charset" ->
+      """WITH r AS (
+        |  SELECT doc_id, 1 AS rec_idx, 'windows-1252' AS charset,
+        |    'w' || doc_id || ' ' || chr(8220) || chr(233) || chr(8221) AS payload
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 2, 'shift_jis',
+        |    '<meta charset=shift_jis>' || chr(26085) || chr(26412) || chr(35486)
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 3, 'utf-8',
+        |    'b' || doc_id || ' ' || chr(233) || chr(8230) FROM documents
+        |  UNION ALL SELECT doc_id, 4, 'windows-1252',
+        |    'f' || doc_id || ' ' || chr(8364) || chr(8482) FROM documents
+        |  UNION ALL SELECT doc_id, 5, 'utf-8',
+        |    'u' || doc_id || ' ' || chr(233) || chr(8364) FROM documents
+        |  UNION ALL SELECT doc_id, 6, 'utf-16le', 's' || doc_id FROM documents
+        |  UNION ALL SELECT doc_id, 7, 'windows-1252',
+        |    'l' || doc_id || ' ' || chr(8230) FROM documents)
+        |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, charset, payload
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     // HTML extraction replay (round 13): the exact extracted string —

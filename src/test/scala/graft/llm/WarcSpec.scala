@@ -80,6 +80,66 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.htmlText("&#xFFFFFFF;") == "&#xFFFFFFF;", "invalid code point survives")
   }
 
+  // ------------------------------------------------------------------
+  // round 15: payload charset resolution
+  // ------------------------------------------------------------------
+
+  test("charsetFor: WHATWG label upgrade and unknown-label degrade") {
+    assert(Warc.charsetFor("ISO-8859-1").map(_.name) === Some("windows-1252"))
+    assert(Warc.charsetFor("latin1").map(_.name) === Some("windows-1252"))
+    assert(Warc.charsetFor("us-ascii").map(_.name) === Some("windows-1252"))
+    assert(Warc.charsetFor("\"UTF-8\"").map(_.name) === Some("UTF-8"))
+    assert(Warc.charsetFor("Shift_JIS").map(_.name) === Some("Shift_JIS"))
+    assert(Warc.charsetFor("gb18030").isDefined)
+    assert(Warc.charsetFor("no-such-charset-xyz") === None)
+    assert(Warc.charsetFor("") === None)
+  }
+
+  test("decodePayload: the full resolution chain, byte-exact") {
+    def dp(b: Array[Byte], http: Option[String] = None) =
+      Warc.decodePayload(b, 0, b.length, http)
+    def bs(xs: Int*) = xs.map(_.toByte).toArray
+    // BOMs win and are consumed
+    assert(dp(bs(0xEF, 0xBB, 0xBF) ++ "é".getBytes("UTF-8"),
+      Some("windows-1252")) === ("é", "utf-8"))
+    assert(dp(bs(0xFF, 0xFE) ++ "hi".getBytes("UTF-16LE")) === ("hi", "utf-16le"))
+    assert(dp(bs(0xFE, 0xFF) ++ "hi".getBytes("UTF-16BE")) === ("hi", "utf-16be"))
+    // HTTP charset beats meta
+    val metaBody = "<meta charset=utf-8>x".getBytes("ISO-8859-1")
+    assert(dp(metaBody, Some("windows-1252"))._1.endsWith("“"))
+    // meta sniff: both forms
+    assert(dp("<meta charset=windows-1252>".getBytes("ISO-8859-1"))._2
+      === "windows-1252")
+    assert(dp(("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=shift_jis\">").getBytes("ISO-8859-1") ++
+      "語".getBytes("Shift_JIS"))._1.endsWith("語"))
+    // undeclared: strict-valid UTF-8 stays UTF-8 ...
+    assert(dp("fjörd".getBytes("UTF-8")) === ("fjörd", "utf-8"))
+    // ... invalid falls back cp1252 (C1 range maps to punctuation)
+    assert(dp(bs('x', 0x80, 0x99)) === ("x€™", "windows-1252"))
+    // latin-1-LABELED transport still upgrades to cp1252
+    assert(dp(bs(0x85), Some("iso-8859-1")) === ("…", "windows-1252"))
+    // total on empty
+    assert(dp(Array.emptyByteArray) === ("", "utf-8"))
+  }
+
+  test("nested HTTP Content-Type drives the record's payload decode") {
+    val arc = Warc.syntheticWarcRaw(Seq(
+      ("http://a/", "text/html; charset=windows-1252",
+        Array[Byte]('q', 0x93.toByte)),
+      ("http://b/", "text/plain", "plain ascii".getBytes("UTF-8"))),
+      gzipped = false)
+    val recs = Warc.parseWarc(arc).filter(_.warc_type == "response")
+    assert(recs.map(r => (r.payload, r.charset)) ===
+      Seq(("q“", "windows-1252"), ("plain ascii", "utf-8")))
+    // gzipped layout decodes identically
+    val gz = Warc.parseWarc(Warc.syntheticWarcRaw(Seq(
+      ("http://a/", "text/html; charset=windows-1252",
+        Array[Byte]('q', 0x93.toByte))), gzipped = true))
+      .filter(_.warc_type == "response")
+    assert(gz.map(r => (r.payload, r.charset)) === Seq(("q“", "windows-1252")))
+  }
+
   test("corrupt archives keep the parsed prefix and never throw") {
     val good = warcBytes(5L, gz = false)
     val full = Warc.parseWarc(good)
