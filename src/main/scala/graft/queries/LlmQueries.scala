@@ -3645,6 +3645,25 @@ object LlmQueries {
     Multimodal.Media(id, bytes, "application/octet-stream")
   }
 
+  // ------------------------------------------------------------------
+  // Fixture-bytes cache (round 15, VERDICT r14 task 3 — bench
+  // hygiene): the compressed-fixture families (per-row bz2 multistream
+  // dumps, xz/zstd jsonl shards) are synthesized INSIDE the map stage,
+  // so a timed bench rep measured fixture-ENCODER + engine — and the
+  // encoders are exactly what memory-pressure interference amplifies,
+  // which made q_wiki_pages / q_wiki_slice_pages / q_jsonl_shard the
+  // perennial bench outliers. Construction is deterministic per id, so
+  // a JVM-wide cache makes every rep after the first measure scan +
+  // decode only; Bench's min-of-reps then records the ENGINE. Bounded:
+  // ≤ |documents| entries of ~1-2 KB per family, built once per
+  // executor JVM. Verify semantics are untouched — same bytes, the
+  // construction just replays once.
+  // ------------------------------------------------------------------
+  private val fixtureBytes =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]
+  private def cachedFixture[T <: AnyRef](family: String, id: Long)(build: => T): T =
+    fixtureBytes.computeIfAbsent((family, id), _ => build).asInstanceOf[T]
+
   /** The q_wiki_pages fixture (round 13): 1 + id%3 pages; page j has
     * an entity-carrying title on (id+j)%4=0, ns cycling 0/1/14,
     * page_id = id*10+j, a redirect on (id+j)%5=0, and a self-closing
@@ -3659,7 +3678,8 @@ object LlmQueries {
       val text = if ((id + j) % 7 == 0) "" else s"w $id $j & end"
       (title, ns, id * 10 + j, redirect, text)
     }
-    Multimodal.Media(id, Wiki.syntheticDump(pages, (id % 3).toInt),
+    Multimodal.Media(id,
+      cachedFixture("wikiDump", id)(Wiki.syntheticDump(pages, (id % 3).toInt)),
       "application/xml")
   }
 
@@ -3711,13 +3731,14 @@ object LlmQueries {
     * stream i·S/P, exact integer arithmetic the oracle replays), plus
     * its REAL bz2 index. Titles carry a ':' so only the index line's
     * first two colons may delimit. */
-  private def wikiMsFixture(id: Long): (Array[Byte], Array[Byte]) = {
-    val p = (4 + id % 3).toInt
-    val s = (2 + id % 2).toInt
-    val pages = (0 until p).map(i =>
-      (s"Pg $id:$i", 0, id * 100 + i, "", s"body $id $i"))
-    Wiki.syntheticMultistreamIndexed(pages, s)
-  }
+  private def wikiMsFixture(id: Long): (Array[Byte], Array[Byte]) =
+    cachedFixture("wikiMs", id) {
+      val p = (4 + id % 3).toInt
+      val s = (2 + id % 2).toInt
+      val pages = (0 until p).map(i =>
+        (s"Pg $id:$i", 0, id * 100 + i, "", s"body $id $i"))
+      Wiki.syntheticMultistreamIndexed(pages, s)
+    }
 
   /** The q_pipeline_wiki fixture (round 13): docs 2k and 2k+1 carry
     * the SAME prose behind DIFFERENT id-stamped comments and
@@ -3936,7 +3957,8 @@ object LlmQueries {
         if ((id + j) % 2 == 0) "en" else "de"}"}"""
     }
     val lines = if (id % 6 == 0) recs.take(1) ++ Seq("") ++ recs.drop(1) else recs
-    Multimodal.Media(id, Archives.syntheticJsonl(lines, (id % 5).toInt),
+    Multimodal.Media(id,
+      cachedFixture("jsonl", id)(Archives.syntheticJsonl(lines, (id % 5).toInt)),
       "application/jsonl")
   }
 
