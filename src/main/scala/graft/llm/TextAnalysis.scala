@@ -152,6 +152,101 @@ object TextAnalysis {
       .toDF(idCol, "n_terms", "surprisal_micronats", "mean_nats")
   }
 
+  /** Stupid-backoff order-3 LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4) — the order-n upgrade
+    * of [[lmScore]] toward CCNet's 5-gram KenLM (VERDICT r14 task 6).
+    * Every token is scored at the LONGEST available context (trigram →
+    * bigram → unigram); a miss backs off one order and multiplies the
+    * score by α = 0.4, i.e. adds ln(2.5) per level to the surprisal:
+    *
+    *   S(w | ctx_k) = c_k(ngram)/c_k(context)   when c_k(ngram) > 0
+    *                = 0.4 · S(w | ctx_{k-1})    otherwise,
+    *   S(w)         = (c1(w)+1)/(N+V)           (add-one floor, total)
+    *
+    * Context counts are DERIVED from the k-gram counts (prefix sums),
+    * so numerator ≤ denominator by construction — the
+    * [[lmScoreTrigram]] consistency rule. Integer determinism: with
+    * 2.5^L = 5^L/2^L each term is ONE log of a ratio of integers,
+    * floor(ln((den·5^L)/(num·2^L))·1e6 + 0.5) micro-nats — the exact
+    * replay contract the whole lm family rides. n_terms = the token
+    * count (every token scores; unigram-only docs are no longer
+    * unscorable the way the bigram form left them).
+    *
+    * Scale shape: identical to [[lmScore]] — reference-bounded counts
+    * collect and broadcast, scoring is a pure map stage. */
+  def lmScoreBackoff(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def toks(t: String): Array[String] =
+      if (t == null) Array.empty else t.toLowerCase.split(" ", -1)
+    val refToks = reference.select(col(refTextCol)).as[String]
+      .flatMap(toks(_).iterator)
+    val uni = refToks.groupByKey(identity).count().collect().toMap
+    val vocab = uni.size.toLong
+    require(vocab > 0, "LM reference corpus is empty — nothing to train on")
+    val nTok = uni.valuesIterator.sum
+    def grams(n: Int) = reference.select(col(refTextCol)).as[String]
+      .flatMap { t =>
+        val w = toks(t)
+        (0 to w.length - n).iterator.map(i => w.slice(i, i + n).mkString(" "))
+      }
+      .groupByKey(identity).count().collect().toMap
+    val bi = grams(2)
+    val tri = grams(3)
+    def prefixCounts(m: Map[String, Long]): Map[String, Long] =
+      m.groupMapReduce { case (k, _) => k.substring(0, k.lastIndexOf(' ')) }(_._2)(_ + _)
+    val biCtx = prefixCounts(bi)
+    val triCtx = prefixCounts(tri)
+    val sc = spark.sparkContext
+    val bcU = sc.broadcast(uni)
+    val bcB = sc.broadcast(bi)
+    val bcBc = sc.broadcast(biCtx)
+    val bcT = sc.broadcast(tri)
+    val bcTc = sc.broadcast(triCtx)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val u = bcU.value; val b = bcB.value; val bc = bcBc.value
+        val t3 = bcT.value; val tc = bcTc.value
+        // α^L = (2/5)^L as an integer num/den pair folded into the ratio
+        val p5 = Array(1L, 5L, 25L)
+        val p2 = Array(1L, 2L, 4L)
+        def term(num: Long, den: Long, l: Int): Long =
+          math.floor(math.log((den * p5(l)).toDouble / (num * p2(l)).toDouble)
+            * 1000000.0 + 0.5).toLong
+        it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L, None: Option[Double])
+          else {
+            val w = text.toLowerCase.split(" ", -1)
+            var s = 0L
+            var i = 0
+            while (i < w.length) {
+              var done = false
+              var l = 0
+              if (i >= 2) {
+                val ng = w(i - 2) + " " + w(i - 1) + " " + w(i)
+                val c = t3.getOrElse(ng, 0L)
+                if (c > 0) { s += term(c, tc(w(i - 2) + " " + w(i - 1)), 0); done = true }
+                else l = 1
+              }
+              if (!done && i >= 1) {
+                val ng = w(i - 1) + " " + w(i)
+                val c = b.getOrElse(ng, 0L)
+                if (c > 0) { s += term(c, bc(w(i - 1)), l); done = true }
+                else l += 1
+              }
+              if (!done)
+                s += term(u.getOrElse(w(i), 0L) + 1, nTok + vocab, l)
+              i += 1
+            }
+            val nT = w.length.toLong
+            (id, nT, s, if (nT > 0) Some(s.toDouble / 1000000.0 / nT) else None)
+          }
+        }
+      }
+      .toDF(idCol, "n_terms", "surprisal_micronats", "mean_nats")
+  }
+
   /** Bounded top-k terms per document by (score desc, term asc) — the
     * many-docs ranking shape (the [[Ann.TopKAgg]] pattern with a string
     * payload): per-task state ≤ k entries per local doc, never a window
@@ -946,9 +1041,10 @@ object TextAnalysis {
     * (`div B`) to cap the histogram's cardinality; the bucket assignment
     * itself stays a pure map against the nBuckets-1 broadcast thresholds. */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
-      reference: DataFrame, refTextCol: String, nBuckets: Int = 3): DataFrame = {
+      reference: DataFrame, refTextCol: String, nBuckets: Int = 3,
+      scorer: (DataFrame, String, String, DataFrame, String) => DataFrame = lmScore): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val scored = lmScore(df, idCol, textCol, reference, refTextCol)
+    val scored = scorer(df, idCol, textCol, reference, refTextCol)
     val keyed = scored.withColumn("mean_micronats",
       when(col("n_terms") > 0, expr("surprisal_micronats div n_terms")))
     // the histogram is tiny (≤ distinct mean keys) and feeds BOTH scalar

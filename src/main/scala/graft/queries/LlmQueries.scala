@@ -220,6 +220,52 @@ object LlmQueries {
       |  FROM pb LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u ON pb.w1 = u.w),
       |lmagg AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id)""".stripMargin
 
+  /** CTE chain shared by q_text_lm_backoff / q_text_ppl_buckets_backoff:
+    * stupid-backoff order-3 replay. 1/2/3-gram counts over the %5
+    * reference, context counts as PREFIX SUMS of the k-gram counts (the
+    * Scala consistency rule), every token joined against its longest
+    * available context; each term is one ln of an integer ratio with
+    * the α=0.4 backoff folded in as ·5^L / ·2^L. Yields `lmagg`
+    * (doc_id, n, s). */
+  private lazy val lmBackoffCtes: String =
+    """uni AS (SELECT t AS w, count(*) AS c FROM
+      |  (SELECT unnest(toks) AS t FROM d WHERE doc_id % 5 = 0) GROUP BY t),
+      |vv AS (SELECT count(*) AS v, sum(c) AS n FROM uni),
+      |bg0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w2': toks[i], 'w3': toks[i+1]})) AS u FROM d WHERE doc_id % 5 = 0),
+      |bg AS (SELECT u.w2 AS w2, u.w3 AS w3, count(*) AS c FROM bg0 GROUP BY 1, 2),
+      |bgc AS (SELECT w2, sum(c) AS c FROM bg GROUP BY w2),
+      |tg0 AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})) AS u
+      |  FROM d WHERE doc_id % 5 = 0),
+      |tg AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, count(*) AS c FROM tg0 GROUP BY 1, 2, 3),
+      |tgc AS (SELECT w1, w2, sum(c) AS c FROM tg GROUP BY w1, w2),
+      |tok AS (SELECT doc_id, toks[i] AS w3,
+      |    CASE WHEN i >= 2 THEN toks[i-1] END AS w2,
+      |    CASE WHEN i >= 3 THEN toks[i-2] END AS w1
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)),
+      |terms AS (SELECT tok.doc_id,
+      |  CASE
+      |    WHEN jt.c IS NOT NULL THEN
+      |      CAST(floor(ln(CAST(jtc.c AS DOUBLE) / jt.c) * 1000000.0 + 0.5) AS BIGINT)
+      |    WHEN jb.c IS NOT NULL THEN
+      |      CAST(floor(ln(CAST(jbc.c * (CASE WHEN tok.w1 IS NOT NULL THEN 5 ELSE 1 END) AS DOUBLE)
+      |        / (jb.c * (CASE WHEN tok.w1 IS NOT NULL THEN 2 ELSE 1 END))) * 1000000.0 + 0.5) AS BIGINT)
+      |    ELSE
+      |      CAST(floor(ln(CAST((vv.n + vv.v)
+      |          * (CASE WHEN tok.w1 IS NOT NULL THEN 25 WHEN tok.w2 IS NOT NULL THEN 5 ELSE 1 END) AS DOUBLE)
+      |        / ((coalesce(ju.c, 0) + 1)
+      |          * (CASE WHEN tok.w1 IS NOT NULL THEN 4 WHEN tok.w2 IS NOT NULL THEN 2 ELSE 1 END)))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS t
+      |  FROM tok
+      |  LEFT JOIN tg jt ON tok.w1 = jt.w1 AND tok.w2 = jt.w2 AND tok.w3 = jt.w3
+      |  LEFT JOIN tgc jtc ON tok.w1 = jtc.w1 AND tok.w2 = jtc.w2
+      |  LEFT JOIN bg jb ON tok.w2 = jb.w2 AND tok.w3 = jb.w3
+      |  LEFT JOIN bgc jbc ON tok.w2 = jbc.w2
+      |  LEFT JOIN uni ju ON tok.w3 = ju.w, vv),
+      |lmagg AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id)""".stripMargin
+
   /** CTE chain shared by q_dsir_weights / q_dsir_select: tokenized docs →
     * unigram+bigram feature buckets → source/target histograms → integer
     * micro-nat λ per bucket → per-doc summed log weight `w` (doc_id,
@@ -803,6 +849,27 @@ object LlmQueries {
       val d = docs(s, dir)
       TextAnalysis.lmScoreTrigram(d, "doc_id", "text",
           d.filter(col("doc_id") % 5 === 0), "text")
+        .orderBy("doc_id")
+    }),
+
+    // stupid-backoff order-3 LM (round 15, verdict task 6): every token
+    // scored at its longest matching context, α=0.4 per backoff level
+    // folded into ONE integer ratio (2.5^L = 5^L/2^L), trained on the
+    // same %5 reference — the CCNet-KenLM upgrade path of the lm family
+    "q_text_lm_backoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmScoreBackoff(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text")
+        .orderBy("doc_id")
+    }),
+
+    // and the perplexity-bucket twin keyed on the backoff scorer: same
+    // tercile order-statistics arithmetic over the sharper signal
+    "q_text_ppl_buckets_backoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.perplexityBuckets(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text", nBuckets = 3,
+          scorer = TextAnalysis.lmScoreBackoff)
         .orderBy("doc_id")
     }),
 
@@ -5416,6 +5483,40 @@ object LlmQueries {
          |  CASE WHEN lmagg.n > 0 THEN CAST(lmagg.s AS DOUBLE) / 1000000.0 / lmagg.n END AS mean_nats
          |FROM (SELECT doc_id FROM d) ids LEFT JOIN lmagg USING (doc_id)
          |ORDER BY ids.doc_id""".stripMargin,
+
+    // backoff-LM replay (round 15): longest-context term selection and
+    // the α-per-level ratio folding, trained and scored entirely in SQL
+    "q_text_lm_backoff" ->
+      s"""WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |$lmBackoffCtes
+         |SELECT ids.doc_id, CAST(coalesce(lmagg.n, 0) AS BIGINT) AS n_terms,
+         |  CAST(coalesce(lmagg.s, 0) AS BIGINT) AS surprisal_micronats,
+         |  CASE WHEN lmagg.n > 0 THEN CAST(lmagg.s AS DOUBLE) / 1000000.0 / lmagg.n END AS mean_nats
+         |FROM (SELECT doc_id FROM d) ids LEFT JOIN lmagg USING (doc_id)
+         |ORDER BY ids.doc_id""".stripMargin,
+
+    // the bucket twin: identical tercile arithmetic over the backoff
+    // scorer's lmagg
+    "q_text_ppl_buckets_backoff" ->
+      s"""WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+         |$lmBackoffCtes,
+         |k AS (SELECT ids.doc_id, coalesce(lmagg.n, 0) AS n, coalesce(lmagg.s, 0) AS s,
+         |    CASE WHEN coalesce(lmagg.n, 0) > 0 THEN lmagg.s // lmagg.n END AS mkey
+         |  FROM (SELECT doc_id FROM d) ids LEFT JOIN lmagg USING (doc_id)),
+         |hist AS (SELECT mkey, count(*) AS c FROM k WHERE mkey IS NOT NULL GROUP BY mkey),
+         |cum AS (SELECT mkey, sum(c) OVER (ORDER BY mkey) AS cum FROM hist),
+         |nt AS (SELECT count(*) AS n FROM k WHERE mkey IS NOT NULL),
+         |cuts AS (SELECT
+         |    min(CASE WHEN cum >= (1 * nt.n + 2) // 3 THEN mkey END) AS t0,
+         |    min(CASE WHEN cum >= (2 * nt.n + 2) // 3 THEN mkey END) AS t1
+         |  FROM cum, nt)
+         |SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_terms,
+         |  CAST(k.s AS BIGINT) AS surprisal_micronats,
+         |  CAST(k.mkey AS BIGINT) AS mean_micronats,
+         |  CAST(CASE WHEN k.mkey IS NULL THEN NULL ELSE
+         |    (CASE WHEN k.mkey > cuts.t0 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN k.mkey > cuts.t1 THEN 1 ELSE 0 END) END AS INTEGER) AS bucket
+         |FROM k, cuts ORDER BY k.doc_id""".stripMargin,
 
     // zstd roundtrip as invariant: the compressor runs only in Spark, but
     // lossless-ness is assertable relationally — decompress(compress(x))

@@ -732,6 +732,36 @@ class LlmSpec extends SparkSpec {
     assert(out(2)._3 == 2 * t(0, 0))       // all-unseen: both terms ln((0+4)/1)
   }
 
+  test("backoff LM: longest-context selection, α per level, hand terms") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    // N=6, V=4; uni a2 b2 c1 d1; bi ab2 bc1 ca1 bd1 (prefix ctx a2 b2 c1);
+    // tri abc/bca/cab/abd x1 (prefix ctx ab2 bc1 ca1)
+    val score = Seq(
+      (1L, "a b c"),     // uni, bi hit, tri hit — no backoff anywhere
+      (2L, "a b x"),     // "x": tri miss -> bi miss -> uni at L=2 (·25/·4)
+      (3L, "x a b"),     // "b": tri miss -> BI HIT at L=1 (·5/·2)
+      (4L, "a"),         // single token IS scorable in the backoff form
+      (5L, "b c a b d")  // deep-context prose: three trigram hits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreBackoff(score, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toList
+    def tm(num: Long, den: Long, l: Int): Long = {
+      val p5 = Array(1L, 5L, 25L); val p2 = Array(1L, 2L, 4L)
+      math.floor(math.log((den * p5(l)).toDouble / (num * p2(l)).toDouble)
+        * 1000000.0 + 0.5).toLong
+    }
+    assert(out.map(_._2) === List(3L, 3L, 3L, 1L, 5L), "every token is a term")
+    assert(out(0)._3 === tm(3, 10, 0) + tm(2, 2, 0) + tm(1, 2, 0))
+    assert(out(1)._3 === tm(3, 10, 0) + tm(2, 2, 0) + tm(1, 10, 2))
+    assert(out(2)._3 === tm(1, 10, 0) + tm(3, 10, 1) + tm(2, 2, 1))
+    assert(out(3) === ((4L, 1L, tm(3, 10, 0), Some(tm(3, 10, 0).toDouble / 1000000.0))))
+    assert(out(4)._3 ===
+      tm(3, 10, 0) + tm(1, 2, 0) + tm(1, 1, 0) + tm(1, 1, 0) + tm(1, 2, 0))
+    // fluent prose under the model scores strictly below the backoff path
+    assert(out(4)._4.get < out(1)._4.get)
+  }
+
   test("repeated spans: cross-doc and within-doc repeats, merging, clamping") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =
