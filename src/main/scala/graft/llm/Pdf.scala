@@ -430,9 +430,61 @@ object Pdf {
           case _ => broken = true
         }
       }
-      val objs = objects.result()
-      if (objs.isEmpty) None
-      else Some(PdfDoc(version, objs, PDict(trailer), nStreams))
+      val objs0 = objects.result()
+      if (objs0.isEmpty) None
+      else {
+        // Modern layout (round 15): PDF 1.5+ files carry most
+        // non-stream objects COMPRESSED inside /Type /ObjStm streams
+        // and replace the `trailer` keyword with a /Type /XRef stream
+        // whose dict carries /Root — a scan that ignores both reads a
+        // catalog-less, page-less document, which is MOST real PDFs.
+        // Expansion is structural: /N (objnum, offset) integer pairs,
+        // then bare values at /First + offset (objects inside an
+        // ObjStm carry no obj/endobj framing and no streams). Direct
+        // objects WIN number conflicts (an incremental update rewrites
+        // directly); the explicit trailer's keys win over XRef-dict
+        // keys the same way. Malformed headers/offsets degrade to the
+        // members that parsed — the file-level prefix posture applied
+        // per stream.
+        var all = objs0
+        val provisional = PdfDoc(version, objs0, PDict(trailer), nStreams)
+        objs0.toSeq.sortBy(_._1).foreach {
+          case (_, s @ PStream(d, _)) =>
+            d.get("Type") match {
+              case Some(PName("ObjStm")) =>
+                (d.get("N"), d.get("First")) match {
+                  case (Some(n: PNum), Some(f: PNum))
+                      if n.v >= 0 && n.v <= 100000 && f.v >= 0 =>
+                    streamData(provisional, s, maxInflate).foreach { data =>
+                      val hl = new Lexer(data, 0, math.min(f.int, data.length))
+                      val pairs = Seq.newBuilder[(Int, Int)]
+                      var i = 0
+                      var ok = true
+                      while (ok && i < n.int) {
+                        (hl.next(), hl.next()) match {
+                          case (TNum(on), TNum(off)) if on >= 0 =>
+                            pairs += ((on.toInt, off.toInt))
+                          case _ => ok = false
+                        }
+                        i += 1
+                      }
+                      pairs.result().foreach { case (on, off) =>
+                        val p = f.int + off
+                        if (!all.contains(on) && p >= 0 && p < data.length)
+                          parseValue(new Lexer(data, p, data.length), 0)
+                            .foreach(v => all = all.updated(on, v))
+                      }
+                    }
+                  case _ => ()
+                }
+              case Some(PName("XRef")) =>
+                trailer = d.m ++ trailer
+              case _ => ()
+            }
+          case _ => ()
+        }
+        Some(PdfDoc(version, all, PDict(trailer), nStreams))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -484,17 +536,231 @@ object Pdf {
       case other => other
     }
 
-  /** /Filter-aware stream payload: none → raw; /FlateDecode (name or
-    * single-element array) → zlib inflate with a bomb guard; any other
-    * filter → None. */
+  /** /Filter-aware stream payload: the full CHAIN applies in array
+    * order (round 15 widened the round-13 flate-only scope). Supported:
+    * FlateDecode, LZWDecode (PDF/TIFF variant, /EarlyChange honored),
+    * ASCIIHexDecode, ASCII85Decode, RunLengthDecode — every one
+    * algorithmic, bomb-guarded by `maxInflate` per stage. A /Predictor
+    * > 1 in the decode parms is unsupported and returns None (decoding
+    * AROUND a predictor would yield silently wrong bytes — the posture
+    * forbids it); DCTDecode/JPXDecode/Crypt and unknown names → None. */
   private[graft] def streamData(doc: PdfDoc, s: PStream, maxInflate: Int = 1 << 26): Option[Array[Byte]] = {
-    resolve(doc, s.dict.get("Filter").getOrElse(PNull)) match {
-      case PNull => Some(s.data)
-      case PName("FlateDecode") => inflate(s.data, maxInflate)
-      case PArr(Vector(PName("FlateDecode"))) => inflate(s.data, maxInflate)
-      case PArr(v) if v.isEmpty => Some(s.data)
-      case _ => None
+    val filters: Seq[String] =
+      resolve(doc, s.dict.get("Filter").getOrElse(PNull)) match {
+        case PNull => Seq.empty
+        case PName(n) => Seq(n)
+        case PArr(v) => v.map(resolve(doc, _)).map {
+          case PName(n) => n
+          case _ => return None
+        }
+        case _ => return None
+      }
+    def parms(idx: Int): Option[PDict] =
+      resolve(doc, s.dict.get("DecodeParms")
+          .orElse(s.dict.get("DP")).getOrElse(PNull)) match {
+        case d: PDict => if (idx == 0) Some(d) else None
+        case PArr(v) if idx < v.length => resolve(doc, v(idx)) match {
+          case d: PDict => Some(d)
+          case _ => None
+        }
+        case _ => None
+      }
+    var acc = s.data
+    var i = 0
+    while (i < filters.length) {
+      val p = parms(i)
+      val predictor = p.flatMap(_.get("Predictor")) match {
+        case Some(PNum(v)) => v.toInt
+        case _ => 1
+      }
+      if (predictor > 1) return None
+      val step: Option[Array[Byte]] = filters(i) match {
+        case "FlateDecode" => inflate(acc, maxInflate)
+        case "LZWDecode" =>
+          val early = p.flatMap(_.get("EarlyChange")) match {
+            case Some(PNum(v)) => v != 0
+            case _ => true
+          }
+          lzwDecode(acc, early, maxInflate)
+        case "ASCIIHexDecode" => asciiHexDecode(acc)
+        case "ASCII85Decode" => ascii85Decode(acc, maxInflate)
+        case "RunLengthDecode" => runLengthDecode(acc, maxInflate)
+        case _ => None
+      }
+      step match {
+        case Some(d) => acc = d
+        case None => return None
+      }
+      i += 1
     }
+    Some(acc)
+  }
+
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace
+    * transparent, '>' terminates, an odd final digit pads a 0 low
+    * nibble; any other byte is malformed. */
+  private[graft] def asciiHexDecode(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < b.length && !done) {
+      val c = b(i) & 0xFF
+      if (c == '>') done = true
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) return None
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): base-85 groups of 5 chars → 4
+    * bytes, 'z' is the all-zero group shorthand (only at a group
+    * boundary), whitespace transparent, '~' starts the EOD marker, a
+    * partial final group of n chars yields n-1 bytes (padded with 'u'
+    * before decode, per spec). Value overflow or a lone trailing char
+    * is malformed. */
+  private[graft] def ascii85Decode(b: Array[Byte], max: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    if (b.length >= 2 && b(0) == '<' && b(1) == '~') i = 2 // Adobe prefix form
+    var done = false
+    while (i < b.length && !done) {
+      val c = b(i) & 0xFF
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      }
+      else if (!isWs(c)) {
+        if (c < '!' || c > 'u') return None
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) {
+          var v = 0L
+          var k = 0
+          while (k < 5) { v = v * 85 + grp(k); k += 1 }
+          if (v > 0xFFFFFFFFL) return None
+          out.write((v >> 24).toInt); out.write((v >> 16).toInt)
+          out.write((v >> 8).toInt); out.write(v.toInt)
+          n = 0
+        }
+      }
+      if (out.size > max) return None
+      i += 1
+    }
+    if (n == 1) return None
+    if (n > 1) {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 }
+      if (v > 0xFFFFFFFFL) return None
+      val tail = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte)
+      out.write(tail, 0, n - 1)
+    }
+    Some(out.toByteArray)
+  }
+
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte L — L < 128 copies
+    * the next L+1 bytes, L > 128 repeats the next byte 257−L times,
+    * L = 128 is EOD. Truncated runs are malformed. */
+  private[graft] def runLengthDecode(b: Array[Byte], max: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < b.length && !done) {
+      val l = b(i) & 0xFF
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + l + 1 > b.length) return None
+        out.write(b, i, l + 1)
+        i += l + 1
+      } else {
+        if (i >= b.length) return None
+        val c = b(i)
+        i += 1
+        var k = 0
+        while (k < 257 - l) { out.write(c.toInt); k += 1 }
+      }
+      if (out.size > max) return None
+    }
+    Some(out.toByteArray)
+  }
+
+  /** LZWDecode (ISO 32000 §7.4.4 — the TIFF 6.0 variant): MSB-first
+    * 9→12-bit codes, 256 = clear, 257 = EOD, the KwKwK first-use case,
+    * width growth one code EARLY by default (/EarlyChange 1). Linked
+    * dictionary (prev, byte) pairs — allocation is the fixed 4096-entry
+    * table plus the bounded output. A code beyond the table is
+    * malformed. */
+  private[graft] def lzwDecode(b: Array[Byte], earlyChange: Boolean, max: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dictPrev = new Array[Int](4096)
+    val dictByte = new Array[Byte](4096)
+    var size = 258
+    var width = 9
+    var bitPos = 0L
+    val bitEnd = b.length.toLong * 8
+    def next(): Int = {
+      if (bitPos + width > bitEnd) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        v = (v << 1) | ((b((bitPos >> 3).toInt) >> (7 - (bitPos & 7)).toInt) & 1)
+        bitPos += 1; k += 1
+      }
+      v
+    }
+    val seq = new Array[Byte](4096)
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = dictPrev(c)
+      c.toByte
+    }
+    def write(code: Int): Unit = {
+      var nn = 0
+      var c = code
+      while (c >= 258) { seq(nn) = dictByte(c); nn += 1; c = dictPrev(c) }
+      seq(nn) = c.toByte; nn += 1
+      var k = nn - 1
+      while (k >= 0) { out.write(seq(k).toInt); k -= 1 }
+    }
+    def grow(): Unit =
+      if (width < 12 && size >= (1 << width) - (if (earlyChange) 1 else 0))
+        width += 1
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = next()
+      if (code < 0 || code == 257) done = true
+      else if (code == 256) { size = 258; width = 9; prev = -1 }
+      else if (prev < 0) {
+        if (code > 255) return None
+        write(code)
+        prev = code
+      } else if (code < size) {
+        write(code)
+        if (size < 4096) {
+          dictPrev(size) = prev; dictByte(size) = firstByteOf(code); size += 1
+        }
+        grow()
+        prev = code
+      } else if (code == size && size < 4096) { // KwKwK
+        dictPrev(size) = prev; dictByte(size) = firstByteOf(prev); size += 1
+        write(size - 1)
+        grow()
+        prev = size - 1
+      } else return None
+      if (out.size > max) return None
+    }
+    Some(out.toByteArray)
   }
 
   private def inflate(b: Array[Byte], max: Int): Option[Array[Byte]] = {
@@ -1175,6 +1441,253 @@ object Pdf {
     xr.append(s"trailer\n<< /Size $size /Root 1 0 R$encPart >>\n")
     xr.append(s"startxref\n$xrefOff\n%%EOF\n")
     out.write(xr.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  // fixture-side filter encoders (independent constructions, the
+  // TIFF/GIF fixture-encoder discipline; the decoders additionally have
+  // spec-derived hand vectors in PdfSpec so the pair is not circular)
+
+  private def asciiHexEncode(d: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < d.length) {
+      sb.append(f"${d(i) & 0xFF}%02X")
+      if (i % 30 == 29) sb.append('\n') // interior ws is spec-legal
+      i += 1
+    }
+    sb.append('>')
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private def ascii85Encode(d: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder
+    def group(v0: Long, keep: Int): Unit = {
+      var v = v0
+      val c = new Array[Char](5)
+      var m = 4
+      while (m >= 0) { c(m) = ('!' + (v % 85)).toChar; v /= 85; m -= 1 }
+      sb.append(new String(c, 0, keep))
+    }
+    var i = 0
+    while (i + 4 <= d.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (d(i + k) & 0xFF); k += 1 }
+      if (v == 0) sb.append('z') else group(v, 5)
+      if (i % 56 == 52) sb.append('\n')
+      i += 4
+    }
+    val rem = d.length - i
+    if (rem > 0) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (i + k < d.length) d(i + k) & 0xFF else 0); k += 1 }
+      group(v, rem + 1)
+    }
+    sb.append("~>")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private def runLengthEncode(d: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < d.length) {
+      var run = 1
+      while (i + run < d.length && d(i + run) == d(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(d(i).toInt)
+        i += run
+      } else {
+        val start = i
+        var j = i
+        var literal = true
+        while (literal && j < d.length && j - start < 128) {
+          var r = 1
+          while (j + r < d.length && d(j + r) == d(j) && r < 3) r += 1
+          if (r >= 3 && j > start) literal = false else j += 1
+        }
+        out.write(j - start - 1)
+        out.write(d, start, j - start)
+        i = j
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** PDF LZW encoder mirroring the decode pair's width discipline: the
+    * encoder bumps at 2^w, one table add AHEAD of the decoder's
+    * 2^w − 1 (the early-change off-by-one the TIFF pair cross-validated
+    * against ImageIO in MediaInteropSpec). */
+  private def lzwEncodePdf(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        out.write(((acc >> (accBits - 8)) & 0xFF).toInt)
+        accBits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Long, Int]
+    var nextCode = 258
+    emit(256) // CLEAR opens the stream
+    var cur = -1
+    data.foreach { bb =>
+      val byte = bb & 0xFF
+      if (cur == -1) cur = byte
+      else {
+        val key = cur.toLong << 8 | byte
+        dict.get(key) match {
+          case Some(c) => cur = c
+          case None =>
+            emit(cur)
+            if (nextCode < 4093) {
+              dict(key) = nextCode
+              nextCode += 1
+              if (nextCode == (1 << width) && width < 12) width += 1
+            } else {
+              emit(256)
+              dict.clear(); nextCode = 258; width = 9
+            }
+            cur = byte
+        }
+      }
+    }
+    if (cur != -1) emit(cur)
+    emit(257) // EOD
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** Filter-exercise fixture (round 15): one page whose content stream
+    * goes through `mode` — 0 ASCIIHexDecode, 1 ASCII85Decode, 2
+    * RunLengthDecode, 3 LZWDecode, 4 the chain [ASCII85Decode,
+    * FlateDecode] (flate applied first on the write side, decoded
+    * last), 5 the chain [ASCIIHexDecode, RunLengthDecode]. */
+  def syntheticFilterPdf(version: String, lines: Seq[String], mode: Int): Array[Byte] = {
+    val ops = Seq.newBuilder[String]
+    ops += "BT"
+    ops += "/F1 12 Tf"
+    ops += "72 720 Td"
+    lines.zipWithIndex.foreach { case (l, j) =>
+      if (j > 0) ops += "0 -14 Td"
+      ops += s"(${escapeLiteral(l)}) Tj"
+    }
+    ops += "ET"
+    val plain = ops.result().mkString("\n").getBytes("ISO-8859-1")
+    val (data, filt) = (mode % 6) match {
+      case 0 => (asciiHexEncode(plain), "/Filter /ASCIIHexDecode")
+      case 1 => (ascii85Encode(plain), "/Filter /ASCII85Decode")
+      case 2 => (runLengthEncode(plain), "/Filter /RunLengthDecode")
+      case 3 => (lzwEncodePdf(plain), "/Filter /LZWDecode")
+      case 4 => (ascii85Encode(deflate(plain)),
+        "/Filter [/ASCII85Decode /FlateDecode]")
+      case _ => (asciiHexEncode(runLengthEncode(plain)),
+        "/Filter [/ASCIIHexDecode /RunLengthDecode]")
+    }
+    case class Obj(num: Int, body: Array[Byte])
+    def obj(num: Int, s: String): Obj =
+      Obj(num, s"$num 0 obj\n$s\nendobj\n".getBytes("ISO-8859-1"))
+    val stream = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"5 0 obj\n<< /Length ${data.length} $filt >>\nstream\n".getBytes("ISO-8859-1"))
+      o.write(data)
+      o.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      Obj(5, o.toByteArray)
+    }
+    val objs = Seq(
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      obj(2, "<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+      obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      obj(4, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+      stream)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"%PDF-$version\n".getBytes("ISO-8859-1"))
+    out.write(Array[Byte]('%', 0xE2.toByte, 0xE3.toByte, 0xCF.toByte, 0xD3.toByte, '\n'))
+    val offsets = new Array[Int](6)
+    objs.foreach { o => offsets(o.num) = out.size; out.write(o.body) }
+    val xrefOff = out.size
+    val xr = new java.lang.StringBuilder
+    xr.append("xref\n0 6\n0000000000 65535 f \n")
+    (1 until 6).foreach(i => xr.append(f"${offsets(i)}%010d 00000 n \n"))
+    xr.append("trailer\n<< /Size 6 /Root 1 0 R >>\n")
+    xr.append(s"startxref\n$xrefOff\n%%EOF\n")
+    out.write(xr.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Modern-layout fixture (round 15): the PDF 1.5+ shape — catalog,
+    * page tree, font, and page dict all COMPRESSED inside one
+    * /Type /ObjStm stream (header of (objnum, offset) pairs, bare
+    * bodies at /First + offset), the content stream direct (streams
+    * cannot live in an ObjStm), and NO `trailer` keyword: /Root is
+    * carried by a /Type /XRef stream's dict, as real writers emit.
+    * `flateObjStm`/`flateContent` put JDK-Deflater flate on each
+    * layer independently. */
+  def syntheticObjStmPdf(version: String, lines: Seq[String],
+      flateObjStm: Boolean, flateContent: Boolean): Array[Byte] = {
+    // members: 2 catalog, 3 pages root, 4 font, 5 page
+    val members = Seq(
+      2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+      3 -> "<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+      4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      5 -> ("<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>"))
+    val bodyBuf = new java.lang.StringBuilder
+    val offsets = members.map { case (num, body) =>
+      val off = bodyBuf.length
+      bodyBuf.append(body).append('\n')
+      (num, off)
+    }
+    val header = offsets.map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val first = header.length
+    val objStmPlain = (header + bodyBuf).getBytes("ISO-8859-1")
+    val objStmData = if (flateObjStm) deflate(objStmPlain) else objStmPlain
+    val objStmFilt = if (flateObjStm) " /Filter /FlateDecode" else ""
+
+    val ops = Seq.newBuilder[String]
+    ops += "BT"
+    ops += "/F1 12 Tf"
+    ops += "72 720 Td"
+    lines.zipWithIndex.foreach { case (l, j) =>
+      if (j > 0) ops += "0 -14 Td"
+      ops += s"(${escapeLiteral(l)}) Tj"
+    }
+    ops += "ET"
+    val contentPlain = ops.result().mkString("\n").getBytes("ISO-8859-1")
+    val contentData = if (flateContent) deflate(contentPlain) else contentPlain
+    val contentFilt = if (flateContent) " /Filter /FlateDecode" else ""
+
+    // the xref stream's payload is never read by the scan walk (its
+    // dict is what carries /Root); emit a plausible W=[1 2 1] table
+    val xrefData = Array.tabulate[Byte](8 * 4)(i => (i % 7).toByte)
+
+    def streamBytes(num: Int, dict: String, data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"$num 0 obj\n$dict\nstream\n".getBytes("ISO-8859-1"))
+      o.write(data)
+      o.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      o.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"%PDF-$version\n".getBytes("ISO-8859-1"))
+    out.write(Array[Byte]('%', 0xE2.toByte, 0xE3.toByte, 0xCF.toByte, 0xD3.toByte, '\n'))
+    out.write(streamBytes(1,
+      s"<< /Type /ObjStm /N ${members.length} /First $first " +
+        s"/Length ${objStmData.length}$objStmFilt >>", objStmData))
+    out.write(streamBytes(6,
+      s"<< /Length ${contentData.length}$contentFilt >>", contentData))
+    val xrefOff = out.size
+    out.write(streamBytes(7,
+      s"<< /Type /XRef /Size 8 /Root 2 0 R /W [1 2 1] " +
+        s"/Length ${xrefData.length} >>", xrefData))
+    out.write(s"startxref\n$xrefOff\n%%EOF\n".getBytes("ISO-8859-1"))
     out.toByteArray
   }
 

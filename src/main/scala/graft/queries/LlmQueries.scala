@@ -1700,6 +1700,34 @@ object LlmQueries {
         .orderBy("doc_id", "page_idx")
     }),
 
+    // Modern-layout PDF text (round 15): catalog/page-tree/font/page
+    // dicts all inside a /Type /ObjStm object stream, /Root carried by
+    // a /Type /XRef stream dict with NO trailer keyword — the PDF 1.5+
+    // shape most real writers emit; flate on each layer by id bits,
+    // paren-escaped lines, exact text replay
+    "q_pdf_text_objstm" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(objStmPdfMedia _)
+      Pdf.pdfPages(media).toDF()
+        .select("doc_id", "page_idx", "n_shows", "text")
+        .orderBy("doc_id", "page_idx")
+    }),
+
+    // PDF stream-filter family (round 15): ASCIIHex / ASCII85 (partial
+    // final groups) / RunLength (a planted zzzz… run makes the repeat
+    // branch load-bearing) / LZW (TIFF-variant early change) / the
+    // chains [A85, Flate] and [AHx, RL] by id%6 — same text out of
+    // every encoding, exact replay
+    "q_pdf_text_filters" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(filterPdfMedia _)
+      Pdf.pdfPages(media).toDF()
+        .select("doc_id", "page_idx", "n_shows", "text")
+        .orderBy("doc_id", "page_idx")
+    }),
+
     // Document-curation pipeline (round 13): PDF walk → page text →
     // newline-to-space normalization → quality gate, ONE Catalyst plan
     // — the books/papers mile of a corpus run, sibling to
@@ -3410,6 +3438,31 @@ object LlmQueries {
         simpleBytes = s"a=${id % 13} \u0080\u00A5".getBytes("ISO-8859-1"),
         splitTj = id % 2 == 1,
         flateCmap = id % 2 == 0),
+      "application/pdf")
+  }
+
+  /** The q_pdf_text_objstm fixture (round 15): 1 + id%3 paren-carrying
+    * lines through the modern layout; ObjStm flate on odd ids, content
+    * flate on id%4<2. */
+  private def objStmPdfMedia(id: Long): Multimodal.Media = {
+    val lines = (0 until (1 + id % 3).toInt)
+      .map(j => s"OS D$id L$j (v=${(id + 5 * j) % 43})")
+    Multimodal.Media(id,
+      Pdf.syntheticObjStmPdf(s"1.${5 + id % 3}", lines,
+        flateObjStm = id % 2 == 1, flateContent = id % 4 < 2),
+      "application/pdf")
+  }
+
+  /** The q_pdf_text_filters fixture (round 15): 2 + id%2 lines — the
+    * middle one carrying a same-char run for RunLength's repeat branch
+    * — through filter mode id%6. */
+  private def filterPdfMedia(id: Long): Multimodal.Media = {
+    val lines = (0 until (2 + id % 2).toInt).map { j =>
+      if (j == 1) s"r${"z" * (3 + (id % 5).toInt)} D$id"
+      else s"FL D$id L$j (q=${(id + 11 * j) % 37})"
+    }
+    Multimodal.Media(id,
+      Pdf.syntheticFilterPdf(s"1.${4 + id % 4}", lines, (id % 6).toInt),
       "application/pdf")
   }
 
@@ -6389,6 +6442,33 @@ object LlmQueries {
         |  CAST(n_shows AS INTEGER) AS n_shows, text
         |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
         |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // filter-family replay (round 15): the same closed-form lines out
+    // of every stream encoding
+    "q_pdf_text_filters" ->
+      """WITH ln AS (
+        |  SELECT doc_id, v.j AS j,
+        |    CASE WHEN v.j = 1 THEN 'r' || repeat('z', CAST(3 + doc_id % 5 AS INTEGER)) || ' D' || doc_id
+        |      ELSE 'FL D' || doc_id || ' L' || v.j || ' (q=' || ((doc_id + 11 * v.j) % 37) || ')' END AS line
+        |  FROM documents, unnest(generate_series(0, 2)) AS v(j)
+        |  WHERE v.j < 2 + doc_id % 2)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS page_idx,
+        |  CAST(2 + doc_id % 2 AS INTEGER) AS n_shows,
+        |  string_agg(line, chr(10) ORDER BY j) AS text
+        |FROM ln GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // modern-layout replay (round 15): same text whether the structure
+    // objects were bare or compressed — the layout must be invisible
+    "q_pdf_text_objstm" ->
+      """WITH ln AS (
+        |  SELECT doc_id, v.j AS j,
+        |    'OS D' || doc_id || ' L' || v.j || ' (v=' || ((doc_id + 5 * v.j) % 43) || ')' AS line
+        |  FROM documents, unnest(generate_series(0, 2)) AS v(j)
+        |  WHERE v.j < 1 + doc_id % 3)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS page_idx,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_shows,
+        |  string_agg(line, chr(10) ORDER BY j) AS text
+        |FROM ln GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // document-pipeline replay (round 13): quality metrics over the
     // SAME closed-form page text with newlines normalized to spaces —

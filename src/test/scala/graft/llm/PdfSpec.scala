@@ -266,6 +266,108 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.glyphToUnicode("uniZZZZ") === None)
   }
 
+  // ------------------------------------------------------------------
+  // round 15: the wider filter family
+  // ------------------------------------------------------------------
+
+  test("filter hand vectors: spec-derived byte sequences") {
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    // ASCIIHex: ws-transparent pairs, odd final digit pads low 0
+    assert(Pdf.asciiHexDecode(b("48 65\n6C>")).map(_.toSeq) === Some(b("Hel").toSeq))
+    assert(Pdf.asciiHexDecode(b("486>")).map(_.toSeq) === Some(Seq[Byte](0x48, 0x60)))
+    assert(Pdf.asciiHexDecode(b("4G>")) === None)
+    // ASCII85: '!'=digit 0 so "!!!!!" is the zero group; 'z' shorthand;
+    // a 2-char final group pads with 'u' and keeps 1 byte — "5l" is
+    // digits (20,75), padded value 0x41... so the kept byte is 'A'
+    assert(Pdf.ascii85Decode(b("!!!!!"), 1 << 20).map(_.toSeq) === Some(Seq[Byte](0, 0, 0, 0)))
+    assert(Pdf.ascii85Decode(b("z~>"), 1 << 20).map(_.toSeq) === Some(Seq[Byte](0, 0, 0, 0)))
+    assert(Pdf.ascii85Decode(b("5l~>"), 1 << 20).map(_.toSeq) === Some(Seq[Byte](0x41)))
+    assert(Pdf.ascii85Decode(b("!!!!!X~>"), 1 << 20) === None, "lone trailing char")
+    assert(Pdf.ascii85Decode(b("v~>"), 1 << 20) === None, "out-of-range char")
+    // RunLength: literal(L+1), repeat(257-L), EOD 128
+    assert(Pdf.runLengthDecode(Array[Byte](2, 'a', 'b', 'c', 254.toByte, 'x', 128.toByte),
+      1 << 20).map(new String(_, "ISO-8859-1")) === Some("abcxxx"))
+    assert(Pdf.runLengthDecode(Array[Byte](5, 'a'), 1 << 20) === None, "truncated literal")
+    // LZW: codes 65, 258(KwKwK), 65, 257 at 9 bits MSB-first = "AAAA"
+    assert(Pdf.lzwDecode(Array[Byte](0x20, 0xC0.toByte, 0x88.toByte, 0x30, 0x10),
+      earlyChange = true, 1 << 20).map(new String(_, "ISO-8859-1")) === Some("AAAA"))
+    // a code past the table is malformed
+    assert(Pdf.lzwDecode(Array[Byte](0x20, 0xE0.toByte, 0x40), earlyChange = true,
+      1 << 20) === None)
+  }
+
+  test("filter modes and chains are invisible to extraction") {
+    // the repeated-run line makes RunLength's repeat branch load-bearing
+    val lines = Seq("alpha (x)", "zzzzzzzzzz run", "gamma \\ end")
+    val expected = lines.mkString("\n")
+    for (mode <- 0 until 6) {
+      val pdf = Pdf.syntheticFilterPdf("1.4", lines, mode)
+      val pages = Pdf.pagesOf(3L, pdf)
+      assert(pages.map(p => (p.n_shows, p.text)) === Seq((3, expected)), s"mode=$mode")
+    }
+    // a large lzw body crosses the 9->10 bit width boundary
+    val big = (0 until 120).map(i => s"line $i word${i % 7} (k=${i % 13})")
+    val pages = Pdf.pagesOf(4L, Pdf.syntheticFilterPdf("1.4", big, 3))
+    assert(pages.map(_.text) === Seq(big.mkString("\n")))
+  }
+
+  test("a /Predictor in DecodeParms refuses rather than mis-decodes") {
+    val content = "BT (x) Tj ET" // payload is never reached
+    val pdf = ("%PDF-1.5\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 4 >> >> stream\n$content\nendstream endobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.pagesOf(8L, pdf).isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // round 15: the modern layout — object streams + XRef-stream trailer
+  // ------------------------------------------------------------------
+
+  test("object streams: members expand, XRef dict is the trailer, flate knobs invisible") {
+    val lines = Seq("alpha (x)", "beta \\ y", "gamma")
+    for (fo <- Seq(false, true); fc <- Seq(false, true)) {
+      val pdf = Pdf.syntheticObjStmPdf("1.7", lines, fo, fc)
+      val meta = Pdf.metaOf(11L, pdf).getOrElse(fail(s"unparseable fo=$fo fc=$fc"))
+      // 3 direct (ObjStm, content, xref) + 4 expanded members
+      assert(meta.n_objects === 7 && meta.n_streams === 3 && meta.n_pages === 1)
+      assert(!meta.encrypted)
+      val pages = Pdf.pagesOf(11L, pdf)
+      assert(pages.map(p => (p.page_idx, p.n_shows, p.text)) ===
+        Seq((0, 3, "alpha (x)\nbeta \\ y\ngamma")), s"fo=$fo fc=$fc")
+    }
+  }
+
+  test("object streams: a direct object wins a number conflict") {
+    // the ObjStm carries catalog obj 2; a direct obj 2 pointing at a
+    // DIFFERENT pages root must win (incremental updates write direct)
+    val base = Pdf.syntheticObjStmPdf("1.6", Seq("one"), false, false)
+    val update = ("\n2 0 obj << /Type /Catalog /Pages 99 0 R >> endobj\n" +
+      "99 0 obj << /Type /Pages /Kids [] /Count 0 >> endobj\n")
+      .getBytes("ISO-8859-1")
+    val doc = Pdf.parsePdf(base ++ update).getOrElse(fail("update broke the walk"))
+    assert(Pdf.pages(doc).isEmpty, "direct catalog (empty tree) must shadow the ObjStm one")
+  }
+
+  test("object streams: corrupt headers and offsets degrade, never throw") {
+    val good = Pdf.syntheticObjStmPdf("1.5", Seq("ok"), false, false)
+    // truncations anywhere keep whatever parsed
+    for (cut <- Seq(20, good.length / 3, good.length / 2, good.length - 5))
+      Pdf.parsePdf(java.util.Arrays.copyOfRange(good, 0, cut)) // no throw
+    // an ObjStm whose /First points past the data yields no members but
+    // the direct objects survive
+    val lying = ("%PDF-1.5\n" +
+      "1 0 obj << /Type /ObjStm /N 2 /First 9999 /Length 9 >> stream\n2 0 3 4 x\nendstream endobj\n" +
+      "7 0 obj << /Type /XRef /Root 2 0 R /Length 4 >> stream\nabcd\nendstream endobj\n" +
+      "startxref\n9\n%%EOF").getBytes("ISO-8859-1")
+    val doc = Pdf.parsePdf(lying)
+    assert(doc.isDefined && doc.get.objects.contains(1) && !doc.get.objects.contains(2))
+    assert(doc.get.trailer.get("Root").isDefined, "XRef dict still adopted")
+  }
+
   test("incremental update: a second trailer's keys override") {
     val base = new String(pdfBytes(1L), "ISO-8859-1")
     val updated = (base +
