@@ -15,9 +15,10 @@ import graft.llm.Multimodal.Media
   * silently wrong value — and the oracle replays the DECODED strings,
   * so even that shows up red.
   *
-  * Scope, documented: charsets UTF-8 / US-ASCII / ISO-8859-1 (the
-  * overwhelming corpus majority; others fall back to Latin-1 byte
-  * mapping, which is total); text extraction prefers the first
+  * Scope, documented: any JVM-resolvable charset label (round 15 —
+  * Shift_JIS / KOI8-R / GB* / ISO-2022-JP are all common in real
+  * mail; unknown labels fall back to Latin-1 byte mapping, which is
+  * total); text extraction prefers the first
   * text/plain part, falling back to [[Warc.htmlText]] over the first
   * text/html part; nested multiparts recurse with a depth bound;
   * mboxrd ">From " unescaping applies to body lines.
@@ -75,7 +76,16 @@ object Mail {
     val n = name.trim.toLowerCase
     if (n == "utf-8" || n == "utf8") java.nio.charset.StandardCharsets.UTF_8
     else if (n == "us-ascii" || n == "ascii") java.nio.charset.StandardCharsets.US_ASCII
-    else java.nio.charset.StandardCharsets.ISO_8859_1 // total fallback
+    else if (n == "iso-8859-1" || n == "latin1") java.nio.charset.StandardCharsets.ISO_8859_1
+    else
+      // round 15: the full JVM charset table (Shift_JIS, KOI8-R, GB*,
+      // ISO-2022-JP — all common in real mail). MIME labels its
+      // charsets honestly, so unlike the web path (Warc.charsetFor)
+      // there is NO latin-1→cp1252 upgrade here; unknown labels keep
+      // the Latin-1 total fallback (every byte maps, never a throw).
+      try java.nio.charset.Charset.forName(name.trim)
+      catch { case scala.util.control.NonFatal(_) =>
+        java.nio.charset.StandardCharsets.ISO_8859_1 }
   }
 
   /** RFC 2047 encoded-words in a header value: B (base64) and Q

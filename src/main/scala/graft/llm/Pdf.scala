@@ -862,6 +862,8 @@ object Pdf {
   // name-for-every-byte convention spells out).
   // ------------------------------------------------------------------
 
+  private val WinAnsiCs = java.nio.charset.Charset.forName("windows-1252")
+
   private[graft] sealed trait FontDec
   private[graft] case object FLatin1 extends FontDec
   private[graft] final case class FSimple(table: Array[String]) extends FontDec
@@ -1057,19 +1059,36 @@ object Pdf {
         val (m, rs) = toUni.getOrElse((Map.empty[Int, String], Seq.empty))
         FCid(m, if (rs.nonEmpty) rs else Seq((2, 0L, 0xFFFFL)))
       case _ =>
-        // Simple font: 1-byte codes. Latin-1 base, /Differences names
-        // overlaid, then the CMap's own statements win.
-        val diffs: Seq[P] =
-          resolve(doc, f.get("Encoding").getOrElse(PNull)) match {
-            case e: PDict => resolve(doc, e.get("Differences").getOrElse(PNull)) match {
-              case PArr(v) => v
-              case _ => Seq.empty
-            }
+        // Simple font: 1-byte codes. Base per the declared /Encoding —
+        // WinAnsiEncoding IS cp1252 (the 0x80–0x9F typography range is
+        // where it differs from Latin-1, and real Word/LaTeX output
+        // uses exactly those curly quotes and dashes); Standard/absent
+        // stay Latin-1 (they agree on the printable range). Then
+        // /Differences names overlay, then the CMap's own statements
+        // win.
+        val enc = resolve(doc, f.get("Encoding").getOrElse(PNull))
+        val encName: Option[String] = enc match {
+          case PName(n) => Some(n)
+          case e: PDict => resolve(doc, e.get("BaseEncoding").getOrElse(PNull)) match {
+            case PName(n) => Some(n)
+            case _ => None
+          }
+          case _ => None
+        }
+        val diffs: Seq[P] = enc match {
+          case e: PDict => resolve(doc, e.get("Differences").getOrElse(PNull)) match {
+            case PArr(v) => v
             case _ => Seq.empty
           }
-        if (diffs.isEmpty && toUni.forall(_._1.isEmpty)) FLatin1
+          case _ => Seq.empty
+        }
+        val winAnsi = encName.contains("WinAnsiEncoding")
+        if (diffs.isEmpty && toUni.forall(_._1.isEmpty) && !winAnsi) FLatin1
         else {
-          val table = Array.tabulate(256)(i => (i.toChar).toString)
+          val table =
+            if (winAnsi) Array.tabulate(256)(i =>
+              new String(Array((i & 0xFF).toByte), WinAnsiCs))
+            else Array.tabulate(256)(i => (i.toChar).toString)
           var code = 0
           diffs.foreach {
             case PNum(v) => code = v.toInt

@@ -19,6 +19,11 @@ class MailSpec extends AnyFunSuite {
     assert(Mail.decodeWords("=?utf-8?B?!!!?=") == "=?utf-8?B?!!!?=")
     // non-ASCII through a B-word
     assert(Mail.decodeWords("=?utf-8?B?w6l0w6k=?=") == "été")
+    // round 15: the full JVM charset table — a Shift_JIS B-word
+    val sjis = java.util.Base64.getEncoder.encodeToString("日本".getBytes("Shift_JIS"))
+    assert(Mail.decodeWords(s"=?shift_jis?B?$sjis?=") == "日本")
+    // unknown labels keep the Latin-1 total fallback, never a throw
+    assert(Mail.decodeWords("=?x-no-such-cs?Q?ab?=") == "ab")
   }
 
   test("quoted-printable: escapes, soft breaks, malformed passthrough") {

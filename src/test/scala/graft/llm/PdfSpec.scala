@@ -238,6 +238,20 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.map(_.text) === Seq("naïve"))
   }
 
+  test("WinAnsiEncoding IS cp1252: the 0x80-0x9F typography range decodes") {
+    // curly quotes 0x93/0x94, em dash 0x97, euro 0x80 — the bytes real
+    // Word/LaTeX output shows constantly; Latin-1 would emit C1 controls
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      streamObjSrc(4, "BT /F1 9 Tf (\\223q\\224 \\227 \\200) Tj ET") +
+      "5 0 obj << /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >> endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.pagesOf(2L, pdf).map(_.text) === Seq("“q” — €"))
+  }
+
   test("simple font: 1-byte /ToUnicode overlay wins over /Differences") {
     // Differences says 0x61 -> aacute; the CMap says 0x61 -> 'Z'. The
     // CMap is the author's own statement of the text, so it wins.
