@@ -519,7 +519,27 @@ class PlanSpec extends SparkSpec {
         "audioAsrChunks" -> graft.llm.AudioStats.asrChunks(
           ids.map(id => Multimodal.Media(id, Multimodal.syntheticWavPcm(8000,
             Array.tabulate(800)(j => if ((j / 160 + id) % 3 == 0) 0 else 300)),
-            "audio/wav")), maxFrames = 2).toDF())) {
+            "audio/wav")), maxFrames = 2).toDF(),
+        // round 15: CID text decode, the ObjStm/XRef layout, the wider
+        // filter chains, and charset-resolved WARC payloads are all the
+        // same shape — bytes decode in their scan partition
+        "pdfPages/cid" -> graft.llm.Pdf.pdfPages(
+          ids.map(id => Multimodal.Media(id, graft.llm.Pdf.syntheticCidPdf(
+            "1.6", s"Hi $id", Seq(0x0001), Array[Byte]('a'),
+            splitTj = id % 2 == 0, flateCmap = id % 2 == 1),
+            "application/pdf"))).toDF(),
+        "pdfPages/objstm" -> graft.llm.Pdf.pdfPages(
+          ids.map(id => Multimodal.Media(id, graft.llm.Pdf.syntheticObjStmPdf(
+            "1.7", Seq(s"L $id"), flateObjStm = true, flateContent = false),
+            "application/pdf"))).toDF(),
+        "pdfPages/filters" -> graft.llm.Pdf.pdfPages(
+          ids.map(id => Multimodal.Media(id, graft.llm.Pdf.syntheticFilterPdf(
+            "1.4", Seq(s"L $id"), (id % 6).toInt), "application/pdf"))).toDF(),
+        "warcCharset" -> graft.llm.Warc.readWarc(
+          ids.map(id => Multimodal.Media(id, graft.llm.Warc.syntheticWarcRaw(
+            Seq((s"http://x/$id", "text/html; charset=windows-1252",
+              Array[Byte]('q', 0x93.toByte))), gzipped = id % 2 == 0),
+            "application/warc"))).toDF())) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!hasExchange(plan), s"$name is not a pure map stage:\n$plan")
     }
