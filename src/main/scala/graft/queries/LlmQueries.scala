@@ -1728,6 +1728,25 @@ object LlmQueries {
         .orderBy("doc_id", "page_idx")
     }),
 
+    // and the curation pipeline over CMAP-DECODED text (round 15):
+    // composite-font walk → CMap decode → normalization → quality
+    // gate, ONE Catalyst plan — length/word arithmetic runs on the
+    // decoded code points (the emoji is ONE char on both engines), and
+    // the short Differences page falls below the gate while the CID
+    // page passes
+    "q_pipeline_pdf_cid" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(cidPdfMedia _)
+      val txt = Pdf.pdfPages(media).toDF()
+        .select(col("doc_id"), col("page_idx"),
+          translate(col("text"), "\n", " ").as("text"))
+      TextAnalysis.quality(txt, col("text"))
+        .select(col("doc_id"), col("page_idx"), col("n_chars"), col("n_words"),
+          (col("n_chars") >= 12 && col("n_words") >= 3).cast("int").as("keep"))
+        .orderBy("doc_id", "page_idx")
+    }),
+
     // Document-curation pipeline (round 13): PDF walk → page text →
     // newline-to-space normalization → quality gate, ONE Catalyst plan
     // — the books/papers mile of a corpus run, sibling to
@@ -6469,6 +6488,32 @@ object LlmQueries {
         |  CAST(1 + doc_id % 3 AS INTEGER) AS n_shows,
         |  string_agg(line, chr(10) ORDER BY j) AS text
         |FROM ln GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CID-pipeline replay (round 15): quality arithmetic over the
+    // chr()-constructed decoded text — code-point lengths agree across
+    // engines including the surrogate-pair emoji (one code point both
+    // sides)
+    "q_pipeline_pdf_cid" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, 0 AS page_idx,
+        |    'Cid D' || doc_id || ' k=' || ((doc_id * 7 + 3) % 29) || ' ' ||
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN chr(233) || chr(65533)
+        |      WHEN 1 THEN chr(8230) || chr(913) || chr(914) || chr(915)
+        |      ELSE chr(128512) END AS text
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id, 1 AS page_idx,
+        |    chr(225) || '=' || (doc_id % 13) || ' ' || chr(8364) || chr(8226) AS text
+        |  FROM documents),
+        |t AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+        |SELECT doc_id, CAST(page_idx AS INTEGER) AS page_idx,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN LENGTH(text) >= 12
+        |    AND LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 3
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM t ORDER BY doc_id, page_idx""".stripMargin,
 
     // document-pipeline replay (round 13): quality metrics over the
     // SAME closed-form page text with newlines normalized to spaces —

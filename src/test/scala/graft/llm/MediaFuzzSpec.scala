@@ -80,7 +80,13 @@ class MediaFuzzSpec extends AnyFunSuite {
     "surt" -> (b => Crawl.surt(new String(b, "UTF-8"))),
     "htmlTables" -> (b => Tables.parseTables(new String(b, "UTF-8"))),
     "frontMatter" -> (b => Markdown.frontMatter(new String(b, "UTF-8"))),
-    "vp8lDecode" -> (b => Vp8l.decodeGray(b)))
+    "vp8lDecode" -> (b => Vp8l.decodeGray(b)),
+    // round 15: the CMap parser and the four new stream-filter decoders
+    "pdfCmap" -> (b => Pdf.parseCmap(b)),
+    "pdfAsciiHex" -> (b => Pdf.asciiHexDecode(b)),
+    "pdfAscii85" -> (b => Pdf.ascii85Decode(b, 1 << 20)),
+    "pdfRunLength" -> (b => Pdf.runLengthDecode(b, 1 << 20)),
+    "pdfLzw" -> (b => Pdf.lzwDecode(b, earlyChange = true, 1 << 20)))
 
   // one representative of every container/layout family the engine writes
   private def fixtures: Seq[(String, Array[Byte])] = {
@@ -172,6 +178,22 @@ class MediaFuzzSpec extends AnyFunSuite {
       "wikiBz2" -> Wiki.syntheticDump(Seq(
         ("A & b", 0, 3L, "", "'''x''' [[l|y]] {{t}}"),
         ("T:c", 1, 4L, "A & b", "")), compress = 2),
+      // round 15: composite fonts, the modern layout, filter chains,
+      // charset-planted archives — flip/truncate them all
+      "pdfCid" -> Pdf.syntheticCidPdf("1.6", "Hi (x)", Seq(0x0001, 0x0010),
+        "a=1 ¥".getBytes("ISO-8859-1"), splitTj = true, flateCmap = true),
+      "pdfObjStm" -> Pdf.syntheticObjStmPdf("1.7", Seq("one (a)", "two"),
+        flateObjStm = true, flateContent = true),
+      "pdfA85Flate" -> Pdf.syntheticFilterPdf("1.4", Seq("x (y)", "zzzzzz"), 4),
+      "pdfLzw" -> Pdf.syntheticFilterPdf("1.4", Seq("lzw body", "zzzzzz"), 3),
+      "pdfHexRl" -> Pdf.syntheticFilterPdf("1.4", Seq("hex rl", "zzzzzz"), 5),
+      "warcCharset" -> Warc.syntheticWarcRaw(Seq(
+        ("http://a/", "text/html; charset=windows-1252",
+          Array[Byte]('q', 0x93.toByte)),
+        ("http://b/", "text/html",
+          Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte, 'x')),
+        ("http://c/", "text/html",
+          "<meta charset=shift_jis>x".getBytes("ISO-8859-1"))), gzipped = true),
       "jsonlZst" -> Archives.syntheticJsonl(Seq(
         """{"id":1,"t":"a"}""", """{"id":2,"t":"b"}"""), compress = 2),
       "jsonlXz" -> Archives.syntheticJsonl(Seq("""{"id":3}"""), compress = 3),
