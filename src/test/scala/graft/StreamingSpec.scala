@@ -1704,6 +1704,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming round-15 kernels: CID/ObjStm/filter PDFs and charset WARC equal batch") {
+    // same flatMap shape as the r13 twins — the new decode layers
+    // (CMap fonts, ObjStm expansion, filter chains, charset resolution)
+    // ride the identical kernel in a live feed
+    import spark.implicits._
+    import graft.llm.{Multimodal, Pdf, Warc}
+    val medias = (0L until 9L).map { id =>
+      val bytes = (id % 3) match {
+        case 0 => Pdf.syntheticCidPdf("1.6", s"Hi $id (x)", Seq(0x0001, 0x0010),
+          s"a=$id".getBytes("ISO-8859-1"), splitTj = id % 2 == 0, flateCmap = id % 2 == 1)
+        case 1 => Pdf.syntheticObjStmPdf("1.7", Seq(s"o$id", s"p$id (y)"),
+          flateObjStm = id % 2 == 0, flateContent = id % 2 == 1)
+        case _ => Pdf.syntheticFilterPdf("1.4", Seq(s"f$id", "zzzzzz run"), (id / 3 % 6).toInt)
+      }
+      Multimodal.Media(id, bytes, "application/pdf")
+    }
+    val batch = Pdf.pdfPages(spark.createDataset(medias)).collect().toSet
+    assert(batch.exists(_.text.contains("😀")) || batch.exists(_.text.contains("é")),
+      "batch premise: CMap-decoded text present")
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val st = in.toDS().map { case (id, b) => Multimodal.Media(id, b, "application/pdf") }
+    val q = Pdf.pdfPages(st).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_pdf15").start()
+    try {
+      in.addData(medias.take(4).map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      in.addData(medias.drop(4).map(m => (m.doc_id, m.media)): _*)
+      q.processAllAvailable()
+      assert(spark.table("cm_pdf15").as[Pdf.PdfPage].collect().toSet == batch,
+        "r15 pdf stream == batch")
+    } finally q.stop()
+    // charset WARC: the resolved charset column survives the stream
+    val warcs = (0L until 6L).map { id =>
+      Multimodal.Media(id, Warc.syntheticWarcRaw(Seq(
+        (s"http://a/$id", "text/html; charset=windows-1252",
+          Array[Byte]('q', 0x93.toByte)),
+        (s"http://b/$id", "text/html",
+          Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ s"x$id é".getBytes("UTF-8"))),
+        gzipped = id % 2 == 0), "application/warc")
+    }
+    val wBatch = Warc.readWarc(spark.createDataset(warcs)).collect().toSet
+    assert(wBatch.exists(_.charset == "windows-1252") && wBatch.exists(_.charset == "utf-8"),
+      "batch premise: both resolution paths present")
+    val win = MemoryStream[(Long, Array[Byte])](spark)
+    val wst = win.toDS().map { case (id, b) => Multimodal.Media(id, b, "application/warc") }
+    val wq = Warc.readWarc(wst).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cm_warc15").start()
+    try {
+      win.addData(warcs.map(m => (m.doc_id, m.media)): _*)
+      wq.processAllAvailable()
+      assert(spark.table("cm_warc15").as[Warc.WarcRecord].collect().toSet == wBatch,
+        "r15 warc stream == batch")
+    } finally wq.stop()
+  }
+
   test("streaming document extraction: docx and epub parts equal the batch walk") {
     import spark.implicits._
     import graft.llm.{Docs, Multimodal}
