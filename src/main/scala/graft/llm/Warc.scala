@@ -190,6 +190,65 @@ object Warc {
     }
   }
 
+  /** HTTP chunked transfer-encoding removal (round 15): size-line in
+    * hex (chunk extensions after ';' ignored), CRLF-framed chunks, the
+    * 0-chunk ends the body (trailers ignored). None on any framing
+    * violation — the caller falls back to the raw bytes, total. Real
+    * crawls preserve the wire form, so without this the chunk sizes
+    * leak into the corpus text. */
+  private[graft] def dechunk(b: Array[Byte], from: Int, to: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = from
+    while (p < to) {
+      val eol = indexOfCrlf(b, p, to)
+      if (eol < 0) return None
+      val line = new String(b, p, eol - p, "ISO-8859-1")
+      val semi = line.indexOf(';')
+      val sizeStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0))
+        return None
+      val size = try Integer.parseInt(sizeStr, 16)
+      catch { case _: NumberFormatException => return None }
+      p = eol + 2
+      if (size == 0) return Some(out.toByteArray)
+      if (p + size > to) return None
+      out.write(b, p, size)
+      p += size
+      if (p + 2 > to || b(p) != '\r' || b(p + 1) != '\n') return None
+      p += 2
+    }
+    None // never saw the terminating 0-chunk
+  }
+
+  /** HTTP content-encoding removal: gzip (multi-member) and deflate
+    * (zlib per the RFC, raw-deflate fallback for the servers that send
+    * it bare — both exist in real crawls). None → caller keeps raw. */
+  private def contentDecode(enc: String, b: Array[Byte]): Option[Array[Byte]] =
+    enc match {
+      case "gzip" | "x-gzip" => gunzipAll(b)
+      case "deflate" =>
+        def inflate(nowrap: Boolean): Option[Array[Byte]] =
+          try {
+            val inf = new java.util.zip.Inflater(nowrap)
+            inf.setInput(b)
+            val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+            val buf = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val k = inf.inflate(buf)
+              if (k == 0) {
+                if (inf.needsInput() || inf.needsDictionary()) { inf.end(); return None }
+              } else {
+                out.write(buf, 0, k)
+                if (out.size > (1 << 26)) { inf.end(); return None }
+              }
+            }
+            inf.end()
+            Some(out.toByteArray)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        inflate(false).orElse(inflate(true))
+      case _ => None // identity/br/unknown: keep raw
+    }
+
   /** Record walk → complete records before the first structural
     * violation. Accepts plain or gzipped (multi-member) archives. */
   private[graft] def parseWarc(raw: Array[Byte]): Seq[WarcRecord] = {
@@ -225,6 +284,8 @@ object Warc {
                   var status = 0
                   var payStart = bodyStart
                   var httpCharset: Option[String] = None
+                  var chunked = false
+                  var contentEnc: Option[String] = None
                   if (ctype.toLowerCase.startsWith("application/http")) {
                     // nested HTTP message: status line + headers + body
                     val seol = indexOfCrlf(b, bodyStart, bodyEnd)
@@ -237,11 +298,26 @@ object Warc {
                         case Some((hh, hb)) =>
                           payStart = hb
                           httpCharset = hh.get("content-type").flatMap(charsetParam)
+                          chunked = hh.get("transfer-encoding")
+                            .exists(_.toLowerCase.contains("chunked"))
+                          contentEnc = hh.get("content-encoding").map(_.trim.toLowerCase)
                         case None => payStart = bodyEnd // headers never close: empty payload
                       }
                     }
                   }
-                  val (payload, charset) = decodePayload(b, payStart, bodyEnd, httpCharset)
+                  // wire decoding layers, each falling back to the
+                  // previous form on failure (total): TE first (it
+                  // frames the wire), then CE (it wraps the entity)
+                  var payBytes: Array[Byte] =
+                    if (chunked) dechunk(b, payStart, bodyEnd).orNull else null
+                  contentEnc.foreach { enc =>
+                    val in = if (payBytes != null) payBytes
+                      else java.util.Arrays.copyOfRange(b, payStart, bodyEnd)
+                    contentDecode(enc, in).foreach(payBytes = _)
+                  }
+                  val (payload, charset) =
+                    if (payBytes == null) decodePayload(b, payStart, bodyEnd, httpCharset)
+                    else decodePayload(payBytes, 0, payBytes.length, httpCharset)
                   out += WarcRecord(-1L, idx, wtype, uri, ctype, cl, status,
                     (bodyEnd - payStart).toLong, payload, charset)
                   idx += 1
@@ -430,6 +506,51 @@ object Warc {
     val all = out.result()
     if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
     else all.fold(Array.emptyByteArray)(_ ++ _)
+  }
+
+  /** Response records with caller-controlled nested-HTTP HEADERS and
+    * body bytes (round 15) — the transfer/content-encoding fixture
+    * surface: `(uri, httpHeaders, wireBody)` triples pass through
+    * verbatim, so a test can plant chunked framing and gzip/deflate
+    * entities exactly as a crawler stores them. */
+  def syntheticWarcHttp(recs: Seq[(String, Seq[(String, String)], Array[Byte])],
+      gzipped: Boolean): Array[Byte] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    out += record(Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-http-enc-fixture".getBytes("UTF-8"), lowerCase = false)
+    recs.foreach { case (uri, hdrs, body) =>
+      val head = ("HTTP/1.1 200 OK\r\n" +
+        hdrs.map { case (k, v) => s"$k: $v\r\n" }.mkString + "\r\n")
+        .getBytes("ISO-8859-1")
+      out += record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http;msgtype=response"),
+        head ++ body, lowerCase = false)
+    }
+    val all = out.result()
+    if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
+    else all.fold(Array.emptyByteArray)(_ ++ _)
+  }
+
+  /** Wire-side chunked framing for fixtures: splits `body` into
+    * `sizes`-byte chunks (last chunk takes the remainder), one chunk
+    * extension planted, terminating 0-chunk appended. */
+  def chunkEncode(body: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    var i = 0
+    while (p < body.length) {
+      val n = if (i < sizes.length) math.min(sizes(i), body.length - p)
+        else body.length - p
+      val ext = if (i == 0) ";x=1" else ""
+      out.write(s"${n.toHexString}$ext\r\n".getBytes("ISO-8859-1"))
+      out.write(body, p, n)
+      out.write("\r\n".getBytes("ISO-8859-1"))
+      p += n
+      i += 1
+    }
+    out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+    out.toByteArray
   }
 
   /** A WET archive (the Common Crawl text layer): one warcinfo record,

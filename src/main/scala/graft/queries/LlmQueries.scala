@@ -1415,6 +1415,23 @@ object LlmQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // WARC nested-HTTP wire encodings (round 15): chunked
+    // transfer-encoding (multi-chunk with a chunk extension), gzip and
+    // zlib-deflate content-encodings, the TE+CE combination (dechunk
+    // THEN gunzip), an unknown coding (br) kept raw, and a LYING
+    // chunked header whose body must fall back raw — without the
+    // dechunk/decode layers the chunk sizes and compressed bytes leak
+    // into the corpus text
+    "q_warc_http_enc" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcHttpEncMedia _)
+      Warc.readWarc(media)
+        .filter(_.warc_type == "response").toDF()
+        .select("doc_id", "rec_idx", "charset", "payload")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // WARC → HTML text extraction (round 13): HTTP-200 responses only,
     // script/style CONTENT must not leak, entities decode, whitespace
     // collapses — the oracle replays the exact extracted string
@@ -3401,6 +3418,55 @@ object LlmQueries {
       (s"http://cs.example/$id/latin1label", "text/html; charset=iso-8859-1",
         iso(s"l$id ") ++ b(0x85)))
     Multimodal.Media(id, Warc.syntheticWarcRaw(recs, gzipped = id % 2 == 0),
+      "application/warc")
+  }
+
+  /** The q_warc_http_enc fixture (round 15): six responses per doc —
+    * chunked, gzip, zlib deflate, chunked+gzip, unknown-coding br kept
+    * raw, and a lying chunked header falling back raw. */
+  private def warcHttpEncMedia(id: Long): Multimodal.Media = {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def u8(s: String) = s.getBytes("UTF-8")
+    val recs = Seq(
+      (s"http://he/$id/chunked",
+        Seq("Content-Type" -> "text/plain; charset=utf-8",
+          "Transfer-Encoding" -> "chunked"),
+        Warc.chunkEncode(u8(s"ch$id alpha beta"), Seq(4, 5))),
+      (s"http://he/$id/gzip",
+        Seq("Content-Type" -> "text/html; charset=utf-8",
+          "Content-Encoding" -> "gzip"),
+        gz(u8(s"gz$id é…"))),
+      (s"http://he/$id/deflate",
+        Seq("Content-Type" -> "text/plain",
+          "Content-Encoding" -> "deflate"),
+        zlib(u8(s"df$id data"))),
+      (s"http://he/$id/both",
+        Seq("Content-Type" -> "text/plain; charset=utf-8",
+          "Transfer-Encoding" -> "chunked", "Content-Encoding" -> "gzip"),
+        Warc.chunkEncode(gz(u8(s"cg$id mix")), Seq(7))),
+      (s"http://he/$id/br",
+        Seq("Content-Type" -> "text/plain; charset=utf-8",
+          "Content-Encoding" -> "br"),
+        u8(s"br$id raw")),
+      (s"http://he/$id/liar",
+        Seq("Content-Type" -> "text/plain; charset=utf-8",
+          "Transfer-Encoding" -> "chunked"),
+        u8(s"nochunk$id")))
+    Multimodal.Media(id, Warc.syntheticWarcHttp(recs, gzipped = id % 2 == 1),
       "application/warc")
   }
 
@@ -6362,6 +6428,22 @@ object LlmQueries {
         |  UNION ALL SELECT doc_id, 6, 'utf-16le', 's' || doc_id FROM documents
         |  UNION ALL SELECT doc_id, 7, 'windows-1252',
         |    'l' || doc_id || ' ' || chr(8230) FROM documents)
+        |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, charset, payload
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // wire-encoding replay (round 15): every decoded entity in closed
+    // form — the liar row replays the RAW body (fallback posture)
+    "q_warc_http_enc" ->
+      """WITH r AS (
+        |  SELECT doc_id, 1 AS rec_idx, 'utf-8' AS charset,
+        |    'ch' || doc_id || ' alpha beta' AS payload FROM documents
+        |  UNION ALL SELECT doc_id, 2, 'utf-8',
+        |    'gz' || doc_id || ' ' || chr(233) || chr(8230) FROM documents
+        |  UNION ALL SELECT doc_id, 3, 'utf-8',
+        |    'df' || doc_id || ' data' FROM documents
+        |  UNION ALL SELECT doc_id, 4, 'utf-8', 'cg' || doc_id || ' mix' FROM documents
+        |  UNION ALL SELECT doc_id, 5, 'utf-8', 'br' || doc_id || ' raw' FROM documents
+        |  UNION ALL SELECT doc_id, 6, 'utf-8', 'nochunk' || doc_id FROM documents)
         |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, charset, payload
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 

@@ -140,6 +140,42 @@ class WarcSpec extends AnyFunSuite {
     assert(gz.map(r => (r.payload, r.charset)) === Seq(("q“", "windows-1252")))
   }
 
+  test("HTTP wire encodings: dechunk, content-decode, fallbacks") {
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    // dechunk hand vectors: extension ignored, trailer ignored,
+    // framing violations -> None
+    def dc(s: String) = {
+      val x = b(s)
+      Warc.dechunk(x, 0, x.length).map(new String(_, "UTF-8"))
+    }
+    assert(dc("3;x=y\r\nabc\r\n2\r\nde\r\n0\r\n\r\n") === Some("abcde"))
+    assert(dc("3\r\nabc\r\n0\r\nX-T: v\r\n\r\n") === Some("abc"))
+    assert(dc("ZZ\r\nabc\r\n0\r\n\r\n") === None)
+    assert(dc("5\r\nabc\r\n0\r\n\r\n") === None, "size past end")
+    assert(dc("3\r\nabc") === None, "no terminator")
+    // chunkEncode roundtrips through dechunk
+    val body = ("payload " * 20).getBytes("UTF-8")
+    val wire = Warc.chunkEncode(body, Seq(7, 31, 2))
+    assert(Warc.dechunk(wire, 0, wire.length).map(_.toSeq) === Some(body.toSeq))
+    // end-to-end: TE+CE order, unknown coding kept raw, liar fallback
+    def gz(x: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(x); g.close(); bos.toByteArray
+    }
+    val arc = Warc.syntheticWarcHttp(Seq(
+      ("http://a/", Seq("Content-Type" -> "text/plain; charset=utf-8",
+        "Transfer-Encoding" -> "chunked", "Content-Encoding" -> "gzip"),
+        Warc.chunkEncode(gz("both ways".getBytes("UTF-8")), Seq(5))),
+      ("http://b/", Seq("Content-Type" -> "text/plain",
+        "Content-Encoding" -> "br"), b("raw kept")),
+      ("http://c/", Seq("Content-Type" -> "text/plain",
+        "Transfer-Encoding" -> "chunked"), b("not actually chunked"))),
+      gzipped = false)
+    val recs = Warc.parseWarc(arc).filter(_.warc_type == "response")
+    assert(recs.map(_.payload) === Seq("both ways", "raw kept", "not actually chunked"))
+  }
+
   test("corrupt archives keep the parsed prefix and never throw") {
     val good = warcBytes(5L, gz = false)
     val full = Warc.parseWarc(good)
