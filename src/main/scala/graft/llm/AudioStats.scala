@@ -197,4 +197,107 @@ object AudioStats {
       }
     })
   }
+
+  // ------------------------------------------------------------------
+  // Spectral fingerprint (round 15) — the frequency-domain sibling of
+  // [[Multimodal.audioHash64]]'s time envelope. The shape is Haitsma &
+  // Kalker 2002 ("A Highly Robust Audio Fingerprinting System"): per
+  // frame, band energies; per (frame, band), one sign bit from the
+  // double difference (energy gradient along frequency, differenced
+  // along time) — 32 bits a frame, near-dups found by Hamming distance
+  // over frame hashes ([[graft.llm.Dedup.hammingPairs64]] consumes the
+  // column directly). The deliberate deviation: HK's Bark-scaled FFT
+  // bands are replaced by WALSH–HADAMARD sequency coefficients, so the
+  // whole kernel is INTEGER-exact — a 64-point WHT is adds and
+  // subtracts of int16 samples (|coef| ≤ 2^21, energies ≤ 2^42, no
+  // float anywhere), any engine replays it bit-for-bit, and Walsh
+  // sequency orders by zero-crossing count exactly like frequency
+  // orders sinusoids. DC (coefficient 0) is excluded; uniform gain
+  // scales every energy by the same factor, so the sign bits — hence
+  // the fingerprint — are VOLUME-INVARIANT by construction.
+  // ------------------------------------------------------------------
+
+  /** One fingerprint frame: 32 energy-gradient sign bits in the low
+    * half of `hash32`. Frames are consecutive non-overlapping
+    * `frameLen`-sample blocks; the first block only primes the time
+    * difference, so `frame_idx` starts at 1. */
+  case class SpectralFrame(doc_id: Long, frame_idx: Int, hash32: Long)
+
+  /** In-place fast Walsh–Hadamard transform, natural (Hadamard) order:
+    * out(m) = Σ_j in(j)·(−1)^popcount(m AND j). Length must be a power
+    * of two. */
+  private[graft] def whtInPlace(buf: Array[Long]): Unit = {
+    val n = buf.length
+    var h = 1
+    while (h < n) {
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < i + h) {
+          val a = buf(j); val b = buf(j + h)
+          buf(j) = a + b; buf(j + h) = a - b
+          j += 1
+        }
+        i += 2 * h
+      }
+      h *= 2
+    }
+  }
+
+  /** PCM samples → per-frame 32-bit spectral hashes. Bit m of frame n
+    * (n ≥ 1) is set iff
+    * (E(n,m+1) − E(n,m+2)) − (E(n−1,m+1) − E(n−1,m+2)) > 0,
+    * where E(n,k) is the squared WHT coefficient k of frame n — the HK
+    * double-difference over sequency bands 1..33. Needs ≥ 2 complete
+    * frames; the int16 domain guarantees every intermediate fits a
+    * Long with > 20 bits to spare. */
+  private[graft] def spectralHashes(s: Array[Int], frameLen: Int): Seq[(Int, Long)] = {
+    val nFrames = s.length / frameLen
+    if (nFrames < 2) return Nil
+    val out = Seq.newBuilder[(Int, Long)]
+    var prev: Array[Long] = null
+    var n = 0
+    while (n < nFrames) {
+      val buf = new Array[Long](frameLen)
+      var j = 0
+      while (j < frameLen) { buf(j) = s(n * frameLen + j).toLong; j += 1 }
+      whtInPlace(buf)
+      val e = new Array[Long](34)
+      var m = 1
+      while (m <= 33 && m < frameLen) { e(m) = buf(m) * buf(m); m += 1 }
+      if (prev != null) {
+        var hash = 0L
+        var b = 0
+        while (b < 32) {
+          val d = (e(b + 1) - e(b + 2)) - (prev(b + 1) - prev(b + 2))
+          if (d > 0) hash |= 1L << b
+          b += 1
+        }
+        out += ((n, hash))
+      }
+      prev = e
+      n += 1
+    }
+    out.result()
+  }
+
+  /** Batch kernel: decode (the shared [[Multimodal.audioPcmOf]]
+    * family — WAV/FLAC/AIFF/AU/G.711) → frame fingerprints. A pure
+    * map stage like every decode kernel here; undecodable or
+    * too-short audio yields no rows. */
+  def spectralFingerprint(ds: Dataset[Media], frameLen: Int = 64): Dataset[SpectralFrame] = {
+    require(frameLen >= 64 && (frameLen & (frameLen - 1)) == 0,
+      "frameLen must be a power of two >= 64 (bands 1..33 must exist)")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      Multimodal.audioPcmOf(m.media) match {
+        case Some((_, _, s)) =>
+          spectralHashes(s, frameLen).map { case (n, h) =>
+            SpectralFrame(m.doc_id, n, h)
+          }
+        case None => Nil
+      }
+    })
+  }
 }

@@ -863,6 +863,7 @@ object Pdf {
   // ------------------------------------------------------------------
 
   private val WinAnsiCs = java.nio.charset.Charset.forName("windows-1252")
+  private val MacRomanCs = java.nio.charset.Charset.forName("x-MacRoman")
 
   private[graft] sealed trait FontDec
   private[graft] case object FLatin1 extends FontDec
@@ -1083,11 +1084,20 @@ object Pdf {
           case _ => Seq.empty
         }
         val winAnsi = encName.contains("WinAnsiEncoding")
-        if (diffs.isEmpty && toUni.forall(_._1.isEmpty) && !winAnsi) FLatin1
+        val macRoman = encName.contains("MacRomanEncoding")
+        if (diffs.isEmpty && toUni.forall(_._1.isEmpty) && !winAnsi && !macRoman)
+          FLatin1
         else {
           val table =
             if (winAnsi) Array.tabulate(256)(i =>
               new String(Array((i & 0xFF).toByte), WinAnsiCs))
+            else if (macRoman) Array.tabulate(256) { i =>
+              // the JVM's x-MacRoman is post-8.5 Mac OS Roman; ISO 32000
+              // Annex D's MacRomanEncoding keeps the pre-euro table at
+              // exactly one code — 0xDB is /currency, not /Euro
+              if (i == 0xDB) "¤"
+              else new String(Array((i & 0xFF).toByte), MacRomanCs)
+            }
             else Array.tabulate(256)(i => (i.toChar).toString)
           var code = 0
           diffs.foreach {

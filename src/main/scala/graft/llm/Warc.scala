@@ -569,4 +569,283 @@ object Warc {
     if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
     else all.fold(Array.emptyByteArray)(_ ++ _)
   }
+
+  // ------------------------------------------------------------------
+  // CDX indexing (round 15) — the crawl-scale random-access layer.
+  // A 100 TB WARC crawl is never re-scanned to find one capture: the
+  // companion CDX(J) index (one slim row per record: canonical url
+  // key, 14-digit timestamp, digest, and the record's BYTE RANGE in
+  // the archive) is what every seeking reader and every revisit-dedup
+  // pass rides. Building it is a pure flatMap over the archive bytes —
+  // and for the Common Crawl layout (one gzip member per record) the
+  // offsets must be MEMBER offsets in the COMPRESSED file, so the walk
+  // tracks gzip member boundaries with a raw Inflater instead of
+  // decompressing the whole stream.
+  //
+  // Design choices, documented:
+  //  - urlkey is a SURT-style key (lowercased; host labels reversed
+  //    and comma-joined; default ports 80/443 dropped, others kept;
+  //    userinfo and fragment dropped; query params '&'-split and
+  //    sorted) — the pywb canonicalization subset that makes captures
+  //    of one page collate, without the long tail of scheme-specific
+  //    rules. Non-URLs (no "://") key as null.
+  //  - digest is lowercase sha256 hex of the ENTITY bytes (the nested
+  //    HTTP body after chunked/content-encoding removal; the whole
+  //    WARC body for non-HTTP records). Classic CDX uses base32 sha1;
+  //    sha256 is the deliberate deviation — it is what the oracle
+  //    engine can replay, and inside one index the only property that
+  //    matters is that equal payloads collide and unequal ones don't.
+  //  - ts14 keeps the digits of WARC-Date (ISO 8601) — exactly 14 for
+  //    a well-formed date; a malformed date degrades to its digit
+  //    prefix, never a throw.
+  // ------------------------------------------------------------------
+
+  /** One CDX row. `offset`/`rlength` frame the record in the ORIGINAL
+    * archive bytes: the gzip member for a member-compressed archive,
+    * the record span for a plain one — `[offset, offset+rlength)` fed
+    * back to the parser yields exactly this record (WarcSpec holds
+    * that round-trip). */
+  case class CdxRow(doc_id: Long, rec_idx: Int, urlkey: String, ts14: String,
+      url: String, mime: String, status: Int, digest: String,
+      offset: Long, rlength: Long, rec_type: String)
+
+  /** SURT-style canonical url key (see the block comment above for the
+    * exact subset). Total: null in or no "://" → null out. */
+  private[graft] def surtKey(url: String): String = {
+    if (url == null) return null
+    val u = url.trim
+    val si = u.indexOf("://")
+    if (si <= 0) return null
+    var rest = u.substring(si + 3)
+    val hashI = rest.indexOf('#')
+    if (hashI >= 0) rest = rest.substring(0, hashI)
+    val slashI = rest.indexWhere(c => c == '/' || c == '?')
+    var auth = if (slashI < 0) rest else rest.substring(0, slashI)
+    var pathQ = if (slashI < 0) "" else rest.substring(slashI)
+    val atI = auth.lastIndexOf('@')
+    if (atI >= 0) auth = auth.substring(atI + 1)
+    var host = auth
+    var port = ""
+    val colonI = auth.lastIndexOf(':')
+    if (colonI >= 0 && auth.substring(colonI + 1).forall(_.isDigit)) {
+      host = auth.substring(0, colonI)
+      val p = auth.substring(colonI + 1)
+      if (p.nonEmpty && p != "80" && p != "443") port = ":" + p
+    }
+    host = host.toLowerCase.stripSuffix(".")
+    if (host.isEmpty) return null
+    val revHost = host.split('.').reverse.mkString(",")
+    val qI = pathQ.indexOf('?')
+    val path = (if (qI < 0) pathQ else pathQ.substring(0, qI)) match {
+      case "" => "/"
+      case p => p
+    }
+    val query = if (qI < 0) "" else {
+      val params = pathQ.substring(qI + 1).split('&').filter(_.nonEmpty).sorted
+      if (params.isEmpty) "" else params.mkString("?", "&", "")
+    }
+    (revHost + port + ")" + path + query).toLowerCase
+  }
+
+  /** WARC-Date → the CDX 14-digit timestamp: digits only, first 14. */
+  private[graft] def ts14(warcDate: String): String =
+    if (warcDate == null) "" else warcDate.filter(_.isDigit).take(14)
+
+  private[graft] def sha256Hex(b: Array[Byte], from: Int, to: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(b, from, to - from)
+    md.digest().map(x => f"${x & 0xFF}%02x").mkString
+  }
+
+  /** Gzip member boundaries of a member-concatenated archive:
+    * (offset, length) per member, prefix-kept before the first
+    * structural violation. Header parse per RFC 1952 (FEXTRA/FNAME/
+    * FCOMMENT/FHCRC honored), body length measured by a raw Inflater
+    * (`getBytesRead` after `finished()`), then the 8-byte trailer. */
+  private[graft] def gzipMemberBounds(raw: Array[Byte]): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var p = 0
+    val n = raw.length
+    try {
+      while (p + 10 <= n && (raw(p) & 0xFF) == 0x1F && (raw(p + 1) & 0xFF) == 0x8B &&
+          (raw(p + 2) & 0xFF) == 0x08) {
+        val start = p
+        val flg = raw(p + 3) & 0xFF
+        var q = p + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (q + 2 > n) return out.result()
+          q += 2 + ((raw(q) & 0xFF) | ((raw(q + 1) & 0xFF) << 8))
+        }
+        if ((flg & 8) != 0) { while (q < n && raw(q) != 0) q += 1; q += 1 } // FNAME
+        if ((flg & 16) != 0) { while (q < n && raw(q) != 0) q += 1; q += 1 } // FCOMMENT
+        if ((flg & 2) != 0) q += 2 // FHCRC
+        if (q >= n) return out.result()
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(raw, q, n - q)
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!inf.finished()) {
+          val k = inf.inflate(buf)
+          total += k
+          if (k == 0 && !inf.finished()) { inf.end(); return out.result() }
+          if (total > (1 << 26)) { inf.end(); return out.result() }
+        }
+        val consumed = inf.getBytesRead
+        inf.end()
+        p = q + consumed.toInt + 8 // CRC32 + ISIZE trailer
+        if (p > n) return out.result()
+        out += ((start.toLong, (p - start).toLong))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.result()
+  }
+
+  /** Walk records in `[from, to)` of UNCOMPRESSED bytes, emitting the
+    * slim CDX view (no text decode — the index never materializes
+    * payloads): per record its header fields, nested-HTTP status/mime,
+    * and the sha256 of the entity bytes. Returns (row sans offsets,
+    * recStart, recLen) so both layouts can frame it. */
+  private def cdxWalk(b: Array[Byte], from: Int, to: Int): Seq[(CdxRow, Int, Int)] = {
+    val out = Seq.newBuilder[(CdxRow, Int, Int)]
+    var p = from
+    var broken = false
+    while (!broken && p + 7 <= to) {
+      val recStart = p
+      val eol = indexOfCrlf(b, p, to)
+      if (eol < 0 || !new String(b, p, math.min(5, eol - p), "ISO-8859-1").equals("WARC/"))
+        broken = true
+      else parseHeaders(b, eol + 2, to) match {
+        case None => broken = true
+        case Some((hdrs, bodyStart)) =>
+          hdrs.get("content-length").flatMap(_.toLongOption) match {
+            case Some(cl) if cl >= 0 && bodyStart + cl + 4 <= to =>
+              val bodyEnd = bodyStart + cl.toInt
+              if (b(bodyEnd) != '\r' || b(bodyEnd + 1) != '\n' ||
+                  b(bodyEnd + 2) != '\r' || b(bodyEnd + 3) != '\n') broken = true
+              else {
+                val ctype = hdrs.getOrElse("content-type", "")
+                var status = 0
+                var mime = ctype.takeWhile(_ != ';').trim.toLowerCase
+                var payStart = bodyStart
+                var chunked = false
+                var contentEnc: Option[String] = None
+                if (ctype.toLowerCase.startsWith("application/http")) {
+                  val seol = indexOfCrlf(b, bodyStart, bodyEnd)
+                  if (seol > 0) {
+                    val sline = new String(b, bodyStart, seol - bodyStart, "ISO-8859-1")
+                    val parts = sline.split(" ", 3)
+                    if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
+                      status = parts(1).toIntOption.getOrElse(0)
+                    parseHeaders(b, seol + 2, bodyEnd) match {
+                      case Some((hh, hb)) =>
+                        payStart = hb
+                        hh.get("content-type").foreach(ct =>
+                          mime = ct.takeWhile(_ != ';').trim.toLowerCase)
+                        chunked = hh.get("transfer-encoding")
+                          .exists(_.toLowerCase.contains("chunked"))
+                        contentEnc = hh.get("content-encoding").map(_.trim.toLowerCase)
+                      case None => payStart = bodyEnd
+                    }
+                  }
+                }
+                var ent: Array[Byte] =
+                  if (chunked) dechunk(b, payStart, bodyEnd).orNull else null
+                contentEnc.foreach { enc =>
+                  val in = if (ent != null) ent
+                    else java.util.Arrays.copyOfRange(b, payStart, bodyEnd)
+                  contentDecode(enc, in).foreach(ent = _)
+                }
+                val digest = if (ent == null) sha256Hex(b, payStart, bodyEnd)
+                  else sha256Hex(ent, 0, ent.length)
+                val uri = hdrs.getOrElse("warc-target-uri", null)
+                out += ((CdxRow(-1L, -1, surtKey(uri),
+                  ts14(hdrs.getOrElse("warc-date", "")), uri, mime, status,
+                  digest, -1L, -1L, hdrs.getOrElse("warc-type", "")),
+                  recStart, bodyEnd + 4 - recStart))
+                p = bodyEnd + 4
+              }
+            case _ => broken = true
+          }
+      }
+    }
+    out.result()
+  }
+
+  /** Archive bytes → CDX rows. Member-gzipped archives get MEMBER
+    * offsets/lengths (every record in a member shares its frame — the
+    * Common Crawl layout is one record per member); plain archives get
+    * record byte spans. Total — corrupt tails degrade to the parsed
+    * prefix, same as [[parseWarc]]. */
+  private[graft] def cdxIndex(raw: Array[Byte]): Seq[CdxRow] = {
+    if (raw.length < 2) return Nil
+    val rows = Seq.newBuilder[CdxRow]
+    var idx = 0
+    if ((raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B) {
+      gzipMemberBounds(raw).foreach { case (off, len) =>
+        gunzipAll(java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt))
+          .foreach { m =>
+            cdxWalk(m, 0, m.length).foreach { case (r, _, _) =>
+              rows += r.copy(rec_idx = idx, offset = off, rlength = len)
+              idx += 1
+            }
+          }
+      }
+    } else {
+      cdxWalk(raw, 0, raw.length).foreach { case (r, s, l) =>
+        rows += r.copy(rec_idx = idx, offset = s.toLong, rlength = l.toLong)
+        idx += 1
+      }
+    }
+    rows.result()
+  }
+
+  /** Archive blobs → CDX rows, the same pure flatMap shape as
+    * [[readWarc]] — at 100 TB this is one scan-resident pass whose
+    * output is ~0.1% of its input, the textbook slim-projection kernel. */
+  def cdxRecords(ds: Dataset[Media]): Dataset[CdxRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      cdxIndex(m.media).map(r => r.copy(doc_id = m.doc_id))
+    })
+  }
+
+  /** Revisit dedup over a CDX frame — the crawl-dedup primitive: the
+    * FIRST capture (by ts14, then doc_id/rec_idx for a total order) of
+    * each (urlkey, digest) keeps, later identical captures become
+    * revisits. One hash shuffle on the pair key; the window never sees
+    * more than one key's captures per task. Null urlkeys (non-URL
+    * records: warcinfo, metadata) pass through as keep=1 — they are
+    * not captures. */
+  def revisitDedup(cdx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("urlkey"), col("digest"))
+      .orderBy(col("ts14"), col("doc_id"), col("rec_idx"))
+    cdx.withColumn("keep",
+      when(col("urlkey").isNull, lit(1))
+        .otherwise(when(row_number().over(w) === 1, lit(1)).otherwise(lit(0))))
+  }
+
+  /** Dated-response fixture for the CDX family: one warcinfo record,
+    * then a 200 text/html response per `(uri, warcDate, body)` triple
+    * with WARC-Date carried — the field [[cdxIndex]] keys time on. */
+  def syntheticWarcDated(recs: Seq[(String, String, String)],
+      gzipped: Boolean): Array[Byte] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    out += record(Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-cdx-fixture".getBytes("UTF-8"), lowerCase = false)
+    recs.foreach { case (uri, date, body) =>
+      val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        .getBytes("ISO-8859-1")
+      out += record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "WARC-Date" -> date,
+        "Content-Type" -> "application/http;msgtype=response"),
+        head ++ body.getBytes("UTF-8"), lowerCase = false)
+    }
+    val all = out.result()
+    if (gzipped) all.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
+    else all.fold(Array.emptyByteArray)(_ ++ _)
+  }
 }

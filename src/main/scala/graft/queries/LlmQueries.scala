@@ -1432,6 +1432,38 @@ object LlmQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // WARC CDX indexing (round 15): the crawl-scale random-access
+    // index — SURT urlkey (case fold, label reversal, default-port
+    // drop, query sort, fragment drop), 14-digit timestamp from
+    // WARC-Date, nested-HTTP mime/status, sha256 entity digest — the
+    // oracle replays every column including the digest (DuckDB's
+    // sha256 over the same construction). Offsets/lengths are
+    // layout-dependent bytes and are round-trip-asserted in WarcSpec
+    // instead (slice [offset, offset+rlength) re-parses to the row).
+    "q_warc_cdx" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcCdxMedia _)
+      Warc.cdxRecords(media).toDF()
+        .select("doc_id", "rec_idx", "urlkey", "ts14", "url", "mime",
+          "status", "digest", "rec_type")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
+    // CDX revisit dedup (round 15): the FIRST capture of each
+    // (urlkey, digest) keeps, later identical captures across docs
+    // become revisits — one hash shuffle on the pair key; the oracle
+    // replays the same row_number window over the closed-form keys
+    "q_warc_revisit" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map(warcRevisitMedia _)
+      val cdx = Warc.cdxRecords(media).toDF().filter(col("rec_type") === "response")
+      Warc.revisitDedup(cdx)
+        .select("doc_id", "rec_idx", "urlkey", "digest", "keep")
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // WARC → HTML text extraction (round 13): HTTP-200 responses only,
     // script/style CONTENT must not leak, entities decode, whitespace
     // collapses — the oracle replays the exact extracted string
@@ -1532,6 +1564,38 @@ object LlmQueries {
     // stops (the hangover must bridge) with 2-frame silences (it must
     // not), and the oracle replays the whole decision: energies,
     // threshold, and the gap-tolerant island merge
+    // Spectral audio fingerprint (round 15): the Haitsma–Kalker
+    // double-difference over Walsh–Hadamard sequency bands — integer-
+    // exact, so the oracle replays every sign bit. The fixture frames
+    // are WALSH TONES (samples a·(−1)^popcount(k AND j)), which
+    // concentrate all energy into WHT coefficient k — band energies
+    // are closed-form (64a)² at one index, zero elsewhere, and the
+    // 32-bit frame hash falls out of four CASE terms per bit
+    "q_audio_spectral" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map { id =>
+        val frames = (4 + id % 3).toInt
+        val samples = new Array[Int](frames * 64)
+        var n = 0
+        while (n < frames) {
+          val k = (1 + (id + 3 * n) % 33).toInt
+          val a = (50 + 10 * ((id + n) % 5)).toInt
+          var j = 0
+          while (j < 64) {
+            samples(n * 64 + j) =
+              if (java.lang.Integer.bitCount(k & j) % 2 == 0) a else -a
+            j += 1
+          }
+          n += 1
+        }
+        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+      }
+      AudioStats.spectralFingerprint(media).toDF()
+        .select("doc_id", "frame_idx", "hash32")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "q_audio_vad" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -3470,6 +3534,42 @@ object LlmQueries {
       "application/warc")
   }
 
+  /** The q_warc_cdx fixture (round 15): 2 + id%2 dated responses per
+    * doc with SURT-trap URIs (mixed case, www label, :80 vs :8080,
+    * unsorted query params, a fragment) and closed-form WARC-Dates;
+    * per-record gzip members on the even slice so both offset layouts
+    * (member frames vs record spans) run. Bodies collide on (id+i)%4 —
+    * the digest column proves equal payloads hash equal. */
+  private def warcCdxMedia(id: Long): Multimodal.Media = {
+    val bytes = cachedFixture("warcCdx", id) {
+      val recs = (0 until (2 + id % 2).toInt).map { i =>
+        val port = if (i % 2 == 0) ":80" else ":8080"
+        val uri = s"HTTP://WwW.Ex$id.ORG$port/P$id/$i?b=2&a=$id#f"
+        val date = f"2026-08-${1 + (id + i) % 28}%02dT${id % 24}%02d:${(i * 7) % 60}%02d:${(id + i) % 60}%02dZ"
+        (uri, date, s"<p>cdx ${(id + i) % 4}</p>")
+      }
+      Warc.syntheticWarcDated(recs, gzipped = id % 2 == 0)
+    }
+    Multimodal.Media(id, bytes, "application/warc")
+  }
+
+  /** The q_warc_revisit fixture (round 15): three responses per doc
+    * whose (urlkey, digest) pairs are shared ACROSS docs — host keyed
+    * on id%5, body on i alone — so revisit dedup has real cross-
+    * archive collisions; capture time orders by id%28 with doc_id
+    * breaking the ties. */
+  private def warcRevisitMedia(id: Long): Multimodal.Media = {
+    val bytes = cachedFixture("warcRevisit", id) {
+      val recs = (0 until 3).map { i =>
+        (s"http://h${id % 5}.net/page$i",
+          f"2026-08-${1 + id % 28}%02dT00:00:00Z",
+          s"<p>rv $i</p>")
+      }
+      Warc.syntheticWarcDated(recs, gzipped = id % 2 == 1)
+    }
+    Multimodal.Media(id, bytes, "application/warc")
+  }
+
   /** The q_pdf_* fixture (round 13): 1 + id%3 pages of 2 + (id+p)%3
     * text lines, every line carrying parentheses (escape path always
     * load-bearing); show forms rotate by (id + j) % 4 across literal/
@@ -4857,6 +4957,58 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // CDX replay (round 15): every column in closed form — the SURT
+    // key (case fold, comma-reversed labels, :80 dropped/:8080 kept,
+    // params a/b re-sorted, #f gone), the 14-digit timestamp, and the
+    // sha256 entity digest via DuckDB's own sha256 over the same
+    // construction
+    "q_warc_cdx" ->
+      """WITH resp AS (
+        |  SELECT doc_id, u.i AS i
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(i)
+        |  WHERE u.i < 2 + doc_id % 2),
+        |r AS (
+        |  SELECT doc_id, 0 AS rec_idx, NULL AS urlkey, '' AS ts14,
+        |    NULL AS url, 'application/warc-fields' AS mime, 0 AS status,
+        |    sha256('software: graft-cdx-fixture') AS digest,
+        |    'warcinfo' AS rec_type
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + i,
+        |    'org,ex' || doc_id || ',www'
+        |      || (CASE WHEN i % 2 = 0 THEN '' ELSE ':8080' END)
+        |      || ')/p' || doc_id || '/' || i || '?a=' || doc_id || '&b=2',
+        |    '202608' || lpad(CAST(1 + (doc_id + i) % 28 AS VARCHAR), 2, '0')
+        |      || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((i * 7) % 60 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((doc_id + i) % 60 AS VARCHAR), 2, '0'),
+        |    'HTTP://WwW.Ex' || doc_id || '.ORG'
+        |      || (CASE WHEN i % 2 = 0 THEN ':80' ELSE ':8080' END)
+        |      || '/P' || doc_id || '/' || i || '?b=2&a=' || doc_id || '#f',
+        |    'text/html', 200,
+        |    sha256('<p>cdx ' || ((doc_id + i) % 4) || '</p>'), 'response'
+        |  FROM resp)
+        |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, urlkey, ts14,
+        |  url, mime, CAST(status AS INTEGER) AS status, digest, rec_type
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // revisit replay (round 15): the same first-capture window over
+    // the closed-form (urlkey, digest) keys — host keyed on doc_id%5,
+    // body on i, time on doc_id%28 with doc_id breaking ties
+    "q_warc_revisit" ->
+      """WITH r AS (
+        |  SELECT doc_id, 1 + u.i AS rec_idx, u.i AS i,
+        |    '202608' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      || '000000' AS ts
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(i))
+        |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx,
+        |  'net,h' || (doc_id % 5) || ')/page' || i AS urlkey,
+        |  sha256('<p>rv ' || i || '</p>') AS digest,
+        |  CAST(CASE WHEN row_number() OVER (
+        |      PARTITION BY doc_id % 5, i ORDER BY ts, doc_id, rec_idx) = 1
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     // Full MinHash pipeline recomputed: FNV shingle hashes → 64-slot
     // signature → 16 banded buckets (hot-bucket cap) → candidate pairs →
@@ -7398,6 +7550,35 @@ object LlmQueries {
         |  CAST(cs * 20 AS BIGINT) AS start_ms,
         |  CAST((ce + 1) * 20 AS BIGINT) AS end_ms
         |FROM numbered ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // spectral fingerprint replay (round 15): Walsh tones put all of
+    // frame n's energy at WHT coefficient k(n) = 1+((doc+3n)%33) with
+    // value (64·a(n))², so each of the 32 HK double-difference sign
+    // bits reduces to four CASE terms — the full 32-bit hash rebuilt
+    // bit-by-bit over a generate_series(0,31) lateral
+    "q_audio_spectral" ->
+      """WITH f AS (
+        |  SELECT doc_id, u.n AS n,
+        |    1 + ((doc_id + 3 * u.n) % 33) AS k,
+        |    64 * (50 + 10 * ((doc_id + u.n) % 5)) AS c
+        |  FROM documents, unnest(generate_series(0, 6)) AS u(n)
+        |  WHERE u.n < 4 + doc_id % 3),
+        |p AS (
+        |  SELECT a.doc_id, a.n, a.k AS k1, a.c * a.c AS e1,
+        |    b.k AS k0, b.c * b.c AS e0
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.n = a.n - 1),
+        |bits AS (
+        |  SELECT p.doc_id, p.n, m.m,
+        |    CASE WHEN
+        |      ((CASE WHEN m.m + 1 = k1 THEN e1 ELSE 0 END)
+        |        - (CASE WHEN m.m + 2 = k1 THEN e1 ELSE 0 END))
+        |      - ((CASE WHEN m.m + 1 = k0 THEN e0 ELSE 0 END)
+        |        - (CASE WHEN m.m + 2 = k0 THEN e0 ELSE 0 END)) > 0
+        |    THEN CAST(1 AS BIGINT) << m.m ELSE CAST(0 AS BIGINT) END AS v
+        |  FROM p, unnest(generate_series(0, 31)) AS m(m))
+        |SELECT doc_id, CAST(n AS INTEGER) AS frame_idx,
+        |  CAST(sum(v) AS BIGINT) AS hash32
+        |FROM bits GROUP BY doc_id, n ORDER BY doc_id, frame_idx""".stripMargin,
 
     // VAD replay (round 14): the same frame grid, threshold, and
     // hangover merge in SQL — a new segment starts when the gap to the

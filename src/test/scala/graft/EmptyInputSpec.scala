@@ -39,6 +39,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_text_lm_score" -> "LM reference corpus is empty",
     "q_text_lm_trigram" -> "LM reference corpus is empty",
     "q_text_ppl_buckets" -> "LM reference corpus is empty",
+    "q_text_lm_backoff" -> "LM reference corpus is empty",
+    "q_text_ppl_buckets_backoff" -> "LM reference corpus is empty",
     "q_pipeline_curation" -> "LM reference corpus is empty")
 
   test("the partial-function allowlist names only registered queries") {

@@ -277,6 +277,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("CDX indexing is a pure flatMap; revisit dedup shuffles exactly once") {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").filter(col("doc_id") < 8).as[Long]
+    val arc = graft.llm.Warc.syntheticWarcDated(
+      Seq(("http://h.net/p", "2026-08-01T00:00:00Z", "<p>x</p>")), gzipped = true)
+    val media = ids.map(id => graft.llm.Multimodal.Media(id, arc, "application/warc"))
+    val cdx = graft.llm.Warc.cdxRecords(media).toDF()
+    assert(!hasExchange(cdx.queryExecution.executedPlan.toString),
+      "cdxRecords must stay scan-resident: archive bytes never shuffle")
+    // revisit dedup: ONE hash exchange on the (urlkey, digest) window —
+    // the slim index rows move once, never the archives
+    val plan = graft.llm.Warc.revisitDedup(cdx).queryExecution.executedPlan.toString
+    val n = "(?<![A-Za-z])Exchange[ (]".r.findAllIn(plan).length
+    assert(n == 1, s"revisit dedup should shuffle exactly once, saw $n:\n$plan")
+  }
+
   test("media decode+hash operators are pure map stages (no exchange)") {
     import spark.implicits._
     import graft.llm.Multimodal
@@ -300,6 +317,9 @@ class PlanSpec extends SparkSpec {
         "audioEnvelopeHash/flac" -> Multimodal.audioEnvelopeHash(
           ids.map(id => Multimodal.Media(id,
             graft.llm.Flac.synthetic(8000, Array.tabulate(1950)(_ % 100)), "audio/flac"))).toDF(),
+        "spectralFingerprint" -> graft.llm.AudioStats.spectralFingerprint(
+          ids.map(id => Multimodal.Media(id,
+            Multimodal.syntheticWavPcm(8000, Array.tabulate(256)(j => (j % 64) - 32)), "audio/wav"))).toDF(),
         "videoFrameHashes/gif" -> Multimodal.videoFrameHashes(
           ids.map(id => Multimodal.Media(id,
             Multimodal.syntheticGifAnimated(18, 16, Seq(px, px)), "image/gif"))),

@@ -95,4 +95,61 @@ class MediaStatsSpec extends AnyFunSuite {
       Multimodal.Media(4L, "not video".getBytes, "video/x-yuv4mpeg")))).collect().head
     assert(junk.n_frames == 0, "undecodable input keeps its row")
   }
+
+  // ------------------------------------------------------------------
+  // Spectral fingerprint (round 15)
+  // ------------------------------------------------------------------
+
+  test("whtInPlace matches the direct popcount formula; Walsh tones concentrate") {
+    // direct O(n²) reference vs the butterfly, on a deterministic ramp mix
+    val x = Array.tabulate(64)(j => ((j * 37 + 11) % 97 - 48).toLong)
+    val direct = Array.tabulate(64) { m =>
+      (0 until 64).map(j =>
+        if (java.lang.Integer.bitCount(m & j) % 2 == 0) x(j) else -x(j)).sum
+    }
+    val fast = x.clone()
+    AudioStats.whtInPlace(fast)
+    assert(fast.sameElements(direct), "butterfly is the natural-order WHT")
+    // Parseval for the ±1-normalized WHT: Σ wht² = n · Σ x²
+    assert(fast.map(v => v * v).sum == 64L * x.map(v => v * v).sum)
+    // a Walsh tone a·(−1)^popcount(k&j) puts 64a at coefficient k alone
+    for (k <- Seq(1, 7, 33)) {
+      val tone = Array.tabulate(64)(j =>
+        if (java.lang.Integer.bitCount(k & j) % 2 == 0) 20L else -20L)
+      AudioStats.whtInPlace(tone)
+      assert(tone(k) == 64L * 20, s"k=$k concentrates")
+      assert(tone.zipWithIndex.forall { case (v, i) => i == k || v == 0L },
+        s"k=$k: every other coefficient is zero")
+    }
+  }
+
+  test("spectral hashes: hand case, volume invariance, refusal posture") {
+    def walshFrame(k: Int, a: Int): Array[Int] = Array.tabulate(64)(j =>
+      if (java.lang.Integer.bitCount(k & j) % 2 == 0) a else -a)
+    // frame 0: tone at band 5; frame 1: tone at band 9 — the double
+    // difference by hand: e1 only at k1=9, e0 only at k0=5, so
+    // D(m)=e1·([m+1=9]−[m+2=9]) − e0·([m+1=5]−[m+2=5]) is positive at
+    // m=8 (+e1) and m=3 (+e0... sign: −e0·(−1)=+e0 at m=3) — bits 8 and 3
+    val s = walshFrame(5, 50) ++ walshFrame(9, 70)
+    val got = AudioStats.spectralHashes(s, 64)
+    assert(got.map(_._1) == Seq(1), "first frame only primes")
+    assert(got.head._2 == ((1L << 8) | (1L << 3)),
+      f"hand bits 8 and 3, got ${got.head._2}%x")
+    // uniform gain leaves every sign bit untouched
+    val loud = s.map(_ * 3)
+    assert(AudioStats.spectralHashes(loud, 64) == got, "volume-invariant")
+    assert(AudioStats.spectralHashes(new Array[Int](64), 64).isEmpty,
+      "one frame is not enough")
+    assert(AudioStats.spectralHashes(new Array[Int](0), 64).isEmpty)
+    // end-to-end through the WAV container + the Dataset kernel
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(1L, Multimodal.syntheticWavPcm(8000, s), "audio/wav"),
+      Multimodal.Media(2L, "not audio".getBytes, "audio/wav"))
+    val rows = AudioStats.spectralFingerprint(spark.createDataset(media))
+      .collect().toSeq
+    assert(rows == Seq(AudioStats.SpectralFrame(1L, 1, (1L << 8) | (1L << 3))),
+      "container round-trip; undecodable bytes yield no rows")
+  }
 }

@@ -252,6 +252,21 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.pagesOf(2L, pdf).map(_.text) === Seq("“q” — €"))
   }
 
+  test("MacRomanEncoding: the Mac-era high range decodes; 0xDB stays /currency") {
+    // 0x8E é, 0xA5 •, 0xD2/0xD3 curly quotes — Mac-authored PDFs (old
+    // Quartz/LaTeX output) show these constantly; Latin-1 would emit Ž¥ÒÓ.
+    // 0xDB pins the Annex-D deviation: /currency ¤, NOT the JVM's post-8.5 €
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      streamObjSrc(4, "BT /F1 9 Tf (\\216 \\245 \\322q\\323 \\333) Tj ET") +
+      "5 0 obj << /Type /Font /Subtype /Type1 /Encoding /MacRomanEncoding >> endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.pagesOf(3L, pdf).map(_.text) === Seq("é • “q” ¤"))
+  }
+
   test("simple font: 1-byte /ToUnicode overlay wins over /Differences") {
     // Differences says 0x61 -> aacute; the CMap says 0x61 -> 'Z'. The
     // CMap is the author's own statement of the text, so it wins.

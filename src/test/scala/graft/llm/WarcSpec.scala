@@ -204,4 +204,85 @@ class WarcSpec extends AnyFunSuite {
     val gzArc = warcBytes(4L, gz = true)
     Warc.parseWarc(gzArc.take(gzArc.length / 2)) // no throw
   }
+
+  // ------------------------------------------------------------------
+  // CDX indexing (round 15)
+  // ------------------------------------------------------------------
+
+  test("surtKey canonicalizes: case, label reversal, ports, query sort, fragment") {
+    assert(Warc.surtKey("http://Example.COM/Path?b=2&a=1#frag")
+      == "com,example)/path?a=1&b=2")
+    assert(Warc.surtKey("HTTPS://www.Ex.org:443/") == "org,ex,www)/")
+    assert(Warc.surtKey("http://h.net:8080/x") == "net,h:8080)/x")
+    assert(Warc.surtKey("http://u:p@h.net./") == "net,h)/", "userinfo and trailing dot drop")
+    assert(Warc.surtKey("http://h.net") == "net,h)/", "empty path defaults to /")
+    assert(Warc.surtKey("http://h.net/x?") == "net,h)/x", "empty query drops")
+    assert(Warc.surtKey("not a url") == null)
+    assert(Warc.surtKey(null) == null)
+    assert(Warc.ts14("2026-08-16T12:34:56Z") == "20260816123456")
+    assert(Warc.ts14("garbage") == "")
+    // the published SHA-256 test vector pins the digest encoding
+    assert(Warc.sha256Hex("abc".getBytes("UTF-8"), 0, 3)
+      == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("cdxIndex offsets round-trip: the slice re-parses to the same record") {
+    for (id <- 0L until 24L; gz <- Seq(false, true)) {
+      val recs = (0 until (2 + id % 2).toInt).map { i =>
+        (s"http://h$id.net/p$i", f"2026-08-${1 + (id + i) % 28}%02dT00:00:0${i % 10}Z",
+          s"<p>cdx $id $i</p>")
+      }
+      val arc = Warc.syntheticWarcDated(recs, gzipped = gz)
+      val rows = Warc.cdxIndex(arc)
+      assert(rows.length == recs.length + 1, s"id=$id gz=$gz: warcinfo + responses")
+      assert(rows.head.rec_type == "warcinfo" && rows.head.urlkey == null)
+      rows.foreach { r =>
+        val slice = java.util.Arrays.copyOfRange(arc, r.offset.toInt,
+          (r.offset + r.rlength).toInt)
+        val again = Warc.cdxIndex(slice)
+        assert(again.length == 1, s"id=$id gz=$gz rec=${r.rec_idx}: slice is one record")
+        assert(again.head.urlkey == r.urlkey && again.head.digest == r.digest &&
+          again.head.ts14 == r.ts14, s"id=$id gz=$gz rec=${r.rec_idx}: slice round-trips")
+      }
+      // responses carry the SURT key and the body digest
+      rows.drop(1).zipWithIndex.foreach { case (r, i) =>
+        assert(r.urlkey == s"net,h$id)/p$i")
+        assert(r.status == 200 && r.mime == "text/html" && r.rec_type == "response")
+        val body = s"<p>cdx $id $i</p>".getBytes("UTF-8")
+        assert(r.digest == Warc.sha256Hex(body, 0, body.length))
+      }
+    }
+  }
+
+  test("gzipMemberBounds walks member-by-member; corrupt tails keep the prefix") {
+    val recs = Seq(("http://a.net/", "2026-01-01T00:00:00Z", "one"),
+      ("http://b.net/", "2026-01-02T00:00:00Z", "two"))
+    val arc = Warc.syntheticWarcDated(recs, gzipped = true)
+    val bounds = Warc.gzipMemberBounds(arc)
+    assert(bounds.length == 3, "warcinfo + 2 responses, one member each")
+    assert(bounds.head._1 == 0L)
+    assert(bounds.map { case (o, l) => o + l }.max == arc.length)
+    // contiguity: each member starts where the previous ends
+    bounds.sliding(2).foreach { case Seq((o1, l1), (o2, _)) => assert(o1 + l1 == o2) }
+    // truncation inside the last member: earlier members survive
+    val cut = Warc.gzipMemberBounds(arc.take(arc.length - 5))
+    assert(cut == bounds.dropRight(1))
+    // digest entity scope: chunked+gzipped response digests the DECODED
+    // entity, not the wire bytes (shared posture with parseWarc)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val wire = Warc.chunkEncode(gz("entity text".getBytes("UTF-8")), Seq(9))
+    val arc2 = Warc.syntheticWarcHttp(Seq(("http://e.net/", Seq(
+      "Content-Type" -> "text/plain",
+      "Transfer-Encoding" -> "chunked", "Content-Encoding" -> "gzip"), wire)),
+      gzipped = false)
+    val row = Warc.cdxIndex(arc2).find(_.rec_type == "response").get
+    val ent = "entity text".getBytes("UTF-8")
+    assert(row.digest == Warc.sha256Hex(ent, 0, ent.length))
+    assert(row.mime == "text/plain")
+  }
 }
