@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Bibtex, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc, Wiki}
+import graft.llm.{Ann, Archives, AudioStats, Bibtex, Bitext, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc, Wiki}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1103,6 +1103,22 @@ object LlmQueries {
       val e = emb(s, dir)
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
         .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Margin-based bitext mining (round 15): the CCMatrix ratio margin
+    // over both-direction top-k lists — raw cosine normalized by the
+    // mean of each side's neighborhood so hub sentences stop winning;
+    // mutual flags the intersection criterion. Even vec_ids play the
+    // source corpus, odd ones the target; the oracle replays both kNN
+    // directions, the rank-ordered mean fold, and the margin division
+    "q_bitext_margin" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Bitext.marginPairs(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"),
+          col("margin"), col("mutual").cast("int").as("mutual"))
         .orderBy("q_id", "rank")
     }),
 
@@ -6252,6 +6268,36 @@ object LlmQueries {
         | r AS (SELECT q_id, nn_id,
         |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM p)
         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // bitext margin replay (round 15): both kNN directions via the
+    // q_ann_brute cosine idiom, meanK as a RANK-ORDERED list_sum (the
+    // same float sequence as the engine's sorted fold), then the
+    // margin division — bit-identical doubles end to end
+    "q_bitext_margin" ->
+      """WITH s AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 2 = 0),
+        | t AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 2 = 1),
+        | fp AS (SELECT s.id AS q_id, t.id AS nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(s.e[i] AS DOUBLE) * CAST(t.e[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(s.e[i] AS DOUBLE) * CAST(s.e[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(t.e[i] AS DOUBLE) * CAST(t.e[i] AS DOUBLE))))) AS cosine
+        |   FROM s, t),
+        | f AS (SELECT q_id, nn_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM fp),
+        | fk AS (SELECT * FROM f WHERE rank <= 4),
+        | b AS (SELECT fp.nn_id AS q_id, fp.q_id AS nn_id, fp.cosine,
+        |   row_number() OVER (PARTITION BY fp.nn_id ORDER BY fp.cosine DESC, fp.q_id) AS rank FROM fp),
+        | bk AS (SELECT * FROM b WHERE rank <= 4),
+        | mx AS (SELECT q_id, list_sum(list(cosine ORDER BY rank)) / len(list(cosine ORDER BY rank)) AS mean_x
+        |   FROM fk GROUP BY q_id),
+        | my AS (SELECT q_id AS nn_id, list_sum(list(cosine ORDER BY rank)) / len(list(cosine ORDER BY rank)) AS mean_y
+        |   FROM bk GROUP BY q_id),
+        | mu AS (SELECT q_id AS m_nn, nn_id AS m_q FROM bk)
+        |SELECT fk.q_id, fk.nn_id, CAST(fk.rank AS BIGINT) AS rank,
+        |  fk.cosine / ((mx.mean_x + my.mean_y) / 2) AS margin,
+        |  CAST(CASE WHEN mu.m_q IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS mutual
+        |FROM fk JOIN mx USING (q_id) JOIN my USING (nn_id)
+        |LEFT JOIN mu ON mu.m_q = fk.q_id AND mu.m_nn = fk.nn_id
         |ORDER BY q_id, rank""".stripMargin,
 
     "q_text_tokens" ->

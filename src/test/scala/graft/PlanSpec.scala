@@ -41,7 +41,11 @@ class PlanSpec extends SparkSpec {
       // q11's global-total threshold: a broadcast 1-row cross-join by design
       "q11_important_parts",
       // broadcast eval slice × corpus: the q_ann_brute posture by design
-      "q_decontaminate_semantic")
+      "q_decontaminate_semantic",
+      // both-direction brute kNN over the broadcast-small embedding
+      // slices — the oracle-able baseline; at corpus scale the margin
+      // arithmetic consumes lshTopK/Ivf.search lists instead
+      "q_bitext_margin")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
