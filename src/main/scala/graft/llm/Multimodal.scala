@@ -4450,6 +4450,91 @@ object Multimodal {
       case None => Seq.empty
     }
 
+  /** Perceptual hash over GLOBAL structure (round 15) — the integer
+    * sibling of the imagehash library's wHash and the DCT pHash, and
+    * the second member of the image near-dup family next to [[dHash64]]
+    * (which sees local gradients; crops, shifts, and re-layouts flip
+    * DIFFERENT bits in the two, which is why imagehash ships both).
+    * The display-oriented luma resamples to 32×32 by the same
+    * replayable floor map as the dHash cells, a separable 2D
+    * Walsh–Hadamard transform ([[AudioStats.whtInPlace]] on rows then
+    * columns — integer adds only) takes it to sequency space, and the
+    * 63 low-sequency coefficients (u,v ∈ 0..7 minus DC) threshold
+    * against their MEDIAN: bit u·8+v−1 set when M(u,v) exceeds it.
+    * Exposure-invariant by construction: a brightness offset lives
+    * entirely in DC, and positive contrast scaling preserves every
+    * median comparison. 63 bits → the sign bit stays clear, so the
+    * hash is always non-negative. */
+  private[graft] def wHash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8 || gray == null || gray.length < w * h) return None
+    val sums = new Array[Long](1024)
+    val counts = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y.toLong * 32 / h, 31).toInt
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x.toLong * 32 / w, 31).toInt
+        sums(cy * 32 + cx) += gray(y * w + x)
+        counts(cy * 32 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val m = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) { m(i) = sums(i) / counts(i); i += 1 }
+    val buf = new Array[Long](32)
+    var r = 0
+    while (r < 32) { // rows: transform along x (index v)
+      System.arraycopy(m, r * 32, buf, 0, 32)
+      AudioStats.whtInPlace(buf)
+      System.arraycopy(buf, 0, m, r * 32, 32)
+      r += 1
+    }
+    var c = 0
+    while (c < 32) { // columns: transform along y (index u)
+      var k = 0
+      while (k < 32) { buf(k) = m(k * 32 + c); k += 1 }
+      AudioStats.whtInPlace(buf)
+      k = 0
+      while (k < 32) { m(k * 32 + c) = buf(k); k += 1 }
+      c += 1
+    }
+    val coefs = new Array[Long](63)
+    var u = 0
+    i = 0
+    while (u < 8) {
+      var v = if (u == 0) 1 else 0
+      while (v < 8) { coefs(i) = m(u * 32 + v); i += 1; v += 1 }
+      u += 1
+    }
+    val sorted = coefs.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    i = 0
+    while (i < 63) {
+      if (coefs(i) > med) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Batch pixel-decode → global-structure wHash per image; the
+    * [[imageDHash]] posture exactly (same decode dispatch, ok = false
+    * rows for undecodable bytes, pure map stage). */
+  def imageWHash(ds: Dataset[Media]): Dataset[ImageHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      imageGrayOf(m.media).flatMap { case (w, h, px) => wHash64(w, h, px) } match {
+        case Some(hsh) => ImageHash(m.doc_id, hsh, ok = true)
+        case None => ImageHash(m.doc_id, 0L, ok = false)
+      }
+    })
+  }
+
   /** Batch pixel-decode → perceptual dHash per image. Real decode for the
     * uncompressed families (BMP 24-bpp, binary PNM — dispatched on magic
     * bytes, not trusted mime strings); anything else, including every

@@ -2596,6 +2596,38 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Global-structure wHash (round 15): 32×32 luma → 2D Walsh–Hadamard
+    // → 63 low-sequency coefficients vs their median. The fixture
+    // images are 2D WALSH PATTERNS — three superposed sequency tiles
+    // (amplitudes +40/+20/−15 at closed-form cells), each of which
+    // lands ALL its energy on exactly one coefficient, so the median is
+    // zero and the expected hash is two shifted bits the oracle builds
+    // directly; a decoder or transform that miscomputes ANY of the
+    // 1024 pixels, the separable WHT, or the median rule cannot hit it
+    "q_multimodal_whash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map { id =>
+        def uvSign(k: Int, x: Int, y: Int): Int = {
+          val u = k >> 3; val v = k & 7
+          if ((java.lang.Integer.bitCount(v & x)
+            + java.lang.Integer.bitCount(u & y)) % 2 == 0) 1 else -1
+        }
+        val k1 = (1 + id % 63).toInt
+        val k2 = (1 + (id + 17) % 63).toInt
+        val k3 = (1 + (id + 40) % 63).toInt
+        val px = Array.tabulate(1024) { i =>
+          val x = i % 32; val y = i / 32
+          128 + 40 * uvSign(k1, x, y) + 20 * uvSign(k2, x, y) -
+            15 * uvSign(k3, x, y)
+        }
+        Multimodal.Media(id, Multimodal.syntheticBmp8(32, 32, px), "image/bmp")
+      }
+      Multimodal.imageWHash(media).toDF()
+        .select(col("doc_id"), col("dhash").as("whash"))
+        .orderBy("doc_id")
+    }),
+
     // the SAME arithmetic pixels as q_multimodal_dhash rendered through a
     // REAL PNG instead of a BMP: zlib/DEFLATE IDAT (the JDK's own codec)
     // with the row filter CYCLING through all five RFC 2083 types, so the
@@ -7783,6 +7815,16 @@ object LlmQueries {
     // split hi/lo so no 2^63 sign games in either engine. If the Spark
     // side's BMP encode->decode were anything but pixel-lossless, these
     // sums could not match.
+    // wHash replay (round 15): the Walsh-pattern construction makes the
+    // expected hash two closed-form bits — +40/+20 tiles set theirs,
+    // the −15 tile and the 60 zero coefficients sit at or below the
+    // zero median
+    "q_multimodal_whash" ->
+      """SELECT doc_id,
+        |  (CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INTEGER))
+        |  | (CAST(1 AS BIGINT) << CAST((doc_id + 17) % 63 AS INTEGER)) AS whash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_dhash" ->
       """WITH px AS (
         |  SELECT doc_id, u.x AS x, v.y AS y,

@@ -1677,6 +1677,40 @@ class LlmSpec extends SparkSpec {
       s"unrelated waveform must not pair: $pairs")
   }
 
+  test("multimodal wHash: sequency concentration, exposure/scale invariance, refusal") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    def walsh(k: Int, amp: Int, base: Int): Array[Int] = Array.tabulate(1024) { i =>
+      val x = i % 32; val y = i / 32
+      val s = java.lang.Integer.bitCount((k & 7) & x) +
+        java.lang.Integer.bitCount(((k >> 3) & 7) & y)
+      base + (if (s % 2 == 0) amp else -amp)
+    }
+    // one Walsh tile -> exactly its bit (the median of 62 zeros + one
+    // positive coefficient is zero)
+    for (k <- Seq(1, 8, 33, 63))
+      assert(Multimodal.wHash64(32, 32, walsh(k, 20, 128)) === Some(1L << (k - 1)), s"k=$k")
+    // brightness offset lives in DC only; positive contrast scaling
+    // preserves every median comparison
+    val img = walsh(11, 20, 128).zip(walsh(29, 10, 0)).map { case (a, b) => a + b }
+    val h0 = Multimodal.wHash64(32, 32, img).get
+    assert(h0 === ((1L << 10) | (1L << 28)))
+    assert(Multimodal.wHash64(32, 32, img.map(_ + 30)) === Some(h0), "brightness")
+    assert(Multimodal.wHash64(32, 32, img.map(v => 128 + 2 * (v - 128))) === Some(h0),
+      "contrast")
+    // nearest-neighbor upscales resample back to the identical hash —
+    // the floor-map cells average equal pixels exactly
+    val up = Array.tabulate(64 * 64)(i => img((i / 64 / 2) * 32 + (i % 64) / 2))
+    assert(Multimodal.wHash64(64, 64, up) === Some(h0), "2x upscale invariant")
+    assert(Multimodal.wHash64(7, 32, Array.fill(7 * 32)(9)).isEmpty, "sub-8 refuses")
+    // kernel posture: BMP round-trip ok, junk rows stay with ok = false
+    val rows = Multimodal.imageWHash(spark.createDataset(Seq(
+      Multimodal.Media(1L, Multimodal.syntheticBmp8(32, 32, img), "image/bmp"),
+      Multimodal.Media(2L, "junk".getBytes, "image/bmp")))).collect().sortBy(_.doc_id)
+    assert(rows(0) === Multimodal.ImageHash(1L, h0, ok = true))
+    assert(rows(1) === Multimodal.ImageHash(2L, 0L, ok = false))
+  }
+
   test("multimodal pixels: BMP encode-decode is lossless, dHash is a real perceptual hash") {
     import spark.implicits._
     import graft.llm.Multimodal

@@ -324,6 +324,9 @@ class PlanSpec extends SparkSpec {
         "spectralFingerprint" -> graft.llm.AudioStats.spectralFingerprint(
           ids.map(id => Multimodal.Media(id,
             Multimodal.syntheticWavPcm(8000, Array.tabulate(256)(j => (j % 64) - 32)), "audio/wav"))).toDF(),
+        "imageWHash" -> Multimodal.imageWHash(
+          ids.map(id => Multimodal.Media(id, Multimodal.syntheticBmp8(32, 32,
+            Array.tabulate(1024)(i => (i * 7 + 13) % 200)), "image/bmp"))).toDF(),
         "videoFrameHashes/gif" -> Multimodal.videoFrameHashes(
           ids.map(id => Multimodal.Media(id,
             Multimodal.syntheticGifAnimated(18, 16, Seq(px, px)), "image/gif"))),

@@ -2148,4 +2148,52 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, "tags stream == batch")
     } finally q.stop()
   }
+
+  test("streaming CDX / spectral fingerprint / wHash equal the batch kernels (r15)") {
+    import spark.implicits._
+    import graft.llm.{AudioStats, Multimodal, Warc}
+    val warcs = (0L until 6L).map { id =>
+      Multimodal.Media(id, Warc.syntheticWarcDated(
+        (0 until (1 + id % 2).toInt).map(i =>
+          (s"http://h$id.net/p$i", f"2026-08-${1 + (id + i) % 28}%02dT00:00:00Z",
+            s"<p>s $id $i</p>")), gzipped = id % 2 == 0), "application/warc")
+    }
+    val wavs = (0L until 6L).map { id =>
+      val k = (1 + id % 33).toInt
+      val samples = Array.tabulate(192)(j =>
+        if (java.lang.Integer.bitCount(k & (j % 64)) % 2 == 0) 40 else -40)
+      Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
+    }
+    val bmps = (0L until 6L).map { id =>
+      Multimodal.Media(id, Multimodal.syntheticBmp8(32, 32,
+        Array.tabulate(1024)(i => ((i * 11 + id.toInt * 7) % 200))), "image/bmp")
+    }
+    val batchCdx = Warc.cdxRecords(spark.createDataset(warcs)).collect().toSet
+    val batchSpec = AudioStats.spectralFingerprint(spark.createDataset(wavs)).collect().toSet
+    val batchWh = Multimodal.imageWHash(spark.createDataset(bmps)).collect().toSet
+    assert(batchCdx.nonEmpty && batchSpec.nonEmpty && batchWh.forall(_.ok), "batch premise")
+    val in1 = MemoryStream[Multimodal.Media](spark)
+    val in2 = MemoryStream[Multimodal.Media](spark)
+    val in3 = MemoryStream[Multimodal.Media](spark)
+    val q1 = Warc.cdxRecords(in1.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("cdx_out").start()
+    val q2 = AudioStats.spectralFingerprint(in2.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("spec_out").start()
+    val q3 = Multimodal.imageWHash(in3.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName("wh_out").start()
+    try {
+      in1.addData(warcs.take(3): _*); in2.addData(wavs.take(3): _*)
+      in3.addData(bmps.take(3): _*)
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      in1.addData(warcs.drop(3): _*); in2.addData(wavs.drop(3): _*)
+      in3.addData(bmps.drop(3): _*)
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      assert(spark.table("cdx_out").as[Warc.CdxRow].collect().toSet == batchCdx,
+        "cdx stream == batch")
+      assert(spark.table("spec_out").as[AudioStats.SpectralFrame].collect().toSet
+        == batchSpec, "spectral stream == batch")
+      assert(spark.table("wh_out").as[Multimodal.ImageHash].collect().toSet == batchWh,
+        "whash stream == batch")
+    } finally Seq(q1, q2, q3).foreach(_.stop())
+  }
 }
