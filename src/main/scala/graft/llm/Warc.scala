@@ -583,12 +583,11 @@ object Warc {
   // decompressing the whole stream.
   //
   // Design choices, documented:
-  //  - urlkey is a SURT-style key (lowercased; host labels reversed
-  //    and comma-joined; default ports 80/443 dropped, others kept;
-  //    userinfo and fragment dropped; query params '&'-split and
-  //    sorted) — the pywb canonicalization subset that makes captures
-  //    of one page collate, without the long tail of scheme-specific
-  //    rules. Non-URLs (no "://") key as null.
+  //  - urlkey is [[Crawl.surt]] — the ENGINE'S ONE urlkey function,
+  //    shared with the CDXJ reader ([[Crawl.cdxRecords]]) so an index
+  //    generated here joins an index read there on equal keys
+  //    (WarcSpec holds that consistency). Records without a
+  //    WARC-Target-URI key as null.
   //  - digest is lowercase sha256 hex of the ENTITY bytes (the nested
   //    HTTP body after chunked/content-encoding removal; the whole
   //    WARC body for non-HTTP records). Classic CDX uses base32 sha1;
@@ -608,44 +607,6 @@ object Warc {
   case class CdxRow(doc_id: Long, rec_idx: Int, urlkey: String, ts14: String,
       url: String, mime: String, status: Int, digest: String,
       offset: Long, rlength: Long, rec_type: String)
-
-  /** SURT-style canonical url key (see the block comment above for the
-    * exact subset). Total: null in or no "://" → null out. */
-  private[graft] def surtKey(url: String): String = {
-    if (url == null) return null
-    val u = url.trim
-    val si = u.indexOf("://")
-    if (si <= 0) return null
-    var rest = u.substring(si + 3)
-    val hashI = rest.indexOf('#')
-    if (hashI >= 0) rest = rest.substring(0, hashI)
-    val slashI = rest.indexWhere(c => c == '/' || c == '?')
-    var auth = if (slashI < 0) rest else rest.substring(0, slashI)
-    var pathQ = if (slashI < 0) "" else rest.substring(slashI)
-    val atI = auth.lastIndexOf('@')
-    if (atI >= 0) auth = auth.substring(atI + 1)
-    var host = auth
-    var port = ""
-    val colonI = auth.lastIndexOf(':')
-    if (colonI >= 0 && auth.substring(colonI + 1).forall(_.isDigit)) {
-      host = auth.substring(0, colonI)
-      val p = auth.substring(colonI + 1)
-      if (p.nonEmpty && p != "80" && p != "443") port = ":" + p
-    }
-    host = host.toLowerCase.stripSuffix(".")
-    if (host.isEmpty) return null
-    val revHost = host.split('.').reverse.mkString(",")
-    val qI = pathQ.indexOf('?')
-    val path = (if (qI < 0) pathQ else pathQ.substring(0, qI)) match {
-      case "" => "/"
-      case p => p
-    }
-    val query = if (qI < 0) "" else {
-      val params = pathQ.substring(qI + 1).split('&').filter(_.nonEmpty).sorted
-      if (params.isEmpty) "" else params.mkString("?", "&", "")
-    }
-    (revHost + port + ")" + path + query).toLowerCase
-  }
 
   /** WARC-Date → the CDX 14-digit timestamp: digits only, first 14. */
   private[graft] def ts14(warcDate: String): String =
@@ -758,7 +719,7 @@ object Warc {
                 val digest = if (ent == null) sha256Hex(b, payStart, bodyEnd)
                   else sha256Hex(ent, 0, ent.length)
                 val uri = hdrs.getOrElse("warc-target-uri", null)
-                out += ((CdxRow(-1L, -1, surtKey(uri),
+                out += ((CdxRow(-1L, -1, if (uri == null) null else Crawl.surt(uri),
                   ts14(hdrs.getOrElse("warc-date", "")), uri, mime, status,
                   digest, -1L, -1L, hdrs.getOrElse("warc-type", "")),
                   recStart, bodyEnd + 4 - recStart))

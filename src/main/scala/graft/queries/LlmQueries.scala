@@ -2063,6 +2063,44 @@ object LlmQueries {
         .orderBy("doc_id", "item_idx")
     }),
 
+    // Sitemap ingestion (round 15): the crawl-frontier walk — urlset
+    // entries with optional lastmod/changefreq/priority (priority as
+    // integer millis via decimal-TEXT arithmetic, absent → -1),
+    // sitemapindex entries on the odd slice, whole-document gzip
+    // (.xml.gz) on every third doc, an '&' in each loc proving the
+    // XML unescape; every field replayed in closed form
+    "q_sitemap_urls" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir).map { id =>
+        val bytes =
+          if (id % 2 == 0) {
+            val entries = (0 until (2 + id % 3).toInt).map { i =>
+              val lastmod =
+                if ((id + i) % 3 == 0) ""
+                else f"2026-08-${1 + (id + i) % 28}%02d"
+              val changefreq =
+                if ((id + i) % 5 == 0) ""
+                else Seq("daily", "weekly", "monthly")(((id + i) % 3).toInt)
+              val priority =
+                if ((id + i) % 4 == 0) "" else s"0.${(id + i) % 10}"
+              (s"https://s$id.org/u$i&x", lastmod, changefreq, priority)
+            }
+            Feeds.syntheticSitemap(index = false, entries, gzipped = id % 3 == 0)
+          } else {
+            val entries = (0 until 2).map(i =>
+              (s"https://s$id.org/m$i.xml.gz",
+                f"2026-07-${1 + (id + i) % 28}%02d", "", ""))
+            Feeds.syntheticSitemap(index = true, entries, gzipped = id % 3 == 0)
+          }
+        Multimodal.Media(id, bytes, "application/xml")
+      }
+      Feeds.sitemapUrls(media).toDF()
+        .select("doc_id", "url_idx", "kind", "loc", "lastmod", "changefreq",
+          "priority_milli")
+        .orderBy("doc_id", "url_idx")
+    }),
+
     // RTF text extraction (round 13): the legacy-document family —
     // font/color/info tables and {\*…} destinations must not leak,
     // nested bold groups are invisible, \'hh code-page bytes and \uN
@@ -5024,7 +5062,7 @@ object LlmQueries {
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id, 1 + i,
-        |    'org,ex' || doc_id || ',www'
+        |    'org,ex' || doc_id
         |      || (CASE WHEN i % 2 = 0 THEN '' ELSE ':8080' END)
         |      || ')/p' || doc_id || '/' || i || '?a=' || doc_id || '&b=2',
         |    '202608' || lpad(CAST(1 + (doc_id + i) % 28 AS VARCHAR), 2, '0')
@@ -7070,6 +7108,37 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 2)) AS u(i)
         |WHERE u.i < 1 + doc_id % 3
         |ORDER BY doc_id, item_idx""".stripMargin,
+
+    // sitemap replay (round 15): both entry shapes, optional-field
+    // defaults, and the decimal-text priority arithmetic in closed form
+    "q_sitemap_urls" ->
+      """WITH u AS (
+        |  SELECT doc_id, v.i AS i FROM documents,
+        |    unnest(generate_series(0, 3)) AS v(i)
+        |  WHERE doc_id % 2 = 0 AND v.i < 2 + doc_id % 3),
+        |r AS (
+        |  SELECT doc_id, i AS url_idx, 'urlset' AS kind,
+        |    'https://s' || doc_id || '.org/u' || i || '&x' AS loc,
+        |    CASE WHEN (doc_id + i) % 3 = 0 THEN ''
+        |      ELSE '2026-08-' || lpad(CAST(1 + (doc_id + i) % 28 AS VARCHAR), 2, '0')
+        |    END AS lastmod,
+        |    CASE WHEN (doc_id + i) % 5 = 0 THEN ''
+        |      ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'daily'
+        |        WHEN 1 THEN 'weekly' ELSE 'monthly' END
+        |    END AS changefreq,
+        |    CASE WHEN (doc_id + i) % 4 = 0 THEN -1
+        |      ELSE 100 * ((doc_id + i) % 10) END AS priority_milli
+        |  FROM u
+        |  UNION ALL
+        |  SELECT doc_id, v.i, 'sitemapindex',
+        |    'https://s' || doc_id || '.org/m' || v.i || '.xml.gz',
+        |    '2026-07-' || lpad(CAST(1 + (doc_id + v.i) % 28 AS VARCHAR), 2, '0'),
+        |    '', -1
+        |  FROM documents, unnest(generate_series(0, 1)) AS v(i)
+        |  WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(url_idx AS INTEGER) AS url_idx, kind, loc,
+        |  lastmod, changefreq, CAST(priority_milli AS INTEGER) AS priority_milli
+        |FROM r ORDER BY doc_id, url_idx""".stripMargin,
 
     // RTF replay (round 13): exact prose — tables/destinations gone,
     // escapes decoded, fallback chars absent

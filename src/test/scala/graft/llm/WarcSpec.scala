@@ -209,16 +209,16 @@ class WarcSpec extends AnyFunSuite {
   // CDX indexing (round 15)
   // ------------------------------------------------------------------
 
-  test("surtKey canonicalizes: case, label reversal, ports, query sort, fragment") {
-    assert(Warc.surtKey("http://Example.COM/Path?b=2&a=1#frag")
-      == "com,example)/path?a=1&b=2")
-    assert(Warc.surtKey("HTTPS://www.Ex.org:443/") == "org,ex,www)/")
-    assert(Warc.surtKey("http://h.net:8080/x") == "net,h:8080)/x")
-    assert(Warc.surtKey("http://u:p@h.net./") == "net,h)/", "userinfo and trailing dot drop")
-    assert(Warc.surtKey("http://h.net") == "net,h)/", "empty path defaults to /")
-    assert(Warc.surtKey("http://h.net/x?") == "net,h)/x", "empty query drops")
-    assert(Warc.surtKey("not a url") == null)
-    assert(Warc.surtKey(null) == null)
+  test("cdx urlkeys ARE Crawl.surt — the generated index joins the CDXJ reader") {
+    // one urlkey function in the engine: whatever the writer emits,
+    // the reader-side surt of the same url must equal it
+    for (url <- Seq("HTTP://WwW.Ex7.ORG:80/P7/0?b=2&a=7#f",
+        "https://h.net:8080/x", "http://a.b.c/q?z=1&y=2")) {
+      val arc = Warc.syntheticWarcDated(
+        Seq((url, "2026-08-16T12:34:56Z", "<p>x</p>")), gzipped = false)
+      val row = Warc.cdxIndex(arc).find(_.rec_type == "response").get
+      assert(row.urlkey == Crawl.surt(url), s"writer key == reader key for $url")
+    }
     assert(Warc.ts14("2026-08-16T12:34:56Z") == "20260816123456")
     assert(Warc.ts14("garbage") == "")
     // the published SHA-256 test vector pins the digest encoding
