@@ -151,7 +151,12 @@ object Crawl {
   /** One sitemap entry: a page URL from `<urlset>` or a child-sitemap
     * URL from `<sitemapindex>` (`is_index` = 1). */
   case class SitemapUrl(doc_id: Long, url_idx: Int, loc: String,
-      lastmod: String, priority: Double, is_index: Int)
+      lastmod: String, changefreq: String, priority: Double, is_index: Int)
+
+  /** The protocol's per-file entry cap (sitemaps.org): a file past
+    * 50,000 entries is malformed, and a bounded walk is the scale
+    * posture anyway — entries past the cap are dropped (round 15). */
+  private val MaxSitemapEntries = 50000
 
   private def innerElem(xml: String, elem: String): Seq[String] = {
     val m = java.util.regex.Pattern
@@ -162,40 +167,58 @@ object Crawl {
     out.result()
   }
 
-  /** Sitemap walk: urlset → per-url loc/lastmod/priority (absent
-    * priority = the protocol default 0.5); sitemapindex → child
-    * sitemap locs. Entities in locs decode (&amp; in query strings is
-    * the classic). Total function. */
-  private[graft] def parseSitemap(xml: String): Seq[(String, String, Double, Int)] = {
+  /** Sitemap walk: urlset → per-url loc/lastmod/changefreq/priority
+    * (absent priority = the protocol default 0.5; absent
+    * lastmod/changefreq = empty); sitemapindex → child sitemap locs.
+    * Entities in locs decode (&amp; in query strings is the classic);
+    * entries past the 50,000 cap drop. Total function. */
+  private[graft] def parseSitemap(xml: String): Seq[(String, String, String, Double, Int)] = {
     if (xml == null) return Nil
     def field(u: String, e: String): Option[String] =
       innerElem(u, e).headOption.map(s => Docs.xmlUnescape(s.trim))
     if (xml.contains("<sitemapindex")) {
-      innerElem(xml, "sitemap").flatMap(u =>
-        field(u, "loc").map(l => (l, field(u, "lastmod").getOrElse(""), 0.5, 1)))
+      innerElem(xml, "sitemap").take(MaxSitemapEntries).flatMap(u =>
+        field(u, "loc").map(l => (l, field(u, "lastmod").getOrElse(""), "", 0.5, 1)))
     } else if (xml.contains("<urlset")) {
-      innerElem(xml, "url").flatMap { u =>
+      innerElem(xml, "url").take(MaxSitemapEntries).flatMap { u =>
         field(u, "loc").map { l =>
           (l, field(u, "lastmod").getOrElse(""),
+            field(u, "changefreq").getOrElse(""),
             field(u, "priority").flatMap(_.toDoubleOption).getOrElse(0.5), 0)
         }
       }
     } else Nil
   }
 
-  /** Sitemap blobs → entry rows (flatMap kernel). */
+  /** Byte-side entry: sitemaps are routinely served gzipped (the
+    * .xml.gz convention) — sniff the magic, inflate, delegate; a
+    * corrupt stream yields no rows (round 15). */
+  private[graft] def parseSitemap(raw: Array[Byte]): Seq[(String, String, String, Double, Int)] = {
+    if (raw == null || raw.length < 2) return Nil
+    val bytes =
+      if ((raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B)
+        Warc.gunzipAll(raw).getOrElse(return Nil)
+      else raw
+    parseSitemap(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Sitemap blobs → entry rows (flatMap kernel; plain or .xml.gz). */
   def sitemapUrls(ds: Dataset[Media]): Dataset[SitemapUrl] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.flatMap { m =>
-      parseSitemap(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
-        .zipWithIndex.map { case ((l, lm, p, ix), i) => SitemapUrl(m.doc_id, i, l, lm, p, ix) }
+      parseSitemap(m.media)
+        .zipWithIndex.map { case ((l, lm, cf, p, ix), i) =>
+          SitemapUrl(m.doc_id, i, l, lm, cf, p, ix)
+        }
     })
   }
 
   /** A urlset or sitemapindex fixture; url locs carry an &amp;-encoded
-    * query string (decode load-bearing), priorities on a slice. */
-  def syntheticSitemap(index: Boolean, urls: Seq[(String, String, Option[Double])]): Array[Byte] = {
+    * query string (decode load-bearing), priorities on a slice;
+    * `gzipped` wraps the whole document (the .xml.gz convention). */
+  def syntheticSitemap(index: Boolean, urls: Seq[(String, String, Option[Double])],
+      gzipped: Boolean = false): Array[Byte] = {
     val sb = new java.lang.StringBuilder
     sb.append("""<?xml version="1.0" encoding="UTF-8"?>""").append('\n')
     if (index) {
@@ -219,7 +242,14 @@ object Crawl {
       }
       sb.append("</urlset>")
     }
-    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val plain = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!gzipped) plain
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(plain); gz.close()
+      bos.toByteArray
+    }
   }
 
   /** robots.txt blobs → rule rows (flatMap kernel). */

@@ -1480,6 +1480,38 @@ object LlmQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // Crawl-admission pipeline (round 15): the frontier chain end to
+    // end in ONE plan — sitemap urlset rows → surt urlkeys, CDX index
+    // → revisit dedup → capture history, LEFT JOIN → fetch decision
+    // (fetch = never captured before). Frontier hosts span id%7,
+    // history hosts id%5, so the join has real hits AND real misses;
+    // the only shuffles are the dedup window and the slim key join —
+    // archives and sitemaps never leave their scan partitions
+    "q_pipeline_frontier" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val sm = mediaIds(s, dir).map { id =>
+        val entries = (0 until 4).map(i =>
+          (s"http://h${id % 7}.net/page$i", "", None: Option[Double]))
+        Multimodal.Media(id,
+          graft.llm.Crawl.syntheticSitemap(index = false, entries,
+            gzipped = id % 3 == 0),
+          "application/xml")
+      }
+      val frontier = graft.llm.Crawl.sitemapUrls(sm)
+        .map(r => (r.doc_id, r.url_idx, graft.llm.Crawl.surt(r.loc)))
+        .toDF("doc_id", "url_idx", "urlkey")
+      val hist = Warc.revisitDedup(
+          Warc.cdxRecords(mediaIds(s, dir).map(warcRevisitMedia _)).toDF()
+            .filter(col("rec_type") === "response"))
+        .filter(col("keep") === 1)
+        .select(col("urlkey").as("h_urlkey")).distinct()
+      frontier.join(hist, col("urlkey") === col("h_urlkey"), "left")
+        .select(col("doc_id"), col("url_idx"), col("urlkey"),
+          when(col("h_urlkey").isNull, 1).otherwise(0).cast("int").as("fetch"))
+        .orderBy("doc_id", "url_idx")
+    }),
+
     // WARC → HTML text extraction (round 13): HTTP-200 responses only,
     // script/style CONTENT must not leak, entities decode, whitespace
     // collapses — the oracle replays the exact extracted string
@@ -2046,7 +2078,8 @@ object LlmQueries {
       import spark.implicits._
       val media = mediaIds(s, dir).map(sitemapMedia _)
       Crawl.sitemapUrls(media).toDF()
-        .select("doc_id", "url_idx", "loc", "lastmod", "priority", "is_index")
+        .select("doc_id", "url_idx", "loc", "lastmod", "changefreq", "priority",
+          "is_index")
         .orderBy("doc_id", "url_idx")
     }),
 
@@ -2061,44 +2094,6 @@ object LlmQueries {
       Feeds.feedItems(media).toDF()
         .select("doc_id", "item_idx", "fmt", "title", "link", "text")
         .orderBy("doc_id", "item_idx")
-    }),
-
-    // Sitemap ingestion (round 15): the crawl-frontier walk — urlset
-    // entries with optional lastmod/changefreq/priority (priority as
-    // integer millis via decimal-TEXT arithmetic, absent → -1),
-    // sitemapindex entries on the odd slice, whole-document gzip
-    // (.xml.gz) on every third doc, an '&' in each loc proving the
-    // XML unescape; every field replayed in closed form
-    "q_sitemap_urls" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val media = mediaIds(s, dir).map { id =>
-        val bytes =
-          if (id % 2 == 0) {
-            val entries = (0 until (2 + id % 3).toInt).map { i =>
-              val lastmod =
-                if ((id + i) % 3 == 0) ""
-                else f"2026-08-${1 + (id + i) % 28}%02d"
-              val changefreq =
-                if ((id + i) % 5 == 0) ""
-                else Seq("daily", "weekly", "monthly")(((id + i) % 3).toInt)
-              val priority =
-                if ((id + i) % 4 == 0) "" else s"0.${(id + i) % 10}"
-              (s"https://s$id.org/u$i&x", lastmod, changefreq, priority)
-            }
-            Feeds.syntheticSitemap(index = false, entries, gzipped = id % 3 == 0)
-          } else {
-            val entries = (0 until 2).map(i =>
-              (s"https://s$id.org/m$i.xml.gz",
-                f"2026-07-${1 + (id + i) % 28}%02d", "", ""))
-            Feeds.syntheticSitemap(index = true, entries, gzipped = id % 3 == 0)
-          }
-        Multimodal.Media(id, bytes, "application/xml")
-      }
-      Feeds.sitemapUrls(media).toDF()
-        .select("doc_id", "url_idx", "kind", "loc", "lastmod", "changefreq",
-          "priority_milli")
-        .orderBy("doc_id", "url_idx")
     }),
 
     // RTF text extraction (round 13): the legacy-document family —
@@ -3948,7 +3943,9 @@ object LlmQueries {
           if ((id + i) % 3 == 0) "" else s"2026-0${1 + (id + i) % 9}-01",
           if ((id + i) % 2 == 0) Some(0.125 * (1 + (id + i) % 7)) else None)
     }
-    Multimodal.Media(id, Crawl.syntheticSitemap(isIdx, urls), "application/xml")
+    // every fifth doc ships .xml.gz (round 15) — invisible to the oracle
+    Multimodal.Media(id,
+      Crawl.syntheticSitemap(isIdx, urls, gzipped = id % 5 == 2), "application/xml")
   }
 
   /** The q_feed_items fixture (round 13): RSS on even ids, Atom on
@@ -5078,6 +5075,22 @@ object LlmQueries {
         |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, urlkey, ts14,
         |  url, mime, CAST(status AS INTEGER) AS status, digest, rec_type
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // crawl-pipeline replay (round 15): frontier (hosts id%7, pages
+    // 0..3) left-joined against the distinct history keys (hosts id%5,
+    // pages 0..2) — fetch exactly when the key was never captured
+    "q_pipeline_frontier" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT 'net,h' || (doc_id % 5) || ')/page' || u.i AS urlkey
+        |  FROM documents, unnest(generate_series(0, 2)) AS u(i)),
+        |fr AS (
+        |  SELECT doc_id, v.i AS url_idx,
+        |    'net,h' || (doc_id % 7) || ')/page' || v.i AS urlkey
+        |  FROM documents, unnest(generate_series(0, 3)) AS v(i))
+        |SELECT fr.doc_id, CAST(fr.url_idx AS INTEGER) AS url_idx, fr.urlkey,
+        |  CAST(CASE WHEN hist.urlkey IS NULL THEN 1 ELSE 0 END AS INTEGER) AS fetch
+        |FROM fr LEFT JOIN hist ON hist.urlkey = fr.urlkey
+        |ORDER BY doc_id, url_idx""".stripMargin,
 
     // revisit replay (round 15): the same first-capture window over
     // the closed-form (urlkey, digest) keys — host keyed on doc_id%5,
@@ -7077,7 +7090,8 @@ object LlmQueries {
         |    ELSE 'unknown' END AS license
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // sitemap replay (round 13)
+    // sitemap replay (round 13; r15 adds changefreq and the .xml.gz
+    // slice — the gzip layer is invisible to the field replay)
     "q_sitemap_urls" ->
       """SELECT doc_id, CAST(u.i AS INTEGER) AS url_idx,
         |  CASE WHEN doc_id % 4 = 0
@@ -7088,6 +7102,7 @@ object LlmQueries {
         |      THEN '2026-0' || (1 + (doc_id + u.i) % 9) || '-01'
         |    WHEN (doc_id + u.i) % 3 = 0 THEN ''
         |    ELSE '2026-0' || (1 + (doc_id + u.i) % 9) || '-01' END AS lastmod,
+        |  CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'daily' END AS changefreq,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 0.5
         |    WHEN (doc_id + u.i) % 2 = 0 THEN 0.125 * (1 + (doc_id + u.i) % 7)
         |    ELSE 0.5 END AS DOUBLE) AS priority,
@@ -7108,37 +7123,6 @@ object LlmQueries {
         |FROM documents, unnest(generate_series(0, 2)) AS u(i)
         |WHERE u.i < 1 + doc_id % 3
         |ORDER BY doc_id, item_idx""".stripMargin,
-
-    // sitemap replay (round 15): both entry shapes, optional-field
-    // defaults, and the decimal-text priority arithmetic in closed form
-    "q_sitemap_urls" ->
-      """WITH u AS (
-        |  SELECT doc_id, v.i AS i FROM documents,
-        |    unnest(generate_series(0, 3)) AS v(i)
-        |  WHERE doc_id % 2 = 0 AND v.i < 2 + doc_id % 3),
-        |r AS (
-        |  SELECT doc_id, i AS url_idx, 'urlset' AS kind,
-        |    'https://s' || doc_id || '.org/u' || i || '&x' AS loc,
-        |    CASE WHEN (doc_id + i) % 3 = 0 THEN ''
-        |      ELSE '2026-08-' || lpad(CAST(1 + (doc_id + i) % 28 AS VARCHAR), 2, '0')
-        |    END AS lastmod,
-        |    CASE WHEN (doc_id + i) % 5 = 0 THEN ''
-        |      ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'daily'
-        |        WHEN 1 THEN 'weekly' ELSE 'monthly' END
-        |    END AS changefreq,
-        |    CASE WHEN (doc_id + i) % 4 = 0 THEN -1
-        |      ELSE 100 * ((doc_id + i) % 10) END AS priority_milli
-        |  FROM u
-        |  UNION ALL
-        |  SELECT doc_id, v.i, 'sitemapindex',
-        |    'https://s' || doc_id || '.org/m' || v.i || '.xml.gz',
-        |    '2026-07-' || lpad(CAST(1 + (doc_id + v.i) % 28 AS VARCHAR), 2, '0'),
-        |    '', -1
-        |  FROM documents, unnest(generate_series(0, 1)) AS v(i)
-        |  WHERE doc_id % 2 = 1)
-        |SELECT doc_id, CAST(url_idx AS INTEGER) AS url_idx, kind, loc,
-        |  lastmod, changefreq, CAST(priority_milli AS INTEGER) AS priority_milli
-        |FROM r ORDER BY doc_id, url_idx""".stripMargin,
 
     // RTF replay (round 13): exact prose — tables/destinations gone,
     // escapes decoded, fallback chars absent

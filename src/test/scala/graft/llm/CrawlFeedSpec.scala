@@ -135,39 +135,27 @@ class CrawlFeedSpec extends AnyFunSuite {
     assert(parsed(1).startsWith("net,b)/y?q=1 20260102000000 {"))
   }
 
-  test("sitemaps: both roots, optional fields, priority text arithmetic, cap, gzip") {
-    import graft.llm.Feeds
-    // priority decimal-text arithmetic: never a float round-trip
-    assert(Feeds.priorityMilli("0.5") == 500)
-    assert(Feeds.priorityMilli("1.0") == 1000)
-    assert(Feeds.priorityMilli("0") == 0 && Feeds.priorityMilli("1") == 1000)
-    assert(Feeds.priorityMilli("0.85") == 850, "2-digit fraction pads")
-    assert(Feeds.priorityMilli("0.1234") == 123, "long fraction truncates")
-    assert(Feeds.priorityMilli(".7") == 700, "bare fraction")
-    assert(Feeds.priorityMilli("") == -1 && Feeds.priorityMilli(null) == -1)
-    assert(Feeds.priorityMilli("x.5") == -1 && Feeds.priorityMilli(".") == -1)
-    // urlset: loc required (entry without one is skipped), '&' unescapes
-    val us = Feeds.syntheticSitemap(index = false, Seq(
-      ("https://a.org/p?x=1&y=2", "2026-08-01", "daily", "0.9"),
-      ("https://a.org/q", "", "", "")), gzipped = false)
-    val got = Feeds.parseSitemap(us)
-    assert(got == Seq(
-      ("urlset", "https://a.org/p?x=1&y=2", "2026-08-01", "daily", 900),
-      ("urlset", "https://a.org/q", "", "", -1)))
-    // a <url> with no <loc> contributes nothing
-    val noLoc = new String(us, "UTF-8").replaceFirst(
-      "<loc>.*?</loc>", "").getBytes("UTF-8")
-    assert(Feeds.parseSitemap(noLoc).length == 1)
-    // sitemapindex carries loc + lastmod only
-    val si = Feeds.parseSitemap(Feeds.syntheticSitemap(index = true,
-      Seq(("https://a.org/m0.xml.gz", "2026-07-02", "", "")), gzipped = true))
-    assert(si == Seq(("sitemapindex", "https://a.org/m0.xml.gz", "2026-07-02", "", -1)))
+  test("sitemaps r15: gzip layer, the 50,000 cap, changefreq, corrupt refusal") {
+    // .xml.gz parses to exactly the plain document's rows
+    val urls = Seq(("https://a.org/p?x=1&y=2", "2026-08-01", Some(0.9)),
+      ("https://a.org/q", "", None))
+    val plain = Crawl.parseSitemap(Crawl.syntheticSitemap(index = false, urls))
+    val gz = Crawl.parseSitemap(Crawl.syntheticSitemap(index = false, urls,
+      gzipped = true))
+    assert(plain.nonEmpty && gz == plain, "gzip is invisible")
+    assert(plain.head._3 == "daily", "changefreq carried")
+    // sitemapindex rows have empty changefreq and default priority
+    val si = Crawl.parseSitemap(Crawl.syntheticSitemap(index = true,
+      Seq(("https://a.org/m0.xml.gz", "2026-07-02", None)), gzipped = true))
+    assert(si == Seq(("https://a.org/m0.xml.gz", "2026-07-02", "", 0.5, 1)))
     // the protocol's 50,000-entry cap bounds the walk
-    val big = Feeds.syntheticSitemap(index = false,
-      (0 until 50005).map(i => (s"https://a.org/$i", "", "", "")), gzipped = false)
-    assert(Feeds.parseSitemap(big).length == 50000)
-    // unknown root and corrupt gzip yield no rows, never a throw
-    assert(Feeds.parseSitemap("<html>no</html>".getBytes("UTF-8")).isEmpty)
-    assert(Feeds.parseSitemap(Array[Byte](0x1F, 0x8B.toByte, 1, 2, 3)).isEmpty)
+    val big = Crawl.syntheticSitemap(index = false,
+      (0 until 50005).map(i => (s"https://a.org/$i", "", None)))
+    assert(Crawl.parseSitemap(big).length == 50000)
+    // a <url> with no <loc> contributes nothing; corrupt gzip refuses
+    val noLoc = new String(Crawl.syntheticSitemap(index = false, urls), "UTF-8")
+      .replaceFirst("<loc>.*?</loc>", "").getBytes("UTF-8")
+    assert(Crawl.parseSitemap(noLoc).length == 1)
+    assert(Crawl.parseSitemap(Array[Byte](0x1F, 0x8B.toByte, 1, 2, 3)).isEmpty)
   }
 }

@@ -142,7 +142,7 @@ class DocInteropSpec extends AnyFunSuite {
           val nl = u.getElementsByTagName(t)
           if (nl.getLength > 0) nl.item(0).getTextContent else ""
         }
-        (f("loc"), f("lastmod"),
+        (f("loc"), f("lastmod"), f("changefreq"),
           Option(f("priority")).filter(_.nonEmpty).flatMap(_.toDoubleOption).getOrElse(0.5), 0)
       }
       assert(Crawl.parseSitemap(xml) == domUrls, s"sitemap interop at id=$id")
