@@ -54,7 +54,11 @@ object Plans {
       "q_wiki_slices" -> "multistream index -> slim slice rows: pure flatMap over index blobs — the ~40-byte slice row is ALL that ever shuffles of a 20 GB dump; the ranged-read decode (slicePagesFs) hangs off these rows (round 14)",
       "q_multimodal_webp_dhash" -> "WebP VP8L full pixel decode + dHash: one typed map over the media scan, no exchange before the output sort (round 14)",
       "q_audio_vad" -> "frame-energy VAD: decode + frame energies + hangover island merge all in one flatMap over the media scan (round 14)",
-      "q_pipeline_asr" -> "speech-admission pipeline: VAD aggregation joined with the stats pass's frame totals, keep gate in integers — two map-stage signal passes, one groupBy, one join (round 14)")
+      "q_pipeline_asr" -> "speech-admission pipeline: VAD aggregation joined with the stats pass's frame totals, keep gate in integers — two map-stage signal passes, one groupBy, one join (round 14)",
+      "q_warc_cdx" -> "CDX indexing: archive blobs -> slim index rows in one flatMap over the scan — gzip member walk, surt, sha256 digests all in the scan task, no exchange before the output sort (round 15)",
+      "q_warc_revisit" -> "CDX revisit dedup: ONE hash exchange on the (urlkey, digest) window over slim index rows — the archives themselves never shuffle (round 15)",
+      "q_bitext_margin" -> "margin bitext mining: both-direction brute top-k (broadcast NLJ baseline), rank-ordered mean folds, margin join on slim id-keyed lists (round 15)",
+      "q_pipeline_frontier" -> "crawl-admission pipeline: sitemap walk -> surt keys, CDX -> revisit dedup -> history, LEFT JOIN fetch decision — only the dedup window and the key join shuffle (round 15)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.Plans` on `$dir`. After execution, codegen'd\n")

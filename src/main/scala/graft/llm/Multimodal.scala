@@ -4483,7 +4483,20 @@ object Multimodal {
     }
     val m = new Array[Long](1024)
     var i = 0
-    while (i < 1024) { m(i) = sums(i) / counts(i); i += 1 }
+    while (i < 1024) {
+      if (counts(i) > 0) m(i) = sums(i) / counts(i)
+      else {
+        // a dimension between 8 and 31 leaves floor-map cells EMPTY
+        // (the map is only surjective from >= 32 source pixels);
+        // fill by nearest-pixel gather so the transform stays total —
+        // for >= 32 sources every cell has pixels and this never runs
+        val cy = i / 32; val cx = i % 32
+        val py = math.min(cy.toLong * h / 32, h - 1).toInt
+        val px2 = math.min(cx.toLong * w / 32, w - 1).toInt
+        m(i) = gray(py * w + px2)
+      }
+      i += 1
+    }
     val buf = new Array[Long](32)
     var r = 0
     while (r < 32) { // rows: transform along x (index v)

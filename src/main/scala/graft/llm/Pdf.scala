@@ -447,6 +447,12 @@ object Pdf {
         // members that parsed — the file-level prefix posture applied
         // per stream.
         var all = objs0
+        // XRef-stream dicts merge LATER-WINS among themselves (an
+        // incremental update's XRef — a higher object number — must
+        // override the base one, the same direction the keyword-
+        // trailer path merges); the explicit trailer still wins over
+        // all of them below.
+        var xrefTrailer = Map.empty[String, P]
         val provisional = PdfDoc(version, objs0, PDict(trailer), nStreams)
         objs0.toSeq.sortBy(_._1).foreach {
           case (_, s @ PStream(d, _)) =>
@@ -478,12 +484,12 @@ object Pdf {
                   case _ => ()
                 }
               case Some(PName("XRef")) =>
-                trailer = d.m ++ trailer
+                xrefTrailer = xrefTrailer ++ d.m
               case _ => ()
             }
           case _ => ()
         }
-        Some(PdfDoc(version, all, PDict(trailer), nStreams))
+        Some(PdfDoc(version, all, PDict(xrefTrailer ++ trailer), nStreams))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -207,13 +207,16 @@ object Warc {
       val sizeStr = (if (semi >= 0) line.substring(0, semi) else line).trim
       if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0))
         return None
-      val size = try Integer.parseInt(sizeStr, 16)
+      // parse as Long and bound against the REMAINING bytes before any
+      // int arithmetic — a hostile 7FFFFFFF size line must not wrap
+      // `p + size` negative and sail past the guard into out.write
+      val size = try java.lang.Long.parseLong(sizeStr, 16)
       catch { case _: NumberFormatException => return None }
       p = eol + 2
       if (size == 0) return Some(out.toByteArray)
-      if (p + size > to) return None
-      out.write(b, p, size)
-      p += size
+      if (size > to - p) return None
+      out.write(b, p, size.toInt)
+      p += size.toInt
       if (p + 2 > to || b(p) != '\r' || b(p + 1) != '\n') return None
       p += 2
     }
@@ -249,6 +252,54 @@ object Warc {
       case _ => None // identity/br/unknown: keep raw
     }
 
+  /** The nested-HTTP split shared by [[parseWarc]] and [[cdxWalk]] —
+    * ONE implementation of the wire layers so a framing or decoding
+    * fix can never reach the payload path and miss the digest path:
+    * status line + headers, then transfer-encoding (chunked) removal,
+    * then content-encoding (gzip/deflate) removal, each layer falling
+    * back to the previous form on failure (total). `entity == null`
+    * means the raw `[payStart, bodyEnd)` span IS the entity — callers
+    * keep slicing the original buffer, no copy. */
+  private final case class NestedEntity(status: Int, mime: Option[String],
+      charset: Option[String], payStart: Int, entity: Array[Byte])
+
+  private def nestedEntity(b: Array[Byte], bodyStart: Int, bodyEnd: Int,
+      ctype: String): NestedEntity = {
+    var status = 0
+    var payStart = bodyStart
+    var mime: Option[String] = None
+    var charset: Option[String] = None
+    var chunked = false
+    var contentEnc: Option[String] = None
+    if (ctype.toLowerCase.startsWith("application/http")) {
+      val seol = indexOfCrlf(b, bodyStart, bodyEnd)
+      if (seol > 0) {
+        val sline = new String(b, bodyStart, seol - bodyStart, "ISO-8859-1")
+        val parts = sline.split(" ", 3)
+        if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
+          status = parts(1).toIntOption.getOrElse(0)
+        parseHeaders(b, seol + 2, bodyEnd) match {
+          case Some((hh, hb)) =>
+            payStart = hb
+            mime = hh.get("content-type").map(_.takeWhile(_ != ';').trim.toLowerCase)
+            charset = hh.get("content-type").flatMap(charsetParam)
+            chunked = hh.get("transfer-encoding")
+              .exists(_.toLowerCase.contains("chunked"))
+            contentEnc = hh.get("content-encoding").map(_.trim.toLowerCase)
+          case None => payStart = bodyEnd // headers never close: empty payload
+        }
+      }
+    }
+    var ent: Array[Byte] =
+      if (chunked) dechunk(b, payStart, bodyEnd).orNull else null
+    contentEnc.foreach { enc =>
+      val in = if (ent != null) ent
+        else java.util.Arrays.copyOfRange(b, payStart, bodyEnd)
+      contentDecode(enc, in).foreach(ent = _)
+    }
+    NestedEntity(status, mime, charset, payStart, ent)
+  }
+
   /** Record walk → complete records before the first structural
     * violation. Accepts plain or gzipped (multi-member) archives. */
   private[graft] def parseWarc(raw: Array[Byte]): Seq[WarcRecord] = {
@@ -281,45 +332,13 @@ object Warc {
                   val wtype = hdrs.getOrElse("warc-type", "")
                   val uri = hdrs.getOrElse("warc-target-uri", null)
                   val ctype = hdrs.getOrElse("content-type", "")
-                  var status = 0
-                  var payStart = bodyStart
-                  var httpCharset: Option[String] = None
-                  var chunked = false
-                  var contentEnc: Option[String] = None
-                  if (ctype.toLowerCase.startsWith("application/http")) {
-                    // nested HTTP message: status line + headers + body
-                    val seol = indexOfCrlf(b, bodyStart, bodyEnd)
-                    if (seol > 0) {
-                      val sline = new String(b, bodyStart, seol - bodyStart, "ISO-8859-1")
-                      val parts = sline.split(" ", 3)
-                      if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
-                        status = parts(1).toIntOption.getOrElse(0)
-                      parseHeaders(b, seol + 2, bodyEnd) match {
-                        case Some((hh, hb)) =>
-                          payStart = hb
-                          httpCharset = hh.get("content-type").flatMap(charsetParam)
-                          chunked = hh.get("transfer-encoding")
-                            .exists(_.toLowerCase.contains("chunked"))
-                          contentEnc = hh.get("content-encoding").map(_.trim.toLowerCase)
-                        case None => payStart = bodyEnd // headers never close: empty payload
-                      }
-                    }
-                  }
-                  // wire decoding layers, each falling back to the
-                  // previous form on failure (total): TE first (it
-                  // frames the wire), then CE (it wraps the entity)
-                  var payBytes: Array[Byte] =
-                    if (chunked) dechunk(b, payStart, bodyEnd).orNull else null
-                  contentEnc.foreach { enc =>
-                    val in = if (payBytes != null) payBytes
-                      else java.util.Arrays.copyOfRange(b, payStart, bodyEnd)
-                    contentDecode(enc, in).foreach(payBytes = _)
-                  }
+                  val ne = nestedEntity(b, bodyStart, bodyEnd, ctype)
                   val (payload, charset) =
-                    if (payBytes == null) decodePayload(b, payStart, bodyEnd, httpCharset)
-                    else decodePayload(payBytes, 0, payBytes.length, httpCharset)
-                  out += WarcRecord(-1L, idx, wtype, uri, ctype, cl, status,
-                    (bodyEnd - payStart).toLong, payload, charset)
+                    if (ne.entity == null)
+                      decodePayload(b, ne.payStart, bodyEnd, ne.charset)
+                    else decodePayload(ne.entity, 0, ne.entity.length, ne.charset)
+                  out += WarcRecord(-1L, idx, wtype, uri, ctype, cl, ne.status,
+                    (bodyEnd - ne.payStart).toLong, payload, charset)
                   idx += 1
                   p = bodyEnd + 4
                 }
@@ -618,13 +637,16 @@ object Warc {
     md.digest().map(x => f"${x & 0xFF}%02x").mkString
   }
 
-  /** Gzip member boundaries of a member-concatenated archive:
-    * (offset, length) per member, prefix-kept before the first
-    * structural violation. Header parse per RFC 1952 (FEXTRA/FNAME/
-    * FCOMMENT/FHCRC honored), body length measured by a raw Inflater
-    * (`getBytesRead` after `finished()`), then the 8-byte trailer. */
-  private[graft] def gzipMemberBounds(raw: Array[Byte]): Seq[(Long, Long)] = {
-    val out = Seq.newBuilder[(Long, Long)]
+  /** Gzip member walk of a member-concatenated archive: (offset,
+    * length, inflatedBytes) per member — ONE inflation serves both the
+    * CDX byte frame and the record parse (measuring lengths with a
+    * discard pass and re-inflating would double the decompression CPU
+    * on the 100 TB hot path). Prefix-kept before the first structural
+    * violation. Header parse per RFC 1952 (FEXTRA/FNAME/FCOMMENT/FHCRC
+    * honored), body length from the raw Inflater's `getBytesRead`,
+    * then the 8-byte trailer. */
+  private[graft] def gzipMembers(raw: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
+    val out = Seq.newBuilder[(Long, Long, Array[Byte])]
     var p = 0
     val n = raw.length
     try {
@@ -643,23 +665,27 @@ object Warc {
         if (q >= n) return out.result()
         val inf = new java.util.zip.Inflater(true)
         inf.setInput(raw, q, n - q)
+        val body = new java.io.ByteArrayOutputStream(8192)
         val buf = new Array[Byte](8192)
-        var total = 0L
         while (!inf.finished()) {
           val k = inf.inflate(buf)
-          total += k
           if (k == 0 && !inf.finished()) { inf.end(); return out.result() }
-          if (total > (1 << 26)) { inf.end(); return out.result() }
+          body.write(buf, 0, k)
+          if (body.size > (1 << 26)) { inf.end(); return out.result() }
         }
         val consumed = inf.getBytesRead
         inf.end()
         p = q + consumed.toInt + 8 // CRC32 + ISIZE trailer
         if (p > n) return out.result()
-        out += ((start.toLong, (p - start).toLong))
+        out += ((start.toLong, (p - start).toLong, body.toByteArray))
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     out.result()
   }
+
+  /** Member frames only — the WarcSpec contiguity surface. */
+  private[graft] def gzipMemberBounds(raw: Array[Byte]): Seq[(Long, Long)] =
+    gzipMembers(raw).map { case (o, l, _) => (o, l) }
 
   /** Walk records in `[from, to)` of UNCOMPRESSED bytes, emitting the
     * slim CDX view (no text decode — the index never materializes
@@ -685,42 +711,14 @@ object Warc {
                   b(bodyEnd + 2) != '\r' || b(bodyEnd + 3) != '\n') broken = true
               else {
                 val ctype = hdrs.getOrElse("content-type", "")
-                var status = 0
-                var mime = ctype.takeWhile(_ != ';').trim.toLowerCase
-                var payStart = bodyStart
-                var chunked = false
-                var contentEnc: Option[String] = None
-                if (ctype.toLowerCase.startsWith("application/http")) {
-                  val seol = indexOfCrlf(b, bodyStart, bodyEnd)
-                  if (seol > 0) {
-                    val sline = new String(b, bodyStart, seol - bodyStart, "ISO-8859-1")
-                    val parts = sline.split(" ", 3)
-                    if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
-                      status = parts(1).toIntOption.getOrElse(0)
-                    parseHeaders(b, seol + 2, bodyEnd) match {
-                      case Some((hh, hb)) =>
-                        payStart = hb
-                        hh.get("content-type").foreach(ct =>
-                          mime = ct.takeWhile(_ != ';').trim.toLowerCase)
-                        chunked = hh.get("transfer-encoding")
-                          .exists(_.toLowerCase.contains("chunked"))
-                        contentEnc = hh.get("content-encoding").map(_.trim.toLowerCase)
-                      case None => payStart = bodyEnd
-                    }
-                  }
-                }
-                var ent: Array[Byte] =
-                  if (chunked) dechunk(b, payStart, bodyEnd).orNull else null
-                contentEnc.foreach { enc =>
-                  val in = if (ent != null) ent
-                    else java.util.Arrays.copyOfRange(b, payStart, bodyEnd)
-                  contentDecode(enc, in).foreach(ent = _)
-                }
-                val digest = if (ent == null) sha256Hex(b, payStart, bodyEnd)
-                  else sha256Hex(ent, 0, ent.length)
+                val ne = nestedEntity(b, bodyStart, bodyEnd, ctype)
+                val mime = ne.mime.getOrElse(ctype.takeWhile(_ != ';').trim.toLowerCase)
+                val digest =
+                  if (ne.entity == null) sha256Hex(b, ne.payStart, bodyEnd)
+                  else sha256Hex(ne.entity, 0, ne.entity.length)
                 val uri = hdrs.getOrElse("warc-target-uri", null)
                 out += ((CdxRow(-1L, -1, if (uri == null) null else Crawl.surt(uri),
-                  ts14(hdrs.getOrElse("warc-date", "")), uri, mime, status,
+                  ts14(hdrs.getOrElse("warc-date", "")), uri, mime, ne.status,
                   digest, -1L, -1L, hdrs.getOrElse("warc-type", "")),
                   recStart, bodyEnd + 4 - recStart))
                 p = bodyEnd + 4
@@ -742,14 +740,11 @@ object Warc {
     val rows = Seq.newBuilder[CdxRow]
     var idx = 0
     if ((raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B) {
-      gzipMemberBounds(raw).foreach { case (off, len) =>
-        gunzipAll(java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt))
-          .foreach { m =>
-            cdxWalk(m, 0, m.length).foreach { case (r, _, _) =>
-              rows += r.copy(rec_idx = idx, offset = off, rlength = len)
-              idx += 1
-            }
-          }
+      gzipMembers(raw).foreach { case (off, len, m) =>
+        cdxWalk(m, 0, m.length).foreach { case (r, _, _) =>
+          rows += r.copy(rec_idx = idx, offset = off, rlength = len)
+          idx += 1
+        }
       }
     } else {
       cdxWalk(raw, 0, raw.length).foreach { case (r, s, l) =>

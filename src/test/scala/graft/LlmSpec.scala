@@ -1703,6 +1703,14 @@ class LlmSpec extends SparkSpec {
     val up = Array.tabulate(64 * 64)(i => img((i / 64 / 2) * 32 + (i % 64) / 2))
     assert(Multimodal.wHash64(64, 64, up) === Some(h0), "2x upscale invariant")
     assert(Multimodal.wHash64(7, 32, Array.fill(7 * 32)(9)).isEmpty, "sub-8 refuses")
+    // dimensions in [8, 32) leave floor-map cells empty — the gather
+    // fill must keep the kernel total (regression: division by zero)
+    for ((w, h) <- Seq((16, 16), (9, 40), (31, 8))) {
+      val small = Array.tabulate(w * h)(i => (i * 13 + 5) % 200)
+      assert(Multimodal.wHash64(w, h, small).isDefined, s"$w x $h is total")
+    }
+    assert(Multimodal.wHash64(16, 16, Array.fill(256)(77)) === Some(0L),
+      "constant image: every non-DC coefficient is zero -> empty hash")
     // kernel posture: BMP round-trip ok, junk rows stay with ok = false
     val rows = Multimodal.imageWHash(spark.createDataset(Seq(
       Multimodal.Media(1L, Multimodal.syntheticBmp8(32, 32, img), "image/bmp"),

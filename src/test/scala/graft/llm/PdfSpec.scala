@@ -397,6 +397,30 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.get.trailer.get("Root").isDefined, "XRef dict still adopted")
   }
 
+  test("incremental XRef streams: the LATER stream's keys override the earlier") {
+    // base XRef (obj 7) roots the OLD catalog; the incremental update
+    // appends a new page tree under new object numbers and its own
+    // XRef (obj 16) rooting the NEW catalog — the update must win
+    // (regression: first-XRef-wins silently kept the stale /Root)
+    val pdf = ("%PDF-1.5\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      streamObjSrc(4, "BT (old) Tj ET") +
+      "7 0 obj << /Type /XRef /Size 8 /Root 1 0 R /Length 1 >> stream\nX\nendstream endobj\n" +
+      "12 0 obj << /Type /Catalog /Pages 13 0 R >> endobj\n" +
+      "13 0 obj << /Type /Pages /Kids [14 0 R] /Count 1 >> endobj\n" +
+      "14 0 obj << /Type /Page /Parent 13 0 R /Contents 15 0 R >> endobj\n" +
+      streamObjSrc(15, "BT (new) Tj ET") +
+      "16 0 obj << /Type /XRef /Size 17 /Root 12 0 R /Length 1 >> stream\nX\nendstream endobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.pagesOf(1L, pdf).map(_.text) === Seq("new"))
+    // and the explicit keyword trailer still outranks every XRef dict
+    val withTrailer = (new String(pdf, "ISO-8859-1")
+      .replace("%%EOF", "trailer << /Root 1 0 R >>\n%%EOF")).getBytes("ISO-8859-1")
+    assert(Pdf.pagesOf(1L, withTrailer).map(_.text) === Seq("old"))
+  }
+
   test("incremental update: a second trailer's keys override") {
     val base = new String(pdfBytes(1L), "ISO-8859-1")
     val updated = (base +

@@ -153,6 +153,10 @@ class WarcSpec extends AnyFunSuite {
     assert(dc("ZZ\r\nabc\r\n0\r\n\r\n") === None)
     assert(dc("5\r\nabc\r\n0\r\n\r\n") === None, "size past end")
     assert(dc("3\r\nabc") === None, "no terminator")
+    // hostile size lines must not wrap the bounds check (regression:
+    // 7FFFFFFF made p + size negative and sailed past the guard)
+    assert(dc("7FFFFFFF\r\nabc\r\n0\r\n\r\n") === None, "Int.MaxValue size")
+    assert(dc("FFFFFFFFFFFFFFFFFF\r\nabc\r\n0\r\n\r\n") === None, "past-Long size")
     // chunkEncode roundtrips through dechunk
     val body = ("payload " * 20).getBytes("UTF-8")
     val wire = Warc.chunkEncode(body, Seq(7, 31, 2))
