@@ -4585,6 +4585,20 @@ object Multimodal {
       "doc_id", "dhash", maxHamming, maxBucket)
   }
 
+  /** The [[imageNearDupPairs]] shape over the GLOBAL-structure hash
+    * (round 15): same banded Hamming machinery, same exact-recall
+    * bound — the wHash lens catches re-layouts dHash's local gradients
+    * miss, so running both and unioning pairs is the two-lens image
+    * dedup a multimodal corpus actually wants. */
+  def imageNearDupPairsW(ds: Dataset[Media], maxHamming: Int = 2,
+      maxBucket: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"exact recall holds only for maxHamming <= 3, got $maxHamming")
+    Dedup.hammingPairs64(
+      imageWHash(ds).filter(col("ok")).toDF(),
+      "doc_id", "dhash", maxHamming, maxBucket)
+  }
+
   /** Batch decode → image metadata. mapPartitions so a real decoder is
     * initialized once per partition, not per record. BMP, PNM, PNG, GIF
     * and JPEG parse their actual headers; a PARSE FAILURE on those mimes

@@ -2853,6 +2853,25 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // wHash near-dup pairs (round 15): the global-structure lens over
+    // the banded Hamming machinery. Groups (doc%20) share two Walsh
+    // tiles; the (doc//20)%2 variant adds a third weak tile = exactly
+    // one flipped bit. The tile indices are 3g+{0,7,29} mod 63, and
+    // since 3x ≡ 7, 22, 29 (mod 63) are all unsolvable (3 divides
+    // none), groups share NO coefficients — cross-group Hamming is
+    // provably >= 4, so maxHamming 1 pairs exactly the groups and the
+    // oracle reduces to the construction algebra
+    "q_multimodal_whash_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = mediaIds(s, dir)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
+        .map(whashGroupMedia _)
+      Multimodal.imageNearDupPairsW(media, maxHamming = 1)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // the media CURATION composition: decode -> perceptual hash ->
     // near-dup pairs -> transitive duplicate clusters -> canonical keep
     // flag, the image counterpart of the text curation pipelines — the
@@ -3649,6 +3668,27 @@ object LlmQueries {
       Warc.syntheticWarcDated(recs, gzipped = id % 2 == 1)
     }
     Multimodal.Media(id, bytes, "application/warc")
+  }
+
+  /** The q_multimodal_whash_neardup fixture (round 15): group
+    * doc%20 fixes two Walsh tiles (3g, 3g+7 mod 63, amps 40/20); the
+    * (doc//20)%2 variant superposes a third weak tile (3g+29, amp 15)
+    * — one extra hash bit, Hamming 1 to the group's base docs. */
+  private def whashGroupMedia(id: Long): Multimodal.Media = {
+    val g = (id % 20).toInt
+    val v = ((id / 20) % 2).toInt
+    def sgn(k: Int, x: Int, y: Int): Int =
+      if ((java.lang.Integer.bitCount((k & 7) & x)
+        + java.lang.Integer.bitCount(((k >> 3) & 7) & y)) % 2 == 0) 1 else -1
+    val k1 = 1 + (g * 3) % 63
+    val k2 = 1 + (g * 3 + 7) % 63
+    val k3 = 1 + (g * 3 + 29) % 63
+    val px = Array.tabulate(1024) { i =>
+      val x = i % 32; val y = i / 32
+      128 + 40 * sgn(k1, x, y) + 20 * sgn(k2, x, y) +
+        (if (v == 1) 15 * sgn(k3, x, y) else 0)
+    }
+    Multimodal.Media(id, Multimodal.syntheticBmp8(32, 32, px), "image/bmp")
   }
 
   /** The q_pdf_* fixture (round 13): 1 + id%3 pages of 2 + (id+p)%3
@@ -8163,6 +8203,19 @@ object LlmQueries {
         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // wHash pairing replay (round 15): within a tile group the hash
+    // differs only by the variant's third coefficient bit, across
+    // groups by >= 4 bits (see the query comment) — the pair set and
+    // Hamming values ARE the construction algebra
+    "q_multimodal_whash_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 20 AS g, (doc_id // 20) % 2 AS v
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 3500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(CASE WHEN a.v = b.v THEN 0 ELSE 1 END AS BIGINT) AS hamming
+        |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
     // brute-force Hamming over the replayed hashes — the banded candidate
