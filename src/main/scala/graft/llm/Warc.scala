@@ -783,6 +783,55 @@ object Warc {
         .otherwise(when(row_number().over(w) === 1, lit(1)).otherwise(lit(0))))
   }
 
+  /** CDX-driven random access (round 15) — the consumer the index
+    * exists for, and the WARC twin of [[Wiki.slicePagesFs]]: given
+    * slim `(CdxRow, path)` rows, each task opens the archive once per
+    * distinct path, does POSITIONED reads of exactly the indexed
+    * `[offset, offset+rlength)` frames (gzip member or plain record
+    * span — [[parseWarc]] dispatches on the magic), and parses the
+    * records inside. One seeking read per wanted capture instead of a
+    * 100 TB scan; `rows.repartition(n)` is the parallelism dial.
+    * Output rows keep the INDEX's doc_id/rec_idx identity. Unreadable
+    * or corrupt frames skip — corrupt-input posture, never a task
+    * failure; handles close on every task exit path (the
+    * TaskCompletionListener backstop, [[Wiki.slicePagesFs]]'s rule). */
+  def fetchRecords(rows: org.apache.spark.sql.Dataset[(CdxRow, String)]): Dataset[WarcRecord] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val opened = scala.collection.mutable.LinkedHashMap
+        .empty[String, org.apache.hadoop.fs.FSDataInputStream]
+      def streamFor(path: String) = opened.getOrElseUpdate(path, {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).open(p)
+      })
+      val out = it.flatMap { case (r, path) =>
+        try {
+          val in = streamFor(path)
+          val buf = new Array[Byte](r.rlength.toInt)
+          in.readFully(r.offset, buf) // positioned read: thread-safe, seek-free
+          parseWarc(buf).map(w => w.copy(doc_id = r.doc_id, rec_idx = r.rec_idx))
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      def closeAll(): Unit = {
+        opened.values.foreach(in =>
+          try in.close() catch { case scala.util.control.NonFatal(_) => () })
+        opened.clear()
+      }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => closeAll()))
+      new Iterator[WarcRecord] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) closeAll()
+          h
+        }
+        def next(): WarcRecord = out.next()
+      }
+    }
+  }
+
   /** Dated-response fixture for the CDX family: one warcinfo record,
     * then a 200 text/html response per `(uri, warcDate, body)` triple
     * with WARC-Date carried — the field [[cdxIndex]] keys time on. */

@@ -1466,6 +1466,42 @@ object LlmQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // CDX-driven ranged fetch (round 15): the index's CONSUMER — a
+    // real member-gzipped archive on the filesystem, its engine-built
+    // CDX, a selected capture subset, then positioned Hadoop-FS reads
+    // of exactly the indexed frames. The oracle replays the selected
+    // records' fields; a scan-the-whole-file reader could also produce
+    // them, but the WarcSpec/LlmSpec round-trips pin the frames and
+    // this query pins the END-TO-END seek path on a real file
+    "q_warc_fetch_fs" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val recs = (0 until 48).map(i =>
+        (s"http://fs.net/p$i", f"2026-08-${1 + i % 28}%02dT00:00:00Z",
+          s"<p>fetch $i</p>"))
+      val arc = Warc.syntheticWarcDated(recs, gzipped = true)
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q_warc_fetch_fs.warc.gz")
+      // same concurrent-run-safe install as q_wiki_slices_fs
+      if (!(f.isFile && f.length == arc.length &&
+            java.util.Arrays.equals(java.nio.file.Files.readAllBytes(f.toPath), arc))) {
+        val tmp = java.nio.file.Files.createTempFile(
+          f.toPath.getParent, "graft_q_warc_fetch_fs", ".tmp")
+        java.nio.file.Files.write(tmp, arc)
+        java.nio.file.Files.move(tmp, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val path = f.getAbsolutePath
+      val wanted = Warc.cdxIndex(arc)
+        .filter(r => r.rec_type == "response" && r.rec_idx % 3 != 2)
+        .map(r => (r.copy(doc_id = r.rec_idx.toLong), path))
+      val rows = spark.createDataset(wanted).repartition(8)
+      Warc.fetchRecords(rows).toDF()
+        .select("rec_idx", "target_uri", "http_status", "payload")
+        .orderBy("rec_idx")
+    }),
+
     // CDX revisit dedup (round 15): the FIRST capture of each
     // (urlkey, digest) keeps, later identical captures across docs
     // become revisits — one hash shuffle on the pair key; the oracle
@@ -5131,6 +5167,17 @@ object LlmQueries {
         |  CAST(CASE WHEN hist.urlkey IS NULL THEN 1 ELSE 0 END AS INTEGER) AS fetch
         |FROM fr LEFT JOIN hist ON hist.urlkey = fr.urlkey
         |ORDER BY doc_id, url_idx""".stripMargin,
+
+    // ranged-fetch replay (round 15): the selected captures' fields in
+    // closed form — response i sits at rec_idx i+1 after the warcinfo
+    "q_warc_fetch_fs" ->
+      """SELECT CAST(1 + u.i AS INTEGER) AS rec_idx,
+        |  'http://fs.net/p' || u.i AS target_uri,
+        |  CAST(200 AS INTEGER) AS http_status,
+        |  '<p>fetch ' || u.i || '</p>' AS payload
+        |FROM unnest(generate_series(0, 47)) AS u(i)
+        |WHERE (1 + u.i) % 3 != 2
+        |ORDER BY rec_idx""".stripMargin,
 
     // revisit replay (round 15): the same first-capture window over
     // the closed-form (urlkey, digest) keys — host keyed on doc_id%5,

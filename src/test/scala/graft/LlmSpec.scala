@@ -1677,6 +1677,34 @@ class LlmSpec extends SparkSpec {
       s"unrelated waveform must not pair: $pairs")
   }
 
+  test("warc ranged fetch: CDX frames drive positioned reads; corrupt/missing skip") {
+    import spark.implicits._
+    import graft.llm.Warc
+    for (gz <- Seq(true, false)) {
+      val recs = (0 until 9).map(i =>
+        (s"http://t.net/p$i", "2026-08-01T00:00:00Z", s"<p>t $i</p>"))
+      val arc = Warc.syntheticWarcDated(recs, gzipped = gz)
+      val f = java.io.File.createTempFile("graft_fetch_spec", ".warc")
+      try {
+        java.nio.file.Files.write(f.toPath, arc)
+        // ground truth: the full in-memory parse, narrowed to the subset
+        val full = Warc.parseWarc(arc)
+        val wanted = Warc.cdxIndex(arc)
+          .filter(r => r.rec_type == "response" && r.rec_idx % 2 == 1)
+          .map(r => (r.copy(doc_id = 7L), f.getAbsolutePath))
+        val got = Warc.fetchRecords(spark.createDataset(wanted).repartition(3))
+          .collect().sortBy(_.rec_idx)
+        val expect = wanted.map { case (r, _) =>
+          full(r.rec_idx).copy(doc_id = 7L, rec_idx = r.rec_idx)
+        }.sortBy(_.rec_idx)
+        assert(got.toSeq == expect.toSeq, s"gz=$gz: fetched == scanned subset")
+        // a frame into a MISSING file skips, never a task failure
+        val gone = wanted.map { case (r, _) => (r, f.getAbsolutePath + ".nope") }
+        assert(Warc.fetchRecords(spark.createDataset(gone)).collect().isEmpty)
+      } finally f.delete()
+    }
+  }
+
   test("multimodal wHash: sequency concentration, exposure/scale invariance, refusal") {
     import spark.implicits._
     import graft.llm.Multimodal
