@@ -113,6 +113,31 @@ object ScaleProbeW5 {
             .filter(col("ok")).agg(count(col("dhash"))).head.getLong(0))
         report("image_whash", tWh, nWh)
 
+        // ranged fetch: the archive GROWS with the factor but the
+        // wanted subset stays CONSTANT (100 captures) — the timed
+        // region is the SEEK+PARSE path alone (archive synthesis and
+        // the file install stay outside, the bench-hygiene rule), and
+        // wall must be flat in archive size: the entire point of
+        // carrying a CDX index instead of scanning
+        val fetchRecs = (0 until 500 * f).map(i =>
+          (s"http://fp.net/p$i", "2026-08-01T00:00:00Z",
+            s"<p>f $i ${"pad " * 20}</p>"))
+        val fetchArc = graft.llm.Warc.syntheticWarcDated(fetchRecs, gzipped = true)
+        val fetchTmp = java.io.File.createTempFile("graft_w5_fetch", ".warc.gz")
+        java.nio.file.Files.write(fetchTmp.toPath, fetchArc)
+        val fetchWanted = graft.llm.Warc.cdxIndex(fetchArc)
+          .filter(r => r.rec_type == "response")
+          .take(100)
+          .map(r => (r, fetchTmp.getAbsolutePath))
+        val fetchDs = spark.createDataset(fetchWanted)(
+          org.apache.spark.sql.Encoders.product[(graft.llm.Warc.CdxRow, String)])
+          .repartition(8)
+        val (tFe, nFe) = time(
+          graft.llm.Warc.fetchRecords(fetchDs)
+            .agg(count(col("payload"))).head.getLong(0))
+        fetchTmp.delete()
+        report("cdx_ranged_fetch_const_subset", tFe, nFe)
+
         // f independent mining jobs over the constant embedding slices:
         // the per-job cost is fixed, so wall should track f like the
         // map kernels — what scales in a real pipeline is the number of
