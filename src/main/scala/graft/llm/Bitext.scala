@@ -55,9 +55,18 @@ object Bitext {
     * src — the intersection criterion of the paper's §4). Callers
     * threshold on `margin` and/or require `mutual` = 1. */
   def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String, embCol: String,
-      k: Int): DataFrame = {
-    val fwd = Ann.bruteForceTopK(tgt, src, idCol, embCol, k)
-    val bwd = Ann.bruteForceTopK(src, tgt, idCol, embCol, k)
+      k: Int): DataFrame =
+    marginPairsFrom(
+      Ann.bruteForceTopK(tgt, src, idCol, embCol, k),
+      Ann.bruteForceTopK(src, tgt, idCol, embCol, k))
+
+  /** The margin arithmetic over PRECOMPUTED top-k lists — the seam the
+    * scale path plugs into: feed [[Ann.lshTopK]] / [[Ivf.search]]
+    * lists (same (q_id, nn_id, rank, cosine) columns) and the
+    * downstream margins are identical whenever the approximate lists
+    * match the exact ones (BitextSpec holds that equality on a corpus
+    * where LSH recall is total). */
+  def marginPairsFrom(fwd: DataFrame, bwd: DataFrame): DataFrame = {
     val meanX = meanByRank(fwd, "mean_x")
     val meanY = meanByRank(bwd, "mean_y").withColumnRenamed("q_id", "nn_id")
     val mutual = bwd.select(col("q_id").as("nn_id"), col("nn_id").as("q_id"))

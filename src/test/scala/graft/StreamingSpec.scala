@@ -2196,4 +2196,32 @@ class StreamingSpec extends SparkSpec {
         "whash stream == batch")
     } finally Seq(q1, q2, q3).foreach(_.stop())
   }
+
+  test("streaming CDX ranged fetch equals the batch seek path (r15)") {
+    import spark.implicits._
+    import graft.llm.{Multimodal, Warc}
+    val recs = (0 until 8).map(i =>
+      (s"http://st.net/p$i", "2026-08-01T00:00:00Z", s"<p>st $i</p>"))
+    val arc = Warc.syntheticWarcDated(recs, gzipped = true)
+    val f = java.io.File.createTempFile("graft_stream_fetch", ".warc.gz")
+    try {
+      java.nio.file.Files.write(f.toPath, arc)
+      val wanted = Warc.cdxIndex(arc).filter(_.rec_type == "response")
+        .map(r => (r, f.getAbsolutePath))
+      val batch = Warc.fetchRecords(spark.createDataset(wanted)).collect().toSet
+      assert(batch.size == 8, "batch premise")
+      val in = MemoryStream[(Warc.CdxRow, String)](spark)
+      val q = Warc.fetchRecords(in.toDS()).toDF()
+        .writeStream.outputMode(OutputMode.Append()).format("memory")
+        .queryName("fetch_out").start()
+      try {
+        in.addData(wanted.take(4): _*)
+        q.processAllAvailable()
+        in.addData(wanted.drop(4): _*)
+        q.processAllAvailable()
+        assert(spark.table("fetch_out").as[Warc.WarcRecord].collect().toSet == batch,
+          "fetch stream == batch")
+      } finally q.stop()
+    } finally f.delete()
+  }
 }
