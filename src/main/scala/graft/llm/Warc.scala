@@ -798,36 +798,32 @@ object Warc {
   def fetchRecords(rows: org.apache.spark.sql.Dataset[(CdxRow, String)]): Dataset[WarcRecord] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val opened = scala.collection.mutable.LinkedHashMap
-        .empty[String, org.apache.hadoop.fs.FSDataInputStream]
-      def streamFor(path: String) = opened.getOrElseUpdate(path, {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(conf).open(p)
-      })
-      val out = it.flatMap { case (r, path) =>
-        try {
-          val in = streamFor(path)
-          val buf = new Array[Byte](r.rlength.toInt)
-          in.readFully(r.offset, buf) // positioned read: thread-safe, seek-free
-          parseWarc(buf).map(w => w.copy(doc_id = r.doc_id, rec_idx = r.rec_idx))
-        } catch { case scala.util.control.NonFatal(_) => Nil }
-      }
-      def closeAll(): Unit = {
-        opened.values.foreach(in =>
-          try in.close() catch { case scala.util.control.NonFatal(_) => () })
-        opened.clear()
-      }
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => closeAll()))
-      new Iterator[WarcRecord] {
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h) closeAll()
-          h
-        }
-        def next(): WarcRecord = out.next()
+    FsRanged.mapRanged(rows) { (in, r) =>
+      // a frame past Int.MaxValue cannot buffer in one JVM array — an
+      // explicit implementation bound, skipped like a corrupt frame
+      // (negative toInt would otherwise throw inside the read)
+      if (r.rlength <= 0 || r.rlength > Int.MaxValue - 8) Iterator.empty
+      else {
+        val buf = new Array[Byte](r.rlength.toInt)
+        in.readFully(r.offset, buf) // positioned read: thread-safe, seek-free
+        val bytes =
+          if (buf.length >= 2 && (buf(0) & 0xFF) == 0x1F && (buf(1) & 0xFF) == 0x8B)
+            gunzipAll(buf).getOrElse(Array.emptyByteArray)
+          else buf
+        // a gzip member MAY hold several records sharing this frame
+        // (the cdxIndex contract) — select by the index row's own
+        // identity fields, zipping the frame's records with its cdx
+        // view (same walk, same prefix rule, so positions align);
+        // identical twins inside one member are indistinguishable by
+        // construction, so the FIRST match stands for the row
+        val recs = parseWarc(bytes)
+        val keyed = cdxWalk(bytes, 0, bytes.length)
+        recs.zip(keyed).collectFirst {
+          case (w, (c, _, _))
+              if c.urlkey == r.urlkey && c.ts14 == r.ts14 &&
+                c.digest == r.digest && c.rec_type == r.rec_type =>
+            w.copy(doc_id = r.doc_id, rec_idx = r.rec_idx)
+        }.iterator
       }
     }
   }

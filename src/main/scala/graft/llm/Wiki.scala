@@ -417,43 +417,16 @@ object Wiki {
   def slicePagesFs(slices: Dataset[(WikiSlice, String)]): Dataset[WikiPage] = {
     val spark = slices.sparkSession
     import spark.implicits._
-    slices.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val opened = scala.collection.mutable.LinkedHashMap
-        .empty[String, org.apache.hadoop.fs.FSDataInputStream]
-      def streamFor(path: String) = opened.getOrElseUpdate(path, {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(conf).open(p)
-      })
-      val out = it.flatMap { case (s, path) =>
-        try {
-          val in = streamFor(path)
-          val buf = new Array[Byte](s.length.toInt)
-          in.readFully(s.offset, buf) // positioned read: thread-safe, seek-free
-          parseDump(buf).map(p => p.copy(doc_id = s.doc_id, page_idx = s.slice_idx))
-        } catch { case scala.util.control.NonFatal(_) => Nil }
-      }
-      // one stream per distinct path in the partition, CLOSED when the
-      // task's iterator drains — long-lived executors must not
-      // accumulate open handles across thousands of slice tasks
-      def closeAll(): Unit = {
-        opened.values.foreach(in =>
-          try in.close() catch { case scala.util.control.NonFatal(_) => () })
-        opened.clear()
-      }
-      // The drain-close above misses partial consumption (limit/take)
-      // and task aborts; the task-completion listener is the backstop
-      // that fires on EVERY task exit path. closeAll() is idempotent,
-      // so double-close on the happy path is harmless.
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => closeAll()))
-      new Iterator[WikiPage] {
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h) closeAll()
-          h
-        }
-        def next(): WikiPage = out.next()
+    // open/close machinery (per-path stream cache, failed-open caching,
+    // drain-close + TaskCompletionListener backstop) lives ONCE in
+    // [[FsRanged.mapRanged]], shared with [[Warc.fetchRecords]]
+    FsRanged.mapRanged(slices) { (in, s) =>
+      if (s.length <= 0 || s.length > Int.MaxValue - 8) Iterator.empty
+      else {
+        val buf = new Array[Byte](s.length.toInt)
+        in.readFully(s.offset, buf) // positioned read: thread-safe, seek-free
+        parseDump(buf).iterator
+          .map(p => p.copy(doc_id = s.doc_id, page_idx = s.slice_idx))
       }
     }
   }

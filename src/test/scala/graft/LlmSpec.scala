@@ -1703,6 +1703,33 @@ class LlmSpec extends SparkSpec {
         assert(Warc.fetchRecords(spark.createDataset(gone)).collect().isEmpty)
       } finally f.delete()
     }
+    // multi-record MEMBER (regression): the whole archive as ONE gzip
+    // member means every index row shares one frame — fetching a row
+    // must return exactly ITS record (identity-matched inside the
+    // frame), and fetching all rows exactly one record each, never the
+    // member's full contents per row
+    val recs = (0 until 5).map(i =>
+      (s"http://m.net/p$i", f"2026-08-0${1 + i}%dT00:00:00Z", s"<p>m $i</p>"))
+    val plain = Warc.syntheticWarcDated(recs, gzipped = false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val oneMember = bos.toByteArray
+    val f2 = java.io.File.createTempFile("graft_fetch_member", ".warc.gz")
+    try {
+      java.nio.file.Files.write(f2.toPath, oneMember)
+      val idx = Warc.cdxIndex(oneMember)
+      assert(idx.length == 6 && idx.map(_.offset).distinct.length == 1,
+        "premise: six records share the single member frame")
+      val one = idx.filter(_.rec_idx == 3).map(r => (r, f2.getAbsolutePath))
+      val got1 = Warc.fetchRecords(spark.createDataset(one)).collect()
+      assert(got1.length == 1 && got1.head.target_uri == "http://m.net/p2" &&
+        got1.head.rec_idx == 3, "one row -> exactly its record")
+      val all = idx.filter(_.rec_type == "response").map(r => (r, f2.getAbsolutePath))
+      val gotAll = Warc.fetchRecords(spark.createDataset(all)).collect().sortBy(_.rec_idx)
+      assert(gotAll.length == 5 && gotAll.map(_.target_uri).toSeq ==
+        (0 until 5).map(i => s"http://m.net/p$i"), "N rows -> N records, not N*N")
+    } finally f2.delete()
   }
 
   test("multimodal wHash: sequency concentration, exposure/scale invariance, refusal") {
