@@ -58,7 +58,9 @@ object Plans {
       "q_warc_cdx" -> "CDX indexing: archive blobs -> slim index rows in one flatMap over the scan — gzip member walk, surt, sha256 digests all in the scan task, no exchange before the output sort (round 15)",
       "q_warc_revisit" -> "CDX revisit dedup: ONE hash exchange on the (urlkey, digest) window over slim index rows — the archives themselves never shuffle (round 15)",
       "q_bitext_margin" -> "margin bitext mining: both-direction brute top-k (broadcast NLJ baseline), rank-ordered mean folds, margin join on slim id-keyed lists (round 15)",
-      "q_pipeline_frontier" -> "crawl-admission pipeline: sitemap walk -> surt keys, CDX -> revisit dedup -> history, LEFT JOIN fetch decision — only the dedup window and the key join shuffle (round 15)")
+      "q_pipeline_frontier" -> "crawl-admission pipeline: sitemap walk -> surt keys, CDX -> revisit dedup -> history, LEFT JOIN fetch decision — only the dedup window and the key join shuffle (round 15)",
+      "q_ann_nsw" -> "graph ANN: per-partition NSW build + beam search in ONE mapPartitions over the embedding scan, then the bounded top-k merge — |shards|x|queries|xk slim rows are all that shuffles (round 15)",
+      "q_retrieval_rrf" -> "RRF hybrid: BM25 chain + brute ANN chain feed one (q_id, nn_id)-keyed integer-sum aggregation + bounded top-k — rank fusion adds NO window and no corpus-sized stage (round 15)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.Plans` on `$dir`. After execution, codegen'd\n")

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank fusion and result diversification over retrieval lists — the
+  * layer that sits ABOVE the ranking families (BM25 in
+  * [[graft.llm.TextAnalysis]], the ANN family in [[graft.llm.Ann]] /
+  * [[graft.llm.Ivf]] / [[graft.llm.Pq]]) and combines their outputs
+  * into one hybrid ranking. A curation pipeline retrieves the same
+  * query against the lexical index and the embedding index and needs a
+  * principled merge; RRF (Cormack, Clarke & Buettcher, SIGIR 2009) is
+  * the standard score-free merge because it needs only RANKS, so
+  * incomparable score scales (BM25 micro-nats vs cosine) never touch.
+  *
+  * Scale shape: inputs are already top-k lists, so every row here is a
+  * slim (q_id, nn_id, rank) triple — |queries| × k rows, NOT corpus-
+  * sized. The fusion aggregation keys on (q_id, nn_id) with map-side
+  * combine; ranking reuses [[Ann.topKPerQuery]]'s bounded aggregator
+  * (no per-q_id window). The diversification windows DO partition by
+  * q_id, which is safe for the same reason: the partition is a k-row
+  * top-k list by construction, never a corpus partition.
+  *
+  * Scoring is integer micro-units (`1e6 div (c + rank)`) so the
+  * per-(q, d) sum is order-free and replays exactly in DuckDB —
+  * the same discipline as bm25TopK's micro-nat quantization.
+  */
+object Retrieval {
+
+  /** Reciprocal-rank fusion of N rankings. Each input carries
+    * (`qIdCol`, `idCol`, `rankCol`) with rank 1-based; a document's
+    * fused score is Σ over the lists that returned it of
+    * `1_000_000 div (c + rank)` (c = 60 per the RRF paper; integer
+    * division keeps the sum exact). Documents missing from a list
+    * simply contribute nothing — no outer-join imputation.
+    * Output: (q_id, nn_id, rank, score_micro), rank ≤ `topK` by
+    * (score desc, nn_id asc). */
+  def rrfFuse(rankings: Seq[DataFrame], qIdCol: String, idCol: String,
+      rankCol: String, c: Int = 60, topK: Int = 10): DataFrame =
+    // score_micro ≤ |lists| · 1e6 / (c+1) — far under 2^53, so the double
+    // round-trip through the shared top-k aggregator is exact
+    Ann.topKPerQuery(
+        rrfScores(rankings, qIdCol, idCol, rankCol, c)
+          .select(col("q_id"), col("nn_id"),
+            col("score_micro").cast("double").as("cosine")),
+        topK)
+      .select(col("q_id"), col("nn_id"), col("rank"),
+        col("cosine").cast("long").as("score_micro"))
+
+  /** The fusion STATE alone: (q_id, nn_id, score_micro) with no ranking —
+    * ONE keyed aggregation, which is what makes it the streaming twin's
+    * seam: retrieval lists arrive as an unbounded feed and the scores
+    * accumulate under Update/Complete mode (chaining the rank aggregation
+    * into the same streaming query would be two stateful operators —
+    * Spark's correctness checker rejects that, rightly; a consumer ranks
+    * the current state per page, exactly [[rrfFuse]]'s batch layering). */
+  def rrfScores(rankings: Seq[DataFrame], qIdCol: String, idCol: String,
+      rankCol: String, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfScores: at least one ranking")
+    require(c >= 0, "rrfScores: c must be non-negative")
+    val slim = rankings.map(_.select(
+      col(qIdCol).cast("long").as("q_id"),
+      col(idCol).cast("long").as("nn_id"),
+      expr(s"CAST(1000000 AS BIGINT) div (CAST($c AS BIGINT) + CAST($rankCol AS BIGINT))")
+        .as("__rrf")))
+    slim.reduce(_ unionByName _)
+      .groupBy("q_id", "nn_id").agg(sum("__rrf").as("score_micro"))
+  }
+
+  /** Round-robin diversification of a per-query ranking across a group
+    * column (domain, source, language, cluster): emit every group's
+    * best result before any group's second — the interleave that stops
+    * one over-represented domain from filling the whole page. Within a
+    * round, groups keep their original relative quality order (ties on
+    * the original rank break by `idCol`). Output: (q_id, nn_id, grp,
+    * rank) with the NEW rank ≤ `topK`.
+    *
+    * Both windows partition by q_id over lists that are k-bounded on
+    * entry, so no partition exceeds the input's per-query k. */
+  def interleaveByGroup(ranked: DataFrame, qIdCol: String, idCol: String,
+      rankCol: String, groupCol: String, topK: Int = 10): DataFrame = {
+    val base = ranked.select(
+      col(qIdCol).cast("long").as("q_id"),
+      col(idCol).cast("long").as("nn_id"),
+      col(rankCol).cast("long").as("__orig"),
+      col(groupCol).as("grp"))
+    val withinGroup = Window.partitionBy("q_id", "grp")
+      .orderBy(col("__orig"), col("nn_id"))
+    val acrossRounds = Window.partitionBy("q_id")
+      .orderBy(col("__round"), col("__orig"), col("nn_id"))
+    base
+      .withColumn("__round", row_number().over(withinGroup))
+      .withColumn("rank", row_number().over(acrossRounds).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "nn_id", "grp", "rank")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Archives, AudioStats, Bibtex, Bitext, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc, Wiki}
+import graft.llm.{Ann, Archives, AudioStats, Bibtex, Bitext, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Retrieval, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc, Wiki}
 
 /** Correctness wiring for the LLM-pipeline operators (dedup / ANN / text
   * analysis / multimodal). EVERY operator here carries a DuckDB oracle —
@@ -1103,6 +1103,56 @@ object LlmQueries {
       val e = emb(s, dir)
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
         .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Graph ANN (round 15): per-partition navigable-small-world graphs,
+    // map-side beam search, bounded global merge. ef=1024 ≥ any shard's
+    // row count, where the backbone-chain connectivity guarantee makes
+    // the walk provably exhaustive — so the graph path must reproduce
+    // the brute top-k EXACTLY, and the oracle is the brute replay. The
+    // spec covers the graded-ef approximate regime
+    "q_ann_nsw" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.llm.Nsw.searchTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 10, m = 8, efConstruction = 64, ef = 1024)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (round 15): the same 10
+    // queries run against the LEXICAL index (BM25 top-5 over documents)
+    // and the EMBEDDING index (brute cosine top-10), merged score-free on
+    // ranks — 1e6 div (60 + rank) summed where a doc appears, ranked by
+    // the bounded top-k aggregator. doc_id and vec_id share the 0..499 id
+    // space by the driver fixtures' construction, which is what makes
+    // this a true lexical+semantic hybrid rather than a self-fusion
+    "q_retrieval_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val q = d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"),
+          expr("array_join(slice(split(text, ' '), 3, 10), ' ')").as("q_text"))
+      val lexical = TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", topK = 5)
+        .select(col("q_id"), col("doc_id").as("nn_id"), col("rank"))
+      val semantic = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select(col("q_id"), col("nn_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lexical, semantic), "q_id", "nn_id", "rank", c = 60, topK = 10)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"),
+          col("score_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Label-diversified ANN (round 15): the brute top-12 re-ranked
+    // round-robin across the embeddings' label column — every label's
+    // best result before any label's second; both windows ride lists
+    // that are 12-bounded per query on entry
+    "q_retrieval_interleave" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ranked = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 12)
+        .join(e.select(col("vec_id").as("nn_id"), col("label")), Seq("nn_id"))
+      Retrieval.interleaveByGroup(ranked, "q_id", "nn_id", "rank", "label", topK = 8)
+        .select(col("q_id"), col("nn_id"), col("grp").cast("long").as("grp"), col("rank"))
         .orderBy("q_id", "rank")
     }),
 
@@ -8778,6 +8828,95 @@ object LlmQueries {
     // double ln), same cleared-denominator fraction with identical operand
     // association, each term floored to integer micro-nats, and the
     // per-(q,doc) score as the order-free integer sum
+    // NSW graph ANN (round 15): at exhaustive ef the connected graph's
+    // beam search visits every node, so the contract is exact brute
+    // equality — same cosine arithmetic, same (cosine DESC, nn_id) order
+    "q_ann_nsw" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        | p AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM q, c WHERE q_id != nn_id),
+        | r AS (SELECT q_id, nn_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM p)
+        |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // RRF hybrid replay (round 15): the full BM25 chain (same integer
+    // micro-nat arithmetic as q_text_bm25, doc_id < 10 queries), the
+    // full brute-cosine chain (the q_ann_brute idiom), then the fusion
+    // as integer division + an order-free sum — exact end to end
+    "q_retrieval_rrf" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tlc AS (SELECT count(*) AS tl FROM tok),
+        |q AS (SELECT doc_id AS q_id,
+        |    array_to_string((str_split(text, ' '))[3:12], ' ') AS q_text
+        |  FROM documents WHERE doc_id < 10),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |  (SELECT q_id, unnest(str_split(lower(q_text), ' ')) AS term FROM q)),
+        |sc AS (SELECT qt.q_id, tf.doc_id, tf.term,
+        |    CAST(floor(ln((2.0 * nn.n + 2.0) / (2.0 * dfc.df + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS idf,
+        |    tf.tf, dl.dl, nn.n, tlc.tl
+        |  FROM qt JOIN tf USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, nn, tlc),
+        |v AS (SELECT q_id, doc_id,
+        |    CAST(floor(CAST(idf AS DOUBLE) * (22.0 * tf * tl) /
+        |      (10.0 * tl * tf + 3.0 * tl + 9.0 * dl * n) + 0.5) AS BIGINT) AS v
+        |  FROM sc),
+        |s AS (SELECT q_id, doc_id, CAST(sum(v) AS BIGINT) AS score
+        |  FROM v GROUP BY q_id, doc_id),
+        |lex AS (SELECT q_id, doc_id AS nn_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM s QUALIFY rank <= 5),
+        |qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |cv AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        |pv AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM qv, cv WHERE q_id != nn_id),
+        |sem AS (SELECT q_id, nn_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM pv
+        |   QUALIFY rank <= 10),
+        |u AS (SELECT q_id, nn_id, 1000000 // (60 + rank) AS rrf FROM lex
+        |   UNION ALL SELECT q_id, nn_id, 1000000 // (60 + rank) AS rrf FROM sem),
+        |fs AS (SELECT q_id, nn_id, CAST(sum(rrf) AS BIGINT) AS score_micro
+        |   FROM u GROUP BY q_id, nn_id),
+        |fr AS (SELECT q_id, nn_id, score_micro,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, nn_id) AS rank FROM fs)
+        |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank, score_micro
+        |FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // interleave replay (round 15): brute top-12, label join, then the
+    // two-window round-robin — within-(q, label) position first, original
+    // rank second, id last, exactly the engine's window pair
+    "q_retrieval_interleave" ->
+      """WITH qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |cv AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        |pv AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM qv, cv WHERE q_id != nn_id),
+        |k AS (SELECT q_id, nn_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM pv
+        |   QUALIFY rank <= 12),
+        |lab AS (SELECT k.q_id, k.nn_id, k.rank, e.label AS grp
+        |   FROM k JOIN embeddings e ON e.vec_id = k.nn_id),
+        |w1 AS (SELECT q_id, nn_id, grp, rank,
+        |   row_number() OVER (PARTITION BY q_id, grp ORDER BY rank, nn_id) AS rnd FROM lab),
+        |w2 AS (SELECT q_id, nn_id, grp,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY rnd, rank, nn_id) AS rank2 FROM w1)
+        |SELECT q_id, nn_id, CAST(grp AS BIGINT) AS grp, CAST(rank2 AS BIGINT) AS rank
+        |FROM w2 WHERE rank2 <= 8 ORDER BY q_id, rank""".stripMargin,
+
     "q_text_bm25" ->
       """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),

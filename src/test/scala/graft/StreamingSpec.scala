@@ -2224,4 +2224,42 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     } finally f.delete()
   }
+
+  test("streaming RRF fusion state equals the batch fusion (r15)") {
+    // retrieval lists arrive as an unbounded feed (one row per (query,
+    // candidate, rank)); the fusion STATE (rrfScores — the one stateful
+    // stage) accumulates under Complete mode and must converge to the
+    // batch scores once both lists have arrived; ranking the final state
+    // through the batch layering reproduces rrfFuse exactly
+    val listA = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (2L, 9L, 1L))
+    val listB = Seq((1L, 3L, 1L), (1L, 1L, 2L))
+    val batchScores = graft.llm.Retrieval.rrfScores(
+        Seq(listA.toDF("q_id", "nn_id", "rank"), listB.toDF("q_id", "nn_id", "rank")),
+        "q_id", "nn_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val in = MemoryStream[(Long, Long, Long)](spark)
+    val scores = graft.llm.Retrieval.rrfScores(
+      Seq(in.toDF().toDF("q_id", "nn_id", "rank")), "q_id", "nn_id", "rank")
+    val q = scores.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("rrf_out").start()
+    try {
+      in.addData(listA: _*)
+      q.processAllAvailable()
+      in.addData(listB: _*)
+      q.processAllAvailable()
+      val streamScores = spark.table("rrf_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamScores == batchScores, "rrf state stream == batch")
+      // the consumer-side ranking of the streamed state = the batch fusion
+      val fusedFromStream = graft.llm.Ann.topKPerQuery(
+          spark.table("rrf_out").select(col("q_id"), col("nn_id"),
+            col("score_micro").cast("double").as("cosine")), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val fusedBatch = graft.llm.Retrieval.rrfFuse(
+          Seq(listA.toDF("q_id", "nn_id", "rank"), listB.toDF("q_id", "nn_id", "rank")),
+          "q_id", "nn_id", "rank", topK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fusedFromStream == fusedBatch, "ranked stream state == rrfFuse")
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions.col
+
+/** Rank fusion + diversification (round 15): hand-checked RRF
+  * arithmetic (Cormack et al. 2009's 1/(c+rank) in integer micro-units)
+  * and the round-robin interleave's ordering contract. */
+class RetrievalSpec extends AnyFunSuite {
+
+  private def ranking(rows: Seq[(Long, Long, Long)]) = {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    rows.toDF("q_id", "nn_id", "rank")
+  }
+
+  test("RRF fuses by hand-checked integer arithmetic") {
+    // list A: docs 1,2,3 at ranks 1,2,3; list B: docs 3,1 at ranks 1,2.
+    // c=60 → contributions 1e6 div 61=16393, div 62=16129, div 63=15873.
+    // doc3 = 15873+16393 = 32266; doc1 = 16393+16129 = 32522; doc2 = 16129.
+    val a = ranking(Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L)))
+    val b = ranking(Seq((7L, 3L, 1L), (7L, 1L, 2L)))
+    val out = Retrieval.rrfFuse(Seq(a, b), "q_id", "nn_id", "rank", c = 60, topK = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toList.sortBy(_._2)
+    assert(out == List((1L, 1, 32522L), (3L, 2, 32266L), (2L, 3, 16129L)))
+  }
+
+  test("RRF is symmetric in list order and ties break by id") {
+    val a = ranking(Seq((1L, 10L, 1L), (1L, 20L, 2L)))
+    val b = ranking(Seq((1L, 20L, 1L), (1L, 10L, 2L)))
+    // both docs score 16393+16129 — tie, so rank order is id order
+    val ab = Retrieval.rrfFuse(Seq(a, b), "q_id", "nn_id", "rank", topK = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val ba = Retrieval.rrfFuse(Seq(b, a), "q_id", "nn_id", "rank", topK = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(ab == ba && ab == Set((10L, 1), (20L, 2)))
+  }
+
+  test("RRF topK bounds the output per query, queries stay independent") {
+    val a = ranking((1L to 6L).map(i => (1L, i, i)) ++ Seq((2L, 99L, 1L)))
+    val out = Retrieval.rrfFuse(Seq(a), "q_id", "nn_id", "rank", topK = 3)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ(1L).length == 3 && byQ(2L).length == 1)
+    // per-query ranks are 1-based and contiguous
+    assert(byQ(1L).map(_.getInt(2)).sorted.toList == List(1, 2, 3))
+  }
+
+  test("interleave emits every group's best before any group's second") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    // one query, groups x (ids 1,2,3 at ranks 1,2,3) and y (ids 4,5 at 4,5)
+    val ranked = Seq(
+      (1L, 1L, 1L, "x"), (1L, 2L, 2L, "x"), (1L, 3L, 3L, "x"),
+      (1L, 4L, 4L, "y"), (1L, 5L, 5L, "y"))
+      .toDF("q_id", "nn_id", "rank", "label")
+    val out = Retrieval.interleaveByGroup(ranked, "q_id", "nn_id", "rank", "label", topK = 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    // round 1: x's best (orig rank 1) then y's best (orig rank 4);
+    // round 2: 2 then 5; round 3: x alone
+    assert(out == List(1L, 4L, 2L, 5L, 3L))
+  }
+
+  test("interleave with one group preserves the original order; topK caps") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val ranked = Seq((1L, 9L, 1L, "z"), (1L, 8L, 2L, "z"), (1L, 7L, 3L, "z"))
+      .toDF("q_id", "nn_id", "rank", "label")
+    val out = Retrieval.interleaveByGroup(ranked, "q_id", "nn_id", "rank", "label", topK = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(out == List(9L, 8L))
+  }
+
+  test("rrfFuse plan has no Window operator (bounded aggregation ranks)") {
+    val a = ranking(Seq((1L, 1L, 1L)))
+    val plan = Retrieval.rrfFuse(Seq(a, a), "q_id", "nn_id", "rank", topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+}
