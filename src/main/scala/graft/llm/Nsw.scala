@@ -146,11 +146,75 @@ object Nsw {
     adj
   }
 
+  /** Build the per-shard graphs as a DATAFRAME — one row per shard
+    * (ids, vectors, adjacency) — so the index is a first-class dataset:
+    * persist it, write it to parquet, reload it next session, and run
+    * [[searchIndex]] against it without paying construction again. This
+    * is the shape a 100 TB deployment actually uses: the index builds
+    * once per corpus snapshot (embarrassingly parallel, one pass), and
+    * query batches amortize it. Row size is the shard's vectors +
+    * adjacency (the same bytes an external ANN index file would hold,
+    * sharded); the backbone chain is positional (i±1), so it survives
+    * serialization for free. */
+  def index(corpus: DataFrame, idCol: String, embCol: String, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    require(m >= 1, "nsw: m must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.filter(r => r._2 != null && r._2.nonEmpty).toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = rows.map(_._1)
+          val vecs = rows.map(_._2)
+          val adj = buildGraph(vecs, ids, m, efConstruction)
+          Iterator.single((ids, vecs, adj.map(_.toArray)))
+        }
+      }
+      .toDF("ids", "vecs", "adj")
+  }
+
+  /** Search a prebuilt [[index]]: one flatMap over the shard rows, the
+    * same beam kernel, the same bounded merge — on the same corpus
+    * partitioning and parameters this returns EXACTLY [[searchTopK]]'s
+    * rows (NswSpec pins it, including through a parquet roundtrip). */
+  def searchIndex(idx: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, ef: Int = 64): DataFrame = {
+    require(k >= 1 && ef >= 1, "nsw: k, ef must be positive")
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .filter(r => r._2 != null && r._2.nonEmpty).sortBy(_._1)
+    val qb = spark.sparkContext.broadcast(qRows)
+    val effEf = math.max(ef, k)
+    val perShard = idx.select(col("ids"), col("vecs"), col("adj"))
+      .as[(Array[Long], Array[Array[Float]], Array[Array[Int]])]
+      .flatMap { case (ids, vecs, adjArr) =>
+        if (ids.isEmpty || qb.value.isEmpty) Iterator.empty
+        else {
+          val adj = adjArr.map(a => scala.collection.mutable.ArrayBuffer.from(a))
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            beam(qv, vecs, ids, adj, ids.length, effEf)
+              .iterator.filter { case (_, node) => ids(node) != qid }
+              .take(k)
+              .map { case (sim, node) => (qid, ids(node), sim) }
+          }
+        }
+      }
+      .toDF("q_id", "nn_id", "cosine")
+    Ann.topKPerQuery(perShard, k)
+  }
+
   /** Per-shard NSW search, global bounded-top-k merge. `queries` is
     * collected and broadcast — bounded by retrieval's premise exactly
     * like [[Ann.bruteForceTopK]]'s broadcast side. `ef` ≥ every shard's
     * row count makes the result provably identical to brute force (the
     * oracle setting); production sets ef a small multiple of k.
+    * Fuses build + search in one pass; for repeated query batches over
+    * one corpus snapshot, build [[index]] once and [[searchIndex]] it.
     * Output: (q_id, nn_id, rank, cosine), rank ≤ k by (cosine desc, id). */
   def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       k: Int, m: Int = 8, efConstruction: Int = 64, ef: Int = 64): DataFrame = {

@@ -68,6 +68,84 @@ object Retrieval {
       .groupBy("q_id", "nn_id").agg(sum("__rrf").as("score_micro"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against redundancy with what's already picked, the embedding-space
+    * sibling of [[interleaveByGroup]]'s categorical round-robin.
+    *
+    * Arithmetic is integer micro-units end-to-end so every greedy step
+    * replays exactly in DuckDB (a recursive CTE walks the same
+    * selection): `score = λµ·rel − (1e6−λµ)·maxSimµ`, where relevance
+    * arrives pre-quantized in `relMicroCol` and the candidate-candidate
+    * similarity quantizes the bit-exact [[Nsw.pairCosine]] double via
+    * `floor(cos·1e6 + 0.5)`. Ties break by ascending id at every step.
+    *
+    * The greedy loop is inherently sequential PER QUERY but each query's
+    * candidate list is small (top-k lists; `maxCandidates` caps defensively
+    * by (rel desc, id) before the quadratic term) — one flatMapGroups over
+    * q_id, state ∝ one list, never a corpus-sized stage.
+    * Output: (q_id, nn_id, rank) with rank ≤ k in selection order. */
+  def mmrSelect(candidates: DataFrame, qIdCol: String, idCol: String,
+      relMicroCol: String, embCol: String, k: Int, lambdaMicro: Long = 700000L,
+      maxCandidates: Int = 256): DataFrame = {
+    require(k >= 1, "mmrSelect: k must be positive")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      "mmrSelect: lambdaMicro in [0, 1e6]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates.select(col(qIdCol).cast("long"), col(idCol).cast("long"),
+        col(relMicroCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Long, Long, Array[Float])]
+      .filter(r => r._4 != null && r._4.nonEmpty)
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cand = it.toArray.sortBy(r => (-r._3, r._2)).take(maxCandidates)
+        val n = cand.length
+        val picked = new Array[Boolean](n)
+        // maxSimµ(c) over the selected set, updated incrementally as each
+        // winner joins — O(n) per step instead of O(n·|selected|). The max
+        // over a NONEMPTY selected set keeps its sign: a candidate
+        // anti-correlated with everything picked earns a redundancy BONUS
+        // (the paper's max, not a 0-clamped one — clamping demoted exactly
+        // the candidates MMR exists to promote, and the DuckDB replay
+        // caught it); only the empty set at t=1 contributes 0
+        val maxSim = Array.fill(n)(Long.MinValue)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)](math.min(k, n))
+        var t = 1
+        while (t <= math.min(k, n)) {
+          var best = -1
+          var bestScore = 0L
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val red = if (t == 1) 0L else maxSim(i)
+              val s = lambdaMicro * cand(i)._3 - (1000000L - lambdaMicro) * red
+              if (best < 0 || s > bestScore ||
+                  (s == bestScore && cand(i)._2 < cand(best)._2)) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += ((q, cand(best)._2, t))
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val sim = math.floor(
+                Nsw.pairCosine(cand(j)._4, cand(best)._4) * 1000000.0 + 0.5).toLong
+              if (sim > maxSim(j)) maxSim(j) = sim
+            }
+            j += 1
+          }
+          t += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "nn_id", "rank")
+  }
+
   /** Round-robin diversification of a per-query ranking across a group
     * column (domain, source, language, cluster): emit every group's
     * best result before any group's second — the interleave that stops

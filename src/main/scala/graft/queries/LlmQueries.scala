@@ -1120,6 +1120,17 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // the same search through a PREBUILT index dataframe (the build-once
+    // search-many path) — same exhaustive-ef contract, same brute oracle
+    "q_ann_nsw_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = graft.llm.Nsw.index(e, "vec_id", "embedding", m = 8, efConstruction = 64)
+      graft.llm.Nsw.searchIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 10, ef = 1024)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Hybrid retrieval via reciprocal-rank fusion (round 15): the same 10
     // queries run against the LEXICAL index (BM25 top-5 over documents)
     // and the EMBEDDING index (brute cosine top-10), merged score-free on
@@ -1140,6 +1151,21 @@ object LlmQueries {
       Retrieval.rrfFuse(Seq(lexical, semantic), "q_id", "nn_id", "rank", c = 60, topK = 10)
         .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"),
           col("score_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // MMR re-ranking (round 15): the brute top-12 greedily re-selected
+    // trading relevance against redundancy (λ=0.7) in integer micro
+    // arithmetic — the DuckDB oracle replays every greedy step with a
+    // recursive CTE over the same quantized scores
+    "q_retrieval_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cand = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 12)
+        .withColumn("rel_micro", expr("CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT)"))
+        .join(e.select(col("vec_id").as("nn_id"), col("embedding")), Seq("nn_id"))
+      Retrieval.mmrSelect(cand, "q_id", "nn_id", "rel_micro", "embedding",
+          k = 6, lambdaMicro = 700000L)
+        .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"))
         .orderBy("q_id", "rank")
     }),
 
@@ -8844,6 +8870,21 @@ object LlmQueries {
         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 
+    // the indexed path ranks by the same total order under the same
+    // exhaustive-ef walk, so the one brute replay covers it too
+    "q_ann_nsw_indexed" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        | p AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM q, c WHERE q_id != nn_id),
+        | r AS (SELECT q_id, nn_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM p)
+        |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     // RRF hybrid replay (round 15): the full BM25 chain (same integer
     // micro-nat arithmetic as q_text_bm25, doc_id < 10 queries), the
     // full brute-cosine chain (the q_ann_brute idiom), then the fusion
@@ -8893,6 +8934,53 @@ object LlmQueries {
         |   row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, nn_id) AS rank FROM fs)
         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank, score_micro
         |FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // MMR replay (round 15): brute top-12 rel quantization, the full
+    // candidate-pair cosine matrix quantized the same way, then a
+    // RECURSIVE CTE replays every greedy step — the λ·rel −
+    // (1−λ)·max-sim argmax with its id tie-break, the max kept SIGNED
+    // (this replay caught the engine's 0-clamp bug in review)
+    "q_retrieval_mmr" ->
+      """WITH RECURSIVE
+        |qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |cv AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        |pv AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM qv, cv WHERE q_id != nn_id),
+        |kr AS (SELECT q_id, nn_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rnk FROM pv
+        |   QUALIFY rnk <= 12),
+        |cand AS (SELECT q_id, nn_id, CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT) AS rel FROM kr),
+        |pr AS (SELECT a.q_id, a.nn_id AS a_id, b.nn_id AS b_id,
+        |   CAST(floor(
+        |     (list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))) * 1000000.0 + 0.5) AS BIGINT) AS sim
+        |   FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.nn_id != b.nn_id
+        |   JOIN embeddings ea ON ea.vec_id = a.nn_id
+        |   JOIN embeddings eb ON eb.vec_id = b.nn_id),
+        |sel AS (
+        |  SELECT q_id, [nn_id] AS picked, 1 AS t
+        |  FROM (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, nn_id) AS r FROM cand)
+        |  WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.q_id, list_append(s.picked, x.nn_id), s.t + 1
+        |  FROM sel s, LATERAL (
+        |    SELECT c.nn_id
+        |    FROM cand c
+        |    WHERE c.q_id = s.q_id AND NOT list_contains(s.picked, c.nn_id)
+        |    ORDER BY (700000 * c.rel - 300000 * coalesce(
+        |        (SELECT max(p.sim) FROM pr p
+        |         WHERE p.q_id = s.q_id AND p.a_id = c.nn_id AND list_contains(s.picked, p.b_id)), 0)) DESC,
+        |      c.nn_id
+        |    LIMIT 1) x
+        |  WHERE s.t < 6),
+        |fin AS (SELECT q_id, picked FROM sel WHERE t = 6)
+        |SELECT q_id, u.pk AS nn_id, CAST(u.rn AS BIGINT) AS rank
+        |FROM fin, UNNEST(list_transform(picked, (p, i) -> struct_pack(pk := p, rn := i))) AS z(u)
+        |ORDER BY q_id, rank""".stripMargin,
 
     // interleave replay (round 15): brute top-12, label join, then the
     // two-window round-robin — within-(q, label) position first, original

@@ -46,11 +46,11 @@ class PlanSpec extends SparkSpec {
       // slices — the oracle-able baseline; at corpus scale the margin
       // arithmetic consumes lshTopK/Ivf.search lists instead
       "q_bitext_margin",
-      // both fixtures feed on the 10-query brute baseline (the q_ann_brute
+      // these fixtures feed on the 10-query brute baseline (the q_ann_brute
       // posture); the fusion/diversification stages themselves add only
-      // keyed aggs and k-bounded windows — at corpus scale the input
-      // lists come from bm25TopK + lshTopK/Ivf/Nsw instead
-      "q_retrieval_rrf", "q_retrieval_interleave")
+      // keyed aggs, k-bounded windows, and per-query greedy folds — at
+      // corpus scale the input lists come from bm25TopK + lshTopK/Ivf/Nsw
+      "q_retrieval_rrf", "q_retrieval_interleave", "q_retrieval_mmr")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

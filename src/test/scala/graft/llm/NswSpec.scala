@@ -68,6 +68,28 @@ class NswSpec extends AnyFunSuite {
     assert(rows(out).map { case (q, n, _) => (q, n) }.toSet == Set((1L, 2L), (1L, 5L)))
   }
 
+  test("prebuilt index search equals the fused build+search, incl. via parquet") {
+    val c = corpus(100, 6).persist()
+    try {
+      c.count()
+      val q = c.filter(col("vec_id") < 5)
+      val direct = rows(Nsw.searchTopK(c, q, "vec_id", "embedding", k = 6,
+        m = 4, efConstruction = 16, ef = 20))
+      val idx = Nsw.index(c, "vec_id", "embedding", m = 4, efConstruction = 16)
+      assert(rows(Nsw.searchIndex(idx, q, "vec_id", "embedding", k = 6, ef = 20)) == direct)
+      // the index is a first-class dataset: parquet roundtrip preserves
+      // the graphs (the backbone chain is positional, so it travels free)
+      val dir = java.nio.file.Files.createTempDirectory("graft_nsw_idx").toString
+      try {
+        idx.write.mode("overwrite").parquet(dir)
+        val reloaded = graft.SparkSpec.session.read.parquet(dir)
+        assert(rows(Nsw.searchIndex(reloaded, q, "vec_id", "embedding", k = 6, ef = 20)) == direct)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    } finally c.unpersist(blocking = false)
+  }
+
   test("rank order ties on cosine break by ascending id (TopKAgg order)") {
     val spark = graft.SparkSpec.session
     import spark.implicits._

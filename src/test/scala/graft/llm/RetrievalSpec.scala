@@ -71,6 +71,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == List(9L, 8L))
   }
 
+  private def cands(rows: Seq[(Long, Long, Long, Array[Float])]) = {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    rows.toDF("q_id", "nn_id", "rel", "emb")
+  }
+
+  test("MMR demotes the near-duplicate of the first pick") {
+    // doc 1: most relevant. doc 2: second-most relevant but IDENTICAL
+    // direction to 1 (simµ = 1e6). doc 3: less relevant, orthogonal.
+    // Pure relevance would rank 1,2,3; MMR at λ=0.7 must pick 3 second:
+    // score(2) = .7·900000 − .3·1000000 = 330000·µ < score(3) = .7·500000
+    val out = Retrieval.mmrSelect(cands(Seq(
+        (1L, 1L, 950000L, Array(1f, 0f)),
+        (1L, 2L, 900000L, Array(2f, 0f)),
+        (1L, 3L, 500000L, Array(0f, 1f)))),
+      "q_id", "nn_id", "rel", "emb", k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(out == List(1L, 3L, 2L))
+  }
+
+  test("MMR keeps the signed max: anti-correlated candidates earn a bonus") {
+    // doc 2 and doc 3 have equal relevance; 2 is orthogonal to the first
+    // pick (simµ = 0), 3 is OPPOSITE (simµ = −1e6). The signed max gives
+    // 3 a redundancy bonus: score(3) = .7·r + .3·1e6 > score(2) = .7·r.
+    // A 0-clamped max would tie them and pick 2 by id — the exact bug
+    // the DuckDB replay caught.
+    val out = Retrieval.mmrSelect(cands(Seq(
+        (1L, 1L, 900000L, Array(1f, 0f)),
+        (1L, 2L, 400000L, Array(0f, 1f)),
+        (1L, 3L, 400000L, Array(-1f, 0f)))),
+      "q_id", "nn_id", "rel", "emb", k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(out == List(1L, 3L))
+  }
+
+  test("MMR caps candidates by relevance, k by list size; queries independent") {
+    val rows = (1L to 5L).map(i => (1L, i, 1000000L - i * 1000L,
+      Array(i.toFloat, 1f))) :+ (2L, 77L, 5000L, Array(1f, 1f))
+    val out = Retrieval.mmrSelect(cands(rows), "q_id", "nn_id", "rel", "emb",
+      k = 10, maxCandidates = 3)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    // q1: only the 3 most relevant survive the cap; q2's singleton stands
+    assert(byQ(1L).map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    assert(byQ(2L).map(r => (r.getLong(1), r.getInt(2))).toList == List((77L, 1)))
+  }
+
   test("rrfFuse plan has no Window operator (bounded aggregation ranks)") {
     val a = ranking(Seq((1L, 1L, 1L)))
     val plan = Retrieval.rrfFuse(Seq(a, a), "q_id", "nn_id", "rank", topK = 3)
