@@ -68,6 +68,62 @@ object Retrieval {
       .groupBy("q_id", "nn_id").agg(sum("__rrf").as("score_micro"))
   }
 
+  /** Retrieval evaluation: recall@k, reciprocal rank, and nDCG@k per
+    * query, in integer micro-units — the harness that closes the loop on
+    * the ranking families (how good is the LSH/IVF/NSW list against a
+    * ground-truth relevance set, in numbers an oracle can replay).
+    *
+    * `ranked` carries (qIdCol, idCol, rankCol); `qrels` carries
+    * (qIdCol, idCol) — binary relevance, duplicates ignored. One row per
+    * query PRESENT IN QRELS (a query with no relevance judgments has no
+    * defined recall); rankings for unjudged queries drop out.
+    *
+    *  - recall_micro = 1e6·|hits∩top-k| div |relevant|
+    *  - rr_micro     = 1e6 div (first relevant rank), 0 if none hit
+    *  - dcg_micro    = Σ_hits floor(1e6 / log2(rank+1) + 0.5) — each term
+    *    floored so the sum is order-free; log2 = ln/ln(2) with the same
+    *    operand shape on both engines (the bm25 idf precedent)
+    *  - ndcg_micro   = 1e6·dcg div idcg, idcg = the same series summed
+    *    over ranks 1..min(k, |relevant|) (binary gains)
+    *
+    * Scale shape: the hit join keys on (q_id, nn_id) slim pairs; every
+    * aggregation is per-query over k-bounded lists; idcg is a ≤k-element
+    * fold. Nothing corpus-sized. */
+  def evalRanking(ranked: DataFrame, qrels: DataFrame, qIdCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "evalRanking: k must be positive")
+    val r = ranked.select(
+      col(qIdCol).cast("long").as("q_id"),
+      col(idCol).cast("long").as("nn_id"),
+      col(rankCol).cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+    val rel = qrels.select(
+      col(qIdCol).cast("long").as("q_id"),
+      col(idCol).cast("long").as("nn_id")).distinct()
+    val nrel = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val dcgTerm = expr(
+      "CAST(floor(1000000.0 / (ln(CAST(__rank AS DOUBLE) + 1.0) / ln(2.0)) + 0.5) AS BIGINT)")
+    val hits = r.join(rel, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(
+        count(lit(1)).as("hits"),
+        min("__rank").as("__minr"),
+        sum(dcgTerm).as("dcg_micro"))
+    nrel.join(hits, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
+      .withColumn("recall_micro",
+        expr("CAST(1000000 AS BIGINT) * hits div n_rel"))
+      .withColumn("rr_micro", when(col("__minr").isNull, lit(0L))
+        .otherwise(expr("CAST(1000000 AS BIGINT) div __minr")))
+      .withColumn("idcg_micro", expr(
+        s"""aggregate(sequence(1, int(least(CAST($k AS BIGINT), n_rel))), CAST(0 AS BIGINT),
+           |  (acc, i) -> acc + CAST(floor(1000000.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)) + 0.5) AS BIGINT))""".stripMargin))
+      .withColumn("ndcg_micro",
+        expr("CAST(1000000 AS BIGINT) * dcg_micro div idcg_micro"))
+      .select("q_id", "n_rel", "hits", "recall_micro", "rr_micro",
+        "dcg_micro", "ndcg_micro")
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
     * greedily pick the candidate maximizing
     * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded

@@ -1154,6 +1154,21 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Retrieval evaluation (round 15): the brute top-10 scored against
+    // label ground truth (same-label = relevant) — recall@10, MRR, and
+    // nDCG@10 in integer micro-units, every term replayed in DuckDB
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ranked = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      val qrels = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("__ql"))
+        .join(e.select(col("vec_id").as("nn_id"), col("label")),
+          col("label") === col("__ql") && col("nn_id") =!= col("q_id"))
+        .select("q_id", "nn_id")
+      Retrieval.evalRanking(ranked, qrels, "q_id", "nn_id", "rank", k = 10)
+        .orderBy("q_id")
+    }),
+
     // MMR re-ranking (round 15): the brute top-12 greedily re-selected
     // trading relevance against redundancy (λ=0.7) in integer micro
     // arithmetic — the DuckDB oracle replays every greedy step with a
@@ -8934,6 +8949,40 @@ object LlmQueries {
         |   row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, nn_id) AS rank FROM fs)
         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank, score_micro
         |FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // eval replay (round 15): brute chain, label-join qrels, then each
+    // metric as the same integer arithmetic — per-hit floored log2
+    // discounts summed order-free, idcg as a bounded series, micro
+    // ratios by integer division
+    "q_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        | p AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM q, c WHERE q_id != nn_id),
+        | topk AS (SELECT q_id, nn_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM p
+        |   QUALIFY rank <= 10),
+        | qr AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nn_id
+        |   FROM embeddings a JOIN embeddings b ON a.label = b.label AND b.vec_id != a.vec_id
+        |   WHERE a.vec_id < 10),
+        | nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM qr GROUP BY q_id),
+        | h AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS hits, min(t.rank) AS minr,
+        |   CAST(sum(CAST(floor(1000000.0 / (ln(CAST(t.rank AS DOUBLE) + 1.0) / ln(2.0)) + 0.5) AS BIGINT)) AS BIGINT) AS dcg
+        |   FROM topk t JOIN qr ON t.q_id = qr.q_id AND t.nn_id = qr.nn_id
+        |   GROUP BY t.q_id)
+        |SELECT n.q_id, n.n_rel,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST(1000000 * coalesce(h.hits, 0) // n.n_rel AS BIGINT) AS recall_micro,
+        |  CAST(CASE WHEN h.minr IS NULL THEN 0 ELSE 1000000 // h.minr END AS BIGINT) AS rr_micro,
+        |  CAST(coalesce(h.dcg, 0) AS BIGINT) AS dcg_micro,
+        |  CAST(1000000 * coalesce(h.dcg, 0) // list_sum(list_transform(
+        |    range(1, CAST(least(10, n.n_rel) AS INTEGER) + 1),
+        |    i -> CAST(floor(1000000.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)) + 0.5) AS BIGINT))) AS BIGINT) AS ndcg_micro
+        |FROM nrel n LEFT JOIN h ON h.q_id = n.q_id
+        |ORDER BY n.q_id""".stripMargin,
 
     // MMR replay (round 15): brute top-12 rel quantization, the full
     // candidate-pair cosine matrix quantized the same way, then a

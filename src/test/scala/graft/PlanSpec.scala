@@ -50,7 +50,8 @@ class PlanSpec extends SparkSpec {
       // posture); the fusion/diversification stages themselves add only
       // keyed aggs, k-bounded windows, and per-query greedy folds — at
       // corpus scale the input lists come from bm25TopK + lshTopK/Ivf/Nsw
-      "q_retrieval_rrf", "q_retrieval_interleave", "q_retrieval_mmr")
+      "q_retrieval_rrf", "q_retrieval_interleave", "q_retrieval_mmr",
+      "q_retrieval_eval")
 
   test("no accidental cartesian/nested-loop joins in any registered query") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -117,6 +117,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byQ(2L).map(r => (r.getLong(1), r.getInt(2))).toList == List((77L, 1)))
   }
 
+  test("evalRanking: hand-checked recall, MRR, and nDCG micro-units") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    // q1 top-3 = [a=10 (r1), b=20 (r2), c=30 (r3)]; relevant = {a, c, d=40}
+    val ranked = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("q_id", "nn_id", "rank")
+    val qrels = Seq((1L, 10L), (1L, 30L), (1L, 40L)).toDF("q_id", "nn_id")
+    val r = Retrieval.evalRanking(ranked, qrels, "q_id", "nn_id", "rank", k = 3)
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)       // n_rel, hits
+    assert(r.getLong(3) == 666666L)                        // 1e6·2 div 3
+    assert(r.getLong(4) == 1000000L)                       // first hit at rank 1
+    // dcg = 1e6/log2(2) + 1e6/log2(4) = 1000000 + 500000
+    assert(r.getLong(5) == 1500000L)
+    // idcg over ranks 1..3 = 1000000 + 630930 + 500000 (floored terms)
+    val idcg = 1000000L + 630930L + 500000L
+    assert(r.getLong(6) == 1000000L * 1500000L / idcg)
+  }
+
+  test("evalRanking: zero-hit queries score zero; unjudged queries drop") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val ranked = Seq((1L, 10L, 1L), (9L, 99L, 1L)).toDF("q_id", "nn_id", "rank")
+    val qrels = Seq((1L, 50L), (2L, 60L)).toDF("q_id", "nn_id")
+    val out = Retrieval.evalRanking(ranked, qrels, "q_id", "nn_id", "rank", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(6))).toMap
+    // q1 judged but missed everything; q2 judged, never ranked; q9 unjudged
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((0L, 0L, 0L, 0L)) && out(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("rrfFuse plan has no Window operator (bounded aggregation ranks)") {
     val a = ranking(Seq((1L, 1L, 1L)))
     val plan = Retrieval.rrfFuse(Seq(a, a), "q_id", "nn_id", "rank", topK = 3)
