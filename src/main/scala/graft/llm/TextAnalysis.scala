@@ -1116,6 +1116,25 @@ object TextAnalysis {
       topK: Int = 10, maxDf: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val qt = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
+      .as[(Long, String)]
+      .flatMap { case (q, text) =>
+        if (text == null) Iterator.empty
+        else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
+      }
+      .toDF("q_id", "term")
+    bm25TopKTerms(df, idCol, textCol, qt, topK, maxDf)
+  }
+
+  /** [[bm25TopK]] with the queries ALREADY tokenized to a (q_id, term)
+    * table — the seam query-EXPANSION operators feed ([[prfExpandTerms]]
+    * unions feedback terms into exactly this shape). Duplicate (q, term)
+    * rows are collapsed, matching the text form's `distinct`. */
+  def bm25TopKTerms(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, topK: Int = 10, maxDf: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val tok = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
@@ -1138,14 +1157,8 @@ object TextAnalysis {
         .otherwise(size(split(col(textCol), " ", -1))))).head()
     val n = scal.getLong(0)
     val tl = if (scal.isNullAt(1)) 0L else scal.getLong(1)
-    val qt = queries
-      .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
-      .as[(Long, String)]
-      .flatMap { case (q, text) =>
-        if (text == null) Iterator.empty
-        else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
-      }
-      .toDF("q_id", "term")
+    val qt = queryTerms
+      .select(col("q_id").cast("long"), col("term")).distinct()
     // BM25 is a sparse matrix product: scores(q, d) = Σ_t Q(q,t)·V(t,d).
     // V's term score depends only on (term, doc), so it is computed on the
     // SLIM postings table (|docs|·|distinct terms per doc| rows) BEFORE
@@ -1172,6 +1185,61 @@ object TextAnalysis {
         topK)
       .select(col("q_id"), col("nn_id").as("doc_id"),
         col("cosine").cast("long").as("score_micronats"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the Rocchio/RM3 family):
+    * run a first BM25 pass, treat each query's top `fbDocs` documents as
+    * relevant, score every term they contain by Σ_docs tf · idfµ (the
+    * same integer micro-nat idf BM25 uses), and return the original query
+    * terms UNIONED with each query's top `fbTerms` NEW terms (originals
+    * are excluded from the feedback ranking; ties break by term). Feed
+    * the output to [[bm25TopKTerms]] for the expanded second pass.
+    *
+    * Scale shape: the feedback candidate set is `fbDocs` documents' worth
+    * of postings per query — the per-query ranking window rides a small
+    * list BY CONSTRUCTION (feedback depth is a constant, never the
+    * corpus); idf joins broadcast exactly as in the scoring pass.
+    * Output: (q_id, term). */
+  def prfExpandTerms(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      fbDocs: Int = 5, fbTerms: Int = 5, maxDf: Option[Long] = None): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0, "prf: fbDocs >= 1, fbTerms >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val originals = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
+      .as[(Long, String)]
+      .flatMap { case (q, text) =>
+        if (text == null) Iterator.empty
+        else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
+      }
+      .toDF("q_id", "term")
+    val first = bm25TopK(df, idCol, textCol, queries, qIdCol, qTextCol, fbDocs, maxDf)
+      .select(col("q_id"), col("doc_id").as("__id"))
+    val tok = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else text.toLowerCase.split(" ", -1).iterator.map(t => (id, t))
+      }
+      .toDF("__id", "term")
+    val tf = tok.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val dfcAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfc = maxDf.map(m => dfcAll.filter(col("df") <= m)).getOrElse(dfcAll)
+    val n = df.count()
+    val fb = tf.join(first, Seq("__id"))
+      .join(broadcast(dfc), Seq("term"))
+      .join(originals, Seq("q_id", "term"), "left_anti")
+      .withColumn("__idf",
+        floor(log((lit(2.0) * n + lit(2.0)) / (lit(2.0) * col("df") + lit(1.0)))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("q_id", "term").agg(sum(col("tf") * col("__idf")).as("__fb"))
+    val picked = fb
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("__fb").desc, col("term"))))
+      .filter(col("__r") <= fbTerms)
+      .select("q_id", "term")
+    originals.unionByName(picked).distinct()
   }
 }
 

@@ -893,6 +893,21 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // PRF-expanded BM25 (round 15): first-pass top-5 docs feed tf·idf
+    // term feedback, the top-5 NEW terms union the originals, and the
+    // second pass ranks with the expanded term table — the Rocchio/RM3
+    // loop, every stage in integer micro-nats
+    "q_text_bm25_prf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") % 170 === 0)
+        .select(col("doc_id").as("q_id"),
+          expr("array_join(slice(split(text, ' '), 3, 10), ' ')").as("q_text"))
+      val terms = TextAnalysis.prfExpandTerms(d, "doc_id", "text", q, "q_id", "q_text",
+        fbDocs = 5, fbTerms = 5)
+      TextAnalysis.bm25TopKTerms(d, "doc_id", "text", terms, topK = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // CCNet-style LM scoring: bigram model trained on the doc_id%5 slice
     // (the "trusted reference"), every doc scored in integer micro-nats
     "q_text_lm_score" -> ((s, dir) => {
@@ -1151,6 +1166,30 @@ object LlmQueries {
       Retrieval.rrfFuse(Seq(lexical, semantic), "q_id", "nn_id", "rank", c = 60, topK = 10)
         .select(col("q_id"), col("nn_id"), col("rank").cast("long").as("rank"),
           col("score_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Hybrid retrieval pipeline (round 15): ONE plan from the raw tables
+    // to the final diversified page — BM25 lexical lists over documents,
+    // NSW graph search over embeddings (exhaustive ef ⇒ the brute
+    // contract), RRF fusion, label round-robin. The complete serving
+    // chain a retrieval deployment runs per query batch, and the graph
+    // path rides inside it in place of the brute scan
+    "q_pipeline_retrieval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val q = d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"),
+          expr("array_join(slice(split(text, ' '), 3, 10), ' ')").as("q_text"))
+      val lexical = TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", topK = 5)
+        .select(col("q_id"), col("doc_id").as("nn_id"), col("rank"))
+      val semantic = graft.llm.Nsw.searchTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10, m = 8, efConstruction = 64, ef = 1024)
+        .select(col("q_id"), col("nn_id"), col("rank"))
+      val fused = Retrieval.rrfFuse(Seq(lexical, semantic), "q_id", "nn_id", "rank", topK = 10)
+        .join(e.select(col("vec_id").as("nn_id"), col("label")), Seq("nn_id"))
+      Retrieval.interleaveByGroup(fused, "q_id", "nn_id", "rank", "label", topK = 8)
+        .select(col("q_id"), col("nn_id"), col("grp").cast("long").as("grp"), col("rank"))
         .orderBy("q_id", "rank")
     }),
 
@@ -8950,6 +8989,63 @@ object LlmQueries {
         |SELECT q_id, nn_id, CAST(rank AS BIGINT) AS rank, score_micro
         |FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
+    // pipeline replay (round 15): the q_retrieval_rrf composition (BM25
+    // micro-nat chain + brute cosine chain — NSW at exhaustive ef IS
+    // brute — + fusion arithmetic) extended by the label join and the
+    // interleave window pair
+    "q_pipeline_retrieval" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tlc AS (SELECT count(*) AS tl FROM tok),
+        |q AS (SELECT doc_id AS q_id,
+        |    array_to_string((str_split(text, ' '))[3:12], ' ') AS q_text
+        |  FROM documents WHERE doc_id < 10),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |  (SELECT q_id, unnest(str_split(lower(q_text), ' ')) AS term FROM q)),
+        |sc AS (SELECT qt.q_id, tf.doc_id, tf.term,
+        |    CAST(floor(ln((2.0 * nn.n + 2.0) / (2.0 * dfc.df + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS idf,
+        |    tf.tf, dl.dl, nn.n, tlc.tl
+        |  FROM qt JOIN tf USING (term) JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, nn, tlc),
+        |v AS (SELECT q_id, doc_id,
+        |    CAST(floor(CAST(idf AS DOUBLE) * (22.0 * tf * tl) /
+        |      (10.0 * tl * tf + 3.0 * tl + 9.0 * dl * n) + 0.5) AS BIGINT) AS v
+        |  FROM sc),
+        |s AS (SELECT q_id, doc_id, CAST(sum(v) AS BIGINT) AS score
+        |  FROM v GROUP BY q_id, doc_id),
+        |lex AS (SELECT q_id, doc_id AS nn_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM s QUALIFY rank <= 5),
+        |qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |cv AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+        |pv AS (SELECT q_id, nn_id,
+        |   list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cosine
+        |   FROM qv, cv WHERE q_id != nn_id),
+        |sem AS (SELECT q_id, nn_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rank FROM pv
+        |   QUALIFY rank <= 10),
+        |u AS (SELECT q_id, nn_id, 1000000 // (60 + rank) AS rrf FROM lex
+        |   UNION ALL SELECT q_id, nn_id, 1000000 // (60 + rank) AS rrf FROM sem),
+        |fs AS (SELECT q_id, nn_id, CAST(sum(rrf) AS BIGINT) AS score_micro
+        |   FROM u GROUP BY q_id, nn_id),
+        |fr AS (SELECT q_id, nn_id, score_micro,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, nn_id) AS rank FROM fs
+        |   QUALIFY rank <= 10),
+        |lab AS (SELECT fr.q_id, fr.nn_id, fr.rank, e.label AS grp
+        |   FROM fr JOIN embeddings e ON e.vec_id = fr.nn_id),
+        |w1 AS (SELECT q_id, nn_id, grp, rank,
+        |   row_number() OVER (PARTITION BY q_id, grp ORDER BY rank, nn_id) AS rnd FROM lab),
+        |w2 AS (SELECT q_id, nn_id, grp,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY rnd, rank, nn_id) AS rank2 FROM w1)
+        |SELECT q_id, nn_id, CAST(grp AS BIGINT) AS grp, CAST(rank2 AS BIGINT) AS rank
+        |FROM w2 WHERE rank2 <= 8 ORDER BY q_id, rank""".stripMargin,
+
     // eval replay (round 15): brute chain, label-join qrels, then each
     // metric as the same integer arithmetic — per-hit floored log2
     // discounts summed order-free, idcg as a bounded series, micro
@@ -9053,6 +9149,54 @@ object LlmQueries {
         |   row_number() OVER (PARTITION BY q_id ORDER BY rnd, rank, nn_id) AS rank2 FROM w1)
         |SELECT q_id, nn_id, CAST(grp AS BIGINT) AS grp, CAST(rank2 AS BIGINT) AS rank
         |FROM w2 WHERE rank2 <= 8 ORDER BY q_id, rank""".stripMargin,
+
+    // PRF replay (round 15): the bm25 chain restructured around a
+    // query-independent (term, doc) score table vt so BOTH passes reuse
+    // it; feedback = Σ tf·idfµ over the first-pass top-5 docs with
+    // originals anti-joined out, top-5 terms by (score desc, term),
+    // UNION dedup, second pass over the expanded table
+    "q_text_bm25_prf" ->
+      """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tlc AS (SELECT count(*) AS tl FROM tok),
+        |idft AS (SELECT term, df,
+        |    CAST(floor(ln((2.0 * nn.n + 2.0) / (2.0 * df + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS idf
+        |  FROM dfc, nn),
+        |vt AS (SELECT tf.doc_id, tf.term,
+        |    CAST(floor(CAST(idft.idf AS DOUBLE) * (22.0 * tf.tf * tlc.tl) /
+        |      (10.0 * tlc.tl * tf.tf + 3.0 * tlc.tl + 9.0 * dl.dl * nn.n) + 0.5) AS BIGINT) AS v
+        |  FROM tf JOIN idft USING (term) JOIN dl USING (doc_id), nn, tlc),
+        |q AS (SELECT doc_id AS q_id,
+        |    array_to_string((str_split(text, ' '))[3:12], ' ') AS q_text
+        |  FROM documents WHERE doc_id % 170 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |  (SELECT q_id, unnest(str_split(lower(q_text), ' ')) AS term FROM q)),
+        |s1 AS (SELECT qt.q_id, vt.doc_id, CAST(sum(vt.v) AS BIGINT) AS score
+        |  FROM qt JOIN vt USING (term) GROUP BY qt.q_id, vt.doc_id),
+        |r1 AS (SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM s1 QUALIFY rank <= 5),
+        |fb AS (SELECT r1.q_id, tf.term, CAST(sum(tf.tf * idft.idf) AS BIGINT) AS fbs
+        |  FROM r1 JOIN tf ON tf.doc_id = r1.doc_id
+        |  JOIN idft ON idft.term = tf.term
+        |  LEFT JOIN qt ON qt.q_id = r1.q_id AND qt.term = tf.term
+        |  WHERE qt.term IS NULL
+        |  GROUP BY r1.q_id, tf.term),
+        |fbr AS (SELECT q_id, term,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY fbs DESC, term) AS r
+        |  FROM fb QUALIFY r <= 5),
+        |qt2 AS (SELECT q_id, term FROM qt UNION SELECT q_id, term FROM fbr),
+        |s2 AS (SELECT qt2.q_id, vt.doc_id, CAST(sum(vt.v) AS BIGINT) AS score
+        |  FROM qt2 JOIN vt USING (term) GROUP BY qt2.q_id, vt.doc_id),
+        |r2 AS (SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM s2)
+        |SELECT q_id, doc_id, CAST(score AS BIGINT) AS score_micronats, CAST(rank AS BIGINT) AS rank
+        |FROM r2 WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_text_bm25" ->
       """WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),

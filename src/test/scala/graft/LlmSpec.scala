@@ -468,6 +468,54 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", 5).count() == 0L)
   }
 
+  test("bm25TopKTerms with the query's own terms equals the text form (r15)") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha alpha delta"))
+      .toDF("doc_id", "text")
+    val q = Seq((9L, "alpha beta"), (8L, "gamma")).toDF("q_id", "q_text")
+    val viaText = TextAnalysis.bm25TopK(d, "doc_id", "text", q, "q_id", "q_text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val terms = Seq((9L, "alpha"), (9L, "beta"), (9L, "beta"), (8L, "gamma"))
+      .toDF("q_id", "term")
+    val viaTerms = TextAnalysis.bm25TopKTerms(d, "doc_id", "text", terms, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaText == viaTerms, "term-table seam == text form (dup terms collapse)")
+  }
+
+  test("PRF expansion pulls a co-occurring term the query never said (r15)") {
+    import spark.implicits._
+    // "anchor" always travels with "satellite"; the query only says
+    // anchor, so satellite must arrive via feedback and promote doc 4
+    // (satellite-only, unreachable by the original query) into the
+    // second-pass results
+    // satellite needs enough mass (tf 3 per feedback doc) to outscore the
+    // singleton noise terms' high idf — the idf-vs-mass tension is real
+    // RM3 behavior, so the fixture makes the co-occurrence emphatic
+    val d = Seq(
+      (1L, "anchor satellite satellite satellite noise1"),
+      (2L, "anchor satellite satellite satellite noise2"),
+      (3L, "anchor satellite satellite satellite noise3"),
+      (4L, "satellite only here"),
+      (5L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val q = Seq((9L, "anchor")).toDF("q_id", "q_text")
+    val terms = TextAnalysis.prfExpandTerms(d, "doc_id", "text", q, "q_id", "q_text",
+      fbDocs = 3, fbTerms = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(terms.contains((9L, "anchor")), "originals always survive")
+    assert(terms.contains((9L, "satellite")), "feedback finds the co-occurring term")
+    val second = TextAnalysis.bm25TopKTerms(d, "doc_id", "text",
+        TextAnalysis.prfExpandTerms(d, "doc_id", "text", q, "q_id", "q_text",
+          fbDocs = 3, fbTerms = 2), 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(second.contains(4L), "expanded query reaches the satellite-only doc")
+    // fbTerms = 0 degrades to the original ranking
+    val zero = TextAnalysis.prfExpandTerms(d, "doc_id", "text", q, "q_id", "q_text",
+      fbDocs = 3, fbTerms = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(zero == Set((9L, "anchor")))
+  }
+
   test("nb quality filter: separates pos-like from neg-like, score in range, high score keeps") {
     import spark.implicits._
     import graft.llm.QualityClassifier

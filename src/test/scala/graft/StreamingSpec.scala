@@ -2262,4 +2262,42 @@ class StreamingSpec extends SparkSpec {
       assert(fusedFromStream == fusedBatch, "ranked stream state == rrfFuse")
     } finally q.stop()
   }
+
+  test("streaming query feed against a prebuilt NSW index equals batch (r15)") {
+    // the serving shape: the graph index builds ONCE (a persisted
+    // DataFrame), query batches arrive as an unbounded feed, each
+    // micro-batch searches the same index — per-query results are
+    // independent, so the union over micro-batches must equal one batch
+    // search over all queries
+    import graft.llm.Nsw
+    def v(id: Long): Array[Float] = Array.tabulate(8)(d =>
+      (graft.llm.Hashing.splitmix64(id * 31 + d).toDouble / Long.MaxValue.toDouble).toFloat)
+    val corpus = (0L until 60L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+      .repartition(3).persist()
+    try {
+      corpus.count()
+      val idx = Nsw.index(corpus, "vec_id", "embedding", m = 4, efConstruction = 16).persist()
+      idx.count()
+      val queries = (0L until 6L).map(i => (i, v(i)))
+      val batch = Nsw.searchIndex(idx, queries.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 5, ef = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val q = in.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= Nsw.searchIndex(idx, b, "vec_id", "embedding", k = 5, ef = 16)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          ()
+        }.start()
+      try {
+        in.addData(queries.take(3): _*)
+        q.processAllAvailable()
+        in.addData(queries.drop(3): _*)
+        q.processAllAvailable()
+        assert(got.toSet == batch, "nsw stream == batch")
+      } finally q.stop()
+      idx.unpersist(blocking = false)
+    } finally corpus.unpersist(blocking = false)
+  }
 }
