@@ -10,6 +10,20 @@ object Bench {
       // NTZ-inferred parquet timestamps resolve against the session tz;
       // every graft entry point pins UTC so window epochs are tz-stable
       .config("spark.sql.session.timeZone", "UTC")
+      // r15 optimization (guide §2.2/§2.4): let AQE's size-based coalescing
+      // apply to persist()/cache materialization too (default false). The
+      // iterative operators (pageRank/hits/star-contraction) persist slim
+      // loop frames; with the default, those caches keep the full
+      // spark.sql.shuffle.partitions fan-out and every iteration runs one
+      // tiny task per partition — measured 788 tasks / 167.8 cpu-s per
+      // q_pagerank_deep rep (32 cores), collapsing to 50 tasks / 1.2 cpu-s
+      // with the flag on (the per-task fixed cost was mmap/futex kernel
+      // churn, the bench's perennial "kernel-share" signature). The setting
+      // is scale-adaptive, not a local[32] constant: AQE still targets
+      // advisoryPartitionSizeInBytes (64 MB), so at 100 TB a cached frame
+      // gets bytes/64MB partitions, it just stops inheriting a fixed
+      // partition count when the data is small.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1078,6 +1078,56 @@ object TextAnalysis {
         col("mean_micronats"), col("bucket"))
   }
 
+  /** Slim postings table (__id, term, tf) — the shared discovery input of
+    * the BM25 family (r15 optimization). Sharing works by passing the ONE
+    * returned DataFrame OBJECT to every consumer inside one composed plan:
+    * Dataset.flatMap wraps the user lambda in a fresh capturing adaptor per
+    * call, so two textually identical calls do NOT canonicalize equal and
+    * exchange reuse can never dedupe them — only the shared object does
+    * (its subtrees are trivially sameResult, so the tf aggregation's
+    * exchange materializes once and every other consumer gets a
+    * ReusedExchange). [[bm25PrfTopK]] is the composition built on this.
+    * Deliberately NOT persisted: the columnar cache's build +
+    * row-at-a-time string decompression cost more than exchange reuse
+    * (measured: q_text_bm25 1.4 → 1.7 s with persist). */
+  private def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else text.toLowerCase.split(" ", -1).iterator.map(t => (id, t))
+      }
+      .toDF("__id", "term")
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The two plan literals of the BM25 arithmetic, in ONE eager pass over
+    * the corpus scan: N = all docs (null text included), TL = total tokens
+    * (null text contributes none — matching the tokenizer's flatMap). */
+  private def corpusScalars(df: DataFrame, textCol: String): (Long, Long) = {
+    val scal = df.agg(count(lit(1)),
+      sum(when(col(textCol).isNull, 0)
+        .otherwise(size(split(col(textCol), " ", -1))))).head()
+    (scal.getLong(0), if (scal.isNullAt(1)) 0L else scal.getLong(1))
+  }
+
+  /** Query tokenization to the (q_id, term) shape — one definition shared
+    * by [[bm25TopK]] and the PRF family so originals are identical rows. */
+  private def queryTermRows(queries: DataFrame, qIdCol: String,
+      qTextCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
+      .as[(Long, String)]
+      .flatMap { case (q, text) =>
+        if (text == null) Iterator.empty
+        else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
+      }
+      .toDF("q_id", "term")
+  }
+
   /** BM25 top-k retrieval (Robertson & Zaragoza 2009; Lucene's idf variant)
     * — the ranked form of [[tfidfTopTerms]]'s statistics: for each query,
     * the k best documents under
@@ -1113,19 +1163,9 @@ object TextAnalysis {
     * Output: (q_id, doc_id, score_micronats, rank <= k). */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
-      topK: Int = 10, maxDf: Option[Long] = None): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qt = queries
-      .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
-      .as[(Long, String)]
-      .flatMap { case (q, text) =>
-        if (text == null) Iterator.empty
-        else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
-      }
-      .toDF("q_id", "term")
-    bm25TopKTerms(df, idCol, textCol, qt, topK, maxDf)
-  }
+      topK: Int = 10, maxDf: Option[Long] = None): DataFrame =
+    bm25TopKTerms(df, idCol, textCol,
+      queryTermRows(queries, qIdCol, qTextCol), topK, maxDf)
 
   /** [[bm25TopK]] with the queries ALREADY tokenized to a (q_id, term)
     * table — the seam query-EXPANSION operators feed ([[prfExpandTerms]]
@@ -1133,30 +1173,21 @@ object TextAnalysis {
     * rows are collapsed, matching the text form's `distinct`. */
   def bm25TopKTerms(df: DataFrame, idCol: String, textCol: String,
       queryTerms: DataFrame, topK: Int = 10, maxDf: Option[Long] = None): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val tok = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else text.toLowerCase.split(" ", -1).iterator.map(t => (id, t))
-      }
-      .toDF("__id", "term")
-    val tf = tok.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
-    // dl and TL derive from tf (dl = Σ tf per doc, TL = Σ tf) — same values
-    // as counting tok directly, but the tokenizing flatMap + its exchange
-    // run once and get ReusedExchange'd across all three consumers
+    val (n, tl) = corpusScalars(df, textCol)
+    bm25ScoredOn(termFrequencies(df, idCol, textCol), n, tl, queryTerms, topK, maxDf)
+  }
+
+  /** The scoring core over a SHARED postings frame — every BM25-family
+    * entry point funnels here so a composed pipeline ([[bm25PrfTopK]])
+    * passes one `tf` object and the tokenize+aggregate subtree runs once
+    * (ReusedExchange), instead of once per pass. */
+  private def bm25ScoredOn(tf: DataFrame, n: Long, tl: Long,
+      queryTerms: DataFrame, topK: Int, maxDf: Option[Long]): DataFrame = {
+    // dl derives from tf (dl = Σ tf per doc) — same values as counting the
+    // token stream directly, but over the shared postings subtree
     val dl = tf.groupBy("__id").agg(sum("tf").as("dl"))
     val dfcAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfc = maxDf.map(m => dfcAll.filter(col("df") <= m)).getOrElse(dfcAll)
-    // ONE scalar pass over the raw scan for both plan literals: N = all
-    // docs (null text included), TL = total tokens (null text contributes
-    // none — matching tok's flatMap). A second count()/agg pair would
-    // re-run the tokenize+groupBy chain just to read two numbers.
-    val scal = df.agg(count(lit(1)),
-      sum(when(col(textCol).isNull, 0)
-        .otherwise(size(split(col(textCol), " ", -1))))).head()
-    val n = scal.getLong(0)
-    val tl = if (scal.isNullAt(1)) 0L else scal.getLong(1)
     val qt = queryTerms
       .select(col("q_id").cast("long"), col("term")).distinct()
     // BM25 is a sparse matrix product: scores(q, d) = Σ_t Q(q,t)·V(t,d).
@@ -1203,29 +1234,22 @@ object TextAnalysis {
   def prfExpandTerms(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       fbDocs: Int = 5, fbTerms: Int = 5, maxDf: Option[Long] = None): DataFrame = {
+    val (n, tl) = corpusScalars(df, textCol)
+    prfTermsOn(termFrequencies(df, idCol, textCol), n, tl,
+      queryTermRows(queries, qIdCol, qTextCol), fbDocs, fbTerms, maxDf)
+  }
+
+  /** The PRF expansion core over a SHARED postings frame (see
+    * [[bm25ScoredOn]] for why sharing must be by object). The first pass is
+    * the scoring core itself, so inside one composed plan the corpus
+    * subtree appears once. */
+  private def prfTermsOn(tf: DataFrame, n: Long, tl: Long, originals: DataFrame,
+      fbDocs: Int, fbTerms: Int, maxDf: Option[Long]): DataFrame = {
     require(fbDocs >= 1 && fbTerms >= 0, "prf: fbDocs >= 1, fbTerms >= 0")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val originals = queries
-      .select(col(qIdCol).cast("long").as("q_id"), col(qTextCol).as("__qt"))
-      .as[(Long, String)]
-      .flatMap { case (q, text) =>
-        if (text == null) Iterator.empty
-        else text.toLowerCase.split(" ", -1).distinct.iterator.map(t => (q, t))
-      }
-      .toDF("q_id", "term")
-    val first = bm25TopK(df, idCol, textCol, queries, qIdCol, qTextCol, fbDocs, maxDf)
+    val first = bm25ScoredOn(tf, n, tl, originals, fbDocs, maxDf)
       .select(col("q_id"), col("doc_id").as("__id"))
-    val tok = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else text.toLowerCase.split(" ", -1).iterator.map(t => (id, t))
-      }
-      .toDF("__id", "term")
-    val tf = tok.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
     val dfcAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfc = maxDf.map(m => dfcAll.filter(col("df") <= m)).getOrElse(dfcAll)
-    val n = df.count()
     val fb = tf.join(first, Seq("__id"))
       .join(broadcast(dfc), Seq("term"))
       .join(originals, Seq("q_id", "term"), "left_anti")
@@ -1240,6 +1264,26 @@ object TextAnalysis {
       .filter(col("__r") <= fbTerms)
       .select("q_id", "term")
     originals.unionByName(picked).distinct()
+  }
+
+  /** PRF-expanded BM25 in ONE composed plan (r15 optimization): expansion
+    * ([[prfExpandTerms]]) and the expanded second pass ([[bm25TopKTerms]])
+    * over a SINGLE shared postings frame and a SINGLE eager scalar pass.
+    * Row-identical to the two-call composition by construction (the cores
+    * are the same code; LlmSpec pins it) — the two-call form pays the
+    * corpus tokenize+aggregate three times and the scalar scan twice,
+    * because separately built Dataset.flatMap plans cannot canonicalize
+    * equal (capturing adaptor lambdas), so exchange reuse only fires
+    * within this shared-object composition. */
+  def bm25PrfTopK(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      topK: Int = 10, fbDocs: Int = 5, fbTerms: Int = 5,
+      maxDf: Option[Long] = None): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val (n, tl) = corpusScalars(df, textCol)
+    val originals = queryTermRows(queries, qIdCol, qTextCol)
+    val expanded = prfTermsOn(tf, n, tl, originals, fbDocs, fbTerms, maxDf)
+    bm25ScoredOn(tf, n, tl, expanded, topK, maxDf)
   }
 }
 

@@ -896,15 +896,18 @@ object LlmQueries {
     // PRF-expanded BM25 (round 15): first-pass top-5 docs feed tf·idf
     // term feedback, the top-5 NEW terms union the originals, and the
     // second pass ranks with the expanded term table — the Rocchio/RM3
-    // loop, every stage in integer micro-nats
+    // loop, every stage in integer micro-nats. r15 optimization: the
+    // shared-postings composition (one tokenize+aggregate subtree, one
+    // scalar pass) replaces the prfExpandTerms → bm25TopKTerms two-call
+    // form — row-identical by construction (LlmSpec pins it), oracle
+    // unchanged
     "q_text_bm25_prf" -> ((s, dir) => {
       val d = docs(s, dir)
       val q = d.filter(col("doc_id") % 170 === 0)
         .select(col("doc_id").as("q_id"),
           expr("array_join(slice(split(text, ' '), 3, 10), ' ')").as("q_text"))
-      val terms = TextAnalysis.prfExpandTerms(d, "doc_id", "text", q, "q_id", "q_text",
-        fbDocs = 5, fbTerms = 5)
-      TextAnalysis.bm25TopKTerms(d, "doc_id", "text", terms, topK = 5)
+      TextAnalysis.bm25PrfTopK(d, "doc_id", "text", q, "q_id", "q_text",
+          topK = 5, fbDocs = 5, fbTerms = 5)
         .orderBy("q_id", "rank")
     }),
 

@@ -514,6 +514,18 @@ class LlmSpec extends SparkSpec {
       fbDocs = 3, fbTerms = 0)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(zero == Set((9L, "anchor")))
+    // r15 optimization pin: the one-plan shared-postings composition is
+    // row-identical to the prfExpandTerms → bm25TopKTerms two-call form
+    val composed = TextAnalysis.bm25TopKTerms(d, "doc_id", "text",
+        TextAnalysis.prfExpandTerms(d, "doc_id", "text", q, "q_id", "q_text",
+          fbDocs = 3, fbTerms = 2), 5)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val onePlan = TextAnalysis.bm25PrfTopK(d, "doc_id", "text", q, "q_id", "q_text",
+        topK = 5, fbDocs = 3, fbTerms = 2)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(onePlan == composed, "bm25PrfTopK must equal the two-call composition")
   }
 
   test("nb quality filter: separates pos-like from neg-like, score in range, high score keeps") {
