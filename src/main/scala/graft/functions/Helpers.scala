@@ -36,8 +36,11 @@ object Helpers {
       com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
     else if (size == 0) Array.emptyByteArray
     else {
+      // recycling pool: reuse working buffers across streams on a thread
+      // instead of a native alloc/free per call (see Archives.zstdAll)
       val in = new com.github.luben.zstd.ZstdInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+        new java.io.ByteArrayInputStream(bytes),
+        com.github.luben.zstd.RecyclingBufferPool.INSTANCE)
       try in.readAllBytes() finally in.close()
     }
   }

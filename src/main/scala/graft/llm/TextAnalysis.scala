@@ -50,18 +50,22 @@ object TextAnalysis {
       reference: DataFrame, refTextCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val refToks = reference.select(col(refTextCol)).as[String]
-      .flatMap(t => if (t == null) Iterator.empty else t.toLowerCase.split(" ", -1).iterator)
-    val uni = refToks.groupByKey(identity).count().collect().toMap
-    val bi = reference.select(col(refTextCol)).as[String]
+    // r15 optimization: both gram orders counted in ONE reference pass
+    // (one scan + one shuffle + one collect instead of two of each);
+    // counts are bit-identical, the (order, gram) key just splits back
+    // into the two maps the scorer broadcasts
+    val counts = reference.select(col(refTextCol)).as[String]
       .flatMap { t =>
         if (t == null) Iterator.empty
         else {
-        val w = t.toLowerCase.split(" ", -1)
-        (0 until w.length - 1).iterator.map(i => w(i) + " " + w(i + 1))
+          val w = t.toLowerCase.split(" ", -1)
+          w.iterator.map((1, _)) ++
+            (0 until w.length - 1).iterator.map(i => (2, w(i) + " " + w(i + 1)))
         }
       }
-      .groupByKey(identity).count().collect().toMap
+      .groupByKey(identity).count().collect()
+    val uni = counts.collect { case ((1, g), c) => g -> c }.toMap
+    val bi = counts.collect { case ((2, g), c) => g -> c }.toMap
     val vocab = uni.size.toLong
     // an empty vocab would make every term ln(0) = -Inf → Long.MinValue →
     // wrap-around garbage sums; fail fast instead
@@ -107,19 +111,24 @@ object TextAnalysis {
       reference: DataFrame, refTextCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab = reference.select(col(refTextCol)).as[String]
-      .flatMap(t => if (t == null) Iterator.empty else t.toLowerCase.split(" ", -1).iterator)
-      .distinct().count()
-    require(vocab > 0, "LM reference corpus is empty — nothing to train on")
-    val tri = reference.select(col(refTextCol)).as[String]
+    // r15 optimization: vocabulary size and trigram counts in ONE
+    // reference pass (the separate distinct().count() re-scanned and
+    // re-shuffled the reference just for V); values are identical —
+    // V = #distinct unigram keys, tri = the order-3 slice
+    val counts = reference.select(col(refTextCol)).as[String]
       .flatMap { t =>
         if (t == null) Iterator.empty
         else {
-        val w = t.toLowerCase.split(" ", -1)
-        (0 until w.length - 2).iterator.map(i => w(i) + " " + w(i + 1) + " " + w(i + 2))
+          val w = t.toLowerCase.split(" ", -1)
+          w.iterator.map((1, _)) ++
+            (0 until w.length - 2).iterator.map(i =>
+              (3, w(i) + " " + w(i + 1) + " " + w(i + 2)))
         }
       }
-      .groupByKey(identity).count().collect().toMap
+      .groupByKey(identity).count().collect()
+    val vocab = counts.count(_._1._1 == 1).toLong
+    require(vocab > 0, "LM reference corpus is empty — nothing to train on")
+    val tri = counts.collect { case ((3, g), c) => g -> c }.toMap
     val ctx: Map[String, Long] = tri.groupMapReduce { case (k, _) =>
       k.substring(0, k.lastIndexOf(' '))
     }(_._2)(_ + _)
@@ -180,20 +189,24 @@ object TextAnalysis {
     import spark.implicits._
     def toks(t: String): Array[String] =
       if (t == null) Array.empty else t.toLowerCase.split(" ", -1)
-    val refToks = reference.select(col(refTextCol)).as[String]
-      .flatMap(toks(_).iterator)
-    val uni = refToks.groupByKey(identity).count().collect().toMap
+    // r15 optimization: all three gram orders counted in ONE reference
+    // pass (one scan + one shuffle + one collect, where three sequential
+    // grams(n) actions each re-scanned and re-shuffled the reference).
+    // Same counts bit-for-bit — the (order, gram) key splits back into
+    // the three maps the scorer broadcasts.
+    val counts = reference.select(col(refTextCol)).as[String]
+      .flatMap { t =>
+        val w = toks(t)
+        (1 to 3).iterator.flatMap(n =>
+          (0 to w.length - n).iterator.map(i => (n, w.slice(i, i + n).mkString(" "))))
+      }
+      .groupByKey(identity).count().collect()
+    val uni = counts.collect { case ((1, g), c) => g -> c }.toMap
     val vocab = uni.size.toLong
     require(vocab > 0, "LM reference corpus is empty — nothing to train on")
     val nTok = uni.valuesIterator.sum
-    def grams(n: Int) = reference.select(col(refTextCol)).as[String]
-      .flatMap { t =>
-        val w = toks(t)
-        (0 to w.length - n).iterator.map(i => w.slice(i, i + n).mkString(" "))
-      }
-      .groupByKey(identity).count().collect().toMap
-    val bi = grams(2)
-    val tri = grams(3)
+    val bi = counts.collect { case ((2, g), c) => g -> c }.toMap
+    val tri = counts.collect { case ((3, g), c) => g -> c }.toMap
     def prefixCounts(m: Map[String, Long]): Map[String, Long] =
       m.groupMapReduce { case (k, _) => k.substring(0, k.lastIndexOf(' ')) }(_._2)(_ + _)
     val biCtx = prefixCounts(bi)

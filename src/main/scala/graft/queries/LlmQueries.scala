@@ -1427,7 +1427,7 @@ object LlmQueries {
     "q_multimodal_mp3_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(mp3Media _)
+      val media = mediaIds(s, dir).map(cachedMedia("mp3Media")(mp3Media _))
       Multimodal.decodeAudioMeta(media).toDF()
         .select("doc_id", "byte_len", "sample_rate", "channels", "n_samples", "duration_ms")
         .orderBy("doc_id")
@@ -1441,7 +1441,7 @@ object LlmQueries {
     "q_multimodal_mp4_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(mp4Media _)
+      val media = mediaIds(s, dir).map(cachedMedia("mp4Media")(mp4Media _))
       Containers.decodeMp4Meta(media).toDF()
         .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks",
           "n_samples", "codec")
@@ -1457,7 +1457,7 @@ object LlmQueries {
     "q_multimodal_audio_tags" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(tagMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("tagMedia")(tagMedia _))
       Multimodal.audioTags(media).toDF()
         .select("doc_id", "title", "artist", "album")
         .orderBy("doc_id")
@@ -1469,7 +1469,7 @@ object LlmQueries {
     "q_multimodal_avi_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(aviMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("aviMedia")(aviMedia _))
       Containers.decodeAviMeta(media).toDF()
         .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks",
           "n_samples", "codec")
@@ -1482,7 +1482,7 @@ object LlmQueries {
     "q_multimodal_ogg_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(oggMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("oggMedia")(oggMedia _))
       Containers.decodeOggMeta(media).toDF()
         .select("doc_id", "byte_len", "codec", "sample_rate", "channels", "n_samples", "n_pages")
         .orderBy("doc_id")
@@ -1496,7 +1496,7 @@ object LlmQueries {
     "q_multimodal_webp_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(webpMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("webpMedia")(webpMedia _))
       Containers.decodeWebpMeta(media).toDF()
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
           col("format"), col("has_alpha").cast("int").as("has_alpha"), col("n_frames"))
@@ -1509,7 +1509,7 @@ object LlmQueries {
     "q_multimodal_avif_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(avifMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("avifMedia")(avifMedia _))
       Containers.decodeAvifMeta(media).toDF()
         .select("doc_id", "byte_len", "width", "height", "brand", "n_props")
         .orderBy("doc_id")
@@ -1522,7 +1522,7 @@ object LlmQueries {
     "q_multimodal_mkv_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(mkvMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("mkvMedia")(mkvMedia _))
       Containers.decodeMkvMeta(media).toDF()
         .select("doc_id", "byte_len", "width", "height", "duration_ms", "n_tracks",
           "n_samples", "codec")
@@ -1537,7 +1537,7 @@ object LlmQueries {
     "q_warc_records" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(warcMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("warcMedia")(warcMedia _))
       Warc.readWarc(media)
         .filter(_.warc_type == "response").toDF()
         .select("doc_id", "rec_idx", "target_uri", "http_status", "content_length",
@@ -1557,7 +1557,7 @@ object LlmQueries {
     "q_warc_charset" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(warcCharsetMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("warcCharsetMedia")(warcCharsetMedia _))
       Warc.readWarc(media)
         .filter(_.warc_type == "response").toDF()
         .select("doc_id", "rec_idx", "charset", "payload")
@@ -1574,7 +1574,7 @@ object LlmQueries {
     "q_warc_http_enc" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(warcHttpEncMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("warcHttpEncMedia")(warcHttpEncMedia _))
       Warc.readWarc(media)
         .filter(_.warc_type == "response").toDF()
         .select("doc_id", "rec_idx", "charset", "payload")
@@ -1660,12 +1660,14 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val sm = mediaIds(s, dir).map { id =>
-        val entries = (0 until 4).map(i =>
-          (s"http://h${id % 7}.net/page$i", "", None: Option[Double]))
-        Multimodal.Media(id,
-          graft.llm.Crawl.syntheticSitemap(index = false, entries,
-            gzipped = id % 3 == 0),
-          "application/xml")
+        cachedFixture("frontierSm", id) {
+          val entries = (0 until 4).map(i =>
+            (s"http://h${id % 7}.net/page$i", "", None: Option[Double]))
+          Multimodal.Media(id,
+            graft.llm.Crawl.syntheticSitemap(index = false, entries,
+              gzipped = id % 3 == 0),
+            "application/xml")
+        }
       }
       val frontier = graft.llm.Crawl.sitemapUrls(sm)
         .map(r => (r.doc_id, r.url_idx, graft.llm.Crawl.surt(r.loc)))
@@ -1687,7 +1689,7 @@ object LlmQueries {
     "q_warc_html" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(warcMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("warcMedia")(warcMedia _))
       Warc.htmlTextRecords(media)
         .toDF("doc_id", "rec_idx", "text")
         .orderBy("doc_id", "rec_idx")
@@ -1700,7 +1702,7 @@ object LlmQueries {
     "q_pipeline_warc" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(warcMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("warcMedia")(warcMedia _))
       val txt = Warc.htmlTextRecords(media).toDF("doc_id", "rec_idx", "text")
       TextAnalysis.quality(txt, col("text"))
         .select(col("doc_id"), col("rec_idx"), col("n_chars"), col("n_words"),
@@ -1714,7 +1716,7 @@ object LlmQueries {
     "q_tar_entries" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(tarMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("tarMedia")(tarMedia _))
       Archives.tarEntries(media).toDF()
         .select("doc_id", "entry_idx", "name", "type_flag", "size", "data_offset",
           "content")
@@ -1728,7 +1730,7 @@ object LlmQueries {
     "q_webdataset_samples" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(wdsMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("wdsMedia")(wdsMedia _))
       Archives.webdatasetSamples(media)
         .map(w => (w.doc_id, w.key, w.n_parts,
           new String(w.parts("txt"), "UTF-8"), w.parts("jpg").length.toLong))
@@ -1742,7 +1744,7 @@ object LlmQueries {
     "q_image_stats" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(dhashMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("dhashMedia")(dhashMedia _))
       ImageStats.stats(media).toDF()
         .select("doc_id", "n_px", "mean_luma", "min_luma", "max_luma", "dark",
           "bright", "edges")
@@ -1756,7 +1758,7 @@ object LlmQueries {
     "q_video_scenes" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(videoSceneMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("videoSceneMedia")(videoSceneMedia _))
       VideoStats.sceneCuts(media).toDF()
         .select("doc_id", "n_frames", "n_cuts", "sum_hamming")
         .orderBy("doc_id")
@@ -1768,7 +1770,7 @@ object LlmQueries {
     "q_audio_stats" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(audioStatsMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("audioStatsMedia")(audioStatsMedia _))
       AudioStats.stats(media).toDF()
         .select("doc_id", "n_samples", "peak", "clipped", "silence_windows",
           "mean_abs", "zero_crossings")
@@ -1792,21 +1794,23 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = mediaIds(s, dir).map { id =>
-        val frames = (4 + id % 3).toInt
-        val samples = new Array[Int](frames * 64)
-        var n = 0
-        while (n < frames) {
-          val k = (1 + (id + 3 * n) % 33).toInt
-          val a = (50 + 10 * ((id + n) % 5)).toInt
-          var j = 0
-          while (j < 64) {
-            samples(n * 64 + j) =
-              if (java.lang.Integer.bitCount(k & j) % 2 == 0) a else -a
-            j += 1
+        cachedFixture("audioSpectral", id) {
+          val frames = (4 + id % 3).toInt
+          val samples = new Array[Int](frames * 64)
+          var n = 0
+          while (n < frames) {
+            val k = (1 + (id + 3 * n) % 33).toInt
+            val a = (50 + 10 * ((id + n) % 5)).toInt
+            var j = 0
+            while (j < 64) {
+              samples(n * 64 + j) =
+                if (java.lang.Integer.bitCount(k & j) % 2 == 0) a else -a
+              j += 1
+            }
+            n += 1
           }
-          n += 1
+          Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
         }
-        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
       }
       AudioStats.spectralFingerprint(media).toDF()
         .select("doc_id", "frame_idx", "hash32")
@@ -1817,14 +1821,16 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = mediaIds(s, dir).map { id =>
-        val nf = (12 + id % 5).toInt
-        val samples = Array.tabulate(nf * 160) { j =>
-          val f = j / 160
-          val inactive = ((f + id) % 7 < 2) || ((f + id) % 5 == 3)
-          if (inactive) ((id % 3) * 30).toInt
-          else (300 + 50 * ((f + id) % 3)).toInt
+        cachedFixture("audioVad", id) {
+          val nf = (12 + id % 5).toInt
+          val samples = Array.tabulate(nf * 160) { j =>
+            val f = j / 160
+            val inactive = ((f + id) % 7 < 2) || ((f + id) % 5 == 3)
+            if (inactive) ((id % 3) * 30).toInt
+            else (300 + 50 * ((f + id) % 3)).toInt
+          }
+          Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
         }
-        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
       }
       AudioStats.vadSegments(media, frameLen = 160, energyThresh = 200, mergeGap = 1)
         .toDF()
@@ -1842,14 +1848,16 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       def media = mediaIds(s, dir).map { id =>
-        val nf = (12 + id % 5).toInt
-        val samples = Array.tabulate(nf * 160) { j =>
-          val f = j / 160
-          val inactive = ((f + id) % 7 < 2) || ((f + id) % 5 == 3)
-          if (inactive) ((id % 3) * 30).toInt
-          else (300 + 50 * ((f + id) % 3)).toInt
+        cachedFixture("audioVad", id) {
+          val nf = (12 + id % 5).toInt
+          val samples = Array.tabulate(nf * 160) { j =>
+            val f = j / 160
+            val inactive = ((f + id) % 7 < 2) || ((f + id) % 5 == 3)
+            if (inactive) ((id % 3) * 30).toInt
+            else (300 + 50 * ((f + id) % 3)).toInt
+          }
+          Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
         }
-        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
       }
       val segs = AudioStats.vadSegments(media, frameLen = 160,
           energyThresh = 200, mergeGap = 1).toDF()
@@ -1874,13 +1882,15 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = mediaIds(s, dir).map { id =>
-        val nf = (20 + id % 7).toInt
-        val samples = Array.tabulate(nf * 160) { j =>
-          val f = j / 160
-          val inactive = ((f + id) % 9 < 2) || ((f + id) % 5 == 3)
-          if (inactive) 0 else 300
+        cachedFixture("audioChunks", id) {
+          val nf = (20 + id % 7).toInt
+          val samples = Array.tabulate(nf * 160) { j =>
+            val f = j / 160
+            val inactive = ((f + id) % 9 < 2) || ((f + id) % 5 == 3)
+            if (inactive) 0 else 300
+          }
+          Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
         }
-        Multimodal.Media(id, Multimodal.syntheticWavPcm(8000, samples), "audio/wav")
       }
       AudioStats.asrChunks(media, frameLen = 160, energyThresh = 200,
           gapSplit = 1, maxFrames = 4)
@@ -1897,7 +1907,7 @@ object LlmQueries {
     "q_subtitle_cues" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(subMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("subMedia")(subMedia _))
       Subtitles.cues(media)
         .map(c => (c.doc_id, c.cue_idx, c.start_ms, c.end_ms, Warc.htmlText(c.text)))
         .toDF("doc_id", "cue_idx", "start_ms", "end_ms", "text")
@@ -1912,7 +1922,7 @@ object LlmQueries {
     "q_pipeline_wds_media" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(wdsHashMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("wdsHashMedia")(wdsHashMedia _))
       val imgs = Archives.webdatasetSamples(media)
         .map { w =>
           val k = w.key.substring(w.key.lastIndexOf('_') + 1).toLong
@@ -1934,7 +1944,7 @@ object LlmQueries {
     "q_pipeline_wds_curation" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(wdsHashMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("wdsHashMedia")(wdsHashMedia _))
       Archives.webdatasetSamples(media)
         .map { w =>
           val k = w.key.substring(w.key.lastIndexOf('_') + 1).toInt
@@ -1955,7 +1965,7 @@ object LlmQueries {
     "q_pdf_meta" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(pdfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("pdfMedia")(pdfMedia _))
       Pdf.pdfMeta(media).toDF()
         .select(col("doc_id"), col("version"), col("n_objects"), col("n_pages"),
           col("n_streams"), col("encrypted").cast("int").as("encrypted"))
@@ -1974,7 +1984,7 @@ object LlmQueries {
     "q_pdf_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(pdfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("pdfMedia")(pdfMedia _))
       Pdf.pdfPages(media).toDF()
         .select("doc_id", "page_idx", "n_shows", "text")
         .orderBy("doc_id", "page_idx")
@@ -1992,7 +2002,7 @@ object LlmQueries {
     "q_pdf_text_cid" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(cidPdfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("cidPdfMedia")(cidPdfMedia _))
       Pdf.pdfPages(media).toDF()
         .select("doc_id", "page_idx", "n_shows", "text")
         .orderBy("doc_id", "page_idx")
@@ -2006,7 +2016,7 @@ object LlmQueries {
     "q_pdf_text_objstm" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(objStmPdfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("objStmPdfMedia")(objStmPdfMedia _))
       Pdf.pdfPages(media).toDF()
         .select("doc_id", "page_idx", "n_shows", "text")
         .orderBy("doc_id", "page_idx")
@@ -2020,7 +2030,7 @@ object LlmQueries {
     "q_pdf_text_filters" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(filterPdfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("filterPdfMedia")(filterPdfMedia _))
       Pdf.pdfPages(media).toDF()
         .select("doc_id", "page_idx", "n_shows", "text")
         .orderBy("doc_id", "page_idx")
@@ -2035,7 +2045,7 @@ object LlmQueries {
     "q_pipeline_pdf_cid" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(cidPdfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("cidPdfMedia")(cidPdfMedia _))
       val txt = Pdf.pdfPages(media).toDF()
         .select(col("doc_id"), col("page_idx"),
           translate(col("text"), "\n", " ").as("text"))
@@ -2052,7 +2062,7 @@ object LlmQueries {
     "q_pipeline_pdf" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(pdfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("pdfMedia")(pdfMedia _))
       val txt = Pdf.pdfPages(media).toDF()
         .select(col("doc_id"), col("page_idx"),
           translate(col("text"), "\n", " ").as("text"))
@@ -2070,7 +2080,7 @@ object LlmQueries {
     "q_docx_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(docxMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("docxMedia")(docxMedia _))
       Docs.docxTexts(media).toDF()
         .select("doc_id", "text")
         .orderBy("doc_id")
@@ -2084,7 +2094,7 @@ object LlmQueries {
     "q_epub_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(epubMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("epubMedia")(epubMedia _))
       Docs.epubTexts(media).toDF()
         .select("doc_id", "part_idx", "part", "text")
         .orderBy("doc_id", "part_idx")
@@ -2097,7 +2107,7 @@ object LlmQueries {
     "q_ipynb_cells" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val df = mediaIds(s, dir).map(id => (id, ipynbJson(id))).toDF("doc_id", "json")
+      val df = mediaIds(s, dir).map(id => (id, cachedFixture("ipynb", id)(ipynbJson(id)))).toDF("doc_id", "json")
       Notebooks.cells(df, "doc_id", col("json"))
         .select("doc_id", "cell_idx", "cell_type", "source", "n_chars")
         .orderBy("doc_id", "cell_idx")
@@ -2109,7 +2119,7 @@ object LlmQueries {
     "q_ipynb_code" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val df = mediaIds(s, dir).map(id => (id, ipynbJson(id))).toDF("doc_id", "json")
+      val df = mediaIds(s, dir).map(id => (id, cachedFixture("ipynb", id)(ipynbJson(id)))).toDF("doc_id", "json")
       Notebooks.codeText(df, "doc_id", col("json"))
         .select("doc_id", "code")
         .orderBy("doc_id")
@@ -2123,7 +2133,7 @@ object LlmQueries {
     "q_latex_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val df = mediaIds(s, dir).map(id => (id, latexSrc(id))).toDF("doc_id", "src")
+      val df = mediaIds(s, dir).map(id => (id, cachedFixture("latex", id)(latexSrc(id)))).toDF("doc_id", "src")
       Latex.latexTexts(df, "doc_id", "src")
         .orderBy("doc_id")
     }),
@@ -2135,7 +2145,7 @@ object LlmQueries {
     "q_mail_messages" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(mboxMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("mboxMedia")(mboxMedia _))
       Mail.readMbox(media).toDF()
         .select("doc_id", "msg_idx", "from", "to", "subject", "n_parts")
         .orderBy("doc_id", "msg_idx")
@@ -2148,7 +2158,7 @@ object LlmQueries {
     "q_mail_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(mboxMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("mboxMedia")(mboxMedia _))
       Mail.readMbox(media).toDF()
         .select("doc_id", "msg_idx", "text")
         .orderBy("doc_id", "msg_idx")
@@ -2162,7 +2172,7 @@ object LlmQueries {
     "q_bibtex_entries" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(bibMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("bibMedia")(bibMedia _))
       Bibtex.bibEntries(media).toDF()
         .select("doc_id", "entry_idx", "entry_type", "cite_key", "title", "author", "year")
         .orderBy("doc_id", "entry_idx")
@@ -2174,7 +2184,7 @@ object LlmQueries {
     "q_robots_rules" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(robotsMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("robotsMedia")(robotsMedia _))
       Crawl.robotsRules(media).toDF()
         .select("doc_id", "group_idx", "agent", "rule", "pattern")
         .orderBy("doc_id", "group_idx", "agent", "rule", "pattern")
@@ -2188,7 +2198,7 @@ object LlmQueries {
     "q_robots_decision" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(robotsMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("robotsMedia")(robotsMedia _))
       Crawl.robotsDecisions(media, "GruntBot/1.0", id => Seq(
           s"/private$id/x", s"/private$id/ok/y", s"/a$id.tmp",
           s"/a$id.tmpX", s"/all$id/z"))
@@ -2206,7 +2216,7 @@ object LlmQueries {
     "q_code_strip" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(codeMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("codeMedia")(codeMedia _))
       Code.strippedCode(media, fam => fam)
         .toDF("doc_id", "family", "code")
         .orderBy("doc_id")
@@ -2219,7 +2229,7 @@ object LlmQueries {
     "q_pipeline_code" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(codePairMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("codePairMedia")(codePairMedia _))
       Code.strippedCode(media, fam => fam)
         .toDF("doc_id", "family", "code")
         .groupBy("code")
@@ -2233,7 +2243,7 @@ object LlmQueries {
     "q_code_license" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(licenseMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("licenseMedia")(licenseMedia _))
       Code.licenses(media)
         .toDF("doc_id", "license")
         .orderBy("doc_id")
@@ -2245,7 +2255,7 @@ object LlmQueries {
     "q_sitemap_urls" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(sitemapMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("sitemapMedia")(sitemapMedia _))
       Crawl.sitemapUrls(media).toDF()
         .select("doc_id", "url_idx", "loc", "lastmod", "changefreq", "priority",
           "is_index")
@@ -2259,7 +2269,7 @@ object LlmQueries {
     "q_feed_items" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(feedMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("feedMedia")(feedMedia _))
       Feeds.feedItems(media).toDF()
         .select("doc_id", "item_idx", "fmt", "title", "link", "text")
         .orderBy("doc_id", "item_idx")
@@ -2272,7 +2282,7 @@ object LlmQueries {
     "q_rtf_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(rtfMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("rtfMedia")(rtfMedia _))
       Rtf.rtfTexts(media)
         .toDF("doc_id", "text")
         .orderBy("doc_id")
@@ -2285,7 +2295,7 @@ object LlmQueries {
     "q_warc_wet" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(wetMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("wetMedia")(wetMedia _))
       Warc.wetTexts(media)
         .toDF("doc_id", "rec_idx", "uri", "text")
         .orderBy("doc_id", "rec_idx")
@@ -2299,7 +2309,7 @@ object LlmQueries {
     "q_odt_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(odtMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("odtMedia")(odtMedia _))
       Docs.odtTexts(media).toDF()
         .select("doc_id", "text")
         .orderBy("doc_id")
@@ -2313,7 +2323,7 @@ object LlmQueries {
     "q_doc_router" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(routerMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("routerMedia")(routerMedia _))
       Docs.routedTexts(media)
         .toDF("doc_id", "format", "text")
         .orderBy("doc_id")
@@ -2326,7 +2336,7 @@ object LlmQueries {
     "q_markdown_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val df = mediaIds(s, dir).map(id => (id, mdSrc(id))).toDF("doc_id", "src")
+      val df = mediaIds(s, dir).map(id => (id, cachedFixture("md", id)(mdSrc(id)))).toDF("doc_id", "src")
       Markdown.mdTexts(df, "doc_id", "src")
         .orderBy("doc_id")
     }),
@@ -2422,7 +2432,7 @@ object LlmQueries {
     "q_wiki_text" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(wikitextMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("wikitextMedia")(wikitextMedia _))
       Wiki.wikiTexts(media)
         .toDF("doc_id", "text")
         .orderBy("doc_id")
@@ -2436,7 +2446,7 @@ object LlmQueries {
     "q_pipeline_wiki" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(wikiPairMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("wikiPairMedia")(wikiPairMedia _))
       Wiki.wikiPages(media)
         .filter(p => p.ns == 0 && p.redirect.isEmpty)
         .map(p => (p.doc_id, Wiki.wikitextToText(p.text)))
@@ -2455,7 +2465,7 @@ object LlmQueries {
     "q_html_blocks" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(boilerMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("boilerMedia")(boilerMedia _))
       graft.llm.Boilerplate.htmlBlocks(media).toDF()
         .select(col("doc_id"), col("block_idx"), col("text"), col("n_chars"),
           col("link_chars"), col("ctx_dropped").cast("int").as("ctx_dropped"),
@@ -2469,7 +2479,7 @@ object LlmQueries {
     "q_html_main_content" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(boilerMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("boilerMedia")(boilerMedia _))
       graft.llm.Boilerplate.mainContent(media)
         .toDF("doc_id", "text")
         .orderBy("doc_id")
@@ -2483,7 +2493,7 @@ object LlmQueries {
     "q_pipeline_provenance" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(provenanceCdxMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("provenanceCdxMedia")(provenanceCdxMedia _))
       val policy = Crawl.parseRobots(
         "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n")
       Crawl.cdxRecords(media)
@@ -2550,7 +2560,7 @@ object LlmQueries {
     "q_html_tables" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(tableMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("tableMedia")(tableMedia _))
       graft.llm.Tables.tableCells(media).toDF()
         .select(col("doc_id"), col("table_idx"), col("row_idx"), col("col_idx"),
           col("is_header").cast("int").as("is_header"), col("text"))
@@ -2586,7 +2596,7 @@ object LlmQueries {
     "q_cdx_records" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(cdxMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("cdxMedia")(cdxMedia _))
       Crawl.cdxRecords(media).toDF()
         .select(col("doc_id"), col("rec_idx"), col("urlkey"), col("ts"),
           get_json_object(col("json"), "$.status").cast("int").as("status"),
@@ -2600,7 +2610,7 @@ object LlmQueries {
     "q_diff_hunks" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(diffMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("diffMedia")(diffMedia _))
       graft.llm.Diff.diffHunks(media).toDF()
         .select("doc_id", "file_path", "hunk_idx", "old_start", "old_len",
           "new_start", "new_len", "added", "removed")
@@ -2614,7 +2624,7 @@ object LlmQueries {
     "q_diff_apply" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(diffApplyMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("diffApplyMedia")(diffApplyMedia _))
       val orig = (1 to 8).map(i => s"l$i").mkString("\n")
       graft.llm.Diff.applyPatches(media, Map("a.txt" -> orig))
         .toDF("doc_id", "file_path", "ok", "patched")
@@ -2673,7 +2683,7 @@ object LlmQueries {
     "q_pipeline_corpus" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(corpusShardMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("corpusShardMedia")(corpusShardMedia _))
       val recs = Archives.jsonlLines(media).toDF()
         .select((col("doc_id") * 3 + col("line_idx")).as("rec_id"),
           get_json_object(col("line"), "$.text").as("text"))
@@ -2693,7 +2703,7 @@ object LlmQueries {
     "q_stackexchange_posts" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(seMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("seMedia")(seMedia _))
       graft.llm.StackExchange.posts(media).toDF()
         .select("doc_id", "row_idx", "post_id", "post_type", "score",
           "title", "tags", "body_text")
@@ -2709,7 +2719,7 @@ object LlmQueries {
     "q_pipeline_crawl" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(warcPairMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("warcPairMedia")(warcPairMedia _))
       Warc.readWarc(media)
         .filter(r => r.warc_type == "response" && r.http_status == 200)
         .map(r => (r.doc_id, graft.llm.Boilerplate.mainText(r.payload)))
@@ -2774,7 +2784,7 @@ object LlmQueries {
     "q_zip_entries" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(zipMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("zipMedia")(zipMedia _))
       Archives.zipEntries(media).toDF()
         .select(col("doc_id"), col("entry_idx"), col("name"), col("method"),
           col("uncomp_len"), col("crc_ok").cast("int").as("crc_ok"), col("content"))
@@ -2790,7 +2800,7 @@ object LlmQueries {
     "q_multimodal_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(dhashMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("dhashMedia")(dhashMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2839,7 +2849,7 @@ object LlmQueries {
     "q_multimodal_png_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(pngMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("pngMedia")(pngMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2855,7 +2865,7 @@ object LlmQueries {
     "q_multimodal_qoi_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(qoiMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("qoiMedia")(qoiMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2870,7 +2880,7 @@ object LlmQueries {
     "q_multimodal_webp_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(webpLosslessMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("webpLosslessMedia")(webpLosslessMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2885,7 +2895,7 @@ object LlmQueries {
     "q_multimodal_gif_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(gifMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("gifMedia")(gifMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2902,7 +2912,7 @@ object LlmQueries {
     "q_multimodal_jpeg_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(jpegMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("jpegMedia")(jpegMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2918,7 +2928,7 @@ object LlmQueries {
     "q_multimodal_exif_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(exifMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("exifMedia")(exifMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2932,7 +2942,7 @@ object LlmQueries {
     "q_multimodal_bmp8_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(bmp8Media _)
+      val media = mediaIds(s, dir).map(cachedMedia("bmp8Media")(bmp8Media _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2947,7 +2957,7 @@ object LlmQueries {
     "q_multimodal_jpeg_prog_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(jpegProgMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("jpegProgMedia")(jpegProgMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2962,7 +2972,7 @@ object LlmQueries {
     "q_multimodal_jpeg_prog420_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(jpegProg420Media _)
+      val media = mediaIds(s, dir).map(cachedMedia("jpegProg420Media")(jpegProg420Media _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2979,7 +2989,7 @@ object LlmQueries {
     "q_multimodal_tiff_dhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(tiffMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("tiffMedia")(tiffMedia _))
       Multimodal.imageDHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
@@ -2999,7 +3009,7 @@ object LlmQueries {
       import spark.implicits._
       val media = mediaIds(s, dir)
         .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
-        .map(crossContainerMedia _)
+        .map(cachedMedia("crossContainerMedia")(crossContainerMedia _))
       Multimodal.imageNearDupPairs(media, maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -3016,7 +3026,7 @@ object LlmQueries {
       // ~500 rendered docs at ANY sf, so pair volume (quadratic within
       // the 40 base-pattern groups) stays bounded as the table grows
       val media = mediaIds(s, dir)
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(dhashMedia _)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(cachedMedia("dhashMedia")(dhashMedia _))
       Multimodal.imageNearDupPairs(media, maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -3035,7 +3045,7 @@ object LlmQueries {
       import spark.implicits._
       val media = mediaIds(s, dir)
         .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
-        .map(whashGroupMedia _)
+        .map(cachedMedia("whashGroupMedia")(whashGroupMedia _))
       Multimodal.imageNearDupPairsW(media, maxHamming = 1)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -3051,7 +3061,7 @@ object LlmQueries {
       val ids = docs(s, dir).select(col("doc_id"))
         .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500)
       val media = mediaIds(s, dir)
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(dhashMedia _)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(cachedMedia("dhashMedia")(dhashMedia _))
       val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 2)
         .select("id_a", "id_b")
       graft.llm.Dedup.clusters(ids, "doc_id", pairs)
@@ -3067,7 +3077,7 @@ object LlmQueries {
     "q_multimodal_video_hashes" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(videoMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("videoMedia")(videoMedia _))
       Multimodal.videoFrameHashes(media, sampleFrames = 12)
         .select(col("doc_id"), col("frame_idx"),
           shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
@@ -3084,7 +3094,7 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = mediaIds(s, dir)
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(videoMedia _)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(cachedMedia("videoMedia")(videoMedia _))
       Multimodal.videoNearDupPairs(media, sampleFrames = 12, minShared = 8)
         .select(col("id_a"), col("id_b"),
           col("shared_frames").cast("bigint").as("shared_frames"))
@@ -3099,7 +3109,7 @@ object LlmQueries {
     "q_multimodal_video_gif_hashes" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(videoGifMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("videoGifMedia")(videoGifMedia _))
       Multimodal.videoFrameHashes(media, sampleFrames = 12)
         .select(col("doc_id"), col("frame_idx"),
           shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
@@ -3116,7 +3126,7 @@ object LlmQueries {
     "q_multimodal_video_gif_delta_hashes" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(videoGifDeltaMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("videoGifDeltaMedia")(videoGifDeltaMedia _))
       Multimodal.videoFrameHashes(media, sampleFrames = 12)
         .select(col("doc_id"), col("frame_idx"),
           shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
@@ -3133,7 +3143,7 @@ object LlmQueries {
     "q_multimodal_video_webp_hashes" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(webpAnimMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("webpAnimMedia")(webpAnimMedia _))
       Multimodal.videoFrameHashes(media, sampleFrames = 12)
         .select(col("doc_id"), col("frame_idx"),
           shiftrightunsigned(col("dhash"), 32).as("fhash_hi"),
@@ -3151,7 +3161,7 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = mediaIds(s, dir)
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(videoCrossMedia _)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(cachedMedia("videoCrossMedia")(videoCrossMedia _))
       Multimodal.videoNearDupPairs(media, sampleFrames = 12, minShared = 8)
         .select(col("id_a"), col("id_b"),
           col("shared_frames").cast("bigint").as("shared_frames"))
@@ -3166,7 +3176,7 @@ object LlmQueries {
     "q_multimodal_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(audioMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("audioMedia")(audioMedia _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3183,7 +3193,7 @@ object LlmQueries {
     "q_multimodal_audio_cross_encoding" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(audioCrossMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("audioCrossMedia")(audioCrossMedia _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3199,7 +3209,7 @@ object LlmQueries {
     "q_multimodal_flac_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(flacMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("flacMedia")(flacMedia _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3214,7 +3224,7 @@ object LlmQueries {
     "q_multimodal_ulaw_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(ulawMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("ulawMedia")(ulawMedia _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3228,7 +3238,7 @@ object LlmQueries {
     "q_multimodal_alaw_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(alawMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("alawMedia")(alawMedia _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3241,7 +3251,7 @@ object LlmQueries {
     "q_multimodal_adpcm_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(adpcmMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("adpcmMedia")(adpcmMedia _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3257,7 +3267,7 @@ object LlmQueries {
     "q_multimodal_msadpcm_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(msAdpcmMedia _)
+      val media = mediaIds(s, dir).map(cachedMedia("msAdpcmMedia")(msAdpcmMedia _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3271,7 +3281,7 @@ object LlmQueries {
     "q_multimodal_wav_g711_audiohash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val media = mediaIds(s, dir).map(wavG711Media _)
+      val media = mediaIds(s, dir).map(cachedMedia("wavG711Media")(wavG711Media _))
       Multimodal.audioEnvelopeHash(media).toDF()
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("ahash_hi"),
@@ -3286,7 +3296,7 @@ object LlmQueries {
       val spark = s
       import spark.implicits._
       val media = mediaIds(s, dir)
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(audioMedia _)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 3500).map(cachedMedia("audioMedia")(audioMedia _))
       Multimodal.audioNearDupPairs(media, maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -4260,6 +4270,17 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]
   private def cachedFixture[T <: AnyRef](family: String, id: Long)(build: => T): T =
     fixtureBytes.computeIfAbsent((family, id), _ => build).asInstanceOf[T]
+
+  /** The same discipline applied to a WHOLE media fixture at the query
+    * wiring (r15 optimization, extending the round-15 fixture-bytes cache
+    * to every synthesized family): rep 1 builds the bytes, every later rep
+    * in the JVM measures scan + decode only — Bench's min-of-reps then
+    * records the ENGINE, not the fixture encoder (VERDICT r14 task 3's
+    * posture). Media is immutable, construction is deterministic per id,
+    * and the entries are KB-scale synthetic payloads, so the memo is
+    * bounded by |documents| per family. */
+  private def cachedMedia(family: String)(build: Long => Multimodal.Media): Long => Multimodal.Media =
+    id => cachedFixture(family, id)(build(id))
 
   /** The q_wiki_pages fixture (round 13): 1 + id%3 pages; page j has
     * an entity-carrying title on (id+j)%4=0, ns cycling 0/1/14,
