@@ -67,7 +67,7 @@ object Envelope {
     * the nanosAsLong legacy read + an explicit ns→µs conversion. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = TableCache.parquet(spark, s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>
         // integer div — a double division would lose ulps at 1e18 ns

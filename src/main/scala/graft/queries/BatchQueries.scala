@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.Envelope
+import graft.model.{Envelope, TableCache}
 import graft.ops.{AddOns, Functional, Shell}
 
 /** Correctness-gate wiring for the batch half (shell / functional / addons).
@@ -67,14 +67,14 @@ object BatchQueries {
         .orderBy("event_id")),
 
     "q_flatmap" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       Functional.flatmap(docs)(
         explode(split(col("text"), " ")).as("word"), col("doc_id"))
         .orderBy("doc_id", "word")
     }),
 
     "q_foldl" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = TableCache.parquet(s, s"$dir/lineitem.parquet")
       // fold ≡ aggregation: count + exact decimal sum + ts-range
       li.agg(
         count(lit(1)).as("n"),

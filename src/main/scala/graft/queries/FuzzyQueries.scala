@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.model.TableCache
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.Fuzzy
@@ -14,7 +15,7 @@ import graft.llm.Fuzzy
 object FuzzyQueries {
 
   private def customer(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/customer.parquet")
+    TableCache.parquet(s, s"$dir/customer.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // near-identical entity strings one substituted character apart — the
@@ -44,7 +45,7 @@ object FuzzyQueries {
     // documented composition that keeps near-identical corpora from
     // going quadratic in the candidate buckets
     "q_fuzzy_reps" -> ((s, dir) => {
-      val reps = s.read.parquet(s"$dir/part.parquet")
+      val reps = TableCache.parquet(s, s"$dir/part.parquet")
         .groupBy("p_name").agg(min("p_partkey").as("rep_id"))
       Fuzzy.editDistanceJoin(reps, "rep_id", "p_name", maxDist = 2)
         .orderBy("id_a", "id_b")

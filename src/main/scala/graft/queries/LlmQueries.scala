@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.model.TableCache
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{Ann, Archives, AudioStats, Bibtex, Bitext, Code, Containers, Crawl, Dedup, Docs, Feeds, ImageStats, Latex, Mail, Markdown, Multimodal, Notebooks, Packing, Pdf, Pq, Quantize, Retrieval, Rtf, Sampling, Stopwords, Subtitles, TextAnalysis, VideoStats, Warc, Wiki}
@@ -14,7 +15,7 @@ import graft.llm.{Ann, Archives, AudioStats, Bibtex, Bitext, Code, Containers, C
 object LlmQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    TableCache.parquet(s, s"$dir/documents.parquet")
 
   /** The media fixtures' id feed: the slim doc_id column REPARTITIONED
     * across the session's parallelism BEFORE any media bytes are
@@ -312,7 +313,7 @@ object LlmQueries {
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    TableCache.parquet(s, s"$dir/embeddings.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>

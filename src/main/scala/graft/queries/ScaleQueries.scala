@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.Envelope
+import graft.model.{Envelope, TableCache}
 import graft.ops.Skew
 import graft.streams.ZSet
 
@@ -27,7 +27,7 @@ object ScaleQueries {
     // unsalted form, so the gate proves the equivalence)
     "q_salted_sum" -> ((s, dir) =>
       Skew.saltedSum(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        TableCache.parquet(s, s"$dir/lineitem.parquet"),
         Seq("l_returnflag"), dec("l_quantity"), "sum_qty")
         .withColumn("sum_qty", col("sum_qty").cast("double"))
         .orderBy("l_returnflag")),
@@ -43,7 +43,7 @@ object ScaleQueries {
 
     // spark.sql(...) surface: the oracle is the SAME SQL text
     "q_sql_pricing" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+      TableCache.parquet(s, s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
       s.sql(PricingSql)
     }),
 
@@ -51,13 +51,13 @@ object ScaleQueries {
     // groups by raw band slices — see HashOracle)
     "q_dedup_bucket_stats" -> ((s, dir) =>
       graft.llm.Dedup.minhashBucketStats(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+        TableCache.parquet(s, s"$dir/documents.parquet"), "doc_id", "text")),
 
     // Morton/Z-order clustering key over (custkey, orderkey) low bits —
     // the write-time layout lever: range-partition + sort by zval gives
     // every file a tight min-max envelope in BOTH dimensions
     "q_zorder_key" -> ((s, dir) =>
-      s.read.parquet(s"$dir/orders.parquet")
+      TableCache.parquet(s, s"$dir/orders.parquet")
         .select(col("o_orderkey"),
           graft.functions.ZOrder.interleave(
             pmod(col("o_custkey"), lit(4096L)),
@@ -66,7 +66,7 @@ object ScaleQueries {
 
     // Q6-style: one scan, pushed conjunctive predicate, scalar aggregate
     "q6_revenue" -> ((s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
+      TableCache.parquet(s, s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) &&

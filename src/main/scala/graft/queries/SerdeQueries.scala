@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
-import graft.model.Envelope
+import graft.model.{Envelope, TableCache}
 import graft.ops.{Files, Flatten}
 import graft.serde.{AvroSerde, Chunker, Serde}
 
@@ -20,7 +20,7 @@ object SerdeQueries {
 
     // Confluent wire-format roundtrip: wrap → schema-id extract + body decode
     "q_serde_confluent" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       val framed = docs.withColumn("__bin",
         Serde.confluentWrap(Serde.utf8Encode(col("text")), col("doc_id") % 100))
       framed.select(
@@ -35,7 +35,7 @@ object SerdeQueries {
     // from doc_id) which takes precedence; odd doc_ids fall back to the
     // wire-format prefix id. schema_ref is the resolved reference either way.
     "q_serde_confluent_header" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       val hdrType = "array<struct<key:string,value:binary>>"
       val guidBytes = concat(unhex(lit("01")),
         unhex(lpad(hex(col("doc_id")), 32, "0")))
@@ -55,7 +55,7 @@ object SerdeQueries {
 
     // base64 roundtrip (helpers.py:188-215)
     "q_serde_base64" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      TableCache.parquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           Serde.utf8Decode(Serde.b64Decode(Serde.b64Encode(Serde.utf8Encode(col("text"))))).as("text"))
         .orderBy("doc_id")),
@@ -66,7 +66,7 @@ object SerdeQueries {
       val schema =
         """{"type":"record","name":"Doc","fields":[
           |{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       val json = docs.select(col("doc_id"),
         to_json(struct(col("doc_id"), col("text"))).as("j"))
       val avro = AvroSerde.encodeFromJson(json, "doc_id", "j", schema)
@@ -79,7 +79,7 @@ object SerdeQueries {
 
     // chunk counts (chunker.py:25-63)
     "q_chunk" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("text").as("value"))
       Chunker.chunk(docs, 64, Seq("doc_id"))
         .groupBy("doc_id")
@@ -89,7 +89,7 @@ object SerdeQueries {
 
     // chunk → dechunk roundtrip (dechunker.py:15-75): identity
     "q_chunk_roundtrip" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("text").as("value"))
       Chunker.dechunk(Chunker.chunk(docs, 64, Seq("doc_id")))
         .select(col("doc_id"), col("value").as("text"))
@@ -98,7 +98,7 @@ object SerdeQueries {
 
     // csv bridge roundtrip (files.py:15-85)
     "q_file_csv_roundtrip" -> ((s, dir) => {
-      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val nation = TableCache.parquet(s, s"$dir/nation.parquet")
       val path = "/tmp/graft_files/nation_csv"
       Files.topicToFile(nation, path, "csv")
       Files.fileToTopic(s, path, "csv",
@@ -111,7 +111,7 @@ object SerdeQueries {
 
     // json bridge roundtrip
     "q_file_json_roundtrip" -> ((s, dir) => {
-      val region = s.read.parquet(s"$dir/region.parquet")
+      val region = TableCache.parquet(s, s"$dir/region.parquet")
       val path = "/tmp/graft_files/region_json"
       Files.topicToFile(region, path, "json")
       Files.fileToTopic(s, path, "json",
@@ -144,7 +144,7 @@ object SerdeQueries {
           |  string text = 5;
           |}""".stripMargin
       val msg = graft.serde.ProtoWire.parseDescriptor(descriptor)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
         .withColumn("signed_len", -col("n_chars"))
         .withColumn("long_doc", col("n_chars") > 500)
       graft.serde.ProtoWire.decode(
@@ -165,7 +165,7 @@ object SerdeQueries {
           |  repeated int64 lens = 4;
           |  message Meta { string lang = 1; sint64 neg_chars = 2; }
           |}""".stripMargin)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           struct(col("lang"), (-col("n_chars")).as("neg_chars")).as("meta"),
           array(col("source"), col("lang")).as("tags"),
@@ -189,7 +189,7 @@ object SerdeQueries {
         """{"type":"object","properties":{
           |"id":{"type":"integer"},"text":{"type":"string"},"lang":{"type":["string","null"]}},
           |"required":["id","text"]}""".stripMargin
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       val payload = when(col("doc_id") % 11 === 0, lit("{not json"))
         .when(col("doc_id") % 7 === 0,
           to_json(struct(col("doc_id").as("id"), col("lang").as("lang"))))
@@ -213,7 +213,7 @@ object SerdeQueries {
           |"id":{"type":"integer"},
           |"meta":{"type":"object","properties":{"src":{"type":"string"}},"required":["src"]}},
           |"required":["id"]}""".stripMargin
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       val payload = when(col("doc_id") % 11 === 0,
           to_json(struct(col("doc_id").as("id"))))
         .when(col("doc_id") % 7 === 0,
@@ -240,7 +240,7 @@ object SerdeQueries {
           |  oneof body { string text_val = 3; int64 num_val = 4; }
           |}""".stripMargin
       val msg = graft.serde.ProtoWire.parseDescriptor(descriptor)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           map(col("source"), col("n_chars").cast("long"),
             col("lang"), pmod(col("doc_id"), lit(97)).cast("long")).as("kv"),
@@ -258,7 +258,7 @@ object SerdeQueries {
     // and malformed text do not
     "q_serde_jsonschema_scalar" -> ((s, dir) => {
       val intRoot = """{"type":"integer"}"""
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       val payload = when(col("doc_id") % 11 === 0, lit("{bad"))
         .when(col("doc_id") % 7 === 0,
           concat(lit("\""), coalesce(col("lang"), lit("xx")), lit("\"")))

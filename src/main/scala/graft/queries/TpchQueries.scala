@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.model.TableCache
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,7 +12,7 @@ import org.apache.spark.sql.functions._
 object TpchQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    s.read.parquet(s"$dir/$n.parquet")
+    TableCache.parquet(s, s"$dir/$n.parquet")
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 

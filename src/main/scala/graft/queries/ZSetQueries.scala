@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.Envelope
+import graft.model.{Envelope, TableCache}
 import graft.streams.{Aggregators, Debezium, Linear, TNode, ZSet}
 
 /** Correctness wiring for the Z-set streams core (SURVEY §2.5) in batch mode.
@@ -64,9 +64,9 @@ object ZSetQueries {
     }),
 
     "q_zs_join_equi" -> ((s, dir) => {
-      val o = ZSet.fromRecords(s.read.parquet(s"$dir/orders.parquet")
+      val o = ZSet.fromRecords(TableCache.parquet(s, s"$dir/orders.parquet")
         .select("o_orderkey", "o_custkey"))
-      val c = ZSet.fromRecords(s.read.parquet(s"$dir/customer.parquet")
+      val c = ZSet.fromRecords(TableCache.parquet(s, s"$dir/customer.parquet")
         .select("c_custkey", "c_name"))
       ZSet.map(ZSet.join(o, broadcast(c), col("o_custkey") === col("c_custkey")))(
         col("o_orderkey"), col("c_name"))
@@ -79,13 +79,13 @@ object ZSetQueries {
     // dimension sides broadcast, fact side shuffled once per join key
     "q_zs_join_chain" -> ((s, dir) => {
       val r = ZSet.distinct(ZSet.fromRecords(
-        s.read.parquet(s"$dir/region.parquet").select("r_regionkey", "r_name")))
+        TableCache.parquet(s, s"$dir/region.parquet").select("r_regionkey", "r_name")))
       val n = ZSet.distinct(ZSet.fromRecords(
-        s.read.parquet(s"$dir/nation.parquet").select("n_nationkey", "n_name", "n_regionkey")))
+        TableCache.parquet(s, s"$dir/nation.parquet").select("n_nationkey", "n_name", "n_regionkey")))
       val c = ZSet.distinct(ZSet.fromRecords(
-        s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_nationkey")))
+        TableCache.parquet(s, s"$dir/customer.parquet").select("c_custkey", "c_nationkey")))
       val o = ZSet.distinct(ZSet.fromRecords(
-        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")))
+        TableCache.parquet(s, s"$dir/orders.parquet").select("o_orderkey", "o_custkey")))
       val j1 = ZSet.join(n, broadcast(r), col("n_regionkey") === col("r_regionkey"))
       val j2 = ZSet.join(c, broadcast(j1), col("c_nationkey") === col("n_nationkey"))
       val j3 = ZSet.join(o, j2, col("o_custkey") === col("c_custkey"))
@@ -94,9 +94,9 @@ object ZSetQueries {
     }),
 
     "q_zs_join_theta" -> ((s, dir) => {
-      val n = ZSet.fromRecords(s.read.parquet(s"$dir/nation.parquet")
+      val n = ZSet.fromRecords(TableCache.parquet(s, s"$dir/nation.parquet")
         .select("n_nationkey", "n_name", "n_regionkey"))
-      val r = ZSet.fromRecords(s.read.parquet(s"$dir/region.parquet")
+      val r = ZSet.fromRecords(TableCache.parquet(s, s"$dir/region.parquet")
         .select("r_regionkey", "r_name"))
       ZSet.map(ZSet.join(n, broadcast(r), col("n_regionkey") < col("r_regionkey")))(
         col("n_name"), col("r_name"))
@@ -121,7 +121,7 @@ object ZSetQueries {
 
     "q_zs_groupby_agg" -> ((s, dir) =>
       Aggregators.groupByAggLong(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        TableCache.parquet(s, s"$dir/lineitem.parquet"),
         "l_returnflag", "l_quantity", Aggregators.sumOfSquares, "sum_sq")
         .orderBy("l_returnflag")),
 
@@ -185,7 +185,7 @@ object ZSetQueries {
       // the same way), so distinct is NOT a dedup on this corpus — it is the
       // Z-set weight normalization to {0,1} the reference applies, and it is
       // semantic when the source carries weights > 1 or retractions.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableCache.parquet(s, s"$dir/documents.parquet")
       TNode.source("docs", ZSet.fromRecords(docs.select("doc_id", "text")))
         .flatmap(posexplode(split(col("text"), " ")), col("doc_id"))
         .distinct
