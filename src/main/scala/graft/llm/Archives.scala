@@ -259,8 +259,7 @@ object Archives {
             val plain: Option[Array[Byte]] = method match {
               case 0 => Some(raw)
               case 8 =>
-                try {
-                  val inf = new java.util.zip.Inflater(true)
+                try graft.serde.Zlib.withInflater(nowrap = true) { inf =>
                   inf.setInput(raw)
                   val outB = new Array[Byte](ulen.toInt)
                   var got = 0
@@ -269,7 +268,6 @@ object Archives {
                     if (k == 0 && inf.needsInput()) throw new java.io.EOFException
                     got += k
                   }
-                  inf.end()
                   if (got == outB.length) Some(outB) else None
                 } catch { case scala.util.control.NonFatal(_) => None }
               case _ => None
@@ -423,10 +421,15 @@ object Archives {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Multi-stream xz, same guard. */
+  /** Multi-stream xz, same guard. BasicArrayCache recycles the LZMA2
+    * dictionary/window arrays across streams (r15 optimization — the
+    * default ArrayCache.getDummyCache allocates them fresh per record;
+    * the pure-Java XZ path was the remaining allocation-heavy shard
+    * codec after zstd got its buffer pool). Bytes decoded identical. */
   private[graft] def xzAll(b: Array[Byte], max: Int = 1 << 26): Option[Array[Byte]] = {
     try {
-      val in = new org.tukaani.xz.XZInputStream(new java.io.ByteArrayInputStream(b))
+      val in = new org.tukaani.xz.XZInputStream(new java.io.ByteArrayInputStream(b),
+        org.tukaani.xz.BasicArrayCache.getInstance())
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)

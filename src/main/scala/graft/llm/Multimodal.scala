@@ -4002,8 +4002,7 @@ object Multimodal {
     // header can demand: raw cannot legally exceed ~1032x the stream
     if (rawLen > comp.length.toLong * 1032L + 4096L) return None
     val raw = new Array[Byte](rawLen.toInt)
-    val inf = new java.util.zip.Inflater()
-    try {
+    try graft.serde.Zlib.withInflater(nowrap = false) { inf =>
       inf.setInput(comp)
       var off = 0
       while (off < raw.length && !inf.finished()) {
@@ -4013,7 +4012,6 @@ object Multimodal {
       }
       if (off != raw.length) return None // short or oversized pixel data
     } catch { case _: java.util.zip.DataFormatException => return None }
-    finally inf.end()
     // unfilter per pass (RFC 2083 §6): each row starts with its filter
     // type, `prev` never crosses a pass boundary. The filter unit is the
     // byte-ceiling bpp (1 for sub-byte packing)

@@ -770,21 +770,21 @@ object Pdf {
   }
 
   private def inflate(b: Array[Byte], max: Int): Option[Array[Byte]] = {
-    try {
-      val inf = new java.util.zip.Inflater()
+    // pooled inflater (r15 optimization): a native Inflater init per
+    // stream dominated CPU on flate-heavy documents; semantics unchanged
+    try graft.serde.Zlib.withInflater(nowrap = false) { inf =>
       inf.setInput(b)
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val k = inf.inflate(buf)
         if (k == 0) {
-          if (inf.needsInput() || inf.needsDictionary()) { inf.end(); return None }
+          if (inf.needsInput() || inf.needsDictionary()) return None
         } else {
           out.write(buf, 0, k)
-          if (out.size > max) { inf.end(); return None }
+          if (out.size > max) return None
         }
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
   }

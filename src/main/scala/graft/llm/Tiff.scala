@@ -270,9 +270,8 @@ object Tiff {
         case 5 => lzwDecode(b, off.toInt, math.min(cnt, b.length - off).toInt,
           dst, dstPos, need)
         case 8 | 32946 => // Adobe deflate (8) and the legacy code (32946):
-          // a plain zlib stream per segment, java.util.zip.Inflater
-          val inf = new java.util.zip.Inflater()
-          try {
+          // a plain zlib stream per segment, pooled inflater (r15 opt)
+          try graft.serde.Zlib.withInflater(nowrap = false) { inf =>
             inf.setInput(b, off.toInt, math.min(cnt, b.length - off).toInt)
             var total = 0
             var stalled = false
@@ -283,7 +282,6 @@ object Tiff {
             }
             if (stalled) -1 else total
           } catch { case _: java.util.zip.DataFormatException => -1 }
-          finally inf.end()
         case _ => packBitsDecode(b, off.toInt, math.min(cnt, b.length - off).toInt,
           dst, dstPos, need)
       }

@@ -1,6 +1,5 @@
 package graft.llm
 
-import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.Dataset
 
@@ -54,21 +53,12 @@ object Warc {
   private val CRLF = "\r\n".getBytes("ISO-8859-1")
 
   /** Multi-member gunzip with a bomb guard. None on any stream error
-    * or when the inflated size crosses `max`. */
-  private[graft] def gunzipAll(b: Array[Byte], max: Int = 1 << 26): Option[Array[Byte]] = {
-    try {
-      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size > max) return None
-        n = in.read(buf)
-      }
-      Some(out.toByteArray)
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+    * or when the inflated size crosses `max`. Delegates to the pooled
+    * [[graft.serde.Zlib.gunzipAll]] (r15 optimization: a GZIPInputStream
+    * per record paid a native Inflater init per call on the decode hot
+    * path; semantics are GZIPInputStream-identical, ZlibSpec holds it). */
+  private[graft] def gunzipAll(b: Array[Byte], max: Int = 1 << 26): Option[Array[Byte]] =
+    graft.serde.Zlib.gunzipAll(b, max)
 
   private def indexOfCrlf(b: Array[Byte], from: Int, end: Int): Int = {
     var i = from
@@ -231,21 +221,19 @@ object Warc {
       case "gzip" | "x-gzip" => gunzipAll(b)
       case "deflate" =>
         def inflate(nowrap: Boolean): Option[Array[Byte]] =
-          try {
-            val inf = new java.util.zip.Inflater(nowrap)
+          try graft.serde.Zlib.withInflater(nowrap) { inf =>
             inf.setInput(b)
             val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
             val buf = new Array[Byte](8192)
             while (!inf.finished()) {
               val k = inf.inflate(buf)
               if (k == 0) {
-                if (inf.needsInput() || inf.needsDictionary()) { inf.end(); return None }
+                if (inf.needsInput() || inf.needsDictionary()) return None
               } else {
                 out.write(buf, 0, k)
-                if (out.size > (1 << 26)) { inf.end(); return None }
+                if (out.size > (1 << 26)) return None
               }
             }
-            inf.end()
             Some(out.toByteArray)
           } catch { case scala.util.control.NonFatal(_) => None }
         inflate(false).orElse(inflate(true))
@@ -663,21 +651,23 @@ object Warc {
         if ((flg & 16) != 0) { while (q < n && raw(q) != 0) q += 1; q += 1 } // FCOMMENT
         if ((flg & 2) != 0) q += 2 // FHCRC
         if (q >= n) return out.result()
-        val inf = new java.util.zip.Inflater(true)
-        inf.setInput(raw, q, n - q)
-        val body = new java.io.ByteArrayOutputStream(8192)
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val k = inf.inflate(buf)
-          if (k == 0 && !inf.finished()) { inf.end(); return out.result() }
-          body.write(buf, 0, k)
-          if (body.size > (1 << 26)) { inf.end(); return out.result() }
+        var bodyOut: Array[Byte] = null
+        val consumed = graft.serde.Zlib.withInflater(nowrap = true) { inf =>
+          inf.setInput(raw, q, n - q)
+          val body = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k == 0 && !inf.finished()) return out.result()
+            body.write(buf, 0, k)
+            if (body.size > (1 << 26)) return out.result()
+          }
+          bodyOut = body.toByteArray
+          inf.getBytesRead
         }
-        val consumed = inf.getBytesRead
-        inf.end()
         p = q + consumed.toInt + 8 // CRC32 + ISIZE trailer
         if (p > n) return out.result()
-        out += ((start.toLong, (p - start).toLong, body.toByteArray))
+        out += ((start.toLong, (p - start).toLong, bodyOut))
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     out.result()
