@@ -1008,23 +1008,29 @@ object Dedup {
     * re-attaches them. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    // LAZY localCheckpoint throughout: the fingerprint aggregate right
-    // after is the materializing action, so each round costs exactly ONE
-    // job (eager checkpoint + separate fingerprint was two — measured 2×
-    // the wall time on small graphs, where fixed job cost dominates).
-    var edges = pairs
+    // The fingerprint rides the SAME pass that materializes the round's
+    // checkpoint (r15 optimization, guide §2.4): observe() computes the
+    // (count, xor) pair as accumulator metrics DURING the eager
+    // localCheckpoint job, where the former separate `agg(...).head()`
+    // action re-read the whole edge set per round — at 100 TB that
+    // second read is a full extra pass per round, at bench scale it was
+    // one extra stage-job per round. Values are identical by
+    // construction (same aggregate expressions over the same rows).
+    def checkpointWithFingerprint(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val observed = e.observe("cc_fp",
+        count(lit(1)).as("n"),
+        expr("cast(coalesce(bit_xor(xxhash64(u, v)), 0) as long)").as("x"))
+      val cp = observed.localCheckpoint(true)
+      val row = observed.queryExecution.observedMetrics.getOrElse("cc_fp",
+        throw new IllegalStateException(
+          "connectedComponents: observed fingerprint metrics missing"))
+      (cp, (row.getLong(0), row.getLong(1)))
+    }
+    var (edges, fp) = checkpointWithFingerprint(pairs
       .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        count(lit(1)),
-        expr("cast(coalesce(bit_xor(xxhash64(u, v)), 0) as long)")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var fp = fingerprint(edges)
+      .distinct())
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -1045,13 +1051,12 @@ object Dedup {
       // small-star: every node links its (all-smaller) neighbors and itself
       // to its minimum neighbor.
       val mins2 = large.groupBy("u").agg(min("v").as("m"))
-      val next = large.join(mins2, Seq("u"))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(mins2.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(false)
-      val fp2 = fingerprint(next)
+      val (next, fp2) = checkpointWithFingerprint(
+        large.join(mins2, Seq("u"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins2.select(col("u"), col("m").as("v")))
+          .distinct())
       converged = fp2 == fp
       fp = fp2
       if (sys.env.contains("GRAFT_CC_TRACE"))
