@@ -131,6 +131,7 @@ object Bench {
       var gcSel = 0.0 // gc seconds inside the SELECTED (min) rep
       var cpuSel = -1.0 // process-cpu seconds inside the SELECTED rep
       var kSel = -1.0 // kernel-mode (stime) seconds inside the SELECTED rep
+      var maxRep = -1.0 // slowest rep seen — drives the instability requeue
       var rep = 0
       var failed = false
       def runRep(label: String): Unit = {
@@ -155,7 +156,10 @@ object Bench {
         if (repeat > 1 || label.nonEmpty)
           System.err.println(f"[bench] $name rep $rep$label%s: $cur%.3f s (gc $curGc%.3f s, cpu $curCpu%.3f s, kernel $curK%.3f s)")
         if (!ok) failed = true
-        else if (dt < 0 || cur < dt) { dt = cur; gcSel = curGc; cpuSel = curCpu; kSel = curK }
+        else {
+          if (cur > maxRep) maxRep = cur
+          if (dt < 0 || cur < dt) { dt = cur; gcSel = curGc; cpuSel = curCpu; kSel = curK }
+        }
         // queries persist() intermediates (e.g. LSH signature tables) and
         // localCheckpoint() loop states (graph ranks, contraction rounds);
         // clearCache() drops only the SQL cache — the checkpoint blocks
@@ -181,8 +185,19 @@ object Bench {
       def interference: Boolean =
         dt > 2.0 && cpuSel > 0 && kSel >= 0 && kSel > 0.6 * cpuSel &&
           gcSel < 0.1 * dt
-      while (!failed && extra < 2 && interference) {
-        runRep(" (requeue: kernel-share)")
+      // second trigger (round 16): an UNSTABLE multi-second reading — the
+      // reps disagree by more than 40% of the slowest one. The r15-opt
+      // baseline recorded q1_pricing at 3.685 s (reps 3.685/6.912) inside a
+      // host-steal window where the same query, same code, same box reads
+      // 0.6–1.0 s quiet and stable; min-of-2 cannot self-clean when BOTH
+      // reps land in the storm, but the disagreement itself is the tell —
+      // genuinely slow queries repeat within ~10% (e.g. q_fuzzy_join
+      // 2.35/2.4). Bounded at the same 2 extra reps, recorded in
+      // "requeued" — this hardens the ESTIMATOR, never the work measured.
+      def unstable: Boolean =
+        dt > 2.0 && maxRep > dt && (maxRep - dt) > 0.4 * maxRep
+      while (!failed && extra < 2 && (interference || unstable)) {
+        runRep(if (interference) " (requeue: kernel-share)" else " (requeue: unstable)")
         extra += 1
       }
       if (failed) dt = -1.0

@@ -196,17 +196,114 @@ object Fuzzy {
   }
 
   /** The shared verify tail: slim (id_a, id_b) candidates join back to
-    * the strings by id and run the threshold-bounded banded levenshtein —
-    * O(d·n) per pair, codegen'd, abandoning a row the moment the distance
-    * provably exceeds the bound. */
+    * the strings by id, then a typed per-partition kernel computes the
+    * banded threshold levenshtein ONCE per pair.
+    *
+    * Why not `levenshtein(a, b, d)` in a withColumn + filter (the r15
+    * form): Catalyst pushes the `dist >= 0` predicate into the preceding
+    * join as a residual condition AND keeps the projection's copy, so
+    * every surviving pair paid the DP twice (both calls visible in the
+    * r16 plan dump: "Join condition: (levenshtein(__sa, __sb, Some(1)) >=
+    * 0)" plus the Project's cast(levenshtein(...))) — and jstack sampling
+    * put UTF8String.levenshteinDistance at ~30% of q_fuzzy_join's busy
+    * samples. The typed kernel evaluates once per pair, reuses its DP
+    * rows across the whole partition (no per-call int[] churn), and
+    * early-exits a row the moment the band minimum exceeds the bound —
+    * same O(d·n) banded algorithm, same code-point unit, same distances
+    * (FuzzySpec pins kernel == Spark levenshtein on ASCII, non-ASCII and
+    * supplementary-plane pairs). */
   private def verifyPairs(cand: DataFrame, strs: DataFrame,
-      maxDist: Int): DataFrame =
+      maxDist: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val d = maxDist
     cand
       .join(strs.select(col("__fid").as("id_a"), col("__fs").as("__sa")), Seq("id_a"))
       .join(strs.select(col("__fid").as("id_b"), col("__fs").as("__sb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
-      .filter(col("dist") >= 0) // threshold form yields -1 above maxDist
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions { rows =>
+        // one kernel (and its DP scratch) per partition — §4.5 posture
+        val lev = new BandedLevenshtein(d)
+        rows.flatMap { case (a, b, sa, sb) =>
+          val dist = lev.dist(sa, sb)
+          if (dist >= 0) Iterator.single((a, b, dist.toLong)) else Iterator.empty
+        }
+      }
+      .toDF("id_a", "id_b", "dist")
+  }
+
+  /** Threshold-banded Levenshtein over CODE POINTS: `dist(a, b)` returns
+    * the exact edit distance when it is <= d, else -1 — the same contract
+    * and unit as Spark's `levenshtein(a, b, d)` (FuzzySpec pins the
+    * equivalence on ASCII, non-ASCII and supplementary-plane pairs).
+    * NOT thread-safe: the DP rows and code-point buffers are reused across
+    * calls, which is the point — one instance per partition. */
+  private[graft] final class BandedLevenshtein(d: Int) {
+    private var prev = new Array[Int](66)
+    private var curr = new Array[Int](66)
+    private var cpA = new Array[Int](64)
+    private var cpB = new Array[Int](64)
+
+    private def decode(s: String, into: Array[Int]): (Array[Int], Int) = {
+      var arr = into
+      var n = 0
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+        arr(n) = cp; n += 1; i += Character.charCount(cp)
+      }
+      (arr, n)
+    }
+
+    def dist(sa: String, sb: String): Int = {
+      val (a, na0) = decode(sa, cpA); cpA = a
+      val (b, nb0) = decode(sb, cpB); cpB = b
+      val na = na0; val nb = nb0
+      if (math.abs(na - nb) > d) return -1
+      if (nb + 2 > prev.length) {
+        prev = new Array[Int](nb + 2); curr = new Array[Int](nb + 2)
+      }
+      var j = 0
+      while (j <= nb) { prev(j) = j; j += 1 }
+      prev(if (nb + 1 < prev.length) nb + 1 else nb) = d + 1
+      var r = 1
+      var exceeded = false
+      // banded DP: only |r - j| <= d cells can end <= d; the cell just
+      // outside the band on each side holds the sentinel d+1 so the
+      // three-way min reads initialized values. The length filter above
+      // guarantees lo <= nb for every row (r <= na <= nb + d); nb = 0
+      // degenerates to an empty inner loop with curr(0) = r as the answer.
+      while (r <= na && !exceeded) {
+        curr(0) = if (r <= d) r else d + 1
+        val lo = math.max(1, r - d)
+        val hi = math.min(nb, r + d)
+        if (lo > 1) curr(lo - 1) = d + 1
+        var rowMin = curr(0)
+        val ca = cpA(r - 1)
+        j = lo
+        while (j <= hi) {
+          val sub = prev(j - 1) + (if (ca == cpB(j - 1)) 0 else 1)
+          val del = curr(j - 1) + 1
+          val ins = prev(j) + 1
+          var v = sub
+          if (del < v) v = del
+          if (ins < v) v = ins
+          curr(j) = v
+          if (v < rowMin) rowMin = v
+          j += 1
+        }
+        // sentinel one past the band: the NEXT row's widened band reads
+        // prev(hi + 1); rows are nb + 2 wide so the write is in range
+        curr(hi + 1) = d + 1
+        if (rowMin > d) exceeded = true
+        val t = prev; prev = curr; curr = t
+        r += 1
+      }
+      if (exceeded || prev(nb) > d) -1 else prev(nb)
+    }
+  }
 
   /** [[editDistanceJoin]]'s short-string regime: deletion-neighborhood
     * (symmetric delete) blocking — FastSS (Bocek et al., "Fast Similarity

@@ -30,24 +30,39 @@ import org.apache.spark.sql.types.StructType
   */
 object TableCache {
   private val schemas = new ConcurrentHashMap[String, StructType]()
-  // resolved-relation memo, keyed per session so a cached frame never
-  // crosses SparkSessions; the WeakHashMap drops entries when a test
-  // session is collected instead of pinning it for the JVM's lifetime
-  private val relations =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+  // resolved-relation memo for exactly ONE session — the most recently used
+  // one. A WeakHashMap keyed by session does NOT work here (r15 ADVICE): a
+  // resolved DataFrame strongly references its SparkSession through the
+  // relation, so the map's own values kept every weak key reachable and
+  // every session that ever touched the memo was pinned for the JVM's
+  // lifetime. The single-slot design bounds retention to one session (the
+  // live one in every real caller — Bench/Verify/tests run queries against
+  // one session at a time); an older session's entries are dropped, and the
+  // session itself becomes collectable, the moment a new session arrives.
+  @volatile private var slot: (SparkSession, ConcurrentHashMap[String, DataFrame]) = null
 
   /** `spark.read.parquet(path)` with the resolved relation memoized per
     * (session, path) and the schema per path. Returning the same immutable
     * DataFrame object is the plain df-reuse idiom (self-joins of a shared
     * frame go through DeduplicateRelations like any `df.join(df)`), and it
     * skips the ~50 ms of per-call DataSource re-resolution that remained
-    * after the schema memo. Never used for paths a query writes. */
+    * after the schema memo.
+    *
+    * Fixture tables ONLY: the relation memo snapshots the file listing at
+    * first read, so a path whose files change mid-session would silently
+    * read stale data. The contract is enforced at the source level — a
+    * PlanSpec test pins every src/main call site to the `s"$dir/..."` /
+    * `s"$sfDir/..."` fixture-root shape, so a write-path caller fails the
+    * build loudly instead of reading stale files. (A runtime path guard
+    * cannot work: tests legitimately point `dir` at read-only temp
+    * fixtures, e.g. EmptyInputSpec's zero-row corpus.) */
   def parquet(spark: SparkSession, path: String): DataFrame = {
-    val perSession = relations.synchronized {
-      var m = relations.get(spark)
-      if (m == null) { m = new ConcurrentHashMap[String, DataFrame](); relations.put(spark, m) }
-      m
+    var cur = slot
+    if (cur == null || (cur._1 ne spark)) {
+      cur = (spark, new ConcurrentHashMap[String, DataFrame]())
+      slot = cur
     }
+    val perSession = cur._2
     val hit = perSession.get(path)
     if (hit != null) hit
     else {

@@ -111,6 +111,36 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("BandedLevenshtein kernel == Spark levenshtein(a, b, d), including -1") {
+    // the r16 verify tail computes the distance in a typed kernel (one
+    // evaluation per pair instead of the join-residual + projection double
+    // eval) — this pins the kernel to the engine expression it replaced,
+    // over every shape class: ASCII, equal, empty, len-diff > d, band
+    // early-exit, non-ASCII, supplementary plane, adjacent transposition
+    // (costs 2 in plain levenshtein), and long strings near the bound.
+    val cases = Seq(
+      ("", ""), ("", "a"), ("a", ""), ("abc", "abc"),
+      ("abc", "abd"), ("abc", "abcd"), ("abcd", "abc"), ("abc", "acb"),
+      ("kitten", "sitting"), ("flaw", "lawn"),
+      ("Customer#000014999", "Customer#000014998"),
+      ("Customer#000014999", "Customer#00001499"),
+      ("aaaaaaaaaa", "bbbbbbbbbb"), ("abcdefghij", "jihgfedcba"),
+      ("x😀y😁z", "x😀y😂z"), ("😀😁😂", "😀😂"), ("𝕳𝖊𝖑𝖑𝖔", "𝕳𝖊𝖑𝖑o"),
+      ("ab" * 40, "ba" * 40), ("ab" * 40, "ab" * 39 + "aa"),
+      ("left", "completely-unrelated-string"))
+    val pairs = cases.map { case (a, b) => (a, b) } ++ cases.map { case (a, b) => (b, a) }
+    for (d <- 1 to 3) {
+      val lev = new Fuzzy.BandedLevenshtein(d)
+      val df = pairs.toDF("a", "b")
+        .withColumn("expected", levenshtein(col("a"), col("b"), d))
+        .collect()
+      for (r <- df) {
+        val (a, b, exp) = (r.getString(0), r.getString(1), r.getInt(2))
+        assert(lev.dist(a, b) === exp, s"d=$d a='$a' b='$b'")
+      }
+    }
+  }
+
   test("book-length strings: gram path stays correct with the bounded prefix agg") {
     // ~40k-char documents (far beyond any sane entity key) through the
     // gram path: the rarest-k aggregator's buffer is structurally capped

@@ -722,4 +722,47 @@ class PlanSpec extends SparkSpec {
     assert(docCounts == srcCounts,
       s"SCALING.md collect inventory drifted.\n  doc: ${docCounts.toSeq.sorted}\n  src: ${srcCounts.toSeq.sorted}")
   }
+
+  test("TableCache call sites read only fixture roots (immutable-tables contract)") {
+    // The relation memo snapshots a path's file listing at first read, so a
+    // WRITE-path caller would silently read stale data (r15 ADVICE). The
+    // contract is source-level: every src/main call must pass the sfDir
+    // fixture shape s"$dir/<table>.parquet" (or s"$sfDir/..."), never a
+    // computed or harness-written path. A runtime guard cannot express
+    // this (tests point dir at read-only temp fixtures legitimately).
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // the load-bearing part is the ROOT: s"$dir/..." — the table-name
+    // segment may itself be a simple interpolated name (TpchQueries' t())
+    val ok = """TableCache\.parquet\(\s*\w+\s*,\s*s"\$\{?(dir|sfDir)\}?/\$?[A-Za-z0-9_]+\.parquet"\s*\)""".r
+    val offenders = Files.walk(Paths.get("src/main/scala")).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.getFileName.toString == "TableCache.scala")
+      .flatMap { p =>
+        val src = Files.readString(p)
+        // every call site must be consumed by the fixture-shape regex
+        val calls = """TableCache\.parquet\(""".r.findAllIn(src).size
+        val good = ok.findAllIn(src).size
+        if (calls != good) Some(s"$p: $calls call(s), $good matching the fixture shape") else None
+      }.toSeq
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("TableCache retains at most one session's relations (single-slot memo)") {
+    // r15 ADVICE: the old WeakHashMap pinned every session it ever saw
+    // (map values strongly reach their session). The single-slot memo must
+    // hand back the SAME frame within a session and drop the old session's
+    // entries when a new session arrives.
+    val p = s"$sfDir/nation.parquet"
+    val a1 = graft.model.TableCache.parquet(spark, p)
+    val a2 = graft.model.TableCache.parquet(spark, p)
+    assert(a1 eq a2, "same session must memo-hit the identical DataFrame object")
+    val other = spark.newSession()
+    val b = graft.model.TableCache.parquet(other, p)
+    assert(!(b eq a1), "a new session must not receive another session's frame")
+    val a3 = graft.model.TableCache.parquet(spark, p)
+    assert(!(a3 eq a1), "the old session's entries must be dropped (single slot)")
+    // and the original session works again as the active slot
+    assert(graft.model.TableCache.parquet(spark, p) eq a3)
+  }
 }
